@@ -1,0 +1,198 @@
+"""Polygon/polyline dissolve and shared-edge classification over shared arcs.
+
+Dissolve semantics follow the reference's arc-cancellation algorithm
+(``dissolvePolygonGeometry``, src/dissolve/mapshaper-polygon-dissolve.js:3-218):
+within a dissolve group, an arc traversed once forward and once backward by
+two member rings is an interior border and cancels; surviving directed arcs
+are stitched end-to-end into the dissolved rings.  Null shapes are kept
+aligned (src/commands/mapshaper-dissolve.js:36-41).
+
+``classify_arcs`` is the arc-classifier primitive behind ``-innerlines`` /
+``-lines`` (src/commands/mapshaper-innerlines.js:3-44 +
+src/topology/mapshaper-arc-classifier.js:4-46): each arc keyed by the <=2
+features using it.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from .arcs import ArcTable, abs_id
+
+
+def _endpoint_nodes(arcs: ArcTable):
+    """Map arc id -> (start_node, end_node) using exact coords as node keys."""
+    ends = []
+    for i in range(len(arcs)):
+        (x0, y0), (x1, y1) = arcs.endpoints(i)
+        ends.append(((x0, y0), (x1, y1)))
+    return ends
+
+
+def _directed_ends(ends, signed_id):
+    i = abs_id(signed_id)
+    s, e = ends[i]
+    return (s, e) if signed_id >= 0 else (e, s)
+
+
+def dissolve_shapes(shapes, group_ids, arcs: ArcTable):
+    """Dissolve polygon shapes by group.
+
+    shapes: per-feature list of parts (lists of signed arc ids) or None.
+    group_ids: per-feature hashable group key (None features are skipped).
+    Returns dict group_id -> dissolved shape (list of rings of signed arc
+    ids); groups whose geometry fully cancels map to None.
+    """
+    ends = _endpoint_nodes(arcs)
+    # ---- first pass: per group, count directed arc usage; cancel +/- pairs
+    # (reference first pass pairs segments with arc1.arcId === ~arc2.arcId
+    # within a group, src/dissolve/mapshaper-polygon-dissolve.js:9-107)
+    group_segments = defaultdict(list)   # group -> list of signed ids (surviving)
+    for shp, gid in zip(shapes, group_ids):
+        if shp is None:
+            continue
+        for part in shp:
+            group_segments[gid].extend(part)
+
+    out = {}
+    for gid, segs in group_segments.items():
+        counts = defaultdict(int)
+        for sid in segs:
+            counts[sid] += 1
+        survivors = []
+        for sid in segs:
+            # cancel one forward with one reverse use of the same arc
+            if counts.get(~sid, 0) > 0 and counts.get(sid, 0) > 0:
+                counts[sid] -= 1
+                counts[~sid] -= 1
+            elif counts.get(sid, 0) > 0:
+                counts[sid] -= 1
+                survivors.append(sid)
+        out[gid] = _stitch_rings(survivors, ends)
+    return out
+
+
+def _stitch_rings(survivors, ends):
+    """Second pass: walk surviving directed arcs into closed rings
+    (dissolveSecondPass, src/dissolve/mapshaper-polygon-dissolve.js:110-218).
+    Deterministic choice: at a node with multiple outgoing arcs, take the
+    lowest signed id."""
+    if not survivors:
+        return None
+    by_start = defaultdict(list)
+    for sid in survivors:
+        s, _ = _directed_ends(ends, sid)
+        by_start[s].append(sid)
+    for lst in by_start.values():
+        lst.sort(reverse=True)  # pop() takes the lowest id
+    used = set()
+    rings = []
+    for sid in survivors:
+        if sid in used:
+            continue
+        ring = [sid]
+        used.add(sid)
+        _, cur = _directed_ends(ends, sid)
+        start, _ = _directed_ends(ends, sid)
+        while cur != start:
+            nxts = by_start.get(cur, [])
+            nxt = None
+            while nxts:
+                cand = nxts.pop()
+                if cand not in used:
+                    nxt = cand
+                    break
+            if nxt is None:
+                break  # open chain (defective topology) — emit as-is
+            ring.append(nxt)
+            used.add(nxt)
+            _, cur = _directed_ends(ends, nxt)
+        rings.append(ring)
+    return rings
+
+
+def dissolve_polylines(shapes, group_ids, arcs: ArcTable):
+    """Polyline dissolve: merge chains of arcs meeting at degree-2 nodes
+    within a group (src/dissolve/mapshaper-polyline-dissolve.js:7-76)."""
+    ends = _endpoint_nodes(arcs)
+    group_arcs = defaultdict(list)
+    for shp, gid in zip(shapes, group_ids):
+        if shp is None:
+            continue
+        for part in shp:
+            group_arcs[gid].extend(part)
+    out = {}
+    for gid, segs in group_arcs.items():
+        # node degree within the group
+        deg = defaultdict(int)
+        for sid in segs:
+            s, e = _directed_ends(ends, sid)
+            deg[s] += 1
+            deg[e] += 1
+        by_start = defaultdict(list)
+        for sid in segs:
+            s, _ = _directed_ends(ends, sid)
+            by_start[s].append(sid)
+        used = set()
+        chains = []
+        # start chains at nodes with degree != 2 (true endpoints/junctions)
+        ordered = sorted(segs, key=lambda sid: abs_id(sid))
+        for sid in ordered:
+            if sid in used or ~sid in used:
+                continue
+            s, _ = _directed_ends(ends, sid)
+            if deg[s] == 2:
+                continue
+            chains.append(_walk_chain(sid, by_start, deg, used, ends))
+        for sid in ordered:  # remaining = pure loops
+            if sid not in used and ~sid not in used:
+                chains.append(_walk_chain(sid, by_start, deg, used, ends))
+        out[gid] = chains or None
+    return out
+
+
+def _walk_chain(sid, by_start, deg, used, ends):
+    chain = [sid]
+    used.add(sid)
+    _, cur = _directed_ends(ends, sid)
+    while deg[cur] == 2:
+        nxt = None
+        for cand in by_start.get(cur, []):
+            if cand not in used and ~cand not in used and cand != ~sid:
+                nxt = cand
+                break
+        if nxt is None:
+            break
+        chain.append(nxt)
+        used.add(nxt)
+        sid = nxt
+        _, cur = _directed_ends(ends, nxt)
+    return chain
+
+
+def classify_arcs(shapes):
+    """Arc id -> sorted list of feature ids using it (<=2 for clean
+    polygon topology).  Basis of -innerlines/-lines
+    (src/topology/mapshaper-arc-classifier.js:4-46)."""
+    users = defaultdict(set)
+    for fid, shp in enumerate(shapes):
+        if shp is None:
+            continue
+        for part in shp:
+            for sid in part:
+                users[abs_id(sid)].add(fid)
+    return {aid: sorted(fids) for aid, fids in users.items()}
+
+
+def innerlines(shapes):
+    """Arc ids used by >= 2 features (shared borders), sorted.
+    (api.innerlines, src/commands/mapshaper-innerlines.js:3-16)"""
+    return sorted(a for a, u in classify_arcs(shapes).items() if len(u) >= 2)
+
+
+def lines(shapes):
+    """All arcs classified: list of (arc_id, type) with type 'inner' or
+    'outer' (api.lines outputs inner + outer layers,
+    src/commands/mapshaper-innerlines.js:18-44)."""
+    return [(a, "inner" if len(u) >= 2 else "outer")
+            for a, u in sorted(classify_arcs(shapes).items())]
