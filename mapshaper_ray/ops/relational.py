@@ -1,0 +1,250 @@
+"""Relational operator layer — the data-side of the reference's commands.
+
+Maps (SURVEY.md §2):
+- ``each_expr`` / ``filter_expr``   → -each / -filter expression engine
+  (src/data/mapshaper-expressions.js:76): string expression compiled once,
+  evaluated VECTORIZED over a pandas batch namespace (numpy funcs
+  available), not per row.
+- ``groupby_agg``                   → -dissolve data aggregation
+  (src/data/mapshaper-data-aggregation.js:39-81): partial per-batch
+  pre-aggregation inside map_batches, then a small groupby over partials —
+  the shuffle moves one row per (key, batch) instead of every row.
+- ``broadcast_join``                → -join with a small source table
+  (src/commands/mapshaper-join.js:54): ray.put once, pandas merge per batch.
+- ``hash_join``                     → large-large -join: explicit bucketed
+  hash join (hash both sides on the key into B buckets, join bucket-wise
+  inside map_groups).
+- ``calc_stats``                    → -calc (src/commands/mapshaper-calc.js:15)
+  whole-layer stats incl. exact median (reference findMedian averages the
+  two middle ranks, lib/mbloch-utils.js:944-951).
+- ``uniq_first``                    → -uniq keep-first
+  (src/commands/mapshaper-uniq.js:6-35): order-dependent distinct via
+  explicit order column.
+- ``sort_topk``                     → -sort + head: per-batch partial top-k
+  then tiny final sort (no full shuffle).
+- ``window_tumbling``               → event-time tumbling window aggregate
+  (streaming-shaped; Ray Data has no watermarks — SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# expression engine
+
+_EXPR_GLOBALS = {
+    "np": np, "abs": np.abs, "sqrt": np.sqrt, "log": np.log, "exp": np.exp,
+    "floor": np.floor, "ceil": np.ceil, "round": np.round,
+    "minimum": np.minimum, "maximum": np.maximum, "where": np.where,
+}
+
+
+def compile_expression(expr: str):
+    """String → vectorized evaluator over a pandas DataFrame namespace.
+    Same user surface as the reference's compileFeatureExpression (column
+    names are bare variables); compiled once, applied per batch."""
+    code = compile(expr, "<expr>", "eval")
+
+    def run(df: pd.DataFrame):
+        env = {c: df[c] for c in df.columns}
+        return eval(code, dict(_EXPR_GLOBALS), env)
+    return run
+
+
+def each_expr(ds, assignments: dict[str, str]):
+    """-each: add/overwrite computed columns (vectorized)."""
+    fns = {name: compile_expression(e) for name, e in assignments.items()}
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        for name, fn in fns.items():
+            df[name] = fn(df)
+        return df
+    return ds.map_batches(apply, batch_format="pandas")
+
+
+def filter_expr(ds, expr: str):
+    """-filter: keep rows where the boolean expression holds."""
+    fn = compile_expression(expr)
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        return df[np.asarray(fn(df), dtype=bool)]
+    return ds.map_batches(apply, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# grouped aggregation with partial pre-aggregation
+
+_DISTRIBUTIVE = {"sum", "count", "min", "max"}
+
+
+def groupby_agg(ds, keys: list[str], aggs: dict[str, tuple[str, str]]):
+    """aggs: out_col -> (in_col, fn) with fn in sum|count|min|max|mean|first.
+
+    Two-phase: per-batch pandas groupby emits partials (sum+count for
+    mean; min order idx for first), then a Ray groupby over the partials.
+    ``first`` uses an explicit ``_order`` column when present, else
+    assumes an ``orig_idx``-like column named in the agg spec.
+    """
+    partial_specs = {}
+    for out, (col, fn) in aggs.items():
+        if fn == "mean":
+            partial_specs[f"__{out}_sum"] = (col, "sum")
+            partial_specs[f"__{out}_cnt"] = (col, "count")
+        else:
+            partial_specs[out] = (col, fn)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, dropna=False)
+        cols = {}
+        for out, (col, fn) in partial_specs.items():
+            if fn == "count":
+                cols[out] = g[col].count()
+            elif fn == "first":
+                cols[out] = g[col].first()
+            else:
+                cols[out] = getattr(g[col], fn)()
+        return pd.DataFrame(cols).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, dropna=False)
+        cols = {}
+        for out, (col, fn) in partial_specs.items():
+            if fn in ("sum", "count"):
+                cols[out] = g[out].sum()
+            elif fn == "min":
+                cols[out] = g[out].min()
+            elif fn == "max":
+                cols[out] = g[out].max()
+            elif fn == "first":
+                cols[out] = g[out].first()
+        res = pd.DataFrame(cols).reset_index()
+        for out, (col, fn) in aggs.items():
+            if fn == "mean":
+                res[out] = res[f"__{out}_sum"] / res[f"__{out}_cnt"]
+                res = res.drop(columns=[f"__{out}_sum", f"__{out}_cnt"])
+        return res
+
+    # final reduce: shuffle the (small) partials once
+    return partials.groupby(keys).map_groups(final, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# joins
+
+def broadcast_join(big_ds, small_df: pd.DataFrame, on, how="inner",
+                   suffix="_r"):
+    """Small side shipped once via ray.put; pandas merge per batch."""
+    import ray
+    ref = ray.put(small_df)
+
+    class Joiner:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(self.small, on=on, how=how, suffixes=("", suffix))
+
+    return big_ds.map_batches(Joiner, batch_format="pandas",
+                              concurrency=(1, 8))
+
+
+def hash_join(left_ds, right_ds, on: str, how="inner", num_buckets=32,
+              left_cols=None, right_cols=None):
+    """Explicit partitioned hash join: bucket = hash(key) % B on both
+    sides, union with a side tag, groupby bucket, merge per bucket.
+    The portable large-large join pattern (one shuffle per side)."""
+    # Dataset.union aligns schemas by null-padding, so each side's real
+    # columns must be captured up front (schema() is metadata-only).
+    l_names = left_cols or [c for c in left_ds.schema().names]
+    r_names = right_cols or [c for c in right_ds.schema().names]
+
+    def tag(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            cols = l_names if side == 0 else r_names
+            df = df[list(dict.fromkeys(cols + [on]))]
+            df = df.copy()
+            df["__side"] = np.int8(side)
+            df["__bucket"] = (pd.util.hash_array(df[on].to_numpy())
+                              % num_buckets).astype(np.int32)
+            return df
+        return fn
+
+    l_ = left_ds.map_batches(tag(0), batch_format="pandas")
+    r_ = right_ds.map_batches(tag(1), batch_format="pandas")
+    both = l_.union(r_)
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lt = df[df["__side"] == 0][list(dict.fromkeys(l_names + [on]))]
+        rt = df[df["__side"] == 1][list(dict.fromkeys(r_names + [on]))]
+        return lt.merge(rt, on=on, how=how, suffixes=("", "_r"))
+
+    return both.groupby("__bucket").map_groups(merge_bucket,
+                                               batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# whole-layer stats
+
+def calc_stats(ds, col: str) -> pd.DataFrame:
+    """-calc equivalents: count/sum/mean/min/max distributive via
+    ds.aggregate; exact median via a single pruned-column pull (documented
+    scale path: distributed sort + rank pick, SURVEY.md §7.3)."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+    row = ds.aggregate(Count(), Sum(col), Mean(col), Min(col), Max(col))
+    vals = ds.select_columns([col]).to_pandas()[col].to_numpy()
+    vals = vals[~pd.isna(vals)]
+    n = len(vals)
+    rank = n // 2 + 1
+    med = float(np.partition(vals, rank - 1)[rank - 1])
+    if n % 2 == 0:
+        med = (med + float(np.partition(vals, rank - 2)[rank - 2])) / 2
+    return pd.DataFrame([{
+        "count_rows": int(row["count()"]),
+        "sum_v": float(row[f"sum({col})"]),
+        "avg_v": float(row[f"mean({col})"]),
+        "min_v": float(row[f"min({col})"]),
+        "max_v": float(row[f"max({col})"]),
+        "median_v": med,
+    }])
+
+
+# ---------------------------------------------------------------------------
+# distinct / order / windows
+
+def uniq_first(ds, key_cols: list[str], order_cols, max_count: int = 1):
+    """-uniq: keep the first ``max_count`` rows per key in ``order_cols``
+    order (order-dependent distinct, src/commands/mapshaper-uniq.js:6-35)."""
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def head(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order_cols, kind="mergesort").head(max_count)
+    return ds.groupby(key_cols).map_groups(head, batch_format="pandas")
+
+
+def sort_topk(ds, col: str, k: int, descending=True):
+    """Top-k without a full sort: per-batch partial top-k, then one tiny
+    final sort over <= k * num_batches rows."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.nlargest(k, col) if descending else df.nsmallest(k, col))
+    pruned = ds.map_batches(partial, batch_format="pandas")
+    out = pruned.sort(col, descending=descending).limit(k)
+    return out
+
+
+def window_tumbling(ds, key: str, ts_col: str, width_s: int,
+                    aggs: dict[str, tuple[str, str]]):
+    """Tumbling event-time window: bucket = floor(epoch/width), then
+    grouped aggregation (partial+final)."""
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        ep = df[ts_col].astype("datetime64[us]").astype("int64") / 1e6
+        df = df.copy()
+        df["window_start"] = (np.floor(ep / width_s) * width_s).astype("int64")
+        return df
+    bucketed = ds.map_batches(bucketize, batch_format="pandas")
+    return groupby_agg(bucketed, [key, "window_start"], aggs)

@@ -1,0 +1,144 @@
+"""Distributed geometry pipelines: simplify over an arcs Dataset, and
+dissolve-by-key via groupby + per-group topology build.
+
+- ``simplify_pipeline``: synthesizes a deterministic arcs table (one arc
+  per document id — vertices are a pure function of doc_id), computes
+  VW/DP thresholds per arc inside ``map_batches`` (arcs are independent
+  units — embarrassingly parallel, SURVEY.md §2.6 -simplify row), resolves
+  the global retained-percentage threshold with the reference's exact
+  rank semantics, and reports per-arc retained vertex counts.
+
+- ``dissolve_pipeline``: synthesizes a deterministic grid-mesh polygon
+  layer, shuffles features by dissolve key, and per group builds shared-
+  arc topology + arc-cancellation dissolve (groupby → map_groups is the
+  distributed dissolve shape; borders interior to a group cancel, group
+  outlines survive).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..geom.kernels import planar_ring_area
+from ..geom.simplify import (dp_thresholds, removable_thresholds,
+                             threshold_by_pct, visvalingam_thresholds)
+from ..topo.build import build_topology
+
+
+# ---------------------------------------------------------------------------
+# arcs synthesis + simplify
+
+def synth_arcs(sf_dir: str, id_col="doc_id"):
+    """One deterministic wiggly arc per document id."""
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for did in df["doc_id"]:
+            n = 12 + (did * 7919) % 40
+            t = np.arange(n, dtype=np.float64)
+            x = t + 0.3 * np.sin(t * (1 + (did % 13) / 7.0))
+            y = ((did % 17) / 3.0) * np.cos(t / 2.0) + 0.05 * np.sin(t * 3.1)
+            out.append({"arc_id": did, "x": x, "y": y})
+        return pd.DataFrame(out)
+
+    return ds.map_batches(make, batch_format="pandas")
+
+
+def simplify_pipeline(sf_dir: str, pct: float = 0.5, method="visvalingam"):
+    """Per-arc thresholds (map_batches) → exact global pct→interval →
+    per-arc retained counts.  Returns a Dataset (arc_id, n_in, n_out)."""
+    arcs = synth_arcs(sf_dir)
+    fn = visvalingam_thresholds if method == "visvalingam" else dp_thresholds
+
+    def thresh(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["z"] = [fn(x, y) for x, y in zip(df["x"], df["y"])]
+        return df
+
+    with_z = arcs.map_batches(thresh, batch_format="pandas")
+    # exact global rank: gather removable thresholds (flat float column).
+    # Scale path: two-pass distributed rank (histogram + exact pass) —
+    # the semantics (src/paths/mapshaper-arcs.js:541-558) need the k-th
+    # smallest removable threshold, reproduced here exactly.
+    zs = with_z.map_batches(
+        lambda df: pd.DataFrame(
+            {"z": np.concatenate([removable_thresholds(z) for z in df["z"]])
+             if len(df) else np.empty(0)}),
+        batch_format="pandas").to_pandas()["z"].to_numpy()
+    zlimit = threshold_by_pct(
+        np.concatenate([zs, [np.inf, np.inf]]), pct) if len(zs) else 0.0
+    # NB: threshold_by_pct ignores inf values; appending infs is a no-op
+    # guard for the empty case.
+
+    def retained(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "arc_id": df["arc_id"].to_numpy(),
+            "n_in": [len(x) for x in df["x"]],
+            "n_out": [int(np.count_nonzero(np.asarray(z) >= zlimit))
+                      for z in df["z"]],
+        })
+
+    return with_z.map_batches(retained, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# mesh synthesis + distributed dissolve
+
+def synth_mesh(sf_dir: str, grid=24):
+    """grid x grid unit squares, group = deterministic function of cell."""
+    import ray.data as rd
+    ds = rd.range(grid * grid)
+
+    def make(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["id"].to_numpy()
+        rows = []
+        for i in ids:
+            r, c = divmod(int(i), grid)
+            x0, y0 = float(c), float(r)
+            ring_x = np.array([x0, x0 + 1, x0 + 1, x0, x0])
+            ring_y = np.array([y0, y0, y0 + 1, y0 + 1, y0])
+            rows.append({"feature_id": int(i),
+                         "grp": f"g{(i * 2654435761) % 5}",
+                         "x": ring_x, "y": ring_y})
+        return pd.DataFrame(rows)
+
+    return ds.map_batches(make, batch_format="pandas")
+
+
+def dissolve_by_key(features_ds, key="grp"):
+    """groupby(key) → per-group shared-arc topology + dissolve-all.
+    Emits per-group ring stats (ring count, total perimeter, total area).
+
+    Oversized groups would be split hierarchically by cell before this
+    stage (SURVEY.md §7.4); the per-group kernel is the reference
+    algorithm (arc cancellation + ring stitch)."""
+    from ..topo.dissolve import dissolve_shapes
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        feats = [[np.stack([x, y], axis=1)] for x, y in zip(df["x"], df["y"])]
+        arcs, shapes = build_topology(feats)
+        gid = str(df[key].iloc[0])
+        rings = dissolve_shapes(shapes, [gid] * len(shapes), arcs)[gid]
+        if rings is None:
+            return pd.DataFrame([{key: gid, "n_rings": 0,
+                                  "perimeter": 0.0, "area": 0.0}])
+        per = 0.0
+        area = 0.0  # signed sum: holes (opposite winding) subtract
+        for ring in rings:
+            x, y = arcs.path_coords(ring)
+            cx = np.r_[x, x[0]]
+            cy = np.r_[y, y[0]]
+            per += float(np.sum(np.hypot(np.diff(cx), np.diff(cy))))
+            area += planar_ring_area(cx, cy)
+        return pd.DataFrame([{key: gid, "n_rings": len(rings),
+                              "perimeter": round(per, 6),
+                              "area": round(abs(area), 6)}])
+
+    return features_ds.groupby(key).map_groups(melt, batch_format="pandas")
+
+
+def dissolve_pipeline(sf_dir: str, grid=24):
+    return dissolve_by_key(synth_mesh(sf_dir, grid), key="grp")

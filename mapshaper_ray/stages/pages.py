@@ -55,23 +55,23 @@ def _synth_batch(batch: pa.Table, replicate_id: int = 0) -> pa.Table:
 
 def synth_pages(sf_dir: str, replicate: int = 1,
                 override_num_blocks: int | None = None) -> "ray.data.Dataset":
-    """documents.parquet → pages Dataset.  ``replicate`` > 1 unions R
-    deterministic copies with distinct urls (bench scaling input)."""
+    """documents.parquet → pages Dataset.  ``replicate`` > 1 emits R
+    deterministic copies with distinct urls from each input batch inside
+    one map_batches (single read branch; a 40-way Dataset.union builds a
+    pathological plan and serializes scheduling)."""
     import ray.data as rd
-    parts = []
-    for k in range(replicate):
-        ds = rd.read_parquet(
-            f"{sf_dir}/documents.parquet",
-            columns=["doc_id", "text", "lang"],
-            **({"override_num_blocks": override_num_blocks}
-               if override_num_blocks else {}))
-        rid = k
-        parts.append(ds.map_batches(
-            lambda b, rid=rid: _synth_batch(b, rid), batch_format="pyarrow"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
-    return out
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+        **({"override_num_blocks": override_num_blocks}
+           if override_num_blocks else {}))
+
+    def synth_all(batch: pa.Table):
+        for k in range(replicate):
+            yield _synth_batch(batch, k)
+
+    return ds.map_batches(synth_all, batch_format="pyarrow",
+                          batch_size=4096)
 
 
 def _extract_batch(batch: pa.Table) -> pa.Table:
