@@ -1,0 +1,312 @@
+"""Per-feature geometry commands over the Arrow layer model
+(sources/layers.py) — the -explode / -affine / precision / -points /
+-filter-geom / -filter-islands / -filter-slivers / -info family
+(SURVEY.md §2.2, §2.6 filter rows).  All are stateless map_batches
+stages; per-ring math is numpy over the materialized ring arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..geom.kernels import planar_ring_area, ring_centroid
+from ..sources.layers import geom_type_of
+
+
+def _rings(row):
+    rx = row["rings_x"] if row["rings_x"] is not None else []
+    ry = row["rings_y"] if row["rings_y"] is not None else []
+    return ([np.asarray(x, dtype=np.float64) for x in rx],
+            [np.asarray(y, dtype=np.float64) for y in ry])
+
+
+# ---------------------------------------------------------------------------
+# -explode: multipart -> singlepart (src/commands/mapshaper-explode.js:3)
+
+def explode(ds):
+    """One feature per polygon part (rings keep their hole ownership via
+    ring_poly) / per line part / per point.  Attributes are duplicated;
+    new sequential feature_id preserves (orig_feature, part) order."""
+    def ex(df: pd.DataFrame) -> pd.DataFrame:
+        gt = geom_type_of(list(df.columns))
+        rows = []
+        for _, row in df.iterrows():
+            base = {c: row[c] for c in df.columns
+                    if c not in ("rings_x", "rings_y", "ring_poly",
+                                 "part_x", "part_y", "px", "py")}
+            if gt == "polygon":
+                rx, ry = _rings(row)
+                rp = np.asarray(row["ring_poly"] if row["ring_poly"]
+                                is not None else [], dtype=np.int64)
+                for p in np.unique(rp) if len(rp) else []:
+                    sel = np.nonzero(rp == p)[0]
+                    rows.append({**base,
+                                 "rings_x": [rx[i].tolist() for i in sel],
+                                 "rings_y": [ry[i].tolist() for i in sel],
+                                 "ring_poly": [0] * len(sel)})
+                if not len(rp):
+                    rows.append({**base, "rings_x": [], "rings_y": [],
+                                 "ring_poly": []})
+            elif gt == "polyline":
+                parts_x = row["part_x"] or []
+                parts_y = row["part_y"] or []
+                if len(parts_x) == 0:
+                    rows.append({**base, "part_x": [], "part_y": []})
+                for x, y in zip(parts_x, parts_y):
+                    rows.append({**base, "part_x": [list(x)],
+                                 "part_y": [list(y)]})
+            else:
+                xs = row["px"] or []
+                ys = row["py"] or []
+                if len(xs) == 0:
+                    rows.append({**base, "px": [], "py": []})
+                for x, y in zip(xs, ys):
+                    rows.append({**base, "px": [x], "py": [y]})
+        return pd.DataFrame(rows)
+    return ds.map_batches(ex, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# -affine (src/commands/mapshaper-affine.js:5): shift/scale/rotate
+
+def affine(ds, shift=(0.0, 0.0), scale=1.0, rotate_deg=0.0,
+           anchor=(0.0, 0.0)):
+    th = np.deg2rad(rotate_deg)
+    a, b = np.cos(th) * scale, -np.sin(th) * scale
+    c, d = np.sin(th) * scale, np.cos(th) * scale
+    ax, ay = anchor
+    tx, ty = shift
+
+    def fx(x, y):
+        return a * (x - ax) + b * (y - ay) + ax + tx
+
+    def fy(x, y):
+        return c * (x - ax) + d * (y - ay) + ay + ty
+
+    return _map_coords(ds, fx, fy)
+
+
+def round_coords(ds, decimals: int):
+    """Precision rounding (src/geom/mapshaper-rounding.js:12-46)."""
+    return _map_coords(ds, lambda x, y: np.round(x, decimals),
+                       lambda x, y: np.round(y, decimals))
+
+
+def _map_coords(ds, fx, fy):
+    def go(df: pd.DataFrame) -> pd.DataFrame:
+        gt = geom_type_of(list(df.columns))
+        df = df.copy()
+        if gt == "polygon":
+            cols = ("rings_x", "rings_y")
+        elif gt == "polyline":
+            cols = ("part_x", "part_y")
+        else:
+            cols = ("px", "py")
+        new_x, new_y = [], []
+        for _, row in df.iterrows():
+            xs = row[cols[0]] if row[cols[0]] is not None else []
+            ys = row[cols[1]] if row[cols[1]] is not None else []
+            if gt == "point":
+                x = np.asarray(xs, dtype=np.float64)
+                y = np.asarray(ys, dtype=np.float64)
+                new_x.append(fx(x, y).tolist())
+                new_y.append(fy(x, y).tolist())
+            else:
+                rxs, rys = [], []
+                for x, y in zip(xs, ys):
+                    x = np.asarray(x, dtype=np.float64)
+                    y = np.asarray(y, dtype=np.float64)
+                    rxs.append(fx(x, y).tolist())
+                    rys.append(fy(x, y).tolist())
+                new_x.append(rxs)
+                new_y.append(rys)
+        df[cols[0]] = new_x
+        df[cols[1]] = new_y
+        return df
+    return ds.map_batches(go, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# polygon metrics + -points (centroid / inner)
+
+def add_polygon_metrics(ds, area_col="area", perimeter_col=None):
+    """Signed-area sum over rings (holes subtract via opposite winding —
+    planar path area, src/geom/mapshaper-shape-geom.js:225-245)."""
+    def go(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        areas, perims = [], []
+        for _, row in df.iterrows():
+            rx, ry = _rings(row)
+            a = 0.0
+            p = 0.0
+            for x, y in zip(rx, ry):
+                a += planar_ring_area(x, y)
+                p += float(np.sum(np.hypot(np.diff(x), np.diff(y))))
+            areas.append(abs(a))
+            perims.append(p)
+        df[area_col] = areas
+        if perimeter_col:
+            df[perimeter_col] = perims
+        return df
+    return ds.map_batches(go, batch_format="pandas")
+
+
+def centroids(ds, x_col="cx", y_col="cy"):
+    """Area-weighted polygon centroid over all rings (holes with
+    opposite winding subtract — src/points/mapshaper-polygon-centroid.js:11-35)."""
+    def go(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        cxs, cys = [], []
+        for _, row in df.iterrows():
+            rx, ry = _rings(row)
+            asum = 0.0
+            wx = 0.0
+            wy = 0.0
+            for x, y in zip(rx, ry):
+                a = planar_ring_area(x, y)
+                cx, cy = ring_centroid(x, y)
+                asum += a
+                wx += a * cx
+                wy += a * cy
+            if asum:
+                cxs.append(wx / asum)
+                cys.append(wy / asum)
+            else:
+                cxs.append(np.nan)
+                cys.append(np.nan)
+        df[x_col] = cxs
+        df[y_col] = cys
+        return df
+    return ds.map_batches(go, batch_format="pandas")
+
+
+def to_point_layer(ds, mode="centroid"):
+    """-points: polygon layer -> point layer of centroids."""
+    ds = centroids(ds)
+
+    def make(df: pd.DataFrame) -> pd.DataFrame:
+        keep = [c for c in df.columns
+                if c not in ("rings_x", "rings_y", "ring_poly", "cx", "cy")]
+        out = df[keep].copy()
+        out["px"] = [[v] if np.isfinite(v) else [] for v in df["cx"]]
+        out["py"] = [[v] if np.isfinite(v) else [] for v in df["cy"]]
+        return out
+    return ds.map_batches(make, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# filters
+
+def filter_bbox(ds, xmin, ymin, xmax, ymax):
+    """-filter-geom bbox= : keep features whose bbox intersects
+    (src/commands/mapshaper-filter-geom.js:3-31)."""
+    def go(df: pd.DataFrame) -> pd.DataFrame:
+        gt = geom_type_of(list(df.columns))
+        keep = []
+        for _, row in df.iterrows():
+            if gt == "polygon":
+                rx, ry = _rings(row)
+                xs = np.concatenate(rx) if rx else np.empty(0)
+                ys = np.concatenate(ry) if ry else np.empty(0)
+            elif gt == "polyline":
+                xs = np.concatenate([np.asarray(v) for v in (row["part_x"] or [[]])]) \
+                    if row["part_x"] is not None and len(row["part_x"]) else np.empty(0)
+                ys = np.concatenate([np.asarray(v) for v in (row["part_y"] or [[]])]) \
+                    if row["part_y"] is not None and len(row["part_y"]) else np.empty(0)
+            else:
+                xs = np.asarray(row["px"] or [])
+                ys = np.asarray(row["py"] or [])
+            keep.append(bool(len(xs)) and xs.min() <= xmax
+                        and xs.max() >= xmin and ys.min() <= ymax
+                        and ys.max() >= ymin)
+        return df[np.asarray(keep, dtype=bool)]
+    return ds.map_batches(go, batch_format="pandas")
+
+
+def filter_islands(ds, min_area: float):
+    """-filter-islands min-area=: drop detached rings (not holes) whose
+    area is below threshold (src/commands/mapshaper-filter-islands.js:3-64).
+    Features losing all rings become null geometry."""
+    def go(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        nx, ny, npl = [], [], []
+        for _, row in df.iterrows():
+            rx, ry = _rings(row)
+            rp = np.asarray(row["ring_poly"] if row["ring_poly"]
+                            is not None else [], dtype=np.int64)
+            keep_polys = set()
+            for p in np.unique(rp) if len(rp) else []:
+                sel = np.nonzero(rp == p)[0]
+                outer = sel[0]
+                if abs(planar_ring_area(rx[outer], ry[outer])) >= min_area:
+                    keep_polys.add(int(p))
+            sel = [i for i in range(len(rx)) if int(rp[i]) in keep_polys]
+            remap = {p: k for k, p in enumerate(sorted(keep_polys))}
+            nx.append([rx[i].tolist() for i in sel])
+            ny.append([ry[i].tolist() for i in sel])
+            npl.append([remap[int(rp[i])] for i in sel])
+        df["rings_x"] = nx
+        df["rings_y"] = ny
+        df["ring_poly"] = npl
+        return df
+    return ds.map_batches(go, batch_format="pandas")
+
+
+def filter_slivers(ds, min_area: float):
+    """-filter-slivers: drop rings (incl. holes) with area below
+    threshold (src/commands/mapshaper-filter-slivers.js:8)."""
+    def go(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        nx, ny, npl = [], [], []
+        for _, row in df.iterrows():
+            rx, ry = _rings(row)
+            rp = list(row["ring_poly"] if row["ring_poly"] is not None
+                      else [])
+            sel = [i for i in range(len(rx))
+                   if abs(planar_ring_area(rx[i], ry[i])) >= min_area]
+            nx.append([rx[i].tolist() for i in sel])
+            ny.append([ry[i].tolist() for i in sel])
+            npl.append([rp[i] for i in sel])
+        df["rings_x"] = nx
+        df["rings_y"] = ny
+        df["ring_poly"] = npl
+        return df
+    return ds.map_batches(go, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# -info: layer bounds + counts via distributive aggregates
+
+def layer_info(ds) -> dict:
+    def go(df: pd.DataFrame) -> pd.DataFrame:
+        gt = geom_type_of(list(df.columns))
+        n = len(df)
+        nnull = 0
+        xmin = ymin = np.inf
+        xmax = ymax = -np.inf
+        for _, row in df.iterrows():
+            if gt == "polygon":
+                rx, ry = _rings(row)
+            elif gt == "polyline":
+                rx = [np.asarray(v) for v in (row["part_x"] or [])]
+                ry = [np.asarray(v) for v in (row["part_y"] or [])]
+            else:
+                rx = [np.asarray(row["px"] or [])]
+                ry = [np.asarray(row["py"] or [])]
+            xs = np.concatenate(rx) if rx else np.empty(0)
+            ys = np.concatenate(ry) if ry else np.empty(0)
+            if len(xs) == 0:
+                nnull += 1
+                continue
+            xmin = min(xmin, xs.min()); xmax = max(xmax, xs.max())
+            ymin = min(ymin, ys.min()); ymax = max(ymax, ys.max())
+        return pd.DataFrame([{"n": n, "n_null": nnull, "xmin": xmin,
+                              "ymin": ymin, "xmax": xmax, "ymax": ymax}])
+    parts = ds.map_batches(go, batch_format="pandas").to_pandas()
+    return {
+        "count": int(parts["n"].sum()),
+        "null_geometries": int(parts["n_null"].sum()),
+        "bbox": [float(parts["xmin"].min()), float(parts["ymin"].min()),
+                 float(parts["xmax"].max()), float(parts["ymax"].max())],
+    }

@@ -142,3 +142,62 @@ def dissolve_by_key(features_ds, key="grp"):
 
 def dissolve_pipeline(sf_dir: str, grid=24):
     return dissolve_by_key(synth_mesh(sf_dir, grid), key="grp")
+
+
+# ---------------------------------------------------------------------------
+# distributed innerlines / lines (shared-edge classification)
+
+def innerlines_by_key(features_ds, key="grp", inner_only=True):
+    """-innerlines / -lines (src/commands/mapshaper-innerlines.js:3,18):
+    classify each edge by the pair of features using it.
+
+    Distributed arc-classifier (SURVEY.md §2.6 innerlines row): one
+    map_batches emits (edge_key, feature_id, group) per polygon edge —
+    the quantized endpoint pair IS the abs arc id — then a groupby on
+    edge_key yields each edge's ≤2 adjacent features.  Edges whose two
+    sides carry different group values are inner boundaries; ``lines``
+    additionally returns outer edges (single-sided)."""
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        ks, fids, grps = [], [], []
+        for _, row in df.iterrows():
+            x = np.asarray(row["x"], dtype=np.float64)
+            y = np.asarray(row["y"], dtype=np.float64)
+            for i in range(len(x) - 1):
+                a = (round(x[i], 9), round(y[i], 9))
+                b = (round(x[i + 1], 9), round(y[i + 1], 9))
+                lo, hi = (a, b) if a <= b else (b, a)
+                ks.append(f"{lo[0]}_{lo[1]}_{hi[0]}_{hi[1]}")
+                fids.append(row["feature_id"])
+                grps.append(row[key])
+        return pd.DataFrame({"edge_key": ks, "feature_id": fids, key: grps})
+
+    edge_ds = features_ds.map_batches(edges, batch_format="pandas")
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        grps = sorted(set(df[key]))
+        if len(df) == 1:
+            kind = "outer"
+            pair = f"{grps[0]}-"
+        elif len(grps) == 1:
+            kind = "shared_same"   # interior to one dissolve group
+            pair = f"{grps[0]}-{grps[0]}"
+        else:
+            kind = "inner"
+            pair = f"{grps[0]}-{grps[1]}"
+        return pd.DataFrame([{"edge_key": df["edge_key"].iloc[0],
+                              "kind": kind, "pair": pair}])
+
+    classified = edge_ds.groupby("edge_key").map_groups(
+        classify, batch_format="pandas")
+    if inner_only:
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["kind"] == "inner"]
+        classified = classified.map_batches(keep, batch_format="pandas")
+    return classified
+
+
+def innerlines_pipeline(sf_dir: str, grid=16):
+    """Per-pair inner-boundary edge counts over the synthetic mesh."""
+    from ..ops.relational import groupby_agg
+    cls = innerlines_by_key(synth_mesh(sf_dir, grid), key="grp")
+    return groupby_agg(cls, ["pair"], {"n_edges": ("edge_key", "count")})

@@ -1,0 +1,88 @@
+"""CSV/TSV source/sink (SURVEY.md §2.1 CSV rows).
+
+Wraps ``ray.data.read_csv`` (Arrow CSV) with the reference's import
+semantics (src/text/mapshaper-delim-import.js:9-152):
+- delimiter guess from the first line (',' ';' '\\t' '|'),
+- all-string parse then per-column numeric auto-detection,
+- ``field_types`` / ``string_fields`` hints override detection.
+
+Writer: ``ds.write_csv`` passthrough plus a small single-file sink for
+fixture-sized outputs (the reference emits one file per layer).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+DELIMS = [",", "\t", ";", "|"]
+
+
+def sniff_delimiter(first_line: str) -> str:
+    counts = {d: first_line.count(d) for d in DELIMS}
+    best = max(counts, key=counts.get)
+    return best if counts[best] else ","
+
+
+def adjust_record_types(df: pd.DataFrame, field_types: dict | None = None,
+                        string_fields: list | None = None) -> pd.DataFrame:
+    """Numeric auto-detect per column over string data, honoring hints
+    (internal.adjustRecordTypes, src/text/mapshaper-delim-import.js:109-152):
+    a column converts only if EVERY non-empty value parses as a number."""
+    field_types = field_types or {}
+    string_fields = set(string_fields or [])
+    out = df.copy()
+    for col in out.columns:
+        if col in string_fields:
+            out[col] = out[col].astype(str)
+            continue
+        want = field_types.get(col)
+        if want == "str":
+            out[col] = out[col].astype(str)
+            continue
+        if out[col].dtype == object or want in ("num", "number"):
+            s = out[col].astype(str).str.strip()
+            nonempty = s != ""
+            parsed = pd.to_numeric(s.where(nonempty), errors="coerce")
+            if want in ("num", "number") or \
+                    (nonempty.any() and not parsed[nonempty].isna().any()):
+                out[col] = parsed
+    return out
+
+
+def read_delim(path: str, delimiter: str | None = None,
+               field_types: dict | None = None,
+               string_fields: list | None = None,
+               override_num_blocks: int | None = None):
+    """CSV/TSV → Ray Dataset with reference-style typing."""
+    import ray.data as rd
+    from ray.data.datasource import FileShuffleConfig  # noqa: F401  (doc)
+    with open(path, "r", encoding="utf-8", errors="replace") as f:
+        header = f.readline()
+    if delimiter is None:
+        delimiter = sniff_delimiter(header)
+    import pyarrow as pa
+    from pyarrow import csv as pacsv
+    parse = pacsv.ParseOptions(delimiter=delimiter)
+    # all-string parse (every column forced to string), then our own
+    # type adjustment — exact reference semantics instead of Arrow's
+    # per-chunk inference (which would eat leading zeros pre-hint)
+    colnames = [c.strip() for c in header.rstrip("\r\n").split(delimiter)]
+    convert = pacsv.ConvertOptions(
+        strings_can_be_null=False,
+        column_types={c: pa.string() for c in colnames})
+    ds = rd.read_csv(path, parse_options=parse, convert_options=convert,
+                     **({"override_num_blocks": override_num_blocks}
+                        if override_num_blocks else {}))
+
+    def adjust(df: pd.DataFrame) -> pd.DataFrame:
+        return adjust_record_types(df, field_types, string_fields)
+    return ds.map_batches(adjust, batch_format="pandas")
+
+
+def write_delim(ds, path: str, delimiter: str = ","):
+    """Single-file sink ordered by position (fixture-sized outputs; at
+    scale use ``ds.write_csv(dir)`` which shards per block)."""
+    df = ds.to_pandas()
+    df.to_csv(path, sep=delimiter, index=False)
+    return path

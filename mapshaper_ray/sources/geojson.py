@@ -1,0 +1,312 @@
+"""GeoJSON source/sink.
+
+Reader mirrors the reference's importers
+(src/geojson/geojson-import.js:34-107 per-type importers;
+src/io/mapshaper-json-import.js:58 incremental "features" splitter):
+bytes → feature-string shards (brace-depth scanner, no full JSON.parse
+of the whole file) → ``from_items`` shards → ``map_batches`` parse into
+the Arrow layer tables of sources/layers.py.  Mixed-geometry input is
+split into one layer per geometry class, like
+src/dataset/mapshaper-dataset-utils.js:7-28 (divideFeaturesByType).
+
+Writer mirrors src/geojson/geojson-export.js:9 (precision option,
+per-feature stringify): each batch renders its features to GeoJSON
+feature strings; ``write_geojson`` assembles one FeatureCollection
+(small outputs / fixtures), ``write_geojson_shards`` writes NDJSON
+shards for scale (one file per block, resumable).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from .layers import (GEOM_POINT, GEOM_POLYGON, GEOM_POLYLINE,
+                     point_table, polygon_table, polyline_table)
+
+# ---------------------------------------------------------------------------
+# incremental splitter
+
+
+def split_features(buf: bytes | str) -> list[str]:
+    """FeatureCollection bytes → list of per-feature JSON strings.
+    Single brace/bracket-depth scan; strings/escapes handled; does not
+    materialize a parsed tree for the whole file."""
+    s = buf.decode("utf-8") if isinstance(buf, bytes) else buf
+    key = '"features"'
+    k = s.find(key)
+    if k < 0:  # bare Feature / Geometry
+        return [s.strip()]
+    i = s.index("[", k + len(key))
+    out = []
+    depth = 0
+    start = None
+    in_str = False
+    esc = False
+    for j in range(i, len(s)):
+        c = s[j]
+        if in_str:
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == '"':
+                in_str = False
+            continue
+        if c == '"':
+            in_str = True
+        elif c == "{":
+            if depth == 0:
+                start = j
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0 and start is not None:
+                out.append(s[start:j + 1])
+                start = None
+        elif c == "]" and depth == 0:
+            break
+    return out
+
+
+# ---------------------------------------------------------------------------
+# per-feature geometry normalization (→ layer rows)
+
+def _poly_rows(geom):
+    """Polygon/MultiPolygon coordinates → (rings_x, rings_y, ring_poly)."""
+    coords = geom.get("coordinates") or []
+    if geom["type"] == "Polygon":
+        coords = [coords]
+    rx, ry, rp = [], [], []
+    for pi, poly in enumerate(coords):
+        for ring in poly:
+            arr = np.asarray(ring, dtype=np.float64)
+            rx.append(arr[:, 0])
+            ry.append(arr[:, 1])
+            rp.append(pi)
+    return rx, ry, rp
+
+
+def _line_rows(geom):
+    coords = geom.get("coordinates") or []
+    if geom["type"] == "LineString":
+        coords = [coords]
+    px, py = [], []
+    for part in coords:
+        arr = np.asarray(part, dtype=np.float64)
+        px.append(arr[:, 0])
+        py.append(arr[:, 1])
+    return px, py
+
+
+def _point_rows(geom):
+    coords = geom.get("coordinates") or []
+    if geom["type"] == "Point":
+        coords = [coords]
+    arr = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+    return arr[:, 0], arr[:, 1]
+
+
+_GEOM_CLASS = {
+    "Polygon": GEOM_POLYGON, "MultiPolygon": GEOM_POLYGON,
+    "LineString": GEOM_POLYLINE, "MultiLineString": GEOM_POLYLINE,
+    "Point": GEOM_POINT, "MultiPoint": GEOM_POINT,
+}
+
+
+def parse_feature_batch(batch: pa.Table, geom_class: str,
+                        id_field: str | None = None) -> pa.Table:
+    """Batch of {'feature_id', 'json'} rows → one layer table (features
+    whose geometry class doesn't match are emitted as null geometry only
+    if they have no class at all; mismatches are skipped — the caller
+    routes classes to layers)."""
+    fids, geoms, props_list = [], [], []
+    for fid, txt in zip(batch["feature_id"].to_pylist(),
+                        batch["json"].to_pylist()):
+        f = json.loads(txt)
+        if f.get("type") == "Feature":
+            geom, props = f.get("geometry"), f.get("properties") or {}
+            if id_field and "id" in f:
+                props = {**props, id_field: f["id"]}
+        else:  # bare geometry
+            geom, props = f, {}
+        cls = _GEOM_CLASS.get((geom or {}).get("type"))
+        if cls is not None and cls != geom_class:
+            continue
+        fids.append(fid)
+        geoms.append(geom)
+        props_list.append(props)
+
+    # uniform property field set (fixInconsistentFields,
+    # src/topojson/topojson-import.js:44-46)
+    fields: list[str] = []
+    for p in props_list:
+        for k in p:
+            if k not in fields:
+                fields.append(k)
+    attrs = {k: [p.get(k) for p in props_list] for k in fields}
+
+    if geom_class == GEOM_POLYGON:
+        rx, ry, rp = [], [], []
+        for g in geoms:
+            if g is None:
+                rx.append([]); ry.append([]); rp.append([])
+            else:
+                a, b, c = _poly_rows(g)
+                rx.append([r.tolist() for r in a])
+                ry.append([r.tolist() for r in b])
+                rp.append(c)
+        return polygon_table(fids, rx, ry, rp, attrs)
+    if geom_class == GEOM_POLYLINE:
+        px, py = [], []
+        for g in geoms:
+            if g is None:
+                px.append([]); py.append([])
+            else:
+                a, b = _line_rows(g)
+                px.append([r.tolist() for r in a])
+                py.append([r.tolist() for r in b])
+        return polyline_table(fids, px, py, attrs)
+    xs, ys = [], []
+    for g in geoms:
+        if g is None:
+            xs.append([]); ys.append([])
+        else:
+            a, b = _point_rows(g)
+            xs.append(a.tolist()); ys.append(b.tolist())
+    return point_table(fids, xs, ys, attrs)
+
+
+def read_geojson(path: str, geom_class: str | None = None,
+                 shard_size: int = 512, id_field: str | None = None):
+    """GeoJSON file → Ray Dataset of one layer.  ``geom_class`` selects
+    the layer for mixed input (default: majority class).  File-level
+    parallelism at scale comes from many files (one read task per file);
+    within a file the splitter shards the feature strings."""
+    import ray.data as rd
+    with open(path, "rb") as f:
+        feats = split_features(f.read())
+    if geom_class is None:
+        # majority vote on a cheap type sniff
+        counts: dict[str, int] = {}
+        for t in feats:
+            for g, cls in _GEOM_CLASS.items():
+                if f'"{g}"' in t:
+                    counts[cls] = counts.get(cls, 0) + 1
+                    break
+        geom_class = max(counts, key=counts.get) if counts else GEOM_POINT
+    items = [{"feature_id": i, "json": t} for i, t in enumerate(feats)]
+    ds = rd.from_items(items)
+    if len(items) > shard_size:
+        ds = ds.repartition(max(1, len(items) // shard_size))
+    gc = geom_class
+    return ds.map_batches(
+        lambda b: parse_feature_batch(b, gc, id_field),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# writer
+
+def _fmt_coord(v: float, decimals: int | None):
+    if decimals is not None:
+        v = round(v, decimals)
+    if v == int(v) and abs(v) < 1e15:
+        return int(v)
+    return v
+
+
+def _render_rows(batch: pa.Table, decimals=None) -> list[tuple[int, str]]:
+    from .layers import geom_type_of
+    gt = geom_type_of(batch)
+    names = batch.column_names
+    attr_cols = [c for c in names
+                 if c not in ("feature_id", "rings_x", "rings_y",
+                              "ring_poly", "part_x", "part_y", "px", "py")]
+    d = batch.to_pydict()
+    out = []
+    for i in range(len(batch)):
+        props = {c: d[c][i] for c in attr_cols}
+        if gt == GEOM_POLYGON:
+            rx, ry, rp = d["rings_x"][i], d["rings_y"][i], d["ring_poly"][i]
+            polys: list[list] = []
+            for x, y, p in zip(rx or [], ry or [], rp or []):
+                while len(polys) <= p:
+                    polys.append([])
+                polys[p].append(
+                    [[_fmt_coord(a, decimals), _fmt_coord(b, decimals)]
+                     for a, b in zip(x, y)])
+            if not polys:
+                geom = None
+            elif len(polys) == 1:
+                geom = {"type": "Polygon", "coordinates": polys[0]}
+            else:
+                geom = {"type": "MultiPolygon", "coordinates": polys}
+        elif gt == GEOM_POLYLINE:
+            px_, py_ = d["part_x"][i], d["part_y"][i]
+            parts = [[[_fmt_coord(a, decimals), _fmt_coord(b, decimals)]
+                      for a, b in zip(x, y)]
+                     for x, y in zip(px_ or [], py_ or [])]
+            if not parts:
+                geom = None
+            elif len(parts) == 1:
+                geom = {"type": "LineString", "coordinates": parts[0]}
+            else:
+                geom = {"type": "MultiLineString", "coordinates": parts}
+        else:
+            xs, ys = d["px"][i], d["py"][i]
+            pts = [[_fmt_coord(a, decimals), _fmt_coord(b, decimals)]
+                   for a, b in zip(xs or [], ys or [])]
+            if not pts:
+                geom = None
+            elif len(pts) == 1:
+                geom = {"type": "Point", "coordinates": pts[0]}
+            else:
+                geom = {"type": "MultiPoint", "coordinates": pts}
+        feat = {"type": "Feature", "geometry": geom, "properties": props}
+        out.append((d["feature_id"][i],
+                    json.dumps(feat, separators=(",", ":"))))
+    return out
+
+
+def render_features(ds, decimals=None):
+    """Dataset → Dataset of {'feature_id', 'json'} rendered features."""
+    def render(batch: pa.Table) -> pa.Table:
+        rows = _render_rows(batch, decimals)
+        return pa.table({
+            "feature_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "json": pa.array([r[1] for r in rows], type=pa.string())})
+    return ds.map_batches(render, batch_format="pyarrow")
+
+
+def write_geojson(ds, path: str, decimals=None):
+    """Assemble one FeatureCollection, ordered by feature_id (the
+    reference preserves input order through every command — SURVEY.md
+    §2.8).  Small-output path; use write_geojson_shards at scale."""
+    rendered = render_features(ds, decimals).sort("feature_id")
+    parts = [r["json"] for r in rendered.iter_rows()]
+    with open(path, "w") as f:
+        f.write('{"type":"FeatureCollection","features":[')
+        f.write(",".join(parts))
+        f.write("]}")
+    return path
+
+
+def write_geojson_shards(ds, out_dir: str, decimals=None):
+    """NDJSON feature shards (one file per block) — the scale sink."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    rendered = render_features(ds, decimals)
+
+    def dump(batch: pa.Table) -> pa.Table:
+        import uuid
+        fn = os.path.join(out_dir, f"part-{uuid.uuid4().hex[:12]}.ndjson")
+        with open(fn, "w") as f:
+            for s in batch["json"].to_pylist():
+                f.write(s + "\n")
+        return pa.table({"file": pa.array([fn]),
+                         "rows": pa.array([len(batch)], type=pa.int64())})
+
+    return rendered.map_batches(dump, batch_format="pyarrow").to_pandas()

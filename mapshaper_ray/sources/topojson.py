@@ -1,0 +1,218 @@
+"""TopoJSON source/sink with reference-exact quantization.
+
+Math ported from the reference spec (what to compute, not how):
+- quantized bounds:  unit = [w/(q-1), h/(q-1)]; bounds2 = (0,0,
+  ceil(w/unitX), ceil(h/unitY))               (topojson-export.js:166-181)
+- forward transform: mx = W2/W, bx = -mx*xmin (mbloch-utils Bounds.
+  getTransform); quantized = floor(fw(x)+0.5) (JS Math.round half-up,
+  topojson-export.js:94-96)
+- emitted transform: scale = 1/mx, translate = -bx/mx   (Transform.invert)
+- arcs delta-encoded after quantization       (topojson-export.js:70-73)
+- decode: cumulative sum, then x*scale+translate
+  (topojson-import.js:64-84)
+
+The writer is the single-writer sink of SURVEY.md §2.1 (TopoJSON needs
+the global arc table → one group per output file); topology build uses
+topo/build.py.  The reader reconstructs per-feature coordinates from the
+shared arcs and emits the Arrow layer tables (sources/layers.py), plus
+the decoded arcs for topology-aware consumers.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from ..topo.arcs import ArcTable
+from ..topo.build import build_topology
+from .layers import polygon_table, polyline_table
+
+
+def js_round(v: np.ndarray) -> np.ndarray:
+    """JS Math.round: half-up (floor(x+0.5)), not banker's rounding."""
+    return np.floor(np.asarray(v, dtype=np.float64) + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# export
+
+def _quantize_params(xmin, ymin, xmax, ymax, quantization):
+    w = xmax - xmin
+    h = ymax - ymin
+    q = quantization
+    ux = (w / (q - 1)) if w else 1.0
+    uy = (h / (q - 1)) if h else 1.0
+    x2 = np.ceil(w / ux) if w else 0.0
+    y2 = np.ceil(h / uy) if h else 0.0
+    mx = (x2 / w) if w else 1.0
+    my = (y2 / h) if h else 1.0
+    bx = 0.0 - mx * xmin
+    by = 0.0 - my * ymin
+    return mx, my, bx, by
+
+
+def export_topojson(features, attrs=None, quantization=10000,
+                    geometry_type="polygon", object_name="layer1"):
+    """features: list of shapes, each a list of rings/parts (Nx2 float
+    arrays, first ring of a polygon = outer) → TopoJSON dict.
+    Shared borders are stored once (arc-based topology)."""
+    arcs, shapes = build_topology(
+        [[np.asarray(p, dtype=np.float64) for p in parts]
+         for parts in features],
+        closed=(geometry_type == "polygon"))
+
+    xmin, ymin = float(arcs.xx.min()), float(arcs.yy.min())
+    xmax, ymax = float(arcs.xx.max()), float(arcs.yy.max())
+    mx, my, bx, by = _quantize_params(xmin, ymin, xmax, ymax, quantization)
+
+    out_arcs = []
+    for a in range(len(arcs.nn)):
+        i0 = arcs.ii[a]
+        n = arcs.nn[a]
+        qx = js_round(arcs.xx[i0:i0 + n] * mx + bx).astype(np.int64)
+        qy = js_round(arcs.yy[i0:i0 + n] * my + by).astype(np.int64)
+        dx = np.diff(qx, prepend=0)
+        dy = np.diff(qy, prepend=0)
+        dx[0] = qx[0]
+        dy[0] = qy[0]
+        out_arcs.append(np.stack([dx, dy], axis=1).tolist())
+
+    geoms = []
+    for i, shape in enumerate(shapes):
+        if not shape:
+            geom = {"type": None}
+        elif geometry_type == "polygon":
+            geom = {"type": "Polygon", "arcs": [list(p) for p in shape]}
+        else:
+            parts = [list(p) for p in shape]
+            geom = ({"type": "LineString", "arcs": parts[0]}
+                    if len(parts) == 1 else
+                    {"type": "MultiLineString", "arcs": parts})
+        if attrs is not None:
+            geom["properties"] = attrs[i]
+        geoms.append(geom)
+
+    return {
+        "type": "Topology",
+        "transform": {"scale": [1.0 / mx, 1.0 / my],
+                      "translate": [-bx / mx, -by / my]},
+        "arcs": out_arcs,
+        "objects": {object_name: {"type": "GeometryCollection",
+                                  "geometries": geoms}},
+    }
+
+
+def write_topojson(features, path, **kw):
+    topo = export_topojson(features, **kw)
+    with open(path, "w") as f:
+        json.dump(topo, f, separators=(",", ":"))
+    return path
+
+
+# ---------------------------------------------------------------------------
+# import
+
+def decode_arcs(topo) -> ArcTable:
+    tr = topo.get("transform")
+    xs, ys, nn = [], [], []
+    for arc in topo["arcs"]:
+        a = np.asarray(arc, dtype=np.float64)
+        if tr is not None:
+            a = np.cumsum(a, axis=0)
+            x = a[:, 0] * tr["scale"][0] + tr["translate"][0]
+            y = a[:, 1] * tr["scale"][1] + tr["translate"][1]
+        else:
+            x, y = a[:, 0], a[:, 1]
+        xs.append(x)
+        ys.append(y)
+        nn.append(len(x))
+    return ArcTable(np.concatenate(xs) if xs else np.empty(0),
+                    np.concatenate(ys) if ys else np.empty(0),
+                    np.asarray(nn, dtype=np.int64))
+
+
+def _path_coords(arcs: ArcTable, ids):
+    """Signed arc-id path → x, y arrays (reverse for ~id; joined arcs
+    share their junction vertex once)."""
+    px, py = [], []
+    for k, sid in enumerate(ids):
+        aid = ~sid if sid < 0 else sid
+        i0 = arcs.ii[aid]
+        n = arcs.nn[aid]
+        x = arcs.xx[i0:i0 + n]
+        y = arcs.yy[i0:i0 + n]
+        if sid < 0:
+            x, y = x[::-1], y[::-1]
+        if k:
+            x, y = x[1:], y[1:]
+        px.append(x)
+        py.append(y)
+    return np.concatenate(px), np.concatenate(py)
+
+
+def import_topojson(path_or_obj, object_name=None):
+    """TopoJSON → (ArcTable, {name: (geom_class, feature_list, attrs)})
+    where feature_list rows are ring/part coordinate lists."""
+    topo = path_or_obj
+    if isinstance(topo, (str, bytes)):
+        with open(topo) as f:
+            topo = json.load(f)
+    arcs = decode_arcs(topo)
+    layers = {}
+    objects = topo["objects"]
+    names = [object_name] if object_name else list(objects)
+    for name in names:
+        obj = objects[name]
+        geoms = (obj["geometries"] if obj["type"] == "GeometryCollection"
+                 else [obj])
+        feats, attrs, cls = [], [], "polygon"
+        for g in geoms:
+            attrs.append(g.get("properties") or {})
+            t = g.get("type")
+            if t == "Polygon":
+                feats.append([_path_coords(arcs, ring)
+                              for ring in g["arcs"]])
+            elif t == "MultiPolygon":
+                feats.append([_path_coords(arcs, ring)
+                              for poly in g["arcs"] for ring in poly])
+            elif t == "LineString":
+                cls = "polyline"
+                feats.append([_path_coords(arcs, g["arcs"])])
+            elif t == "MultiLineString":
+                cls = "polyline"
+                feats.append([_path_coords(arcs, part)
+                              for part in g["arcs"]])
+            else:
+                feats.append([])
+        layers[name] = (cls, feats, attrs)
+    return arcs, layers
+
+
+def read_topojson(path, object_name=None, shard_size=512):
+    """TopoJSON file → Ray Dataset in the Arrow layer model (first /
+    selected object)."""
+    import ray.data as rd
+    arcs, layers = import_topojson(path, object_name)
+    name = object_name or next(iter(layers))
+    cls, feats, attrs = layers[name]
+    fields: list[str] = []
+    for p in attrs:
+        for k in p:
+            if k not in fields:
+                fields.append(k)
+    acols = {k: [p.get(k) for p in attrs] for k in fields}
+    fids = list(range(len(feats)))
+    if cls == "polygon":
+        rx = [[xy[0].tolist() for xy in f] for f in feats]
+        ry = [[xy[1].tolist() for xy in f] for f in feats]
+        rp = [[0] * len(f) for f in feats]  # hole nesting via winding
+        tbl = polygon_table(fids, rx, ry, rp, acols)
+    else:
+        px = [[xy[0].tolist() for xy in f] for f in feats]
+        py = [[xy[1].tolist() for xy in f] for f in feats]
+        tbl = polyline_table(fids, px, py, acols)
+    ds = rd.from_arrow(tbl)
+    if len(feats) > shard_size:
+        ds = ds.repartition(max(1, len(feats) // shard_size))
+    return ds

@@ -87,7 +87,18 @@ class Geocoder:
         return batch
 
 
-def geocode(pages, concurrency=(1, 8), batch_size=4096):
+def geocode(pages, concurrency=None, batch_size=None):
+    # batch_size=None = whole-block batches: an explicit batch_size sets
+    # the fused operator's min-rows-per-task bundling, which collapses a
+    # many-small-blocks input into ONE task (measured; see SKILL.md)
+    """Default: stateless task pool (the md5 geocoder has no per-actor
+    state; task workers are reused from Ray's warm pool, so parallelism
+    scales without paying actor-process spawn + import per run).  Pass
+    ``concurrency`` to run as an actor pool — the shape a model-backed
+    geocoder (state loaded in __init__) requires."""
+    if concurrency is None:
+        return pages.map_batches(Geocoder(), batch_format="pyarrow",
+                                 batch_size=batch_size)
     return pages.map_batches(Geocoder, batch_format="pyarrow",
                              batch_size=batch_size, concurrency=concurrency,
                              num_cpus=1)

@@ -55,23 +55,55 @@ def _synth_batch(batch: pa.Table, replicate_id: int = 0) -> pa.Table:
 
 def synth_pages(sf_dir: str, replicate: int = 1,
                 override_num_blocks: int | None = None) -> "ray.data.Dataset":
-    """documents.parquet → pages Dataset.  ``replicate`` > 1 emits R
-    deterministic copies with distinct urls from each input batch inside
-    one map_batches (single read branch; a 40-way Dataset.union builds a
-    pathological plan and serializes scheduling)."""
+    """documents.parquet → pages Dataset.
+
+    ``replicate`` > 1 is the bench scale knob: the small doc table is
+    broadcast once (ray.put) and ``range(replicate)`` fans out one
+    block per replica, so parallelism scales with the data multiplier
+    instead of being pinned to the single input file's block count (a
+    one-file read = one block = serial downstream task pool).  At real
+    scale the input is many parquet shards and the replicate path is
+    unused."""
+    import ray
     import ray.data as rd
-    ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "text", "lang"],
-        **({"override_num_blocks": override_num_blocks}
-           if override_num_blocks else {}))
+    if replicate <= 1:
+        return rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "lang"],
+            **({"override_num_blocks": override_num_blocks}
+               if override_num_blocks else {})
+        ).map_batches(_synth_batch, batch_format="pyarrow")
 
-    def synth_all(batch: pa.Table):
-        for k in range(replicate):
-            yield _synth_batch(batch, k)
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    ref = ray.put(docs)
 
-    return ds.map_batches(synth_all, batch_format="pyarrow",
-                          batch_size=4096)
+    def synth_replica(batch: pa.Table):
+        # one concatenated output table per ~64k rows, not one tiny
+        # block per replica: block count drives per-object scheduling
+        # and driver-fetch overhead downstream
+        base = ray.get(ref)
+        chunk, rows = [], 0
+        for k in batch["id"].to_pylist():
+            t = _synth_batch(base, int(k))
+            chunk.append(t)
+            rows += len(t)
+            if rows >= 65536:
+                yield pa.concat_tables(chunk)
+                chunk, rows = [], 0
+        if chunk:
+            yield pa.concat_tables(chunk)
+
+    # block count ~4x CPUs: enough slices to keep every core busy, few
+    # enough that per-task latency (~0.2s submit+fetch) stays amortized
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    n_blocks = override_num_blocks or max(1, min(replicate, 4 * ncpu))
+    return rd.range(replicate, override_num_blocks=n_blocks).map_batches(
+        synth_replica, batch_format="pyarrow")
 
 
 def _extract_batch(batch: pa.Table) -> pa.Table:
@@ -82,12 +114,49 @@ def _extract_batch(batch: pa.Table) -> pa.Table:
     and spot-checked here per batch."""
     ext = pc.cast(pc.binary_slice(batch["html"], len(HTML_PREFIX),
                                   -len(HTML_SUFFIX)), pa.string())
-    out = batch.set_column(batch.column_names.index("text"), "text", ext)
-    return out
+    if "text" in batch.column_names:
+        return batch.set_column(batch.column_names.index("text"),
+                                "text", ext)
+    return batch.append_column("text", ext)
 
 
 def extract_text(pages: "ray.data.Dataset") -> "ray.data.Dataset":
     return pages.map_batches(_extract_batch, batch_format="pyarrow")
+
+
+def write_pages_parquet(sf_dir: str, out_dir: str, replicate: int = 1,
+                        force: bool = False) -> str:
+    """Materialize the synthetic pages table to partitioned parquet —
+    the benchmark INPUT (the BASELINE metric is throughput over
+    Common-Crawl-style *Parquet*, so timed runs read real files, they
+    don't synthesize in memory).  One file per output block; skipped if
+    the directory already holds the expected row count (resumable)."""
+    import os
+
+    import pyarrow.parquet as pq
+    meta = os.path.join(out_dir, "_META")
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    expect = n_docs * replicate
+    if not force and os.path.exists(meta):
+        with open(meta) as f:
+            if f.read().strip() == str(expect):
+                return out_dir
+    ds = synth_pages(sf_dir, replicate)
+    ds.write_parquet(out_dir)
+    with open(meta, "w") as f:
+        f.write(str(expect))
+    return out_dir
+
+
+def read_pages(parquet_dir: str, columns=None,
+               override_num_blocks=None) -> "ray.data.Dataset":
+    """Pages-from-parquet source with column pruning (read only what the
+    pipeline needs — html for extraction, doc_id for lineage)."""
+    import ray.data as rd
+    return rd.read_parquet(
+        parquet_dir, columns=columns,
+        **({"override_num_blocks": override_num_blocks}
+           if override_num_blocks else {}))
 
 
 def drop_heavy_columns(pages: "ray.data.Dataset") -> "ray.data.Dataset":

@@ -68,11 +68,26 @@ class PIPJoin:
 
 
 def spatial_join(points_ds, index: PathIndex, attrs=None, how="left",
-                 concurrency=(1, 8), batch_size=8192,
+                 concurrency=None, batch_size=None,
                  lon_col="lon", lat_col="lat"):
     """Broadcast-index PIP join of a points Dataset against a polygon
-    layer.  ``ray.put`` once; actor pool probes."""
+    layer.
+
+    Default (``concurrency=None``): task-pool mode — the packed index
+    rides inside the callable (serialized to the object store once and
+    shared by every task), so the stage fuses with neighbouring task
+    pools and scales to all CPUs.  Pass ``concurrency`` for an actor
+    pool (index unpacked once per actor via ray.put handle) — required
+    when the polygon side is large enough that per-task unpack matters.
+    NB Ray Data fuses a task chain INTO a downstream actor pool, capping
+    the whole fused chain at the pool size — measured 32-CPU flagship
+    collapse to ~1 actor; keep small fixed pools or task mode."""
     import ray
+    if concurrency is None:
+        fn = PIPJoin(packed=index.pack(), attrs=attrs, how=how,
+                     lon_col=lon_col, lat_col=lat_col)
+        return points_ds.map_batches(fn, batch_format="pyarrow",
+                                     batch_size=batch_size)
     ref = ray.put(index.pack())
     return points_ds.map_batches(
         PIPJoin, batch_format="pyarrow", batch_size=batch_size,

@@ -116,13 +116,21 @@ class PathIndex:
         cy = np.clip(((py - self.ymin) * self._sy).astype(np.int64), 0, d - 1)
         return cy * d + cx
 
-    def find_enclosing_feature(self, px, py):
+    def find_enclosing_feature(self, px, py, chunk=16384):
         """Vectorized point -> enclosing feature id (first match by lowest
         feature id; -1 if none).  Boundary counts as inside.
         Equivalent of PathIndex.findEnclosingShapes probing
-        (src/paths/mapshaper-path-index.js:38-47)."""
+        (src/paths/mapshaper-path-index.js:38-47).
+
+        Internally chunked: the per-feature parity accumulators are sized
+        by the point count, so one huge call would allocate
+        O(n_features * n_points) — chunking keeps it O(n_features * chunk)."""
         px = np.asarray(px, dtype=np.float64)
         py = np.asarray(py, dtype=np.float64)
+        if len(px) > chunk:
+            return np.concatenate([
+                self.find_enclosing_feature(px[i:i + chunk], py[i:i + chunk])
+                for i in range(0, len(px), chunk)])
         n = len(px)
         result = np.full(n, -1, dtype=np.int64)
         if len(self.ring_feature) == 0 or n == 0:
