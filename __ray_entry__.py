@@ -347,6 +347,73 @@ def _q22_knn(sf_dir: str):
     return out[["doc_id", "neighbor_id", "dist2"]]
 
 
+def _q23_clip_points(sf_dir: str):
+    """Point clip = spatial SEMI join: keep geocoded pages inside the
+    region polygons (boundary counts as inside)."""
+    from mapshaper_ray.ops.clip import clip_points
+    from mapshaper_ray.regions import build_region_index
+    ds = _geo_points(sf_dir).select_columns(["doc_id", "lon", "lat"])
+
+    def to_pts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "feature_id": df["doc_id"],
+            "doc_id": df["doc_id"],
+            "px": [[v] for v in df["lon"]],
+            "py": [[v] for v in df["lat"]]})
+    pts = ds.map_batches(to_pts, batch_format="pandas")
+    out = clip_points(pts, build_region_index())
+
+    def flat(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"]})
+    return out.map_batches(flat, batch_format="pandas")
+
+
+def _q24_erase_points(sf_dir: str):
+    """Point erase = spatial ANTI join: pages outside every region."""
+    from mapshaper_ray.ops.clip import erase_points
+    from mapshaper_ray.regions import build_region_index
+    ds = _geo_points(sf_dir).select_columns(["doc_id", "lon", "lat"])
+
+    def to_pts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "feature_id": df["doc_id"],
+            "doc_id": df["doc_id"],
+            "px": [[v] for v in df["lon"]],
+            "py": [[v] for v in df["lat"]]})
+    pts = ds.map_batches(to_pts, batch_format="pandas")
+    out = erase_points(pts, build_region_index())
+
+    def flat(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"]})
+    return out.map_batches(flat, batch_format="pandas")
+
+
+def _q25_webmercator(sf_dir: str):
+    """-proj webmercator over geocoded pages (spherical EPSG:3857)."""
+    from mapshaper_ray.stages.proj import project_points
+    ds = _geo_points(sf_dir).select_columns(["doc_id", "lon", "lat"])
+    out = project_points(ds, "webmercator").to_pandas()
+    out["x"] = out["x"].round(4)
+    out["y"] = out["y"].round(4)
+    return out[["doc_id", "x", "y"]]
+
+
+def _q26_innerlines(sf_dir: str):
+    """Shared-edge classification (distributed arc classifier)."""
+    from mapshaper_ray.pipelines.geometry import innerlines_pipeline
+    return innerlines_pipeline(sf_dir, grid=16)
+
+
+def _q27_split_on_grid(sf_dir: str):
+    """-split-on-grid cell assignment counts over region polygons."""
+    from mapshaper_ray.ops.generate import polygon_grid
+    from mapshaper_ray.ops.relational import groupby_agg
+    from mapshaper_ray.ops.split import split_on_grid
+    grid = polygon_grid(8, 8, bbox=(-180, -90, 180, 90))
+    out = split_on_grid(grid, 4, 4, bbox=(-180, -90, 180, 90))
+    return groupby_agg(out, ["cell"], {"n": ("feature_id", "count")})
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 
@@ -379,6 +446,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q20_dissolve": _q20_dissolve,
         "q21_region_point_agg": _q21_region_point_agg,
         "q22_knn": _q22_knn,
+        "q23_clip_points": _q23_clip_points,
+        "q24_erase_points": _q24_erase_points,
+        "q25_webmercator": _q25_webmercator,
+        "q26_innerlines": _q26_innerlines,
+        "q27_split_on_grid": _q27_split_on_grid,
     }
 
 
@@ -481,6 +553,20 @@ def oracle_sql() -> dict[str, str]:
             assigned AS (SELECT doc_id, n_chars, {region_case} AS region_id FROM geo)
             SELECT region_id, count(*) AS n_points, sum(n_chars) AS sum_chars
             FROM assigned WHERE region_id >= 0 GROUP BY region_id""",
+        "q23_clip_points": f"""
+            WITH {_GEO_CTE}
+            SELECT doc_id FROM geo WHERE {region_case} >= 0""",
+        "q24_erase_points": f"""
+            WITH {_GEO_CTE}
+            SELECT doc_id FROM geo WHERE {region_case} < 0""",
+        "q25_webmercator": f"""
+            WITH {_GEO_CTE}
+            SELECT doc_id,
+                   round(6378137.0 * radians(lon), 4) AS x,
+                   round(6378137.0 * ln(tan(pi() / 4 +
+                         radians(LEAST(GREATEST(lat, -85.051128779806604),
+                                       85.051128779806604)) / 2)), 4) AS y
+            FROM geo""",
         "q22_knn": f"""
             WITH {_GEO_CTE},
             pts AS (SELECT doc_id, lon, lat FROM geo WHERE doc_id < 2000),

@@ -1,0 +1,137 @@
+"""Layer splitting / merging / subdivision (SURVEY.md §2.7).
+
+- ``split_by_field``    → -split field=  (src/commands/mapshaper-split.js:3-42):
+  partitioned parquet write, one directory per key value — the
+  distributed "one layer per value" (resumable, scan-prunable).
+- ``split_on_grid``     → -split-on-grid (src/commands/mapshaper-split-on-grid.js:6-62):
+  r{row}c{col} cell id from the feature bbox center; generalizes to the
+  quadkey cells of cells.py.
+- ``merge_layers``      → -merge-layers [force]
+  (src/commands/mapshaper-merge-layers.js:4): schema-aligned union.
+- ``subdivide``         → -subdivide (src/commands/mapshaper-subdivide.js:8-46):
+  recursive median bisection on the longer bbox axis while the calc
+  expression holds — driver-recursion over dataset splits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def split_by_field(ds, field: str, out_dir: str):
+    """Partitioned write: hive-style ``field=value`` directories."""
+    ds.write_parquet(out_dir, partition_cols=[field])
+    return out_dir
+
+
+def feature_bbox_center(df: pd.DataFrame) -> pd.DataFrame:
+    from ..sources.layers import geom_type_of
+    gt = geom_type_of(list(df.columns))
+    cxs, cys = [], []
+    for _, row in df.iterrows():
+        if gt == "polygon":
+            xs = [np.asarray(v, float) for v in (row["rings_x"] or [])]
+            ys = [np.asarray(v, float) for v in (row["rings_y"] or [])]
+        elif gt == "polyline":
+            xs = [np.asarray(v, float) for v in (row["part_x"] or [])]
+            ys = [np.asarray(v, float) for v in (row["part_y"] or [])]
+        else:
+            xs = [np.asarray(row["px"] or [], float)]
+            ys = [np.asarray(row["py"] or [], float)]
+        ax = np.concatenate(xs) if xs else np.empty(0)
+        ay = np.concatenate(ys) if ys else np.empty(0)
+        if len(ax):
+            cxs.append((ax.min() + ax.max()) / 2)
+            cys.append((ay.min() + ay.max()) / 2)
+        else:
+            cxs.append(np.nan)
+            cys.append(np.nan)
+    df = df.copy()
+    df["__cx"] = cxs
+    df["__cy"] = cys
+    return df
+
+
+def split_on_grid(ds, cols: int, rows: int, bbox=None):
+    """Assign ``r{row}c{col}`` from the feature bbox center.  With no
+    bbox given, a first distributive pass computes the layer bbox."""
+    from .features import layer_info
+    if bbox is None:
+        bbox = layer_info(ds)["bbox"]
+    xmin, ymin, xmax, ymax = bbox
+    dx = ((xmax - xmin) / cols) or 1.0
+    dy = ((ymax - ymin) / rows) or 1.0
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = feature_bbox_center(df)
+        c = np.clip(((df["__cx"] - xmin) / dx).astype(int), 0, cols - 1)
+        r = np.clip(((df["__cy"] - ymin) / dy).astype(int), 0, rows - 1)
+        df["cell"] = "r" + r.astype(str) + "c" + c.astype(str)
+        return df.drop(columns=["__cx", "__cy"])
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def merge_layers(layers: list, force: bool = False):
+    """Concatenate layer Datasets.  Schemas must match unless ``force``,
+    which aligns to the field union (missing columns null-padded — here
+    explicitly, not via Dataset.union's silent padding)."""
+    names = [set(l.schema().names) for l in layers]
+    union_names: list[str] = []
+    for l in layers:
+        for n in l.schema().names:
+            if n not in union_names:
+                union_names.append(n)
+    if not force and any(set(n) != set(union_names) for n in names):
+        raise ValueError("incompatible layer fields; pass force=True")
+
+    def align(df: pd.DataFrame) -> pd.DataFrame:
+        for n in union_names:
+            if n not in df.columns:
+                df[n] = None
+        return df[union_names]
+
+    aligned = [l.map_batches(align, batch_format="pandas") for l in layers]
+    out = aligned[0]
+    for l in aligned[1:]:
+        out = out.union(l)
+    return out
+
+
+def subdivide(ds, max_features: int):
+    """Recursive median bisection on the longer bbox axis until every
+    part holds <= max_features (the reference's calc-expression special
+    case ``count() > N``).  Driver-side recursion; each split is a
+    distributed filter.  Returns list of (bbox, Dataset)."""
+    from .features import layer_info
+
+    out = []
+
+    def rec(d):
+        info = layer_info(d)
+        n = info["count"]
+        if n <= max_features:
+            out.append((info["bbox"], d))
+            return
+        xmin, ymin, xmax, ymax = info["bbox"]
+        horiz = (xmax - xmin) >= (ymax - ymin)
+        centered = d.map_batches(feature_bbox_center, batch_format="pandas")
+        col = "__cx" if horiz else "__cy"
+        vals = centered.map_batches(
+            lambda df: df[[col]], batch_format="pandas").to_pandas()[col]
+        med = float(vals.median())
+
+        def drop_tmp(df):
+            return df.drop(columns=["__cx", "__cy"])
+        left = centered.filter(lambda r: r[col] <= med) \
+                       .map_batches(drop_tmp, batch_format="pandas")
+        right = centered.filter(lambda r: r[col] > med) \
+                        .map_batches(drop_tmp, batch_format="pandas")
+        if left.count() in (0, n) or right.count() in (0, n):
+            out.append((info["bbox"], d))  # degenerate split; stop
+            return
+        rec(left)
+        rec(right)
+
+    rec(ds)
+    return out
