@@ -414,6 +414,41 @@ def _q27_split_on_grid(sf_dir: str):
     return groupby_agg(out, ["cell"], {"n": ("feature_id", "count")})
 
 
+def _q28_image_features(sf_dir: str):
+    """Multimodal plumbing: binary payload -> decoded metadata +
+    feature vector (deterministic fake decoder; real codec stubbed)."""
+    from mapshaper_ray.stages.multimodal import decode_images, synth_media
+    out = decode_images(synth_media(sf_dir, kind="image"),
+                        n_features=8).to_pandas()
+    out["feat0"] = [round(float(f[0]), 6) for f in out["img_features"]]
+    return out[["media_id", "height", "width", "channels", "feat0"]]
+
+
+def _q29_video_frames(sf_dir: str):
+    """Row-expanding frame sampling over video payloads."""
+    from mapshaper_ray.stages.multimodal import (sample_video_frames,
+                                                 synth_media)
+    out = sample_video_frames(synth_media(sf_dir, kind="image"),
+                              stride=10, max_frames=4)
+    return out
+
+
+def _q30_nearest_within(sf_dir: str):
+    """Nearest other geocoded page within radius 2.0 (grid-bucketed
+    point index, not a linear scan) for pages with doc_id < 200."""
+    from mapshaper_ray.ops.knn import nearest_join
+    from mapshaper_ray.ops.relational import filter_expr
+    ds = _geo_points(sf_dir).select_columns(["doc_id", "lon", "lat"])
+    src = ds.to_pandas()
+    probes = filter_expr(ds, "doc_id < 200")
+    out = nearest_join(probes, src, radius=2.0,
+                       exclude_self=True).to_pandas()
+    out["dist"] = out["dist"].replace(np.inf, None)
+    out["dist"] = pd.to_numeric(out["dist"]).round(6)
+    return out[["doc_id", "neighbor_id", "dist"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 
@@ -451,6 +486,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q25_webmercator": _q25_webmercator,
         "q26_innerlines": _q26_innerlines,
         "q27_split_on_grid": _q27_split_on_grid,
+        "q28_image_features": _q28_image_features,
+        "q29_video_frames": _q29_video_frames,
+        "q30_nearest_within": _q30_nearest_within,
     }
 
 
@@ -553,6 +591,24 @@ def oracle_sql() -> dict[str, str]:
             assigned AS (SELECT doc_id, n_chars, {region_case} AS region_id FROM geo)
             SELECT region_id, count(*) AS n_points, sum(n_chars) AS sum_chars
             FROM assigned WHERE region_id >= 0 GROUP BY region_id""",
+        "q30_nearest_within": f"""
+            WITH {_GEO_CTE},
+            pts AS (SELECT doc_id, lon, lat FROM geo),
+            probes AS (SELECT * FROM pts WHERE doc_id < 200),
+            best AS (
+              SELECT q.doc_id, p.doc_id AS neighbor_id,
+                     sqrt((p.lon - q.lon) * (p.lon - q.lon) +
+                          (p.lat - q.lat) * (p.lat - q.lat)) AS d
+              FROM probes q JOIN pts p ON p.doc_id <> q.doc_id
+              QUALIFY row_number() OVER (PARTITION BY q.doc_id
+                ORDER BY (p.lon - q.lon) * (p.lon - q.lon) +
+                         (p.lat - q.lat) * (p.lat - q.lat), p.doc_id) = 1)
+            SELECT q.doc_id,
+                   CASE WHEN b.d <= 2.0 THEN b.neighbor_id ELSE -1 END
+                     AS neighbor_id,
+                   CASE WHEN b.d <= 2.0 THEN round(b.d, 6) END AS dist
+            FROM probes q LEFT JOIN best b ON q.doc_id = b.doc_id
+            ORDER BY q.doc_id""",
         "q23_clip_points": f"""
             WITH {_GEO_CTE}
             SELECT doc_id FROM geo WHERE {region_case} >= 0""",

@@ -1,0 +1,185 @@
+"""Multimodal column stages: image / audio / video payloads as opaque
+``binary`` columns with typed metadata.
+
+The decode kernels themselves need codec libraries that are NOT in this
+container, so each stage's ``_decode_real`` raises NotImplementedError
+and the default path uses a deterministic fake decoder (pure function
+of the payload bytes) — the Ray-side plumbing is the real deliverable:
+schema in/out, actor-pool ``map_batches`` with per-actor setup, small
+batch sizes for wide binary rows, and streaming-safe output layout.
+
+Schema conventions
+  image:  payload:binary, img_format:string   → height,width,channels +
+          feature vector (list<float32>)
+  audio:  payload:binary, sample_rate:int32   → n_samples, duration_s +
+          frame features
+  video:  payload:binary                       → sampled frame table
+          (one row per sampled frame, frame_idx column)
+
+Batch sizing: binary payloads dominate block size — callers should keep
+``batch_size`` small (default 64 here vs 4096 for text stages) so a
+batch × concurrency fits in worker heap (SURVEY.md §4 memory row).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _u32(data: bytes, salt: bytes = b"") -> int:
+    return int.from_bytes(hashlib.md5(salt + data[:256]).digest()[:4], "big")
+
+
+class ImageDecoder:
+    """Actor-pool stage: decode + feature-extract an image column.
+
+    Real path (``backend='pil'``) would load PIL/turbojpeg once per
+    actor in ``__init__`` — unavailable here, so it raises.  The fake
+    backend derives (h, w, c) and an ``n_features``-dim embedding
+    deterministically from the payload bytes, so downstream plumbing
+    (ANN over image embeddings, resize planning) is fully testable."""
+
+    def __init__(self, backend: str = "fake", n_features: int = 8,
+                 resize_to: tuple[int, int] | None = None):
+        if backend != "fake":
+            raise NotImplementedError(
+                f"image backend {backend!r} needs codec libs not present "
+                "in this container; 'fake' is the deterministic stand-in")
+        self.n_features = n_features
+        self.resize_to = resize_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        n = len(payloads)
+        h = np.empty(n, np.int32)
+        w = np.empty(n, np.int32)
+        feats = np.empty((n, self.n_features), np.float32)
+        for i, p in enumerate(payloads):
+            p = p or b""
+            base = _u32(p)
+            h[i] = 16 + base % 1024
+            w[i] = 16 + (base // 1024) % 1024
+            rng = np.random.RandomState(base % (2 ** 31))
+            feats[i] = rng.standard_normal(self.n_features)
+        if self.resize_to:
+            h[:] = self.resize_to[0]
+            w[:] = self.resize_to[1]
+        batch = batch.append_column("height", pa.array(h))
+        batch = batch.append_column("width", pa.array(w))
+        batch = batch.append_column(
+            "channels", pa.array(np.full(n, 3, np.int32)))
+        batch = batch.append_column(
+            "img_features",
+            pa.array(list(feats), type=pa.list_(pa.float32())))
+        return batch
+
+
+class AudioFeaturizer:
+    """Actor-pool stage: audio payload → duration + frame features.
+    Real backend (soundfile/librosa) unavailable → NotImplementedError;
+    fake derives sample count and ``n_mfcc`` frame-mean features."""
+
+    def __init__(self, backend: str = "fake", n_mfcc: int = 4):
+        if backend != "fake":
+            raise NotImplementedError(
+                f"audio backend {backend!r} needs codec libs not present")
+        self.n_mfcc = n_mfcc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        sr = (batch["sample_rate"].to_numpy(zero_copy_only=False)
+              if "sample_rate" in batch.column_names
+              else np.full(len(payloads), 16000))
+        n_samples = np.array([len(p or b"") * 4 for p in payloads],
+                             dtype=np.int64)  # fake: 4 samples per byte
+        dur = n_samples / np.maximum(sr, 1)
+        feats = [np.random.RandomState(_u32(p or b"", b"a") % (2 ** 31))
+                 .standard_normal(self.n_mfcc).astype(np.float32)
+                 for p in payloads]
+        batch = batch.append_column("n_samples", pa.array(n_samples))
+        batch = batch.append_column("duration_s",
+                                    pa.array(dur, type=pa.float64()))
+        batch = batch.append_column(
+            "audio_features", pa.array(feats, type=pa.list_(pa.float32())))
+        return batch
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: video payload → one row per sampled frame
+    (row-expanding map).  Real backend (pyav/ffmpeg) unavailable →
+    NotImplementedError; fake derives a frame count from the payload
+    and emits every ``stride``-th frame index with a per-frame hash."""
+
+    def __init__(self, backend: str = "fake", stride: int = 10,
+                 max_frames: int = 16):
+        if backend != "fake":
+            raise NotImplementedError(
+                f"video backend {backend!r} needs codec libs not present")
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, fhash = [], [], []
+        payloads = batch["payload"].to_pylist()
+        keys = (batch["media_id"].to_pylist()
+                if "media_id" in batch.column_names
+                else list(range(len(payloads))))
+        for k, p in zip(keys, payloads):
+            p = p or b""
+            n_frames = 1 + _u32(p, b"v") % 300
+            take = list(range(0, n_frames, self.stride))[:self.max_frames]
+            for t in take:
+                ids.append(k)
+                fidx.append(t)
+                fhash.append(_u32(p, str(t).encode()))
+        return pa.table({
+            "media_id": pa.array(ids),
+            "frame_idx": pa.array(fidx, type=pa.int32()),
+            "frame_hash": pa.array(fhash, type=pa.int64()),
+        })
+
+
+def decode_images(ds, concurrency=(1, 4), batch_size=64, **kw):
+    """Wide-binary-aware actor pool: small batches, setup in __init__."""
+    return ds.map_batches(ImageDecoder, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          num_cpus=1, fn_constructor_kwargs=kw)
+
+
+def featurize_audio(ds, concurrency=(1, 4), batch_size=64, **kw):
+    return ds.map_batches(AudioFeaturizer, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          num_cpus=1, fn_constructor_kwargs=kw)
+
+
+def sample_video_frames(ds, concurrency=(1, 4), batch_size=16, **kw):
+    return ds.map_batches(VideoFrameSampler, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          num_cpus=1, fn_constructor_kwargs=kw)
+
+
+def synth_media(sf_dir: str, kind: str = "image"):
+    """Deterministic media table derived from documents (payload bytes =
+    md5-keyed expansion of the text) — test/bench input, no external
+    data."""
+    import ray.data as rd
+
+    def make(batch: pa.Table) -> pa.Table:
+        rows = {"media_id": batch["doc_id"],
+                "payload": pa.array(
+                    [hashlib.md5(t.encode()).digest() * (4 + len(t) % 64)
+                     for t in batch["text"].to_pylist()],
+                    type=pa.binary())}
+        if kind == "image":
+            rows["img_format"] = pa.array(["png"] * len(batch))
+        elif kind == "audio":
+            rows["sample_rate"] = pa.array(
+                np.full(len(batch), 16000, np.int32))
+        return pa.table(rows)
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+             .map_batches(make, batch_format="pyarrow")
