@@ -1,0 +1,118 @@
+"""Command facade — one importable surface mapping every reference
+command (SURVEY.md §2 operator inventory; authoritative registry
+src/cli/mapshaper-options.js) to its Ray-Data implementation here.
+
+A user of the reference switches like-for-like:
+
+    mapshaper -i in.json -simplify 50% -o out.json
+    →  lyr = api.i("in.json"); api.o(api.simplify(lyr, pct=0.5), "out.json")
+
+Each entry notes the semantics source (reference file:line) in the
+implementation module's docstring.  Commands whose full geometry
+substrate is still landing (dissolve2/mosaic/clean general case) raise
+NotImplementedError naming the substrate module.
+"""
+
+from __future__ import annotations
+
+# --- sources / sinks (§2.1) -------------------------------------------------
+from .sources.delim import read_delim, write_delim  # -i .csv / -o .csv
+from .sources.geojson import (read_geojson,  # -i .json
+                              write_geojson,  # -o .json
+                              write_geojson_shards)
+from .sources.shapefile import (read_shapefile,  # -i .shp (+.shx/.dbf)
+                                write_shapefile)  # -o .shp
+from .sources.topojson import (read_topojson,  # -i .topojson
+                               write_topojson)  # -o format=topojson
+
+# --- per-record transforms (§2.2) ------------------------------------------
+from .ops.relational import (broadcast_join, broadcast_join_calc,  # -join
+                             calc_stats,  # -calc
+                             each_expr,  # -each
+                             filter_expr,  # -filter
+                             groupby_agg,  # -dissolve (data side)
+                             hash_join,  # -join (large-large)
+                             join_side_outputs,  # -join unmatched/unjoined
+                             sort_topk,  # -sort + head
+                             uniq_first,  # -uniq
+                             window_tumbling)
+from .ops.features import (add_polygon_metrics,  # $.area etc. (§2.2a)
+                           affine,  # -affine
+                           centroids,  # -points (centroid source)
+                           explode,  # -explode
+                           filter_bbox,  # -filter-geom bbox=
+                           filter_islands,  # -filter-islands
+                           filter_slivers,  # -filter-slivers
+                           layer_info,  # -info
+                           round_coords,  # precision= rounding
+                           to_point_layer)  # -points
+from .ops.generate import (graticule,  # -graticule
+                           point_grid,  # -point-grid
+                           points_from_columns,  # -points x= y=
+                           polygon_grid,  # -polygon-grid
+                           rectangle)  # -rectangle
+from .stages.proj import project_layer, project_points  # -proj
+
+# --- joins / spatial (§2.3-2.4) --------------------------------------------
+from .stages.spatial_join import spatial_join  # -join polygons onto points
+from .ops.clip import (clip_bbox,  # -clip bbox=
+                       clip_points,  # -clip (point target)
+                       erase_points)  # -erase (point target)
+from .ops.knn import (nearest_join,  # point->point join (PointIndex repl.)
+                      nearest_join_shuffle)
+from .state.path_index import PathIndex
+
+# --- topology (§2.6) --------------------------------------------------------
+from .topo.build import build_topology  # buildTopology
+from .topo.cuts import (add_intersection_cuts,  # addIntersectionCuts
+                        find_intersections,
+                        find_intersections_ds)
+from .topo.dissolve import (classify_arcs,  # arc classifier
+                            dissolve_polylines,
+                            dissolve_shapes,  # -dissolve (geometry)
+                            innerlines,  # -innerlines
+                            lines)  # -lines
+from .topo.snap import (dedup_arc_coords,  # dedupCoords
+                        snap_arcs,  # -i snap
+                        snap_coords_by_interval,
+                        snap_points_ds)
+from .geom.simplify import (dp_thresholds,  # -simplify dp
+                            filter_arc_by_interval,
+                            pct_by_threshold,
+                            threshold_by_pct,
+                            visvalingam_thresholds)  # -simplify visvalingam
+
+# --- splitting / merging (§2.7) --------------------------------------------
+from .ops.split import (merge_layers,  # -merge-layers
+                        split_by_field,  # -split
+                        split_on_grid,  # -split-on-grid
+                        subdivide)  # -subdivide
+
+# --- dedup / text / ANN / multimodal (training-data ops) -------------------
+from .ops.dedup import (embedding_near_dup, embedding_near_dup_exact,
+                        exact_dedup, minhash_lsh, simhash)
+from .ops.ann import brute_topk, ivf_topk
+from .stages.text import analyze_text, fingerprint
+from .stages.multimodal import (decode_images, featurize_audio,
+                                sample_video_frames)
+
+# --- pipelines --------------------------------------------------------------
+from .pipelines.flagship import (build_pipeline, build_pipeline_from_parquet,
+                                 flagship_counts,
+                                 flagship_counts_from_parquet,
+                                 flagship_tiles)
+
+
+def dissolve2(*_a, **_k):
+    """-dissolve2 (overlap-repairing dissolve): mosaic substrate rides
+    on topo/cuts.add_intersection_cuts; the tile-assignment walk is not
+    yet implemented — use dissolve_shapes for topologically clean
+    input."""
+    raise NotImplementedError(
+        "dissolve2 needs the mosaic tile-assignment walk; cuts substrate "
+        "is in topo/cuts.py (see SURVEY.md §2.6 dissolve2 row)")
+
+
+def mosaic(*_a, **_k):
+    """-mosaic: same substrate gap as dissolve2."""
+    raise NotImplementedError("see dissolve2")

@@ -24,6 +24,14 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+
+def _nz(v):
+    """None-safe sequence coercion — never ``v or []`` on values that may
+    be numpy arrays (falsy/ambiguous truthiness)."""
+    if v is None:
+        return []
+    return list(v)
+
 from ..state.path_index import PathIndex
 
 
@@ -203,7 +211,7 @@ def clip_bbox(ds, bbox):
             keep = []
             for _, row in df.iterrows():
                 ox, oy = [], []
-                for x, y in zip(row["part_x"] or [], row["part_y"] or []):
+                for x, y in zip(_nz(row["part_x"]), _nz(row["part_y"])):
                     for px, py in _clip_segments(np.asarray(x, float),
                                                  np.asarray(y, float), bbox):
                         ox.append(px.tolist())
@@ -216,8 +224,8 @@ def clip_bbox(ds, bbox):
         xmin, ymin, xmax, ymax = bbox
         nx, ny, keep = [], [], []
         for _, row in df.iterrows():
-            xs = np.asarray(row["px"] or [], dtype=np.float64)
-            ys = np.asarray(row["py"] or [], dtype=np.float64)
+            xs = np.asarray(_nz(row["px"]), dtype=np.float64)
+            ys = np.asarray(_nz(row["py"]), dtype=np.float64)
             m = (xs >= xmin) & (xs <= xmax) & (ys >= ymin) & (ys <= ymax)
             nx.append(xs[m].tolist()); ny.append(ys[m].tolist())
             keep.append(bool(m.any()))

@@ -14,6 +14,14 @@ from ..geom.kernels import planar_ring_area, ring_centroid
 from ..sources.layers import geom_type_of
 
 
+def _nz(v):
+    """None-safe sequence coercion — never ``v or []`` on values that may
+    be numpy arrays (falsy/ambiguous truthiness)."""
+    if v is None:
+        return []
+    return list(v)
+
+
 def _rings(row):
     rx = row["rings_x"] if row["rings_x"] is not None else []
     ry = row["rings_y"] if row["rings_y"] is not None else []
@@ -49,16 +57,16 @@ def explode(ds):
                     rows.append({**base, "rings_x": [], "rings_y": [],
                                  "ring_poly": []})
             elif gt == "polyline":
-                parts_x = row["part_x"] or []
-                parts_y = row["part_y"] or []
+                parts_x = _nz(row["part_x"])
+                parts_y = _nz(row["part_y"])
                 if len(parts_x) == 0:
                     rows.append({**base, "part_x": [], "part_y": []})
                 for x, y in zip(parts_x, parts_y):
                     rows.append({**base, "part_x": [list(x)],
                                  "part_y": [list(y)]})
             else:
-                xs = row["px"] or []
-                ys = row["py"] or []
+                xs = _nz(row["px"])
+                ys = _nz(row["py"])
                 if len(xs) == 0:
                     rows.append({**base, "px": [], "py": []})
                 for x, y in zip(xs, ys):
@@ -215,8 +223,8 @@ def filter_bbox(ds, xmin, ymin, xmax, ymax):
                 ys = np.concatenate([np.asarray(v) for v in (row["part_y"] or [[]])]) \
                     if row["part_y"] is not None and len(row["part_y"]) else np.empty(0)
             else:
-                xs = np.asarray(row["px"] or [])
-                ys = np.asarray(row["py"] or [])
+                xs = np.asarray(_nz(row["px"]))
+                ys = np.asarray(_nz(row["py"]))
             keep.append(bool(len(xs)) and xs.min() <= xmax
                         and xs.max() >= xmin and ys.min() <= ymax
                         and ys.max() >= ymin)
@@ -289,11 +297,11 @@ def layer_info(ds) -> dict:
             if gt == "polygon":
                 rx, ry = _rings(row)
             elif gt == "polyline":
-                rx = [np.asarray(v) for v in (row["part_x"] or [])]
-                ry = [np.asarray(v) for v in (row["part_y"] or [])]
+                rx = [np.asarray(v) for v in _nz(row["part_x"])]
+                ry = [np.asarray(v) for v in _nz(row["part_y"])]
             else:
-                rx = [np.asarray(row["px"] or [])]
-                ry = [np.asarray(row["py"] or [])]
+                rx = [np.asarray(_nz(row["px"]))]
+                ry = [np.asarray(_nz(row["py"]))]
             xs = np.concatenate(rx) if rx else np.empty(0)
             ys = np.concatenate(ry) if ry else np.empty(0)
             if len(xs) == 0:

@@ -217,6 +217,47 @@ def hash_join(left_ds, right_ds, on: str, how="inner", num_buckets=32,
                                                batch_format="pandas")
 
 
+def broadcast_join_calc(big_ds, small_df: pd.DataFrame, on,
+                        calc: dict[str, tuple[str, str]], how="left"):
+    """-join calc= : many-to-one join where the target receives
+    AGGREGATES of all matching source rows (reference join-calc,
+    src/data/mapshaper-join-calc.js:1-10 over mapshaper-calc).  The
+    source side is reduced per key once driver-side, then broadcast."""
+    g = small_df.groupby(on, sort=False)
+    cols = {}
+    for out, (col, fn) in calc.items():
+        if fn == "count":
+            cols[out] = g[col].count()
+        elif fn == "mean":
+            cols[out] = g[col].mean()
+        else:
+            cols[out] = getattr(g[col], fn)()
+    reduced = pd.DataFrame(cols).reset_index()
+    return broadcast_join(big_ds, reduced, on=on, how=how)
+
+
+def join_side_outputs(big_ds, small_df: pd.DataFrame, on):
+    """-join unmatched/unjoined side outputs
+    (src/commands/mapshaper-join.js:69-158): returns
+    (unmatched_targets_ds, unjoined_source_df) — target rows with no
+    source match, and source rows never matched by any target."""
+    import ray
+    keys_ref = ray.put(set(small_df[on].tolist()))
+
+    def unmatched(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        return df[~df[on].isin(keys)]
+    unmatched_ds = big_ds.map_batches(unmatched, batch_format="pandas")
+
+    # distinct target keys via partial dedup per batch + driver merge
+    def batch_keys(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({on: df[on].unique()})
+    tkeys = big_ds.map_batches(batch_keys, batch_format="pandas") \
+                  .to_pandas()[on].unique()
+    unjoined_src = small_df[~small_df[on].isin(set(tkeys))]
+    return unmatched_ds, unjoined_src
+
+
 # ---------------------------------------------------------------------------
 # whole-layer stats
 

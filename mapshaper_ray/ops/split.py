@@ -19,6 +19,14 @@ import numpy as np
 import pandas as pd
 
 
+def _nz(v):
+    """None-safe sequence coercion — never ``v or []`` on values that may
+    be numpy arrays (falsy/ambiguous truthiness)."""
+    if v is None:
+        return []
+    return list(v)
+
+
 def split_by_field(ds, field: str, out_dir: str):
     """Partitioned write: hive-style ``field=value`` directories."""
     ds.write_parquet(out_dir, partition_cols=[field])
@@ -31,14 +39,14 @@ def feature_bbox_center(df: pd.DataFrame) -> pd.DataFrame:
     cxs, cys = [], []
     for _, row in df.iterrows():
         if gt == "polygon":
-            xs = [np.asarray(v, float) for v in (row["rings_x"] or [])]
-            ys = [np.asarray(v, float) for v in (row["rings_y"] or [])]
+            xs = [np.asarray(v, float) for v in _nz(row["rings_x"])]
+            ys = [np.asarray(v, float) for v in _nz(row["rings_y"])]
         elif gt == "polyline":
-            xs = [np.asarray(v, float) for v in (row["part_x"] or [])]
-            ys = [np.asarray(v, float) for v in (row["part_y"] or [])]
+            xs = [np.asarray(v, float) for v in _nz(row["part_x"])]
+            ys = [np.asarray(v, float) for v in _nz(row["part_y"])]
         else:
-            xs = [np.asarray(row["px"] or [], float)]
-            ys = [np.asarray(row["py"] or [], float)]
+            xs = [np.asarray(_nz(row["px"]), float)]
+            ys = [np.asarray(_nz(row["py"]), float)]
         ax = np.concatenate(xs) if xs else np.empty(0)
         ay = np.concatenate(ys) if ys else np.empty(0)
         if len(ax):

@@ -211,11 +211,22 @@ def read_geojson(path: str, geom_class: str | None = None,
 # writer
 
 def _fmt_coord(v: float, decimals: int | None):
+    v = float(v)  # numpy scalars break json.dumps
     if decimals is not None:
         v = round(v, decimals)
     if v == int(v) and abs(v) < 1e15:
         return int(v)
     return v
+
+
+def _nz(v):
+    """None-safe sequence coercion.  NEVER ``v or []``: a numpy
+    array([0]) is falsy (bool of its single element) and silently drops
+    geometry — found the hard way when ring_poly came back as a Ray
+    tensor-extension column after a pandas-stage roundtrip."""
+    if v is None:
+        return []
+    return list(v)
 
 
 def _render_rows(batch: pa.Table, decimals=None) -> list[tuple[int, str]]:
@@ -229,10 +240,15 @@ def _render_rows(batch: pa.Table, decimals=None) -> list[tuple[int, str]]:
     out = []
     for i in range(len(batch)):
         props = {c: d[c][i] for c in attr_cols}
+        for k, v in list(props.items()):
+            if isinstance(v, np.floating):
+                props[k] = float(v)
+            elif isinstance(v, np.integer):
+                props[k] = int(v)
         if gt == GEOM_POLYGON:
             rx, ry, rp = d["rings_x"][i], d["rings_y"][i], d["ring_poly"][i]
             polys: list[list] = []
-            for x, y, p in zip(rx or [], ry or [], rp or []):
+            for x, y, p in zip(_nz(rx), _nz(ry), _nz(rp)):
                 while len(polys) <= p:
                     polys.append([])
                 polys[p].append(
@@ -248,7 +264,7 @@ def _render_rows(batch: pa.Table, decimals=None) -> list[tuple[int, str]]:
             px_, py_ = d["part_x"][i], d["part_y"][i]
             parts = [[[_fmt_coord(a, decimals), _fmt_coord(b, decimals)]
                       for a, b in zip(x, y)]
-                     for x, y in zip(px_ or [], py_ or [])]
+                     for x, y in zip(_nz(px_), _nz(py_))]
             if not parts:
                 geom = None
             elif len(parts) == 1:
@@ -258,7 +274,7 @@ def _render_rows(batch: pa.Table, decimals=None) -> list[tuple[int, str]]:
         else:
             xs, ys = d["px"][i], d["py"][i]
             pts = [[_fmt_coord(a, decimals), _fmt_coord(b, decimals)]
-                   for a, b in zip(xs or [], ys or [])]
+                   for a, b in zip(_nz(xs), _nz(ys))]
             if not pts:
                 geom = None
             elif len(pts) == 1:
