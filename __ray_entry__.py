@@ -414,6 +414,14 @@ def _q27_split_on_grid(sf_dir: str):
     return groupby_agg(out, ["cell"], {"n": ("feature_id", "count")})
 
 
+def _q31_dissolve2(sf_dir: str):
+    """Overlap-repairing dissolve (mosaic tiles, per-cell distributed)."""
+    from mapshaper_ray.pipelines.geometry import dissolve2_pipeline
+    out = dissolve2_pipeline(sf_dir).to_pandas()
+    out["area_total"] = out["area_total"].round(6)
+    return out.sort_values("grp").reset_index(drop=True)
+
+
 def _q28_image_features(sf_dir: str):
     """Multimodal plumbing: binary payload -> decoded metadata +
     feature vector (deterministic fake decoder; real codec stubbed)."""
@@ -486,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q25_webmercator": _q25_webmercator,
         "q26_innerlines": _q26_innerlines,
         "q27_split_on_grid": _q27_split_on_grid,
+        "q31_dissolve2": _q31_dissolve2,
         "q28_image_features": _q28_image_features,
         "q29_video_frames": _q29_video_frames,
         "q30_nearest_within": _q30_nearest_within,

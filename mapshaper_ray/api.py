@@ -103,16 +103,6 @@ from .pipelines.flagship import (build_pipeline, build_pipeline_from_parquet,
                                  flagship_tiles)
 
 
-def dissolve2(*_a, **_k):
-    """-dissolve2 (overlap-repairing dissolve): mosaic substrate rides
-    on topo/cuts.add_intersection_cuts; the tile-assignment walk is not
-    yet implemented — use dissolve_shapes for topologically clean
-    input."""
-    raise NotImplementedError(
-        "dissolve2 needs the mosaic tile-assignment walk; cuts substrate "
-        "is in topo/cuts.py (see SURVEY.md §2.6 dissolve2 row)")
-
-
-def mosaic(*_a, **_k):
-    """-mosaic: same substrate gap as dissolve2."""
-    raise NotImplementedError("see dissolve2")
+from .topo.mosaic import (clean_layer,  # -clean
+                          dissolve2,  # -dissolve2
+                          polygon_mosaic)  # -mosaic

@@ -196,6 +196,66 @@ def innerlines_by_key(features_ds, key="grp", inner_only=True):
     return classified
 
 
+def synth_overlap_mesh(sf_dir: str, grid=8):
+    """Deterministic OVERLAPPING squares (each shifted by 0.5 into its
+    right neighbor) — dissolve2 input where plain dissolve would double
+    count."""
+    import ray.data as rd
+    ds = rd.range(grid * grid)
+
+    def make(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for i in df["id"].to_numpy():
+            r, c = divmod(int(i), grid)
+            x0 = c * 1.0
+            y0 = r * 1.0
+            w = 1.5 if c % 2 == 0 else 1.0  # even columns overlap right
+            rows.append({"feature_id": int(i),
+                         "grp": f"g{(i * 2654435761) % 3}",
+                         "x": [x0, x0 + w, x0 + w, x0, x0],
+                         "y": [y0, y0, y0 + 1, y0 + 1, y0]})
+        return pd.DataFrame(rows)
+    return ds.map_batches(make, batch_format="pandas")
+
+
+def dissolve2_pipeline(sf_dir: str, grid=8, cell: float = 4.0):
+    """Distributed dissolve2: features shuffled by spatial cell (each
+    feature assigned to the cell of its bbox center; cell size chosen so
+    overlap chains stay cell-local for this mesh), per-cell mosaic +
+    tile assignment + per-key dissolve in map_groups, then a per-key
+    roll-up of (area, n_tiles) across cells.
+
+    Partitioning assumption (documented per SURVEY.md custom-operator
+    rule): overlaps never span cell borders; for general input, cut
+    features at cell boundaries first (clip_bbox) — the per-cell kernel
+    is unchanged."""
+    from ..ops.relational import groupby_agg
+    from ..topo.mosaic import dissolve2
+    feats = synth_overlap_mesh(sf_dir, grid)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        cx = np.array([(min(x) + max(x)) / 2 for x in df["x"]])
+        cy = np.array([(min(y) + max(y)) / 2 for y in df["y"]])
+        df["cell_id"] = (np.floor(cx / cell).astype(np.int64) * 1000003 +
+                         np.floor(cy / cell).astype(np.int64))
+        return df
+
+    def per_cell(df: pd.DataFrame) -> pd.DataFrame:
+        features = [[np.stack([np.asarray(x, float), np.asarray(y, float)],
+                              axis=1)] for x, y in zip(df["x"], df["y"])]
+        out = dissolve2(features, list(df["grp"]))
+        return pd.DataFrame([
+            {"grp": k, "area": round(v["area"], 9),
+             "n_tiles": v["n_tiles"]} for k, v in out.items()])
+
+    per = feats.map_batches(tag, batch_format="pandas") \
+               .groupby("cell_id").map_groups(per_cell,
+                                              batch_format="pandas")
+    return groupby_agg(per, ["grp"], {"area_total": ("area", "sum"),
+                                      "n_tiles": ("n_tiles", "sum")})
+
+
 def innerlines_pipeline(sf_dir: str, grid=16):
     """Per-pair inner-boundary edge counts over the synthetic mesh."""
     from ..ops.relational import groupby_agg

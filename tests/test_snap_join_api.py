@@ -7,11 +7,10 @@ import pandas as pd
 def test_api_facade_imports():
     from mapshaper_ray import api
     assert callable(api.read_geojson)
-    assert callable(api.simplify if hasattr(api, "simplify")
-                    else api.visvalingam_thresholds)
-    import pytest
-    with pytest.raises(NotImplementedError):
-        api.dissolve2()
+    assert callable(api.visvalingam_thresholds)
+    assert callable(api.dissolve2)
+    assert callable(api.polygon_mosaic)
+    assert callable(api.clean_layer)
 
 
 def test_pandas_stage_then_write_geojson(ray_session, tmp_path):
