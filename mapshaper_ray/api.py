@@ -106,3 +106,8 @@ from .pipelines.flagship import (build_pipeline, build_pipeline_from_parquet,
 from .topo.mosaic import (clean_layer,  # -clean
                           dissolve2,  # -dissolve2
                           polygon_mosaic)  # -mosaic
+from .ops.neighbors import (cluster_polygons,  # -cluster
+                            data_fill,  # -data-fill
+                            neighbor_edges)  # polygon-neighbors graph
+from .geom.keep_shapes import (protect_shapes,  # -simplify keep-shapes
+                               repair_intersections)  # post-simplify repair

@@ -1,0 +1,192 @@
+"""Neighbor-graph operators: -data-fill and -cluster (SURVEY.md §2.5).
+
+Both ride on the shared-edge neighbor graph (the arc classifier of
+§2.6: which ≤2 features use each border edge, plus the border length).
+
+- ``neighbor_edges``: feature pairs + total shared-border length,
+  computed as a distributed groupby on the quantized edge key (one
+  shuffle of edge rows, never geometry).
+- ``data_fill``: reference semantics (src/commands/mapshaper-data-fill.js:3-22):
+  pass 1 fills an empty record from the single neighbor value with the
+  longest shared border among neighbors that have values and border
+  share >= 50%; then iterate multi-assignment until stable; optional
+  island postprocess flips features whose dominant (>=50%) border
+  neighbor disagrees.  Iteration is a driver loop over compact arrays
+  (the GRAPH, not the features, lives on the driver — fine up to ~1e8
+  edges; beyond that each round is itself a groupby).
+- ``cluster_polygons``: greedy agglomeration by ascending centroid
+  distance with merge recompute, like the reference's heap loop
+  (src/commands/mapshaper-cluster.js:15-130) but with a sorted
+  candidate heap instead of an O(n) scan per merge; ``group_by``
+  constraint honored.  At scale this runs per cell partition.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+
+
+def _feature_edges(df: pd.DataFrame, key="feature_id",
+                   x_col="x", y_col="y") -> pd.DataFrame:
+    ks, fids, lens = [], [], []
+    for _, row in df.iterrows():
+        x = np.asarray(row[x_col], dtype=np.float64)
+        y = np.asarray(row[y_col], dtype=np.float64)
+        for i in range(len(x) - 1):
+            a = (round(x[i], 9), round(y[i], 9))
+            b = (round(x[i + 1], 9), round(y[i + 1], 9))
+            lo, hi = (a, b) if a <= b else (b, a)
+            ks.append(f"{lo[0]}_{lo[1]}_{hi[0]}_{hi[1]}")
+            fids.append(row[key])
+            lens.append(float(np.hypot(x[i + 1] - x[i], y[i + 1] - y[i])))
+    return pd.DataFrame({"edge_key": ks, "fid": fids, "len": lens})
+
+
+def neighbor_edges(features_ds, key="feature_id", x_col="x", y_col="y"):
+    """Dataset of features (ring coords in x/y columns) → pandas frame
+    (fid_a, fid_b, border_len) summed over all shared edges."""
+    edges = features_ds.map_batches(
+        lambda df: _feature_edges(df, key, x_col, y_col),
+        batch_format="pandas")
+
+    def pair(df: pd.DataFrame) -> pd.DataFrame:
+        fids = sorted(set(df["fid"]))
+        if len(fids) != 2:
+            return pd.DataFrame({"fid_a": [], "fid_b": [], "border_len": []})
+        return pd.DataFrame({"fid_a": [fids[0]], "fid_b": [fids[1]],
+                             "border_len": [float(df["len"].iloc[0])]})
+
+    pairs = edges.groupby("edge_key").map_groups(pair,
+                                                 batch_format="pandas") \
+                 .to_pandas()
+    if len(pairs) == 0:
+        return pd.DataFrame({"fid_a": [], "fid_b": [], "border_len": []})
+    return pairs.groupby(["fid_a", "fid_b"], as_index=False)["border_len"] \
+                .sum()
+
+
+def data_fill(values: dict, edges: pd.DataFrame, postprocess=False):
+    """values: fid -> value or None; edges: neighbor frame from
+    ``neighbor_edges``.  Returns filled dict (reference iteration
+    semantics: longest-border neighbor wins; repeat until stable)."""
+    nbrs: dict = {}
+    for _, r in edges.iterrows():
+        nbrs.setdefault(r["fid_a"], []).append((r["fid_b"],
+                                                r["border_len"]))
+        nbrs.setdefault(r["fid_b"], []).append((r["fid_a"],
+                                                r["border_len"]))
+    vals = dict(values)
+
+    def border_vote(fid, min_pct=0.0, skip_empty=True):
+        cand: dict = {}
+        total = 0.0
+        for n, ln in nbrs.get(fid, []):
+            total += ln
+            v = vals.get(n)
+            if v is None and skip_empty:
+                continue
+            cand[v] = cand.get(v, 0.0) + ln
+        if not cand or total == 0:
+            return None
+        best = max(cand, key=cand.get)
+        if cand[best] / total < min_pct:
+            return None
+        return best
+
+    changed = True
+    while changed:
+        changed = False
+        for fid in list(vals):
+            if vals[fid] is not None:
+                continue
+            v = border_vote(fid)
+            if v is not None:
+                vals[fid] = v
+                changed = True
+    if postprocess:
+        for _ in range(2):  # second pass removes flipped donut-holes
+            for fid in list(vals):
+                v = border_vote(fid, min_pct=0.5)
+                if v is not None and v != vals[fid]:
+                    vals[fid] = v
+    return vals
+
+
+def cluster_polygons(centroids: pd.DataFrame, edges: pd.DataFrame,
+                     pct: float, group_by: str | None = None,
+                     max_width=None, max_height=None):
+    """centroids: frame (fid, cx, cy[, area][, group]); edges: neighbor
+    frame.  Greedy merge of closest neighboring clusters until
+    ``round(n * pct)`` merges happen (reference main loop).  Returns
+    fid -> cluster_id (sequential)."""
+    items = {r["fid"]: {"ids": [r["fid"]],
+                        "cx": r["cx"], "cy": r["cy"],
+                        "area": r.get("area", 1.0),
+                        "group": r.get("group") if group_by else None}
+             for _, r in centroids.iterrows()}
+    merges_left = int(round(len(items) * pct))
+
+    def score(a, b):
+        return float(np.hypot(items[a]["cx"] - items[b]["cx"],
+                              items[a]["cy"] - items[b]["cy"]))
+
+    heap = []
+    alive = {f: f for f in items}  # fid -> representative
+
+    def find(f):
+        while alive[f] != f:
+            alive[f] = alive[alive[f]]
+            f = alive[f]
+        return f
+
+    adj: dict = {}
+    for _, r in edges.iterrows():
+        a, b = r["fid_a"], r["fid_b"]
+        if a not in items or b not in items:
+            continue
+        if items[a]["group"] != items[b]["group"]:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+        heapq.heappush(heap, (score(a, b), a, b))
+
+    while merges_left > 0 and heap:
+        s, a, b = heapq.heappop(heap)
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if s != score(ra, rb):  # stale entry; re-push with fresh score
+            heapq.heappush(heap, (score(ra, rb), ra, rb))
+            continue
+        # merge rb into ra: area-weighted centroid
+        ia, ib = items[ra], items[rb]
+        wa, wb = ia["area"], ib["area"]
+        tot = (wa + wb) or 1.0
+        ia["cx"] = (ia["cx"] * wa + ib["cx"] * wb) / tot
+        ia["cy"] = (ia["cy"] * wa + ib["cy"] * wb) / tot
+        ia["area"] = wa + wb
+        ia["ids"].extend(ib["ids"])
+        alive[rb] = ra
+        nbrs = (adj.get(ra, set()) | adj.get(rb, set())) - {ra, rb}
+        adj[ra] = set()
+        for n in nbrs:
+            rn = find(n)
+            if rn != ra:
+                adj[ra].add(rn)
+                adj.setdefault(rn, set()).add(ra)
+                heapq.heappush(heap, (score(ra, rn), ra, rn))
+        merges_left -= 1
+
+    out = {}
+    cluster_id = 0
+    seen = {}
+    for f in items:
+        r = find(f)
+        if r not in seen:
+            seen[r] = cluster_id
+            cluster_id += 1
+        out[f] = seen[r]
+    return out
