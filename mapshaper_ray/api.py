@@ -97,6 +97,7 @@ from .stages.multimodal import (decode_images, featurize_audio,
                                 sample_video_frames)
 
 # --- pipelines --------------------------------------------------------------
+from .pipelines.simplify_layer import simplify_layer  # -simplify (layer)
 from .pipelines.flagship import (build_pipeline, build_pipeline_from_parquet,
                                  flagship_counts,
                                  flagship_counts_from_parquet,

@@ -90,19 +90,23 @@ class _MinHasher:
 
 
 def minhash_lsh(ds, num_perm=64, bands=16, shingle_k=5, threshold=0.5,
-                text_col="text", id_col="doc_id", concurrency=(1, 8)):
+                text_col="text", id_col="doc_id", concurrency=None,
+                band_grouping="driver"):
     """Near-duplicate pairs via MinHash+LSH.
 
-    Returns a Dataset of verified pairs (id_a, id_b, jaccard) with
-    id_a < id_b and jaccard >= threshold.  Pipeline:
-      docs -> (band_id, band_hash, doc_id) rows        [map_batches, actor]
-           -> groupby(band_id, band_hash)              [the only shuffle]
-           -> candidate pairs                           [map_groups]
-           -> exact verify on the pair's shingle sets   [broadcast probe]
-    Verification re-reads the two docs' shingle sets from a broadcast
-    id->signature store built per batch; for the sandbox scale the text
-    verify joins back via a broadcast dict (documents are small).
-    """
+    Returns verified pairs (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard >= threshold.  Pipeline:
+      docs -> (band_id, band_hash, doc_id) rows     [map_batches tasks]
+           -> group by (band_id, band_hash)          [the only exchange]
+           -> candidate pairs -> exact shingle-set verify
+
+    ``band_grouping="driver"`` (default): the band-triple table is tiny
+    relative to the corpus (n_docs x bands rows of 3 ints — the
+    documents themselves never move), so it reduces on the driver;
+    "distributed" switches the grouping to a Ray groupby for corpora
+    whose band table itself is too large (the 100 TB path).
+    ``concurrency=None`` runs the emitters as task pools (fuse with the
+    read, reuse warm workers); pass a value for an actor pool."""
     import ray
     rows_per_band = num_perm // bands
 
@@ -130,9 +134,13 @@ def minhash_lsh(ds, num_perm=64, bands=16, shingle_k=5, threshold=0.5,
                                  "band_hash": np.array(out_hash, dtype=np.uint64),
                                  id_col: out_id})
 
-    triples = ds.map_batches(BandEmitter, batch_format="pandas",
-                             batch_size=2048, concurrency=concurrency,
-                             num_cpus=1)
+    if concurrency is None:
+        triples = ds.map_batches(BandEmitter(), batch_format="pandas",
+                                 batch_size=2048)
+    else:
+        triples = ds.map_batches(BandEmitter, batch_format="pandas",
+                                 batch_size=2048, concurrency=concurrency,
+                                 num_cpus=1)
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(df[id_col].unique())
@@ -141,9 +149,40 @@ def minhash_lsh(ds, num_perm=64, bands=16, shingle_k=5, threshold=0.5,
         ia, ib = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
-    cand = triples.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
-    cand_pd = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
+    if band_grouping == "driver":
+        # vectorized run detection over the sorted band table — a
+        # python loop over ~n_docs*bands groups costs 10+s at 80k rows
+        tp = triples.to_pandas()
+        key = (tp["band_hash"].to_numpy().astype(np.uint64) ^
+               (tp["band_id"].to_numpy().astype(np.uint64) *
+                np.uint64(0x9E3779B97F4A7C15)))
+        ids_all = tp[id_col].to_numpy()
+        order = np.lexsort((ids_all, key))
+        ks = key[order]
+        ids_s = ids_all[order]
+        boundary = np.nonzero(np.diff(ks))[0] + 1
+        starts = np.concatenate([[0], boundary])
+        ends = np.concatenate([boundary, [len(ks)]])
+        pa_, pb_ = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            u = np.unique(ids_s[s:e])
+            if len(u) < 2:
+                continue
+            ia, ib = np.triu_indices(len(u), k=1)
+            pa_.append(u[ia])
+            pb_.append(u[ib])
+        if pa_:
+            cand_pd = pd.DataFrame({
+                "id_a": np.concatenate(pa_),
+                "id_b": np.concatenate(pb_)}).drop_duplicates()
+        else:
+            cand_pd = pd.DataFrame({"id_a": [], "id_b": []})
+    else:
+        cand = triples.groupby(["band_id", "band_hash"]).map_groups(
+            pairs, batch_format="pandas")
+        cand_pd = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
     if len(cand_pd) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),
@@ -161,7 +200,8 @@ def minhash_lsh(ds, num_perm=64, bands=16, shingle_k=5, threshold=0.5,
         return pd.DataFrame({id_col: sel[id_col].to_numpy(),
                              "shingles": [np.unique(s) for s in sets]})
 
-    store = ds.map_batches(collect, batch_format="pandas").to_pandas()
+    store = ds.map_batches(collect, batch_format="pandas",
+                           zero_copy_batch=True).to_pandas()
     lookup = dict(zip(store[id_col], store["shingles"]))
     jac = np.empty(len(cand_pd))
     for i, (a, b) in enumerate(zip(cand_pd["id_a"], cand_pd["id_b"])):

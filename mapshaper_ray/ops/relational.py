@@ -184,7 +184,29 @@ def broadcast_join(big_ds, small_df: pd.DataFrame, on, how="inner",
 
 
 def hash_join(left_ds, right_ds, on: str, how="inner", num_buckets=32,
-              left_cols=None, right_cols=None):
+              left_cols=None, right_cols=None, native=False):
+    """Large-large join.  Default: the explicit bucketed hash join below
+    — measured 16x FASTER than Ray 2.49's native ``Dataset.join`` at
+    sf0.1 (3.4s vs 55s; the native hash-shuffle spins up per-partition
+    aggregator actors whose startup dominates at this scale).  Pass
+    ``native=True`` for the built-in operator (the right choice when
+    both sides are far larger than the aggregator spin-up cost)."""
+    if native and hasattr(left_ds, "join"):
+        if left_cols:
+            left_ds = left_ds.select_columns(
+                list(dict.fromkeys(left_cols + [on])))
+        if right_cols:
+            right_ds = right_ds.select_columns(
+                list(dict.fromkeys(right_cols + [on])))
+        return left_ds.join(right_ds, join_type=how,
+                            num_partitions=num_buckets, on=(on,),
+                            right_suffix="_r")
+    return hash_join_bucketed(left_ds, right_ds, on, how, num_buckets,
+                              left_cols, right_cols)
+
+
+def hash_join_bucketed(left_ds, right_ds, on: str, how="inner",
+                       num_buckets=32, left_cols=None, right_cols=None):
     """Explicit partitioned hash join: bucket = hash(key) % B on both
     sides, union with a side tag, groupby bucket, merge per bucket.
     The portable large-large join pattern (one shuffle per side)."""

@@ -1,0 +1,149 @@
+"""-simplify over a layer Dataset — the user-facing mapshaper flow
+(`-i in.json -simplify 50% -o out.json`).
+
+Semantics (reference api.simplify, src/simplify/mapshaper-simplify.js:
+10-89): build shared-arc topology so adjacent features' common borders
+are ONE arc simplified once (no gaps/slivers between neighbors), compute
+per-vertex thresholds (VW default / DP), resolve the retained-percentage
+threshold with the exact global rank (src/paths/mapshaper-arcs.js:
+528-558), filter vertices, optionally protect shapes from collapse
+(keep-shapes), reassemble features.
+
+Ray shape: per-arc thresholding is an embarrassingly parallel
+``map_batches`` over an arcs Dataset; topology build + reassembly run
+driver-side at fixture scale and per spatial cell at 100 TB scale
+(SURVEY.md §2.6 buildTopology row)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..geom.keep_shapes import protect_shapes
+from ..geom.simplify import (dp_thresholds, removable_thresholds,
+                             threshold_by_pct, visvalingam_thresholds)
+from ..topo.arcs import ArcTable
+from ..topo.build import build_topology
+
+
+def _layer_features(df: pd.DataFrame):
+    """Layer-model polygon rows → list of ring-array lists (+ ring_poly
+    passthrough for reassembly)."""
+    feats = []
+    for _, row in df.iterrows():
+        rx = row["rings_x"] if row["rings_x"] is not None else []
+        ry = row["rings_y"] if row["rings_y"] is not None else []
+        feats.append([np.stack([np.asarray(x, float), np.asarray(y, float)],
+                               axis=1) for x, y in zip(rx, ry)] or None)
+    return feats
+
+
+def simplify_layer(ds, pct: float, method: str = "visvalingam",
+                   keep_shapes: bool = True):
+    """Polygon layer Dataset → simplified layer Dataset (same schema).
+
+    ``pct`` is the retained fraction of removable vertices (reference
+    percentage parameterization)."""
+    import ray.data as rd
+    df = ds.to_pandas().sort_values("feature_id").reset_index(drop=True)
+    feats = _layer_features(df)
+    arcs, shapes = build_topology(feats)
+
+    # per-arc thresholds: distributed map over the arcs table
+    items = []
+    for a in range(len(arcs.nn)):
+        i0 = int(arcs.ii[a])
+        n = int(arcs.nn[a])
+        items.append({"arc_id": a,
+                      "x": arcs.xx[i0:i0 + n].tolist(),
+                      "y": arcs.yy[i0:i0 + n].tolist()})
+    fn = visvalingam_thresholds if method == "visvalingam" else dp_thresholds
+
+    def thresh(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["z"] = [fn(np.asarray(x), np.asarray(y)).tolist()
+                  for x, y in zip(b["x"], b["y"])]
+        return b
+
+    zdf = rd.from_items(items).map_batches(thresh, batch_format="pandas") \
+            .to_pandas().sort_values("arc_id")
+    zz = {int(r["arc_id"]): np.asarray(r["z"], dtype=np.float64)
+          for _, r in zdf.iterrows()}
+
+    # exact global pct → interval over removable thresholds
+    removable = np.concatenate([removable_thresholds(z)
+                                for z in zz.values()]) \
+        if zz else np.empty(0)
+    zlimit = threshold_by_pct(removable, pct) if len(removable) else 0.0
+
+    if keep_shapes:
+        shape_rings = []
+        for shape in shapes:
+            rings = []
+            if shape:
+                for part in shape:
+                    xs, ys, zs = [], [], []
+                    for sid in part:
+                        aid = ~sid if sid < 0 else sid
+                        i0 = int(arcs.ii[aid])
+                        n = int(arcs.nn[aid])
+                        xs.append(arcs.xx[i0:i0 + n])
+                        ys.append(arcs.yy[i0:i0 + n])
+                        zs.append(zz[aid])
+                    rings.append({
+                        "x": np.concatenate(xs),
+                        "y": np.concatenate(ys),
+                        "z": np.concatenate(zs),
+                        "_parts": (part, [len(v) for v in zs])})
+            shape_rings.append(rings)
+        protect_shapes(shape_rings)
+        # write locked z back into the arc store
+        for rings in shape_rings:
+            for r in rings:
+                part, lens = r["_parts"]
+                off = 0
+                for sid, ln in zip(part, lens):
+                    aid = ~sid if sid < 0 else sid
+                    seg = np.asarray(r["z"][off:off + ln])
+                    zz[aid] = np.maximum(zz[aid], seg)
+                    off += ln
+
+    # filter arcs at zlimit and reassemble features
+    def arc_coords(sid):
+        aid = ~sid if sid < 0 else sid
+        i0 = int(arcs.ii[aid])
+        n = int(arcs.nn[aid])
+        m = zz[aid] >= zlimit
+        m[0] = m[-1] = True  # endpoints always retained
+        x = arcs.xx[i0:i0 + n][m]
+        y = arcs.yy[i0:i0 + n][m]
+        if sid < 0:
+            x, y = x[::-1], y[::-1]
+        return x, y
+
+    out_rx, out_ry, out_rp = [], [], []
+    for fi, shape in enumerate(shapes):
+        rx_row, ry_row = [], []
+        rp_row = list(df.iloc[fi]["ring_poly"]
+                      if df.iloc[fi]["ring_poly"] is not None else [])
+        if shape:
+            for part in shape:
+                xs, ys = [], []
+                for k, sid in enumerate(part):
+                    x, y = arc_coords(sid)
+                    if k:
+                        x, y = x[1:], y[1:]
+                    xs.append(x)
+                    ys.append(y)
+                x = np.concatenate(xs)
+                y = np.concatenate(ys)
+                rx_row.append(x.tolist())
+                ry_row.append(y.tolist())
+        out_rx.append(rx_row)
+        out_ry.append(ry_row)
+        out_rp.append(rp_row[:len(rx_row)] or [0] * len(rx_row))
+    out = df.copy()
+    out["rings_x"] = out_rx
+    out["rings_y"] = out_ry
+    out["ring_poly"] = out_rp
+    return rd.from_pandas(out)

@@ -1,0 +1,83 @@
+"""User-facing -simplify over a layer: shared borders stay shared
+(the mapshaper guarantee — no gaps between adjacent polygons)."""
+
+import json
+
+import numpy as np
+
+from mapshaper_ray.pipelines.simplify_layer import simplify_layer
+from mapshaper_ray.sources.geojson import read_geojson, write_geojson
+
+
+def _wiggly_border_fc():
+    """Two polygons sharing a wiggly vertical border at x~5."""
+    t = np.linspace(0, 10, 21)
+    border = [[5 + 0.3 * np.sin(v * 2.1), v] for v in t]
+    left = [[0, 0]] + border + [[0, 10], [0, 0]]
+    right = [[10, 0]] + border + [[10, 10], [10, 0]]
+    right = [right[0]] + border + [[10, 10], [10, 0]]
+    # proper rings: left = (0,0) -> border up -> (0,10) -> close
+    left_ring = [[0.0, 0.0]] + border + [[0.0, 10.0], [0.0, 0.0]]
+    right_ring = [[10.0, 0.0]] + border + [[10.0, 10.0], [10.0, 0.0]]
+    return {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"side": "L"},
+         "geometry": {"type": "Polygon", "coordinates": [left_ring]}},
+        {"type": "Feature", "properties": {"side": "R"},
+         "geometry": {"type": "Polygon", "coordinates": [right_ring]}},
+    ]}
+
+
+def test_shared_border_identical_after_simplify(ray_session, tmp_path):
+    src = tmp_path / "in.json"
+    src.write_text(json.dumps(_wiggly_border_fc()))
+    ds = read_geojson(str(src))
+    out = simplify_layer(ds, pct=0.3).to_pandas().sort_values("feature_id")
+
+    def border_coords(row):
+        x = np.asarray(row["rings_x"][0])
+        y = np.asarray(row["rings_y"][0])
+        m = (x > 2) & (x < 8)  # the wiggly border region
+        return set(zip(np.round(x[m], 9), np.round(y[m], 9)))
+
+    bl = border_coords(out.iloc[0])
+    br = border_coords(out.iloc[1])
+    assert bl == br, "shared border must be simplified identically"
+    # vertices actually removed
+    n_after = len(out.iloc[0]["rings_x"][0])
+    assert n_after < 24
+
+
+def test_simplify_keep_shapes(ray_session, tmp_path):
+    """A tiny polygon survives aggressive simplification."""
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"n": "big"},
+         "geometry": {"type": "Polygon", "coordinates":
+                      [[[0, 0], [10, 0], [10, 10], [5, 11], [0, 10],
+                        [0, 0]]]}},
+        {"type": "Feature", "properties": {"n": "tiny"},
+         "geometry": {"type": "Polygon", "coordinates":
+                      [[[20, 0], [20.1, 0], [20.1, 0.1], [20.05, 0.12],
+                        [20, 0.1], [20, 0]]]}},
+    ]}
+    src = tmp_path / "k.json"
+    src.write_text(json.dumps(fc))
+    ds = read_geojson(str(src))
+    out = simplify_layer(ds, pct=0.01, keep_shapes=True).to_pandas() \
+        .sort_values("feature_id")
+    from mapshaper_ray.geom.kernels import planar_ring_area
+    for _, row in out.iterrows():
+        x = np.asarray(row["rings_x"][0])
+        y = np.asarray(row["rings_y"][0])
+        assert abs(planar_ring_area(x, y)) > 1e-10, \
+            f"{row['n']} collapsed"
+
+
+def test_roundtrip_simplified_geojson(ray_session, tmp_path):
+    src = tmp_path / "in.json"
+    src.write_text(json.dumps(_wiggly_border_fc()))
+    out_path = tmp_path / "out.json"
+    write_geojson(simplify_layer(read_geojson(str(src)), pct=0.5),
+                  str(out_path))
+    got = json.loads(out_path.read_text())
+    assert len(got["features"]) == 2
+    assert got["features"][0]["geometry"]["type"] == "Polygon"
