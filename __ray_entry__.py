@@ -422,6 +422,46 @@ def _q31_dissolve2(sf_dir: str):
     return out.sort_values("grp").reset_index(drop=True)
 
 
+def _q32_dissolve_layer(sf_dir: str):
+    """Layer-level -dissolve with attribute aggregation + melted
+    borders over a generated grid."""
+    from mapshaper_ray.ops.features import add_polygon_metrics
+    from mapshaper_ray.ops.generate import polygon_grid
+    from mapshaper_ray.pipelines.overlay import dissolve_layer
+
+    grid = polygon_grid(6, 6, bbox=(0, 0, 6, 6))
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["grp"] = "g" + ((df["col"] * 2654435761) % 4).astype(str)
+        df["v"] = 1
+        return df
+    keyed = grid.map_batches(key, batch_format="pandas")
+    out = dissolve_layer(keyed, "grp", sum_fields=("v",))
+    out = add_polygon_metrics(out).to_pandas()
+    out["area"] = out["area"].round(6)
+    return out[["grp", "v", "area"]].sort_values("grp") \
+        .reset_index(drop=True)
+
+
+def _q33_clip_layer(sf_dir: str):
+    """General polygon clip: grid cells x rotated-square clip region."""
+    from mapshaper_ray.ops.features import add_polygon_metrics
+    from mapshaper_ray.ops.generate import polygon_grid
+    from mapshaper_ray.pipelines.overlay import clip_layer
+    import ray.data as rd
+    grid = polygon_grid(4, 4, bbox=(0, 0, 4, 4))
+    clip = rd.from_items([{
+        "feature_id": 0,
+        "rings_x": [[2.0, 3.5, 2.0, 0.5, 2.0]],
+        "rings_y": [[0.5, 2.0, 3.5, 2.0, 0.5]],
+        "ring_poly": [0]}])
+    out = add_polygon_metrics(clip_layer(grid, clip)).to_pandas()
+    out["area"] = out["area"].round(6)
+    return out[["feature_id", "row", "col", "area"]] \
+        .sort_values("feature_id").reset_index(drop=True)
+
+
 def _q28_image_features(sf_dir: str):
     """Multimodal plumbing: binary payload -> decoded metadata +
     feature vector (deterministic fake decoder; real codec stubbed)."""
@@ -495,6 +535,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q26_innerlines": _q26_innerlines,
         "q27_split_on_grid": _q27_split_on_grid,
         "q31_dissolve2": _q31_dissolve2,
+        "q32_dissolve_layer": _q32_dissolve_layer,
+        "q33_clip_layer": _q33_clip_layer,
         "q28_image_features": _q28_image_features,
         "q29_video_frames": _q29_video_frames,
         "q30_nearest_within": _q30_nearest_within,

@@ -98,6 +98,9 @@ from .stages.multimodal import (decode_images, featurize_audio,
 
 # --- pipelines --------------------------------------------------------------
 from .pipelines.simplify_layer import simplify_layer  # -simplify (layer)
+from .pipelines.overlay import (clip_layer,  # -clip (general polygon)
+                                dissolve_layer,  # -dissolve (layer)
+                                erase_layer)  # -erase (general polygon)
 from .pipelines.flagship import (build_pipeline, build_pipeline_from_parquet,
                                  flagship_counts,
                                  flagship_counts_from_parquet,

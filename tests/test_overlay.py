@@ -1,0 +1,85 @@
+"""Layer-level dissolve / clip / erase (general polygon boolean)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from mapshaper_ray.ops.features import add_polygon_metrics
+from mapshaper_ray.pipelines.overlay import (clip_layer, dissolve_layer,
+                                             erase_layer)
+from mapshaper_ray.sources.geojson import read_geojson
+
+
+def _grid_fc(grid=3, groups=("a", "b")):
+    feats = []
+    for i in range(grid * grid):
+        r, c = divmod(i, grid)
+        x0, y0 = float(c), float(r)
+        feats.append({
+            "type": "Feature",
+            "properties": {"grp": groups[c % len(groups)], "v": 1},
+            "geometry": {"type": "Polygon", "coordinates":
+                         [[[x0, y0], [x0 + 1, y0], [x0 + 1, y0 + 1],
+                           [x0, y0 + 1], [x0, y0]]]}})
+    return {"type": "FeatureCollection", "features": feats}
+
+
+def _rect_fc(x0, y0, x1, y1):
+    return {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {},
+         "geometry": {"type": "Polygon", "coordinates":
+                      [[[x0, y0], [x1, y0], [x1, y1], [x0, y1],
+                        [x0, y0]]]}}]}
+
+
+def test_dissolve_layer(ray_session, tmp_path):
+    src = tmp_path / "g.json"
+    src.write_text(json.dumps(_grid_fc(3)))
+    ds = read_geojson(str(src))
+    out = dissolve_layer(ds, "grp", sum_fields=("v",))
+    df = add_polygon_metrics(out).to_pandas().sort_values("grp")
+    # column groups: 'a' = cols 0,2 (6 cells), 'b' = col 1 (3 cells)
+    assert list(df["grp"]) == ["a", "b"]
+    assert list(df["v"]) == [6, 3]
+    assert np.allclose(sorted(df["area"]), [3.0, 6.0])
+    # 'a' is two disjoint columns -> 2 rings; 'b' one ring
+    assert len(df[df["grp"] == "a"].iloc[0]["rings_x"]) == 2
+    assert len(df[df["grp"] == "b"].iloc[0]["rings_x"]) == 1
+
+
+def test_clip_layer(ray_session, tmp_path):
+    t = tmp_path / "t.json"
+    t.write_text(json.dumps(_grid_fc(2, groups=("g",))))
+    c = tmp_path / "c.json"
+    c.write_text(json.dumps(_rect_fc(0.5, 0.5, 1.5, 1.5)))
+    out = clip_layer(read_geojson(str(t)), read_geojson(str(c)))
+    df = add_polygon_metrics(out).to_pandas()
+    # each of the 4 unit cells keeps a 0.5x0.5 corner
+    assert len(df) == 4
+    assert np.allclose(df["area"], 0.25)
+
+
+def test_erase_layer(ray_session, tmp_path):
+    t = tmp_path / "t.json"
+    t.write_text(json.dumps(_grid_fc(2, groups=("g",))))
+    c = tmp_path / "c.json"
+    c.write_text(json.dumps(_rect_fc(0.5, 0.5, 1.5, 1.5)))
+    out = erase_layer(read_geojson(str(t)), read_geojson(str(c)))
+    df = add_polygon_metrics(out).to_pandas()
+    assert len(df) == 4
+    assert np.allclose(df["area"], 0.75)
+    # total: clip + erase partition each feature exactly
+    assert np.isclose(df["area"].sum() + 4 * 0.25, 4.0)
+
+
+def test_clip_disjoint(ray_session, tmp_path):
+    t = tmp_path / "t.json"
+    t.write_text(json.dumps(_grid_fc(1, groups=("g",))))
+    c = tmp_path / "c.json"
+    c.write_text(json.dumps(_rect_fc(10, 10, 11, 11)))
+    out = clip_layer(read_geojson(str(t)), read_geojson(str(c)))
+    assert out.count() == 0
+    out2 = erase_layer(read_geojson(str(t)), read_geojson(str(c)))
+    df = add_polygon_metrics(out2).to_pandas()
+    assert len(df) == 1 and np.isclose(df["area"].iloc[0], 1.0)
