@@ -113,5 +113,7 @@ from .topo.mosaic import (clean_layer,  # -clean
 from .ops.neighbors import (cluster_polygons,  # -cluster
                             data_fill,  # -data-fill
                             neighbor_edges)  # polygon-neighbors graph
+from .ops.anchor import (anchor_point, anchor_points,  # -points inner
+                         stitch_antimeridian)  # -stitch
 from .geom.keep_shapes import (protect_shapes,  # -simplify keep-shapes
                                repair_intersections)  # post-simplify repair
