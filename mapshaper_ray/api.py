@@ -61,6 +61,9 @@ from .ops.clip import (clip_bbox,  # -clip bbox=
 from .ops.knn import (nearest_join,  # point->point join (PointIndex repl.)
                       nearest_join_shuffle)
 from .state.path_index import PathIndex
+from .state.polygon_index import PolygonIndex  # per-ring x-bucket PIP
+from .ops.colorizer import (colorize, make_colorizer,  # -colorizer
+                            svg_style)  # -svg-style
 
 # --- topology (§2.6) --------------------------------------------------------
 from .topo.build import build_topology  # buildTopology

@@ -39,12 +39,18 @@ def _layer_features(df: pd.DataFrame):
 
 
 def simplify_layer(ds, pct: float, method: str = "visvalingam",
-                   keep_shapes: bool = True):
+                   keep_shapes: bool = True, spherical: bool = False,
+                   weighting: float | None = None):
     """Polygon layer Dataset → simplified layer Dataset (same schema).
 
     ``pct`` is the retained fraction of removable vertices (reference
-    percentage parameterization)."""
+    percentage parameterization).  ``spherical=True`` computes
+    thresholds on the unit sphere (reference default for lat-lon data);
+    ``weighting`` applies the weighted-VW (-cos*k + 1) metric
+    (reference default weighting 0.7 for visual smoothing)."""
     import ray.data as rd
+
+    from ..geom.simplify import spherical_thresholds
     df = ds.to_pandas().sort_values("feature_id").reset_index(drop=True)
     feats = _layer_features(df)
     arcs, shapes = build_topology(feats)
@@ -57,7 +63,17 @@ def simplify_layer(ds, pct: float, method: str = "visvalingam",
         items.append({"arc_id": a,
                       "x": arcs.xx[i0:i0 + n].tolist(),
                       "y": arcs.yy[i0:i0 + n].tolist()})
-    fn = visvalingam_thresholds if method == "visvalingam" else dp_thresholds
+
+    if spherical:
+        def fn(x, y):
+            return spherical_thresholds(
+                x, y, method="dp" if method == "dp" else "visvalingam",
+                weighting=weighting)
+    elif method == "dp":
+        fn = dp_thresholds
+    else:
+        def fn(x, y):
+            return visvalingam_thresholds(x, y, weighting=weighting)
 
     def thresh(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
