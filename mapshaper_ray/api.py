@@ -22,6 +22,7 @@ from .sources.geojson import (read_geojson,  # -i .json
                               write_geojson_shards)
 from .sources.shapefile import (read_shapefile,  # -i .shp (+.shx/.dbf)
                                 write_shapefile)  # -o .shp
+from .sources.svg import write_svg  # -o .svg
 from .sources.topojson import (read_topojson,  # -i .topojson
                                write_topojson)  # -o format=topojson
 
@@ -112,7 +113,8 @@ from .pipelines.flagship import (build_pipeline, build_pipeline_from_parquet,
 
 from .topo.mosaic import (clean_layer,  # -clean
                           dissolve2,  # -dissolve2
-                          polygon_mosaic)  # -mosaic
+                          polygon_mosaic,  # -mosaic
+                          polygons_from_lines)  # -polygons
 from .ops.neighbors import (cluster_polygons,  # -cluster
                             data_fill,  # -data-fill
                             neighbor_edges)  # polygon-neighbors graph

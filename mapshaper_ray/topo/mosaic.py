@@ -319,6 +319,47 @@ def dissolve2(features, keys, gap_max_area=0.0):
     return out
 
 
+def polygons_from_lines(line_parts, close_gaps: float = 0.0):
+    """-polygons (src/commands/mapshaper-polygons.js:3): enclosed faces
+    of a polyline network → polygon rings.  ``close_gaps`` snaps
+    dangling endpoints within that distance before the face walk
+    (src/topology/mapshaper-gaps.js behavior for small gaps)."""
+    from .snap import snap_coords_by_interval
+    paths = [np.asarray(p, dtype=np.float64) for p in line_parts if len(p)]
+    if not paths:
+        return []
+    if close_gaps > 0:
+        flat = np.concatenate(paths)
+        xs = flat[:, 0].copy()
+        ys = flat[:, 1].copy()
+        snap_coords_by_interval(xs, ys, close_gaps)
+        out = []
+        off = 0
+        for p in paths:
+            out.append(np.stack([xs[off:off + len(p)],
+                                 ys[off:off + len(p)]], axis=1))
+            off += len(p)
+        paths = out
+    base = ArcTable.from_coord_lists(paths)
+    cut, _, _ = add_intersection_cuts(base)
+    pieces = []
+    for a in range(len(cut.nn)):
+        i0 = cut.ii[a]
+        m = cut.nn[a]
+        pieces.append(np.stack([cut.xx[i0:i0 + m], cut.yy[i0:i0 + m]],
+                               axis=1))
+    arcs = _split_and_dedupe(pieces)
+    rings = []
+    for cycle in _face_cycles(arcs):
+        x, y = _face_coords(arcs, cycle)
+        if len(x) < 4:
+            continue
+        area = planar_ring_area(x, y)
+        if area < -1e-12:  # bounded faces (kernel CW-positive)
+            rings.append({"x": x, "y": y, "area": float(-area)})
+    return rings
+
+
 def clean_layer(features, keys=None):
     """-clean: repair overlaps/gaps, one group per original feature
     (src/commands/mapshaper-clean.js:3-19)."""

@@ -69,3 +69,31 @@ def test_clean_identity_on_clean_input():
     out = clean_layer([[sq(0, 0)], [sq(2, 0)]])
     assert np.isclose(out[0]["area"], 4.0)
     assert np.isclose(out[1]["area"], 4.0)
+
+
+def test_polygons_from_lines():
+    from mapshaper_ray.topo.mosaic import polygons_from_lines
+    # four separate line segments forming a square outline + a diagonal
+    lines = [
+        np.array([[0, 0], [2, 0]], float),
+        np.array([[2, 0], [2, 2]], float),
+        np.array([[2, 2], [0, 2]], float),
+        np.array([[0, 2], [0, 0]], float),
+        np.array([[0, 0], [2, 2]], float),
+    ]
+    rings = polygons_from_lines(lines)
+    # diagonal splits the square into two triangles
+    assert len(rings) == 2
+    assert np.allclose(sorted(r["area"] for r in rings), [2.0, 2.0])
+
+
+def test_polygons_from_lines_gap_closing():
+    from mapshaper_ray.topo.mosaic import polygons_from_lines
+    # square outline with a tiny gap at one corner
+    lines = [
+        np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0.01]], float),
+    ]
+    assert polygons_from_lines(lines) == []           # open: no face
+    rings = polygons_from_lines(lines, close_gaps=0.05)
+    assert len(rings) == 1
+    assert np.isclose(rings[0]["area"], 2 * 2, atol=0.1)
