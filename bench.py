@@ -60,7 +60,8 @@ def run_benchmarks():
     # scheduler ramp
     headline = float("inf")
     n_out = 0
-    for _ in range(2):
+    n_reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+    for _ in range(n_reps):
         t0 = time.time()
         out = flagship_counts_from_parquet(PAGES_DIR)
         n_out = out.count()
@@ -125,16 +126,30 @@ def run_scaling():
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
-    r_lo = one(lo)
-    r_hi = one(hi)
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", str(4 * lo)))
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
+    # alternate configs and keep each config's BEST run: single-shot
+    # pairs on a shared noisy box compare one config's lucky run against
+    # the other's unlucky one (observed 0.65..0.82 swings for identical
+    # code); best-per-config measures each config's steady-state
+    # capability on the same input
+    lo_runs = []
+    hi_runs = []
+    for _ in range(rounds):
+        lo_runs.append(one(lo))
+        hi_runs.append(one(hi))
+    r_lo = min(lo_runs, key=lambda r: r["value"])
+    r_hi = min(hi_runs, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     print(json.dumps({
-        "metric": "scaling efficiency (N=8 vs 4N=32 cpus, flagship)",
-        "sec_8": t_lo, "sec_32": t_hi,
-        "pages_per_sec_8": r_lo["pages_per_sec"],
-        "pages_per_sec_32": r_hi["pages_per_sec"],
+        "metric": f"scaling efficiency (N={lo} vs 4N={hi} cpus, flagship)",
+        f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
+        f"sec_{lo}_runs": [r["value"] for r in lo_runs],
+        f"sec_{hi}_runs": [r["value"] for r in hi_runs],
+        f"pages_per_sec_{lo}": r_lo["pages_per_sec"],
+        f"pages_per_sec_{hi}": r_hi["pages_per_sec"],
         "scaling_efficiency": round(eff, 3),
     }))
 

@@ -20,17 +20,11 @@ polygon case here is rectangle-only and says so.
 """
 
 from __future__ import annotations
+from ..sources.layers import nz as _nz
 
 import numpy as np
 import pandas as pd
 
-
-def _nz(v):
-    """None-safe sequence coercion — never ``v or []`` on values that may
-    be numpy arrays (falsy/ambiguous truthiness)."""
-    if v is None:
-        return []
-    return list(v)
 
 from ..state.path_index import PathIndex
 

@@ -6,6 +6,7 @@ stages; per-ring math is numpy over the materialized ring arrays.
 """
 
 from __future__ import annotations
+from ..sources.layers import nz as _nz
 
 import numpy as np
 import pandas as pd
@@ -13,13 +14,6 @@ import pandas as pd
 from ..geom.kernels import planar_ring_area, ring_centroid
 from ..sources.layers import geom_type_of
 
-
-def _nz(v):
-    """None-safe sequence coercion — never ``v or []`` on values that may
-    be numpy arrays (falsy/ambiguous truthiness)."""
-    if v is None:
-        return []
-    return list(v)
 
 
 def _rings(row):

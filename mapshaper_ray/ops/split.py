@@ -14,17 +14,11 @@
 """
 
 from __future__ import annotations
+from ..sources.layers import nz as _nz
 
 import numpy as np
 import pandas as pd
 
-
-def _nz(v):
-    """None-safe sequence coercion — never ``v or []`` on values that may
-    be numpy arrays (falsy/ambiguous truthiness)."""
-    if v is None:
-        return []
-    return list(v)
 
 
 def split_by_field(ds, field: str, out_dir: str):

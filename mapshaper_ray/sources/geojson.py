@@ -17,6 +17,7 @@ shards for scale (one file per block, resumable).
 """
 
 from __future__ import annotations
+from .layers import nz as _nz
 
 import json
 
@@ -218,15 +219,6 @@ def _fmt_coord(v: float, decimals: int | None):
         return int(v)
     return v
 
-
-def _nz(v):
-    """None-safe sequence coercion.  NEVER ``v or []``: a numpy
-    array([0]) is falsy (bool of its single element) and silently drops
-    geometry — found the hard way when ring_poly came back as a Ray
-    tensor-extension column after a pandas-stage roundtrip."""
-    if v is None:
-        return []
-    return list(v)
 
 
 def _render_rows(batch: pa.Table, decimals=None) -> list[tuple[int, str]]:

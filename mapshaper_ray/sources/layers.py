@@ -118,3 +118,12 @@ def point_table(feature_ids, px, py, attrs=None):
         cols[name] = vals if isinstance(vals, (pa.Array, pa.ChunkedArray)) \
             else pa.array(vals)
     return pa.table(cols)
+
+
+def nz(v):
+    """None-safe sequence coercion.  NEVER write ``v or []`` on a value
+    that may be a numpy array: ``array([0])`` is falsy (bool of its one
+    element) and a longer array raises — both bit this codebase."""
+    if v is None:
+        return []
+    return list(v)

@@ -12,6 +12,7 @@ offset-dependent, SURVEY.md §2.1 Shapefile writer row).
 """
 
 from __future__ import annotations
+from .layers import nz as _nz
 
 import struct
 
@@ -258,9 +259,6 @@ def read_shapefile(path: str, shard_records: int = 2048):
 # ---------------------------------------------------------------------------
 # dataset-level write (single-writer sink)
 
-def _nz(v):
-    """None-safe list coercion (pandas hands back numpy object arrays)."""
-    return [] if v is None else list(v)
 
 
 def _feature_parts(row, gt):

@@ -12,6 +12,7 @@ single-writer step, ordered by feature_id.
 """
 
 from __future__ import annotations
+from .layers import nz as _nz
 
 import numpy as np
 import pandas as pd
@@ -19,9 +20,6 @@ import pandas as pd
 STYLE_FIELDS = ("stroke", "stroke-width", "fill", "opacity", "r", "class")
 
 
-def _nz(v):
-    """None-safe list coercion (never `v or []` on possible numpy arrays)."""
-    return [] if v is None else list(v)
 _STYLE_ALIASES = {"stroke_width": "stroke-width"}
 
 
