@@ -67,7 +67,9 @@ from .ops.colorizer import (colorize, make_colorizer,  # -colorizer
                             svg_style)  # -svg-style
 
 # --- topology (§2.6) --------------------------------------------------------
-from .topo.build import build_topology  # buildTopology
+from .topo.build import build_topology  # buildTopology (in-process kernel)
+from .topo.build_distributed import (build_topology_ds,  # 2-shuffle variant
+                                     find_junctions_ds)
 from .topo.cuts import (add_intersection_cuts,  # addIntersectionCuts
                         find_intersections,
                         find_intersections_ds)

@@ -1,0 +1,150 @@
+"""Distributed shared-arc topology build — the two-shuffle variant of
+buildTopology (SURVEY.md §2.6 row 1; reference algorithm
+src/topology/mapshaper-topology.js:11-229 done in one process, here as
+Ray Data exchanges):
+
+  stage 1  vertex shuffle: every path vertex emits its quantized
+           coordinate key; a groupby over keys finds JUNCTIONS —
+           vertices used by >2 path-neighborhoods or used twice with
+           different neighbor sets (the reference's point-chain +
+           neighbor test, mapshaper-topology-chains-v2.js:27).
+  stage 2  per-feature path cutting against the broadcast junction set
+           (map_batches — same `_cut_path` kernel as the in-process
+           builder), emitting candidate arcs keyed by their canonical
+           coordinate run; a groupby on the arc key DEDUPES twin arcs
+           (forward == reversed, mapshaper-arc-index.js:15-31) and
+           assigns global arc ids.
+  stage 3  features re-emit their paths as signed arc-id sequences by
+           looking up the broadcast arc-id map.
+
+Equivalence to the in-process builder is asserted in tests (same arc
+count, same per-feature ring geometry).  At 100 TB the junction set and
+arc-id map are the only driver-side artifacts; both are O(borders), not
+O(vertices) — and can themselves stay distributed (broadcast via
+ray.put) when large.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .arcs import ArcTable
+from .build import _cut_path, _neighbor_key, _rotate_ring
+
+
+def _vertex_rows(df: pd.DataFrame, closed: bool) -> pd.DataFrame:
+    """Per-path vertex emission with neighbor keys (the reference's
+    junction test needs each use's neighborhood)."""
+    out_key, out_nbr, out_end = [], [], []
+    for _, row in df.iterrows():
+        pts = [tuple(p) for p in zip(row["x"], row["y"])]
+        n = len(pts)
+        if n == 0:
+            continue
+        ring = closed and pts[0] == pts[-1]
+        for i, pt in enumerate(pts[:-1] if ring else pts):
+            if ring:
+                prev_pt = pts[i - 1] if i > 0 else pts[-2]
+                next_pt = pts[(i + 1) % (n - 1)]
+                is_end = False
+            else:
+                prev_pt = pts[i - 1] if i > 0 else None
+                next_pt = pts[i + 1] if i < n - 1 else None
+                is_end = prev_pt is None or next_pt is None
+            out_key.append(f"{pt[0]!r}_{pt[1]!r}")
+            out_nbr.append(repr(_neighbor_key(prev_pt, next_pt)))
+            out_end.append(is_end)
+    return pd.DataFrame({"vkey": out_key, "nbr": out_nbr,
+                         "is_end": out_end})
+
+
+def find_junctions_ds(features_ds, closed=True):
+    """Stage 1: distributed junction detection.  Returns the set of
+    junction (x, y) tuples (driver-side set; O(junctions))."""
+    emit = features_ds.map_batches(
+        lambda df: _vertex_rows(df, closed), batch_format="pandas")
+
+    def judge(df: pd.DataFrame) -> pd.DataFrame:
+        # mirror the in-process rule (topo/build.find_junctions): a
+        # vertex is a junction when it occurs with more than one
+        # distinct unordered neighbor pair, or is an open-path endpoint
+        is_junction = df["nbr"].nunique() > 1 or bool(df["is_end"].any())
+        return pd.DataFrame([{"vkey": df["vkey"].iloc[0],
+                              "junction": bool(is_junction)}])
+
+    verdicts = emit.groupby("vkey").map_groups(judge,
+                                               batch_format="pandas") \
+                   .to_pandas()
+    out = set()
+    for _, r in verdicts[verdicts["junction"]].iterrows():
+        xs, ys = r["vkey"].split("_")
+        out.add((float(xs), float(ys)))
+    return out
+
+
+def build_topology_ds(features_ds, closed=True):
+    """Full distributed build.  features_ds rows: {feature_id, x, y}
+    (one ring/path per row; multi-part features = multiple rows with
+    the same feature_id and a part_id).
+
+    Returns (ArcTable, shapes_df) where shapes_df maps each input row to
+    its signed arc-id sequence — identical semantics to
+    topo.build.build_topology."""
+    import ray
+
+    junctions = find_junctions_ds(features_ds, closed)
+    # endpoints of open paths are implicit junctions (reference
+    # convertPath behavior)
+    jref = ray.put(junctions)
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        junc = ray.get(jref)
+        rows = []
+        for _, row in df.iterrows():
+            pts = [tuple(p) for p in zip(row["x"], row["y"])]
+            is_ring = closed and len(pts) > 1 and pts[0] == pts[-1]
+            runs = _cut_path(pts, is_ring, junc)  # rotates rings itself
+            for k, run in enumerate(runs):
+                fwd = tuple(run)
+                rev = tuple(reversed(run))
+                canon = min(fwd, rev)
+                rows.append({
+                    "feature_id": row["feature_id"],
+                    "part_seq": row.get("part_id", 0),
+                    "run_seq": k,
+                    "arc_key": repr(canon),
+                    "reversed": fwd != canon,
+                    "coords_x": [p[0] for p in run],
+                    "coords_y": [p[1] for p in run],
+                })
+        return pd.DataFrame(rows)
+
+    runs = features_ds.map_batches(cut, batch_format="pandas").to_pandas()
+    if len(runs) == 0:
+        return ArcTable(np.empty(0), np.empty(0),
+                        np.empty(0, np.int64)), pd.DataFrame()
+
+    # stage 2: dedupe twin arcs on the canonical key, assign global ids
+    # deterministically (sorted keys — partition-order independent)
+    uniq = runs.drop_duplicates("arc_key").sort_values("arc_key") \
+               .reset_index(drop=True)
+    arc_ids = {k: i for i, k in enumerate(uniq["arc_key"])}
+    coords = []
+    for _, r in uniq.iterrows():
+        x = np.asarray(r["coords_x"], dtype=np.float64)
+        y = np.asarray(r["coords_y"], dtype=np.float64)
+        if r["reversed"]:
+            x, y = x[::-1], y[::-1]
+        coords.append(np.stack([x, y], axis=1))
+    arcs = ArcTable.from_coord_lists(coords)
+
+    # stage 3: signed arc refs per input row
+    runs = runs.sort_values(["feature_id", "part_seq", "run_seq"])
+    runs["arc_id"] = runs["arc_key"].map(arc_ids)
+    runs["signed_id"] = np.where(runs["reversed"],
+                                 ~runs["arc_id"].astype(np.int64),
+                                 runs["arc_id"].astype(np.int64))
+    shapes = runs.groupby(["feature_id", "part_seq"], sort=True)[
+        "signed_id"].apply(list).reset_index()
+    return arcs, shapes
