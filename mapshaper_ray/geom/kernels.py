@@ -269,8 +269,11 @@ def segment_intersection(ax, ay, bx, by, cx, cy, dx, dy):
     o2 = orient(ax, ay, bx, by, dx, dy)
     o3 = orient(cx, cy, dx, dy, ax, ay)
     o4 = orient(cx, cy, dx, dy, bx, by)
-    if ((o1 > 0) != (o2 > 0) or o1 == 0 or o2 == 0) and \
-       ((o3 > 0) != (o4 > 0) or o3 == 0 or o4 == 0):
+    strict = (o1 > 0) != (o2 > 0) and o1 != 0 and o2 != 0 and \
+             (o3 > 0) != (o4 > 0) and o3 != 0 and o4 != 0
+    touching = ((o1 > 0) != (o2 > 0) or o1 == 0 or o2 == 0) and \
+               ((o3 > 0) != (o4 > 0) or o3 == 0 or o4 == 0)
+    if strict or touching:
         den = (bx - ax) * (dy - cy) - (by - ay) * (dx - cx)
         if den == 0:
             return None  # collinear / parallel
@@ -279,7 +282,13 @@ def segment_intersection(ax, ay, bx, by, cx, cy, dx, dy):
             return None
         x = ax + t * (bx - ax)
         y = ay + t * (by - ay)
-        # confirm the hit lies within cd's bbox (guards endpoint-touch cases)
+        if strict:
+            # both orientation pairs strictly flip: the crossing is
+            # mathematically interior to both segments — an exact bbox
+            # re-check can reject it on 1-ULP rounding of t along AB
+            # (measured: lost a true crossing, dropping a mosaic face)
+            return (x, y)
+        # endpoint-touch cases: confirm the hit lies within cd's bbox
         if min(cx, dx) <= x <= max(cx, dx) and min(cy, dy) <= y <= max(cy, dy):
             return (x, y)
     return None

@@ -97,3 +97,35 @@ def test_polygons_from_lines_gap_closing():
     rings = polygons_from_lines(lines, close_gaps=0.05)
     assert len(rings) == 1
     assert np.isclose(rings[0]["area"], 2 * 2, atol=0.1)
+
+
+@pytest.mark.parametrize("seed", [17, 23, 41, 77])
+def test_dissolve2_union_area_monte_carlo(seed):
+    """Property check with an independent method: dissolve2 total area
+    over random overlapping rects == Monte-Carlo union area estimate.
+    (seed 17 caught a real bug: the intersection kernel's exact bbox
+    guard dropped a 1-ULP-overshot crossing, losing a mosaic face.)"""
+    from mapshaper_ray.geom.kernels import points_in_shape
+    from mapshaper_ray.topo.mosaic import dissolve2
+    rng = np.random.RandomState(seed)
+    feats = []
+    for _ in range(8):
+        x0, y0 = rng.uniform(0, 6, 2)
+        w, h = rng.uniform(1, 3, 2)
+        feats.append([np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                                [x0, y0 + h], [x0, y0]])])
+    out = dissolve2(feats, keys=["g"] * len(feats))
+    got = out["g"]["area"]
+    # Monte Carlo union estimate over the bounding box
+    allx = np.concatenate([f[0][:, 0] for f in feats])
+    ally = np.concatenate([f[0][:, 1] for f in feats])
+    bx0, bx1 = allx.min(), allx.max()
+    by0, by1 = ally.min(), ally.max()
+    n = 200_000
+    px = rng.uniform(bx0, bx1, n)
+    py = rng.uniform(by0, by1, n)
+    inside = np.zeros(n, dtype=bool)
+    for f in feats:
+        inside |= points_in_shape(px, py, [(f[0][:, 0], f[0][:, 1])]) != 0
+    est = inside.mean() * (bx1 - bx0) * (by1 - by0)
+    assert abs(got - est) / est < 0.02, (got, est)
