@@ -102,10 +102,12 @@ def _overlay(df_target: pd.DataFrame, clip_feats, keep_inside_clip: bool):
             if clip_rings else False
         if in_clip != keep_inside_clip:
             continue
+        # a tile joins EVERY containing target feature: the reference
+        # clips each feature independently, so overlapping targets keep
+        # their overlap in the output (unlike dissolve2's first-match)
         for fi, rings in enumerate(tgt_rings):
             if rings and points_in_shape(pin[0], pin[1], rings)[0]:
                 per_feature_tiles.setdefault(fi, []).append(t)
-                break
 
     rows = []
     for fi, ts in sorted(per_feature_tiles.items()):

@@ -83,3 +83,35 @@ def test_clip_disjoint(ray_session, tmp_path):
     out2 = erase_layer(read_geojson(str(t)), read_geojson(str(c)))
     df = add_polygon_metrics(out2).to_pandas()
     assert len(df) == 1 and np.isclose(df["area"].iloc[0], 1.0)
+
+
+@pytest.mark.parametrize("seed", [3, 19])
+def test_clip_erase_partition_random(ray_session, tmp_path, seed):
+    """Randomized property: clip + erase partition every target feature
+    exactly (areas sum to the original), with a random clip polygon."""
+    import ray.data as rd
+    rng = np.random.RandomState(seed)
+    feats = []
+    for i in range(6):
+        x0, y0 = rng.uniform(0, 5, 2)
+        w, h = rng.uniform(1, 2.5, 2)
+        feats.append({"feature_id": i,
+                      "rings_x": [[x0, x0 + w, x0 + w, x0, x0]],
+                      "rings_y": [[y0, y0, y0 + h, y0 + h, y0]],
+                      "ring_poly": [0]})
+    target = rd.from_items(feats)
+    cx, cy = rng.uniform(1, 5, 2)
+    r = rng.uniform(1.5, 3)
+    clip = rd.from_items([{
+        "feature_id": 0,
+        "rings_x": [[cx - r, cx, cx + r, cx, cx - r]],
+        "rings_y": [[cy, cy - r, cy, cy + r, cy]],
+        "ring_poly": [0]}])
+    orig = add_polygon_metrics(target).to_pandas().set_index("feature_id")
+    c = add_polygon_metrics(clip_layer(target, clip)).to_pandas() \
+        .set_index("feature_id")
+    e = add_polygon_metrics(erase_layer(target, clip)).to_pandas() \
+        .set_index("feature_id")
+    for fid in orig.index:
+        total = c["area"].get(fid, 0.0) + e["area"].get(fid, 0.0)
+        assert np.isclose(total, orig.loc[fid, "area"], rtol=1e-6), fid
