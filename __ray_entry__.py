@@ -462,6 +462,20 @@ def _q33_clip_layer(sf_dir: str):
         .sort_values("feature_id").reset_index(drop=True)
 
 
+def _q34_text_quality_oracle(sf_dir: str):
+    """Language-ID + quality score with a full SQL oracle (q18 minus the
+    siphash fingerprint, which SQL can't reproduce)."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import analyze_text
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = analyze_text(ds).to_pandas()
+    out["quality"] = out["quality"].round(6)
+    out["stop_ratio"] = out["stop_ratio"].round(6)
+    return out[["doc_id", "lang_pred", "stop_ratio", "quality"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q28_image_features(sf_dir: str):
     """Multimodal plumbing: binary payload -> decoded metadata +
     feature vector (deterministic fake decoder; real codec stubbed)."""
@@ -536,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q27_split_on_grid": _q27_split_on_grid,
         "q31_dissolve2": _q31_dissolve2,
         "q32_dissolve_layer": _q32_dissolve_layer,
+        "q34_text_quality_oracle": _q34_text_quality_oracle,
         "q33_clip_layer": _q33_clip_layer,
         "q28_image_features": _q28_image_features,
         "q29_video_frames": _q29_video_frames,
@@ -642,6 +657,53 @@ def oracle_sql() -> dict[str, str]:
             assigned AS (SELECT doc_id, n_chars, {region_case} AS region_id FROM geo)
             SELECT region_id, count(*) AS n_points, sum(n_chars) AS sum_chars
             FROM assigned WHERE region_id >= 0 GROUP BY region_id""",
+        "q34_text_quality_oracle": r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     len(regexp_extract_all(text, '\S+')) AS toks,
+                     length(text) AS n_chars,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     len(regexp_extract_all(text,
+                       '\b(?:the|and|of|to|in|is|you|that)\b')) AS h_en,
+                     len(regexp_extract_all(text,
+                       '\b(?:der|die|und|das|ist|nicht|ein|ich)\b')) AS h_de,
+                     len(regexp_extract_all(text,
+                       '\b(?:le|la|et|les|des|est|une|que)\b')) AS h_fr,
+                     len(regexp_extract_all(text,
+                       '\b(?:el|la|que|de|los|una|por|con)\b')) AS h_es,
+                     len(regexp_extract_all(text,
+                       '\b(?:il|la|che|di|non|per|una|sono)\b')) AS h_it
+              FROM documents),
+            scored AS (
+              SELECT doc_id,
+                     n_punct / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS punct_ratio,
+                     h_en / CAST(GREATEST(toks, 1) AS DOUBLE) AS s_en,
+                     h_de / CAST(GREATEST(toks, 1) AS DOUBLE) AS s_de,
+                     h_fr / CAST(GREATEST(toks, 1) AS DOUBLE) AS s_fr,
+                     h_es / CAST(GREATEST(toks, 1) AS DOUBLE) AS s_es,
+                     h_it / CAST(GREATEST(toks, 1) AS DOUBLE) AS s_it,
+                     toks
+              FROM base),
+            lang AS (
+              SELECT doc_id, punct_ratio, toks,
+                     GREATEST(s_en, s_de, s_fr, s_es, s_it) AS stop_raw,
+                     CASE WHEN GREATEST(s_en, s_de, s_fr, s_es, s_it) = 0
+                          THEN 'und'
+                          WHEN s_en >= s_de AND s_en >= s_fr AND
+                               s_en >= s_es AND s_en >= s_it THEN 'en'
+                          WHEN s_de >= s_fr AND s_de >= s_es AND
+                               s_de >= s_it THEN 'de'
+                          WHEN s_fr >= s_es AND s_fr >= s_it THEN 'fr'
+                          WHEN s_es >= s_it THEN 'es'
+                          ELSE 'it' END AS lang_pred
+              FROM scored)
+            SELECT doc_id, lang_pred,
+                   round(stop_raw, 6) AS stop_ratio,
+                   round(0.5 * LEAST(GREATEST(ln(1 + toks) / ln(500), 0), 1)
+                       + 0.3 * LEAST(GREATEST(1 - punct_ratio * 4, 0), 1)
+                       + 0.2 * LEAST(GREATEST(stop_raw * 5, 0), 1), 6)
+                     AS quality
+            FROM lang ORDER BY doc_id""",
         "q30_nearest_within": f"""
             WITH {_GEO_CTE},
             pts AS (SELECT doc_id, lon, lat FROM geo),
