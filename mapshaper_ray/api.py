@@ -124,3 +124,44 @@ from .ops.anchor import (anchor_point, anchor_points,  # -points inner
                          stitch_antimeridian)  # -stitch
 from .geom.keep_shapes import (protect_shapes,  # -simplify keep-shapes
                                repair_intersections)  # post-simplify repair
+
+
+def i(path: str, **kw):
+    """-i: format-sniffing import dispatch (reference api.importFile,
+    src/io/mapshaper-file-import.js:6,34 — extension first, content
+    sniff for .json ambiguity)."""
+    low = path.lower()
+    if low.endswith((".shp",)):
+        return read_shapefile(path, **kw)
+    if low.endswith((".csv", ".tsv", ".txt")):
+        return read_delim(path, **kw)
+    if low.endswith((".topojson",)):
+        return read_topojson(path, **kw)
+    if low.endswith((".json", ".geojson")):
+        with open(path, "r", encoding="utf-8", errors="replace") as f:
+            head = f.read(4096)
+        if '"Topology"' in head:
+            return read_topojson(path, **kw)
+        return read_geojson(path, **kw)
+    if low.endswith((".parquet",)) or "/" not in low.rsplit(".", 1)[-1]:
+        import ray.data as rd
+        return rd.read_parquet(path)
+    raise ValueError(f"unrecognized input format: {path}")
+
+
+def o(ds, path: str, **kw):
+    """-o: export dispatch by extension (reference exportTargetLayers
+    format inference, src/io/mapshaper-export.js:130-144)."""
+    low = path.lower()
+    if low.endswith(".shp"):
+        return write_shapefile(ds, path, **kw)
+    if low.endswith((".csv", ".tsv")):
+        return write_delim(ds, path, **kw)
+    if low.endswith(".svg"):
+        return write_svg(ds, path, **kw)
+    if low.endswith((".json", ".geojson")):
+        return write_geojson(ds, path, **kw)
+    if low.endswith(".parquet") or low.rstrip("/").endswith("_dir"):
+        ds.write_parquet(path)
+        return path
+    raise ValueError(f"unrecognized output format: {path}")

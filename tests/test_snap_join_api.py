@@ -103,3 +103,28 @@ def test_join_side_outputs(ray_session):
     unmatched_ds, unjoined_src = join_side_outputs(big, src, on="k")
     assert unmatched_ds.to_pandas()["k"].tolist() == [9]
     assert unjoined_src["k"].tolist() == [3]
+
+
+def test_io_dispatch(ray_session, tmp_path):
+    """api.i / api.o format dispatch incl. Topology content sniff."""
+    import json
+    import numpy as np
+    import pytest
+    from mapshaper_ray import api
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"n": 1},
+         "geometry": {"type": "Polygon", "coordinates":
+                      [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]]}}]}
+    src = tmp_path / "a.geojson"
+    src.write_text(json.dumps(fc))
+    lyr = api.i(str(src))
+    api.o(lyr, str(tmp_path / "b.shp"))
+    assert api.i(str(tmp_path / "b.shp")).count() == 1
+    api.o(lyr, str(tmp_path / "b.svg"))
+    assert (tmp_path / "b.svg").read_text().startswith("<svg")
+    from mapshaper_ray.sources.topojson import write_topojson
+    write_topojson([[np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]],
+                              float)]], str(tmp_path / "t.json"))
+    assert api.i(str(tmp_path / "t.json")).count() == 1  # content sniff
+    with pytest.raises(ValueError):
+        api.o(lyr, str(tmp_path / "x.unknown"))
