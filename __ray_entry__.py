@@ -655,7 +655,8 @@ def oracle_sql() -> dict[str, str]:
         "q21_region_point_agg": f"""
             WITH {_GEO_CTE},
             assigned AS (SELECT doc_id, n_chars, {region_case} AS region_id FROM geo)
-            SELECT region_id, count(*) AS n_points, sum(n_chars) AS sum_chars
+            SELECT region_id, count(*) AS n_points,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM assigned WHERE region_id >= 0 GROUP BY region_id""",
         "q34_text_quality_oracle": r"""
             WITH base AS (

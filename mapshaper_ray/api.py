@@ -159,6 +159,9 @@ def o(ds, path: str, **kw):
         return write_delim(ds, path, **kw)
     if low.endswith(".svg"):
         return write_svg(ds, path, **kw)
+    if low.endswith(".topojson"):
+        from .sources.topojson import write_topojson_layer
+        return write_topojson_layer(ds, path, **kw)
     if low.endswith((".json", ".geojson")):
         return write_geojson(ds, path, **kw)
     if low.endswith(".parquet") or low.rstrip("/").endswith("_dir"):

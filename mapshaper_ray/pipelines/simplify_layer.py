@@ -103,9 +103,14 @@ def simplify_layer(ds, pct: float, method: str = "visvalingam",
                         aid = ~sid if sid < 0 else sid
                         i0 = int(arcs.ii[aid])
                         n = int(arcs.nn[aid])
-                        xs.append(arcs.xx[i0:i0 + n])
-                        ys.append(arcs.yy[i0:i0 + n])
-                        zs.append(zz[aid])
+                        ax = arcs.xx[i0:i0 + n]
+                        ay = arcs.yy[i0:i0 + n]
+                        az = zz[aid]
+                        if sid < 0:  # traverse reversed arcs reversed
+                            ax, ay, az = ax[::-1], ay[::-1], az[::-1]
+                        xs.append(ax)
+                        ys.append(ay)
+                        zs.append(az)
                     rings.append({
                         "x": np.concatenate(xs),
                         "y": np.concatenate(ys),
@@ -121,6 +126,8 @@ def simplify_layer(ds, pct: float, method: str = "visvalingam",
                 for sid, ln in zip(part, lens):
                     aid = ~sid if sid < 0 else sid
                     seg = np.asarray(r["z"][off:off + ln])
+                    if sid < 0:  # stored z is forward order; un-reverse
+                        seg = seg[::-1]
                     zz[aid] = np.maximum(zz[aid], seg)
                     off += ln
 

@@ -110,6 +110,39 @@ def write_topojson(features, path, **kw):
     return path
 
 
+def write_topojson_layer(ds, path, object_name="layer1",
+                         quantization=10000):
+    """Layer Dataset → TopoJSON file (single-writer sink: TopoJSON needs
+    the global shared-arc table, SURVEY.md §2.1 TopoJSON-writer row —
+    reference inferOutputFormat maps .topojson here,
+    src/io/mapshaper-file-types.js:42-56)."""
+    from .layers import GEOM_COLS, geom_type_of
+    df = ds.to_pandas().sort_values("feature_id").reset_index(drop=True)
+    gt = geom_type_of(list(df.columns))
+    if gt == "polygon":
+        xcol, ycol = "rings_x", "rings_y"
+    elif gt == "polyline":
+        xcol, ycol = "part_x", "part_y"
+    else:
+        raise ValueError(f"topojson export needs polygon/polyline layer, "
+                         f"got columns {list(df.columns)}")
+    feats = []
+    for _, row in df.iterrows():
+        feats.append([np.stack([np.asarray(x, float), np.asarray(y, float)],
+                               axis=1)
+                      for x, y in zip(row[xcol] if row[xcol] is not None
+                                      else [],
+                                      row[ycol] if row[ycol] is not None
+                                      else [])])
+    geom_cols = set(GEOM_COLS[gt]) | {"feature_id"}
+    attr_cols = [c for c in df.columns if c not in geom_cols]
+    attrs = (df[attr_cols].to_dict("records") if attr_cols
+             else [{} for _ in feats])
+    return write_topojson(feats, path, attrs=attrs,
+                          geometry_type=gt, object_name=object_name,
+                          quantization=quantization)
+
+
 # ---------------------------------------------------------------------------
 # import
 
@@ -151,9 +184,25 @@ def _path_coords(arcs: ArcTable, ids):
     return np.concatenate(px), np.concatenate(py)
 
 
+class _Layer(tuple):
+    """(geom_class, feature_list, attrs) 3-tuple with a ``polys``
+    attribute carrying per-feature ring→polygon nesting (MultiPolygon
+    membership preserved from the source object, reference
+    topojson-import.js per-poly arcs)."""
+
+    def __new__(cls, geom_class, feats, attrs, polys):
+        self = super().__new__(cls, (geom_class, feats, attrs))
+        return self
+
+    def __init__(self, geom_class, feats, attrs, polys):
+        self.polys = polys
+
+
 def import_topojson(path_or_obj, object_name=None):
     """TopoJSON → (ArcTable, {name: (geom_class, feature_list, attrs)})
-    where feature_list rows are ring/part coordinate lists."""
+    where feature_list rows are ring/part coordinate lists.  The layer
+    tuple also carries ``.polys``: per feature, the polygon index of
+    each ring (MultiPolygon nesting preserved)."""
     topo = path_or_obj
     if isinstance(topo, (str, bytes)):
         with open(topo) as f:
@@ -166,26 +215,32 @@ def import_topojson(path_or_obj, object_name=None):
         obj = objects[name]
         geoms = (obj["geometries"] if obj["type"] == "GeometryCollection"
                  else [obj])
-        feats, attrs, cls = [], [], "polygon"
+        feats, attrs, polys, cls = [], [], [], "polygon"
         for g in geoms:
             attrs.append(g.get("properties") or {})
             t = g.get("type")
             if t == "Polygon":
                 feats.append([_path_coords(arcs, ring)
                               for ring in g["arcs"]])
+                polys.append([0] * len(g["arcs"]))
             elif t == "MultiPolygon":
                 feats.append([_path_coords(arcs, ring)
                               for poly in g["arcs"] for ring in poly])
+                polys.append([pi for pi, poly in enumerate(g["arcs"])
+                              for _ in poly])
             elif t == "LineString":
                 cls = "polyline"
                 feats.append([_path_coords(arcs, g["arcs"])])
+                polys.append([0])
             elif t == "MultiLineString":
                 cls = "polyline"
                 feats.append([_path_coords(arcs, part)
                               for part in g["arcs"]])
+                polys.append([0] * len(g["arcs"]))
             else:
                 feats.append([])
-        layers[name] = (cls, feats, attrs)
+                polys.append([])
+        layers[name] = _Layer(cls, feats, attrs, polys)
     return arcs, layers
 
 
@@ -206,7 +261,7 @@ def read_topojson(path, object_name=None, shard_size=512):
     if cls == "polygon":
         rx = [[xy[0].tolist() for xy in f] for f in feats]
         ry = [[xy[1].tolist() for xy in f] for f in feats]
-        rp = [[0] * len(f) for f in feats]  # hole nesting via winding
+        rp = layers[name].polys  # MultiPolygon nesting from source
         tbl = polygon_table(fids, rx, ry, rp, acols)
     else:
         px = [[xy[0].tolist() for xy in f] for f in feats]

@@ -91,7 +91,11 @@ class PolygonIndex:
         ax, ay, bx, by = ax[spans], ay[spans], bx[spans], by[spans]
         t = (x - ax) / (bx - ax)
         iy = ay + t * (by - ay)
-        if np.any(np.isclose(iy, y)):
+        # exact equality, matching points_in_ring / the reference's
+        # getRayIntersection — a relative tolerance here flips
+        # near-boundary probes to "inside" (rtol 1e-5 is huge at
+        # projected-coordinate magnitudes)
+        if np.any(iy == y):
             return -1  # on boundary
         return int(np.count_nonzero(iy > y))
 

@@ -159,14 +159,18 @@ def insert_cuts(arcs: ArcTable, hits: pd.DataFrame):
             while ki < len(keyed) and keyed[ki][0] == seg:
                 _, t, cx, cy = keyed[ki]
                 ki += 1
-                if (np.isclose(cx, out_x[-1]) and np.isclose(cy, out_y[-1])):
+                # exact-equality dedup: the crossing point is computed
+                # deterministically, and a RELATIVE tolerance merges
+                # distinct cuts ~10 units apart at 1e6-scale projected
+                # coords, silently dropping topology cuts
+                if cx == out_x[-1] and cy == out_y[-1]:
                     split_at.append(len(out_x) - 1)
                     continue
                 out_x.append(cx)
                 out_y.append(cy)
                 split_at.append(len(out_x) - 1)
-            if not (np.isclose(xs[seg + 1], out_x[-1]) and
-                    np.isclose(ys[seg + 1], out_y[-1])):
+            if not (xs[seg + 1] == out_x[-1] and
+                    ys[seg + 1] == out_y[-1]):
                 out_x.append(xs[seg + 1])
                 out_y.append(ys[seg + 1])
         # interior split positions only, deduped, ordered
