@@ -443,7 +443,10 @@ def _q32_dissolve_layer(sf_dir: str):
         df["v"] = 1
         return df
     keyed = grid.map_batches(key, batch_format="pandas")
-    out = dissolve_layer(keyed, "grp", sum_fields=("v",))
+    # cell=2.5 runs the DISTRIBUTED substrate (pre-cut at cell lines →
+    # per-cell dissolve → border-cancelling rollup); 2.5 does not align
+    # with the unit mesh, so features genuinely get cut mid-ring
+    out = dissolve_layer(keyed, "grp", sum_fields=("v",), cell=2.5)
     out = add_polygon_metrics(out).to_pandas()
     out["area"] = out["area"].round(6)
     return out[["grp", "v", "area"]].sort_values("grp") \

@@ -78,20 +78,25 @@ class _MinHasher:
 
 def minhash_lsh(ds, num_perm=64, bands=16, shingle_k=5, threshold=0.5,
                 text_col="text", id_col="doc_id", concurrency=None,
-                band_grouping="driver"):
+                band_grouping="distributed"):
     """Near-duplicate pairs via MinHash+LSH.
 
     Returns verified pairs (id_a, id_b, jaccard) with id_a < id_b and
     jaccard >= threshold.  Pipeline:
       docs -> (band_id, band_hash, doc_id) rows     [map_batches tasks]
-           -> group by (band_id, band_hash)          [the only exchange]
-           -> candidate pairs -> exact shingle-set verify
+           -> group by (band_id, band_hash)          [exchange #1]
+           -> candidate pairs (small side, ray.put broadcast)
+           -> shingle sets of candidate docs emitted per pair
+           -> group by pair                          [exchange #2]
+           -> exact Jaccard per pair in map_groups
 
-    ``band_grouping="driver"`` (default): the band-triple table is tiny
-    relative to the corpus (n_docs x bands rows of 3 ints — the
-    documents themselves never move), so it reduces on the driver;
-    "distributed" switches the grouping to a Ray groupby for corpora
-    whose band table itself is too large (the 100 TB path).
+    ``band_grouping="distributed"`` (default, the 100 TB path) groups
+    band triples with a Ray groupby; "driver" reduces the tiny triple
+    table on the driver (faster below ~10^6 docs — the documents never
+    move either way).  The VERIFY stage is always distributed: the
+    driver holds only candidate PAIR IDS (bounded by the near-dup
+    count), never a dict of shingle sets, and each pair's exact Jaccard
+    is computed inside a map_groups task.
     ``concurrency=None`` runs the emitters as task pools (fuse with the
     read, reuse warm workers); pass a value for an actor pool."""
     import ray
@@ -173,30 +178,58 @@ def minhash_lsh(ds, num_perm=64, bands=16, shingle_k=5, threshold=0.5,
                              "id_b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
 
-    # exact verify: broadcast the candidate ids' shingle sets
-    need = set(cand_pd["id_a"]) | set(cand_pd["id_b"])
+    # distributed exact verify: broadcast only the candidate PAIR ids
+    # (small side — bounded by the near-dup count); shingle sets are
+    # computed in map_batches and shuffled BY PAIR, one Jaccard per
+    # map_groups task.  No driver-side shingle dict, no pair loop.
+    import ray
+    cand_pd = cand_pd.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pid_a = cand_pd["id_a"].to_numpy()
+    pid_b = cand_pd["id_b"].to_numpy()
+    member: dict = {}
+    for pi, (a, b) in enumerate(zip(pid_a, pid_b)):
+        member.setdefault(a, []).append(pi)
+        member.setdefault(b, []).append(pi)
+    member_ref = ray.put(member)
     mh = _MinHasher(num_perm, shingle_k, text_col)
 
-    def collect(df: pd.DataFrame) -> pd.DataFrame:
-        sel = df[df[id_col].isin(need)]
+    def emit_pair_shingles(df: pd.DataFrame) -> pd.DataFrame:
+        mem = ray.get(member_ref)
+        sel = df[df[id_col].isin(mem)]
         if len(sel) == 0:
-            return pd.DataFrame({id_col: [], "shingles": []})
+            return pd.DataFrame({"pair": pd.Series([], dtype="int64"),
+                                 id_col: pd.Series([], dtype="int64"),
+                                 "shingles": pd.Series([], dtype="object")})
         sets = mh.doc_shingle_sets(sel[text_col])
-        return pd.DataFrame({id_col: sel[id_col].to_numpy(),
-                             "shingles": [np.unique(s) for s in sets]})
+        out_pair, out_id, out_sh = [], [], []
+        for did, s in zip(sel[id_col], sets):
+            su = np.unique(s)
+            for pi in mem[did]:
+                out_pair.append(pi)
+                out_id.append(did)
+                out_sh.append(su)
+        return pd.DataFrame({"pair": np.asarray(out_pair, dtype=np.int64),
+                             id_col: np.asarray(out_id, dtype=np.int64),
+                             "shingles": out_sh})
 
-    store = ds.map_batches(collect, batch_format="pandas",
-                           zero_copy_batch=True).to_pandas()
-    lookup = dict(zip(store[id_col], store["shingles"]))
-    jac = np.empty(len(cand_pd))
-    for i, (a, b) in enumerate(zip(cand_pd["id_a"], cand_pd["id_b"])):
-        sa, sb = lookup.get(a), lookup.get(b)
-        if sa is None or sb is None:
-            jac[i] = 0.0
-            continue
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        jac[i] = inter / union if union else 1.0
+    def jaccard_of_pair(df: pd.DataFrame) -> pd.DataFrame:
+        pi = int(df["pair"].iloc[0])
+        if len(df) < 2:
+            jac = 0.0  # a candidate id missing from the corpus
+        else:
+            sa = np.asarray(df["shingles"].iloc[0])
+            sb = np.asarray(df["shingles"].iloc[1])
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac = inter / union if union else 1.0
+        return pd.DataFrame({"pair": [pi], "jaccard": [jac]})
+
+    jac_pd = ds.map_batches(emit_pair_shingles, batch_format="pandas") \
+               .groupby("pair").map_groups(jaccard_of_pair,
+                                           batch_format="pandas") \
+               .to_pandas()
+    jac = np.zeros(len(cand_pd))
+    jac[jac_pd["pair"].to_numpy()] = jac_pd["jaccard"].to_numpy()
     cand_pd = cand_pd.assign(jaccard=jac)
     out = cand_pd[cand_pd["jaccard"] >= threshold].reset_index(drop=True)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -1,0 +1,139 @@
+"""Distributed exact rank / selection (k-th smallest) over a float
+column — the scale path for the reference's exact-rank semantics:
+`-simplify` pct→interval (getThresholdByPct,
+src/paths/mapshaper-arcs.js:541-558) and `-calc` exact median
+(src/commands/mapshaper-calc.js:15 + utils).
+
+Two-level histogram narrowing: each pass computes per-partition bin
+counts inside ``map_batches`` (only a ``bins``-length int array per
+partition reaches the reduce), the driver locates the bin containing
+the target rank, and recursion narrows until the candidate bin holds
+few enough values to gather (``gather_limit``) — so the driver never
+holds the column, only one histogram and one small bin.  Exact: the
+final selection runs on the gathered candidate values with numpy
+partition; ties/duplicates are handled because equal values always
+land in the same bin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _minmax_count(ds, col):
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        v = v[np.isfinite(v)]
+        if len(v) == 0:
+            return pd.DataFrame({"lo": [], "hi": [], "n": []})
+        return pd.DataFrame({"lo": [v.min()], "hi": [v.max()],
+                             "n": [len(v)]})
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(p) == 0 or p["n"].sum() == 0:
+        return None
+    return float(p["lo"].min()), float(p["hi"].max()), int(p["n"].sum())
+
+
+def _histogram(ds, col, lo, hi, bins):
+    width = hi - lo
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        v = v[np.isfinite(v)]
+        v = v[(v >= lo) & (v <= hi)]
+        if len(v) == 0:
+            return pd.DataFrame({"bin": [], "cnt": []})
+        idx = np.clip(((v - lo) / width * bins).astype(np.int64),
+                      0, bins - 1)
+        counts = np.bincount(idx, minlength=bins)
+        nz = np.nonzero(counts)[0]
+        return pd.DataFrame({"bin": nz, "cnt": counts[nz]})
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = np.zeros(bins, dtype=np.int64)
+    if len(p):
+        agg = p.groupby("bin")["cnt"].sum()
+        out[agg.index.to_numpy(dtype=np.int64)] = agg.to_numpy()
+    return out
+
+
+def _gather_range(ds, col, lo, hi):
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        v = v[np.isfinite(v)]
+        v = v[(v >= lo) & (v <= hi)]
+        return pd.DataFrame({col: v})
+    return ds.map_batches(partial, batch_format="pandas") \
+             .to_pandas()[col].to_numpy()
+
+
+def kth_smallest(ds, col: str, k: int, bins: int = 4096,
+                 gather_limit: int = 262144, max_rounds: int = 10):
+    """Exact k-th smallest (1-based) finite value of ``ds[col]``.
+
+    Returns None for an empty column; raises if k is out of range."""
+    mmc = _minmax_count(ds, col)
+    if mmc is None:
+        return None
+    lo, hi, n = mmc
+    if not 1 <= k <= n:
+        raise ValueError(f"rank {k} out of range 1..{n}")
+    below = 0  # finite values < lo (dropped in earlier rounds)
+    for _ in range(max_rounds):
+        if lo == hi or n - below <= gather_limit:
+            break
+        counts = _histogram(ds, col, lo, hi, bins)
+        cum = np.cumsum(counts)
+        # target bin: first bin whose cumulative count reaches k - below
+        b = int(np.searchsorted(cum, k - below))
+        width = hi - lo
+        new_lo = lo + b * width / bins
+        new_hi = lo + (b + 1) * width / bins if b < bins - 1 else hi
+        if new_lo == lo and new_hi == hi:
+            break  # range cannot narrow further -> gather as is
+        below += int(cum[b - 1]) if b > 0 else 0
+        lo, hi = new_lo, new_hi
+        n = below + int(counts[b])
+    vals = _gather_range(ds, col, lo, hi)
+    # vals may slightly over-cover (boundary values equal to lo/hi from
+    # dropped bins never occur: bins partition [lo, hi])
+    kk = k - below
+    if not 1 <= kk <= len(vals):
+        # float-edge fallback: widen to the full range (still exact)
+        vals = _gather_range(ds, col, -np.inf, np.inf)
+        kk = k
+    return float(np.partition(vals, kk - 1)[kk - 1])
+
+
+def threshold_by_pct_ds(ds, col: str, pct: float):
+    """Distributed exact retained-percentage → interval with the
+    reference's rank rule (getThresholdByPct,
+    src/paths/mapshaper-arcs.js:541-558): rank = floor((1-pct)*(n+2)),
+    1-based k-th smallest removable threshold.  ``ds[col]`` must hold
+    the removable (finite) thresholds."""
+    import math
+    if pct >= 1:
+        return 0.0
+    mmc = _minmax_count(ds, col)
+    n = mmc[2] if mmc else 0
+    rank = math.floor((1 - pct) * (n + 2))
+    if rank <= 0 or n == 0:
+        return 0.0
+    if rank > n:
+        return np.inf
+    return kth_smallest(ds, col, rank)
+
+
+def median_exact(ds, col: str):
+    """Exact median with the same even-n averaging as numpy/pandas:
+    mean of the two middle order statistics."""
+    mmc = _minmax_count(ds, col)
+    if mmc is None:
+        return None
+    n = mmc[2]
+    hi_rank = n // 2 + 1
+    hi_val = kth_smallest(ds, col, hi_rank)
+    if n % 2 == 1:
+        return hi_val
+    lo_val = kth_smallest(ds, col, hi_rank - 1)
+    return (lo_val + hi_val) / 2

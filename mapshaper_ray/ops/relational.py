@@ -285,17 +285,16 @@ def join_side_outputs(big_ds, small_df: pd.DataFrame, on):
 
 def calc_stats(ds, col: str) -> pd.DataFrame:
     """-calc equivalents: count/sum/mean/min/max distributive via
-    ds.aggregate; exact median via a single pruned-column pull (documented
-    scale path: distributed sort + rank pick, SURVEY.md §7.3)."""
+    ds.aggregate; exact median via DISTRIBUTED histogram-rank selection
+    (ops/rank.py) — the driver sees one histogram and one candidate
+    bin, never the column."""
     from ray.data.aggregate import Count, Max, Mean, Min, Sum
+    from .rank import median_exact
     row = ds.aggregate(Count(), Sum(col), Mean(col), Min(col), Max(col))
-    vals = ds.select_columns([col]).to_pandas()[col].to_numpy()
-    vals = vals[~pd.isna(vals)]
-    n = len(vals)
-    rank = n // 2 + 1
-    med = float(np.partition(vals, rank - 1)[rank - 1])
-    if n % 2 == 0:
-        med = (med + float(np.partition(vals, rank - 2)[rank - 2])) / 2
+    # materialize the pruned single column once so the rank passes don't
+    # recompute the upstream pipeline (spillable; one float per row)
+    col_ds = ds.select_columns([col]).materialize()
+    med = median_exact(col_ds, col)
     return pd.DataFrame([{
         "count_rows": int(row["count()"]),
         "sum_v": float(row[f"sum({col})"]),

@@ -58,20 +58,21 @@ def simplify_pipeline(sf_dir: str, pct: float = 0.5, method="visvalingam"):
         df["z"] = [fn(x, y) for x, y in zip(df["x"], df["y"])]
         return df
 
-    with_z = arcs.map_batches(thresh, batch_format="pandas")
-    # exact global rank: gather removable thresholds (flat float column).
-    # Scale path: two-pass distributed rank (histogram + exact pass) —
-    # the semantics (src/paths/mapshaper-arcs.js:541-558) need the k-th
-    # smallest removable threshold, reproduced here exactly.
-    zs = with_z.map_batches(
+    # checkpoint the expensive threshold stage once (spillable blocks in
+    # the object store) — the rank passes and the final retained count
+    # both read it without recomputing
+    with_z = arcs.map_batches(thresh, batch_format="pandas").materialize()
+    # exact global rank, DISTRIBUTED (src/paths/mapshaper-arcs.js:541-558
+    # semantics): histogram-narrowing selection over the flat removable-
+    # threshold column — the driver sees bin counts and one candidate
+    # bin, never the column (ops/rank.py)
+    from ..ops.rank import threshold_by_pct_ds
+    flat_z = with_z.map_batches(
         lambda df: pd.DataFrame(
             {"z": np.concatenate([removable_thresholds(z) for z in df["z"]])
              if len(df) else np.empty(0)}),
-        batch_format="pandas").to_pandas()["z"].to_numpy()
-    zlimit = threshold_by_pct(
-        np.concatenate([zs, [np.inf, np.inf]]), pct) if len(zs) else 0.0
-    # NB: threshold_by_pct ignores inf values; appending infs is a no-op
-    # guard for the empty case.
+        batch_format="pandas")
+    zlimit = threshold_by_pct_ds(flat_z, "z", pct)
 
     def retained(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

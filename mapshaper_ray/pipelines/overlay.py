@@ -14,10 +14,29 @@ the user-facing counterparts of topo/dissolve.py and topo/mosaic.py.
   (erase) the clip layer, regroup tiles per target feature, dissolve
   each feature's tile set back into rings.
 
-Ray shape: target features shuffle by spatial cell; the clip layer
-(small side) is broadcast whole; per-cell kernels run in map_groups.
-The driver-level functions here are the per-cell kernels, exercised
-directly at fixture scale.
+Ray shape (the distributed substrate, used by default):
+
+- ``dissolve_layer(cell=...)``: features are PRE-CUT at the lines of a
+  spatial cell grid (``precut_by_cells`` — enforcing the locality
+  assumption instead of assuming it), shuffled by cell id, dissolved
+  per (cell, key) in ``map_groups`` (interior borders cancel locally),
+  then a second ``groupby(key)`` dissolve of the per-cell piece
+  outlines cancels the shared cell-border arcs by construction
+  (SURVEY.md §7.4).  The second stage sees only boundary geometry —
+  O(perimeter), not O(area).  Attribute aggregation runs as a separate
+  distributive ``groupby_agg`` over the ORIGINAL features (a feature
+  split across cells must not double count).
+- ``clip_layer`` / ``erase_layer``: each target feature's clip result
+  is independent of other targets, so the default path broadcasts the
+  (small) clip layer once via ``ray.put`` and runs the mosaic kernel
+  per map_batches task; ``cell=`` switches to the cell-shuffle path
+  (both sides pre-cut) for a large clip side, regrouping pieces per
+  feature with a border-cancelling dissolve.
+
+Distributed outputs equal the single-pass kernels' geometry up to extra
+COLLINEAR vertices where rings cross cell lines (the cut vertices stay
+after the border arcs cancel); area/perimeter/ring membership are
+identical — tests compare those invariants.
 """
 
 from __future__ import annotations
@@ -56,29 +75,219 @@ def _rings_to_row(rings):
     return rx, ry, rp
 
 
-def dissolve_layer(ds, key: str, sum_fields=(), copy_fields=()):
-    """Polygon layer → one feature per key value with melted borders."""
-    import ray.data as rd
-    df = ds.to_pandas().sort_values("feature_id").reset_index(drop=True)
+def _dissolve_rows(df: pd.DataFrame, key: str):
+    """In-process dissolve kernel: rows → {key: ring coord list}."""
     feats = _rows_to_features(df)
     arcs, shapes = build_topology(feats)
     groups = dissolve_shapes(shapes, list(df[key].astype(str)), arcs)
+    out = {}
+    for k, rings in groups.items():
+        out[k] = [arcs.path_coords(r) for r in rings] if rings else []
+    return out
+
+
+def _dissolve_layer_local(ds, key: str, sum_fields=(), copy_fields=()):
+    """Single-pass driver kernel (fixture scale / per-group unit)."""
+    import ray.data as rd
+    df = ds.to_pandas().sort_values("feature_id").reset_index(drop=True)
+    groups = _dissolve_rows(df, key)
     rows = []
-    for fid, (k, rings) in enumerate(sorted(groups.items())):
+    for fid, (k, coords) in enumerate(sorted(groups.items())):
         sub = df[df[key].astype(str) == k]
         row = {"feature_id": fid, key: sub[key].iloc[0]}
         for f in sum_fields:
             row[f] = sub[f].sum()
         for f in copy_fields:
             row[f] = sub[f].iloc[0]
-        if rings:
-            coords = [arcs.path_coords(r) for r in rings]
-            row["rings_x"], row["rings_y"], row["ring_poly"] = \
-                _rings_to_row(coords)
-        else:
-            row["rings_x"], row["rings_y"], row["ring_poly"] = [], [], []
+        row["rings_x"], row["rings_y"], row["ring_poly"] = \
+            _rings_to_row(coords) if coords else ([], [], [])
         rows.append(row)
     return rd.from_items(rows)
+
+
+# ---------------------------------------------------------------------------
+# cell pre-cut (the locality enforcer)
+
+def layer_bbox(ds):
+    """Distributive bbox aggregate over a polygon layer."""
+    from ..sources.layers import nz
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        xs = [v for rx in df["rings_x"] for r in nz(rx) for v in r]
+        ys = [v for ry in df["rings_y"] for r in nz(ry) for v in r]
+        if not xs:
+            return pd.DataFrame({"xmin": [], "ymin": [],
+                                 "xmax": [], "ymax": []})
+        return pd.DataFrame({"xmin": [min(xs)], "ymin": [min(ys)],
+                             "xmax": [max(xs)], "ymax": [max(ys)]})
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return (float(p["xmin"].min()), float(p["ymin"].min()),
+            float(p["xmax"].max()), float(p["ymax"].max()))
+
+
+def precut_by_cells(ds, cell: float, bbox=None):
+    """Cut every polygon feature at the lines of a square cell grid:
+    one output row per (feature, intersected cell), rings clipped to
+    the cell rect with Sutherland–Hodgman.  Adjacent cells compute the
+    SAME crossing vertices from the same segment arithmetic, so the cut
+    edges cancel exactly in a later dissolve.  Adds a ``__cell`` id
+    column (int64)."""
+    from ..ops.clip import _sh_clip_ring
+    if bbox is None:
+        bbox = layer_bbox(ds)
+    xmin, ymin = bbox[0], bbox[1]
+
+    from ..sources.layers import nz
+
+    def go(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, row in df.iterrows():
+            rx = [np.asarray(v, float) for v in nz(row["rings_x"])]
+            ry = [np.asarray(v, float) for v in nz(row["rings_y"])]
+            rp = list(row["ring_poly"]) if row["ring_poly"] is not None \
+                else [0] * len(rx)
+            if not rx:
+                continue
+            fxmin = min(v.min() for v in rx)
+            fxmax = max(v.max() for v in rx)
+            fymin = min(v.min() for v in ry)
+            fymax = max(v.max() for v in ry)
+            i0 = int(np.floor((fxmin - xmin) / cell))
+            i1 = int(np.floor((fxmax - xmin) / cell))
+            j0 = int(np.floor((fymin - ymin) / cell))
+            j1 = int(np.floor((fymax - ymin) / cell))
+            for ci in range(i0, i1 + 1):
+                for cj in range(j0, j1 + 1):
+                    rect = (xmin + ci * cell, ymin + cj * cell,
+                            xmin + (ci + 1) * cell, ymin + (cj + 1) * cell)
+                    ox, oy, op = [], [], []
+                    for x, y, p in zip(rx, ry, rp):
+                        res = _sh_clip_ring(x, y, rect)
+                        if res is not None:
+                            ox.append(res[0].tolist())
+                            oy.append(res[1].tolist())
+                            op.append(int(p))
+                    if ox:
+                        out = {c: row[c] for c in df.columns
+                               if c not in ("rings_x", "rings_y",
+                                            "ring_poly")}
+                        out["rings_x"] = ox
+                        out["rings_y"] = oy
+                        out["ring_poly"] = op
+                        out["__cell"] = ci * 1000003 + cj
+                        rows.append(out)
+        return pd.DataFrame(rows)
+    return ds.map_batches(go, batch_format="pandas")
+
+
+def _node_axis_edges(feats):
+    """Insert every vertex of the piece set into any AXIS-ALIGNED edge
+    it lies on (exact equality).  Cell borders are axis-aligned by
+    construction, so after noding, both sides of a cut line carry the
+    identical vertex subdivision and their border arcs cancel exactly
+    in the reassembly dissolve — even when per-cell kernels subdivided
+    the border differently."""
+    all_pts = set()
+    for parts in feats:
+        for ring in parts or []:
+            for px, py in ring:
+                all_pts.add((float(px), float(py)))
+    by_x: dict[float, list[float]] = {}
+    by_y: dict[float, list[float]] = {}
+    for px, py in all_pts:
+        by_x.setdefault(px, []).append(py)
+        by_y.setdefault(py, []).append(px)
+    for k in by_x:
+        by_x[k] = sorted(by_x[k])
+    for k in by_y:
+        by_y[k] = sorted(by_y[k])
+
+    out = []
+    for parts in feats:
+        new_parts = []
+        for ring in parts or []:
+            nx, ny = [], []
+            n = len(ring)
+            for i in range(n - 1):
+                x1, y1 = float(ring[i][0]), float(ring[i][1])
+                x2, y2 = float(ring[i + 1][0]), float(ring[i + 1][1])
+                nx.append(x1)
+                ny.append(y1)
+                if x1 == x2 and x1 in by_x:
+                    lo, hi = (y1, y2) if y1 < y2 else (y2, y1)
+                    mids = [v for v in by_x[x1] if lo < v < hi]
+                    for v in (mids if y1 < y2 else reversed(mids)):
+                        nx.append(x1)
+                        ny.append(v)
+                elif y1 == y2 and y1 in by_y:
+                    lo, hi = (x1, x2) if x1 < x2 else (x2, x1)
+                    mids = [v for v in by_y[y1] if lo < v < hi]
+                    for v in (mids if x1 < x2 else reversed(mids)):
+                        nx.append(v)
+                        ny.append(y1)
+            nx.append(float(ring[n - 1][0]))
+            ny.append(float(ring[n - 1][1]))
+            new_parts.append(np.stack([nx, ny], axis=1))
+        out.append(new_parts or None)
+    return out
+
+
+def dissolve_layer(ds, key: str, sum_fields=(), copy_fields=(),
+                   cell: float | None = None, bbox=None):
+    """Polygon layer → one feature per key value with melted borders.
+
+    ``cell=None`` runs the single-pass kernel (small layers).
+    ``cell=<size>`` runs the distributed substrate: pre-cut at cell
+    lines → groupby(cell) per-cell dissolve → groupby(key) border
+    dissolve (cell-cut arcs cancel) → join distributive attribute
+    aggregates computed over the ORIGINAL rows."""
+    import ray.data as rd
+    if cell is None:
+        return _dissolve_layer_local(ds, key, sum_fields, copy_fields)
+
+    pieces = precut_by_cells(ds, cell, bbox=bbox)
+
+    def per_cell(df: pd.DataFrame) -> pd.DataFrame:
+        groups = _dissolve_rows(df, key)
+        rows = []
+        for k, coords in sorted(groups.items()):
+            gx, gy, gp = _rings_to_row(coords) if coords else ([], [], [])
+            rows.append({key: k, "rings_x": gx, "rings_y": gy,
+                         "ring_poly": gp})
+        return pd.DataFrame(rows)
+
+    cell_outlines = pieces.groupby("__cell").map_groups(
+        per_cell, batch_format="pandas")
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        feats = _node_axis_edges(_rows_to_features(df))
+        arcs, shapes = build_topology(feats)
+        k = str(df[key].iloc[0])
+        rings = dissolve_shapes(shapes, [k] * len(shapes), arcs)[k] or []
+        coords = [arcs.path_coords(r) for r in rings]
+        gx, gy, gp = _rings_to_row(coords) if coords else ([], [], [])
+        return pd.DataFrame([{key: df[key].iloc[0], "rings_x": gx,
+                              "rings_y": gy, "ring_poly": gp}])
+
+    melted = cell_outlines.groupby(key).map_groups(
+        per_key, batch_format="pandas")
+
+    # distributive attribute aggregation over the ORIGINAL features
+    from ..ops.relational import groupby_agg
+    aggs = {f: (f, "sum") for f in sum_fields}
+    for f in copy_fields:
+        aggs[f] = (f, "first")
+    if aggs:
+        data = groupby_agg(ds, [key], aggs).to_pandas()
+    else:
+        data = None
+    mdf = melted.to_pandas().sort_values(key).reset_index(drop=True)
+    if data is not None:
+        mdf = mdf.merge(data, on=key, how="left")
+    mdf.insert(0, "feature_id", np.arange(len(mdf), dtype=np.int64))
+    cols = ["feature_id", key, *sum_fields, *copy_fields,
+            "rings_x", "rings_y", "ring_poly"]
+    return rd.from_pandas(mdf[cols])
 
 
 def _overlay(df_target: pd.DataFrame, clip_feats, keep_inside_clip: bool):
@@ -124,21 +333,90 @@ def _overlay(df_target: pd.DataFrame, clip_feats, keep_inside_clip: bool):
     return pd.DataFrame(rows)
 
 
-def clip_layer(target_ds, clip_ds):
+def _overlay_layer(target_ds, clip_ds, keep_inside_clip: bool,
+                   cell: float | None, bbox, batch_size: int):
+    """Distributed general polygon boolean.
+
+    Default path: each target feature's result depends only on itself
+    and the clip layer, so the (small, dissolved-side per reference
+    semantics) clip layer is broadcast ONCE via ray.put and the mosaic
+    kernel runs inside map_batches over the streaming target —
+    ``batch_size`` stays modest because the arrangement cost is
+    superlinear in batch footprint.
+
+    ``cell=<size>``: large-clip-side path — BOTH layers pre-cut at the
+    same cell grid, shuffled by cell id, overlaid per cell, and each
+    feature's pieces re-dissolved (cut arcs cancel)."""
+    import ray
+    import ray.data as rd
+
+    if cell is None:
+        clip_feats = [f for f in _rows_to_features(clip_ds.to_pandas())
+                      if f]
+        ref = ray.put(clip_feats)
+
+        def kernel(df: pd.DataFrame) -> pd.DataFrame:
+            return _overlay(df.reset_index(drop=True), ray.get(ref),
+                            keep_inside_clip)
+        return target_ds.map_batches(kernel, batch_format="pandas",
+                                     batch_size=batch_size)
+
+    if bbox is None:
+        bbox = layer_bbox(target_ds)
+
+    tgt = precut_by_cells(target_ds, cell, bbox=bbox)
+    clp = precut_by_cells(
+        clip_ds.map_batches(
+            lambda df: df.assign(__is_clip=1), batch_format="pandas"),
+        cell, bbox=bbox)
+
+    def tag_tgt(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__is_clip=0)
+    both = tgt.map_batches(tag_tgt, batch_format="pandas").union(clp)
+
+    def per_cell(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[df["__is_clip"] == 0].drop(columns="__is_clip") \
+            .sort_values("feature_id").reset_index(drop=True)
+        c = df[df["__is_clip"] == 1]
+        if len(t) == 0:
+            return pd.DataFrame()
+        clip_feats = [f for f in _rows_to_features(c) if f]
+        if keep_inside_clip and not clip_feats:
+            return pd.DataFrame()
+        out = _overlay(t, clip_feats, keep_inside_clip)
+        return out
+    pieces = both.groupby("__cell").map_groups(per_cell,
+                                               batch_format="pandas")
+
+    def per_feature(df: pd.DataFrame) -> pd.DataFrame:
+        feats = _rows_to_features(df)
+        feats = [f for f in feats if f]
+        if not feats:
+            return pd.DataFrame()
+        feats = _node_axis_edges(feats)
+        arcs, shapes = build_topology(feats)
+        rings = dissolve_shapes(shapes, ["g"] * len(shapes), arcs)["g"] \
+            or []
+        coords = [arcs.path_coords(r) for r in rings]
+        row = {c: df.iloc[0][c] for c in df.columns
+               if c not in ("rings_x", "rings_y", "ring_poly", "__cell")}
+        row["rings_x"], row["rings_y"], row["ring_poly"] = \
+            _rings_to_row(coords)
+        return pd.DataFrame([row])
+
+    return pieces.groupby("feature_id").map_groups(per_feature,
+                                                   batch_format="pandas")
+
+
+def clip_layer(target_ds, clip_ds, cell: float | None = None, bbox=None,
+               batch_size: int = 64):
     """-clip: intersect target polygons with the clip layer."""
-    import ray.data as rd
-    clip_feats = _rows_to_features(clip_ds.to_pandas())
-    df = target_ds.to_pandas().sort_values("feature_id") \
-                  .reset_index(drop=True)
-    out = _overlay(df, clip_feats, keep_inside_clip=True)
-    return rd.from_pandas(out) if len(out) else rd.from_items([])
+    return _overlay_layer(target_ds, clip_ds, True, cell, bbox,
+                          batch_size)
 
 
-def erase_layer(target_ds, erase_ds):
+def erase_layer(target_ds, erase_ds, cell: float | None = None, bbox=None,
+                batch_size: int = 64):
     """-erase: subtract the erase layer from target polygons."""
-    import ray.data as rd
-    clip_feats = _rows_to_features(erase_ds.to_pandas())
-    df = target_ds.to_pandas().sort_values("feature_id") \
-                  .reset_index(drop=True)
-    out = _overlay(df, clip_feats, keep_inside_clip=False)
-    return rd.from_pandas(out) if len(out) else rd.from_items([])
+    return _overlay_layer(target_ds, erase_ds, False, cell, bbox,
+                          batch_size)

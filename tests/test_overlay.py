@@ -115,3 +115,46 @@ def test_clip_erase_partition_random(ray_session, tmp_path, seed):
     for fid in orig.index:
         total = c["area"].get(fid, 0.0) + e["area"].get(fid, 0.0)
         assert np.isclose(total, orig.loc[fid, "area"], rtol=1e-6), fid
+
+
+def _metrics(out, key=None):
+    df = add_polygon_metrics(out, perimeter_col="perimeter").to_pandas()
+    cols = [c for c in (key, "v") if c and c in df.columns]
+    df = df.sort_values(cols or ["feature_id"]).reset_index(drop=True)
+    return df
+
+
+def test_dissolve_layer_distributed_matches_local(ray_session, tmp_path):
+    """Cell-shuffle dissolve (pre-cut at cell lines + two-stage arc
+    cancellation) must reproduce the single-pass kernel's area,
+    perimeter, ring count and aggregates — cell size chosen so cut
+    lines do NOT align with the mesh, forcing real mid-feature cuts."""
+    src = tmp_path / "g.json"
+    src.write_text(json.dumps(_grid_fc(4, groups=("a", "b", "c"))))
+    ds = read_geojson(str(src))
+    local = _metrics(dissolve_layer(ds, "grp", sum_fields=("v",)), "grp")
+    dist = _metrics(dissolve_layer(ds, "grp", sum_fields=("v",),
+                                   cell=1.7), "grp")
+    assert list(local["grp"]) == list(dist["grp"])
+    assert list(local["v"]) == list(dist["v"])
+    assert np.allclose(local["area"], dist["area"])
+    assert np.allclose(local["perimeter"], dist["perimeter"])
+    assert [len(r) for r in local["rings_x"]] == \
+        [len(r) for r in dist["rings_x"]]
+
+
+@pytest.mark.parametrize("which", ["clip", "erase"])
+def test_overlay_cell_path_matches_broadcast(ray_session, tmp_path, which):
+    t = tmp_path / "t.json"
+    t.write_text(json.dumps(_grid_fc(3, groups=("g",))))
+    c = tmp_path / "c.json"
+    c.write_text(json.dumps(_rect_fc(0.4, 0.4, 2.3, 2.6)))
+    fn = clip_layer if which == "clip" else erase_layer
+    base = _metrics(fn(read_geojson(str(t)), read_geojson(str(c))))
+    cellp = _metrics(fn(read_geojson(str(t)), read_geojson(str(c)),
+                        cell=1.3))
+    a = base.sort_values("feature_id").reset_index(drop=True)
+    b = cellp.sort_values("feature_id").reset_index(drop=True)
+    assert list(a["feature_id"]) == list(b["feature_id"])
+    assert np.allclose(a["area"], b["area"])
+    assert np.allclose(a["perimeter"], b["perimeter"])
