@@ -505,15 +505,16 @@ def _q29_video_frames(sf_dir: str):
 
 
 def _q30_nearest_within(sf_dir: str):
-    """Nearest other geocoded page within radius 2.0 (grid-bucketed
-    point index, not a linear scan) for pages with doc_id < 200."""
-    from mapshaper_ray.ops.knn import nearest_join
+    """Nearest other geocoded page within radius 2.0 for pages with
+    doc_id < 200 — the large-x-large shuffle path (one cell-id
+    exchange with a halo; the full point set never reaches the
+    driver)."""
+    from mapshaper_ray.ops.knn import nearest_join_shuffle
     from mapshaper_ray.ops.relational import filter_expr
     ds = _geo_points(sf_dir).select_columns(["doc_id", "lon", "lat"])
-    src = ds.to_pandas()
     probes = filter_expr(ds, "doc_id < 200")
-    out = nearest_join(probes, src, radius=2.0,
-                       exclude_self=True).to_pandas()
+    out = nearest_join_shuffle(probes, ds, radius=2.0,
+                               exclude_self=True).to_pandas()
     out["dist"] = out["dist"].replace(np.inf, None)
     out["dist"] = pd.to_numeric(out["dist"]).round(6)
     return out[["doc_id", "neighbor_id", "dist"]] \

@@ -48,51 +48,88 @@ class GridPointIndex:
             return self.order[s:e]
         return None
 
+    def _gather_ring(self, cxs, cys, r):
+        """Candidate (probe_pos, src_idx) pairs for every probe's cells
+        at Chebyshev ring r — fully vectorized over probes: one batched
+        searchsorted per ring cell offset, slice expansion with the
+        repeat/cumsum trick (no per-probe Python loop)."""
+        if r == 0:
+            offsets = [(0, 0)]
+        else:
+            offsets = [(dx, dy)
+                       for dx in range(-r, r + 1)
+                       for dy in range(-r, r + 1)
+                       if max(abs(dx), abs(dy)) == r]
+        M = np.int64(0x9E3779B1)
+        probe_pos_all, src_all = [], []
+        nb = len(self.bucket_keys)
+        for dx, dy in offsets:
+            keys = (cxs + dx) * M + (cys + dy)
+            i = np.searchsorted(self.bucket_keys, keys)
+            i_c = np.minimum(i, nb - 1)
+            valid = (i < nb) & (self.bucket_keys[i_c] == keys)
+            if not valid.any():
+                continue
+            vi = i[valid]
+            starts = self.bucket_starts[vi]
+            ends = self.bucket_starts[vi + 1]
+            lens = ends - starts
+            tot = int(lens.sum())
+            # concatenated arange(starts[k], ends[k]) without a loop
+            flat = np.repeat(ends - np.cumsum(lens), lens) + np.arange(tot)
+            probe_pos_all.append(np.repeat(np.nonzero(valid)[0], lens))
+            src_all.append(self.order[flat])
+        if not probe_pos_all:
+            return (np.empty(0, np.int64), np.empty(0, np.int64))
+        return (np.concatenate(probe_pos_all), np.concatenate(src_all))
+
     def nearest(self, px, py, max_radius=np.inf, exclude_id=None):
         """Per-probe nearest source point: (id, dist); (-1, inf) if none
-        within max_radius.  Ring-expanding cell search."""
+        within max_radius.  Ring-expanding cell search over probe
+        COHORTS: all probes still active at ring r are gathered and
+        scored together (ties broken by lowest source id)."""
         px = np.asarray(px, dtype=np.float64)
         py = np.asarray(py, dtype=np.float64)
         n = len(px)
-        out_id = np.full(n, -1, dtype=self.ids.dtype)
-        out_d = np.full(n, np.inf)
+        best_d = np.full(n, np.inf)
+        best_id = np.full(n, -1, dtype=np.int64)
         cxs = np.floor(px / self.cell).astype(np.int64)
         cys = np.floor(py / self.cell).astype(np.int64)
+        active = np.arange(n)
         max_ring = 64  # bail-out for empty space
-        for i in range(n):
-            best_d = np.inf
-            best_j = -1
-            r = 0
-            while r <= max_ring:
-                # cells at chebyshev ring r
-                cand = []
-                for dx in range(-r, r + 1):
-                    for dy in range(-r, r + 1):
-                        if max(abs(dx), abs(dy)) != r:
-                            continue
-                        b = self._bucket(cxs[i] + dx, cys[i] + dy)
-                        if b is not None:
-                            cand.append(b)
-                if cand:
-                    j = np.concatenate(cand)
-                    if exclude_id is not None:
-                        j = j[self.ids[j] != exclude_id[i]]
-                    if len(j):
-                        d = np.hypot(self.xs[j] - px[i], self.ys[j] - py[i])
-                        a = int(np.argmin(d))
-                        if d[a] < best_d:
-                            best_d = float(d[a])
-                            best_j = int(j[a])
-                # stop when a found neighbor can't be beaten by the next
-                # ring (its nearest possible point is r*cell away)
-                if best_j >= 0 and best_d <= r * self.cell:
-                    break
-                if best_d > max_radius and r * self.cell > max_radius:
-                    break
-                r += 1
-            if best_j >= 0 and best_d <= max_radius:
-                out_id[i] = self.ids[best_j]
-                out_d[i] = best_d
+        r = 0
+        while len(active) and r <= max_ring:
+            ppos, src = self._gather_ring(cxs[active], cys[active], r)
+            if len(src):
+                gp = active[ppos]
+                d = np.hypot(self.xs[src] - px[gp], self.ys[src] - py[gp])
+                sid = self.ids[src].astype(np.int64)
+                if exclude_id is not None:
+                    keep = sid != np.asarray(exclude_id)[gp]
+                    gp, d, sid = gp[keep], d[keep], sid[keep]
+                if len(d):
+                    # best candidate per probe: sort (probe, dist, id),
+                    # take each probe's first row
+                    o = np.lexsort((sid, d, gp))
+                    gp_s, d_s, id_s = gp[o], d[o], sid[o]
+                    first = np.concatenate(
+                        [[0], np.nonzero(np.diff(gp_s))[0] + 1])
+                    win = d_s[first] < best_d[gp_s[first]]
+                    upd = gp_s[first][win]
+                    best_d[upd] = d_s[first][win]
+                    best_id[upd] = id_s[first][win]
+            # stop when a found neighbor can't be beaten by the next
+            # ring (its nearest possible point is r*cell away), or the
+            # radius bail-out triggers
+            found_stop = (best_id[active] >= 0) & \
+                (best_d[active] <= r * self.cell)
+            radius_stop = (best_d[active] > max_radius) & \
+                (r * self.cell > max_radius)
+            active = active[~(found_stop | radius_stop)]
+            r += 1
+        ok = (best_id >= 0) & (best_d <= max_radius)
+        out_id = np.where(ok, best_id, -1).astype(self.ids.dtype)
+        out_d = np.where(ok, best_d, np.inf)
         return out_id, out_d
 
 
@@ -124,7 +161,8 @@ def nearest_join(probe_ds, src_df: pd.DataFrame, radius: float,
 
 def nearest_join_shuffle(probe_ds, src_ds, radius: float,
                          x_col="lon", y_col="lat", id_col="doc_id",
-                         out_id="neighbor_id", out_dist="dist"):
+                         out_id="neighbor_id", out_dist="dist",
+                         exclude_self=False):
     """Large×large variant: one shuffle on cell id; source points
     duplicated into the 8 neighbor cells (halo) so each group is
     self-contained for a within-radius nearest search."""
@@ -167,10 +205,19 @@ def nearest_join_shuffle(probe_ds, src_ds, radius: float,
         py = probes[y_col].to_numpy()
         sx = srcs[x_col].to_numpy()
         sy = srcs[y_col].to_numpy()
+        sid = srcs[id_col].to_numpy()
         d = np.hypot(px[:, None] - sx[None, :], py[:, None] - sy[None, :])
+        if exclude_self:
+            d[probes[id_col].to_numpy()[:, None] == sid[None, :]] = np.inf
+        # tie-break equal distances by lowest source id: argmin over
+        # (d, id) lexicographic via stable double argsort is overkill —
+        # sort source columns by id once instead
+        id_order = np.argsort(sid, kind="stable")
+        d = d[:, id_order]
+        sid = sid[id_order]
         a = np.argmin(d, axis=1)
         best = d[np.arange(len(px)), a]
-        nid = srcs[id_col].to_numpy()[a]
+        nid = sid[a]
         out[out_id] = np.where(best <= radius, nid, -1)
         out[out_dist] = np.where(best <= radius, best, np.inf)
         return out

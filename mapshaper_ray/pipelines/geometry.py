@@ -159,18 +159,36 @@ def innerlines_by_key(features_ds, key="grp", inner_only=True):
     sides carry different group values are inner boundaries; ``lines``
     additionally returns outer edges (single-sided)."""
     def edges(df: pd.DataFrame) -> pd.DataFrame:
-        ks, fids, grps = [], [], []
-        for _, row in df.iterrows():
-            x = np.asarray(row["x"], dtype=np.float64)
-            y = np.asarray(row["y"], dtype=np.float64)
-            for i in range(len(x) - 1):
-                a = (round(x[i], 9), round(y[i], 9))
-                b = (round(x[i + 1], 9), round(y[i + 1], 9))
-                lo, hi = (a, b) if a <= b else (b, a)
-                ks.append(f"{lo[0]}_{lo[1]}_{hi[0]}_{hi[1]}")
-                fids.append(row["feature_id"])
-                grps.append(row[key])
-        return pd.DataFrame({"edge_key": ks, "feature_id": fids, key: grps})
+        # vectorized edge emission: flatten all rings, drop each ring's
+        # closing position, quantize endpoints to int64 (1e-9 grid) and
+        # canonicalize (lo endpoint first) — no per-row Python loop
+        arrs_x = [np.asarray(v, dtype=np.float64) for v in df["x"]]
+        arrs_y = [np.asarray(v, dtype=np.float64) for v in df["y"]]
+        lens = np.array([len(a) for a in arrs_x], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"qx1": [], "qy1": [], "qx2": [], "qy2": [],
+                                 "feature_id": [], key: []})
+        fx = np.concatenate(arrs_x)
+        fy = np.concatenate(arrs_y)
+        idx = np.arange(len(fx))
+        mask = np.ones(len(fx), dtype=bool)
+        mask[np.cumsum(lens) - 1] = False  # last vertex of each ring
+        ai = idx[mask]
+        q = 1e9
+        ax = np.round(fx[ai] * q).astype(np.int64)
+        ay = np.round(fy[ai] * q).astype(np.int64)
+        bx = np.round(fx[ai + 1] * q).astype(np.int64)
+        by = np.round(fy[ai + 1] * q).astype(np.int64)
+        swap = (ax > bx) | ((ax == bx) & (ay > by))
+        qx1 = np.where(swap, bx, ax)
+        qy1 = np.where(swap, by, ay)
+        qx2 = np.where(swap, ax, bx)
+        qy2 = np.where(swap, ay, by)
+        n_edges = lens - 1
+        return pd.DataFrame({
+            "qx1": qx1, "qy1": qy1, "qx2": qx2, "qy2": qy2,
+            "feature_id": np.repeat(df["feature_id"].to_numpy(), n_edges),
+            key: np.repeat(df[key].to_numpy(), n_edges)})
 
     edge_ds = features_ds.map_batches(edges, batch_format="pandas")
 
@@ -185,10 +203,13 @@ def innerlines_by_key(features_ds, key="grp", inner_only=True):
         else:
             kind = "inner"
             pair = f"{grps[0]}-{grps[1]}"
-        return pd.DataFrame([{"edge_key": df["edge_key"].iloc[0],
-                              "kind": kind, "pair": pair}])
+        r = df.iloc[0]
+        ek = f"{r['qx1']}_{r['qy1']}_{r['qx2']}_{r['qy2']}"
+        return pd.DataFrame([{"edge_key": ek, "kind": kind, "pair": pair}])
 
-    classified = edge_ds.groupby("edge_key").map_groups(
+    # exact composite key: the four quantized int64 coordinates (a
+    # mixed single hash would admit collisions)
+    classified = edge_ds.groupby(["qx1", "qy1", "qx2", "qy2"]).map_groups(
         classify, batch_format="pandas")
     if inner_only:
         def keep(df: pd.DataFrame) -> pd.DataFrame:

@@ -150,6 +150,10 @@ def write_tiles(ds, out_dir: str, target_rows: int = 50_000,
     prior = load_manifest(out_dir) if resume else None
     if prior is not None and len(prior):
         done = set(prior[prior["status"] == "done"]["partition"])
+    # checkpoint ONCE: the count pre-pass and the salted write would
+    # otherwise each execute the whole upstream (geocode + join) —
+    # materialized blocks live in the (spillable) object store
+    ds = ds.materialize()
     counts = tile_counts(ds)
     plan = salt_plan(counts, target_rows)
     salted = ds.map_batches(
