@@ -404,6 +404,29 @@ def _q25_webmercator(sf_dir: str):
     return out[["doc_id", "x", "y"]]
 
 
+def _q36_lcc(sf_dir: str):
+    """-proj lcc (spherical Lambert conformal conic, proj4-family
+    params via the +proj string surface)."""
+    from mapshaper_ray.stages.proj import project_points
+    ds = _geo_points(sf_dir).select_columns(["doc_id", "lon", "lat"])
+    out = project_points(
+        ds, "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-96") \
+        .to_pandas()
+    out["x"] = out["x"].round(2)
+    out["y"] = out["y"].round(2)
+    return out[["doc_id", "x", "y"]]
+
+
+def _q37_robinson(sf_dir: str):
+    """-proj robinson (table-interpolated, the reference's alias)."""
+    from mapshaper_ray.stages.proj import project_points
+    ds = _geo_points(sf_dir).select_columns(["doc_id", "lon", "lat"])
+    out = project_points(ds, "robinson").to_pandas()
+    out["x"] = out["x"].round(2)
+    out["y"] = out["y"].round(2)
+    return out[["doc_id", "x", "y"]]
+
+
 def _q26_innerlines(sf_dir: str):
     """Shared-edge classification (distributed arc classifier)."""
     from mapshaper_ray.pipelines.geometry import innerlines_pipeline
@@ -469,6 +492,41 @@ def _q33_clip_layer(sf_dir: str):
     out["area"] = out["area"].round(6)
     return out[["feature_id", "row", "col", "area"]] \
         .sort_values("feature_id").reset_index(drop=True)
+
+
+def _q35_clip_lines(sf_dir: str):
+    """Polyline × polygon clip AND erase (reference polyline-clipping
+    semantics: cut at boundary crossings, keep enclosed / non-enclosed
+    runs) over 8 horizontal lines × the diamond clip region."""
+    import ray.data as rd
+    from mapshaper_ray.ops.clip import clip_polylines
+    lines = rd.from_items([
+        {"line_id": i, "feature_id": i,
+         "part_x": [[-1.0, 5.0]],
+         "part_y": [[0.25 + i * 0.5, 0.25 + i * 0.5]]}
+        for i in range(8)])
+    clip = rd.from_items([{
+        "feature_id": 0,
+        "rings_x": [[2.0, 3.5, 2.0, 0.5, 2.0]],
+        "rings_y": [[0.5, 2.0, 3.5, 2.0, 0.5]],
+        "ring_poly": [0]}])
+    frames = []
+    for how in ("clip", "erase"):
+        out = clip_polylines(lines, clip, how=how).to_pandas()
+        if len(out) == 0:
+            continue
+        frames.append(pd.DataFrame({
+            "line_id": out["line_id"].astype("int64"),
+            "mode": how,
+            "n_parts": [len(p) for p in out["part_x"]],
+            "length": [round(float(sum(
+                np.sum(np.hypot(np.diff(np.asarray(x)),
+                                np.diff(np.asarray(y))))
+                for x, y in zip(px, py))), 6)
+                for px, py in zip(out["part_x"], out["part_y"])],
+        }))
+    return pd.concat(frames, ignore_index=True) \
+        .sort_values(["mode", "line_id"]).reset_index(drop=True)
 
 
 def _q34_text_quality_oracle(sf_dir: str):
@@ -565,6 +623,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q28_image_features": _q28_image_features,
         "q29_video_frames": _q29_video_frames,
         "q30_nearest_within": _q30_nearest_within,
+        "q35_clip_lines": _q35_clip_lines,
+        "q36_lcc": _q36_lcc,
+        "q37_robinson": _q37_robinson,
     }
 
 
@@ -964,6 +1025,27 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(hi - lo), 6) AS area_total,
                    count(*) AS n_tiles
             FROM owner GROUP BY 1""",
+        "q35_clip_lines": """
+            -- closed-form segment arithmetic: a horizontal line at y=c
+            -- meets the diamond |x-2|+|y-2|<=1.5 on [2-t, 2+t] with
+            -- t = 1.5-|c-2|; erase keeps the complement (2 runs)
+            WITH lines AS (
+              SELECT i AS line_id, 0.25 + i * 0.5 AS c
+              FROM (SELECT unnest(generate_series(0, 7)) AS i)),
+            t AS (SELECT line_id, 1.5 - ABS(c - 2) AS t FROM lines),
+            m AS (SELECT line_id,
+                         CASE WHEN t > 0
+                              THEN LEAST(2 + t, 5.0) - GREATEST(2 - t, -1.0)
+                              ELSE 0 END AS ilen
+                  FROM t)
+            SELECT line_id, 'clip' AS mode, 1 AS n_parts,
+                   round(ilen, 6) AS length
+            FROM m WHERE ilen > 0
+            UNION ALL
+            SELECT line_id, 'erase',
+                   CASE WHEN ilen > 0 THEN 2 ELSE 1 END,
+                   round(6.0 - ilen, 6)
+            FROM m""",
         "q33_clip_layer": """
             -- exact trapezoid integration of each unit cell's
             -- intersection with the diamond |x-2|+|y-2| <= 1.5: the
@@ -1038,6 +1120,53 @@ def oracle_sql() -> dict[str, str]:
                          radians(LEAST(GREATEST(lat, -85.051128779806604),
                                        85.051128779806604)) / 2)), 4) AS y
             FROM geo""",
+        "q36_lcc": f"""
+            WITH {_GEO_CTE},
+            k AS (SELECT
+              ln(cos(radians(33.0)) / cos(radians(45.0))) /
+              ln(tan(pi()/4 + radians(45.0)/2) /
+                 tan(pi()/4 + radians(33.0)/2)) AS n),
+            kf AS (SELECT n,
+              cos(radians(33.0)) * pow(tan(pi()/4 + radians(33.0)/2), n) / n
+                AS f FROM k),
+            p AS (SELECT doc_id, lon,
+                         LEAST(GREATEST(lat, -89.9), 89.9) AS lat FROM geo)
+            SELECT doc_id,
+              round(6378137.0 * f / pow(tan(pi()/4 + radians(lat)/2), n)
+                    * sin(n * (radians(lon) - radians(-96.0))), 2) AS x,
+              round(6378137.0 * f / pow(tan(pi()/4 + radians(23.0)/2), n)
+                    - 6378137.0 * f / pow(tan(pi()/4 + radians(lat)/2), n)
+                    * cos(n * (radians(lon) - radians(-96.0))), 2) AS y
+            FROM p, kf""",
+        "q37_robinson": f"""
+            WITH {_GEO_CTE},
+            rob(idx, xc, yc) AS (VALUES
+              (0, 1.0000, 0.0000), (1, 0.9986, 0.0620),
+              (2, 0.9954, 0.1240), (3, 0.9900, 0.1860),
+              (4, 0.9822, 0.2480), (5, 0.9730, 0.3100),
+              (6, 0.9600, 0.3720), (7, 0.9427, 0.4340),
+              (8, 0.9216, 0.4958), (9, 0.8962, 0.5571),
+              (10, 0.8679, 0.6176), (11, 0.8350, 0.6769),
+              (12, 0.7986, 0.7346), (13, 0.7597, 0.7903),
+              (14, 0.7186, 0.8435), (15, 0.6732, 0.8936),
+              (16, 0.6213, 0.9394), (17, 0.5722, 0.9761),
+              (18, 0.5322, 1.0000)),
+            p AS (SELECT doc_id, lon, lat,
+                         LEAST(CAST(floor(abs(lat) / 5.0) AS INT), 17)
+                           AS idx,
+                         (abs(lat) - LEAST(CAST(floor(abs(lat) / 5.0)
+                                                AS INT), 17) * 5.0) / 5.0
+                           AS frac
+                  FROM geo)
+            SELECT doc_id,
+              round(0.8487 * 6378137.0 *
+                    (a.xc + frac * (b.xc - a.xc)) * radians(lon), 2) AS x,
+              round(1.3523 * 6378137.0 *
+                    (a.yc + frac * (b.yc - a.yc)) *
+                    (CASE WHEN lat > 0 THEN 1.0 WHEN lat < 0 THEN -1.0
+                          ELSE 0.0 END), 2) AS y
+            FROM p JOIN rob a ON a.idx = p.idx
+                   JOIN rob b ON b.idx = p.idx + 1""",
         "q22_knn": f"""
             WITH {_GEO_CTE},
             pts AS (SELECT doc_id, lon, lat FROM geo WHERE doc_id < 2000),

@@ -58,7 +58,9 @@ from .stages.proj import project_layer, project_points  # -proj
 from .stages.spatial_join import spatial_join  # -join polygons onto points
 from .ops.clip import (clip_bbox,  # -clip bbox=
                        clip_points,  # -clip (point target)
-                       erase_points)  # -erase (point target)
+                       clip_polylines,  # -clip/-erase (polyline target)
+                       erase_points,  # -erase (point target)
+                       slice_polylines)  # -slice (polyline target)
 from .ops.knn import (nearest_join,  # point->point join (PointIndex repl.)
                       nearest_join_shuffle)
 from .state.path_index import PathIndex

@@ -13,10 +13,17 @@ Implemented surface:
   convex clip region); polylines split segments at rect crossings and
   keep inside runs; points filter.
 
-The general polygon×polygon boolean (arc cuts + pathfinder walk,
-src/clipping/mapshaper-polygon-clipping.js:10-227) rides on the
-intersection-cut substrate — see topo/cuts.py; until that lands the
-polygon case here is rectangle-only and says so.
+- ``clip_polylines`` — general polyline × polygon-layer clip / erase /
+  slice (reference src/clipping/mapshaper-polyline-clipping.js: divide
+  arcs at crossings with the clip layer, then keep runs of arcs whose
+  interior is enclosed (clip) / not enclosed (erase); ``slice`` keeps
+  every run tagged with an ``inside`` flag, reference -slice in
+  src/commands/mapshaper-clip-erase.js:13-27).  Ray shape: the clip
+  layer (small side) broadcasts once via ray.put; each polyline
+  feature cuts + classifies independently inside map_batches.
+
+The general polygon×polygon boolean lives in pipelines/overlay.py on
+the mosaic substrate; ``clip_bbox`` remains the rectangle fast path.
 """
 
 from __future__ import annotations
@@ -227,3 +234,112 @@ def clip_bbox(ds, bbox):
         df["py"] = ny
         return df[np.asarray(keep, dtype=bool)]
     return ds.map_batches(go, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# general polyline x polygon clip / erase / slice
+
+def _clip_part_runs(x, y, clip_rings, how):
+    """One polyline part against a clip ring set.
+
+    Cuts the part at every crossing with a clip-ring segment (the
+    per-feature application of addIntersectionCuts), classifies each
+    piece by whether an interior point is enclosed (even-odd over all
+    rings, holes included), and merges adjacent same-class pieces back
+    into runs.  Returns list of (x, y[, inside]) parts."""
+    from ..geom.kernels import points_in_shape
+    from ..topo.arcs import ArcTable
+    from ..topo.cuts import add_intersection_cuts
+
+    coords = [np.stack([x, y], axis=1)]
+    for rx, ry in clip_rings:
+        coords.append(np.stack([np.asarray(rx, float),
+                                np.asarray(ry, float)], axis=1))
+    arcs = ArcTable.from_coord_lists(coords)
+    cut, remap, _ = add_intersection_cuts(arcs)
+    pieces = []
+    for aid in remap[0]:
+        i0 = cut.ii[aid]
+        n = cut.nn[aid]
+        pieces.append((cut.xx[i0:i0 + n], cut.yy[i0:i0 + n]))
+
+    def enclosed(px_arr, py_arr):
+        # interior point: midpoint of the longest segment (stays off
+        # the boundary for pieces produced by boundary cuts)
+        dx = np.diff(px_arr)
+        dy = np.diff(py_arr)
+        k = int(np.argmax(dx * dx + dy * dy))
+        mx = (px_arr[k] + px_arr[k + 1]) / 2
+        my = (py_arr[k] + py_arr[k + 1]) / 2
+        return bool(points_in_shape(np.array([mx]), np.array([my]),
+                                    clip_rings)[0])
+
+    flags = [enclosed(px, py) for px, py in pieces]
+    runs = []
+    cur_x, cur_y, cur_flag = None, None, None
+    for (px, py), fl in zip(pieces, flags):
+        keep = (fl if how == "clip" else
+                (not fl) if how == "erase" else True)
+        if not keep:
+            if cur_x is not None:
+                runs.append((cur_x, cur_y, cur_flag))
+                cur_x = None
+            continue
+        if cur_x is not None and (how != "slice" or fl == cur_flag) \
+                and cur_x[-1] == px[0] and cur_y[-1] == py[0]:
+            cur_x = np.concatenate([cur_x, px[1:]])
+            cur_y = np.concatenate([cur_y, py[1:]])
+        else:
+            if cur_x is not None:
+                runs.append((cur_x, cur_y, cur_flag))
+            cur_x, cur_y, cur_flag = px, py, fl
+    if cur_x is not None:
+        runs.append((cur_x, cur_y, cur_flag))
+    return runs
+
+
+def clip_polylines(target_ds, clip_ds, how="clip"):
+    """Polyline layer × polygon layer clip/erase/slice.
+
+    ``how="clip"`` keeps the parts inside the clip polygons,
+    ``"erase"`` the parts outside, ``"slice"`` keeps everything split
+    at the boundaries with an added ``inside`` flag column (one row per
+    feature; parts of a slice output carry per-part flags in
+    ``part_inside``)."""
+    import ray
+
+    cdf = clip_ds.to_pandas()
+    clip_rings = []
+    for _, row in cdf.iterrows():
+        for rx, ry in zip(_nz(row.get("rings_x")), _nz(row.get("rings_y"))):
+            clip_rings.append((np.asarray(rx, float), np.asarray(ry, float)))
+    ref = ray.put(clip_rings)
+
+    def go(df: pd.DataFrame) -> pd.DataFrame:
+        rings = ray.get(ref)
+        out_rows = []
+        for _, row in df.iterrows():
+            nx, ny, nf = [], [], []
+            for x, y in zip(_nz(row["part_x"]), _nz(row["part_y"])):
+                for run in _clip_part_runs(np.asarray(x, float),
+                                           np.asarray(y, float),
+                                           rings, how):
+                    nx.append(run[0].tolist())
+                    ny.append(run[1].tolist())
+                    nf.append(bool(run[2]))
+            if not nx:
+                continue
+            out = {c: row[c] for c in df.columns
+                   if c not in ("part_x", "part_y")}
+            out["part_x"] = nx
+            out["part_y"] = ny
+            if how == "slice":
+                out["part_inside"] = nf
+            out_rows.append(out)
+        return pd.DataFrame(out_rows)
+    return target_ds.map_batches(go, batch_format="pandas")
+
+
+def slice_polylines(target_ds, clip_ds):
+    """-slice for polylines: split at clip boundaries, keep all parts."""
+    return clip_polylines(target_ds, clip_ds, how="slice")

@@ -1,0 +1,90 @@
+"""Widened -proj surface: proj4 families, aliases, from= plumbing."""
+
+import numpy as np
+import pytest
+
+from mapshaper_ray.stages.proj import (albers_fwd, albers_inv, lcc_fwd,
+                                       lcc_inv, eqc_fwd, eqc_inv,
+                                       albersusa_fwd, robinson_fwd,
+                                       resolve_projection)
+
+
+def _grid():
+    lon, lat = np.meshgrid(np.linspace(-120, -70, 6),
+                           np.linspace(25, 48, 5))
+    return lon.ravel(), lat.ravel()
+
+
+def test_lcc_roundtrip():
+    lon, lat = _grid()
+    x, y = lcc_fwd(lon, lat)
+    lon2, lat2 = lcc_inv(x, y)
+    assert np.allclose(lon, lon2, atol=1e-9)
+    assert np.allclose(lat, lat2, atol=1e-9)
+
+
+def test_albers_roundtrip():
+    lon, lat = _grid()
+    x, y = albers_fwd(lon, lat)
+    lon2, lat2 = albers_inv(x, y)
+    assert np.allclose(lon, lon2, atol=1e-9)
+    assert np.allclose(lat, lat2, atol=1e-9)
+
+
+def test_eqc_roundtrip_with_lat_ts():
+    lon, lat = _grid()
+    x, y = eqc_fwd(lon, lat, lat_ts=30.0)
+    lon2, lat2 = eqc_inv(x, y, lat_ts=30.0)
+    assert np.allclose(lon, lon2)
+    assert np.allclose(lat, lat2)
+
+
+def test_robinson_shape():
+    # equator maps to y=0, poles to +-1.3523*R; x shrinks toward poles
+    x0, y0 = robinson_fwd(np.array([90.0]), np.array([0.0]))
+    xp, yp = robinson_fwd(np.array([90.0]), np.array([90.0]))
+    assert y0[0] == 0.0
+    assert np.isclose(yp[0], 1.3523 * 6378137.0)
+    assert abs(xp[0]) < abs(x0[0])
+    xn, yn = robinson_fwd(np.array([90.0]), np.array([-90.0]))
+    assert np.isclose(yn[0], -1.3523 * 6378137.0)
+
+
+def test_albersusa_insets():
+    # Anchorage lands left of / below the continental frame; Honolulu
+    # below; continental points are plain Albers
+    lon = np.array([-149.9, -157.85, -100.0])
+    lat = np.array([61.2, 21.3, 40.0])
+    x, y = albersusa_fwd(lon, lat)
+    cx, cy = albers_fwd(np.array([-100.0]), np.array([40.0]))
+    assert x[2] == cx[0] and y[2] == cy[0]
+    assert y[0] < cy[0]  # AK inset shifted down-left
+    assert y[1] < cy[0]  # HI inset below
+
+
+def test_resolve_proj4_string_params():
+    fwd, inv = resolve_projection("+proj=lcc +lat_1=40 +lat_2=50")
+    x, y = fwd(np.array([-96.0]), np.array([45.0]))
+    xd, yd = lcc_fwd(np.array([-96.0]), np.array([45.0]),
+                     lat1=40.0, lat2=50.0)
+    assert x[0] == xd[0] and y[0] == yd[0]
+    with pytest.raises(ValueError):
+        resolve_projection("+proj=nosuch")
+    with pytest.raises(ValueError):
+        resolve_projection("utm17n")
+
+
+def test_project_points_from_proj(ray_session):
+    """from= plumbing: webmercator coords -> inverse -> lcc."""
+    import pandas as pd
+    import ray.data as rd
+    from mapshaper_ray.stages.proj import project_points, webmercator_fwd
+    lon = np.array([-100.0, -80.0])
+    lat = np.array([30.0, 45.0])
+    mx, my = webmercator_fwd(lon, lat)
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [0, 1],
+                                      "lon": mx, "lat": my}))
+    out = project_points(ds, "lcc", from_proj="webmercator").to_pandas()
+    ex, ey = lcc_fwd(lon, lat)
+    assert np.allclose(out["x"], ex)
+    assert np.allclose(out["y"], ey)
