@@ -31,6 +31,7 @@ from .ops.relational import (broadcast_join, broadcast_join_calc,  # -join
                              calc_stats,  # -calc
                              each_expr,  # -each
                              filter_expr,  # -filter
+                             include_defs,  # -include
                              groupby_agg,  # -dissolve (data side)
                              hash_join,  # -join (large-large)
                              join_side_outputs,  # -join unmatched/unjoined
@@ -49,7 +50,10 @@ from .ops.features import (add_polygon_metrics,  # $.area etc. (§2.2a)
                            to_point_layer)  # -points
 from .ops.generate import (graticule,  # -graticule
                            point_grid,  # -point-grid
+                           points_endpoints,  # -points endpoints
                            points_from_columns,  # -points x= y=
+                           points_interpolated,  # -points interpolated
+                           points_vertices,  # -points vertices
                            polygon_grid,  # -polygon-grid
                            rectangle)  # -rectangle
 from .stages.proj import project_layer, project_points  # -proj
@@ -123,7 +127,9 @@ from .ops.neighbors import (cluster_polygons,  # -cluster
                             data_fill,  # -data-fill
                             neighbor_edges)  # polygon-neighbors graph
 from .ops.anchor import (anchor_point, anchor_points,  # -points inner
-                         stitch_antimeridian)  # -stitch
+                         fix_ring_nesting,  # ring-nesting repair
+                         stitch_antimeridian,  # -stitch (planar unwrap)
+                         stitch_spherical)  # -stitch (lat-lon edge snap)
 from .geom.keep_shapes import (protect_shapes,  # -simplify keep-shapes
                                repair_intersections)  # post-simplify repair
 

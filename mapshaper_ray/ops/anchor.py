@@ -153,3 +153,120 @@ def stitch_antimeridian(ds, tol=1e-6):
             out_rows.append(row)
         return pd.DataFrame(out_rows)
     return ds.map_batches(go, batch_format="pandas")
+
+
+def snap_edge_vertices(x, y, e=1e-10):
+    """Snap vertices at the antimeridian / poles to lng=-180 (reference
+    snapEdgeArcs, src/commands/mapshaper-stitch.js:53-88): lng within e
+    of +-180 -> -180; lat within e of a pole -> the pole with
+    lng=-180.  Returns (x, y, touched)."""
+    x = np.asarray(x, dtype=np.float64).copy()
+    y = np.asarray(y, dtype=np.float64).copy()
+    on_lng = (x <= -180 + e) | (x >= 180 - e)
+    x[on_lng] = -180.0
+    at_s = y <= -90 + e
+    at_n = y >= 90 - e
+    y[at_s] = -90.0
+    x[at_s] = -180.0
+    y[at_n] = 90.0
+    x[at_n] = -180.0
+    return x, y, bool(on_lng.any() or at_s.any() or at_n.any())
+
+
+def stitch_spherical(ds, e=1e-10):
+    """Spherical -stitch (reference api.stitch, src/commands/
+    mapshaper-stitch.js:11-33): snap edge vertices onto lng=-180 /
+    the poles, then re-dissolve each edge-touching feature's rings so
+    the coincident edge arcs cancel — removing the antimeridian/pole
+    'cuts' of an unprojected (rotated-projection) dataset.  Non-edge
+    features pass through untouched."""
+    from ..pipelines.overlay import _node_axis_edges
+    from ..topo.build import build_topology
+    from ..topo.dissolve import dissolve_shapes
+
+    def go(df: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for _, row in df.iterrows():
+            rx = row["rings_x"] if row["rings_x"] is not None else []
+            ry = row["rings_y"] if row["rings_y"] is not None else []
+            snapped = [snap_edge_vertices(x, y, e)
+                       for x, y in zip(rx, ry)]
+            row = dict(row)
+            if not any(t for _, _, t in snapped):
+                row["stitched"] = False
+                out_rows.append(row)
+                continue
+            feats = [[np.stack([x, y], axis=1)] for x, y, _ in snapped]
+            # node the shared -180 edge so both sides' subdivisions
+            # match, then melt: coincident opposite edges cancel
+            feats = _node_axis_edges(feats)
+            arcs, shapes = build_topology(feats)
+            rings = dissolve_shapes(shapes, ["s"] * len(shapes),
+                                    arcs)["s"] or []
+            coords = [arcs.path_coords(r) for r in rings]
+            row["rings_x"] = [list(map(float, c[0])) for c in coords]
+            row["rings_y"] = [list(map(float, c[1])) for c in coords]
+            row["ring_poly"] = [0] * len(coords)
+            row["stitched"] = True
+            out_rows.append(row)
+        return pd.DataFrame(out_rows)
+    return ds.map_batches(go, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# ring-nesting repair
+
+def fix_ring_nesting(ds, drop_same_winding=True):
+    """Per-feature ring-nesting repair (reference fixNestingErrors /
+    fixNestingErrors2, src/paths/mapshaper-ring-nesting.js:1-50):
+    delete rings nested directly inside an enclosing ring with the SAME
+    winding direction; flip un-contained CCW (hole-wound) rings to
+    outer winding.  Containment = smallest enclosing ring by interior
+    point; assumes non-overlapping boundaries (post-dissolve)."""
+    from ..geom.kernels import planar_ring_area, points_in_ring
+
+    def fix_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        nx, ny, npl = [], [], []
+        for _, row in df.iterrows():
+            rx = [np.asarray(v, float) for v in (row["rings_x"]
+                  if row["rings_x"] is not None else [])]
+            ry = [np.asarray(v, float) for v in (row["rings_y"]
+                  if row["rings_y"] is not None else [])]
+            rp = list(row["ring_poly"]) if row["ring_poly"] is not None \
+                else [0] * len(rx)
+            areas = [planar_ring_area(x, y) for x, y in zip(rx, ry)]
+
+            def container_of(i):
+                # smallest |area| ring strictly containing ring i
+                px, py = rx[i][0], ry[i][0]
+                best, best_a = -1, np.inf
+                for j in range(len(rx)):
+                    if j == i or abs(areas[j]) <= abs(areas[i]):
+                        continue
+                    if points_in_ring(np.array([px]), np.array([py]),
+                                      rx[j], ry[j])[0]:
+                        if abs(areas[j]) < best_a:
+                            best, best_a = j, abs(areas[j])
+                return best
+
+            keep = []
+            for i in range(len(rx)):
+                c = container_of(i)
+                if drop_same_winding and c >= 0 and \
+                        (areas[c] > 0) == (areas[i] > 0):
+                    continue  # same chirality as container: invalid
+                if areas[i] < 0 and c == -1:
+                    # un-contained hole-wound ring: flip to outer
+                    rx[i] = rx[i][::-1]
+                    ry[i] = ry[i][::-1]
+                keep.append(i)
+            nx.append([rx[i].tolist() for i in keep])
+            ny.append([ry[i].tolist() for i in keep])
+            npl.append([rp[i] for i in keep] if len(rp) >= len(rx)
+                       else [0] * len(keep))
+        df["rings_x"] = nx
+        df["rings_y"] = ny
+        df["ring_poly"] = npl
+        return df
+    return ds.map_batches(fix_rows, batch_format="pandas")

@@ -255,9 +255,52 @@ def filter_islands(ds, min_area: float):
     return ds.map_batches(go, batch_format="pandas")
 
 
-def filter_slivers(ds, min_area: float):
-    """-filter-slivers: drop rings (incl. holes) with area below
-    threshold (src/commands/mapshaper-filter-slivers.js:8)."""
+def sliver_area_threshold(ds) -> float:
+    """Auto sliver threshold: (mean segment length)², with segments
+    longer than half the layer bbox in either axis disregarded (they
+    are bounding-box-like artifacts) — reference calcMaxSliverArea,
+    src/commands/mapshaper-filter-slivers.js:66-84.  Distributed:
+    bbox pre-pass, then distributive (sum, count) partials (the
+    reference's online mean == arithmetic mean)."""
+    info = layer_info(ds)
+    xmin, ymin, xmax, ymax = info["bbox"]
+    dx_max = (xmax - xmin) / 2
+    dy_max = (ymax - ymin) / 2
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tot = 0.0
+        cnt = 0
+        for _, row in df.iterrows():
+            rx, ry = _rings(row)
+            for x, y in zip(rx, ry):
+                dx = np.abs(np.diff(x))
+                dy = np.abs(np.diff(y))
+                keep = (dx < dx_max) & (dy < dy_max)
+                tot += float(np.sum(np.hypot(dx[keep], dy[keep])))
+                cnt += int(np.count_nonzero(keep))
+        return pd.DataFrame({"tot": [tot], "cnt": [cnt]})
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cnt = int(p["cnt"].sum())
+    if cnt == 0:
+        return 0.0
+    mean = float(p["tot"].sum()) / cnt
+    return mean * mean
+
+
+def filter_slivers(ds, min_area: float | None = None):
+    """-filter-slivers: drop rings (incl. holes) below threshold
+    (src/commands/mapshaper-filter-slivers.js:8).  ``min_area=None``
+    computes the reference's auto threshold (mean-squared segment
+    length; drop when area <= threshold)."""
+    if min_area is None:
+        thr = sliver_area_threshold(ds)
+
+        def drop(a):
+            return abs(a) <= thr
+    else:
+        def drop(a):
+            return abs(a) < min_area
+
     def go(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         nx, ny, npl = [], [], []
@@ -266,7 +309,7 @@ def filter_slivers(ds, min_area: float):
             rp = list(row["ring_poly"] if row["ring_poly"] is not None
                       else [])
             sel = [i for i in range(len(rx))
-                   if abs(planar_ring_area(rx[i], ry[i])) >= min_area]
+                   if not drop(planar_ring_area(rx[i], ry[i]))]
             nx.append([rx[i].tolist() for i in sel])
             ny.append([ry[i].tolist() for i in sel])
             npl.append([rp[i] for i in sel])

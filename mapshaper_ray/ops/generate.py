@@ -98,3 +98,128 @@ def points_from_columns(ds, x_col: str, y_col: str):
         df["py"] = [[float(v)] if pd.notna(v) else [] for v in df[y_col]]
         return df
     return ds.map_batches(go, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# -points vertices / endpoints / interpolated
+# (reference src/commands/mapshaper-points.js:42-166)
+
+def _feature_paths(row):
+    """Ring or part coordinate arrays of one layer-model row."""
+    from ..sources.layers import nz
+    if "part_x" in row.index:
+        xs, ys = row["part_x"], row["part_y"]
+    else:
+        xs, ys = row["rings_x"], row["rings_y"]
+    return ([np.asarray(v, dtype=np.float64) for v in nz(xs)],
+            [np.asarray(v, dtype=np.float64) for v in nz(ys)])
+
+
+def _dedup_keep_first(px, py):
+    """First-occurrence dedup of exact (x, y) pairs, vectorized
+    (mirrors the reference's string-key index, pointsFromVertices)."""
+    pts = np.stack([px, py], axis=1)
+    view = pts.view([("x", np.float64), ("y", np.float64)]).ravel()
+    _, first = np.unique(view, return_index=True)
+    keep = np.sort(first)
+    return px[keep], py[keep]
+
+
+def points_vertices(ds):
+    """-points vertices: every path vertex of each feature, deduped by
+    exact coordinates (src/commands/mapshaper-points.js:96-122)."""
+    def go(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, row in df.iterrows():
+            xs, ys = _feature_paths(row)
+            if not xs:
+                continue
+            px = np.concatenate(xs)
+            py = np.concatenate(ys)
+            px, py = _dedup_keep_first(px, py)
+            out = {c: row[c] for c in df.columns
+                   if c not in ("rings_x", "rings_y", "ring_poly",
+                                "part_x", "part_y")}
+            out["px"] = px.tolist()
+            out["py"] = py.tolist()
+            rows.append(out)
+        return pd.DataFrame(rows)
+    return ds.map_batches(go, batch_format="pandas")
+
+
+def points_endpoints(ds):
+    """-points endpoints: first/last vertex of each part, deduped
+    (src/commands/mapshaper-points.js:124-149)."""
+    def go(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, row in df.iterrows():
+            xs, ys = _feature_paths(row)
+            if not xs:
+                continue
+            px = np.array([v for x in xs for v in (x[0], x[-1])])
+            py = np.array([v for y in ys for v in (y[0], y[-1])])
+            px, py = _dedup_keep_first(px, py)
+            out = {c: row[c] for c in df.columns
+                   if c not in ("rings_x", "rings_y", "ring_poly",
+                                "part_x", "part_y")}
+            out["px"] = px.tolist()
+            out["py"] = py.tolist()
+            rows.append(out)
+        return pd.DataFrame(rows)
+    return ds.map_batches(go, batch_format="pandas")
+
+
+def _interp_part(x, y, interval):
+    """Sequential interval walk of one part — exact port of
+    interpolatePointsAlongArc (src/commands/mapshaper-points.js:46-77):
+    emit the start vertex, a point every ``interval`` along the line
+    (resetting from each emitted point), and the final vertex when
+    leftover distance remains."""
+    px, py = [float(x[0])], [float(y[0])]
+    prev_x, prev_y = float(x[0]), float(y[0])
+    elapsed = 0.0
+    for i in range(1, len(x)):
+        cx, cy = float(x[i]), float(y[i])
+        seg = float(np.hypot(cx - prev_x, cy - prev_y))
+        while elapsed + seg >= interval:
+            k = (interval - elapsed) / seg
+            nx = prev_x * (1 - k) + cx * k
+            ny = prev_y * (1 - k) + cy * k
+            elapsed = 0.0
+            px.append(nx)
+            py.append(ny)
+            prev_x, prev_y = nx, ny
+            seg = float(np.hypot(cx - prev_x, cy - prev_y))
+        elapsed += seg
+        prev_x, prev_y = cx, cy
+    if elapsed > 0:
+        px.append(prev_x)
+        py.append(prev_y)
+    return px, py
+
+
+def points_interpolated(ds, interval: float):
+    """-points interpolated over a polyline layer
+    (src/commands/mapshaper-points.js:79-94)."""
+    if not interval > 0:
+        raise ValueError(f"invalid interpolation interval: {interval}")
+
+    def go(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, row in df.iterrows():
+            xs, ys = _feature_paths(row)
+            if not xs:
+                continue
+            px: list = []
+            py: list = []
+            for x, y in zip(xs, ys):
+                ax, ay = _interp_part(x, y, interval)
+                px.extend(ax)
+                py.extend(ay)
+            out = {c: row[c] for c in df.columns
+                   if c not in ("part_x", "part_y")}
+            out["px"] = px
+            out["py"] = py
+            rows.append(out)
+        return pd.DataFrame(rows)
+    return ds.map_batches(go, batch_format="pandas")

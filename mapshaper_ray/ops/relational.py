@@ -43,21 +43,46 @@ _EXPR_GLOBALS = {
 }
 
 
-def compile_expression(expr: str):
+def include_defs(source) -> dict:
+    """-include: load a dict of names (constants / functions) into the
+    expression environment (reference internal.include,
+    src/commands/mapshaper-include.js:3-33 — a JS object merged into
+    the 'defs' state var).  ``source`` is a dict, or a path to a Python
+    file whose module-level names become defs (private names skipped).
+    The returned dict is passed to each_expr/filter_expr as ``defs=``
+    and ships to workers via closure serialization."""
+    if isinstance(source, dict):
+        return dict(source)
+    with open(source) as f:
+        code = f.read()
+    # one namespace for globals AND locals so def'd functions can see
+    # the module-level names they reference
+    ns: dict = {"np": np, "pd": pd}
+    exec(compile(code, str(source), "exec"), ns)
+    return {k: v for k, v in ns.items()
+            if not k.startswith("_") and k not in ("np", "pd")}
+
+
+def compile_expression(expr: str, defs: dict | None = None):
     """String → vectorized evaluator over a pandas DataFrame namespace.
     Same user surface as the reference's compileFeatureExpression (column
-    names are bare variables); compiled once, applied per batch."""
+    names are bare variables); compiled once, applied per batch.
+    ``defs`` adds -include / -colorizer names to the environment."""
     code = compile(expr, "<expr>", "eval")
+    base = dict(_EXPR_GLOBALS)
+    if defs:
+        base.update(defs)
 
     def run(df: pd.DataFrame):
         env = {c: df[c] for c in df.columns}
-        return eval(code, dict(_EXPR_GLOBALS), env)
+        return eval(code, dict(base), env)
     return run
 
 
-def each_expr(ds, assignments: dict[str, str]):
+def each_expr(ds, assignments: dict[str, str], defs: dict | None = None):
     """-each: add/overwrite computed columns (vectorized)."""
-    fns = {name: compile_expression(e) for name, e in assignments.items()}
+    fns = {name: compile_expression(e, defs)
+           for name, e in assignments.items()}
 
     def apply(df: pd.DataFrame) -> pd.DataFrame:
         for name, fn in fns.items():
@@ -66,9 +91,9 @@ def each_expr(ds, assignments: dict[str, str]):
     return ds.map_batches(apply, batch_format="pandas")
 
 
-def filter_expr(ds, expr: str):
+def filter_expr(ds, expr: str, defs: dict | None = None):
     """-filter: keep rows where the boolean expression holds."""
-    fn = compile_expression(expr)
+    fn = compile_expression(expr, defs)
 
     def apply(df: pd.DataFrame) -> pd.DataFrame:
         return df[np.asarray(fn(df), dtype=bool)]

@@ -65,10 +65,17 @@ def parse_record(content: bytes):
 # ---------------------------------------------------------------------------
 # DBF
 
-def parse_dbf(buf: bytes):
+def parse_dbf(buf: bytes, encoding: str | None = None):
     """.dbf bytes → (fields, records) with typed decode:
     C→str, N/F→float/int, L→bool, D→str yyyymmdd (reference type map,
-    src/shapefile/dbf-reader.js:299-312)."""
+    src/shapefile/dbf-reader.js:299-312).
+
+    ``encoding=None`` resolves the text codec like the reference
+    (src/shapefile/dbf-import.js + mapshaper-encoding-detection.js):
+    the header's language driver id first, then sample-based detection
+    over character fields, then latin-1."""
+    from .encodings import LDID_CODECS, detect_encoding, \
+        standardize_encoding
     n_rec = struct.unpack("<i", buf[4:8])[0]
     hdr_size, rec_size = struct.unpack("<2H", buf[8:12])
     fields = []
@@ -80,6 +87,24 @@ def parse_dbf(buf: bytes):
         fdec = buf[pos + 17]
         fields.append((name, ftype, flen, fdec))
         pos += 32
+    if encoding is None:
+        ldid = buf[29]
+        if ldid in LDID_CODECS:
+            encoding = LDID_CODECS[ldid]
+        else:
+            # sample up to 32 records' character fields
+            samples = []
+            for r in range(min(n_rec, 32)):
+                off = hdr_size + r * rec_size + 1
+                p = off
+                for _, ftype, flen, _ in fields:
+                    if ftype == "C":
+                        raw = buf[p:p + flen].rstrip(b"\x00 ")
+                        if raw:
+                            samples.append(raw)
+                    p += flen
+            encoding = detect_encoding(samples) or "latin-1"
+    codec = standardize_encoding(encoding)
     records = []
     for r in range(n_rec):
         off = hdr_size + r * rec_size
@@ -90,7 +115,7 @@ def parse_dbf(buf: bytes):
         for name, ftype, flen, fdec in fields:
             raw = buf[p:p + flen]
             p += flen
-            s = raw.decode("latin-1").strip()
+            s = raw.decode(codec, errors="replace").strip()
             if ftype == "C":
                 row[name] = s
             elif ftype in ("N", "F"):
