@@ -132,21 +132,9 @@ def minhash_lsh(ds, num_perm=64, bands=16, shingle_k=5, threshold=0.5,
                                  batch_size=2048, concurrency=concurrency,
                                  num_cpus=1)
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(df[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
-
-    if band_grouping == "driver":
-        # vectorized run detection over the sorted band table — a
-        # python loop over ~n_docs*bands groups costs 10+s at 80k rows
-        tp = triples.to_pandas()
-        key = (tp["band_hash"].to_numpy().astype(np.uint64) ^
-               (tp["band_id"].to_numpy().astype(np.uint64) *
-                np.uint64(0x9E3779B97F4A7C15)))
-        ids_all = tp[id_col].to_numpy()
+    def _bucket_pairs(key: np.ndarray, ids_all: np.ndarray):
+        """Vectorized same-bucket pair emission via lexsort run
+        detection (a python loop over every bucket is 100x slower)."""
         order = np.lexsort((ids_all, key))
         ks = key[order]
         ids_s = ids_all[order]
@@ -163,15 +151,45 @@ def minhash_lsh(ds, num_perm=64, bands=16, shingle_k=5, threshold=0.5,
             ia, ib = np.triu_indices(len(u), k=1)
             pa_.append(u[ia])
             pb_.append(u[ib])
-        if pa_:
-            cand_pd = pd.DataFrame({
-                "id_a": np.concatenate(pa_),
-                "id_b": np.concatenate(pb_)}).drop_duplicates()
-        else:
-            cand_pd = pd.DataFrame({"id_a": [], "id_b": []})
+        if not pa_:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(pa_),
+                             "id_b": np.concatenate(pb_)})
+
+    if band_grouping == "driver":
+        # run detection over the driver-collected band table (the
+        # triple table is tiny relative to the corpus)
+        tp = triples.to_pandas()
+        key = (tp["band_hash"].to_numpy().astype(np.uint64) ^
+               (tp["band_id"].to_numpy().astype(np.uint64) *
+                np.uint64(0x9E3779B97F4A7C15)))
+        cand_pd = _bucket_pairs(key, tp[id_col].to_numpy()) \
+            .drop_duplicates()
     else:
-        cand = triples.groupby(["band_id", "band_hash"]).map_groups(
-            pairs, batch_format="pandas")
+        # COARSE-grained distributed grouping: shuffle by bucket-hash
+        # mod P (each partition receives every row of its buckets), run
+        # the vectorized bucket-pair detection once per partition — NOT
+        # one map_groups call per bucket (~n_docs*bands tiny groups is
+        # pure per-group overhead, measured 8x the whole driver path)
+        n_parts = 64
+
+        def add_part(df: pd.DataFrame) -> pd.DataFrame:
+            key = (df["band_hash"].to_numpy().astype(np.uint64) ^
+                   (df["band_id"].to_numpy().astype(np.uint64) *
+                    np.uint64(0x9E3779B97F4A7C15)))
+            df = df.copy()
+            df["__bkey"] = key.astype(np.int64)
+            df["__part"] = (key % np.uint64(n_parts)).astype(np.int64)
+            return df
+
+        def part_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            return _bucket_pairs(df["__bkey"].to_numpy(),
+                                 df[id_col].to_numpy())
+
+        cand = triples.map_batches(add_part, batch_format="pandas") \
+            .groupby("__part").map_groups(part_pairs,
+                                          batch_format="pandas")
         cand_pd = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
     if len(cand_pd) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
@@ -198,6 +216,7 @@ def minhash_lsh(ds, num_perm=64, bands=16, shingle_k=5, threshold=0.5,
         sel = df[df[id_col].isin(mem)]
         if len(sel) == 0:
             return pd.DataFrame({"pair": pd.Series([], dtype="int64"),
+                                 "__part": pd.Series([], dtype="int64"),
                                  id_col: pd.Series([], dtype="int64"),
                                  "shingles": pd.Series([], dtype="object")})
         sets = mh.doc_shingle_sets(sel[text_col])
@@ -208,25 +227,38 @@ def minhash_lsh(ds, num_perm=64, bands=16, shingle_k=5, threshold=0.5,
                 out_pair.append(pi)
                 out_id.append(did)
                 out_sh.append(su)
-        return pd.DataFrame({"pair": np.asarray(out_pair, dtype=np.int64),
+        out_pair = np.asarray(out_pair, dtype=np.int64)
+        return pd.DataFrame({"pair": out_pair,
+                             "__part": out_pair % 64,
                              id_col: np.asarray(out_id, dtype=np.int64),
                              "shingles": out_sh})
 
-    def jaccard_of_pair(df: pd.DataFrame) -> pd.DataFrame:
-        pi = int(df["pair"].iloc[0])
-        if len(df) < 2:
-            jac = 0.0  # a candidate id missing from the corpus
-        else:
-            sa = np.asarray(df["shingles"].iloc[0])
-            sb = np.asarray(df["shingles"].iloc[1])
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            jac = inter / union if union else 1.0
-        return pd.DataFrame({"pair": [pi], "jaccard": [jac]})
+    def jaccard_of_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # all rows of each pair land in the same partition (pair % 64);
+        # compute one exact Jaccard per complete pair
+        df = df.sort_values("pair", kind="mergesort")
+        pv = df["pair"].to_numpy()
+        sh = df["shingles"].to_numpy()
+        boundary = np.nonzero(np.diff(pv))[0] + 1
+        starts = np.concatenate([[0], boundary])
+        ends = np.concatenate([boundary, [len(pv)]])
+        out_p, out_j = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                jac = 0.0  # a candidate id missing from the corpus
+            else:
+                sa = np.asarray(sh[s])
+                sb = np.asarray(sh[s + 1])
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
+                jac = inter / union if union else 1.0
+            out_p.append(int(pv[s]))
+            out_j.append(jac)
+        return pd.DataFrame({"pair": out_p, "jaccard": out_j})
 
     jac_pd = ds.map_batches(emit_pair_shingles, batch_format="pandas") \
-               .groupby("pair").map_groups(jaccard_of_pair,
-                                           batch_format="pandas") \
+               .groupby("__part").map_groups(jaccard_of_partition,
+                                             batch_format="pandas") \
                .to_pandas()
     jac = np.zeros(len(cand_pd))
     jac[jac_pd["pair"].to_numpy()] = jac_pd["jaccard"].to_numpy()
