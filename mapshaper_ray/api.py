@@ -134,6 +134,13 @@ from .geom.keep_shapes import (protect_shapes,  # -simplify keep-shapes
                                repair_intersections)  # post-simplify repair
 
 
+def run_commands(command_str, catalog=None):
+    """mapshaper-style command string → executed Ray pipeline
+    (reference api.runCommands, src/cli/mapshaper-commands.js:5)."""
+    from .commands import run_commands as _run
+    return _run(command_str, catalog)
+
+
 def i(path: str, **kw):
     """-i: format-sniffing import dispatch (reference api.importFile,
     src/io/mapshaper-file-import.js:6,34 — extension first, content

@@ -1,0 +1,350 @@
+"""Command-string surface — the Ray-Data-native counterpart of the
+reference's primary user entry points ``api.runCommands`` /
+``api.applyCommands`` (src/cli/mapshaper-commands.js:5,25; tokenizer
+src/cli/mapshaper-chunker.js:3-18; option registry
+src/cli/mapshaper-options.js).
+
+    run_commands("-i in.json -filter 'area > 2' -simplify 50% "
+                 "keep-shapes -o out.json")
+
+Differences from the reference, by design:
+- expressions are vectorized PYTHON expressions over columns (the
+  engine's expression surface, ops/relational.compile_expression), not
+  JS — same option grammar, different expression language;
+- each command resolves to the library's distributed implementation
+  (map_batches / groupby pipelines), so a command string IS a Ray
+  pipeline; nothing here materializes beyond what the underlying op
+  needs.
+
+The catalog mirrors the reference Catalog: named layer Datasets with a
+default target (src/dataset/mapshaper-catalog.js:6-60).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shlex
+
+import numpy as np
+import pandas as pd
+
+
+def split_tokens(command_str: str) -> list[str]:
+    """Shell-like tokenization with quote support (reference
+    splitShellTokens)."""
+    lex = shlex.shlex(command_str, posix=True)
+    lex.whitespace_split = True
+    lex.commenters = ""
+    return list(lex)
+
+
+# per-command boolean flags (the reference declares every option in
+# src/cli/mapshaper-options.js; bare tokens matching a declared flag
+# parse as True options, everything else stays positional)
+_FLAGS = {
+    "simplify": {"keep-shapes", "dp", "visvalingam", "weighted",
+                 "planar", "spherical", "no-repair"},
+    "points": {"vertices", "endpoints", "inner", "centroid"},
+    "sort": {"descending", "ascending"},
+    "merge-layers": {"force"},
+    "i": {"snap", "combine-files", "merge-files", "no-topology"},
+    "o": {"force"},
+    "join": {"unjoined", "unmatched"},
+    "clean": {"allow-overlaps"},
+    "filter": {"remove-empty"},
+}
+
+
+# commands whose FIRST positional argument is an expression /
+# assignment list that may itself contain '=' (reference: these declare
+# a DEFAULT option that captures the first bare token)
+_VALUE_FIRST = {"each", "filter", "rename-fields", "uniq", "sort",
+                "calc", "subdivide"}
+
+
+def parse_commands(tokens) -> list[dict]:
+    """Token list / string → [{name, options: {…}, args: […]}]
+    (reference parseCommands IR).  ``key=value`` tokens become options,
+    declared bare flags become True options, everything else is a
+    positional arg."""
+    if isinstance(tokens, str):
+        tokens = split_tokens(tokens)
+    cmds: list[dict] = []
+    cur = None
+    for tok in tokens:
+        if re.match(r"^-[a-z]", tok):
+            cur = {"name": tok.lstrip("-"), "options": {}, "args": []}
+            cmds.append(cur)
+            continue
+        if cur is None:
+            raise ValueError(f"token before any command: {tok!r}")
+        if cur["name"] in _VALUE_FIRST and not cur["args"]:
+            cur["args"].append(tok)
+            continue
+        m = re.match(r"^([a-z][\w-]*)=(.*)$", tok)
+        if m:
+            cur["options"][m.group(1).replace("-", "_")] = m.group(2)
+        elif tok in _FLAGS.get(cur["name"], ()):
+            cur["options"][tok.replace("-", "_")] = True
+        else:
+            cur["args"].append(tok)
+    return cmds
+
+
+def _num_list(s, typ=float):
+    return [typ(v) for v in str(s).split(",")]
+
+
+def _pct(v):
+    v = str(v)
+    return float(v[:-1]) / 100.0 if v.endswith("%") else float(v)
+
+
+class Catalog:
+    """Named layer Datasets + default target."""
+
+    def __init__(self):
+        self.layers: dict[str, object] = {}
+        self.target: str | None = None
+        self.defs: dict = {}
+        self._anon = 0
+
+    def add(self, ds, name=None):
+        if not name:
+            self._anon += 1
+            name = f"layer{self._anon}"
+        self.layers[name] = ds
+        self.target = name
+        return name
+
+    def get(self, name=None):
+        key = name or self.target
+        if key is None or key not in self.layers:
+            raise ValueError(f"no target layer {key!r}; "
+                             f"have {sorted(self.layers)}")
+        return self.layers[key]
+
+    def replace(self, ds):
+        self.layers[self.target] = ds
+
+
+def _geom_type(ds):
+    from .sources.layers import geom_type_of
+    return geom_type_of(ds.schema().names)
+
+
+def _load_source(cat: Catalog, opts, args):
+    """Resolve a command's source= option / positional file to a
+    Dataset (reference source-layer resolution,
+    src/cli/mapshaper-run-command.js:359-381)."""
+    from . import api
+    src = opts.get("source") or (args[0] if args else None)
+    if src is None:
+        raise ValueError("command needs a source layer or file")
+    if isinstance(src, str) and src in cat.layers:
+        return cat.layers[src]
+    return api.i(src)
+
+
+def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
+    """Execute a mapshaper-style command string; returns the Catalog
+    (inspect ``catalog.layers`` / read files written by -o)."""
+    from . import api
+    from .ops import relational as rel
+
+    cat = catalog or Catalog()
+    for cmd in parse_commands(command_str):
+        name = cmd["name"]
+        opts = cmd["options"]
+        args = cmd["args"]
+
+        if name == "i":
+            for path in args or [opts.get("files")]:
+                lname = opts.get("name") or \
+                    os.path.splitext(os.path.basename(path))[0]
+                cat.add(api.i(path), lname)
+        elif name == "o":
+            path = args[0] if args else opts.get("file")
+            ds = cat.get(opts.get("target"))
+            if "precision" in opts:
+                ds = api.round_coords(ds, float(opts["precision"]))
+            api.o(ds, path)
+        elif name == "target":
+            cat.target = args[0] if args else opts.get("name")
+            if cat.target not in cat.layers:
+                raise ValueError(f"unknown layer {cat.target!r}")
+        elif name == "rename-layers" or name == "rename_layers":
+            new_names = _num_list(args[0], str) if args else []
+            old = list(cat.layers)
+            for o, n in zip(old, new_names):
+                cat.layers[n] = cat.layers.pop(o)
+            if cat.target in old:
+                cat.target = new_names[old.index(cat.target)]
+        elif name == "include":
+            cat.defs.update(api.include_defs(args[0]))
+        elif name == "filter":
+            cat.replace(rel.filter_expr(cat.get(), args[0], defs=cat.defs))
+        elif name == "each":
+            assigns = {}
+            for part in args[0].split(";"):
+                k, v = part.split("=", 1)
+                assigns[k.strip()] = v.strip()
+            cat.replace(rel.each_expr(cat.get(), assigns, defs=cat.defs))
+        elif name in ("filter-fields", "filter_fields"):
+            keep = _num_list(args[0], str)
+            ds = cat.get()
+            from .sources.layers import GEOM_COLS
+            gt = _geom_type(ds)
+            geom = (GEOM_COLS[gt] if gt else []) + ["feature_id"]
+            cols = [c for c in ds.schema().names
+                    if c in keep or c in geom]
+            cat.replace(ds.select_columns(cols))
+        elif name in ("rename-fields", "rename_fields"):
+            ren = dict(p.split("=", 1) for p in args[0].split(","))
+            # new=old pairs (reference grammar) -> rename old->new;
+            # rename inside map_batches (Ray's Project op rejects the
+            # pandas blocks many upstream stages emit)
+            mapping = {old: new for new, old in ren.items()}
+            cat.replace(cat.get().map_batches(
+                lambda df, m=mapping: df.rename(columns=m),
+                batch_format="pandas"))
+        elif name == "simplify":
+            pct = _pct(args[0] if args else opts.get("percentage", "100%"))
+            cat.replace(api.simplify_layer(
+                cat.get(), pct=pct,
+                method="dp" if opts.get("dp") else "visvalingam",
+                keep_shapes=bool(opts.get("keep_shapes")),
+                spherical=bool(opts.get("spherical"))))
+        elif name == "dissolve":
+            key = args[0] if args else opts.get("fields")
+            cat.replace(api.dissolve_layer(
+                cat.get(), key,
+                sum_fields=_num_list(opts["sum_fields"], str)
+                if "sum_fields" in opts else (),
+                copy_fields=_num_list(opts["copy_fields"], str)
+                if "copy_fields" in opts else (),
+                cell=float(opts["cell"]) if "cell" in opts else None))
+        elif name in ("clip", "erase", "slice"):
+            ds = cat.get()
+            if "bbox" in opts:
+                cat.replace(api.clip_bbox(ds, _num_list(opts["bbox"])))
+                continue
+            src = _load_source(cat, opts, args)
+            if _geom_type(ds) == "polyline":
+                cat.replace(api.clip_polylines(
+                    ds, src, how="clip" if name == "clip" else name))
+            elif name == "clip":
+                cat.replace(api.clip_layer(ds, src))
+            elif name == "erase":
+                cat.replace(api.erase_layer(ds, src))
+            else:
+                raise ValueError("-slice supports polyline targets")
+        elif name in ("innerlines", "lines"):
+            from .pipelines.geometry import innerlines_layer
+            cat.replace(innerlines_layer(cat.get(),
+                                         inner_only=name == "innerlines"))
+        elif name == "points":
+            ds = cat.get()
+            if opts.get("vertices"):
+                cat.replace(api.points_vertices(ds))
+            elif opts.get("endpoints"):
+                cat.replace(api.points_endpoints(ds))
+            elif "interval" in opts:
+                cat.replace(api.points_interpolated(
+                    ds, float(opts["interval"])))
+            elif "x" in opts and "y" in opts:
+                cat.replace(api.points_from_columns(
+                    ds, opts["x"], opts["y"]))
+            elif opts.get("inner"):
+                cat.replace(api.anchor_points(ds))
+            else:
+                cat.replace(api.to_point_layer(api.centroids(ds)))
+        elif name == "proj":
+            crs = args[0] if args else opts.get("crs")
+            cat.replace(api.project_layer(
+                cat.get(), crs, from_proj=opts.get("from")))
+        elif name == "sort":
+            ds = rel.each_expr(cat.get(), {"__sort_key": args[0]},
+                               defs=cat.defs)
+            ds = ds.sort("__sort_key",
+                         descending=bool(opts.get("descending")))
+            cat.replace(ds.map_batches(
+                lambda df: df.drop(columns="__sort_key"),
+                batch_format="pandas"))
+        elif name == "uniq":
+            ds = rel.each_expr(cat.get(), {"__uniq_key": args[0]},
+                               defs=cat.defs)
+            out = rel.uniq_first(ds, ["__uniq_key"], ["feature_id"])
+            cat.replace(out.map_batches(
+                lambda df: df.drop(columns="__uniq_key"),
+                batch_format="pandas"))
+        elif name == "calc":
+            import ray.data as rd
+            cat.add(rd.from_pandas(rel.calc_stats(cat.get(), args[0])),
+                    "calc")
+        elif name == "join":
+            src = _load_source(cat, opts, args)
+            keys = _num_list(opts["keys"], str)
+            sdf = src.to_pandas()
+            if keys[0] != keys[-1] or len(keys) > 1:
+                sdf = sdf.rename(columns={keys[-1]: keys[0]})
+            if "fields" in opts:
+                sdf = sdf[[keys[0]] + _num_list(opts["fields"], str)]
+            cat.replace(rel.broadcast_join(cat.get(), sdf, on=keys[0]))
+        elif name == "split":
+            key = args[0] if args else opts.get("field")
+            out_dir = opts.get("out_dir") or "/tmp/mapshaper_ray_split"
+            api.split_by_field(cat.get(), key, out_dir)
+        elif name in ("split-on-grid", "split_on_grid"):
+            cols, rows = _num_list(args[0], int)
+            cat.replace(api.split_on_grid(cat.get(), cols, rows))
+        elif name in ("merge-layers", "merge_layers"):
+            names = _num_list(opts["layers"], str) if "layers" in opts \
+                else list(cat.layers)
+            merged = api.merge_layers([cat.layers[n] for n in names],
+                                      force=bool(opts.get("force")))
+            cat.add(merged, "merged")
+        elif name == "graticule":
+            cat.add(api.graticule(), "graticule")
+        elif name == "rectangle":
+            cat.add(api.rectangle(_num_list(opts["bbox"])), "rectangle")
+        elif name in ("point-grid", "point_grid"):
+            c, r = _num_list(args[0], int)
+            cat.add(api.point_grid(c, r), "point_grid")
+        elif name in ("polygon-grid", "polygon_grid"):
+            c, r = _num_list(args[0], int)
+            cat.add(api.polygon_grid(c, r), "polygon_grid")
+        elif name == "affine":
+            shift = _num_list(opts.get("shift", "0,0"))
+            cat.replace(api.affine(
+                cat.get(), shift=tuple(shift),
+                scale=float(opts.get("scale", 1.0)),
+                rotate_deg=float(opts.get("rotate", 0.0))))
+        elif name in ("filter-islands", "filter_islands"):
+            cat.replace(api.filter_islands(
+                cat.get(), min_area=float(opts.get("min_area", 0))))
+        elif name in ("filter-slivers", "filter_slivers"):
+            cat.replace(api.filter_slivers(
+                cat.get(),
+                min_area=float(opts["min_area"])
+                if "min_area" in opts else None))
+        elif name == "explode":
+            cat.replace(api.explode(cat.get()))
+        elif name == "stitch":
+            cat.replace(api.stitch_spherical(cat.get()))
+        elif name == "info":
+            info = api.layer_info(cat.get())
+            print(f"[info] {cat.target}: {info}")
+        elif name == "drop":
+            if "fields" in opts:
+                fields = set(_num_list(opts["fields"], str))
+                ds = cat.get()
+                keep = [c for c in ds.schema().names if c not in fields]
+                cat.replace(ds.select_columns(keep))
+            else:
+                cat.layers.pop(cat.target)
+                cat.target = next(iter(cat.layers), None)
+        else:
+            raise ValueError(f"unknown or unsupported command -{name}")
+    return cat

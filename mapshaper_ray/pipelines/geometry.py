@@ -283,3 +283,39 @@ def innerlines_pipeline(sf_dir: str, grid=16):
     from ..ops.relational import groupby_agg
     cls = innerlines_by_key(synth_mesh(sf_dir, grid), key="grp")
     return groupby_agg(cls, ["pair"], {"n_edges": ("edge_key", "count")})
+
+
+def innerlines_layer(ds, inner_only=True):
+    """-innerlines / -lines over a polygon layer Dataset → polyline
+    layer of shared-border (or all) arcs (reference api.innerlines,
+    src/commands/mapshaper-innerlines.js:3-44).  In-process topology
+    kernel; the distributed arc classifier is ``innerlines_by_key``."""
+    import ray.data as rd
+
+    from ..sources.layers import nz
+    from ..topo.dissolve import classify_arcs
+
+    df = ds.to_pandas().sort_values("feature_id").reset_index(drop=True)
+    feats = []
+    for _, row in df.iterrows():
+        feats.append([np.stack([np.asarray(x, float), np.asarray(y, float)],
+                               axis=1)
+                      for x, y in zip(nz(row["rings_x"]),
+                                      nz(row["rings_y"]))] or None)
+    arcs, shapes = build_topology(feats)
+    cls = classify_arcs(shapes)
+    rows = []
+    fid = 0
+    for a in sorted(cls):
+        inner = len(cls[a]) >= 2
+        if inner_only and not inner:
+            continue
+        i0 = int(arcs.ii[a])
+        n = int(arcs.nn[a])
+        rows.append({"feature_id": fid,
+                     "part_x": [arcs.xx[i0:i0 + n].tolist()],
+                     "part_y": [arcs.yy[i0:i0 + n].tolist()],
+                     "kind": "inner" if inner else "outer"})
+        fid += 1
+    return rd.from_items(rows) if rows else rd.from_items(
+        [{"feature_id": 0, "part_x": [], "part_y": [], "kind": ""}]).limit(0)

@@ -1,0 +1,110 @@
+"""Command-string surface (run_commands) — the reference's
+runCommands/applyCommands entry point re-expressed over Ray pipelines."""
+
+import json
+
+import numpy as np
+import pytest
+
+from mapshaper_ray.commands import parse_commands, run_commands
+
+
+def _grid_fc(grid=3, groups=("a", "b")):
+    feats = []
+    for i in range(grid * grid):
+        r, c = divmod(i, grid)
+        x0, y0 = float(c), float(r)
+        feats.append({
+            "type": "Feature",
+            "properties": {"grp": groups[c % len(groups)], "v": 1},
+            "geometry": {"type": "Polygon", "coordinates":
+                         [[[x0, y0], [x0 + 1, y0], [x0 + 1, y0 + 1],
+                           [x0, y0 + 1], [x0, y0]]]}})
+    return {"type": "FeatureCollection", "features": feats}
+
+
+def test_parse_commands():
+    cmds = parse_commands(
+        "-i a.json name=foo -simplify 50% keep-shapes -o out.json")
+    assert [c["name"] for c in cmds] == ["i", "simplify", "o"]
+    assert cmds[0]["args"] == ["a.json"]
+    assert cmds[0]["options"] == {"name": "foo"}
+    assert cmds[1]["args"] == ["50%"]
+    assert cmds[1]["options"] == {"keep_shapes": True}
+
+
+def test_parse_quoted_expression():
+    cmds = parse_commands("-filter 'v > 2 and grp == \"a\"'")
+    assert cmds[0]["args"] == ['v > 2 and grp == "a"']
+
+
+def test_run_pipeline_dissolve_export(ray_session, tmp_path):
+    src = tmp_path / "g.json"
+    src.write_text(json.dumps(_grid_fc(3)))
+    out = tmp_path / "out.json"
+    cat = run_commands(
+        f"-i {src} -dissolve grp sum-fields=v -o {out}")
+    assert out.exists()
+    fc = json.loads(out.read_text())
+    assert len(fc["features"]) == 2
+    vs = sorted(f["properties"]["v"] for f in fc["features"])
+    assert vs == [3, 6]
+
+
+def test_run_filter_each_sort(ray_session, tmp_path):
+    src = tmp_path / "g.json"
+    src.write_text(json.dumps(_grid_fc(3)))
+    cat = run_commands(
+        f"-i {src} -each 'w = v * 10' -filter 'grp == \"a\"' "
+        f"-sort 'feature_id' descending")
+    df = cat.get().to_pandas()
+    assert len(df) == 6
+    assert list(df["w"].unique()) == [10]
+    assert list(df["feature_id"]) == sorted(df["feature_id"],
+                                            reverse=True)
+
+
+def test_run_clip_and_points(ray_session, tmp_path):
+    src = tmp_path / "g.json"
+    src.write_text(json.dumps(_grid_fc(2, groups=("g",))))
+    clip = tmp_path / "c.json"
+    clip.write_text(json.dumps({
+        "type": "FeatureCollection", "features": [{
+            "type": "Feature", "properties": {},
+            "geometry": {"type": "Polygon", "coordinates":
+                         [[[0.5, 0.5], [1.5, 0.5], [1.5, 1.5],
+                           [0.5, 1.5], [0.5, 0.5]]]}}]}))
+    cat = run_commands(f"-i {src} -clip {clip}")
+    from mapshaper_ray.ops.features import add_polygon_metrics
+    df = add_polygon_metrics(cat.get()).to_pandas()
+    assert len(df) == 4 and np.allclose(df["area"], 0.25)
+
+    cat2 = run_commands(f"-i {src} -points vertices")
+    pts = cat2.get().to_pandas()
+    assert len(pts) == 4
+    assert all(len(p) == 4 for p in pts["px"])
+
+
+def test_run_innerlines(ray_session, tmp_path):
+    src = tmp_path / "g.json"
+    src.write_text(json.dumps(_grid_fc(2, groups=("g",))))
+    cat = run_commands(f"-i {src} -innerlines")
+    df = cat.get().to_pandas()
+    assert len(df) == 4  # 2x2 grid: 4 shared unit edges
+    assert set(df["kind"]) == {"inner"}
+
+
+def test_run_proj_and_rename(ray_session, tmp_path):
+    src = tmp_path / "g.json"
+    src.write_text(json.dumps(_grid_fc(2, groups=("g",))))
+    cat = run_commands(
+        f"-i {src} -proj webmercator -rename-fields group=grp")
+    df = cat.get().to_pandas()
+    assert "group" in df.columns and "grp" not in df.columns
+    # projected coords are metres now
+    assert max(v for ring in df["rings_x"].iloc[0] for v in ring) > 1e4
+
+
+def test_unknown_command_raises(ray_session):
+    with pytest.raises(ValueError, match="unsupported command"):
+        run_commands("-frobnicate x")
