@@ -329,6 +329,61 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 cat.get(),
                 min_area=float(opts["min_area"])
                 if "min_area" in opts else None))
+        elif name in ("dissolve2", "mosaic", "clean", "polygons"):
+            # mosaic-substrate commands: in-process kernel over the
+            # collected layer (the distributed shape is
+            # pipelines.geometry.dissolve2_pipeline's cell shuffle)
+            import ray.data as rd
+
+            from .sources.layers import nz
+            from .topo import mosaic as mz
+            df = cat.get().to_pandas().sort_values("feature_id") \
+                .reset_index(drop=True)
+            if name == "polygons":
+                parts = [np.stack([np.asarray(x, float),
+                                   np.asarray(y, float)], axis=1)
+                         for _, row in df.iterrows()
+                         for x, y in zip(nz(row.get("part_x")),
+                                         nz(row.get("part_y")))]
+                tiles = mz.polygons_from_lines(
+                    parts, close_gaps=float(opts.get("gap_tolerance", 0)))
+                rows = [{"feature_id": i,
+                         "rings_x": [t["x"].tolist()],
+                         "rings_y": [t["y"].tolist()],
+                         "ring_poly": [0]} for i, t in enumerate(tiles)]
+                cat.replace(rd.from_items(rows))
+                continue
+            feats = [[np.stack([np.asarray(x, float),
+                                np.asarray(y, float)], axis=1)
+                      for x, y in zip(nz(row["rings_x"]),
+                                      nz(row["rings_y"]))]
+                     for _, row in df.iterrows()]
+            if name == "mosaic":
+                tiles = mz.polygon_mosaic(feats)
+                rows = [{"feature_id": i,
+                         "rings_x": [np.asarray(t["x"]).tolist()],
+                         "rings_y": [np.asarray(t["y"]).tolist()],
+                         "ring_poly": [0]} for i, t in enumerate(tiles)]
+                cat.replace(rd.from_items(rows))
+                continue
+            key = args[0] if args else opts.get("fields")
+            if name == "clean" or key is None:
+                keys = [str(i) for i in df["feature_id"]]
+            else:
+                keys = [str(v) for v in df[key]]
+            out = mz.dissolve2(feats, keys,
+                               gap_max_area=float(
+                                   opts.get("gap_fill_area", 0)))
+            rows = []
+            for i, (k, v) in enumerate(sorted(out.items())):
+                rows.append({
+                    "feature_id": i, key or "feature_key": k,
+                    "rings_x": [np.asarray(x).tolist()
+                                for x, _ in v["rings"]],
+                    "rings_y": [np.asarray(y).tolist()
+                                for _, y in v["rings"]],
+                    "ring_poly": [0] * len(v["rings"])})
+            cat.replace(rd.from_items(rows))
         elif name == "explode":
             cat.replace(api.explode(cat.get()))
         elif name == "stitch":

@@ -26,13 +26,13 @@ from ..topo.arcs import ArcTable
 from ..topo.build import build_topology
 
 
-def _layer_features(df: pd.DataFrame):
-    """Layer-model polygon rows → list of ring-array lists (+ ring_poly
+def _layer_features(df: pd.DataFrame, xcol="rings_x", ycol="rings_y"):
+    """Layer-model rows → list of path-array lists (+ ring_poly
     passthrough for reassembly)."""
     feats = []
     for _, row in df.iterrows():
-        rx = row["rings_x"] if row["rings_x"] is not None else []
-        ry = row["rings_y"] if row["rings_y"] is not None else []
+        rx = row[xcol] if row[xcol] is not None else []
+        ry = row[ycol] if row[ycol] is not None else []
         feats.append([np.stack([np.asarray(x, float), np.asarray(y, float)],
                                axis=1) for x, y in zip(rx, ry)] or None)
     return feats
@@ -51,9 +51,16 @@ def simplify_layer(ds, pct: float, method: str = "visvalingam",
     import ray.data as rd
 
     from ..geom.simplify import spherical_thresholds
+    from ..sources.layers import geom_type_of
     df = ds.to_pandas().sort_values("feature_id").reset_index(drop=True)
-    feats = _layer_features(df)
-    arcs, shapes = build_topology(feats)
+    gt = geom_type_of(list(df.columns))
+    if gt == "polyline":
+        xcol, ycol = "part_x", "part_y"
+        keep_shapes = False  # protectShapes is polygon-only
+    else:
+        xcol, ycol = "rings_x", "rings_y"
+    feats = _layer_features(df, xcol, ycol)
+    arcs, shapes = build_topology(feats, closed=(gt != "polyline"))
 
     # per-arc thresholds: distributed map over the arcs table
     items = []
@@ -147,8 +154,10 @@ def simplify_layer(ds, pct: float, method: str = "visvalingam",
     out_rx, out_ry, out_rp = [], [], []
     for fi, shape in enumerate(shapes):
         rx_row, ry_row = [], []
-        rp_row = list(df.iloc[fi]["ring_poly"]
-                      if df.iloc[fi]["ring_poly"] is not None else [])
+        if gt != "polyline" and df.iloc[fi]["ring_poly"] is not None:
+            rp_row = list(df.iloc[fi]["ring_poly"])
+        else:
+            rp_row = []
         if shape:
             for part in shape:
                 xs, ys = [], []
@@ -166,7 +175,8 @@ def simplify_layer(ds, pct: float, method: str = "visvalingam",
         out_ry.append(ry_row)
         out_rp.append(rp_row[:len(rx_row)] or [0] * len(rx_row))
     out = df.copy()
-    out["rings_x"] = out_rx
-    out["rings_y"] = out_ry
-    out["ring_poly"] = out_rp
+    out[xcol] = out_rx
+    out[ycol] = out_ry
+    if gt != "polyline":
+        out["ring_poly"] = out_rp
     return rd.from_pandas(out)

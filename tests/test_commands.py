@@ -108,3 +108,61 @@ def test_run_proj_and_rename(ray_session, tmp_path):
 def test_unknown_command_raises(ray_session):
     with pytest.raises(ValueError, match="unsupported command"):
         run_commands("-frobnicate x")
+
+
+def test_reference_simplify_0pct_fixture(ray_session, tmp_path):
+    """Reference e2e fixture (test/simplify-test.js:55-67): '-simplify
+    planar 0%' removes ALL removable vertices — the polyline collapses
+    to its endpoints exactly."""
+    src = tmp_path / "line.json"
+    src.write_text(json.dumps({
+        "type": "FeatureCollection", "features": [{
+            "type": "Feature", "properties": {},
+            "geometry": {"type": "LineString", "coordinates":
+                         [[0, 0], [0, 1], [0.1, 1.1], [0, 1.2],
+                          [0, 2]]}}]}))
+    out = tmp_path / "out.json"
+    run_commands(f"-i {src} -simplify 0% -o {out}")
+    fc = json.loads(out.read_text())
+    geom = fc["features"][0]["geometry"]
+    assert geom["coordinates"] == [[0, 0], [0, 2]]
+
+
+def test_run_dissolve2_overlapping(ray_session, tmp_path):
+    """-dissolve2 repairs overlaps: two overlapping squares in one
+    group dissolve to the union area (plain -dissolve would keep the
+    doubly-covered region twice)."""
+    src = tmp_path / "o.json"
+    src.write_text(json.dumps({
+        "type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {"g": "a"},
+             "geometry": {"type": "Polygon", "coordinates":
+                          [[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]]}},
+            {"type": "Feature", "properties": {"g": "a"},
+             "geometry": {"type": "Polygon", "coordinates":
+                          [[[1, 0], [3, 0], [3, 2], [1, 2], [1, 0]]]}},
+        ]}))
+    cat = run_commands(f"-i {src} -dissolve2 g")
+    from mapshaper_ray.ops.features import add_polygon_metrics
+    df = add_polygon_metrics(cat.get()).to_pandas()
+    assert len(df) == 1
+    assert abs(df.iloc[0]["area"] - 6.0) < 1e-9  # union, not 8.0
+
+
+def test_run_mosaic_and_polygons(ray_session, tmp_path):
+    src = tmp_path / "o.json"
+    src.write_text(json.dumps({
+        "type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {},
+             "geometry": {"type": "Polygon", "coordinates":
+                          [[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]]}},
+            {"type": "Feature", "properties": {},
+             "geometry": {"type": "Polygon", "coordinates":
+                          [[[1, 0], [3, 0], [3, 2], [1, 2], [1, 0]]]}},
+        ]}))
+    cat = run_commands(f"-i {src} -mosaic")
+    from mapshaper_ray.ops.features import add_polygon_metrics
+    df = add_polygon_metrics(cat.get()).to_pandas()
+    # arrangement of two overlapping squares: 3 tiles of area 2 each
+    assert len(df) == 3
+    assert np.allclose(sorted(df["area"]), [2.0, 2.0, 2.0])
