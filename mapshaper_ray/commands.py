@@ -160,10 +160,16 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
         args = cmd["args"]
 
         if name == "i":
+            loaded = []
             for path in args or [opts.get("files")]:
-                lname = opts.get("name") or \
+                lname = opts.get("name") if len(args) <= 1 else None
+                lname = lname or \
                     os.path.splitext(os.path.basename(path))[0]
-                cat.add(api.i(path), lname)
+                loaded.append(cat.add(api.i(path), lname))
+            if opts.get("merge_files") and len(loaded) > 1:
+                merged = api.merge_layers(
+                    [cat.layers.pop(n) for n in loaded], force=True)
+                cat.add(merged, opts.get("name") or "merged")
         elif name == "o":
             path = args[0] if args else opts.get("file")
             ds = cat.get(opts.get("target"))
@@ -210,12 +216,19 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 lambda df, m=mapping: df.rename(columns=m),
                 batch_format="pandas"))
         elif name == "simplify":
-            pct = _pct(args[0] if args else opts.get("percentage", "100%"))
+            amount = {}
+            if "interval" in opts:
+                amount["interval"] = float(opts["interval"])
+            elif "resolution" in opts:
+                amount["resolution"] = opts["resolution"]
+            else:
+                amount["pct"] = _pct(
+                    args[0] if args else opts.get("percentage", "100%"))
             cat.replace(api.simplify_layer(
-                cat.get(), pct=pct,
+                cat.get(),
                 method="dp" if opts.get("dp") else "visvalingam",
                 keep_shapes=bool(opts.get("keep_shapes")),
-                spherical=bool(opts.get("spherical"))))
+                spherical=bool(opts.get("spherical")), **amount))
         elif name == "dissolve":
             key = args[0] if args else opts.get("fields")
             cat.replace(api.dissolve_layer(

@@ -38,16 +38,30 @@ def _layer_features(df: pd.DataFrame, xcol="rings_x", ycol="rings_y"):
     return feats
 
 
-def simplify_layer(ds, pct: float, method: str = "visvalingam",
-                   keep_shapes: bool = True, spherical: bool = False,
-                   weighting: float | None = None):
-    """Polygon layer Dataset → simplified layer Dataset (same schema).
+def calc_planar_interval(xres, yres, width, height):
+    """resolution=AxB → retained interval (reference
+    calcPlanarInterval, src/simplify/mapshaper-simplify.js:186-189:
+    fit the dimension with the higher content/resolution ratio)."""
+    fit_width = (xres != 0 and width / height > xres / yres) or yres == 0
+    return width / xres if fit_width else height / yres
 
-    ``pct`` is the retained fraction of removable vertices (reference
-    percentage parameterization).  ``spherical=True`` computes
-    thresholds on the unit sphere (reference default for lat-lon data);
-    ``weighting`` applies the weighted-VW (-cos*k + 1) metric
-    (reference default weighting 0.7 for visual smoothing)."""
+
+def simplify_layer(ds, pct: float | None = None,
+                   method: str = "visvalingam",
+                   keep_shapes: bool = True, spherical: bool = False,
+                   weighting: float | None = None,
+                   interval: float | None = None,
+                   resolution: str | None = None):
+    """Polygon or polyline layer Dataset → simplified layer Dataset
+    (same schema).
+
+    Exactly one of ``pct`` (retained fraction of removable vertices,
+    reference percentage parameterization), ``interval`` (retained
+    threshold directly), or ``resolution`` ('AxB' display cells →
+    interval via calcPlanarInterval) selects the simplification
+    amount.  ``spherical=True`` computes thresholds on the unit sphere
+    (reference default for lat-lon data); ``weighting`` applies the
+    weighted-VW (-cos*k + 1) metric (reference default 0.7)."""
     import ray.data as rd
 
     from ..geom.simplify import spherical_thresholds
@@ -93,11 +107,23 @@ def simplify_layer(ds, pct: float, method: str = "visvalingam",
     zz = {int(r["arc_id"]): np.asarray(r["z"], dtype=np.float64)
           for _, r in zdf.iterrows()}
 
-    # exact global pct → interval over removable thresholds
-    removable = np.concatenate([removable_thresholds(z)
-                                for z in zz.values()]) \
-        if zz else np.empty(0)
-    zlimit = threshold_by_pct(removable, pct) if len(removable) else 0.0
+    # simplification amount → retained interval
+    if interval is not None:
+        zlimit = float(interval)
+    elif resolution is not None:
+        xres, yres = (float(v) for v in str(resolution).split("x"))
+        w = float(arcs.xx.max() - arcs.xx.min())
+        h = float(arcs.yy.max() - arcs.yy.min())
+        zlimit = calc_planar_interval(xres, yres, w, h)
+    else:
+        if pct is None:
+            raise ValueError("need pct=, interval= or resolution=")
+        # exact global pct → interval over removable thresholds
+        removable = np.concatenate([removable_thresholds(z)
+                                    for z in zz.values()]) \
+            if zz else np.empty(0)
+        zlimit = threshold_by_pct(removable, pct) if len(removable) \
+            else 0.0
 
     if keep_shapes:
         shape_rings = []

@@ -166,3 +166,33 @@ def test_run_mosaic_and_polygons(ray_session, tmp_path):
     # arrangement of two overlapping squares: 3 tiles of area 2 each
     assert len(df) == 3
     assert np.allclose(sorted(df["area"]), [2.0, 2.0, 2.0])
+
+
+def test_reference_simplify_resolution_fixture(ray_session, tmp_path):
+    """Reference fixture (test/simplify-test.js:40-53): a coarse
+    resolution (100x100 cells over the content bbox) retains every
+    vertex — output identical to input."""
+    coords = [[0, 0], [0, 1], [1, 1], [1, 2]]
+    src = tmp_path / "line.json"
+    src.write_text(json.dumps({
+        "type": "FeatureCollection", "features": [{
+            "type": "Feature", "properties": {},
+            "geometry": {"type": "LineString", "coordinates": coords}}]}))
+    out = tmp_path / "out.json"
+    run_commands(f"-i {src} -simplify resolution=100x100 -o {out}")
+    fc = json.loads(out.read_text())
+    assert fc["features"][0]["geometry"]["coordinates"] == coords
+
+
+def test_i_merge_files(ray_session, tmp_path):
+    for k in range(2):
+        (tmp_path / f"p{k}.json").write_text(json.dumps({
+            "type": "FeatureCollection", "features": [{
+                "type": "Feature", "properties": {"src": k},
+                "geometry": {"type": "Polygon", "coordinates":
+                             [[[k, 0], [k + 1, 0], [k + 1, 1], [k, 1],
+                               [k, 0]]]}}]}))
+    cat = run_commands(
+        f"-i {tmp_path}/p0.json {tmp_path}/p1.json merge-files")
+    assert list(cat.layers) == ["merged"]
+    assert cat.get().count() == 2
