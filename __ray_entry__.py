@@ -562,6 +562,42 @@ def _q29_video_frames(sf_dir: str):
     return out
 
 
+def _q38_audio_features(sf_dir: str):
+    """Audio featurize plumbing: payload → sample count, duration,
+    deterministic features (codec stubbed; hex-domain md5 arithmetic
+    reproducible in SQL)."""
+    from mapshaper_ray.stages.multimodal import featurize_audio, synth_media
+    out = featurize_audio(synth_media(sf_dir, kind="audio"),
+                          n_mfcc=4).to_pandas()
+    out["duration_s"] = out["duration_s"].round(6)
+    out["feat0"] = [round(float(f[0]), 6) for f in out["audio_features"]]
+    return out[["media_id", "n_samples", "duration_s", "feat0"]] \
+        .sort_values("media_id").reset_index(drop=True)
+
+
+def _q39_ann_ivf(sf_dir: str):
+    """IVF ANN with nprobe = n_clusters (exhaustive probing): the
+    centroid pruning is a no-op, so the result must EQUAL the brute
+    top-k — validating the whole IVF path (sampled k-means, centroid
+    assignment, per-cluster scoring, partial top-k) against the q14
+    SQL oracle."""
+    import ray.data as rd
+    from mapshaper_ray.ops.ann import ivf_topk
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qdf = qdf[qdf["vec_id"] < 4].sort_values("vec_id")
+    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = ivf_topk(emb, queries, qdf["vec_id"].to_numpy(), k=15,
+                   n_clusters=8, nprobe=8).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    out = out.sort_values(["query_id", "cosine", "vec_id"],
+                          ascending=[True, False, True], kind="mergesort")
+    out = out.groupby("query_id", sort=True).head(10).reset_index(drop=True)
+    return out
+
+
 def _q30_nearest_within(sf_dir: str):
     """Nearest other geocoded page within radius 2.0 for pages with
     doc_id < 200 — the large-x-large shuffle path (one cell-id
@@ -626,6 +662,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q35_clip_lines": _q35_clip_lines,
         "q36_lcc": _q36_lcc,
         "q37_robinson": _q37_robinson,
+        "q38_audio_features": _q38_audio_features,
+        "q39_ann_ivf": _q39_ann_ivf,
     }
 
 
@@ -664,7 +702,7 @@ _MEDIA_HEAD = """media AS (
 
 def oracle_sql() -> dict[str, str]:
     region_case = _region_case()
-    return {
+    out = {
         "q1_lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
@@ -1120,6 +1158,20 @@ def oracle_sql() -> dict[str, str]:
                          radians(LEAST(GREATEST(lat, -85.051128779806604),
                                        85.051128779806604)) / 2)), 4) AS y
             FROM geo""",
+        "q38_audio_features": f"""
+            WITH {_MEDIA_HEAD},
+            b AS (
+              SELECT m.media_id,
+                     16 * (4 + length(d.text) % 64) AS payload_len,
+                     ('0x' || substring(md5('a' || m.head), 1, 8))::BIGINT
+                       AS base
+              FROM media m JOIN documents d ON m.media_id = d.doc_id)
+            SELECT media_id,
+                   CAST(payload_len * 4 AS BIGINT) AS n_samples,
+                   round(payload_len * 4 / 16000.0, 6) AS duration_s,
+                   round(CAST(CAST((base % 1000003) / 1000003.0 - 0.5
+                              AS FLOAT) AS DOUBLE), 6) AS feat0
+            FROM b""",
         "q36_lcc": f"""
             WITH {_GEO_CTE},
             k AS (SELECT
@@ -1179,3 +1231,6 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY (p.lon - q.lon) * (p.lon - q.lon) +
                        (p.lat - q.lat) * (p.lat - q.lat), p.doc_id) = 1""",
     }
+    # IVF with exhaustive probing must equal the brute top-k
+    out["q39_ann_ivf"] = out["q14_ann_topk"]
+    return out

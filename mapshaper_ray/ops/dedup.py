@@ -345,24 +345,36 @@ def embedding_near_dup_exact(ds, threshold=0.95, id_col="vec_id",
 
 
 def embedding_near_dup(ds, threshold=0.95, id_col="vec_id",
-                       emb_col="embedding", n_planes=12, seed=11):
-    """Embedding-cosine near-dup: random-hyperplane LSH bucket key,
+                       emb_col="embedding", n_planes=12, n_tables=1,
+                       seed=11):
+    """Embedding-cosine near-dup: random-hyperplane LSH bucket keys,
     groupby bucket, exact cosine verify within bucket.  Returns pairs
-    (id_a, id_b, cosine) with cosine >= threshold."""
+    (id_a, id_b, cosine) with cosine >= threshold.
+
+    ``n_tables`` > 1 enables band-OR multi-probing: L independent
+    plane sets, a vector lands in one bucket PER TABLE, candidates are
+    the union — recall 1-(1-p^k)^L where p = 1 - theta/pi, bounding
+    the single-table recall loss at moderate cosine thresholds (the
+    scale path for thresholds below ~0.9).  Output pairs dedupe across
+    tables inside a final groupby."""
     first = ds.take(1)[0]
     dim = len(first[emb_col])
     rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(dim, n_planes))
+    planes = rng.normal(size=(n_tables, dim, n_planes))
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         vecs = np.stack(df[emb_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         vecs = vecs / np.where(norms == 0, 1, norms)
-        signs = (vecs @ planes) > 0
-        key = (signs @ (1 << np.arange(n_planes))).astype(np.int64)
-        return pd.DataFrame({id_col: df[id_col].to_numpy(),
-                             "bucket": key,
-                             "vec": list(vecs)})
+        frames = []
+        for t in range(n_tables):
+            signs = (vecs @ planes[t]) > 0
+            key = (signs @ (1 << np.arange(n_planes))).astype(np.int64)
+            frames.append(pd.DataFrame({
+                id_col: df[id_col].to_numpy(),
+                "bucket": key * np.int64(n_tables) + t,
+                "vec": list(vecs)}))
+        return pd.concat(frames, ignore_index=True)
 
     bucketed = ds.map_batches(bucketize, batch_format="pandas")
 
@@ -382,4 +394,12 @@ def embedding_near_dup(ds, threshold=0.95, id_col="vec_id",
         return pd.DataFrame({"id_a": ids[ia[mask]], "id_b": ids[ib[mask]],
                              "cosine": sims[ia[mask], ib[mask]]})
 
-    return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    out = bucketed.groupby("bucket").map_groups(verify,
+                                                batch_format="pandas")
+    if n_tables == 1:
+        return out
+
+    def first_of_pair(df: pd.DataFrame) -> pd.DataFrame:
+        return df.head(1)
+    return out.groupby(["id_a", "id_b"]).map_groups(
+        first_of_pair, batch_format="pandas")

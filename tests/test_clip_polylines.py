@@ -74,3 +74,40 @@ def test_clip_multipart_and_diagonal(ray_session):
     # diagonal through center: chord of the diamond along y=x is
     # 1.5*sqrt(2); vertical line keeps the full diamond height 3.0
     assert np.allclose(sorted(lens), [1.5 * np.sqrt(2), 3.0])
+
+
+def test_clip_polylines_matches_rect_kernel_randomized(ray_session):
+    """Cross-implementation check: clipping random polylines against a
+    RECTANGLE polygon via the general cut+classify path must keep the
+    same total length as the independent Liang-Barsky rect kernel."""
+    import ray.data as rd
+    from mapshaper_ray.ops.clip import _clip_segments, clip_polylines
+    rng = np.random.RandomState(7)
+    rect = (2.0, 2.0, 7.0, 6.0)
+    rect_ds = rd.from_items([{
+        "feature_id": 0,
+        "rings_x": [[rect[0], rect[2], rect[2], rect[0], rect[0]]],
+        "rings_y": [[rect[1], rect[1], rect[3], rect[3], rect[1]]],
+        "ring_poly": [0]}])
+    rows = []
+    expected = []
+    for i in range(20):
+        n = rng.randint(3, 9)
+        x = np.round(rng.uniform(0, 9, n), 3)
+        y = np.round(rng.uniform(0, 8, n), 3)
+        rows.append({"feature_id": i, "part_x": [x.tolist()],
+                     "part_y": [y.tolist()]})
+        parts = _clip_segments(x, y, rect)
+        expected.append(sum(
+            float(np.sum(np.hypot(np.diff(px), np.diff(py))))
+            for px, py in parts))
+    out = clip_polylines(rd.from_items(rows), rect_ds, "clip") \
+        .to_pandas().set_index("feature_id")
+    for i in range(20):
+        got = 0.0
+        if i in out.index:
+            got = sum(float(np.sum(np.hypot(np.diff(np.asarray(px)),
+                                            np.diff(np.asarray(py)))))
+                      for px, py in zip(out.loc[i]["part_x"],
+                                       out.loc[i]["part_y"]))
+        assert abs(got - expected[i]) < 1e-9, (i, got, expected[i])

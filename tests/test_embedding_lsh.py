@@ -1,0 +1,27 @@
+"""Band-OR multi-table embedding LSH: recall bound + subset property."""
+
+import numpy as np
+import pytest
+
+
+def test_multi_table_recall_improves(ray_session):
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import (embedding_near_dup,
+                                         embedding_near_dup_exact)
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    exact = embedding_near_dup_exact(emb, threshold=0.35).to_pandas()
+    pe = set(zip(exact.id_a, exact.id_b))
+    one = embedding_near_dup(emb, threshold=0.35, n_planes=4,
+                             n_tables=1).to_pandas()
+    many = embedding_near_dup(emb, threshold=0.35, n_planes=4,
+                              n_tables=16).to_pandas()
+    p1 = set(zip(one.id_a, one.id_b))
+    pm = set(zip(many.id_a, many.id_b))
+    # every LSH pair is a true pair (verify stage), and band-OR
+    # strictly improves recall
+    assert p1 <= pe and pm <= pe
+    assert len(pm) > len(p1)
+    assert len(pm) >= 0.5 * len(pe)  # 16 tables, p^4 ~ .14 -> ~90%
+    # no duplicate pairs across tables
+    assert len(many) == len(pm)
