@@ -8,9 +8,8 @@ A user of the reference switches like-for-like:
     →  lyr = api.i("in.json"); api.o(api.simplify(lyr, pct=0.5), "out.json")
 
 Each entry notes the semantics source (reference file:line) in the
-implementation module's docstring.  Commands whose full geometry
-substrate is still landing (dissolve2/mosaic/clean general case) raise
-NotImplementedError naming the substrate module.
+implementation module's docstring.  ``run_commands`` exposes the same
+operators through the reference's command-string grammar.
 """
 
 from __future__ import annotations
@@ -111,8 +110,10 @@ from .stages.multimodal import (decode_images, featurize_audio,
 # --- pipelines --------------------------------------------------------------
 from .pipelines.simplify_layer import simplify_layer  # -simplify (layer)
 from .pipelines.overlay import (clip_layer,  # -clip (general polygon)
+                                dissolve2_layer,  # -dissolve2 (layer, cell=)
                                 dissolve_layer,  # -dissolve (layer)
-                                erase_layer)  # -erase (general polygon)
+                                erase_layer,  # -erase (general polygon)
+                                precut_by_cells)  # cell-grid pre-cut
 from .pipelines.flagship import (build_pipeline, build_pipeline_from_parquet,
                                  flagship_counts,
                                  flagship_counts_from_parquet,

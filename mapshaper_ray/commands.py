@@ -380,6 +380,12 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 cat.replace(rd.from_items(rows))
                 continue
             key = args[0] if args else opts.get("fields")
+            if name == "dissolve2" and "cell" in opts:
+                from .pipelines.overlay import dissolve2_layer
+                cat.replace(dissolve2_layer(
+                    cat.get(), key, cell=float(opts["cell"]),
+                    gap_max_area=float(opts.get("gap_fill_area", 0))))
+                continue
             if name == "clean" or key is None:
                 keys = [str(i) for i in df["feature_id"]]
             else:

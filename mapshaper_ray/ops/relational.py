@@ -79,8 +79,62 @@ def compile_expression(expr: str, defs: dict | None = None):
     return run
 
 
+# geometry accessor names usable INSIDE expressions (the reference's
+# feature proxy $.area / $.centroidX / ... —
+# src/data/mapshaper-feature-proxy.js:15-158); referencing one
+# triggers a metric-computation pass before evaluation
+_GEO_ACCESSORS = ("area", "perimeter", "cx", "cy", "part_count")
+
+
+def _needs_geo(ds, exprs) -> list[str]:
+    """Accessor names referenced by the expressions and absent from the
+    dataset.  ds.schema() is consulted ONLY when an accessor name
+    appears (it can trigger first-block execution on a lazy plan)."""
+    import ast
+    needed = set()
+    for e in exprs:
+        try:
+            tree = ast.parse(e, mode="eval")
+        except SyntaxError:
+            continue
+        names = {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
+        needed |= names & set(_GEO_ACCESSORS)
+    if not needed:
+        return []
+    cols = set(ds.schema().names)
+    return [n for n in needed if n not in cols]
+
+
+def _with_geo_columns(ds, names):
+    """Precompute requested geometry metrics as columns (the engine's
+    column-first equivalent of lazy $.x accessors)."""
+    if not names:
+        return ds
+    from .features import add_polygon_metrics, centroids
+    cols = set(ds.schema().names)
+    if ("area" in names or "perimeter" in names) and "rings_x" in cols:
+        ds = add_polygon_metrics(ds, area_col="area",
+                                 perimeter_col="perimeter")
+    if ("cx" in names or "cy" in names) and "rings_x" in cols:
+        ds = centroids(ds)
+    if "part_count" in names:
+        def pc_col(df: pd.DataFrame) -> pd.DataFrame:
+            from ..sources.layers import nz
+            geom = next((c for c in ("rings_x", "part_x", "px")
+                         if c in df.columns), None)
+            df = df.copy()
+            df["part_count"] = [len(nz(v)) for v in df[geom]] \
+                if geom else 0
+            return df
+        ds = ds.map_batches(pc_col, batch_format="pandas")
+    return ds
+
+
 def each_expr(ds, assignments: dict[str, str], defs: dict | None = None):
-    """-each: add/overwrite computed columns (vectorized)."""
+    """-each: add/overwrite computed columns (vectorized).  Geometry
+    accessors (area, perimeter, cx, cy, part_count) may appear in the
+    expressions; the needed metric columns compute automatically."""
+    ds = _with_geo_columns(ds, _needs_geo(ds, assignments.values()))
     fns = {name: compile_expression(e, defs)
            for name, e in assignments.items()}
 
@@ -92,7 +146,9 @@ def each_expr(ds, assignments: dict[str, str], defs: dict | None = None):
 
 
 def filter_expr(ds, expr: str, defs: dict | None = None):
-    """-filter: keep rows where the boolean expression holds."""
+    """-filter: keep rows where the boolean expression holds.  Geometry
+    accessors auto-compute (see each_expr)."""
+    ds = _with_geo_columns(ds, _needs_geo(ds, [expr]))
     fn = compile_expression(expr, defs)
 
     def apply(df: pd.DataFrame) -> pd.DataFrame:

@@ -420,3 +420,67 @@ def erase_layer(target_ds, erase_ds, cell: float | None = None, bbox=None,
     """-erase: subtract the erase layer from target polygons."""
     return _overlay_layer(target_ds, erase_ds, False, cell, bbox,
                           batch_size)
+
+
+def dissolve2_layer(ds, key: str, cell: float | None = None, bbox=None,
+                    gap_max_area: float = 0.0):
+    """Overlap/gap-repairing -dissolve2 over a polygon layer Dataset.
+
+    ``cell=None``: in-process mosaic kernel over the collected layer.
+    ``cell=<size>``: GENERAL-INPUT distributed path — features are
+    PRE-CUT at the cell grid lines (enforcing the locality assumption
+    that `dissolve2_pipeline` only documents), the mosaic + first-shape
+    tile assignment runs per cell in map_groups (pieces ordered by
+    original feature_id so the assignment rule matches the global
+    order), and a final groupby(key) dissolve cancels the cell-border
+    arcs.  Caveat: ``gap_max_area`` applies per cell piece — a gap
+    straddling a cell line is judged piecewise."""
+    import ray.data as rd
+
+    from ..sources.layers import nz
+    from ..topo.mosaic import dissolve2
+
+    def rows_to_feats(df):
+        return [[np.stack([np.asarray(x, float), np.asarray(y, float)],
+                          axis=1)
+                 for x, y in zip(nz(row["rings_x"]), nz(row["rings_y"]))]
+                for _, row in df.iterrows()]
+
+    def d2_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("feature_id").reset_index(drop=True)
+        out = dissolve2(rows_to_feats(df), [str(v) for v in df[key]],
+                        gap_max_area=gap_max_area)
+        rows = []
+        for k, v in sorted(out.items()):
+            gx = [np.asarray(x).tolist() for x, _ in v["rings"]]
+            gy = [np.asarray(y).tolist() for _, y in v["rings"]]
+            rows.append({key: k, "rings_x": gx, "rings_y": gy,
+                         "ring_poly": [0] * len(gx)})
+        return pd.DataFrame(rows)
+
+    if cell is None:
+        df = ds.to_pandas()
+        out = d2_rows(df)
+        out.insert(0, "feature_id", np.arange(len(out), dtype=np.int64))
+        return rd.from_pandas(out)
+
+    pieces = precut_by_cells(ds, cell, bbox=bbox)
+    per_cell = pieces.groupby("__cell").map_groups(
+        lambda df: d2_rows(df.drop(columns="__cell")),
+        batch_format="pandas")
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        feats = _node_axis_edges(_rows_to_features(df))
+        arcs, shapes = build_topology(feats)
+        k = str(df[key].iloc[0])
+        rings = dissolve_shapes(shapes, [k] * len(shapes), arcs)[k] or []
+        coords = [arcs.path_coords(r) for r in rings]
+        gx, gy, gp = _rings_to_row(coords) if coords else ([], [], [])
+        return pd.DataFrame([{key: df[key].iloc[0], "rings_x": gx,
+                              "rings_y": gy, "ring_poly": gp}])
+
+    melted = per_cell.groupby(key).map_groups(per_key,
+                                              batch_format="pandas")
+    mdf = melted.to_pandas().sort_values(key).reset_index(drop=True)
+    mdf.insert(0, "feature_id", np.arange(len(mdf), dtype=np.int64))
+    return rd.from_pandas(mdf)

@@ -196,3 +196,23 @@ def test_i_merge_files(ray_session, tmp_path):
         f"-i {tmp_path}/p0.json {tmp_path}/p1.json merge-files")
     assert list(cat.layers) == ["merged"]
     assert cat.get().count() == 2
+
+
+def test_filter_geometry_accessor(ray_session, tmp_path):
+    """$.area-style accessors inside expressions: referencing `area`
+    in -filter computes the metric column automatically."""
+    src = tmp_path / "g.json"
+    feats = []
+    for i, w in enumerate([1.0, 3.0]):
+        feats.append({
+            "type": "Feature", "properties": {"i": i},
+            "geometry": {"type": "Polygon", "coordinates":
+                         [[[0, 10 * i], [w, 10 * i], [w, 10 * i + w],
+                           [0, 10 * i + w], [0, 10 * i]]]}})
+    src.write_text(json.dumps({"type": "FeatureCollection",
+                               "features": feats}))
+    cat = run_commands(f"-i {src} -filter 'area > 2' "
+                       f"-each 'density = 1.0 / area'")
+    df = cat.get().to_pandas()
+    assert list(df["i"]) == [1]
+    assert abs(df.iloc[0]["density"] - 1 / 9.0) < 1e-12

@@ -158,3 +158,27 @@ def test_overlay_cell_path_matches_broadcast(ray_session, tmp_path, which):
     assert list(a["feature_id"]) == list(b["feature_id"])
     assert np.allclose(a["area"], b["area"])
     assert np.allclose(a["perimeter"], b["perimeter"])
+
+
+def test_dissolve2_layer_distributed_matches_local(ray_session):
+    """General-input distributed dissolve2 (cell pre-cut enforced)
+    reproduces the in-process kernel's per-key union areas on
+    OVERLAPPING input whose overlaps span cell borders."""
+    import ray.data as rd
+    from mapshaper_ray.pipelines.overlay import dissolve2_layer
+    rows = []
+    for i in range(12):
+        r, c = divmod(i, 4)
+        w = 1.6 if c % 2 == 0 else 1.0  # overlaps right neighbor
+        rows.append({"feature_id": i,
+                     "grp": f"g{i % 2}",
+                     "rings_x": [[c * 1.0, c + w, c + w, c * 1.0, c * 1.0]],
+                     "rings_y": [[r * 1.0, r * 1.0, r + 1.0, r + 1.0,
+                                  r * 1.0]],
+                     "ring_poly": [0]})
+    ds = rd.from_items(rows)
+    local = _metrics(dissolve2_layer(ds, "grp"), "grp")
+    # cell=1.3 cuts straight through the overlap regions
+    dist = _metrics(dissolve2_layer(ds, "grp", cell=1.3), "grp")
+    assert list(local["grp"]) == list(dist["grp"])
+    assert np.allclose(local["area"], dist["area"])
