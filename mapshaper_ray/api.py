@@ -40,6 +40,7 @@ from .ops.relational import (broadcast_join, broadcast_join_calc,  # -join
 from .ops.features import (add_polygon_metrics,  # $.area etc. (§2.2a)
                            affine,  # -affine
                            centroids,  # -points (centroid source)
+                           clean_shapes,  # -clean (shape repair)
                            explode,  # -explode
                            filter_bbox,  # -filter-geom bbox=
                            filter_islands,  # -filter-islands
@@ -158,6 +159,12 @@ def i(path: str, **kw):
             head = f.read(4096)
         if '"Topology"' in head:
             return read_topojson(path, **kw)
+        if head.lstrip().startswith("["):
+            # JSON array of records → data-only layer (reference
+            # importJSONTable, src/data/mapshaper-json-table.js:3)
+            import pandas as pd
+            import ray.data as rd
+            return rd.from_pandas(pd.read_json(path))
         return read_geojson(path, **kw)
     if low.endswith((".parquet",)) or "/" not in low.rsplit(".", 1)[-1]:
         import ray.data as rd

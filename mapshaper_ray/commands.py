@@ -175,7 +175,16 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
             ds = cat.get(opts.get("target"))
             if "precision" in opts:
                 ds = api.round_coords(ds, float(opts["precision"]))
-            api.o(ds, path)
+            if "format" in opts:
+                # format= overrides the extension-based dispatch
+                fmt = opts["format"].lstrip(".")
+                fake = path + {"geojson": ".json", "json": ".json",
+                               "topojson": ".topojson", "csv": ".csv",
+                               "shapefile": ".shp", "shp": ".shp",
+                               "svg": ".svg"}.get(fmt, "." + fmt)
+                api.o(ds, fake)
+            else:
+                api.o(ds, path)
         elif name == "target":
             cat.target = args[0] if args else opts.get("name")
             if cat.target not in cat.layers:
@@ -294,8 +303,10 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 batch_format="pandas"))
         elif name == "calc":
             import ray.data as rd
-            cat.add(rd.from_pandas(rel.calc_stats(cat.get(), args[0])),
-                    "calc")
+            ds = cat.get()
+            if "where" in opts:
+                ds = rel.filter_expr(ds, opts["where"], defs=cat.defs)
+            cat.add(rd.from_pandas(rel.calc_stats(ds, args[0])), "calc")
         elif name == "join":
             src = _load_source(cat, opts, args)
             keys = _num_list(opts["keys"], str)

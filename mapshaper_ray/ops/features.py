@@ -355,3 +355,66 @@ def layer_info(ds) -> dict:
         "bbox": [float(parts["xmin"].min()), float(parts["ymin"].min()),
                  float(parts["xmax"].max()), float(parts["ymax"].max())],
     }
+
+
+def clean_shapes(ds):
+    """-clean shape cleanup over a layer Dataset (reference
+    internal.cleanShapes via cleanPathsAfterImport,
+    src/paths/mapshaper-path-import.js:13-29): per path, drop NaN
+    vertices and consecutive duplicates; drop defective paths (rings
+    with < 4 points after closing, parts with < 2); polygon rings also
+    get nesting repair (same-winding nested rings removed, lone
+    hole-wound rings flipped — ops/anchor.fix_ring_nesting)."""
+    from ..sources.layers import geom_type_of, nz
+
+    def go(df: pd.DataFrame) -> pd.DataFrame:
+        gt = geom_type_of(list(df.columns))
+        if gt == "polygon":
+            xcol, ycol, min_pts = "rings_x", "rings_y", 4
+        elif gt == "polyline":
+            xcol, ycol, min_pts = "part_x", "part_y", 2
+        else:
+            return df
+        df = df.copy()
+        nx, ny, npl = [], [], []
+        for _, row in df.iterrows():
+            rp = list(row["ring_poly"]) if gt == "polygon" and \
+                row["ring_poly"] is not None else []
+            ox, oy, op = [], [], []
+            for i, (x, y) in enumerate(zip(nz(row[xcol]), nz(row[ycol]))):
+                x = np.asarray(x, dtype=np.float64)
+                y = np.asarray(y, dtype=np.float64)
+                ok = np.isfinite(x) & np.isfinite(y)
+                x, y = x[ok], y[ok]
+                if len(x):
+                    dup = np.concatenate(
+                        [[False], (np.diff(x) == 0) & (np.diff(y) == 0)])
+                    x, y = x[~dup], y[~dup]
+                if gt == "polygon" and len(x) >= 3 and \
+                        (x[0] != x[-1] or y[0] != y[-1]):
+                    x = np.append(x, x[0])
+                    y = np.append(y, y[0])
+                if len(x) < min_pts:
+                    continue  # defective path dropped
+                ox.append(x.tolist())
+                oy.append(y.tolist())
+                if gt == "polygon":
+                    op.append(rp[i] if i < len(rp) else 0)
+            nx.append(ox)
+            ny.append(oy)
+            npl.append(op)
+        df[xcol] = nx
+        df[ycol] = ny
+        if gt == "polygon":
+            df["ring_poly"] = npl
+        return df
+
+    cleaned = ds.map_batches(go, batch_format="pandas")
+    try:
+        gt = geom_type_of(ds.schema().names)
+    except Exception:
+        gt = None
+    if gt == "polygon":
+        from .anchor import fix_ring_nesting
+        cleaned = fix_ring_nesting(cleaned)
+    return cleaned

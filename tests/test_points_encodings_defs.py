@@ -99,3 +99,38 @@ def test_filter_slivers_auto_threshold(ray_session):
     out = filter_slivers(ds).to_pandas().set_index("feature_id")
     assert len(out.loc[4]["rings_x"]) == 0  # 0.05-area ring dropped
     assert all(len(out.loc[i]["rings_x"]) == 1 for i in range(4))
+
+
+def test_clean_shapes(ray_session):
+    """NaN vertices, consecutive duplicates, defective paths, unclosed
+    rings and same-winding nested rings all repair."""
+    import ray.data as rd
+    from mapshaper_ray.ops.features import clean_shapes
+    ds = rd.from_items([{
+        "feature_id": 0,
+        "rings_x": [[0.0, 0.0, np.nan, 5.0, 5.0, 0.0],   # dup+nan, unclosed
+                    [1.0, 1.0, 1.0, 1.0],                 # collapses away
+                    [2.0, 3.0, 3.0, 2.0, 2.0]],  # same-winding nested
+        "rings_y": [[0.0, 0.0, np.nan, 0.0, 5.0, 5.0],
+                    [1.0, 1.0, 1.0, 1.0],
+                    [2.0, 2.0, 3.0, 3.0, 2.0]],
+        "ring_poly": [0, 0, 0]}])
+    out = clean_shapes(ds).to_pandas()
+    rx = out.iloc[0]["rings_x"]
+    assert len(rx) == 1  # degenerate + same-winding nested dropped
+    x = np.asarray(rx[0])
+    assert np.isfinite(x).all()
+    assert x[0] == x[-1]  # re-closed
+
+
+def test_json_table_reader(ray_session, tmp_path):
+    """-i of a JSON array of records -> data-only layer (reference
+    importJSONTable, src/data/mapshaper-json-table.js:3)."""
+    import json as _json
+    from mapshaper_ray import api
+    p = tmp_path / "tbl.json"
+    p.write_text(_json.dumps([{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]))
+    ds = api.i(str(p))
+    df = ds.to_pandas()
+    assert list(df["a"]) == [1, 2]
+    assert list(df["b"]) == ["x", "y"]
