@@ -51,12 +51,17 @@ from ..topo.mosaic import polygon_mosaic
 
 
 def _rows_to_features(df: pd.DataFrame):
+    # column-array zip, NOT iterrows: pandas Series construction per row
+    # costs more than the whole topology build at 10k features
     feats = []
-    for _, row in df.iterrows():
-        rx = row["rings_x"] if row["rings_x"] is not None else []
-        ry = row["rings_y"] if row["rings_y"] is not None else []
-        feats.append([np.stack([np.asarray(x, float), np.asarray(y, float)],
-                               axis=1) for x, y in zip(rx, ry)] or None)
+    for rx, ry in zip(df["rings_x"].to_numpy(),
+                      df["rings_y"].to_numpy()):
+        if rx is None:
+            feats.append(None)
+            continue
+        feats.append([np.stack([np.asarray(x, float),
+                                np.asarray(y, float)], axis=1)
+                      for x, y in zip(rx, ry)] or None)
     return feats
 
 

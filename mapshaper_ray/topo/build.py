@@ -161,9 +161,143 @@ class TopologyBuilder:
         return table, shapes
 
 
-def build_topology(features, closed=True):
-    """features: list of (list of (n,2) ring/line arrays) or None per feature."""
+def _build_topology_loop(features, closed=True):
+    """Reference-shaped per-vertex loop implementation (kept as the
+    equivalence baseline for the vectorized path)."""
     b = TopologyBuilder()
     for parts in features:
         b.add_feature(parts, closed=closed)
     return b.build()
+
+
+def build_topology(features, closed=True):
+    """features: list of (list of (n,2) ring/line arrays) or None per
+    feature → (ArcTable, shapes with signed arc ids).
+
+    Vectorized: vertices intern to point ids with one np.unique over a
+    structured (x, y) view (ids are LEXICOGRAPHIC, so id comparisons
+    reproduce the loop implementation's coordinate-tuple comparisons
+    exactly); junction detection groups neighbor-pair keys per point id
+    with a lexsort; only the per-path run splitting stays in Python,
+    operating on small int arrays.  Semantics identical to
+    ``_build_topology_loop`` (randomized equivalence-tested)."""
+    paths = []          # (feature_idx, coords(n,2), is_ring)
+    for fi, parts in enumerate(features):
+        if parts is None:
+            continue
+        for p in parts:
+            c = np.asarray(p, dtype=np.float64)
+            is_ring = bool(closed and len(c) > 1 and
+                           c[0, 0] == c[-1, 0] and c[0, 1] == c[-1, 1])
+            paths.append((fi, c, is_ring))
+    if not paths:
+        return ArcTable.from_coord_lists([]), \
+            [None if f is None else [[] for _ in f] for f in features]
+
+    flat = np.concatenate([c for _, c, _ in paths])
+    view = np.ascontiguousarray(flat).view(
+        [("x", np.float64), ("y", np.float64)]).ravel()
+    uniq, inv = np.unique(view, return_inverse=True)
+    n_uniq = len(uniq)
+    M = np.int64(n_uniq + 1)
+
+    # per-path id arrays + per-occurrence (point, neighbor-key) rows
+    lens = np.array([len(c) for _, c, _ in paths])
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    path_ids = [inv[offs[i]:offs[i + 1]].astype(np.int64)
+                for i in range(len(paths))]
+
+    # one GLOBAL neighbor pass (no per-path roll/alloc): concatenate the
+    # occurrence sequences (rings without the closing duplicate), shift
+    # once, then patch the per-path boundaries via the offset arrays
+    ring_flags = np.array([is_ring for _, _, is_ring in paths])
+    occ_list = [ids[:-1] if rf else ids
+                for ids, rf in zip(path_ids, ring_flags)]
+    occ_lens = np.array([len(o) for o in occ_list], dtype=np.int64)
+    keep = occ_lens > 0
+    occ_list = [o for o, k in zip(occ_list, keep) if k]
+    occ_lens = occ_lens[keep]
+    rf_k = ring_flags[keep]
+    pt = np.concatenate(occ_list)
+    starts = np.concatenate([[0], np.cumsum(occ_lens)[:-1]])
+    ends = starts + occ_lens - 1
+    prv = np.empty(len(pt), dtype=np.int64)
+    nxt = np.empty(len(pt), dtype=np.int64)
+    prv[1:] = pt[:-1]
+    nxt[:-1] = pt[1:]
+    prv[starts] = np.where(rf_k, pt[ends], -1)
+    nxt[ends] = np.where(rf_k, pt[starts], -1)
+    endpoint_junctions = [np.concatenate([pt[starts[~rf_k]],
+                                          pt[ends[~rf_k]]])] \
+        if (~rf_k).any() else []
+    lo = np.minimum(prv, nxt)
+    hi = np.maximum(prv, nxt)
+    key = (lo + 1) * M + (hi + 1)
+    order = np.lexsort((key, pt))
+    ps, ks = pt[order], key[order]
+    # a point is a junction when its occurrences carry >1 distinct key
+    junction = np.zeros(n_uniq, dtype=bool)
+    if len(ps):
+        new_pt = np.concatenate([[True], np.diff(ps) != 0])
+        new_key = np.concatenate([[True], np.diff(ks) != 0])
+        # count distinct (pt, key) combos per pt: first row of each
+        # combo where the pt is NOT new marks a second distinct key
+        second_combo = new_key & ~new_pt
+        junction[ps[second_combo]] = True
+    for e in endpoint_junctions:
+        junction[e] = True
+
+    # cut paths at junctions + intern arcs (id-array keys, byte-hashed)
+    arc_ids: dict = {}
+    arc_runs: list = []
+
+    def intern(run_ids):
+        kf = run_ids.tobytes()
+        hit = arc_ids.get(kf)
+        if hit is not None:
+            return hit
+        kr = run_ids[::-1].tobytes()
+        hit = arc_ids.get(kr)
+        if hit is not None:
+            return ~hit
+        aid = len(arc_runs)
+        arc_runs.append(run_ids)
+        arc_ids[kf] = aid
+        return aid
+
+    def cut(ids, is_ring):
+        if is_ring:
+            r = ids[:-1]
+            jpos = np.nonzero(junction[r])[0]
+            if len(jpos):
+                k = int(jpos[0])
+            else:
+                k = int(np.argmin(r))
+            r = np.concatenate([r[k:], r[:k]])
+            ids = np.concatenate([r, r[:1]])
+        interior = np.nonzero(junction[ids[1:-1]])[0] + 1
+        bounds = np.concatenate([[0], interior, [len(ids) - 1]])
+        return [ids[bounds[i]:bounds[i + 1] + 1]
+                for i in range(len(bounds) - 1)]
+
+    shapes = []
+    pi = 0
+    path_ring = [is_ring for _, _, is_ring in paths]
+    path_feat = [fi for fi, _, _ in paths]
+    per_feature: dict[int, list] = {}
+    for (ids, is_ring, fi) in zip(path_ids, path_ring, path_feat):
+        runs = cut(ids, is_ring)
+        per_feature.setdefault(fi, []).append(
+            [intern(r) for r in runs])
+    for fi, f in enumerate(features):
+        shapes.append(None if f is None else per_feature.get(fi, []))
+
+    ux = uniq["x"]
+    uy = uniq["y"]
+    if arc_runs:
+        flat_ids = np.concatenate(arc_runs)
+        nn = np.array([len(r) for r in arc_runs], dtype=np.int64)
+        table = ArcTable(ux[flat_ids], uy[flat_ids], nn)
+    else:
+        table = ArcTable.from_coord_lists([])
+    return table, shapes

@@ -123,3 +123,45 @@ def test_arc_table_arrow_roundtrip():
     assert np.array_equal(back.xx, arcs.xx)
     assert np.array_equal(back.yy, arcs.yy)
     assert np.array_equal(back.nn, arcs.nn)
+
+
+def test_vectorized_build_matches_loop_randomized(ray_session):
+    """The vectorized build_topology must produce the identical
+    (ArcTable, shapes) decomposition as the per-vertex loop baseline on
+    random shared-border meshes with multi-ring features and
+    polylines."""
+    from mapshaper_ray.topo.build import (_build_topology_loop,
+                                          build_topology)
+    rng = np.random.RandomState(11)
+    for trial in range(6):
+        g = rng.randint(2, 6)
+        feats = []
+        for i in range(g * g):
+            r, c = divmod(i, g)
+            ring = np.array([[c, r], [c + 1, r], [c + 1, r + 1],
+                             [c, r + 1], [c, r]], dtype=float)
+            parts = [ring]
+            if rng.rand() < 0.3:  # occasional hole
+                parts.append(np.array(
+                    [[c + .2, r + .2], [c + .2, r + .8],
+                     [c + .8, r + .8], [c + .8, r + .2],
+                     [c + .2, r + .2]]))
+            feats.append(parts)
+        if rng.rand() < 0.5:
+            feats.append(None)
+        a_t, a_s = build_topology(feats)
+        b_t, b_s = _build_topology_loop(feats)
+        assert a_s == b_s, trial
+        assert np.array_equal(a_t.xx, b_t.xx)
+        assert np.array_equal(a_t.yy, b_t.yy)
+        assert np.array_equal(a_t.nn, b_t.nn)
+
+    # polylines (open paths)
+    lines = [[np.array([[0., 0.], [1., 0.], [2., 0.]])],
+             [np.array([[1., 0.], [1., 1.]])],
+             [np.array([[2., 0.], [3., 0.]]),
+              np.array([[0., 0.], [0., 1.]])]]
+    a_t, a_s = build_topology(lines, closed=False)
+    b_t, b_s = _build_topology_loop(lines, closed=False)
+    assert a_s == b_s
+    assert np.array_equal(a_t.xx, b_t.xx)
