@@ -45,7 +45,8 @@ def split_tokens(command_str: str) -> list[str]:
 _FLAGS = {
     "simplify": {"keep-shapes", "dp", "visvalingam", "weighted",
                  "planar", "spherical", "no-repair"},
-    "points": {"vertices", "endpoints", "inner", "centroid"},
+    "points": {"vertices", "endpoints", "inner", "centroid",
+               "interpolated"},
     "sort": {"descending", "ascending"},
     "merge-layers": {"force"},
     "i": {"snap", "combine-files", "merge-files", "no-topology"},
