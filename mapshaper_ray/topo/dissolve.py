@@ -17,16 +17,29 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+import numpy as np
+
 from .arcs import ArcTable, abs_id
 
 
 def _endpoint_nodes(arcs: ArcTable):
-    """Map arc id -> (start_node, end_node) using exact coords as node keys."""
-    ends = []
-    for i in range(len(arcs)):
-        (x0, y0), (x1, y1) = arcs.endpoints(i)
-        ends.append(((x0, y0), (x1, y1)))
-    return ends
+    """Map arc id -> (start_node, end_node).  Node keys are INTEGER ids
+    interned with one np.unique over the exact endpoint coordinates
+    (same coincidence semantics as coordinate-tuple keys, without
+    per-arc tuple construction/hashing)."""
+    n = len(arcs)
+    if n == 0:
+        return []
+    i0 = arcs.ii
+    ie = i0 + arcs.nn - 1
+    px = np.concatenate([arcs.xx[i0], arcs.xx[ie]])
+    py = np.concatenate([arcs.yy[i0], arcs.yy[ie]])
+    pts = np.ascontiguousarray(np.stack([px, py], axis=1)).view(
+        [("x", np.float64), ("y", np.float64)]).ravel()
+    _, inv = np.unique(pts, return_inverse=True)
+    s = inv[:n].tolist()
+    e = inv[n:].tolist()
+    return list(zip(s, e))
 
 
 def _directed_ends(ends, signed_id):
