@@ -240,7 +240,7 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 keep_shapes=bool(opts.get("keep_shapes")),
                 spherical=bool(opts.get("spherical")), **amount))
         elif name == "dissolve":
-            key = args[0] if args else opts.get("fields")
+            key = args[0] if args else opts.get("fields")  # None = all
             cat.replace(api.dissolve_layer(
                 cat.get(), key,
                 sum_fields=_num_list(opts["sum_fields"], str)

@@ -91,15 +91,53 @@ def _dissolve_rows(df: pd.DataFrame, key: str):
     return out
 
 
-def _dissolve_layer_local(ds, key: str, sum_fields=(), copy_fields=()):
-    """Single-pass driver kernel (fixture scale / per-group unit)."""
+def _dissolve_layer_local(ds, key: str | None, sum_fields=(),
+                          copy_fields=()):
+    """Single-pass driver kernel (fixture scale / per-group unit).
+    ``key=None`` dissolves everything into one feature (the reference's
+    bare ``-dissolve``).  Polyline layers merge arc chains at degree-2
+    nodes (dissolve_polylines); polygon layers melt shared borders."""
     import ray.data as rd
+
+    from ..sources.layers import geom_type_of, nz
     df = ds.to_pandas().sort_values("feature_id").reset_index(drop=True)
-    groups = _dissolve_rows(df, key)
+    gt = geom_type_of(list(df.columns))
+    keys = (df[key].astype(str) if key
+            else pd.Series(["_all"] * len(df), index=df.index))
+
+    if gt == "polyline":
+        from ..topo.dissolve import dissolve_polylines
+        feats = []
+        for px, py in zip(df["part_x"].to_numpy(),
+                          df["part_y"].to_numpy()):
+            feats.append([np.stack([np.asarray(x, float),
+                                    np.asarray(y, float)], axis=1)
+                          for x, y in zip(nz(px), nz(py))] or None)
+        arcs, shapes = build_topology(feats, closed=False)
+        groups = dissolve_polylines(shapes, list(keys), arcs)
+        rows = []
+        for fid, (k, chains) in enumerate(sorted(groups.items())):
+            sub = df[keys == k]
+            row = {"feature_id": fid}
+            if key:
+                row[key] = sub[key].iloc[0]
+            for f in sum_fields:
+                row[f] = sub[f].sum()
+            for f in copy_fields:
+                row[f] = sub[f].iloc[0]
+            coords = [arcs.path_coords(c) for c in (chains or [])]
+            row["part_x"] = [list(map(float, x)) for x, _ in coords]
+            row["part_y"] = [list(map(float, y)) for _, y in coords]
+            rows.append(row)
+        return rd.from_items(rows)
+
+    groups = _dissolve_rows(df.assign(__k=keys), "__k")
     rows = []
     for fid, (k, coords) in enumerate(sorted(groups.items())):
-        sub = df[df[key].astype(str) == k]
-        row = {"feature_id": fid, key: sub[key].iloc[0]}
+        sub = df[keys == k]
+        row = {"feature_id": fid}
+        if key:
+            row[key] = sub[key].iloc[0]
         for f in sum_fields:
             row[f] = sub[f].sum()
         for f in copy_fields:
@@ -247,7 +285,7 @@ def dissolve_layer(ds, key: str, sum_fields=(), copy_fields=(),
     dissolve (cell-cut arcs cancel) → join distributive attribute
     aggregates computed over the ORIGINAL rows."""
     import ray.data as rd
-    if cell is None:
+    if cell is None or key is None:
         return _dissolve_layer_local(ds, key, sum_fields, copy_fields)
 
     pieces = precut_by_cells(ds, cell, bbox=bbox)

@@ -142,43 +142,49 @@ def dissolve_polylines(shapes, group_ids, arcs: ArcTable):
             s, e = _directed_ends(ends, sid)
             deg[s] += 1
             deg[e] += 1
-        by_start = defaultdict(list)
+        # register BOTH traversal directions so chains continue through
+        # head-to-head / tail-to-tail meetings (the reference walks the
+        # NodeCollection's connected arcs in either direction)
+        by_node = defaultdict(list)
         for sid in segs:
-            s, _ = _directed_ends(ends, sid)
-            by_start[s].append(sid)
-        used = set()
+            s, e = _directed_ends(ends, sid)
+            by_node[s].append(sid)
+            by_node[e].append(~sid)
+        used = set()  # abs arc ids
         chains = []
-        # start chains at nodes with degree != 2 (true endpoints/junctions)
-        ordered = sorted(segs, key=lambda sid: abs_id(sid))
+        # start chains at nodes with degree != 2 (true endpoints or
+        # junctions); an arc whose given direction starts mid-chain
+        # walks from its other endpoint, reversed
+        ordered = sorted(segs, key=abs_id)
         for sid in ordered:
-            if sid in used or ~sid in used:
+            if abs_id(sid) in used:
                 continue
-            s, _ = _directed_ends(ends, sid)
-            if deg[s] == 2:
-                continue
-            chains.append(_walk_chain(sid, by_start, deg, used, ends))
+            s, e = _directed_ends(ends, sid)
+            if deg[s] != 2:
+                chains.append(_walk_chain(sid, by_node, deg, used, ends))
+            elif deg[e] != 2:
+                chains.append(_walk_chain(~sid, by_node, deg, used, ends))
         for sid in ordered:  # remaining = pure loops
-            if sid not in used and ~sid not in used:
-                chains.append(_walk_chain(sid, by_start, deg, used, ends))
+            if abs_id(sid) not in used:
+                chains.append(_walk_chain(sid, by_node, deg, used, ends))
         out[gid] = chains or None
     return out
 
 
-def _walk_chain(sid, by_start, deg, used, ends):
+def _walk_chain(sid, by_node, deg, used, ends):
     chain = [sid]
-    used.add(sid)
+    used.add(abs_id(sid))
     _, cur = _directed_ends(ends, sid)
     while deg[cur] == 2:
         nxt = None
-        for cand in by_start.get(cur, []):
-            if cand not in used and ~cand not in used and cand != ~sid:
+        for cand in by_node.get(cur, []):
+            if abs_id(cand) not in used:
                 nxt = cand
                 break
         if nxt is None:
             break
         chain.append(nxt)
-        used.add(nxt)
-        sid = nxt
+        used.add(abs_id(nxt))
         _, cur = _directed_ends(ends, nxt)
     return chain
 

@@ -1,0 +1,105 @@
+"""E2e parity against the reference's OWN test fixtures
+(test/dissolve-test.js, test/simplify-test.js) run through the
+command-string surface.  Chains compare up to direction (the merge
+orientation is the one reference-vs-engine freedom documented in
+topo/dissolve.py)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from mapshaper_ray.commands import run_commands
+
+
+def _chain_eq(got, want):
+    got = [list(map(float, p)) for p in got]
+    return got == want or got[::-1] == want
+
+
+def test_dissolve_polyline_multiple_segments(ray_session, tmp_path):
+    """dissolve-test.js 'polyline test 1': bar [1,1]-[0,0] + foo's two
+    chains merge into ONE line covering (0,0)..(4,4)."""
+    src = tmp_path / "a.json"
+    src.write_text(json.dumps({
+        "type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {"name": "bar"},
+             "geometry": {"type": "LineString",
+                          "coordinates": [[1, 1], [0, 0]]}},
+            {"type": "Feature", "properties": {"name": "foo"},
+             "geometry": {"type": "MultiLineString",
+                          "coordinates": [[[1, 1], [2, 2], [3, 3]],
+                                          [[4, 4], [3, 3]]]}}]}))
+    cat = run_commands(f"-i {src} -dissolve")
+    df = cat.get().to_pandas()
+    assert len(df) == 1
+    parts = list(zip(df.iloc[0]["part_x"], df.iloc[0]["part_y"]))
+    assert len(parts) == 1
+    coords = [[x, y] for x, y in zip(*parts[0])]
+    assert _chain_eq(coords,
+                     [[0, 0], [1, 1], [2, 2], [3, 3], [4, 4]])
+
+
+def test_dissolve_polyline_simple_ring(ray_session, tmp_path):
+    """dissolve-test.js 'polyline test 2': a closed line ring passes
+    through unchanged."""
+    src = tmp_path / "a.json"
+    src.write_text(json.dumps({
+        "type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {"name": "bar"},
+             "geometry": {"type": "LineString",
+                          "coordinates": [[1, 1], [1, 0], [0, 1],
+                                          [1, 1]]}}]}))
+    cat = run_commands(f"-i {src} -dissolve")
+    df = cat.get().to_pandas()
+    assert len(df) == 1
+    coords = [[x, y] for x, y in zip(df.iloc[0]["part_x"][0],
+                                     df.iloc[0]["part_y"][0])]
+    assert _chain_eq(coords, [[1, 1], [1, 0], [0, 1], [1, 1]])
+
+
+def test_dissolve_polyline_split_ring(ray_session, tmp_path):
+    """dissolve-test.js 'polyline test 3': two open lines sharing both
+    endpoints merge into one closed ring."""
+    src = tmp_path / "a.json"
+    src.write_text(json.dumps({
+        "type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {"name": "foo"},
+             "geometry": {"type": "LineString",
+                          "coordinates": [[1, 1], [1, 0], [0, 0]]}},
+            {"type": "Feature", "properties": {"name": "bar"},
+             "geometry": {"type": "LineString",
+                          "coordinates": [[0, 0], [0, 1], [1, 1]]}}]}))
+    cat = run_commands(f"-i {src} -dissolve")
+    df = cat.get().to_pandas()
+    assert len(df) == 1
+    parts = df.iloc[0]["part_x"]
+    assert len(parts) == 1
+    coords = [[x, y] for x, y in zip(df.iloc[0]["part_x"][0],
+                                     df.iloc[0]["part_y"][0])]
+    assert coords[0] == coords[-1]  # closed
+    assert len(coords) == 5
+    assert _chain_eq(
+        coords, [[1, 1], [1, 0], [0, 0], [0, 1], [1, 1]]) or \
+        sorted(map(tuple, coords[:-1])) == sorted(
+            [(0, 0), (0, 1), (1, 0), (1, 1)])
+
+
+def test_dissolve_six_counties_reference_shapefile(ray_session):
+    """dissolve-test.js 'polygon test 1' on the reference's OWN
+    shapefile: six counties dissolve to one feature with the exact
+    copy-field / sum-field values the reference asserts."""
+    import os
+    shp = "/root/reference/test/test_data/six_counties.shp"
+    if not os.path.exists(shp):
+        pytest.skip("reference fixture not present")
+    cat = run_commands(
+        f"-i {shp} -dissolve "
+        f"copy-fields=NAME,STATE_FIPS sum-fields=POP2000,MULT_RACE")
+    df = cat.get().to_pandas()
+    assert len(df) == 1
+    r = df.iloc[0]
+    assert r["NAME"] == "District of Columbia"
+    assert r["STATE_FIPS"] == "11"
+    assert int(r["POP2000"]) == 1916238
+    assert int(r["MULT_RACE"]) == 76770
