@@ -103,3 +103,54 @@ def test_dissolve_six_counties_reference_shapefile(ray_session):
     assert r["STATE_FIPS"] == "11"
     assert int(r["POP2000"]) == 1916238
     assert int(r["MULT_RACE"]) == 76770
+
+
+def test_clip_bbox_point_and_polyline_fixtures(ray_session, tmp_path):
+    """clip-erase-test.js bbox fixtures: point layer keeps only the
+    strictly-contained point (+its record); the polyline clips to the
+    exact [1,1]-[2,1] segment."""
+    import ray.data as rd
+    from mapshaper_ray.ops.clip import clip_bbox
+    pts = rd.from_items([
+        {"feature_id": 0, "id": 1, "px": [0.0], "py": [0.0]},
+        {"feature_id": 1, "id": 2, "px": [], "py": []},
+        {"feature_id": 2, "id": 3, "px": [0.0], "py": [2.0]},
+        {"feature_id": 3, "id": 4, "px": [2.0], "py": [2.0]},
+        {"feature_id": 4, "id": 5, "px": [1.0], "py": [1.0]},
+        {"feature_id": 5, "id": 6, "px": [2.0], "py": [0.0]}])
+    out = clip_bbox(pts, (0.5, 0.5, 1.5, 1.5)).to_pandas()
+    assert list(out["id"]) == [5]
+    assert list(out.iloc[0]["px"]) == [1.0]
+
+    lines = rd.from_items([{"feature_id": 0,
+                            "part_x": [[0.0, 5.0]],
+                            "part_y": [[1.0, 1.0]]}])
+    out = clip_bbox(lines, (1.0, 0.0, 2.0, 2.0)).to_pandas()
+    assert len(out) == 1
+    coords = [[x, y] for x, y in zip(out.iloc[0]["part_x"][0],
+                                     out.iloc[0]["part_y"][0])]
+    assert coords == [[1.0, 1.0], [2.0, 1.0]]
+
+
+def test_innerlines_two_states_reference_shapefile(ray_session):
+    """-innerlines over the reference's two_states.shp: exactly one
+    shared border between the two states (innerlines-test.js uses the
+    same fixture family)."""
+    import os
+    shp = "/root/reference/test/test_data/two_states.shp"
+    if not os.path.exists(shp):
+        pytest.skip("reference fixture not present")
+    cat = run_commands(f"-i {shp} -innerlines")
+    df = cat.get().to_pandas()
+    # the shared border survives as inner arc(s) only — and dissolving
+    # the two states must melt exactly those arcs away (area additive)
+    assert len(df) >= 1
+    assert set(df["kind"]) == {"inner"}
+    from mapshaper_ray.commands import run_commands as rc
+    from mapshaper_ray.ops.features import add_polygon_metrics
+    cat2 = rc(f"-i {shp}")
+    src_df = add_polygon_metrics(cat2.get()).to_pandas()
+    cat3 = rc(f"-i {shp} -dissolve")
+    dis_df = add_polygon_metrics(cat3.get()).to_pandas()
+    assert len(dis_df) == 1
+    assert abs(dis_df["area"].sum() - src_df["area"].sum()) < 1e-6
