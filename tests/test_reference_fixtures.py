@@ -154,3 +154,47 @@ def test_innerlines_two_states_reference_shapefile(ray_session):
     dis_df = add_polygon_metrics(cat3.get()).to_pandas()
     assert len(dis_df) == 1
     assert abs(dis_df["area"].sum() - src_df["area"].sum()) < 1e-6
+
+
+def test_ne_simplify_100pct_identity(ray_session):
+    """Reference invariant ('simplify() can be re-applied',
+    simplify-test.js:70-84): at 100% every vertex is retained — output
+    geometry identical to the input up to ring rotation (our topology
+    build canonicalizes ring start points; the reference keeps arcs in
+    original cut order) on the reference's own Natural Earth
+    states/provinces shapefile."""
+    import os
+    shp = ("/root/reference/test/test_data/ne/"
+           "ne_110m_admin_1_states_provinces_shp.shp")
+    if not os.path.exists(shp):
+        pytest.skip("reference fixture not present")
+    from mapshaper_ray import api
+
+    def rot_eq(a, b):
+        ax, ay = a
+        bx, by = b
+        if len(ax) != len(bx):
+            return False
+        ar = np.stack([ax[:-1], ay[:-1]], axis=1)
+        br = np.stack([bx[:-1], by[:-1]], axis=1)
+        for rev in (False, True):
+            c = br[::-1] if rev else br
+            for k in np.nonzero((c[:, 0] == ar[0, 0]) &
+                                (c[:, 1] == ar[0, 1]))[0]:
+                if np.array_equal(np.roll(c, -int(k), axis=0), ar):
+                    return True
+        return False
+
+    ds = api.i(shp)
+    df = ds.to_pandas().sort_values("feature_id").reset_index(drop=True)
+    out = api.simplify_layer(ds, pct=1.0, keep_shapes=False) \
+        .to_pandas().sort_values("feature_id").reset_index(drop=True)
+    assert len(df) == len(out)
+    for i in range(len(df)):
+        assert len(df.iloc[i]["rings_x"]) == len(out.iloc[i]["rings_x"])
+        for ax, ay, bx, by in zip(df.iloc[i]["rings_x"],
+                                  df.iloc[i]["rings_y"],
+                                  out.iloc[i]["rings_x"],
+                                  out.iloc[i]["rings_y"]):
+            assert rot_eq((np.asarray(ax), np.asarray(ay)),
+                          (np.asarray(bx), np.asarray(by)))
