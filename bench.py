@@ -61,9 +61,14 @@ def run_benchmarks():
     headline = float("inf")
     n_out = 0
     n_reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+    # blocks ~ 8x CPUs: measured best for BOTH 8- and 32-cpu configs
+    # (finer than the file count at 32 cpus for load balancing under
+    # co-tenant steal; coarser at 8 cpus to amortize per-task overhead)
+    n_blocks = int(os.environ.get("GRAFT_BLOCKS", str(8 * NUM_CPUS)))
     for _ in range(n_reps):
         t0 = time.time()
-        out = flagship_counts_from_parquet(PAGES_DIR)
+        out = flagship_counts_from_parquet(PAGES_DIR,
+                                           override_num_blocks=n_blocks)
         n_out = out.count()
         headline = min(headline, time.time() - t0)
     results["flagship_spatial_join"] = round(headline, 3)
