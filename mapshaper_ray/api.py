@@ -109,7 +109,8 @@ from .stages.multimodal import (decode_images, featurize_audio,
                                 sample_video_frames)
 
 # --- pipelines --------------------------------------------------------------
-from .pipelines.simplify_layer import simplify_layer  # -simplify (layer)
+from .pipelines.simplify_layer import (simplify_layer,  # -simplify (layer)
+                                       simplify_layer_distributed)
 from .pipelines.overlay import (clip_layer,  # -clip (general polygon)
                                 dissolve2_layer,  # -dissolve2 (layer, cell=)
                                 dissolve_layer,  # -dissolve (layer)

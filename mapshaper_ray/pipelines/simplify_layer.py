@@ -206,3 +206,143 @@ def simplify_layer(ds, pct: float | None = None,
     if gt != "polyline":
         out["ring_poly"] = out_rp
     return rd.from_pandas(out)
+
+
+def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
+                               weighting: float | None = None):
+    """END-TO-END distributed -simplify over a polygon layer Dataset:
+
+      rings explode to per-path rows → two-shuffle shared-arc topology
+      (topo/build_distributed.py: vertex-key groupby finds junctions,
+      arc-key groupby dedupes twins) → per-arc VW/DP thresholds in
+      map_batches → distributed exact pct→interval rank (ops/rank.py)
+      → arcs filter at the interval → shapes reassemble by joining
+      their signed arc sequences against the filtered arcs (groupby
+      feature) — no full-layer driver materialization at any stage
+      (the topology build's junction set / arc-id map are O(borders)).
+
+    keep_shapes is not offered on this path yet (per-feature ring
+    protection needs a feature-grouped z pass; use the in-process
+    simplify_layer for that semantics)."""
+    import ray
+    import ray.data as rd
+
+    from ..geom.simplify import removable_thresholds
+    from ..ops.rank import threshold_by_pct_ds
+    from ..sources.layers import nz
+    from ..topo.build_distributed import build_topology_ds
+
+    # rings → per-path rows
+    def to_paths(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for fid, rx, ry in zip(df["feature_id"].to_numpy(),
+                               df["rings_x"].to_numpy(),
+                               df["rings_y"].to_numpy()):
+            for pi, (x, y) in enumerate(zip(nz(rx), nz(ry))):
+                rows.append({"feature_id": int(fid), "part_id": pi,
+                             "x": list(map(float, x)),
+                             "y": list(map(float, y))})
+        return pd.DataFrame(rows)
+    paths = ds.map_batches(to_paths, batch_format="pandas")
+
+    arcs, shapes_df = build_topology_ds(paths, closed=True)
+
+    # per-arc thresholds, distributed over the arcs table
+    items = [{"arc_id": a, "x": arcs.xx[arcs.ii[a]:arcs.ii[a] + arcs.nn[a]],
+              "y": arcs.yy[arcs.ii[a]:arcs.ii[a] + arcs.nn[a]]}
+             for a in range(len(arcs.nn))]
+    if method == "dp":
+        fn = dp_thresholds
+    else:
+        def fn(x, y):
+            return visvalingam_thresholds(x, y, weighting=weighting)
+
+    def thresh(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["z"] = [fn(np.asarray(x), np.asarray(y))
+                   for x, y in zip(df["x"], df["y"])]
+        return df
+    with_z = rd.from_items(items).map_batches(
+        thresh, batch_format="pandas").materialize()
+
+    flat_z = with_z.map_batches(
+        lambda df: pd.DataFrame(
+            {"z": np.concatenate([removable_thresholds(z)
+                                  for z in df["z"]])
+             if len(df) else np.empty(0)}),
+        batch_format="pandas")
+    zlimit = threshold_by_pct_ds(flat_z, "z", pct)
+
+    # filtered arc coords, broadcast-free reassembly: explode shape
+    # rows to (feature, part, seq, arc_id), join against filtered arcs
+    # by arc id, regroup per feature
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        xs, ys = [], []
+        for x, y, z in zip(df["x"], df["y"], df["z"]):
+            m = np.asarray(z) >= zlimit
+            m[0] = m[-1] = True
+            xs.append(np.asarray(x)[m].tolist())
+            ys.append(np.asarray(y)[m].tolist())
+        return pd.DataFrame({"arc_id": df["arc_id"].to_numpy(),
+                             "fx": xs, "fy": ys})
+    filtered = with_z.map_batches(filt, batch_format="pandas")
+
+    refs = rd.from_pandas(pd.DataFrame({
+        "feature_id": shapes_df["feature_id"],
+        "part_id": shapes_df["part_seq"],
+        "signed": shapes_df["signed_id"]}))
+
+    def explode_refs(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for fid, pid, seq in zip(df["feature_id"], df["part_id"],
+                                 df["signed"]):
+            for k, sid in enumerate(seq):
+                sid = int(sid)
+                rows.append({"feature_id": int(fid), "part_id": int(pid),
+                             "seq": k,
+                             "arc_id": ~sid if sid < 0 else sid,
+                             "rev": sid < 0})
+        return pd.DataFrame(rows)
+    ref_rows = refs.map_batches(explode_refs, batch_format="pandas")
+
+    joined = ref_rows.union(filtered.map_batches(
+        lambda df: df.assign(feature_id=-1, part_id=-1, seq=-1,
+                             rev=False),
+        batch_format="pandas"))
+
+    def per_arc_group(df: pd.DataFrame) -> pd.DataFrame:
+        src = df[df["feature_id"] == -1]
+        uses = df[df["feature_id"] >= 0]
+        if len(src) == 0 or len(uses) == 0:
+            return pd.DataFrame()
+        fx = src["fx"].iloc[0]
+        fy = src["fy"].iloc[0]
+        out = uses[["feature_id", "part_id", "seq", "rev"]].copy()
+        out["fx"] = [fx] * len(out)
+        out["fy"] = [fy] * len(out)
+        return out
+    dist = joined.groupby("arc_id").map_groups(per_arc_group,
+                                               batch_format="pandas")
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        fid = int(df["feature_id"].iloc[0])
+        rx_row, ry_row = [], []
+        for pid, part in df.groupby("part_id"):
+            part = part.sort_values("seq")
+            xs, ys = [], []
+            for k, (_, r) in enumerate(part.iterrows()):
+                x = np.asarray(r["fx"], dtype=np.float64)
+                y = np.asarray(r["fy"], dtype=np.float64)
+                if r["rev"]:
+                    x, y = x[::-1], y[::-1]
+                if k:
+                    x, y = x[1:], y[1:]
+                xs.append(x)
+                ys.append(y)
+            rx_row.append(np.concatenate(xs).tolist())
+            ry_row.append(np.concatenate(ys).tolist())
+        return pd.DataFrame([{"feature_id": fid, "rings_x": rx_row,
+                              "rings_y": ry_row,
+                              "ring_poly": [0] * len(rx_row)}])
+    return dist.groupby("feature_id").map_groups(assemble,
+                                                 batch_format="pandas")

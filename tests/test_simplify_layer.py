@@ -81,3 +81,42 @@ def test_roundtrip_simplified_geojson(ray_session, tmp_path):
     got = json.loads(out_path.read_text())
     assert len(got["features"]) == 2
     assert got["features"][0]["geometry"]["type"] == "Polygon"
+
+
+def test_simplify_layer_distributed_matches_inprocess(ray_session):
+    """The end-to-end distributed simplify (two-shuffle topology +
+    distributed rank + join-based reassembly) must produce the same
+    retained geometry as the in-process layer command (keep_shapes off)
+    on a shared-border mesh."""
+    import numpy as np
+    import ray.data as rd
+    from mapshaper_ray.pipelines.simplify_layer import (
+        simplify_layer, simplify_layer_distributed)
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(9):
+        r, c = divmod(i, 3)
+        # wiggly shared borders: subdivide each edge and jitter
+        t = np.linspace(0, 1, 6)
+        bx = c + t
+        rows.append({"feature_id": i,
+                     "rings_x": [list(np.concatenate(
+                         [c + t, np.full(4, c + 1.0), (c + t)[::-1][1:],
+                          np.full(4, float(c))]))],
+                     "rings_y": [list(np.concatenate(
+                         [np.full(6, float(r)), r + t[1:5],
+                          np.full(5, r + 1.0), (r + t[1:5])[::-1]]))],
+                     "ring_poly": [0]})
+    ds = rd.from_items(rows)
+    for pct in (0.3, 0.7):
+        a = simplify_layer(ds, pct=pct, keep_shapes=False).to_pandas() \
+            .sort_values("feature_id").reset_index(drop=True)
+        b = simplify_layer_distributed(ds, pct=pct).to_pandas() \
+            .sort_values("feature_id").reset_index(drop=True)
+        assert len(a) == len(b)
+        for i in range(len(a)):
+            ar = [(tuple(x), tuple(y)) for x, y in
+                  zip(a.iloc[i]["rings_x"], a.iloc[i]["rings_y"])]
+            br = [(tuple(x), tuple(y)) for x, y in
+                  zip(b.iloc[i]["rings_x"], b.iloc[i]["rings_y"])]
+            assert sorted(ar) == sorted(br), (pct, i)
