@@ -687,7 +687,19 @@ def _q19_fixture_sql() -> str:
     """VALUES-literal fixture from scripts/gen_q19_fixture.py — an
     independent brute-force Visvalingam implementation (no heap, direct
     sort rank), valid at the driver's sf0.01 correctness scale."""
-    import fixture_oracles
+    try:
+        import fixture_oracles
+    except ImportError:
+        # the driver may import this module by file path without the
+        # repo root on sys.path
+        import importlib.util
+        import os
+        spec = importlib.util.spec_from_file_location(
+            "fixture_oracles",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "fixture_oracles.py"))
+        fixture_oracles = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(fixture_oracles)
     return fixture_oracles.Q19_SQL
 
 # shared fragment: the synthetic media payload's hex head (mirrors
