@@ -54,6 +54,45 @@ def md5_words(texts) -> tuple[np.ndarray, np.ndarray]:
     return h1, h2
 
 
+def md5_words_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
+    """md5_words over an Arrow string/binary array by slicing the flat
+    DATA BUFFER with the offsets — no per-row Python string
+    materialization (utf-8 string values' buffer bytes ARE the encoded
+    text, so digests match the str path exactly)."""
+    import pyarrow as pa
+    if isinstance(arr, pa.ChunkedArray):
+        parts = [md5_words_arrow(c) for c in arr.chunks]
+        if not parts:
+            return (np.empty(0, np.int64), np.empty(0, np.int64))
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))
+    t = arr.type
+    if not (pa.types.is_string(t) or pa.types.is_binary(t) or
+            pa.types.is_large_string(t) or pa.types.is_large_binary(t)) \
+            or arr.null_count:
+        return md5_words(arr.to_pylist())
+    bufs = arr.buffers()
+    odt = np.int64 if (pa.types.is_large_string(t) or
+                       pa.types.is_large_binary(t)) else np.int32
+    offsets = np.frombuffer(bufs[1], dtype=odt,
+                            count=len(arr) + 1 + arr.offset)[arr.offset:]
+    data = memoryview(bufs[2])
+    n = len(arr)
+    h1 = np.empty(n, dtype=np.int64)
+    h2 = np.empty(n, dtype=np.int64)
+    md5 = hashlib.md5
+    offs = offsets.tolist()  # python ints: numpy-scalar slicing is slower
+    prev = offs[0]
+    from_bytes = int.from_bytes
+    for i in range(n):
+        nxt = offs[i + 1]
+        d = md5(data[prev:nxt]).digest()
+        prev = nxt
+        h1[i] = from_bytes(d[:4], "big")
+        h2[i] = from_bytes(d[4:8], "big")
+    return h1, h2
+
+
 def geocode_arrays(h1: np.ndarray, h2: np.ndarray):
     hot = (h1 % HOT_PCT_MOD) < HOT_PCT_LT
     city = h1 % 2
@@ -80,7 +119,7 @@ class Geocoder:
         self.model = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        h1, h2 = md5_words(batch["text"].to_pylist())
+        h1, h2 = md5_words_arrow(batch["text"])
         lon, lat = geocode_arrays(h1, h2)
         batch = batch.append_column("lon", pa.array(lon, type=pa.float64()))
         batch = batch.append_column("lat", pa.array(lat, type=pa.float64()))
