@@ -105,6 +105,25 @@ def run_benchmarks():
     E.queries()["q14_ann_topk"](SF_DIR)
     results["q14_ann_topk"] = round(time.time() - t0, 3)
 
+    # geometry substrate: distributed dissolve of a 10k-feature mesh
+    # (pre-cut at cell lines -> per-cell melt -> border-cancelling
+    # rollup; vectorized topology build)
+    from mapshaper_ray.ops.generate import polygon_grid
+    from mapshaper_ray.pipelines.overlay import dissolve_layer
+    import pandas as pd
+
+    def _key(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        df["grp"] = "g" + ((df["feature_id"] * 2654435761) % 7).astype(str)
+        df["v"] = 1
+        return df
+    mesh = polygon_grid(100, 100, bbox=(0, 0, 100, 100)) \
+        .map_batches(_key, batch_format="pandas").materialize()
+    t0 = time.time()
+    dissolve_layer(mesh, "grp", sum_fields=("v",), cell=13.0,
+                   bbox=(0, 0, 100, 100)).count()
+    results["dissolve_distributed_10k"] = round(time.time() - t0, 3)
+
     print(json.dumps({
         "metric": "flagship spatial-join + tile-assignment wall time "
                   "(parquet pages, sf0.1 docs x replicate)",
