@@ -598,6 +598,19 @@ def _q39_ann_ivf(sf_dir: str):
     return out
 
 
+def _q40_simhash_pairs(sf_dir: str):
+    """Simhash near-dup pairs, EXACT by pigeonhole banding (4 x 16-bit
+    bands, hamming <= 3 => at least one identical band => recall 1;
+    in-bucket Hamming verify => precision 1) — so the distributed
+    banded path must equal the SQL all-pairs Hamming oracle."""
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import simhash_pairs
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = simhash_pairs(ds, max_hamming=3).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q30_nearest_within(sf_dir: str):
     """Nearest other geocoded page within radius 2.0 for pages with
     doc_id < 200 — the large-x-large shuffle path (one cell-id
@@ -664,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q37_robinson": _q37_robinson,
         "q38_audio_features": _q38_audio_features,
         "q39_ann_ivf": _q39_ann_ivf,
+        "q40_simhash_pairs": _q40_simhash_pairs,
     }
 
 
@@ -1170,6 +1184,33 @@ def oracle_sql() -> dict[str, str]:
                          radians(LEAST(GREATEST(lat, -85.051128779806604),
                                        85.051128779806604)) / 2)), 4) AS y
             FROM geo""",
+        "q40_simhash_pairs": r"""
+            -- exact all-pairs Hamming over SQL-recomputed simhashes:
+            -- the engine's 4-band pigeonhole candidates have recall 1
+            -- for hamming <= 3, so banded output == ground truth
+            WITH tl AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+              FROM documents),
+            bits AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN (md5_number_lower(tok) >> b) & 1 = 1
+                              THEN 1 ELSE -1 END) AS vote
+              FROM tl CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+              GROUP BY doc_id, b),
+            sh AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN vote > 0
+                              THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)
+                              ELSE 0 END) AS UBIGINT) AS s
+              FROM bits GROUP BY doc_id),
+            full_sh AS (
+              SELECT d.doc_id, COALESCE(sh.s, 0) AS s
+              FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+            FROM full_sh a JOIN full_sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.s, b.s)) <= 3
+            ORDER BY id_a, id_b""",
         "q38_audio_features": f"""
             WITH {_MEDIA_HEAD},
             b AS (

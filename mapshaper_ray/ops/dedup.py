@@ -403,3 +403,73 @@ def embedding_near_dup(ds, threshold=0.95, id_col="vec_id",
         return df.head(1)
     return out.groupby(["id_a", "id_b"]).map_groups(
         first_of_pair, batch_format="pandas")
+
+
+def simhash_pairs(ds, max_hamming=3, bands=4, text_col="text",
+                  id_col="doc_id"):
+    """Near-duplicate pairs by simhash Hamming distance — EXACT by
+    construction: with ``bands`` 16-bit bands and ``max_hamming`` <
+    ``bands``, the pigeonhole principle guarantees every pair within
+    the Hamming budget shares at least one identical band, so the
+    band-bucket candidate generation has recall 1 and the in-bucket
+    Hamming verify gives precision 1.  Distributed exactly like
+    minhash_lsh: band rows shuffle on bucket-hash mod 64, vectorized
+    run detection per partition, pair dedupe via one groupby."""
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole exactness needs max_hamming < bands")
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+    sh = simhash(ds, text_col=text_col)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["simhash"].to_numpy().astype(np.uint64)
+        ids = df[id_col].to_numpy()
+        frames = []
+        for b in range(bands):
+            bv = (h >> np.uint64(width * b)) & mask
+            key = bv.astype(np.int64) * bands + b
+            frames.append(pd.DataFrame({
+                "__bkey": key, "__part": key % 64,
+                id_col: ids, "h": h.astype(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    banded = sh.map_batches(emit, batch_format="pandas")
+
+    def part_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["__bkey"].to_numpy()
+        ids = df[id_col].to_numpy()
+        hs = df["h"].to_numpy().astype(np.uint64)
+        order = np.lexsort((ids, key))
+        ks, ids_s, hs_s = key[order], ids[order], hs[order]
+        boundary = np.nonzero(np.diff(ks))[0] + 1
+        starts = np.concatenate([[0], boundary])
+        ends = np.concatenate([boundary, [len(ks)]])
+        pa_, pb_, hd_ = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            u, ui = np.unique(ids_s[s:e], return_index=True)
+            if len(u) < 2:
+                continue
+            hu = hs_s[s:e][ui]
+            ia, ib = np.triu_indices(len(u), k=1)
+            hd = hamming64(hu[ia], hu[ib])
+            keep = hd <= max_hamming
+            pa_.append(u[ia][keep])
+            pb_.append(u[ib][keep])
+            hd_.append(hd[keep])
+        if not pa_:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(pa_),
+                             "id_b": np.concatenate(pb_),
+                             "hamming": np.concatenate(hd_).astype(np.int64)})
+
+    cand = banded.groupby("__part").map_groups(part_pairs,
+                                               batch_format="pandas")
+
+    def first_of_pair(df: pd.DataFrame) -> pd.DataFrame:
+        return df.head(1)
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        first_of_pair, batch_format="pandas")
