@@ -291,18 +291,23 @@ def dissolve_layer(ds, key: str, sum_fields=(), copy_fields=(),
     pieces = precut_by_cells(ds, cell, bbox=bbox)
 
     def per_cell(df: pd.DataFrame) -> pd.DataFrame:
+        # deterministic across shuffles: group rows arrive in arrival
+        # order; sort by the original feature id before topology build
+        df = df.sort_values("feature_id").reset_index(drop=True)
+        cell_id = int(df["__cell"].iloc[0])
         groups = _dissolve_rows(df, key)
         rows = []
         for k, coords in sorted(groups.items()):
             gx, gy, gp = _rings_to_row(coords) if coords else ([], [], [])
-            rows.append({key: k, "rings_x": gx, "rings_y": gy,
-                         "ring_poly": gp})
+            rows.append({key: k, "__cell": cell_id, "rings_x": gx,
+                         "rings_y": gy, "ring_poly": gp})
         return pd.DataFrame(rows)
 
     cell_outlines = pieces.groupby("__cell").map_groups(
         per_cell, batch_format="pandas")
 
     def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("__cell").reset_index(drop=True)
         feats = _node_axis_edges(_rows_to_features(df))
         arcs, shapes = build_topology(feats)
         k = str(df[key].iloc[0])
@@ -432,6 +437,8 @@ def _overlay_layer(target_ds, clip_ds, keep_inside_clip: bool,
                                                batch_format="pandas")
 
     def per_feature(df: pd.DataFrame) -> pd.DataFrame:
+        if "__cell" in df.columns:
+            df = df.sort_values("__cell").reset_index(drop=True)
         feats = _rows_to_features(df)
         feats = [f for f in feats if f]
         if not feats:
@@ -508,11 +515,18 @@ def dissolve2_layer(ds, key: str, cell: float | None = None, bbox=None,
         return rd.from_pandas(out)
 
     pieces = precut_by_cells(ds, cell, bbox=bbox)
+
+    def d2_cell(df: pd.DataFrame) -> pd.DataFrame:
+        cell_id = int(df["__cell"].iloc[0])
+        out = d2_rows(df.drop(columns="__cell"))
+        if len(out):
+            out["__cell"] = cell_id
+        return out
     per_cell = pieces.groupby("__cell").map_groups(
-        lambda df: d2_rows(df.drop(columns="__cell")),
-        batch_format="pandas")
+        d2_cell, batch_format="pandas")
 
     def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("__cell").reset_index(drop=True)             .drop(columns="__cell")
         feats = _node_axis_edges(_rows_to_features(df))
         arcs, shapes = build_topology(feats)
         k = str(df[key].iloc[0])

@@ -182,3 +182,29 @@ def test_dissolve2_layer_distributed_matches_local(ray_session):
     dist = _metrics(dissolve2_layer(ds, "grp", cell=1.3), "grp")
     assert list(local["grp"]) == list(dist["grp"])
     assert np.allclose(local["area"], dist["area"])
+
+
+def test_distributed_dissolve_partitioning_invariant(ray_session):
+    """North-star determinism: the distributed dissolve produces
+    identical output regardless of input block structure."""
+    import ray.data as rd
+    from mapshaper_ray.pipelines.overlay import dissolve_layer
+    rows = []
+    for i in range(64):
+        r, c = divmod(i, 8)
+        rows.append({"feature_id": i, "grp": f"g{(i * 7) % 3}", "v": 1,
+                     "rings_x": [[c, c + 1.0, c + 1.0, c, c]],
+                     "rings_y": [[r, r, r + 1.0, r + 1.0, r]],
+                     "ring_poly": [0]})
+    outs = []
+    for nblocks in (1, 3, 13):
+        ds = rd.from_items(rows).repartition(nblocks)
+        out = dissolve_layer(ds, "grp", sum_fields=("v",), cell=2.7) \
+            .to_pandas().sort_values("grp").reset_index(drop=True)
+        outs.append(out)
+    for o in outs[1:]:
+        assert list(o["grp"]) == list(outs[0]["grp"])
+        assert list(o["v"]) == list(outs[0]["v"])
+        for a, b in zip(outs[0]["rings_x"], o["rings_x"]):
+            assert [list(map(float, r)) for r in a] == \
+                [list(map(float, r)) for r in b]
