@@ -93,6 +93,24 @@ def parse_commands(tokens) -> list[dict]:
     return cmds
 
 
+def _parse_calc(spec: str) -> dict:
+    """'out1 = sum(col), out2 = count()' → {out: (col, fn)} for the
+    aggregate forms groupby_agg / broadcast_join_calc support
+    (the reference's -dissolve calc= / -join calc= common cases)."""
+    out = {}
+    for part in spec.split(","):
+        name, expr = part.split("=", 1)
+        m = re.match(r"\s*(sum|count|min|max|mean|median|first|last)"
+                     r"\(\s*([\w]*)\s*\)\s*$", expr.strip())
+        if not m:
+            raise ValueError(f"unsupported calc expression: {expr!r} "
+                             "(supported: fn(col) with fn in sum/count/"
+                             "min/max/mean/first/last)")
+        fn, col = m.group(1), m.group(2)
+        out[name.strip()] = (col, fn)  # empty col = fill later
+    return out
+
+
 def _num_list(s, typ=float):
     return [typ(v) for v in str(s).split(",")]
 
@@ -206,7 +224,30 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
             for part in args[0].split(";"):
                 k, v = part.split("=", 1)
                 assigns[k.strip()] = v.strip()
-            cat.replace(rel.each_expr(cat.get(), assigns, defs=cat.defs))
+            ds = cat.get()
+            if "where" in opts:
+                # reference -each where=: assignments apply only to the
+                # guarded rows; other rows keep/NULL the columns
+                guard = rel.compile_expression(opts["where"], cat.defs)
+                fns = {k: rel.compile_expression(v, cat.defs)
+                       for k, v in assigns.items()}
+
+                def guarded(df, guard=guard, fns=fns):
+                    m = np.asarray(guard(df), dtype=bool)
+                    df = df.copy()
+                    for k, fn in fns.items():
+                        vals = fn(df)
+                        if k in df.columns:
+                            df.loc[m, k] = np.asarray(vals)[m]
+                        else:
+                            col = pd.Series([None] * len(df),
+                                            index=df.index, dtype=object)
+                            col[m] = np.asarray(vals)[m]
+                            df[k] = col
+                    return df
+                cat.replace(ds.map_batches(guarded, batch_format="pandas"))
+            else:
+                cat.replace(rel.each_expr(ds, assigns, defs=cat.defs))
         elif name in ("filter-fields", "filter_fields"):
             keep = _num_list(args[0], str)
             ds = cat.get()
@@ -241,13 +282,21 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 spherical=bool(opts.get("spherical")), **amount))
         elif name == "dissolve":
             key = args[0] if args else opts.get("fields")  # None = all
-            cat.replace(api.dissolve_layer(
+            out = api.dissolve_layer(
                 cat.get(), key,
                 sum_fields=_num_list(opts["sum_fields"], str)
                 if "sum_fields" in opts else (),
                 copy_fields=_num_list(opts["copy_fields"], str)
                 if "copy_fields" in opts else (),
-                cell=float(opts["cell"]) if "cell" in opts else None))
+                cell=float(opts["cell"]) if "cell" in opts else None)
+            if "calc" in opts and key:
+                # -dissolve calc=: per-group aggregate expressions join
+                # onto the dissolved features
+                aggs = {k: (c or key, f)
+                        for k, (c, f) in _parse_calc(opts["calc"]).items()}
+                stats = rel.groupby_agg(cat.get(), [key], aggs).to_pandas()
+                out = rel.broadcast_join(out, stats, on=key)
+            cat.replace(out)
         elif name in ("clip", "erase", "slice"):
             ds = cat.get()
             if "bbox" in opts:
@@ -314,6 +363,15 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
             sdf = src.to_pandas()
             if keys[0] != keys[-1] or len(keys) > 1:
                 sdf = sdf.rename(columns={keys[-1]: keys[0]})
+            if "where" in opts:
+                guard = rel.compile_expression(opts["where"], cat.defs)
+                sdf = sdf[np.asarray(guard(sdf), dtype=bool)]
+            if "calc" in opts:
+                cat.replace(rel.broadcast_join_calc(
+                    cat.get(), sdf, on=keys[0],
+                    calc={k: (c or keys[0], f) for k, (c, f)
+                          in _parse_calc(opts["calc"]).items()}))
+                continue
             if "fields" in opts:
                 sdf = sdf[[keys[0]] + _num_list(opts["fields"], str)]
             cat.replace(rel.broadcast_join(cat.get(), sdf, on=keys[0]))

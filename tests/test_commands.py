@@ -216,3 +216,41 @@ def test_filter_geometry_accessor(ray_session, tmp_path):
     df = cat.get().to_pandas()
     assert list(df["i"]) == [1]
     assert abs(df.iloc[0]["density"] - 1 / 9.0) < 1e-12
+
+
+def test_each_where_guard(ray_session, tmp_path):
+    src = tmp_path / "g.json"
+    src.write_text(json.dumps(_grid_fc(2, groups=("a", "b"))))
+    cat = run_commands(
+        f"-i {src} -each 'flag = v * 100' where='grp == \"a\"'")
+    df = cat.get().to_pandas().sort_values("feature_id")
+    a = df[df["grp"] == "a"]["flag"]
+    b = df[df["grp"] == "b"]["flag"]
+    assert all(v == 100 for v in a)
+    assert all(v is None or (isinstance(v, float) and np.isnan(v))
+               for v in b)
+
+
+def test_dissolve_calc_option(ray_session, tmp_path):
+    src = tmp_path / "g.json"
+    src.write_text(json.dumps(_grid_fc(3)))
+    cat = run_commands(
+        f"-i {src} -dissolve grp calc='n = count(), vmax = max(v)'")
+    df = cat.get().to_pandas().sort_values("grp").reset_index(drop=True)
+    assert list(df["n"]) == [6, 3]
+    assert list(df["vmax"]) == [1, 1]
+
+
+def test_join_calc_and_where(ray_session, tmp_path):
+    src = tmp_path / "g.json"
+    src.write_text(json.dumps(_grid_fc(2, groups=("g",))))
+    tbl = tmp_path / "tbl.json"
+    tbl.write_text(json.dumps([
+        {"g2": "g", "val": 10}, {"g2": "g", "val": 30},
+        {"g2": "g", "val": 999}, {"g2": "x", "val": 5}]))
+    cat = run_commands(
+        f"-i {src} -join {tbl} keys=grp,g2 where='val < 100' "
+        f"calc='vsum = sum(val), vn = count()'")
+    df = cat.get().to_pandas()
+    assert all(df["vsum"] == 40)
+    assert all(df["vn"] == 2)
