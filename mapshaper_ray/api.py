@@ -160,9 +160,12 @@ def i(path: str, **kw):
             head = f.read(4096)
         if '"Topology"' in head:
             return read_topojson(path, **kw)
-        if head.lstrip().startswith("["):
-            # JSON array of records → data-only layer (reference
-            # importJSONTable, src/data/mapshaper-json-table.js:3)
+        if head.lstrip().startswith("[") and '"geometry"' not in head \
+                and '"Feature"' not in head and '"coordinates"' not in head:
+            # JSON array of PLAIN records → data-only layer (reference
+            # importJSONTable, src/data/mapshaper-json-table.js:3);
+            # arrays of GeoJSON Features fall through to the GeoJSON
+            # reader (the reference checks record content first)
             import pandas as pd
             import ray.data as rd
             return rd.from_pandas(pd.read_json(path))

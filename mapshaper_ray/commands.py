@@ -63,6 +63,18 @@ _FLAGS = {
 _VALUE_FIRST = {"each", "filter", "rename-fields", "uniq", "sort",
                 "calc", "subdivide"}
 
+# declared key=value option names per command: recognized even before
+# the expression token so "-each where=... 'a = b'" parses correctly
+_OPT_KEYS = {
+    "each": {"where"},
+    "filter": {"where"},
+    "uniq": {"max-count"},
+    "calc": {"where"},
+    "sort": set(),
+    "rename-fields": set(),
+    "subdivide": set(),
+}
+
 
 def parse_commands(tokens) -> list[dict]:
     """Token list / string → [{name, options: {…}, args: […]}]
@@ -81,6 +93,14 @@ def parse_commands(tokens) -> list[dict]:
         if cur is None:
             raise ValueError(f"token before any command: {tok!r}")
         if cur["name"] in _VALUE_FIRST and not cur["args"]:
+            m = re.match(r"^([a-z][\w-]*)=", tok)
+            if tok in _FLAGS.get(cur["name"], ()):
+                cur["options"][tok.replace("-", "_")] = True
+                continue
+            if m and m.group(1) in _OPT_KEYS.get(cur["name"], ()):
+                cur["options"][m.group(1).replace("-", "_")] = \
+                    tok.split("=", 1)[1]
+                continue
             cur["args"].append(tok)
             continue
         m = re.match(r"^([a-z][\w-]*)=(.*)$", tok)
@@ -195,13 +215,27 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
             if "precision" in opts:
                 ds = api.round_coords(ds, float(opts["precision"]))
             if "format" in opts:
-                # format= overrides the extension-based dispatch
+                # format= overrides extension-based dispatch but the
+                # file is written to the path the user gave
                 fmt = opts["format"].lstrip(".")
-                fake = path + {"geojson": ".json", "json": ".json",
-                               "topojson": ".topojson", "csv": ".csv",
-                               "shapefile": ".shp", "shp": ".shp",
-                               "svg": ".svg"}.get(fmt, "." + fmt)
-                api.o(ds, fake)
+                writers = {
+                    "geojson": api.write_geojson,
+                    "json": api.write_geojson,
+                    "csv": api.write_delim,
+                    "tsv": api.write_delim,
+                    "svg": api.write_svg,
+                    "shapefile": api.write_shapefile,
+                    "shp": api.write_shapefile,
+                }
+                if fmt in ("topojson",):
+                    from .sources.topojson import write_topojson_layer
+                    write_topojson_layer(ds, path)
+                elif fmt in writers:
+                    writers[fmt](ds, path)
+                elif fmt == "parquet":
+                    ds.write_parquet(path)
+                else:
+                    raise ValueError(f"unknown output format {fmt!r}")
             else:
                 api.o(ds, path)
         elif name == "target":
@@ -236,13 +270,15 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                     m = np.asarray(guard(df), dtype=bool)
                     df = df.copy()
                     for k, fn in fns.items():
-                        vals = fn(df)
+                        vals = np.asarray(fn(df))
+                        if vals.ndim == 0:  # scalar expression
+                            vals = np.broadcast_to(vals, len(df))
                         if k in df.columns:
-                            df.loc[m, k] = np.asarray(vals)[m]
+                            df.loc[m, k] = vals[m]
                         else:
                             col = pd.Series([None] * len(df),
                                             index=df.index, dtype=object)
-                            col[m] = np.asarray(vals)[m]
+                            col[m] = vals[m]
                             df[k] = col
                     return df
                 cat.replace(ds.map_batches(guarded, batch_format="pandas"))
@@ -303,7 +339,21 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 cat.replace(api.clip_bbox(ds, _num_list(opts["bbox"])))
                 continue
             src = _load_source(cat, opts, args)
-            if _geom_type(ds) == "polyline":
+            gt = _geom_type(ds)
+            if gt == "point" and name in ("clip", "erase"):
+                from .sources.layers import nz
+                from .state.path_index import PathIndex
+                cdf = src.to_pandas()
+                feats = [[np.stack([np.asarray(x, float),
+                                    np.asarray(y, float)], axis=1)
+                          for x, y in zip(nz(row["rings_x"]),
+                                          nz(row["rings_y"]))] or None
+                         for _, row in cdf.iterrows()]
+                idx = PathIndex.from_features(feats)
+                fn = api.clip_points if name == "clip" \
+                    else api.erase_points
+                cat.replace(fn(ds, idx))
+            elif gt == "polyline":
                 cat.replace(api.clip_polylines(
                     ds, src, how="clip" if name == "clip" else name))
             elif name == "clip":
@@ -333,7 +383,9 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
             else:
                 cat.replace(api.to_point_layer(api.centroids(ds)))
         elif name == "proj":
-            crs = args[0] if args else opts.get("crs")
+            # a proj4 definition spans multiple +key=value tokens
+            crs = " ".join(args) if args and args[0].startswith("+") \
+                else (args[0] if args else opts.get("crs"))
             cat.replace(api.project_layer(
                 cat.get(), crs, from_proj=opts.get("from")))
         elif name == "sort":

@@ -35,13 +35,27 @@ def _minmax_count(ds, col):
     return float(p["lo"].min()), float(p["hi"].max()), int(p["n"].sum())
 
 
-def _histogram(ds, col, lo, hi, bins):
+def _apply_preds(v: np.ndarray, preds) -> np.ndarray:
+    """Compose every prior round's exact bin membership (same floor
+    arithmetic that counted the value — boundary-consistent)."""
+    for blo, bhi, pbins, pb in preds:
+        v = v[(v >= blo) & (v <= bhi)]
+        pidx = np.clip(((v - blo) / (bhi - blo) * pbins)
+                       .astype(np.int64), 0, pbins - 1)
+        v = v[pidx == pb]
+    return v
+
+
+def _histogram(ds, col, lo, hi, bins, preds=()):
     width = hi - lo
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         v = df[col].to_numpy(dtype=np.float64)
         v = v[np.isfinite(v)]
-        v = v[(v >= lo) & (v <= hi)]
+        if preds:
+            v = _apply_preds(v, preds)
+        else:
+            v = v[(v >= lo) & (v <= hi)]
         if len(v) == 0:
             return pd.DataFrame({"bin": [], "cnt": []})
         idx = np.clip(((v - lo) / width * bins).astype(np.int64),
@@ -57,11 +71,18 @@ def _histogram(ds, col, lo, hi, bins):
     return out
 
 
-def _gather_range(ds, col, lo, hi):
+def _gather_range(ds, col, lo, hi, preds=()):
+    """Gather candidate values: the composed bin-membership chain when
+    narrowing happened (a value on a narrowed bin boundary must not be
+    both counted below (cum[b-1]) and re-gathered, which a plain range
+    compare can do under float rounding), else the plain range."""
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         v = df[col].to_numpy(dtype=np.float64)
         v = v[np.isfinite(v)]
-        v = v[(v >= lo) & (v <= hi)]
+        if preds:
+            v = _apply_preds(v, preds)
+        else:
+            v = v[(v >= lo) & (v <= hi)]
         return pd.DataFrame({col: v})
     return ds.map_batches(partial, batch_format="pandas") \
              .to_pandas()[col].to_numpy()
@@ -78,11 +99,12 @@ def kth_smallest(ds, col: str, k: int, bins: int = 4096,
     lo, hi, n = mmc
     if not 1 <= k <= n:
         raise ValueError(f"rank {k} out of range 1..{n}")
-    below = 0  # finite values < lo (dropped in earlier rounds)
+    below = 0  # finite values in bins before the target (prior rounds)
+    preds: list = []  # composed exact bin-membership chain
     for _ in range(max_rounds):
         if lo == hi or n - below <= gather_limit:
             break
-        counts = _histogram(ds, col, lo, hi, bins)
+        counts = _histogram(ds, col, lo, hi, bins, preds=tuple(preds))
         cum = np.cumsum(counts)
         # target bin: first bin whose cumulative count reaches k - below
         b = int(np.searchsorted(cum, k - below))
@@ -92,9 +114,10 @@ def kth_smallest(ds, col: str, k: int, bins: int = 4096,
         if new_lo == lo and new_hi == hi:
             break  # range cannot narrow further -> gather as is
         below += int(cum[b - 1]) if b > 0 else 0
+        preds.append((lo, hi, bins, b))
         lo, hi = new_lo, new_hi
         n = below + int(counts[b])
-    vals = _gather_range(ds, col, lo, hi)
+    vals = _gather_range(ds, col, lo, hi, preds=tuple(preds))
     # vals may slightly over-cover (boundary values equal to lo/hi from
     # dropped bins never occur: bins partition [lo, hi])
     kk = k - below

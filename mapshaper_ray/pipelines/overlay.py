@@ -295,11 +295,14 @@ def dissolve_layer(ds, key: str, sum_fields=(), copy_fields=(),
         # order; sort by the original feature id before topology build
         df = df.sort_values("feature_id").reset_index(drop=True)
         cell_id = int(df["__cell"].iloc[0])
+        # keys stringify only INSIDE the kernel; output carries the
+        # original value so dtype survives (int keys merge correctly)
+        orig = {str(v): v for v in df[key]}
         groups = _dissolve_rows(df, key)
         rows = []
         for k, coords in sorted(groups.items()):
             gx, gy, gp = _rings_to_row(coords) if coords else ([], [], [])
-            rows.append({key: k, "__cell": cell_id, "rings_x": gx,
+            rows.append({key: orig[k], "__cell": cell_id, "rings_x": gx,
                          "rings_y": gy, "ring_poly": gp})
         return pd.DataFrame(rows)
 
@@ -498,13 +501,14 @@ def dissolve2_layer(ds, key: str, cell: float | None = None, bbox=None,
 
     def d2_rows(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("feature_id").reset_index(drop=True)
+        orig = {str(v): v for v in df[key]}
         out = dissolve2(rows_to_feats(df), [str(v) for v in df[key]],
                         gap_max_area=gap_max_area)
         rows = []
         for k, v in sorted(out.items()):
             gx = [np.asarray(x).tolist() for x, _ in v["rings"]]
             gy = [np.asarray(y).tolist() for _, y in v["rings"]]
-            rows.append({key: k, "rings_x": gx, "rings_y": gy,
+            rows.append({key: orig[k], "rings_x": gx, "rings_y": gy,
                          "ring_poly": [0] * len(gx)})
         return pd.DataFrame(rows)
 

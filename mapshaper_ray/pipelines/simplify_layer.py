@@ -41,8 +41,11 @@ def _layer_features(df: pd.DataFrame, xcol="rings_x", ycol="rings_y"):
 def calc_planar_interval(xres, yres, width, height):
     """resolution=AxB → retained interval (reference
     calcPlanarInterval, src/simplify/mapshaper-simplify.js:186-189:
-    fit the dimension with the higher content/resolution ratio)."""
-    fit_width = (xres != 0 and width / height > xres / yres) or yres == 0
+    fit the dimension with the higher content/resolution ratio).
+    A zero resolution on either axis fits the other axis (guard BEFORE
+    the ratio division)."""
+    fit_width = yres == 0 or \
+        (xres != 0 and width / height > xres / yres)
     return width / xres if fit_width else height / yres
 
 

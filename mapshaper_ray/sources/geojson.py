@@ -38,9 +38,14 @@ def split_features(buf: bytes | str) -> list[str]:
     s = buf.decode("utf-8") if isinstance(buf, bytes) else buf
     key = '"features"'
     k = s.find(key)
-    if k < 0:  # bare Feature / Geometry
-        return [s.strip()]
-    i = s.index("[", k + len(key))
+    if k < 0:
+        if s.lstrip().startswith("["):
+            # bare ARRAY of Features/Geometries (valid reference input)
+            i = s.index("[")
+        else:  # bare Feature / Geometry
+            return [s.strip()]
+    else:
+        i = s.index("[", k + len(key))
     out = []
     depth = 0
     start = None

@@ -254,3 +254,66 @@ def test_join_calc_and_where(ray_session, tmp_path):
     df = cat.get().to_pandas()
     assert all(df["vsum"] == 40)
     assert all(df["vn"] == 2)
+
+
+def test_review_fixes(ray_session, tmp_path):
+    """Round-2 review findings: option-before-expression parsing,
+    -o format= writes the given path, scalar where=-assignments,
+    point-target clip, bare Feature-array input, multi-token -proj."""
+    from mapshaper_ray.commands import parse_commands
+
+    # where= BEFORE the expression parses as an option
+    cmds = parse_commands("-each where='v > 1' 'flag = v*2'")
+    assert cmds[0]["options"] == {"where": "v > 1"}
+    assert cmds[0]["args"] == ["flag = v*2"]
+    # declared flag before the expression
+    cmds = parse_commands("-filter remove-empty 'v > 0'")
+    assert cmds[0]["options"] == {"remove_empty": True}
+
+    # bare array of Features imports as GeoJSON, not a record table
+    src = tmp_path / "arr.json"
+    src.write_text(json.dumps([
+        {"type": "Feature", "properties": {"v": 3},
+         "geometry": {"type": "Polygon", "coordinates":
+                      [[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]]}}]))
+    cat = run_commands(f"-i {src}")
+    df = cat.get().to_pandas()
+    assert "rings_x" in df.columns and df.iloc[0]["v"] == 3
+
+    # scalar assignment under where=
+    cat = run_commands(f"-i {src} -each 'flag = 7' where='v > 1'")
+    assert cat.get().to_pandas().iloc[0]["flag"] == 7
+
+    # -o format= writes the exact requested filename
+    out = tmp_path / "plain_name"
+    run_commands(f"-i {src} -o {out} format=geojson")
+    assert out.exists()
+    assert "FeatureCollection" in out.read_text()
+
+    # multi-token proj4 string keeps its parameters
+    cat = run_commands(
+        f"-i {src} -proj +proj=lcc +lat_1=20 +lat_2=60 +lon_0=-96")
+    from mapshaper_ray.stages.proj import lcc_fwd
+    got = cat.get().to_pandas().iloc[0]["rings_x"][0][0]
+    ex, _ = lcc_fwd(np.array([0.0]), np.array([0.0]),
+                    lat1=20.0, lat2=60.0, lon0=-96.0)
+    assert got == ex[0]
+
+
+def test_clip_point_target(ray_session, tmp_path):
+    clip = tmp_path / "c.json"
+    clip.write_text(json.dumps({
+        "type": "FeatureCollection", "features": [{
+            "type": "Feature", "properties": {},
+            "geometry": {"type": "Polygon", "coordinates":
+                         [[[0.5, 0.5], [1.5, 0.5], [1.5, 1.5],
+                           [0.5, 1.5], [0.5, 0.5]]]}}]}))
+    import ray.data as rd
+    from mapshaper_ray.commands import Catalog, run_commands as rc
+    cat = Catalog()
+    cat.add(rd.from_items([
+        {"feature_id": 0, "id": 1, "px": [1.0], "py": [1.0]},
+        {"feature_id": 1, "id": 2, "px": [3.0], "py": [3.0]}]), "pts")
+    rc(f"-clip {clip}", catalog=cat)
+    df = cat.get().to_pandas()
+    assert list(df["id"]) == [1]

@@ -208,3 +208,23 @@ def test_distributed_dissolve_partitioning_invariant(ray_session):
         for a, b in zip(outs[0]["rings_x"], o["rings_x"]):
             assert [list(map(float, r)) for r in a] == \
                 [list(map(float, r)) for r in b]
+
+
+def test_distributed_dissolve_int_key_dtype(ray_session):
+    """Non-string dissolve keys survive the distributed path (the
+    kernel stringifies internally only) and aggregates merge."""
+    import ray.data as rd
+    from mapshaper_ray.pipelines.overlay import dissolve_layer
+    rows = []
+    for i in range(16):
+        r, c = divmod(i, 4)
+        rows.append({"feature_id": i, "grp": int(i % 3), "v": 1,
+                     "rings_x": [[c, c + 1.0, c + 1.0, c, c]],
+                     "rings_y": [[r, r, r + 1.0, r + 1.0, r]],
+                     "ring_poly": [0]})
+    ds = rd.from_items(rows)
+    out = dissolve_layer(ds, "grp", sum_fields=("v",), cell=1.7) \
+        .to_pandas().sort_values("grp").reset_index(drop=True)
+    assert list(out["grp"]) == [0, 1, 2]
+    assert out["grp"].dtype.kind == "i"
+    assert list(out["v"]) == [6, 5, 5]
