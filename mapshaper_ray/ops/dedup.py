@@ -110,9 +110,7 @@ def minhash_lsh(ds, num_perm=64, bands=16, shingle_k=5, threshold=0.5,
             sets = self.mh.doc_shingle_sets(df[text_col])
             out_band, out_hash, out_id = [], [], []
             for did, sh in zip(df[id_col], sets):
-                with np.errstate(over="ignore"):
-                    hv = ((self.mh.a[:, None] * sh[None, :] +
-                           self.mh.b[:, None]) % _MERSENNE).min(axis=1)
+                hv = self.mh.signature(sh)
                 bsig = hv.reshape(bands, rows_per_band)
                 bh = pd.util.hash_array(
                     np.ascontiguousarray(bsig).view(

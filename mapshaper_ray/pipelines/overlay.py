@@ -66,17 +66,56 @@ def _rows_to_features(df: pd.DataFrame):
 
 
 def _rings_to_row(rings):
-    """list of (x, y) → layer-model ring columns with winding-based
-    polygon nesting (outer rings CW-positive under the kernel)."""
+    """list of (x, y) → layer-model ring columns.  Polygon nesting by
+    CONTAINMENT, not emission order (ring stitching emits rings in
+    survivor order — a hole can precede its outer): each hole-wound
+    (kernel-negative-area) ring attaches to the SMALLEST outer strictly
+    containing one of its vertices; rings of one polygon stay
+    contiguous, outer first (the layer-model contract)."""
+    from ..geom.kernels import points_in_ring
+    arr = [(np.asarray(x, dtype=np.float64),
+            np.asarray(y, dtype=np.float64)) for x, y in rings]
+    areas = [planar_ring_area(x, y) for x, y in arr]
+    outers = [i for i, a in enumerate(areas) if a >= 0]
+    holes = [i for i, a in enumerate(areas) if a < 0]
+    if not outers:  # degenerate: everything hole-wound
+        outers, holes = list(range(len(arr))), []
+    owner: dict[int, int | None] = {}
+    for h in holes:
+        hx, hy = arr[h]
+        best, best_a = None, np.inf
+        for o in outers:
+            if abs(areas[o]) <= abs(areas[h]):
+                continue  # container must be strictly bigger
+            ox, oy = arr[o]
+            # probe hole vertices until one is strictly inside (shared
+            # topology vertices can sit ON the outer's boundary)
+            for k in range(len(hx) - 1):
+                r = points_in_ring(np.array([hx[k]]), np.array([hy[k]]),
+                                   ox, oy)[0]
+                if r != -1:
+                    if r == 1 and abs(areas[o]) < best_a:
+                        best, best_a = o, abs(areas[o])
+                    break
+        owner[h] = best
     rx, ry, rp = [], [], []
     poly = -1
-    for x, y in rings:
-        a = planar_ring_area(np.asarray(x), np.asarray(y))
-        if a >= 0 or poly < 0:
-            poly += 1
-        rx.append(list(map(float, x)))
-        ry.append(list(map(float, y)))
+    for o in outers:
+        poly += 1
+        rx.append(arr[o][0].tolist())
+        ry.append(arr[o][1].tolist())
         rp.append(poly)
+        for h in holes:
+            if owner.get(h) == o:
+                rx.append(arr[h][0].tolist())
+                ry.append(arr[h][1].tolist())
+                rp.append(poly)
+    for h in holes:  # un-contained hole-wound rings: standalone
+        if owner.get(h) is None:
+            poly += 1
+            rx.append(arr[h][0].tolist())
+            ry.append(arr[h][1].tolist())
+            rp.append(poly)
     return rx, ry, rp
 
 
@@ -184,11 +223,16 @@ def precut_by_cells(ds, cell: float, bbox=None):
 
     def go(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for _, row in df.iterrows():
-            rx = [np.asarray(v, float) for v in nz(row["rings_x"])]
-            ry = [np.asarray(v, float) for v in nz(row["rings_y"])]
-            rp = list(row["ring_poly"]) if row["ring_poly"] is not None \
-                else [0] * len(rx)
+        other_cols = [c for c in df.columns
+                      if c not in ("rings_x", "rings_y", "ring_poly")]
+        for row_rx, row_ry, row_rp, *others in zip(
+                df["rings_x"].to_numpy(), df["rings_y"].to_numpy(),
+                df["ring_poly"].to_numpy(),
+                *(df[c].to_numpy() for c in other_cols)):
+            row = dict(zip(other_cols, others))
+            rx = [np.asarray(v, float) for v in nz(row_rx)]
+            ry = [np.asarray(v, float) for v in nz(row_ry)]
+            rp = list(row_rp) if row_rp is not None else [0] * len(rx)
             if not rx:
                 continue
             fxmin = min(v.min() for v in rx)
@@ -211,9 +255,7 @@ def precut_by_cells(ds, cell: float, bbox=None):
                             oy.append(res[1].tolist())
                             op.append(int(p))
                     if ox:
-                        out = {c: row[c] for c in df.columns
-                               if c not in ("rings_x", "rings_y",
-                                            "ring_poly")}
+                        out = dict(row)
                         out["rings_x"] = ox
                         out["rings_y"] = oy
                         out["ring_poly"] = op
@@ -285,8 +327,18 @@ def dissolve_layer(ds, key: str, sum_fields=(), copy_fields=(),
     dissolve (cell-cut arcs cancel) → join distributive attribute
     aggregates computed over the ORIGINAL rows."""
     import ray.data as rd
-    if cell is None or key is None:
+    if cell is None:
         return _dissolve_layer_local(ds, key, sum_fields, copy_fields)
+    if key is None:
+        # bare -dissolve with cell=: synthesize a constant key so the
+        # distributed path runs (silently falling back to the local
+        # driver kernel would defeat the point of cell=)
+        ds = ds.map_batches(lambda df: df.assign(__all="_all"),
+                            batch_format="pandas")
+        out = dissolve_layer(ds, "__all", sum_fields, copy_fields,
+                             cell=cell, bbox=bbox)
+        return out.map_batches(lambda df: df.drop(columns="__all"),
+                               batch_format="pandas")
 
     pieces = precut_by_cells(ds, cell, bbox=bbox)
 
@@ -323,15 +375,22 @@ def dissolve_layer(ds, key: str, sum_fields=(), copy_fields=(),
     melted = cell_outlines.groupby(key).map_groups(
         per_key, batch_format="pandas")
 
-    # distributive attribute aggregation over the ORIGINAL features
+    # distributive attribute aggregation over the ORIGINAL features;
+    # copy_fields take the LOWEST-feature_id row (deterministic — a
+    # plain 'first' partial depends on block arrival order)
     from ..ops.relational import groupby_agg
     aggs = {f: (f, "sum") for f in sum_fields}
-    for f in copy_fields:
-        aggs[f] = (f, "first")
-    if aggs:
-        data = groupby_agg(ds, [key], aggs).to_pandas()
-    else:
-        data = None
+    data = groupby_agg(ds, [key], aggs).to_pandas() if aggs else None
+    if copy_fields:
+        def cf_partial(df: pd.DataFrame) -> pd.DataFrame:
+            return df.sort_values("feature_id").groupby(
+                key, sort=False).head(1)[
+                [key, "feature_id", *copy_fields]]
+        cp = ds.map_batches(cf_partial, batch_format="pandas") \
+            .to_pandas().sort_values("feature_id") \
+            .groupby(key, sort=False).head(1) \
+            .drop(columns="feature_id")
+        data = cp if data is None else data.merge(cp, on=key)
     mdf = melted.to_pandas().sort_values(key).reset_index(drop=True)
     if data is not None:
         mdf = mdf.merge(data, on=key, how="left")
@@ -339,6 +398,21 @@ def dissolve_layer(ds, key: str, sum_fields=(), copy_fields=(),
     cols = ["feature_id", key, *sum_fields, *copy_fields,
             "rings_x", "rings_y", "ring_poly"]
     return rd.from_pandas(mdf[cols])
+
+
+def _union_clip(clip_feats):
+    """Union the clip layer before clipping (the reference dissolves
+    the clip side, src/commands/mapshaper-clip-erase.js:39-93) so
+    even-odd containment is correct over OVERLAPPING clip polygons —
+    returns the union as one feature's ring list."""
+    from ..topo.mosaic import dissolve2
+    feats = [f for f in clip_feats if f]
+    if not feats:
+        return []
+    rings = (dissolve2(feats, ["u"] * len(feats)).get("u") or
+             {"rings": []})["rings"]
+    return [np.stack([np.asarray(x, float), np.asarray(y, float)],
+                     axis=1) for x, y in rings]
 
 
 def _overlay(df_target: pd.DataFrame, clip_feats, keep_inside_clip: bool):
@@ -402,8 +476,7 @@ def _overlay_layer(target_ds, clip_ds, keep_inside_clip: bool,
     import ray.data as rd
 
     if cell is None:
-        clip_feats = [f for f in _rows_to_features(clip_ds.to_pandas())
-                      if f]
+        clip_feats = [_union_clip(_rows_to_features(clip_ds.to_pandas()))]
         ref = ray.put(clip_feats)
 
         def kernel(df: pd.DataFrame) -> pd.DataFrame:
@@ -416,10 +489,13 @@ def _overlay_layer(target_ds, clip_ds, keep_inside_clip: bool,
         bbox = layer_bbox(target_ds)
 
     tgt = precut_by_cells(target_ds, cell, bbox=bbox)
-    clp = precut_by_cells(
-        clip_ds.map_batches(
-            lambda df: df.assign(__is_clip=1), batch_format="pandas"),
-        cell, bbox=bbox)
+    # clip side: geometry only — union-padding its attribute columns
+    # into the target schema would leak spurious null columns through
+    geom_only = clip_ds.map_batches(
+        lambda df: df[["feature_id", "rings_x", "rings_y",
+                       "ring_poly"]].assign(__is_clip=1),
+        batch_format="pandas")
+    clp = precut_by_cells(geom_only, cell, bbox=bbox)
 
     def tag_tgt(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(__is_clip=0)
@@ -431,8 +507,9 @@ def _overlay_layer(target_ds, clip_ds, keep_inside_clip: bool,
         c = df[df["__is_clip"] == 1]
         if len(t) == 0:
             return pd.DataFrame()
-        clip_feats = [f for f in _rows_to_features(c) if f]
-        if keep_inside_clip and not clip_feats:
+        c = c.sort_values("feature_id")
+        clip_feats = [_union_clip(_rows_to_features(c))] if len(c) else []
+        if keep_inside_clip and not (clip_feats and clip_feats[0]):
             return pd.DataFrame()
         out = _overlay(t, clip_feats, keep_inside_clip)
         return out
@@ -493,23 +570,16 @@ def dissolve2_layer(ds, key: str, cell: float | None = None, bbox=None,
     from ..sources.layers import nz
     from ..topo.mosaic import dissolve2
 
-    def rows_to_feats(df):
-        return [[np.stack([np.asarray(x, float), np.asarray(y, float)],
-                          axis=1)
-                 for x, y in zip(nz(row["rings_x"]), nz(row["rings_y"]))]
-                for _, row in df.iterrows()]
-
     def d2_rows(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("feature_id").reset_index(drop=True)
         orig = {str(v): v for v in df[key]}
-        out = dissolve2(rows_to_feats(df), [str(v) for v in df[key]],
+        out = dissolve2(_rows_to_features(df), [str(v) for v in df[key]],
                         gap_max_area=gap_max_area)
         rows = []
         for k, v in sorted(out.items()):
-            gx = [np.asarray(x).tolist() for x, _ in v["rings"]]
-            gy = [np.asarray(y).tolist() for _, y in v["rings"]]
+            gx, gy, gp = _rings_to_row(v["rings"])
             rows.append({key: orig[k], "rings_x": gx, "rings_y": gy,
-                         "ring_poly": [0] * len(gx)})
+                         "ring_poly": gp})
         return pd.DataFrame(rows)
 
     if cell is None:

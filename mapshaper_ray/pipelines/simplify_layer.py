@@ -328,8 +328,9 @@ def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
                                                batch_format="pandas")
 
     def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        from .overlay import _rings_to_row
         fid = int(df["feature_id"].iloc[0])
-        rx_row, ry_row = [], []
+        rings = []
         for pid, part in df.groupby("part_id"):
             part = part.sort_values("seq")
             xs, ys = [], []
@@ -342,10 +343,24 @@ def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
                     x, y = x[1:], y[1:]
                 xs.append(x)
                 ys.append(y)
-            rx_row.append(np.concatenate(xs).tolist())
-            ry_row.append(np.concatenate(ys).tolist())
-        return pd.DataFrame([{"feature_id": fid, "rings_x": rx_row,
-                              "rings_y": ry_row,
-                              "ring_poly": [0] * len(rx_row)}])
-    return dist.groupby("feature_id").map_groups(assemble,
-                                                 batch_format="pandas")
+            rings.append((np.concatenate(xs), np.concatenate(ys)))
+        # winding/containment-based nesting (MultiPolygon holes keep
+        # their polygon membership)
+        gx, gy, gp = _rings_to_row(rings)
+        return pd.DataFrame([{"feature_id": fid, "rings_x": gx,
+                              "rings_y": gy, "ring_poly": gp}])
+    assembled = dist.groupby("feature_id").map_groups(
+        assemble, batch_format="pandas")
+
+    # rejoin the original attribute columns (the layer-schema contract:
+    # geometry commands preserve the data table) — bucketed hash join,
+    # no driver materialization of either side
+    geom_cols = {"rings_x", "rings_y", "ring_poly"}
+    attr_cols = [c for c in ds.schema().names if c not in geom_cols]
+    if attr_cols != ["feature_id"]:
+        from ..ops.relational import hash_join
+        attrs = ds.map_batches(
+            lambda df: df[[c for c in attr_cols]],
+            batch_format="pandas")
+        return hash_join(assembled, attrs, on="feature_id", how="inner")
+    return assembled

@@ -43,7 +43,6 @@ def find_junctions(paths):
     """
     seen = {}       # coord -> first neighbor key
     junctions = set()
-    counts = {}
     for p in paths:
         c = p["coords"]
         n = len(c)
@@ -55,19 +54,18 @@ def find_junctions(paths):
             for i, pt in enumerate(ring):
                 prev_pt = ring[(i - 1) % m]
                 next_pt = ring[(i + 1) % m]
-                _visit(pt, _neighbor_key(prev_pt, next_pt), seen, junctions, counts)
+                _visit(pt, _neighbor_key(prev_pt, next_pt), seen, junctions)
         else:
             for i, pt in enumerate(pts):
                 if i == 0 or i == n - 1:
                     junctions.add(pt)  # open-path endpoints are nodes
                 prev_pt = pts[i - 1] if i > 0 else None
                 next_pt = pts[i + 1] if i < n - 1 else None
-                _visit(pt, _neighbor_key(prev_pt, next_pt), seen, junctions, counts)
+                _visit(pt, _neighbor_key(prev_pt, next_pt), seen, junctions)
     return junctions
 
 
-def _visit(pt, nkey, seen, junctions, counts):
-    counts[pt] = counts.get(pt, 0) + 1
+def _visit(pt, nkey, seen, junctions):
     if pt in seen:
         if seen[pt] != nkey:
             junctions.add(pt)
@@ -281,7 +279,6 @@ def build_topology(features, closed=True):
                 for i in range(len(bounds) - 1)]
 
     shapes = []
-    pi = 0
     path_ring = [is_ring for _, _, is_ring in paths]
     path_feat = [fi for fi, _, _ in paths]
     per_feature: dict[int, list] = {}

@@ -120,3 +120,27 @@ def test_simplify_layer_distributed_matches_inprocess(ray_session):
             br = [(tuple(x), tuple(y)) for x, y in
                   zip(b.iloc[i]["rings_x"], b.iloc[i]["rings_y"])]
             assert sorted(ar) == sorted(br), (pct, i)
+
+
+def test_simplify_layer_distributed_keeps_attrs_and_nesting(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from mapshaper_ray.pipelines.simplify_layer import (
+        simplify_layer_distributed)
+    # a donut (outer + hole) with attributes
+    ds = rd.from_items([{
+        "feature_id": 0, "name": "donut", "pop": 7,
+        "rings_x": [[0.0, 0.0, 6.0, 6.0, 0.0],
+                    [2.0, 4.0, 4.0, 2.0, 2.0]],
+        "rings_y": [[0.0, 6.0, 6.0, 0.0, 0.0],
+                    [2.0, 2.0, 4.0, 4.0, 2.0]],
+        "ring_poly": [0, 0]}])
+    out = simplify_layer_distributed(ds, pct=1.0).to_pandas()
+    assert out.iloc[0]["name"] == "donut" and out.iloc[0]["pop"] == 7
+    # hole keeps its polygon membership
+    assert list(out.iloc[0]["ring_poly"]) == [0, 0]
+    from mapshaper_ray.geom.kernels import planar_ring_area
+    areas = [planar_ring_area(np.asarray(x), np.asarray(y))
+             for x, y in zip(out.iloc[0]["rings_x"],
+                             out.iloc[0]["rings_y"])]
+    assert (areas[0] > 0) != (areas[1] > 0)  # outer + hole windings
