@@ -198,3 +198,37 @@ def test_ne_simplify_100pct_identity(ray_session):
                                   out.iloc[i]["rings_y"]):
             assert rot_eq((np.asarray(ax), np.asarray(ay)),
                           (np.asarray(bx), np.asarray(by)))
+
+
+def test_cross_format_reader_consistency(ray_session):
+    """The reference ships two_states/three_points in BOTH Shapefile
+    and GeoJSON form: our two independent readers must produce the
+    same geometry (exact coordinates) and attribute values."""
+    import os
+    base = "/root/reference/test/test_data"
+    if not os.path.exists(f"{base}/two_states.shp"):
+        pytest.skip("reference fixtures not present")
+    from mapshaper_ray import api
+
+    shp = api.i(f"{base}/two_states.shp").to_pandas() \
+        .sort_values("feature_id").reset_index(drop=True)
+    gj = api.i(f"{base}/two_states.json").to_pandas() \
+        .sort_values("feature_id").reset_index(drop=True)
+    assert len(shp) == len(gj) == 2
+    for i in range(2):
+        a = [np.asarray(r) for r in shp.iloc[i]["rings_x"]]
+        b = [np.asarray(r) for r in gj.iloc[i]["rings_x"]]
+        assert len(a) == len(b)
+        for ra, rb in zip(a, b):
+            assert np.array_equal(ra, rb)
+    # DBF vs GeoJSON properties
+    assert list(shp["STATE_NAME"]) == list(gj["STATE_NAME"])
+
+    sp = api.i(f"{base}/three_points.shp").to_pandas() \
+        .sort_values("feature_id").reset_index(drop=True)
+    gp = api.i(f"{base}/three_points.geojson").to_pandas() \
+        .sort_values("feature_id").reset_index(drop=True)
+    assert len(sp) == len(gp) == 3
+    for i in range(3):
+        assert list(sp.iloc[i]["px"]) == list(gp.iloc[i]["px"])
+        assert list(sp.iloc[i]["py"]) == list(gp.iloc[i]["py"])
