@@ -212,7 +212,8 @@ def simplify_layer(ds, pct: float | None = None,
 
 
 def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
-                               weighting: float | None = None):
+                               weighting: float | None = None,
+                               keep_shapes: bool = False):
     """END-TO-END distributed -simplify over a polygon layer Dataset:
 
       rings explode to per-path rows → two-shuffle shared-arc topology
@@ -224,9 +225,11 @@ def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
       feature) — no full-layer driver materialization at any stage
       (the topology build's junction set / arc-id map are O(borders)).
 
-    keep_shapes is not offered on this path yet (per-feature ring
-    protection needs a feature-grouped z pass; use the in-process
-    simplify_layer for that semantics)."""
+    ``keep_shapes=True`` adds a distributed protect pass: full arc
+    z/coords ship to their features (one groupby), protect_shapes locks
+    thresholds on each feature's largest ring, and the sparse z locks
+    merge back per arc with a max-combine (second groupby) before the
+    filter."""
     import ray
     import ray.data as rd
 
@@ -276,20 +279,6 @@ def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
         batch_format="pandas")
     zlimit = threshold_by_pct_ds(flat_z, "z", pct)
 
-    # filtered arc coords, broadcast-free reassembly: explode shape
-    # rows to (feature, part, seq, arc_id), join against filtered arcs
-    # by arc id, regroup per feature
-    def filt(df: pd.DataFrame) -> pd.DataFrame:
-        xs, ys = [], []
-        for x, y, z in zip(df["x"], df["y"], df["z"]):
-            m = np.asarray(z) >= zlimit
-            m[0] = m[-1] = True
-            xs.append(np.asarray(x)[m].tolist())
-            ys.append(np.asarray(y)[m].tolist())
-        return pd.DataFrame({"arc_id": df["arc_id"].to_numpy(),
-                             "fx": xs, "fy": ys})
-    filtered = with_z.map_batches(filt, batch_format="pandas")
-
     refs = rd.from_pandas(pd.DataFrame({
         "feature_id": shapes_df["feature_id"],
         "part_id": shapes_df["part_seq"],
@@ -307,6 +296,110 @@ def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
                              "rev": sid < 0})
         return pd.DataFrame(rows)
     ref_rows = refs.map_batches(explode_refs, batch_format="pandas")
+
+    if keep_shapes:
+        # distributed protect pass: full z/coords per arc ship to the
+        # features using them; per feature, protect the largest ring
+        # (geom/keep_shapes.protect_shapes); sparse z locks merge back
+        # per arc with a max-combine
+        def full_src(df: pd.DataFrame) -> pd.DataFrame:
+            # store LISTS: same-length ndarray columns trip Ray's
+            # pandas TensorArray concat
+            return pd.DataFrame({
+                "arc_id": df["arc_id"].to_numpy(),
+                "fx": [np.asarray(x).tolist() for x in df["x"]],
+                "fy": [np.asarray(y).tolist() for y in df["y"]],
+                "fz": [np.asarray(z).tolist() for z in df["z"]],
+                "feature_id": -1, "part_id": -1, "seq": -1,
+                "rev": False})
+        both = ref_rows.union(with_z.map_batches(full_src,
+                                                 batch_format="pandas"))
+
+        def dist_full(df: pd.DataFrame) -> pd.DataFrame:
+            src = df[df["feature_id"] == -1]
+            uses = df[df["feature_id"] >= 0]
+            if len(src) == 0 or len(uses) == 0:
+                return pd.DataFrame()
+            out = uses[["feature_id", "part_id", "seq", "rev"]].copy()
+            out["arc_id"] = int(src["arc_id"].iloc[0]) if "arc_id" in                 src.columns else int(df["arc_id"].iloc[0])
+            out["fx"] = [src["fx"].iloc[0]] * len(out)
+            out["fy"] = [src["fy"].iloc[0]] * len(out)
+            out["fz"] = [src["fz"].iloc[0]] * len(out)
+            return out
+        per_feat_rows = both.groupby("arc_id").map_groups(
+            dist_full, batch_format="pandas")
+
+        def protect_feature(df: pd.DataFrame) -> pd.DataFrame:
+            from ..geom.keep_shapes import protect_shapes
+            rings = []
+            for pid, part in df.groupby("part_id"):
+                part = part.sort_values("seq")
+                xs, ys, zs, meta = [], [], [], []
+                for _, r in part.iterrows():
+                    x = np.asarray(r["fx"], dtype=np.float64)
+                    y = np.asarray(r["fy"], dtype=np.float64)
+                    z = np.asarray(r["fz"], dtype=np.float64)
+                    if r["rev"]:
+                        x, y, z = x[::-1], y[::-1], z[::-1]
+                    xs.append(x)
+                    ys.append(y)
+                    zs.append(z)
+                    meta.append((int(r["arc_id"]), bool(r["rev"]),
+                                 len(z)))
+                rings.append({"x": np.concatenate(xs),
+                              "y": np.concatenate(ys),
+                              "z": np.concatenate(zs),
+                              "_meta": meta})
+            protect_shapes([rings])
+            rows = []
+            for ring in rings:
+                off = 0
+                for aid, rev, ln in ring["_meta"]:
+                    seg = np.asarray(ring["z"][off:off + ln])
+                    if rev:
+                        seg = seg[::-1]  # back to forward arc order
+                    if np.isinf(seg).any():
+                        rows.append({"arc_id": aid,
+                                     "zlock": seg.tolist()})
+                    off += ln
+            return pd.DataFrame(rows) if rows else pd.DataFrame(
+                {"arc_id": pd.Series([], dtype="int64"),
+                 "zlock": pd.Series([], dtype="object")})
+        locks = per_feat_rows.groupby("feature_id").map_groups(
+            protect_feature, batch_format="pandas").to_pandas()
+        if len(locks):
+            # max-combine sparse locks into the arc z store (lock tables
+            # are O(protected features) — safe to broadcast)
+            lock_map: dict = {}
+            for aid, zl in zip(locks["arc_id"], locks["zlock"]):
+                z = np.asarray(zl, dtype=np.float64)
+                cur = lock_map.get(int(aid))
+                lock_map[int(aid)] = z if cur is None                     else np.maximum(cur, z)
+            lock_ref = ray.put(lock_map)
+
+            def apply_locks(df: pd.DataFrame) -> pd.DataFrame:
+                lm = ray.get(lock_ref)
+                df = df.copy()
+                df["z"] = [np.maximum(np.asarray(z), lm[int(a)])
+                           if int(a) in lm else z
+                           for a, z in zip(df["arc_id"], df["z"])]
+                return df
+            with_z = with_z.map_batches(apply_locks,
+                                        batch_format="pandas")
+
+    # filtered arc coords, broadcast-free reassembly: explode shape
+    # rows to (feature, part, seq, arc_id), join against filtered arcs
+    # by arc id, regroup per feature
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        xs, ys = [], []
+        for x, y, z in zip(df["x"], df["y"], df["z"]):
+            m = np.asarray(z) >= zlimit
+            m[0] = m[-1] = True
+            xs.append(np.asarray(x)[m].tolist())
+            ys.append(np.asarray(y)[m].tolist())
+        return pd.DataFrame({"arc_id": df["arc_id"].to_numpy(),
+                             "fx": xs, "fy": ys})
+    filtered = with_z.map_batches(filt, batch_format="pandas")
 
     joined = ref_rows.union(filtered.map_batches(
         lambda df: df.assign(feature_id=-1, part_id=-1, seq=-1,

@@ -144,3 +144,40 @@ def test_simplify_layer_distributed_keeps_attrs_and_nesting(ray_session):
              for x, y in zip(out.iloc[0]["rings_x"],
                              out.iloc[0]["rings_y"])]
     assert (areas[0] > 0) != (areas[1] > 0)  # outer + hole windings
+
+
+def test_simplify_layer_distributed_keep_shapes(ray_session):
+    """Distributed keep-shapes (feature-grouped protect + per-arc
+    max-combine of z locks) matches the in-process command at pct=0:
+    every feature keeps a positive-area ring."""
+    import numpy as np
+    import ray.data as rd
+    from mapshaper_ray.geom.kernels import planar_ring_area
+    from mapshaper_ray.pipelines.simplify_layer import (
+        simplify_layer, simplify_layer_distributed)
+    rows = []
+    for i in range(4):
+        r, c = divmod(i, 2)
+        t = np.linspace(0, 1, 5)
+        rows.append({"feature_id": i,
+                     "rings_x": [list(np.concatenate(
+                         [c + t, np.full(3, c + 1.0), (c + t)[::-1][1:],
+                          np.full(3, float(c))]))],
+                     "rings_y": [list(np.concatenate(
+                         [np.full(5, float(r)), r + t[1:4],
+                          np.full(4, r + 1.0), (r + t[1:4])[::-1]]))],
+                     "ring_poly": [0]})
+    ds = rd.from_items(rows)
+    a = simplify_layer(ds, pct=0.0, keep_shapes=True).to_pandas() \
+        .sort_values("feature_id").reset_index(drop=True)
+    b = simplify_layer_distributed(ds, pct=0.0, keep_shapes=True) \
+        .to_pandas().sort_values("feature_id").reset_index(drop=True)
+    for i in range(len(b)):
+        for x, y in zip(b.iloc[i]["rings_x"], b.iloc[i]["rings_y"]):
+            assert abs(planar_ring_area(np.asarray(x),
+                                        np.asarray(y))) > 1e-12
+        ar = [(tuple(x), tuple(y)) for x, y in
+              zip(a.iloc[i]["rings_x"], a.iloc[i]["rings_y"])]
+        br = [(tuple(x), tuple(y)) for x, y in
+              zip(b.iloc[i]["rings_x"], b.iloc[i]["rings_y"])]
+        assert sorted(ar) == sorted(br), i
