@@ -68,7 +68,7 @@ _VALUE_FIRST = {"each", "filter", "rename-fields", "uniq", "sort",
 _OPT_KEYS = {
     "each": {"where"},
     "filter": {"where"},
-    "uniq": {"max-count"},
+    "uniq": {"max-count"},  # uniq_first max_count
     "calc": {"where"},
     "sort": set(),
     "rename-fields": set(),
@@ -399,7 +399,8 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
         elif name == "uniq":
             ds = rel.each_expr(cat.get(), {"__uniq_key": args[0]},
                                defs=cat.defs)
-            out = rel.uniq_first(ds, ["__uniq_key"], ["feature_id"])
+            out = rel.uniq_first(ds, ["__uniq_key"], ["feature_id"],
+                                 max_count=int(opts.get("max_count", 1)))
             cat.replace(out.map_batches(
                 lambda df: df.drop(columns="__uniq_key"),
                 batch_format="pandas"))
