@@ -155,6 +155,25 @@ def i(path: str, **kw):
         return read_delim(path, **kw)
     if low.endswith((".topojson",)):
         return read_topojson(path, **kw)
+    if low.endswith((".ndjson", ".geojsonl", ".jsonl")):
+        # newline-delimited features (our own shard-sink output)
+        import ray.data as rd
+        from .sources.geojson import parse_feature_batch
+        with open(path, "r", encoding="utf-8") as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        items = [{"feature_id": i, "json": t}
+                 for i, t in enumerate(lines)]
+        from .sources.geojson import _GEOM_CLASS
+        counts: dict = {}
+        for t in lines:
+            for g, cls in _GEOM_CLASS.items():
+                if f'"{g}"' in t:
+                    counts[cls] = counts.get(cls, 0) + 1
+                    break
+        gc = max(counts, key=counts.get) if counts else "point"
+        return rd.from_items(items).map_batches(
+            lambda b: parse_feature_batch(b, gc, None),
+            batch_format="pyarrow")
     if low.endswith((".json", ".geojson")):
         with open(path, "r", encoding="utf-8", errors="replace") as f:
             head = f.read(4096)

@@ -252,7 +252,22 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
         elif name == "include":
             cat.defs.update(api.include_defs(args[0]))
         elif name == "filter":
-            cat.replace(rel.filter_expr(cat.get(), args[0], defs=cat.defs))
+            ds = cat.get()
+            if args:
+                ds = rel.filter_expr(ds, args[0], defs=cat.defs)
+            if opts.get("remove_empty"):
+                from .sources.layers import GEOM_COLS, nz
+                gt = _geom_type(ds)
+                gcol = GEOM_COLS[gt][0] if gt else None
+                if gcol:
+                    ds = ds.map_batches(
+                        lambda df, g=gcol: df[[len(nz(v)) > 0
+                                               for v in df[g]]],
+                        batch_format="pandas")
+            if not args and not opts.get("remove_empty"):
+                raise ValueError("-filter needs an expression or "
+                                 "remove-empty")
+            cat.replace(ds)
         elif name == "each":
             assigns = {}
             for part in args[0].split(";"):
@@ -315,7 +330,9 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 cat.get(),
                 method="dp" if opts.get("dp") else "visvalingam",
                 keep_shapes=bool(opts.get("keep_shapes")),
-                spherical=bool(opts.get("spherical")), **amount))
+                spherical=bool(opts.get("spherical")),
+                weighting=0.7 if opts.get("weighted") else None,
+                **amount))
         elif name == "dissolve":
             key = args[0] if args else opts.get("fields")  # None = all
             out = api.dissolve_layer(
@@ -372,7 +389,10 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 cat.replace(api.points_vertices(ds))
             elif opts.get("endpoints"):
                 cat.replace(api.points_endpoints(ds))
-            elif "interval" in opts:
+            elif "interval" in opts or opts.get("interpolated"):
+                if "interval" not in opts:
+                    raise ValueError(
+                        "-points interpolated needs interval=")
                 cat.replace(api.points_interpolated(
                     ds, float(opts["interval"])))
             elif "x" in opts and "y" in opts:
@@ -427,7 +447,10 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 continue
             if "fields" in opts:
                 sdf = sdf[[keys[0]] + _num_list(opts["fields"], str)]
-            cat.replace(rel.broadcast_join(cat.get(), sdf, on=keys[0]))
+            # reference -join is a LEFT join: unmatched targets keep
+            # their rows with absent fields
+            cat.replace(rel.broadcast_join(cat.get(), sdf, on=keys[0],
+                                           how="left"))
         elif name == "split":
             key = args[0] if args else opts.get("field")
             out_dir = opts.get("out_dir") or "/tmp/mapshaper_ray_split"

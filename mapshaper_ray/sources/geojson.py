@@ -37,7 +37,9 @@ def split_features(buf: bytes | str) -> list[str]:
     materialize a parsed tree for the whole file."""
     s = buf.decode("utf-8") if isinstance(buf, bytes) else buf
     key = '"features"'
-    k = s.find(key)
+    # only a FeatureCollection has a top-level features array — a bare
+    # Feature may legitimately contain a PROPERTY named "features"
+    k = s.find(key) if '"FeatureCollection"' in s[:4096] else -1
     if k < 0:
         if s.lstrip().startswith("["):
             # bare ARRAY of Features/Geometries (valid reference input)
@@ -217,7 +219,10 @@ def read_geojson(path: str, geom_class: str | None = None,
 # writer
 
 def _fmt_coord(v: float, decimals: int | None):
+    import math
     v = float(v)  # numpy scalars break json.dumps
+    if not math.isfinite(v):
+        return None  # GeoJSON has no NaN/inf; null marks the defect
     if decimals is not None:
         v = round(v, decimals)
     if v == int(v) and abs(v) < 1e15:

@@ -108,8 +108,9 @@ def parse_dbf(buf: bytes, encoding: str | None = None):
     records = []
     for r in range(n_rec):
         off = hdr_size + r * rec_size
-        if buf[off:off + 1] == b"*":  # deleted
-            continue
+        # NB: deletion-flagged rows (b"*") are read anyway — the .shp
+        # pairs records positionally, so skipping one would shift every
+        # later feature's attributes off by one
         row = {}
         p = off + 1
         for name, ftype, flen, fdec in fields:
@@ -288,8 +289,28 @@ def read_shapefile(path: str, shard_records: int = 2048):
 
 def _feature_parts(row, gt):
     if gt == "polygon":
-        return [np.stack([np.asarray(x), np.asarray(y)], axis=1)
-                for x, y in zip(_nz(row["rings_x"]), _nz(row["rings_y"]))]
+        # enforce the shapefile ring convention by ring_poly nesting:
+        # the FIRST ring of each polygon group is the outer (written
+        # clockwise, reader-signed-area <= 0), later rings of the group
+        # are holes (counter-clockwise) — GeoJSON-sourced RFC-7946
+        # winding would otherwise round-trip as misnested polygons
+        rp = list(_nz(row["ring_poly"])) if "ring_poly" in row.index \
+            else []
+        out = []
+        seen_poly = set()
+        for i, (x, y) in enumerate(zip(_nz(row["rings_x"]),
+                                       _nz(row["rings_y"]))):
+            x = np.asarray(x, dtype=np.float64)
+            y = np.asarray(y, dtype=np.float64)
+            poly = rp[i] if i < len(rp) else i
+            is_outer = poly not in seen_poly
+            seen_poly.add(poly)
+            area = float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+            want_neg = is_outer  # reader: outer when area <= 0
+            if (area > 0) == want_neg and area != 0:
+                x, y = x[::-1], y[::-1]
+            out.append(np.stack([x, y], axis=1))
+        return out
     if gt == "polyline":
         return [np.stack([np.asarray(x), np.asarray(y)], axis=1)
                 for x, y in zip(_nz(row["part_x"]), _nz(row["part_y"]))]

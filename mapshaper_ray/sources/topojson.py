@@ -53,10 +53,14 @@ def _quantize_params(xmin, ymin, xmax, ymax, quantization):
 
 
 def export_topojson(features, attrs=None, quantization=10000,
-                    geometry_type="polygon", object_name="layer1"):
+                    geometry_type="polygon", object_name="layer1",
+                    ring_poly=None):
     """features: list of shapes, each a list of rings/parts (Nx2 float
     arrays, first ring of a polygon = outer) → TopoJSON dict.
-    Shared borders are stored once (arc-based topology)."""
+    Shared borders are stored once (arc-based topology).
+    ``ring_poly``: per feature, the polygon index of each ring —
+    features spanning >1 polygon emit type MultiPolygon (without it a
+    second outer ring would read as a hole of the first)."""
     arcs, shapes = build_topology(
         [[np.asarray(p, dtype=np.float64) for p in parts]
          for parts in features],
@@ -83,7 +87,18 @@ def export_topojson(features, attrs=None, quantization=10000,
         if not shape:
             geom = {"type": None}
         elif geometry_type == "polygon":
-            geom = {"type": "Polygon", "arcs": [list(p) for p in shape]}
+            rp = list(ring_poly[i]) if ring_poly is not None and \
+                ring_poly[i] is not None else [0] * len(shape)
+            n_poly = (max(rp) + 1) if rp else 1
+            if n_poly > 1:
+                polys = [[] for _ in range(n_poly)]
+                for ring_arcs, pi in zip(shape, rp):
+                    polys[int(pi)].append(list(ring_arcs))
+                geom = {"type": "MultiPolygon",
+                        "arcs": [pl for pl in polys if pl]}
+            else:
+                geom = {"type": "Polygon",
+                        "arcs": [list(p) for p in shape]}
         else:
             parts = [list(p) for p in shape]
             geom = ({"type": "LineString", "arcs": parts[0]}
@@ -138,9 +153,11 @@ def write_topojson_layer(ds, path, object_name="layer1",
     attr_cols = [c for c in df.columns if c not in geom_cols]
     attrs = (df[attr_cols].to_dict("records") if attr_cols
              else [{} for _ in feats])
+    rp = ([list(v) if v is not None else None
+           for v in df["ring_poly"]] if gt == "polygon" else None)
     return write_topojson(feats, path, attrs=attrs,
                           geometry_type=gt, object_name=object_name,
-                          quantization=quantization)
+                          quantization=quantization, ring_poly=rp)
 
 
 # ---------------------------------------------------------------------------
@@ -237,6 +254,24 @@ def import_topojson(path_or_obj, object_name=None):
                 feats.append([_path_coords(arcs, part)
                               for part in g["arcs"]])
                 polys.append([0] * len(g["arcs"]))
+            elif t in ("Point", "MultiPoint"):
+                cls = "point"
+                coords = (g.get("coordinates") or [])
+                if t == "Point":
+                    coords = [coords]
+                tr = topo.get("transform")
+                pts = []
+                for c in coords:
+                    if tr is not None:
+                        pts.append((c[0] * tr["scale"][0]
+                                    + tr["translate"][0],
+                                    c[1] * tr["scale"][1]
+                                    + tr["translate"][1]))
+                    else:
+                        pts.append((float(c[0]), float(c[1])))
+                feats.append([(np.array([p[0] for p in pts]),
+                               np.array([p[1] for p in pts]))])
+                polys.append([0] * len(pts))
             else:
                 feats.append([])
                 polys.append([])
@@ -263,6 +298,11 @@ def read_topojson(path, object_name=None, shard_size=512):
         ry = [[xy[1].tolist() for xy in f] for f in feats]
         rp = layers[name].polys  # MultiPolygon nesting from source
         tbl = polygon_table(fids, rx, ry, rp, acols)
+    elif cls == "point":
+        from .layers import point_table
+        px = [f[0][0].tolist() if f else [] for f in feats]
+        py = [f[0][1].tolist() if f else [] for f in feats]
+        tbl = point_table(fids, px, py, acols)
     else:
         px = [[xy[0].tolist() for xy in f] for f in feats]
         py = [[xy[1].tolist() for xy in f] for f in feats]

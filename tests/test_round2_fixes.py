@@ -117,3 +117,69 @@ def test_insert_cuts_close_crossings_survive(ray_session):
     table, remap, _ = add_intersection_cuts(arcs)
     # the horizontal arc must split into 3 pieces (2 distinct cuts)
     assert len(remap[0]) == 3
+
+
+def test_topojson_multipolygon_roundtrip(ray_session, tmp_path):
+    """MultiPolygon nesting survives a full write/read cycle (the
+    exporter emits type MultiPolygon from ring_poly; without it the
+    second island round-trips as a hole)."""
+    import ray.data as rd
+    from mapshaper_ray import api
+    ds = rd.from_items([{
+        "feature_id": 0, "name": "islands",
+        "rings_x": [[0.0, 1.0, 1.0, 0.0, 0.0],
+                    [5.0, 6.0, 6.0, 5.0, 5.0]],
+        "rings_y": [[0.0, 0.0, 1.0, 1.0, 0.0],
+                    [0.0, 0.0, 1.0, 1.0, 0.0]],
+        "ring_poly": [0, 1]}])
+    p = tmp_path / "mp.topojson"
+    api.o(ds, str(p))
+    import json as _json
+    topo = _json.loads(p.read_text())
+    g = topo["objects"]["layer1"]["geometries"][0]
+    assert g["type"] == "MultiPolygon"
+    back = api.i(str(p)).to_pandas()
+    assert list(back.iloc[0]["ring_poly"]) == [0, 1]
+
+
+def test_shapefile_roundtrip_geojson_winding(ray_session, tmp_path):
+    """RFC-7946-wound GeoJSON (CCW outer, CW hole) round-trips through
+    the shapefile writer/reader with correct nesting (the writer
+    enforces shapefile ring orientation)."""
+    import json as _json
+    from mapshaper_ray import api
+    src = tmp_path / "donut.json"
+    src.write_text(_json.dumps({
+        "type": "FeatureCollection", "features": [{
+            "type": "Feature", "properties": {"n": 1},
+            "geometry": {"type": "Polygon", "coordinates": [
+                [[0, 0], [6, 0], [6, 6], [0, 6], [0, 0]],   # CCW outer
+                [[2, 2], [2, 4], [4, 4], [4, 2], [2, 2]],   # CW hole
+            ]}}]}))
+    ds = api.i(str(src))
+    shp = tmp_path / "out.shp"
+    api.o(ds, str(shp))
+    back = api.i(str(shp)).to_pandas()
+    assert len(back) == 1
+    # both rings belong to ONE polygon (hole not misread as an island)
+    assert list(back.iloc[0]["ring_poly"]) == [0, 0]
+
+
+def test_ndjson_reimport(ray_session, tmp_path):
+    """api.i re-imports write_geojson_shards NDJSON output."""
+    import ray.data as rd
+    from mapshaper_ray import api
+    ds = rd.from_items([
+        {"feature_id": i, "v": i,
+         "rings_x": [[i, i + 1.0, i + 1.0, i, i]],
+         "rings_y": [[0.0, 0.0, 1.0, 1.0, 0.0]], "ring_poly": [0]}
+        for i in range(3)])
+    out_dir = tmp_path / "shards"
+    api.write_geojson_shards(ds, str(out_dir))
+    import glob
+    files = sorted(glob.glob(f"{out_dir}/*"))
+    assert files
+    total = 0
+    for f in files:
+        total += api.i(f).count()
+    assert total == 3
