@@ -628,6 +628,45 @@ def _q30_nearest_within(sf_dir: str):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+_RASTER_SPEC = None
+
+
+def _raster_spec():
+    """192x96 world grid; 360/192 = 180/96 = 1.875 is dyadic, so every
+    cell center / corner / area / perimeter below is float-EXACT and the
+    DuckDB oracle can recompute them bit-for-bit."""
+    global _RASTER_SPEC
+    if _RASTER_SPEC is None:
+        from mapshaper_ray.ops.raster import GridSpec
+        _RASTER_SPEC = GridSpec(nx=192, ny=96)
+    return _RASTER_SPEC
+
+
+def _q41_rasterize(sf_dir: str):
+    """Vector->raster tile assignment: sample the region-diamond layer
+    onto the world grid (row-band shards probing the broadcast
+    PathIndex); one row per covered cell."""
+    from mapshaper_ray.ops.raster import rasterize
+    from mapshaper_ray.regions import build_region_index
+    out = rasterize(build_region_index(), _raster_spec()).to_pandas()
+    return out.sort_values(["row", "col"]).reset_index(drop=True)
+
+
+def _q42_raster_polygons(sf_dir: str):
+    """Raster->vector: reconstruct the diamond regions from the q41
+    raster by distributed edge cancellation + ring stitching; area and
+    perimeter are measured from the TRACED geometry (shoelace / segment
+    lengths), which the oracle recomputes closed-form — exact, no
+    rounding."""
+    from mapshaper_ray.ops.raster import rasterize, raster_to_polygons
+    from mapshaper_ray.regions import build_region_index
+    spec = _raster_spec()
+    ras = rasterize(build_region_index(), spec)
+    out = raster_to_polygons(ras, spec).to_pandas()
+    return out[["value", "area", "perimeter"]] \
+        .sort_values("value").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 
@@ -678,6 +717,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q38_audio_features": _q38_audio_features,
         "q39_ann_ivf": _q39_ann_ivf,
         "q40_simhash_pairs": _q40_simhash_pairs,
+        "q41_rasterize": _q41_rasterize,
+        "q42_raster_polygons": _q42_raster_polygons,
     }
 
 
@@ -1286,4 +1327,43 @@ def oracle_sql() -> dict[str, str]:
     }
     # IVF with exhaustive probing must equal the brute top-k
     out["q39_ann_ivf"] = out["q14_ann_topk"]
+
+    # raster grid oracles: cell centers -180 + (c+0.5)*1.875 etc. are
+    # float-exact (dyadic 1.875 = 15/8), so the diamond-rule CASE at a
+    # center and at a neighbor center is bit-identical to the engine's
+    # numpy arithmetic; perimeter counts boundary edges closed-form
+    # (neighbor label differs or grid border), area counts cells
+    raster_cells = """
+            cells AS (
+              SELECT CAST(r.r AS BIGINT) AS row, CAST(c.c AS BIGINT) AS col,
+                     -180.0 + (c.c + 0.5) * 1.875 AS lon,
+                     -90.0 + (r.r + 0.5) * 1.875 AS lat
+              FROM (SELECT unnest(generate_series(0, 95)) AS r) r
+              CROSS JOIN (SELECT unnest(generate_series(0, 191)) AS c) c),
+            labeled AS (
+              SELECT row, col, lon, lat, {v} AS value FROM cells)
+    """.format(v=_region_case())
+    out["q41_rasterize"] = f"""
+            WITH {raster_cells}
+            SELECT row, col, value FROM labeled WHERE value >= 0"""
+    nbr = {
+        "s": _region_case("lon", "(lat - 1.875)"),
+        "n": _region_case("lon", "(lat + 1.875)"),
+        "w": _region_case("(lon - 1.875)", "lat"),
+        "e": _region_case("(lon + 1.875)", "lat"),
+    }
+    out["q42_raster_polygons"] = f"""
+            WITH {raster_cells}
+            SELECT value,
+                   count(*) * 3.515625 AS area,
+                   sum(CASE WHEN row = 0  OR {nbr['s']} <> value
+                            THEN 1 ELSE 0 END
+                     + CASE WHEN row = 95 OR {nbr['n']} <> value
+                            THEN 1 ELSE 0 END
+                     + CASE WHEN col = 0  OR {nbr['w']} <> value
+                            THEN 1 ELSE 0 END
+                     + CASE WHEN col = 191 OR {nbr['e']} <> value
+                            THEN 1 ELSE 0 END) * 1.875 AS perimeter
+            FROM labeled WHERE value >= 0
+            GROUP BY value"""
     return out

@@ -1,0 +1,293 @@
+"""Raster <-> vector tile assignment (north-rule component).
+
+The reference is vector-only; the project mandate adds the raster leg of
+"kNN plus raster<->vector tile assignment": sampling polygon layers onto
+regular cell grids and reconstructing label polygons from cell grids.
+Both directions are expressed Ray-Data-first:
+
+- ``rasterize`` (vector -> raster): the grid is generated in row-band
+  shards (``ray.data.range`` over grid rows -> ``map_batches``); each
+  shard probes its cell centers against the SAME packed broadcast
+  PathIndex the flagship spatial join uses (``state/path_index.py``) —
+  one probe call per batch, fully vectorized.  The raster is a Dataset
+  of ``(row, col, value)`` cells, i.e. the tile-assignment table.
+
+- ``raster_to_polygons`` (raster -> vector): exact boundary tracing by
+  distributed edge cancellation.  Every cell emits its 4 directed
+  boundary edges (interior on the RIGHT, so outer rings come out
+  clockwise = kernel-positive, holes counterclockwise — matching the
+  layer model's ring convention, see ``pipelines/overlay._rings_to_row``).
+  An edge interior to a same-label region is emitted twice with opposite
+  directions and cancels; the cancellation is a bucket-hash shuffle +
+  vectorized run detection per partition (the same coarse-grained
+  pattern as ``ops/dedup.simhash_pairs`` — never one group per edge).
+  Surviving edges group by label (output-proportional) and a turn-
+  preference walk stitches them into rings.
+
+All cell-corner coordinates are ``origin + k * cellsize``; with dyadic
+cell sizes (e.g. 360/192 = 1.875) every coordinate, shoelace area and
+axis-aligned perimeter below is float-EXACT, which is what lets the
+driver's DuckDB oracle check areas/perimeters bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from ..state.path_index import PathIndex
+
+
+@dataclass(frozen=True)
+class GridSpec:
+    """Regular raster grid over ``bbox``: ``nx`` x ``ny`` cells; row 0 is
+    the SOUTH row (y increases with row, like the quadkey scheme's
+    north-up mirror in cells.py is not used here — rasters address by
+    (row, col) from the bbox origin)."""
+    nx: int
+    ny: int
+    bbox: tuple = (-180.0, -90.0, 180.0, 90.0)
+
+    @property
+    def cw(self) -> float:
+        return (self.bbox[2] - self.bbox[0]) / self.nx
+
+    @property
+    def ch(self) -> float:
+        return (self.bbox[3] - self.bbox[1]) / self.ny
+
+    def center_lon(self, col):
+        return self.bbox[0] + (np.asarray(col, dtype=np.float64) + 0.5) * self.cw
+
+    def center_lat(self, row):
+        return self.bbox[1] + (np.asarray(row, dtype=np.float64) + 0.5) * self.ch
+
+    def corner_x(self, ix):
+        return self.bbox[0] + np.asarray(ix, dtype=np.float64) * self.cw
+
+    def corner_y(self, iy):
+        return self.bbox[1] + np.asarray(iy, dtype=np.float64) * self.ch
+
+
+def rasterize(index: PathIndex, spec: GridSpec, keep_empty: bool = False,
+              value_col: str = "value"):
+    """Sample a polygon layer onto ``spec``'s grid: one output row per
+    cell whose center lies in a polygon (``keep_empty=True`` keeps
+    misses with value -1).  Distributed over grid rows; the packed index
+    rides in the task closure (object store, shared by every task) like
+    ``stages/spatial_join.spatial_join``'s task-pool mode."""
+    import ray.data as rd
+
+    packed = index.pack()
+    nx = spec.nx
+
+    class Probe:
+        def __init__(self):
+            self.index = PathIndex.unpack(packed)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            rows = batch["id"].to_numpy(dtype=np.int64)
+            rr = np.repeat(rows, nx)
+            cc = np.tile(np.arange(nx, dtype=np.int64), len(rows))
+            lon = spec.center_lon(cc)
+            lat = spec.center_lat(rr)
+            val = self.index.find_enclosing_feature(lon, lat)
+            out = pd.DataFrame({"row": rr, "col": cc,
+                                value_col: val.astype(np.int64)})
+            if not keep_empty:
+                out = out[out[value_col] >= 0].reset_index(drop=True)
+            return out
+
+    # plain function wrapper keeps this a task pool (fuses with the
+    # range source); Probe() is constructed per task but unpack of the
+    # tiny packed dict is O(index), negligible next to the probes
+    probe = Probe()
+    return rd.range(spec.ny).map_batches(probe, batch_format="pandas")
+
+
+_DX = np.array([1, 0, -1, 0], dtype=np.int64)   # E N W S
+_DY = np.array([0, 1, 0, -1], dtype=np.int64)
+
+
+def _cell_edges(row, col, label, nx):
+    """Vectorized 4-edges-per-cell emission, interior on the right.
+    Edge key = (corner_id << 1) | orient, corner_id = iy*(nx+1)+ix of
+    the edge's canonical (west/south) corner; orient 0 = horizontal,
+    1 = vertical.  dir in {0:E, 1:N, 2:W, 3:S}."""
+    n = len(row)
+    stride = nx + 1
+    # bottom edge: corner (col, row),   H, heading W
+    # top edge:    corner (col, row+1), H, heading E
+    # right edge:  corner (col+1, row), V, heading S
+    # left edge:   corner (col, row),   V, heading N
+    c_bot = row * stride + col
+    c_top = (row + 1) * stride + col
+    c_rgt = row * stride + (col + 1)
+    c_lft = row * stride + col
+    ekey = np.concatenate([(c_bot << 1), (c_top << 1),
+                           (c_rgt << 1) | 1, (c_lft << 1) | 1])
+    dirs = np.concatenate([np.full(n, 2), np.full(n, 0),
+                           np.full(n, 3), np.full(n, 1)]).astype(np.int8)
+    labs = np.tile(label, 4)
+    return labs, ekey, dirs
+
+
+def _cancel_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """Drop (label, ekey) pairs that occur twice (interior edges); keep
+    singletons.  Vectorized run detection — groups have size 1 or 2."""
+    if len(df) == 0:
+        return pd.DataFrame({"label": pd.Series([], dtype="int64"),
+                             "ekey": pd.Series([], dtype="int64"),
+                             "dir": pd.Series([], dtype="int8")})
+    lab = df["label"].to_numpy()
+    ekey = df["ekey"].to_numpy()
+    dirs = df["dir"].to_numpy()
+    order = np.lexsort((dirs, ekey, lab))
+    lab, ekey, dirs = lab[order], ekey[order], dirs[order]
+    new = np.empty(len(lab), dtype=bool)
+    new[0] = True
+    np.not_equal(lab[1:], lab[:-1], out=new[1:])
+    np.logical_or(new[1:], ekey[1:] != ekey[:-1], out=new[1:])
+    starts = np.nonzero(new)[0]
+    sizes = np.diff(np.append(starts, len(lab)))
+    keep = starts[sizes == 1]
+    return pd.DataFrame({"label": lab[keep], "ekey": ekey[keep],
+                         "dir": dirs[keep]})
+
+
+def _walk_rings(ekey, dirs, nx):
+    """Stitch directed boundary edges of ONE label into rings.  Each
+    directed edge has a unique successor under right-turn preference
+    (interior-right walking keeps rings simple at checkerboard
+    corners), so edges partition into disjoint cycles.  Returns a list
+    of integer-corner rings [(ixs, iys), ...] (closed, first==last)."""
+    stride = nx + 1
+    corner = ekey >> 1
+    orient = (ekey & 1).astype(np.int64)
+    iy = corner // stride
+    ix = corner % stride
+    # from-corner of each directed edge
+    fx = np.where((orient == 0) & (dirs == 2), ix + 1, ix)
+    fy = np.where((orient == 1) & (dirs == 3), iy + 1, iy)
+    fv = fy * stride + fx
+    # adjacency: edges sorted by from-vertex; at most 2 outgoing each
+    order = np.argsort(fv, kind="stable")
+    fv_s = fv[order]
+    out_of = {}
+    for pos, e in enumerate(order):
+        v = fv_s[pos]
+        out_of.setdefault(int(v), []).append(int(e))
+    used = np.zeros(len(ekey), dtype=bool)
+    rings = []
+    for e0 in range(len(ekey)):
+        if used[e0]:
+            continue
+        ring_x, ring_y = [], []
+        e = e0
+        while True:
+            used[e] = True
+            ring_x.append(int(fx[e]))
+            ring_y.append(int(fy[e]))
+            d = int(dirs[e])
+            tv = int(fv[e] + _DY[d] * stride + _DX[d])
+            # successor = turn preference alone (used-ness must NOT
+            # steer the choice, or two cycles sharing a corner merge
+            # into a figure-eight); preference is injective at 4-degree
+            # corners (opposite incomings map to distinct outgoings),
+            # so edges partition into disjoint cycles and the successor
+            # of the cycle's last edge is exactly e0
+            cands = out_of.get(tv, ())
+            nxt = None
+            for pref in ((d - 1) % 4, d, (d + 1) % 4):
+                for c in cands:
+                    if dirs[c] == pref:
+                        nxt = c
+                        break
+                if nxt is not None:
+                    break
+            if nxt is None or nxt == e0:
+                break
+            e = nxt
+        ring_x.append(ring_x[0])
+        ring_y.append(ring_y[0])
+        rings.append((np.asarray(ring_x, dtype=np.int64),
+                      np.asarray(ring_y, dtype=np.int64)))
+    return rings
+
+
+def _compact_collinear(ix, iy):
+    """Drop interior vertices of straight runs (closed ring in, closed
+    ring out).  Axis-aligned edges: a vertex is a corner iff the
+    incoming and outgoing directions differ."""
+    dx = np.diff(ix)
+    dy = np.diff(iy)
+    # direction change at vertex k (1..n-1): compare step k-1 vs k
+    keep = np.ones(len(ix), dtype=bool)
+    keep[1:-1] = (dx[1:] != dx[:-1]) | (dy[1:] != dy[:-1])
+    # first vertex: compare last step vs first step (ring is closed)
+    if (dx[0] == dx[-1]) and (dy[0] == dy[-1]):
+        # first point is mid-run: rotate start to the next corner
+        corners = np.nonzero(keep[1:-1])[0] + 1
+        if len(corners) == 0:
+            return ix[:1], iy[:1]
+        s = corners[0]
+        ix = np.concatenate([ix[s:-1], ix[:s], ix[s:s + 1]])
+        iy = np.concatenate([iy[s:-1], iy[:s], iy[s:s + 1]])
+        return _compact_collinear(ix, iy)
+    return ix[keep], iy[keep]
+
+
+def raster_to_polygons(raster_ds, spec: GridSpec, value_col: str = "value",
+                       num_parts: int = 64, compact: bool = True):
+    """Vectorize a raster: reconstruct one polygon feature (possibly
+    multi-part, with holes) per distinct cell value.  Output is a
+    polygon-layer Dataset (rings_x/rings_y/ring_poly) plus exact
+    ``area`` and ``perimeter`` computed from the traced geometry.
+
+    Distributed shape: edge emission is a map_batches over cells; edge
+    cancellation shuffles on bucket-hash(ekey) mod ``num_parts`` (both
+    copies of an edge share the key, so cancellation is partition-local);
+    ring stitching groups by label — output-proportional, the only
+    per-edge Python loop walks boundary edges (O(perimeter), not
+    O(cells))."""
+    from ..geom.kernels import planar_ring_area
+    from ..pipelines.overlay import _rings_to_row
+
+    nx = spec.nx
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        labs, ekey, dirs = _cell_edges(
+            df["row"].to_numpy(dtype=np.int64),
+            df["col"].to_numpy(dtype=np.int64),
+            df[value_col].to_numpy(dtype=np.int64), nx)
+        return pd.DataFrame({
+            "label": labs, "ekey": ekey, "dir": dirs,
+            "__part": ((ekey * np.int64(2654435761)) >> 7) % num_parts})
+
+    edges = raster_ds.map_batches(emit, batch_format="pandas")
+    survivors = edges.groupby("__part").map_groups(
+        _cancel_partition, batch_format="pandas")
+
+    def stitch(df: pd.DataFrame) -> pd.DataFrame:
+        label = int(df["label"].iloc[0])
+        rings = _walk_rings(df["ekey"].to_numpy(),
+                            df["dir"].to_numpy(), nx)
+        out_rings, area, perim = [], 0.0, 0.0
+        for ixr, iyr in rings:
+            if compact:
+                ixr, iyr = _compact_collinear(ixr, iyr)
+            x = spec.corner_x(ixr)
+            y = spec.corner_y(iyr)
+            area += planar_ring_area(x, y)
+            perim += float(np.sum(np.abs(np.diff(x)) + np.abs(np.diff(y))))
+            out_rings.append((x, y))
+        rx, ry, rp = _rings_to_row(out_rings)
+        return pd.DataFrame([{
+            value_col: label, "feature_id": label,
+            "rings_x": rx, "rings_y": ry, "ring_poly": rp,
+            "area": area, "perimeter": perim}])
+
+    return survivors.groupby("label").map_groups(stitch,
+                                                 batch_format="pandas")
