@@ -186,6 +186,93 @@ def _load_source(cat: Catalog, opts, args):
     return api.i(src)
 
 
+def _with_lonlat(points_ds):
+    """Point layer → same rows plus __lon/__lat scalar columns (first
+    point of each feature, the membership probe the reference uses,
+    src/commands/mapshaper-spatial-join.js tests shp[0])."""
+    from .sources.layers import nz
+
+    def go(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__lon"] = [nz(v)[0] if len(nz(v)) else np.nan
+                       for v in df["px"]]
+        df["__lat"] = [nz(v)[0] if len(nz(v)) else np.nan
+                       for v in df["py"]]
+        return df
+    return points_ds.map_batches(go, batch_format="pandas")
+
+
+def _geom_join(tgt, src, opts, defs):
+    """Keyless -join: geometry dispatch like the reference
+    (src/commands/mapshaper-join.js:24-31) — polygons→points attribute
+    copy, points→polygons aggregation (calc=/fields=), point→point
+    nearest-within-buffer."""
+    from .ops.relational import broadcast_join, groupby_agg
+    from .pipelines.overlay import _rows_to_features
+    from .sources.layers import GEOM_COLS
+    from .state.path_index import PathIndex
+    from .stages.spatial_join import spatial_join
+
+    tgt_gt = _geom_type(tgt)
+    src_gt = _geom_type(src)
+    fields = _num_list(opts["fields"], str) if "fields" in opts else None
+
+    if tgt_gt == "point" and src_gt == "polygon":
+        sdf = src.to_pandas()          # polygon side broadcast-small
+        index = PathIndex.from_features(_rows_to_features(sdf))
+        attrs = sdf.drop(columns=[c for c in GEOM_COLS["polygon"]
+                                  if c in sdf.columns])
+        attrs = attrs.rename(columns={"feature_id": "src_feature_id"})
+        if fields:
+            attrs = attrs[fields]
+        attrs = attrs.assign(region_id=np.arange(len(attrs)))
+        out = spatial_join(_with_lonlat(tgt), index, attrs=attrs,
+                           lon_col="__lon", lat_col="__lat")
+        drop = ["__lon", "__lat", "region_id"]
+        return out.map_batches(
+            lambda df, d=drop: df[[c for c in df.columns if c not in d]],
+            batch_format="pandas")
+
+    if tgt_gt == "polygon" and src_gt == "point":
+        tdf = tgt.to_pandas()
+        index = PathIndex.from_features(_rows_to_features(tdf))
+        pts = spatial_join(_with_lonlat(src), index, how="inner",
+                           lon_col="__lon", lat_col="__lat")
+        if "calc" in opts:
+            aggs = {k: (c or "region_id", f) for k, (c, f)
+                    in _parse_calc(opts["calc"]).items()}
+        elif fields:
+            aggs = {f: (f, "first") for f in fields}
+        else:
+            raise ValueError("points→polygons join needs calc= or "
+                             "fields=")
+        agg = groupby_agg(pts, keys=["region_id"], aggs=aggs).to_pandas()
+        agg["feature_id"] = tdf["feature_id"].to_numpy()[
+            agg["region_id"].to_numpy(dtype=np.int64)]
+        return broadcast_join(tgt, agg.drop(columns=["region_id"]),
+                              on="feature_id", how="left")
+
+    if tgt_gt == "point" and src_gt == "point":
+        from .ops.knn import nearest_join
+        radius = float(opts.get("max_distance", 1e-3))
+        sdf = _with_lonlat(src).to_pandas()
+        out = nearest_join(_with_lonlat(tgt), sdf, radius=radius,
+                           x_col="__lon", y_col="__lat",
+                           id_col="feature_id", out_id="__nbr")
+        keep = sdf.drop(columns=[c for c in GEOM_COLS["point"] +
+                                 ["__lon", "__lat"] if c in sdf.columns])
+        if fields:
+            keep = keep[["feature_id"] + fields]
+        keep = keep.rename(columns={"feature_id": "__nbr"})
+        out = broadcast_join(out, keep, on="__nbr", how="left")
+        drop = ["__lon", "__lat", "__nbr", "dist"]
+        return out.map_batches(
+            lambda df, d=drop: df[[c for c in df.columns if c not in d]],
+            batch_format="pandas")
+
+    raise ValueError(f"unsupported -join geometry: {src_gt}→{tgt_gt}")
+
+
 def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
     """Execute a mapshaper-style command string; returns the Catalog
     (inspect ``catalog.layers`` / read files written by -o)."""
@@ -432,6 +519,9 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
             cat.add(rd.from_pandas(rel.calc_stats(ds, args[0])), "calc")
         elif name == "join":
             src = _load_source(cat, opts, args)
+            if "keys" not in opts:
+                cat.replace(_geom_join(cat.get(), src, opts, cat.defs))
+                continue
             keys = _num_list(opts["keys"], str)
             sdf = src.to_pandas()
             if keys[0] != keys[-1] or len(keys) > 1:
@@ -556,6 +646,148 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
         elif name == "info":
             info = api.layer_info(cat.get())
             print(f"[info] {cat.target}: {info}")
+        elif name == "shape":
+            # src/commands/mapshaper-shape.js:3-38 — coordinate list
+            # (+relative offsets) becomes a one-feature polygon (ring
+            # closes or closed flag) or polyline layer
+            import ray.data as rd
+            coords = _num_list(opts.get("coordinates") or args[0])
+            pts = [(coords[i], coords[i + 1])
+                   for i in range(0, len(coords), 2)]
+            if "offsets" in opts:
+                offs = _num_list(opts["offsets"])
+                x, y = pts[-1]
+                for i in range(0, len(offs), 2):
+                    x, y = x + offs[i], y + offs[i + 1]
+                    pts.append((x, y))
+            is_ring = len(pts) >= 4 and pts[0] == pts[-1]
+            closed = opts.get("closed") or "closed" in args
+            if not is_ring and closed and len(pts) >= 3:
+                pts.append(pts[0])
+                is_ring = True
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            if is_ring:
+                ds = rd.from_items([{"feature_id": 0, "rings_x": [xs],
+                                     "rings_y": [ys], "ring_poly": [0]}])
+            else:
+                ds = rd.from_items([{"feature_id": 0, "part_x": [xs],
+                                     "part_y": [ys]}])
+            cat.add(ds, opts.get("name") or "shape")
+        elif name in ("filter-geom", "filter_geom"):
+            from .ops.features import filter_bbox
+            cat.replace(filter_bbox(cat.get(),
+                                    *_num_list(opts["bbox"])))
+        elif name == "colorizer":
+            # registers a named vectorized value→color function usable
+            # in later -each/-filter expressions (the reference injects
+            # it into the expression env, mapshaper-colorizer.js:3-37)
+            from .ops.colorizer import make_colorizer
+            if "name" not in opts:
+                raise ValueError("-colorizer needs name=")
+            cat.defs[opts["name"]] = make_colorizer(
+                colors=_num_list(opts["colors"], str),
+                breaks=(_num_list(opts["breaks"])
+                        if "breaks" in opts else None),
+                categories=(_num_list(opts["categories"], str)
+                            if "categories" in opts else None),
+                other=opts.get("other"),
+                nodata=opts.get("nodata", "white"))
+        elif name in ("svg-style", "svg_style"):
+            from .ops.colorizer import svg_style
+            styles = {k: v for k, v in opts.items() if k != "where"}
+            if "where" in opts:
+                guard = rel.compile_expression(opts["where"], cat.defs)
+
+                def style_where(df, guard=guard, styles=styles):
+                    m = np.asarray(guard(df), dtype=bool)
+                    df = df.copy()
+                    for k, v in styles.items():
+                        vals = (df[v] if isinstance(v, str)
+                                and v in df.columns else v)
+                        if k not in df.columns:
+                            df[k] = None
+                        df.loc[m, k] = vals[m] if hasattr(vals, "__len__") \
+                            and not isinstance(vals, str) else vals
+                    return df
+                cat.replace(cat.get().map_batches(style_where,
+                                                  batch_format="pandas"))
+            else:
+                cat.replace(svg_style(cat.get(), **styles))
+        elif name == "cluster":
+            # src/commands/mapshaper-cluster.js:15-21: assign cluster
+            # ids by greedy centroid-distance agglomeration over the
+            # shared-border neighbor graph
+            from .ops.features import add_polygon_metrics, centroids
+            from .ops.neighbors import (cluster_polygons,
+                                        polygon_neighbor_edges)
+            ds = cat.get()
+            edges = polygon_neighbor_edges(ds)
+            grp = opts.get("group_by")
+            cols = ["feature_id", "cx", "cy", "area"] + ([grp] if grp
+                                                         else [])
+            cent = centroids(add_polygon_metrics(ds)).map_batches(
+                lambda df, c=cols: df[c], batch_format="pandas") \
+                .to_pandas().rename(columns={"feature_id": "fid"})
+            if grp:
+                cent = cent.rename(columns={grp: "group"})
+            groups = cluster_polygons(
+                cent, edges, pct=_pct(opts.get("pct", "100%")),
+                group_by="group" if grp else None,
+                max_width=(float(opts["max_width"])
+                           if "max_width" in opts else None),
+                max_height=(float(opts["max_height"])
+                            if "max_height" in opts else None))
+            idf = opts.get("id_field", "cluster")
+
+            def tag_cluster(df, groups=groups, idf=idf):
+                df = df.copy()
+                df[idf] = [groups.get(f) for f in df["feature_id"]]
+                return df
+            cat.replace(ds.map_batches(tag_cluster,
+                                       batch_format="pandas"))
+        elif name in ("data-fill", "data_fill"):
+            from .ops.neighbors import data_fill, polygon_neighbor_edges
+            field = opts.get("field") or args[0]
+            ds = cat.get()
+            edges = polygon_neighbor_edges(ds)
+            vdf = ds.map_batches(lambda df, f=field: df[["feature_id", f]],
+                                 batch_format="pandas").to_pandas()
+            vals = {f: (None if pd.isna(v) else v)
+                    for f, v in zip(vdf["feature_id"], vdf[field])}
+            filled = data_fill(vals, edges,
+                               postprocess=bool(opts.get("postprocess")))
+
+            def tag_fill(df, filled=filled, field=field):
+                df = df.copy()
+                df[field] = [filled.get(f) for f in df["feature_id"]]
+                return df
+            cat.replace(ds.map_batches(tag_fill, batch_format="pandas"))
+        elif name == "subdivide":
+            # reference expression surface is the calc-expression
+            # special case 'count() > N' (mapshaper-subdivide.js)
+            from .ops.split import subdivide
+            expr = args[0] if args else opts.get("expression", "")
+            m = re.match(r"\s*count\(\)\s*>\s*(\d+)\s*$", expr)
+            if not m:
+                raise ValueError("-subdivide supports 'count() > N'")
+            base = cat.target or "layer"
+            for i, (bbox, part) in enumerate(
+                    subdivide(cat.get(), int(m.group(1)))):
+                cat.add(part, f"{base}_{i + 1}")
+        elif name == "inspect":
+            # src/commands/mapshaper-inspect.js:3-12 — report matching
+            # feature(s); single match stores the full record
+            guard = rel.compile_expression(args[0], cat.defs)
+            matched = cat.get().map_batches(
+                lambda df: df[np.asarray(guard(df), dtype=bool)],
+                batch_format="pandas").to_pandas()
+            if len(matched) == 1:
+                cat.last_inspect = matched.iloc[0].to_dict()
+            else:
+                cat.last_inspect = (f"Expression matched {len(matched)} "
+                                    "features. Select one feature for "
+                                    "details")
         elif name == "drop":
             if "fields" in opts:
                 fields = set(_num_list(opts["fields"], str))

@@ -68,6 +68,27 @@ def neighbor_edges(features_ds, key="feature_id", x_col="x", y_col="y"):
                 .sum()
 
 
+def polygon_neighbor_edges(ds, key="feature_id"):
+    """Layer-model polygon Dataset (rings_x/rings_y) → the neighbor
+    frame ``neighbor_edges`` produces: rings flatten to one single-ring
+    row each (same feature id), so shared-edge detection is unchanged."""
+    from ..sources.layers import nz
+
+    def flat(df: pd.DataFrame) -> pd.DataFrame:
+        ks, xs, ys = [], [], []
+        for k, rx, ry in zip(df[key].to_numpy(),
+                             df["rings_x"].to_numpy(),
+                             df["rings_y"].to_numpy()):
+            for x, y in zip(nz(rx), nz(ry)):
+                ks.append(k)
+                xs.append(list(np.asarray(x, dtype=np.float64)))
+                ys.append(list(np.asarray(y, dtype=np.float64)))
+        return pd.DataFrame({key: ks, "x": xs, "y": ys})
+
+    return neighbor_edges(ds.map_batches(flat, batch_format="pandas"),
+                          key=key)
+
+
 def data_fill(values: dict, edges: pd.DataFrame, postprocess=False):
     """values: fid -> value or None; edges: neighbor frame from
     ``neighbor_edges``.  Returns filled dict (reference iteration

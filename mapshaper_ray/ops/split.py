@@ -123,12 +123,17 @@ def subdivide(ds, max_features: int):
             lambda df: df[[col]], batch_format="pandas").to_pandas()[col]
         med = float(vals.median())
 
-        def drop_tmp(df):
-            return df.drop(columns=["__cx", "__cy"])
-        left = centered.filter(lambda r: r[col] <= med) \
-                       .map_batches(drop_tmp, batch_format="pandas")
-        right = centered.filter(lambda r: r[col] > med) \
-                        .map_batches(drop_tmp, batch_format="pandas")
+        # pandas-level split, NOT Dataset.filter(row_fn): the row path
+        # re-converts blocks to Arrow, which rejects nested ring
+        # object arrays (ArrowNotImplementedError) on polygon layers
+        def side(keep_left):
+            def go(df, keep_left=keep_left):
+                m = df[col] <= med
+                return df[m if keep_left else ~m] \
+                    .drop(columns=["__cx", "__cy"])
+            return centered.map_batches(go, batch_format="pandas")
+        left = side(True)
+        right = side(False)
         if left.count() in (0, n) or right.count() in (0, n):
             out.append((info["bbox"], d))  # degenerate split; stop
             return

@@ -291,12 +291,17 @@ def _render_rows(batch: pa.Table, decimals=None) -> list[tuple[int, str]]:
 
 def render_features(ds, decimals=None):
     """Dataset → Dataset of {'feature_id', 'json'} rendered features."""
-    def render(batch: pa.Table) -> pa.Table:
-        rows = _render_rows(batch, decimals)
+    def render(batch) -> pa.Table:
+        # native block format: Arrow stays zero-copy; pandas blocks
+        # (post-pandas-stage ragged object arrays) re-type via
+        # to_arrow_safe — asking Ray for pyarrow here would crash on
+        # them (ArrowNotImplementedError in the tensor extension)
+        from .layers import to_arrow_safe
+        rows = _render_rows(to_arrow_safe(batch), decimals)
         return pa.table({
             "feature_id": pa.array([r[0] for r in rows], type=pa.int64()),
             "json": pa.array([r[1] for r in rows], type=pa.string())})
-    return ds.map_batches(render, batch_format="pyarrow")
+    return ds.map_batches(render, batch_format=None)
 
 
 def write_geojson(ds, path: str, decimals=None):

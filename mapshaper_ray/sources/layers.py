@@ -83,6 +83,51 @@ def feature_rings(row_rx, row_ry):
             [np.asarray(r, dtype=np.float64) for r in (row_ry or [])])
 
 
+_GEOM_SCHEMAS = {**RINGS_SCHEMA, **PARTS_SCHEMA, **POINTS_SCHEMA}
+
+
+def _listify(v, depth):
+    """Nested numpy-object arrays (or Ray TensorArrayElement wrappers)
+    → plain nested lists (depth 1 or 2)."""
+    if v is None:
+        return None
+    if not isinstance(v, (list, tuple)):
+        v = np.asarray(v)          # unwraps TensorArrayElement too
+    if depth == 1:
+        return [None if x is None else float(x) for x in v]
+    return [None if r is None else
+            [float(x) for x in np.asarray(r)] for r in v]
+
+
+def to_arrow_safe(batch) -> pa.Table:
+    """pandas block → pa.Table, tolerant of the ragged numpy-object
+    geometry columns a pandas stage leaves behind (Arrow→pandas turns
+    ``list<list<f64>>`` into object ndarrays of ndarrays, which Ray's
+    tensor-extension conversion rejects with ArrowNotImplementedError).
+    Geometry columns re-type against the layer schemas; other columns
+    convert via plain pylists.  Arrow blocks pass through zero-copy."""
+    if isinstance(batch, pa.Table):
+        return batch
+    cols, names = [], []
+    for c in batch.columns:
+        v = batch[c]
+        names.append(c)
+        if c in _GEOM_SCHEMAS:
+            typ = _GEOM_SCHEMAS[c]
+            depth = 2 if c in RINGS_SCHEMA or c in PARTS_SCHEMA else 1
+            if c == "ring_poly":
+                cols.append(pa.array(
+                    [None if x is None else
+                     [int(i) for i in np.asarray(x)] for x in v],
+                    type=typ))
+            else:
+                cols.append(pa.array([_listify(x, depth) for x in v],
+                                     type=typ))
+        else:
+            cols.append(pa.array(v.tolist()))
+    return pa.Table.from_arrays(cols, names=names)
+
+
 def polygon_table(feature_ids, rings_x, rings_y, ring_poly, attrs=None):
     cols = {
         "feature_id": pa.array(feature_ids, type=pa.int64()),

@@ -1,0 +1,157 @@
+"""Second command-surface batch: shape, filter-geom, colorizer,
+svg-style, cluster, data-fill, subdivide, inspect and the keyless
+geometry -join dispatch (reference mapshaper-join.js:24-31)."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mapshaper_ray.commands import Catalog, run_commands
+
+
+def _grid_fc(grid=3, null_every=None):
+    feats = []
+    for i in range(grid * grid):
+        r, c = divmod(i, grid)
+        x0, y0 = float(c), float(r)
+        val = None if (null_every and i % null_every == 1) else \
+            ("L" if c == 0 else "R")
+        feats.append({
+            "type": "Feature",
+            "properties": {"name": f"f{i}", "val": val, "v": i},
+            "geometry": {"type": "Polygon", "coordinates":
+                         [[[x0, y0], [x0 + 1, y0], [x0 + 1, y0 + 1],
+                           [x0, y0 + 1], [x0, y0]]]}})
+    return {"type": "FeatureCollection", "features": feats}
+
+
+def _points_fc(pts):
+    return {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": dict(p.get("props", {})),
+         "geometry": {"type": "Point",
+                      "coordinates": [p["x"], p["y"]]}}
+        for p in pts]}
+
+
+def test_shape_polygon_and_polyline(ray_session):
+    cat = run_commands("-shape coordinates=0,0,2,0,2,2,0,2,0,0 "
+                       "name=box")
+    df = cat.layers["box"].to_pandas()
+    assert list(df["rings_x"][0][0]) == [0, 2, 2, 0, 0]
+    cat = run_commands("-shape coordinates=0,0 offsets=1,0,0,1 "
+                       "closed name=tri")
+    df = cat.layers["tri"].to_pandas()
+    assert len(df["rings_x"][0][0]) == 4      # closed triangle
+    cat = run_commands("-shape coordinates=0,0,5,5 name=seg")
+    assert "part_x" in cat.layers["seg"].schema().names
+
+
+def test_filter_geom_bbox(ray_session, tmp_path):
+    p = tmp_path / "g.json"
+    p.write_text(json.dumps(_grid_fc(3)))
+    cat = run_commands(f"-i {p} -filter-geom bbox=0,0,1.5,1.5")
+    # keeps cells whose bbox intersects: columns 0-1 x rows 0-1
+    assert cat.get().count() == 4
+
+
+def test_colorizer_into_each(ray_session, tmp_path):
+    p = tmp_path / "g.json"
+    p.write_text(json.dumps(_grid_fc(3)))
+    cat = run_commands(
+        f"-i {p} -colorizer name=ramp colors=lo,mid,hi breaks=3,6 "
+        "-each 'fill = ramp(v)'")
+    df = cat.get().to_pandas().sort_values("v")
+    assert df["fill"].tolist() == ["lo"] * 3 + ["mid"] * 3 + ["hi"] * 3
+
+
+def test_svg_style_with_where(ray_session, tmp_path):
+    p = tmp_path / "g.json"
+    p.write_text(json.dumps(_grid_fc(2)))
+    cat = run_commands(f"-i {p} -svg-style fill=red")
+    assert (cat.get().to_pandas()["fill"] == "red").all()
+    cat = run_commands(f"-i {p} -svg-style fill=blue where='v > 1'")
+    df = cat.get().to_pandas().sort_values("v")
+    assert df["fill"].tolist() == [None, None, "blue", "blue"]
+
+
+def test_cluster_command(ray_session, tmp_path):
+    p = tmp_path / "g.json"
+    p.write_text(json.dumps(_grid_fc(4)))
+    cat = run_commands(f"-i {p} -cluster pct=50% id-field=cid")
+    df = cat.get().to_pandas()
+    assert "cid" in df.columns
+    assert df["cid"].nunique() == 8           # 16 shapes, 8 merges
+
+
+def test_data_fill_command(ray_session, tmp_path):
+    p = tmp_path / "g.json"
+    p.write_text(json.dumps(_grid_fc(3, null_every=3)))
+    cat = run_commands(f"-i {p} -data-fill field=val")
+    df = cat.get().to_pandas()
+    assert df["val"].notna().all()
+
+
+def test_subdivide_command(ray_session, tmp_path):
+    p = tmp_path / "g.json"
+    p.write_text(json.dumps(_grid_fc(4)))
+    cat = run_commands(f"-i {p} name=g -subdivide 'count() > 4'")
+    parts = [k for k in cat.layers if k.startswith("g_")]
+    assert len(parts) >= 4
+    assert sum(cat.layers[k].count() for k in parts) == 16
+    assert all(cat.layers[k].count() <= 4 for k in parts)
+
+
+def test_inspect_command(ray_session, tmp_path):
+    p = tmp_path / "g.json"
+    p.write_text(json.dumps(_grid_fc(2)))
+    cat = run_commands(f"-i {p} -inspect 'v == 2'")
+    assert cat.last_inspect["name"] == "f2"
+    cat = run_commands(f"-i {p} -inspect 'v >= 0'")
+    assert "matched 4" in cat.last_inspect
+
+
+def test_geom_join_polygons_to_points(ray_session, tmp_path):
+    poly = tmp_path / "poly.json"
+    poly.write_text(json.dumps(_grid_fc(2)))
+    pts = tmp_path / "pts.json"
+    pts.write_text(json.dumps(_points_fc([
+        {"x": 0.5, "y": 0.5, "props": {"pid": 1}},
+        {"x": 1.5, "y": 1.5, "props": {"pid": 2}},
+        {"x": 9.0, "y": 9.0, "props": {"pid": 3}}])))
+    cat = run_commands(f"-i {pts} -join {poly} fields=name")
+    df = cat.get().to_pandas().sort_values("pid")
+    assert df["name"].tolist()[:2] == ["f0", "f3"]
+    assert pd.isna(df["name"].tolist()[2])    # outside: left join null
+
+
+def test_geom_join_points_to_polygons_calc(ray_session, tmp_path):
+    poly = tmp_path / "poly.json"
+    poly.write_text(json.dumps(_grid_fc(2)))
+    pts = tmp_path / "pts.json"
+    pts.write_text(json.dumps(_points_fc(
+        [{"x": 0.25 + 0.1 * k, "y": 0.5, "props": {"w": k}}
+         for k in range(4)] +
+        [{"x": 1.5, "y": 1.5, "props": {"w": 10}}])))
+    cat = run_commands(f"-i {poly} -join {pts} "
+                       "calc='n = count(), wsum = sum(w)'")
+    df = cat.get().to_pandas().sort_values("v")
+    assert df["n"].tolist()[0] == 4 and df["wsum"].tolist()[0] == 6
+    assert df["n"].tolist()[3] == 1 and df["wsum"].tolist()[3] == 10
+    assert pd.isna(df["n"].tolist()[1])       # no points: left join
+
+
+def test_geom_join_point_to_point(ray_session, tmp_path):
+    a = tmp_path / "a.json"
+    a.write_text(json.dumps(_points_fc([
+        {"x": 0.0, "y": 0.0, "props": {"aid": 1}},
+        {"x": 5.0, "y": 5.0, "props": {"aid": 2}}])))
+    b = tmp_path / "b.json"
+    b.write_text(json.dumps(_points_fc([
+        {"x": 0.2, "y": 0.0, "props": {"tag": "near"}},
+        {"x": 50.0, "y": 50.0, "props": {"tag": "far"}}])))
+    cat = run_commands(f"-i {a} -join {b} max-distance=1.0 fields=tag")
+    df = cat.get().to_pandas().sort_values("aid")
+    assert df["tag"].tolist()[0] == "near"
+    assert pd.isna(df["tag"].tolist()[1])
