@@ -123,6 +123,19 @@ def run_benchmarks():
           lambda: dissolve_layer(mesh, "grp", sum_fields=("v",),
                                  cell=13.0, bbox=(0, 0, 100, 100)))
 
+    # raster<->vector: 2M-cell world grid sampled against the broadcast
+    # region index, then reconstructed by distributed edge cancellation
+    from mapshaper_ray.ops.raster import (GridSpec, raster_to_polygons,
+                                          rasterize)
+    from mapshaper_ray.regions import build_region_index
+    rspec = GridSpec(nx=2048, ny=1024)
+    ridx = build_region_index()
+    ras = rasterize(ridx, rspec).materialize()
+    timed("rasterize_2m_cells",
+          lambda: rasterize(ridx, rspec))
+    timed("raster_to_polygons_2m",
+          lambda: raster_to_polygons(ras, rspec))
+
     print(json.dumps({
         "metric": "flagship spatial-join + tile-assignment wall time "
                   "(parquet pages, sf0.1 docs x replicate)",
