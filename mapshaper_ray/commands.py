@@ -54,14 +54,25 @@ _FLAGS = {
     "join": {"unjoined", "unmatched"},
     "clean": {"allow-overlaps"},
     "filter": {"remove-empty"},
+    "data-fill": {"postprocess"},
 }
+
+# string option values the reference parses as booleans ('closed=false'
+# must read false, not truthy-string true)
+_FALSY = {"false", "0", "no", ""}
+
+
+def _bool_opt(val) -> bool:
+    if isinstance(val, str):
+        return val.strip().lower() not in _FALSY
+    return bool(val)
 
 
 # commands whose FIRST positional argument is an expression /
 # assignment list that may itself contain '=' (reference: these declare
 # a DEFAULT option that captures the first bare token)
 _VALUE_FIRST = {"each", "filter", "rename-fields", "uniq", "sort",
-                "calc", "subdivide"}
+                "calc", "subdivide", "inspect"}
 
 # declared key=value option names per command: recognized even before
 # the expression token so "-each where=... 'a = b'" parses correctly
@@ -202,7 +213,7 @@ def _with_lonlat(points_ds):
     return points_ds.map_batches(go, batch_format="pandas")
 
 
-def _geom_join(tgt, src, opts, defs):
+def _geom_join(tgt, src, opts):
     """Keyless -join: geometry dispatch like the reference
     (src/commands/mapshaper-join.js:24-31) — polygons→points attribute
     copy, points→polygons aggregation (calc=/fields=), point→point
@@ -226,9 +237,12 @@ def _geom_join(tgt, src, opts, defs):
         if fields:
             attrs = attrs[fields]
         attrs = attrs.assign(region_id=np.arange(len(attrs)))
+        # temp names ("__…") so a pre-existing region_id/dist column on
+        # the target is never clobbered-then-dropped by the cleanup
         out = spatial_join(_with_lonlat(tgt), index, attrs=attrs,
-                           lon_col="__lon", lat_col="__lat")
-        drop = ["__lon", "__lat", "region_id"]
+                           lon_col="__lon", lat_col="__lat",
+                           out_col="__region_id")
+        drop = ["__lon", "__lat", "__region_id"]
         return out.map_batches(
             lambda df, d=drop: df[[c for c in df.columns if c not in d]],
             batch_format="pandas")
@@ -237,19 +251,20 @@ def _geom_join(tgt, src, opts, defs):
         tdf = tgt.to_pandas()
         index = PathIndex.from_features(_rows_to_features(tdf))
         pts = spatial_join(_with_lonlat(src), index, how="inner",
-                           lon_col="__lon", lat_col="__lat")
+                           lon_col="__lon", lat_col="__lat",
+                           out_col="__region_id")
         if "calc" in opts:
-            aggs = {k: (c or "region_id", f) for k, (c, f)
+            aggs = {k: (c or "__region_id", f) for k, (c, f)
                     in _parse_calc(opts["calc"]).items()}
         elif fields:
             aggs = {f: (f, "first") for f in fields}
         else:
             raise ValueError("points→polygons join needs calc= or "
                              "fields=")
-        agg = groupby_agg(pts, keys=["region_id"], aggs=aggs).to_pandas()
+        agg = groupby_agg(pts, keys=["__region_id"], aggs=aggs).to_pandas()
         agg["feature_id"] = tdf["feature_id"].to_numpy()[
-            agg["region_id"].to_numpy(dtype=np.int64)]
-        return broadcast_join(tgt, agg.drop(columns=["region_id"]),
+            agg["__region_id"].to_numpy(dtype=np.int64)]
+        return broadcast_join(tgt, agg.drop(columns=["__region_id"]),
                               on="feature_id", how="left")
 
     if tgt_gt == "point" and src_gt == "point":
@@ -258,14 +273,15 @@ def _geom_join(tgt, src, opts, defs):
         sdf = _with_lonlat(src).to_pandas()
         out = nearest_join(_with_lonlat(tgt), sdf, radius=radius,
                            x_col="__lon", y_col="__lat",
-                           id_col="feature_id", out_id="__nbr")
+                           id_col="feature_id", out_id="__nbr",
+                           out_dist="__dist")
         keep = sdf.drop(columns=[c for c in GEOM_COLS["point"] +
                                  ["__lon", "__lat"] if c in sdf.columns])
         if fields:
             keep = keep[["feature_id"] + fields]
         keep = keep.rename(columns={"feature_id": "__nbr"})
         out = broadcast_join(out, keep, on="__nbr", how="left")
-        drop = ["__lon", "__lat", "__nbr", "dist"]
+        drop = ["__lon", "__lat", "__nbr", "__dist"]
         return out.map_batches(
             lambda df, d=drop: df[[c for c in df.columns if c not in d]],
             batch_format="pandas")
@@ -520,7 +536,7 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
         elif name == "join":
             src = _load_source(cat, opts, args)
             if "keys" not in opts:
-                cat.replace(_geom_join(cat.get(), src, opts, cat.defs))
+                cat.replace(_geom_join(cat.get(), src, opts))
                 continue
             keys = _num_list(opts["keys"], str)
             sdf = src.to_pandas()
@@ -661,7 +677,8 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                     x, y = x + offs[i], y + offs[i + 1]
                     pts.append((x, y))
             is_ring = len(pts) >= 4 and pts[0] == pts[-1]
-            closed = opts.get("closed") or "closed" in args
+            closed = ("closed" in opts and _bool_opt(opts["closed"])) \
+                or "closed" in args
             if not is_ring and closed and len(pts) >= 3:
                 pts.append(pts[0])
                 is_ring = True

@@ -90,27 +90,27 @@ def rasterize(index: PathIndex, spec: GridSpec, keep_empty: bool = False,
     packed = index.pack()
     nx = spec.nx
 
-    class Probe:
-        def __init__(self):
-            self.index = PathIndex.unpack(packed)
+    # plain function keeps this a task pool (fuses with the range
+    # source); only the PACKED dict ships in the closure (object store
+    # once, shared by every task) and each task unpacks lazily —
+    # O(index) next to nx*rows probes
+    cache: dict = {}
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            rows = batch["id"].to_numpy(dtype=np.int64)
-            rr = np.repeat(rows, nx)
-            cc = np.tile(np.arange(nx, dtype=np.int64), len(rows))
-            lon = spec.center_lon(cc)
-            lat = spec.center_lat(rr)
-            val = self.index.find_enclosing_feature(lon, lat)
-            out = pd.DataFrame({"row": rr, "col": cc,
-                                value_col: val.astype(np.int64)})
-            if not keep_empty:
-                out = out[out[value_col] >= 0].reset_index(drop=True)
-            return out
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        if "idx" not in cache:
+            cache["idx"] = PathIndex.unpack(packed)
+        rows = batch["id"].to_numpy(dtype=np.int64)
+        rr = np.repeat(rows, nx)
+        cc = np.tile(np.arange(nx, dtype=np.int64), len(rows))
+        lon = spec.center_lon(cc)
+        lat = spec.center_lat(rr)
+        val = cache["idx"].find_enclosing_feature(lon, lat)
+        out = pd.DataFrame({"row": rr, "col": cc,
+                            value_col: val.astype(np.int64)})
+        if not keep_empty:
+            out = out[out[value_col] >= 0].reset_index(drop=True)
+        return out
 
-    # plain function wrapper keeps this a task pool (fuses with the
-    # range source); Probe() is constructed per task but unpack of the
-    # tiny packed dict is O(index), negligible next to the probes
-    probe = Probe()
     return rd.range(spec.ny, override_num_blocks=num_shards) \
         .map_batches(probe, batch_format="pandas", batch_size=None)
 
@@ -179,13 +179,11 @@ def _walk_rings(ekey, dirs, nx):
     fx = np.where((orient == 0) & (dirs == 2), ix + 1, ix)
     fy = np.where((orient == 1) & (dirs == 3), iy + 1, iy)
     fv = fy * stride + fx
-    # adjacency: edges sorted by from-vertex; at most 2 outgoing each
-    order = np.argsort(fv, kind="stable")
-    fv_s = fv[order]
+    # adjacency: at most 2 outgoing edges per from-vertex (successor
+    # choice scans candidates by dir preference, so order is free)
     out_of = {}
-    for pos, e in enumerate(order):
-        v = fv_s[pos]
-        out_of.setdefault(int(v), []).append(int(e))
+    for e, v in enumerate(fv):
+        out_of.setdefault(int(v), []).append(e)
     used = np.zeros(len(ekey), dtype=bool)
     rings = []
     for e0 in range(len(ekey)):

@@ -124,7 +124,11 @@ def to_arrow_safe(batch) -> pa.Table:
                 cols.append(pa.array([_listify(x, depth) for x in v],
                                      type=typ))
         else:
-            cols.append(pa.array(v.tolist()))
+            # from_pandas=True maps NaN/NaT to Arrow null (tolist()
+            # keeps float('nan'), which write_geojson would emit as a
+            # bare NaN token — invalid JSON — and which crashes
+            # pa.array on mixed string/NaN join-miss columns)
+            cols.append(pa.array(v, from_pandas=True))
     return pa.Table.from_arrays(cols, names=names)
 
 

@@ -28,7 +28,8 @@ class PIPJoin:
     attrs=...), concurrency=N) — index unpacked once per actor."""
 
     def __init__(self, index_ref=None, packed=None, attrs=None,
-                 lon_col="lon", lat_col="lat", how="left"):
+                 lon_col="lon", lat_col="lat", how="left",
+                 out_col="region_id"):
         import ray
         if packed is None:
             packed = ray.get(index_ref)
@@ -36,6 +37,7 @@ class PIPJoin:
         self.lon_col = lon_col
         self.lat_col = lat_col
         self.how = how
+        self.out_col = out_col
         # attrs: pandas DataFrame with region_id + attribute columns,
         # positioned so attrs.iloc[region_id] is the region's row
         self.attrs = attrs.sort_values("region_id").reset_index(drop=True) \
@@ -47,7 +49,8 @@ class PIPJoin:
         lat = np.asarray(batch[self.lat_col].to_numpy(zero_copy_only=False),
                          dtype=np.float64)
         rid = self.index.find_enclosing_feature(lon, lat)
-        batch = batch.append_column("region_id", pa.array(rid, type=pa.int64()))
+        batch = batch.append_column(self.out_col,
+                                    pa.array(rid, type=pa.int64()))
         if self.attrs is not None:
             matched = rid >= 0
             safe = np.where(matched, rid, 0)
@@ -69,7 +72,7 @@ class PIPJoin:
 
 def spatial_join(points_ds, index: PathIndex, attrs=None, how="left",
                  concurrency=None, batch_size=None,
-                 lon_col="lon", lat_col="lat"):
+                 lon_col="lon", lat_col="lat", out_col="region_id"):
     """Broadcast-index PIP join of a points Dataset against a polygon
     layer.
 
@@ -85,7 +88,7 @@ def spatial_join(points_ds, index: PathIndex, attrs=None, how="left",
     import ray
     if concurrency is None:
         fn = PIPJoin(packed=index.pack(), attrs=attrs, how=how,
-                     lon_col=lon_col, lat_col=lat_col)
+                     lon_col=lon_col, lat_col=lat_col, out_col=out_col)
         return points_ds.map_batches(fn, batch_format="pyarrow",
                                      batch_size=batch_size)
     ref = ray.put(index.pack())
@@ -94,4 +97,4 @@ def spatial_join(points_ds, index: PathIndex, attrs=None, how="left",
         concurrency=concurrency, num_cpus=1,
         fn_constructor_kwargs={"index_ref": ref, "attrs": attrs,
                                "how": how, "lon_col": lon_col,
-                               "lat_col": lat_col})
+                               "lat_col": lat_col, "out_col": out_col})

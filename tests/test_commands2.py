@@ -155,3 +155,59 @@ def test_geom_join_point_to_point(ray_session, tmp_path):
     df = cat.get().to_pandas().sort_values("aid")
     assert df["tag"].tolist()[0] == "near"
     assert pd.isna(df["tag"].tolist()[1])
+
+
+def test_shape_closed_false_stays_polyline(ray_session):
+    # closed=false must parse as a BOOLEAN false (reference option
+    # parser), not a truthy non-empty string
+    cat = run_commands("-shape coordinates=0,0,2,0,2,2 closed=false "
+                       "name=open")
+    assert "part_x" in cat.layers["open"].schema().names
+    cat = run_commands("-shape coordinates=0,0,2,0,2,2 closed=true "
+                       "name=ring")
+    assert "rings_x" in cat.layers["ring"].schema().names
+
+
+def test_inspect_expression_with_equals(ray_session, tmp_path):
+    # 'v==2' is the DEFAULT expression option, not an option token
+    p = tmp_path / "g.json"
+    p.write_text(json.dumps(_grid_fc()))
+    cat = run_commands(f"-i {p} -inspect 'v==2'")
+    assert cat.last_inspect["v"] == 2
+
+
+def test_data_fill_postprocess_flag_parses(ray_session):
+    from mapshaper_ray.commands import parse_commands
+    cmds = parse_commands("-data-fill field=val postprocess")
+    assert cmds[0]["options"].get("postprocess") is True
+    assert cmds[0]["args"] == []
+
+
+def test_geom_join_preserves_existing_dist_column(ray_session, tmp_path):
+    a = tmp_path / "a.json"
+    a.write_text(json.dumps(_points_fc([
+        {"x": 0.0, "y": 0.0, "props": {"aid": 1, "dist": 99.5}}])))
+    b = tmp_path / "b.json"
+    b.write_text(json.dumps(_points_fc([
+        {"x": 0.2, "y": 0.0, "props": {"tag": "near"}}])))
+    cat = run_commands(f"-i {a} -join {b} max-distance=1.0 fields=tag")
+    df = cat.get().to_pandas()
+    assert df["dist"].tolist() == [99.5]      # user column untouched
+    assert df["tag"].tolist() == ["near"]
+
+
+def test_join_miss_writes_null_not_nan(ray_session, tmp_path):
+    # unmatched polygon rows carry NaN after the pandas join stage;
+    # the GeoJSON sink must emit JSON null, never a bare NaN token
+    g = tmp_path / "g.json"
+    g.write_text(json.dumps(_grid_fc(grid=2)))
+    pts = tmp_path / "p.json"
+    pts.write_text(json.dumps(_points_fc([
+        {"x": 0.5, "y": 0.5, "props": {"w": 2}}])))
+    out = tmp_path / "out.json"
+    cat = run_commands(f"-i {g} -join {pts} calc='n = count()' "
+                       f"-o {out}")
+    parsed = json.loads(out.read_text())      # raises on bare NaN
+    ns = [f["properties"]["n"] for f in parsed["features"]]
+    assert sorted([n for n in ns if n is not None]) == [1]
+    assert ns.count(None) == 3
