@@ -83,6 +83,7 @@ def read_delim(path: str, delimiter: str | None = None,
 def write_delim(ds, path: str, delimiter: str = ","):
     """Single-file sink ordered by position (fixture-sized outputs; at
     scale use ``ds.write_csv(dir)`` which shards per block)."""
-    df = ds.to_pandas()
+    from .layers import ordered_pandas
+    df = ordered_pandas(ds)
     df.to_csv(path, sep=delimiter, index=False)
     return path

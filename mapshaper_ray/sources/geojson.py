@@ -309,6 +309,9 @@ def write_geojson(ds, path: str, decimals=None):
     reference preserves input order through every command — SURVEY.md
     §2.8).  Small-output path; use write_geojson_shards at scale."""
     rendered = render_features(ds, decimals).sort("feature_id")
+    # preserve_order: without it iter_rows may yield the sorted blocks
+    # in completion order under load (see layers.ordered_pandas)
+    rendered.context.execution_options.preserve_order = True
     parts = [r["json"] for r in rendered.iter_rows()]
     with open(path, "w") as f:
         f.write('{"type":"FeatureCollection","features":[')

@@ -102,7 +102,7 @@ def write_svg(ds, path: str, width=800, defaults=None):
     height = max(1, int(round(width * h / w)))
     defaults = defaults or {"fill": "none", "stroke": "black"}
     els = render_svg_elements(ds, bbox, width, height, defaults) \
-        .sort("feature_id").to_pandas()
+        .to_pandas().sort_values("feature_id")
     with open(path, "w") as f:
         f.write(f'<svg xmlns="http://www.w3.org/2000/svg" '
                 f'width="{width}" height="{height}" '
