@@ -77,6 +77,11 @@ def read_delim(path: str, delimiter: str | None = None,
 
     def adjust(df: pd.DataFrame) -> pd.DataFrame:
         return adjust_record_types(df, field_types, string_fields)
+    # a delim table has no feature_id — row POSITION is its identity
+    # (reference keeps input order through every command), so pin
+    # preserve_order on this dataset's context; it propagates to every
+    # dataset derived from it, making downstream collects plan-ordered
+    ds.context.execution_options.preserve_order = True
     return ds.map_batches(adjust, batch_format="pandas")
 
 
