@@ -155,28 +155,37 @@ def add_polygon_metrics(ds, area_col="area", perimeter_col=None):
 
 
 def centroids(ds, x_col="cx", y_col="cy"):
-    """Area-weighted polygon centroid over all rings (holes with
-    opposite winding subtract — src/points/mapshaper-polygon-centroid.js:11-35)."""
+    """Centroid of the LARGEST ring of each polygon — holes and
+    smaller parts are ignored, and a zero-area ring falls back to the
+    vertex average, matching the reference exactly
+    (src/points/mapshaper-polygon-centroid.js:6-35: getShapeCentroid
+    takes getMaxPath only; verified against the built reference CLI on
+    its six_counties fixture)."""
     def go(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         cxs, cys = [], []
         for _, row in df.iterrows():
             rx, ry = _rings(row)
-            asum = 0.0
-            wx = 0.0
-            wy = 0.0
+            best, best_a = None, 0.0
             for x, y in zip(rx, ry):
-                a = planar_ring_area(x, y)
-                cx, cy = ring_centroid(x, y)
-                asum += a
-                wx += a * cx
-                wy += a * cy
-            if asum:
-                cxs.append(wx / asum)
-                cys.append(wy / asum)
-            else:
+                x = np.asarray(x, dtype=np.float64)
+                y = np.asarray(y, dtype=np.float64)
+                # getMaxPath ranks by BOUNDING-BOX area (shape-geom.js:28-38)
+                bb = (x.max() - x.min()) * (y.max() - y.min())
+                if bb > best_a:
+                    best, best_a = (x, y), bb
+            if best is None:
                 cxs.append(np.nan)
                 cys.append(np.nan)
+                continue
+            x, y = best
+            if planar_ring_area(x, y) == 0.0:
+                cxs.append(float(np.mean(x[:-1])))
+                cys.append(float(np.mean(y[:-1])))
+            else:
+                cx, cy = ring_centroid(x, y)
+                cxs.append(cx)
+                cys.append(cy)
         df[x_col] = cxs
         df[y_col] = cys
         return df

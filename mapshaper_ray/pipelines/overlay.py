@@ -219,7 +219,7 @@ def precut_by_cells(ds, cell: float, bbox=None):
         bbox = layer_bbox(ds)
     xmin, ymin = bbox[0], bbox[1]
 
-    from ..sources.layers import nz
+    from ..sources.layers import clean_export_ring, nz
 
     def go(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -250,10 +250,19 @@ def precut_by_cells(ds, cell: float, bbox=None):
                     ox, oy, op = [], [], []
                     for x, y, p in zip(rx, ry, rp):
                         res = _sh_clip_ring(x, y, rect)
-                        if res is not None:
-                            ox.append(res[0].tolist())
-                            oy.append(res[1].tolist())
-                            op.append(int(p))
+                        if res is None:
+                            continue
+                        # a feature edge exactly ON a cut line clips to
+                        # a zero-area sliver (duplicate vertices); drop
+                        # it — downstream topology would otherwise see
+                        # zero-length arcs whose +/- twins intern to
+                        # one id and derail dissolve cancellation
+                        res = clean_export_ring(res[0], res[1])
+                        if res is None:
+                            continue
+                        ox.append(res[0].tolist())
+                        oy.append(res[1].tolist())
+                        op.append(int(p))
                     if ox:
                         out = dict(row)
                         out["rings_x"] = ox
@@ -296,6 +305,13 @@ def _node_axis_edges(feats):
             for i in range(n - 1):
                 x1, y1 = float(ring[i][0]), float(ring[i][1])
                 x2, y2 = float(ring[i + 1][0]), float(ring[i + 1][1])
+                if x1 == x2 and y1 == y2:
+                    # zero-length segment: skip — a consecutive
+                    # duplicate vertex would become a zero-length arc
+                    # whose forward/reverse byte keys coincide, so a
+                    # +/- twin pair interns to ONE signed id and
+                    # dissolve cancellation misses it
+                    continue
                 nx.append(x1)
                 ny.append(y1)
                 if x1 == x2 and x1 in by_x:

@@ -25,7 +25,8 @@ import numpy as np
 import pyarrow as pa
 
 from .layers import (GEOM_POINT, GEOM_POLYGON, GEOM_POLYLINE,
-                     point_table, polygon_table, polyline_table)
+                     clean_export_part, clean_export_ring, point_table,
+                     polygon_table, polyline_table)
 
 # ---------------------------------------------------------------------------
 # incremental splitter
@@ -250,12 +251,26 @@ def _render_rows(batch: pa.Table, decimals=None) -> list[tuple[int, str]]:
         if gt == GEOM_POLYGON:
             rx, ry, rp = d["rings_x"][i], d["rings_y"][i], d["ring_poly"][i]
             polys: list[list] = []
+            dropped_outer: set[int] = set()
             for x, y, p in zip(_nz(rx), _nz(ry), _nz(rp)):
                 while len(polys) <= p:
                     polys.append([])
-                polys[p].append(
-                    [[_fmt_coord(a, decimals), _fmt_coord(b, decimals)]
-                     for a, b in zip(x, y)])
+                xf = [_fmt_coord(a, decimals) for a in x]
+                yf = [_fmt_coord(b, decimals) for b in y]
+                # export-time collapse rule (reference exportPathData):
+                # dedup + drop rings with <4 points or zero area; a
+                # dropped OUTER ring takes its holes with it
+                cleaned = clean_export_ring(xf, yf)
+                if cleaned is None:
+                    if not polys[p]:
+                        dropped_outer.add(p)
+                    continue
+                if p in dropped_outer:
+                    continue
+                polys[p].append([[a, b] for a, b in
+                                 zip(cleaned[0].tolist(),
+                                     cleaned[1].tolist())])
+            polys = [pl for pl in polys if pl]
             if not polys:
                 geom = None
             elif len(polys) == 1:
@@ -264,9 +279,15 @@ def _render_rows(batch: pa.Table, decimals=None) -> list[tuple[int, str]]:
                 geom = {"type": "MultiPolygon", "coordinates": polys}
         elif gt == GEOM_POLYLINE:
             px_, py_ = d["part_x"][i], d["part_y"][i]
-            parts = [[[_fmt_coord(a, decimals), _fmt_coord(b, decimals)]
-                      for a, b in zip(x, y)]
-                     for x, y in zip(_nz(px_), _nz(py_))]
+            parts = []
+            for x, y in zip(_nz(px_), _nz(py_)):
+                cleaned = clean_export_part(
+                    [_fmt_coord(a, decimals) for a in x],
+                    [_fmt_coord(b, decimals) for b in y])
+                if cleaned is not None:
+                    parts.append([[a, b] for a, b in
+                                  zip(cleaned[0].tolist(),
+                                      cleaned[1].tolist())])
             if not parts:
                 geom = None
             elif len(parts) == 1:

@@ -52,6 +52,38 @@ GEOM_COLS = {
 }
 
 
+def clean_export_ring(x, y):
+    """Reference export-time path cleanup for one polygon ring
+    (internal.exportPathData + exportPathCoords,
+    src/paths/mapshaper-path-export.js:24-81): drop consecutive
+    duplicate vertices, then drop the ring entirely unless it still has
+    >3 points and nonzero planar area.  Returns (x, y) arrays or None
+    if the ring collapsed."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if len(x):
+        keep = np.ones(len(x), dtype=bool)
+        np.logical_or(x[1:] != x[:-1], y[1:] != y[:-1], out=keep[1:])
+        x, y = x[keep], y[keep]
+    if len(x) < 4:
+        return None
+    area = 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+    return None if area == 0 else (x, y)
+
+
+def clean_export_part(x, y):
+    """Polyline variant of the export cleanup: dedup consecutive
+    vertices; paths with fewer than 2 points are dropped (returns
+    None)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if len(x):
+        keep = np.ones(len(x), dtype=bool)
+        np.logical_or(x[1:] != x[:-1], y[1:] != y[:-1], out=keep[1:])
+        x, y = x[keep], y[keep]
+    return None if len(x) < 2 else (x, y)
+
+
 def ordered_pandas(ds):
     """Collect a Dataset to pandas with PLAN-order rows guaranteed.
 

@@ -74,14 +74,56 @@ def _visit(pt, nkey, seen, junctions):
 
 
 def _rotate_ring(pts, junctions):
-    """Rotate a closed ring (without duplicate end vertex) so it starts at
-    a junction if it contains one; else at its lexicographically smallest
-    vertex (canonical start for rotation-invariant dedup)."""
+    """Rotate a closed ring (without duplicate end vertex) so it starts
+    at its first junction vertex.  A junction-FREE ring keeps its
+    original start — the reference stores island rings as-is, and the
+    start vertex is observable downstream (DP/VW recursion trees and
+    hence simplify thresholds depend on it; verified threshold-exact
+    against the built reference CLI on two_states' island rings)."""
     for i, pt in enumerate(pts):
         if pt in junctions:
             return pts[i:] + pts[:i]
-    k = min(range(len(pts)), key=lambda i: pts[i])
-    return pts[k:] + pts[:k]
+    return pts
+
+
+def _least_rotation(seq):
+    """Booth's algorithm: index k such that seq[k:]+seq[:k] is the
+    lexicographically smallest rotation.  O(n)."""
+    s = seq + seq
+    n = len(seq)
+    f = [-1] * len(s)
+    k = 0
+    for j in range(1, len(s)):
+        sj = s[j]
+        i = f[j - k - 1]
+        while i != -1 and sj != s[k + i + 1]:
+            if sj < s[k + i + 1]:
+                k = j - i - 1
+            i = f[i]
+        if sj != s[k + i + 1]:
+            if sj < s[k]:
+                k = j
+            f[j - k] = -1
+        else:
+            f[j - k] = i + 1
+    return k % n
+
+
+def _canon_cycle(cyc):
+    """Rotation-canonical form of a cycle (tuple without the closing
+    duplicate): the lexicographically smallest rotation."""
+    if not cyc:
+        return cyc
+    k = _least_rotation(list(cyc))
+    return cyc[k:] + cyc[:k]
+
+
+def _canon_bytes(cyc_ids):
+    """Rotation-canonical byte key for an int64 id cycle array."""
+    if len(cyc_ids) == 0:
+        return b""
+    k = _least_rotation(cyc_ids.tolist())
+    return np.concatenate([cyc_ids[k:], cyc_ids[:k]]).tobytes()
 
 
 def _cut_path(pts, closed, junctions):
@@ -128,6 +170,7 @@ class TopologyBuilder:
         junctions = find_junctions(all_paths)
 
         arc_ids = {}       # canonical coord tuple -> arc id
+        ring_ids = {}      # rotation-canonical cycle -> arc id
         arc_coords = []    # arc id -> list of coordinate tuples
         shapes = []
 
@@ -143,6 +186,26 @@ class TopologyBuilder:
             arc_ids[key_f] = aid
             return aid
 
+        def intern_free_ring(run):
+            # junction-free ring (closed run, no node): the FIRST
+            # occurrence is stored at its ORIGINAL start vertex; any
+            # later CONGRUENT ring — same cycle at any rotation, either
+            # direction — aliases to that arc (reference addRing scans
+            # all rotations via findDuplicateArc,
+            # src/topology/mapshaper-topology.js:207-228; keeping the
+            # original start is observable in simplify thresholds)
+            cyc = tuple(run[:-1])
+            cf = _canon_cycle(cyc)
+            cr = _canon_cycle(tuple(reversed(cyc)))
+            if cf in ring_ids:
+                return ring_ids[cf]
+            if cr in ring_ids:
+                return ~ring_ids[cr]
+            aid = len(arc_coords)
+            arc_coords.append(run)
+            ring_ids[cf] = aid
+            return aid
+
         for f in self.features:
             if f is None:
                 shapes.append(None)
@@ -151,7 +214,14 @@ class TopologyBuilder:
             for p in f:
                 pts = [tuple(pt) for pt in p["coords"]]
                 runs = _cut_path(pts, p["closed"], junctions)
-                parts_out.append([intern_arc(run) for run in runs])
+                free_ring = (p["closed"] and len(runs) == 1 and
+                             len(runs[0]) > 1 and
+                             runs[0][0] == runs[0][-1] and
+                             runs[0][0] not in junctions)
+                if free_ring:
+                    parts_out.append([intern_free_ring(runs[0])])
+                else:
+                    parts_out.append([intern_arc(run) for run in runs])
             shapes.append(parts_out)
 
         table = ArcTable.from_coord_lists(
@@ -247,6 +317,7 @@ def build_topology(features, closed=True):
 
     # cut paths at junctions + intern arcs (id-array keys, byte-hashed)
     arc_ids: dict = {}
+    ring_keys: dict = {}
     arc_runs: list = []
 
     def intern(run_ids):
@@ -263,16 +334,35 @@ def build_topology(features, closed=True):
         arc_ids[kf] = aid
         return aid
 
+    def intern_free_ring(run_ids):
+        # junction-free ring: first occurrence stored at its ORIGINAL
+        # start; later congruent rings (any rotation, either direction)
+        # alias to it — reference addRing semantics
+        # (src/topology/mapshaper-topology.js:207-228)
+        cyc = run_ids[:-1]
+        kf = _canon_bytes(cyc)
+        hit = ring_keys.get(kf)
+        if hit is not None:
+            return hit
+        kr = _canon_bytes(cyc[::-1])
+        hit = ring_keys.get(kr)
+        if hit is not None:
+            return ~hit
+        aid = len(arc_runs)
+        arc_runs.append(run_ids)
+        ring_keys[kf] = aid
+        return aid
+
     def cut(ids, is_ring):
         if is_ring:
             r = ids[:-1]
             jpos = np.nonzero(junction[r])[0]
             if len(jpos):
+                # rotate to the first junction; junction-free rings
+                # keep their original start (see _rotate_ring)
                 k = int(jpos[0])
-            else:
-                k = int(np.argmin(r))
-            r = np.concatenate([r[k:], r[:k]])
-            ids = np.concatenate([r, r[:1]])
+                r = np.concatenate([r[k:], r[:k]])
+                ids = np.concatenate([r, r[:1]])
         interior = np.nonzero(junction[ids[1:-1]])[0] + 1
         bounds = np.concatenate([[0], interior, [len(ids) - 1]])
         return [ids[bounds[i]:bounds[i + 1] + 1]
@@ -283,9 +373,15 @@ def build_topology(features, closed=True):
     path_feat = [fi for fi, _, _ in paths]
     per_feature: dict[int, list] = {}
     for (ids, is_ring, fi) in zip(path_ids, path_ring, path_feat):
+        free_ring = (is_ring and len(ids) > 1 and
+                     not junction[ids[:-1]].any())
+        if free_ring:
+            per_feature.setdefault(fi, []).append(
+                [intern_free_ring(ids)])
+            continue
         runs = cut(ids, is_ring)
         per_feature.setdefault(fi, []).append(
-            [intern(r) for r in runs])
+            [intern(r) for r in runs if len(r) >= 2])
     for fi, f in enumerate(features):
         shapes.append(None if f is None else per_feature.get(fi, []))
 

@@ -56,72 +56,71 @@ def dissolve_shapes(shapes, group_ids, arcs: ArcTable):
     Returns dict group_id -> dissolved shape (list of rings of signed arc
     ids); groups whose geometry fully cancels map to None.
     """
-    ends = _endpoint_nodes(arcs)
-    # ---- first pass: per group, count directed arc usage; cancel +/- pairs
-    # (reference first pass pairs segments with arc1.arcId === ~arc2.arcId
-    # within a group, src/dissolve/mapshaper-polygon-dissolve.js:9-107)
-    group_segments = defaultdict(list)   # group -> list of signed ids (surviving)
+    group_rings = defaultdict(list)  # group -> original rings, input order
     for shp, gid in zip(shapes, group_ids):
         if shp is None:
             continue
         for part in shp:
-            group_segments[gid].extend(part)
-
-    out = {}
-    for gid, segs in group_segments.items():
-        counts = defaultdict(int)
-        for sid in segs:
-            counts[sid] += 1
-        survivors = []
-        for sid in segs:
-            # cancel one forward with one reverse use of the same arc
-            if counts.get(~sid, 0) > 0 and counts.get(sid, 0) > 0:
-                counts[sid] -= 1
-                counts[~sid] -= 1
-            elif counts.get(sid, 0) > 0:
-                counts[sid] -= 1
-                survivors.append(sid)
-        out[gid] = _stitch_rings(survivors, ends)
-    return out
+            if part:
+                group_rings[gid].append(list(part))
+    return {gid: (_dissolve_group(rings) or None)
+            for gid, rings in group_rings.items()}
 
 
-def _stitch_rings(survivors, ends):
-    """Second pass: walk surviving directed arcs into closed rings
-    (dissolveSecondPass, src/dissolve/mapshaper-polygon-dissolve.js:110-218).
-    Deterministic choice: at a node with multiple outgoing arcs, take the
-    lowest signed id."""
-    if not survivors:
-        return None
-    by_start = defaultdict(list)
-    for sid in survivors:
-        s, _ = _directed_ends(ends, sid)
-        by_start[s].append(sid)
-    for lst in by_start.values():
-        lst.sort(reverse=True)  # pop() takes the lowest id
+def _dissolve_group(rings):
+    """Reference second pass (dissolveSecondPass,
+    src/dissolve/mapshaper-polygon-dissolve.js:112-218): build each
+    output ring by walking the ORIGINAL rings in stored order and, when
+    the next arc instance has an unused opposite-direction twin in the
+    group (a cancelled interior border), jumping to the twin's ring —
+    single-arc twin rings (island inclusions) are skipped in place.
+    Unlike node-based stitching, this splits pinched loops exactly
+    where the reference does (verified ring-for-ring against the built
+    reference CLI on its six_counties fixture)."""
+    by_sid = defaultdict(list)          # signed id -> segments, global order
+    seg_order = []
+    for r, ring in enumerate(rings):
+        for i, sid in enumerate(ring):
+            by_sid[sid].append((r, i))
+            seg_order.append((r, i))
     used = set()
-    rings = []
-    for sid in survivors:
-        if sid in used:
+
+    def find_twin(seg):
+        sid = rings[seg[0]][seg[1]]
+        for t in by_sid.get(~sid, ()):
+            if t != seg and t not in used:
+                return t
+        return None
+
+    def get_next(seg, depth=0):
+        r, i = seg
+        ring = rings[r]
+        nxt = (r, (i + 1) % len(ring))
+        if nxt != seg and depth <= 100:
+            match = find_twin(nxt)
+            if match is not None:
+                if len(rings[match[0]]) == 1:
+                    # island inclusion: continue traversing seg's ring
+                    nxt = get_next(nxt, depth + 1)
+                else:
+                    nxt = get_next(match, depth + 1)
+        return nxt
+
+    out_rings = []
+    for seg in seg_order:
+        if seg in used or find_twin(seg) is not None:
             continue
-        ring = [sid]
-        used.add(sid)
-        _, cur = _directed_ends(ends, sid)
-        start, _ = _directed_ends(ends, sid)
-        while cur != start:
-            nxts = by_start.get(cur, [])
-            nxt = None
-            while nxts:
-                cand = nxts.pop()
-                if cand not in used:
-                    nxt = cand
-                    break
-            if nxt is None:
-                break  # open chain (defective topology) — emit as-is
-            ring.append(nxt)
+        ring_ids = [rings[seg[0]][seg[1]]]
+        used.add(seg)
+        guard = len(seg_order) + 1
+        nxt = get_next(seg)
+        while nxt != seg and guard > 0:
+            ring_ids.append(rings[nxt[0]][nxt[1]])
             used.add(nxt)
-            _, cur = _directed_ends(ends, nxt)
-        rings.append(ring)
-    return rings
+            nxt = get_next(nxt)
+            guard -= 1
+        out_rings.append(ring_ids)
+    return out_rings
 
 
 def dissolve_polylines(shapes, group_ids, arcs: ArcTable):

@@ -48,15 +48,15 @@ def test_area_and_centroid(poly_ds):
     assert np.isclose(out.iloc[0]["area"], 15.0)
     assert np.isclose(out.iloc[1]["area"], 9.01)
     c = centroids(poly_ds).to_pandas().sort_values("feature_id")
-    # square centroid (2,2) area 16, hole centroid (1.5,1.5) area -1:
-    # (16*2 - 1*1.5)/15 = 2.0333...
-    assert np.isclose(c.iloc[0]["cx"], (16 * 2 - 1.5) / 15)
-    assert np.isclose(c.iloc[0]["cy"], (16 * 2 - 1.5) / 15)
+    # reference getShapeCentroid: LARGEST ring only, holes ignored
+    # (src/points/mapshaper-polygon-centroid.js:6-9) -> square center
+    assert np.isclose(c.iloc[0]["cx"], 2.0)
+    assert np.isclose(c.iloc[0]["cy"], 2.0)
 
 
 def test_point_layer(poly_ds):
     pts = to_point_layer(poly_ds).to_pandas().sort_values("feature_id")
-    assert np.isclose(pts.iloc[0]["px"][0], (16 * 2 - 1.5) / 15)
+    assert np.isclose(pts.iloc[0]["px"][0], 2.0)
     assert list(pts.columns).count("rings_x") == 0
 
 

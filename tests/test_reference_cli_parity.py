@@ -1,0 +1,162 @@
+"""Parity against the ACTUAL reference implementation, run live.
+
+scripts/build_reference_cli.py assembles a runnable copy of the
+reference CLI under /tmp/refjs (catty-style concatenation of its
+sources + npm deps shimmed from its own browserify bundle).  Each test
+runs a reference command line and this engine's `run_commands` on the
+SAME input and diffs the outputs.
+
+Exactness levels, and why:
+- dissolve / innerlines / simplify(planar): coordinate-EXACT — the
+  engine reproduces the reference's arithmetic bit-for-bit (planar
+  DP/VW/weighted-VW threshold arrays verified bit-identical on
+  two_states during development).
+- centroids / clip(bbox) / proj: 1e-6 / 1e-9 tolerance — identical
+  formulas, but different summation order (vectorized vs streaming)
+  leaves float noise.
+- spherical simplify is NOT tested exactly: V8 and glibc trig differ
+  in the last ulp, which cancellation amplifies past any fixed
+  tolerance at the rank boundary.
+"""
+
+import json
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo/scripts")
+
+from mapshaper_ray.commands import run_commands
+
+TWO_STATES = "/root/reference/test/test_data/two_states.shp"
+SIX_COUNTIES = "/root/reference/test/test_data/six_counties.shp"
+THREE_POINTS = "/root/reference/test/test_data/three_points.geojson"
+
+pytestmark = pytest.mark.skipif(shutil.which("node") is None,
+                                reason="node unavailable")
+
+
+@pytest.fixture(scope="session")
+def ref_cli():
+    from build_reference_cli import build
+    return build()
+
+
+def ref_run(ref_cli, args):
+    subprocess.run(["node", ref_cli, *args], check=True,
+                   capture_output=True, timeout=120)
+
+
+def geoms(path):
+    doc = json.load(open(path))
+    if "features" in doc:
+        return [f["geometry"] for f in doc["features"]]
+    return doc["geometries"]
+
+
+def canon_ring(coords, nd=None):
+    pts = [tuple(p) if nd is None else tuple(round(v, nd) for v in p)
+           for p in coords[:-1]]
+    best = None
+    for seq in (pts, pts[::-1]):
+        i = min(range(len(seq)), key=lambda k: seq[k])
+        rot = seq[i:] + seq[:i]
+        best = rot if best is None or rot < best else best
+    return tuple(best)
+
+
+def all_rings(path, nd=None):
+    out = []
+    for g in geoms(path):
+        if g is None:
+            continue
+        if g["type"] == "Polygon":
+            out.extend(canon_ring(r, nd) for r in g["coordinates"])
+        elif g["type"] == "MultiPolygon":
+            out.extend(canon_ring(r, nd)
+                       for poly in g["coordinates"] for r in poly)
+    return sorted(out)
+
+
+def all_chains(path):
+    out = []
+    for g in geoms(path):
+        if g is None:
+            continue
+        cs = [g["coordinates"]] if g["type"] == "LineString" \
+            else g["coordinates"]
+        for c in cs:
+            pts = [tuple(p) for p in c]
+            out.append(tuple(pts if pts <= pts[::-1] else pts[::-1]))
+    return sorted(out)
+
+
+def test_dissolve_six_counties_exact(ray_session, ref_cli, tmp_path):
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [SIX_COUNTIES, "-dissolve", "-o", str(ref)])
+    run_commands(f"-i {SIX_COUNTIES} -dissolve -o {ours}")
+    assert all_rings(str(ours)) == all_rings(str(ref))
+
+
+def test_innerlines_two_states_exact(ray_session, ref_cli, tmp_path):
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [TWO_STATES, "-innerlines", "-o", str(ref)])
+    run_commands(f"-i {TWO_STATES} -innerlines -o {ours}")
+    assert all_chains(str(ours)) == all_chains(str(ref))
+
+
+@pytest.mark.parametrize("ref_args,our_spec", [
+    (["-simplify", "dp", "30%", "planar", "no-repair"], "dp 30%"),
+    (["-simplify", "visvalingam", "40%", "planar", "no-repair"],
+     "visvalingam 40%"),
+    (["-simplify", "55%", "planar", "no-repair"], "weighted 55%"),
+])
+def test_simplify_planar_exact(ray_session, ref_cli, tmp_path,
+                               ref_args, our_spec):
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [TWO_STATES, *ref_args, "-o", str(ref)])
+    run_commands(f"-i {TWO_STATES} -simplify {our_spec} -o {ours}")
+    assert all_rings(str(ours)) == all_rings(str(ref))
+
+
+def test_centroids_six_counties(ray_session, ref_cli, tmp_path):
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [SIX_COUNTIES, "-points", "centroid",
+                      "-o", str(ref)])
+    run_commands(f"-i {SIX_COUNTIES} -points centroid -o {ours}")
+    a = [g["coordinates"] for g in geoms(str(ours))]
+    b = [g["coordinates"] for g in geoms(str(ref))]
+    assert len(a) == len(b)
+    # summation-order float noise only (reference streams pairwise
+    # cross-sums; we vectorize)
+    assert np.allclose(np.array(a), np.array(b), rtol=0, atol=1e-6)
+
+
+def test_clip_bbox_two_states(ray_session, ref_cli, tmp_path):
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    bb = "bbox=-124,40,-118,46"
+    ref_run(ref_cli, [TWO_STATES, "-clip", bb, "-o", str(ref)])
+    run_commands(f"-i {TWO_STATES} -clip {bb} -o {ours}")
+    # intersection vertices carry ~1e-13 arithmetic noise: compare at
+    # 9 decimals (~0.1mm), ring-canonicalized
+    assert all_rings(str(ours), nd=9) == all_rings(str(ref), nd=9)
+
+
+def test_proj_webmercator_points(ray_session, ref_cli, tmp_path):
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [THREE_POINTS, "-proj", "webmercator",
+                      "-o", str(ref)])
+    run_commands(f"-i {THREE_POINTS} -proj webmercator -o {ours}")
+    a = np.array([g["coordinates"] for g in geoms(str(ours))], float)
+    b = np.array([g["coordinates"] for g in geoms(str(ref))], float)
+    assert a.shape == b.shape
+    assert np.allclose(a, b, rtol=1e-9, atol=1e-6)
