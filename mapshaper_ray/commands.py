@@ -68,6 +68,41 @@ def _bool_opt(val) -> bool:
     return bool(val)
 
 
+# meters per unit (reference UNITS_LOOKUP + pj_units,
+# src/geom/mapshaper-units.js:3-13)
+_UNIT_M = {"m": 1.0, "meter": 1.0, "meters": 1.0,
+           "km": 1000.0, "kilometers": 1000.0,
+           "mi": 1609.344, "mile": 1609.344, "miles": 1609.344,
+           "ft": 0.3048, "feet": 0.3048}
+
+
+def _parse_measure(val):
+    """'100km2' / '5km' / 12.5 → (value, meters_factor, areal)
+    (reference parseMeasure, src/geom/mapshaper-units.js:63-85)."""
+    if isinstance(val, (int, float)):
+        return float(val), 1.0, False
+    s = str(val).strip()
+    m = re.search(r"(sq|)([a-z]+)(2|)$", s, re.I)
+    if m and m.group(2).lower() in _UNIT_M:
+        areal = bool(m.group(1) or m.group(3))
+        return (float(s[:m.start()]), _UNIT_M[m.group(2).lower()], areal)
+    return float(s), 1.0, False
+
+
+def _parse_area(val) -> float:
+    """Area param → m^2 (convertAreaParam)."""
+    v, k, _ = _parse_measure(val)
+    return v * k * k
+
+
+def _parse_distance(val) -> float:
+    """Distance param → meters (convertDistanceParam)."""
+    v, k, areal = _parse_measure(val)
+    if areal:
+        raise ValueError(f"expected a distance, got an area: {val!r}")
+    return v * k
+
+
 # commands whose FIRST positional argument is an expression /
 # assignment list that may itself contain '=' (reference: these declare
 # a DEFAULT option that captures the first bare token)
@@ -502,9 +537,9 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 cat.replace(api.points_from_columns(
                     ds, opts["x"], opts["y"]))
             elif opts.get("inner"):
-                cat.replace(api.anchor_points(ds))
+                cat.replace(api.to_point_layer(ds, mode="inner"))
             else:
-                cat.replace(api.to_point_layer(api.centroids(ds)))
+                cat.replace(api.to_point_layer(ds))
         elif name == "proj":
             # a proj4 definition spans multiple +key=value tokens
             crs = " ".join(args) if args and args[0].startswith("+") \
@@ -587,8 +622,13 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 scale=float(opts.get("scale", 1.0)),
                 rotate_deg=float(opts.get("rotate", 0.0))))
         elif name in ("filter-islands", "filter_islands"):
-            cat.replace(api.filter_islands(
-                cat.get(), min_area=float(opts.get("min_area", 0))))
+            from .pipelines.geometry import filter_islands_layer
+            cat.replace(filter_islands_layer(
+                cat.get(),
+                min_area=_parse_area(opts["min_area"])
+                if "min_area" in opts else None,
+                min_vertices=int(opts["min_vertices"])
+                if "min_vertices" in opts else None))
         elif name in ("filter-slivers", "filter_slivers"):
             cat.replace(api.filter_slivers(
                 cat.get(),
@@ -638,8 +678,12 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                     cat.get(), key, cell=float(opts["cell"]),
                     gap_max_area=float(opts.get("gap_fill_area", 0))))
                 continue
-            if name == "clean" or key is None:
+            if name == "clean":
+                # -clean: erase overlaps / fill gaps but keep features
                 keys = [str(i) for i in df["feature_id"]]
+            elif key is None:
+                # keyless -dissolve2 merges EVERYTHING (like -dissolve)
+                keys = ["_all"] * len(df)
             else:
                 keys = [str(v) for v in df[key]]
             out = mz.dissolve2(feats, keys,

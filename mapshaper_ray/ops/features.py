@@ -193,8 +193,13 @@ def centroids(ds, x_col="cx", y_col="cy"):
 
 
 def to_point_layer(ds, mode="centroid"):
-    """-points: polygon layer -> point layer of centroids."""
-    ds = centroids(ds)
+    """-points: polygon layer -> point layer (``centroid`` or ``inner``
+    anchor points, src/commands/mapshaper-points.js)."""
+    if mode == "inner":
+        from .anchor import anchor_points
+        ds = anchor_points(ds, x_col="cx", y_col="cy")
+    else:
+        ds = centroids(ds)
 
     def make(df: pd.DataFrame) -> pd.DataFrame:
         keep = [c for c in df.columns

@@ -302,20 +302,149 @@ def innerlines_layer(ds, inner_only=True):
                                axis=1)
                       for x, y in zip(nz(row["rings_x"]),
                                       nz(row["rings_y"]))] or None)
+    from ..topo.arcs import abs_id
     arcs, shapes = build_topology(feats)
     cls = classify_arcs(shapes)
+
+    claimed: set = set()  # classifier consumes each arc on first claim
+                          # (mapshaper-arc-classifier.js:26-39 a[i]=-1)
+
+    def extract(key_fn):
+        """Reference extractLines (mapshaper-innerlines.js:108-151):
+        one multi-part line feature per classifier key, consecutive
+        in-ring arcs merged into parts, parts split across a ring's
+        endpoint re-joined (the wrap merge)."""
+        out, idx = [], {}
+        prev_key = prev_sp = None
+        for sid_, shape in enumerate(shapes):
+            if shape is None:
+                continue
+            for pid, part in enumerate(shape):
+                for i, signed in enumerate(part):
+                    aid = abs_id(signed)
+                    k = None if aid in claimed else key_fn(sid_, aid)
+                    if k is not None:
+                        claimed.add(aid)
+                        line = idx.get(k)
+                        cont = (k == prev_key and prev_sp == (sid_, pid))
+                        if line is None:
+                            line = [[signed]]
+                            idx[k] = line
+                            out.append(line)
+                        elif cont:
+                            line[-1].append(signed)
+                        else:
+                            line.append([signed])
+                        if i == len(part) - 1 and len(line) > 1 and \
+                                line[0][0] == part[0]:
+                            line[0] = line.pop() + line[0]
+                    prev_key = k
+                    prev_sp = (sid_, pid)
+        return out
+
+    def outer_key(sid_, aid):
+        return str(sid_) if len(cls.get(aid, [])) < 2 else None
+
+    def inner_key(sid_, aid):
+        users = cls.get(aid, [])
+        return "-".join(map(str, users)) if len(users) >= 2 else None
+
+    batches = []          # (lines, TYPE, RANK)
+    if inner_only:
+        batches.append((extract(inner_key), None, None))
+    else:
+        batches.append((extract(outer_key), "outer", 0))
+        batches.append((extract(inner_key), "inner", 1))
     rows = []
     fid = 0
-    for a in sorted(cls):
-        inner = len(cls[a]) >= 2
-        if inner_only and not inner:
-            continue
-        i0 = int(arcs.ii[a])
-        n = int(arcs.nn[a])
-        rows.append({"feature_id": fid,
-                     "part_x": [arcs.xx[i0:i0 + n].tolist()],
-                     "part_y": [arcs.yy[i0:i0 + n].tolist()],
-                     "kind": "inner" if inner else "outer"})
-        fid += 1
+    for lines_b, type_name, rank in batches:
+        for line in lines_b:
+            px, py = [], []
+            for part in line:
+                x, y = arcs.path_coords(part)
+                px.append(np.asarray(x, float).tolist())
+                py.append(np.asarray(y, float).tolist())
+            row = {"feature_id": fid, "part_x": px, "part_y": py}
+            if type_name is not None:
+                row["RANK"] = rank
+                row["TYPE"] = type_name
+            rows.append(row)
+            fid += 1
     return rd.from_items(rows) if rows else rd.from_items(
-        [{"feature_id": 0, "part_x": [], "part_y": [], "kind": ""}]).limit(0)
+        [{"feature_id": 0, "part_x": [], "part_y": []}]).limit(0)
+
+
+def filter_islands_layer(ds, min_area=None, min_vertices=None):
+    """Reference -filter-islands (src/commands/mapshaper-filter-islands.js:
+    3-65): an island is a SINGLE-ARC ring whose arc is used by exactly
+    one shape (not a shared border, not part of a donut hole) and that
+    contains no holes; it is dropped when its area (SPHERICAL for
+    lat-lon data, getMinAreaTest) is under ``min_area`` m^2, or its
+    vertex count (first==last counted once) is <= ``min_vertices``.
+    In-process topology kernel (fixture scale)."""
+    import ray.data as rd
+    from collections import Counter
+
+    from ..geom.kernels import planar_ring_area, spherical_ring_area
+    from ..sources.layers import nz
+    from ..topo.arcs import abs_id
+    from ..topo.build import build_topology
+
+    df = ds.to_pandas().sort_values("feature_id").reset_index(drop=True)
+    feats = []
+    for _, row in df.iterrows():
+        feats.append([np.stack([np.asarray(x, float), np.asarray(y, float)],
+                               axis=1)
+                      for x, y in zip(nz(row["rings_x"]),
+                                      nz(row["rings_y"]))] or None)
+    arcs, shapes = build_topology(feats)
+    usage = Counter(abs_id(s) for shp in shapes if shp
+                    for part in shp for s in part)
+    xs = [v for f in feats if f for r in f for v in r[:, 0]]
+    latlong = (min(xs) >= -181 and max(xs) <= 181) if xs else False
+    area_fn = spherical_ring_area if latlong else planar_ring_area
+
+    from ..geom.kernels import points_in_ring
+
+    def drop_ring(fi, ring_idx, rx, ry):
+        """pathFilter (mapshaper-filter-islands.js:48-62): single-arc
+        ring, arc used once, passes the criterion, and no SIBLING ring
+        of the same feature lies inside it (ringHasHoles — geometric
+        containment, not ring_poly grouping)."""
+        part = shapes[fi][ring_idx] if shapes[fi] else None
+        if not part or len(part) != 1 or usage[abs_id(part[0])] != 1:
+            return False
+        x, y = rx[ring_idx], ry[ring_idx]
+        hit = False
+        if min_area is not None and abs(area_fn(x, y)) < min_area:
+            hit = True
+        # countVerticesInPath iterates the closed ring INCLUDING the
+        # closing duplicate (verified against the reference CLI:
+        # min-vertices=20 keeps a 21-point closed ring)
+        if min_vertices is not None and len(x) <= min_vertices:
+            hit = True
+        if not hit:
+            return False
+        for j in range(len(rx)):
+            if j != ring_idx and len(rx[j]) and \
+                    points_in_ring(rx[j][:1], ry[j][:1], x, y)[0] == 1:
+                return False       # contains a hole
+        return True
+
+    rows = []
+    for fi, (_, row) in enumerate(df.iterrows()):
+        rx = [np.asarray(v, float) for v in nz(row["rings_x"])]
+        ry = [np.asarray(v, float) for v in nz(row["rings_y"])]
+        rp = list(row["ring_poly"]) if row["ring_poly"] is not None \
+            else [0] * len(rx)
+        keep = [i for i in range(len(rx))
+                if not drop_ring(fi, i, rx, ry)]
+        remap = {p: k for k, p in
+                 enumerate(sorted(set(rp[i] for i in keep)))}
+        out = {c: row[c] for c in df.columns
+               if c not in ("rings_x", "rings_y", "ring_poly")}
+        out["rings_x"] = [rx[i].tolist() for i in keep]
+        out["rings_y"] = [ry[i].tolist() for i in keep]
+        out["ring_poly"] = [remap[rp[i]] for i in keep]
+        rows.append(out)
+    return rd.from_items(rows)

@@ -90,8 +90,10 @@ def test_run_innerlines(ray_session, tmp_path):
     src.write_text(json.dumps(_grid_fc(2, groups=("g",))))
     cat = run_commands(f"-i {src} -innerlines")
     df = cat.get().to_pandas()
-    assert len(df) == 4  # 2x2 grid: 4 shared unit edges
-    assert set(df["kind"]) == {"inner"}
+    # 2x2 grid: 4 adjacent pairs -> 4 inner-line features (reference
+    # extractLines emits one feature per shape pair; no data table)
+    assert len(df) == 4
+    assert "kind" not in df.columns and "TYPE" not in df.columns
 
 
 def test_run_proj_and_rename(ray_session, tmp_path):

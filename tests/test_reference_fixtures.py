@@ -144,8 +144,8 @@ def test_innerlines_two_states_reference_shapefile(ray_session):
     df = cat.get().to_pandas()
     # the shared border survives as inner arc(s) only — and dissolving
     # the two states must melt exactly those arcs away (area additive)
-    assert len(df) >= 1
-    assert set(df["kind"]) == {"inner"}
+    assert len(df) >= 1   # -innerlines features carry no TYPE column
+    assert "TYPE" not in df.columns
     from mapshaper_ray.commands import run_commands as rc
     from mapshaper_ray.ops.features import add_polygon_metrics
     cat2 = rc(f"-i {shp}")
