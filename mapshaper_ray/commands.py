@@ -464,12 +464,30 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
             else:
                 amount["pct"] = _pct(
                     args[0] if args else opts.get("percentage", "100%"))
+            # reference defaults (getSimplifyMethod + useSpherical-
+            # Simplify): bare -simplify = WEIGHTED visvalingam (0.7),
+            # spherical for decimal-degree data; 'visvalingam' selects
+            # the unweighted metric, 'planar' forces planar thresholds
+            dp = bool(opts.get("dp"))
+            vis = bool(opts.get("visvalingam"))
+            if "weighting" in opts:
+                weighting = float(opts["weighting"])
+            elif opts.get("weighted") or not (dp or vis):
+                weighting = 0.7
+            else:
+                weighting = None
+            if opts.get("planar"):
+                spherical = False
+            elif opts.get("spherical"):
+                spherical = True
+            else:
+                spherical = None   # auto-detect from bounds
             cat.replace(api.simplify_layer(
                 cat.get(),
-                method="dp" if opts.get("dp") else "visvalingam",
+                method="dp" if dp else "visvalingam",
                 keep_shapes=bool(opts.get("keep_shapes")),
-                spherical=bool(opts.get("spherical")),
-                weighting=0.7 if opts.get("weighted") else None,
+                spherical=spherical,
+                weighting=None if dp else weighting,
                 **amount))
         elif name == "dissolve":
             key = args[0] if args else opts.get("fields")  # None = all

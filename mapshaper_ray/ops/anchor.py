@@ -23,68 +23,255 @@ from ..geom.kernels import planar_ring_area, points_in_shape, ring_centroid
 from ..geom.simplify import visvalingam_thresholds
 
 
-def _presimplify_ring(x, y, thresh):
-    z = visvalingam_thresholds(x, y, scaled=True)
-    m = z >= thresh * thresh * 0.65 * 0.65  # scaled VW: sqrt(area)*0.65
-    m[0] = m[-1] = True
-    if m.sum() < 4:
-        return x, y
-    return x[m], y[m]
+def _simplify_polygon_fast(rings, dist):
+    """simplifyPolygonFast (src/simplify/mapshaper-simplify-fast.js:21-66):
+    keep vertices farther than ``dist`` from the previously kept vertex
+    (always keeping the first, re-adding the final point if dropped);
+    paths reduced below 4 points are discarded."""
+    out = []
+    for x, y in rings:
+        xs, ys = [], []
+        prev_x = prev_y = None
+        lx = ly = None
+        for xi, yi in zip(x, y):
+            lx, ly = float(xi), float(yi)
+            if prev_x is None or \
+                    np.sqrt((lx - prev_x) ** 2 + (ly - prev_y) ** 2) > dist:  # distance2D
+                xs.append(lx)
+                ys.append(ly)
+                prev_x, prev_y = lx, ly
+        if lx is not None and (lx != prev_x or ly != prev_y):
+            xs.append(lx)
+            ys.append(ly)
+        while 0 < len(xs) < 4:
+            xs.pop()
+            ys.pop()
+        if xs:
+            out.append((np.asarray(xs), np.asarray(ys)))
+    return out or None
 
 
-def _seg_dist(px, py, x, y):
-    """Min distance from point to ring boundary (vectorized over segs)."""
-    ax, ay = x[:-1], y[:-1]
-    bx, by = x[1:], y[1:]
-    dx, dy = bx - ax, by - ay
-    ln2 = dx * dx + dy * dy
-    t = np.clip(((px - ax) * dx + (py - ay) * dy) /
-                np.where(ln2 == 0, 1, ln2), 0, 1)
-    cx = ax + t * dx
-    cy = ay + t * dy
-    return float(np.min(np.hypot(px - cx, py - cy)))
-
-
-def anchor_point(rings, htics=12):
-    """rings: [(x, y), ...] of one polygon (outer first).  Returns
-    (x, y) inside, maximizing boundary distance weighted toward the
-    centroid."""
-    if not rings:
-        return None
-    # largest |area| ring is the anchor host
-    areas = [abs(planar_ring_area(np.asarray(x), np.asarray(y)))
-             for x, y in rings]
-    ox, oy = rings[int(np.argmax(areas))]
-    ox = np.asarray(ox, dtype=np.float64)
-    oy = np.asarray(oy, dtype=np.float64)
-    bw = ox.max() - ox.min()
-    bh = oy.max() - oy.min()
-    thresh = np.sqrt(max(bw * bh, 1e-30)) * 0.01
-    sx, sy = _presimplify_ring(ox, oy, thresh)
-    cx, cy = ring_centroid(sx, sy)
-    half_diag = np.hypot(bw, bh) / 2 or 1.0
-
-    best = None
-    best_score = -np.inf
-    xs = np.linspace(ox.min(), ox.max(), htics + 2)[1:-1]
-    ys = np.linspace(oy.min(), oy.max(), htics + 2)[1:-1]
-    gx, gy = np.meshgrid(xs, ys)
-    gx = gx.ravel()
-    gy = gy.ravel()
-    ring_list = [(np.asarray(x), np.asarray(y)) for x, y in rings]
-    inside = points_in_shape(gx, gy, ring_list)
-    for px, py, ok in zip(gx, gy, inside):
-        if not ok:
+def _max_path(rings):
+    """getMaxPath: ring with the largest BOUNDING-BOX area
+    (src/geom/mapshaper-shape-geom.js:28-38)."""
+    best, best_a = None, 0.0
+    for x, y in rings:
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        if not len(x):
             continue
-        d = _seg_dist(px, py, sx, sy)
-        w = 1.0 - 0.5 * np.hypot(px - cx, py - cy) / half_diag
-        score = d * w
-        if score > best_score:
-            best_score = score
-            best = (float(px), float(py))
-    if best is None:  # tiny/degenerate: fall back to centroid of ring
-        best = (float(cx), float(cy))
+        a = (x.max() - x.min()) * (y.max() - y.min())
+        if a > best_a:
+            best, best_a = (x, y), a
     return best
+
+
+def _path_centroid(x, y):
+    """getPathCentroid streaming form (mapshaper-polygon-centroid.js:
+    11-35); zero-area path falls back to the vertex average."""
+    s = sx = sy = 0.0
+    ax, ay = float(x[0]), float(y[0])
+    for i in range(1, len(x)):
+        t = ax * float(y[i]) - ay * float(x[i])
+        s += t
+        sx += t * (float(x[i]) + ax)
+        sy += t * (float(y[i]) + ay)
+        ax, ay = float(x[i]), float(y[i])
+    area = s / 2.0
+    if area == 0:
+        return float(np.mean(x)), float(np.mean(y))
+    return sx / (6 * area), sy / (6 * area)
+
+
+def _pt_shape_dist(px, py, rings):
+    """getPointToShapeDistance: min point-to-segment distance over
+    every ring (same apexDistSq arithmetic as the reference)."""
+    from ..geom.kernels import point_seg_dist_sq
+    best = np.inf
+    for x, y in rings:
+        if len(x) < 2:
+            continue
+        d = point_seg_dist_sq(px, py, x[:-1], y[:-1], x[1:], y[1:])
+        m = float(np.min(d))
+        if m < best:
+            best = m
+    return float(np.sqrt(best)) if np.isfinite(best) else np.inf
+
+
+def _pt_in_polygon(px, py, rings):
+    """testPointInPolygon: even-odd across rings; boundary counts in."""
+    from ..geom.kernels import points_in_ring
+    is_in = False
+    for x, y in rings:
+        r = points_in_ring(np.array([px]), np.array([py]), x, y)[0]
+        if r == 1:
+            is_in = not is_in
+        elif r == -1:
+            return True
+    return is_in
+
+
+def _ray_ring_hits(x, y0, rx, ry):
+    """findRayRingIntersections: y-intercepts of the upward vertical
+    ray at (x, y0) with one ring (getRayIntersection per segment,
+    src/geom/mapshaper-shape-geom.js:177-222); an odd count (ray
+    touches without crossing) discards the ring\'s hits."""
+    hits = []
+    for i in range(len(rx) - 1):
+        ax, ay = float(rx[i]), float(ry[i])
+        bx, by = float(rx[i + 1]), float(ry[i + 1])
+        hit = -np.inf
+        if (x < ax and x < bx) or (x > ax and x > bx) or \
+                (y0 > ay and y0 > by):
+            pass
+        elif x == ax or x == bx:
+            if x == ax and x == bx:
+                if y0 == ay or y0 == by or (y0 > ay) != (y0 > by):
+                    hit = np.nan
+            elif x == ax:
+                if y0 == ay:
+                    hit = np.nan
+                elif bx < ax and y0 < ay:
+                    hit = ay
+            else:
+                if y0 == by:
+                    hit = np.nan
+                elif ax < bx and y0 < by:
+                    hit = by
+        else:
+            y_int = ay + (x - ax) * (by - ay) / (bx - ax)
+            if y_int > y0:
+                hit = y_int
+            elif y_int == y0:
+                hit = np.nan
+        if hit > -np.inf:       # NaN fails this test, like the JS
+            hits.append(hit)
+    if len(hits) % 2 == 1:
+        return []
+    return hits
+
+
+def _hit_candidates(x, y0, rings):
+    """findHitCandidates: midpoints of the interior segments formed by
+    a vertical ray at ``x`` (per-ring hits concatenated, sorted,
+    paired)."""
+    yy = []
+    for rx, ry in rings:
+        yy.extend(_ray_ring_hits(x, y0, rx, ry))
+    yy.sort()
+    cands = []
+    for i in range(0, len(yy) - 1, 2):
+        interval = (yy[i + 1] - yy[i]) / 2
+        if interval > 0:
+            cands.append({"x": x, "y": (yy[i] + yy[i + 1]) / 2,
+                          "interval": interval})
+    return cands
+
+
+def _probe_best(rings, lbound, rbound, htics, weight):
+    """probeForBestAnchorPoint (mapshaper-anchor-points.js:96-125)."""
+    step = (rbound - lbound) / (htics + 1)
+    tics = [lbound + step * i for i in range(1, htics + 1)]
+    interval = (rbound - lbound) / htics
+    ymin = min(float(np.min(ry)) for _, ry in rings) - 1
+    cands = []
+    for x in tics:
+        cands.extend(_hit_candidates(x, ymin, rings))
+    for p in cands:
+        p["interval"] *= weight(p["x"], p["y"])
+    cands.sort(key=lambda p: -p["interval"])   # stable, like ES2019
+    best = None
+    for cand in cands:
+        if best is not None and best["distance"] > cand["interval"]:
+            break
+        adj = _adjusted_point(cand["x"], cand["y"], rings, interval,
+                              weight)
+        if best is None or adj["distance"] > best["distance"]:
+            best = adj
+    return best
+
+
+def _adjusted_point(x, y, rings, vstep, weight):
+    p = {"x": x, "y": y,
+         "distance": _pt_shape_dist(x, y, rings) * weight(x, y)}
+    for step in (vstep, -vstep):
+        _scan_better(p, rings, step, weight)
+    return p
+
+
+def _scan_better(p, rings, vstep, weight):
+    x, y = p["x"], p["y"]
+    dmax = p["distance"]
+    while True:
+        y += vstep
+        d = _pt_shape_dist(x, y, rings) * weight(x, y)
+        # overcome very small local minima (reference 0.90 rule)
+        if d > dmax * 0.90 and _pt_in_polygon(x, y, rings):
+            if d > dmax:
+                p["distance"] = dmax = d
+                p["y"] = y
+        else:
+            break
+
+
+def anchor_point(rings):
+    """Faithful port of the reference inner-point placement
+    (findAnchorPoint, src/points/mapshaper-anchor-points.js:17-77):
+    pre-simplify at sqrt(bbox area) * 0.01, probe vertical-ray segment
+    midpoints across a centroid-focused x-range, adjust vertically,
+    keep the candidate with max centroid-weighted edge distance, then
+    refine around it.  Returns (x, y) or None for degenerate input."""
+    rings = [(np.asarray(x, dtype=np.float64),
+              np.asarray(y, dtype=np.float64)) for x, y in rings
+             if len(np.asarray(x))]
+    mp = _max_path(rings)
+    if mp is None:
+        return None
+    bw = float(mp[0].max() - mp[0].min())
+    bh = float(mp[1].max() - mp[1].min())
+    if bw * bh == 0:
+        return None
+    thresh = np.sqrt(bw * bh) * 0.01
+    simple = _simplify_polygon_fast(rings, thresh)
+    if simple is None:
+        return None
+    return _find_anchor2(simple)
+
+
+def _find_anchor2(rings):
+    """findAnchorPoint2 (mapshaper-anchor-points.js:38-77)."""
+    mp = _max_path(rings)
+    bw = float(mp[0].max() - mp[0].min())
+    bh = float(mp[1].max() - mp[1].min())
+    cx, cy = _path_centroid(mp[0], mp[1])
+    ref_dist = max(bw, bh) / 2
+    if ref_dist == 0:
+        return (cx, cy)
+
+    def weight(x, y):
+        off = np.sqrt((cx - x) ** 2 + (cy - y) ** 2)  # distance2D
+        return 1 - min(0.6 * off / ref_dist, 0.25)
+
+    area = planar_ring_area(mp[0], mp[1])
+    if len(rings) == 1 and area * 1.2 > bw * bh:
+        htics, focus = 5, 0.2
+    elif len(rings) == 1 and area * 1.7 > bw * bh:
+        htics, focus = 7, 0.4
+    else:
+        htics, focus = 11, 0.5
+    hrange = bw * focus
+    lbound = cx - hrange / 2
+    rbound = lbound + hrange
+    hstep = hrange / htics
+
+    p = _probe_best(rings, lbound, rbound, htics, weight)
+    if p is None:
+        return (cx, cy)
+    p2 = _probe_best(rings, p["x"] - hstep / 2, p["x"] + hstep / 2, 2,
+                     weight)
+    if p2 is not None and p2["distance"] > p["distance"]:
+        p = p2
+    return (p["x"], p["y"])
 
 
 def anchor_points(ds, x_col="ax", y_col="ay"):

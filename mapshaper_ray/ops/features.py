@@ -192,12 +192,51 @@ def centroids(ds, x_col="cx", y_col="cy"):
     return ds.map_batches(go, batch_format="pandas")
 
 
+def _topology_rotated(ds):
+    """Rebuild each feature's rings through the shared-arc topology —
+    identical coordinates, but rings rotated to their first junction
+    exactly as the reference stores them after buildTopology."""
+    import ray.data as rd
+
+    from ..topo.build import build_topology
+    df = ds.to_pandas().sort_values("feature_id").reset_index(drop=True)
+    feats = []
+    for _, row in df.iterrows():
+        rx, ry = _rings(row)
+        feats.append([np.stack([x, y], axis=1)
+                      for x, y in zip(rx, ry)] or None)
+    arcs, shapes = build_topology(feats)
+    rows = []
+    for fi, (_, row) in enumerate(df.iterrows()):
+        out = {c: row[c] for c in df.columns
+               if c not in ("rings_x", "rings_y")}
+        nx, ny = [], []
+        for part in (shapes[fi] or []):
+            x, y = arcs.path_coords(part)
+            x = np.asarray(x, float)
+            y = np.asarray(y, float)
+            if len(x) and (x[0] != x[-1] or y[0] != y[-1]):
+                x = np.append(x, x[0])
+                y = np.append(y, y[0])
+            nx.append(x.tolist())
+            ny.append(y.tolist())
+        out["rings_x"] = nx
+        out["rings_y"] = ny
+        rows.append(out)
+    return rd.from_items(rows)
+
+
 def to_point_layer(ds, mode="centroid"):
     """-points: polygon layer -> point layer (``centroid`` or ``inner``
     anchor points, src/commands/mapshaper-points.js)."""
     if mode == "inner":
         from .anchor import anchor_points
-        ds = anchor_points(ds, x_col="cx", y_col="cy")
+        # the reference places anchors AFTER buildTopology, where each
+        # ring is rotated to its first junction — simplifyPathFast (and
+        # hence the probe) depends on the start vertex, so rebuild the
+        # rings through topology before anchoring (verified start-exact
+        # against the reference CLI on two_states)
+        ds = anchor_points(_topology_rotated(ds), x_col="cx", y_col="cy")
     else:
         ds = centroids(ds)
 

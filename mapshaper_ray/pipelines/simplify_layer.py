@@ -51,7 +51,8 @@ def calc_planar_interval(xres, yres, width, height):
 
 def simplify_layer(ds, pct: float | None = None,
                    method: str = "visvalingam",
-                   keep_shapes: bool = True, spherical: bool = False,
+                   keep_shapes: bool = True,
+                   spherical: bool | None = None,
                    weighting: float | None = None,
                    interval: float | None = None,
                    resolution: str | None = None):
@@ -78,6 +79,14 @@ def simplify_layer(ds, pct: float | None = None,
         xcol, ycol = "rings_x", "rings_y"
     feats = _layer_features(df, xcol, ycol)
     arcs, shapes = build_topology(feats, closed=(gt != "polyline"))
+
+    if spherical is None:
+        # reference default: spherical when the data looks like
+        # decimal degrees (useSphericalSimplify + probablyDecimal-
+        # DegreeBounds, world bounds padded by 1 degree of excess)
+        spherical = bool(len(arcs.xx)) and \
+            arcs.xx.min() >= -181 and arcs.xx.max() <= 181 and \
+            arcs.yy.min() >= -91 and arcs.yy.max() <= 91
 
     # per-arc thresholds: distributed map over the arcs table
     items = []
@@ -117,7 +126,16 @@ def simplify_layer(ds, pct: float | None = None,
         xres, yres = (float(v) for v in str(resolution).split("x"))
         w = float(arcs.xx.max() - arcs.xx.min())
         h = float(arcs.yy.max() - arcs.yy.min())
-        zlimit = calc_planar_interval(xres, yres, w, h)
+        if spherical:
+            # convertSimplifyResolution spherical branch: content width
+            # is the parallel arc through the bbox center, in meters
+            from ..geom.kernels import D2R, R
+            cy = (float(arcs.yy.min()) + float(arcs.yy.max())) / 2.0
+            w = w * D2R * R * np.cos(cy * D2R)
+            h = h * D2R * R
+        # reference scales the interval to DOUBLE the resolution
+        # (convertSimplifyResolution: interval *= 0.5)
+        zlimit = calc_planar_interval(xres, yres, w, h) * 0.5
     else:
         if pct is None:
             raise ValueError("need pct=, interval= or resolution=")
@@ -213,7 +231,8 @@ def simplify_layer(ds, pct: float | None = None,
 
 def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
                                weighting: float | None = None,
-                               keep_shapes: bool = False):
+                               keep_shapes: bool = False,
+                               spherical: bool = False):
     """END-TO-END distributed -simplify over a polygon layer Dataset:
 
       rings explode to per-path rows → two-shuffle shared-arc topology
@@ -257,7 +276,13 @@ def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
     items = [{"arc_id": a, "x": arcs.xx[arcs.ii[a]:arcs.ii[a] + arcs.nn[a]],
               "y": arcs.yy[arcs.ii[a]:arcs.ii[a] + arcs.nn[a]]}
              for a in range(len(arcs.nn))]
-    if method == "dp":
+    if spherical:
+        from ..geom.simplify import spherical_thresholds
+
+        def fn(x, y):
+            return spherical_thresholds(x, y, method=method,
+                                        weighting=weighting)
+    elif method == "dp":
         fn = dp_thresholds
     else:
         def fn(x, y):

@@ -111,10 +111,16 @@ def test_innerlines_two_states_exact(ray_session, ref_cli, tmp_path):
 
 
 @pytest.mark.parametrize("ref_args,our_spec", [
-    (["-simplify", "dp", "30%", "planar", "no-repair"], "dp 30%"),
+    # planar: bit-exact thresholds
+    (["-simplify", "dp", "30%", "planar", "no-repair"], "dp planar 30%"),
     (["-simplify", "visvalingam", "40%", "planar", "no-repair"],
-     "visvalingam 40%"),
-    (["-simplify", "55%", "planar", "no-repair"], "weighted 55%"),
+     "visvalingam planar 40%"),
+    (["-simplify", "55%", "planar", "no-repair"], "planar 55%"),
+    # DEFAULT chain (weighted VW + spherical auto) and spherical dp —
+    # trig ulp differences exist but flip no vertex on this fixture
+    (["-simplify", "50%", "no-repair"], "50%"),
+    (["-simplify", "dp", "35%", "no-repair"], "dp 35%"),
+    (["-simplify", "interval=3000", "no-repair"], "interval=3000"),
 ])
 def test_simplify_planar_exact(ray_session, ref_cli, tmp_path,
                                ref_args, our_spec):
@@ -197,3 +203,16 @@ def test_dissolve2_six_counties(ray_session, ref_cli, tmp_path):
     a, b = set(all_rings(str(ours))), set(all_rings(str(ref)))
     assert a - b == set()          # every ring of ours is in the ref
     assert len(b - a) <= 1         # at most the known sliver hole
+
+
+def test_points_inner_exact(ray_session, ref_cli, tmp_path):
+    """Anchor placement is a faithful port (simplifyPolygonFast →
+    probe → vertical scan → refine) over topology-rotated rings —
+    coordinates match the reference bit-for-bit."""
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [TWO_STATES, "-points", "inner", "-o", str(ref)])
+    run_commands(f"-i {TWO_STATES} -points inner -o {ours}")
+    a = sorted(tuple(g["coordinates"]) for g in geoms(str(ours)) if g)
+    b = sorted(tuple(g["coordinates"]) for g in geoms(str(ref)) if g)
+    assert a == b

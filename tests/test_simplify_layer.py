@@ -109,9 +109,11 @@ def test_simplify_layer_distributed_matches_inprocess(ray_session):
                      "ring_poly": [0]})
     ds = rd.from_items(rows)
     for pct in (0.3, 0.7):
-        a = simplify_layer(ds, pct=pct, keep_shapes=False).to_pandas() \
+        a = simplify_layer(ds, pct=pct, keep_shapes=False,
+                           spherical=False).to_pandas() \
             .sort_values("feature_id").reset_index(drop=True)
-        b = simplify_layer_distributed(ds, pct=pct).to_pandas() \
+        b = simplify_layer_distributed(ds, pct=pct,
+                                       spherical=False).to_pandas() \
             .sort_values("feature_id").reset_index(drop=True)
         assert len(a) == len(b)
         for i in range(len(a)):
