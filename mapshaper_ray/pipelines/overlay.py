@@ -44,10 +44,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..geom.kernels import planar_ring_area, points_in_shape
+from ..geom.kernels import planar_ring_area
 from ..topo.build import build_topology
 from ..topo.dissolve import dissolve_shapes
-from ..topo.mosaic import polygon_mosaic
 
 
 def _rows_to_features(df: pd.DataFrame):
@@ -62,6 +61,37 @@ def _rows_to_features(df: pd.DataFrame):
         feats.append([np.stack([np.asarray(x, float),
                                 np.asarray(y, float)], axis=1)
                       for x, y in zip(rx, ry)] or None)
+    return feats
+
+
+def _rewound_features(df: pd.DataFrame):
+    """Like _rows_to_features, but rings are REWOUND to the reference
+    convention (outer rings positive area, holes negative) using the
+    row's ring_poly grouping — the pathfinder clip kernel
+    (topo/refclip.py) depends on reference winding, while our layer
+    model is otherwise winding-agnostic."""
+    from ..geom.kernels import planar_ring_area
+    feats = []
+    rp_col = df["ring_poly"].to_numpy() if "ring_poly" in df.columns \
+        else [None] * len(df)
+    for rx, ry, rp in zip(df["rings_x"].to_numpy(),
+                          df["rings_y"].to_numpy(), rp_col):
+        if rx is None:
+            feats.append(None)
+            continue
+        rp = list(rp) if rp is not None else list(range(len(rx)))
+        rings = []
+        seen_poly: set = set()
+        for x, y, p in zip(rx, ry, rp):
+            x = np.asarray(x, float)
+            y = np.asarray(y, float)
+            is_hole = p in seen_poly
+            seen_poly.add(p)
+            area = planar_ring_area(x, y)
+            if (is_hole and area > 0) or (not is_hole and area < 0):
+                x, y = x[::-1], y[::-1]
+            rings.append(np.stack([x, y], axis=1))
+        feats.append(rings or None)
     return feats
 
 
@@ -416,60 +446,23 @@ def dissolve_layer(ds, key: str, sum_fields=(), copy_fields=(),
     return rd.from_pandas(mdf[cols])
 
 
-def _union_clip(clip_feats):
-    """Union the clip layer before clipping (the reference dissolves
-    the clip side, src/commands/mapshaper-clip-erase.js:39-93) so
-    even-odd containment is correct over OVERLAPPING clip polygons —
-    returns the union as one feature's ring list."""
-    from ..topo.mosaic import dissolve2
-    feats = [f for f in clip_feats if f]
-    if not feats:
-        return []
-    rings = (dissolve2(feats, ["u"] * len(feats)).get("u") or
-             {"rings": []})["rings"]
-    return [np.stack([np.asarray(x, float), np.asarray(y, float)],
-                     axis=1) for x, y in rings]
-
-
 def _overlay(df_target: pd.DataFrame, clip_feats, keep_inside_clip: bool):
-    """Per-cell boolean kernel: mosaic of target∪clip; tiles assigned to
-    target features; kept by clip-side containment."""
-    tgt_feats = _rows_to_features(df_target)
-    all_feats = [f for f in tgt_feats if f] + \
-        [f for f in clip_feats if f]
-    tiles = polygon_mosaic(all_feats)
-
-    tgt_rings = [[(np.asarray(r)[:, 0], np.asarray(r)[:, 1])
-                  for r in (f or [])] for f in tgt_feats]
-    clip_rings = [(np.asarray(r)[:, 0], np.asarray(r)[:, 1])
-                  for f in clip_feats if f for r in f]
-
-    per_feature_tiles: dict[int, list] = {}
-    for t in tiles:
-        px, py = t["point"]
-        pin = np.array([px]), np.array([py])
-        in_clip = bool(points_in_shape(pin[0], pin[1], clip_rings)[0]) \
-            if clip_rings else False
-        if in_clip != keep_inside_clip:
-            continue
-        # a tile joins EVERY containing target feature: the reference
-        # clips each feature independently, so overlapping targets keep
-        # their overlap in the output (unlike dissolve2's first-match)
-        for fi, rings in enumerate(tgt_rings):
-            if rings and points_in_shape(pin[0], pin[1], rings)[0]:
-                per_feature_tiles.setdefault(fi, []).append(t)
-
+    """Per-batch boolean kernel: the reference's flag-guarded pathfinder
+    clip (topo/refclip.py clipPolygons port) — robust on defective
+    input (partially overlapping collinear borders) where an explicit
+    face arrangement is not."""
+    from ..topo.refclip import clip_features
+    tgt_feats = _rewound_features(df_target)
+    out_shapes = clip_features(tgt_feats, [f for f in clip_feats if f],
+                               "clip" if keep_inside_clip else "erase")
     rows = []
-    for fi, ts in sorted(per_feature_tiles.items()):
-        feats = [[np.stack([rx, ry], axis=1) for rx, ry in t["rings"]]
-                 for t in ts]
-        arcs, shapes = build_topology(feats)
-        rings = dissolve_shapes(shapes, ["g"] * len(shapes), arcs)["g"] or []
-        coords = [arcs.path_coords(r) for r in rings]
+    for fi, rings in enumerate(out_shapes):
+        if not rings:
+            continue
         row = {c: df_target.iloc[fi][c] for c in df_target.columns
                if c not in ("rings_x", "rings_y", "ring_poly")}
         row["rings_x"], row["rings_y"], row["ring_poly"] = \
-            _rings_to_row(coords)
+            _rings_to_row(rings)
         rows.append(row)
     return pd.DataFrame(rows)
 
@@ -492,7 +485,9 @@ def _overlay_layer(target_ds, clip_ds, keep_inside_clip: bool,
     import ray.data as rd
 
     if cell is None:
-        clip_feats = [_union_clip(_rows_to_features(clip_ds.to_pandas()))]
+        # raw clip features broadcast once (reference winding); the
+        # kernel dissolves the clip side internally
+        clip_feats = _rewound_features(clip_ds.to_pandas())
         ref = ray.put(clip_feats)
 
         def kernel(df: pd.DataFrame) -> pd.DataFrame:
@@ -524,8 +519,8 @@ def _overlay_layer(target_ds, clip_ds, keep_inside_clip: bool,
         if len(t) == 0:
             return pd.DataFrame()
         c = c.sort_values("feature_id")
-        clip_feats = [_union_clip(_rows_to_features(c))] if len(c) else []
-        if keep_inside_clip and not (clip_feats and clip_feats[0]):
+        clip_feats = _rewound_features(c) if len(c) else []
+        if keep_inside_clip and not any(clip_feats):
             return pd.DataFrame()
         out = _overlay(t, clip_feats, keep_inside_clip)
         return out

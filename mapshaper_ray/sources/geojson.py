@@ -84,14 +84,24 @@ def split_features(buf: bytes | str) -> list[str]:
 # per-feature geometry normalization (→ layer rows)
 
 def _poly_rows(geom):
-    """Polygon/MultiPolygon coordinates → (rings_x, rings_y, ring_poly)."""
+    """Polygon/MultiPolygon coordinates → (rings_x, rings_y, ring_poly).
+
+    Rings are REWOUND to the reference convention on import (importRing,
+    src/paths/mapshaper-path-import.js:105-113): outer rings positive
+    area, holes negative — downstream boolean ops (clip/erase flags,
+    hole division) depend on it."""
+    from ..geom.kernels import planar_ring_area
     coords = geom.get("coordinates") or []
     if geom["type"] == "Polygon":
         coords = [coords]
     rx, ry, rp = [], [], []
     for pi, poly in enumerate(coords):
-        for ring in poly:
+        for ri, ring in enumerate(poly):
             arr = np.asarray(ring, dtype=np.float64)
+            is_hole = ri > 0
+            area = planar_ring_area(arr[:, 0], arr[:, 1])
+            if (is_hole and area > 0) or (not is_hole and area < 0):
+                arr = arr[::-1]
             rx.append(arr[:, 0])
             ry.append(arr[:, 1])
             rp.append(pi)

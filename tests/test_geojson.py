@@ -76,6 +76,13 @@ def test_roundtrip(ray_session, tmp_path, fc, n):
         assert a["properties"] == b["properties"]
         if b["geometry"] is None:
             assert a["geometry"] is None
+        elif a["geometry"]["type"].endswith("Polygon"):
+            # import REWINDS rings to the reference convention
+            # (importRing) — compare rings up to rotation/direction,
+            # exactly like the reference's own round-trip behavior
+            assert a["geometry"]["type"] == b["geometry"]["type"]
+            assert sorted(map(_canon, _rings(a["geometry"]))) == \
+                sorted(map(_canon, _rings(b["geometry"])))
         else:
             assert a["geometry"]["type"] == b["geometry"]["type"]
             assert np.allclose(
@@ -84,6 +91,22 @@ def test_roundtrip(ray_session, tmp_path, fc, n):
                 if a["geometry"]["type"] in ("Point",) else
                 _flat(a["geometry"]["coordinates"]),
                 _flat(b["geometry"]["coordinates"]))
+
+
+def _rings(geom):
+    c = geom["coordinates"]
+    return list(c) if geom["type"] == "Polygon" else \
+        [r for poly in c for r in poly]
+
+
+def _canon(ring):
+    pts = [tuple(p) for p in ring[:-1]]
+    best = None
+    for seq in (pts, pts[::-1]):
+        i = min(range(len(seq)), key=lambda k: seq[k])
+        rot = seq[i:] + seq[:i]
+        best = rot if best is None or rot < best else best
+    return tuple(best)
 
 
 def _flat(c):

@@ -216,3 +216,42 @@ def test_points_inner_exact(ray_session, ref_cli, tmp_path):
     a = sorted(tuple(g["coordinates"]) for g in geoms(str(ours)) if g)
     b = sorted(tuple(g["coordinates"]) for g in geoms(str(ref)) if g)
     assert a == b
+
+
+def _write_tri(path, cw):
+    tri = [[-124, 42], [-120, 48], [-118, 44], [-124, 42]] if cw else \
+        [[-124, 42], [-118, 44], [-120, 48], [-124, 42]]
+    json.dump({"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {},
+         "geometry": {"type": "Polygon", "coordinates": [tri]}}]},
+        open(path, "w"))
+
+
+@pytest.mark.parametrize("cw", [True, False])
+def test_polygon_clip_exact(ray_session, ref_cli, tmp_path, cw):
+    """General polygon-layer clip through the ported reference
+    pathfinder (topo/refclip.py) — coordinate-exact on the reference's
+    own DEFECTIVE two_states fixture (whose state borders cross ~49
+    times; the old mosaic arrangement broke on it)."""
+    tri = tmp_path / "tri.json"
+    _write_tri(str(tri), cw)
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [TWO_STATES, "-clip", str(tri), "-o", str(ref)])
+    run_commands(f"-i {TWO_STATES} -clip {tri} -o {ours}")
+    assert all_rings(str(ours)) == all_rings(str(ref))
+
+
+@pytest.mark.parametrize("cw", [True, False])
+def test_polygon_erase_near_exact(ray_session, ref_cli, tmp_path, cw):
+    """Erase keeps the defective shared border in the output, where ONE
+    snapped vertex differs from the reference in its last ulp (the
+    snap winner between two near-duplicate source vertices depends on
+    vertex-array order) — compare at 12 decimals."""
+    tri = tmp_path / "tri.json"
+    _write_tri(str(tri), cw)
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [TWO_STATES, "-erase", str(tri), "-o", str(ref)])
+    run_commands(f"-i {TWO_STATES} -erase {tri} -o {ours}")
+    assert all_rings(str(ours), nd=12) == all_rings(str(ref), nd=12)
