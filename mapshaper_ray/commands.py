@@ -704,18 +704,24 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 keys = ["_all"] * len(df)
             else:
                 keys = [str(v) for v in df[key]]
-            out = mz.dissolve2(feats, keys,
-                               gap_max_area=float(
-                                   opts.get("gap_fill_area", 0)))
+            # reference-exact kernel (topo/refclip.py dissolve2 port:
+            # mosaic tiles assigned by arc index, sliver-gap fill)
+            from .pipelines.overlay import (_rewound_features,
+                                            _rings_to_row)
+            from .topo.refclip import dissolve2_features
+            mga = float(opts["min_gap_area"]) \
+                if "min_gap_area" in opts else \
+                (float(opts["gap_fill_area"])
+                 if "gap_fill_area" in opts else None)
+            out = dissolve2_features(_rewound_features(df), keys,
+                                     min_gap_area=mga)
             rows = []
-            for i, (k, v) in enumerate(sorted(out.items())):
-                rows.append({
-                    "feature_id": i, key or "feature_key": k,
-                    "rings_x": [np.asarray(x).tolist()
-                                for x, _ in v["rings"]],
-                    "rings_y": [np.asarray(y).tolist()
-                                for _, y in v["rings"]],
-                    "ring_poly": [0] * len(v["rings"])})
+            for i, (k, rings) in enumerate(sorted(out.items())):
+                gx, gy, gp = _rings_to_row(rings) if rings \
+                    else ([], [], [])
+                rows.append({"feature_id": i, key or "feature_key": k,
+                             "rings_x": gx, "rings_y": gy,
+                             "ring_poly": gp})
             cat.replace(rd.from_items(rows))
         elif name == "explode":
             cat.replace(api.explode(cat.get()))

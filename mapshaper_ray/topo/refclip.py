@@ -1201,3 +1201,305 @@ def clip_features(target_feats, clip_feats, type_):
             rings.append((x, y))
         out.append(rings)
     return out
+
+
+# ---------------------------------------------------------------------------
+# polygon mosaic + dissolve2 (mapshaper-polygon-mosaic.js,
+# mapshaper-polygon-dissolve3.js)
+
+class FilteredNodes(Nodes):
+    """NodeCollection with an arc-presence filter and acyclic-arc
+    detachment (buildPolygonMosaic needs spikes removed)."""
+
+    def __init__(self, arcs: RefArcs, present=None):
+        self.arcs = arcs
+        self.present = present
+        self.detached: set = set()
+        self._at = {}
+        for a in range(arcs.size()):
+            if present is not None and not present[a]:
+                continue
+            i0 = int(arcs.ii[a])
+            j = i0 + int(arcs.nn[a]) - 1
+            self._at.setdefault((arcs.xx[j], arcs.yy[j]), []).append(a)
+            self._at.setdefault((arcs.xx[i0], arcs.yy[i0]),
+                                []).append(~a)
+
+    def connected(self, arc_id, filt=None):
+        a = ABS(arc_id)
+        if a in self.detached:
+            return []
+        arcs = self.arcs
+        i0 = int(arcs.ii[a])
+        j = i0 + int(arcs.nn[a]) - 1
+        node = (arcs.xx[j], arcs.yy[j]) if arc_id >= 0 else \
+            (arcs.xx[i0], arcs.yy[i0])
+        out = []
+        for cand in self._at.get(node, ()):
+            if cand == arc_id or ABS(cand) in self.detached:
+                continue
+            if filt and not filt(ABS(cand)):
+                continue
+            out.append(cand)
+        return out
+
+    def detach_acyclic_arcs(self):
+        """Iteratively detach arcs dangling at either endpoint
+        (detachAcyclicArcs, src/topology/mapshaper-nodes.js:58-76)."""
+        changed = True
+        count = 0
+        while changed:
+            changed = False
+            for a in range(self.arcs.size()):
+                if a in self.detached:
+                    continue
+                if self.present is not None and not self.present[a]:
+                    continue
+                # dangling if no OTHER live arc meets either endpoint
+                if not self.connected(a) or not self.connected(~a):
+                    self.detached.add(a)
+                    changed = True
+                    count += 1
+        return count
+
+
+def _simple_bounds(ids, arcs: RefArcs):
+    x, y = path_coords(ids, arcs)
+    return (float(x.min()), float(y.min()), float(x.max()), float(y.max()))
+
+
+def _seg_test_point(ids, arcs: RefArcs):
+    p0 = arcs.vertex(ids[0], 0)
+    p1 = arcs.vertex(ids[0], 1)
+    return ((p0[0] + p1[0]) / 2, (p0[1] + p1[1]) / 2)
+
+
+def _find_smallest_enclosing(ring_ids, candidates, arcs: RefArcs):
+    """findSmallestEnclosingPolygon over candidate rings
+    [(ids, bounds)] — smallest-bbox candidate that strictly contains
+    the ring's bbox and its test point (mapshaper-path-index.js:77-91).
+    Returns candidate index or -1."""
+    from ..geom.kernels import points_in_ring
+    bb = _simple_bounds(ring_ids, arcs)
+    p = _seg_test_point(ring_ids, arcs)
+    best, best_area = -1, math.inf
+    for idx, (ids, cbb) in enumerate(candidates):
+        if cbb == bb:
+            continue
+        if cbb[0] > bb[0] or cbb[1] > bb[1] or cbb[2] < bb[2] or \
+                cbb[3] < bb[3]:
+            continue
+        area = (cbb[2] - cbb[0]) * (cbb[3] - cbb[1])
+        if best >= 0 and best_area < area:
+            continue
+        x, y = path_coords(ids, arcs)
+        if points_in_ring(np.array([p[0]]), np.array([p[1]]),
+                          x, y)[0] == 1:
+            best, best_area = idx, area
+    return best
+
+
+def find_mosaic_rings(nodes: FilteredNodes):
+    """findMosaicRings: walk every open directed arc into rightmost
+    rings; classify by signed area."""
+    arcs = nodes.arcs
+    cw, ccw = [], []
+    flags = np.zeros(arcs.size(), dtype=np.int64)
+
+    def route_is_open(arc_id, close=False):
+        a = ABS(arc_id)
+        bit = 1 if a == arc_id else 2
+        is_open = (int(flags[a]) & bit) == 0
+        if close and is_open:
+            flags[a] |= bit
+        return is_open
+
+    def use_route(arc_id):
+        return route_is_open(arc_id, close=True)
+
+    find_path = get_path_finder(nodes, use_route)
+
+    def try_path(arc_id):
+        if ABS(arc_id) in nodes.detached:
+            return
+        if nodes.present is not None and not nodes.present[ABS(arc_id)]:
+            return
+        if not route_is_open(arc_id):
+            return
+        ring = find_path(arc_id)
+        if not ring:
+            return  # dead-end arc
+        area = path_area(ring, arcs)
+        if area > 0:
+            cw.append(ring)
+        elif area < 0:
+            ccw.append(ring)
+
+    for i in range(arcs.size()):
+        try_path(i)
+        try_path(~i)
+    return cw, ccw
+
+
+def build_polygon_mosaic(nodes: FilteredNodes):
+    """buildPolygonMosaic: CW rings are tile boundaries; enclosed CCW
+    rings attach as holes, unenclosed ones are enclosures (dropped
+    here, like dissolve2 does)."""
+    nodes.detach_acyclic_arcs()
+    cw, ccw = find_mosaic_rings(nodes)
+    mosaic = [[ring] for ring in cw]
+    cands = [(t[0], _simple_bounds(t[0], nodes.arcs)) for t in mosaic]
+    for ring in ccw:
+        idx = _find_smallest_enclosing(ring, cands, nodes.arcs)
+        if idx > -1:
+            mosaic[idx].append(ring)
+    return mosaic
+
+
+def calc_max_sliver_area(arcs: RefArcs):
+    """calcMaxSliverArea: mean segment length (ignoring very long
+    segments) squared."""
+    if not len(arcs.xx):
+        return 0.0
+    dx_max = (float(arcs.xx.max()) - float(arcs.xx.min())) / 2
+    dy_max = (float(arcs.yy.max()) - float(arcs.yy.min())) / 2
+    mean = 0.0
+    count = 0
+    for a in range(arcs.size()):
+        i0 = int(arcs.ii[a])
+        n = int(arcs.nn[a])
+        x = arcs.xx[i0:i0 + n]
+        y = arcs.yy[i0:i0 + n]
+        dx = np.abs(np.diff(x))
+        dy = np.abs(np.diff(y))
+        for k in range(len(dx)):
+            if dx[k] < dx_max and dy[k] < dy_max:
+                count += 1
+                mean += (math.sqrt(dx[k] * dx[k] + dy[k] * dy[k]) -
+                         mean) / count
+    return mean * mean
+
+
+def dissolve_polygons2(groups, arcs: RefArcs, min_gap_area=None):
+    """dissolvePolygons2 (mapshaper-polygon-dissolve3.js:37-190):
+    mosaic tiles assigned to the highest-weight group indexing each
+    boundary arc; unassigned (gap) tiles adopt the highest-priority
+    NEIGHBOR when they pass the gap-fill test (default: the sliver
+    threshold; 0 disables fill)."""
+    present = np.zeros(arcs.size(), dtype=bool)
+    for shape in groups:
+        for ids in (shape or []):
+            for sid in ids:
+                present[ABS(sid)] = True
+    nodes = FilteredNodes(arcs, present)
+    divide = get_hole_divider(nodes)
+    dissolve = get_ring_intersector(nodes, "dissolve")
+    if min_gap_area == 0:
+        def gap_test(ring):
+            return False
+    elif min_gap_area is not None:
+        def gap_test(ring):
+            return abs(path_area(ring, arcs)) < min_gap_area
+    else:
+        max_sliver = calc_max_sliver_area(arcs)
+
+        def gap_test(ring):
+            return abs(path_area(ring, arcs)) <= max_sliver
+
+    mosaic = build_polygon_mosaic(nodes)
+    fwd_index = np.full(arcs.size(), -1, dtype=np.int64)
+    rev_index = np.full(arcs.size(), -1, dtype=np.int64)
+    weights = []
+    tile_groups = [[] for _ in groups]
+    unassigned = []
+
+    def get_shape_id(sid):
+        a = ABS(sid)
+        return int((fwd_index if a == sid else rev_index)[a])
+
+    def set_shape_id(sid, shp_id):
+        a = ABS(sid)
+        (fwd_index if a == sid else rev_index)[a] = shp_id
+
+    def choose(a, b):
+        if a == -1 or (b > -1 and weights[a] < weights[b]):
+            return b
+        return a
+
+    for shape_id, shape in enumerate(groups):
+        weights.append(sum(path_area(ids, arcs)
+                           for ids in (shape or [])))
+        cw, ccw = [], []
+        divide(shape or [], cw, ccw)
+        rings = cw + ccw
+        if ccw:
+            # fixNestingErrors2: un-contained CCW rings flip to CW
+            cands = [(ids, _simple_bounds(ids, arcs)) for ids in rings]
+            for ids in rings:
+                if path_area(ids, arcs) < 0:
+                    others = [c for c in cands if c[0] is not ids]
+                    if _find_smallest_enclosing(ids, others, arcs) == -1:
+                        reverse_path(ids)
+        for ids in rings:
+            for sid in ids:
+                stored = get_shape_id(sid)
+                if stored == -1 or choose(shape_id, stored) == shape_id:
+                    set_shape_id(sid, shape_id)
+
+    for tile_id, tile in enumerate(mosaic):
+        ring = tile[0]
+        shape_id = -1
+        for sid in ring:
+            shape_id = choose(shape_id, get_shape_id(sid))
+        if shape_id == -1:
+            unassigned.append(tile_id)
+        else:
+            tile_groups[shape_id].append(tile_id)
+
+    for tile_id in unassigned:
+        ring = mosaic[tile_id][0]
+        shape_id = -1
+        for sid in ring:
+            shape_id = choose(shape_id, get_shape_id(~sid))
+        if shape_id > -1 and gap_test(ring):
+            tile_groups[shape_id].append(tile_id)
+
+    out = []
+    for group in tile_groups:
+        rings, holes = [], []
+        for tile_id in group:
+            tile = mosaic[tile_id]
+            rings.append(tile[0])
+            holes.extend(tile[1:])
+        dissolved = dissolve(rings + holes)
+        out.append(dissolved if dissolved else None)
+    return out
+
+
+def dissolve2_features(features, keys, min_gap_area=None,
+                       per_feature=False):
+    """Top-level -dissolve2 / -clean over ring-coordinate features.
+    Returns {key: [(x, y) rings]} (``per_feature=True`` keeps one group
+    per feature — the -clean semantics)."""
+    arcs, shapes = _features_to_arcs(features)
+    arcs, shapes, _ = add_intersection_cuts(arcs, shapes)
+    order = []
+    groups: dict = {}
+    for shape, key in zip(shapes, keys):
+        if key not in groups:
+            groups[key] = []
+            order.append(key)
+        groups[key].extend(shape or [])
+    shapes2 = dissolve_polygons2([groups[k] for k in order], arcs,
+                                 min_gap_area=min_gap_area)
+    out = {}
+    for key, shp in zip(order, shapes2):
+        rings = []
+        for ids in (shp or []):
+            x, y = path_coords(ids, arcs)
+            if len(x) and (x[0] != x[-1] or y[0] != y[-1]):
+                x = np.append(x, x[0])
+                y = np.append(y, y[0])
+            rings.append((x, y))
+        out[key] = rings
+    return out

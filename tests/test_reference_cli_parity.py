@@ -190,19 +190,17 @@ def test_filter_islands_exact(ray_session, ref_cli, tmp_path, crit):
     assert all_rings(str(ours)) == all_rings(str(ref))
 
 
-def test_dissolve2_six_counties(ray_session, ref_cli, tmp_path):
-    """Keyless -dissolve2 merges everything.  Ring sets match except
-    one known divergence: a self-intersecting sliver in the DC ring
-    whose mosaic tile our even-odd interior test assigns to DC while
-    the reference leaves it as a gap hole — defective-input geometry
-    where both answers are defensible."""
+@pytest.mark.parametrize("cmd", ["-dissolve2", "-clean"])
+def test_dissolve2_clean_exact(ray_session, ref_cli, tmp_path, cmd):
+    """Keyless -dissolve2 (merge everything) and -clean (repair
+    overlaps/gaps, keep features) through the ported reference mosaic
+    (topo/refclip.py dissolve2 port) — coordinate-exact, including the
+    self-intersecting DC sliver the old face arrangement misassigned."""
     ref = tmp_path / "ref.json"
     ours = tmp_path / "ours.json"
-    ref_run(ref_cli, [SIX_COUNTIES, "-dissolve2", "-o", str(ref)])
-    run_commands(f"-i {SIX_COUNTIES} -dissolve2 -o {ours}")
-    a, b = set(all_rings(str(ours))), set(all_rings(str(ref)))
-    assert a - b == set()          # every ring of ours is in the ref
-    assert len(b - a) <= 1         # at most the known sliver hole
+    ref_run(ref_cli, [SIX_COUNTIES, cmd, "-o", str(ref)])
+    run_commands(f"-i {SIX_COUNTIES} {cmd} -o {ours}")
+    assert all_rings(str(ours)) == all_rings(str(ref))
 
 
 def test_points_inner_exact(ray_session, ref_cli, tmp_path):
