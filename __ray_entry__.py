@@ -767,6 +767,52 @@ _MEDIA_HEAD = """media AS (
   FROM documents)"""
 
 
+
+# Robinson float32-rounded cubic coefficients, one VALUES row per
+# 5-degree node: (idx, x0..x3, y0..y3) — same public proj4 table the
+# engine uses (mproj stores them as Float32Array; these literals are
+# the float32-rounded doubles)
+_ROBIN_ROWS_SQL = """\
+              (0, 1.0, 2.21989997769713e-17, -7.155149796744809e-05, 3.1102999855647795e-06,
+               -5.204170014340115e-18, 0.012400000356137753, 1.2143100314194296e-18, -8.452839816985858e-11),
+              (1, 0.9986000061035156, -0.0004822429909836501, -2.4896999093471095e-05, -1.3308999768923968e-06,
+               0.06199999898672104, 0.012400000356137753, -1.267929983228555e-09, 4.226420047270807e-10),
+              (2, 0.9954000115394592, -0.0008310300181619823, -4.486049874685705e-05, -9.867010248854058e-07,
+               0.12399999797344208, 0.012400000356137753, 5.071710162951604e-09, -1.6060399676831594e-09),
+              (3, 0.9900000095367432, -0.0013536399928852916, -5.966100070509128e-05, 3.677700078696944e-06,
+               0.1860000044107437, 0.012399899773299694, -1.9018900232481428e-08, 6.001520169718333e-09),
+              (4, 0.982200026512146, -0.001674419967457652, -4.495469966059318e-06, -5.724109996663174e-06,
+               0.24799999594688416, 0.01240019965916872, 7.100390320147199e-08, -2.240000007702747e-08),
+              (5, 0.9729999899864197, -0.0021486799232661724, -9.035709808813408e-05, 1.8735999418595384e-08,
+               0.3100000023841858, 0.012399200350046158, -2.6499699856685766e-07, 8.359860004247821e-08),
+              (6, 0.9599999785423279, -0.0030508500058203936, -9.007610060507432e-05, 1.6491700307597057e-06,
+               0.3720000088214874, 0.01240289956331253, 9.88982947092154e-07, -3.119940004125965e-07),
+              (7, 0.9427000284194946, -0.003827919950708747, -6.533860141644254e-05, -2.6154000352107687e-06,
+               0.4339999854564667, 0.012389300391077995, -3.6909300433762837e-06, -4.3562098994698317e-07),
+              (8, 0.9215999841690063, -0.004677460063248873, -0.00010456999734742567, 4.812429779121885e-06,
+               0.4957999885082245, 0.012319800443947315, -1.0225199730484746e-05, -3.455230057625158e-07),
+              (9, 0.8962000012397766, -0.005362229887396097, -3.2383100915467367e-05, -5.43431997357402e-06,
+               0.5570999979972839, 0.012191600166261196, -1.540810080769006e-05, -5.822880098094174e-07),
+              (10, 0.867900013923645, -0.006093630101531744, -0.00011389800056349486, 3.324840008644969e-06,
+               0.6176000237464905, 0.011993800289928913, -2.4142400434357114e-05, -5.253269819149864e-07),
+              (11, 0.8349999785423279, -0.006983249913901091, -6.402529834304005e-05, 9.34959018650261e-07,
+               0.6769000291824341, 0.011713000014424324, -3.202230072929524e-05, -5.164050094208505e-07),
+              (12, 0.7986000180244446, -0.007553379982709885, -5.000090095563792e-05, 9.353240102427662e-07,
+               0.7346000075340271, 0.011354099959135056, -3.976840162067674e-05, -6.090519946155837e-07),
+              (13, 0.7597000002861023, -0.00798324029892683, -3.5970999306300655e-05, -2.276259920108714e-06,
+               0.7903000116348267, 0.01091070007532835, -4.8904199502430856e-05, -1.0473900147189852e-06),
+              (14, 0.7185999751091003, -0.008513670414686203, -7.011489651631564e-05, -8.63029981701402e-06,
+               0.843500018119812, 0.010343099944293499, -6.461500015575439e-05, -1.4037400131172717e-09),
+              (15, 0.6732000112533569, -0.009862090460956097, -0.00019956899632234126, 1.919739952427335e-05,
+               0.8935999870300293, 0.009696859866380692, -6.463599856942892e-05, -8.54700010677334e-06),
+              (16, 0.6212999820709229, -0.0104179996997118, 8.839229849399999e-05, 6.240510174393421e-06,
+               0.9394000172615051, 0.008409470319747925, -0.00019284100562799722, -4.210599854559405e-06),
+              (17, 0.5722000002861023, -0.009066009894013405, 0.00018200000340584666, 6.240510174393421e-06,
+               0.9761000275611877, 0.0061652702279388905, -0.00025599999935366213, -4.210599854559405e-06),
+              (18, 0.5321999788284302, -0.006777970120310783, 0.0002756080066319555, 6.240510174393421e-06,
+               1.0, 0.0032894699834287167, -0.0003191590076312423, -4.210599854559405e-06)"""
+
+
 def oracle_sql() -> dict[str, str]:
     region_case = _region_case()
     out = {
@@ -1268,51 +1314,69 @@ def oracle_sql() -> dict[str, str]:
             FROM b""",
         "q36_lcc": f"""
             WITH {_GEO_CTE},
-            k AS (SELECT
-              ln(cos(radians(33.0)) / cos(radians(45.0))) /
-              ln(tan(pi()/4 + radians(45.0)/2) /
-                 tan(pi()/4 + radians(33.0)/2)) AS n),
-            kf AS (SELECT n,
-              cos(radians(33.0)) * pow(tan(pi()/4 + radians(33.0)/2), n) / n
-                AS f FROM k),
+            e AS (SELECT sqrt((1/298.257223563)*(2 - 1/298.257223563))
+                    AS ecc),
+            k AS (SELECT ecc,
+              -- msfn/tsfn at the two standard parallels (WGS84)
+              cos(radians(33.0)) /
+                sqrt(1 - ecc*ecc*sin(radians(33.0))*sin(radians(33.0)))
+                AS m1,
+              cos(radians(45.0)) /
+                sqrt(1 - ecc*ecc*sin(radians(45.0))*sin(radians(45.0)))
+                AS m2,
+              tan(pi()/4 - radians(33.0)/2) /
+                pow((1 - ecc*sin(radians(33.0))) /
+                    (1 + ecc*sin(radians(33.0))), ecc/2) AS ts1,
+              tan(pi()/4 - radians(45.0)/2) /
+                pow((1 - ecc*sin(radians(45.0))) /
+                    (1 + ecc*sin(radians(45.0))), ecc/2) AS ts2,
+              tan(pi()/4 - radians(23.0)/2) /
+                pow((1 - ecc*sin(radians(23.0))) /
+                    (1 + ecc*sin(radians(23.0))), ecc/2) AS ts0
+              FROM e),
+            kn AS (SELECT ecc, ln(m1/m2)/ln(ts1/ts2) AS n, ts0, m1, ts1
+                   FROM k),
+            kc AS (SELECT ecc, n, m1*pow(ts1, -n)/n AS c,
+                          m1*pow(ts1, -n)/n * pow(ts0, n) AS rho0
+                   FROM kn),
             p AS (SELECT doc_id, lon,
-                         LEAST(GREATEST(lat, -89.9), 89.9) AS lat FROM geo)
+                         LEAST(GREATEST(lat, -89.999999), 89.999999)
+                           AS lat FROM geo),
+            t AS (SELECT doc_id, lon, lat, ecc, n, c, rho0,
+                         c * pow(tan(pi()/4 - radians(lat)/2) /
+                                 pow((1 - ecc*sin(radians(lat))) /
+                                     (1 + ecc*sin(radians(lat))),
+                                     ecc/2), n) AS rho
+                  FROM p, kc)
             SELECT doc_id,
-              round(6378137.0 * f / pow(tan(pi()/4 + radians(lat)/2), n)
-                    * sin(n * (radians(lon) - radians(-96.0))), 2) AS x,
-              round(6378137.0 * f / pow(tan(pi()/4 + radians(23.0)/2), n)
-                    - 6378137.0 * f / pow(tan(pi()/4 + radians(lat)/2), n)
-                    * cos(n * (radians(lon) - radians(-96.0))), 2) AS y
-            FROM p, kf""",
+              round(6378137.0 * rho *
+                    sin(n*(radians(lon) - radians(-96.0))), 2) AS x,
+              round(6378137.0 * (rho0 - rho *
+                    cos(n*(radians(lon) - radians(-96.0)))), 2) AS y
+            FROM t""",
         "q37_robinson": f"""
             WITH {_GEO_CTE},
-            rob(idx, xc, yc) AS (VALUES
-              (0, 1.0000, 0.0000), (1, 0.9986, 0.0620),
-              (2, 0.9954, 0.1240), (3, 0.9900, 0.1860),
-              (4, 0.9822, 0.2480), (5, 0.9730, 0.3100),
-              (6, 0.9600, 0.3720), (7, 0.9427, 0.4340),
-              (8, 0.9216, 0.4958), (9, 0.8962, 0.5571),
-              (10, 0.8679, 0.6176), (11, 0.8350, 0.6769),
-              (12, 0.7986, 0.7346), (13, 0.7597, 0.7903),
-              (14, 0.7186, 0.8435), (15, 0.6732, 0.8936),
-              (16, 0.6213, 0.9394), (17, 0.5722, 0.9761),
-              (18, 0.5322, 1.0000)),
+            rob(idx, x0, x1, x2, x3, y0, y1, y2, y3) AS (VALUES
+{_ROBIN_ROWS_SQL}),
             p AS (SELECT doc_id, lon, lat,
-                         LEAST(CAST(floor(abs(lat) / 5.0) AS INT), 17)
-                           AS idx,
-                         (abs(lat) - LEAST(CAST(floor(abs(lat) / 5.0)
-                                                AS INT), 17) * 5.0) / 5.0
-                           AS frac
+                         LEAST(CAST(floor(radians(abs(lat)) *
+                             11.45915590261646417544) AS INT), 17) AS idx,
+                         degrees(radians(abs(lat)) -
+                             0.08726646259971647884 *
+                             LEAST(CAST(floor(radians(abs(lat)) *
+                                 11.45915590261646417544) AS INT), 17))
+                           AS dphi
                   FROM geo)
             SELECT doc_id,
-              round(0.8487 * 6378137.0 *
-                    (a.xc + frac * (b.xc - a.xc)) * radians(lon), 2) AS x,
-              round(1.3523 * 6378137.0 *
-                    (a.yc + frac * (b.yc - a.yc)) *
-                    (CASE WHEN lat > 0 THEN 1.0 WHEN lat < 0 THEN -1.0
-                          ELSE 0.0 END), 2) AS y
-            FROM p JOIN rob a ON a.idx = p.idx
-                   JOIN rob b ON b.idx = p.idx + 1""",
+              round(6378137.0 * 0.8487 *
+                    (x0 + dphi*(x1 + dphi*(x2 + dphi*x3))) *
+                    radians(lon), 2) AS x,
+              round(6378137.0 * 1.3523 *
+                    (CASE WHEN lat < 0 THEN
+                       -(y0 + dphi*(y1 + dphi*(y2 + dphi*y3)))
+                     ELSE (y0 + dphi*(y1 + dphi*(y2 + dphi*y3))) END),
+                    2) AS y
+            FROM p JOIN rob ON rob.idx = p.idx""",
         "q22_knn": f"""
             WITH {_GEO_CTE},
             pts AS (SELECT doc_id, lon, lat FROM geo WHERE doc_id < 2000),

@@ -578,17 +578,19 @@ def dissolve2_layer(ds, key: str, cell: float | None = None, bbox=None,
     straddling a cell line is judged piecewise."""
     import ray.data as rd
 
-    from ..sources.layers import nz
-    from ..topo.mosaic import dissolve2
+    from ..topo.refclip import dissolve2_features
 
     def d2_rows(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("feature_id").reset_index(drop=True)
         orig = {str(v): v for v in df[key]}
-        out = dissolve2(_rows_to_features(df), [str(v) for v in df[key]],
-                        gap_max_area=gap_max_area)
+        # reference-exact kernel (robust on defective geometry);
+        # gap_max_area=0 disables fill like the reference min-gap-area=0
+        out = dissolve2_features(_rewound_features(df),
+                                 [str(v) for v in df[key]],
+                                 min_gap_area=gap_max_area)
         rows = []
-        for k, v in sorted(out.items()):
-            gx, gy, gp = _rings_to_row(v["rings"])
+        for k, rings in sorted(out.items()):
+            gx, gy, gp = _rings_to_row(rings) if rings else ([], [], [])
             rows.append({key: orig[k], "rings_x": gx, "rings_y": gy,
                          "ring_poly": gp})
         return pd.DataFrame(rows)

@@ -253,3 +253,31 @@ def test_polygon_erase_near_exact(ray_session, ref_cli, tmp_path, cw):
     ref_run(ref_cli, [TWO_STATES, "-erase", str(tri), "-o", str(ref)])
     run_commands(f"-i {TWO_STATES} -erase {tri} -o {ours}")
     assert all_rings(str(ours), nd=12) == all_rings(str(ref), nd=12)
+
+
+@pytest.mark.parametrize("spec,ref_args,atol", [
+    ("robinson", ["-proj", "robinson"], 0.0),
+    ("albersusa", ["-proj", "albersusa"], 1e-8),
+    ("+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96",
+     ["-proj", "+proj=aea", "+lat_1=29.5", "+lat_2=45.5", "+lat_0=23",
+      "+lon_0=-96"], 1e-8),
+    ("+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-96",
+     ["-proj", "+proj=lcc", "+lat_1=33", "+lat_2=45", "+lat_0=23",
+      "+lon_0=-96"], 1e-7),
+])
+def test_proj_vs_mproj(ray_session, ref_cli, tmp_path, spec, ref_args,
+                       atol):
+    """Ellipsoidal projections vs the actual mproj running inside the
+    reference CLI: robinson is BIT-exact (same float32 table + cubic);
+    aea/lcc/albersusa agree to ~1e-8 m (iteration/summation ulps)."""
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [THREE_POINTS, *ref_args, "-o", str(ref)])
+    run_commands(f"-i {THREE_POINTS} -proj {spec} -o {ours}")
+    a = np.array([g["coordinates"] for g in geoms(str(ours))], float)
+    b = np.array([g["coordinates"] for g in geoms(str(ref))], float)
+    assert a.shape == b.shape
+    if atol == 0.0:
+        assert (a == b).all()
+    else:
+        assert np.allclose(a, b, rtol=0, atol=atol)
