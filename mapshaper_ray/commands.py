@@ -367,13 +367,22 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 }
                 if fmt in ("topojson",):
                     from .sources.topojson import write_topojson_layer
-                    write_topojson_layer(ds, path)
+                    write_topojson_layer(
+                        ds, path,
+                        object_name=opts.get("target") or cat.target
+                        or "layer1")
                 elif fmt in writers:
                     writers[fmt](ds, path)
                 elif fmt == "parquet":
                     ds.write_parquet(path)
                 else:
                     raise ValueError(f"unknown output format {fmt!r}")
+            elif str(path).lower().endswith(".topojson"):
+                from .sources.topojson import write_topojson_layer
+                write_topojson_layer(
+                    ds, path,
+                    object_name=opts.get("target") or cat.target
+                    or "layer1")
             else:
                 api.o(ds, path)
         elif name == "target":

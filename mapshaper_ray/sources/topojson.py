@@ -37,14 +37,28 @@ def js_round(v: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # export
 
-def _quantize_params(xmin, ymin, xmax, ymax, quantization):
+def _quantize_params(arcs, xmin, ymin, xmax, ymax, quantization):
+    """calcExportBounds + Bounds.getTransform (reference
+    src/topojson/topojson-export.js:155-180): ``quantization=None``
+    selects the reference DEFAULT — auto resolution at 0.02 of the
+    average |dx|, |dy| segment extents; an explicit N uses
+    width/(N-1)."""
     w = xmax - xmin
     h = ymax - ymin
-    q = quantization
-    ux = (w / (q - 1)) if w else 1.0
-    uy = (h / (q - 1)) if h else 1.0
-    x2 = np.ceil(w / ux) if w else 0.0
-    y2 = np.ceil(h / uy) if h else 0.0
+    if quantization:
+        ux = (w / (quantization - 1)) if w else 1.0
+        uy = (h / (quantization - 1)) if h else 1.0
+    else:
+        dx = np.abs(np.diff(arcs.xx))
+        dy = np.abs(np.diff(arcs.yy))
+        # exclude inter-arc jumps from the segment stats
+        brk = np.cumsum(arcs.nn)[:-1] - 1
+        keep = np.ones(len(dx), dtype=bool)
+        keep[brk] = False
+        ux = float(np.mean(dx[keep])) * 0.02 if keep.any() else 1.0
+        uy = float(np.mean(dy[keep])) * 0.02 if keep.any() else 1.0
+    x2 = np.ceil(w / ux) if w and ux else 0.0
+    y2 = np.ceil(h / uy) if h and uy else 0.0
     mx = (x2 / w) if w else 1.0
     my = (y2 / h) if h else 1.0
     bx = 0.0 - mx * xmin
@@ -52,7 +66,7 @@ def _quantize_params(xmin, ymin, xmax, ymax, quantization):
     return mx, my, bx, by
 
 
-def export_topojson(features, attrs=None, quantization=10000,
+def export_topojson(features, attrs=None, quantization=None,
                     geometry_type="polygon", object_name="layer1",
                     ring_poly=None):
     """features: list of shapes, each a list of rings/parts (Nx2 float
@@ -68,7 +82,8 @@ def export_topojson(features, attrs=None, quantization=10000,
 
     xmin, ymin = float(arcs.xx.min()), float(arcs.yy.min())
     xmax, ymax = float(arcs.xx.max()), float(arcs.yy.max())
-    mx, my, bx, by = _quantize_params(xmin, ymin, xmax, ymax, quantization)
+    mx, my, bx, by = _quantize_params(arcs, xmin, ymin, xmax,
+                                      ymax, quantization)
 
     out_arcs = []
     for a in range(len(arcs.nn)):
@@ -126,7 +141,7 @@ def write_topojson(features, path, **kw):
 
 
 def write_topojson_layer(ds, path, object_name="layer1",
-                         quantization=10000):
+                         quantization=None):
     """Layer Dataset → TopoJSON file (single-writer sink: TopoJSON needs
     the global shared-arc table, SURVEY.md §2.1 TopoJSON-writer row —
     reference inferOutputFormat maps .topojson here,

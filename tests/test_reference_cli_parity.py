@@ -281,3 +281,23 @@ def test_proj_vs_mproj(ray_session, ref_cli, tmp_path, spec, ref_args,
         assert (a == b).all()
     else:
         assert np.allclose(a, b, rtol=0, atol=atol)
+
+
+def test_topojson_export_identical(ray_session, ref_cli, tmp_path):
+    """-o .topojson: transform (auto quantization at 0.02 of the mean
+    segment extents), delta-encoded arcs, object naming, geometry arc
+    indices and properties all equal the reference output exactly."""
+    ref = tmp_path / "ref.topojson"
+    ours = tmp_path / "ours.topojson"
+    ref_run(ref_cli, [TWO_STATES, "-o", "format=topojson", str(ref)])
+    run_commands(f"-i {TWO_STATES} -o {ours}")
+    a = json.load(open(ours))
+    b = json.load(open(ref))
+    assert a["transform"] == b["transform"]
+    assert a["arcs"] == b["arcs"]
+    assert list(a["objects"]) == list(b["objects"])
+    ga = a["objects"]["two_states"]["geometries"]
+    gb = b["objects"]["two_states"]["geometries"]
+    assert [g.get("arcs") for g in ga] == [g.get("arcs") for g in gb]
+    assert [g.get("properties") for g in ga] == \
+        [g.get("properties") for g in gb]
