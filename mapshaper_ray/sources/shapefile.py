@@ -155,8 +155,26 @@ def write_dbf(path: str, records: list[dict]):
             fields.append((name, "N", max(w, 1), 0))
         elif all(isinstance(v, (int, float, np.floating, np.integer))
                  and not isinstance(v, bool) for v in nn) and nn:
-            strs = [format(float(v), ".6f") for v in nn]
-            fields.append((name, "N", max(len(s) for s in strs), 6))
+            # reference getNumericFieldInfo: decimals = fewest needed
+            # to represent every value (scan with a scaled epsilon),
+            # width = longest toFixed rendering
+            decimals = 0
+            k = 1.0
+            eps = 1e-15
+            power = 1.0
+            lo = hi = 0.0
+            for v in nn:         # single interleaved pass, like the JS
+                v = float(v)
+                if v < lo or v > hi:
+                    lo, hi = min(lo, v), max(hi, v)
+                    while abs(v) >= power:
+                        power *= 10
+                        eps *= 10
+                while abs(round(v * k) - v * k) > eps and decimals < 15:
+                    decimals += 1
+                    k *= 10
+            strs = [format(float(v), f".{decimals}f") for v in nn]
+            fields.append((name, "N", max(len(s) for s in strs), decimals))
         else:
             w = max((len(str(v).encode("latin-1", "replace")) for v in nn),
                     default=1)
@@ -326,6 +344,13 @@ def write_shapefile(ds, path: str):
     base = path[:-4] if path.endswith(".shp") else path
     df = ds.to_pandas().sort_values("feature_id").reset_index(drop=True)
     gt = geom_type_of(list(df.columns))
+    if gt == "polygon" and len(df):
+        # the reference exports AFTER buildTopology, where rings are
+        # rotated to their first junction vertex — rebuild through
+        # topology so .shp output is byte-comparable to the reference
+        from ..ops.features import _topology_rotated
+        df = _topology_rotated(ds).to_pandas() \
+            .sort_values("feature_id").reset_index(drop=True)
     shp_type = {"polygon": SHP_POLYGON, "polyline": SHP_POLYLINE,
                 "point": SHP_POINT}[gt]
     geom_cols = {"feature_id", "rings_x", "rings_y", "ring_poly",

@@ -301,3 +301,19 @@ def test_topojson_export_identical(ray_session, ref_cli, tmp_path):
     assert [g.get("arcs") for g in ga] == [g.get("arcs") for g in gb]
     assert [g.get("properties") for g in ga] == \
         [g.get("properties") for g in gb]
+
+
+def test_shapefile_export_shp_bytes_identical(ray_session, ref_cli,
+                                              tmp_path):
+    """.shp/.shx round-trip through the engine equals the reference's
+    byte-for-byte (rings topology-rotated on export like the reference;
+    the reference's .dbf is a lazy passthrough of the source file, so
+    only the geometry pair is byte-compared)."""
+    ref = tmp_path / "ref.shp"
+    ours = tmp_path / "ours.shp"
+    ref_run(ref_cli, [TWO_STATES, "-o", "format=shapefile", str(ref)])
+    run_commands(f"-i {TWO_STATES} -o {ours}")
+    for ext in ("shp", "shx"):
+        a = (tmp_path / f"ours.{ext}").read_bytes()
+        b = (tmp_path / f"ref.{ext}").read_bytes()
+        assert a == b, ext
