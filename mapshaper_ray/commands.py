@@ -181,6 +181,38 @@ def _num_list(s, typ=float):
     return [typ(v) for v in str(s).split(",")]
 
 
+def _split_assignments(s: str) -> dict[str, str]:
+    """'a = expr1, b = expr2; c = expr3' → {name: expr}.  Separators
+    are ';' and top-level ',' (the reference compiles -each as one JS
+    comma expression, so 'a=1, b=2' is a valid multi-assignment);
+    commas inside (), [], {} or string literals don't split, and '='
+    splits only outside comparison operators (==, <=, >=, !=)."""
+    parts, depth, quote, start = [], 0, None, 0
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote and s[i - 1] != "\\":
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif (ch == ";" or ch == ",") and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    out = {}
+    for part in parts:
+        if not part.strip():
+            continue
+        m = re.search(r"(?<![=<>!])=(?!=)", part)
+        if not m:
+            raise ValueError(f"expected an assignment: {part!r}")
+        out[part[:m.start()].strip()] = part[m.end():].strip()
+    return out
+
+
 def _pct(v):
     v = str(v)
     return float(v[:-1]) / 100.0 if v.endswith("%") else float(v)
@@ -416,10 +448,7 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                                  "remove-empty")
             cat.replace(ds)
         elif name == "each":
-            assigns = {}
-            for part in args[0].split(";"):
-                k, v = part.split("=", 1)
-                assigns[k.strip()] = v.strip()
+            assigns = _split_assignments(args[0])
             ds = cat.get()
             if "where" in opts:
                 # reference -each where=: assignments apply only to the

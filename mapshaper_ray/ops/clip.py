@@ -305,8 +305,49 @@ def clip_polylines(target_ds, clip_ds, how="clip"):
     ``"erase"`` the parts outside, ``"slice"`` keeps everything split
     at the boundaries with an added ``inside`` flag column (one row per
     feature; parts of a slice output carry per-part flags in
-    ``part_inside``)."""
+    ``part_inside``).
+
+    clip/erase run the reference-exact kernel (clipPolylines port,
+    topo/refclip.clip_polyline_features — arcs divided by the snapped
+    addIntersectionCuts, runs of enclosed divided arcs merged), so
+    output coordinates match the reference bit-for-bit; slice keeps the
+    run-classification variant (no reference equivalent for per-part
+    flags)."""
     import ray
+
+    if how in ("clip", "erase"):
+        cdf = clip_ds.to_pandas()
+        clip_feats = []
+        for _, row in cdf.iterrows():
+            rings = [np.stack([np.asarray(rx, float),
+                               np.asarray(ry, float)], axis=1)
+                     for rx, ry in zip(_nz(row.get("rings_x")),
+                                       _nz(row.get("rings_y")))]
+            if rings:
+                clip_feats.append(rings)
+        cref = ray.put(clip_feats)
+
+        def go_exact(df: pd.DataFrame) -> pd.DataFrame:
+            from ..topo.refclip import clip_polyline_features
+            df = df.reset_index(drop=True)
+            feats = [[np.stack([np.asarray(x, float),
+                                np.asarray(y, float)], axis=1)
+                      for x, y in zip(_nz(row["part_x"]),
+                                      _nz(row["part_y"]))]
+                     for _, row in df.iterrows()]
+            out = clip_polyline_features(feats, ray.get(cref), how)
+            rows = []
+            for i, parts in enumerate(out):
+                if not parts:
+                    continue
+                row = {c: df.iloc[i][c] for c in df.columns
+                       if c not in ("part_x", "part_y")}
+                row["part_x"] = [p[0].tolist() for p in parts]
+                row["part_y"] = [p[1].tolist() for p in parts]
+                rows.append(row)
+            return pd.DataFrame(rows)
+        return target_ds.map_batches(go_exact, batch_format="pandas",
+                                     batch_size=64)
 
     cdf = clip_ds.to_pandas()
     clip_rings = []

@@ -67,24 +67,46 @@ def rectangle(bbox, feature_id=0, attrs=None):
     return rd.from_items([row])
 
 
-def graticule(interval=10.0, bbox=(-180, -90, 180, 90), step=1.0):
-    """-graticule: meridian/parallel polyline layer at ``interval``
-    degrees, densified every ``step`` degrees (reference default 10°)."""
+def graticule(interval=10.0, bbox=(-180, -90, 180, 90), step=1.0,
+              major_step=90.0):
+    """-graticule: meridian/parallel polyline layer, ported from the
+    reference's createGraticule (src/commands/mapshaper-graticule.js:
+    21-77): meridians every ``interval`` degrees and parallels every
+    ``interval`` degrees, each densified every ``step`` degrees;
+    meridians NOT on a ``major_step`` multiple stop ``interval`` short
+    of the poles.  Properties are ``type``/``value`` like the
+    reference (``kind`` kept as an alias for back-compat)."""
     import ray.data as rd
     xmin, ymin, xmax, ymax = bbox
     rows = []
     fid = 0
+
+    def walk(lo, hi):
+        # reference loop: lo, lo+step, ... < hi, then hi appended
+        vals = []
+        v = lo
+        while v < hi:
+            vals.append(float(v))
+            v += step
+        vals.append(float(hi))
+        return vals
+
     for lon in np.arange(xmin, xmax + 1e-9, interval):
-        ys = np.arange(ymin, ymax + 1e-9, step)
-        rows.append({"feature_id": fid, "kind": "meridian", "value": float(lon),
-                     "part_x": [[float(lon)] * len(ys)],
-                     "part_y": [ys.tolist()]})
+        lon = float(lon)
+        lo, hi = ymin, ymax
+        if major_step and lon % major_step != 0:
+            lo, hi = ymin + interval, ymax - interval
+        ys = walk(lo, hi)
+        rows.append({"feature_id": fid, "type": "meridian",
+                     "kind": "meridian", "value": lon,
+                     "part_x": [[lon] * len(ys)], "part_y": [ys]})
         fid += 1
     for lat in np.arange(ymin, ymax + 1e-9, interval):
-        xs = np.arange(xmin, xmax + 1e-9, step)
-        rows.append({"feature_id": fid, "kind": "parallel", "value": float(lat),
-                     "part_x": [xs.tolist()],
-                     "part_y": [[float(lat)] * len(xs)]})
+        lat = float(lat)
+        xs = walk(xmin, xmax)
+        rows.append({"feature_id": fid, "type": "parallel",
+                     "kind": "parallel", "value": lat,
+                     "part_x": [xs], "part_y": [[lat] * len(xs)]})
         fid += 1
     return rd.from_items(rows)
 

@@ -185,9 +185,11 @@ def write_dbf(path: str, records: list[dict]):
     out = bytearray()
     out += struct.pack("<B3Bi2H20x", 0x03, 95, 1, 1, len(records),
                        hdr_size, rec_size)
-    for name, ftype, flen, fdec in fields:
-        out += struct.pack("<11sc4xBB14x", name.encode("ascii")[:11],
-                           ftype.encode(), flen, fdec)
+    rec_off = 1  # reference writes the cumulative record offset at
+    for name, ftype, flen, fdec in fields:  # descriptor bytes 12-15
+        out += struct.pack("<11scIBB14x", name.encode("ascii")[:11],
+                           ftype.encode(), rec_off, flen, fdec)
+        rec_off += flen
     out += b"\x0d"
     for r in records:
         out += b" "
@@ -195,7 +197,9 @@ def write_dbf(path: str, records: list[dict]):
             v = r.get(name)
             if ftype == "C":
                 s = ("" if v is None else str(v)).encode("latin-1", "replace")
-                out += s[:flen].ljust(flen)
+                # reference writes encoded bytes then skips to field
+                # width over a zero-initialized buffer -> NUL padding
+                out += s[:flen].ljust(flen, b"\x00")
             elif ftype == "L":
                 out += (b"?" if v is None else (b"T" if v else b"F"))
             else:

@@ -1141,9 +1141,13 @@ def _features_to_arcs(features):
     return RefArcs(arcs.nn, arcs.xx, arcs.yy), shapes
 
 
-def add_intersection_cuts(arcs: RefArcs, shapes):
+def add_intersection_cuts(arcs: RefArcs, shapes, polygon_flags=None):
     """Reference addIntersectionCuts: snap -> dedup -> cut at
-    intersections -> clean -> nodes.  Returns (arcs, shapes, nodes)."""
+    intersections -> clean -> nodes.  Returns (arcs, shapes, nodes).
+    ``polygon_flags``: per-shape bool — cleanShape applies the polygon
+    spike/zero-area repair only to polygon shapes
+    (src/paths/mapshaper-polygon-repair.js:15-26); default all
+    polygon."""
     snap_dist = high_precision_snap_interval(arcs)
     snapped = snap_coords_by_interval(arcs, snap_dist)
     duped = arcs.dedup_coords()
@@ -1171,8 +1175,11 @@ def add_intersection_cuts(arcs: RefArcs, shapes):
             continue
         shapes2.append([remap_divided_ids(ids, arc_map, arcs2.size())
                         for ids in shape])
-    shapes2 = [clean_shape(s, arcs2) if s is not None else None
-               for s in shapes2]
+    shapes2 = [clean_shape(s, arcs2,
+                           polygon=(polygon_flags is None or
+                                    polygon_flags[i]))
+               if s is not None else None
+               for i, s in enumerate(shapes2)]
     return arcs2, shapes2, Nodes(arcs2)
 
 
@@ -1200,6 +1207,51 @@ def clip_features(target_feats, clip_feats, type_):
                 y = np.append(y, y[0])
             rings.append((x, y))
         out.append(rings)
+    return out
+
+
+def clip_polyline_features(target_feats, clip_feats, type_):
+    """Reference -clip/-erase on POLYLINE targets
+    (src/clipping/mapshaper-polyline-clipping.js:7-37): after
+    addIntersectionCuts divides every arc at crossings, a divided
+    target arc is kept iff its first-segment midpoint is enclosed by
+    the clip polygons (clip) / not enclosed (erase); consecutive kept
+    arcs merge back into one path.  ``target_feats``: per-feature lists
+    of open-path (n,2) arrays; ``clip_feats``: ring-coordinate lists.
+    Returns, per target feature, a list of (x, y) open paths or None."""
+    all_feats = list(target_feats) + list(clip_feats)
+    nt = len(target_feats)
+    arcs, shapes = _features_to_arcs(all_feats)
+    flags = [i >= nt for i in range(len(all_feats))]
+    arcs, shapes, nodes = add_intersection_cuts(arcs, shapes,
+                                                polygon_flags=flags)
+    t_shapes = shapes[:nt]
+    c_shapes = [s for s in shapes[nt:] if s]
+    index = PathIndexLite(c_shapes, arcs)
+
+    out = []
+    for shp in t_shapes:
+        if not shp:
+            out.append(None)
+            continue
+        memo: list[list[int]] = []
+        for path in shp:
+            cur = None
+            for sid in path:
+                enclosed = index.point_is_enclosed(
+                    index._test_point([sid]))
+                if (enclosed and type_ == "clip") or \
+                        (not enclosed and type_ == "erase"):
+                    if cur is None:
+                        cur = []
+                        memo.append(cur)
+                    cur.append(sid)
+                else:
+                    cur = None
+        if not memo:
+            out.append(None)
+            continue
+        out.append([path_coords(ids, arcs) for ids in memo])
     return out
 
 

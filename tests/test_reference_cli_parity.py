@@ -303,6 +303,117 @@ def test_topojson_export_identical(ray_session, ref_cli, tmp_path):
         [g.get("properties") for g in gb]
 
 
+def props(path):
+    doc = json.load(open(path))
+    return [f.get("properties") for f in doc["features"]]
+
+
+def test_graticule_exact(ray_session, ref_cli, tmp_path):
+    """-graticule: port of createGraticule — same meridian pole
+    clipping (non-90°-multiples stop 10° short), same 1° densification
+    loop, same type/value properties."""
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, ["-graticule", "-o", str(ref)])
+    run_commands(f"-graticule -o {ours}")
+    assert all_chains(str(ours)) == all_chains(str(ref))
+    key = lambda p: (p["type"], p["value"])
+    assert sorted(map(key, props(str(ours)))) == \
+        sorted(map(key, props(str(ref))))
+
+
+def test_explode_exact(ray_session, ref_cli, tmp_path):
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [SIX_COUNTIES, "-explode", "-o", str(ref)])
+    run_commands(f"-i {SIX_COUNTIES} -explode -o {ours}")
+    assert all_rings(str(ours)) == all_rings(str(ref))
+    assert len(props(str(ours))) == len(props(str(ref)))
+
+
+def test_each_properties_exact(ray_session, ref_cli, tmp_path):
+    """-each arithmetic/string expressions match the reference's JS
+    evaluation exactly (same IEEE ops)."""
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    expr = 'K=LAT*2.5899752356, NM=STATE_NAME + "!"'
+    ref_run(ref_cli, [TWO_STATES, "-each", expr, "-o", str(ref)])
+    run_commands(f"-i {TWO_STATES} -each '{expr}' -o {ours}")
+    a, b = props(str(ours)), props(str(ref))
+    key = lambda p: p["STATE_NAME"]
+    for pa, pb in zip(sorted(a, key=key), sorted(b, key=key)):
+        assert pa["K"] == pb["K"] and pa["NM"] == pb["NM"]
+
+
+def test_rectangle_exact(ray_session, ref_cli, tmp_path):
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    bb = "bbox=2,3,10.5,20"
+    ref_run(ref_cli, ["-rectangle", bb, "-o", str(ref)])
+    run_commands(f"-rectangle {bb} -o {ours}")
+    assert all_rings(str(ours)) == all_rings(str(ref))
+
+
+@pytest.mark.parametrize("cmd", ["-clip", "-erase"])
+def test_polyline_clip_exact(ray_session, ref_cli, tmp_path, cmd):
+    """General polyline clip/erase against a polygon layer (the
+    reference's mapshaper-polyline-clipping.js) — state-border lines
+    clipped by a triangle.  Clip is coordinate-exact; erase keeps the
+    defective shared border, where ONE snapped vertex's last ulp
+    depends on the snap-winner order (same artifact as the polygon
+    erase test) — compared at 12 decimals."""
+    tri = tmp_path / "tri.json"
+    _write_tri(str(tri), True)
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [TWO_STATES, "-lines", cmd, str(tri),
+                      "-o", str(ref)])
+    run_commands(f"-i {TWO_STATES} -lines {cmd} {tri} -o {ours}")
+    nd = None if cmd == "-clip" else 12
+
+    def chains(path):
+        out = []
+        for g in geoms(path):
+            if g is None:
+                continue
+            cs = [g["coordinates"]] if g["type"] == "LineString" \
+                else g["coordinates"]
+            for c in cs:
+                pts = [tuple(p) if nd is None else
+                       tuple(round(v, nd) for v in p) for p in c]
+                out.append(tuple(pts if pts <= pts[::-1]
+                                 else pts[::-1]))
+        return sorted(out)
+    assert chains(str(ours)) == chains(str(ref))
+
+
+def test_clean_two_states_defective(ray_session, ref_cli, tmp_path):
+    """-clean on the DEFECTIVE two_states fixture (borders cross ~49
+    times) — full repair parity through the ported mosaic.  One
+    snapped vertex's last ulp depends on the snap-winner order (same
+    artifact as the erase tests): compared at 12 decimals."""
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [TWO_STATES, "-clean", "-o", str(ref)])
+    run_commands(f"-i {TWO_STATES} -clean -o {ours}")
+    assert all_rings(str(ours), nd=12) == all_rings(str(ref), nd=12)
+
+
+def test_dbf_export_bytes_identical(ray_session, ref_cli, tmp_path):
+    """After -each adds a numeric column the reference rebuilds the
+    DBF; our writer reproduces it byte-for-byte (field descriptors,
+    getNumericFieldInfo width/decimal scan, record padding)."""
+    ref = tmp_path / "ref.shp"
+    ours = tmp_path / "ours.shp"
+    ref_run(ref_cli, [TWO_STATES, "-each", "Z=LAT*2", "-o",
+                      "format=shapefile", str(ref)])
+    run_commands(f"-i {TWO_STATES} -each 'Z=LAT*2' -o {ours}")
+    a = (tmp_path / "ours.dbf").read_bytes()
+    b = (tmp_path / "ref.dbf").read_bytes()
+    assert a[32:] == b[32:]  # descriptors+records; header has a date
+    assert a[8:32] == b[8:32]
+
+
 def test_shapefile_export_shp_bytes_identical(ray_session, ref_cli,
                                               tmp_path):
     """.shp/.shx round-trip through the engine equals the reference's
