@@ -583,7 +583,10 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 cat.replace(api.points_vertices(ds))
             elif opts.get("endpoints"):
                 cat.replace(api.points_endpoints(ds))
-            elif "interval" in opts or opts.get("interpolated"):
+            elif opts.get("interpolated"):
+                # reference dispatch keys on the 'interpolated' flag
+                # only; interval= without it falls through to centroids
+                # (createPointLayer, mapshaper-points.js:13-24)
                 if "interval" not in opts:
                     raise ValueError(
                         "-points interpolated needs interval=")
@@ -673,10 +676,18 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
             cat.add(api.polygon_grid(c, r), "polygon_grid")
         elif name == "affine":
             shift = _num_list(opts.get("shift", "0,0"))
+            if "anchor" in opts:
+                anchor = tuple(_num_list(opts["anchor"]))
+            else:
+                # reference getAffineAnchor: dataset bbox center
+                from .pipelines.overlay import layer_bbox
+                bb = layer_bbox(cat.get())
+                anchor = ((bb[0] + bb[2]) * 0.5, (bb[1] + bb[3]) * 0.5)
             cat.replace(api.affine(
                 cat.get(), shift=tuple(shift),
                 scale=float(opts.get("scale", 1.0)),
-                rotate_deg=float(opts.get("rotate", 0.0))))
+                rotate_deg=float(opts.get("rotate", 0.0)),
+                anchor=anchor))
         elif name in ("filter-islands", "filter_islands"):
             from .pipelines.geometry import filter_islands_layer
             cat.replace(filter_islands_layer(

@@ -74,17 +74,22 @@ def explode(ds):
 
 def affine(ds, shift=(0.0, 0.0), scale=1.0, rotate_deg=0.0,
            anchor=(0.0, 0.0)):
+    """Reference getAffineTransform
+    (src/commands/mapshaper-affine.js:84-93): positive rotation is
+    CLOCKWISE (x2 = a·dx − b·dy, y2 = b·dx + a·dy with a = s·cos,
+    b = −s·sin), anchored at ``anchor`` (the command layer passes the
+    dataset bbox center like the reference's getAffineAnchor)."""
     th = np.deg2rad(rotate_deg)
-    a, b = np.cos(th) * scale, -np.sin(th) * scale
-    c, d = np.sin(th) * scale, np.cos(th) * scale
+    a = np.cos(th) * scale
+    b = -np.sin(th) * scale
     ax, ay = anchor
     tx, ty = shift
 
     def fx(x, y):
-        return a * (x - ax) + b * (y - ay) + ax + tx
+        return a * (x - ax) - b * (y - ay) + tx + ax
 
     def fy(x, y):
-        return c * (x - ax) + d * (y - ay) + ay + ty
+        return b * (x - ax) + a * (y - ay) + ty + ay
 
     return _map_coords(ds, fx, fy)
 

@@ -197,21 +197,31 @@ def _interp_part(x, y, interval):
     emit the start vertex, a point every ``interval`` along the line
     (resetting from each emitted point), and the final vertex when
     leftover distance remains."""
+    import math
+
+    def dist2d(ax, ay, bx, by):
+        # the reference's distance2D is sqrt(dx*dx + dy*dy) — NOT
+        # hypot, whose extra-precision rounding differs in the last ulp
+        dx = bx - ax
+        dy = by - ay
+        return math.sqrt(dx * dx + dy * dy)
+
     px, py = [float(x[0])], [float(y[0])]
     prev_x, prev_y = float(x[0]), float(y[0])
     elapsed = 0.0
     for i in range(1, len(x)):
         cx, cy = float(x[i]), float(y[i])
-        seg = float(np.hypot(cx - prev_x, cy - prev_y))
+        seg = dist2d(prev_x, prev_y, cx, cy)
         while elapsed + seg >= interval:
             k = (interval - elapsed) / seg
-            nx = prev_x * (1 - k) + cx * k
-            ny = prev_y * (1 - k) + cy * k
+            j = 1 - k
+            nx = prev_x * j + cx * k
+            ny = prev_y * j + cy * k
             elapsed = 0.0
             px.append(nx)
             py.append(ny)
             prev_x, prev_y = nx, ny
-            seg = float(np.hypot(cx - prev_x, cy - prev_y))
+            seg = dist2d(prev_x, prev_y, cx, cy)
         elapsed += seg
         prev_x, prev_y = cx, cy
     if elapsed > 0:
@@ -222,9 +232,12 @@ def _interp_part(x, y, interval):
 
 def points_interpolated(ds, interval: float):
     """-points interpolated over a polyline layer
-    (src/commands/mapshaper-points.js:79-94)."""
+    (src/commands/mapshaper-points.js:79-94).  Like the reference,
+    non-polyline input is an error."""
     if not interval > 0:
         raise ValueError(f"invalid interpolation interval: {interval}")
+    if "part_x" not in ds.schema().names:
+        raise ValueError("Expected a polyline layer")
 
     def go(df: pd.DataFrame) -> pd.DataFrame:
         rows = []

@@ -85,10 +85,57 @@ def read_delim(path: str, delimiter: str | None = None,
     return ds.map_batches(adjust, batch_format="pandas")
 
 
-def write_delim(ds, path: str, delimiter: str = ","):
+#: geometry / bookkeeping columns never exported to a delim table
+#: (the reference exports the data table only)
+_NON_DATA_COLS = ("feature_id", "rings_x", "rings_y", "ring_poly",
+                  "part_x", "part_y", "px", "py")
+
+
+def format_delim(df, delimiter: str = ",") -> str:
+    """Serialize a DataFrame exactly like the reference's
+    exportLayerAsDSV (src/text/mapshaper-delim-export.js:19-79):
+    d3-dsv formatRows quoting (quote only cells containing the
+    delimiter, '\"', CR or LF; '\"'->'\"\"'), JS ToString for numbers,
+    null/NaN -> empty, rows joined with LF and no trailing newline."""
+    import numpy as np
+
+    from .jsnum import js_number_str
+
+    def cell(v) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, (bool, np.bool_)):
+            return "true" if v else "false"
+        if isinstance(v, (int, np.integer)):
+            return str(int(v))
+        if isinstance(v, (float, np.floating)):
+            return "" if v != v else js_number_str(v)
+        if isinstance(v, (list, dict, np.ndarray)):
+            import json
+            return json.dumps(v.tolist() if isinstance(v, np.ndarray)
+                              else v, separators=(",", ":"))
+        return str(v)
+
+    def quoted(s: str) -> str:
+        if delimiter in s or '"' in s or "\n" in s or "\r" in s:
+            return '"' + s.replace('"', '""') + '"'
+        return s
+
+    cols = [c for c in df.columns if c not in _NON_DATA_COLS]
+    lines = [delimiter.join(quoted(c) for c in cols)]
+    for row in df[cols].itertuples(index=False):
+        lines.append(delimiter.join(quoted(cell(v)) for v in row))
+    return "\n".join(lines)
+
+
+def write_delim(ds, path: str, delimiter: str | None = None):
     """Single-file sink ordered by position (fixture-sized outputs; at
-    scale use ``ds.write_csv(dir)`` which shards per block)."""
+    scale use ``ds.write_csv(dir)`` which shards per block).  Output
+    bytes match the reference's CSV/TSV export exactly."""
     from .layers import ordered_pandas
+    if delimiter is None:
+        delimiter = "\t" if path.lower().endswith(".tsv") else ","
     df = ordered_pandas(ds)
-    df.to_csv(path, sep=delimiter, index=False)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(format_delim(df, delimiter))
     return path

@@ -1,0 +1,45 @@
+"""ECMA-262 Number-to-String (7.1.12.1) in Python.
+
+The reference serializes attribute values through JavaScript's
+ToString (d3-dsv CSV cells, JSON.stringify) — reproducing it exactly
+is what makes CSV/JSON exports byte-comparable.  Python's repr()
+produces the same shortest round-trip digits as V8; only the
+FORMATTING rules differ (when to use exponential notation, '.0'
+suffixes, exponent zero-padding), so this converts repr() output to
+the ECMA layout.
+"""
+
+from __future__ import annotations
+
+
+def js_number_str(v) -> str:
+    f = float(v)
+    if f != f:
+        return "NaN"
+    if f == float("inf"):
+        return "Infinity"
+    if f == float("-inf"):
+        return "-Infinity"
+    if f == 0.0:
+        return "0"
+    r = repr(f)
+    if "e" not in r and "E" not in r:
+        return r[:-2] if r.endswith(".0") else r
+    mant, exp = r.lower().split("e")
+    e = int(exp)
+    neg = mant.startswith("-")
+    if neg:
+        mant = mant[1:]
+    digits = mant.replace(".", "").rstrip("0") or "0"
+    k = len(digits)
+    n = e + 1  # value = 0.digits x 10^n (ECMA notation)
+    if k <= n <= 21:
+        s = digits + "0" * (n - k)
+    elif 0 < n <= 21:
+        s = digits[:n] + "." + digits[n:]
+    elif -6 < n <= 0:
+        s = "0." + "0" * (-n) + digits
+    else:
+        s = digits[0] + ("." + digits[1:] if k > 1 else "") + "e" + \
+            ("+" if n - 1 >= 0 else "-") + str(abs(n - 1))
+    return ("-" if neg else "") + s

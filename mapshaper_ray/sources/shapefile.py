@@ -116,7 +116,8 @@ def parse_dbf(buf: bytes, encoding: str | None = None):
         for name, ftype, flen, fdec in fields:
             raw = buf[p:p + flen]
             p += flen
-            s = raw.decode(codec, errors="replace").strip()
+            s = raw.rstrip(b"\x00").decode(codec,
+                                           errors="replace").strip()
             if ftype == "C":
                 row[name] = s
             elif ftype in ("N", "F"):

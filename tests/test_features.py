@@ -65,7 +65,9 @@ def test_affine_and_round(poly_ds):
         "feature_id")
     x0 = np.asarray(moved.iloc[0]["rings_x"][0])
     assert x0.min() == 100.0 and x0.max() == 104.0
-    rot = affine(poly_ds, rotate_deg=90, anchor=(0, 0)).to_pandas()
+    # reference convention: positive rotation is clockwise, so -90
+    # maps (x, y) -> (-y, x) (mapshaper-affine.js:84-93)
+    rot = affine(poly_ds, rotate_deg=-90, anchor=(0, 0)).to_pandas()
     r0x = np.asarray(rot.sort_values("feature_id").iloc[0]["rings_x"][0])
     assert np.isclose(r0x.min(), -4.0) and np.isclose(r0x.max(), 0.0)
     rd_ = round_coords(affine(poly_ds, shift=(0.123456, 0)), 2).to_pandas()

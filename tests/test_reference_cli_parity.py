@@ -414,6 +414,117 @@ def test_dbf_export_bytes_identical(ray_session, ref_cli, tmp_path):
     assert a[8:32] == b[8:32]
 
 
+def test_csv_export_bytes_identical(ray_session, ref_cli, tmp_path):
+    """-o format=csv byte parity: d3-dsv quoting, JS ToString number
+    formatting (sources/jsnum.py), LF rows, no trailing newline."""
+    ref = tmp_path / "ref.csv"
+    ours = tmp_path / "ours.csv"
+    ref_run(ref_cli, [SIX_COUNTIES, "-o", str(ref)])
+    run_commands(f"-i {SIX_COUNTIES} -o {ours}")
+    assert ours.read_bytes() == ref.read_bytes()
+
+
+def test_sort_csv_bytes_identical(ray_session, ref_cli, tmp_path):
+    ref = tmp_path / "ref.csv"
+    ours = tmp_path / "ours.csv"
+    ref_run(ref_cli, [SIX_COUNTIES, "-sort", "NAME", "descending",
+                      "-o", str(ref)])
+    run_commands(f"-i {SIX_COUNTIES} -sort NAME descending -o {ours}")
+    assert ours.read_bytes() == ref.read_bytes()
+
+
+def test_join_csv_exact(ray_session, ref_cli, tmp_path):
+    src = tmp_path / "side.csv"
+    src.write_text("ST,label,score\nOR,alpha,3\nWA,beta,4\n")
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [TWO_STATES, "-join", str(src),
+                      "keys=STATE,ST", "-o", str(ref)])
+    run_commands(f"-i {TWO_STATES} -join {src} keys=STATE,ST -o {ours}")
+    key = lambda p: p["STATE_NAME"]
+    a = sorted(props(str(ours)), key=key)
+    b = sorted(props(str(ref)), key=key)
+    for pa, pb in zip(a, b):
+        assert pa["label"] == pb["label"] and pa["score"] == pb["score"]
+
+
+def test_dissolve_fields_exact(ray_session, ref_cli, tmp_path):
+    """-dissolve with key + sum-fields/copy-fields: aggregation values
+    and dissolved rings both match."""
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    spec = ["STATE_NAME", "sum-fields=POP2000,POP2010",
+            "copy-fields=STATE_FIPS"]
+    ref_run(ref_cli, [SIX_COUNTIES, "-dissolve", *spec, "-o", str(ref)])
+    run_commands(f"-i {SIX_COUNTIES} -dissolve {' '.join(spec)} "
+                 f"-o {ours}")
+    assert all_rings(str(ours)) == all_rings(str(ref))
+    key = lambda p: p["STATE_NAME"]
+    a = sorted(props(str(ours)), key=key)
+    b = sorted(props(str(ref)), key=key)
+    assert [(p["POP2000"], p["POP2010"], p["STATE_FIPS"]) for p in a] \
+        == [(p["POP2000"], p["POP2010"], p["STATE_FIPS"]) for p in b]
+
+
+def test_affine_exact(ray_session, ref_cli, tmp_path):
+    """-affine shift/scale/rotate around the reference's bbox-center
+    anchor, clockwise-positive rotation — coordinate-exact."""
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    spec = "shift=1000,-500 scale=2 rotate=30"
+    ref_run(ref_cli, ["/root/reference/test/test_data/"
+                      "two_states_mercator.shp",
+                      "-affine", *spec.split(), "-o", str(ref)])
+    run_commands("-i /root/reference/test/test_data/"
+                 f"two_states_mercator.shp -affine {spec} -o {ours}")
+    assert all_rings(str(ours)) == all_rings(str(ref))
+
+
+@pytest.mark.parametrize("spec", ["vertices",
+                                  "interpolated interval=100000"])
+def test_points_vertices_interpolated_exact(ray_session, ref_cli,
+                                            tmp_path, spec):
+    """-points vertices (polygon layer) and -points interpolated
+    (polyline layer; the reference requires one) — exact planar
+    interval walk on the mercator fixture."""
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    merc = "/root/reference/test/test_data/two_states_mercator.shp"
+    pre = [] if spec == "vertices" else ["-lines"]
+    ref_run(ref_cli, [merc, *pre, "-points", *spec.split(),
+                      "-o", str(ref)])
+    run_commands(f"-i {merc} {' '.join(pre)} -points {spec} -o {ours}")
+
+    def pts(path):
+        out = []
+        for g in geoms(path):
+            if g is None:
+                continue
+            cs = [g["coordinates"]] if g["type"] == "Point" \
+                else g["coordinates"]
+            out.extend(tuple(p) for p in
+                       ([cs] if g["type"] == "Point" else cs))
+        return sorted(out)
+    assert pts(str(ours)) == pts(str(ref))
+
+
+def test_topojson_import_exact(ray_session, ref_cli, tmp_path):
+    """TopoJSON reader: quantized delta-encoded arcs from the actual
+    reference export decode to the same rings the reference itself
+    re-exports."""
+    topo = tmp_path / "t.topojson"
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [SIX_COUNTIES, "-o", "format=topojson", str(topo)])
+    ref_run(ref_cli, [str(topo), "-o", "format=geojson", str(ref)])
+    run_commands(f"-i {topo} -o {ours}")
+    assert all_rings(str(ours)) == all_rings(str(ref))
+    key = lambda p: p["NAME"]
+    a = sorted(props(str(ours)), key=key)
+    b = sorted(props(str(ref)), key=key)
+    assert a == b
+
+
 def test_shapefile_export_shp_bytes_identical(ray_session, ref_cli,
                                               tmp_path):
     """.shp/.shx round-trip through the engine equals the reference's
