@@ -197,10 +197,12 @@ def i(path: str, **kw):
 
 def o(ds, path: str, **kw):
     """-o: export dispatch by extension (reference exportTargetLayers
-    format inference, src/io/mapshaper-export.js:130-144)."""
+    format inference, src/io/mapshaper-export.js:130-144).  ``rotate``
+    applies to ring-geometry writers only (see write_geojson)."""
     low = path.lower()
+    rotate = kw.pop("rotate", True)
     if low.endswith(".shp"):
-        return write_shapefile(ds, path, **kw)
+        return write_shapefile(ds, path, rotate=rotate, **kw)
     if low.endswith((".csv", ".tsv")):
         return write_delim(ds, path, **kw)
     if low.endswith(".svg"):
@@ -209,7 +211,7 @@ def o(ds, path: str, **kw):
         from .sources.topojson import write_topojson_layer
         return write_topojson_layer(ds, path, **kw)
     if low.endswith((".json", ".geojson")):
-        return write_geojson(ds, path, **kw)
+        return write_geojson(ds, path, rotate=rotate, **kw)
     if low.endswith(".parquet") or low.rstrip("/").endswith("_dir"):
         ds.write_parquet(path)
         return path

@@ -226,6 +226,10 @@ class Catalog:
         self.target: str | None = None
         self.defs: dict = {}
         self._anon = 0
+        # layer names whose polygon rings are ALREADY in the
+        # reference's arc traversal order (refclip-kernel outputs) —
+        # export must NOT re-rotate them through a topology rebuild
+        self.no_rotate: set[str] = set()
 
     def add(self, ds, name=None):
         if not name:
@@ -233,6 +237,7 @@ class Catalog:
             name = f"layer{self._anon}"
         self.layers[name] = ds
         self.target = name
+        self.no_rotate.discard(name)
         return name
 
     def get(self, name=None):
@@ -242,8 +247,12 @@ class Catalog:
                              f"have {sorted(self.layers)}")
         return self.layers[key]
 
-    def replace(self, ds):
+    def replace(self, ds, no_rotate=False):
         self.layers[self.target] = ds
+        if no_rotate:
+            self.no_rotate.add(self.target)
+        else:
+            self.no_rotate.discard(self.target)
 
 
 def _geom_type(ds):
@@ -381,7 +390,9 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 cat.add(merged, opts.get("name") or "merged")
         elif name == "o":
             path = args[0] if args else opts.get("file")
-            ds = cat.get(opts.get("target"))
+            tgt = opts.get("target")
+            ds = cat.get(tgt)
+            rotate = (tgt or cat.target) not in cat.no_rotate
             if "precision" in opts:
                 ds = api.round_coords(ds, float(opts["precision"]))
             if "format" in opts:
@@ -401,8 +412,9 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                     from .sources.topojson import write_topojson_layer
                     write_topojson_layer(
                         ds, path,
-                        object_name=opts.get("target") or cat.target
-                        or "layer1")
+                        object_name=tgt or cat.target or "layer1")
+                elif fmt in ("geojson", "json", "shapefile", "shp"):
+                    writers[fmt](ds, path, rotate=rotate)
                 elif fmt in writers:
                     writers[fmt](ds, path)
                 elif fmt == "parquet":
@@ -413,10 +425,9 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 from .sources.topojson import write_topojson_layer
                 write_topojson_layer(
                     ds, path,
-                    object_name=opts.get("target") or cat.target
-                    or "layer1")
+                    object_name=tgt or cat.target or "layer1")
             else:
-                api.o(ds, path)
+                api.o(ds, path, rotate=rotate)
         elif name == "target":
             cat.target = args[0] if args else opts.get("name")
             if cat.target not in cat.layers:
@@ -543,7 +554,7 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                         for k, (c, f) in _parse_calc(opts["calc"]).items()}
                 stats = rel.groupby_agg(cat.get(), [key], aggs).to_pandas()
                 out = rel.broadcast_join(out, stats, on=key)
-            cat.replace(out)
+            cat.replace(out, no_rotate=True)
         elif name in ("clip", "erase", "slice"):
             ds = cat.get()
             if "bbox" in opts:
@@ -568,9 +579,9 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 cat.replace(api.clip_polylines(
                     ds, src, how="clip" if name == "clip" else name))
             elif name == "clip":
-                cat.replace(api.clip_layer(ds, src))
+                cat.replace(api.clip_layer(ds, src), no_rotate=True)
             elif name == "erase":
-                cat.replace(api.erase_layer(ds, src))
+                cat.replace(api.erase_layer(ds, src), no_rotate=True)
             else:
                 raise ValueError("-slice supports polyline targets")
         elif name in ("innerlines", "lines"):
@@ -723,7 +734,7 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                          "rings_x": [t["x"].tolist()],
                          "rings_y": [t["y"].tolist()],
                          "ring_poly": [0]} for i, t in enumerate(tiles)]
-                cat.replace(rd.from_items(rows))
+                cat.replace(rd.from_items(rows), no_rotate=True)
                 continue
             feats = [[np.stack([np.asarray(x, float),
                                 np.asarray(y, float)], axis=1)
@@ -736,7 +747,7 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                          "rings_x": [np.asarray(t["x"]).tolist()],
                          "rings_y": [np.asarray(t["y"]).tolist()],
                          "ring_poly": [0]} for i, t in enumerate(tiles)]
-                cat.replace(rd.from_items(rows))
+                cat.replace(rd.from_items(rows), no_rotate=True)
                 continue
             key = args[0] if args else opts.get("fields")
             if name == "dissolve2" and "cell" in opts:
@@ -764,14 +775,28 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                  if "gap_fill_area" in opts else None)
             out = dissolve2_features(_rewound_features(df), keys,
                                      min_gap_area=mga)
+            items = sorted(out.items(), key=(lambda kv: int(kv[0]))
+                           if name == "clean" else None)
             rows = []
-            for i, (k, rings) in enumerate(sorted(out.items())):
+            attr_cols = [c for c in df.columns
+                         if c not in ("feature_id", "rings_x",
+                                      "rings_y", "ring_poly")]
+            for i, (k, rings) in enumerate(items):
                 gx, gy, gp = _rings_to_row(rings) if rings \
                     else ([], [], [])
-                rows.append({"feature_id": i, key or "feature_key": k,
-                             "rings_x": gx, "rings_y": gy,
-                             "ring_poly": gp})
-            cat.replace(rd.from_items(rows))
+                row = {"feature_id": i, "rings_x": gx, "rings_y": gy,
+                       "ring_poly": gp}
+                if name == "clean":
+                    # -clean keeps each feature's original attributes
+                    src = df[df["feature_id"] == int(k)].iloc[0]
+                    for c in attr_cols:
+                        row[c] = src[c]
+                elif key is not None:
+                    row[key] = k
+                # keyless -dissolve2 keeps no data table (the reference
+                # then exports a bare GeometryCollection)
+                rows.append(row)
+            cat.replace(rd.from_items(rows), no_rotate=True)
         elif name == "explode":
             cat.replace(api.explode(cat.get()))
         elif name == "stitch":

@@ -242,7 +242,9 @@ def _fmt_coord(v: float, decimals: int | None):
 
 
 
-def _render_rows(batch: pa.Table, decimals=None) -> list[tuple[int, str]]:
+def _render_rows(batch: pa.Table, decimals=None,
+                 as_features=True) -> list[tuple[int, str]]:
+    from .jsnum import js_json
     from .layers import geom_type_of
     gt = geom_type_of(batch)
     names = batch.column_names
@@ -314,13 +316,18 @@ def _render_rows(batch: pa.Table, decimals=None) -> list[tuple[int, str]]:
                 geom = {"type": "Point", "coordinates": pts[0]}
             else:
                 geom = {"type": "MultiPoint", "coordinates": pts}
-        feat = {"type": "Feature", "geometry": geom, "properties": props}
-        out.append((d["feature_id"][i],
-                    json.dumps(feat, separators=(",", ":"))))
+        if as_features:
+            feat = {"type": "Feature", "geometry": geom,
+                    "properties": props if attr_cols else None}
+            out.append((d["feature_id"][i], js_json(feat)))
+        elif geom is not None:
+            # bare-geometry mode skips null shapes (exportLayerAsGeoJSON
+            # "don't add null objects to GeometryCollection")
+            out.append((d["feature_id"][i], js_json(geom)))
     return out
 
 
-def render_features(ds, decimals=None):
+def render_features(ds, decimals=None, as_features=True):
     """Dataset → Dataset of {'feature_id', 'json'} rendered features."""
     def render(batch) -> pa.Table:
         # native block format: Arrow stays zero-copy; pandas blocks
@@ -328,26 +335,48 @@ def render_features(ds, decimals=None):
         # to_arrow_safe — asking Ray for pyarrow here would crash on
         # them (ArrowNotImplementedError in the tensor extension)
         from .layers import to_arrow_safe
-        rows = _render_rows(to_arrow_safe(batch), decimals)
+        rows = _render_rows(to_arrow_safe(batch), decimals, as_features)
         return pa.table({
             "feature_id": pa.array([r[0] for r in rows], type=pa.int64()),
             "json": pa.array([r[1] for r in rows], type=pa.string())})
     return ds.map_batches(render, batch_format=None)
 
 
-def write_geojson(ds, path: str, decimals=None):
-    """Assemble one FeatureCollection, ordered by feature_id (the
-    reference preserves input order through every command — SURVEY.md
-    §2.8).  Small-output path; use write_geojson_shards at scale."""
-    rendered = render_features(ds, decimals).sort("feature_id")
+def write_geojson(ds, path: str, decimals=None, rotate=True):
+    """Assemble one collection, ordered by feature_id (the reference
+    preserves input order through every command — SURVEY.md §2.8).
+    Byte-identical to the reference's exportDatasetAsGeoJSON: a layer
+    WITH attribute fields becomes a FeatureCollection, one without
+    becomes a GeometryCollection of bare geometries (null shapes
+    skipped); formatGeoJSON framing (features joined with ',\\n' inside
+    '[\\n...\\n]').  Small-output path; use write_geojson_shards at
+    scale."""
+    names = ds.schema().names
+    attr_cols = [c for c in names
+                 if c not in ("feature_id", "rings_x", "rings_y",
+                              "ring_poly", "part_x", "part_y",
+                              "px", "py")]
+    as_features = bool(attr_cols)
+    if rotate and "rings_x" in names:
+        # the reference exports AFTER buildTopology, where every ring
+        # is rotated to its first junction vertex — rebuild through
+        # topology so ring starts match the reference byte-for-byte.
+        # Kernel outputs whose rings are ALREADY in reference arc order
+        # (the refclip ports) pass rotate=False to keep their starts.
+        from ..ops.features import _topology_rotated
+        ds = _topology_rotated(ds)
+    rendered = render_features(ds, decimals,
+                               as_features=as_features).sort("feature_id")
     # preserve_order: without it iter_rows may yield the sorted blocks
     # in completion order under load (see layers.ordered_pandas)
     rendered.context.execution_options.preserve_order = True
     parts = [r["json"] for r in rendered.iter_rows()]
+    coll = ("FeatureCollection", "features") if as_features else \
+        ("GeometryCollection", "geometries")
     with open(path, "w") as f:
-        f.write('{"type":"FeatureCollection","features":[')
-        f.write(",".join(parts))
-        f.write("]}")
+        f.write('{"type":"%s", "%s": [\n' % coll)
+        f.write(",\n".join(parts))
+        f.write("\n]}")
     return path
 
 

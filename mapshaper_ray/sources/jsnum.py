@@ -12,6 +12,41 @@ the ECMA layout.
 from __future__ import annotations
 
 
+def js_json(o) -> str:
+    """JSON.stringify(obj) (no indent): identical bytes for the value
+    types mapshaper serializes — numbers via js_number_str, NaN/inf ->
+    null, insertion-ordered objects, utf-8 strings kept raw."""
+    import json as _json
+
+    import numpy as np
+    if o is None:
+        return "null"
+    if o is True:
+        return "true"
+    if o is False:
+        return "false"
+    if isinstance(o, (bool, np.bool_)):
+        return "true" if o else "false"
+    if isinstance(o, (int, np.integer)):
+        return str(int(o))
+    if isinstance(o, (float, np.floating)):
+        f = float(o)
+        if f != f or f in (float("inf"), float("-inf")):
+            return "null"  # JSON.stringify(NaN/Infinity) -> null
+        return js_number_str(f)
+    if isinstance(o, str):
+        return _json.dumps(o, ensure_ascii=False)
+    if isinstance(o, (list, tuple)):
+        return "[" + ",".join(js_json(v) for v in o) + "]"
+    if isinstance(o, np.ndarray):
+        return js_json(o.tolist())
+    if isinstance(o, dict):
+        return "{" + ",".join(
+            _json.dumps(str(k), ensure_ascii=False) + ":" + js_json(v)
+            for k, v in o.items()) + "}"
+    return _json.dumps(o, ensure_ascii=False)
+
+
 def js_number_str(v) -> str:
     f = float(v)
     if f != f:

@@ -341,7 +341,7 @@ def _feature_parts(row, gt):
                                                _nz(row["py"]))]
 
 
-def write_shapefile(ds, path: str):
+def write_shapefile(ds, path: str, rotate=True):
     """Dataset (layer model) → .shp/.shx/.dbf triple, ordered by
     feature_id.  Small-side sink: rendered on the driver from sorted
     batches (the format needs global offsets)."""
@@ -349,10 +349,12 @@ def write_shapefile(ds, path: str):
     base = path[:-4] if path.endswith(".shp") else path
     df = ds.to_pandas().sort_values("feature_id").reset_index(drop=True)
     gt = geom_type_of(list(df.columns))
-    if gt == "polygon" and len(df):
+    if rotate and gt == "polygon" and len(df):
         # the reference exports AFTER buildTopology, where rings are
         # rotated to their first junction vertex — rebuild through
         # topology so .shp output is byte-comparable to the reference
+        # (refclip-kernel outputs pass rotate=False: their rings are
+        # already in reference arc order)
         from ..ops.features import _topology_rotated
         df = _topology_rotated(ds).to_pandas() \
             .sort_values("feature_id").reset_index(drop=True)

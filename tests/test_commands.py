@@ -126,7 +126,7 @@ def test_reference_simplify_0pct_fixture(ray_session, tmp_path):
     out = tmp_path / "out.json"
     run_commands(f"-i {src} -simplify 0% -o {out}")
     fc = json.loads(out.read_text())
-    geom = fc["features"][0]["geometry"]
+    geom = fc["geometries"][0]  # field-less -> GeometryCollection
     assert geom["coordinates"] == [[0, 0], [0, 2]]
 
 
@@ -183,7 +183,7 @@ def test_reference_simplify_resolution_fixture(ray_session, tmp_path):
     out = tmp_path / "out.json"
     run_commands(f"-i {src} -simplify resolution=100x100 -o {out}")
     fc = json.loads(out.read_text())
-    assert fc["features"][0]["geometry"]["coordinates"] == coords
+    assert fc["geometries"][0]["coordinates"] == coords
 
 
 def test_i_merge_files(ray_session, tmp_path):

@@ -132,4 +132,5 @@ def test_precision_rounding(ray_session, tmp_path):
     out = tmp_path / "po.json"
     write_geojson(read_geojson(str(src)), str(out), decimals=3)
     got = json.loads(out.read_text())
-    assert got["features"][0]["geometry"]["coordinates"] == [1.235, -7.988]
+    # field-less layers export as GeometryCollection (reference rule)
+    assert got["geometries"][0]["coordinates"] == [1.235, -7.988]

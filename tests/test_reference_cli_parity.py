@@ -525,6 +525,28 @@ def test_topojson_import_exact(ray_session, ref_cli, tmp_path):
     assert a == b
 
 
+@pytest.mark.parametrize("args", [
+    ["six_counties.shp"],                       # shp import, attrs
+    ["two_states.shp"],                         # defective fixture
+    ["three_points.geojson"],                   # point layer
+    ["six_counties.shp", "-dissolve", "STATE_NAME"],
+    ["six_counties.shp", "-dissolve2"],         # GeometryCollection
+    ["two_states.shp", "-innerlines"],          # polyline layer
+])
+def test_geojson_export_bytes_identical(ray_session, ref_cli, tmp_path,
+                                        args):
+    """-o GeoJSON byte parity: JS ToString numbers, formatGeoJSON
+    framing, FeatureCollection vs bare-GeometryCollection rule,
+    post-buildTopology ring rotation (kernel outputs keep their own
+    reference arc order via Catalog.no_rotate)."""
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    path = "/root/reference/test/test_data/" + args[0]
+    ref_run(ref_cli, [path, *args[1:], "-o", str(ref)])
+    run_commands(f"-i {path} {' '.join(args[1:])} -o {ours}")
+    assert ours.read_bytes() == ref.read_bytes()
+
+
 def test_shapefile_export_shp_bytes_identical(ray_session, ref_cli,
                                               tmp_path):
     """.shp/.shx round-trip through the engine equals the reference's
