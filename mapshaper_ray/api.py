@@ -206,7 +206,7 @@ def o(ds, path: str, **kw):
     if low.endswith((".csv", ".tsv")):
         return write_delim(ds, path, **kw)
     if low.endswith(".svg"):
-        return write_svg(ds, path, **kw)
+        return write_svg(ds, path, rotate=rotate, **kw)
     if low.endswith(".topojson"):
         from .sources.topojson import write_topojson_layer
         return write_topojson_layer(ds, path, **kw)

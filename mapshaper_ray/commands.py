@@ -415,6 +415,9 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                         object_name=tgt or cat.target or "layer1")
                 elif fmt in ("geojson", "json", "shapefile", "shp"):
                     writers[fmt](ds, path, rotate=rotate)
+                elif fmt == "svg":
+                    api.write_svg(ds, path, rotate=rotate,
+                                  name=tgt or cat.target or "layer1")
                 elif fmt in writers:
                     writers[fmt](ds, path)
                 elif fmt == "parquet":
@@ -427,7 +430,11 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                     ds, path,
                     object_name=tgt or cat.target or "layer1")
             else:
-                api.o(ds, path, rotate=rotate)
+                if str(path).lower().endswith(".svg"):
+                    api.write_svg(ds, path, rotate=rotate,
+                                  name=tgt or cat.target or "layer1")
+                else:
+                    api.o(ds, path, rotate=rotate)
         elif name == "target":
             cat.target = args[0] if args else opts.get("name")
             if cat.target not in cat.layers:

@@ -353,8 +353,15 @@ def innerlines_layer(ds, inner_only=True):
     if inner_only:
         batches.append((extract(inner_key), None, None))
     else:
-        batches.append((extract(outer_key), "outer", 0))
-        batches.append((extract(inner_key), "inner", 1))
+        # reference api.lines PREPENDS each addLines group
+        # (utils.merge(lines, shapes)) — output order is inner lines
+        # first, outer last, while RANK still counts in add order
+        # (outer=0, inner=1); extraction order stays outer-then-inner
+        # because the classifier consumes arcs on first claim
+        outer = (extract(outer_key), "outer", 0)
+        inner = (extract(inner_key), "inner", 1)
+        batches.append(inner)
+        batches.append(outer)
     rows = []
     fid = 0
     for lines_b, type_name, rank in batches:

@@ -86,34 +86,94 @@ def export_topojson(features, attrs=None, quantization=None,
                                       ymax, quantization)
 
     out_arcs = []
+    q_abs = []          # absolute quantized coords per arc
+    arc_len = []        # arc has any nonzero segment post-quantization
     for a in range(len(arcs.nn)):
         i0 = arcs.ii[a]
         n = arcs.nn[a]
         qx = js_round(arcs.xx[i0:i0 + n] * mx + bx).astype(np.int64)
         qy = js_round(arcs.yy[i0:i0 + n] * my + by).astype(np.int64)
+        q_abs.append((qx, qy))
+        arc_len.append(bool(np.any(np.diff(qx) != 0) or
+                            np.any(np.diff(qy) != 0)))
         dx = np.diff(qx, prepend=0)
         dy = np.diff(qy, prepend=0)
         dx[0] = qx[0]
         dy[0] = qy[0]
         out_arcs.append(np.stack([dx, dy], axis=1).tolist())
 
+    def _ring_coords(ids):
+        pts = []
+        for sid in ids:
+            qx, qy = q_abs[sid if sid >= 0 else ~sid]
+            if sid < 0:
+                qx, qy = qx[::-1], qy[::-1]
+            pts.append(np.stack([qx, qy], axis=1))
+        return np.concatenate(pts)
+
+    def _filter_empty(shape):
+        # reference filterEmptyArcs: drop arcs that collapse to a
+        # point after quantization; drop emptied rings
+        out = []
+        for ids in shape:
+            kept = [sid for sid in ids
+                    if arc_len[sid if sid >= 0 else ~sid]]
+            if kept:
+                out.append(kept)
+        return out
+
+    def _group_rings(shape):
+        """Reference explodePolygon on the QUANTIZED coords
+        (groupPolygonRings, src/utils/mapshaper-path-utils.js:261-330):
+        rings with positive reference-sign area (CW) start groups,
+        holes attach to the smallest bbox-containing bigger ring,
+        zero-area rings drop."""
+        metas = []
+        for ids in shape:
+            P = _ring_coords(ids).astype(np.float64)
+            # reference getPlanarPathArea: CW rings positive
+            area = -0.5 * float(np.sum(P[:-1, 0] * P[1:, 1] -
+                                       P[1:, 0] * P[:-1, 1]))
+            bb = (P[:, 0].min(), P[:, 1].min(),
+                  P[:, 0].max(), P[:, 1].max())
+            metas.append((ids, area, bb))
+        groups = [[m] for m in metas if m[1] > 0]
+        holes = [m for m in metas if m[1] < 0]
+        for hole in holes:
+            hb = hole[2]
+            ha = -hole[1]
+            cid, carea = -1, 0.0
+            for gi, grp in enumerate(groups):
+                _, ra, rb = grp[0]
+                contained = (rb[0] <= hb[0] and rb[1] <= hb[1] and
+                             rb[2] >= hb[2] and rb[3] >= hb[3] and
+                             ra > ha)
+                if contained and (carea == 0.0 or ra < carea):
+                    carea, cid = ra, gi
+            if cid >= 0:
+                groups[cid].append(hole)
+        return [[list(m[0]) for m in grp] for grp in groups]
+
     geoms = []
     for i, shape in enumerate(shapes):
+        if shape:
+            shape = _filter_empty(shape)
         if not shape:
             geom = {"type": None}
         elif geometry_type == "polygon":
-            rp = list(ring_poly[i]) if ring_poly is not None and \
-                ring_poly[i] is not None else [0] * len(shape)
-            n_poly = (max(rp) + 1) if rp else 1
-            if n_poly > 1:
-                polys = [[] for _ in range(n_poly)]
-                for ring_arcs, pi in zip(shape, rp):
-                    polys[int(pi)].append(list(ring_arcs))
-                geom = {"type": "MultiPolygon",
-                        "arcs": [pl for pl in polys if pl]}
+            # reference exportPolygonGeom: 'arcs' set BEFORE 'type'
+            # (key order matters for byte-identical stringify); rings
+            # regrouped on the quantized coords via explodePolygon —
+            # shape.length 1 skips the regroup entirely
+            if len(shape) > 1:
+                polys = _group_rings(shape)
+                if len(polys) == 1:
+                    geom = {"arcs": polys[0], "type": "Polygon"}
+                else:  # incl. empty: reference emits MultiPolygon []
+                    geom = {"arcs": polys, "type": "MultiPolygon"}
             else:
-                geom = {"type": "Polygon",
-                        "arcs": [list(p) for p in shape]}
+                geom = {"arcs": [list(p) for p in shape],
+                        "type": "Polygon"}
         else:
             parts = [list(p) for p in shape]
             geom = ({"type": "LineString", "arcs": parts[0]}
@@ -123,20 +183,24 @@ def export_topojson(features, attrs=None, quantization=None,
             geom["properties"] = attrs[i]
         geoms.append(geom)
 
+    # key insertion order mirrors the reference's exportTopology
+    # ({type, arcs} literal, then transform, then objects) so
+    # JSON.stringify-equivalent serialization is byte-identical
     return {
         "type": "Topology",
+        "arcs": out_arcs,
         "transform": {"scale": [1.0 / mx, 1.0 / my],
                       "translate": [-bx / mx, -by / my]},
-        "arcs": out_arcs,
         "objects": {object_name: {"type": "GeometryCollection",
                                   "geometries": geoms}},
     }
 
 
 def write_topojson(features, path, **kw):
+    from .jsnum import js_json
     topo = export_topojson(features, **kw)
     with open(path, "w") as f:
-        json.dump(topo, f, separators=(",", ":"))
+        f.write(js_json(topo))
     return path
 
 

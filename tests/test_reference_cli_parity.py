@@ -283,24 +283,39 @@ def test_proj_vs_mproj(ray_session, ref_cli, tmp_path, spec, ref_args,
         assert np.allclose(a, b, rtol=0, atol=atol)
 
 
-def test_topojson_export_identical(ray_session, ref_cli, tmp_path):
-    """-o .topojson: transform (auto quantization at 0.02 of the mean
-    segment extents), delta-encoded arcs, object naming, geometry arc
-    indices and properties all equal the reference output exactly."""
+@pytest.mark.parametrize("fixture", ["two_states.shp",
+                                     "six_counties.shp"])
+def test_topojson_export_bytes_identical(ray_session, ref_cli, tmp_path,
+                                         fixture):
+    """-o .topojson BYTE parity: auto quantization, delta-encoded
+    arcs, exportTopology key order, the quantized-ring explodePolygon
+    regroup (zero-area rings dropped, quantization-flipped holes
+    re-homed) and JS number formatting."""
     ref = tmp_path / "ref.topojson"
     ours = tmp_path / "ours.topojson"
-    ref_run(ref_cli, [TWO_STATES, "-o", "format=topojson", str(ref)])
-    run_commands(f"-i {TWO_STATES} -o {ours}")
-    a = json.load(open(ours))
-    b = json.load(open(ref))
-    assert a["transform"] == b["transform"]
-    assert a["arcs"] == b["arcs"]
-    assert list(a["objects"]) == list(b["objects"])
-    ga = a["objects"]["two_states"]["geometries"]
-    gb = b["objects"]["two_states"]["geometries"]
-    assert [g.get("arcs") for g in ga] == [g.get("arcs") for g in gb]
-    assert [g.get("properties") for g in ga] == \
-        [g.get("properties") for g in gb]
+    path = "/root/reference/test/test_data/" + fixture
+    ref_run(ref_cli, [path, "-o", "format=topojson", str(ref)])
+    run_commands(f"-i {path} -o {ours}")
+    assert ours.read_bytes() == ref.read_bytes()
+
+
+@pytest.mark.parametrize("args", [
+    ["six_counties.shp"],
+    ["two_states.shp"],
+    ["two_states.shp", "-lines"],          # polyline layer defaults
+    ["three_points.geojson"],              # circles
+])
+def test_svg_export_bytes_identical(ray_session, ref_cli, tmp_path,
+                                    args):
+    """-o .svg BYTE parity: pixel transform with margins and y-flip,
+    0.0001px precision rounding, path d-string / circle construction,
+    layer <g> wrapper with polyline display defaults, XML template."""
+    ref = tmp_path / "ref.svg"
+    ours = tmp_path / "ours.svg"
+    path = "/root/reference/test/test_data/" + args[0]
+    ref_run(ref_cli, [path, *args[1:], "-o", "format=svg", str(ref)])
+    run_commands(f"-i {path} {' '.join(args[1:])} -o {ours}")
+    assert ours.read_bytes() == ref.read_bytes()
 
 
 def props(path):

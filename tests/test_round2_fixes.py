@@ -127,10 +127,13 @@ def test_topojson_multipolygon_roundtrip(ray_session, tmp_path):
     from mapshaper_ray import api
     ds = rd.from_items([{
         "feature_id": 0, "name": "islands",
-        "rings_x": [[0.0, 1.0, 1.0, 0.0, 0.0],
-                    [5.0, 6.0, 6.0, 5.0, 5.0]],
-        "rings_y": [[0.0, 0.0, 1.0, 1.0, 0.0],
-                    [0.0, 0.0, 1.0, 1.0, 0.0]],
+        # layer-model winding convention: outer rings CW (reference
+        # importRing orientation) — the exporter's explodePolygon
+        # regroup classifies CCW rings as holes
+        "rings_x": [[0.0, 0.0, 1.0, 1.0, 0.0],
+                    [5.0, 5.0, 6.0, 6.0, 5.0]],
+        "rings_y": [[0.0, 1.0, 1.0, 0.0, 0.0],
+                    [0.0, 1.0, 1.0, 0.0, 0.0]],
         "ring_poly": [0, 1]}])
     p = tmp_path / "mp.topojson"
     api.o(ds, str(p))

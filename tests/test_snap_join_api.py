@@ -121,7 +121,8 @@ def test_io_dispatch(ray_session, tmp_path):
     api.o(lyr, str(tmp_path / "b.shp"))
     assert api.i(str(tmp_path / "b.shp")).count() == 1
     api.o(lyr, str(tmp_path / "b.svg"))
-    assert (tmp_path / "b.svg").read_text().startswith("<svg")
+    assert (tmp_path / "b.svg").read_text().startswith(
+        '<?xml version="1.0"?>\n<svg ')
     from mapshaper_ray.sources.topojson import write_topojson
     write_topojson([[np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]],
                               float)]], str(tmp_path / "t.json"))

@@ -21,13 +21,18 @@ def test_write_svg_polygons(ray_session, tmp_path):
     out = tmp_path / "o.svg"
     write_svg(read_geojson(str(src)), str(out), width=200)
     svg = out.read_text()
-    assert svg.startswith("<svg")
+    # reference template: XML prolog + svg attrs + <g id=...> wrapper
+    assert svg.startswith('<?xml version="1.0"?>\n<svg ')
     assert svg.count("<path") == 2
     assert 'fill="red"' in svg and 'fill="blue"' in svg
-    # y-flip: geo y=0 (bottom) renders at svg y=height (100)
-    first_path = re.search(r'<path d="M([\d.]+) ([\d.]+)', svg)
-    assert first_path.group(2) == "100"
-    assert 'height="100"' in svg
+    # reference sizing: width 200, margins 1px -> k=20/198,
+    # height = 2 + 10/k = 101
+    assert 'height="101"' in svg
+    # y-flip: geo y=0 (bottom) renders at pixel 100 (101 - 1px
+    # margin), geo y=10 (top) at pixel 1
+    d = re.search(r'<path d="([^"]+)"', svg).group(1)
+    ys = [float(v) for v in d.replace(" Z", "").split()[1:][1::2]]
+    assert max(ys) == 100.0 and min(ys) == 1.0
 
 
 def test_write_svg_points_and_lines(ray_session, tmp_path):
