@@ -50,7 +50,7 @@ _FLAGS = {
     "sort": {"descending", "ascending"},
     "merge-layers": {"force"},
     "i": {"snap", "combine-files", "merge-files", "no-topology"},
-    "o": {"force"},
+    "o": {"force", "bbox", "drop-table", "cut-table"},
     "join": {"unjoined", "unmatched"},
     "clean": {"allow-overlaps"},
     "filter": {"remove-empty"},
@@ -393,7 +393,18 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
             tgt = opts.get("target")
             ds = cat.get(tgt)
             rotate = (tgt or cat.target) not in cat.no_rotate
+            gj_kw = {k: opts[o] for o, k in
+                     (("id_field", "id_field"), ("bbox", "bbox"),
+                      ("drop_table", "drop_table"),
+                      ("cut_table", "cut_table")) if o in opts}
             if "precision" in opts:
+                # the reference rounds AFTER import-time buildTopology
+                # fixed ring starts — rotate on the unrounded coords,
+                # then round, else junctions shift
+                if rotate and "rings_x" in ds.schema().names:
+                    from .ops.features import _topology_rotated
+                    ds = _topology_rotated(ds)
+                    rotate = False
                 ds = api.round_coords(ds, float(opts["precision"]))
             if "format" in opts:
                 # format= overrides extension-based dispatch but the
@@ -413,7 +424,9 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                     write_topojson_layer(
                         ds, path,
                         object_name=tgt or cat.target or "layer1")
-                elif fmt in ("geojson", "json", "shapefile", "shp"):
+                elif fmt in ("geojson", "json"):
+                    writers[fmt](ds, path, rotate=rotate, **gj_kw)
+                elif fmt in ("shapefile", "shp"):
                     writers[fmt](ds, path, rotate=rotate)
                 elif fmt == "svg":
                     api.write_svg(ds, path, rotate=rotate,
@@ -433,6 +446,8 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 if str(path).lower().endswith(".svg"):
                     api.write_svg(ds, path, rotate=rotate,
                                   name=tgt or cat.target or "layer1")
+                elif str(path).lower().endswith((".json", ".geojson")):
+                    api.write_geojson(ds, path, rotate=rotate, **gj_kw)
                 else:
                     api.o(ds, path, rotate=rotate)
         elif name == "target":
@@ -542,9 +557,12 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 cat.get(),
                 method="dp" if dp else "visvalingam",
                 keep_shapes=bool(opts.get("keep_shapes")),
+                repair=not opts.get("no_repair"),
                 spherical=spherical,
                 weighting=None if dp else weighting,
-                **amount))
+                **amount), no_rotate=True)  # rings already in
+            # reference arc order (assembled from the simplify
+            # topology) — export must not re-rotate them
         elif name == "dissolve":
             key = args[0] if args else opts.get("fields")  # None = all
             out = api.dissolve_layer(

@@ -84,6 +84,157 @@ def protect_shapes(features):
     return features
 
 
+def post_simplify_repair(nn, xx, yy, arc_zs, zlim):
+    """Exact port of the reference's postSimplifyRepair
+    (src/simplify/mapshaper-post-simplify-repair.js:10-143): find
+    crossings among the RETAINED segments of the whole arc collection,
+    then unwind simplification along intersecting segments — re-adding
+    removed vertices (z := zlim) from a max-z-first queue, redetecting
+    each target locally before unwinding.  ``arc_zs``: dict arc_id →
+    per-vertex threshold array, MUTATED in place (endpoints treated as
+    unremovable).  Returns the number of unrepairable crossings."""
+    from ..topo.refclip import (RefArcs, _format_intersection,
+                                find_segment_intersections,
+                                ref_segment_intersection)
+
+    nn = np.asarray(nn, dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(nn)])
+    zz = np.empty(int(offs[-1]), dtype=np.float64)
+    for a in range(len(nn)):
+        z = np.asarray(arc_zs[a], dtype=np.float64)
+        zz[offs[a]:offs[a + 1]] = z
+        zz[offs[a]] = np.inf          # arc endpoints are unremovable
+        zz[offs[a + 1] - 1] = np.inf
+    arcs = RefArcs(nn, np.asarray(xx, float), np.asarray(yy, float))
+    xx = arcs.xx
+    yy = arcs.yy
+
+    def retained_segments():
+        segs = []
+        for a in range(len(nn)):
+            idx = np.nonzero(zz[offs[a]:offs[a + 1]] >= zlim)[0] + offs[a]
+            for k in range(len(idx) - 1):
+                i, j = int(idx[k]), int(idx[k + 1])
+                segs.append((i, j) if xx[i] <= xx[j] else (j, i))
+        return segs
+
+    def find_next_removable(start, end):
+        # max-z removed vertex strictly between (first max wins)
+        if start > end:
+            start, end = end, start
+        j, jz = -1, 0.0
+        for i in range(start + 1, end):
+            z = zz[i]
+            if z < zlim and z > jz:
+                j, jz = i, z
+        return j
+
+    def get_unwind_target(o):
+        ai = find_next_removable(o["a"][0], o["a"][1])
+        bi = find_next_removable(o["b"][0], o["b"][1])
+        if ai == -1 and bi == -1:
+            return None
+        if bi == -1 or (ai != -1 and zz[ai] > zz[bi]):
+            return {"a": o["a"], "b": o["b"], "z": zz[ai]}
+        return {"a": o["b"], "b": o["a"], "z": zz[bi]}
+
+    def segment_vertices(seg):
+        start, end = (seg[0], seg[1]) if seg[0] <= seg[1] else \
+            (seg[1], seg[0])
+        ids = []
+        prev = start
+        for i in range(start + 1, end + 1):
+            if zz[i] >= zlim:
+                ids.append((prev, i) if xx[prev] < xx[i] else (i, prev))
+                prev = i
+        return ids
+
+    def intersect_segments(segs):
+        # reference intersectSegments: x-sorted scan over candidates
+        segs = sorted(segs, key=lambda ij: xx[ij[0]])
+        out = []
+        for i_ in range(len(segs) - 1):
+            p1, p2 = segs[i_]
+            for j_ in range(i_ + 1, len(segs)):
+                q1, q2 = segs[j_]
+                if xx[p2] < xx[q1]:
+                    break
+                if p1 in (q1, q2) or p2 in (q1, q2):
+                    continue
+                hit = ref_segment_intersection(
+                    xx[p1], yy[p1], xx[p2], yy[p2],
+                    xx[q1], yy[q1], xx[q2], yy[q2])
+                if hit is None:
+                    continue
+                for off in range(0, len(hit), 2):
+                    out.append(_format_intersection(
+                        hit[off], hit[off + 1], (p1, p2), (q1, q2),
+                        xx, yy))
+        return out
+
+    def redetect(target):
+        cands = segment_vertices(target["a"]) + \
+            segment_vertices(target["b"])
+        return [t for t in (get_unwind_target(o)
+                            for o in intersect_segments(cands))
+                if t is not None]
+
+    def unwind(target):
+        reps = []
+        start, end = target["a"]
+        z = target["z"]
+        for i in range(start + 1, end + 1):
+            if zz[i] == z or i == end:
+                reps.append({"a": (start, i), "b": target["b"],
+                             "z": z})
+                if i != end:
+                    zz[i] = zlim
+                start = i
+        return reps
+
+    def insert_target(queue, obj):
+        ins = len(queue)
+        queue.append(obj)
+        while ins > 0 and queue[ins - 1]["z"] > obj["z"]:
+            queue[ins] = queue[ins - 1]
+            ins -= 1
+        queue[ins] = obj
+
+    def unwind_round(intersections):
+        changes = 0
+        loops = 0
+        queue = [t for t in (get_unwind_target(o)
+                             for o in intersections) if t is not None]
+        queue.sort(key=lambda t: t["z"])
+        while queue:
+            target = queue.pop()
+            reps = redetect(target)
+            if len(reps) == 1:
+                reps = unwind(reps[0])
+                changes += 1
+            for r in reps:
+                insert_target(queue, r)
+            loops += 1
+            if loops > 500000:
+                return 0
+        return changes
+
+    intersections = find_segment_intersections(arcs,
+                                               retained_segments())
+    while unwind_round(intersections) > 0:
+        intersections = find_segment_intersections(arcs,
+                                                   retained_segments())
+    # write repaired thresholds back (endpoints untouched: callers
+    # force-retain them anyway)
+    for a in range(len(nn)):
+        z = np.asarray(arc_zs[a], dtype=np.float64)
+        seg = zz[offs[a]:offs[a + 1]].copy()
+        seg[0] = z[0]
+        seg[-1] = z[-1]
+        arc_zs[a] = seg
+    return len(intersections)
+
+
 def find_retained_crossings(x, y, z, zlimit):
     """Crossings among the retained segments of one arc/ring."""
     m = np.asarray(z) >= zlimit

@@ -94,10 +94,18 @@ def affine(ds, shift=(0.0, 0.0), scale=1.0, rotate_deg=0.0,
     return _map_coords(ds, fx, fy)
 
 
-def round_coords(ds, decimals: int):
-    """Precision rounding (src/geom/mapshaper-rounding.js:12-46)."""
-    return _map_coords(ds, lambda x, y: np.round(x, decimals),
-                       lambda x, y: np.round(y, decimals))
+def round_coords(ds, precision: float):
+    """Precision rounding to an INCREMENT (reference
+    setCoordinatePrecision + getRoundingFunction,
+    src/geom/mapshaper-rounding.js:10-46): ``precision=0.001`` snaps
+    to thousandths via Math.round(x*inv)/inv (half toward +inf)."""
+    inv = 1.0 / float(precision)
+    if inv > 1:
+        inv = np.floor(inv + 0.5)
+
+    def rnd(v):
+        return np.floor(np.asarray(v, float) * inv + 0.5) / inv
+    return _map_coords(ds, lambda x, y: rnd(x), lambda x, y: rnd(y))
 
 
 def _map_coords(ds, fx, fy):

@@ -55,7 +55,8 @@ def simplify_layer(ds, pct: float | None = None,
                    spherical: bool | None = None,
                    weighting: float | None = None,
                    interval: float | None = None,
-                   resolution: str | None = None):
+                   resolution: str | None = None,
+                   repair: bool = False):
     """Polygon or polyline layer Dataset → simplified layer Dataset
     (same schema).
 
@@ -184,6 +185,13 @@ def simplify_layer(ds, pct: float | None = None,
                         seg = seg[::-1]
                     zz[aid] = np.maximum(zz[aid], seg)
                     off += ln
+
+    if repair and zlimit > 0:
+        # reference default: roll back simplification along segments
+        # that newly intersect (postSimplifyRepair; -simplify no-repair
+        # disables) — global across arcs, exact port
+        from ..geom.keep_shapes import post_simplify_repair
+        post_simplify_repair(arcs.nn, arcs.xx, arcs.yy, zz, zlimit)
 
     # filter arcs at zlimit and reassemble features
     def arc_coords(sid):

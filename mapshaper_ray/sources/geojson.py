@@ -243,14 +243,16 @@ def _fmt_coord(v: float, decimals: int | None):
 
 
 def _render_rows(batch: pa.Table, decimals=None,
-                 as_features=True) -> list[tuple[int, str]]:
+                 as_features=True, props_cols=None,
+                 id_col=None) -> list[tuple[int, str]]:
     from .jsnum import js_json
     from .layers import geom_type_of
     gt = geom_type_of(batch)
     names = batch.column_names
-    attr_cols = [c for c in names
-                 if c not in ("feature_id", "rings_x", "rings_y",
-                              "ring_poly", "part_x", "part_y", "px", "py")]
+    attr_cols = props_cols if props_cols is not None else \
+        [c for c in names
+         if c not in ("feature_id", "rings_x", "rings_y",
+                      "ring_poly", "part_x", "part_y", "px", "py")]
     d = batch.to_pydict()
     out = []
     for i in range(len(batch)):
@@ -319,6 +321,9 @@ def _render_rows(batch: pa.Table, decimals=None,
         if as_features:
             feat = {"type": "Feature", "geometry": geom,
                     "properties": props if attr_cols else None}
+            if id_col is not None:
+                # reference exportIds: id appended AFTER properties
+                feat["id"] = d[id_col][i]
             out.append((d["feature_id"][i], js_json(feat)))
         elif geom is not None:
             # bare-geometry mode skips null shapes (exportLayerAsGeoJSON
@@ -327,7 +332,8 @@ def _render_rows(batch: pa.Table, decimals=None,
     return out
 
 
-def render_features(ds, decimals=None, as_features=True):
+def render_features(ds, decimals=None, as_features=True,
+                    props_cols=None, id_col=None):
     """Dataset → Dataset of {'feature_id', 'json'} rendered features."""
     def render(batch) -> pa.Table:
         # native block format: Arrow stays zero-copy; pandas blocks
@@ -335,14 +341,17 @@ def render_features(ds, decimals=None, as_features=True):
         # to_arrow_safe — asking Ray for pyarrow here would crash on
         # them (ArrowNotImplementedError in the tensor extension)
         from .layers import to_arrow_safe
-        rows = _render_rows(to_arrow_safe(batch), decimals, as_features)
+        rows = _render_rows(to_arrow_safe(batch), decimals, as_features,
+                            props_cols, id_col)
         return pa.table({
             "feature_id": pa.array([r[0] for r in rows], type=pa.int64()),
             "json": pa.array([r[1] for r in rows], type=pa.string())})
     return ds.map_batches(render, batch_format=None)
 
 
-def write_geojson(ds, path: str, decimals=None, rotate=True):
+def write_geojson(ds, path: str, decimals=None, rotate=True,
+                  id_field=None, bbox=False, drop_table=False,
+                  cut_table=False):
     """Assemble one collection, ordered by feature_id (the reference
     preserves input order through every command — SURVEY.md §2.8).
     Byte-identical to the reference's exportDatasetAsGeoJSON: a layer
@@ -351,12 +360,27 @@ def write_geojson(ds, path: str, decimals=None, rotate=True):
     skipped); formatGeoJSON framing (features joined with ',\\n' inside
     '[\\n...\\n]').  Small-output path; use write_geojson_shards at
     scale."""
+    from .jsnum import js_json
     names = ds.schema().names
     attr_cols = [c for c in names
                  if c not in ("feature_id", "rings_x", "rings_y",
                               "ring_poly", "part_x", "part_y",
                               "px", "py")]
-    as_features = bool(attr_cols)
+    # reference getIdField: id-field= candidates + the default 'FID'
+    idf_opts = ([id_field] if isinstance(id_field, str) else
+                list(id_field or [])) + ["FID"]
+    idf = next((f for f in idf_opts if f in attr_cols), None)
+    # reference useFeatureProperties / useFeatureCollection
+    use_props = not (drop_table or cut_table or not attr_cols or
+                     attr_cols == ["FID"])
+    as_features = use_props or bool(idf)
+    props_cols = None
+    if not use_props:
+        props_cols = []
+    elif idf == "FID" and not (isinstance(id_field, str) and
+                               id_field == "FID"):
+        # default id field is dropped from properties, user-set kept
+        props_cols = [c for c in attr_cols if c != "FID"]
     if rotate and "rings_x" in names:
         # the reference exports AFTER buildTopology, where every ring
         # is rotated to its first junction vertex — rebuild through
@@ -365,19 +389,49 @@ def write_geojson(ds, path: str, decimals=None, rotate=True):
         # (the refclip ports) pass rotate=False to keep their starts.
         from ..ops.features import _topology_rotated
         ds = _topology_rotated(ds)
-    rendered = render_features(ds, decimals,
-                               as_features=as_features).sort("feature_id")
+    rendered = render_features(ds, decimals, as_features=as_features,
+                               props_cols=props_cols,
+                               id_col=idf).sort("feature_id")
     # preserve_order: without it iter_rows may yield the sorted blocks
     # in completion order under load (see layers.ordered_pandas)
     rendered.context.execution_options.preserve_order = True
     parts = [r["json"] for r in rendered.iter_rows()]
     coll = ("FeatureCollection", "features") if as_features else \
         ("GeometryCollection", "geometries")
+    head = '{"type":"%s"' % coll[0]
+    if bbox:
+        bb = _dataset_bbox(ds)
+        if bb is not None:
+            head += ',"bbox":' + js_json(bb)
     with open(path, "w") as f:
-        f.write('{"type":"%s", "%s": [\n' % coll)
+        f.write(head + ', "%s": [\n' % coll[1])
         f.write(",\n".join(parts))
         f.write("\n]}")
     return path
+
+
+def _dataset_bbox(ds):
+    """Merged dataset bounds (getDatasetBbox without the rfc7946
+    antimeridian split)."""
+    from .layers import geom_type_of
+    df = ds.to_pandas()
+    gt = geom_type_of(list(df.columns))
+    cols = {"polygon": ("rings_x", "rings_y"),
+            "polyline": ("part_x", "part_y"),
+            "point": ("px", "py")}.get(gt)
+    if cols is None:
+        return None
+    xs, ys = [], []
+    for _, row in df.iterrows():
+        for x in _nz(row.get(cols[0])):
+            xs.append(np.asarray(x if np.ndim(x) else [x], float))
+        for y in _nz(row.get(cols[1])):
+            ys.append(np.asarray(y if np.ndim(y) else [y], float))
+    if not xs:
+        return None
+    ax, ay = np.concatenate(xs), np.concatenate(ys)
+    return [float(ax.min()), float(ay.min()),
+            float(ax.max()), float(ay.max())]
 
 
 def write_geojson_shards(ds, out_dir: str, decimals=None):

@@ -268,11 +268,14 @@ def _collect_vertex_segments(arcs: RefArcs):
     return segs
 
 
-def find_segment_intersections(arcs: RefArcs):
+def find_segment_intersections(arcs: RefArcs, segs=None):
     """Intersections as dicts {x, y, a: (i, j), b: (i, j)} (vertex ids,
-    i <= j; endpoint coincidence collapses to (i, i))."""
+    i <= j; endpoint coincidence collapses to (i, i)).  ``segs``
+    overrides the segment list (e.g. retained-only segments for
+    post-simplify repair); default is every vertex pair."""
     xx, yy = arcs.xx, arcs.yy
-    segs = _collect_vertex_segments(arcs)
+    if segs is None:
+        segs = _collect_vertex_segments(arcs)
     if not segs:
         return []
     # stripes (count formula: yrange / avg |dy| / 20)

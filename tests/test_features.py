@@ -70,7 +70,8 @@ def test_affine_and_round(poly_ds):
     rot = affine(poly_ds, rotate_deg=-90, anchor=(0, 0)).to_pandas()
     r0x = np.asarray(rot.sort_values("feature_id").iloc[0]["rings_x"][0])
     assert np.isclose(r0x.min(), -4.0) and np.isclose(r0x.max(), 0.0)
-    rd_ = round_coords(affine(poly_ds, shift=(0.123456, 0)), 2).to_pandas()
+    rd_ = round_coords(affine(poly_ds, shift=(0.123456, 0)),
+                       0.01).to_pandas()
     v = np.asarray(rd_.sort_values("feature_id").iloc[0]["rings_x"][0])
     assert np.allclose(v * 100, np.round(v * 100))
 

@@ -112,15 +112,18 @@ def test_innerlines_two_states_exact(ray_session, ref_cli, tmp_path):
 
 @pytest.mark.parametrize("ref_args,our_spec", [
     # planar: bit-exact thresholds
-    (["-simplify", "dp", "30%", "planar", "no-repair"], "dp planar 30%"),
+    (["-simplify", "dp", "30%", "planar", "no-repair"],
+     "dp planar 30% no-repair"),
     (["-simplify", "visvalingam", "40%", "planar", "no-repair"],
-     "visvalingam planar 40%"),
-    (["-simplify", "55%", "planar", "no-repair"], "planar 55%"),
+     "visvalingam planar 40% no-repair"),
+    (["-simplify", "55%", "planar", "no-repair"],
+     "planar 55% no-repair"),
     # DEFAULT chain (weighted VW + spherical auto) and spherical dp —
     # trig ulp differences exist but flip no vertex on this fixture
-    (["-simplify", "50%", "no-repair"], "50%"),
-    (["-simplify", "dp", "35%", "no-repair"], "dp 35%"),
-    (["-simplify", "interval=3000", "no-repair"], "interval=3000"),
+    (["-simplify", "50%", "no-repair"], "50% no-repair"),
+    (["-simplify", "dp", "35%", "no-repair"], "dp 35% no-repair"),
+    (["-simplify", "interval=3000", "no-repair"],
+     "interval=3000 no-repair"),
 ])
 def test_simplify_planar_exact(ray_session, ref_cli, tmp_path,
                                ref_args, our_spec):
@@ -281,6 +284,48 @@ def test_proj_vs_mproj(ray_session, ref_cli, tmp_path, spec, ref_args,
         assert (a == b).all()
     else:
         assert np.allclose(a, b, rtol=0, atol=atol)
+
+
+@pytest.mark.parametrize("oopts", [
+    ["precision=0.01"],          # rotate-then-round order
+    ["bbox"],                    # container bbox key
+    ["id-field=STATE"],          # feature ids appended after props
+    ["drop-table"],              # GeometryCollection via drop-table
+])
+def test_o_options_bytes_identical(ray_session, ref_cli, tmp_path,
+                                   oopts):
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [TWO_STATES, "-o", *oopts, str(ref)])
+    run_commands(f"-i {TWO_STATES} -o {' '.join(oopts)} {ours}")
+    assert ours.read_bytes() == ref.read_bytes()
+
+
+@pytest.mark.parametrize("spec", [
+    "-simplify 40% planar",              # default repair rolls back
+    "-simplify 25% planar",              # repair + ring-start keep
+    "-simplify 10%",                     # spherical default chain
+    "-simplify 60% planar keep-shapes",  # keep-shapes + repair
+])
+def test_simplify_repair_bytes_identical(ray_session, ref_cli,
+                                         tmp_path, spec):
+    """Default -simplify (REPAIR ON) byte parity: the postSimplifyRepair
+    port (global retained-segment crossings, max-z unwind queue) plus
+    simplify's own arc-order ring starts (no export re-rotation)."""
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [TWO_STATES, *spec.split(), "-o", str(ref)])
+    run_commands(f"-i {TWO_STATES} {spec} -o {ours}")
+    assert ours.read_bytes() == ref.read_bytes()
+
+
+def test_uniq_bytes_identical(ray_session, ref_cli, tmp_path):
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [SIX_COUNTIES, "-uniq", "STATE_NAME",
+                      "-o", str(ref)])
+    run_commands(f"-i {SIX_COUNTIES} -uniq STATE_NAME -o {ours}")
+    assert ours.read_bytes() == ref.read_bytes()
 
 
 @pytest.mark.parametrize("fixture", ["two_states.shp",
