@@ -230,6 +230,9 @@ class Catalog:
         # reference's arc traversal order (refclip-kernel outputs) —
         # export must NOT re-rotate them through a topology rebuild
         self.no_rotate: set[str] = set()
+        # layers projected to a non-latlong CRS: GeoJSON export writes
+        # "crs":null like the reference's exportCRS
+        self.projected: set[str] = set()
 
     def add(self, ds, name=None):
         if not name:
@@ -383,7 +386,17 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 lname = opts.get("name") if len(args) <= 1 else None
                 lname = lname or \
                     os.path.splitext(os.path.basename(path))[0]
-                loaded.append(cat.add(api.i(path), lname))
+                lds = api.i(path)
+                if "rings_x" in lds.schema().names:
+                    # the reference builds topology at IMPORT, rotating
+                    # every ring to its first junction; doing the same
+                    # here keeps ring starts stable through subsetting
+                    # commands (-filter/-uniq) exactly like the
+                    # reference, so exports never re-rotate
+                    from .ops.features import _topology_rotated
+                    lds = _topology_rotated(lds)
+                loaded.append(cat.add(lds, lname))
+                cat.no_rotate.add(loaded[-1])
             if opts.get("merge_files") and len(loaded) > 1:
                 merged = api.merge_layers(
                     [cat.layers.pop(n) for n in loaded], force=True)
@@ -392,19 +405,19 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
             path = args[0] if args else opts.get("file")
             tgt = opts.get("target")
             ds = cat.get(tgt)
-            rotate = (tgt or cat.target) not in cat.no_rotate
+            # every layer is kept in reference ring order (rotated at
+            # -i, or emitted in arc order by the kernels) — exports
+            # write rings as stored
+            rotate = False
             gj_kw = {k: opts[o] for o, k in
                      (("id_field", "id_field"), ("bbox", "bbox"),
                       ("drop_table", "drop_table"),
                       ("cut_table", "cut_table")) if o in opts}
+            if (tgt or cat.target) in cat.projected:
+                gj_kw["crs_null"] = True
             if "precision" in opts:
-                # the reference rounds AFTER import-time buildTopology
-                # fixed ring starts — rotate on the unrounded coords,
-                # then round, else junctions shift
-                if rotate and "rings_x" in ds.schema().names:
-                    from .ops.features import _topology_rotated
-                    ds = _topology_rotated(ds)
-                    rotate = False
+                # rings were rotated at import; rounding after matches
+                # the reference's pipeline order
                 ds = api.round_coords(ds, float(opts["precision"]))
             if "format" in opts:
                 # format= overrides extension-based dispatch but the
@@ -521,11 +534,18 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
             ren = dict(p.split("=", 1) for p in args[0].split(","))
             # new=old pairs (reference grammar) -> rename old->new;
             # rename inside map_batches (Ray's Project op rejects the
-            # pandas blocks many upstream stages emit)
+            # pandas blocks many upstream stages emit).  The reference
+            # builds each record from the rename map FIRST, so renamed
+            # fields lead the record (mapFieldNames + utils.defaults).
             mapping = {old: new for new, old in ren.items()}
+            dests = list(ren)
+
+            def rename_lead(df, m=mapping, lead=dests):
+                df = df.rename(columns=m)
+                rest = [c for c in df.columns if c not in lead]
+                return df[lead + rest]
             cat.replace(cat.get().map_batches(
-                lambda df, m=mapping: df.rename(columns=m),
-                batch_format="pandas"))
+                rename_lead, batch_format="pandas"))
         elif name == "simplify":
             amount = {}
             if "interval" in opts:
@@ -641,6 +661,13 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 else (args[0] if args else opts.get("crs"))
             cat.replace(api.project_layer(
                 cat.get(), crs, from_proj=opts.get("from")))
+            # reference exportCRS: projected (non-latlong) datasets
+            # export GeoJSON with "crs":null
+            if str(crs).strip() in ("wgs84", "+proj=longlat",
+                                    "longlat", "latlong"):
+                cat.projected.discard(cat.target)
+            else:
+                cat.projected.add(cat.target)
         elif name == "sort":
             ds = rel.each_expr(cat.get(), {"__sort_key": args[0]},
                                defs=cat.defs)

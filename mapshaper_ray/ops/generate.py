@@ -75,7 +75,7 @@ def graticule(interval=10.0, bbox=(-180, -90, 180, 90), step=1.0,
     ``interval`` degrees, each densified every ``step`` degrees;
     meridians NOT on a ``major_step`` multiple stop ``interval`` short
     of the poles.  Properties are ``type``/``value`` like the
-    reference (``kind`` kept as an alias for back-compat)."""
+    reference."""
     import ray.data as rd
     xmin, ymin, xmax, ymax = bbox
     rows = []
@@ -98,14 +98,14 @@ def graticule(interval=10.0, bbox=(-180, -90, 180, 90), step=1.0,
             lo, hi = ymin + interval, ymax - interval
         ys = walk(lo, hi)
         rows.append({"feature_id": fid, "type": "meridian",
-                     "kind": "meridian", "value": lon,
+                     "value": lon,
                      "part_x": [[lon] * len(ys)], "part_y": [ys]})
         fid += 1
     for lat in np.arange(ymin, ymax + 1e-9, interval):
         lat = float(lat)
         xs = walk(xmin, xmax)
         rows.append({"feature_id": fid, "type": "parallel",
-                     "kind": "parallel", "value": lat,
+                     "value": lat,
                      "part_x": [xs], "part_y": [[lat] * len(xs)]})
         fid += 1
     return rd.from_items(rows)

@@ -74,26 +74,56 @@ def split_on_grid(ds, cols: int, rows: int, bbox=None):
     return ds.map_batches(assign, batch_format="pandas")
 
 
+_GEOMETRY_COLS = ("feature_id", "rings_x", "rings_y", "ring_poly",
+                  "part_x", "part_y", "px", "py")
+
+
 def merge_layers(layers: list, force: bool = False):
-    """Concatenate layer Datasets.  Schemas must match unless ``force``,
-    which aligns to the field union (missing columns null-padded — here
-    explicitly, not via Dataset.union's silent padding)."""
-    names = [set(l.schema().names) for l in layers]
+    """Concatenate layer Datasets in order (reference mergeLayers).
+    Schemas must match unless ``force``, which aligns to the field
+    union (missing columns null-padded — here explicitly, not via
+    Dataset.union's silent padding).  feature_id is renumbered
+    sequentially across layers so output order equals input order.
+    When forced layers differ in fields, a hidden ``__fields`` column
+    records each row's NATIVE fields — the reference's records simply
+    lack the other keys (undefined, omitted by JSON.stringify), which
+    the GeoJSON writer reproduces."""
+    schemas = [l.schema().names for l in layers]
     union_names: list[str] = []
-    for l in layers:
-        for n in l.schema().names:
+    for sch in schemas:
+        for n in sch:
             if n not in union_names:
                 union_names.append(n)
-    if not force and any(set(n) != set(union_names) for n in names):
+    if not force and any(set(s) != set(union_names) for s in schemas):
         raise ValueError("incompatible layer fields; pass force=True")
+    mixed = force and any(set(s) != set(union_names) for s in schemas)
+    if mixed and "__fields" not in union_names:
+        union_names.append("__fields")
 
-    def align(df: pd.DataFrame) -> pd.DataFrame:
-        for n in union_names:
-            if n not in df.columns:
-                df[n] = None
-        return df[union_names]
+    # offset by max-id+1 (ids may be sparse after filters) so output
+    # sort order = layer order, then within-layer order
+    spans = [int(l.max("feature_id")) + 1 if c else 0
+             for l, c in zip(layers, (l.count() for l in layers))]
+    offsets = [0]
+    for s in spans[:-1]:
+        offsets.append(offsets[-1] + s)
 
-    aligned = [l.map_batches(align, batch_format="pandas") for l in layers]
+    aligned = []
+    for li, l in enumerate(layers):
+        native = ",".join(c for c in schemas[li]
+                          if c not in _GEOMETRY_COLS)
+
+        def align(df: pd.DataFrame, off=offsets[li], nat=native
+                  ) -> pd.DataFrame:
+            df = df.copy()
+            df["feature_id"] = df["feature_id"].to_numpy() + off
+            if mixed:
+                df["__fields"] = nat
+            for n in union_names:
+                if n not in df.columns:
+                    df[n] = None
+            return df[union_names]
+        aligned.append(l.map_batches(align, batch_format="pandas"))
     out = aligned[0]
     for l in aligned[1:]:
         out = out.union(l)

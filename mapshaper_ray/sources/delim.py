@@ -88,7 +88,7 @@ def read_delim(path: str, delimiter: str | None = None,
 #: geometry / bookkeeping columns never exported to a delim table
 #: (the reference exports the data table only)
 _NON_DATA_COLS = ("feature_id", "rings_x", "rings_y", "ring_poly",
-                  "part_x", "part_y", "px", "py")
+                  "part_x", "part_y", "px", "py", "__fields")
 
 
 def format_delim(df, delimiter: str = ",") -> str:

@@ -251,12 +251,21 @@ def _render_rows(batch: pa.Table, decimals=None,
     names = batch.column_names
     attr_cols = props_cols if props_cols is not None else \
         [c for c in names
-         if c not in ("feature_id", "rings_x", "rings_y",
-                      "ring_poly", "part_x", "part_y", "px", "py")]
+         if c not in ("feature_id", "rings_x", "rings_y", "ring_poly",
+                      "part_x", "part_y", "px", "py", "__fields")]
+    has_native = "__fields" in names  # merge-layers force marker
     d = batch.to_pydict()
     out = []
     for i in range(len(batch)):
-        props = {c: d[c][i] for c in attr_cols}
+        cols_i = attr_cols
+        if has_native:
+            # rows merged from another layer lack the other layer's
+            # keys entirely (undefined in the reference -> omitted);
+            # field ORDER is the row's own layer order
+            avail = set(attr_cols)
+            cols_i = [c for c in (d["__fields"][i] or "").split(",")
+                      if c in avail]
+        props = {c: d[c][i] for c in cols_i}
         for k, v in list(props.items()):
             if isinstance(v, np.floating):
                 props[k] = float(v)
@@ -351,7 +360,7 @@ def render_features(ds, decimals=None, as_features=True,
 
 def write_geojson(ds, path: str, decimals=None, rotate=True,
                   id_field=None, bbox=False, drop_table=False,
-                  cut_table=False):
+                  cut_table=False, crs_null=False):
     """Assemble one collection, ordered by feature_id (the reference
     preserves input order through every command — SURVEY.md §2.8).
     Byte-identical to the reference's exportDatasetAsGeoJSON: a layer
@@ -365,7 +374,7 @@ def write_geojson(ds, path: str, decimals=None, rotate=True,
     attr_cols = [c for c in names
                  if c not in ("feature_id", "rings_x", "rings_y",
                               "ring_poly", "part_x", "part_y",
-                              "px", "py")]
+                              "px", "py", "__fields")]
     # reference getIdField: id-field= candidates + the default 'FID'
     idf_opts = ([id_field] if isinstance(id_field, str) else
                 list(id_field or [])) + ["FID"]
@@ -399,6 +408,9 @@ def write_geojson(ds, path: str, decimals=None, rotate=True,
     coll = ("FeatureCollection", "features") if as_features else \
         ("GeometryCollection", "geometries")
     head = '{"type":"%s"' % coll[0]
+    if crs_null:
+        # reference exportCRS: projected coords -> explicit null crs
+        head += ',"crs":null'
     if bbox:
         bb = _dataset_bbox(ds)
         if bb is not None:

@@ -361,7 +361,7 @@ def write_shapefile(ds, path: str, rotate=True):
     shp_type = {"polygon": SHP_POLYGON, "polyline": SHP_POLYLINE,
                 "point": SHP_POINT}[gt]
     geom_cols = {"feature_id", "rings_x", "rings_y", "ring_poly",
-                 "part_x", "part_y", "px", "py"}
+                 "part_x", "part_y", "px", "py", "__fields"}
     attr_cols = [c for c in df.columns if c not in geom_cols]
 
     contents = []

@@ -303,7 +303,7 @@ def write_svg(ds, path: str, width=None, height=None, margin=None,
     attr_cols = [c for c in df.columns
                  if c not in ("feature_id", "rings_x", "rings_y",
                               "ring_poly", "part_x", "part_y",
-                              "px", "py")]
+                              "px", "py", "__fields")]
     children = []
     for _, row in df.iterrows():
         rec = {_STYLE_ALIASES.get(c, c): row[c] for c in attr_cols}

@@ -228,7 +228,7 @@ def write_topojson_layer(ds, path, object_name="layer1",
                                       else [],
                                       row[ycol] if row[ycol] is not None
                                       else [])])
-    geom_cols = set(GEOM_COLS[gt]) | {"feature_id"}
+    geom_cols = set(GEOM_COLS[gt]) | {"feature_id", "__fields"}
     attr_cols = [c for c in df.columns if c not in geom_cols]
     attrs = (df[attr_cols].to_dict("records") if attr_cols
              else [{} for _ in feats])

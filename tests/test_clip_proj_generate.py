@@ -114,8 +114,8 @@ def test_generators(ray_session):
     r = rectangle((0, 0, 5, 3)).to_pandas()
     assert r.iloc[0]["rings_x"][0][1] == 5
     g = graticule(interval=90, bbox=(-180, -90, 180, 90)).to_pandas()
-    assert (g["kind"] == "meridian").sum() == 5
-    assert (g["kind"] == "parallel").sum() == 3
+    assert (g["type"] == "meridian").sum() == 5
+    assert (g["type"] == "parallel").sum() == 3
 
 
 def test_points_from_columns(ray_session):

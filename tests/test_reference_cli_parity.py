@@ -319,6 +319,42 @@ def test_simplify_repair_bytes_identical(ray_session, ref_cli,
     assert ours.read_bytes() == ref.read_bytes()
 
 
+@pytest.mark.parametrize("case", ["filter-fields", "rename-fields",
+                                  "filter", "merge-layers",
+                                  "graticule-proj"])
+def test_table_commands_bytes_identical(ray_session, ref_cli, tmp_path,
+                                        case):
+    """Field-level and multi-layer commands, byte parity: rename-fields
+    leads records with the renamed fields; -filter keeps the original
+    import-rotation ring starts (rings rotate at -i like the
+    reference's import-time buildTopology); -merge-layers force keeps
+    each row's NATIVE field set in its own order (undefined keys
+    omitted); projected output carries the reference's crs:null."""
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ra, cmd = {
+        "filter-fields": ([SIX_COUNTIES, "-filter-fields",
+                           "NAME,POP2010"],
+                          f"-i {SIX_COUNTIES} -filter-fields "
+                          "NAME,POP2010"),
+        "rename-fields": ([SIX_COUNTIES, "-rename-fields",
+                           "people=POP2010"],
+                          f"-i {SIX_COUNTIES} -rename-fields "
+                          "people=POP2010"),
+        "filter": ([SIX_COUNTIES, "-filter", "POP2010 > 500000"],
+                   f"-i {SIX_COUNTIES} -filter 'POP2010 > 500000'"),
+        "merge-layers": ([TWO_STATES, SIX_COUNTIES, "combine-files",
+                          "-merge-layers", "force"],
+                         f"-i {TWO_STATES} {SIX_COUNTIES} "
+                         "combine-files -merge-layers force"),
+        "graticule-proj": (["-graticule", "-proj", "robinson"],
+                           "-graticule -proj robinson"),
+    }[case]
+    ref_run(ref_cli, [*ra, "-o", str(ref)])
+    run_commands(f"{cmd} -o {ours}")
+    assert ours.read_bytes() == ref.read_bytes()
+
+
 def test_uniq_bytes_identical(ray_session, ref_cli, tmp_path):
     ref = tmp_path / "ref.json"
     ours = tmp_path / "ours.json"
