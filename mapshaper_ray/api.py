@@ -151,6 +151,16 @@ def i(path: str, **kw):
     low = path.lower()
     if low.endswith((".shp",)):
         return read_shapefile(path, **kw)
+    if low.endswith((".dbf",)):
+        # bare DBF -> data-only table layer (reference importDbfTable)
+        import ray.data as rd
+
+        from .sources.shapefile import parse_dbf
+        with open(path, "rb") as f:
+            _, recs = parse_dbf(f.read(),
+                                encoding=kw.get("encoding"))
+        return rd.from_items([{"feature_id": i, **r}
+                              for i, r in enumerate(recs)])
     if low.endswith((".csv", ".tsv", ".txt")):
         return read_delim(path, **kw)
     if low.endswith((".topojson",)):

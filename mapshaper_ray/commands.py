@@ -386,17 +386,23 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 lname = opts.get("name") if len(args) <= 1 else None
                 lname = lname or \
                     os.path.splitext(os.path.basename(path))[0]
-                lds = api.i(path)
-                if "rings_x" in lds.schema().names:
-                    # the reference builds topology at IMPORT, rotating
-                    # every ring to its first junction; doing the same
-                    # here keeps ring starts stable through subsetting
-                    # commands (-filter/-uniq) exactly like the
-                    # reference, so exports never re-rotate
-                    from .ops.features import _topology_rotated
-                    lds = _topology_rotated(lds)
-                loaded.append(cat.add(lds, lname))
+                ikw = {"encoding": opts["encoding"]} \
+                    if "encoding" in opts else {}
+                loaded.append(cat.add(api.i(path, **ikw), lname))
                 cat.no_rotate.add(loaded[-1])
+            # the reference builds topology at IMPORT over ALL files of
+            # one -i (combine-files shares arcs across files), rotating
+            # every ring to its first junction; doing the same keeps
+            # ring starts stable through subsetting commands
+            # (-filter/-uniq) exactly like the reference, so exports
+            # never re-rotate
+            poly = [n for n in loaded
+                    if "rings_x" in cat.layers[n].schema().names]
+            if poly:
+                from .ops.features import _topology_rotated_many
+                for n, rds in zip(poly, _topology_rotated_many(
+                        [cat.layers[n] for n in poly])):
+                    cat.layers[n] = rds
             if opts.get("merge_files") and len(loaded) > 1:
                 merged = api.merge_layers(
                     [cat.layers.pop(n) for n in loaded], force=True)

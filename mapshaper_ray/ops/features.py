@@ -209,34 +209,48 @@ def _topology_rotated(ds):
     """Rebuild each feature's rings through the shared-arc topology —
     identical coordinates, but rings rotated to their first junction
     exactly as the reference stores them after buildTopology."""
+    return _topology_rotated_many([ds])[0]
+
+
+def _topology_rotated_many(dss):
+    """Joint-topology ring rotation across SEVERAL layer Datasets (the
+    reference's combine-files imports all files into ONE dataset, so
+    junctions between files rotate rings too)."""
     import ray.data as rd
 
     from ..topo.build import build_topology
-    df = ds.to_pandas().sort_values("feature_id").reset_index(drop=True)
+    dfs = [ds.to_pandas().sort_values("feature_id").reset_index(drop=True)
+           for ds in dss]
     feats = []
-    for _, row in df.iterrows():
-        rx, ry = _rings(row)
-        feats.append([np.stack([x, y], axis=1)
-                      for x, y in zip(rx, ry)] or None)
+    for df in dfs:
+        for _, row in df.iterrows():
+            rx, ry = _rings(row)
+            feats.append([np.stack([x, y], axis=1)
+                          for x, y in zip(rx, ry)] or None)
     arcs, shapes = build_topology(feats)
-    rows = []
-    for fi, (_, row) in enumerate(df.iterrows()):
-        out = {c: row[c] for c in df.columns
-               if c not in ("rings_x", "rings_y")}
-        nx, ny = [], []
-        for part in (shapes[fi] or []):
-            x, y = arcs.path_coords(part)
-            x = np.asarray(x, float)
-            y = np.asarray(y, float)
-            if len(x) and (x[0] != x[-1] or y[0] != y[-1]):
-                x = np.append(x, x[0])
-                y = np.append(y, y[0])
-            nx.append(x.tolist())
-            ny.append(y.tolist())
-        out["rings_x"] = nx
-        out["rings_y"] = ny
-        rows.append(out)
-    return rd.from_items(rows)
+    out_dss = []
+    fi = 0
+    for df in dfs:
+        rows = []
+        for _, row in df.iterrows():
+            out = {c: row[c] for c in df.columns
+                   if c not in ("rings_x", "rings_y")}
+            nx, ny = [], []
+            for part in (shapes[fi] or []):
+                x, y = arcs.path_coords(part)
+                x = np.asarray(x, float)
+                y = np.asarray(y, float)
+                if len(x) and (x[0] != x[-1] or y[0] != y[-1]):
+                    x = np.append(x, x[0])
+                    y = np.append(y, y[0])
+                nx.append(x.tolist())
+                ny.append(y.tolist())
+            out["rings_x"] = nx
+            out["rings_y"] = ny
+            rows.append(out)
+            fi += 1
+        out_dss.append(rd.from_items(rows))
+    return out_dss
 
 
 def to_point_layer(ds, mode="centroid"):

@@ -40,7 +40,16 @@ def split_features(buf: bytes | str) -> list[str]:
     key = '"features"'
     # only a FeatureCollection has a top-level features array — a bare
     # Feature may legitimately contain a PROPERTY named "features"
-    k = s.find(key) if '"FeatureCollection"' in s[:4096] else -1
+    if '"FeatureCollection"' in s[:4096]:
+        k = s.find(key)
+    elif '"GeometryCollection"' in s[:4096] and \
+            '"coordinates"' not in s[:s.find('"GeometryCollection"')]:
+        # top-level GeometryCollection: split its geometries array
+        # (importGeoJSON handles both container types)
+        key = '"geometries"'
+        k = s.find(key)
+    else:
+        k = -1
     if k < 0:
         if s.lstrip().startswith("["):
             # bare ARRAY of Features/Geometries (valid reference input)

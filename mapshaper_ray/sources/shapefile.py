@@ -81,7 +81,9 @@ def parse_dbf(buf: bytes, encoding: str | None = None):
     fields = []
     pos = 32
     while buf[pos] != 0x0D:
-        name = buf[pos:pos + 11].split(b"\x00")[0].decode("ascii")
+        # keep raw name bytes; decoded latin-1 below like the reference
+        # (field names may be non-ascii, e.g. utf8-property.dbf)
+        name = buf[pos:pos + 11].split(b"\x00")[0]
         ftype = chr(buf[pos + 11])
         flen = buf[pos + 16]
         fdec = buf[pos + 17]
@@ -105,6 +107,11 @@ def parse_dbf(buf: bytes, encoding: str | None = None):
                     p += flen
             encoding = detect_encoding(samples) or "latin-1"
     codec = standardize_encoding(encoding)
+    # the reference reads field NAMES with readCString (one byte per
+    # char = latin-1), regardless of the record encoding — match it,
+    # mojibake and all (dbf-reader.js:226)
+    fields = [(n.decode("latin-1") if isinstance(n, bytes)
+               else n, t, ln, dc) for n, t, ln, dc in fields]
     records = []
     for r in range(n_rec):
         off = hdr_size + r * rec_size
@@ -255,7 +262,8 @@ def _records_to_table(geoms, shp_type, attrs_rows, fid0):
     return point_table(fids, xs, ys, attrs)
 
 
-def read_shapefile(path: str, shard_records: int = 2048):
+def read_shapefile(path: str, shard_records: int = 2048,
+                   encoding: str | None = None):
     """path to .shp (with sibling .shx/.dbf) → Ray Dataset (layer model).
     Record ranges from .shx are sharded across parallel parse tasks."""
     import ray
@@ -277,9 +285,15 @@ def read_shapefile(path: str, shard_records: int = 2048):
             pos += 8 + ln
         offs = np.array(offs_l) - 8
         lens = np.array(lens_l)
+    cpg = None
+    try:  # .cpg sidecar names the DBF text encoding (read before LDID
+        with open(base + ".cpg") as f:  # like the reference's loader)
+            cpg = f.read().strip() or None
+    except FileNotFoundError:
+        pass
     try:
         with open(base + ".dbf", "rb") as f:
-            _, recs = parse_dbf(f.read())
+            _, recs = parse_dbf(f.read(), encoding=encoding or cpg)
     except FileNotFoundError:
         recs = [{} for _ in offs]
 

@@ -643,6 +643,64 @@ def test_geojson_export_bytes_identical(ray_session, ref_cli, tmp_path,
     assert ours.read_bytes() == ref.read_bytes()
 
 
+TD = "/root/reference/test/test_data"
+
+
+@pytest.mark.parametrize("case", ["overlap-clean", "issue68-clip",
+                                  "openring", "merge153"])
+def test_issue_fixtures_bytes_identical(ray_session, ref_cli, tmp_path,
+                                        case):
+    """The reference's own regression fixtures, byte parity: -clean on
+    crossing polygons (top-level GeometryCollection input), a real
+    clip regression, open-ring repair at import, cross-file merge
+    (joint import topology rotates rings across combine-files)."""
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ra, cmd = {
+        "overlap-clean": (
+            [f"{TD}/issues/clean/overlapping_polygons.json", "-clean"],
+            f"-i {TD}/issues/clean/overlapping_polygons.json -clean"),
+        "issue68-clip": (
+            [f"{TD}/issues/68/cell1.shp", "-clip",
+             f"{TD}/issues/68/clipper.shp"],
+            f"-i {TD}/issues/68/cell1.shp -clip "
+            f"{TD}/issues/68/clipper.shp"),
+        "openring": ([f"{TD}/issues/125/openring.json"],
+                     f"-i {TD}/issues/125/openring.json"),
+        "merge153": (
+            [f"{TD}/issues/153/a.json", f"{TD}/issues/153/b.json",
+             "combine-files", "-merge-layers", "force"],
+            f"-i {TD}/issues/153/a.json {TD}/issues/153/b.json "
+            "combine-files -merge-layers force"),
+    }[case]
+    ref_run(ref_cli, [*ra, "-o", str(ref)])
+    run_commands(f"{cmd} -o {ours}")
+    assert ours.read_bytes() == ref.read_bytes()
+
+
+@pytest.mark.parametrize("case", [
+    ("shapefile/latin1-property.shp", None, "json"),
+    ("shapefile/utf8-property.shp", None, "json"),   # .cpg sidecar
+    ("dbf/latin1.dbf", None, "csv"),                 # detection
+    ("dbf/gbk.dbf", "gbk", "csv"),                   # -i encoding=
+    ("dbf/shiftjis.dbf", "shiftjis", "csv"),
+])
+def test_encodings_bytes_identical(ray_session, ref_cli, tmp_path,
+                                   case):
+    """DBF text encodings: .cpg sidecar, detection, -i encoding=, and
+    the reference's latin-1 field-NAME decode (values use the record
+    codec).  Bare .dbf imports as a data-only table layer."""
+    path, enc, ext = case
+    ref = tmp_path / f"ref.{ext}"
+    ours = tmp_path / f"ours.{ext}"
+    opts = [f"encoding={enc}"] if enc else []
+    fmt = ["format=csv"] if ext == "csv" else []
+    ref_run(ref_cli, [f"{TD}/{path}", *opts, "-o", *fmt, str(ref)])
+    run_commands(f"-i {TD}/{path} {' '.join(opts)} -o "
+                 f"{' '.join(fmt)} {ours}")
+    assert ours.read_bytes() == ref.read_bytes()
+
+
 def test_shapefile_export_shp_bytes_identical(ray_session, ref_cli,
                                               tmp_path):
     """.shp/.shx round-trip through the engine equals the reference's
