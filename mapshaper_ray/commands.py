@@ -233,6 +233,12 @@ class Catalog:
         # layers projected to a non-latlong CRS: GeoJSON export writes
         # "crs":null like the reference's exportCRS
         self.projected: set[str] = set()
+        # per-layer CRS: {"fwd","inv","prj","latlong"} — fwd/inv are
+        # (lon,lat)<->(x,y) callables or None when the .prj could not
+        # be parsed; "prj" is the WKT text written back on .shp export
+        # (the reference keeps the input .prj verbatim and copies it
+        # through, test/shapefile-test.js:23)
+        self.crs: dict[str, dict] = {}
 
     def add(self, ds, name=None):
         if not name:
@@ -241,6 +247,7 @@ class Catalog:
         self.layers[name] = ds
         self.target = name
         self.no_rotate.discard(name)
+        self.crs.pop(name, None)
         return name
 
     def get(self, name=None):
@@ -261,6 +268,83 @@ class Catalog:
 def _geom_type(ds):
     from .sources.layers import geom_type_of
     return geom_type_of(ds.schema().names)
+
+
+def _resolve_crs_ref(cat: Catalog, ref: str):
+    """A -proj CRS reference → {"fwd","inv","prj","latlong"}: a layer
+    name (its recorded CRS), a .prj file path (parsed WKT), or an
+    alias / proj4 string (reference getCrsInfo,
+    src/commands/mapshaper-proj.js:95-108)."""
+    from .stages.proj import parse_prj, resolve_projection, wkt_for_defn
+    if ref in cat.layers:
+        ent = cat.crs.get(ref)
+        if ent is None:  # un-projected layer = wgs84
+            from .stages.proj import _identity
+            return {"fwd": _identity, "inv": _identity,
+                    "prj": wkt_for_defn("wgs84"), "latlong": True}
+        return ent
+    if ref.lower().endswith(".prj") or os.path.exists(ref):
+        text = open(ref, encoding="utf-8", errors="replace").read()
+        pair = parse_prj(text)
+        if pair is None:
+            raise ValueError(f"unsupported .prj projection: {ref}")
+        return {"fwd": pair[0], "inv": pair[1], "prj": text,
+                "latlong": text.lstrip().startswith("GEOGCS")}
+    fwd, inv = resolve_projection(ref)
+    from .stages.proj import _identity
+    return {"fwd": fwd, "inv": inv, "prj": wkt_for_defn(ref),
+            "latlong": fwd is _identity}
+
+
+def _cmd_proj(cat: Catalog, args, opts):
+    """-proj dest / from= / match=/source= (reference
+    src/commands/mapshaper-proj.js:14-93: match/source and bare dest
+    set the target CRS; from= overrides the source CRS; from= with no
+    dest only ASSIGNS the CRS without transforming)."""
+    from . import api
+    mref = opts.get("match") or opts.get("source")
+    dest = None
+    if mref:
+        dest = _resolve_crs_ref(cat, mref)
+    elif args or opts.get("crs"):
+        # a proj4 definition spans multiple +key=value tokens
+        defn = " ".join(args) if args and args[0].startswith("+") \
+            else (args[0] if args else opts.get("crs"))
+        dest = _resolve_crs_ref(cat, str(defn).strip())
+    src = None
+    if "from" in opts:
+        src = _resolve_crs_ref(cat, opts["from"])
+    else:
+        src = cat.crs.get(cat.target)
+    if dest is None:
+        if src is None:
+            raise ValueError("-proj needs a destination CRS, match=, "
+                             "or from=")
+        # from= alone assigns the CRS (no coordinate change)
+        cat.crs[cat.target] = src
+        if src["latlong"]:
+            cat.projected.discard(cat.target)
+        else:
+            cat.projected.add(cat.target)
+        return
+    if dest["fwd"] is None:
+        raise ValueError("destination CRS has no forward transform")
+    src_pair = None
+    if src is not None and not src["latlong"]:
+        if src["inv"] is None:
+            raise ValueError("source CRS is not invertible; "
+                             "cannot reproject from it")
+        src_pair = (src["fwd"], src["inv"])
+    if not (dest["latlong"] and src_pair is None):
+        cat.replace(api.project_layer(
+            cat.get(), (dest["fwd"], dest["inv"]), from_proj=src_pair))
+    cat.crs[cat.target] = dest
+    # reference exportCRS: projected (non-latlong) datasets export
+    # GeoJSON with "crs":null
+    if dest["latlong"]:
+        cat.projected.discard(cat.target)
+    else:
+        cat.projected.add(cat.target)
 
 
 def _load_source(cat: Catalog, opts, args):
@@ -390,6 +474,22 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                     if "encoding" in opts else {}
                 loaded.append(cat.add(api.i(path, **ikw), lname))
                 cat.no_rotate.add(loaded[-1])
+                if path.lower().endswith(".shp"):
+                    # sibling .prj → recorded layer CRS (reference
+                    # importShapefile reads it through parsePrj)
+                    prj_path = path[:-4] + ".prj"
+                    if os.path.exists(prj_path):
+                        from .stages.proj import parse_prj
+                        text = open(prj_path, encoding="utf-8",
+                                    errors="replace").read()
+                        pair = parse_prj(text)
+                        latlong = text.lstrip().startswith("GEOGCS")
+                        cat.crs[loaded[-1]] = {
+                            "fwd": pair[0] if pair else None,
+                            "inv": pair[1] if pair else None,
+                            "prj": text, "latlong": latlong}
+                        if not latlong:
+                            cat.projected.add(loaded[-1])
             # the reference builds topology at IMPORT over ALL files of
             # one -i (combine-files shares arcs across files), rotating
             # every ring to its first junction; doing the same keeps
@@ -469,6 +569,18 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                     api.write_geojson(ds, path, rotate=rotate, **gj_kw)
                 else:
                     api.o(ds, path, rotate=rotate)
+            # .shp export writes the layer's .prj sidecar (verbatim
+            # input WKT, the matched layer's text, or the generated
+            # alias WKT — reference exportPrjFile)
+            is_shp = str(path).lower().endswith(".shp") or \
+                opts.get("format", "").lstrip(".") in ("shp",
+                                                       "shapefile")
+            ent = cat.crs.get(tgt or cat.target)
+            if is_shp and ent and ent.get("prj"):
+                base = str(path)[:-4] if str(path).lower() \
+                    .endswith(".shp") else str(path)
+                with open(base + ".prj", "w", encoding="utf-8") as f:
+                    f.write(ent["prj"])
         elif name == "target":
             cat.target = args[0] if args else opts.get("name")
             if cat.target not in cat.layers:
@@ -662,18 +774,7 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
             else:
                 cat.replace(api.to_point_layer(ds))
         elif name == "proj":
-            # a proj4 definition spans multiple +key=value tokens
-            crs = " ".join(args) if args and args[0].startswith("+") \
-                else (args[0] if args else opts.get("crs"))
-            cat.replace(api.project_layer(
-                cat.get(), crs, from_proj=opts.get("from")))
-            # reference exportCRS: projected (non-latlong) datasets
-            # export GeoJSON with "crs":null
-            if str(crs).strip() in ("wgs84", "+proj=longlat",
-                                    "longlat", "latlong"):
-                cat.projected.discard(cat.target)
-            else:
-                cat.projected.add(cat.target)
+            _cmd_proj(cat, args, opts)
         elif name == "sort":
             ds = rel.each_expr(cat.get(), {"__sort_key": args[0]},
                                defs=cat.defs)

@@ -372,11 +372,266 @@ def _identity(lon, lat):
     return np.asarray(lon, float), np.asarray(lat, float)
 
 
+# ---------------------------------------------------------------------------
+# transverse Mercator (pj_tmerc ellipsoidal branch, mproj
+# www/modules.js pj_tmerc/pj_enfn/pj_mlfn/pj_inv_mlfn) — parameterized
+# ellipsoid so Gauss-Kruger zones (Krasovsky etc.) project exactly
+
+_FC = (1.0, 0.5, 0.16666666666666666666, 0.08333333333333333333,
+       0.05, 0.03333333333333333333, 0.02380952380952380952,
+       0.01785714285714285714)
+
+
+def _enfn(es):
+    C00, C02, C04, C06, C08 = 1, 0.25, 0.046875, 0.01953125, \
+        0.01068115234375
+    C22, C44, C46, C48 = 0.75, 0.46875, 0.01302083333333333333, \
+        0.00712076822916666666
+    C66, C68, C88 = 0.36458333333333333333, \
+        0.00569661458333333333, 0.3076171875
+    t = es * es
+    return (C00 - es * (C02 + es * (C04 + es * (C06 + es * C08))),
+            es * (C22 - es * (C04 + es * (C06 + es * C08))),
+            t * (C44 - es * (C46 + es * C48)),
+            t * es * (C66 - es * C68),
+            t * es * es * C88)
+
+
+def _mlfn(phi, sphi, cphi, en):
+    cphi = cphi * sphi
+    sphi = sphi * sphi
+    return en[0] * phi - cphi * (en[1] + sphi * (en[2] + sphi *
+                                                 (en[3] + sphi * en[4])))
+
+
+def _inv_mlfn(arg, es, en):
+    k = 1.0 / (1.0 - es)
+    phi = np.asarray(arg, dtype=np.float64).copy()
+    for _ in range(10):
+        s = np.sin(phi)
+        t = 1 - es * s * s
+        t = (_mlfn(phi, s, np.cos(phi), en) - arg) * (t * np.sqrt(t)) * k
+        phi -= t
+        if np.all(np.abs(t) < 1e-11):
+            break
+    return phi
+
+
+def _tmerc_setup(lat0, a, rf):
+    f = 1.0 / rf
+    es = f * (2.0 - f)
+    en = _enfn(es)
+    phi0 = np.deg2rad(lat0)
+    ml0 = _mlfn(phi0, np.sin(phi0), np.cos(phi0), en)
+    esp = es / (1 - es)
+    return es, en, ml0, esp
+
+
+def tmerc_fwd(lon, lat, lon0=0.0, lat0=0.0, k0=1.0, x0=0.0, y0=0.0,
+              a=R, rf=1.0 / F_WGS84):
+    FC1, FC2, FC3, FC4, FC5, FC6, FC7, FC8 = _FC
+    es, en, ml0, esp = _tmerc_setup(lat0, a, rf)
+    lam = np.deg2rad(np.asarray(lon, float) - lon0)
+    phi = np.deg2rad(np.asarray(lat, float))
+    sinphi = np.sin(phi)
+    cosphi = np.cos(phi)
+    t = np.where(np.abs(cosphi) > 1e-10, sinphi / cosphi, 0.0)
+    t = t * t
+    al = cosphi * lam
+    als = al * al
+    al = al / np.sqrt(1 - es * sinphi * sinphi)
+    n = esp * cosphi * cosphi
+    x = k0 * al * (FC1 + FC3 * als * (1 - t + n +
+        FC5 * als * (5 + t * (t - 18) + n * (14 - 58 * t) +
+        FC7 * als * (61 + t * (t * (179 - t) - 479)))))
+    y = k0 * (_mlfn(phi, sinphi, cosphi, en) - ml0 +
+        sinphi * al * lam * FC2 * (1 +
+        FC4 * als * (5 - t + n * (9 + 4 * n) +
+        FC6 * als * (61 + t * (t - 58) + n * (270 - 330 * t) +
+        FC8 * als * (1385 + t * (t * (543 - t) - 3111))))))
+    return a * x + x0, a * y + y0
+
+
+def tmerc_inv(x, y, lon0=0.0, lat0=0.0, k0=1.0, x0=0.0, y0=0.0,
+              a=R, rf=1.0 / F_WGS84):
+    FC1, FC2, FC3, FC4, FC5, FC6, FC7, FC8 = _FC
+    es, en, ml0, esp = _tmerc_setup(lat0, a, rf)
+    xs = (np.asarray(x, float) - x0) / a
+    ys = (np.asarray(y, float) - y0) / a
+    phi = _inv_mlfn(ml0 + ys / k0, es, en)
+    over = np.abs(phi) >= np.pi / 2
+    sinphi = np.sin(phi)
+    cosphi = np.cos(phi)
+    t = np.where(np.abs(cosphi) > 1e-10, sinphi / cosphi, 0.0)
+    n = esp * cosphi * cosphi
+    con = 1 - es * sinphi * sinphi
+    d = xs * np.sqrt(con) / k0
+    con = con * t
+    t = t * t
+    ds = d * d
+    phi2 = phi - (con * ds / (1 - es)) * FC2 * (1 -
+        ds * FC4 * (5 + t * (3 - 9 * n) + n * (1 - 4 * n) -
+        ds * FC6 * (61 + t * (90 - 252 * n + 45 * t) + 46 * n -
+        ds * FC8 * (1385 + t * (3633 + t * (4095 + 1575 * t))))))
+    lam = d * (FC1 - ds * FC3 * (1 + 2 * t + n -
+        ds * FC5 * (5 + t * (28 + 24 * t + 8 * n) + 6 * n -
+        ds * FC7 * (61 + t * (662 + t * (1320 + 720 * t)))))) \
+        / np.where(np.abs(cosphi) > 0, cosphi, 1.0)
+    phi_out = np.where(over, np.where(ys < 0, -np.pi / 2, np.pi / 2),
+                       phi2)
+    lam_out = np.where(over, 0.0, lam)
+    return np.rad2deg(lam_out) + lon0, np.rad2deg(phi_out)
+
+
+# ---------------------------------------------------------------------------
+# ellipsoidal Mercator (pj_merc e_fwd/e_inv, mproj www/modules.js) —
+# PROJECTION["Mercator"] in ESRI WKT carries standard_parallel_1
+
+def _tsfn_e(phi, sinphi, e):
+    sinphi = sinphi * e
+    return (np.tan(0.5 * (np.pi / 2 - phi)) /
+            np.power((1 - sinphi) / (1 + sinphi), 0.5 * e))
+
+
+def _phi2_e(ts, e):
+    phi = np.pi / 2 - 2 * np.arctan(ts)
+    for _ in range(15):
+        con = e * np.sin(phi)
+        dphi = np.pi / 2 - 2 * np.arctan(
+            ts * np.power((1 - con) / (1 + con), 0.5 * e)) - phi
+        phi = phi + dphi
+        if np.all(np.abs(dphi) <= 1e-10):
+            break
+    return phi
+
+
+def merc_ell_fwd(lon, lat, lon0=0.0, lat_ts=0.0, k0=None, x0=0.0,
+                 y0=0.0, a=R, rf=1.0 / F_WGS84):
+    f = 1.0 / rf
+    es = f * (2.0 - f)
+    e = np.sqrt(es)
+    if k0 is None:
+        pts = np.deg2rad(lat_ts)
+        k0 = np.cos(pts) / np.sqrt(1 - es * np.sin(pts) ** 2)
+    lam = np.deg2rad(np.asarray(lon, float) - lon0)
+    phi = np.deg2rad(np.clip(np.asarray(lat, float), -89.999999,
+                             89.999999))
+    x = k0 * lam
+    y = -k0 * np.log(_tsfn_e(phi, np.sin(phi), e))
+    return a * x + x0, a * y + y0
+
+
+def merc_ell_inv(x, y, lon0=0.0, lat_ts=0.0, k0=None, x0=0.0, y0=0.0,
+                 a=R, rf=1.0 / F_WGS84):
+    f = 1.0 / rf
+    es = f * (2.0 - f)
+    e = np.sqrt(es)
+    if k0 is None:
+        pts = np.deg2rad(lat_ts)
+        k0 = np.cos(pts) / np.sqrt(1 - es * np.sin(pts) ** 2)
+    xs = (np.asarray(x, float) - x0) / a
+    ys = (np.asarray(y, float) - y0) / a
+    phi = _phi2_e(np.exp(-ys / k0), e)
+    return np.rad2deg(xs / k0) + lon0, np.rad2deg(phi)
+
+
+# ---------------------------------------------------------------------------
+# minimal ESRI .prj WKT → (fwd, inv) — enough for the reference's
+# shapefile fixtures (GEOGCS passthrough + Transverse_Mercator /
+# Gauss_Kruger zones on any spheroid + ellipsoidal Mercator); the
+# reference parses .prj through mproj's wkt_to_proj4
+# (src/crs/mapshaper-projections.js parsePrj)
+
+def parse_prj(text: str):
+    """ESRI WKT → (fwd, inv) callables, or None when unsupported.
+    GEOGCS-only = latlong (identity)."""
+    import functools
+    import re
+    t = text.strip()
+    if t.startswith("GEOGCS"):
+        return (_identity, _identity)
+    if not t.startswith("PROJCS"):
+        return None
+    m = re.search(r'PROJECTION\["([^"]+)"\]', t)
+    if not m:
+        return None
+    proj_name = m.group(1).lower()
+    params = {k.lower(): float(v) for k, v in
+              re.findall(r'PARAMETER\["([^"]+)",([-\d.eE+]+)\]', t)}
+    sph = re.search(r'SPHEROID\["[^"]*",([-\d.eE+]+),([-\d.eE+]+)', t)
+    a, rf = (float(sph.group(1)), float(sph.group(2))) if sph else \
+        (R, 1.0 / F_WGS84)
+    common = dict(lon0=params.get("central_meridian", 0.0),
+                  x0=params.get("false_easting", 0.0),
+                  y0=params.get("false_northing", 0.0),
+                  a=a, rf=rf)
+    if proj_name in ("gauss_kruger", "transverse_mercator"):
+        kw = dict(lat0=params.get("latitude_of_origin", 0.0),
+                  k0=params.get("scale_factor", 1.0), **common)
+        return (functools.partial(tmerc_fwd, **kw),
+                functools.partial(tmerc_inv, **kw))
+    if proj_name in ("mercator", "mercator_1sp"):
+        kw = dict(lat_ts=params.get("standard_parallel_1", 0.0),
+                  k0=params.get("scale_factor"), **common)
+        return (functools.partial(merc_ell_fwd, **kw),
+                functools.partial(merc_ell_inv, **kw))
+    return None
+
+
+# exact .prj strings the reference CLI emits for its projection
+# aliases (captured live: `-proj webmercator/robinson/wgs84 -o`); the
+# reference generates these through mproj's proj4→WKT converter
+_GEOGCS_WGS84 = ('GEOGCS["WGS84",DATUM["WGS_1984",SPHEROID["WGS 84",'
+                 '6378137,298.257223563]],PRIMEM["Greenwich",0],'
+                 'UNIT["degree",0.017453292519943295]]')
+_GEOGCS_UNK = ('GEOGCS["UNK",DATUM["Unknown datum",SPHEROID["WGS 84",'
+               '6378137,298.257223563]],PRIMEM["Greenwich",0],'
+               'UNIT["degree",0.017453292519943295]]')
+_WKT_PROJ_NAMES = {"merc": "Mercator_1SP", "robin": "Robinson",
+                   "tmerc": "Transverse_Mercator",
+                   "aea": "Albers_Conic_Equal_Area",
+                   "lcc": "Lambert_Conformal_Conic_2SP",
+                   "eqc": "Equirectangular", "sinu": "Sinusoidal"}
+_ALIAS_PROJ4 = {"webmercator": None,  # special EPSG:3857 title below
+                "merc": "merc", "mercator": "merc",
+                "robinson": "robin", "robin": "robin",
+                "albers": "aea", "aea": "aea", "lcc": "lcc",
+                "eqc": "eqc", "sinu": "sinu", "sinusoidal": "sinu",
+                "tmerc": "tmerc"}
+
+
+def wkt_for_defn(defn: str) -> str | None:
+    """Projection defn string → the .prj WKT the reference CLI writes
+    for it (aliases carry +datum=WGS84, bare +proj strings are 'UNK')."""
+    d = defn.strip()
+    if d in ("wgs84", "longlat", "latlong", "+proj=longlat"):
+        return _GEOGCS_WGS84
+    if d == "webmercator":
+        return ('PROJCS["WGS 84 / Pseudo-Mercator",' + _GEOGCS_WGS84 +
+                ',PROJECTION["Mercator_1SP"],UNIT["Meter",1]]')
+    datum_wgs84 = not d.startswith("+") or "+datum=WGS84" in d
+    if d.startswith("+"):
+        parts = dict(p.split("=", 1) if "=" in p else (p, "")
+                     for p in d.replace("+", " ").split())
+        p4 = parts.get("proj", "")
+    else:
+        p4 = _ALIAS_PROJ4.get(d)
+    name = _WKT_PROJ_NAMES.get(p4 or "")
+    if name is None:
+        return None
+    geog, title = (_GEOGCS_WGS84, "WGS84") if datum_wgs84 else \
+        (_GEOGCS_UNK, "UNK")
+    return (f'PROJCS["{title} / {name}",{geog},'
+            f'PROJECTION["{name}"],UNIT["Meter",1]]')
+
+
 # alias index (reference src/geom/mapshaper-projections.js:4-9 plus the
 # proj4 family names its tests use)
 PROJECTIONS = {
     "webmercator": (webmercator_fwd, webmercator_inv),
-    "merc": (mercator_fwd, webmercator_inv),
+    # proj4's +proj=merc defaults to the WGS84 ELLIPSOID (spherical
+    # web-mercator is the separate webmercator alias, +a=+b)
+    "merc": (merc_ell_fwd, merc_ell_inv),
     "albers": (albers_fwd, albers_inv),
     "aea": (albers_fwd, albers_inv),
     "albersusa": (albersusa_fwd, None),
@@ -388,10 +643,19 @@ PROJECTIONS = {
     "robinson": (robinson_fwd, None),
     "wgs84": (_identity, _identity),
     "longlat": (_identity, _identity),
+    "tmerc": (tmerc_fwd, tmerc_inv),
 }
 
+# +ellps= shorthand table (mproj pj_ellps entries used by the fixtures)
+_ELLPS = {"krass": (6378245.0, 298.3),
+          "GRS80": (6378137.0, 298.257222101),
+          "WGS84": (6378137.0, 298.257223563),
+          "intl": (6378388.0, 297.0)}
+
 _PARAM_KEYS = {"lat_1": "lat1", "lat_2": "lat2", "lat_0": "lat0",
-               "lon_0": "lon0", "lat_ts": "lat_ts"}
+               "lon_0": "lon0", "lat_ts": "lat_ts", "k": "k0",
+               "k_0": "k0", "x_0": "x0", "y_0": "y0", "a": "a",
+               "rf": "rf"}
 
 
 def resolve_projection(defn: str):
@@ -412,6 +676,9 @@ def resolve_projection(defn: str):
                              f"available: {sorted(PROJECTIONS)}")
         kw = {dst: float(parts[src]) for src, dst in _PARAM_KEYS.items()
               if src in parts}
+        if "ellps" in parts and parts["ellps"] in _ELLPS:
+            kw.setdefault("a", _ELLPS[parts["ellps"]][0])
+            kw.setdefault("rf", _ELLPS[parts["ellps"]][1])
         fwd, inv = PROJECTIONS[name]
         bfwd = functools.partial(fwd, **kw) if kw and fwd else fwd
         binv = functools.partial(inv, **kw) if kw and inv else inv
@@ -424,12 +691,15 @@ def _compose(proj, from_proj):
     """fwd(lon,lat) for to-CRS, optionally preceded by inverse of the
     source CRS (the -proj from= option; match= callers pass the other
     layer's recorded CRS string here)."""
-    fwd, _ = resolve_projection(proj)
+    fwd, _ = resolve_projection(proj) if isinstance(proj, str) \
+        else proj
     if fwd is None:
         raise ValueError(f"projection {proj!r} has no forward transform")
-    if from_proj is None or from_proj in ("wgs84", "longlat"):
+    if from_proj is None or (isinstance(from_proj, str) and
+                             from_proj in ("wgs84", "longlat")):
         return fwd
-    _, inv = resolve_projection(from_proj)
+    _, inv = resolve_projection(from_proj) \
+        if isinstance(from_proj, str) else from_proj
     if inv is None:
         raise ValueError(f"projection {from_proj!r} has no inverse; "
                          "cannot use as from=")

@@ -715,3 +715,116 @@ def test_shapefile_export_shp_bytes_identical(ray_session, ref_cli,
         a = (tmp_path / f"ours.{ext}").read_bytes()
         b = (tmp_path / f"ref.{ext}").read_bytes()
         assert a == b, ext
+
+
+# --- -proj .prj / from= / match= parity (reference proj-test.js,
+# issue-193-test.js, shapefile-test.js:23) --------------------------------
+
+GK_SHP = "/root/reference/test/test_data/issues/193/gauss_kruger.shp"
+THREE_POINTS_SHP = "/root/reference/test/test_data/three_points.shp"
+MERC_SHP = "/root/reference/test/test_data/two_states_mercator.shp"
+MERC_PRJ = "/root/reference/test/test_data/two_states_mercator.prj"
+
+
+def _coords(path):
+    out = []
+    for g in geoms(path):
+        if g is None:
+            continue
+        if g["type"] == "Point":
+            out.append(g["coordinates"])
+        elif g["type"] == "Polygon":
+            out.extend(p for r in g["coordinates"] for p in r)
+    return np.array(out, dtype=float)
+
+
+def test_proj_gauss_kruger_prj_inverse(ray_session, ref_cli, tmp_path):
+    """Issue 193: import a Gauss-Kruger (Krasovsky) .prj and -proj
+    wgs84 — inverse tmerc matches the reference to float noise, and
+    the exported .prj is the reference's WGS84 GEOGCS string."""
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [GK_SHP, "-proj", "wgs84", "-o", str(ref)])
+    run_commands(f"-i {GK_SHP} -proj wgs84 -o {ours}")
+    np.testing.assert_allclose(_coords(str(ours)), _coords(str(ref)),
+                               rtol=0, atol=1e-9)
+    ref_shp = tmp_path / "r" ; ref_shp.mkdir()
+    ref_run(ref_cli, [GK_SHP, "-proj", "wgs84", "-o",
+                      str(ref_shp) + "/"])
+    run_commands(f"-i {GK_SHP} -proj wgs84 -o {tmp_path}/gk.shp")
+    assert (tmp_path / "gk.prj").read_text() == \
+        (ref_shp / "gauss_kruger.prj").read_text()
+
+
+def test_proj_match_prj_file(ray_session, ref_cli, tmp_path):
+    """-proj match=<.prj file>: projects with the parsed CRS
+    (ellipsoidal Mercator) and copies the .prj text verbatim."""
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [THREE_POINTS_SHP, "-proj", f"match={MERC_PRJ}",
+                      "-o", str(ref)])
+    run_commands(f"-i {THREE_POINTS_SHP} -proj match={MERC_PRJ} "
+                 f"-o {ours}")
+    np.testing.assert_allclose(_coords(str(ours)), _coords(str(ref)),
+                               rtol=0, atol=1e-6)
+    run_commands(f"-i {THREE_POINTS_SHP} -proj match={MERC_PRJ} "
+                 f"-o {tmp_path}/tp.shp")
+    assert (tmp_path / "tp.prj").read_text() == \
+        open(MERC_PRJ).read()
+
+
+def test_proj_match_layer_name(ray_session, tmp_path):
+    """match= can name another layer; source= is its alias."""
+    for opt in ("match=states", "source=states"):
+        run_commands(f"-i {MERC_SHP} name=states -i {THREE_POINTS_SHP} "
+                     f"-proj {opt} -o {tmp_path}/tp.shp")
+        assert "Mercator" in (tmp_path / "tp.prj").read_text()
+
+
+def test_proj_from_assigns_crs(ray_session, tmp_path):
+    """from= with no dest CRS assigns the CRS without moving
+    coordinates (reference proj-test.js 'from= sets CRS...')."""
+    run_commands(f"-i {MERC_SHP} -proj from=+proj=merc "
+                 f"-o {tmp_path}/m.shp")
+    assert "Mercator_1SP" in (tmp_path / "m.prj").read_text()
+    # coordinates unchanged vs straight round-trip
+    run_commands(f"-i {MERC_SHP} -o {tmp_path}/plain.shp")
+    assert (tmp_path / "m.shp").read_bytes() == \
+        (tmp_path / "plain.shp").read_bytes()
+
+
+def test_proj_from_then_project(ray_session, ref_cli, tmp_path):
+    """from=<.prj file> + +proj=robin (reference 'Match a .prj
+    file')."""
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [MERC_SHP, "-proj", f"from={MERC_PRJ}",
+                      "+proj=robin", "-o", str(ref)])
+    run_commands(f"-i {MERC_SHP} -proj from={MERC_PRJ} +proj=robin "
+                 f"-o {ours}")
+    np.testing.assert_allclose(_coords(str(ours)), _coords(str(ref)),
+                               rtol=0, atol=1e-6)
+    run_commands(f"-i {MERC_SHP} -proj from={MERC_PRJ} +proj=robin "
+                 f"-o {tmp_path}/r.shp")
+    assert "Robinson" in (tmp_path / "r.prj").read_text()
+
+
+def test_prj_copied_verbatim_without_proj(ray_session, tmp_path):
+    """Unprojected export copies the input .prj byte-for-byte
+    (reference shapefile-test.js:23 / issue 193)."""
+    run_commands(f"-i {MERC_SHP} -o {tmp_path}/o.shp")
+    assert (tmp_path / "o.prj").read_text() == open(MERC_PRJ).read()
+
+
+def test_proj_alias_prj_strings(ray_session, ref_cli, tmp_path):
+    """-proj webmercator/robinson write the reference's exact WKT."""
+    for alias, frag in (("webmercator", "Pseudo-Mercator"),
+                        ("robinson", "Robinson")):
+        refdir = tmp_path / f"ref_{alias}"
+        refdir.mkdir()
+        ref_run(ref_cli, [THREE_POINTS_SHP, "-proj", alias, "-o",
+                          str(refdir) + "/"])
+        run_commands(f"-i {THREE_POINTS_SHP} -proj {alias} "
+                     f"-o {tmp_path}/{alias}.shp")
+        assert (tmp_path / f"{alias}.prj").read_text() == \
+            (refdir / "three_points.prj").read_text()
