@@ -1011,7 +1011,9 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                             if "categories" in opts else None),
                 other=opts.get("other"),
                 nodata=opts.get("nodata", "white"))
-        elif name in ("svg-style", "svg_style"):
+        elif name in ("style", "svg-style", "svg_style"):
+            # -style is the modern name; svg-style the old alias
+            # (reference options registry .oldAlias("svg-style"))
             from .ops.colorizer import svg_style
             styles = {k: v for k, v in opts.items() if k != "where"}
             if "where" in opts:
