@@ -484,6 +484,133 @@ def tmerc_inv(x, y, lon0=0.0, lat0=0.0, k0=1.0, x0=0.0, y0=0.0,
 
 
 # ---------------------------------------------------------------------------
+# extended (exact) transverse Mercator — pj_etmerc, the Poder/Engsager
+# 6th-order Gauss-Krueger algorithm mproj uses for +proj=utm
+# (www/modules.js:16122-16309); accurate across the whole zone where
+# the pj_tmerc power series degrades far from the central meridian
+
+def _gatg(pp, B):
+    """Clenshaw summation: B + sum(pp[i] * sin(2(i+1)B))."""
+    cos_2B = 2 * np.cos(2 * B)
+    h1 = np.full_like(np.asarray(B, float), pp[-1])
+    h2 = np.zeros_like(h1)
+    for c in pp[-2::-1]:
+        h = -h2 + cos_2B * h1 + c
+        h2, h1 = h1, h
+    return B + h1 * np.sin(2 * B)
+
+
+def _clens(pp, arg_r):
+    r = 2 * np.cos(arg_r)
+    hr1 = pp[-1]
+    hr2 = 0.0
+    for c in pp[-2::-1]:
+        hr = -hr2 + r * hr1 + c
+        hr2, hr1 = hr1, hr
+    return np.sin(arg_r) * hr1
+
+
+def _clenS(pp, arg_r, arg_i):
+    """Complex Clenshaw over sin(2kz) with z = arg_r + i*arg_i."""
+    sin_r, cos_r = np.sin(arg_r), np.cos(arg_r)
+    sinh_i, cosh_i = np.sinh(arg_i), np.cosh(arg_i)
+    r = 2 * cos_r * cosh_i
+    i = -2 * sin_r * sinh_i
+    hr = np.full_like(np.asarray(arg_r, float), pp[-1])
+    hr1 = np.zeros_like(hr)
+    hi = np.zeros_like(hr)
+    hi1 = np.zeros_like(hr)
+    for c in pp[-2::-1]:
+        hr2, hi2, hr1, hi1 = hr1, hi1, hr, hi
+        hr = -hr2 + r * hr1 - i * hi1 + c
+        hi = -hi2 + i * hr1 + r * hi1
+    rr = sin_r * cosh_i
+    ri = cos_r * sinh_i
+    return rr * hr - ri * hi, rr * hi + ri * hr
+
+
+def _etmerc_setup(lat0, k0, a, rf):
+    f_ = 1.0 / rf
+    es = f_ * (2.0 - f_)
+    f = es / (1 + np.sqrt(1 - es))
+    n = f / (2 - f)
+    cgb = [n * (2 + n * (-2 / 3 + n * (-2 + n * (116 / 45 + n * (26 / 45 + n * (-2854 / 675)))))),
+           0, 0, 0, 0, 0]
+    cbg = [n * (-2 + n * (2 / 3 + n * (4 / 3 + n * (-82 / 45 + n * (32 / 45 + n * (4642 / 4725)))))),
+           0, 0, 0, 0, 0]
+    np_ = n * n
+    cgb[1] = np_ * (7 / 3 + n * (-8 / 5 + n * (-227 / 45 + n * (2704 / 315 + n * (2323 / 945)))))
+    cbg[1] = np_ * (5 / 3 + n * (-16 / 15 + n * (-13 / 9 + n * (904 / 315 + n * (-1522 / 945)))))
+    np_ *= n
+    cgb[2] = np_ * (56 / 15 + n * (-136 / 35 + n * (-1262 / 105 + n * (73814 / 2835))))
+    cbg[2] = np_ * (-26 / 15 + n * (34 / 21 + n * (8 / 5 + n * (-12686 / 2835))))
+    np_ *= n
+    cgb[3] = np_ * (4279 / 630 + n * (-332 / 35 + n * (-399572 / 14175)))
+    cbg[3] = np_ * (1237 / 630 + n * (-12 / 5 + n * (-24832 / 14175)))
+    np_ *= n
+    cgb[4] = np_ * (4174 / 315 + n * (-144838 / 6237))
+    cbg[4] = np_ * (-734 / 315 + n * (109598 / 31185))
+    np_ *= n
+    cgb[5] = np_ * (601676 / 22275)
+    cbg[5] = np_ * (444337 / 155925)
+    np_ = n * n
+    qn = k0 / (1 + n) * (1 + np_ * (1 / 4 + np_ * (1 / 64 + np_ / 256)))
+    utg = [n * (-0.5 + n * (2 / 3 + n * (-37 / 96 + n * (1 / 360 + n * (81 / 512 + n * (-96199 / 604800)))))),
+           0, 0, 0, 0, 0]
+    gtu = [n * (0.5 + n * (-2 / 3 + n * (5 / 16 + n * (41 / 180 + n * (-127 / 288 + n * (7891 / 37800)))))),
+           0, 0, 0, 0, 0]
+    utg[1] = np_ * (-1 / 48 + n * (-1 / 15 + n * (437 / 1440 + n * (-46 / 105 + n * (1118711 / 3870720)))))
+    gtu[1] = np_ * (13 / 48 + n * (-3 / 5 + n * (557 / 1440 + n * (281 / 630 + n * (-1983433 / 1935360)))))
+    np_ *= n
+    utg[2] = np_ * (-17 / 480 + n * (37 / 840 + n * (209 / 4480 + n * (-5569 / 90720))))
+    gtu[2] = np_ * (61 / 240 + n * (-103 / 140 + n * (15061 / 26880 + n * (167603 / 181440))))
+    np_ *= n
+    utg[3] = np_ * (-4397 / 161280 + n * (11 / 504 + n * (830251 / 7257600)))
+    gtu[3] = np_ * (49561 / 161280 + n * (-179 / 168 + n * (6601661 / 7257600)))
+    np_ *= n
+    utg[4] = np_ * (-4583 / 161280 + n * (108847 / 3991680))
+    gtu[4] = np_ * (34729 / 80640 + n * (-3418889 / 1995840))
+    np_ *= n
+    utg[5] = np_ * (-20648693 / 638668800)
+    gtu[5] = np_ * (212378941 / 319334400)
+    z = _gatg(cbg, np.float64(np.deg2rad(lat0)))
+    zb = -qn * (z + _clens(gtu, 2 * z))
+    return cgb, cbg, utg, gtu, qn, float(zb)
+
+
+def etmerc_fwd(lon, lat, lon0=0.0, lat0=0.0, k0=1.0, x0=0.0, y0=0.0,
+               a=R, rf=1.0 / F_WGS84):
+    cgb, cbg, utg, gtu, qn, zb = _etmerc_setup(lat0, k0, a, rf)
+    ce = np.deg2rad(np.asarray(lon, float) - lon0)
+    cn = _gatg(cbg, np.deg2rad(np.asarray(lat, float)))
+    sin_cn, cos_cn = np.sin(cn), np.cos(cn)
+    sin_ce, cos_ce = np.sin(ce), np.cos(ce)
+    cn = np.arctan2(sin_cn, cos_ce * cos_cn)
+    ce = np.arctan2(sin_ce * cos_cn, np.hypot(sin_cn, cos_cn * cos_ce))
+    ce = np.arcsinh(np.tan(ce))
+    dcn, dce = _clenS(gtu, 2 * cn, 2 * ce)
+    cn = cn + dcn
+    ce = ce + dce
+    return a * qn * ce + x0, a * (qn * cn + zb) + y0
+
+
+def etmerc_inv(x, y, lon0=0.0, lat0=0.0, k0=1.0, x0=0.0, y0=0.0,
+               a=R, rf=1.0 / F_WGS84):
+    cgb, cbg, utg, gtu, qn, zb = _etmerc_setup(lat0, k0, a, rf)
+    cn = ((np.asarray(y, float) - y0) / a - zb) / qn
+    ce = (np.asarray(x, float) - x0) / a / qn
+    dcn, dce = _clenS(utg, 2 * cn, 2 * ce)
+    cn = cn + dcn
+    ce = np.arctan(np.sinh(ce + dce))
+    sin_cn, cos_cn = np.sin(cn), np.cos(cn)
+    sin_ce, cos_ce = np.sin(ce), np.cos(ce)
+    lam = np.arctan2(sin_ce, cos_ce * cos_cn)
+    phi = _gatg(cgb, np.arctan2(sin_cn * cos_ce,
+                                np.hypot(sin_ce, cos_ce * cos_cn)))
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+# ---------------------------------------------------------------------------
 # ellipsoidal Mercator (pj_merc e_fwd/e_inv, mproj www/modules.js) —
 # PROJECTION["Mercator"] in ESRI WKT carries standard_parallel_1
 
@@ -614,6 +741,20 @@ def wkt_for_defn(defn: str) -> str | None:
         parts = dict(p.split("=", 1) if "=" in p else (p, "")
                      for p in d.replace("+", " ").split())
         p4 = parts.get("proj", "")
+        if p4 == "utm":
+            zone = int(parts["zone"])
+            hemi = "S" if "south" in parts else "N"
+            geog = _GEOGCS_WGS84 if datum_wgs84 else _GEOGCS_UNK
+            title = "WGS84" if datum_wgs84 else "UNK"
+            return (f'PROJCS["{title} / UTM zone {zone}{hemi}",{geog},'
+                    f'PROJECTION["Transverse_Mercator"],'
+                    f'PARAMETER["latitude_of_origin",0],'
+                    f'PARAMETER["central_meridian",{zone * 6 - 183}],'
+                    f'PARAMETER["scale_factor",0.9996],'
+                    f'PARAMETER["false_easting",500000],'
+                    f'PARAMETER["false_northing",'
+                    f'{10000000 if hemi == "S" else 0}],'
+                    f'UNIT["Meter",1]]')
     else:
         p4 = _ALIAS_PROJ4.get(d)
     name = _WKT_PROJ_NAMES.get(p4 or "")
@@ -644,6 +785,7 @@ PROJECTIONS = {
     "wgs84": (_identity, _identity),
     "longlat": (_identity, _identity),
     "tmerc": (tmerc_fwd, tmerc_inv),
+    "etmerc": (etmerc_fwd, etmerc_inv),
 }
 
 # +ellps= shorthand table (mproj pj_ellps entries used by the fixtures)
@@ -671,6 +813,17 @@ def resolve_projection(defn: str):
         parts = dict(p.split("=", 1) if "=" in p else (p, "")
                      for p in defn.replace("+", " ").split())
         name = parts.get("proj", "")
+        if name == "utm":
+            # UTM zone = tmerc with fixed constants (pj_utm):
+            # lon0 = zone*6 - 183, k0 = 0.9996, x0 = 500 km,
+            # y0 = 10000 km in the southern hemisphere
+            zone = int(parts["zone"])
+            kw = dict(lon0=zone * 6.0 - 183.0, k0=0.9996, x0=500000.0,
+                      y0=1e7 if "south" in parts else 0.0)
+            if "ellps" in parts and parts["ellps"] in _ELLPS:
+                kw["a"], kw["rf"] = _ELLPS[parts["ellps"]]
+            return (functools.partial(etmerc_fwd, **kw),
+                    functools.partial(etmerc_inv, **kw))
         if name not in PROJECTIONS:
             raise ValueError(f"unsupported +proj={name!r}; "
                              f"available: {sorted(PROJECTIONS)}")

@@ -828,3 +828,26 @@ def test_proj_alias_prj_strings(ray_session, ref_cli, tmp_path):
                      f"-o {tmp_path}/{alias}.shp")
         assert (tmp_path / f"{alias}.prj").read_text() == \
             (refdir / "three_points.prj").read_text()
+
+
+def test_proj_utm(ray_session, ref_cli, tmp_path):
+    """+proj=utm +zone=17: the ported pj_etmerc (Poder/Engsager)
+    matches the reference across the whole zone — including points
+    30-80 degrees from the central meridian where the tmerc power
+    series loses meters — and the generated .prj WKT is
+    byte-identical."""
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [THREE_POINTS_SHP, "-proj", "+proj=utm",
+                      "+zone=17", "-o", str(ref)])
+    run_commands(f"-i {THREE_POINTS_SHP} -proj +proj=utm +zone=17 "
+                 f"-o {ours}")
+    np.testing.assert_allclose(_coords(str(ours)), _coords(str(ref)),
+                               rtol=0, atol=1e-6)
+    refdir = tmp_path / "refshp"; refdir.mkdir()
+    ref_run(ref_cli, [THREE_POINTS_SHP, "-proj", "+proj=utm",
+                      "+zone=17", "-o", str(refdir) + "/"])
+    run_commands(f"-i {THREE_POINTS_SHP} -proj +proj=utm +zone=17 "
+                 f"-o {tmp_path}/u.shp")
+    assert (tmp_path / "u.prj").read_text() == \
+        (refdir / "three_points.prj").read_text()
