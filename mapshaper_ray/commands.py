@@ -296,6 +296,21 @@ def _resolve_crs_ref(cat: Catalog, ref: str):
             "latlong": fwd is _identity}
 
 
+def _merged_crs(cat: Catalog, names):
+    """CRS for a merged layer (reference issue-166 semantics): layers
+    with no recorded CRS are compatible with anything; mixing an
+    explicit latlong CRS with an explicit projected one is an error;
+    between incompatible explicit CRS, the FIRST layer's wins."""
+    ents = [cat.crs[n] for n in names if n in cat.crs]
+    if not ents:
+        return None
+    kinds = {e["latlong"] for e in ents}
+    if len(kinds) > 1:
+        raise ValueError("cannot merge projected and unprojected "
+                         "datasets")
+    return ents[0]
+
+
 def _cmd_proj(cat: Catalog, args, opts):
     """-proj dest / from= / match=/source= (reference
     src/commands/mapshaper-proj.js:14-93: match/source and bare dest
@@ -504,9 +519,16 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                         [cat.layers[n] for n in poly])):
                     cat.layers[n] = rds
             if opts.get("merge_files") and len(loaded) > 1:
+                mcrs = _merged_crs(cat, loaded)
+                for n in loaded:
+                    cat.crs.pop(n, None)
                 merged = api.merge_layers(
                     [cat.layers.pop(n) for n in loaded], force=True)
-                cat.add(merged, opts.get("name") or "merged")
+                mname = cat.add(merged, opts.get("name") or "merged")
+                if mcrs is not None:
+                    cat.crs[mname] = mcrs
+                    if not mcrs["latlong"]:
+                        cat.projected.add(mname)
         elif name == "o":
             path = args[0] if args else opts.get("file")
             tgt = opts.get("target")
@@ -831,9 +853,14 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
         elif name in ("merge-layers", "merge_layers"):
             names = _num_list(opts["layers"], str) if "layers" in opts \
                 else list(cat.layers)
+            mcrs = _merged_crs(cat, names)
             merged = api.merge_layers([cat.layers[n] for n in names],
                                       force=bool(opts.get("force")))
-            cat.add(merged, "merged")
+            mname = cat.add(merged, "merged")
+            if mcrs is not None:
+                cat.crs[mname] = mcrs
+                if not mcrs["latlong"]:
+                    cat.projected.add(mname)
         elif name == "graticule":
             cat.add(api.graticule(), "graticule")
         elif name == "rectangle":

@@ -851,3 +851,23 @@ def test_proj_utm(ray_session, ref_cli, tmp_path):
                  f"-o {tmp_path}/u.shp")
     assert (tmp_path / "u.prj").read_text() == \
         (refdir / "three_points.prj").read_text()
+
+
+def test_merge_layers_prj_preserved(ray_session, tmp_path):
+    """Issue 166: .prj survives combine-files + -merge-layers; a
+    missing .prj is compatible with anything; latlong + projected is
+    an error; between incompatible projected CRS the first wins."""
+    d = "/root/reference/test/test_data/issues/166"
+    prj = open(f"{d}/a_utm.prj").read()
+    for pair in (("a_utm", "b_utm"), ("a_utm", "c_utm"),
+                 ("c_utm", "a_utm"), ("a_utm", "e_merc")):
+        run_commands(f"-i {d}/{pair[0]}.shp {d}/{pair[1]}.shp "
+                     f"combine-files -merge-layers force "
+                     f"-o {tmp_path}/out.shp")
+        assert "NAD_1983_UTM_Zone_18N" in \
+            (tmp_path / "out.prj").read_text()
+        if "c_utm" not in pair and "e_merc" not in pair:
+            assert (tmp_path / "out.prj").read_text() == prj
+    with pytest.raises(ValueError, match="projected and unprojected"):
+        run_commands(f"-i {d}/a_utm.shp {d}/d_geo.shp combine-files "
+                     f"-merge-layers force -o {tmp_path}/x.shp")
