@@ -205,6 +205,30 @@ def i(path: str, **kw):
     raise ValueError(f"unrecognized input format: {path}")
 
 
+def i_layers(path: str, **kw):
+    """-i returning one layer PER GEOMETRY CLASS for mixed-type
+    GeoJSON/TopoJSON input (reference divideFeaturesByType,
+    src/dataset/mapshaper-dataset-utils.js:7): [(suffix, Dataset)] —
+    suffix is '' for single-class input, '1'/'2'/... in encounter
+    order for mixed (the reference's numbered output naming)."""
+    low = path.lower()
+    if low.endswith((".json", ".geojson")):
+        with open(path, "r", encoding="utf-8", errors="replace") as f:
+            head = f.read(4096)
+        if '"Topology"' not in head and not (
+                head.lstrip().startswith("[")
+                and '"geometry"' not in head
+                and '"Feature"' not in head
+                and '"coordinates"' not in head):
+            from .sources.geojson import read_geojson_split
+            parts = read_geojson_split(path, **kw)
+            if len(parts) == 1:
+                return [("", parts[0][1])]
+            return [(str(j + 1), ds) for j, (_, ds) in
+                    enumerate(parts)]
+    return [("", i(path, **kw))]
+
+
 def o(ds, path: str, **kw):
     """-o: export dispatch by extension (reference exportTargetLayers
     format inference, src/io/mapshaper-export.js:130-144).  ``rotate``

@@ -487,8 +487,9 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                     os.path.splitext(os.path.basename(path))[0]
                 ikw = {"encoding": opts["encoding"]} \
                     if "encoding" in opts else {}
-                loaded.append(cat.add(api.i(path, **ikw), lname))
-                cat.no_rotate.add(loaded[-1])
+                for suffix, lds in api.i_layers(path, **ikw):
+                    loaded.append(cat.add(lds, lname + suffix))
+                    cat.no_rotate.add(loaded[-1])
                 if path.lower().endswith(".shp"):
                     # sibling .prj → recorded layer CRS (reference
                     # importShapefile reads it through parsePrj)
@@ -532,6 +533,28 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
         elif name == "o":
             path = args[0] if args else opts.get("file")
             tgt = opts.get("target")
+            if isinstance(path, str) and (path.endswith("/")
+                                          or os.path.isdir(path)) \
+                    and not path.rstrip("/").endswith("_dir"):
+                # directory output: one file PER LAYER named after the
+                # layer (the reference's multi-layer export naming —
+                # mixed-type imports yield base1.json, base2.json, ...)
+                fmt = opts.get("format", "geojson").lstrip(".")
+                ext = {"geojson": "json", "json": "json",
+                       "topojson": "topojson", "csv": "csv",
+                       "tsv": "tsv", "svg": "svg",
+                       "shapefile": "shp", "shp": "shp"}.get(fmt, fmt)
+                os.makedirs(path, exist_ok=True)
+                names = [tgt] if tgt else list(cat.layers)
+                for n in names:
+                    out = os.path.join(path, f"{n}.{ext}")
+                    api.o(cat.get(n), out, rotate=False)
+                    ent = cat.crs.get(n)
+                    if ext == "shp" and ent and ent.get("prj"):
+                        with open(out[:-4] + ".prj", "w",
+                                  encoding="utf-8") as f:
+                            f.write(ent["prj"])
+                continue
             ds = cat.get(tgt)
             # every layer is kept in reference ring order (rotated at
             # -i, or emitted in arc order by the kernels) — exports
@@ -604,9 +627,28 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 with open(base + ".prj", "w", encoding="utf-8") as f:
                     f.write(ent["prj"])
         elif name == "target":
-            cat.target = args[0] if args else opts.get("name")
-            if cat.target not in cat.layers:
-                raise ValueError(f"unknown layer {cat.target!r}")
+            tname = args[0] if args else opts.get("name")
+            ttype = opts.get("type")
+            if ttype:
+                # select by geometry type, optionally narrowed by name
+                # (reference target-test 'select target by type';
+                # numbered suffixes come from mixed-type imports)
+                want = {"point": "point", "points": "point",
+                        "line": "polyline", "polyline": "polyline",
+                        "polygon": "polygon"}.get(ttype, ttype)
+                cands = [n for n in cat.layers
+                         if (not tname or n == tname or
+                             (n.startswith(tname) and
+                              n[len(tname):].isdigit()))
+                         and _geom_type(cat.layers[n]) == want]
+                if not cands:
+                    raise ValueError(f"no {want} layer matches "
+                                     f"-target {tname or ''}")
+                cat.target = cands[0]
+            else:
+                cat.target = tname
+                if cat.target not in cat.layers:
+                    raise ValueError(f"unknown layer {cat.target!r}")
         elif name == "rename-layers" or name == "rename_layers":
             new_names = _num_list(args[0], str) if args else []
             old = list(cat.layers)

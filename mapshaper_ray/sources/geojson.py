@@ -235,6 +235,54 @@ def read_geojson(path: str, geom_class: str | None = None,
         batch_format="pyarrow")
 
 
+_TYPE_RE = None
+
+
+def _feature_class(t: str):
+    """Geometry class of one feature string (first geometry-type token
+    in the JSON; None = null geometry)."""
+    global _TYPE_RE
+    if _TYPE_RE is None:
+        import re
+        _TYPE_RE = re.compile(
+            r'"type"\s*:\s*"(Point|MultiPoint|LineString|'
+            r'MultiLineString|Polygon|MultiPolygon|GeometryCollection)"')
+    m = _TYPE_RE.search(t)
+    return _GEOM_CLASS.get(m.group(1)) if m else None
+
+
+def read_geojson_split(path: str, shard_size: int = 512,
+                       id_field: str | None = None):
+    """GeoJSON file → [(geom_class, Dataset)] — one layer per geometry
+    class in ENCOUNTER order, like the reference's
+    divideFeaturesByType (src/dataset/mapshaper-dataset-utils.js:7;
+    path import src/paths/mapshaper-path-import.js:154).  Null-geometry
+    features ride with the first class."""
+    import ray.data as rd
+    with open(path, "rb") as f:
+        feats = split_features(f.read())
+    classes = [_feature_class(t) for t in feats]
+    order: list[str] = []
+    for c in classes:
+        if c is not None and c not in order:
+            order.append(c)
+    if not order:
+        order = [GEOM_POINT]
+    out = []
+    for j, cls in enumerate(order):
+        idx = [i for i, c in enumerate(classes)
+               if c == cls or (c is None and j == 0)]
+        items = [{"feature_id": k, "json": feats[i]}
+                 for k, i in enumerate(idx)]
+        ds = rd.from_items(items)
+        if len(items) > shard_size:
+            ds = ds.repartition(max(1, len(items) // shard_size))
+        out.append((cls, ds.map_batches(
+            lambda b, gc=cls: parse_feature_batch(b, gc, id_field),
+            batch_format="pyarrow")))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # writer
 

@@ -871,3 +871,31 @@ def test_merge_layers_prj_preserved(ray_session, tmp_path):
     with pytest.raises(ValueError, match="projected and unprojected"):
         run_commands(f"-i {d}/a_utm.shp {d}/d_geo.shp combine-files "
                      f"-merge-layers force -o {tmp_path}/x.shp")
+
+
+def test_mixed_type_geojson_import(ray_session, ref_cli, tmp_path):
+    """Issue 177: mixed-geometry GeoJSON divides into one layer per
+    type in encounter order; directory export writes the reference's
+    numbered files byte-identically; -target type= selects by
+    geometry type."""
+    src = "/root/reference/test/test_data/issues/177/mixed_feature.json"
+    refdir = tmp_path / "ref"; refdir.mkdir()
+    ourdir = tmp_path / "ours"; ourdir.mkdir()
+    ref_run(ref_cli, [src, "-o", str(refdir) + "/"])
+    run_commands(f"-i {src} -o {ourdir}/")
+    ref_files = sorted(p.name for p in refdir.iterdir())
+    assert sorted(p.name for p in ourdir.iterdir()) == ref_files
+    for f in ref_files:
+        assert (ourdir / f).read_bytes() == (refdir / f).read_bytes()
+    run_commands(f"-i {src} -target type=point -o {tmp_path}/pt.json")
+    assert "MultiPoint" in (tmp_path / "pt.json").read_text()
+
+
+def test_geojson_trailing_crs_member(ray_session, tmp_path):
+    """Issue 236: FeatureCollection with a crs member AFTER the
+    features array parses completely."""
+    src = "/root/reference/test/test_data/issues/236/point.geojson"
+    run_commands(f"-i {src} -o {tmp_path}/o.json")
+    doc = json.load(open(tmp_path / "o.json"))
+    assert len(doc["features"]) == 1
+    assert doc["features"][0]["properties"]["name"] == "Niagara Falls"
