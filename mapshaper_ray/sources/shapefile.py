@@ -22,6 +22,13 @@ import pyarrow as pa
 SHP_POINT = 1
 SHP_POLYLINE = 3
 SHP_POLYGON = 5
+SHP_MULTIPOINT = 8
+
+# Z (11-18) and M (21-28) variants parse as their 2D base type — the
+# reference's kType table (src/shapefile/shp-common.js); Z/M arrays
+# trail the XY block and are skipped
+_BASE_TYPE = {1: 1, 11: 1, 21: 1, 3: 3, 13: 3, 23: 3,
+              5: 5, 15: 5, 25: 5, 8: 8, 18: 8, 28: 8}
 
 
 # ---------------------------------------------------------------------------
@@ -49,16 +56,22 @@ def parse_record(content: bytes):
     st = struct.unpack("<i", content[0:4])[0]
     if st == 0:
         return st, []
-    if st == SHP_POINT:
+    base = _BASE_TYPE.get(st)
+    if base == SHP_POINT:
         x, y = struct.unpack("<2d", content[4:20])
-        return st, [np.array([[x, y]])]
-    if st in (SHP_POLYLINE, SHP_POLYGON):
+        return base, [np.array([[x, y]])]
+    if base == SHP_MULTIPOINT:
+        n_points = struct.unpack("<i", content[36:40])[0]
+        pts = np.frombuffer(content, dtype="<f8", offset=40,
+                            count=n_points * 2).reshape(-1, 2)
+        return base, [pts]
+    if base in (SHP_POLYLINE, SHP_POLYGON):
         n_parts, n_points = struct.unpack("<2i", content[36:44])
         parts = np.frombuffer(content, dtype="<i4", offset=44, count=n_parts)
         pts = np.frombuffer(content, dtype="<f8", offset=44 + 4 * n_parts,
                             count=n_points * 2).reshape(-1, 2)
         bounds = np.append(parts, n_points)
-        return st, [pts[bounds[i]:bounds[i + 1]] for i in range(n_parts)]
+        return base, [pts[bounds[i]:bounds[i + 1]] for i in range(n_parts)]
     raise NotImplementedError(f"shape type {st}")
 
 
@@ -257,8 +270,10 @@ def _records_to_table(geoms, shp_type, attrs_rows, fid0):
         px = [[p[:, 0].tolist() for p in g] for g in geoms]
         py = [[p[:, 1].tolist() for p in g] for g in geoms]
         return polyline_table(fids, px, py, attrs)
-    xs = [[float(p[0][0, 0])] if p else [] for p in geoms]
-    ys = [[float(p[0][0, 1])] if p else [] for p in geoms]
+    # point / multipoint: every coordinate of the record is one point
+    # of the feature (type-8 records hold several per shape)
+    xs = [p[0][:, 0].tolist() if p else [] for p in geoms]
+    ys = [p[0][:, 1].tolist() if p else [] for p in geoms]
     return point_table(fids, xs, ys, attrs)
 
 
@@ -272,6 +287,7 @@ def read_shapefile(path: str, shard_records: int = 2048,
     with open(base + ".shp", "rb") as f:
         shp = f.read()
     shp_type, _ = parse_shp_header(shp)
+    shp_type = _BASE_TYPE.get(shp_type, shp_type)
     try:
         with open(base + ".shx", "rb") as f:
             offs, lens = parse_shx(f.read())

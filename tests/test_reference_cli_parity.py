@@ -899,3 +899,54 @@ def test_geojson_trailing_crs_member(ray_session, tmp_path):
     doc = json.load(open(tmp_path / "o.json"))
     assert len(doc["features"]) == 1
     assert doc["features"][0]["properties"]["name"] == "Niagara Falls"
+
+
+@pytest.mark.parametrize("shp,gt", [
+    ("issues/shp_point_import/points.shp", "point"),   # MultiPoint (8)
+    ("shplib/multipnt.shp", "point"),                  # MultiPoint (8)
+    # shplib's Z-type fixtures (3dpoints/brklinz/masspntz) have corrupt
+    # DBFs the reference CLI itself errors on — Z parsing is covered by
+    # test_shp_z_type_parse below instead
+])
+def test_shp_multipoint_and_z_types(ray_session, ref_cli, tmp_path,
+                                    shp, gt):
+    """MultiPoint (type 8) and Z-type records import as their 2D base
+    class; coordinates match the reference's GeoJSON export."""
+    src = f"{TD}/{shp}"
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [src, "-o", str(ref)])
+    run_commands(f"-i {src} -o {ours}")
+    def pts(path):
+        out = []
+        for g in geoms(path):
+            if g is None:
+                out.append(None); continue
+            c = g["coordinates"]
+            if g["type"] in ("Point",):
+                out.append([c])
+            elif g["type"] in ("MultiPoint", "LineString"):
+                out.append(c)
+            else:
+                out.append([p for part in c for p in part])
+        return out
+    assert pts(str(ours)) == pts(str(ref))
+
+
+def test_shp_z_type_parse(ray_session):
+    """PointZ / PolyLineZ records parse as their 2D base type (Z/M
+    arrays skipped), matching the reference's 'Z data will be lost'
+    import path."""
+    import struct
+    from mapshaper_ray.sources.shapefile import (parse_record,
+                                                 parse_shp_header)
+    for shp, want in (("3dpoints", 1), ("brklinz", 3),
+                      ("masspntz", 1)):
+        buf = open(f"{TD}/shplib/{shp}.shp", "rb").read()
+        t, _ = parse_shp_header(buf)
+        assert t in (11, 13)
+        ln = struct.unpack(">i", buf[104:108])[0] * 2
+        base, parts = parse_record(buf[108:108 + ln])
+        assert base == want
+        assert parts and parts[0].shape[1] == 2
+        assert np.isfinite(parts[0]).all()
