@@ -212,20 +212,39 @@ def i_layers(path: str, **kw):
     suffix is '' for single-class input, '1'/'2'/... in encounter
     order for mixed (the reference's numbered output naming)."""
     low = path.lower()
+    is_topo = low.endswith(".topojson")
     if low.endswith((".json", ".geojson")):
         with open(path, "r", encoding="utf-8", errors="replace") as f:
             head = f.read(4096)
-        if '"Topology"' not in head and not (
-                head.lstrip().startswith("[")
-                and '"geometry"' not in head
-                and '"Feature"' not in head
-                and '"coordinates"' not in head):
+        if '"Topology"' in head:
+            is_topo = True
+        elif not (head.lstrip().startswith("[")
+                  and '"geometry"' not in head
+                  and '"Feature"' not in head
+                  and '"coordinates"' not in head):
             from .sources.geojson import read_geojson_split
             parts = read_geojson_split(path, **kw)
             if len(parts) == 1:
                 return [("", parts[0][1])]
             return [(str(j + 1), ds) for j, (_, ds) in
                     enumerate(parts)]
+    if is_topo:
+        from .sources.topojson import read_topojson_layers
+        parts = read_topojson_layers(path, **kw)
+        if len(parts) == 1:
+            return [("", parts[0][2])]
+        # multiple layers: objects keep their key as the layer name
+        # ("::name" marks a full-name override for the caller); a
+        # mixed-type object numbers its per-class layers
+        out, seen = [], {}
+        multi_obj = len({n for n, _, _ in parts}) > 1
+        for name, n_classes, ds in parts:
+            label = name if multi_obj else ""
+            if n_classes > 1:
+                seen[name] = seen.get(name, 0) + 1
+                label += str(seen[name])
+            out.append(("::" + label if multi_obj else label, ds))
+        return out
     return [("", i(path, **kw))]
 
 

@@ -488,7 +488,11 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 ikw = {"encoding": opts["encoding"]} \
                     if "encoding" in opts else {}
                 for suffix, lds in api.i_layers(path, **ikw):
-                    loaded.append(cat.add(lds, lname + suffix))
+                    # "::name" = full layer-name override (TopoJSON
+                    # objects are layers named by their key)
+                    full = suffix[2:] if suffix.startswith("::") \
+                        else lname + suffix
+                    loaded.append(cat.add(lds, full))
                     cat.no_rotate.add(loaded[-1])
                 if path.lower().endswith(".shp"):
                     # sibling .prj → recorded layer CRS (reference

@@ -294,11 +294,49 @@ class _Layer(tuple):
         self.polys = polys
 
 
-def import_topojson(path_or_obj, object_name=None):
+def _parse_topo_geom(g, arcs, topo):
+    """One TopoJSON geometry → (geom_class_or_None, feature, polys)."""
+    t = g.get("type")
+    if t == "Polygon":
+        return ("polygon", [_path_coords(arcs, ring)
+                            for ring in g["arcs"]],
+                [0] * len(g["arcs"]))
+    if t == "MultiPolygon":
+        return ("polygon", [_path_coords(arcs, ring)
+                            for poly in g["arcs"] for ring in poly],
+                [pi for pi, poly in enumerate(g["arcs"]) for _ in poly])
+    if t == "LineString":
+        return ("polyline", [_path_coords(arcs, g["arcs"])], [0])
+    if t == "MultiLineString":
+        return ("polyline", [_path_coords(arcs, part)
+                             for part in g["arcs"]],
+                [0] * len(g["arcs"]))
+    if t in ("Point", "MultiPoint"):
+        coords = (g.get("coordinates") or [])
+        if t == "Point":
+            coords = [coords]
+        tr = topo.get("transform")
+        pts = []
+        for c in coords:
+            if tr is not None:
+                pts.append((c[0] * tr["scale"][0] + tr["translate"][0],
+                            c[1] * tr["scale"][1] + tr["translate"][1]))
+            else:
+                pts.append((float(c[0]), float(c[1])))
+        return ("point", [(np.array([p[0] for p in pts]),
+                           np.array([p[1] for p in pts]))],
+                [0] * len(pts))
+    return (None, [], [])
+
+
+def import_topojson(path_or_obj, object_name=None, split_types=False):
     """TopoJSON → (ArcTable, {name: (geom_class, feature_list, attrs)})
     where feature_list rows are ring/part coordinate lists.  The layer
     tuple also carries ``.polys``: per feature, the polygon index of
-    each ring (MultiPolygon nesting preserved)."""
+    each ring (MultiPolygon nesting preserved).  With
+    ``split_types=True``, each object maps to a LIST of per-class
+    layers in encounter order (reference divideFeaturesByType,
+    src/topojson/topojson-import.js:180)."""
     topo = path_or_obj
     if isinstance(topo, (str, bytes)):
         with open(topo) as f:
@@ -311,60 +349,36 @@ def import_topojson(path_or_obj, object_name=None):
         obj = objects[name]
         geoms = (obj["geometries"] if obj["type"] == "GeometryCollection"
                  else [obj])
-        feats, attrs, polys, cls = [], [], [], "polygon"
-        for g in geoms:
-            attrs.append(g.get("properties") or {})
-            t = g.get("type")
-            if t == "Polygon":
-                feats.append([_path_coords(arcs, ring)
-                              for ring in g["arcs"]])
-                polys.append([0] * len(g["arcs"]))
-            elif t == "MultiPolygon":
-                feats.append([_path_coords(arcs, ring)
-                              for poly in g["arcs"] for ring in poly])
-                polys.append([pi for pi, poly in enumerate(g["arcs"])
-                              for _ in poly])
-            elif t == "LineString":
-                cls = "polyline"
-                feats.append([_path_coords(arcs, g["arcs"])])
-                polys.append([0])
-            elif t == "MultiLineString":
-                cls = "polyline"
-                feats.append([_path_coords(arcs, part)
-                              for part in g["arcs"]])
-                polys.append([0] * len(g["arcs"]))
-            elif t in ("Point", "MultiPoint"):
-                cls = "point"
-                coords = (g.get("coordinates") or [])
-                if t == "Point":
-                    coords = [coords]
-                tr = topo.get("transform")
-                pts = []
-                for c in coords:
-                    if tr is not None:
-                        pts.append((c[0] * tr["scale"][0]
-                                    + tr["translate"][0],
-                                    c[1] * tr["scale"][1]
-                                    + tr["translate"][1]))
-                    else:
-                        pts.append((float(c[0]), float(c[1])))
-                feats.append([(np.array([p[0] for p in pts]),
-                               np.array([p[1] for p in pts]))])
-                polys.append([0] * len(pts))
-            else:
-                feats.append([])
-                polys.append([])
-        layers[name] = _Layer(cls, feats, attrs, polys)
+        parsed = [_parse_topo_geom(g, arcs, topo) for g in geoms]
+        recs = [g.get("properties") or {} for g in geoms]
+        if split_types:
+            order = []
+            for c, _, _ in parsed:
+                if c is not None and c not in order:
+                    order.append(c)
+            if not order:
+                order = ["polygon"]
+            parts = []
+            for j, cls in enumerate(order):
+                f, a, p = [], [], []
+                for (c, feat, poly), rec in zip(parsed, recs):
+                    if c == cls or (c is None and j == 0):
+                        f.append(feat)
+                        a.append(rec)
+                        p.append(poly)
+                parts.append(_Layer(cls, f, a, p))
+            layers[name] = parts
+        else:
+            cls = next((c for c, _, _ in parsed if c is not None),
+                       "polygon")
+            layers[name] = _Layer(cls, [f for _, f, _ in parsed], recs,
+                                  [p for _, _, p in parsed])
     return arcs, layers
 
 
-def read_topojson(path, object_name=None, shard_size=512):
-    """TopoJSON file → Ray Dataset in the Arrow layer model (first /
-    selected object)."""
+def _layer_to_dataset(layer: _Layer, shard_size=512):
     import ray.data as rd
-    arcs, layers = import_topojson(path, object_name)
-    name = object_name or next(iter(layers))
-    cls, feats, attrs = layers[name]
+    cls, feats, attrs = layer
     fields: list[str] = []
     for p in attrs:
         for k in p:
@@ -375,7 +389,7 @@ def read_topojson(path, object_name=None, shard_size=512):
     if cls == "polygon":
         rx = [[xy[0].tolist() for xy in f] for f in feats]
         ry = [[xy[1].tolist() for xy in f] for f in feats]
-        rp = layers[name].polys  # MultiPolygon nesting from source
+        rp = layer.polys  # MultiPolygon nesting from source
         tbl = polygon_table(fids, rx, ry, rp, acols)
     elif cls == "point":
         from .layers import point_table
@@ -390,3 +404,25 @@ def read_topojson(path, object_name=None, shard_size=512):
     if len(feats) > shard_size:
         ds = ds.repartition(max(1, len(feats) // shard_size))
     return ds
+
+
+def read_topojson(path, object_name=None, shard_size=512):
+    """TopoJSON file → Ray Dataset in the Arrow layer model (first /
+    selected object)."""
+    arcs, layers = import_topojson(path, object_name)
+    name = object_name or next(iter(layers))
+    return _layer_to_dataset(layers[name], shard_size)
+
+
+def read_topojson_layers(path, shard_size=512):
+    """TopoJSON file → [(object_name, n_classes_in_object, Dataset)] —
+    one layer per object (reference: every object imports as a layer
+    named by its key) and, within a mixed-type object, one layer per
+    geometry class in encounter order."""
+    arcs, layers = import_topojson(path, split_types=True)
+    out = []
+    for name, parts in layers.items():
+        for part in parts:
+            out.append((name, len(parts), _layer_to_dataset(
+                part, shard_size)))
+    return out

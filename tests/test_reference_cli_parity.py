@@ -950,3 +950,34 @@ def test_shp_z_type_parse(ray_session):
         assert base == want
         assert parts and parts[0].shape[1] == 2
         assert np.isfinite(parts[0]).all()
+
+
+def test_topojson_multi_object_mixed(ray_session, ref_cli, tmp_path):
+    """Multi-object TopoJSON imports one layer per object (named by
+    key); a mixed-type object divides per class; geojson directory
+    export matches the reference byte-for-byte including file names."""
+    topo = {
+        "type": "Topology",
+        "arcs": [[[0, 0], [1, 1]], [[1, 1], [2, 0]]],
+        "objects": {
+            "roads": {"type": "GeometryCollection", "geometries": [
+                {"type": "LineString", "arcs": [0],
+                 "properties": {"n": "r1"}},
+                {"type": "LineString", "arcs": [1],
+                 "properties": {"n": "r2"}}]},
+            "mix": {"type": "GeometryCollection", "geometries": [
+                {"type": "Point", "coordinates": [5, 5],
+                 "properties": {"n": "p"}},
+                {"type": "LineString", "arcs": [0, 1],
+                 "properties": {"n": "l"}}]}}}
+    src = tmp_path / "multi.topojson"
+    src.write_text(json.dumps(topo))
+    refdir = tmp_path / "ref"; refdir.mkdir()
+    ourdir = tmp_path / "ours"; ourdir.mkdir()
+    ref_run(ref_cli, [str(src), "-o", "format=geojson",
+                      str(refdir) + "/"])
+    run_commands(f"-i {src} -o format=geojson {ourdir}/")
+    ref_files = sorted(p.name for p in refdir.iterdir())
+    assert sorted(p.name for p in ourdir.iterdir()) == ref_files
+    for f in ref_files:
+        assert (ourdir / f).read_bytes() == (refdir / f).read_bytes()
