@@ -240,12 +240,18 @@ class Catalog:
         # through, test/shapefile-test.js:23)
         self.crs: dict[str, dict] = {}
 
+        # the CURRENT TARGETS — all layers of the last -i (the
+        # reference's default target is every layer of the imported
+        # dataset; transform commands apply to each)
+        self.targets: list[str] = []
+
     def add(self, ds, name=None):
         if not name:
             self._anon += 1
             name = f"layer{self._anon}"
         self.layers[name] = ds
         self.target = name
+        self.targets = [name]
         self.no_rotate.discard(name)
         self.crs.pop(name, None)
         return name
@@ -467,6 +473,15 @@ def _geom_join(tgt, src, opts):
     raise ValueError(f"unsupported -join geometry: {src_gt}→{tgt_gt}")
 
 
+# transform commands the reference applies to every target layer
+_PER_LAYER_CMDS = {"each", "filter", "filter-fields", "filter_fields",
+                   "rename-fields", "rename_fields", "filter-geom",
+                   "filter_geom", "affine", "proj", "points",
+                   "explode", "simplify", "uniq", "sort",
+                   "filter-islands", "filter_islands",
+                   "filter-slivers", "filter_slivers"}
+
+
 def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
     """Execute a mapshaper-style command string; returns the Catalog
     (inspect ``catalog.layers`` / read files written by -o)."""
@@ -474,10 +489,26 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
     from .ops import relational as rel
 
     cat = catalog or Catalog()
-    for cmd in parse_commands(command_str):
+    cmds = command_str if isinstance(command_str, list) \
+        else parse_commands(command_str)
+    for cmd in cmds:
         name = cmd["name"]
         opts = cmd["options"]
         args = cmd["args"]
+
+        # the reference applies per-layer transform commands to EVERY
+        # current target layer (a multi-class import targets them all);
+        # fan out by re-entering with a single target at a time
+        if name in _PER_LAYER_CMDS and len(cat.targets) > 1 \
+                and "target" not in opts:
+            saved = [n for n in cat.targets if n in cat.layers]
+            for t in saved:
+                cat.target = t
+                cat.targets = [t]
+                run_commands([cmd], cat)
+            cat.targets = saved
+            cat.target = saved[-1] if saved else cat.target
+            continue
 
         if name == "i":
             loaded = []
@@ -534,6 +565,9 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                     cat.crs[mname] = mcrs
                     if not mcrs["latlong"]:
                         cat.projected.add(mname)
+            else:
+                # every layer of this -i is a current target
+                cat.targets = [n for n in loaded if n in cat.layers]
         elif name == "o":
             path = args[0] if args else opts.get("file")
             tgt = opts.get("target")
@@ -549,7 +583,9 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                        "tsv": "tsv", "svg": "svg",
                        "shapefile": "shp", "shp": "shp"}.get(fmt, fmt)
                 os.makedirs(path, exist_ok=True)
-                names = [tgt] if tgt else list(cat.layers)
+                names = [tgt] if tgt else \
+                    ([n for n in cat.targets if n in cat.layers]
+                     or list(cat.layers))
                 for n in names:
                     out = os.path.join(path, f"{n}.{ext}")
                     api.o(cat.get(n), out, rotate=False)
@@ -558,6 +594,18 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                         with open(out[:-4] + ".prj", "w",
                                   encoding="utf-8") as f:
                             f.write(ent["prj"])
+                continue
+            if tgt is None and len(cat.targets) > 1:
+                # several target layers, one output file: the reference
+                # numbers the files (out.json -> out1.json, out2.json,
+                # ...)
+                base, ext = os.path.splitext(str(path))
+                for k, n in enumerate(
+                        [x for x in cat.targets if x in cat.layers]):
+                    run_commands([{"name": "o",
+                                   "options": {**opts, "target": n},
+                                   "args": [f"{base}{k + 1}{ext}"]}],
+                                 cat)
                 continue
             ds = cat.get(tgt)
             # every layer is kept in reference ring order (rotated at
@@ -653,6 +701,7 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 cat.target = tname
                 if cat.target not in cat.layers:
                     raise ValueError(f"unknown layer {cat.target!r}")
+            cat.targets = [cat.target]
         elif name == "rename-layers" or name == "rename_layers":
             new_names = _num_list(args[0], str) if args else []
             old = list(cat.layers)

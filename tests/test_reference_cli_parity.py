@@ -981,3 +981,20 @@ def test_topojson_multi_object_mixed(ray_session, ref_cli, tmp_path):
     assert sorted(p.name for p in ourdir.iterdir()) == ref_files
     for f in ref_files:
         assert (ourdir / f).read_bytes() == (refdir / f).read_bytes()
+
+
+def test_multi_target_fanout_and_numbered_export(ray_session,
+                                                 tmp_path):
+    """A mixed-type import targets ALL its layers: per-layer commands
+    fan out to each, and a single-file -o numbers the outputs
+    (out1.json...), like the reference."""
+    src = "/root/reference/test/test_data/issues/177/mixed_feature.json"
+    run_commands(f"-i {src} -each \"tag = name + '!'\" "
+                 f"-o {tmp_path}/out.json")
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names == ["out1.json", "out2.json", "out3.json"]
+    tags = []
+    for n in names:
+        doc = json.load(open(tmp_path / n))
+        tags.extend(f["properties"]["tag"] for f in doc["features"])
+    assert sorted(tags) == ["A!", "B!", "C!"]
