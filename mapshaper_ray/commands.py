@@ -378,7 +378,19 @@ def _load_source(cat: Catalog, opts, args):
         raise ValueError("command needs a source layer or file")
     if isinstance(src, str) and src in cat.layers:
         return cat.layers[src]
-    return api.i(src)
+    kw = {}
+    if src.lower().endswith((".csv", ".tsv", ".txt")):
+        # -join string-fields= / field-types= reach the delim reader
+        # (reference importJoinTable passes them through)
+        if "string_fields" in opts:
+            kw["string_fields"] = _num_list(opts["string_fields"], str)
+        if "field_types" in opts:
+            ft = {}
+            for part in _num_list(opts["field_types"], str):
+                k, _, t = part.partition(":")
+                ft[k] = t or "str"
+            kw["field_types"] = ft
+    return api.i(src, **kw)
 
 
 def _with_lonlat(points_ds):
@@ -496,6 +508,13 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
         opts = cmd["options"]
         args = cmd["args"]
 
+        # target= on any command retargets it (reference targetOpt on
+        # nearly every command; -o keeps its own handling)
+        if "target" in opts and name not in ("o", "target") \
+                and opts["target"] in cat.layers:
+            cat.target = opts["target"]
+            cat.targets = [opts["target"]]
+
         # the reference applies per-layer transform commands to EVERY
         # current target layer (a multi-class import targets them all);
         # fan out by re-entering with a single target at a time
@@ -518,6 +537,15 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                     os.path.splitext(os.path.basename(path))[0]
                 ikw = {"encoding": opts["encoding"]} \
                     if "encoding" in opts else {}
+                if path.lower().endswith((".csv", ".tsv", ".txt")):
+                    if "string_fields" in opts:
+                        ikw["string_fields"] = _num_list(
+                            opts["string_fields"], str)
+                    if "field_types" in opts:
+                        ikw["field_types"] = {
+                            k: (t or "str") for k, _, t in
+                            (p.partition(":") for p in _num_list(
+                                opts["field_types"], str))}
                 for suffix, lds in api.i_layers(path, **ikw):
                     # "::name" = full layer-name override (TopoJSON
                     # objects are layers named by their key)

@@ -53,10 +53,23 @@ def adjust_record_types(df: pd.DataFrame, field_types: dict | None = None,
 def read_delim(path: str, delimiter: str | None = None,
                field_types: dict | None = None,
                string_fields: list | None = None,
-               override_num_blocks: int | None = None):
-    """CSV/TSV → Ray Dataset with reference-style typing."""
+               override_num_blocks: int | None = None,
+               encoding: str | None = None):
+    """CSV/TSV → Ray Dataset with reference-style typing.
+    ``encoding`` transcodes non-UTF-8 input to a UTF-8 temp file first
+    (the reference decodes the whole buffer before parsing)."""
     import ray.data as rd
     from ray.data.datasource import FileShuffleConfig  # noqa: F401  (doc)
+    if encoding and encoding.lower().replace("-", "") not in \
+            ("utf8", "ascii"):
+        import tempfile
+        with open(path, "rb") as f:
+            text = f.read().decode(encoding, errors="replace")
+        tmp = tempfile.NamedTemporaryFile(
+            mode="w", encoding="utf-8", suffix=".csv", delete=False)
+        tmp.write(text)
+        tmp.close()
+        path = tmp.name
     with open(path, "r", encoding="utf-8", errors="replace") as f:
         header = f.readline()
     if delimiter is None:

@@ -998,3 +998,25 @@ def test_multi_target_fanout_and_numbered_export(ray_session,
         doc = json.load(open(tmp_path / n))
         tags.extend(f["properties"]["tag"] for f in doc["features"])
     assert sorted(tags) == ["A!", "B!", "C!"]
+
+
+def test_join_string_fields_and_field_types(ray_session, tmp_path):
+    """-join string-fields= / -i field-types= reach the delim reader
+    (reference join-test.js test2 + two-dataset join)."""
+    shp = f"{TD}/two_states.shp"
+    csv = f"{TD}/text/states.csv"
+    run_commands(f"-i {shp} -join {csv} keys=FIPS,STATE_FIPS "
+                 f"fields=POP2010,SUB_REGION "
+                 f"string-fields=STATE_FIPS,POP2010 "
+                 f"-o {tmp_path}/a.json")
+    recs = [f["properties"] for f in
+            json.load(open(tmp_path / "a.json"))["features"]]
+    assert [r["POP2010"] for r in recs] == ["3831074", "6724540"]
+    run_commands(f"-i {shp} -i {csv} field-types=STATE_FIPS:str "
+                 f"-join target=two_states states "
+                 f"keys=FIPS,STATE_FIPS fields=POP2010,SUB_REGION "
+                 f"-target two_states -o {tmp_path}/b.json")
+    recs = [f["properties"] for f in
+            json.load(open(tmp_path / "b.json"))["features"]]
+    assert [r["POP2010"] for r in recs] == [3831074, 6724540]
+    assert [r["SUB_REGION"] for r in recs] == ["Pacific", "Pacific"]
