@@ -643,7 +643,18 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
             gj_kw = {k: opts[o] for o, k in
                      (("id_field", "id_field"), ("bbox", "bbox"),
                       ("drop_table", "drop_table"),
-                      ("cut_table", "cut_table")) if o in opts}
+                      ("cut_table", "cut_table"),
+                      ("geojson_type", "geojson_type")) if o in opts}
+            svg_kw = {k: float(opts[o]) for o, k in
+                      (("width", "width"), ("height", "height"),
+                       ("margin", "margin")) if o in opts}
+            if "point_symbol" in opts:
+                svg_kw["point_symbol"] = opts["point_symbol"]
+            topo_kw = {}
+            if "quantization" in opts:
+                topo_kw["quantization"] = int(opts["quantization"])
+            elif opts.get("no_quantization"):
+                topo_kw["quantization"] = 0
             if (tgt or cat.target) in cat.projected:
                 gj_kw["crs_null"] = True
             if "precision" in opts:
@@ -667,14 +678,16 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                     from .sources.topojson import write_topojson_layer
                     write_topojson_layer(
                         ds, path,
-                        object_name=tgt or cat.target or "layer1")
+                        object_name=tgt or cat.target or "layer1",
+                        **topo_kw)
                 elif fmt in ("geojson", "json"):
                     writers[fmt](ds, path, rotate=rotate, **gj_kw)
                 elif fmt in ("shapefile", "shp"):
                     writers[fmt](ds, path, rotate=rotate)
                 elif fmt == "svg":
                     api.write_svg(ds, path, rotate=rotate,
-                                  name=tgt or cat.target or "layer1")
+                                  name=tgt or cat.target or "layer1",
+                                  **svg_kw)
                 elif fmt in writers:
                     writers[fmt](ds, path)
                 elif fmt == "parquet":
@@ -685,11 +698,13 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 from .sources.topojson import write_topojson_layer
                 write_topojson_layer(
                     ds, path,
-                    object_name=tgt or cat.target or "layer1")
+                    object_name=tgt or cat.target or "layer1",
+                    **topo_kw)
             else:
                 if str(path).lower().endswith(".svg"):
                     api.write_svg(ds, path, rotate=rotate,
-                                  name=tgt or cat.target or "layer1")
+                                  name=tgt or cat.target or "layer1",
+                                  **svg_kw)
                 elif str(path).lower().endswith((".json", ".geojson")):
                     api.write_geojson(ds, path, rotate=rotate, **gj_kw)
                 else:

@@ -417,7 +417,7 @@ def render_features(ds, decimals=None, as_features=True,
 
 def write_geojson(ds, path: str, decimals=None, rotate=True,
                   id_field=None, bbox=False, drop_table=False,
-                  cut_table=False, crs_null=False):
+                  cut_table=False, crs_null=False, geojson_type=None):
     """Assemble one collection, ordered by feature_id (the reference
     preserves input order through every command — SURVEY.md §2.8).
     Byte-identical to the reference's exportDatasetAsGeoJSON: a layer
@@ -440,6 +440,10 @@ def write_geojson(ds, path: str, decimals=None, rotate=True,
     use_props = not (drop_table or cut_table or not attr_cols or
                      attr_cols == ["FID"])
     as_features = use_props or bool(idf)
+    if geojson_type:  # -o geojson-type= forces the collection kind
+        as_features = geojson_type == "FeatureCollection"
+        if not as_features:
+            use_props = False
     props_cols = None
     if not use_props:
         props_cols = []

@@ -1020,3 +1020,23 @@ def test_join_string_fields_and_field_types(ray_session, tmp_path):
             json.load(open(tmp_path / "b.json"))["features"]]
     assert [r["POP2010"] for r in recs] == [3831074, 6724540]
     assert [r["SUB_REGION"] for r in recs] == ["Pacific", "Pacific"]
+
+
+@pytest.mark.parametrize("refopts,ourspec,ext", [
+    (["quantization=10000", "format=topojson"],
+     "quantization=10000 format=topojson", "topojson"),
+    (["width=800", "margin=2", "format=svg"],
+     "width=800 margin=2 format=svg", "svg"),
+    (["geojson-type=GeometryCollection"],
+     "geojson-type=GeometryCollection", "json"),
+])
+def test_o_writer_options_bytes_identical(ray_session, ref_cli,
+                                          tmp_path, refopts, ourspec,
+                                          ext):
+    """-o quantization= / width= margin= / geojson-type= plumb through
+    to the writers byte-identically."""
+    ref = tmp_path / f"ref.{ext}"
+    ours = tmp_path / f"ours.{ext}"
+    ref_run(ref_cli, [TWO_STATES, "-o", *refopts, str(ref)])
+    run_commands(f"-i {TWO_STATES} -o {ourspec} {ours}")
+    assert ours.read_bytes() == ref.read_bytes()
