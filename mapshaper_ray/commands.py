@@ -50,7 +50,8 @@ _FLAGS = {
     "sort": {"descending", "ascending"},
     "merge-layers": {"force"},
     "i": {"snap", "combine-files", "merge-files", "no-topology"},
-    "o": {"force", "bbox", "drop-table", "cut-table"},
+    "o": {"force", "bbox", "drop-table", "cut-table",
+          "prettify", "singles", "no-quantization"},
     "join": {"unjoined", "unmatched"},
     "clean": {"allow-overlaps"},
     "filter": {"remove-empty"},
@@ -644,12 +645,16 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                      (("id_field", "id_field"), ("bbox", "bbox"),
                       ("drop_table", "drop_table"),
                       ("cut_table", "cut_table"),
-                      ("geojson_type", "geojson_type")) if o in opts}
+                      ("geojson_type", "geojson_type"),
+                      ("field_order", "field_order"),
+                      ("prettify", "prettify")) if o in opts}
             svg_kw = {k: float(opts[o]) for o, k in
                       (("width", "width"), ("height", "height"),
                        ("margin", "margin")) if o in opts}
             if "point_symbol" in opts:
                 svg_kw["point_symbol"] = opts["point_symbol"]
+            fo_kw = {"field_order": opts["field_order"]} \
+                if "field_order" in opts else {}
             topo_kw = {}
             if "quantization" in opts:
                 topo_kw["quantization"] = int(opts["quantization"])
@@ -683,13 +688,13 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 elif fmt in ("geojson", "json"):
                     writers[fmt](ds, path, rotate=rotate, **gj_kw)
                 elif fmt in ("shapefile", "shp"):
-                    writers[fmt](ds, path, rotate=rotate)
+                    writers[fmt](ds, path, rotate=rotate, **fo_kw)
                 elif fmt == "svg":
                     api.write_svg(ds, path, rotate=rotate,
                                   name=tgt or cat.target or "layer1",
                                   **svg_kw)
                 elif fmt in writers:
-                    writers[fmt](ds, path)
+                    writers[fmt](ds, path, **fo_kw)
                 elif fmt == "parquet":
                     ds.write_parquet(path)
                 else:
@@ -708,7 +713,7 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 elif str(path).lower().endswith((".json", ".geojson")):
                     api.write_geojson(ds, path, rotate=rotate, **gj_kw)
                 else:
-                    api.o(ds, path, rotate=rotate)
+                    api.o(ds, path, rotate=rotate, **fo_kw)
             # .shp export writes the layer's .prj sidecar (verbatim
             # input WKT, the matched layer's text, or the generated
             # alias WKT — reference exportPrjFile)

@@ -141,7 +141,8 @@ def format_delim(df, delimiter: str = ",") -> str:
     return "\n".join(lines)
 
 
-def write_delim(ds, path: str, delimiter: str | None = None):
+def write_delim(ds, path: str, delimiter: str | None = None,
+                field_order: str | None = None):
     """Single-file sink ordered by position (fixture-sized outputs; at
     scale use ``ds.write_csv(dir)`` which shards per block).  Output
     bytes match the reference's CSV/TSV export exactly."""
@@ -149,6 +150,8 @@ def write_delim(ds, path: str, delimiter: str | None = None):
     if delimiter is None:
         delimiter = "\t" if path.lower().endswith(".tsv") else ","
     df = ordered_pandas(ds)
+    if field_order == "ascending":  # case-insensitive (applyFieldOrder)
+        df = df[sorted(df.columns, key=lambda c: c.lower())]
     with open(path, "w", encoding="utf-8") as f:
         f.write(format_delim(df, delimiter))
     return path

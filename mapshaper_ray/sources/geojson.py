@@ -301,8 +301,9 @@ def _fmt_coord(v: float, decimals: int | None):
 
 def _render_rows(batch: pa.Table, decimals=None,
                  as_features=True, props_cols=None,
-                 id_col=None) -> list[tuple[int, str]]:
-    from .jsnum import js_json
+                 id_col=None, prettify=False) -> list[tuple[int, str]]:
+    from .jsnum import js_json, js_json_pretty
+    ser = js_json_pretty if prettify else js_json
     from .layers import geom_type_of
     gt = geom_type_of(batch)
     names = batch.column_names
@@ -390,16 +391,16 @@ def _render_rows(batch: pa.Table, decimals=None,
             if id_col is not None:
                 # reference exportIds: id appended AFTER properties
                 feat["id"] = d[id_col][i]
-            out.append((d["feature_id"][i], js_json(feat)))
+            out.append((d["feature_id"][i], ser(feat)))
         elif geom is not None:
             # bare-geometry mode skips null shapes (exportLayerAsGeoJSON
             # "don't add null objects to GeometryCollection")
-            out.append((d["feature_id"][i], js_json(geom)))
+            out.append((d["feature_id"][i], ser(geom)))
     return out
 
 
 def render_features(ds, decimals=None, as_features=True,
-                    props_cols=None, id_col=None):
+                    props_cols=None, id_col=None, prettify=False):
     """Dataset → Dataset of {'feature_id', 'json'} rendered features."""
     def render(batch) -> pa.Table:
         # native block format: Arrow stays zero-copy; pandas blocks
@@ -408,7 +409,7 @@ def render_features(ds, decimals=None, as_features=True,
         # them (ArrowNotImplementedError in the tensor extension)
         from .layers import to_arrow_safe
         rows = _render_rows(to_arrow_safe(batch), decimals, as_features,
-                            props_cols, id_col)
+                            props_cols, id_col, prettify)
         return pa.table({
             "feature_id": pa.array([r[0] for r in rows], type=pa.int64()),
             "json": pa.array([r[1] for r in rows], type=pa.string())})
@@ -417,7 +418,8 @@ def render_features(ds, decimals=None, as_features=True,
 
 def write_geojson(ds, path: str, decimals=None, rotate=True,
                   id_field=None, bbox=False, drop_table=False,
-                  cut_table=False, crs_null=False, geojson_type=None):
+                  cut_table=False, crs_null=False, geojson_type=None,
+                  prettify=False):
     """Assemble one collection, ordered by feature_id (the reference
     preserves input order through every command — SURVEY.md §2.8).
     Byte-identical to the reference's exportDatasetAsGeoJSON: a layer
@@ -461,7 +463,8 @@ def write_geojson(ds, path: str, decimals=None, rotate=True,
         ds = _topology_rotated(ds)
     rendered = render_features(ds, decimals, as_features=as_features,
                                props_cols=props_cols,
-                               id_col=idf).sort("feature_id")
+                               id_col=idf,
+                               prettify=prettify).sort("feature_id")
     # preserve_order: without it iter_rows may yield the sorted blocks
     # in completion order under load (see layers.ordered_pandas)
     rendered.context.execution_options.preserve_order = True

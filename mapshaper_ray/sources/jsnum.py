@@ -78,3 +78,36 @@ def js_number_str(v) -> str:
         s = digits[0] + ("." + digits[1:] if k > 1 else "") + "e" + \
             ("+" if n - 1 >= 0 else "-") + str(abs(n - 1))
     return ("-" if neg else "") + s
+
+
+def js_json_pretty(o, level=1) -> str:
+    """JSON.stringify(obj, replace, '  ') as the reference's -o
+    prettify uses it (getFormattedStringify,
+    src/geojson/mapshaper-stringify.js): 2-space indent, except
+    'coordinates'/'bbox' arrays collapse to one line with ', '
+    separators."""
+    ind = "  " * level
+    prev = "  " * (level - 1)
+    if isinstance(o, dict):
+        if not o:
+            return "{}"
+        items = []
+        for k, v in o.items():
+            if k in ("coordinates", "bbox") and isinstance(v, list):
+                vs = _inline_array(v)
+            else:
+                vs = js_json_pretty(v, level + 1)
+            items.append(f'{ind}{js_json(str(k))}: {vs}')
+        return "{\n" + ",\n".join(items) + "\n" + prev + "}"
+    if isinstance(o, (list, tuple)):
+        if not o:
+            return "[]"
+        items = [f"{ind}{js_json_pretty(v, level + 1)}" for v in o]
+        return "[\n" + ",\n".join(items) + "\n" + prev + "]"
+    return js_json(o)
+
+
+def _inline_array(v) -> str:
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_inline_array(x) for x in v) + "]"
+    return js_json(v)

@@ -371,7 +371,8 @@ def _feature_parts(row, gt):
                                                _nz(row["py"]))]
 
 
-def write_shapefile(ds, path: str, rotate=True):
+def write_shapefile(ds, path: str, rotate=True,
+                    field_order: str | None = None):
     """Dataset (layer model) → .shp/.shx/.dbf triple, ordered by
     feature_id.  Small-side sink: rendered on the driver from sorted
     batches (the format needs global offsets)."""
@@ -393,6 +394,8 @@ def write_shapefile(ds, path: str, rotate=True):
     geom_cols = {"feature_id", "rings_x", "rings_y", "ring_poly",
                  "part_x", "part_y", "px", "py", "__fields"}
     attr_cols = [c for c in df.columns if c not in geom_cols]
+    if field_order == "ascending":  # -o field-order= (applyFieldOrder)
+        attr_cols = sorted(attr_cols, key=lambda c: c.lower())
 
     contents = []
     allx, ally = [], []

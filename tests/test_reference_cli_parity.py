@@ -1040,3 +1040,28 @@ def test_o_writer_options_bytes_identical(ray_session, ref_cli,
     ref_run(ref_cli, [TWO_STATES, "-o", *refopts, str(ref)])
     run_commands(f"-i {TWO_STATES} -o {ourspec} {ours}")
     assert ours.read_bytes() == ref.read_bytes()
+
+
+def test_o_prettify_and_field_order(ray_session, ref_cli, tmp_path):
+    """-o prettify (formatted stringify with inline coordinate arrays)
+    and field-order=ascending (case-insensitive column sort for
+    CSV/DBF) match the reference byte-for-byte (DBF compared minus its
+    3 'last updated' date bytes)."""
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [THREE_POINTS, "-o", "prettify", str(ref)])
+    run_commands(f"-i {THREE_POINTS} -o prettify {ours}")
+    assert ours.read_bytes() == ref.read_bytes()
+    ref_run(ref_cli, [TWO_STATES, "-o", "field-order=ascending",
+                      "format=csv", str(tmp_path / "ref.csv")])
+    run_commands(f"-i {TWO_STATES} -o field-order=ascending format=csv "
+                 f"{tmp_path}/ours.csv")
+    assert (tmp_path / "ours.csv").read_bytes() == \
+        (tmp_path / "ref.csv").read_bytes()
+    ref_run(ref_cli, [TWO_STATES, "-o", "field-order=ascending",
+                      "format=shapefile", str(tmp_path / "ref.shp")])
+    run_commands(f"-i {TWO_STATES} -o field-order=ascending "
+                 f"format=shapefile {tmp_path}/ours.shp")
+    a = (tmp_path / "ref.dbf").read_bytes()
+    b = (tmp_path / "ours.dbf").read_bytes()
+    assert a[4:] == b[4:] and len(a) == len(b)
