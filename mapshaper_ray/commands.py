@@ -51,7 +51,7 @@ _FLAGS = {
     "merge-layers": {"force"},
     "i": {"snap", "combine-files", "merge-files", "no-topology"},
     "o": {"force", "bbox", "drop-table", "cut-table",
-          "prettify", "singles", "no-quantization"},
+          "prettify", "singles", "no-quantization", "rfc7946"},
     "join": {"unjoined", "unmatched"},
     "clean": {"allow-overlaps"},
     "filter": {"remove-empty"},
@@ -647,7 +647,8 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                       ("cut_table", "cut_table"),
                       ("geojson_type", "geojson_type"),
                       ("field_order", "field_order"),
-                      ("prettify", "prettify")) if o in opts}
+                      ("prettify", "prettify"),
+                      ("rfc7946", "rfc7946")) if o in opts}
             svg_kw = {k: float(opts[o]) for o, k in
                       (("width", "width"), ("height", "height"),
                        ("margin", "margin")) if o in opts}
@@ -662,10 +663,12 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 topo_kw["quantization"] = 0
             if (tgt or cat.target) in cat.projected:
                 gj_kw["crs_null"] = True
-            if "precision" in opts:
+            if "precision" in opts or opts.get("rfc7946"):
                 # rings were rotated at import; rounding after matches
-                # the reference's pipeline order
-                ds = api.round_coords(ds, float(opts["precision"]))
+                # the reference's pipeline order (rfc7946 defaults to
+                # 1e-6 precision)
+                ds = api.round_coords(
+                    ds, float(opts.get("precision", 0.000001)))
             if "format" in opts:
                 # format= overrides extension-based dispatch but the
                 # file is written to the path the user gave

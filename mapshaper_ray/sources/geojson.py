@@ -301,7 +301,8 @@ def _fmt_coord(v: float, decimals: int | None):
 
 def _render_rows(batch: pa.Table, decimals=None,
                  as_features=True, props_cols=None,
-                 id_col=None, prettify=False) -> list[tuple[int, str]]:
+                 id_col=None, prettify=False,
+                 reverse_rings=False) -> list[tuple[int, str]]:
     from .jsnum import js_json, js_json_pretty
     ser = js_json_pretty if prettify else js_json
     from .layers import geom_type_of
@@ -348,9 +349,11 @@ def _render_rows(batch: pa.Table, decimals=None,
                     continue
                 if p in dropped_outer:
                     continue
-                polys[p].append([[a, b] for a, b in
-                                 zip(cleaned[0].tolist(),
-                                     cleaned[1].tolist())])
+                ring = [[a, b] for a, b in zip(cleaned[0].tolist(),
+                                               cleaned[1].tolist())]
+                if reverse_rings:  # -o rfc7946: CCW outers, CW holes
+                    ring.reverse()
+                polys[p].append(ring)
             polys = [pl for pl in polys if pl]
             if not polys:
                 geom = None
@@ -400,7 +403,8 @@ def _render_rows(batch: pa.Table, decimals=None,
 
 
 def render_features(ds, decimals=None, as_features=True,
-                    props_cols=None, id_col=None, prettify=False):
+                    props_cols=None, id_col=None, prettify=False,
+                    reverse_rings=False):
     """Dataset → Dataset of {'feature_id', 'json'} rendered features."""
     def render(batch) -> pa.Table:
         # native block format: Arrow stays zero-copy; pandas blocks
@@ -409,7 +413,8 @@ def render_features(ds, decimals=None, as_features=True,
         # them (ArrowNotImplementedError in the tensor extension)
         from .layers import to_arrow_safe
         rows = _render_rows(to_arrow_safe(batch), decimals, as_features,
-                            props_cols, id_col, prettify)
+                            props_cols, id_col, prettify,
+                            reverse_rings)
         return pa.table({
             "feature_id": pa.array([r[0] for r in rows], type=pa.int64()),
             "json": pa.array([r[1] for r in rows], type=pa.string())})
@@ -419,7 +424,7 @@ def render_features(ds, decimals=None, as_features=True,
 def write_geojson(ds, path: str, decimals=None, rotate=True,
                   id_field=None, bbox=False, drop_table=False,
                   cut_table=False, crs_null=False, geojson_type=None,
-                  prettify=False):
+                  prettify=False, rfc7946=False):
     """Assemble one collection, ordered by feature_id (the reference
     preserves input order through every command — SURVEY.md §2.8).
     Byte-identical to the reference's exportDatasetAsGeoJSON: a layer
@@ -461,10 +466,12 @@ def write_geojson(ds, path: str, decimals=None, rotate=True,
         # (the refclip ports) pass rotate=False to keep their starts.
         from ..ops.features import _topology_rotated
         ds = _topology_rotated(ds)
+    if rfc7946:
+        crs_null = False  # RFC 7946 eliminated the crs member
     rendered = render_features(ds, decimals, as_features=as_features,
                                props_cols=props_cols,
-                               id_col=idf,
-                               prettify=prettify).sort("feature_id")
+                               id_col=idf, prettify=prettify,
+                               reverse_rings=rfc7946).sort("feature_id")
     # preserve_order: without it iter_rows may yield the sorted blocks
     # in completion order under load (see layers.ordered_pandas)
     rendered.context.execution_options.preserve_order = True

@@ -1065,3 +1065,13 @@ def test_o_prettify_and_field_order(ray_session, ref_cli, tmp_path):
     a = (tmp_path / "ref.dbf").read_bytes()
     b = (tmp_path / "ours.dbf").read_bytes()
     assert a[4:] == b[4:] and len(a) == len(b)
+
+
+def test_o_rfc7946_bytes_identical(ray_session, ref_cli, tmp_path):
+    """-o rfc7946: default 1e-6 precision, reversed ring order (CCW
+    outers / CW holes), no crs member — byte-identical."""
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [SIX_COUNTIES, "-o", "rfc7946", str(ref)])
+    run_commands(f"-i {SIX_COUNTIES} -o rfc7946 {ours}")
+    assert ours.read_bytes() == ref.read_bytes()
