@@ -51,7 +51,8 @@ _FLAGS = {
     "merge-layers": {"force"},
     "i": {"snap", "combine-files", "merge-files", "no-topology"},
     "o": {"force", "bbox", "drop-table", "cut-table",
-          "prettify", "singles", "no-quantization", "rfc7946"},
+          "prettify", "singles", "no-quantization", "rfc7946",
+          "combine-layers"},
     "join": {"unjoined", "unmatched"},
     "clean": {"allow-overlaps"},
     "filter": {"remove-empty"},
@@ -623,6 +624,24 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                         with open(out[:-4] + ".prj", "w",
                                   encoding="utf-8") as f:
                             f.write(ent["prj"])
+                continue
+            if tgt is None and len(cat.targets) > 1 and \
+                    opts.get("combine_layers") and \
+                    str(path).lower().endswith((".json", ".geojson")):
+                from .sources.geojson import write_geojson_combined
+                if "precision" in opts or opts.get("rfc7946"):
+                    dss = [api.round_coords(
+                        cat.get(n), float(opts.get("precision",
+                                                   0.000001)))
+                           for n in cat.targets if n in cat.layers]
+                else:
+                    dss = [cat.get(n) for n in cat.targets
+                           if n in cat.layers]
+                write_geojson_combined(
+                    dss, path,
+                    crs_null=cat.target in cat.projected,
+                    prettify=bool(opts.get("prettify")),
+                    rfc7946=bool(opts.get("rfc7946")))
                 continue
             if tgt is None and len(cat.targets) > 1:
                 # several target layers, one output file: the reference

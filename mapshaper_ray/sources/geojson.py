@@ -533,3 +533,32 @@ def write_geojson_shards(ds, out_dir: str, decimals=None):
                          "rows": pa.array([len(batch)], type=pa.int64())})
 
     return rendered.map_batches(dump, batch_format="pyarrow").to_pandas()
+
+
+def write_geojson_combined(dss, path: str, decimals=None,
+                           crs_null=False, prettify=False,
+                           rfc7946=False):
+    """-o combine-layers: all target layers into ONE FeatureCollection,
+    features in layer order (reference geojson-export.js:30)."""
+    parts = []
+    for ds in dss:
+        names = ds.schema().names
+        attr_cols = [c for c in names
+                     if c not in ("feature_id", "rings_x", "rings_y",
+                                  "ring_poly", "part_x", "part_y",
+                                  "px", "py", "__fields")]
+        rendered = render_features(
+            ds, decimals, as_features=True,
+            props_cols=None if attr_cols else [],
+            prettify=prettify,
+            reverse_rings=rfc7946).sort("feature_id")
+        rendered.context.execution_options.preserve_order = True
+        parts.extend(r["json"] for r in rendered.iter_rows())
+    head = '{"type":"FeatureCollection"'
+    if crs_null and not rfc7946:
+        head += ',"crs":null'
+    with open(path, "w") as f:
+        f.write(head + ', "features": [\n')
+        f.write(",\n".join(parts))
+        f.write("\n]}")
+    return path

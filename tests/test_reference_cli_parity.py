@@ -1075,3 +1075,15 @@ def test_o_rfc7946_bytes_identical(ray_session, ref_cli, tmp_path):
     ref_run(ref_cli, [SIX_COUNTIES, "-o", "rfc7946", str(ref)])
     run_commands(f"-i {SIX_COUNTIES} -o rfc7946 {ours}")
     assert ours.read_bytes() == ref.read_bytes()
+
+
+def test_o_combine_layers_bytes_identical(ray_session, ref_cli,
+                                          tmp_path):
+    """-o combine-layers merges all target layers into one
+    FeatureCollection in layer order."""
+    src = "/root/reference/test/test_data/issues/177/mixed_feature.json"
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [src, "-o", "combine-layers", str(ref)])
+    run_commands(f"-i {src} -o combine-layers {ours}")
+    assert ours.read_bytes() == ref.read_bytes()
