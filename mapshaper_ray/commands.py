@@ -625,6 +625,19 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                                   encoding="utf-8") as f:
                             f.write(ent["prj"])
                 continue
+            is_topo_out = str(path).lower().endswith(".topojson") or \
+                opts.get("format", "").lstrip(".") == "topojson"
+            if tgt is None and len(cat.targets) > 1 and is_topo_out:
+                # multi-layer TopoJSON: every target layer becomes an
+                # object in ONE topology with shared arcs
+                from .sources.topojson import write_topojson_layers
+                topo_kw2 = {}
+                if "quantization" in opts:
+                    topo_kw2["quantization"] = int(opts["quantization"])
+                write_topojson_layers(
+                    [(n, cat.get(n)) for n in cat.targets
+                     if n in cat.layers], path, **topo_kw2)
+                continue
             if tgt is None and len(cat.targets) > 1 and \
                     opts.get("combine_layers") and \
                     str(path).lower().endswith((".json", ".geojson")):

@@ -75,13 +75,45 @@ def export_topojson(features, attrs=None, quantization=None,
     ``ring_poly``: per feature, the polygon index of each ring —
     features spanning >1 polygon emit type MultiPolygon (without it a
     second outer ring would read as a hole of the first)."""
-    arcs, shapes = build_topology(
-        [[np.asarray(p, dtype=np.float64) for p in parts]
-         for parts in features],
-        closed=(geometry_type == "polygon"))
+    return export_topojson_layers(
+        [(object_name, geometry_type, features, attrs, ring_poly)],
+        quantization=quantization)
 
-    xmin, ymin = float(arcs.xx.min()), float(arcs.yy.min())
-    xmax, ymax = float(arcs.xx.max()), float(arcs.yy.max())
+
+def export_topojson_layers(layers, quantization=None):
+    """Multiple layers → ONE Topology whose objects share a single arc
+    table (the reference exports every target layer into one topology,
+    src/topojson/topojson-export.js exportTopology).  ``layers``:
+    [(object_name, geometry_type, features, attrs, ring_poly)]; point
+    layers quantize their coordinates with the shared transform and
+    contribute no arcs."""
+    arc_idx = []   # indices into the concatenated feature list
+    all_feats = []
+    spans = {}
+    for li, (name, gt, feats, attrs, rp) in enumerate(layers):
+        if gt in ("polygon", "polyline"):
+            spans[li] = (len(all_feats), len(feats))
+            all_feats.extend(
+                [[np.asarray(p, dtype=np.float64) for p in parts]
+                 for parts in feats])
+    closed = all(gt == "polygon" for _, gt, _, _, _ in layers
+                 if gt in ("polygon", "polyline"))
+    arcs, shapes = build_topology(all_feats, closed=closed)
+
+    if len(arcs.xx):
+        xmin, ymin = float(arcs.xx.min()), float(arcs.yy.min())
+        xmax, ymax = float(arcs.xx.max()), float(arcs.yy.max())
+    else:  # point-only topology: bounds from the point layers
+        ax = np.concatenate([np.asarray(f[0], float)
+                             for _, gt, feats, _, _ in layers
+                             if gt == "point" for f in feats if f]
+                            or [np.array([0.0])])
+        ay = np.concatenate([np.asarray(f[1], float)
+                             for _, gt, feats, _, _ in layers
+                             if gt == "point" for f in feats if f]
+                            or [np.array([0.0])])
+        xmin, ymin = float(ax.min()), float(ay.min())
+        xmax, ymax = float(ax.max()), float(ay.max())
     mx, my, bx, by = _quantize_params(arcs, xmin, ymin, xmax,
                                       ymax, quantization)
 
@@ -154,8 +186,26 @@ def export_topojson(features, attrs=None, quantization=None,
                 groups[cid].append(hole)
         return [[list(m[0]) for m in grp] for grp in groups]
 
-    geoms = []
-    for i, shape in enumerate(shapes):
+    def _layer_geoms(shapes_slice, geometry_type, attrs, feats):
+      geoms = []
+      for i, shape in enumerate(shapes_slice):
+        if geometry_type == "point":
+            xs, ys = feats[i] if feats[i] else ([], [])
+            pts = [[int(a), int(b)] for a, b in
+                   zip(js_round(np.asarray(xs, float) * mx + bx)
+                       .astype(np.int64).tolist(),
+                       js_round(np.asarray(ys, float) * my + by)
+                       .astype(np.int64).tolist())]
+            if not pts:
+                geom = {"type": None}
+            elif len(pts) == 1:
+                geom = {"type": "Point", "coordinates": pts[0]}
+            else:
+                geom = {"type": "MultiPoint", "coordinates": pts}
+            if attrs is not None:
+                geom["properties"] = attrs[i]
+            geoms.append(geom)
+            continue
         if shape:
             shape = _filter_empty(shape)
         if not shape:
@@ -182,6 +232,18 @@ def export_topojson(features, attrs=None, quantization=None,
         if attrs is not None:
             geom["properties"] = attrs[i]
         geoms.append(geom)
+      return geoms
+
+    objects = {}
+    for li, (name, gt, feats, attrs, rp) in enumerate(layers):
+        if gt in ("polygon", "polyline"):
+            s0, n = spans[li]
+            geoms = _layer_geoms(shapes[s0:s0 + n], gt, attrs, feats)
+        else:
+            geoms = _layer_geoms([None] * len(feats), "point", attrs,
+                                 feats)
+        objects[name] = {"type": "GeometryCollection",
+                         "geometries": geoms}
 
     # key insertion order mirrors the reference's exportTopology
     # ({type, arcs} literal, then transform, then objects) so
@@ -191,8 +253,7 @@ def export_topojson(features, attrs=None, quantization=None,
         "arcs": out_arcs,
         "transform": {"scale": [1.0 / mx, 1.0 / my],
                       "translate": [-bx / mx, -by / my]},
-        "objects": {object_name: {"type": "GeometryCollection",
-                                  "geometries": geoms}},
+        "objects": objects,
     }
 
 
@@ -204,13 +265,10 @@ def write_topojson(features, path, **kw):
     return path
 
 
-def write_topojson_layer(ds, path, object_name="layer1",
-                         quantization=None):
-    """Layer Dataset → TopoJSON file (single-writer sink: TopoJSON needs
-    the global shared-arc table, SURVEY.md §2.1 TopoJSON-writer row —
-    reference inferOutputFormat maps .topojson here,
-    src/io/mapshaper-file-types.js:42-56)."""
-    from .layers import GEOM_COLS, geom_type_of
+def _layer_tuple(ds, name):
+    """Layer Dataset → (name, geom_type, features, attrs, ring_poly)
+    for export_topojson_layers."""
+    from .layers import GEOM_COLS, geom_type_of, nz
     df = ds.to_pandas().sort_values("feature_id").reset_index(drop=True)
     gt = geom_type_of(list(df.columns))
     if gt == "polygon":
@@ -218,25 +276,44 @@ def write_topojson_layer(ds, path, object_name="layer1",
     elif gt == "polyline":
         xcol, ycol = "part_x", "part_y"
     else:
-        raise ValueError(f"topojson export needs polygon/polyline layer, "
-                         f"got columns {list(df.columns)}")
+        xcol, ycol = "px", "py"
     feats = []
     for _, row in df.iterrows():
-        feats.append([np.stack([np.asarray(x, float), np.asarray(y, float)],
-                               axis=1)
-                      for x, y in zip(row[xcol] if row[xcol] is not None
-                                      else [],
-                                      row[ycol] if row[ycol] is not None
-                                      else [])])
+        if gt == "point":
+            feats.append((list(nz(row[xcol])), list(nz(row[ycol]))))
+            continue
+        feats.append([np.stack([np.asarray(x, float),
+                                np.asarray(y, float)], axis=1)
+                      for x, y in zip(nz(row[xcol]), nz(row[ycol]))])
     geom_cols = set(GEOM_COLS[gt]) | {"feature_id", "__fields"}
     attr_cols = [c for c in df.columns if c not in geom_cols]
     attrs = (df[attr_cols].to_dict("records") if attr_cols
              else [{} for _ in feats])
     rp = ([list(v) if v is not None else None
            for v in df["ring_poly"]] if gt == "polygon" else None)
-    return write_topojson(feats, path, attrs=attrs,
-                          geometry_type=gt, object_name=object_name,
-                          quantization=quantization, ring_poly=rp)
+    return (name, gt, feats, attrs, rp)
+
+
+def write_topojson_layer(ds, path, object_name="layer1",
+                         quantization=None):
+    """Layer Dataset → TopoJSON file (single-writer sink: TopoJSON needs
+    the global shared-arc table, SURVEY.md §2.1 TopoJSON-writer row —
+    reference inferOutputFormat maps .topojson here,
+    src/io/mapshaper-file-types.js:42-56)."""
+    return write_topojson_layers([_layer_tuple(ds, object_name)], path,
+                                 quantization=quantization)
+
+
+def write_topojson_layers(named_layers, path, quantization=None):
+    """[(name, Dataset) or layer tuple] → ONE Topology file whose
+    objects share an arc table (reference multi-layer -o topojson)."""
+    from .jsnum import js_json
+    tuples = [(t if isinstance(t, tuple) and len(t) == 5
+               else _layer_tuple(t[1], t[0])) for t in named_layers]
+    topo = export_topojson_layers(tuples, quantization=quantization)
+    with open(path, "w") as f:
+        f.write(js_json(topo))
+    return path
 
 
 # ---------------------------------------------------------------------------

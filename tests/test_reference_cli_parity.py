@@ -1087,3 +1087,16 @@ def test_o_combine_layers_bytes_identical(ray_session, ref_cli,
     ref_run(ref_cli, [src, "-o", "combine-layers", str(ref)])
     run_commands(f"-i {src} -o combine-layers {ours}")
     assert ours.read_bytes() == ref.read_bytes()
+
+
+def test_multilayer_topojson_bytes_identical(ray_session, ref_cli,
+                                             tmp_path):
+    """combine-files + -o .topojson: every layer becomes an object in
+    ONE topology with a shared arc table — byte-identical."""
+    ref = tmp_path / "ref.topojson"
+    ours = tmp_path / "ours.topojson"
+    ref_run(ref_cli, [TWO_STATES, SIX_COUNTIES, "combine-files",
+                      "-o", str(ref)])
+    run_commands(f"-i {TWO_STATES} {SIX_COUNTIES} combine-files "
+                 f"-o {ours}")
+    assert ours.read_bytes() == ref.read_bytes()
