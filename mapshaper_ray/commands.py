@@ -627,6 +627,22 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 continue
             is_topo_out = str(path).lower().endswith(".topojson") or \
                 opts.get("format", "").lstrip(".") == "topojson"
+            if tgt is None and len(cat.targets) > 1 and is_topo_out \
+                    and opts.get("singles"):
+                # -o singles: one single-object topology PER LAYER,
+                # named <layer>.json (the reference's default topojson
+                # extension), quantized independently
+                from .sources.topojson import write_topojson_layer
+                d = str(path) if (str(path).endswith("/")
+                                  or os.path.isdir(path)) \
+                    else (os.path.dirname(str(path)) or ".")
+                os.makedirs(d, exist_ok=True)
+                for n in cat.targets:
+                    if n in cat.layers:
+                        write_topojson_layer(
+                            cat.get(n), os.path.join(d, f"{n}.json"),
+                            object_name=n)
+                continue
             if tgt is None and len(cat.targets) > 1 and is_topo_out:
                 # multi-layer TopoJSON: every target layer becomes an
                 # object in ONE topology with shared arcs
@@ -659,14 +675,16 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
             if tgt is None and len(cat.targets) > 1:
                 # several target layers, one output file: the reference
                 # numbers the files (out.json -> out1.json, out2.json,
-                # ...)
+                # ...); -o must not change the current targets
+                saved_t, saved_ts = cat.target, list(cat.targets)
                 base, ext = os.path.splitext(str(path))
                 for k, n in enumerate(
-                        [x for x in cat.targets if x in cat.layers]):
+                        [x for x in saved_ts if x in cat.layers]):
                     run_commands([{"name": "o",
                                    "options": {**opts, "target": n},
                                    "args": [f"{base}{k + 1}{ext}"]}],
                                  cat)
+                cat.target, cat.targets = saved_t, saved_ts
                 continue
             ds = cat.get(tgt)
             # every layer is kept in reference ring order (rotated at

@@ -1100,3 +1100,17 @@ def test_multilayer_topojson_bytes_identical(ray_session, ref_cli,
     run_commands(f"-i {TWO_STATES} {SIX_COUNTIES} combine-files "
                  f"-o {ours}")
     assert ours.read_bytes() == ref.read_bytes()
+
+
+def test_o_singles_topojson_bytes_identical(ray_session, ref_cli,
+                                            tmp_path):
+    """-o singles: one independently-quantized topology per layer,
+    named <layer>.json."""
+    refdir = tmp_path / "ref"; refdir.mkdir()
+    ourdir = tmp_path / "ours"; ourdir.mkdir()
+    ref_run(ref_cli, [TWO_STATES, SIX_COUNTIES, "combine-files",
+                      "-o", "singles", str(refdir) + "/x.topojson"])
+    run_commands(f"-i {TWO_STATES} {SIX_COUNTIES} combine-files "
+                 f"-o singles {ourdir}/x.topojson")
+    for f in ("two_states.json", "six_counties.json"):
+        assert (ourdir / f).read_bytes() == (refdir / f).read_bytes()
