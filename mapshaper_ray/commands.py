@@ -493,7 +493,11 @@ _PER_LAYER_CMDS = {"each", "filter", "filter-fields", "filter_fields",
                    "filter_geom", "affine", "proj", "points",
                    "explode", "simplify", "uniq", "sort",
                    "filter-islands", "filter_islands",
-                   "filter-slivers", "filter_slivers"}
+                   "filter-slivers", "filter_slivers",
+                   "dissolve", "innerlines", "lines", "clip", "erase",
+                   "slice", "join", "data-fill", "data_fill",
+                   "cluster", "subdivide", "style", "svg-style",
+                   "svg_style"}
 
 
 def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
@@ -522,7 +526,11 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
         # fan out by re-entering with a single target at a time
         if name in _PER_LAYER_CMDS and len(cat.targets) > 1 \
                 and "target" not in opts:
-            saved = [n for n in cat.targets if n in cat.layers]
+            src_name = opts.get("source") or \
+                (args[0] if name in ("clip", "erase", "slice", "join")
+                 and args else None)
+            saved = [n for n in cat.targets
+                     if n in cat.layers and n != src_name]
             for t in saved:
                 cat.target = t
                 cat.targets = [t]

@@ -1114,3 +1114,17 @@ def test_o_singles_topojson_bytes_identical(ray_session, ref_cli,
                  f"-o singles {ourdir}/x.topojson")
     for f in ("two_states.json", "six_counties.json"):
         assert (ourdir / f).read_bytes() == (refdir / f).read_bytes()
+
+
+def test_dissolve_fanout_combine_files(ray_session, ref_cli, tmp_path):
+    """-dissolve after combine-files applies to EVERY layer, like the
+    reference; per-layer outputs byte-identical."""
+    refdir = tmp_path / "ref"; refdir.mkdir()
+    ourdir = tmp_path / "ours"; ourdir.mkdir()
+    ref_run(ref_cli, [TWO_STATES, SIX_COUNTIES, "combine-files",
+                      "-dissolve", "-o", "format=geojson",
+                      str(refdir) + "/"])
+    run_commands(f"-i {TWO_STATES} {SIX_COUNTIES} combine-files "
+                 f"-dissolve -o format=geojson {ourdir}/")
+    for f in ("two_states.json", "six_counties.json"):
+        assert (ourdir / f).read_bytes() == (refdir / f).read_bytes()
