@@ -49,7 +49,8 @@ _FLAGS = {
                "interpolated"},
     "sort": {"descending", "ascending"},
     "merge-layers": {"force"},
-    "i": {"snap", "combine-files", "merge-files", "no-topology"},
+    "i": {"snap", "auto-snap", "combine-files", "merge-files",
+          "no-topology"},
     "o": {"force", "bbox", "drop-table", "cut-table",
           "prettify", "singles", "no-quantization", "rfc7946",
           "combine-layers"},
@@ -304,6 +305,56 @@ def _resolve_crs_ref(cat: Catalog, ref: str):
             "latlong": fwd is _identity}
 
 
+def _snap_layer(ds, interval=None):
+    """-i snap / snap-interval=: merge nearly-identical vertices across
+    the whole layer (reference snapCoords,
+    src/paths/mapshaper-snapping.js:15-27 — auto threshold is
+    0.0025 x the average segment length).  Global pass on the
+    collected layer (import-sized); the cell-partitioned variant
+    (topo/snap.snap_points_ds) is the at-scale path."""
+    import ray.data as rd
+
+    from .sources.layers import nz
+    from .topo.snap import snap_coords_by_interval
+    names = ds.schema().names
+    cols = ("rings_x", "rings_y") if "rings_x" in names else \
+        (("part_x", "part_y") if "part_x" in names else None)
+    if cols is None:
+        return ds
+    df = ds.to_pandas().sort_values("feature_id").reset_index(drop=True)
+    xs, ys, spans = [], [], []
+    pos = 0
+    for _, row in df.iterrows():
+        for x, y in zip(nz(row[cols[0]]), nz(row[cols[1]])):
+            x = np.asarray(x, float)
+            y = np.asarray(y, float)
+            spans.append((pos, len(x)))
+            pos += len(x)
+            xs.append(x)
+            ys.append(y)
+    if not xs:
+        return ds
+    xx = np.concatenate(xs)
+    yy = np.concatenate(ys)
+    if interval is None:
+        dseg = np.concatenate(
+            [np.hypot(np.diff(x), np.diff(y))
+             for x, y in zip(xs, ys) if len(x) > 1] or
+            [np.array([0.0])])
+        interval = float(dseg.mean()) * 0.0025  # getAvgSegment * 0.0025
+    snap_coords_by_interval(xx, yy, interval)
+    it = iter(spans)
+    for ri in range(len(df)):
+        nx, ny = [], []
+        for _ in nz(df.at[ri, cols[0]]):
+            s, n = next(it)
+            nx.append(xx[s:s + n].tolist())
+            ny.append(yy[s:s + n].tolist())
+        df.at[ri, cols[0]] = nx
+        df.at[ri, cols[1]] = ny
+    return rd.from_pandas(df)
+
+
 def _merged_crs(cat: Catalog, names):
     """CRS for a merged layer (reference issue-166 semantics): layers
     with no recorded CRS are compatible with anything; mixing an
@@ -547,6 +598,23 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                     os.path.splitext(os.path.basename(path))[0]
                 ikw = {"encoding": opts["encoding"]} \
                     if "encoding" in opts else {}
+                if "id_field" in opts and \
+                        path.lower().endswith((".json", ".geojson")):
+                    # import the GeoJSON Feature id into this field
+                    ikw["id_field"] = opts["id_field"]
+                if opts.get("geometry_type") and \
+                        path.lower().endswith((".json", ".geojson")):
+                    # reference: a single layer of the requested class;
+                    # other geometries import as null shapes
+                    from .sources.geojson import read_geojson
+                    want = {"point": "point", "line": "polyline",
+                            "polyline": "polyline",
+                            "polygon": "polygon"}[opts["geometry_type"]]
+                    loaded.append(cat.add(
+                        read_geojson(path, geom_class=want,
+                                     keep_mismatch=True), lname))
+                    cat.no_rotate.add(loaded[-1])
+                    continue
                 if path.lower().endswith((".csv", ".tsv", ".txt")):
                     if "string_fields" in opts:
                         ikw["string_fields"] = _num_list(
@@ -579,6 +647,18 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                             "prj": text, "latlong": latlong}
                         if not latlong:
                             cat.projected.add(loaded[-1])
+            if "precision" in opts:
+                # reference: coordinates round at IMPORT, before the
+                # topology build
+                for n in loaded:
+                    cat.layers[n] = api.round_coords(
+                        cat.layers[n], float(opts["precision"]))
+            if opts.get("snap") or opts.get("auto_snap") or \
+                    "snap_interval" in opts:
+                si = (_parse_distance(opts["snap_interval"])
+                      if "snap_interval" in opts else None)
+                for n in loaded:
+                    cat.layers[n] = _snap_layer(cat.layers[n], si)
             # the reference builds topology at IMPORT over ALL files of
             # one -i (combine-files shares arcs across files), rotating
             # every ring to its first junction; doing the same keeps

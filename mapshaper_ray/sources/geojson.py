@@ -145,11 +145,13 @@ _GEOM_CLASS = {
 
 
 def parse_feature_batch(batch: pa.Table, geom_class: str,
-                        id_field: str | None = None) -> pa.Table:
+                        id_field: str | None = None,
+                        keep_mismatch: bool = False) -> pa.Table:
     """Batch of {'feature_id', 'json'} rows → one layer table (features
     whose geometry class doesn't match are emitted as null geometry only
     if they have no class at all; mismatches are skipped — the caller
-    routes classes to layers)."""
+    routes classes to layers — unless ``keep_mismatch`` nulls them
+    instead, the -i geometry-type= semantics)."""
     fids, geoms, props_list = [], [], []
     for fid, txt in zip(batch["feature_id"].to_pylist(),
                         batch["json"].to_pylist()):
@@ -162,7 +164,9 @@ def parse_feature_batch(batch: pa.Table, geom_class: str,
             geom, props = f, {}
         cls = _GEOM_CLASS.get((geom or {}).get("type"))
         if cls is not None and cls != geom_class:
-            continue
+            if not keep_mismatch:
+                continue
+            geom = None
         fids.append(fid)
         geoms.append(geom)
         props_list.append(props)
@@ -208,7 +212,8 @@ def parse_feature_batch(batch: pa.Table, geom_class: str,
 
 
 def read_geojson(path: str, geom_class: str | None = None,
-                 shard_size: int = 512, id_field: str | None = None):
+                 shard_size: int = 512, id_field: str | None = None,
+                 keep_mismatch: bool = False):
     """GeoJSON file → Ray Dataset of one layer.  ``geom_class`` selects
     the layer for mixed input (default: majority class).  File-level
     parallelism at scale comes from many files (one read task per file);
@@ -231,7 +236,7 @@ def read_geojson(path: str, geom_class: str | None = None,
         ds = ds.repartition(max(1, len(items) // shard_size))
     gc = geom_class
     return ds.map_batches(
-        lambda b: parse_feature_batch(b, gc, id_field),
+        lambda b: parse_feature_batch(b, gc, id_field, keep_mismatch),
         batch_format="pyarrow")
 
 

@@ -1128,3 +1128,25 @@ def test_dissolve_fanout_combine_files(ray_session, ref_cli, tmp_path):
                  f"-dissolve -o format=geojson {ourdir}/")
     for f in ("two_states.json", "six_counties.json"):
         assert (ourdir / f).read_bytes() == (refdir / f).read_bytes()
+
+
+def test_i_options_bytes_identical(ray_session, ref_cli, tmp_path):
+    """-i snap (auto threshold 0.0025 x avg segment), -i precision=
+    (round before topology), -i geometry-type= (one layer, mismatched
+    geometries null) match the reference byte-for-byte."""
+    cases = [
+        (["snap", f"{TD}/issues/clean/overlapping_polygons.json"],
+         f"-i snap {TD}/issues/clean/overlapping_polygons.json"),
+        ([f"{TD}/two_states.shp", "precision=0.01"],
+         f"-i {TD}/two_states.shp precision=0.01"),
+        ([f"{TD}/issues/177/mixed_feature.json",
+          "geometry-type=polygon"],
+         f"-i {TD}/issues/177/mixed_feature.json "
+         f"geometry-type=polygon"),
+    ]
+    for k, (ref_args, our_i) in enumerate(cases):
+        ref = tmp_path / f"ref{k}.json"
+        ours = tmp_path / f"ours{k}.json"
+        ref_run(ref_cli, [*ref_args, "-o", str(ref)])
+        run_commands(f"{our_i} -o {ours}")
+        assert ours.read_bytes() == ref.read_bytes(), ref_args
