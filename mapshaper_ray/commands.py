@@ -44,7 +44,8 @@ def split_tokens(command_str: str) -> list[str]:
 # parse as True options, everything else stays positional)
 _FLAGS = {
     "simplify": {"keep-shapes", "dp", "visvalingam", "weighted",
-                 "planar", "spherical", "no-repair"},
+                 "planar", "cartesian", "spherical", "no-repair",
+                 "stats", "lock-box"},
     "points": {"vertices", "endpoints", "inner", "centroid",
                "interpolated"},
     "sort": {"descending", "ascending"},
@@ -978,20 +979,25 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 amount["resolution"] = opts["resolution"]
             else:
                 amount["pct"] = _pct(
-                    args[0] if args else opts.get("percentage", "100%"))
+                    args[0] if args else
+                    opts.get("percentage", opts.get("value", "100%")))
             # reference defaults (getSimplifyMethod + useSpherical-
             # Simplify): bare -simplify = WEIGHTED visvalingam (0.7),
             # spherical for decimal-degree data; 'visvalingam' selects
             # the unweighted metric, 'planar' forces planar thresholds
-            dp = bool(opts.get("dp"))
-            vis = bool(opts.get("visvalingam"))
+            method = opts.get("method", "")
+            dp = bool(opts.get("dp")) or method == "dp"
+            vis = bool(opts.get("visvalingam")) or \
+                method == "visvalingam"
+            if method == "weighted_visvalingam":
+                opts["weighted"] = True
             if "weighting" in opts:
                 weighting = float(opts["weighting"])
             elif opts.get("weighted") or not (dp or vis):
                 weighting = 0.7
             else:
                 weighting = None
-            if opts.get("planar"):
+            if opts.get("planar") or opts.get("cartesian"):
                 spherical = False
             elif opts.get("spherical"):
                 spherical = True
@@ -1008,7 +1014,8 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
             # reference arc order (assembled from the simplify
             # topology) — export must not re-rotate them
         elif name == "dissolve":
-            key = args[0] if args else opts.get("fields")  # None = all
+            key = args[0] if args else opts.get("fields",
+                                                opts.get("field"))
             out = api.dissolve_layer(
                 cat.get(), key,
                 sum_fields=_num_list(opts["sum_fields"], str)
