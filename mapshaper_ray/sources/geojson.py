@@ -439,7 +439,15 @@ def write_geojson(ds, path: str, decimals=None, rotate=True,
     '[\\n...\\n]').  Small-output path; use write_geojson_shards at
     scale."""
     from .jsnum import js_json
-    names = ds.schema().names
+    schema = ds.schema()
+    if schema is None:
+        # fully-emptied layer (e.g. erased by itself): the reference
+        # writes an empty bare GeometryCollection
+        with open(path, "w") as f:
+            f.write('{"type":"GeometryCollection", "geometries": '
+                    '[\n\n]}')
+        return path
+    names = schema.names
     attr_cols = [c for c in names
                  if c not in ("feature_id", "rings_x", "rings_y",
                               "ring_poly", "part_x", "part_y",

@@ -911,10 +911,15 @@ class PathIndexLite:
         for ids in (shape or []):
             enclosed = self.find_enclosed_paths(ids)
             if enclosed:
-                # xor
-                out = [p for p in paths if not any(p is q for q in enclosed)]
+                # the reference's xorArrays (path-index.js:212) is NOT
+                # a true xor: its second loop tests membership in the
+                # partially-built OUTPUT, so an element present in both
+                # lists is re-added.  A clip ring inside a target HOLE
+                # therefore stays "interior" — reproduce exactly.
+                out = [p for p in paths
+                       if not any(p is q for q in enclosed)]
                 out += [q for q in enclosed
-                        if not any(q is p for p in paths)]
+                        if not any(q is p for p in out)]
                 paths = out
         return paths or None
 
@@ -1183,6 +1188,39 @@ def add_intersection_cuts(arcs: RefArcs, shapes, polygon_flags=None):
                                     polygon_flags[i]))
                if s is not None else None
                for i, s in enumerate(shapes2)]
+    # reference cleanArcReferences (path-division.js:51,94): after
+    # cutting, remap references to DUPLICATE arcs (same coordinate
+    # sequence, forward or reversed) onto one arc — partially
+    # overlapping collinear borders between clip and target otherwise
+    # stay as twin arcs and the route flags never interact
+    dmap = np.arange(arcs2.size(), dtype=np.int64)
+    drev = np.zeros(arcs2.size(), dtype=bool)
+    seen: dict = {}
+    changed = False
+    for a in range(arcs2.size()):
+        x, y = path_coords([a], arcs2)
+        kf = (x.tobytes(), y.tobytes())
+        kr = (x[::-1].tobytes(), y[::-1].tobytes())
+        if kf in seen:
+            dmap[a] = seen[kf]
+            changed = True
+        elif kr in seen:
+            dmap[a] = seen[kr]
+            drev[a] = True
+            changed = True
+        else:
+            seen[kf] = a
+    if changed:
+        def _remap_dupes(ids):
+            out = []
+            for sid in ids:
+                a = sid if sid >= 0 else ~sid
+                t = int(dmap[a])
+                fwd = (sid >= 0) != bool(drev[a])
+                out.append(t if fwd else ~t)
+            return out
+        shapes2 = [[_remap_dupes(ids) for ids in s]
+                   if s is not None else None for s in shapes2]
     return arcs2, shapes2, Nodes(arcs2)
 
 

@@ -1150,3 +1150,66 @@ def test_i_options_bytes_identical(ray_session, ref_cli, tmp_path):
         ref_run(ref_cli, [*ref_args, "-o", str(ref)])
         run_commands(f"{our_i} -o {ours}")
         assert ours.read_bytes() == ref.read_bytes(), ref_args
+
+
+# --- clip/erase topological corner cases (reference clip-erase-test.js
+# Figs 5-12 + bugfix cases), live-diffed on equivalent geometries ------
+
+def _poly(*rings):
+    return {"type": "Polygon", "coordinates": [list(r) for r in rings]}
+
+
+def _fc(*geoms):
+    return {"type": "FeatureCollection",
+            "features": [{"type": "Feature", "geometry": g,
+                          "properties": {"fid": i}}
+                         for i, g in enumerate(geoms)]}
+
+
+SQ = lambda x0, y0, s: [(x0, y0), (x0, y0 + s), (x0 + s, y0 + s),
+                        (x0 + s, y0), (x0, y0)]
+SQH = lambda x0, y0, s: [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s),
+                         (x0, y0 + s), (x0, y0)]  # hole winding
+
+
+CLIP_CASES = {
+    # polygon with hole clipped by an overlapping square (Fig 5/6)
+    "hole_overlap": (_fc(_poly(SQ(0, 0, 10), SQH(3, 3, 4))),
+                     _fc(_poly(SQ(5, -2, 10)))),
+    # ring inside ring: clip the donut by a square inside the hole
+    "ring_inside_ring": (_fc(_poly(SQ(0, 0, 10), SQH(2, 2, 6))),
+                         _fc(_poly(SQ(3, 3, 4)))),
+    # congruent rings (Fig 10): clip layer identical to target
+    "congruent": (_fc(_poly(SQ(0, 0, 8))), _fc(_poly(SQ(0, 0, 8)))),
+    # adjacent rings (Fig 11): two squares sharing an edge, clip by a
+    # rect overlapping both
+    "adjacent": (_fc(_poly(SQ(0, 0, 4)), _poly(SQ(4, 0, 4))),
+                 _fc(_poly(SQ(2, -1, 4)))),
+    # adjacent polygons inside polygon (Fig 8/12)
+    "nested_adjacent": (_fc(_poly(SQ(1, 1, 3)), _poly(SQ(4, 1, 3))),
+                        _fc(_poly(SQ(0, 0, 10)))),
+    # interior ring touches the clip shape at one point (bugfix)
+    "hole_touch_point": (_fc(_poly(SQ(0, 0, 10), SQH(5, 5, 5))),
+                         _fc(_poly(SQ(0, 0, 5)))),
+    # island clip/erase self (bugfix)
+    "self_clip": (_fc(_poly(SQ(0, 0, 6))), None),
+}
+
+
+@pytest.mark.parametrize("case", sorted(CLIP_CASES))
+@pytest.mark.parametrize("op", ["clip", "erase"])
+def test_clip_erase_fig_cases(ray_session, ref_cli, tmp_path, case, op):
+    tgt, clp = CLIP_CASES[case]
+    t = tmp_path / "t.json"
+    t.write_text(json.dumps(tgt))
+    if clp is None:
+        c = t  # self clip/erase
+    else:
+        c = tmp_path / "c.json"
+        c.write_text(json.dumps(clp))
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [str(t), f"-{op}", str(c), "-o", str(ref)])
+    run_commands(f"-i {t} -{op} {c} -o {ours}")
+    assert all_rings(str(ours), nd=9) == all_rings(str(ref), nd=9), \
+        (case, op)
