@@ -1213,3 +1213,19 @@ def test_clip_erase_fig_cases(ray_session, ref_cli, tmp_path, case, op):
     run_commands(f"-i {t} -{op} {c} -o {ours}")
     assert all_rings(str(ours), nd=9) == all_rings(str(ref), nd=9), \
         (case, op)
+
+
+@pytest.mark.parametrize("op", ["clip", "erase"])
+def test_clip_erase_self_intersecting_target(ray_session, ref_cli,
+                                             tmp_path, op):
+    """Bowtie (self-intersecting) target polygon clipped/erased by a
+    rectangle — rides the same cut+repair path as the reference."""
+    tgt = _fc(_poly([(0, 0), (10, 10), (10, 0), (0, 10), (0, 0)]))
+    clp = _fc(_poly([(2, -1), (8, -1), (8, 11), (2, 11), (2, -1)]))
+    t = tmp_path / "t.json"; t.write_text(json.dumps(tgt))
+    c = tmp_path / "c.json"; c.write_text(json.dumps(clp))
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [str(t), f"-{op}", str(c), "-o", str(ref)])
+    run_commands(f"-i {t} -{op} {c} -o {ours}")
+    assert all_rings(str(ours), nd=9) == all_rings(str(ref), nd=9)
