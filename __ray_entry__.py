@@ -652,6 +652,25 @@ def _q41_rasterize(sf_dir: str):
     return out.sort_values(["row", "col"]).reset_index(drop=True)
 
 
+def _q43_embedding_lsh(sf_dir: str):
+    """Hyperplane-LSH near-dup (the scale path for embedding dedup):
+    auto-tuned band-OR (tune_lsh -> >=95% expected recall at the
+    threshold), exact cosine verify in-bucket so precision is exact.
+    Deterministic given the seed -> rows-only check is stable; the
+    exact O(n^2) variant is the value-exact oracle (q15)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import embedding_near_dup
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    out = embedding_near_dup(emb, threshold=0.35).to_pandas()
+    if "cosine" not in out.columns:
+        out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                            "id_b": pd.Series([], dtype="int64"),
+                            "cosine": pd.Series([], dtype="float64")})
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q42_raster_polygons(sf_dir: str):
     """Raster->vector: reconstruct the diamond regions from the q41
     raster by distributed edge cancellation + ring stitching; area and
@@ -719,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q40_simhash_pairs": _q40_simhash_pairs,
         "q41_rasterize": _q41_rasterize,
         "q42_raster_polygons": _q42_raster_polygons,
+        "q43_embedding_lsh": _q43_embedding_lsh,
     }
 
 

@@ -342,8 +342,27 @@ def embedding_near_dup_exact(ds, threshold=0.95, id_col="vec_id",
                           num_cpus=1)
 
 
+def tune_lsh(threshold: float, target_recall: float = 0.95,
+             max_tables: int = 64):
+    """(n_planes, n_tables) reaching ``target_recall`` for pairs at
+    ``threshold`` cosine: per-plane collision p = 1 - theta/pi; pick
+    the band width so a band still fires a few % of the time, then OR
+    enough tables.  Low thresholds (wide angles) need many small
+    bands — the fixed defaults tuned for ~0.95 dedup miss nearly
+    everything at 0.35."""
+    import math
+    p = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+    p = min(max(p, 1e-6), 1 - 1e-9)
+    miss = 1.0 - target_recall
+    n_planes = max(1, min(16, int(math.log(0.05) / math.log(p))))
+    band_p = p ** n_planes
+    n_tables = max(1, min(max_tables, math.ceil(
+        math.log(miss) / math.log(1 - band_p))))
+    return n_planes, n_tables
+
+
 def embedding_near_dup(ds, threshold=0.95, id_col="vec_id",
-                       emb_col="embedding", n_planes=12, n_tables=1,
+                       emb_col="embedding", n_planes=None, n_tables=None,
                        seed=11):
     """Embedding-cosine near-dup: random-hyperplane LSH bucket keys,
     groupby bucket, exact cosine verify within bucket.  Returns pairs
@@ -354,7 +373,12 @@ def embedding_near_dup(ds, threshold=0.95, id_col="vec_id",
     the union — recall 1-(1-p^k)^L where p = 1 - theta/pi, bounding
     the single-table recall loss at moderate cosine thresholds (the
     scale path for thresholds below ~0.9).  Output pairs dedupe across
-    tables inside a final groupby."""
+    tables inside a final groupby.  ``n_planes``/``n_tables`` default
+    to ``tune_lsh(threshold)`` (>=95% expected recall)."""
+    if n_planes is None or n_tables is None:
+        tp, tt = tune_lsh(threshold)
+        n_planes = tp if n_planes is None else n_planes
+        n_tables = tt if n_tables is None else n_tables
     first = ds.take(1)[0]
     dim = len(first[emb_col])
     rng = np.random.RandomState(seed)

@@ -25,3 +25,25 @@ def test_multi_table_recall_improves(ray_session):
     assert len(pm) >= 0.5 * len(pe)  # 16 tables, p^4 ~ .14 -> ~90%
     # no duplicate pairs across tables
     assert len(many) == len(pm)
+
+
+def test_tuned_lsh_recall(ray_session):
+    """Auto-tuned band-OR reaches >=90% recall at a LOW cosine
+    threshold (the fixed 0.95-dedup defaults recall ~0% there) with
+    zero false positives (exact in-bucket verify)."""
+    import ray.data as rd
+
+    from mapshaper_ray.ops.dedup import (embedding_near_dup,
+                                         embedding_near_dup_exact,
+                                         tune_lsh)
+    planes, tables = tune_lsh(0.35)
+    assert tables > 10  # low threshold demands many small bands
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    a = embedding_near_dup(emb, threshold=0.35).to_pandas()
+    b = embedding_near_dup_exact(emb, threshold=0.35).to_pandas()
+    ka = set(zip(a["id_a"], a["id_b"]))
+    kb = set(zip(b["id_a"], b["id_b"]))
+    assert not (ka - kb)          # exact verify -> no false positives
+    if kb:
+        assert len(ka & kb) / len(kb) >= 0.9
