@@ -54,7 +54,7 @@ _FLAGS = {
           "no-topology"},
     "o": {"force", "bbox", "drop-table", "cut-table",
           "prettify", "singles", "no-quantization", "rfc7946",
-          "combine-layers"},
+          "combine-layers", "bbox-index", "dry-run"},
     "join": {"unjoined", "unmatched"},
     "clean": {"allow-overlaps"},
     "filter": {"remove-empty"},
@@ -369,6 +369,22 @@ def _merged_crs(cat: Catalog, names):
         raise ValueError("cannot merge projected and unprojected "
                          "datasets")
     return ents[0]
+
+
+def _write_bbox_index(entries, out_dir):
+    """-o bbox-index: sidecar bbox-index.json listing every written
+    file's bbox (reference writeFiles bbox-index option)."""
+    from .sources.geojson import _dataset_bbox
+    from .sources.jsnum import js_json
+    items = []
+    for fname, ds in entries:
+        bb = _dataset_bbox(ds)
+        base = os.path.splitext(os.path.basename(str(fname)))[0]
+        items.append({"bbox": [float(v) for v in (bb or [])],
+                      "name": base})
+    with open(os.path.join(out_dir or ".", "bbox-index.json"),
+              "w") as f:
+        f.write(js_json(items))
 
 
 def _cmd_proj(cat: Catalog, args, opts):
@@ -690,6 +706,8 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
         elif name == "o":
             path = args[0] if args else opts.get("file")
             tgt = opts.get("target")
+            if opts.get("dry_run"):
+                continue  # reference dry-run: plan only, write nothing
             if isinstance(path, str) and (path.endswith("/")
                                           or os.path.isdir(path)) \
                     and not path.rstrip("/").endswith("_dir"):
@@ -868,6 +886,9 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                     .endswith(".shp") else str(path)
                 with open(base + ".prj", "w", encoding="utf-8") as f:
                     f.write(ent["prj"])
+            if opts.get("bbox_index"):
+                _write_bbox_index([(path, ds)],
+                                  os.path.dirname(str(path)))
         elif name == "target":
             tname = args[0] if args else opts.get("name")
             ttype = opts.get("type")

@@ -1229,3 +1229,19 @@ def test_clip_erase_self_intersecting_target(ray_session, ref_cli,
     ref_run(ref_cli, [str(t), f"-{op}", str(c), "-o", str(ref)])
     run_commands(f"-i {t} -{op} {c} -o {ours}")
     assert all_rings(str(ours), nd=9) == all_rings(str(ref), nd=9)
+
+
+def test_o_bbox_index_and_dry_run(ray_session, ref_cli, tmp_path):
+    """-o bbox-index writes the reference's sidecar bbox-index.json
+    byte-identically; -o dry-run writes nothing."""
+    refdir = tmp_path / "ref"; refdir.mkdir()
+    ourdir = tmp_path / "ours"; ourdir.mkdir()
+    ref_run(ref_cli, [THREE_POINTS, "-o", "bbox-index",
+                      str(refdir / "x.json")])
+    run_commands(f"-i {THREE_POINTS} -o bbox-index {ourdir}/x.json")
+    assert (ourdir / "bbox-index.json").read_bytes() == \
+        (refdir / "bbox-index.json").read_bytes()
+    assert (ourdir / "x.json").read_bytes() == \
+        (refdir / "x.json").read_bytes()
+    run_commands(f"-i {THREE_POINTS} -o dry-run {ourdir}/nope.json")
+    assert not (ourdir / "nope.json").exists()
