@@ -343,14 +343,20 @@ def _snap_layer(ds, interval=None):
              for x, y in zip(xs, ys) if len(x) > 1] or
             [np.array([0.0])])
         interval = float(dseg.mean()) * 0.0025  # getAvgSegment * 0.0025
-    snap_coords_by_interval(xx, yy, interval)
+    snapped = snap_coords_by_interval(xx, yy, interval)
     it = iter(spans)
     for ri in range(len(df)):
         nx, ny = [], []
         for _ in nz(df.at[ri, cols[0]]):
             s, n = next(it)
-            nx.append(xx[s:s + n].tolist())
-            ny.append(yy[s:s + n].tolist())
+            px, py = xx[s:s + n], yy[s:s + n]
+            if snapped:
+                # reference snapCoords: dedupCoords() after snapping
+                keep = np.ones(len(px), dtype=bool)
+                keep[1:] = (np.diff(px) != 0) | (np.diff(py) != 0)
+                px, py = px[keep], py[keep]
+            nx.append(px.tolist())
+            ny.append(py.tolist())
         df.at[ri, cols[0]] = nx
         df.at[ri, cols[1]] = ny
     return rd.from_pandas(df)
@@ -616,8 +622,9 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 ikw = {"encoding": opts["encoding"]} \
                     if "encoding" in opts else {}
                 if "id_field" in opts and \
-                        path.lower().endswith((".json", ".geojson")):
-                    # import the GeoJSON Feature id into this field
+                        path.lower().endswith((".json", ".geojson",
+                                               ".topojson")):
+                    # import the Topo/GeoJSON id into this field
                     ikw["id_field"] = opts["id_field"]
                 if opts.get("geometry_type") and \
                         path.lower().endswith((".json", ".geojson")):
@@ -725,7 +732,14 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                      or list(cat.layers))
                 for n in names:
                     out = os.path.join(path, f"{n}.{ext}")
-                    api.o(cat.get(n), out, rotate=False)
+                    if ext == "topojson":
+                        # the topology object carries the layer name
+                        from .sources.topojson import \
+                            write_topojson_layer
+                        write_topojson_layer(cat.get(n), out,
+                                             object_name=n)
+                    else:
+                        api.o(cat.get(n), out, rotate=False)
                     ent = cat.crs.get(n)
                     if ext == "shp" and ent and ent.get("prj"):
                         with open(out[:-4] + ".prj", "w",
@@ -785,12 +799,21 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 # ...); -o must not change the current targets
                 saved_t, saved_ts = cat.target, list(cat.targets)
                 base, ext = os.path.splitext(str(path))
+                sub_opts = {k: v for k, v in opts.items()
+                            if k != "bbox_index"}
+                entries = []
                 for k, n in enumerate(
                         [x for x in saved_ts if x in cat.layers]):
+                    out = f"{base}{k + 1}{ext}"
                     run_commands([{"name": "o",
-                                   "options": {**opts, "target": n},
-                                   "args": [f"{base}{k + 1}{ext}"]}],
-                                 cat)
+                                   "options": {**sub_opts, "target": n},
+                                   "args": [out]}], cat)
+                    entries.append((out, cat.get(n)))
+                if opts.get("bbox_index"):
+                    # ONE index listing every written file (reference
+                    # createIndexFile)
+                    _write_bbox_index(entries,
+                                      os.path.dirname(str(path)))
                 cat.target, cat.targets = saved_t, saved_ts
                 continue
             ds = cat.get(tgt)

@@ -62,6 +62,8 @@ def read_delim(path: str, delimiter: str | None = None,
     from ray.data.datasource import FileShuffleConfig  # noqa: F401  (doc)
     if encoding and encoding.lower().replace("-", "") not in \
             ("utf8", "ascii"):
+        import atexit
+        import os as _os
         import tempfile
         with open(path, "rb") as f:
             text = f.read().decode(encoding, errors="replace")
@@ -69,6 +71,10 @@ def read_delim(path: str, delimiter: str | None = None,
             mode="w", encoding="utf-8", suffix=".csv", delete=False)
         tmp.write(text)
         tmp.close()
+        # the Ray read is lazy, so the file must outlive this call —
+        # remove it at interpreter exit instead of leaking it
+        atexit.register(lambda p=tmp.name: _os.path.exists(p)
+                        and _os.unlink(p))
         path = tmp.name
     with open(path, "r", encoding="utf-8", errors="replace") as f:
         header = f.readline()

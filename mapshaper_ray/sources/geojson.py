@@ -244,15 +244,18 @@ _TYPE_RE = None
 
 
 def _feature_class(t: str):
-    """Geometry class of one feature string (first geometry-type token
-    in the JSON; None = null geometry)."""
+    """Geometry class of one feature string (the first geometry-type
+    token AT/AFTER the "geometry" member — a property value named like
+    a geometry type must not misroute the feature; None = null
+    geometry)."""
     global _TYPE_RE
     if _TYPE_RE is None:
         import re
         _TYPE_RE = re.compile(
             r'"type"\s*:\s*"(Point|MultiPoint|LineString|'
             r'MultiLineString|Polygon|MultiPolygon|GeometryCollection)"')
-    m = _TYPE_RE.search(t)
+    k = t.find('"geometry"')
+    m = _TYPE_RE.search(t, k + 10 if k >= 0 else 0)
     return _GEOM_CLASS.get(m.group(1)) if m else None
 
 

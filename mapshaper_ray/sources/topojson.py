@@ -87,8 +87,8 @@ def export_topojson_layers(layers, quantization=None):
     [(object_name, geometry_type, features, attrs, ring_poly)]; point
     layers quantize their coordinates with the shared transform and
     contribute no arcs."""
-    arc_idx = []   # indices into the concatenated feature list
     all_feats = []
+    closed_flags = []   # per-feature: polygon rings rotate/canonicalize
     spans = {}
     for li, (name, gt, feats, attrs, rp) in enumerate(layers):
         if gt in ("polygon", "polyline"):
@@ -96,9 +96,8 @@ def export_topojson_layers(layers, quantization=None):
             all_feats.extend(
                 [[np.asarray(p, dtype=np.float64) for p in parts]
                  for parts in feats])
-    closed = all(gt == "polygon" for _, gt, _, _, _ in layers
-                 if gt in ("polygon", "polyline"))
-    arcs, shapes = build_topology(all_feats, closed=closed)
+            closed_flags.extend([gt == "polygon"] * len(feats))
+    arcs, shapes = build_topology(all_feats, closed=closed_flags)
 
     if len(arcs.xx):
         xmin, ymin = float(arcs.xx.min()), float(arcs.yy.min())
@@ -406,7 +405,8 @@ def _parse_topo_geom(g, arcs, topo):
     return (None, [], [])
 
 
-def import_topojson(path_or_obj, object_name=None, split_types=False):
+def import_topojson(path_or_obj, object_name=None, split_types=False,
+                    id_field=None):
     """TopoJSON → (ArcTable, {name: (geom_class, feature_list, attrs)})
     where feature_list rows are ring/part coordinate lists.  The layer
     tuple also carries ``.polys``: per feature, the polygon index of
@@ -427,7 +427,9 @@ def import_topojson(path_or_obj, object_name=None, split_types=False):
         geoms = (obj["geometries"] if obj["type"] == "GeometryCollection"
                  else [obj])
         parsed = [_parse_topo_geom(g, arcs, topo) for g in geoms]
-        recs = [g.get("properties") or {} for g in geoms]
+        recs = [{**(g.get("properties") or {}),
+                 **({id_field: g["id"]} if id_field and "id" in g
+                    else {})} for g in geoms]
         if split_types:
             order = []
             for c, _, _ in parsed:
@@ -483,20 +485,23 @@ def _layer_to_dataset(layer: _Layer, shard_size=512):
     return ds
 
 
-def read_topojson(path, object_name=None, shard_size=512):
+def read_topojson(path, object_name=None, shard_size=512,
+                  id_field=None):
     """TopoJSON file → Ray Dataset in the Arrow layer model (first /
     selected object)."""
-    arcs, layers = import_topojson(path, object_name)
+    arcs, layers = import_topojson(path, object_name,
+                                   id_field=id_field)
     name = object_name or next(iter(layers))
     return _layer_to_dataset(layers[name], shard_size)
 
 
-def read_topojson_layers(path, shard_size=512):
+def read_topojson_layers(path, shard_size=512, id_field=None):
     """TopoJSON file → [(object_name, n_classes_in_object, Dataset)] —
     one layer per object (reference: every object imports as a layer
     named by its key) and, within a mixed-type object, one layer per
     geometry class in encounter order."""
-    arcs, layers = import_topojson(path, split_types=True)
+    arcs, layers = import_topojson(path, split_types=True,
+                                   id_field=id_field)
     out = []
     for name, parts in layers.items():
         for part in parts:

@@ -792,7 +792,27 @@ PROJECTIONS = {
 _ELLPS = {"krass": (6378245.0, 298.3),
           "GRS80": (6378137.0, 298.257222101),
           "WGS84": (6378137.0, 298.257223563),
-          "intl": (6378388.0, 297.0)}
+          "intl": (6378388.0, 297.0),
+          "bessel": (6377397.155, 299.1528128),
+          "clrk66": (6378206.4, 294.9786982),
+          "clrk80": (6378249.145, 293.4663),
+          "airy": (6377563.396, 299.3249646),
+          "GRS67": (6378160.0, 298.2471674270),
+          "aust_SA": (6378160.0, 298.25),
+          "sphere": (6370997.0, float("inf"))}
+
+
+def _resolve_ellps(parts, kw):
+    """+ellps= / +a=+rf= → kw a/rf; UNKNOWN ellps names error instead
+    of silently projecting on WGS84."""
+    if "ellps" in parts:
+        if parts["ellps"] not in _ELLPS:
+            raise ValueError(f"unknown +ellps={parts['ellps']!r}; "
+                             f"known: {sorted(_ELLPS)}")
+        a, rf = _ELLPS[parts["ellps"]]
+        kw.setdefault("a", a)
+        kw.setdefault("rf", rf)
+    return kw
 
 _PARAM_KEYS = {"lat_1": "lat1", "lat_2": "lat2", "lat_0": "lat0",
                "lon_0": "lon0", "lat_ts": "lat_ts", "k": "k0",
@@ -820,8 +840,7 @@ def resolve_projection(defn: str):
             zone = int(parts["zone"])
             kw = dict(lon0=zone * 6.0 - 183.0, k0=0.9996, x0=500000.0,
                       y0=1e7 if "south" in parts else 0.0)
-            if "ellps" in parts and parts["ellps"] in _ELLPS:
-                kw["a"], kw["rf"] = _ELLPS[parts["ellps"]]
+            _resolve_ellps(parts, kw)
             return (functools.partial(etmerc_fwd, **kw),
                     functools.partial(etmerc_inv, **kw))
         if name not in PROJECTIONS:
@@ -829,9 +848,7 @@ def resolve_projection(defn: str):
                              f"available: {sorted(PROJECTIONS)}")
         kw = {dst: float(parts[src]) for src, dst in _PARAM_KEYS.items()
               if src in parts}
-        if "ellps" in parts and parts["ellps"] in _ELLPS:
-            kw.setdefault("a", _ELLPS[parts["ellps"]][0])
-            kw.setdefault("rf", _ELLPS[parts["ellps"]][1])
+        _resolve_ellps(parts, kw)
         fwd, inv = PROJECTIONS[name]
         bfwd = functools.partial(fwd, **kw) if kw and fwd else fwd
         binv = functools.partial(inv, **kw) if kw and inv else inv

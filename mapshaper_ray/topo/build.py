@@ -253,9 +253,12 @@ def build_topology(features, closed=True):
     for fi, parts in enumerate(features):
         if parts is None:
             continue
+        fclosed = closed[fi] if isinstance(closed, (list, tuple,
+                                                    np.ndarray)) \
+            else closed
         for p in parts:
             c = np.asarray(p, dtype=np.float64)
-            is_ring = bool(closed and len(c) > 1 and
+            is_ring = bool(fclosed and len(c) > 1 and
                            c[0, 0] == c[-1, 0] and c[0, 1] == c[-1, 1])
             paths.append((fi, c, is_ring))
     if not paths:
