@@ -1245,3 +1245,20 @@ def test_o_bbox_index_and_dry_run(ray_session, ref_cli, tmp_path):
         (refdir / "x.json").read_bytes()
     run_commands(f"-i {THREE_POINTS} -o dry-run {ourdir}/nope.json")
     assert not (ourdir / "nope.json").exists()
+
+
+def test_mixed_poly_line_topojson_bytes_identical(ray_session, ref_cli,
+                                                  tmp_path):
+    """Mixed polygon+line import exported to TopoJSON: one topology,
+    the line SHARES the polygon's edge arcs, polygon ring handling
+    stays ring-aware (per-feature closed flags) — byte-identical."""
+    doc = _fc(_poly([(0, 0), (0, 4), (4, 4), (4, 0), (0, 0)]),
+              {"type": "LineString",
+               "coordinates": [[0, 0], [0, 4], [4, 4]]})
+    src = tmp_path / "mx.json"
+    src.write_text(json.dumps(doc))
+    ref = tmp_path / "ref.topojson"
+    ours = tmp_path / "ours.topojson"
+    ref_run(ref_cli, [str(src), "-o", str(ref)])
+    run_commands(f"-i {src} -o {ours}")
+    assert ours.read_bytes() == ref.read_bytes()
