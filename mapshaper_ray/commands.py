@@ -1060,6 +1060,16 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
         elif name == "dissolve":
             key = args[0] if args else opts.get("fields",
                                                 opts.get("field"))
+            if _geom_type(cat.get()) is None:
+                # DATA-ONLY layer: one record per key group in
+                # first-appearance order (reference dissolve on CSV)
+                cat.replace(rel.dissolve_table(
+                    cat.get(), _num_list(key, str),
+                    sum_fields=_num_list(opts["sum_fields"], str)
+                    if "sum_fields" in opts else (),
+                    copy_fields=_num_list(opts["copy_fields"], str)
+                    if "copy_fields" in opts else ()))
+                continue
             out = api.dissolve_layer(
                 cat.get(), key,
                 sum_fields=_num_list(opts["sum_fields"], str)

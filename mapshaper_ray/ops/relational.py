@@ -420,3 +420,59 @@ def window_tumbling(ds, key: str, ts_col: str, width_s: int,
         return df
     bucketed = ds.map_batches(bucketize, batch_format="pandas")
     return groupby_agg(bucketed, [key, "window_start"], aggs)
+
+
+def with_row_position(ds, col: str = "__pos"):
+    """Stamp a GLOBAL row-position column (a delim table's identity is
+    its row order).  Two light passes: per-block row counts (metadata
+    scale), then a per-block remote stamp — blocks stay in the object
+    store, no driver materialization."""
+    import ray
+    import ray.data as rd
+
+    refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def _count(t):
+        return t.num_rows
+
+    @ray.remote
+    def _stamp(t, off):
+        import numpy as np
+        import pyarrow as pa
+        return t.append_column(
+            col, pa.array(np.arange(off, off + t.num_rows),
+                          type=pa.int64()))
+
+    counts = ray.get([_count.remote(r) for r in refs])
+    offs = np.cumsum([0] + counts[:-1])
+    out = rd.from_arrow_refs(
+        [_stamp.remote(r, int(o)) for r, o in zip(refs, offs)])
+    out.context.execution_options.preserve_order = True
+    return out
+
+
+def dissolve_table(ds, keys, sum_fields=(), copy_fields=()):
+    """-dissolve on a DATA-ONLY layer (reference dissolve on a CSV
+    table): one record per key group in FIRST-APPEARANCE order; the
+    output keeps key fields + sum-fields (summed) + copy-fields (first
+    value); every other field drops (getDissolveTable semantics)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    pos = with_row_position(ds)
+    first = uniq_first(pos, keys, ["__pos"])
+    keep = keys + [c for c in copy_fields if c not in keys] + ["__pos"]
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[c for c in keep if c in df.columns]]
+    out = first.map_batches(project, batch_format="pandas")
+    if sum_fields:
+        sums = groupby_agg(pos, keys,
+                           {c: (c, "sum") for c in sum_fields})
+        out = broadcast_join(out, sums.to_pandas(), on=keys)
+    out = out.sort("__pos")
+
+    def drop_pos(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns="__pos")
+    final = out.map_batches(drop_pos, batch_format="pandas")
+    final.context.execution_options.preserve_order = True
+    return final

@@ -1262,3 +1262,18 @@ def test_mixed_poly_line_topojson_bytes_identical(ray_session, ref_cli,
     ref_run(ref_cli, [str(src), "-o", str(ref)])
     run_commands(f"-i {src} -o {ours}")
     assert ours.read_bytes() == ref.read_bytes()
+
+
+def test_dissolve_csv_table(ray_session, ref_cli, tmp_path):
+    """-dissolve on a data-only CSV layer: one record per key group in
+    first-appearance order (reference dissolve-test 'dissolve CSV on
+    three fields'), byte-identical output."""
+    src = tmp_path / "in.csv"
+    src.write_text("id1,id2,id3\na,1,x\na,1,x\na,2,x\nb,1,x\nb,2,x\n"
+                   "b,2,x\nc,2,x\na,1,y\na,1,y")
+    ref = tmp_path / "ref.csv"
+    ours = tmp_path / "ours.csv"
+    ref_run(ref_cli, [str(src), "-dissolve", "id1,id2,id3",
+                      "-o", str(ref)])
+    run_commands(f"-i {src} -dissolve id1,id2,id3 -o {ours}")
+    assert ours.read_bytes() == ref.read_bytes()
