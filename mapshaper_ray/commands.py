@@ -1151,12 +1151,22 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 lambda df: df.drop(columns="__sort_key"),
                 batch_format="pandas"))
         elif name == "uniq":
-            ds = rel.each_expr(cat.get(), {"__uniq_key": args[0]},
+            ds = cat.get()
+            order_col = "feature_id"
+            drop = ["__uniq_key"]
+            if "feature_id" not in ds.schema().names:
+                # data-only tables order by ROW POSITION
+                ds = rel.with_row_position(ds)
+                order_col = "__pos"
+                drop.append("__pos")
+            ds = rel.each_expr(ds, {"__uniq_key": args[0]},
                                defs=cat.defs)
-            out = rel.uniq_first(ds, ["__uniq_key"], ["feature_id"],
+            out = rel.uniq_first(ds, ["__uniq_key"], [order_col],
                                  max_count=int(opts.get("max_count", 1)))
+            if order_col == "__pos":
+                out = out.sort("__pos")
             cat.replace(out.map_batches(
-                lambda df: df.drop(columns="__uniq_key"),
+                lambda df: df.drop(columns=drop),
                 batch_format="pandas"))
         elif name == "calc":
             import ray.data as rd

@@ -1277,3 +1277,15 @@ def test_dissolve_csv_table(ray_session, ref_cli, tmp_path):
                       "-o", str(ref)])
     run_commands(f"-i {src} -dissolve id1,id2,id3 -o {ours}")
     assert ours.read_bytes() == ref.read_bytes()
+
+
+def test_uniq_csv_table(ray_session, ref_cli, tmp_path):
+    """-uniq on a data-only CSV keeps the first row per key in row
+    order (no feature_id on tables — position is identity)."""
+    src = tmp_path / "u.csv"
+    src.write_text("k,v\nb,1\na,2\nb,3\na,4\n")
+    ref = tmp_path / "ref.csv"
+    ours = tmp_path / "ours.csv"
+    ref_run(ref_cli, [str(src), "-uniq", "k", "-o", str(ref)])
+    run_commands(f"-i {src} -uniq k -o {ours}")
+    assert ours.read_bytes() == ref.read_bytes()
