@@ -836,6 +836,8 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 svg_kw["point_symbol"] = opts["point_symbol"]
             fo_kw = {"field_order": opts["field_order"]} \
                 if "field_order" in opts else {}
+            enc_kw = {"encoding": opts["encoding"]} \
+                if "encoding" in opts else {}
             topo_kw = {}
             if "quantization" in opts:
                 topo_kw["quantization"] = int(opts["quantization"])
@@ -876,8 +878,8 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                     api.write_svg(ds, path, rotate=rotate,
                                   name=tgt or cat.target or "layer1",
                                   **svg_kw)
-                elif fmt in writers:
-                    writers[fmt](ds, path, **fo_kw)
+                elif fmt in writers:  # csv / tsv
+                    writers[fmt](ds, path, **fo_kw, **enc_kw)
                 elif fmt == "parquet":
                     ds.write_parquet(path)
                 else:
@@ -895,6 +897,8 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                                   **svg_kw)
                 elif str(path).lower().endswith((".json", ".geojson")):
                     api.write_geojson(ds, path, rotate=rotate, **gj_kw)
+                elif str(path).lower().endswith((".csv", ".tsv")):
+                    api.write_delim(ds, path, **fo_kw, **enc_kw)
                 else:
                     api.o(ds, path, rotate=rotate, **fo_kw)
             # .shp export writes the layer's .prj sidecar (verbatim

@@ -148,7 +148,8 @@ def format_delim(df, delimiter: str = ",") -> str:
 
 
 def write_delim(ds, path: str, delimiter: str | None = None,
-                field_order: str | None = None):
+                field_order: str | None = None,
+                encoding: str | None = None):
     """Single-file sink ordered by position (fixture-sized outputs; at
     scale use ``ds.write_csv(dir)`` which shards per block).  Output
     bytes match the reference's CSV/TSV export exactly."""
@@ -158,6 +159,13 @@ def write_delim(ds, path: str, delimiter: str | None = None,
     df = ordered_pandas(ds)
     if field_order == "ascending":  # case-insensitive (applyFieldOrder)
         df = df[sorted(df.columns, key=lambda c: c.lower())]
-    with open(path, "w", encoding="utf-8") as f:
-        f.write(format_delim(df, delimiter))
+    text = format_delim(df, delimiter)
+    if encoding and encoding.lower().replace("-", "") not in \
+            ("utf8",):
+        # reference iconv encode: unmappable chars become '?'
+        with open(path, "wb") as f:
+            f.write(text.encode(encoding, errors="replace"))
+    else:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(text)
     return path

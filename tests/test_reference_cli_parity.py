@@ -1289,3 +1289,19 @@ def test_uniq_csv_table(ray_session, ref_cli, tmp_path):
     ref_run(ref_cli, [str(src), "-uniq", "k", "-o", str(ref)])
     run_commands(f"-i {src} -uniq k -o {ours}")
     assert ours.read_bytes() == ref.read_bytes()
+
+
+def test_o_csv_encoding(ray_session, tmp_path):
+    """-o encoding= transcodes CSV output; unmappable characters become
+    '?' like the reference's iconv encode (delim-export-test.js)."""
+    src = tmp_path / "in.csv"
+    src.write_text("foo,bar\nétranger,外国人\n",
+                   encoding="utf-8")
+    run_commands(f"-i {src} -o encoding=latin-1 {tmp_path}/l1.csv")
+    assert (tmp_path / "l1.csv").read_bytes() == \
+        b"foo,bar\n\xe9tranger,???"
+    run_commands(f"-i {src} -o encoding=ascii {tmp_path}/a.csv")
+    assert (tmp_path / "a.csv").read_bytes() == b"foo,bar\n?tranger,???"
+    run_commands(f"-i {src} -o encoding=utf-16be {tmp_path}/u.csv")
+    assert (tmp_path / "u.csv").read_bytes().decode("utf-16be") == \
+        "foo,bar\nétranger,外国人"
