@@ -1177,7 +1177,14 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
             ds = cat.get()
             if "where" in opts:
                 ds = rel.filter_expr(ds, opts["where"], defs=cat.defs)
-            cat.add(rd.from_pandas(rel.calc_stats(ds, args[0])), "calc")
+            spec = args[0]
+            if "(" in spec:
+                # aggregate expression list: 'a = sum(v), n = count()'
+                out = rel.calc_exprs(ds, spec)
+            else:
+                # bare column: the full stats block
+                out = rel.calc_stats(ds, spec)
+            cat.add(rd.from_pandas(out), "calc")
         elif name == "join":
             src = _load_source(cat, opts, args)
             if "keys" not in opts:

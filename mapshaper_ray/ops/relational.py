@@ -476,3 +476,46 @@ def dissolve_table(ds, keys, sum_fields=(), copy_fields=()):
     final = out.map_batches(drop_pos, batch_format="pandas")
     final.context.execution_options.preserve_order = True
     return final
+
+
+def calc_exprs(ds, spec: str) -> pd.DataFrame:
+    """-calc 'a = sum(col), n = count(), m = median(col)' → one-row
+    DataFrame (reference mapshaper-calc.js surface for the aggregate
+    forms; expressions stay distributive — median uses the
+    distributed histogram-rank selection)."""
+    import re as _re
+
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    from .rank import median_exact
+    parts = {}
+    for chunk in spec.split(","):
+        if "=" in chunk:
+            name, expr = chunk.split("=", 1)
+        else:
+            name, expr = chunk, chunk
+        m = _re.match(r"\s*(sum|count|min|max|mean|average|median)"
+                      r"\(\s*([\w]*)\s*\)\s*$", expr.strip())
+        if not m:
+            raise ValueError(f"unsupported -calc expression: {chunk!r}")
+        parts[name.strip()] = (m.group(1), m.group(2))
+    agg_map = {"sum": Sum, "min": Min, "max": Max, "mean": Mean,
+               "average": Mean}
+    aggs = []
+    for fn, col in parts.values():
+        if fn == "count":
+            aggs.append(Count())
+        elif fn != "median":
+            aggs.append(agg_map[fn](col))
+    row = ds.aggregate(*aggs) if aggs else {}
+    out = {}
+    for name, (fn, col) in parts.items():
+        if fn == "count":
+            out[name] = int(row["count()"])
+        elif fn == "median":
+            out[name] = median_exact(
+                ds.select_columns([col]).materialize(), col)
+        else:
+            key = {"mean": "mean", "average": "mean"}.get(fn, fn)
+            out[name] = row[f"{key}({col})"]
+    return pd.DataFrame([out])

@@ -211,3 +211,16 @@ def test_join_miss_writes_null_not_nan(ray_session, tmp_path):
     ns = [f["properties"]["n"] for f in parsed["features"]]
     assert sorted([n for n in ns if n is not None]) == [1]
     assert ns.count(None) == 3
+
+
+def test_calc_aggregate_expressions(ray_session, tmp_path):
+    """-calc 'a = sum(v), n = count(), md = median(v)' (reference
+    mapshaper-calc.js aggregate forms) and the bare-column stats
+    block."""
+    src = tmp_path / "t.csv"
+    src.write_text("k,v\na,1\nb,2\na,3\n")
+    from mapshaper_ray.commands import run_commands
+    cat = run_commands(f"-i {src} -calc 's = sum(v), n = count(), "
+                       f"md = median(v)'")
+    rec = cat.get().to_pandas().to_dict("records")[0]
+    assert rec == {"s": 6, "n": 3, "md": 2.0}
