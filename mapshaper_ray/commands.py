@@ -1321,9 +1321,9 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
             from .pipelines.overlay import (_rewound_features,
                                             _rings_to_row)
             from .topo.refclip import dissolve2_features
-            mga = float(opts["min_gap_area"]) \
+            mga = _parse_area(opts["min_gap_area"]) \
                 if "min_gap_area" in opts else \
-                (float(opts["gap_fill_area"])
+                (_parse_area(opts["gap_fill_area"])
                  if "gap_fill_area" in opts else None)
             out = dissolve2_features(_rewound_features(df), keys,
                                      min_gap_area=mga)

@@ -1305,3 +1305,34 @@ def test_o_csv_encoding(ray_session, tmp_path):
     run_commands(f"-i {src} -o encoding=utf-16be {tmp_path}/u.csv")
     assert (tmp_path / "u.csv").read_bytes().decode("utf-16be") == \
         "foo,bar\nétranger,外国人"
+
+
+@pytest.mark.parametrize("case,mga", [
+    ("cw_in_cw", None),            # Fig 14: ring inside ring dissolves
+    ("hole_kept", None),           # hole preserved without min-gap
+    ("hole_filled", "1.1"),        # min-gap-area removes small hole
+    ("hole_retained", "0.9"),      # smaller threshold keeps it
+    ("units", "10km2"),            # min-gap-area accepts area units
+])
+def test_dissolve2_min_gap_cases(ray_session, ref_cli, tmp_path, case,
+                                 mga):
+    """-dissolve2 hole/gap handling (reference dissolve3-test Fig 14
+    cases incl. unit-bearing min-gap-area)."""
+    if case == "cw_in_cw":
+        doc = _fc(_poly(SQ(0, 0, 3)), _poly(SQ(1, 1, 1)))
+    elif case == "units":
+        doc = _fc(_poly(SQ(0, 0, 13),
+                        [(1, 1), (1.02, 1), (1.02, 1.02), (1, 1.02),
+                         (1, 1)]))
+    else:
+        doc = _fc(_poly(SQ(0, 100, 3),
+                        [(1, 101), (2, 101), (2, 102), (1, 102),
+                         (1, 101)]))
+    src = tmp_path / "in.json"
+    src.write_text(json.dumps(doc))
+    opt = [f"min-gap-area={mga}"] if mga else []
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [str(src), "-dissolve2", *opt, "-o", str(ref)])
+    run_commands(f"-i {src} -dissolve2 {' '.join(opt)} -o {ours}")
+    assert all_rings(str(ours)) == all_rings(str(ref))
