@@ -713,6 +713,9 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
         elif name == "o":
             path = args[0] if args else opts.get("file")
             tgt = opts.get("target")
+            all_layers = tgt in ("*",)
+            if all_layers:
+                tgt = None
             if opts.get("dry_run"):
                 continue  # reference dry-run: plan only, write nothing
             if isinstance(path, str) and (path.endswith("/")
@@ -727,9 +730,10 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                        "tsv": "tsv", "svg": "svg",
                        "shapefile": "shp", "shp": "shp"}.get(fmt, fmt)
                 os.makedirs(path, exist_ok=True)
-                names = [tgt] if tgt else \
-                    ([n for n in cat.targets if n in cat.layers]
-                     or list(cat.layers))
+                names = list(cat.layers) if all_layers else \
+                    ([tgt] if tgt else
+                     ([n for n in cat.targets if n in cat.layers]
+                      or list(cat.layers)))
                 for n in names:
                     out = os.path.join(path, f"{n}.{ext}")
                     if ext == "topojson":
@@ -746,9 +750,11 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                                   encoding="utf-8") as f:
                             f.write(ent["prj"])
                 continue
+            sel_targets = list(cat.layers) if all_layers else \
+                [n for n in cat.targets if n in cat.layers]
             is_topo_out = str(path).lower().endswith(".topojson") or \
                 opts.get("format", "").lstrip(".") == "topojson"
-            if tgt is None and len(cat.targets) > 1 and is_topo_out \
+            if tgt is None and len(sel_targets) > 1 and is_topo_out \
                     and opts.get("singles"):
                 # -o singles: one single-object topology PER LAYER,
                 # named <layer>.json (the reference's default topojson
@@ -758,13 +764,12 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                                   or os.path.isdir(path)) \
                     else (os.path.dirname(str(path)) or ".")
                 os.makedirs(d, exist_ok=True)
-                for n in cat.targets:
-                    if n in cat.layers:
-                        write_topojson_layer(
-                            cat.get(n), os.path.join(d, f"{n}.json"),
-                            object_name=n)
+                for n in sel_targets:
+                    write_topojson_layer(
+                        cat.get(n), os.path.join(d, f"{n}.json"),
+                        object_name=n)
                 continue
-            if tgt is None and len(cat.targets) > 1 and is_topo_out:
+            if tgt is None and len(sel_targets) > 1 and is_topo_out:
                 # multi-layer TopoJSON: every target layer becomes an
                 # object in ONE topology with shared arcs
                 from .sources.topojson import write_topojson_layers
@@ -772,10 +777,10 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 if "quantization" in opts:
                     topo_kw2["quantization"] = int(opts["quantization"])
                 write_topojson_layers(
-                    [(n, cat.get(n)) for n in cat.targets
-                     if n in cat.layers], path, **topo_kw2)
+                    [(n, cat.get(n)) for n in sel_targets], path,
+                    **topo_kw2)
                 continue
-            if tgt is None and len(cat.targets) > 1 and \
+            if tgt is None and len(sel_targets) > 1 and \
                     opts.get("combine_layers") and \
                     str(path).lower().endswith((".json", ".geojson")):
                 from .sources.geojson import write_geojson_combined
@@ -783,28 +788,31 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                     dss = [api.round_coords(
                         cat.get(n), float(opts.get("precision",
                                                    0.000001)))
-                           for n in cat.targets if n in cat.layers]
+                           for n in sel_targets]
                 else:
-                    dss = [cat.get(n) for n in cat.targets
-                           if n in cat.layers]
+                    dss = [cat.get(n) for n in sel_targets]
                 write_geojson_combined(
                     dss, path,
                     crs_null=cat.target in cat.projected,
                     prettify=bool(opts.get("prettify")),
                     rfc7946=bool(opts.get("rfc7946")))
                 continue
-            if tgt is None and len(cat.targets) > 1:
+            if tgt is None and len(sel_targets) > 1:
                 # several target layers, one output file: the reference
                 # numbers the files (out.json -> out1.json, out2.json,
-                # ...); -o must not change the current targets
-                saved_t, saved_ts = cat.target, list(cat.targets)
+                # ...) UNLESS target=* named the layers, in which case
+                # files carry the layer names; -o must not change the
+                # current targets
+                saved_t, saved_ts = cat.target, list(sel_targets)
                 base, ext = os.path.splitext(str(path))
                 sub_opts = {k: v for k, v in opts.items()
                             if k != "bbox_index"}
                 entries = []
                 for k, n in enumerate(
                         [x for x in saved_ts if x in cat.layers]):
-                    out = f"{base}{k + 1}{ext}"
+                    out = os.path.join(os.path.dirname(str(path)) or
+                                       ".", f"{n}{ext}") \
+                        if all_layers else f"{base}{k + 1}{ext}"
                     run_commands([{"name": "o",
                                    "options": {**sub_opts, "target": n},
                                    "args": [out]}], cat)

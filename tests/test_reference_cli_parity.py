@@ -1336,3 +1336,45 @@ def test_dissolve2_min_gap_cases(ray_session, ref_cli, tmp_path, case,
     ref_run(ref_cli, [str(src), "-dissolve2", *opt, "-o", str(ref)])
     run_commands(f"-i {src} -dissolve2 {' '.join(opt)} -o {ours}")
     assert all_rings(str(ours)) == all_rings(str(ref))
+
+
+def test_clip_target_and_o_all_layers(ray_session, tmp_path):
+    """clip-issues-test: -clip target=a touches only layer a; -o
+    target=* exports every layer to <layer>.json; the clipping layer's
+    own arcs stay unmodified."""
+    topo = {"type": "Topology",
+            "arcs": [[[0, 0], [0, 1], [1, 1], [1, 0], [0, 0]],
+                     [[2, 0], [2, 1], [3, 1], [3, 0], [2, 0]]],
+            "objects": {
+                "a": {"type": "Polygon", "arcs": [[0]],
+                      "properties": {"name": "a"}},
+                "b": {"type": "Polygon", "arcs": [[1]],
+                      "properties": {"name": "b"}}}}
+    src = tmp_path / "boxes.topojson"
+    src.write_text(json.dumps(topo))
+    run_commands(f"-i {src} -clip target=a bbox=-1,-1,1.5,1.5 "
+                 f"-o format=geojson target=* {tmp_path}/out.json")
+    a = json.load(open(tmp_path / "a.json"))
+    b = json.load(open(tmp_path / "b.json"))
+    assert a["features"][0]["geometry"]["coordinates"] == \
+        [[[0, 0], [0, 1], [1, 1], [1, 0], [0, 0]]]
+    assert b["features"][0]["geometry"]["coordinates"] == \
+        [[[2, 0], [2, 1], [3, 1], [3, 0], [2, 0]]]
+    # clipping layer not modified (second clip-issues case)
+    clipper = tmp_path / "clipper.json"
+    clipper.write_text(json.dumps(
+        {"type": "Polygon",
+         "coordinates": [[[0, 0], [0, 1], [1, 1], [1, 0], [0, 0]]]}))
+    clipped = tmp_path / "clipped.json"
+    clipped.write_text(json.dumps(
+        {"type": "Polygon",
+         "coordinates": [[[0, 0], [0, 1], [2, 1], [2, 0], [0, 0]]]}))
+    out = tmp_path / "o2"
+    out.mkdir()
+    run_commands(f"-i {clipper} -i {clipped} -clip clipper "
+                 f"-o target=* {out}/x.json")
+    c2 = json.load(open(out / "clipper.json"))
+    geoms = c2.get("geometries") or \
+        [f["geometry"] for f in c2["features"]]
+    assert geoms[0]["coordinates"] == \
+        [[[0, 0], [0, 1], [1, 1], [1, 0], [0, 0]]]
