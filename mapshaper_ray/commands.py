@@ -59,6 +59,7 @@ _FLAGS = {
     "clean": {"allow-overlaps"},
     "filter": {"remove-empty"},
     "data-fill": {"postprocess"},
+    "drop": {"geometry"},
 }
 
 # string option values the reference parses as booleans ('closed=false'
@@ -1510,13 +1511,35 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                                     "features. Select one feature for "
                                     "details")
         elif name == "drop":
-            if "fields" in opts:
-                fields = set(_num_list(opts["fields"], str))
+            geomc = {"feature_id", "rings_x", "rings_y", "ring_poly",
+                     "part_x", "part_y", "px", "py", "__fields"}
+            if opts.get("geometry"):
+                # -drop geometry: null every shape, keep the data
                 ds = cat.get()
-                keep = [c for c in ds.schema().names if c not in fields]
+                coord_cols = [c for c in ds.schema().names
+                              if c in geomc - {"feature_id",
+                                               "__fields"}]
+
+                def clear_geom(df: pd.DataFrame) -> pd.DataFrame:
+                    df = df.copy()
+                    for c in coord_cols:
+                        df[c] = [[] for _ in range(len(df))]
+                    return df
+                cat.replace(ds.map_batches(clear_geom,
+                                           batch_format="pandas"))
+            elif "fields" in opts:
+                ds = cat.get()
+                if opts["fields"].strip() == "*":
+                    keep = [c for c in ds.schema().names if c in geomc]
+                else:
+                    fields = set(_num_list(opts["fields"], str))
+                    keep = [c for c in ds.schema().names
+                            if c not in fields]
                 cat.replace(ds.select_columns(keep))
             else:
                 cat.layers.pop(cat.target)
+                cat.targets = [t for t in cat.targets
+                               if t != cat.target]
                 cat.target = next(iter(cat.layers), None)
         else:
             raise ValueError(f"unknown or unsupported command -{name}")

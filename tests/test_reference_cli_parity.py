@@ -1378,3 +1378,20 @@ def test_clip_target_and_o_all_layers(ray_session, tmp_path):
         [f["geometry"] for f in c2["features"]]
     assert geoms[0]["coordinates"] == \
         [[[0, 0], [0, 1], [1, 1], [1, 0], [0, 0]]]
+
+
+def test_drop_geometry_and_all_fields(ray_session, tmp_path):
+    """-drop geometry nulls shapes keeping data; -drop fields=* strips
+    every attribute (reference drop-test)."""
+    src = tmp_path / "in.json"
+    src.write_text(json.dumps(
+        {"type": "Feature", "properties": {"foo": "a", "bar": "b"},
+         "geometry": {"type": "Point", "coordinates": [0, 0]}}))
+    run_commands(f"-i {src} -drop geometry -o {tmp_path}/g.json")
+    doc = json.load(open(tmp_path / "g.json"))
+    assert doc["features"][0]["geometry"] is None
+    assert doc["features"][0]["properties"] == {"foo": "a", "bar": "b"}
+    run_commands(f"-i {src} -drop fields=* -o {tmp_path}/f.json")
+    doc = json.load(open(tmp_path / "f.json"))
+    assert doc["geometries"][0] == {"type": "Point",
+                                    "coordinates": [0, 0]}
