@@ -1231,7 +1231,7 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
             mcrs = _merged_crs(cat, names)
             merged = api.merge_layers([cat.layers[n] for n in names],
                                       force=bool(opts.get("force")))
-            mname = cat.add(merged, "merged")
+            mname = cat.add(merged, opts.get("name") or "merged")
             if mcrs is not None:
                 cat.crs[mname] = mcrs
                 if not mcrs["latlong"]:
@@ -1239,7 +1239,21 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
         elif name == "graticule":
             cat.add(api.graticule(), "graticule")
         elif name == "rectangle":
-            cat.add(api.rectangle(_num_list(opts["bbox"])), "rectangle")
+            if "bbox" in opts:
+                bb = _num_list(opts["bbox"])
+            else:
+                # bbox of the source= layer (or the current target)
+                from .pipelines.overlay import layer_bbox
+                src = opts.get("source") or cat.target
+                if src not in cat.layers:
+                    raise ValueError("-rectangle needs bbox= or a "
+                                     "source layer")
+                bb = list(layer_bbox(cat.layers[src]))
+            if "offset" in opts:
+                off = _parse_distance(opts["offset"])
+                bb = [bb[0] - off, bb[1] - off, bb[2] + off,
+                      bb[3] + off]
+            cat.add(api.rectangle(bb), opts.get("name") or "rectangle")
         elif name in ("point-grid", "point_grid"):
             c, r = _num_list(args[0], int)
             cat.add(api.point_grid(c, r), "point_grid")

@@ -60,9 +60,11 @@ def rectangle(bbox, feature_id=0, attrs=None):
     """-rectangle: single closed-rect polygon layer."""
     import ray.data as rd
     xmin, ymin, xmax, ymax = bbox
+    # vertex order matches the reference's convertBboxToGeoJSON
+    # (src/commands/mapshaper-shape.js:65): (xmin,ymin) up-first, CCW
     row = {"feature_id": feature_id,
-           "rings_x": [[xmin, xmax, xmax, xmin, xmin]],
-           "rings_y": [[ymin, ymin, ymax, ymax, ymin]],
+           "rings_x": [[xmin, xmin, xmax, xmax, xmin]],
+           "rings_y": [[ymin, ymax, ymax, ymin, ymin]],
            "ring_poly": [0], **(attrs or {})}
     return rd.from_items([row])
 

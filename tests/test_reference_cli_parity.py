@@ -1395,3 +1395,16 @@ def test_drop_geometry_and_all_fields(ray_session, tmp_path):
     doc = json.load(open(tmp_path / "f.json"))
     assert doc["geometries"][0] == {"type": "Point",
                                     "coordinates": [0, 0]}
+
+
+def test_rectangle_source_offset(ray_session, ref_cli, tmp_path):
+    """-rectangle source=<layer> offset=<dist>: bbox of the source
+    layer padded by the offset — byte-identical."""
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [TWO_STATES, "name=states", "-rectangle",
+                      "source=states", "offset=1", "-o",
+                      "target=rectangle", str(ref)])
+    run_commands(f"-i {TWO_STATES} name=states -rectangle "
+                 f"source=states offset=1 -o target=rectangle {ours}")
+    assert ours.read_bytes() == ref.read_bytes()
