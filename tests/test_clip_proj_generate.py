@@ -112,7 +112,8 @@ def test_generators(ray_session):
     gg = polygon_grid(2, 2, bbox=(0, 0, 2, 2)).to_pandas()
     assert len(gg) == 4
     r = rectangle((0, 0, 5, 3)).to_pandas()
-    assert r.iloc[0]["rings_x"][0][1] == 5
+    # reference convertBboxToGeoJSON vertex order: up first
+    assert r.iloc[0]["rings_x"][0][2] == 5 and r.iloc[0]["rings_y"][0][1] == 3
     g = graticule(interval=90, bbox=(-180, -90, 180, 90)).to_pandas()
     assert (g["type"] == "meridian").sum() == 5
     assert (g["type"] == "parallel").sum() == 3
