@@ -976,8 +976,26 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                                  "remove-empty")
             cat.replace(ds)
         elif name == "each":
-            assigns = _split_assignments(args[0])
+            # 'del foo' / 'delete foo' statements drop columns (the
+            # reference's JS `delete foo` in -each expressions)
+            parts = [p.strip() for p in re.split(r"[;,]", args[0])]
+            dels = [re.sub(r"^(?:del|delete)\s+", "", p) for p in parts
+                    if re.match(r"^(?:del|delete)\s+\w+$", p)]
+            rest = "; ".join(p for p in parts
+                             if not re.match(r"^(?:del|delete)\s+\w+$",
+                                             p) and p)
             ds = cat.get()
+            if dels:
+                have = [c for c in dels if c in ds.schema().names]
+                if have:
+                    ds = ds.map_batches(
+                        lambda df, cols=tuple(have):
+                        df.drop(columns=list(cols)),
+                        batch_format="pandas")
+                if not rest:
+                    cat.replace(ds)
+                    continue
+            assigns = _split_assignments(rest if dels else args[0])
             if "where" in opts:
                 # reference -each where=: assignments apply only to the
                 # guarded rows; other rows keep/NULL the columns

@@ -224,3 +224,14 @@ def test_calc_aggregate_expressions(ray_session, tmp_path):
                        f"md = median(v)'")
     rec = cat.get().to_pandas().to_dict("records")[0]
     assert rec == {"s": 6, "n": 3, "md": 2.0}
+
+
+def test_each_delete_field(ray_session, tmp_path):
+    """-each 'delete foo' drops the column (reference each-calc-test
+    'delete a field'); mixes with assignments."""
+    from mapshaper_ray.commands import run_commands
+    src = tmp_path / "e.csv"
+    src.write_text("a,b\n1,2\n3,4\n")
+    run_commands(f"-i {src} -each 'c = a + 1; del b' "
+                 f"-o {tmp_path}/o.csv")
+    assert (tmp_path / "o.csv").read_text() == "a,c\n1,2\n3,4"
