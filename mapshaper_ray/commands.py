@@ -157,6 +157,10 @@ def parse_commands(tokens) -> list[dict]:
         m = re.match(r"^([a-z][\w-]*)=(.*)$", tok)
         if m:
             cur["options"][m.group(1).replace("-", "_")] = m.group(2)
+        elif tok == "+":
+            # '+' shorthand = no-replace (add the output as a NEW
+            # layer, reference option parser)
+            cur["options"]["no_replace"] = True
         elif tok in _FLAGS.get(cur["name"], ()):
             cur["options"][tok.replace("-", "_")] = True
         else:
@@ -1115,7 +1119,11 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                         for k, (c, f) in _parse_calc(opts["calc"]).items()}
                 stats = rel.groupby_agg(cat.get(), [key], aggs).to_pandas()
                 out = rel.broadcast_join(out, stats, on=key)
-            cat.replace(out, no_rotate=True)
+            if opts.get("no_replace"):
+                cat.add(out, opts.get("name"))
+                cat.no_rotate.add(cat.target)
+            else:
+                cat.replace(out, no_rotate=True)
         elif name in ("clip", "erase", "slice"):
             ds = cat.get()
             if "bbox" in opts:
@@ -1147,8 +1155,12 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 raise ValueError("-slice supports polyline targets")
         elif name in ("innerlines", "lines"):
             from .pipelines.geometry import innerlines_layer
-            cat.replace(innerlines_layer(cat.get(),
-                                         inner_only=name == "innerlines"))
+            out = innerlines_layer(cat.get(),
+                                   inner_only=name == "innerlines")
+            if opts.get("no_replace"):
+                cat.add(out, opts.get("name"))
+            else:
+                cat.replace(out)
         elif name == "points":
             ds = cat.get()
             if opts.get("vertices"):

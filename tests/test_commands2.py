@@ -235,3 +235,15 @@ def test_each_delete_field(ray_session, tmp_path):
     run_commands(f"-i {src} -each 'c = a + 1; del b' "
                  f"-o {tmp_path}/o.csv")
     assert (tmp_path / "o.csv").read_text() == "a,c\n1,2\n3,4"
+
+
+def test_no_replace_plus_shorthand(ray_session):
+    """-innerlines + adds a NEW layer (reference '+' = no-replace);
+    name= names it."""
+    from mapshaper_ray.commands import run_commands
+    shp = "/root/reference/test/test_data/two_states.shp"
+    cat = run_commands(f"-i {shp} -innerlines +")
+    assert len(cat.layers) == 2 and "two_states" in cat.layers
+    cat = run_commands(f"-i {shp} -innerlines + name=innerlines")
+    assert set(cat.layers) == {"two_states", "innerlines"}
+    assert cat.target == "innerlines"
