@@ -734,6 +734,8 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                        "topojson": "topojson", "csv": "csv",
                        "tsv": "tsv", "svg": "svg",
                        "shapefile": "shp", "shp": "shp"}.get(fmt, fmt)
+                if "extension" in opts:  # -o extension= override
+                    ext = opts["extension"].lstrip(".")
                 os.makedirs(path, exist_ok=True)
                 names = list(cat.layers) if all_layers else \
                     ([tgt] if tgt else
