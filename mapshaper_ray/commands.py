@@ -1255,8 +1255,14 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
             out_dir = opts.get("out_dir") or "/tmp/mapshaper_ray_split"
             api.split_by_field(cat.get(), key, out_dir)
         elif name in ("split-on-grid", "split_on_grid"):
-            cols, rows = _num_list(args[0], int)
-            cat.replace(api.split_on_grid(cat.get(), cols, rows))
+            if args:
+                cols, rows = _num_list(args[0], int)
+            else:
+                cols = int(opts["cols"])
+                rows = int(opts["rows"])
+            cat.replace(api.split_on_grid(
+                cat.get(), cols, rows,
+                id_field=opts.get("id_field", "cell")))
         elif name in ("merge-layers", "merge_layers"):
             names = _num_list(opts["layers"], str) if "layers" in opts \
                 else list(cat.layers)

@@ -55,9 +55,11 @@ def feature_bbox_center(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def split_on_grid(ds, cols: int, rows: int, bbox=None):
+def split_on_grid(ds, cols: int, rows: int, bbox=None,
+                  id_field: str = "cell"):
     """Assign ``r{row}c{col}`` from the feature bbox center.  With no
-    bbox given, a first distributive pass computes the layer bbox."""
+    bbox given, a first distributive pass computes the layer bbox.
+    ``id_field`` names the cell column (-split-on-grid id-field=)."""
     from .features import layer_info
     if bbox is None:
         bbox = layer_info(ds)["bbox"]
@@ -69,7 +71,7 @@ def split_on_grid(ds, cols: int, rows: int, bbox=None):
         df = feature_bbox_center(df)
         c = np.clip(((df["__cx"] - xmin) / dx).astype(int), 0, cols - 1)
         r = np.clip(((df["__cy"] - ymin) / dy).astype(int), 0, rows - 1)
-        df["cell"] = "r" + r.astype(str) + "c" + c.astype(str)
+        df[id_field] = "r" + r.astype(str) + "c" + c.astype(str)
         return df.drop(columns=["__cx", "__cy"])
     return ds.map_batches(assign, batch_format="pandas")
 
