@@ -281,27 +281,45 @@ def to_point_layer(ds, mode="centroid"):
 # filters
 
 def filter_bbox(ds, xmin, ymin, xmax, ymax):
-    """-filter-geom bbox= : keep features whose bbox intersects
-    (src/commands/mapshaper-filter-geom.js:3-31)."""
+    """-filter-geom bbox= : PER-PART filtering like the reference
+    (src/commands/mapshaper-filter-geom.js:13-32) — points keep only
+    coordinates inside the bbox, paths/rings keep parts whose bbox
+    intersects; features left with no geometry are removed
+    (remove_empty)."""
     def go(df: pd.DataFrame) -> pd.DataFrame:
         gt = geom_type_of(list(df.columns))
+        df = df.copy()
         keep = []
-        for _, row in df.iterrows():
+        for ri in range(len(df)):
+            row = df.iloc[ri]
+            if gt == "point":
+                xs = np.asarray(_nz(row["px"]), dtype=float)
+                ys = np.asarray(_nz(row["py"]), dtype=float)
+                m = (xs >= xmin) & (xs <= xmax) & \
+                    (ys >= ymin) & (ys <= ymax)
+                df.at[df.index[ri], "px"] = xs[m].tolist()
+                df.at[df.index[ri], "py"] = ys[m].tolist()
+                keep.append(bool(m.any()))
+                continue
+            xc, yc = (("rings_x", "rings_y") if gt == "polygon"
+                      else ("part_x", "part_y"))
+            nx, ny, nrp = [], [], []
+            rp = list(_nz(row["ring_poly"])) if gt == "polygon" else []
+            for k, (x, y) in enumerate(zip(_nz(row[xc]),
+                                           _nz(row[yc]))):
+                x = np.asarray(x, dtype=float)
+                y = np.asarray(y, dtype=float)
+                if len(x) and x.min() <= xmax and x.max() >= xmin \
+                        and y.min() <= ymax and y.max() >= ymin:
+                    nx.append(x.tolist())
+                    ny.append(y.tolist())
+                    if gt == "polygon":
+                        nrp.append(rp[k] if k < len(rp) else k)
+            df.at[df.index[ri], xc] = nx
+            df.at[df.index[ri], yc] = ny
             if gt == "polygon":
-                rx, ry = _rings(row)
-                xs = np.concatenate(rx) if rx else np.empty(0)
-                ys = np.concatenate(ry) if ry else np.empty(0)
-            elif gt == "polyline":
-                xs = np.concatenate([np.asarray(v) for v in (row["part_x"] or [[]])]) \
-                    if row["part_x"] is not None and len(row["part_x"]) else np.empty(0)
-                ys = np.concatenate([np.asarray(v) for v in (row["part_y"] or [[]])]) \
-                    if row["part_y"] is not None and len(row["part_y"]) else np.empty(0)
-            else:
-                xs = np.asarray(_nz(row["px"]))
-                ys = np.asarray(_nz(row["py"]))
-            keep.append(bool(len(xs)) and xs.min() <= xmax
-                        and xs.max() >= xmin and ys.min() <= ymax
-                        and ys.max() >= ymin)
+                df.at[df.index[ri], "ring_poly"] = nrp
+            keep.append(bool(nx))
         return df[np.asarray(keep, dtype=bool)]
     return ds.map_batches(go, batch_format="pandas")
 

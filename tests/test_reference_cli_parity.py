@@ -1479,3 +1479,34 @@ def test_dissolve2_clean_random_fuzz(ray_session, ref_cli, tmp_path):
             run_commands(f"-i {src} {spec} -o {ours}")
             assert all_rings(str(ours), nd=9) == \
                 all_rings(str(ref), nd=9), (trial, spec)
+
+
+def test_filter_geom_per_part(ray_session, ref_cli, tmp_path):
+    """-filter-geom bbox= removes PARTS outside the bbox (points:
+    per-coordinate; paths: per-part bbox intersect) and drops emptied
+    features — byte-identical (reference filter-geom-test)."""
+    lines = {"type": "GeometryCollection", "geometries": [
+        {"type": "MultiLineString",
+         "coordinates": [[[0, 0], [0, -10]], [[180, -1], [179, -2]],
+                         [[-180, 90], [-180, 89]]]},
+        {"type": "LineString", "coordinates": [[10, -10], [11, -11]]}]}
+    src = tmp_path / "l.json"
+    src.write_text(json.dumps(lines))
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [str(src), "-filter-geom", "bbox=-180,0,180,90",
+                      "-o", str(ref)])
+    run_commands(f"-i {src} -filter-geom bbox=-180,0,180,90 -o {ours}")
+    assert ours.read_bytes() == ref.read_bytes()
+    pts = {"type": "GeometryCollection", "geometries": [
+        {"type": "MultiPoint", "coordinates": [[0, 0], [5, 50]]},
+        {"type": "Point", "coordinates": [0, -1]}]}
+    src2 = tmp_path / "p.json"
+    src2.write_text(json.dumps(pts))
+    ref2 = tmp_path / "ref2.json"
+    ours2 = tmp_path / "ours2.json"
+    ref_run(ref_cli, [str(src2), "-filter-geom", "bbox=-180,0,180,90",
+                      "-o", str(ref2)])
+    run_commands(f"-i {src2} -filter-geom bbox=-180,0,180,90 "
+                 f"-o {ours2}")
+    assert ours2.read_bytes() == ref2.read_bytes()
