@@ -654,21 +654,55 @@ def _q41_rasterize(sf_dir: str):
 
 def _q43_embedding_lsh(sf_dir: str):
     """Hyperplane-LSH near-dup (the scale path for embedding dedup):
-    auto-tuned band-OR (tune_lsh -> >=95% expected recall at the
-    threshold), exact cosine verify in-bucket so precision is exact.
-    Deterministic given the seed -> rows-only check is stable; the
-    exact O(n^2) variant is the value-exact oracle (q15)."""
+    band-OR over 64 tables of 4 hyperplanes, exact cosine verify
+    in-bucket.  Precision is 1 BY CONSTRUCTION (every emitted pair
+    passed the exact-cosine verify, so q43 ⊆ q15 always); with 4×64
+    banding the per-pair miss probability at cosine 0.35 is
+    (1-0.614^4)^64 ≈ 5e-5, and the seeded run is DETERMINISTIC —
+    verified missed=0 against the exact pair set at sf0.001/sf0.01
+    (tests/test_embedding_lsh.py), so the exact all-pairs SQL (q15's)
+    is this query's value-exact oracle."""
     import ray.data as rd
     from mapshaper_ray.ops.dedup import embedding_near_dup
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
-    out = embedding_near_dup(emb, threshold=0.35).to_pandas()
+    out = embedding_near_dup(emb, threshold=0.35,
+                             n_planes=4, n_tables=64).to_pandas()
     if "cosine" not in out.columns:
         out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                             "id_b": pd.Series([], dtype="int64"),
                             "cosine": pd.Series([], dtype="float64")})
     out["cosine"] = out["cosine"].round(6)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _q44_dissolve_auto(sf_dir: str):
+    """DEFAULT-path dissolve over a >AUTO_DISTRIBUTE_ROWS layer: no
+    cell= is passed, so dissolve_layer itself selects the distributed
+    cell substrate (pre-cut → per-cell dissolve → border-cancelling
+    rollup) — the contract query for the round-3 'distributed by
+    default' guarantee.  The 80×80 unit grid groups by whole columns,
+    so the oracle is closed-form (80 cells / 80.0 area per column)."""
+    from mapshaper_ray.ops.features import add_polygon_metrics
+    from mapshaper_ray.ops.generate import polygon_grid
+    from mapshaper_ray.pipelines.overlay import (auto_cell_size,
+                                                 dissolve_layer)
+
+    grid = polygon_grid(80, 80, bbox=(0, 0, 80, 80))
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["grp"] = "g" + ((df["col"] * 2654435761) % 7).astype(str)
+        df["v"] = 1
+        return df
+    keyed = grid.map_batches(key, batch_format="pandas")
+    assert auto_cell_size(keyed)[0] is not None, \
+        "6400-row layer must route to the distributed substrate"
+    out = dissolve_layer(keyed, "grp", sum_fields=("v",))  # default!
+    out = add_polygon_metrics(out).to_pandas()
+    out["area"] = out["area"].round(6)
+    return out[["grp", "v", "area"]].sort_values("grp") \
+        .reset_index(drop=True)
 
 
 def _q42_raster_polygons(sf_dir: str):
@@ -739,6 +773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q41_rasterize": _q41_rasterize,
         "q42_raster_polygons": _q42_raster_polygons,
         "q43_embedding_lsh": _q43_embedding_lsh,
+        "q44_dissolve_auto": _q44_dissolve_auto,
     }
 
 
@@ -919,6 +954,20 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY query_id
                                        ORDER BY cosine DESC, vec_id) <= 10""",
         "q15_embedding_neardup": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+            ORDER BY id_a, id_b""",
+        # q43 ⊆ q15 by construction (exact in-bucket cosine verify ⇒
+        # precision 1); 4-plane × 64-table band-OR pushes the per-pair
+        # miss probability to ~5e-5 and the seeded run is verified
+        # missed=0 vs the exact pair set at the driver's scales, so the
+        # exact all-pairs join is the LSH path's value-exact oracle
+        "q43_embedding_lsh": """
             WITH e AS (SELECT vec_id,
                               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                        FROM embeddings)
@@ -1259,6 +1308,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(6) AS BIGINT) AS v,
                    round(sum(6.0), 6) AS area
             FROM cols GROUP BY 1""",
+        "q44_dissolve_auto": """
+            -- default-path (auto-distributed) dissolve of the 80x80
+            -- unit grid grouped by whole columns: 80 cells and 80.0
+            -- area per column, summed over the columns of each group
+            WITH cols AS (SELECT unnest(generate_series(0, 79)) AS c)
+            SELECT 'g' || CAST((c * 2654435761) % 7 AS VARCHAR) AS grp,
+                   CAST(sum(80) AS BIGINT) AS v,
+                   round(sum(80.0), 6) AS area
+            FROM cols GROUP BY 1 ORDER BY grp""",
         "q30_nearest_within": f"""
             WITH {_GEO_CTE},
             pts AS (SELECT doc_id, lon, lat FROM geo),

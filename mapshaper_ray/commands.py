@@ -741,21 +741,26 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                     ([tgt] if tgt else
                      ([n for n in cat.targets if n in cat.layers]
                       or list(cat.layers)))
+                # route each layer through the SINGLE-FILE writer path
+                # (recursive run_commands, the numbered multi-layer
+                # export pattern) so precision= / prettify / rfc7946 /
+                # id-field= / drop-table / encoding= / quantization
+                # apply to directory exports exactly as the reference
+                # does regardless of output destination
+                saved_t, saved_ts = cat.target, list(cat.targets)
+                sub_opts = {k: v for k, v in opts.items()
+                            if k not in ("target", "file", "extension",
+                                         "bbox_index")}
+                entries = []
                 for n in names:
                     out = os.path.join(path, f"{n}.{ext}")
-                    if ext == "topojson":
-                        # the topology object carries the layer name
-                        from .sources.topojson import \
-                            write_topojson_layer
-                        write_topojson_layer(cat.get(n), out,
-                                             object_name=n)
-                    else:
-                        api.o(cat.get(n), out, rotate=False)
-                    ent = cat.crs.get(n)
-                    if ext == "shp" and ent and ent.get("prj"):
-                        with open(out[:-4] + ".prj", "w",
-                                  encoding="utf-8") as f:
-                            f.write(ent["prj"])
+                    run_commands([{"name": "o",
+                                   "options": {**sub_opts, "target": n},
+                                   "args": [out]}], cat)
+                    entries.append((out, cat.get(n)))
+                if opts.get("bbox_index"):
+                    _write_bbox_index(entries, path)
+                cat.target, cat.targets = saved_t, saved_ts
                 continue
             sel_targets = list(cat.layers) if all_layers else \
                 [n for n in cat.targets if n in cat.layers]
@@ -800,7 +805,11 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                     dss = [cat.get(n) for n in sel_targets]
                 write_geojson_combined(
                     dss, path,
-                    crs_null=cat.target in cat.projected,
+                    # a combined file is projected when ANY exported
+                    # layer is (reference: CRS comes from the dataset
+                    # the layers live in, not the current target)
+                    crs_null=any(n in cat.projected
+                                 for n in sel_targets),
                     prettify=bool(opts.get("prettify")),
                     rfc7946=bool(opts.get("rfc7946")))
                 continue
@@ -1113,7 +1122,7 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 if "sum_fields" in opts else (),
                 copy_fields=_num_list(opts["copy_fields"], str)
                 if "copy_fields" in opts else (),
-                cell=float(opts["cell"]) if "cell" in opts else None)
+                cell=float(opts["cell"]) if "cell" in opts else "auto")
             if "calc" in opts and key:
                 # -dissolve calc=: per-group aggregate expressions join
                 # onto the dissolved features
@@ -1333,6 +1342,27 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
 
             from .sources.layers import nz
             from .topo import mosaic as mz
+            if name == "dissolve2":
+                # route to the distributed substrate BEFORE collecting
+                # the layer: explicit cell=, or auto above the row
+                # threshold (gap options keep the exact local kernel —
+                # gap areas are judged per cell piece on that path)
+                from .pipelines.overlay import (AUTO_DISTRIBUTE_ROWS,
+                                                dissolve2_layer)
+                key0 = args[0] if args else opts.get("fields")
+                has_gap = ("min_gap_area" in opts
+                           or "gap_fill_area" in opts)
+                if "cell" in opts or (
+                        not has_gap
+                        and cat.get().count() >= AUTO_DISTRIBUTE_ROWS):
+                    cat.replace(dissolve2_layer(
+                        cat.get(), key0,
+                        cell=float(opts["cell"]) if "cell" in opts
+                        else "auto",
+                        gap_max_area=float(opts.get("gap_fill_area",
+                                                    0))),
+                        no_rotate=True)
+                    continue
             df = cat.get().to_pandas().sort_values("feature_id") \
                 .reset_index(drop=True)
             if name == "polygons":
@@ -1363,12 +1393,6 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 cat.replace(rd.from_items(rows), no_rotate=True)
                 continue
             key = args[0] if args else opts.get("fields")
-            if name == "dissolve2" and "cell" in opts:
-                from .pipelines.overlay import dissolve2_layer
-                cat.replace(dissolve2_layer(
-                    cat.get(), key, cell=float(opts["cell"]),
-                    gap_max_area=float(opts.get("gap_fill_area", 0))))
-                continue
             if name == "clean":
                 # -clean: erase overlaps / fill gaps but keep features
                 keys = [str(i) for i in df["feature_id"]]

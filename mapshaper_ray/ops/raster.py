@@ -244,48 +244,211 @@ def _compact_collinear(ix, iy):
     return ix[keep], iy[keep]
 
 
+def _walk_band(ekey, dirs, nx, band_h):
+    """Chain-assemble the directed boundary edges of one (label, band)
+    partition.  Corners on band lines (iy % band_h == 0) are BREAK
+    corners — edges incident to them may live in the adjacent band, so
+    the walk stops there and emits an OPEN chain; walks that never
+    touch a band line close into finished rings.  All edges incident
+    to a non-break corner provably share the band (edge→band assignment
+    is by canonical corner row), so the in-band successor under the
+    turn-preference rule equals the global one.
+
+    Returns (closed, open_chains): closed = [(ixs, iys)] rings
+    (first==last); open_chains = [(ixs, iys, d_start, d_end)] where the
+    coord arrays include the final target corner."""
+    stride = nx + 1
+    corner = ekey >> 1
+    orient = (ekey & 1).astype(np.int64)
+    iy = corner // stride
+    ix = corner % stride
+    fx = np.where((orient == 0) & (dirs == 2), ix + 1, ix)
+    fy = np.where((orient == 1) & (dirs == 3), iy + 1, iy)
+    fv = fy * stride + fx
+    n = len(ekey)
+    out_of: dict = {}
+    for e, v in enumerate(fv):
+        out_of.setdefault(int(v), []).append(e)
+
+    succ = np.full(n, -1, dtype=np.int64)
+    has_pred = np.zeros(n, dtype=bool)
+    for e in range(n):
+        d = int(dirs[e])
+        tv = int(fv[e] + _DY[d] * stride + _DX[d])
+        if (tv // stride) % band_h == 0:
+            continue  # break corner: chain ends here
+        nxt = None
+        cands = out_of.get(tv, ())
+        for pref in ((d - 1) % 4, d, (d + 1) % 4):
+            for c in cands:
+                if dirs[c] == pref:
+                    nxt = c
+                    break
+            if nxt is not None:
+                break
+        if nxt is not None:
+            succ[e] = nxt
+            has_pred[nxt] = True
+
+    used = np.zeros(n, dtype=bool)
+    closed, open_chains = [], []
+
+    def walk(e0, stop_at_break):
+        xs, ys = [], []
+        e = e0
+        while True:
+            used[e] = True
+            xs.append(int(fx[e]))
+            ys.append(int(fy[e]))
+            nxt = int(succ[e])
+            if nxt < 0 or nxt == e0:
+                d = int(dirs[e])
+                # final target corner
+                xs.append(int(fx[e] + _DX[d]))
+                ys.append(int(fy[e] + _DY[d]))
+                return xs, ys, nxt == e0, int(dirs[e0]), d
+            e = nxt
+
+    for e0 in range(n):          # open chains start at head edges
+        if used[e0] or has_pred[e0]:
+            continue
+        xs, ys, is_closed, d0, d1 = walk(e0, True)
+        open_chains.append((np.asarray(xs, dtype=np.int64),
+                            np.asarray(ys, dtype=np.int64), d0, d1))
+    for e0 in range(n):          # leftovers are in-band closed cycles
+        if used[e0]:
+            continue
+        xs, ys, is_closed, d0, d1 = walk(e0, False)
+        closed.append((np.asarray(xs, dtype=np.int64),
+                       np.asarray(ys, dtype=np.int64)))
+    return closed, open_chains
+
+
+def _merge_chains(chains, stride):
+    """Merge open chains (macro-edges) into rings with the same
+    turn-preference successor rule the fine walk uses — valid because
+    every chain transition happens at a break corner, where ALL of the
+    label's outgoing edges are chain heads."""
+    starts: dict = {}
+    for i, (xs, ys, d0, d1) in enumerate(chains):
+        starts.setdefault(int(ys[0] * stride + xs[0]), []).append(i)
+    used = [False] * len(chains)
+    rings = []
+    for c0 in range(len(chains)):
+        if used[c0]:
+            continue
+        xs0, ys0, _, d_end = chains[c0]
+        used[c0] = True
+        acc_x = [xs0]
+        acc_y = [ys0]
+        c = c0
+        while True:
+            xs, ys, _, d_end = chains[c]
+            tv = int(ys[-1] * stride + xs[-1])
+            nxt = None
+            for pref in ((d_end - 1) % 4, d_end, (d_end + 1) % 4):
+                for cand in starts.get(tv, ()):
+                    if cand == c0 and chains[cand][2] == pref:
+                        nxt = c0
+                        break
+                    if not used[cand] and chains[cand][2] == pref:
+                        nxt = cand
+                        break
+                if nxt is not None:
+                    break
+            if nxt is None or nxt == c0:
+                break
+            used[nxt] = True
+            acc_x.append(chains[nxt][0][1:])  # first == previous last
+            acc_y.append(chains[nxt][1][1:])
+            c = nxt
+        rings.append((np.concatenate(acc_x), np.concatenate(acc_y)))
+    return rings
+
+
 def raster_to_polygons(raster_ds, spec: GridSpec, value_col: str = "value",
-                       compact: bool = True):
+                       compact: bool = True, n_bands: int = 64):
     """Vectorize a raster: reconstruct one polygon feature (possibly
     multi-part, with holes) per distinct cell value.  Output is a
     polygon-layer Dataset (rings_x/rings_y/ring_poly) plus exact
     ``area`` and ``perimeter`` computed from the traced geometry.
 
-    Distributed shape: edge emission + per-band cancellation (combiner)
-    is a map_batches over cells — edges interior to a band cancel
-    before any exchange, leaving O(perimeter + band borders) rows
-    (measured 3.3M → 0.44M on a 2M-cell raster).  ONE groupby-on-label
-    shuffle then finishes cancellation (both copies of a band-border
-    edge carry the same label, so they meet in the label group) and
-    stitches rings in the same map_groups call — a second shuffle
-    keyed on edge buckets costs ~5 s of fixed sort-shuffle overhead in
-    Ray 2.49 and buys nothing.  The only per-edge Python loop walks
-    boundary edges (O(perimeter), not O(cells))."""
+    Distributed shape — TWO-LEVEL stitch (skew-proof):
+
+    1. edge emission + per-batch cancellation (combiner) in map_batches
+       over cells — edges interior to a batch cancel before any
+       exchange (measured 3.3M → 0.44M rows on a 2M-cell raster);
+    2. groupby (label, band): finish cancellation (both copies of an
+       edge share label AND band — the band is a pure function of the
+       edge's canonical corner) and CHAIN-ASSEMBLE in parallel: the
+       per-edge Python walk runs per horizontal band, so a label
+       covering 90% of the raster spreads its boundary walk over
+       ``n_bands`` tasks instead of one;
+    3. groupby label: merge only the OPEN chain endpoints (O(chains) —
+       the label's boundary ∩ band lines, not its whole boundary) and
+       assemble the final feature row.
+
+    The per-label task now holds the output geometry (inherent — the
+    result row is per label) but walks only chain joints."""
     from ..geom.kernels import planar_ring_area
     from ..pipelines.overlay import _rings_to_row
 
     nx = spec.nx
+    stride = nx + 1
+    band_h = max(1, spec.ny // n_bands)
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         labs, ekey, dirs = _cell_edges(
             df["row"].to_numpy(dtype=np.int64),
             df["col"].to_numpy(dtype=np.int64),
             df[value_col].to_numpy(dtype=np.int64), nx)
-        # combiner: edges interior to this band cancel HERE, so the
-        # shuffle moves only band-border + label-boundary edges
-        # (measured 3.3M -> ~0.44M rows on a 2M-cell raster)
         labs, ekey, dirs = _cancel_arrays(labs, ekey, dirs)
-        return pd.DataFrame({"label": labs, "ekey": ekey, "dir": dirs})
+        band = ((ekey >> 1) // stride) // band_h
+        return pd.DataFrame({"label": labs, "band": band,
+                             "ekey": ekey, "dir": dirs})
 
     edges = raster_ds.map_batches(emit, batch_format="pandas",
                                   batch_size=None)
 
-    def stitch(df: pd.DataFrame) -> pd.DataFrame:
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
         label = int(df["label"].iloc[0])
         _, ekeys, dirs = _cancel_arrays(df["label"].to_numpy(),
                                         df["ekey"].to_numpy(),
                                         df["dir"].to_numpy())
-        rings = _walk_rings(ekeys, dirs, nx)
+        closed, open_chains = _walk_band(ekeys, dirs, nx, band_h)
+        rows = []
+        for xs, ys in closed:
+            rows.append({"label": label, "closed": True,
+                         "xs": xs.tolist(), "ys": ys.tolist(),
+                         "d0": 0, "d1": 0})
+        for xs, ys, d0, d1 in open_chains:
+            # compact straight runs now (endpoints always kept) so the
+            # label shuffle ships corners, not every unit step
+            keep = np.ones(len(xs), dtype=bool)
+            dx = np.diff(xs)
+            dy = np.diff(ys)
+            keep[1:-1] = (dx[1:] != dx[:-1]) | (dy[1:] != dy[:-1])
+            rows.append({"label": label, "closed": False,
+                         "xs": xs[keep].tolist(),
+                         "ys": ys[keep].tolist(), "d0": d0, "d1": d1})
+        return pd.DataFrame(rows)
+
+    parts = edges.groupby(["label", "band"]).map_groups(
+        assemble, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        label = int(df["label"].iloc[0])
+        rings = []
+        chains = []
+        for closed, xs, ys, d0, d1 in zip(df["closed"], df["xs"],
+                                          df["ys"], df["d0"], df["d1"]):
+            xs = np.asarray(xs, dtype=np.int64)
+            ys = np.asarray(ys, dtype=np.int64)
+            if closed:
+                rings.append((xs, ys))
+            else:
+                chains.append((xs, ys, int(d0), int(d1)))
+        rings.extend(_merge_chains(chains, stride))
         out_rings, area, perim = [], 0.0, 0.0
         for ixr, iyr in rings:
             if compact:
@@ -301,5 +464,5 @@ def raster_to_polygons(raster_ds, spec: GridSpec, value_col: str = "value",
             "rings_x": rx, "rings_y": ry, "ring_poly": rp,
             "area": area, "perimeter": perim}])
 
-    return edges.groupby("label").map_groups(stitch,
+    return parts.groupby("label").map_groups(merge,
                                              batch_format="pandas")

@@ -69,9 +69,19 @@ def split_on_grid(ds, cols: int, rows: int, bbox=None,
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         df = feature_bbox_center(df)
-        c = np.clip(((df["__cx"] - xmin) / dx).astype(int), 0, cols - 1)
-        r = np.clip(((df["__cy"] - ymin) / dy).astype(int), 0, rows - 1)
-        df[id_field] = "r" + r.astype(str) + "c" + c.astype(str)
+        cx = df["__cx"].to_numpy(float)
+        cy = df["__cy"].to_numpy(float)
+        # null/empty geometry → NaN center; the reference assigns ''
+        # when the shape has no bounds (mapshaper-split-on-grid.js
+        # hasBounds() check) instead of crashing on the int cast
+        ok = np.isfinite(cx) & np.isfinite(cy)
+        c = np.clip(np.where(ok, (cx - xmin) / dx, 0).astype(int),
+                    0, cols - 1)
+        r = np.clip(np.where(ok, (cy - ymin) / dy, 0).astype(int),
+                    0, rows - 1)
+        ids = np.char.add(np.char.add("r", r.astype(str)),
+                          np.char.add("c", c.astype(str)))
+        df[id_field] = np.where(ok, ids, "")
         return df.drop(columns=["__cx", "__cy"])
     return ds.map_batches(assign, batch_format="pandas")
 

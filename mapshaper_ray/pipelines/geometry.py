@@ -192,25 +192,71 @@ def innerlines_by_key(features_ds, key="grp", inner_only=True):
 
     edge_ds = features_ds.map_batches(edges, batch_format="pandas")
 
-    def classify(df: pd.DataFrame) -> pd.DataFrame:
-        grps = sorted(set(df[key]))
-        if len(df) == 1:
-            kind = "outer"
-            pair = f"{grps[0]}-"
-        elif len(grps) == 1:
-            kind = "shared_same"   # interior to one dissolve group
-            pair = f"{grps[0]}-{grps[0]}"
-        else:
-            kind = "inner"
-            pair = f"{grps[0]}-{grps[1]}"
-        r = df.iloc[0]
-        ek = f"{r['qx1']}_{r['qy1']}_{r['qx2']}_{r['qy2']}"
-        return pd.DataFrame([{"edge_key": ek, "kind": kind, "pair": pair}])
+    # coarse bucket-hash shuffle + vectorized in-partition classify —
+    # NOT groupby(edge_key).map_groups: one tiny map_groups per polygon
+    # edge is pure per-group overhead (the pattern measured at 8× and
+    # fixed for MinHash bands in ops/dedup.py).  A bucket holds many
+    # edges; all edges sharing a key land in one bucket (hash of the
+    # exact composite key), where a lexsort + boundary diff classifies
+    # every group without a Python loop.
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = (df["qx1"].to_numpy(np.int64).astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)
+             ^ df["qy1"].to_numpy(np.int64).astype(np.uint64)
+             * np.uint64(0xC2B2AE3D27D4EB4F)
+             ^ df["qx2"].to_numpy(np.int64).astype(np.uint64)
+             * np.uint64(0x165667B19E3779F9)
+             ^ df["qy2"].to_numpy(np.int64).astype(np.uint64)
+             * np.uint64(0x27D4EB2F165667C5))
+        df["__b"] = (h % np.uint64(64)).astype(np.int64)
+        return df
 
-    # exact composite key: the four quantized int64 coordinates (a
-    # mixed single hash would admit collisions)
-    classified = edge_ds.groupby(["qx1", "qy1", "qx2", "qy2"]).map_groups(
-        classify, batch_format="pandas")
+    def classify_part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"edge_key": [], "kind": [], "pair": []})
+        grp = df[key].astype(str).to_numpy()
+        order = np.lexsort((grp, df["qy2"].to_numpy(), df["qx2"].to_numpy(),
+                            df["qy1"].to_numpy(), df["qx1"].to_numpy()))
+        qx1 = df["qx1"].to_numpy()[order]
+        qy1 = df["qy1"].to_numpy()[order]
+        qx2 = df["qx2"].to_numpy()[order]
+        qy2 = df["qy2"].to_numpy()[order]
+        grp = grp[order]
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = ((qx1[1:] != qx1[:-1]) | (qy1[1:] != qy1[:-1])
+                   | (qx2[1:] != qx2[:-1]) | (qy2[1:] != qy2[:-1]))
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(df)]
+        sizes = ends - starts
+        lo = grp[starts]        # min group (grp lexsorted within edge)
+        # second DISTINCT group value within each edge group: first
+        # position where grp differs from the group's first value
+        diff = np.zeros(len(df), dtype=bool)
+        diff[1:] = (grp[1:] != grp[:-1]) & ~new[1:]
+        second = np.full(len(starts), "", dtype=object)
+        d_idx = np.flatnonzero(diff)
+        if len(d_idx):
+            owner = np.searchsorted(starts, d_idx, side="right") - 1
+            # FIRST distinct-change position per group (owner is
+            # nondecreasing, so unique's first-occurrence index is it)
+            ow_u, first_pos = np.unique(owner, return_index=True)
+            second[ow_u] = grp[d_idx[first_pos]]
+        one_grp = second == ""
+        kind = np.where(sizes == 1, "outer",
+                        np.where(one_grp, "shared_same", "inner"))
+        pair = np.where(sizes == 1, lo + "-",
+                        np.where(one_grp, lo + "-" + lo,
+                                 lo + "-" + second.astype(str)
+                                 .astype(object)))
+        def s(a):   # numpy '<U' arrays don't support the + operator
+            return a.astype(str).astype(object)
+        ek = (s(qx1[starts]) + "_" + s(qy1[starts])
+              + "_" + s(qx2[starts]) + "_" + s(qy2[starts]))
+        return pd.DataFrame({"edge_key": ek, "kind": kind, "pair": pair})
+
+    classified = edge_ds.map_batches(bucket, batch_format="pandas") \
+        .groupby("__b").map_groups(classify_part, batch_format="pandas")
     if inner_only:
         def keep(df: pd.DataFrame) -> pd.DataFrame:
             return df[df["kind"] == "inner"]
@@ -285,12 +331,186 @@ def innerlines_pipeline(sf_dir: str, grid=16):
     return groupby_agg(cls, ["pair"], {"n_edges": ("edge_key", "count")})
 
 
-def innerlines_layer(ds, inner_only=True):
+def innerlines_layer_distributed(ds, inner_only=True):
+    """Distributed -innerlines / -lines over a polygon layer Dataset.
+
+    Shape: map_batches emits one row per polygon EDGE (exact float64
+    endpoints as the composite key — shared borders carry bit-identical
+    coordinates, so exact equality is the arc identity, as in
+    ``innerlines_by_key``); a coarse bucket-hash shuffle + vectorized
+    in-partition groupby classifies edges by their user count/groups;
+    inner (or outer) edges then shuffle by their canonical feature-PAIR
+    key, and one map_groups per pair chains its edges into maximal
+    polylines — pair borders are tiny compared to the layer, so the
+    per-group kernel is O(border), never O(layer).
+
+    Equivalent to the in-process kernel up to part order and line
+    direction (canonicalized here: features sorted by pair key); the
+    exact reference extraction order needs the global arc walk, which
+    is why the local kernel remains the small-layer default."""
+    import ray.data as rd
+
+    from ..sources.layers import nz
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        rows_x, rows_y, fids = [], [], []
+        for fid, rx, ry in zip(df["feature_id"].to_numpy(),
+                               df["rings_x"].to_numpy(),
+                               df["rings_y"].to_numpy()):
+            for x, y in zip(nz(rx), nz(ry)):
+                rows_x.append(np.asarray(x, np.float64))
+                rows_y.append(np.asarray(y, np.float64))
+                fids.append(int(fid))
+        if not rows_x:
+            return pd.DataFrame({"x1": [], "y1": [], "x2": [], "y2": [],
+                                 "fwd": [], "feature_id": []})
+        lens = np.array([len(a) for a in rows_x], dtype=np.int64)
+        fx = np.concatenate(rows_x)
+        fy = np.concatenate(rows_y)
+        idx = np.arange(len(fx))
+        mask = np.ones(len(fx), dtype=bool)
+        mask[np.cumsum(lens) - 1] = False
+        ai = idx[mask]
+        ax, ay, bx, by = fx[ai], fy[ai], fx[ai + 1], fy[ai + 1]
+        swap = (ax > bx) | ((ax == bx) & (ay > by))
+        return pd.DataFrame({
+            "x1": np.where(swap, bx, ax), "y1": np.where(swap, by, ay),
+            "x2": np.where(swap, ax, bx), "y2": np.where(swap, ay, by),
+            "fwd": ~swap,
+            "feature_id": np.repeat(np.array(fids, dtype=np.int64),
+                                    lens - 1)})
+
+    edge_ds = ds.map_batches(edges, batch_format="pandas")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = (df["x1"].to_numpy().view(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)
+             ^ df["y1"].to_numpy().view(np.uint64)
+             * np.uint64(0xC2B2AE3D27D4EB4F)
+             ^ df["x2"].to_numpy().view(np.uint64)
+             * np.uint64(0x165667B19E3779F9)
+             ^ df["y2"].to_numpy().view(np.uint64))
+        df["__b"] = (h % np.uint64(64)).astype(np.int64)
+        return df
+
+    def classify_part(df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized per-edge-group classification → one row per
+        KEPT edge with its canonical pair key."""
+        cols = ["x1", "y1", "x2", "y2"]
+        if len(df) == 0:
+            return pd.DataFrame(columns=[*cols, "pair"])
+        arr = df.sort_values([*cols, "feature_id"],
+                             kind="mergesort").reset_index(drop=True)
+        key_arr = arr[cols].to_numpy()
+        new = np.ones(len(arr), dtype=bool)
+        new[1:] = (key_arr[1:] != key_arr[:-1]).any(axis=1)
+        gid = np.cumsum(new) - 1
+        fid = arr["feature_id"].to_numpy()
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(arr)]
+        sizes = ends - starts
+        lo = fid[starts]
+        hi = fid[ends - 1]
+        if inner_only:
+            keep_g = (sizes >= 2) & (lo != hi)
+            pair_g = np.char.add(np.char.add(
+                lo.astype(str), "-"), hi.astype(str))
+        else:
+            keep_g = np.ones(len(starts), dtype=bool)
+            pair_g = np.where(
+                sizes == 1, np.char.add(lo.astype(str), "-"),
+                np.char.add(np.char.add(lo.astype(str), "-"),
+                            hi.astype(str)))
+        keep_first = new & keep_g[gid]   # ONE row per kept edge group
+        out = arr.loc[keep_first, [*cols, "fwd"]].copy()
+        out["pair"] = pair_g[gid[keep_first]]
+        return out
+
+    kept = edge_ds.map_batches(bucket, batch_format="pandas") \
+        .groupby("__b").map_groups(classify_part, batch_format="pandas")
+
+    def chain_pair(df: pd.DataFrame) -> pd.DataFrame:
+        """Stitch one pair's edges into maximal chains (greedy walk
+        over the degree-adjacency of shared endpoints)."""
+        pts = {}
+        edges_l = []
+        for i, (x1, y1, x2, y2, fwd) in enumerate(zip(
+                df["x1"], df["y1"], df["x2"], df["y2"], df["fwd"])):
+            a, b = (x1, y1), (x2, y2)
+            if not fwd:
+                a, b = b, a
+            edges_l.append((a, b))
+            pts.setdefault(a, []).append(i)
+            pts.setdefault(b, []).append(i)
+        used = [False] * len(edges_l)
+        parts_x, parts_y = [], []
+        for i in range(len(edges_l)):
+            if used[i]:
+                continue
+            used[i] = True
+            chain = [edges_l[i][0], edges_l[i][1]]
+            # extend forward then backward until no unused edge joins
+            for rev in (False, True):
+                while True:
+                    tip = chain[0] if rev else chain[-1]
+                    nxt = next((j for j in pts.get(tip, ())
+                                if not used[j]), None)
+                    if nxt is None:
+                        break
+                    used[nxt] = True
+                    a, b = edges_l[nxt]
+                    other = b if a == tip else a
+                    if rev:
+                        chain.insert(0, other)
+                    else:
+                        chain.append(other)
+            parts_x.append([p[0] for p in chain])
+            parts_y.append([p[1] for p in chain])
+        row = {"pair": df["pair"].iloc[0],
+               "part_x": parts_x, "part_y": parts_y}
+        if not inner_only:
+            outer = df["pair"].iloc[0].endswith("-")
+            row["RANK"] = 0 if outer else 1
+            row["TYPE"] = "outer" if outer else "inner"
+        return pd.DataFrame([row])
+
+    lines = kept.groupby("pair").map_groups(chain_pair,
+                                            batch_format="pandas")
+
+    # deterministic numbering without materializing the geometry: pull
+    # only the pair-key COLUMN (O(pairs) strings, like the distributed
+    # simplify's arc-id map), broadcast the sorted key→id dict, and map
+    # ids on in a streaming pass
+    import ray
+    keys = sorted(lines.map_batches(
+        lambda df: df[["pair"]], batch_format="pandas")
+        .to_pandas()["pair"])
+    id_ref = ray.put({k: i for i, k in enumerate(keys)})
+
+    def number(df: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(id_ref)
+        df = df.copy()
+        df.insert(0, "feature_id",
+                  df["pair"].map(ids).astype(np.int64))
+        return df.drop(columns="pair").sort_values("feature_id")
+    return lines.map_batches(number, batch_format="pandas")
+
+
+def innerlines_layer(ds, inner_only=True, distributed="auto"):
     """-innerlines / -lines over a polygon layer Dataset → polyline
     layer of shared-border (or all) arcs (reference api.innerlines,
     src/commands/mapshaper-innerlines.js:3-44).  In-process topology
-    kernel; the distributed arc classifier is ``innerlines_by_key``."""
+    kernel below AUTO_DISTRIBUTE_ROWS (exact reference extraction
+    order); larger layers route to ``innerlines_layer_distributed``
+    (same line set, canonicalized order)."""
     import ray.data as rd
+
+    if distributed == "auto":
+        from .overlay import AUTO_DISTRIBUTE_ROWS
+        distributed = ds.count() >= AUTO_DISTRIBUTE_ROWS
+    if distributed:
+        return innerlines_layer_distributed(ds, inner_only=inner_only)
 
     from ..sources.layers import nz
     from ..topo.dissolve import classify_arcs

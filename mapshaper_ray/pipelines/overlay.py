@@ -41,12 +41,49 @@ identical — tests compare those invariants.
 
 from __future__ import annotations
 
+import math
+import os
+
 import numpy as np
 import pandas as pd
 
 from ..geom.kernels import planar_ring_area
 from ..topo.build import build_topology
 from ..topo.dissolve import dissolve_shapes
+
+# Row-count threshold above which the layer ops route to the
+# distributed cell substrate BY DEFAULT (cell="auto").  Below it the
+# single-pass driver kernel is the fast path (topology build on a few
+# thousand features beats two shuffles).  Env-overridable so tests can
+# exercise both paths cheaply.
+AUTO_DISTRIBUTE_ROWS = int(os.environ.get("MAPSHAPER_RAY_AUTO_ROWS",
+                                          "5000"))
+_ROWS_PER_CELL = 512  # target features per grid cell for auto sizing
+
+
+def auto_cell_size(ds, bbox=None, n=None):
+    """Pick a distributed-substrate cell size for a polygon layer.
+
+    Returns ``(cell, bbox)`` — ``cell=None`` below the row threshold
+    (the local kernel is the small-layer fast path) or for a degenerate
+    bbox; otherwise a square-cell edge length sized so the grid holds
+    ~``n / _ROWS_PER_CELL`` cells (clamped to [16, 16384]): enough
+    parallelism to spread the per-cell kernels without shattering
+    features across thousands of near-empty cells."""
+    if n is None:
+        n = ds.count()
+    if n < AUTO_DISTRIBUTE_ROWS:
+        return None, bbox
+    if bbox is None:
+        bbox = layer_bbox(ds)
+    w = bbox[2] - bbox[0]
+    h = bbox[3] - bbox[1]
+    span = max(w, h)
+    if not span > 0 or not np.isfinite(span):
+        return None, bbox  # all features stacked on one point/line
+    ncells = min(max(n / _ROWS_PER_CELL, 16.0), 16384.0)
+    area = (w if w > 0 else span) * (h if h > 0 else span)
+    return math.sqrt(area / ncells), bbox
 
 
 def _rows_to_features(df: pd.DataFrame):
@@ -364,15 +401,25 @@ def _node_axis_edges(feats):
 
 
 def dissolve_layer(ds, key: str, sum_fields=(), copy_fields=(),
-                   cell: float | None = None, bbox=None):
+                   cell="auto", bbox=None):
     """Polygon layer → one feature per key value with melted borders.
 
-    ``cell=None`` runs the single-pass kernel (small layers).
-    ``cell=<size>`` runs the distributed substrate: pre-cut at cell
-    lines → groupby(cell) per-cell dissolve → groupby(key) border
-    dissolve (cell-cut arcs cancel) → join distributive attribute
-    aggregates computed over the ORIGINAL rows."""
+    ``cell="auto"`` (default) auto-selects: polygon layers above
+    ``AUTO_DISTRIBUTE_ROWS`` derive a cell size from the layer bbox and
+    run the distributed substrate; smaller layers (and polyline /
+    data-only layers) take the single-pass kernel.
+    ``cell=None`` forces the single-pass kernel; ``cell=<size>`` forces
+    the distributed substrate: pre-cut at cell lines → groupby(cell)
+    per-cell dissolve → groupby(key) border dissolve (cell-cut arcs
+    cancel) → join distributive attribute aggregates computed over the
+    ORIGINAL rows."""
     import ray.data as rd
+    if cell == "auto":
+        from ..sources.layers import geom_type_of
+        if geom_type_of(ds.schema().names) == "polygon":
+            cell, bbox = auto_cell_size(ds, bbox)
+        else:
+            cell = None  # polyline/data-only: local kernel handles
     if cell is None:
         return _dissolve_layer_local(ds, key, sum_fields, copy_fields)
     if key is None:
@@ -468,7 +515,7 @@ def _overlay(df_target: pd.DataFrame, clip_feats, keep_inside_clip: bool):
 
 
 def _overlay_layer(target_ds, clip_ds, keep_inside_clip: bool,
-                   cell: float | None, bbox, batch_size: int):
+                   cell, bbox, batch_size: int):
     """Distributed general polygon boolean.
 
     Default path: each target feature's result depends only on itself
@@ -478,11 +525,25 @@ def _overlay_layer(target_ds, clip_ds, keep_inside_clip: bool,
     ``batch_size`` stays modest because the arrangement cost is
     superlinear in batch footprint.
 
+    ``cell="auto"`` (default): broadcast while the CLIP side is under
+    ``AUTO_DISTRIBUTE_ROWS`` rows (the target streams either way — only
+    the broadcast side's size matters), else derive a cell from the
+    target bbox and take the cell-shuffle path.
+
     ``cell=<size>``: large-clip-side path — BOTH layers pre-cut at the
     same cell grid, shuffled by cell id, overlaid per cell, and each
     feature's pieces re-dissolved (cut arcs cancel)."""
     import ray
     import ray.data as rd
+
+    if cell == "auto":
+        clip_n = clip_ds.count()
+        if clip_n < AUTO_DISTRIBUTE_ROWS:
+            cell = None
+        else:
+            if bbox is None:
+                bbox = layer_bbox(target_ds)
+            cell, bbox = auto_cell_size(target_ds, bbox=bbox, n=clip_n)
 
     if cell is None:
         # raw clip features broadcast once (reference winding); the
@@ -549,24 +610,26 @@ def _overlay_layer(target_ds, clip_ds, keep_inside_clip: bool,
                                                    batch_format="pandas")
 
 
-def clip_layer(target_ds, clip_ds, cell: float | None = None, bbox=None,
+def clip_layer(target_ds, clip_ds, cell="auto", bbox=None,
                batch_size: int = 64):
     """-clip: intersect target polygons with the clip layer."""
     return _overlay_layer(target_ds, clip_ds, True, cell, bbox,
                           batch_size)
 
 
-def erase_layer(target_ds, erase_ds, cell: float | None = None, bbox=None,
+def erase_layer(target_ds, erase_ds, cell="auto", bbox=None,
                 batch_size: int = 64):
     """-erase: subtract the erase layer from target polygons."""
     return _overlay_layer(target_ds, erase_ds, False, cell, bbox,
                           batch_size)
 
 
-def dissolve2_layer(ds, key: str, cell: float | None = None, bbox=None,
+def dissolve2_layer(ds, key: str, cell="auto", bbox=None,
                     gap_max_area: float = 0.0):
     """Overlap/gap-repairing -dissolve2 over a polygon layer Dataset.
 
+    ``cell="auto"`` (default): distributed above AUTO_DISTRIBUTE_ROWS
+    (cell derived from the layer bbox), in-process mosaic kernel below.
     ``cell=None``: in-process mosaic kernel over the collected layer.
     ``cell=<size>``: GENERAL-INPUT distributed path — features are
     PRE-CUT at the cell grid lines (enforcing the locality assumption
@@ -579,6 +642,15 @@ def dissolve2_layer(ds, key: str, cell: float | None = None, bbox=None,
     import ray.data as rd
 
     from ..topo.refclip import dissolve2_features
+
+    if key is None:
+        # keyless -dissolve2 merges everything (like bare -dissolve)
+        ds = ds.map_batches(lambda df: df.assign(__all="_all"),
+                            batch_format="pandas")
+        out = dissolve2_layer(ds, "__all", cell=cell, bbox=bbox,
+                              gap_max_area=gap_max_area)
+        return out.map_batches(lambda df: df.drop(columns="__all"),
+                               batch_format="pandas")
 
     def d2_rows(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("feature_id").reset_index(drop=True)
@@ -595,6 +667,11 @@ def dissolve2_layer(ds, key: str, cell: float | None = None, bbox=None,
                          "ring_poly": gp})
         return pd.DataFrame(rows)
 
+    if cell == "auto":
+        # gap filling is judged per piece on the cell path (caveat
+        # below) — keep the exact kernel when a gap threshold is set
+        cell, bbox = (None, bbox) if gap_max_area \
+            else auto_cell_size(ds, bbox)
     if cell is None:
         df = ds.to_pandas()
         out = d2_rows(df)

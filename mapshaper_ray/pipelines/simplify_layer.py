@@ -71,6 +71,26 @@ def simplify_layer(ds, pct: float | None = None,
 
     from ..geom.simplify import spherical_thresholds
     from ..sources.layers import geom_type_of
+    gt = geom_type_of(ds.schema().names)
+
+    # auto-route big polygon layers to the end-to-end distributed
+    # pipeline (two-shuffle topology, no driver materialization); the
+    # in-process kernel below stays the small-layer fast path and the
+    # only home of repair= / interval= / resolution= (those need the
+    # global arc view / display transform)
+    from .overlay import AUTO_DISTRIBUTE_ROWS, layer_bbox
+    if (gt == "polygon" and pct is not None and not repair
+            and interval is None and resolution is None
+            and ds.count() >= AUTO_DISTRIBUTE_ROWS):
+        if spherical is None:
+            bb = layer_bbox(ds)
+            spherical = (np.isfinite(bb).all() and bb[0] >= -181
+                         and bb[2] <= 181 and bb[1] >= -91
+                         and bb[3] <= 91)
+        return simplify_layer_distributed(
+            ds, pct=pct, method=method, weighting=weighting,
+            keep_shapes=keep_shapes, spherical=bool(spherical))
+
     df = ds.to_pandas().sort_values("feature_id").reset_index(drop=True)
     gt = geom_type_of(list(df.columns))
     if gt == "polyline":

@@ -47,3 +47,20 @@ def test_tuned_lsh_recall(ray_session):
     assert not (ka - kb)          # exact verify -> no false positives
     if kb:
         assert len(ka & kb) / len(kb) >= 0.9
+
+
+def test_q43_params_exact_recall(ray_session):
+    """The q43 configuration (4 planes x 64 tables, seed 11) reproduces
+    the exact pair set VERBATIM at fixture scale — the basis for q43's
+    value-exact oracle (= q15's all-pairs SQL)."""
+    import ray.data as rd
+
+    from mapshaper_ray.ops.dedup import (embedding_near_dup,
+                                         embedding_near_dup_exact)
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    lsh = embedding_near_dup(emb, threshold=0.35, n_planes=4,
+                             n_tables=64).to_pandas()
+    exact = embedding_near_dup_exact(emb, threshold=0.35).to_pandas()
+    assert set(zip(lsh.id_a, lsh.id_b)) == \
+        set(zip(exact.id_a, exact.id_b))

@@ -137,3 +137,40 @@ def test_raster_roundtrip_through_vector(ray_session):
     got = idx.find_enclosing_feature(spec.center_lon(df["col"].to_numpy()),
                                      spec.center_lat(df["row"].to_numpy()))
     assert (np.asarray(labels)[got] == df["value"].to_numpy()).all()
+
+
+def test_skewed_dominant_label(ray_session):
+    """Two-level stitch under label skew: one background label covers
+    ~90% of a 512x256 raster (the 'ocean' case).  Areas and perimeters
+    must still be exact, and the per-label merge stage must see only
+    chain JOINTS, not the full boundary (asserted indirectly: results
+    exact with n_bands forcing dozens of per-band assemblies)."""
+    nx, ny = 512, 256
+    spec = GridSpec(nx=nx, ny=ny, bbox=(0.0, 0.0, float(nx), float(ny)))
+    rr, cc = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    rr = rr.ravel()
+    cc = cc.ravel()
+    # diamond of label 1 centered mid-grid, radius 40 (in cells);
+    # everything else label 0 -> label 0 covers ~93% of cells
+    inside = (np.abs(cc - 256) + np.abs(rr - 128)) <= 40
+    val = np.where(inside, 1, 0)
+    ras = rd.from_pandas(pd.DataFrame({
+        "row": rr.astype(np.int64), "col": cc.astype(np.int64),
+        "value": val.astype(np.int64)}))
+    out = raster_to_polygons(ras, spec, n_bands=32).to_pandas() \
+        .sort_values("value").reset_index(drop=True)
+    n1 = int(inside.sum())
+    n0 = nx * ny - n1
+    # diamond |dc|+|dr|<=40 cell count: 2*40^2 + 2*40 + 1 cells
+    assert n1 == 2 * 40 * 40 + 2 * 40 + 1
+    assert list(out["value"]) == [0, 1]
+    assert out["area"].tolist() == [float(n0), float(n1)]
+    # staircase diamond perimeter: 4 * (2 * radius + 1) cell edges? no:
+    # each of the 4 staircase sides has 2*40+1 unit steps in each axis
+    per1 = 4.0 * (2 * 40 + 1)
+    assert out[out["value"] == 1]["perimeter"].iloc[0] == per1
+    # background: outer rect + the diamond hole boundary
+    per0 = 2.0 * (nx + ny) + per1
+    assert out[out["value"] == 0]["perimeter"].iloc[0] == per0
+    # the hole is attached to the background polygon
+    assert len(out[out["value"] == 0]["rings_x"].iloc[0]) == 2

@@ -1,0 +1,181 @@
+"""Round-3 regressions: ADVICE fixes (split-on-grid null geometry,
+directory-export options) and the auto-distributed layer-op defaults
+(VERDICT round 2 'next round' items 1/3)."""
+
+import json
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from mapshaper_ray.ops.features import add_polygon_metrics
+from mapshaper_ray.pipelines import overlay as ov
+from mapshaper_ray.sources.geojson import read_geojson
+
+
+def _grid_layer(n=5, groups=("a", "b", "c")):
+    feats = []
+    for i in range(n * n):
+        r, c = divmod(i, n)
+        x0, y0 = float(c), float(r)
+        feats.append({"feature_id": i,
+                      "grp": groups[c % len(groups)], "v": 1,
+                      "rings_x": [[x0, x0 + 1, x0 + 1, x0, x0]],
+                      "rings_y": [[y0, y0, y0 + 1, y0 + 1, y0]],
+                      "ring_poly": [0]})
+    return rd.from_items(feats)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE: split_on_grid null-geometry crash
+
+def test_split_on_grid_null_geometry(ray_session):
+    """Features with empty geometry get the reference's '' cell id
+    instead of IntCastingNaNError (mapshaper-split-on-grid.js
+    hasBounds())."""
+    from mapshaper_ray.ops.split import split_on_grid
+    ds = rd.from_items([
+        {"feature_id": 0, "rings_x": [[0.0, 1.0, 1.0, 0.0, 0.0]],
+         "rings_y": [[0.0, 0.0, 1.0, 1.0, 0.0]], "ring_poly": [0]},
+        {"feature_id": 1, "rings_x": [], "rings_y": [],
+         "ring_poly": []},
+    ])
+    out = split_on_grid(ds, 2, 2, bbox=(0, 0, 2, 2)).to_pandas() \
+        .sort_values("feature_id")
+    assert list(out["cell"]) == ["r0c0", ""]
+
+
+# ---------------------------------------------------------------------------
+# auto-distributed defaults
+
+def test_auto_cell_size_thresholds(ray_session):
+    ds = _grid_layer(3)
+    # below threshold -> local (None)
+    cell, _ = ov.auto_cell_size(ds)
+    assert cell is None
+    # above threshold -> a positive cell derived from the bbox
+    cell, bbox = ov.auto_cell_size(ds, n=10_000)
+    assert cell is not None and cell > 0
+    assert bbox == (0.0, 0.0, 3.0, 3.0)
+
+
+def test_dissolve_layer_auto_routes_distributed(ray_session,
+                                                monkeypatch):
+    """Default call (no cell=) on a >threshold layer runs the cell
+    substrate and matches the forced-local kernel's invariants."""
+    monkeypatch.setattr(ov, "AUTO_DISTRIBUTE_ROWS", 10)
+    ds = _grid_layer(5)
+    assert ov.auto_cell_size(ds)[0] is not None  # distributed selected
+    auto = add_polygon_metrics(
+        ov.dissolve_layer(ds, "grp", sum_fields=("v",)),
+        perimeter_col="perimeter").to_pandas().sort_values("grp")
+    local = add_polygon_metrics(
+        ov.dissolve_layer(ds, "grp", sum_fields=("v",), cell=None),
+        perimeter_col="perimeter").to_pandas().sort_values("grp")
+    assert list(auto["grp"]) == list(local["grp"])
+    assert list(auto["v"]) == list(local["v"])
+    assert np.allclose(auto["area"], local["area"])
+    assert np.allclose(auto["perimeter"], local["perimeter"])
+
+
+def test_clip_layer_auto_routes_distributed(ray_session, monkeypatch):
+    monkeypatch.setattr(ov, "AUTO_DISTRIBUTE_ROWS", 3)
+    target = _grid_layer(3, groups=("g",))
+    clip = rd.from_items([{
+        "feature_id": 0,
+        "rings_x": [[0.5, 2.5, 2.5, 0.5, 0.5]],
+        "rings_y": [[0.5, 0.5, 2.5, 2.5, 0.5]], "ring_poly": [0]},
+        {"feature_id": 1,
+         "rings_x": [[2.4, 3.2, 3.2, 2.4, 2.4]],
+         "rings_y": [[2.4, 2.4, 3.2, 3.2, 2.4]], "ring_poly": [0]},
+        {"feature_id": 2,
+         "rings_x": [[-1.0, 0.2, 0.2, -1.0, -1.0]],
+         "rings_y": [[-1.0, -1.0, 0.2, 0.2, -1.0]], "ring_poly": [0]},
+    ])
+    auto_c = add_polygon_metrics(
+        ov.clip_layer(target, clip)).to_pandas() \
+        .set_index("feature_id")["area"]
+    bcast_c = add_polygon_metrics(
+        ov.clip_layer(target, clip, cell=None)).to_pandas() \
+        .set_index("feature_id")["area"]
+    assert sorted(auto_c.index) == sorted(bcast_c.index)
+    assert np.allclose(auto_c.sort_index(), bcast_c.sort_index())
+    auto_e = add_polygon_metrics(
+        ov.erase_layer(target, clip)).to_pandas() \
+        .set_index("feature_id")["area"]
+    bcast_e = add_polygon_metrics(
+        ov.erase_layer(target, clip, cell=None)).to_pandas() \
+        .set_index("feature_id")["area"]
+    assert np.allclose(auto_e.sort_index(), bcast_e.sort_index())
+
+
+def test_dissolve2_layer_auto_and_keyless(ray_session, monkeypatch):
+    monkeypatch.setattr(ov, "AUTO_DISTRIBUTE_ROWS", 10)
+    ds = _grid_layer(5)
+    auto = add_polygon_metrics(
+        ov.dissolve2_layer(ds, "grp")).to_pandas().sort_values("grp")
+    local = add_polygon_metrics(
+        ov.dissolve2_layer(ds, "grp", cell=None)).to_pandas() \
+        .sort_values("grp")
+    assert list(auto["grp"]) == list(local["grp"])
+    assert np.allclose(auto["area"], local["area"])
+    # keyless -dissolve2 merges everything into one feature
+    one = add_polygon_metrics(ov.dissolve2_layer(ds, None)).to_pandas()
+    assert len(one) == 1 and np.isclose(one["area"].iloc[0], 25.0)
+
+
+def test_simplify_layer_auto_routes_distributed(ray_session,
+                                                monkeypatch):
+    from mapshaper_ray.pipelines import simplify_layer as sl
+    monkeypatch.setattr(ov, "AUTO_DISTRIBUTE_ROWS", 10)
+    ds = _grid_layer(5)
+    auto = sl.simplify_layer(ds, pct=0.5).to_pandas() \
+        .sort_values("feature_id").reset_index(drop=True)
+    monkeypatch.setattr(ov, "AUTO_DISTRIBUTE_ROWS", 10 ** 9)
+    local = sl.simplify_layer(ds, pct=0.5).to_pandas() \
+        .sort_values("feature_id").reset_index(drop=True)
+    assert len(auto) == len(local)
+    for i in range(len(auto)):
+        for col in ("rings_x", "rings_y"):
+            a = [np.asarray(v, float) for v in auto.iloc[i][col]]
+            b = [np.asarray(v, float) for v in local.iloc[i][col]]
+            assert len(a) == len(b)
+            for av, bv in zip(a, b):
+                assert np.allclose(av, bv)
+
+
+def _segments(df):
+    """Canonical undirected segment multiset of a polyline layer."""
+    segs = []
+    for px, py in zip(df["part_x"], df["part_y"]):
+        for x, y in zip(px, py):
+            x = np.asarray(x, float)
+            y = np.asarray(y, float)
+            for i in range(len(x) - 1):
+                a = (round(x[i], 9), round(y[i], 9))
+                b = (round(x[i + 1], 9), round(y[i + 1], 9))
+                segs.append((a, b) if a <= b else (b, a))
+    return sorted(segs)
+
+
+def test_innerlines_distributed_matches_local(ray_session):
+    from mapshaper_ray.pipelines.geometry import (
+        innerlines_layer, innerlines_layer_distributed)
+    ds = _grid_layer(4)
+    for inner_only in (True, False):
+        local = innerlines_layer(ds, inner_only=inner_only,
+                                 distributed=False).to_pandas()
+        dist = innerlines_layer_distributed(
+            ds, inner_only=inner_only).to_pandas()
+        assert _segments(local) == _segments(dist)
+        if not inner_only:
+            assert sorted(local["TYPE"]) == sorted(dist["TYPE"])
+
+
+def test_innerlines_auto_threshold(ray_session, monkeypatch):
+    from mapshaper_ray.pipelines import geometry as g
+    monkeypatch.setattr(ov, "AUTO_DISTRIBUTE_ROWS", 5)
+    ds = _grid_layer(3)
+    out = g.innerlines_layer(ds).to_pandas()   # routes distributed
+    local = g.innerlines_layer(ds, distributed=False).to_pandas()
+    assert _segments(out) == _segments(local)
