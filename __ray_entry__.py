@@ -417,6 +417,18 @@ def _q36_lcc(sf_dir: str):
     return out[["doc_id", "x", "y"]]
 
 
+def _q45_stere(sf_dir: str):
+    """-proj +proj=stere +lat_0=90 +lat_ts=70 (polar stereographic,
+    new round-3 family; closed-form ellipsoidal oracle)."""
+    from mapshaper_ray.stages.proj import project_points
+    ds = _geo_points(sf_dir).select_columns(["doc_id", "lon", "lat"])
+    out = project_points(
+        ds, "+proj=stere +lat_0=90 +lat_ts=70").to_pandas()
+    out["x"] = out["x"].round(2)
+    out["y"] = out["y"].round(2)
+    return out[["doc_id", "x", "y"]]
+
+
 def _q37_robinson(sf_dir: str):
     """-proj robinson (table-interpolated, the reference's alias)."""
     from mapshaper_ray.stages.proj import project_points
@@ -774,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q42_raster_polygons": _q42_raster_polygons,
         "q43_embedding_lsh": _q43_embedding_lsh,
         "q44_dissolve_auto": _q44_dissolve_auto,
+        "q45_stere": _q45_stere,
     }
 
 
@@ -1390,6 +1403,32 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(CAST((base % 1000003) / 1000003.0 - 0.5
                               AS FLOAT) AS DOUBLE), 6) AS feat0
             FROM b""",
+        "q45_stere": f"""
+            -- PJ_stere.c polar branch closed-form: akm1 = cos(lat_ts)
+            -- / tsfn(lat_ts) / sqrt(1 - es sin^2(lat_ts)); x = R akm1
+            -- ts(phi) sin(lam), y = -R akm1 ts(phi) cos(lam)
+            WITH {_GEO_CTE},
+            e AS (SELECT sqrt((1/298.257223563)*(2 - 1/298.257223563))
+                    AS ecc),
+            k AS (SELECT ecc,
+              (cos(radians(70.0)) /
+                (tan(pi()/4 - radians(70.0)/2) /
+                 pow((1 - ecc*sin(radians(70.0))) /
+                     (1 + ecc*sin(radians(70.0))), ecc/2))) /
+              sqrt(1 - ecc*ecc*sin(radians(70.0))*sin(radians(70.0)))
+                AS akm1 FROM e),
+            p AS (SELECT doc_id, radians(lon) AS lam,
+                         radians(lat) AS phi FROM geo),
+            t AS (SELECT doc_id, lam,
+                         tan(pi()/4 - phi/2) /
+                         pow((1 - k.ecc*sin(phi)) /
+                             (1 + k.ecc*sin(phi)), k.ecc/2) AS ts,
+                         k.akm1 AS akm1
+                  FROM p, k)
+            SELECT doc_id,
+                   round(6378137.0 * akm1 * ts * sin(lam), 2) AS x,
+                   round(-6378137.0 * akm1 * ts * cos(lam), 2) AS y
+            FROM t ORDER BY doc_id""",
         "q36_lcc": f"""
             WITH {_GEO_CTE},
             e AS (SELECT sqrt((1/298.257223563)*(2 - 1/298.257223563))

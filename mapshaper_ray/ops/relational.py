@@ -80,10 +80,22 @@ def compile_expression(expr: str, defs: dict | None = None):
 
 
 # geometry accessor names usable INSIDE expressions (the reference's
-# feature proxy $.area / $.centroidX / ... —
+# feature proxy $.area / $.centroidX / $.bounds / $.width / $.height /
+# $.innerX / $.innerY / $.isNull / $.x / $.y —
 # src/data/mapshaper-feature-proxy.js:15-158); referencing one
-# triggers a metric-computation pass before evaluation
-_GEO_ACCESSORS = ("area", "perimeter", "cx", "cy", "part_count")
+# triggers a metric-computation pass before evaluation.
+#
+# JS → Python expression shim (the expression engine is a Python
+# evaluator; genuinely-JS idioms translate as):
+#   d.name.toUpperCase()   → name.str.upper()     (pandas Series ops)
+#   d.name.indexOf('x')>-1 → name.str.contains('x')
+#   a + '' (string concat) → name.astype(str) + ...
+#   cond ? a : b           → where(cond, a, b)
+#   Math.sqrt / Math.abs   → sqrt / abs (preloaded numpy names)
+#   $.properties.foo       → foo (columns are bare names)
+_GEO_ACCESSORS = ("area", "perimeter", "cx", "cy", "part_count",
+                  "bounds", "width", "height", "innerX", "innerY",
+                  "isNull", "x", "y", "vertex_count")
 
 
 def _needs_geo(ds, exprs) -> list[str]:
@@ -127,20 +139,139 @@ def _with_geo_columns(ds, names):
                 if geom else 0
             return df
         ds = ds.map_batches(pc_col, batch_format="pandas")
+    bbox_like = {"bounds", "width", "height", "isNull", "vertex_count"}
+    if bbox_like & set(names):
+        def bbox_cols(df: pd.DataFrame, want=set(names) & bbox_like
+                      ) -> pd.DataFrame:
+            from ..sources.layers import nz
+            geom = next((c for c in ("rings_x", "part_x", "px")
+                         if c in df.columns), None)
+            df = df.copy()
+            bs, nv = [], []
+            for v in (df[geom] if geom else []):
+                parts = nz(v)
+                if geom == "px":
+                    parts = [parts] if len(np.atleast_1d(parts)) else []
+                xs = [np.asarray(p, float) for p in parts]
+                n = int(sum(len(a) for a in xs))
+                nv.append(n)
+                bs.append(None if n == 0 else
+                          (min(a.min() for a in xs),
+                           max(a.max() for a in xs)))
+            ys = []
+            ygeom = {"rings_x": "rings_y", "part_x": "part_y",
+                     "px": "py"}.get(geom)
+            for v in (df[ygeom] if ygeom else []):
+                parts = nz(v)
+                if ygeom == "py":
+                    parts = [parts] if len(np.atleast_1d(parts)) else []
+                ya = [np.asarray(p, float) for p in parts]
+                ys.append(None if not ya or not sum(len(a) for a in ya)
+                          else (min(a.min() for a in ya),
+                                max(a.max() for a in ya)))
+            if not geom:
+                bs = [None] * len(df)
+                ys = [None] * len(df)
+                nv = [0] * len(df)
+            if "isNull" in want:
+                df["isNull"] = [b is None for b in bs]
+            if "vertex_count" in want:
+                df["vertex_count"] = nv
+            if "bounds" in want:  # [xmin, ymin, xmax, ymax]; null
+                # shapes get [] like the reference $.bounds
+                df["bounds"] = [[] if b is None else
+                                [b[0], yv[0], b[1], yv[1]]
+                                for b, yv in zip(bs, ys)]
+            if "width" in want:
+                df["width"] = [0.0 if b is None else b[1] - b[0]
+                               for b in bs]
+            if "height" in want:
+                df["height"] = [0.0 if y is None else y[1] - y[0]
+                                for y in ys]
+            return df
+        ds = ds.map_batches(bbox_cols, batch_format="pandas")
+    if ("innerX" in names or "innerY" in names):
+        def inner_cols(df: pd.DataFrame) -> pd.DataFrame:
+            from ..ops.anchor import anchor_point
+            from ..sources.layers import nz
+            df = df.copy()
+            ix, iy = [], []
+            for rx, ry in zip(df.get("rings_x", []),
+                              df.get("rings_y", [])):
+                rings = [(np.asarray(x, float), np.asarray(y, float))
+                         for x, y in zip(nz(rx), nz(ry))]
+                if rings:
+                    p = anchor_point(rings)
+                    ix.append(float(p[0]))
+                    iy.append(float(p[1]))
+                else:
+                    ix.append(np.nan)
+                    iy.append(np.nan)
+            df["innerX"] = ix if len(ix) == len(df) else np.nan
+            df["innerY"] = iy if len(iy) == len(df) else np.nan
+            return df
+        ds = ds.map_batches(inner_cols, batch_format="pandas")
+    if ("x" in names or "y" in names):
+        def xy_cols(df: pd.DataFrame) -> pd.DataFrame:
+            # $.x/$.y — first coordinate of the shape (the reference
+            # proxy's point get; setters handled in each_expr)
+            from ..sources.layers import nz
+            df = df.copy()
+            if "px" in df.columns:
+                df["x"] = [np.asarray(nz(v), float).ravel()[0]
+                           if len(np.atleast_1d(nz(v))) else np.nan
+                           for v in df["px"]]
+                df["y"] = [np.asarray(nz(v), float).ravel()[0]
+                           if len(np.atleast_1d(nz(v))) else np.nan
+                           for v in df["py"]]
+            else:
+                geom = "rings_x" if "rings_x" in df.columns else "part_x"
+                gy = "rings_y" if geom == "rings_x" else "part_y"
+                df["x"] = [np.asarray(nz(v)[0], float)[0]
+                           if nz(v) else np.nan for v in df[geom]]
+                df["y"] = [np.asarray(nz(v)[0], float)[0]
+                           if nz(v) else np.nan for v in df[gy]]
+            return df
+        ds = ds.map_batches(xy_cols, batch_format="pandas")
     return ds
 
 
 def each_expr(ds, assignments: dict[str, str], defs: dict | None = None):
     """-each: add/overwrite computed columns (vectorized).  Geometry
-    accessors (area, perimeter, cx, cy, part_count) may appear in the
-    expressions; the needed metric columns compute automatically."""
-    ds = _with_geo_columns(ds, _needs_geo(ds, assignments.values()))
+    accessors (area, perimeter, cx, cy, part_count, bounds, width,
+    height, innerX/innerY, isNull, x, y, vertex_count) may appear in
+    the expressions; the needed metric columns compute automatically.
+    Assigning to ``x`` / ``y`` on a POINT layer moves the geometry
+    (the reference proxy's $.x/$.y setters)."""
+    setters = {"x", "y"} & set(assignments)
+    geo_names = set(_needs_geo(ds, assignments.values()))
+    if setters and "px" in ds.schema().names:
+        geo_names |= setters          # need current values to assign
+    ds = _with_geo_columns(ds, sorted(geo_names))
     fns = {name: compile_expression(e, defs)
            for name, e in assignments.items()}
+    move_points = bool(setters) and "px" in ds.schema().names
 
     def apply(df: pd.DataFrame) -> pd.DataFrame:
         for name, fn in fns.items():
             df[name] = fn(df)
+        if move_points:
+            # single-point features: write x/y back into px/py (the
+            # reference mutates the shape; multipoint moves all by
+            # rewriting every coordinate to the scalar is wrong, so
+            # only the first/only point moves — reference $.x setter
+            # also addresses coordinates[0])
+            from ..sources.layers import nz
+            if "x" in df.columns and "x" in setters:
+                df["px"] = [[float(xv), *np.asarray(nz(old),
+                                                    float).ravel()[1:]]
+                            for xv, old in zip(df["x"], df["px"])]
+            if "y" in df.columns and "y" in setters:
+                df["py"] = [[float(yv), *np.asarray(nz(old),
+                                                    float).ravel()[1:]]
+                            for yv, old in zip(df["y"], df["py"])]
+            df = df.drop(columns=[c for c in setters
+                                  if c in df.columns])
         return df
     return ds.map_batches(apply, batch_format="pandas")
 

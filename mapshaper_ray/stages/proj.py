@@ -208,6 +208,280 @@ def sinusoidal_fwd(lon, lat, lon0=0.0):
             R * lat_r)
 
 
+# ---------------------------------------------------------------------------
+# stere / laea / eqdc — ellipsoidal WGS84 kernels ported from the PROJ
+# C originals (PJ_stere.c / PJ_laea.c / PJ_eqdc.c, same formulas mproj
+# bundles at www/modules.js), vectorized.  Like aea/lcc above they bind
+# the WGS84 ellipsoid (mproj's default with no +ellps/+datum).
+
+def _ssfn(phi, sinphi):
+    """ssfn_ (PJ_stere.c): conformal-latitude helper."""
+    sinphi = sinphi * E
+    return (np.tan(0.5 * (np.pi / 2 + phi)) *
+            np.power((1 - sinphi) / (1 + sinphi), 0.5 * E))
+
+
+def stere_fwd(lon, lat, lat0=0.0, lat_ts=None, lon0=0.0, k0=1.0,
+              x0=0.0, y0=0.0):
+    """Ellipsoidal stereographic (PJ_stere.c e_forward), all three
+    modes: polar (|lat0| = 90, with optional true-scale parallel
+    lat_ts), equatorial (lat0 = 0) and oblique."""
+    lam = np.deg2rad(np.asarray(lon, float) - lon0)
+    phi = np.deg2rad(np.asarray(lat, float))
+    p0 = np.deg2rad(lat0)
+    coslam = np.cos(lam)
+    sinlam = np.sin(lam)
+    sinphi = np.sin(phi)
+    if abs(abs(lat0) - 90.0) < 1e-10:          # polar
+        south = lat0 < 0
+        if south:
+            phi, sinphi, coslam = -phi, -sinphi, -coslam
+        if lat_ts is None or abs(abs(lat_ts) - 90.0) < 1e-10:
+            akm1 = 2.0 * k0 / np.sqrt(
+                np.power(1 + E, 1 + E) * np.power(1 - E, 1 - E))
+        else:
+            t = np.sin(np.deg2rad(abs(lat_ts)))
+            akm1 = (np.cos(np.deg2rad(abs(lat_ts))) /
+                    _tsfn(np.deg2rad(abs(lat_ts)), t))
+            akm1 /= np.sqrt(1 - ES * t * t)
+        x = akm1 * _tsfn(phi, sinphi)
+        y = -x * coslam
+        x = x * sinlam
+        if south:
+            y = -y
+    elif abs(lat0) < 1e-10:                    # equatorial
+        akm1 = 2.0 * k0
+        X = 2 * np.arctan(_ssfn(phi, sinphi)) - np.pi / 2
+        sinX, cosX = np.sin(X), np.cos(X)
+        A = akm1 / (1 + cosX * coslam)
+        y = A * sinX
+        x = A * cosX * sinlam
+    else:                                      # oblique
+        sinph0 = np.sin(p0)
+        X0 = 2 * np.arctan(_ssfn(p0, sinph0)) - np.pi / 2
+        sinX1, cosX1 = np.sin(X0), np.cos(X0)
+        akm1 = (2.0 * k0 * np.cos(p0) /
+                np.sqrt(1 - ES * sinph0 * sinph0))
+        X = 2 * np.arctan(_ssfn(phi, sinphi)) - np.pi / 2
+        sinX, cosX = np.sin(X), np.cos(X)
+        A = akm1 / (cosX1 * (1 + sinX1 * sinX + cosX1 * cosX * coslam))
+        y = A * (cosX1 * sinX - sinX1 * cosX * coslam)
+        x = A * cosX * sinlam
+    return x0 + R * x, y0 + R * y
+
+
+def stere_inv(x, y, lat0=0.0, lat_ts=None, lon0=0.0, k0=1.0,
+              x0=0.0, y0=0.0):
+    """PJ_stere.c e_inverse (iterative conformal-latitude unwind)."""
+    x = (np.asarray(x, float) - x0) / R
+    y = (np.asarray(y, float) - y0) / R
+    p0 = np.deg2rad(lat0)
+    rho = np.hypot(x, y)
+    if abs(abs(lat0) - 90.0) < 1e-10:          # polar
+        south = lat0 < 0
+        if lat_ts is None or abs(abs(lat_ts) - 90.0) < 1e-10:
+            akm1 = 2.0 * k0 / np.sqrt(
+                np.power(1 + E, 1 + E) * np.power(1 - E, 1 - E))
+        else:
+            t = np.sin(np.deg2rad(abs(lat_ts)))
+            akm1 = (np.cos(np.deg2rad(abs(lat_ts))) /
+                    _tsfn(np.deg2rad(abs(lat_ts)), t))
+            akm1 /= np.sqrt(1 - ES * t * t)
+        if not south:
+            y = -y
+        tp = -rho / akm1
+        phi_l = np.pi / 2 - 2 * np.arctan(tp)
+        halfpi = -np.pi / 2
+        halfe = -0.5 * E
+    else:
+        sinph0 = np.sin(p0)
+        X0 = 2 * np.arctan(_ssfn(p0, sinph0)) - np.pi / 2
+        sinX1, cosX1 = np.sin(X0), np.cos(X0)
+        akm1 = (2.0 * k0 * np.cos(p0) /
+                np.sqrt(1 - ES * sinph0 * sinph0)) \
+            if abs(lat0) >= 1e-10 else 2.0 * k0
+        if abs(lat0) < 1e-10:
+            sinX1, cosX1 = 0.0, 1.0
+        tt = 2 * np.arctan2(rho * cosX1, akm1)
+        cosphi, sinphi = np.cos(tt), np.sin(tt)
+        phi_l = np.where(rho == 0, np.arcsin(cosphi * sinX1),
+                         np.arcsin(cosphi * sinX1 +
+                                   np.where(rho == 0, 0,
+                                            y * sinphi * cosX1 /
+                                            np.where(rho == 0, 1, rho))))
+        tp = np.tan(0.5 * (np.pi / 2 + phi_l))
+        x = x * sinphi
+        y = rho * cosX1 * cosphi - y * sinX1 * sinphi
+        halfpi = np.pi / 2
+        halfe = 0.5 * E
+    phi = phi_l
+    for _ in range(20):
+        sinphi_e = E * np.sin(phi)
+        new = 2 * np.arctan(tp * np.power((1 + sinphi_e) /
+                                          (1 - sinphi_e), halfe)) - halfpi
+        if np.all(np.abs(phi - new) < 1e-10):
+            phi = new
+            break
+        phi = new
+    if abs(abs(lat0) - 90.0) < 1e-10 and lat0 < 0:
+        phi = -phi
+        lam = np.where((x == 0) & (y == 0), 0.0, np.arctan2(x, y))
+    elif abs(abs(lat0) - 90.0) < 1e-10:
+        phi = np.where(rho == 0, np.pi / 2, phi)
+        lam = np.where((x == 0) & (y == 0), 0.0, np.arctan2(x, y))
+    else:
+        lam = np.where((x == 0) & (y == 0), 0.0, np.arctan2(x, y))
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def _authset():
+    """pj_authset: authalic→geodetic latitude series for WGS84 es."""
+    P00, P01, P02 = 1 / 3.0, 31 / 180.0, 517 / 5040.0
+    P10, P11 = 23 / 360.0, 251 / 3780.0
+    P20 = 761 / 45360.0
+    t = ES
+    apa0 = t * (P00 + t * (P01 + t * P02))
+    apa1 = t * t * (P10 + t * P11)
+    apa2 = t * t * t * P20
+    return apa0, apa1, apa2
+
+
+def _authlat(beta):
+    a0, a1, a2 = _authset()
+    return (beta + a0 * np.sin(2 * beta) + a1 * np.sin(4 * beta)
+            + a2 * np.sin(6 * beta))
+
+
+def laea_fwd(lon, lat, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
+    """Ellipsoidal Lambert azimuthal equal-area (PJ_laea.c
+    e_forward) — oblique / equatorial / polar modes."""
+    lam = np.deg2rad(np.asarray(lon, float) - lon0)
+    phi = np.deg2rad(np.asarray(lat, float))
+    p0 = np.deg2rad(lat0)
+    coslam, sinlam = np.cos(lam), np.sin(lam)
+    qp = _qsfn(1.0)
+    q = _qsfn(np.sin(phi))
+    if abs(abs(lat0) - 90.0) < 1e-10:          # polar
+        north = lat0 > 0
+        if north:
+            b = qp - q
+            x = np.sqrt(np.maximum(b, 0.0)) * sinlam
+            y = -np.sqrt(np.maximum(b, 0.0)) * coslam
+        else:
+            b = qp + q
+            x = np.sqrt(np.maximum(b, 0.0)) * sinlam
+            y = np.sqrt(np.maximum(b, 0.0)) * coslam
+    elif abs(lat0) < 1e-10:                    # equatorial
+        xmf, ymf = 1.0, 0.5 * qp   # PJ_laea setup EQUIT (dd only
+        sinb = q / qp              # enters the INVERSE scaling)
+        cosb = np.sqrt(np.maximum(1 - sinb * sinb, 0.0))
+        b = np.sqrt(2.0 / (1 + cosb * coslam))
+        y = b * sinb * ymf
+        x = xmf * b * cosb * sinlam
+    else:                                      # oblique
+        rq = np.sqrt(0.5 * qp)
+        sinb1 = _qsfn(np.sin(p0)) / qp
+        cosb1 = np.sqrt(1 - sinb1 * sinb1)
+        dd = (np.cos(p0) /
+              (np.sqrt(1 - ES * np.sin(p0) ** 2) * rq * cosb1))
+        ymf = rq / dd
+        xmf = rq * dd
+        sinb = q / qp
+        cosb = np.sqrt(np.maximum(1 - sinb * sinb, 0.0))
+        b = 1 + sinb1 * sinb + cosb1 * cosb * coslam
+        b = np.sqrt(2.0 / b)
+        y = ymf * b * (cosb1 * sinb - sinb1 * cosb * coslam)
+        x = xmf * b * cosb * sinlam
+    return x0 + R * x, y0 + R * y
+
+
+def laea_inv(x, y, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
+    """PJ_laea.c e_inverse via the authalic-latitude series."""
+    x = (np.asarray(x, float) - x0) / R
+    y = (np.asarray(y, float) - y0) / R
+    qp = _qsfn(1.0)
+    p0 = np.deg2rad(lat0)
+    if abs(abs(lat0) - 90.0) < 1e-10:          # polar
+        north = lat0 > 0
+        q = x * x + y * y
+        ab = 1.0 - q / qp
+        if north:
+            lam = np.arctan2(x, -y)
+        else:
+            ab = -ab
+            lam = np.arctan2(x, y)
+    else:
+        rq = np.sqrt(0.5 * qp)
+        if abs(lat0) < 1e-10:
+            sinb1, cosb1 = 0.0, 1.0
+            dd = 1.0 / rq
+        else:
+            sinb1 = _qsfn(np.sin(p0)) / qp
+            cosb1 = np.sqrt(1 - sinb1 * sinb1)
+            dd = (np.cos(p0) /
+                  (np.sqrt(1 - ES * np.sin(p0) ** 2) * rq * cosb1))
+        x = x / dd
+        y = y * dd
+        rho = np.hypot(x, y)
+        sCe = 2 * np.arcsin(np.clip(0.5 * rho / rq, -1, 1))
+        cCe, sCe_s = np.cos(sCe), np.sin(sCe)
+        safe_rho = np.where(rho == 0, 1.0, rho)
+        ab = np.where(rho == 0, sinb1,
+                      cCe * sinb1 + y * sCe_s * cosb1 / safe_rho)
+        lam = np.arctan2(x * sCe_s,
+                         safe_rho * cosb1 * cCe - y * sinb1 * sCe_s)
+        lam = np.where(rho == 0, 0.0, lam)
+    phi = _authlat(np.arcsin(np.clip(ab, -1, 1)))
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def eqdc_fwd(lon, lat, lat1=0.0, lat2=0.0, lat0=0.0, lon0=0.0,
+             x0=0.0, y0=0.0):
+    """Ellipsoidal equidistant conic (PJ_eqdc.c)."""
+    lam = np.deg2rad(np.asarray(lon, float) - lon0)
+    phi = np.deg2rad(np.asarray(lat, float))
+    p1, p2, p0 = np.deg2rad([lat1, lat2, lat0])
+    en = _enfn(ES)
+    sin1, cos1 = np.sin(p1), np.cos(p1)
+    m1 = _msfn(sin1, cos1)
+    ml1 = _mlfn(p1, sin1, cos1, en)
+    if abs(lat1 - lat2) >= 1e-10:
+        sin2, cos2 = np.sin(p2), np.cos(p2)
+        n = (m1 - _msfn(sin2, cos2)) / (_mlfn(p2, sin2, cos2, en) - ml1)
+    else:
+        n = sin1
+    c = ml1 + m1 / n
+    rho0 = c - _mlfn(p0, np.sin(p0), np.cos(p0), en)
+    rho = c - _mlfn(phi, np.sin(phi), np.cos(phi), en)
+    return (x0 + R * rho * np.sin(lam * n),
+            y0 + R * (rho0 - rho * np.cos(lam * n)))
+
+
+def eqdc_inv(x, y, lat1=0.0, lat2=0.0, lat0=0.0, lon0=0.0,
+             x0=0.0, y0=0.0):
+    x = (np.asarray(x, float) - x0) / R
+    y = (np.asarray(y, float) - y0) / R
+    p1, p2, p0 = np.deg2rad([lat1, lat2, lat0])
+    en = _enfn(ES)
+    sin1, cos1 = np.sin(p1), np.cos(p1)
+    m1 = _msfn(sin1, cos1)
+    ml1 = _mlfn(p1, sin1, cos1, en)
+    if abs(lat1 - lat2) >= 1e-10:
+        sin2, cos2 = np.sin(p2), np.cos(p2)
+        n = (m1 - _msfn(sin2, cos2)) / (_mlfn(p2, sin2, cos2, en) - ml1)
+    else:
+        n = sin1
+    c = ml1 + m1 / n
+    rho0 = c - _mlfn(p0, np.sin(p0), np.cos(p0), en)
+    yy = rho0 - y
+    rho = np.hypot(x, yy)
+    if n < 0:
+        rho, x, yy = -rho, -x, -yy
+    phi = _inv_mlfn(c - rho, ES, en)
+    lam = np.where(rho == 0, 0.0, np.arctan2(x, yy) / n)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
 # Robinson: proj4 'robin' cubic-coefficient table, stored as FLOAT32
 # like mproj does for proj.4 float-compatibility (www/modules.js:
 # 19708-19827).  Rows: [c0, c1, c2, c3] per 5-degree node.
@@ -786,6 +1060,9 @@ PROJECTIONS = {
     "longlat": (_identity, _identity),
     "tmerc": (tmerc_fwd, tmerc_inv),
     "etmerc": (etmerc_fwd, etmerc_inv),
+    "stere": (stere_fwd, stere_inv),
+    "laea": (laea_fwd, laea_inv),
+    "eqdc": (eqdc_fwd, eqdc_inv),
 }
 
 # +ellps= shorthand table (mproj pj_ellps entries used by the fixtures)

@@ -89,3 +89,41 @@ def test_project_points_from_proj(ray_session):
     ex, ey = lcc_fwd(lon, lat)
     assert np.allclose(out["x"], ex)
     assert np.allclose(out["y"], ey)
+
+
+def test_stere_roundtrip_all_modes():
+    """PJ_stere port: polar (with lat_ts), oblique (k0) and equatorial
+    modes roundtrip fwd->inv to float tolerance."""
+    from mapshaper_ray.stages.proj import stere_fwd, stere_inv
+    lon = np.array([-96.0, 10.0, 150.0, -20.0])
+    lat = np.array([40.0, -35.0, 70.0, 5.0])
+    for kw in (dict(lat0=90.0, lat_ts=70.0),
+               dict(lat0=52.15616, lon0=5.38764, k0=0.9999079),
+               dict()):
+        x, y = stere_fwd(lon, lat, **kw)
+        lo, la = stere_inv(x, y, **kw)
+        assert np.allclose(lo, lon, atol=1e-9)
+        assert np.allclose(la, lat, atol=1e-9)
+
+
+def test_laea_roundtrip_all_modes():
+    from mapshaper_ray.stages.proj import laea_fwd, laea_inv
+    lon = np.array([-96.0, 10.0, 150.0, -20.0])
+    lat = np.array([40.0, -35.0, 70.0, 5.0])
+    for kw in (dict(lat0=52.0, lon0=10.0), dict(lat0=90.0), dict()):
+        x, y = laea_fwd(lon, lat, **kw)
+        lo, la = laea_inv(x, y, **kw)
+        assert np.allclose(lo, lon, atol=1e-7)
+        # authalic series truncation ~1e-8 deg (same as PROJ itself)
+        assert np.allclose(la, lat, atol=1e-7)
+
+
+def test_eqdc_roundtrip():
+    from mapshaper_ray.stages.proj import eqdc_fwd, eqdc_inv
+    lon = np.array([-96.0, 10.0, 150.0, -20.0])
+    lat = np.array([40.0, -35.0, 70.0, 5.0])
+    kw = dict(lat1=20.0, lat2=60.0, lat0=40.0, lon0=-96.0)
+    x, y = eqdc_fwd(lon, lat, **kw)
+    lo, la = eqdc_inv(x, y, **kw)
+    assert np.allclose(lo, lon, atol=1e-9)
+    assert np.allclose(la, lat, atol=1e-9)

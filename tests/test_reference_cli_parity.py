@@ -267,6 +267,19 @@ def test_polygon_erase_near_exact(ray_session, ref_cli, tmp_path, cw):
     ("+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-96",
      ["-proj", "+proj=lcc", "+lat_1=33", "+lat_2=45", "+lat_0=23",
       "+lon_0=-96"], 1e-7),
+    # round-3 families (PJ_stere/PJ_laea/PJ_eqdc ports)
+    ("+proj=stere +lat_0=90 +lat_ts=70",
+     ["-proj", "+proj=stere", "+lat_0=90", "+lat_ts=70"], 1e-8),
+    ("+proj=stere +lat_0=52 +lon_0=5 +k_0=0.9999079",
+     ["-proj", "+proj=stere", "+lat_0=52", "+lon_0=5",
+      "+k_0=0.9999079"], 1e-7),
+    ("+proj=laea +lat_0=52 +lon_0=10",
+     ["-proj", "+proj=laea", "+lat_0=52", "+lon_0=10"], 1e-8),
+    ("+proj=laea +lat_0=90",
+     ["-proj", "+proj=laea", "+lat_0=90"], 1e-8),
+    ("+proj=eqdc +lat_1=20 +lat_2=60 +lat_0=40 +lon_0=-96",
+     ["-proj", "+proj=eqdc", "+lat_1=20", "+lat_2=60", "+lat_0=40",
+      "+lon_0=-96"], 1e-8),
 ])
 def test_proj_vs_mproj(ray_session, ref_cli, tmp_path, spec, ref_args,
                        atol):

@@ -179,3 +179,73 @@ def test_innerlines_auto_threshold(ray_session, monkeypatch):
     out = g.innerlines_layer(ds).to_pandas()   # routes distributed
     local = g.innerlines_layer(ds, distributed=False).to_pandas()
     assert _segments(out) == _segments(local)
+
+
+# ---------------------------------------------------------------------------
+# feature-proxy completion ($.bounds/$.width/$.height/$.innerX/$.isNull/$.x)
+
+def test_proxy_accessors_reference_fixture(ray_session):
+    """The reference's each-calc-test.js proxy fixture (two polygons +
+    one null shape): partCount/isNull/width/height/bounds match the
+    reference's expected records exactly."""
+    from mapshaper_ray.ops.relational import each_expr
+    ds = rd.from_items([
+        {"feature_id": 0,
+         "rings_x": [[1.0, 1.0, 2.0, 2.0, 1.0]],
+         "rings_y": [[2.0, 3.0, 3.0, 2.0, 2.0]], "ring_poly": [0]},
+        {"feature_id": 1,
+         "rings_x": [[2.0, 3.0, 3.0, 2.0, 2.0],
+                     [3.0, 3.0, 1.0, 1.0, 2.0, 2.0, 3.0]],
+         "rings_y": [[3.0, 3.0, 2.0, 2.0, 3.0],
+                     [2.0, 1.0, 1.0, 2.0, 2.0, 3.0, 2.0]],
+         "ring_poly": [0, 1]},
+        {"feature_id": 2, "rings_x": [], "rings_y": [],
+         "ring_poly": []},
+    ])
+    out = each_expr(ds, {"parts": "part_count", "nul": "isNull",
+                         "h": "height", "w": "width",
+                         "bb": "bounds"}).to_pandas() \
+        .sort_values("feature_id").reset_index(drop=True)
+    assert list(out["parts"]) == [1, 2, 0]
+    assert list(out["nul"]) == [False, False, True]
+    assert list(out["w"]) == [1.0, 2.0, 0.0]
+    assert list(out["h"]) == [1.0, 2.0, 0.0]
+    assert list(out["bb"]) == [[1.0, 2.0, 2.0, 3.0],
+                               [1.0, 1.0, 3.0, 3.0], []]
+
+
+def test_proxy_inner_point_and_xy_setter(ray_session):
+    from mapshaper_ray.ops.relational import each_expr
+    # innerX/innerY on a unit square = anchor point inside the ring
+    ds = rd.from_items([{
+        "feature_id": 0,
+        "rings_x": [[0.0, 0.0, 4.0, 4.0, 0.0]],
+        "rings_y": [[0.0, 4.0, 4.0, 0.0, 0.0]], "ring_poly": [0]}])
+    out = each_expr(ds, {"ix": "innerX", "iy": "innerY"}).to_pandas()
+    assert 0.0 < out["ix"].iloc[0] < 4.0
+    assert 0.0 < out["iy"].iloc[0] < 4.0
+    # x/y getter + setter on a point layer moves the geometry
+    pts = rd.from_items([
+        {"feature_id": 0, "px": [1.0], "py": [2.0]},
+        {"feature_id": 1, "px": [5.0], "py": [6.0]}])
+    moved = each_expr(pts, {"x": "x + 10", "y": "y - 1"}).to_pandas() \
+        .sort_values("feature_id")
+    assert [list(v) for v in moved["px"]] == [[11.0], [15.0]]
+    assert [list(v) for v in moved["py"]] == [[1.0], [5.0]]
+    # getter without setter exposes a plain column
+    got = each_expr(pts, {"east": "x > 3"}).to_pandas() \
+        .sort_values("feature_id")
+    assert list(got["east"]) == [False, True]
+
+
+def test_js_shim_string_expressions(ray_session):
+    """Documented JS→Python shims: pandas .str methods + where()."""
+    from mapshaper_ray.ops.relational import each_expr
+    ds = rd.from_items([{"feature_id": 0, "name": "ohio"},
+                        {"feature_id": 1, "name": "utah"}])
+    out = each_expr(ds, {
+        "upper": "name.str.upper()",
+        "flag": "where(name.str.contains('hi'), 'yes', 'no')",
+    }).to_pandas().sort_values("feature_id")
+    assert list(out["upper"]) == ["OHIO", "UTAH"]
+    assert list(out["flag"]) == ["yes", "no"]
