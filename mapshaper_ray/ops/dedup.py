@@ -28,6 +28,10 @@ from ..stages.text import hash_tokens, window_hashes
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
+# candidate-pair rows above which minhash_lsh abandons the bounded
+# driver collect for the fully distributed verify (~32 MB at the cap)
+MINHASH_DRIVER_PAIR_CAP = 2_000_000
+
 
 def content_md5(texts) -> list[str]:
     return [hashlib.md5(t.encode() if isinstance(t, str) else t).hexdigest()
@@ -102,31 +106,39 @@ def minhash_lsh(ds, num_perm=64, bands=16, shingle_k=5, threshold=0.5,
     import ray
     rows_per_band = num_perm // bands
 
+    import pyarrow as pa
+
     class BandEmitter:
+        """Arrow-native band emit (SURVEY §7.0): the input text column
+        reads zero-copy from the object store; output is a packed
+        numeric pa.Table — no pandas block on the hot emit stage."""
+
         def __init__(self):
             self.mh = _MinHasher(num_perm, shingle_k, text_col)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            sets = self.mh.doc_shingle_sets(df[text_col])
-            out_band, out_hash, out_id = [], [], []
-            for did, sh in zip(df[id_col], sets):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t[text_col].to_pylist()
+            ids = t[id_col].to_numpy()
+            sets = self.mh.doc_shingle_sets(texts)
+            n = len(ids)
+            bh_all = np.empty((n, bands), dtype=np.uint64)
+            for i, sh in enumerate(sets):
                 hv = self.mh.signature(sh)
                 bsig = hv.reshape(bands, rows_per_band)
-                bh = pd.util.hash_array(
+                bh_all[i] = pd.util.hash_array(
                     np.ascontiguousarray(bsig).view(
                         [("", np.uint64)] * rows_per_band).ravel())
-                out_band.extend(range(bands))
-                out_hash.extend(bh.astype(np.uint64))
-                out_id.extend([did] * bands)
-            return pd.DataFrame({"band_id": out_band,
-                                 "band_hash": np.array(out_hash, dtype=np.uint64),
-                                 id_col: out_id})
+            return pa.table({
+                "band_id": pa.array(np.tile(
+                    np.arange(bands, dtype=np.int64), n)),
+                "band_hash": pa.array(bh_all.ravel()),
+                id_col: pa.array(np.repeat(ids, bands))})
 
     if concurrency is None:
-        triples = ds.map_batches(BandEmitter(), batch_format="pandas",
+        triples = ds.map_batches(BandEmitter(), batch_format="pyarrow",
                                  batch_size=2048)
     else:
-        triples = ds.map_batches(BandEmitter, batch_format="pandas",
+        triples = ds.map_batches(BandEmitter, batch_format="pyarrow",
                                  batch_size=2048, concurrency=concurrency,
                                  num_cpus=1)
 
@@ -187,17 +199,179 @@ def minhash_lsh(ds, num_perm=64, bands=16, shingle_k=5, threshold=0.5,
 
         cand = triples.map_batches(add_part, batch_format="pandas") \
             .groupby("__part").map_groups(part_pairs,
-                                          batch_format="pandas")
-        cand_pd = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
+                                          batch_format="pandas") \
+            .materialize()
+
+        # BOUNDED driver collect: the candidate table reaches the
+        # driver only when a distributed count proves it small (a
+        # normal corpus has O(near-dups) candidates; ~2M rows = 32 MB).
+        # Above the cap — the degenerate all-dup regime — the fully
+        # distributed verify below runs instead, at the cost of three
+        # extra exchanges (~6 s fixed in Ray 2.49, why it is not the
+        # unconditional path).
+        if cand.count() <= MINHASH_DRIVER_PAIR_CAP:
+            cand_pd = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
+        else:
+            cand_pd = None
+    if cand_pd is not None and len(cand_pd) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    if cand_pd is None:
+        # FULLY DISTRIBUTED verify path — the candidate PAIR TABLE
+        # never materializes on the driver; only the unique member-ID
+        # COLUMN — ≤ corpus size — is pulled for read pruning:
+        #   1. pairs dedupe per pair-hash partition   [exchange]
+        #   2. docs in any pair emit (doc, shingles); pairs emit two
+        #      (doc, id_a, id_b) probe rows; both shuffle by doc-hash
+        #      partition and shingles attach via an in-partition merge
+        #   3. attached rows shuffle by pair-hash partition; one exact
+        #      Jaccard per complete pair (vectorized run detection)
+        import ray
+
+        def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            h = (df["id_a"].to_numpy().astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)
+                 ^ df["id_b"].to_numpy().astype(np.uint64)
+                 * np.uint64(0xC2B2AE3D27D4EB4F))
+            return df.assign(__pp=(h % np.uint64(n_parts))
+                             .astype(np.int64))
+
+        def dedupe_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            return df.drop_duplicates(["id_a", "id_b"])
+        pairs = cand.map_batches(pair_bucket, batch_format="pandas") \
+            .groupby("__pp").map_groups(dedupe_pairs,
+                                        batch_format="pandas")
+
+        # unique member ids: a single int64 column on the driver,
+        # strictly smaller than the corpus — prunes shingle compute
+        member_ids = np.unique(np.concatenate([
+            pairs.map_batches(
+                lambda df: pd.DataFrame({
+                    "m": np.concatenate([df["id_a"].to_numpy(),
+                                         df["id_b"].to_numpy()])
+                    if len(df) else np.array([], dtype=np.int64)}),
+                batch_format="pandas").to_pandas()["m"].to_numpy(),
+            np.array([], dtype=np.int64)]))
+        if len(member_ids) == 0:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        member_ref = ray.put(member_ids)
+        mh = _MinHasher(num_perm, shingle_k, text_col)
+
+        def probe_rows(df: pd.DataFrame) -> pd.DataFrame:
+            a = df["id_a"].to_numpy()
+            b = df["id_b"].to_numpy()
+            doc = np.concatenate([a, b]) if len(df) else \
+                np.array([], dtype=np.int64)
+            return pd.DataFrame({
+                id_col: doc,
+                "id_a": np.concatenate([a, a]) if len(df) else doc,
+                "id_b": np.concatenate([b, b]) if len(df) else doc,
+                # EMPTY arrays, not None: Ray's sort exchange rejects
+                # object columns holding non-ndarray scalars; real
+                # shingle sets are never empty (>=1 hash per doc)
+                "shingles": [np.array([], dtype=np.uint64)
+                             for _ in range(2 * len(df))],
+                "__dp": (doc.astype(np.uint64)
+                         * np.uint64(0x165667B19E3779F9)
+                         % np.uint64(n_parts)).astype(np.int64)})
+
+        def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
+            mem = ray.get(member_ref)
+            sel = df[np.isin(df[id_col].to_numpy(), mem)]
+            sets = mh.doc_shingle_sets(sel[text_col]) if len(sel) else []
+            doc = sel[id_col].to_numpy()
+            return pd.DataFrame({
+                id_col: doc,
+                "id_a": np.full(len(sel), -1, dtype=np.int64),
+                "id_b": np.full(len(sel), -1, dtype=np.int64),
+                "shingles": [np.unique(s) for s in sets],
+                "__dp": (doc.astype(np.uint64)
+                         * np.uint64(0x165667B19E3779F9)
+                         % np.uint64(n_parts)).astype(np.int64)})
+
+        both = pairs.map_batches(probe_rows, batch_format="pandas") \
+            .union(ds.map_batches(shingle_rows, batch_format="pandas"))
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            src = df[df["id_a"] < 0][[id_col, "shingles"]]
+            probes = df[df["id_a"] >= 0][[id_col, "id_a", "id_b"]]
+            if len(src) == 0 or len(probes) == 0:
+                return pd.DataFrame({
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "shingles": pd.Series([], dtype="object"),
+                    "__pp": pd.Series([], dtype="int64")})
+            m = probes.merge(src, on=id_col, how="left")
+            m["shingles"] = [v if hasattr(v, "__len__")
+                             else np.array([], dtype=np.uint64)
+                             for v in m["shingles"]]
+            h = (m["id_a"].to_numpy().astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)
+                 ^ m["id_b"].to_numpy().astype(np.uint64)
+                 * np.uint64(0xC2B2AE3D27D4EB4F))
+            return pd.DataFrame({
+                "id_a": m["id_a"].to_numpy(),
+                "id_b": m["id_b"].to_numpy(),
+                "shingles": m["shingles"].to_numpy(),
+                "__pp": (h % np.uint64(n_parts)).astype(np.int64)})
+
+        attached = both.groupby("__dp").map_groups(
+            attach, batch_format="pandas")
+
+        def jaccard_part(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["id_a", "id_b"], kind="mergesort")
+            a = df["id_a"].to_numpy()
+            b = df["id_b"].to_numpy()
+            sh = df["shingles"].to_numpy()
+            new = np.ones(len(df), dtype=bool)
+            new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+            starts = np.flatnonzero(new)
+            ends = np.r_[starts[1:], len(df)]
+            out_a, out_b, out_j = [], [], []
+            for s, e in zip(starts, ends):
+                sa = sh[s]
+                sb = sh[s + 1] if e - s >= 2 else None
+                # a candidate id missing from the corpus leaves an
+                # empty placeholder set or an unpaired row
+                if sb is None or len(sa) == 0 or len(sb) == 0:
+                    jac = 0.0
+                else:
+                    sa = np.asarray(sa)
+                    sb = np.asarray(sb)
+                    inter = len(np.intersect1d(sa, sb,
+                                               assume_unique=True))
+                    union = len(sa) + len(sb) - inter
+                    jac = inter / union if union else 1.0
+                out_a.append(int(a[s]))
+                out_b.append(int(b[s]))
+                out_j.append(jac)
+            return pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                                 "jaccard": out_j})
+
+        verified = attached.groupby("__pp").map_groups(
+            jaccard_part, batch_format="pandas")
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["jaccard"] >= threshold]
+        out = verified.map_batches(keep, batch_format="pandas") \
+            .to_pandas()   # the RESULT (verified near-dups), not the
+        # candidate table — collected for API compatibility
+        if "id_a" not in out.columns:
+            out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                "id_b": pd.Series([], dtype="int64"),
+                                "jaccard": pd.Series([], dtype="float64")})
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
     if len(cand_pd) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
 
-    # distributed exact verify: broadcast only the candidate PAIR ids
-    # (small side — bounded by the near-dup count); shingle sets are
-    # computed in map_batches and shuffled BY PAIR, one Jaccard per
-    # map_groups task.  No driver-side shingle dict, no pair loop.
+    # driver band-grouping path keeps the broadcast-member verify:
+    # the pair table is already on the driver by choice here
     import ray
     cand_pd = cand_pd.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     pid_a = cand_pd["id_a"].to_numpy()

@@ -207,24 +207,32 @@ def find_intersections_ds(segments_ds, ymin: float, yrange: float,
     x1, y1, x2, y2); each segment emitted to every stripe it spans, one
     groupby on stripe id, per-stripe sweep in map_groups, dedup after.
     Returns a Dataset of crossings."""
-    def emit(df: pd.DataFrame) -> pd.DataFrame:
-        lo = np.clip(((np.minimum(df["y1"], df["y2"]) - ymin) /
-                      (yrange or 1.0) * n_stripes).astype(int),
-                     0, n_stripes - 1)
-        hi = np.clip(((np.maximum(df["y1"], df["y2"]) - ymin) /
-                      (yrange or 1.0) * n_stripes).astype(int),
-                     0, n_stripes - 1)
-        out = []
-        for s in range(n_stripes):
-            m = (lo <= s) & (hi >= s)
-            if m.any():
-                d = df[m].copy()
-                d["stripe"] = s
-                out.append(d)
-        return pd.concat(out, ignore_index=True) if out else \
-            df.head(0).assign(stripe=pd.Series([], dtype=int))
+    import pyarrow as pa
 
-    striped = segments_ds.map_batches(emit, batch_format="pandas")
+    def emit(t: pa.Table) -> pa.Table:
+        # Arrow-native stripe replication (SURVEY §7.0): numpy views of
+        # the y columns, pa.Table.take per stripe — no pandas block
+        # conversion on the widest intermediate of the pipeline
+        y1 = t["y1"].to_numpy()
+        y2 = t["y2"].to_numpy()
+        lo = np.clip(((np.minimum(y1, y2) - ymin) /
+                      (yrange or 1.0) * n_stripes).astype(int),
+                     0, n_stripes - 1)
+        hi = np.clip(((np.maximum(y1, y2) - ymin) /
+                      (yrange or 1.0) * n_stripes).astype(int),
+                     0, n_stripes - 1)
+        parts = []
+        for s in range(n_stripes):
+            idx = np.flatnonzero((lo <= s) & (hi >= s))
+            if len(idx):
+                parts.append(t.take(idx).append_column(
+                    "stripe", pa.array(np.full(len(idx), s,
+                                               dtype=np.int64))))
+        return pa.concat_tables(parts) if parts else \
+            t.slice(0, 0).append_column("stripe",
+                                        pa.array([], pa.int64()))
+
+    striped = segments_ds.map_batches(emit, batch_format="pyarrow")
 
     def sweep_group(df: pd.DataFrame) -> pd.DataFrame:
         idx = np.arange(len(df))
@@ -238,9 +246,24 @@ def find_intersections_ds(segments_ds, ymin: float, yrange: float,
                                                batch_format="pandas")
 
     # global dedup: a segment pair spanning k stripes is found k times,
-    # in k different blocks — per-block drop_duplicates misses those, so
-    # group on the pair key (small: one row per crossing)
-    def first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.head(1)
-    return out.groupby(["arc_a", "seg_a", "arc_b", "seg_b"]).map_groups(
-        first, batch_format="pandas")
+    # in k different blocks.  Coarse bucket-hash shuffle + one
+    # vectorized drop_duplicates per partition — NOT one map_groups per
+    # crossing (the per-group overhead pattern measured at 8x in
+    # ops/dedup.py)
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        h = (t["arc_a"].to_numpy().astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)
+             ^ t["seg_a"].to_numpy().astype(np.uint64)
+             * np.uint64(0xC2B2AE3D27D4EB4F)
+             ^ t["arc_b"].to_numpy().astype(np.uint64)
+             * np.uint64(0x165667B19E3779F9)
+             ^ t["seg_b"].to_numpy().astype(np.uint64))
+        return t.append_column("__dp", pa.array(
+            (h % np.uint64(64)).astype(np.int64)))
+
+    def dedupe_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["arc_a", "seg_a", "arc_b",
+                                   "seg_b"]).drop(columns="__dp")
+
+    return out.map_batches(pair_bucket, batch_format="pyarrow") \
+        .groupby("__dp").map_groups(dedupe_part, batch_format="pandas")

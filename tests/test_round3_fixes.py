@@ -249,3 +249,21 @@ def test_js_shim_string_expressions(ray_session):
     }).to_pandas().sort_values("feature_id")
     assert list(out["upper"]) == ["OHIO", "UTAH"]
     assert list(out["flag"]) == ["yes", "no"]
+
+
+def test_minhash_distributed_verify_matches_driver(ray_session,
+                                                   monkeypatch):
+    """Forcing the candidate cap to 0 routes minhash_lsh through the
+    fully distributed verify (no candidate-table driver collect); the
+    verified pair set must equal the bounded driver path's."""
+    from mapshaper_ray.ops import dedup
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    fast = dedup.minhash_lsh(ds, threshold=0.4)
+    monkeypatch.setattr(dedup, "MINHASH_DRIVER_PAIR_CAP", 0)
+    dist = dedup.minhash_lsh(ds, threshold=0.4)
+    assert set(zip(fast.id_a, fast.id_b)) == \
+        set(zip(dist.id_a, dist.id_b))
+    f = fast.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    d = dist.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert np.allclose(f["jaccard"], d["jaccard"])
