@@ -717,6 +717,19 @@ def _q44_dissolve_auto(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q46_sample(sf_dir: str):
+    """Seeded partition-independent sampling (hash-membership): the
+    sampled id set is a pure function of (seed, doc_id), so DuckDB's
+    md5_number_lower reproduces it bit-for-bit."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import deterministic_sample
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+    out = deterministic_sample(ds, 0.2, id_col="doc_id",
+                               seed=7).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q42_raster_polygons(sf_dir: str):
     """Raster->vector: reconstruct the diamond regions from the q41
     raster by distributed edge cancellation + ring stitching; area and
@@ -787,6 +800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q43_embedding_lsh": _q43_embedding_lsh,
         "q44_dissolve_auto": _q44_dissolve_auto,
         "q45_stere": _q45_stere,
+        "q46_sample": _q46_sample,
     }
 
 
@@ -1403,6 +1417,13 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(CAST((base % 1000003) / 1000003.0 - 0.5
                               AS FLOAT) AS DOUBLE), 6) AS feat0
             FROM b""",
+        "q46_sample": """
+            -- hash-membership sample: md5_number_lower('7:' || id)
+            -- under 0.2 of the uint64 key space (exact engine mirror)
+            SELECT doc_id FROM documents
+            WHERE md5_number_lower('7:' || CAST(doc_id AS VARCHAR))
+                  < CAST(3689348814741910528 AS UBIGINT)
+            ORDER BY doc_id""",
         "q45_stere": f"""
             -- PJ_stere.c polar branch closed-form: akm1 = cos(lat_ts)
             -- / tsfn(lat_ts) / sqrt(1 - es sin^2(lat_ts)); x = R akm1

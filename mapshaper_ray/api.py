@@ -195,9 +195,13 @@ def i(path: str, **kw):
             # importJSONTable, src/data/mapshaper-json-table.js:3);
             # arrays of GeoJSON Features fall through to the GeoJSON
             # reader (the reference checks record content first)
+            import numpy as np
             import pandas as pd
             import ray.data as rd
-            return rd.from_pandas(pd.read_json(path))
+            tbl = pd.read_json(path)
+            tbl.insert(0, "feature_id",
+                       np.arange(len(tbl), dtype=np.int64))
+            return rd.from_pandas(tbl)
         return read_geojson(path, **kw)
     if low.endswith((".parquet",)) or "/" not in low.rsplit(".", 1)[-1]:
         import ray.data as rd

@@ -236,6 +236,24 @@ def _with_geo_columns(ds, names):
     return ds
 
 
+def deterministic_sample(ds, fraction: float, id_col: str = "doc_id",
+                         seed: int = 7):
+    """Seeded, PARTITION-INDEPENDENT row sample: keep rows whose
+    md5-hash of ``f"{seed}:{id}"`` falls under ``fraction`` of the
+    2^64 key space.  Unlike per-task RNG sampling, membership is a
+    pure function of the row id — reproducible across block layouts,
+    cluster sizes and reruns, and reproducible by a DuckDB
+    ``md5_number_lower`` oracle (q46)."""
+    from ..stages.text import hash_tokens
+    cut = np.uint64(int(fraction * float(2 ** 64 - 1)))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [f"{seed}:{v}" for v in df[id_col]]
+        h = hash_tokens(toks)
+        return df[h < cut]
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def each_expr(ds, assignments: dict[str, str], defs: dict | None = None):
     """-each: add/overwrite computed columns (vectorized).  Geometry
     accessors (area, perimeter, cx, cy, part_count, bounds, width,

@@ -267,3 +267,33 @@ def test_minhash_distributed_verify_matches_driver(ray_session,
     f = fast.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     d = dist.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     assert np.allclose(f["jaccard"], d["jaccard"])
+
+
+def test_json_table_reader(ray_session, tmp_path):
+    """JSON array of plain records -> data-only layer with feature ids
+    (reference importJSONTable)."""
+    from mapshaper_ray import api
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps([{"name": "a", "v": 1},
+                             {"name": "b", "v": 2}]))
+    out = api.i(str(p)).to_pandas()
+    assert list(out.columns) == ["feature_id", "name", "v"]
+    assert list(out["feature_id"]) == [0, 1]
+    assert list(out["v"]) == [1, 2]
+
+
+def test_deterministic_sample_partition_independent(ray_session):
+    """Sample membership is a pure function of (seed, id): identical
+    across repartitionings; different seeds give different sets."""
+    from mapshaper_ray.ops.relational import deterministic_sample
+    ds = rd.range(2000).map_batches(
+        lambda df: df.rename(columns={"id": "doc_id"}),
+        batch_format="pandas")
+    a = sorted(deterministic_sample(ds, 0.3).to_pandas()["doc_id"])
+    b = sorted(deterministic_sample(ds.repartition(7), 0.3)
+               .to_pandas()["doc_id"])
+    c = sorted(deterministic_sample(ds, 0.3, seed=8)
+               .to_pandas()["doc_id"])
+    assert a == b
+    assert a != c
+    assert 0.25 < len(a) / 2000 < 0.35
