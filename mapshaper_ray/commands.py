@@ -588,6 +588,26 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
     cat = catalog or Catalog()
     cmds = command_str if isinstance(command_str, list) \
         else parse_commands(command_str)
+
+    # divideImportCommand (src/cli/mapshaper-commands.js:152-180): a
+    # leading -i with SEVERAL files and no combine-files/merge-files
+    # duplicates the whole command list once per file, each repetition
+    # starting from a REPLACED catalog — N independent pipeline runs in
+    # sequence.  Top-level invocations only (recursive re-entries pass
+    # a catalog).
+    if catalog is None and cmds and cmds[0]["name"] == "i":
+        files0 = cmds[0]["args"]
+        opts0 = cmds[0]["options"]
+        if len(files0) >= 2 and not opts0.get("combine_files") \
+                and not opts0.get("merge_files"):
+            expanded = []
+            for f in files0:
+                expanded.append({"name": "i",
+                                 "options": {**opts0, "replace": True},
+                                 "args": [f]})
+                expanded.extend(cmds[1:])
+            cmds = expanded
+
     for cmd in cmds:
         name = cmd["name"]
         opts = cmd["options"]
@@ -619,6 +639,14 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
             continue
 
         if name == "i":
+            if opts.get("replace"):
+                # per-file pipeline repetition: fresh catalog state
+                cat.layers.clear()
+                cat.crs.clear()
+                cat.projected.clear()
+                cat.no_rotate.clear()
+                cat.targets = []
+                cat.target = None
             loaded = []
             for path in args or [opts.get("files")]:
                 lname = opts.get("name") if len(args) <= 1 else None

@@ -297,3 +297,26 @@ def test_deterministic_sample_partition_independent(ray_session):
     assert a == b
     assert a != c
     assert 0.25 < len(a) / 2000 < 0.35
+
+
+def test_multi_file_import_divides_pipeline(ray_session, tmp_path):
+    """-i a.json b.json <cmds> -o dir/ with no combine/merge runs the
+    whole pipeline once per file from a replaced catalog (reference
+    divideImportCommand)."""
+    from mapshaper_ray.commands import run_commands
+    for name, v in (("a", 1), ("b", 2)):
+        (tmp_path / f"{name}.json").write_text(json.dumps({
+            "type": "FeatureCollection", "features": [
+                {"type": "Feature", "properties": {"v": v},
+                 "geometry": {"type": "Point",
+                              "coordinates": [v, v]}}]}))
+    out = tmp_path / "out"
+    run_commands(f"-i {tmp_path}/a.json {tmp_path}/b.json "
+                 f"-each 'w = v * 10' -o {out}/")
+    a = json.loads((out / "a.json").read_text())
+    b = json.loads((out / "b.json").read_text())
+    assert [f["properties"]["w"] for f in a["features"]] == [10]
+    assert [f["properties"]["w"] for f in b["features"]] == [20]
+    # each run starts from a REPLACED catalog: a.json's output must
+    # not contain b's feature and vice versa
+    assert len(a["features"]) == 1 and len(b["features"]) == 1
