@@ -976,6 +976,85 @@ def parse_prj(text: str):
                   k0=params.get("scale_factor"), **common)
         return (functools.partial(merc_ell_fwd, **kw),
                 functools.partial(merc_ell_inv, **kw))
+
+    # families below bind the WGS84 ellipsoid (like the alias kernels);
+    # a non-WGS84 spheroid would silently project wrong — refuse it
+    if abs(a - R) > 1e-6 or abs(rf - 1.0 / F_WGS84) > 1e-6:
+        return None
+    x0 = params.get("false_easting", 0.0)
+    y0 = params.get("false_northing", 0.0)
+
+    def _offset(fwd, inv):
+        if not (x0 or y0):
+            return fwd, inv
+        f2 = (lambda lon, lat: (lambda xy: (xy[0] + x0, xy[1] + y0))(
+            fwd(lon, lat)))
+        i2 = (lambda x, y: inv(np.asarray(x, float) - x0,
+                               np.asarray(y, float) - y0)) \
+            if inv else None
+        return f2, i2
+
+    lon0 = params.get("central_meridian",
+                      params.get("longitude_of_center", 0.0))
+    lat0c = params.get("latitude_of_center",
+                       params.get("latitude_of_origin", 0.0))
+    if proj_name in ("albers_conic_equal_area", "albers"):
+        kw = dict(lat1=params.get("standard_parallel_1", 0.0),
+                  lat2=params.get("standard_parallel_2", 0.0),
+                  lat0=lat0c, lon0=lon0)
+        return _offset(functools.partial(albers_fwd, **kw),
+                       functools.partial(albers_inv, **kw))
+    if proj_name in ("lambert_conformal_conic",
+                     "lambert_conformal_conic_2sp") and \
+            "standard_parallel_1" in params:
+        kw = dict(lat1=params["standard_parallel_1"],
+                  lat2=params.get("standard_parallel_2",
+                                  params["standard_parallel_1"]),
+                  lat0=params.get("latitude_of_origin", 0.0),
+                  lon0=lon0)
+        return _offset(functools.partial(lcc_fwd, **kw),
+                       functools.partial(lcc_inv, **kw))
+    if proj_name in ("polar_stereographic", "stereographic_north_pole",
+                     "stereographic_south_pole"):
+        # geotiff convention: latitude_of_origin is the true-scale
+        # parallel; the pole is its hemisphere's
+        lat_ts = params.get("latitude_of_origin",
+                            params.get("standard_parallel_1", 90.0))
+        kw = dict(lat0=90.0 if lat_ts >= 0 else -90.0, lat_ts=lat_ts,
+                  lon0=lon0, k0=params.get("scale_factor", 1.0),
+                  x0=x0, y0=y0)
+        return (functools.partial(stere_fwd, **kw),
+                functools.partial(stere_inv, **kw))
+    if proj_name in ("stereographic", "oblique_stereographic"):
+        kw = dict(lat0=params.get("latitude_of_origin", 0.0),
+                  lon0=lon0, k0=params.get("scale_factor", 1.0),
+                  x0=x0, y0=y0)
+        return (functools.partial(stere_fwd, **kw),
+                functools.partial(stere_inv, **kw))
+    if proj_name == "lambert_azimuthal_equal_area":
+        kw = dict(lat0=lat0c, lon0=lon0, x0=x0, y0=y0)
+        return (functools.partial(laea_fwd, **kw),
+                functools.partial(laea_inv, **kw))
+    if proj_name == "equidistant_conic" and \
+            "standard_parallel_1" in params:
+        kw = dict(lat1=params["standard_parallel_1"],
+                  lat2=params.get("standard_parallel_2",
+                                  params["standard_parallel_1"]),
+                  lat0=params.get("latitude_of_origin", 0.0),
+                  lon0=lon0, x0=x0, y0=y0)
+        return (functools.partial(eqdc_fwd, **kw),
+                functools.partial(eqdc_inv, **kw))
+    if proj_name in ("equirectangular", "plate_carree",
+                     "equidistant_cylindrical"):
+        kw = dict(lat_ts=params.get("standard_parallel_1", 0.0))
+        return _offset(functools.partial(eqc_fwd, **kw),
+                       functools.partial(eqc_inv, **kw))
+    if proj_name == "sinusoidal":
+        return _offset(functools.partial(sinusoidal_fwd, lon0=lon0),
+                       None)
+    if proj_name == "robinson":
+        return _offset(functools.partial(robinson_fwd, lon0=lon0),
+                       None)
     return None
 
 
@@ -1029,6 +1108,9 @@ def wkt_for_defn(defn: str) -> str | None:
                     f'PARAMETER["false_northing",'
                     f'{10000000 if hemi == "S" else 0}],'
                     f'UNIT["Meter",1]]')
+        made = _wkt_make_parametered(d, parts, p4, datum_wgs84)
+        if made is not None:
+            return made
     else:
         p4 = _ALIAS_PROJ4.get(d)
     name = _WKT_PROJ_NAMES.get(p4 or "")
@@ -1038,6 +1120,78 @@ def wkt_for_defn(defn: str) -> str | None:
         (_GEOGCS_UNK, "UNK")
     return (f'PROJCS["{title} / {name}",{geog},'
             f'PROJECTION["{name}"],UNIT["Meter",1]]')
+
+
+# mproj's proj4→WKT parameter rules (www/modules.js wkt_param_table +
+# wkt_common_params + the add_simple_wkt_maker registry): per family,
+# projection-specific rules first, then the common tail; a None target
+# DROPS the parameter (e.g. polar stere's lat_0).  Parameters emit in
+# their order of appearance in the +proj string, exactly as the
+# reference's maker walks P.params.
+_WKT_COMMON_RULES = [("x_0", "false_easting"), ("y_0", "false_northing"),
+                     ("k_0", "scale_factor"), ("k", "scale_factor"),
+                     ("lat_0", "latitude_of_center"),
+                     ("lon_0", "central_meridian")]
+_WKT_MAKER = {
+    "aea": ("Albers_Conic_Equal_Area",
+            [("lat_1", "standard_parallel_1"),
+             ("lat_2", "standard_parallel_2")]),
+    "eqdc": ("Equidistant_Conic",
+             [("lat_1", "standard_parallel_1"),
+              ("lat_2", "standard_parallel_2")]),
+    "laea": ("Lambert_Azimuthal_Equal_Area", []),
+    "lcc": ("Lambert_Conformal_Conic_2SP",
+            [("lat_1", "standard_parallel_1"),
+             ("lat_2", "standard_parallel_2"),
+             ("lat_0", "latitude_of_origin")]),
+    "tmerc": ("Transverse_Mercator", [("lat_0", "latitude_of_origin")]),
+    "etmerc": ("Transverse_Mercator",
+               [("lat_0", "latitude_of_origin")]),
+    "eqc": ("Equirectangular", [("lat_ts", "standard_parallel_1")]),
+    "sinu": ("Sinusoidal", []),
+    "robin": ("Robinson", []),
+}
+
+
+def _wkt_make_parametered(defn: str, parts: dict, p4: str,
+                          datum_wgs84: bool) -> str | None:
+    """proj4 string WITH parameters → the reference's .prj WKT
+    (captured live and matched byte-for-byte in
+    tests/test_reference_cli_parity.py).  Returns None for families
+    the reference's mproj cannot emit either (oblique stere crashes
+    there — parity includes writing NO .prj)."""
+    from ..sources.jsnum import js_number_str
+    skip = {"proj", "datum", "ellps", "units", "no_defs", "south",
+            "zone", "a", "b", "rf", "towgs84"}
+    if p4 == "merc":
+        name = "Mercator_2SP" if "lat_ts" in parts else "Mercator_1SP"
+        rules = [("lat_ts", "standard_parallel_1")]
+    elif p4 == "stere":
+        if "lat_ts" not in parts:
+            return None   # reference mproj fails on oblique stere too
+        name = "Polar_Stereographic"
+        rules = [("lat_ts", "latitude_of_origin"), ("lat_0", None)]
+    elif p4 in _WKT_MAKER:
+        name, rules = _WKT_MAKER[p4]
+    else:
+        return None
+    rules = rules + _WKT_COMMON_RULES
+    params_out = []
+    for key, val in parts.items():
+        if key in skip:
+            continue
+        rule = next((r for r in rules if r[0] == key), None)
+        if rule is None or rule[1] is None:
+            continue
+        params_out.append(
+            f'PARAMETER["{rule[1]}",{js_number_str(float(val))}]')
+    if not params_out:
+        return None       # bare +proj falls back to the alias shape
+    geog, title = (_GEOGCS_WGS84, "WGS84") if datum_wgs84 else \
+        (_GEOGCS_UNK, "UNK")
+    return (f'PROJCS["{title} / {name}",{geog},'
+            f'PROJECTION["{name}"],' + ",".join(params_out) +
+            ',UNIT["Meter",1]]')
 
 
 # alias index (reference src/geom/mapshaper-projections.js:4-9 plus the
@@ -1096,6 +1250,23 @@ _PARAM_KEYS = {"lat_1": "lat1", "lat_2": "lat2", "lat_0": "lat0",
                "k_0": "k0", "x_0": "x0", "y_0": "y0", "a": "a",
                "rf": "rf"}
 
+# PROJ4's zero defaults, applied to '+proj=' strings only (the alias
+# kernels keep the reference aliases' bound parameters, e.g. 'albers'
+# = AlbersNYT's 29.5/45.5/37.5/-96)
+_PROJ4_PARAM_DEFAULTS = {
+    "aea": dict(lat1=0.0, lat2=0.0, lat0=0.0, lon0=0.0),
+    "albers": dict(lat1=0.0, lat2=0.0, lat0=0.0, lon0=0.0),
+    "lcc": dict(lat1=0.0, lat2=0.0, lat0=0.0, lon0=0.0),
+    "eqdc": dict(lat1=0.0, lat2=0.0, lat0=0.0, lon0=0.0),
+    "laea": dict(lat0=0.0, lon0=0.0),
+    "stere": dict(lat0=0.0, lon0=0.0),
+    "eqc": dict(lat_ts=0.0),
+    "sinu": dict(lon0=0.0),
+    "sinusoidal": dict(lon0=0.0),
+    "robin": dict(lon0=0.0),
+    "robinson": dict(lon0=0.0),
+}
+
 
 def resolve_projection(defn: str):
     """Alias or proj4-style string → (fwd, inv) callables with bound
@@ -1126,6 +1297,17 @@ def resolve_projection(defn: str):
         kw = {dst: float(parts[src]) for src, dst in _PARAM_KEYS.items()
               if src in parts}
         _resolve_ellps(parts, kw)
+        # '+proj=' strings take PROJ4's zero defaults, NOT the alias
+        # kernels' reference-alias defaults (mproj: bare +proj=aea
+        # projects at lat_0=0/lon_0=0; bare +proj=lcc errors) —
+        # verified live against the reference CLI
+        for k, v in _PROJ4_PARAM_DEFAULTS.get(name, {}).items():
+            kw.setdefault(k, v)
+        if name in ("aea", "albers", "lcc", "eqdc") and \
+                kw.get("lat1", 0.0) == -kw.get("lat2", 0.0):
+            raise ValueError(
+                f"Unable to use projection +proj={name} "
+                f"(conic lat_1 = -lat_2)")
         fwd, inv = PROJECTIONS[name]
         bfwd = functools.partial(fwd, **kw) if kw and fwd else fwd
         binv = functools.partial(inv, **kw) if kw and inv else inv

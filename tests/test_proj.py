@@ -64,15 +64,20 @@ def test_albersusa_insets():
 
 
 def test_resolve_proj4_string_params():
+    # '+proj=' strings take PROJ4's ZERO defaults for lat_0/lon_0
+    # (verified live against mproj — the alias kernels' AlbersNYT-style
+    # defaults apply only to the aliases)
     fwd, inv = resolve_projection("+proj=lcc +lat_1=40 +lat_2=50")
     x, y = fwd(np.array([-96.0]), np.array([45.0]))
     xd, yd = lcc_fwd(np.array([-96.0]), np.array([45.0]),
-                     lat1=40.0, lat2=50.0)
+                     lat1=40.0, lat2=50.0, lat0=0.0, lon0=0.0)
     assert x[0] == xd[0] and y[0] == yd[0]
     with pytest.raises(ValueError):
         resolve_projection("+proj=nosuch")
     with pytest.raises(ValueError):
         resolve_projection("utm17n")
+    with pytest.raises(ValueError):   # mproj: conic lat_1 = -lat_2
+        resolve_projection("+proj=lcc")
 
 
 def test_project_points_from_proj(ray_session):

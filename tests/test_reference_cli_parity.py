@@ -1523,3 +1523,46 @@ def test_filter_geom_per_part(ray_session, ref_cli, tmp_path):
     run_commands(f"-i {src2} -filter-geom bbox=-180,0,180,90 "
                  f"-o {ours2}")
     assert ours2.read_bytes() == ref2.read_bytes()
+
+
+@pytest.mark.parametrize("spec,ref_args", [
+    ("+proj=stere +lat_0=90 +lat_ts=70",
+     ["-proj", "+proj=stere", "+lat_0=90", "+lat_ts=70"]),
+    ("+proj=laea +lat_0=52 +lon_0=10",
+     ["-proj", "+proj=laea", "+lat_0=52", "+lon_0=10"]),
+    ("+proj=eqdc +lat_1=20 +lat_2=60",
+     ["-proj", "+proj=eqdc", "+lat_1=20", "+lat_2=60"]),
+    ("+proj=aea +lat_1=29.5 +lat_2=45.5",
+     ["-proj", "+proj=aea", "+lat_1=29.5", "+lat_2=45.5"]),
+    ("+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-96",
+     ["-proj", "+proj=lcc", "+lat_1=33", "+lat_2=45", "+lat_0=23",
+      "+lon_0=-96"]),
+    ("+proj=merc +lat_ts=20", ["-proj", "+proj=merc", "+lat_ts=20"]),
+    ("+proj=tmerc +lon_0=9 +k_0=0.9996 +x_0=500000",
+     ["-proj", "+proj=tmerc", "+lon_0=9", "+k_0=0.9996",
+      "+x_0=500000"]),
+])
+def test_parametered_prj_wkt_bytes(ray_session, ref_cli, tmp_path,
+                                   spec, ref_args):
+    """Parametered '+proj=' exports write BYTE-IDENTICAL .prj WKT to
+    the reference's mproj converter (PARAMETER lists per
+    wkt_param_table + family rules, ECMA number formatting)."""
+    from mapshaper_ray.stages.proj import wkt_for_defn
+    ref_run(ref_cli, [THREE_POINTS_SHP, *ref_args, "-o",
+                      str(tmp_path / "ref.shp")])
+    ref_prj = (tmp_path / "ref.prj").read_text()
+    assert wkt_for_defn(spec) == ref_prj
+
+
+def test_proj4_zero_defaults_vs_mproj(ray_session, ref_cli, tmp_path):
+    """Bare '+proj=aea +lat_1 +lat_2' projects at lat_0=0/lon_0=0 like
+    mproj — NOT at the albers alias's AlbersNYT parameters."""
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [THREE_POINTS, "-proj", "+proj=aea",
+                      "+lat_1=29.5", "+lat_2=45.5", "-o", str(ref)])
+    run_commands(f"-i {THREE_POINTS} -proj +proj=aea +lat_1=29.5 "
+                 f"+lat_2=45.5 -o {ours}")
+    a = np.array([g["coordinates"] for g in geoms(str(ours))], float)
+    b = np.array([g["coordinates"] for g in geoms(str(ref))], float)
+    assert np.allclose(a, b, rtol=0, atol=1e-8)
