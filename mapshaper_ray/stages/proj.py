@@ -435,6 +435,141 @@ def laea_inv(x, y, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
     return np.rad2deg(lam) + lon0, np.rad2deg(phi)
 
 
+# --- cass / moll / mill / gall / cea (PJ_cass.c, PJ_moll.c,
+# PJ_mill.c, PJ_gall.c, PJ_cea.c ports; WGS84 where ellipsoidal) ---
+
+_C1, _C2, _C3, _C4, _C5 = (1 / 6.0, 1 / 120.0, 1 / 24.0,
+                           1 / 3.0, 1 / 15.0)
+
+
+def cass_fwd(lon, lat, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
+    """Ellipsoidal Cassini–Soldner (PJ_cass.c e_forward)."""
+    lam = np.deg2rad(np.asarray(lon, float) - lon0)
+    phi = np.deg2rad(np.asarray(lat, float))
+    en = _enfn(ES)
+    m0 = _mlfn(np.deg2rad(lat0), np.sin(np.deg2rad(lat0)),
+               np.cos(np.deg2rad(lat0)), en)
+    sinp, cosp = np.sin(phi), np.cos(phi)
+    n = 1.0 / np.sqrt(1 - ES * sinp * sinp)
+    tn = np.tan(phi)
+    t = tn * tn
+    a1 = lam * cosp
+    c = cosp * cosp * ES / (1 - ES)
+    a2 = a1 * a1
+    x = n * a1 * (1 - a2 * t * (_C1 - (8 - t + 8 * c) * a2 * _C2))
+    y = (_mlfn(phi, sinp, cosp, en) - m0
+         + n * tn * a2 * (0.5 + (5 - t + 6 * c) * a2 * _C3))
+    return x0 + R * x, y0 + R * y
+
+
+def cass_inv(x, y, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
+    x = (np.asarray(x, float) - x0) / R
+    y = (np.asarray(y, float) - y0) / R
+    en = _enfn(ES)
+    m0 = _mlfn(np.deg2rad(lat0), np.sin(np.deg2rad(lat0)),
+               np.cos(np.deg2rad(lat0)), en)
+    ph1 = _inv_mlfn(m0 + y, ES, en)
+    tn = np.tan(ph1)
+    t = tn * tn
+    n = np.sin(ph1)
+    r = 1.0 / (1 - ES * n * n)
+    n = np.sqrt(r)
+    r *= (1 - ES) * n
+    dd = x / n
+    d2 = dd * dd
+    phi = ph1 - (n * tn / r) * d2 * (0.5 - (1 + 3 * t) * d2 * _C3)
+    lam = dd * (1 + t * d2 * (-_C4 + (1 + 3 * t) * d2 * _C5)) \
+        / np.cos(ph1)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+_MOLL_P = np.pi / 2
+_MOLL_SP = 1.0
+_MOLL_P2 = np.pi
+_MOLL_R = np.sqrt(2 * np.pi * _MOLL_SP / (_MOLL_P2 + np.sin(_MOLL_P2)))
+_MOLL_CX = 2 * _MOLL_R / np.pi
+_MOLL_CY = _MOLL_R / _MOLL_SP
+_MOLL_CP = _MOLL_P2 + np.sin(_MOLL_P2)
+
+
+def moll_fwd(lon, lat, lon0=0.0):
+    """Spherical Mollweide (PJ_moll.c, generic setup at p=pi/2)."""
+    lam = np.deg2rad(np.asarray(lon, float) - lon0)
+    phi = np.deg2rad(np.asarray(lat, float))
+    k = _MOLL_CP * np.sin(phi)
+    th = phi.copy()
+    for _ in range(10):
+        v = (th + np.sin(th) - k) / (1 + np.cos(th))
+        th = th - v
+        if np.all(np.abs(v) < 1e-10):
+            break
+    th = th * 0.5
+    return (R * _MOLL_CX * lam * np.cos(th),
+            R * _MOLL_CY * np.sin(th))
+
+
+def moll_inv(x, y, lon0=0.0):
+    x = np.asarray(x, float) / R
+    y = np.asarray(y, float) / R
+    th = np.arcsin(np.clip(y / _MOLL_CY, -1, 1))
+    lam = x / (_MOLL_CX * np.cos(th))
+    th = th + th
+    phi = np.arcsin(np.clip((th + np.sin(th)) / _MOLL_CP, -1, 1))
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def mill_fwd(lon, lat, lon0=0.0):
+    """Spherical Miller cylindrical (PJ_mill.c)."""
+    lam = np.deg2rad(np.asarray(lon, float) - lon0)
+    phi = np.deg2rad(np.asarray(lat, float))
+    return (R * lam,
+            R * np.log(np.tan(np.pi / 4 + phi * 0.4)) * 1.25)
+
+
+def mill_inv(x, y, lon0=0.0):
+    lam = np.asarray(x, float) / R
+    phi = 2.5 * (np.arctan(np.exp(0.8 * np.asarray(y, float) / R))
+                 - np.pi / 4)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+_GALL_XF = 0.70710678118654752440
+_GALL_YF = 1.70710678118654752440
+
+
+def gall_fwd(lon, lat, lon0=0.0):
+    """Spherical Gall stereographic (PJ_gall.c)."""
+    lam = np.deg2rad(np.asarray(lon, float) - lon0)
+    phi = np.deg2rad(np.asarray(lat, float))
+    return (R * _GALL_XF * lam, R * _GALL_YF * np.tan(0.5 * phi))
+
+
+def gall_inv(x, y, lon0=0.0):
+    lam = np.asarray(x, float) / R / _GALL_XF
+    phi = 2 * np.arctan(np.asarray(y, float) / R / _GALL_YF)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def cea_fwd(lon, lat, lat_ts=0.0, lon0=0.0, x0=0.0, y0=0.0):
+    """Ellipsoidal cylindrical equal-area (PJ_cea.c e_forward)."""
+    lam = np.deg2rad(np.asarray(lon, float) - lon0)
+    phi = np.deg2rad(np.asarray(lat, float))
+    t = np.sin(np.deg2rad(lat_ts))
+    k0 = np.cos(np.deg2rad(lat_ts)) / np.sqrt(1 - ES * t * t)
+    return (x0 + R * k0 * lam,
+            y0 + R * 0.5 * _qsfn(np.sin(phi)) / k0)
+
+
+def cea_inv(x, y, lat_ts=0.0, lon0=0.0, x0=0.0, y0=0.0):
+    x = (np.asarray(x, float) - x0) / R
+    y = (np.asarray(y, float) - y0) / R
+    t = np.sin(np.deg2rad(lat_ts))
+    k0 = np.cos(np.deg2rad(lat_ts)) / np.sqrt(1 - ES * t * t)
+    qp = _qsfn(1.0)
+    phi = _authlat(np.arcsin(np.clip(2 * y * k0 / qp, -1, 1)))
+    return np.rad2deg(x / k0) + lon0, np.rad2deg(phi)
+
+
 def eqdc_fwd(lon, lat, lat1=0.0, lat2=0.0, lat0=0.0, lon0=0.0,
              x0=0.0, y0=0.0):
     """Ellipsoidal equidistant conic (PJ_eqdc.c)."""
@@ -1055,6 +1190,25 @@ def parse_prj(text: str):
     if proj_name == "robinson":
         return _offset(functools.partial(robinson_fwd, lon0=lon0),
                        None)
+    if proj_name in ("cassini_soldner", "cassini"):
+        kw = dict(lat0=params.get("latitude_of_origin", 0.0),
+                  lon0=lon0, x0=x0, y0=y0)
+        return (functools.partial(cass_fwd, **kw),
+                functools.partial(cass_inv, **kw))
+    if proj_name == "mollweide":
+        return _offset(functools.partial(moll_fwd, lon0=lon0),
+                       functools.partial(moll_inv, lon0=lon0))
+    if proj_name == "miller_cylindrical":
+        return _offset(functools.partial(mill_fwd, lon0=lon0),
+                       functools.partial(mill_inv, lon0=lon0))
+    if proj_name == "gall_stereographic":
+        return _offset(functools.partial(gall_fwd, lon0=lon0),
+                       functools.partial(gall_inv, lon0=lon0))
+    if proj_name == "cylindrical_equal_area":
+        kw = dict(lat_ts=params.get("standard_parallel_1", 0.0),
+                  lon0=lon0, x0=x0, y0=y0)
+        return (functools.partial(cea_fwd, **kw),
+                functools.partial(cea_inv, **kw))
     return None
 
 
@@ -1150,6 +1304,12 @@ _WKT_MAKER = {
     "eqc": ("Equirectangular", [("lat_ts", "standard_parallel_1")]),
     "sinu": ("Sinusoidal", []),
     "robin": ("Robinson", []),
+    "cass": ("Cassini_Soldner", [("lat_0", "latitude_of_origin")]),
+    "moll": ("Mollweide", []),
+    "mill": ("Miller_Cylindrical", []),
+    "gall": ("Gall_Stereographic", []),
+    "cea": ("Cylindrical_Equal_Area",
+            [("lat_ts", "standard_parallel_1")]),
 }
 
 
@@ -1217,6 +1377,11 @@ PROJECTIONS = {
     "stere": (stere_fwd, stere_inv),
     "laea": (laea_fwd, laea_inv),
     "eqdc": (eqdc_fwd, eqdc_inv),
+    "cass": (cass_fwd, cass_inv),
+    "moll": (moll_fwd, moll_inv),
+    "mill": (mill_fwd, mill_inv),
+    "gall": (gall_fwd, gall_inv),
+    "cea": (cea_fwd, cea_inv),
 }
 
 # +ellps= shorthand table (mproj pj_ellps entries used by the fixtures)
@@ -1265,6 +1430,11 @@ _PROJ4_PARAM_DEFAULTS = {
     "sinusoidal": dict(lon0=0.0),
     "robin": dict(lon0=0.0),
     "robinson": dict(lon0=0.0),
+    "cass": dict(lat0=0.0, lon0=0.0),
+    "moll": dict(lon0=0.0),
+    "mill": dict(lon0=0.0),
+    "gall": dict(lon0=0.0),
+    "cea": dict(lat_ts=0.0, lon0=0.0),
 }
 
 

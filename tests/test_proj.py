@@ -132,3 +132,48 @@ def test_eqdc_roundtrip():
     lo, la = eqdc_inv(x, y, **kw)
     assert np.allclose(lo, lon, atol=1e-9)
     assert np.allclose(la, lat, atol=1e-9)
+
+
+def test_extra_families_roundtrip():
+    """cass (in series domain) / moll / mill / gall / cea roundtrip."""
+    from mapshaper_ray.stages.proj import (cass_fwd, cass_inv, cea_fwd,
+                                           cea_inv, gall_fwd, gall_inv,
+                                           mill_fwd, mill_inv,
+                                           moll_fwd, moll_inv)
+    lon = np.array([-79.0, -76.5, -81.0])
+    lat = np.array([43.0, 38.0, 47.5])
+    x, y = cass_fwd(lon, lat, lon0=-78.0)
+    lo, la = cass_inv(x, y, lon0=-78.0)
+    assert np.allclose(lo, lon, atol=1e-6)   # series precision
+    assert np.allclose(la, lat, atol=1e-6)
+    for fwd, inv, kw in ((moll_fwd, moll_inv, {}),
+                         (mill_fwd, mill_inv, {}),
+                         (gall_fwd, gall_inv, {}),
+                         (cea_fwd, cea_inv, dict(lat_ts=30.0))):
+        x, y = fwd(lon, lat, **kw)
+        lo, la = inv(x, y, **kw)
+        assert np.allclose(lo, lon, atol=1e-7)
+        assert np.allclose(la, lat, atol=1e-7)
+
+
+def test_parse_prj_new_families(tmp_path):
+    """WKT written by wkt_for_defn parses back to matching transforms
+    for the round-3 families."""
+    from mapshaper_ray.stages.proj import (parse_prj,
+                                           resolve_projection,
+                                           wkt_for_defn)
+    lon = np.array([-70.0, 15.0])
+    lat = np.array([45.0, -20.0])
+    for spec in ("+proj=cass +lat_0=40 +lon_0=-75",
+                 "+proj=cea +lat_ts=30",
+                 "+proj=laea +lat_0=52 +lon_0=10",
+                 "+proj=eqdc +lat_1=20 +lat_2=60",
+                 "+proj=stere +lat_0=90 +lat_ts=70"):
+        wkt = wkt_for_defn(spec)
+        assert wkt is not None, spec
+        pair = parse_prj(wkt)
+        assert pair is not None, spec
+        f1, _ = pair
+        f2, _ = resolve_projection(spec)
+        assert np.allclose(np.c_[f1(lon, lat)], np.c_[f2(lon, lat)],
+                           atol=1e-6), spec

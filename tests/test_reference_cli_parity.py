@@ -1566,3 +1566,24 @@ def test_proj4_zero_defaults_vs_mproj(ray_session, ref_cli, tmp_path):
     a = np.array([g["coordinates"] for g in geoms(str(ours))], float)
     b = np.array([g["coordinates"] for g in geoms(str(ref))], float)
     assert np.allclose(a, b, rtol=0, atol=1e-8)
+
+
+@pytest.mark.parametrize("spec,ref_args,atol", [
+    ("+proj=cass", ["-proj", "+proj=cass"], 1e-8),     # BIT-exact fwd
+    ("+proj=moll", ["-proj", "+proj=moll"], 1e-8),
+    ("+proj=mill", ["-proj", "+proj=mill"], 1e-8),
+    ("+proj=gall", ["-proj", "+proj=gall"], 1e-8),
+    ("+proj=cea +lat_ts=30",
+     ["-proj", "+proj=cea", "+lat_ts=30"], 1e-8),
+])
+def test_proj_extra_families_vs_mproj(ray_session, ref_cli, tmp_path,
+                                      spec, ref_args, atol):
+    """Round-3 additions: cass/moll/mill/gall/cea vs live mproj."""
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [THREE_POINTS, *ref_args, "-o", str(ref)])
+    run_commands(f"-i {THREE_POINTS} -proj {spec} -o {ours}")
+    a = np.array([g["coordinates"] for g in geoms(str(ours))], float)
+    b = np.array([g["coordinates"] for g in geoms(str(ref))], float)
+    assert a.shape == b.shape
+    assert np.allclose(a, b, rtol=0, atol=atol)
