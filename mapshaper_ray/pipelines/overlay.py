@@ -484,13 +484,29 @@ def dissolve_layer(ds, key: str, sum_fields=(), copy_fields=(),
             .groupby(key, sort=False).head(1) \
             .drop(columns="feature_id")
         data = cp if data is None else data.merge(cp, on=key)
-    mdf = melted.to_pandas().sort_values(key).reset_index(drop=True)
-    if data is not None:
-        mdf = mdf.merge(data, on=key, how="left")
-    mdf.insert(0, "feature_id", np.arange(len(mdf), dtype=np.int64))
+    # streaming assembly: the melted GEOMETRY never reaches the driver
+    # — only the key COLUMN (for deterministic feature numbering) and
+    # the small per-key aggregate table (broadcast merge per batch).
+    # materialize() pins the melted blocks in the OBJECT STORE so the
+    # key pull + finish pass don't re-execute the dissolve twice.
+    import ray
+    melted = melted.materialize()
+    keys_sorted = sorted(melted.map_batches(
+        lambda df: df[[key]], batch_format="pandas").to_pandas()[key])
+    id_ref = ray.put({k: i for i, k in enumerate(keys_sorted)})
+    data_ref = ray.put(data)
     cols = ["feature_id", key, *sum_fields, *copy_fields,
             "rings_x", "rings_y", "ring_poly"]
-    return rd.from_pandas(mdf[cols])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(data_ref)
+        if d is not None:
+            df = df.merge(d, on=key, how="left")
+        ids = ray.get(id_ref)
+        df.insert(0, "feature_id",
+                  df[key].map(ids).astype(np.int64))
+        return df[cols].sort_values("feature_id")
+    return melted.map_batches(finish, batch_format="pandas")
 
 
 def _overlay(df_target: pd.DataFrame, clip_feats, keep_inside_clip: bool):
@@ -702,6 +718,20 @@ def dissolve2_layer(ds, key: str, cell="auto", bbox=None,
 
     melted = per_cell.groupby(key).map_groups(per_key,
                                               batch_format="pandas")
-    mdf = melted.to_pandas().sort_values(key).reset_index(drop=True)
-    mdf.insert(0, "feature_id", np.arange(len(mdf), dtype=np.int64))
-    return rd.from_pandas(mdf)
+    # streaming numbering (geometry stays distributed; only the key
+    # column is pulled for the deterministic key→id map).
+    # materialize() pins melted blocks in the object store so the key
+    # pull + finish pass don't run the dissolve twice.
+    import ray
+    melted = melted.materialize()
+    keys_sorted = sorted(melted.map_batches(
+        lambda df: df[[key]], batch_format="pandas").to_pandas()[key])
+    id_ref = ray.put({k: i for i, k in enumerate(keys_sorted)})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(id_ref)
+        df = df.copy()
+        df.insert(0, "feature_id",
+                  df[key].map(ids).astype(np.int64))
+        return df.sort_values("feature_id")
+    return melted.map_batches(finish, batch_format="pandas")
