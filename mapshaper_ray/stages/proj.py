@@ -1072,6 +1072,1229 @@ def merc_ell_inv(x, y, lon0=0.0, lat_ts=0.0, k0=None, x0=0.0, y0=0.0,
 
 
 # ---------------------------------------------------------------------------
+# round-3 wide-family batch: world projections (spherical — mproj
+# forces P.es=0, sphere radius = a) and national-grid ellipsoidal
+# families, formula-ported from mproj's pj_* setups (the reference's
+# actual -proj backend, same math as PROJ.4; reference
+# src/commands/mapshaper-proj.js:8)
+
+def _wrap_lam(lam):
+    """mproj adjlon applied in pj_fwd: wrap lam-lam0 into [-pi, pi]."""
+    lam = np.asarray(lam, float)
+    return np.where(np.abs(lam) > np.pi,
+                    lam - 2 * np.pi * np.round(lam / (2 * np.pi)), lam)
+
+
+def ortho_fwd(lon, lat, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
+    """Spherical orthographic (pj_ortho); the invisible hemisphere
+    projects to NaN (mproj raises f_error per point)."""
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    p0 = np.deg2rad(lat0)
+    cosphi, sinphi = np.cos(phi), np.sin(phi)
+    coslam = np.cos(lam)
+    if abs(abs(lat0) - 90.0) <= 1e-8:                       # polar
+        cl = coslam if lat0 < 0 else -coslam
+        bad = np.abs(phi - p0) - 1e-10 > np.pi / 2
+        y = np.where(bad, np.nan, cosphi * cl)
+    elif abs(lat0) > 1e-8:                                  # oblique
+        s0, c0 = np.sin(p0), np.cos(p0)
+        bad = s0 * sinphi + c0 * cosphi * coslam < -1e-10
+        y = np.where(bad, np.nan, c0 * sinphi - s0 * cosphi * coslam)
+    else:                                                   # equatorial
+        bad = cosphi * coslam < -1e-10
+        y = np.where(bad, np.nan, sinphi)
+    x = np.where(np.isnan(y), np.nan, cosphi * np.sin(lam))
+    return x0 + R * x, y0 + R * y
+
+
+def ortho_inv(x, y, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
+    x = (np.asarray(x, float) - x0) / R
+    y = (np.asarray(y, float) - y0) / R
+    p0 = np.deg2rad(lat0)
+    rh = np.hypot(x, y)
+    sinc = np.minimum(rh, 1.0)
+    cosc = np.sqrt(1 - sinc * sinc)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if abs(abs(lat0) - 90.0) <= 1e-8:
+            phi = np.arccos(sinc) * (1 if lat0 >= 0 else -1)
+            lam = np.arctan2(x, -y if lat0 >= 0 else y)
+        elif abs(lat0) > 1e-8:
+            s0, c0 = np.sin(p0), np.cos(p0)
+            phi = cosc * s0 + y * sinc * c0 / rh
+            yy = (cosc - s0 * phi) * rh
+            xx = x * sinc * c0
+            phi = np.arcsin(np.clip(phi, -1, 1))
+            lam = np.where(yy == 0,
+                           np.where(xx == 0, 0.0,
+                                    np.sign(xx) * np.pi / 2),
+                           np.arctan2(xx, yy))
+        else:
+            phi = y * sinc / rh
+            yy = cosc * rh
+            xx = x * sinc
+            phi = np.arcsin(np.clip(phi, -1, 1))
+            lam = np.where(yy == 0,
+                           np.where(xx == 0, 0.0,
+                                    np.sign(xx) * np.pi / 2),
+                           np.arctan2(xx, yy))
+    phi = np.where(rh <= 1e-10, p0, phi)
+    lam = np.where(rh <= 1e-10, 0.0, lam)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def gnom_fwd(lon, lat, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
+    """Spherical gnomonic (pj_gnom); the far hemisphere → NaN."""
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    p0 = np.deg2rad(lat0)
+    sinphi, cosphi = np.sin(phi), np.cos(phi)
+    coslam = np.cos(lam)
+    if abs(abs(lat0) - 90.0) < 1e-10:
+        t = sinphi if lat0 > 0 else -sinphi
+        cl = -coslam if lat0 > 0 else coslam
+    elif abs(lat0) < 1e-10:
+        t = cosphi * coslam
+        cl = coslam
+    else:
+        s0, c0 = np.sin(p0), np.cos(p0)
+        t = s0 * sinphi + c0 * cosphi * coslam
+        cl = coslam
+    with np.errstate(invalid="ignore", divide="ignore"):
+        t = np.where(t <= 1e-10, np.nan, 1.0 / t)
+        x = t * cosphi * np.sin(lam)
+        if abs(abs(lat0) - 90.0) < 1e-10:
+            y = t * cosphi * cl
+        elif abs(lat0) < 1e-10:
+            y = t * sinphi
+        else:
+            s0, c0 = np.sin(p0), np.cos(p0)
+            y = t * (c0 * sinphi - s0 * cosphi * coslam)
+    return x0 + R * x, y0 + R * y
+
+
+def gnom_inv(x, y, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
+    x = (np.asarray(x, float) - x0) / R
+    y = (np.asarray(y, float) - y0) / R
+    p0 = np.deg2rad(lat0)
+    rh = np.hypot(x, y)
+    z = np.arctan(rh)
+    sinz, cosz = np.sin(z), np.sqrt(1 - np.sin(z) ** 2)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if abs(abs(lat0) - 90.0) < 1e-10:
+            phi = (np.pi / 2 - z) if lat0 > 0 else (z - np.pi / 2)
+            yy = -y if lat0 > 0 else y
+            xx = x
+        elif abs(lat0) < 1e-10:
+            phi = np.arcsin(np.clip(y * sinz / rh, -1, 1))
+            yy = cosz * rh
+            xx = x * sinz
+        else:
+            s0, c0 = np.sin(p0), np.cos(p0)
+            phi = np.arcsin(np.clip(cosz * s0 + y * sinz * c0 / rh,
+                                    -1, 1))
+            yy = (cosz - s0 * np.sin(phi)) * rh
+            xx = x * sinz * c0
+        lam = np.arctan2(xx, yy)
+    phi = np.where(rh <= 1e-10, p0, phi)
+    lam = np.where(rh <= 1e-10, 0.0, lam)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+_NE_A = (0.8707, -0.131979, -0.013791, 0.003971, -0.001529)
+_NE_B = (1.007226, 0.015085, -0.044475, 0.028874, -0.005916)
+_NE_C = (_NE_B[0], 3 * _NE_B[1], 7 * _NE_B[2], 9 * _NE_B[3],
+         11 * _NE_B[4])
+_NE_MAX_Y = 0.8707 * 0.52 * np.pi
+
+
+def natearth_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    """Natural Earth (pj_natearth polynomial)."""
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    A0, A1, A2, A3, A4 = _NE_A
+    B0, B1, B2, B3, B4 = _NE_B
+    phi2 = phi * phi
+    phi4 = phi2 * phi2
+    x = lam * (A0 + phi2 * (A1 + phi2 * (A2 + phi4 * phi2 *
+                                         (A3 + phi2 * A4))))
+    y = phi * (B0 + phi2 * (B1 + phi4 * (B2 + B3 * phi2 + B4 * phi4)))
+    return x0 + R * x, y0 + R * y
+
+
+def natearth_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    x = (np.asarray(x, float) - x0) / R
+    y = np.clip((np.asarray(y, float) - y0) / R, -_NE_MAX_Y, _NE_MAX_Y)
+    A0, A1, A2, A3, A4 = _NE_A
+    B0, B1, B2, B3, B4 = _NE_B
+    C0, C1, C2, C3, C4 = _NE_C
+    yc = y.copy() if hasattr(y, "copy") else np.asarray(y, float)
+    for _ in range(20):                                   # Newton
+        y2 = yc * yc
+        y4 = y2 * y2
+        f = (yc * (B0 + y2 * (B1 + y4 * (B2 + B3 * y2 + B4 * y4)))) - y
+        fder = C0 + y2 * (C1 + y4 * (C2 + C3 * y2 + C4 * y4))
+        tol = f / fder
+        yc = yc - tol
+        if np.all(np.abs(tol) < 1e-11):
+            break
+    y2 = yc * yc
+    lam = x / (A0 + y2 * (A1 + y2 * (A2 + y2 * y2 * y2 *
+                                     (A3 + y2 * A4))))
+    return np.rad2deg(lam) + lon0, np.rad2deg(yc)
+
+
+def eck1_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    FC, RP = 0.92131773192356127802, 0.31830988618379067154
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    return (x0 + R * FC * lam * (1 - RP * np.abs(phi)),
+            y0 + R * FC * phi)
+
+
+def eck1_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    FC, RP = 0.92131773192356127802, 0.31830988618379067154
+    phi = (np.asarray(y, float) - y0) / R / FC
+    lam = (np.asarray(x, float) - x0) / R / (FC * (1 - RP * np.abs(phi)))
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def eck2_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    FXC, FYC = 0.46065886596178063902, 1.44720250911653531871
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    t = np.sqrt(4 - 3 * np.sin(np.abs(phi)))
+    return (x0 + R * FXC * lam * t,
+            y0 + R * np.sign(phi) * FYC * (2 - t))
+
+
+def eck2_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    FXC, FYC = 0.46065886596178063902, 1.44720250911653531871
+    x = (np.asarray(x, float) - x0) / R
+    y = (np.asarray(y, float) - y0) / R
+    t = 2 - np.abs(y) / FYC
+    lam = x / (FXC * t)
+    phi = np.arcsin(np.clip((4 - t * t) / 3.0, -1, 1)) * np.sign(y)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def _eck3_family(C_x, C_y, A, B):
+    def fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+        lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+        phi = np.deg2rad(np.asarray(lat, float))
+        return (x0 + R * C_x * lam *
+                (A + np.sqrt(np.maximum(1 - B * phi * phi, 0.0))),
+                y0 + R * C_y * phi)
+
+    def inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+        phi = (np.asarray(y, float) - y0) / R / C_y
+        lam = ((np.asarray(x, float) - x0) / R /
+               (C_x * (A + np.sqrt(np.maximum(1 - B * phi * phi, 0.0)))))
+        return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+    return fwd, inv
+
+
+eck3_fwd, eck3_inv = _eck3_family(
+    0.42223820031577120149, 0.84447640063154240298, 1.0,
+    0.4052847345693510857755)
+kav7_fwd, kav7_inv = _eck3_family(0.8660254037844, 1.0, 0.0,
+                                  0.30396355092701331433)
+
+
+def eck4_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    C_x, C_y, C_p = (0.42223820031577120149, 1.32650042817700232218,
+                     3.57079632679489661922)
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    p = C_p * np.sin(phi)
+    V = phi * phi
+    th = phi * (0.895168 + V * (0.0218849 + V * 0.00826809))
+    for _ in range(6):
+        c, s = np.cos(th), np.sin(th)
+        dv = (th + s * (c + 2) - p) / (1 + c * (c + 2) - s * s)
+        th = th - dv
+        if np.all(np.abs(dv) < 1e-7):
+            break
+    return (x0 + R * C_x * lam * (1 + np.cos(th)),
+            y0 + R * C_y * np.sin(th))
+
+
+def eck4_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    C_x, C_y, C_p = (0.42223820031577120149, 1.32650042817700232218,
+                     3.57079632679489661922)
+    x = (np.asarray(x, float) - x0) / R
+    y = (np.asarray(y, float) - y0) / R
+    th = np.arcsin(np.clip(y / C_y, -1, 1))
+    c = np.cos(th)
+    lam = x / (C_x * (1 + c))
+    phi = np.arcsin(np.clip((th + np.sin(th) * (c + 2)) / C_p, -1, 1))
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def eck5_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    XF, YF = 0.44101277172455148219, 0.88202554344910296438
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    return (x0 + R * XF * (1 + np.cos(phi)) * lam, y0 + R * YF * phi)
+
+
+def eck5_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    RXF, RYF = 2.26750802723822639137, 1.13375401361911319568
+    phi = RYF * (np.asarray(y, float) - y0) / R
+    lam = RXF * (np.asarray(x, float) - x0) / R / (1 + np.cos(phi))
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def _sinu_general(m, n):
+    """pj_sinu_init(m, n) family: eck6 = (1, 2.5707963...)."""
+    C_y = np.sqrt((m + 1) / n)
+    C_x = C_y / (m + 1)
+
+    def fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+        lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+        phi = np.deg2rad(np.asarray(lat, float))
+        k = n * np.sin(phi)
+        th = phi.copy()
+        for _ in range(8):
+            dv = (m * th + np.sin(th) - k) / (m + np.cos(th))
+            th = th - dv
+            if np.all(np.abs(dv) < 1e-7):
+                break
+        return (x0 + R * C_x * lam * (m + np.cos(th)),
+                y0 + R * C_y * th)
+
+    def inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+        x = (np.asarray(x, float) - x0) / R
+        th = (np.asarray(y, float) - y0) / R / C_y
+        phi = np.arcsin(np.clip((m * th + np.sin(th)) / n, -1, 1))
+        lam = x / (C_x * (m + np.cos(th)))
+        return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+    return fwd, inv
+
+
+eck6_fwd, eck6_inv = _sinu_general(1.0, 2.570796326794896619231321691)
+
+
+def hammer_fwd(lon, lat, W=0.5, M=1.0, lon0=0.0, x0=0.0, y0=0.0):
+    """Hammer(-Aitoff) with generalized W/M (pj_hammer)."""
+    w = abs(W)
+    m, rm = abs(M) / w, 1.0 / abs(M)
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0)) * w
+    phi = np.deg2rad(np.asarray(lat, float))
+    cosphi = np.cos(phi)
+    d = np.sqrt(2.0 / (1 + cosphi * np.cos(lam)))
+    return (x0 + R * m * d * cosphi * np.sin(lam),
+            y0 + R * rm * d * np.sin(phi))
+
+
+def hammer_inv(x, y, W=0.5, M=1.0, lon0=0.0, x0=0.0, y0=0.0):
+    """pj_hammer s_inv — mirrors mproj exactly (closed form on the
+    raw plane coordinates; exact for the default M=1)."""
+    w = abs(W)
+    xs = (np.asarray(x, float) - x0) / R
+    ys = (np.asarray(y, float) - y0) / R
+    z = np.sqrt(np.maximum(1 - 0.25 * w * w * xs * xs -
+                           0.25 * ys * ys, 0.0))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lam = np.arctan2(w * xs * z, 2 * z * z - 1) / w
+        phi = np.arcsin(np.clip(z * ys, -1, 1))
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def _aitoff_fwd_core(lam, phi, cosphi1, winkel):
+    c = 0.5 * lam
+    d = np.arccos(np.clip(np.cos(phi) * np.cos(c), -1, 1))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        y0_ = 1.0 / np.sin(d)
+        x = 2 * d * np.cos(phi) * np.sin(c) * y0_
+        y = y0_ * d * np.sin(phi)
+    x = np.where(d == 0, 0.0, x)
+    y = np.where(d == 0, 0.0, y)
+    if winkel:
+        x = (x + lam * cosphi1) * 0.5
+        y = (y + phi) * 0.5
+    return x, y
+
+
+def aitoff_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    x, y = _aitoff_fwd_core(lam, phi, 0.0, False)
+    return x0 + R * x, y0 + R * y
+
+
+_WINTRI_COSPHI1 = 0.636619772367581343  # acos(2/pi)
+
+
+def wintri_fwd(lon, lat, lat1=None, lon0=0.0, x0=0.0, y0=0.0):
+    cosphi1 = _WINTRI_COSPHI1 if lat1 is None else \
+        np.cos(np.deg2rad(lat1))
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    x, y = _aitoff_fwd_core(lam, phi, cosphi1, True)
+    return x0 + R * x, y0 + R * y
+
+
+def _aitoff_inv_core(x, y, cosphi1, winkel):
+    """Vectorized Newton-Raphson from pj_aitoff s_inv."""
+    phi = np.asarray(y, float).copy()
+    lam = np.asarray(x, float).copy()
+    for _ in range(30):
+        sl, cl = np.sin(lam * 0.5), np.cos(lam * 0.5)
+        sp, cp = np.sin(phi), np.cos(phi)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            D = cp * cl
+            C = 1 - D * D
+            D = np.arccos(np.clip(D, -1, 1)) / np.power(
+                np.maximum(C, 1e-300), 1.5)
+            f1 = 2 * D * C * cp * sl
+            f2 = D * C * sp
+            f1p = 2 * (sl * cl * sp * cp / C - D * sp * sl)
+            f1l = cp * cp * sl * sl / C + D * cp * cl * sp * sp
+            f2p = sp * sp * cl / C + D * sl * sl * cp
+            f2l = 0.5 * (sp * cp * sl / C - D * sp * cp * cp * sl * cl)
+            if winkel:
+                f1 = 0.5 * (f1 + lam * cosphi1)
+                f2 = 0.5 * (f2 + phi)
+                f1p = f1p * 0.5
+                f1l = 0.5 * (f1l + cosphi1)
+                f2p = 0.5 * (f2p + 1)
+                f2l = f2l * 0.5
+            f1 = f1 - x
+            f2 = f2 - y
+            den = f1p * f2l - f2p * f1l
+            dl = (f2 * f1p - f1 * f2p) / den
+            dp = (f1 * f2l - f2 * f1l) / den
+        dl = np.where(np.isfinite(dl), dl, 0.0)
+        dp = np.where(np.isfinite(dp), dp, 0.0)
+        dl = np.mod(dl + np.pi, 2 * np.pi) - np.pi
+        phi = phi - dp
+        lam = lam - dl
+        if np.all((np.abs(dp) < 1e-12) & (np.abs(dl) < 1e-12)):
+            break
+    phi = np.where(phi > np.pi / 2, np.pi - phi, phi)
+    phi = np.where(phi < -np.pi / 2, -np.pi - phi, phi)
+    near0 = (np.abs(x) < 1e-12) & (np.abs(y) < 1e-12)
+    return np.where(near0, 0.0, lam), np.where(near0, 0.0, phi)
+
+
+def aitoff_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    lam, phi = _aitoff_inv_core((np.asarray(x, float) - x0) / R,
+                                (np.asarray(y, float) - y0) / R,
+                                0.0, False)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def wintri_inv(x, y, lat1=None, lon0=0.0, x0=0.0, y0=0.0):
+    cosphi1 = _WINTRI_COSPHI1 if lat1 is None else \
+        np.cos(np.deg2rad(lat1))
+    lam, phi = _aitoff_inv_core((np.asarray(x, float) - x0) / R,
+                                (np.asarray(y, float) - y0) / R,
+                                cosphi1, True)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def vandg_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    """Van der Grinten I (pj_vandg s_fwd), three-branch vectorized."""
+    TOL = 1e-10
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    p2 = np.minimum(np.abs(phi / (np.pi / 2)), 1.0)
+    on_eq = np.abs(phi) <= TOL
+    on_cm = (np.abs(lam) <= TOL) | (np.abs(p2 - 1) < TOL)
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+        al = 0.5 * np.abs(np.pi / lam - lam / np.pi)
+        al2 = al * al
+        g = np.sqrt(np.maximum(1 - p2 * p2, 0.0))
+        g = g / np.maximum(p2 + g - 1, 1e-300)
+        g2 = g * g
+        q2 = (g * (2 / np.maximum(p2, 1e-300) - 1)) ** 2
+        xg = g - q2
+        gg = q2 + al2
+        x = (np.pi * (al * xg + np.sqrt(np.maximum(
+            al2 * xg * xg - gg * (g2 - q2), 0.0))) / gg)
+        x = np.where(lam < 0, -x, x)
+        yy = np.abs(x / np.pi)
+        yy = 1 - yy * (yy + 2 * al)
+        y = np.sqrt(np.maximum(yy, 0.0)) * np.where(phi < 0, -np.pi,
+                                                    np.pi)
+    x = np.where(on_eq, lam, np.where(on_cm, 0.0, x))
+    y_cm = np.pi * np.tan(0.5 * np.arcsin(p2)) * np.sign(phi)
+    y = np.where(on_eq, 0.0, np.where(on_cm, y_cm, y))
+    return x0 + R * x, y0 + R * y
+
+
+def vandg_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    """pj_vandg s_inv (cubic resolvent closed form)."""
+    TOL = 1e-10
+    THIRD = 1.0 / 3.0
+    C2_27 = 0.07407407407407407407
+    PI4_3 = 4.18879020478639098458
+    PISQ = np.pi * np.pi
+    TPISQ, HPISQ = 2 * PISQ, 0.5 * PISQ
+    x = (np.asarray(x, float) - x0) / R
+    y = (np.asarray(y, float) - y0) / R
+    x2 = x * x
+    ay = np.abs(y)
+    y2 = y * y
+    r = x2 + y2
+    r2 = r * r
+    with np.errstate(invalid="ignore", divide="ignore"):
+        c1 = -np.pi * ay * (r + PISQ)
+        c3 = r2 + 2 * np.pi * (ay * r + np.pi * (y2 + np.pi *
+                                                 (ay + np.pi / 2)))
+        c2 = (c1 + PISQ * (r - 3 * y2)) / c3
+        c0 = np.pi * ay
+        al = c1 / c3 - THIRD * c2 * c2
+        m = 2 * np.sqrt(np.maximum(-THIRD * al, 0.0))
+        d = C2_27 * c2 * c2 * c2 + (c0 * c0 - THIRD * c2 * c1) / c3
+        dd = 3 * d / (al * m)
+        t = np.abs(dd)
+        dcl = np.where(t > 1, np.where(dd > 0, 0.0, np.pi),
+                       np.arccos(np.clip(dd, -1, 1)))
+        phi = np.pi * (m * np.cos(dcl * THIRD + PI4_3) - THIRD * c2)
+        phi = np.where(y < 0, -phi, phi)
+        tt = r2 + TPISQ * (x2 - y2 + HPISQ)
+        lam = np.where(np.abs(x) <= TOL, 0.0,
+                       0.5 * (r - PISQ + np.sqrt(np.maximum(tt, 0.0)))
+                       / np.where(x == 0, 1.0, x))
+    # equator row (|y| ~ 0): dedicated closed form
+    t0 = x2 * x2 + TPISQ * (x2 + HPISQ)
+    lam0 = np.where(np.abs(x) <= TOL, 0.0,
+                    0.5 * (x2 - PISQ + np.sqrt(t0))
+                    / np.where(x == 0, 1.0, x))
+    on_eq = ay < TOL
+    phi = np.where(on_eq, 0.0, phi)
+    lam = np.where(on_eq, lam0, lam)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def loxim_fwd(lon, lat, lat1=0.0, lon0=0.0, x0=0.0, y0=0.0):
+    """Loximuthal (pj_loxim)."""
+    EPS = 1e-8
+    phi1 = np.deg2rad(lat1)
+    cosphi1 = np.cos(phi1)
+    tanphi1 = np.tan(np.pi / 4 + 0.5 * phi1)
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    y = phi - phi1
+    t = np.pi / 4 + 0.5 * phi
+    with np.errstate(invalid="ignore", divide="ignore"):
+        x_gen = lam * y / np.log(np.tan(t) / tanphi1)
+    x = np.where(np.abs(y) < EPS, lam * cosphi1,
+                 np.where((np.abs(t) < EPS) |
+                          (np.abs(np.abs(t) - np.pi / 2) < EPS),
+                          0.0, x_gen))
+    return x0 + R * x, y0 + R * y
+
+
+def loxim_inv(x, y, lat1=0.0, lon0=0.0, x0=0.0, y0=0.0):
+    EPS = 1e-8
+    phi1 = np.deg2rad(lat1)
+    cosphi1 = np.cos(phi1)
+    tanphi1 = np.tan(np.pi / 4 + 0.5 * phi1)
+    x = (np.asarray(x, float) - x0) / R
+    y = (np.asarray(y, float) - y0) / R
+    phi = y + phi1
+    t = np.pi / 4 + 0.5 * phi
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lam_gen = x * np.log(np.tan(t) / tanphi1) / \
+            np.where(y == 0, 1.0, y)
+    lam = np.where(np.abs(y) < EPS, x / cosphi1,
+                   np.where((np.abs(t) < EPS) |
+                            (np.abs(np.abs(t) - np.pi / 2) < EPS),
+                            0.0, lam_gen))
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def times_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    """Times Atlas (pj_times)."""
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    t = np.tan(phi / 2)
+    s = np.sin(np.pi / 4 * t)
+    return (x0 + R * lam * (0.74482 - 0.34588 * s * s),
+            y0 + R * 1.70711 * t)
+
+
+def times_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    x = (np.asarray(x, float) - x0) / R
+    t = (np.asarray(y, float) - y0) / R / 1.70711
+    s = np.sin(np.pi / 4 * t)
+    lam = x / (0.74482 - 0.34588 * s * s)
+    return np.rad2deg(lam) + lon0, np.rad2deg(2 * np.arctan(t))
+
+
+def tcea_fwd(lon, lat, lat0=0.0, lon0=0.0, k0=1.0, x0=0.0, y0=0.0):
+    """Transverse cylindrical equal-area (pj_tcea, spherical)."""
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    p0 = np.deg2rad(lat0)
+    return (x0 + R * np.cos(phi) * np.sin(lam) / k0,
+            y0 + R * k0 * (np.arctan2(np.tan(phi), np.cos(lam)) - p0))
+
+
+def tcea_inv(x, y, lat0=0.0, lon0=0.0, k0=1.0, x0=0.0, y0=0.0):
+    p0 = np.deg2rad(lat0)
+    xs = (np.asarray(x, float) - x0) / R * k0
+    ys = (np.asarray(y, float) - y0) / R / k0 + p0
+    t = np.sqrt(np.maximum(1 - xs * xs, 0.0))
+    phi = np.arcsin(np.clip(t * np.sin(ys), -1, 1))
+    lam = np.arctan2(xs, t * np.cos(ys))
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+_GOODE_Y_COR = 0.05280
+_GOODE_PHI_LIM = 0.71093078197902358062
+
+
+def _sinu_sph_fwd(lam, phi):
+    return lam * np.cos(phi), phi
+
+
+def goode_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    """Goode homolosine (pj_goode): sinusoidal inside |phi|<40d44',
+    Mollweide (shifted by Y_COR) outside."""
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    sx, sy = lam * np.cos(phi), phi
+    mx, my = moll_fwd(np.rad2deg(lam), np.asarray(lat, float))
+    mx, my = np.asarray(mx, float) / R, np.asarray(my, float) / R
+    my = my - np.where(phi > 0, _GOODE_Y_COR, -_GOODE_Y_COR)
+    use_moll = np.abs(phi) >= _GOODE_PHI_LIM
+    return (x0 + R * np.where(use_moll, mx, sx),
+            y0 + R * np.where(use_moll, my, sy))
+
+
+def goode_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    xs = (np.asarray(x, float) - x0) / R
+    ys = (np.asarray(y, float) - y0) / R
+    use_moll = np.abs(ys) > _GOODE_PHI_LIM
+    # sinusoidal leg
+    s_phi = ys
+    with np.errstate(invalid="ignore", divide="ignore"):
+        s_lam = xs / np.cos(s_phi)
+    # mollweide leg (undo the Y_COR shift)
+    ym = ys + np.where(ys > 0, _GOODE_Y_COR, -_GOODE_Y_COR)
+    m_lon, m_lat = moll_inv(xs * R, ym * R)
+    lam = np.where(use_moll, np.deg2rad(np.asarray(m_lon, float)),
+                   s_lam)
+    phi = np.where(use_moll, np.deg2rad(np.asarray(m_lat, float)),
+                   s_phi)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+# --- national-grid ellipsoidal families -----------------------------------
+
+def _gauss_ini(e, phi0):
+    """pj_gauss_ini (conformal-sphere constants for sterea)."""
+    es = e * e
+    sphi, cphi = np.sin(phi0), np.cos(phi0)
+    rc = np.sqrt(1 - es) / (1 - es * sphi * sphi)
+    C = np.sqrt(1 + es * cphi ** 4 / (1 - es))
+    chi = np.arcsin(sphi / C)
+    ratexp = 0.5 * C * e
+    K = np.tan(0.5 * chi + np.pi / 4) / (
+        np.power(np.tan(0.5 * phi0 + np.pi / 4), C) *
+        _srat(e * sphi, ratexp))
+    return dict(e=e, K=K, C=C, chi=chi, ratexp=ratexp, rc=rc)
+
+
+def _srat(esinp, exp_):
+    return np.power((1 - esinp) / (1 + esinp), exp_)
+
+
+def _gauss(phi, lam, en):
+    return (2 * np.arctan(en["K"] *
+                          np.power(np.tan(0.5 * phi + np.pi / 4),
+                                   en["C"]) *
+                          _srat(en["e"] * np.sin(phi), en["ratexp"]))
+            - np.pi / 2,
+            en["C"] * lam)
+
+
+def _inv_gauss(phi, lam, en):
+    lam = lam / en["C"]
+    num = np.power(np.tan(0.5 * phi + np.pi / 4) / en["K"],
+                   1 / en["C"])
+    phi_i = np.asarray(phi, float).copy()
+    for _ in range(20):
+        nphi = 2 * np.arctan(num * _srat(en["e"] * np.sin(phi_i),
+                                         -0.5 * en["e"])) - np.pi / 2
+        if np.all(np.abs(nphi - phi_i) < 1e-14):
+            phi_i = nphi
+            break
+        phi_i = nphi
+    return phi_i, lam
+
+
+def sterea_fwd(lon, lat, lat0=0.0, lon0=0.0, k0=1.0, x0=0.0, y0=0.0,
+               a=R, rf=1.0 / F_WGS84):
+    """Oblique stereographic (pj_sterea — Gauss conformal sphere;
+    the Dutch RD / EPSG 9809 projection)."""
+    f = 1.0 / rf
+    e = np.sqrt(f * (2 - f))
+    p0 = np.deg2rad(lat0)
+    en = _gauss_ini(e, p0)
+    R2 = 2 * en["rc"]
+    sinc0, cosc0 = np.sin(en["chi"]), np.cos(en["chi"])
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    cphi, clam = _gauss(phi, lam, en)
+    sinc, cosc = np.sin(cphi), np.cos(cphi)
+    cosl = np.cos(clam)
+    k = k0 * R2 / (1 + sinc0 * sinc + cosc0 * cosc * cosl)
+    return (x0 + a * k * cosc * np.sin(clam),
+            y0 + a * k * (cosc0 * sinc - sinc0 * cosc * cosl))
+
+
+def sterea_inv(x, y, lat0=0.0, lon0=0.0, k0=1.0, x0=0.0, y0=0.0,
+               a=R, rf=1.0 / F_WGS84):
+    f = 1.0 / rf
+    e = np.sqrt(f * (2 - f))
+    p0 = np.deg2rad(lat0)
+    en = _gauss_ini(e, p0)
+    R2 = 2 * en["rc"]
+    sinc0, cosc0 = np.sin(en["chi"]), np.cos(en["chi"])
+    xs = (np.asarray(x, float) - x0) / a / k0
+    ys = (np.asarray(y, float) - y0) / a / k0
+    rho = np.hypot(xs, ys)
+    c = 2 * np.arctan2(rho, R2)
+    sinc, cosc = np.sin(c), np.cos(c)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cphi = np.arcsin(np.clip(cosc * sinc0 + ys * sinc * cosc0 /
+                                 rho, -1, 1))
+        clam = np.arctan2(xs * sinc,
+                          rho * cosc0 * cosc - ys * sinc0 * sinc)
+    cphi = np.where(rho == 0, en["chi"], cphi)
+    clam = np.where(rho == 0, 0.0, clam)
+    phi, lam = _inv_gauss(cphi, clam, en)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def somerc_fwd(lon, lat, lat0=0.0, lon0=0.0, k0=1.0, x0=0.0, y0=0.0,
+               a=R, rf=1.0 / F_WGS84):
+    """Swiss oblique Mercator (pj_somerc)."""
+    f = 1.0 / rf
+    es = f * (2 - f)
+    e = np.sqrt(es)
+    one_es, rone_es = 1 - es, 1.0 / (1 - es)
+    p0 = np.deg2rad(lat0)
+    hlf_e = 0.5 * e
+    cp = np.cos(p0) ** 2
+    c = np.sqrt(1 + es * cp * cp * rone_es)
+    sp = np.sin(p0)
+    sinp0 = sp / c
+    phip0 = np.arcsin(sinp0)
+    cosp0 = np.cos(phip0)
+    spe = sp * e
+    K = (np.log(np.tan(np.pi / 4 + 0.5 * phip0)) -
+         c * (np.log(np.tan(np.pi / 4 + 0.5 * p0)) -
+              hlf_e * np.log((1 + spe) / (1 - spe))))
+    kR = k0 * np.sqrt(one_es) / (1 - spe * spe)
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    s = e * np.sin(phi)
+    phip = 2 * np.arctan(np.exp(
+        c * (np.log(np.tan(np.pi / 4 + 0.5 * phi)) -
+             hlf_e * np.log((1 + s) / (1 - s))) + K)) - np.pi / 2
+    lamp = c * lam
+    cpp = np.cos(phip)
+    phipp = np.arcsin(np.clip(cosp0 * np.sin(phip) -
+                              sinp0 * cpp * np.cos(lamp), -1, 1))
+    lampp = np.arcsin(np.clip(cpp * np.sin(lamp) / np.cos(phipp),
+                              -1, 1))
+    return (x0 + a * kR * lampp,
+            y0 + a * kR * np.log(np.tan(np.pi / 4 + 0.5 * phipp)))
+
+
+def somerc_inv(x, y, lat0=0.0, lon0=0.0, k0=1.0, x0=0.0, y0=0.0,
+               a=R, rf=1.0 / F_WGS84):
+    f = 1.0 / rf
+    es = f * (2 - f)
+    e = np.sqrt(es)
+    one_es, rone_es = 1 - es, 1.0 / (1 - es)
+    p0 = np.deg2rad(lat0)
+    hlf_e = 0.5 * e
+    cp = np.cos(p0) ** 2
+    c = np.sqrt(1 + es * cp * cp * rone_es)
+    sp = np.sin(p0)
+    sinp0 = sp / c
+    phip0 = np.arcsin(sinp0)
+    cosp0 = np.cos(phip0)
+    spe = sp * e
+    K = (np.log(np.tan(np.pi / 4 + 0.5 * phip0)) -
+         c * (np.log(np.tan(np.pi / 4 + 0.5 * p0)) -
+              hlf_e * np.log((1 + spe) / (1 - spe))))
+    kR = k0 * np.sqrt(one_es) / (1 - spe * spe)
+    xs = (np.asarray(x, float) - x0) / a
+    ys = (np.asarray(y, float) - y0) / a
+    phipp = 2 * (np.arctan(np.exp(ys / kR)) - np.pi / 4)
+    lampp = xs / kR
+    cpp = np.cos(phipp)
+    phip = np.arcsin(np.clip(cosp0 * np.sin(phipp) +
+                             sinp0 * cpp * np.cos(lampp), -1, 1))
+    lamp = np.arcsin(np.clip(cpp * np.sin(lampp) / np.cos(phip),
+                             -1, 1))
+    con = (K - np.log(np.tan(np.pi / 4 + 0.5 * phip))) / c
+    for _ in range(6):
+        esp = e * np.sin(phip)
+        delp = ((con + np.log(np.tan(np.pi / 4 + 0.5 * phip)) -
+                 hlf_e * np.log((1 + esp) / (1 - esp))) *
+                (1 - esp * esp) * np.cos(phip) * rone_es)
+        phip = phip - delp
+        if np.all(np.abs(delp) < 1e-10):
+            break
+    return np.rad2deg(lamp / c) + lon0, np.rad2deg(phip)
+
+
+def krovak_fwd(lon, lat, lon0=None, lat0=None, k0=0.9999,
+               czech=False, x0=0.0, y0=0.0):
+    """Czech Krovak (pj_krovak) — fixed Bessel ellipsoid; default
+    center 49d30'N / 24d50'E (42d30' east of Ferro)."""
+    a_b, es = 6377397.155, 0.006674372230614
+    e = np.sqrt(es)
+    S45, S90 = 0.785398163397448, 1.570796326794896
+    UQ, S0 = 1.04216856380474, 1.37008346281555
+    phi0 = 0.863937979737193 if lat0 is None else np.deg2rad(lat0)
+    lam0 = (0.7417649320975901 - 0.308341501185665) if lon0 is None \
+        else np.deg2rad(lon0)
+    sgn = 1.0 if czech else -1.0
+    alpha = np.sqrt(1 + (es * np.cos(phi0) ** 4) / (1 - es))
+    u0 = np.arcsin(np.sin(phi0) / alpha)
+    g = np.power((1 + e * np.sin(phi0)) / (1 - e * np.sin(phi0)),
+                 alpha * e / 2)
+    kk = np.tan(u0 / 2 + S45) / np.power(np.tan(phi0 / 2 + S45),
+                                         alpha) * g
+    n0 = np.sqrt(1 - es) / (1 - es * np.sin(phi0) ** 2)
+    n = np.sin(S0)
+    rho0 = k0 * n0 / np.tan(S0)
+    ad = S90 - UQ
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float)) - lam0)
+    phi = np.deg2rad(np.asarray(lat, float))
+    gfi = np.power((1 + e * np.sin(phi)) / (1 - e * np.sin(phi)),
+                   alpha * e / 2)
+    u = 2 * (np.arctan(kk * np.power(np.tan(phi / 2 + S45), alpha) /
+                       gfi) - S45)
+    deltav = -lam * alpha
+    s = np.arcsin(np.clip(np.cos(ad) * np.sin(u) +
+                          np.sin(ad) * np.cos(u) * np.cos(deltav),
+                          -1, 1))
+    d = np.arcsin(np.clip(np.cos(u) * np.sin(deltav) / np.cos(s),
+                          -1, 1))
+    eps = n * d
+    rho = rho0 * np.power(np.tan(S0 / 2 + S45), n) / \
+        np.power(np.tan(s / 2 + S45), n)
+    return (x0 + a_b * sgn * rho * np.sin(eps),
+            y0 + a_b * sgn * rho * np.cos(eps))
+
+
+def krovak_inv(x, y, lon0=None, lat0=None, k0=0.9999,
+               czech=False, x0=0.0, y0=0.0):
+    a_b, es = 6377397.155, 0.006674372230614
+    e = np.sqrt(es)
+    S45, S90 = 0.785398163397448, 1.570796326794896
+    UQ, S0 = 1.04216856380474, 1.37008346281555
+    phi0 = 0.863937979737193 if lat0 is None else np.deg2rad(lat0)
+    lam0 = (0.7417649320975901 - 0.308341501185665) if lon0 is None \
+        else np.deg2rad(lon0)
+    sgn = 1.0 if czech else -1.0
+    alpha = np.sqrt(1 + (es * np.cos(phi0) ** 4) / (1 - es))
+    u0 = np.arcsin(np.sin(phi0) / alpha)
+    g = np.power((1 + e * np.sin(phi0)) / (1 - e * np.sin(phi0)),
+                 alpha * e / 2)
+    kk = np.tan(u0 / 2 + S45) / np.power(np.tan(phi0 / 2 + S45),
+                                         alpha) * g
+    n0 = np.sqrt(1 - es) / (1 - es * np.sin(phi0) ** 2)
+    n = np.sin(S0)
+    rho0 = k0 * n0 / np.tan(S0)
+    ad = S90 - UQ
+    # swap axes, apply czech sign (pj_krovak e_inv preamble)
+    xs = (np.asarray(y, float) - y0) / a_b * sgn
+    ys = (np.asarray(x, float) - x0) / a_b * sgn
+    rho = np.hypot(xs, ys)
+    eps = np.arctan2(ys, xs)
+    d = eps / np.sin(S0)
+    s = 2 * (np.arctan(np.power(rho0 / rho, 1 / n) *
+                       np.tan(S0 / 2 + S45)) - S45)
+    u = np.arcsin(np.clip(np.cos(ad) * np.sin(s) -
+                          np.sin(ad) * np.cos(s) * np.cos(d), -1, 1))
+    deltav = np.arcsin(np.clip(np.cos(s) * np.sin(d) / np.cos(u),
+                               -1, 1))
+    lam = -deltav / alpha
+    fi1 = u.copy()
+    for _ in range(30):
+        phi = 2 * (np.arctan(np.power(kk, -1 / alpha) *
+                             np.power(np.tan(u / 2 + S45), 1 / alpha) *
+                             np.power((1 + e * np.sin(fi1)) /
+                                      (1 - e * np.sin(fi1)), e / 2))
+                   - S45)
+        if np.all(np.abs(fi1 - phi) < 1e-15):
+            fi1 = phi
+            break
+        fi1 = phi
+    return np.rad2deg(lam + lam0), np.rad2deg(fi1)
+
+
+def poly_fwd(lon, lat, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0,
+             a=R, rf=1.0 / F_WGS84):
+    """American polyconic (pj_poly, ellipsoidal)."""
+    TOL = 1e-10
+    f = 1.0 / rf
+    es = f * (2 - f)
+    en = _enfn(es)
+    p0 = np.deg2rad(lat0)
+    ml0 = _mlfn(p0, np.sin(p0), np.cos(p0), en)
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    sp, cp = np.sin(phi), np.cos(phi)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ms = np.where(np.abs(cp) > TOL,
+                      cp / np.sqrt(1 - es * sp * sp) / sp, 0.0)
+        E = lam * sp
+        x = ms * np.sin(E)
+        y = (_mlfn(phi, sp, cp, en) - ml0) + ms * (1 - np.cos(E))
+    on_eq = np.abs(phi) <= TOL
+    x = np.where(on_eq, lam, x)
+    y = np.where(on_eq, -ml0, y)
+    return x0 + a * x, y0 + a * y
+
+
+def poly_inv(x, y, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0,
+             a=R, rf=1.0 / F_WGS84):
+    TOL, ITOL = 1e-10, 1e-12
+    f = 1.0 / rf
+    es = f * (2 - f)
+    one_es = 1 - es
+    en = _enfn(es)
+    p0 = np.deg2rad(lat0)
+    ml0 = _mlfn(p0, np.sin(p0), np.cos(p0), en)
+    xs = (np.asarray(x, float) - x0) / a
+    ys = (np.asarray(y, float) - y0) / a + ml0
+    r = ys * ys + xs * xs
+    phi = ys.copy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for _ in range(20):
+            sp = np.sin(phi)
+            cp = np.cos(phi)
+            s2ph = sp * cp
+            mlp = np.sqrt(1 - es * sp * sp)
+            c = sp * mlp / cp
+            ml = _mlfn(phi, sp, cp, en)
+            mlb = ml * ml + r
+            mlp = one_es / (mlp * mlp * mlp)
+            dphi = ((ml + ml + c * mlb - 2 * ys * (c * ml + 1)) /
+                    (es * s2ph * (mlb - 2 * ys * ml) / c +
+                     2 * (ys - ml) * (c * mlp - 1 / s2ph) - mlp - mlp))
+            dphi = np.where(np.isfinite(dphi), dphi, 0.0)
+            phi = phi + dphi
+            if np.all(np.abs(dphi) <= ITOL):
+                break
+        c = np.sin(phi)
+        lam = (np.arcsin(np.clip(xs * np.tan(phi) *
+                                 np.sqrt(1 - es * c * c), -1, 1)) /
+               np.sin(phi))
+    on_eq = np.abs(ys) <= TOL
+    phi = np.where(on_eq, 0.0, phi)
+    lam = np.where(on_eq, xs, lam)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def bonne_fwd(lon, lat, lat1=None, lon0=0.0, x0=0.0, y0=0.0,
+              a=R, rf=1.0 / F_WGS84):
+    """Bonne (pj_bonne, ellipsoidal; lat_1 required non-zero)."""
+    if lat1 is None or abs(lat1) < 1e-10:
+        raise ValueError("+proj=bonne requires a non-zero +lat_1=")
+    f = 1.0 / rf
+    es = f * (2 - f)
+    en = _enfn(es)
+    phi1 = np.deg2rad(lat1)
+    s1, c1 = np.sin(phi1), np.cos(phi1)
+    m1 = _mlfn(phi1, s1, c1, en)
+    am1 = c1 / (np.sqrt(1 - es * s1 * s1) * s1)
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    E, c = np.sin(phi), np.cos(phi)
+    rh = am1 + m1 - _mlfn(phi, E, c, en)
+    E = c * lam / (rh * np.sqrt(1 - es * E * E))
+    return x0 + a * rh * np.sin(E), y0 + a * (am1 - rh * np.cos(E))
+
+
+def bonne_inv(x, y, lat1=None, lon0=0.0, x0=0.0, y0=0.0,
+              a=R, rf=1.0 / F_WGS84):
+    if lat1 is None or abs(lat1) < 1e-10:
+        raise ValueError("+proj=bonne requires a non-zero +lat_1=")
+    f = 1.0 / rf
+    es = f * (2 - f)
+    en = _enfn(es)
+    phi1 = np.deg2rad(lat1)
+    s1, c1 = np.sin(phi1), np.cos(phi1)
+    m1 = _mlfn(phi1, s1, c1, en)
+    am1 = c1 / (np.sqrt(1 - es * s1 * s1) * s1)
+    xs = (np.asarray(x, float) - x0) / a
+    ys = am1 - (np.asarray(y, float) - y0) / a
+    rh = np.hypot(xs, ys)
+    phi = _inv_mlfn(am1 + m1 - rh, es, en)
+    s = np.sin(phi)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lam = (rh * np.arctan2(xs, ys) *
+               np.sqrt(1 - es * s * s) / np.cos(phi))
+    lam = np.where(np.abs(np.abs(phi) - np.pi / 2) <= 1e-10, 0.0, lam)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def omerc_fwd(lon, lat, alpha=None, gamma=None, lonc=0.0,
+              lat0=0.0, lon0=None, lat1=0.0, lon1=0.0, lat2=0.0,
+              lon2=0.0, k0=1.0, no_rot=False, no_off=False,
+              x0=0.0, y0=0.0, a=R, rf=1.0 / F_WGS84):
+    """Hotine oblique Mercator (pj_omerc) — both the azimuth
+    (+alpha/+gamma+lonc) and two-point (+lat_1/+lon_1/+lat_2/+lon_2)
+    forms."""
+    st = _omerc_setup(alpha, gamma, lonc, lat0, lat1, lon1, lat2,
+                      lon2, k0, no_off, rf)
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float)) - st["lam0"])
+    phi = np.deg2rad(np.asarray(lat, float))
+    e = st["e"]
+    B, E_, ArB, A = st["B"], st["E"], st["ArB"], st["A"]
+    singam, cosgam = st["singam"], st["cosgam"]
+    sinrot, cosrot = st["sinrot"], st["cosrot"]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        W = E_ / np.power(_tsfn_e(phi, np.sin(phi), e), B)
+        temp = 1.0 / W
+        S = 0.5 * (W - temp)
+        T = 0.5 * (W + temp)
+        V = np.sin(B * lam)
+        U = (S * singam - V * cosgam) / T
+        v = 0.5 * ArB * np.log((1 - U) / (1 + U))
+        temp = np.cos(B * lam)
+        u = np.where(np.abs(temp) < 1e-7, A * lam,
+                     ArB * np.arctan2(S * cosgam + V * singam, temp))
+    polar = np.abs(np.abs(phi) - np.pi / 2) <= 1e-10
+    v = np.where(polar, np.where(phi > 0, st["v_pole_n"],
+                                 st["v_pole_s"]), v)
+    u = np.where(polar, ArB * phi, u)
+    if no_rot:
+        x, y = u, v
+    else:
+        u = u - st["u_0"]
+        x = v * cosrot + u * sinrot
+        y = u * cosrot - v * sinrot
+    return x0 + a * x, y0 + a * y
+
+
+def omerc_inv(x, y, alpha=None, gamma=None, lonc=0.0,
+              lat0=0.0, lon0=None, lat1=0.0, lon1=0.0, lat2=0.0,
+              lon2=0.0, k0=1.0, no_rot=False, no_off=False,
+              x0=0.0, y0=0.0, a=R, rf=1.0 / F_WGS84):
+    st = _omerc_setup(alpha, gamma, lonc, lat0, lat1, lon1, lat2,
+                      lon2, k0, no_off, rf)
+    e = st["e"]
+    B, E_, BrA, rB = st["B"], st["E"], st["BrA"], 1.0 / st["B"]
+    singam, cosgam = st["singam"], st["cosgam"]
+    sinrot, cosrot = st["sinrot"], st["cosrot"]
+    xs = (np.asarray(x, float) - x0) / a
+    ys = (np.asarray(y, float) - y0) / a
+    if no_rot:
+        v, u = ys, xs
+    else:
+        v = xs * cosrot - ys * sinrot
+        u = ys * cosrot + xs * sinrot + st["u_0"]
+    Qp = np.exp(-BrA * v)
+    Sp = 0.5 * (Qp - 1 / Qp)
+    Tp = 0.5 * (Qp + 1 / Qp)
+    Vp = np.sin(BrA * u)
+    Up = (Vp * cosgam + Sp * singam) / Tp
+    with np.errstate(invalid="ignore", divide="ignore"):
+        t = E_ / np.sqrt((1 + Up) / (1 - Up))
+        phi = _phi2_e(np.power(t, 1.0 / B), e)
+        lam = -rB * np.arctan2(Sp * cosgam - Vp * singam,
+                               np.cos(BrA * u))
+    on_pole = np.abs(np.abs(Up) - 1) < 1e-10
+    phi = np.where(on_pole, np.where(Up < 0, -np.pi / 2, np.pi / 2),
+                   phi)
+    lam = np.where(on_pole, 0.0, lam)
+    return np.rad2deg(lam + st["lam0"]), np.rad2deg(phi)
+
+
+def _omerc_setup(alpha, gamma, lonc, lat0, lat1, lon1, lat2, lon2,
+                 k0, no_off, rf):
+    f = 1.0 / rf
+    es = f * (2 - f)
+    e = np.sqrt(es)
+    one_es = 1 - es
+    com = np.sqrt(one_es)
+    phi0 = np.deg2rad(lat0)
+    use_azimuth = alpha is not None or gamma is not None
+    if not use_azimuth:
+        p1, p2 = np.deg2rad(lat1), np.deg2rad(lat2)
+        if (abs(p1 - p2) <= 1e-7 or abs(p1) <= 1e-7 or
+                abs(abs(p1) - np.pi / 2) <= 1e-7 or
+                abs(abs(phi0) - np.pi / 2) <= 1e-7 or
+                abs(abs(p2) - np.pi / 2) <= 1e-7):
+            raise ValueError("omerc: invalid two-point parameters")
+    if abs(phi0) > 1e-10:
+        sinph0, cosph0 = np.sin(phi0), np.cos(phi0)
+        con = 1 - es * sinph0 * sinph0
+        B = cosph0 * cosph0
+        B = np.sqrt(1 + es * B * B / one_es)
+        A = B * k0 * com / con
+        D = B * com / (cosph0 * np.sqrt(con))
+        F = D * D - 1
+        F = 0.0 if F <= 0 else np.sqrt(F) * (1 if phi0 >= 0 else -1)
+        E_ = F = F + D
+        E_ = F * np.power(_tsfn_e(phi0, sinph0, e), B)
+    else:
+        B = 1 / com
+        A = k0
+        E_ = D = F = 1.0
+    if use_azimuth:
+        alpha_c = np.deg2rad(alpha) if alpha is not None else 0.0
+        gam = np.deg2rad(gamma) if gamma is not None else None
+        if alpha is not None:
+            gamma0 = np.arcsin(np.sin(alpha_c) / D)
+            if gam is None:
+                gam = alpha_c
+        else:
+            gamma0 = gam
+            alpha_c = np.arcsin(D * np.sin(gamma0))
+        lam0 = np.deg2rad(lonc) - np.arcsin(
+            0.5 * (F - 1 / F) * np.tan(gamma0)) / B
+    else:
+        l1, l2 = np.deg2rad(lon1), np.deg2rad(lon2)
+        H = np.power(_tsfn_e(p1, np.sin(p1), e), B)
+        L = np.power(_tsfn_e(p2, np.sin(p2), e), B)
+        F = E_ / H
+        p = (L - H) / (L + H)
+        J = E_ * E_
+        J = (J - L * H) / (J + L * H)
+        con = l1 - l2
+        if con < -np.pi:
+            l2 -= 2 * np.pi
+        elif con > np.pi:
+            l2 += 2 * np.pi
+        lam0 = _adjlon(0.5 * (l1 + l2) - np.arctan(
+            J * np.tan(0.5 * B * (l1 - l2)) / p) / B)
+        gamma0 = np.arctan(2 * np.sin(B * _adjlon(l1 - lam0)) /
+                           (F - 1 / F))
+        gam = alpha_c = np.arcsin(D * np.sin(gamma0))
+    singam, cosgam = np.sin(gamma0), np.cos(gamma0)
+    sinrot, cosrot = np.sin(gam), np.cos(gam)
+    rB = 1.0 / B
+    ArB = A * rB
+    BrA = 1.0 / ArB
+    if no_off:
+        u_0 = 0.0
+    else:
+        u_0 = abs(ArB * np.arctan(np.sqrt(D * D - 1) /
+                                  np.cos(alpha_c)))
+        if phi0 < 0:
+            u_0 = -u_0
+    Fh = 0.5 * gamma0
+    v_pole_n = ArB * np.log(np.tan(np.pi / 4 - Fh))
+    v_pole_s = ArB * np.log(np.tan(np.pi / 4 + Fh))
+    return dict(e=e, B=B, A=A, E=E_, ArB=ArB, BrA=BrA, lam0=lam0,
+                singam=singam, cosgam=cosgam, sinrot=sinrot,
+                cosrot=cosrot, u_0=u_0, v_pole_n=v_pole_n,
+                v_pole_s=v_pole_s)
+
+
+def _adjlon(lam):
+    while lam < -np.pi:
+        lam += 2 * np.pi
+    while lam > np.pi:
+        lam -= 2 * np.pi
+    return lam
+
+
+_NZMG_BF = np.array([[0.7557853228, 0.0],
+                     [0.249204646, 0.003371507],
+                     [-0.001541739, 0.041058560],
+                     [-0.10162907, 0.01727609],
+                     [-0.26623489, -0.36249218],
+                     [-0.6870983, -1.1651967]])
+_NZMG_TPHI = np.array([1.5627014243, 0.5185406398, -0.03333098,
+                       -0.1052906, -0.0368594, 0.007317, 0.01220,
+                       0.00394, -0.0013])
+_NZMG_TPSI = np.array([0.6399175073, -0.1358797613, 0.063294409,
+                       -0.02526853, 0.0117879, -0.0055161, 0.0026906,
+                       -0.001333, 0.00067, -0.00034])
+
+
+def _zpoly1(zr, zi, C):
+    r = np.full_like(zr, C[-1][0])
+    i = np.full_like(zr, C[-1][1])
+    for n in range(len(C) - 2, -1, -1):
+        t = r
+        r = C[n][0] + zr * t - zi * i
+        i = C[n][1] + zr * i + zi * t
+    return zr * r - zi * i, zr * i + zi * r
+
+
+def _zpolyd1(zr, zi, C):
+    ar = br = np.full_like(zr, C[-1][0])
+    ai = bi = np.full_like(zr, C[-1][1])
+    first = True
+    for n in range(len(C) - 2, -1, -1):
+        if first:
+            first = False
+        else:
+            t = br
+            br = ar + zr * t - zi * bi
+            bi = ai + zr * bi + zi * t
+        t = ar
+        ar = C[n][0] + zr * t - zi * ai
+        ai = C[n][1] + zr * ai + zi * t
+    der_r = ar + zr * br - zi * bi
+    der_i = ai + zr * bi + zi * br
+    return (zr * ar - zi * ai, zr * ai + zi * ar, der_r, der_i)
+
+
+def nzmg_fwd(lon, lat, x0=None, y0=None):
+    """New Zealand Map Grid (pj_nzmg) — fixed International ellipsoid
+    a=6378388, origin 173E/41S, FE 2510000 / FN 6023150."""
+    a_i = 6378388.0
+    x0 = 2510000.0 if x0 is None else x0
+    y0 = 6023150.0 if y0 is None else y0
+    RAD_TO_SEC5 = 2.062648062470963551564733573
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float)) - np.deg2rad(173.0))
+    phi = (np.deg2rad(np.asarray(lat, float)) -
+           np.deg2rad(-41.0)) * RAD_TO_SEC5
+    p = np.full_like(phi, _NZMG_TPSI[-1])
+    for i in range(len(_NZMG_TPSI) - 2, -1, -1):
+        p = _NZMG_TPSI[i] + phi * p
+    p = p * phi
+    zr, zi = _zpoly1(p, lam, _NZMG_BF)
+    return x0 + a_i * zi, y0 + a_i * zr
+
+
+def nzmg_inv(x, y, x0=None, y0=None):
+    a_i = 6378388.0
+    x0 = 2510000.0 if x0 is None else x0
+    y0 = 6023150.0 if y0 is None else y0
+    SEC5_TO_RAD = 0.4848136811095359935899141023
+    pr = (np.asarray(y, float) - y0) / a_i
+    pi = (np.asarray(x, float) - x0) / a_i
+    yr, yi = pr.copy(), pi.copy()
+    for _ in range(20):
+        fr, fi, dr, di = _zpolyd1(yr, yi, _NZMG_BF)
+        fr = fr - pr
+        fi = fi - pi
+        den = dr * dr + di * di
+        ddr = -(fr * dr + fi * di) / den
+        ddi = -(fi * dr - fr * di) / den
+        yr = yr + ddr
+        yi = yi + ddi
+        if np.all(np.abs(ddr) + np.abs(ddi) <= 1e-10):
+            break
+    lam = yi
+    phi = np.full_like(yr, _NZMG_TPHI[-1])
+    for i in range(len(_NZMG_TPHI) - 2, -1, -1):
+        phi = _NZMG_TPHI[i] + yr * phi
+    phi = np.deg2rad(-41.0) + yr * phi * SEC5_TO_RAD
+    return (np.rad2deg(lam) + 173.0, np.rad2deg(phi))
+
+
+# ---------------------------------------------------------------------------
 # minimal ESRI .prj WKT → (fwd, inv) — enough for the reference's
 # shapefile fixtures (GEOGCS passthrough + Transverse_Mercator /
 # Gauss_Kruger zones on any spheroid + ellipsoidal Mercator); the
@@ -1382,6 +2605,32 @@ PROJECTIONS = {
     "mill": (mill_fwd, mill_inv),
     "gall": (gall_fwd, gall_inv),
     "cea": (cea_fwd, cea_inv),
+    # round-3 wide batch (world + national-grid families)
+    "ortho": (ortho_fwd, ortho_inv),
+    "gnom": (gnom_fwd, gnom_inv),
+    "natearth": (natearth_fwd, natearth_inv),
+    "eck1": (eck1_fwd, eck1_inv),
+    "eck2": (eck2_fwd, eck2_inv),
+    "eck3": (eck3_fwd, eck3_inv),
+    "eck4": (eck4_fwd, eck4_inv),
+    "eck5": (eck5_fwd, eck5_inv),
+    "eck6": (eck6_fwd, eck6_inv),
+    "kav7": (kav7_fwd, kav7_inv),
+    "hammer": (hammer_fwd, hammer_inv),
+    "aitoff": (aitoff_fwd, aitoff_inv),
+    "wintri": (wintri_fwd, wintri_inv),
+    "vandg": (vandg_fwd, vandg_inv),
+    "loxim": (loxim_fwd, loxim_inv),
+    "times": (times_fwd, times_inv),
+    "tcea": (tcea_fwd, tcea_inv),
+    "goode": (goode_fwd, goode_inv),
+    "sterea": (sterea_fwd, sterea_inv),
+    "somerc": (somerc_fwd, somerc_inv),
+    "krovak": (krovak_fwd, krovak_inv),
+    "poly": (poly_fwd, poly_inv),
+    "bonne": (bonne_fwd, bonne_inv),
+    "omerc": (omerc_fwd, omerc_inv),
+    "nzmg": (nzmg_fwd, nzmg_inv),
 }
 
 # +ellps= shorthand table (mproj pj_ellps entries used by the fixtures)
@@ -1413,7 +2662,9 @@ def _resolve_ellps(parts, kw):
 _PARAM_KEYS = {"lat_1": "lat1", "lat_2": "lat2", "lat_0": "lat0",
                "lon_0": "lon0", "lat_ts": "lat_ts", "k": "k0",
                "k_0": "k0", "x_0": "x0", "y_0": "y0", "a": "a",
-               "rf": "rf"}
+               "rf": "rf", "lonc": "lonc", "alpha": "alpha",
+               "gamma": "gamma", "lon_1": "lon1", "lon_2": "lon2",
+               "W": "W", "M": "M"}
 
 # PROJ4's zero defaults, applied to '+proj=' strings only (the alias
 # kernels keep the reference aliases' bound parameters, e.g. 'albers'
@@ -1465,8 +2716,15 @@ def resolve_projection(defn: str):
             raise ValueError(f"unsupported +proj={name!r}; "
                              f"available: {sorted(PROJECTIONS)}")
         kw = {dst: float(parts[src]) for src, dst in _PARAM_KEYS.items()
-              if src in parts}
+              if src in parts and parts[src] != ""}
         _resolve_ellps(parts, kw)
+        # valueless proj4 flags (mproj pj_param 't'/'b' lookups)
+        if name == "omerc":
+            for flag in ("no_rot", "no_off", "no_uoff"):
+                if flag in parts:
+                    kw["no_off" if flag == "no_uoff" else flag] = True
+        if name == "krovak" and "czech" in parts:
+            kw["czech"] = True
         # '+proj=' strings take PROJ4's zero defaults, NOT the alias
         # kernels' reference-alias defaults (mproj: bare +proj=aea
         # projects at lat_0=0/lon_0=0; bare +proj=lcc errors) —
@@ -1479,6 +2737,17 @@ def resolve_projection(defn: str):
                 f"Unable to use projection +proj={name} "
                 f"(conic lat_1 = -lat_2)")
         fwd, inv = PROJECTIONS[name]
+        # drop kwargs the family's kernel doesn't model (e.g. +ellps=
+        # on a spherical-only family — mproj forces es=0 there too),
+        # but reject explicit user params the kernel can't honor
+        import inspect
+        accepted = set(inspect.signature(fwd).parameters)
+        derived = {"a", "rf"} if "ellps" in parts else set()
+        bad = {k for k in kw if k not in accepted} - derived
+        if bad:
+            raise ValueError(f"+proj={name} does not support "
+                             f"parameter(s) {sorted(bad)}")
+        kw = {k: v for k, v in kw.items() if k in accepted}
         bfwd = functools.partial(fwd, **kw) if kw and fwd else fwd
         binv = functools.partial(inv, **kw) if kw and inv else inv
         return bfwd, binv

@@ -177,3 +177,72 @@ def test_parse_prj_new_families(tmp_path):
         f2, _ = resolve_projection(spec)
         assert np.allclose(np.c_[f1(lon, lat)], np.c_[f2(lon, lat)],
                            atol=1e-6), spec
+
+
+def test_round3_wide_batch_roundtrips():
+    """Round-3 world-family kernels: fwd∘inv identity on in-domain
+    points (live-mproj forward parity is in
+    test_reference_cli_parity.py::test_proj_family_batch_vs_mproj)."""
+    from mapshaper_ray.stages.proj import resolve_projection
+    world = (np.array([-96.5, 12.3, 150.1, -70.2, 24.8]),
+             np.array([38.2, 48.7, -33.9, -54.8, 60.2]))
+    cases = {
+        "+proj=natearth": world, "+proj=eck1": world,
+        "+proj=eck2": world, "+proj=eck3": world, "+proj=eck4": world,
+        "+proj=eck5": world, "+proj=eck6": world, "+proj=kav7": world,
+        "+proj=hammer": world, "+proj=aitoff": world,
+        "+proj=wintri": world, "+proj=loxim +lat_1=40": world,
+        "+proj=times": world, "+proj=tcea": world,
+        "+proj=goode": world, "+proj=bonne +lat_1=45": world,
+        "+proj=ortho +lat_0=40 +lon_0=-100":
+            (np.array([-96.5, -120.3, -80.1]),
+             np.array([38.2, 48.7, 25.9])),
+        "+proj=gnom +lat_0=40 +lon_0=-100":
+            (np.array([-96.5, -120.3, -80.1]),
+             np.array([38.2, 48.7, 25.9])),
+        "+proj=poly +lat_0=30 +lon_0=-90":
+            (np.array([-90.0, -96.5, -80.0]),
+             np.array([30.0, 38.2, 25.0])),
+        "+proj=sterea +lat_0=52.156 +lon_0=5.387 +k=0.9999079 "
+        "+x_0=155000 +y_0=463000 +ellps=bessel":
+            (np.array([5.38, 4.3, 6.9]), np.array([52.15, 51.9, 53.2])),
+        "+proj=somerc +lat_0=46.95 +lon_0=7.44 +x_0=600000 "
+        "+y_0=200000 +ellps=bessel":
+            (np.array([7.44, 6.1, 9.8]), np.array([46.95, 46.2, 47.5])),
+        "+proj=krovak":
+            (np.array([14.42, 17.1, 12.9]),
+             np.array([50.08, 48.8, 50.5])),
+        "+proj=omerc +lat_0=4 +lonc=102.25 +alpha=323.0257964666666 "
+        "+k=0.99984 +x_0=804671":
+            (np.array([102.25, 101.7, 103.8]),
+             np.array([4.0, 3.15, 1.35])),
+        "+proj=nzmg":
+            (np.array([173.0, 174.7, 170.5]),
+             np.array([-41.0, -36.85, -45.87])),
+    }
+    for spec, (lon, lat) in cases.items():
+        fwd, inv = resolve_projection(spec)
+        x, y = fwd(lon, lat)
+        lo, la = inv(x, y)
+        assert np.allclose(lo, lon, atol=1e-7), spec
+        assert np.allclose(la, lat, atol=1e-7), spec
+
+
+def test_vandg_closed_form_inverse():
+    """Van der Grinten: cubic-resolvent inverse is exact away from the
+    equator singularity (same formula domain as mproj pj_vandg)."""
+    from mapshaper_ray.stages.proj import resolve_projection
+    fwd, inv = resolve_projection("+proj=vandg")
+    lon = np.array([-96.5, 12.3, 150.1, 179.0])
+    lat = np.array([38.2, 48.7, -33.9, 60.0])
+    x, y = fwd(lon, lat)
+    lo, la = inv(x, y)
+    assert np.allclose(lo, lon, atol=1e-9)
+    assert np.allclose(la, lat, atol=1e-9)
+
+
+def test_proj_unknown_param_rejected():
+    from mapshaper_ray.stages.proj import resolve_projection
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        resolve_projection("+proj=moll +lat_ts=30")

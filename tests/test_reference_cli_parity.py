@@ -299,6 +299,81 @@ def test_proj_vs_mproj(ray_session, ref_cli, tmp_path, spec, ref_args,
         assert np.allclose(a, b, rtol=0, atol=atol)
 
 
+# round-3 wide-family batch: per-family in-domain probe points (the
+# azimuthal/national families error outside their hemisphere/zone in
+# mproj too, so each spec carries its own domain)
+_WORLD_PTS = [(-96.5, 38.2), (12.3, 48.7), (150.1, -33.9),
+              (-70.2, -54.8), (5.1, 52.2), (0.0, 0.0),
+              (-179.5, 71.2), (24.8, 60.2)]
+
+
+@pytest.mark.parametrize("spec,pts", [
+    ("+proj=ortho +lat_0=40 +lon_0=-100",
+     [(-96.5, 38.2), (-120.3, 48.7), (-80.1, 25.9), (-140.5, 60.2)]),
+    ("+proj=gnom +lat_0=90",
+     [(-96.5, 68.2), (12.3, 48.7), (0.0, 89.0), (-179.5, 71.2)]),
+    ("+proj=natearth", _WORLD_PTS),
+    ("+proj=eck1", _WORLD_PTS),
+    ("+proj=eck2", _WORLD_PTS),
+    ("+proj=eck3", _WORLD_PTS),
+    ("+proj=eck4", _WORLD_PTS),
+    ("+proj=eck5", _WORLD_PTS),
+    ("+proj=eck6", _WORLD_PTS),
+    ("+proj=kav7", _WORLD_PTS),
+    ("+proj=hammer", _WORLD_PTS),
+    ("+proj=aitoff", _WORLD_PTS),
+    ("+proj=wintri", _WORLD_PTS),
+    ("+proj=wintri +lat_1=40", _WORLD_PTS),
+    ("+proj=vandg", _WORLD_PTS),
+    ("+proj=loxim +lat_1=40", _WORLD_PTS),
+    ("+proj=times", _WORLD_PTS),
+    ("+proj=tcea", _WORLD_PTS),
+    ("+proj=goode", _WORLD_PTS),
+    # national grids (EPSG definitions: RD New, CH1903/LV03, S-JTSK,
+    # Kertau RSO, NZMG) — ellipsoidal, wrap-sensitive
+    ("+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889"
+     " +k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel",
+     [(5.38, 52.15), (4.3, 51.9), (6.9, 53.2), (-179.5, 71.2)]),
+    ("+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333"
+     " +k_0=1 +x_0=600000 +y_0=200000 +ellps=bessel",
+     [(7.44, 46.95), (6.1, 46.2), (9.8, 47.5), (150.1, -33.9)]),
+    ("+proj=krovak",
+     [(14.42, 50.08), (17.1, 48.8), (12.9, 50.5), (-96.5, 38.2)]),
+    ("+proj=poly +lat_0=30 +lon_0=-90", _WORLD_PTS),
+    ("+proj=bonne +lat_1=45", _WORLD_PTS),
+    ("+proj=omerc +lat_0=4 +lonc=102.25 +alpha=323.0257964666666"
+     " +k=0.99984 +x_0=804671",
+     [(102.25, 4.0), (101.7, 3.15), (103.8, 1.35), (100.3, 5.4)]),
+    ("+proj=nzmg",
+     [(173.0, -41.0), (174.7, -36.85), (170.5, -45.87),
+      (168.0, -44.0)]),
+])
+def test_proj_family_batch_vs_mproj(ray_session, ref_cli, tmp_path,
+                                    spec, pts):
+    """Round-3 world + national-grid families vs live mproj: same
+    formulas (pj_* ports incl. the generic pj_fwd adjlon wrap), agree
+    to <=2e-8 m everywhere probed."""
+    src = tmp_path / "pts.json"
+    src.write_text(json.dumps({
+        "type": "FeatureCollection",
+        "features": [{"type": "Feature", "properties": {"i": i},
+                      "geometry": {"type": "Point",
+                                   "coordinates": list(p)}}
+                     for i, p in enumerate(pts)]}))
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    ref_run(ref_cli, [str(src), "-proj", *spec.split(), "-o",
+                      "precision=0.000000001", str(ref)])
+    run_commands(f"-i {src} -proj {spec} -o precision=0.000000001 "
+                 f"{ours}")
+    a = np.array([g["coordinates"] for g in geoms(str(ours))], float)
+    b = np.array([g["coordinates"] for g in geoms(str(ref))], float)
+    assert a.shape == b.shape
+    scale = np.maximum(1.0, np.abs(b))
+    assert np.all(np.abs(a - b) / scale < 1e-7), \
+        f"max abs diff {np.max(np.abs(a - b)):.3e}"
+
+
 @pytest.mark.parametrize("oopts", [
     ["precision=0.01"],          # rotate-then-round order
     ["bbox"],                    # container bbox key
