@@ -2150,15 +2150,22 @@ def _omerc_setup(alpha, gamma, lonc, lat0, lat1, lon1, lat2, lon2,
     if use_azimuth:
         alpha_c = np.deg2rad(alpha) if alpha is not None else 0.0
         gam = np.deg2rad(gamma) if gamma is not None else None
+        # PROJ/mproj use unclamped asin here; with +alpha=90 the
+        # argument lands exactly at 1±1ulp depending on the libm, so
+        # clamp to the domain (mproj's V8 trig happens to round <=1;
+        # glibc rounds just above and would NaN the whole transform)
         if alpha is not None:
-            gamma0 = np.arcsin(np.sin(alpha_c) / D)
+            gamma0 = np.arcsin(min(max(np.sin(alpha_c) / D, -1.0),
+                                   1.0))
             if gam is None:
                 gam = alpha_c
         else:
             gamma0 = gam
-            alpha_c = np.arcsin(D * np.sin(gamma0))
+            alpha_c = np.arcsin(min(max(D * np.sin(gamma0), -1.0),
+                                    1.0))
         lam0 = np.deg2rad(lonc) - np.arcsin(
-            0.5 * (F - 1 / F) * np.tan(gamma0)) / B
+            min(max(0.5 * (F - 1 / F) * np.tan(gamma0), -1.0),
+                1.0)) / B
     else:
         l1, l2 = np.deg2rad(lon1), np.deg2rad(lon2)
         H = np.power(_tsfn_e(p1, np.sin(p1), e), B)
@@ -2334,6 +2341,72 @@ def parse_prj(text: str):
                   k0=params.get("scale_factor"), **common)
         return (functools.partial(merc_ell_fwd, **kw),
                 functools.partial(merc_ell_inv, **kw))
+    # a/rf-parameterized national-grid families (EPSG method names):
+    # Oblique_Stereographic = EPSG 9809 double stereographic (RD New)
+    # — the sterea kernel, NOT plain stere
+    if proj_name in ("oblique_stereographic", "double_stereographic"):
+        kw = dict(lat0=params.get("latitude_of_center",
+                                  params.get("latitude_of_origin",
+                                             0.0)),
+                  k0=params.get("scale_factor", 1.0), **common)
+        return (functools.partial(sterea_fwd, **kw),
+                functools.partial(sterea_inv, **kw))
+    if proj_name in ("swiss_oblique_mercator",
+                     "swiss_oblique_cylindrical"):
+        kw = dict(lat0=params.get("latitude_of_center",
+                                  params.get("latitude_of_origin",
+                                             0.0)),
+                  k0=params.get("scale_factor", 1.0), **common)
+        kw["lon0"] = params.get("longitude_of_center", kw["lon0"])
+        return (functools.partial(somerc_fwd, **kw),
+                functools.partial(somerc_inv, **kw))
+    if proj_name in ("oblique_mercator",
+                     "hotine_oblique_mercator",
+                     "hotine_oblique_mercator_azimuth_natural_origin",
+                     "hotine_oblique_mercator_azimuth_center"):
+        # variant A (natural origin, Hotine_*) drops the u_0 offset
+        # (+no_uoff); variant B (Oblique_Mercator / azimuth_center)
+        # keeps it — GDAL's mapping.  mproj's own simple WKT maker
+        # emits lonc as central_meridian, so accept both spellings.
+        kw = dict(lat0=params.get("latitude_of_center", 0.0),
+                  lonc=params.get("longitude_of_center",
+                                  params.get("central_meridian", 0.0)),
+                  alpha=params.get("azimuth", 0.0),
+                  gamma=params.get("rectified_grid_angle", None),
+                  k0=params.get("scale_factor", 1.0),
+                  no_off=proj_name not in
+                  ("hotine_oblique_mercator_azimuth_center",
+                   "oblique_mercator"),
+                  x0=common["x0"], y0=common["y0"],
+                  a=a, rf=rf)
+        if kw["gamma"] is None:
+            del kw["gamma"]
+        return (functools.partial(omerc_fwd, **kw),
+                functools.partial(omerc_inv, **kw))
+    if proj_name == "krovak":
+        kw = dict(lat0=params.get("latitude_of_center", None),
+                  lon0=params.get("longitude_of_center", None),
+                  k0=params.get("scale_factor", 0.9999),
+                  x0=common["x0"], y0=common["y0"])
+        return (functools.partial(krovak_fwd, **kw),
+                functools.partial(krovak_inv, **kw))
+    if proj_name in ("polyconic", "american_polyconic"):
+        kw = dict(lat0=params.get("latitude_of_center",
+                                  params.get("latitude_of_origin",
+                                             0.0)),
+                  **common)
+        return (functools.partial(poly_fwd, **kw),
+                functools.partial(poly_inv, **kw))
+    if proj_name == "bonne":
+        kw = dict(lat1=params.get("standard_parallel_1", 0.0),
+                  **common)
+        return (functools.partial(bonne_fwd, **kw),
+                functools.partial(bonne_inv, **kw))
+    if proj_name == "new_zealand_map_grid":
+        kw = dict(x0=params.get("false_easting", None),
+                  y0=params.get("false_northing", None))
+        return (functools.partial(nzmg_fwd, **kw),
+                functools.partial(nzmg_inv, **kw))
 
     # families below bind the WGS84 ellipsoid (like the alias kernels);
     # a non-WGS84 spheroid would silently project wrong — refuse it
@@ -2432,6 +2505,52 @@ def parse_prj(text: str):
                   lon0=lon0, x0=x0, y0=y0)
         return (functools.partial(cea_fwd, **kw),
                 functools.partial(cea_inv, **kw))
+    # round-3 world families (spherical on the WGS84 radius)
+    _sph = {"van_der_grinten_i": (vandg_fwd, vandg_inv),
+            "vandergrinten": (vandg_fwd, vandg_inv),
+            "eckert_i": (eck1_fwd, eck1_inv),
+            "eckert_ii": (eck2_fwd, eck2_inv),
+            "eckert_iii": (eck3_fwd, eck3_inv),
+            "eckert_iv": (eck4_fwd, eck4_inv),
+            "eckert_v": (eck5_fwd, eck5_inv),
+            "eckert_vi": (eck6_fwd, eck6_inv),
+            "hammer_aitoff": (hammer_fwd, hammer_inv),
+            "aitoff": (aitoff_fwd, aitoff_inv),
+            "natural_earth": (natearth_fwd, natearth_inv),
+            "goode_homolosine": (goode_fwd, goode_inv),
+            "times": (times_fwd, times_inv)}
+    if proj_name in _sph:
+        f, i = _sph[proj_name]
+        return _offset(functools.partial(f, lon0=lon0),
+                       functools.partial(i, lon0=lon0))
+    if proj_name == "winkel_tripel":
+        kw = dict(lat1=params.get("standard_parallel_1", None),
+                  lon0=lon0, x0=x0, y0=y0)
+        if kw["lat1"] is None:
+            del kw["lat1"]
+        return (functools.partial(wintri_fwd, **kw),
+                functools.partial(wintri_inv, **kw))
+    if proj_name == "loximuthal":
+        kw = dict(lat1=params.get("central_parallel",
+                                  params.get("standard_parallel_1",
+                                             0.0)),
+                  lon0=lon0, x0=x0, y0=y0)
+        return (functools.partial(loxim_fwd, **kw),
+                functools.partial(loxim_inv, **kw))
+    if proj_name == "orthographic":
+        kw = dict(lat0=params.get("latitude_of_origin",
+                                  params.get("latitude_of_center",
+                                             0.0)),
+                  lon0=lon0, x0=x0, y0=y0)
+        return (functools.partial(ortho_fwd, **kw),
+                functools.partial(ortho_inv, **kw))
+    if proj_name == "gnomonic":
+        kw = dict(lat0=params.get("latitude_of_origin",
+                                  params.get("latitude_of_center",
+                                             0.0)),
+                  lon0=lon0, x0=x0, y0=y0)
+        return (functools.partial(gnom_fwd, **kw),
+                functools.partial(gnom_inv, **kw))
     return None
 
 
@@ -2491,10 +2610,20 @@ def wkt_for_defn(defn: str) -> str | None:
     else:
         p4 = _ALIAS_PROJ4.get(d)
     name = _WKT_PROJ_NAMES.get(p4 or "")
+    if name is None and p4 in _WKT_MAKER:
+        # bare (parameterless) +proj= of any maker family emits the
+        # maker's PROJECTION name with no PARAMETER list (live-verified
+        # for laea/cass/moll/cea/mill/gall/vandg/ortho/... )
+        name = _WKT_MAKER[p4][0]
     if name is None:
         return None
     geog, title = (_GEOGCS_WGS84, "WGS84") if datum_wgs84 else \
         (_GEOGCS_UNK, "UNK")
+    if p4 == "nzmg":
+        # mproj copies P.a (nzmg forces the International-1924 major
+        # axis) into the SPHEROID while keeping the WGS84 rf —
+        # live-verified byte shape
+        geog = geog.replace("6378137,", "6378388,")
     return (f'PROJCS["{title} / {name}",{geog},'
             f'PROJECTION["{name}"],UNIT["Meter",1]]')
 
@@ -2533,6 +2662,26 @@ _WKT_MAKER = {
     "gall": ("Gall_Stereographic", []),
     "cea": ("Cylindrical_Equal_Area",
             [("lat_ts", "standard_parallel_1")]),
+    # round-3 families — names/param mappings captured from the live
+    # reference CLI (mproj add_simple_wkt_maker table); families the
+    # reference writes NO .prj for (krovak, goode, natearth, hammer,
+    # aitoff, somerc, times, tcea, kav7) are deliberately absent
+    "sterea": ("Oblique_Stereographic", []),
+    "poly": ("Polyconic", []),
+    "bonne": ("Bonne", [("lat_1", "standard_parallel_1")]),
+    "loxim": ("Loximuthal", [("lat_1", "standard_parallel_1")]),
+    "wintri": ("Winkel_Tripel", [("lat_1", "standard_parallel_1")]),
+    "ortho": ("Orthographic", [("lat_0", "latitude_of_origin")]),
+    "gnom": ("Gnomonic", []),
+    "nzmg": ("New_Zealand_Map_Grid",
+             [("lat_0", "latitude_of_origin")]),
+    "eck1": ("Eckert_I", []),
+    "eck2": ("Eckert_II", []),
+    "eck3": ("Eckert_III", []),
+    "eck4": ("Eckert_IV", []),
+    "eck5": ("Eckert_V", []),
+    "eck6": ("Eckert_VI", []),
+    "vandg": ("VanDerGrinten", []),
 }
 
 
@@ -2554,6 +2703,16 @@ def _wkt_make_parametered(defn: str, parts: dict, p4: str,
             return None   # reference mproj fails on oblique stere too
         name = "Polar_Stereographic"
         rules = [("lat_ts", "latitude_of_origin"), ("lat_0", None)]
+    elif p4 == "omerc":
+        # mproj: +no_uoff/+no_off (variant A, natural origin) emits
+        # Hotine_Oblique_Mercator; the offset form (variant B) emits
+        # Oblique_Mercator — both with the azimuth parameter set
+        name = ("Hotine_Oblique_Mercator"
+                if ("no_uoff" in parts or "no_off" in parts)
+                else "Oblique_Mercator")
+        rules = [("lonc", "central_meridian"),
+                 ("alpha", "azimuth"),
+                 ("gamma", "rectified_grid_angle")]
     elif p4 in _WKT_MAKER:
         name, rules = _WKT_MAKER[p4]
     else:

@@ -941,6 +941,59 @@ def test_proj_utm(ray_session, ref_cli, tmp_path):
         (refdir / "three_points.prj").read_text()
 
 
+# round-3 WKT-maker families: the live reference writes a .prj for
+# these via mproj's add_simple_wkt_maker table; byte-compare ours.
+# Each spec carries in-domain probe points so the export itself
+# succeeds in both engines.
+_NL = [(5.38, 52.15), (4.3, 51.9), (6.9, 53.2)]
+_NZ = [(173.0, -41.0), (174.7, -36.85), (170.5, -45.87)]
+_US3 = [(-96.5, 38.2), (-80.1, 25.9), (-120.3, 48.7)]
+
+
+@pytest.mark.parametrize("spec,pts", [
+    ("+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889"
+     " +k=0.9999079 +x_0=155000 +y_0=463000", _NL),
+    ("+proj=poly +lat_0=30 +lon_0=-90", _US3),
+    ("+proj=bonne +lat_1=45", _US3),
+    ("+proj=loxim +lat_1=40", _US3),
+    ("+proj=wintri +lat_1=40", _US3),
+    ("+proj=ortho +lat_0=40 +lon_0=-100", _US3),
+    ("+proj=gnom +lat_0=40 +lon_0=-100", _US3),
+    ("+proj=nzmg", _NZ),
+    ("+proj=eck4", _US3),
+    ("+proj=vandg", _US3),
+    ("+proj=omerc +lat_0=4 +lonc=102.25 +alpha=323.0257964666666"
+     " +k=0.99984 +x_0=804671",
+     [(102.25, 4.0), (101.7, 3.15), (103.8, 1.35)]),
+])
+def test_proj_round3_prj_bytes(ray_session, ref_cli, tmp_path,
+                               spec, pts):
+    """Round-3 family .prj writer parity: shapefile export after
+    -proj <spec> produces the reference's exact WKT, and re-importing
+    our .prj + -proj wgs84 inverts back to the sources (read path)."""
+    src = tmp_path / "pts.json"
+    src.write_text(json.dumps({
+        "type": "FeatureCollection",
+        "features": [{"type": "Feature", "properties": {"i": i},
+                      "geometry": {"type": "Point",
+                                   "coordinates": list(p)}}
+                     for i, p in enumerate(pts)]}))
+    refdir = tmp_path / "refshp"; refdir.mkdir()
+    ref_run(ref_cli, [str(src), "-proj", *spec.split(),
+                      "-o", str(refdir) + "/", "format=shapefile"])
+    run_commands(f"-i {src} -proj {spec} "
+                 f"-o format=shapefile {tmp_path}/o.shp")
+    assert (tmp_path / "o.prj").read_text() == \
+        (refdir / "pts.prj").read_text()
+    # WKT read path: our own .prj must invert back to the inputs
+    run_commands(f"-i {tmp_path}/o.shp -proj wgs84 "
+                 f"-o {tmp_path}/back.json")
+    back = np.array([g["coordinates"]
+                     for g in geoms(f"{tmp_path}/back.json")], float)
+    np.testing.assert_allclose(back, np.array(pts, float),
+                               rtol=0, atol=1e-7)
+
+
 def test_merge_layers_prj_preserved(ray_session, tmp_path):
     """Issue 166: .prj survives combine-files + -merge-layers; a
     missing .prj is compatible with anything; latlong + projected is
