@@ -266,6 +266,19 @@ def _q16_minhash_pairs(sf_dir: str):
     return out
 
 
+def _q47_ngram_jaccard(sf_dir: str):
+    """Exact all-pairs 3-token-shingle Jaccard >= 0.6 via prefix
+    filtering (PPJoin) — deterministic, no probabilistic stage, so the
+    all-pairs SQL IS the same computation."""
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import all_pairs_jaccard
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = all_pairs_jaccard(ds, threshold=0.6, shingle_k=3)
+    out["jaccard"] = out["jaccard"].round(6)
+    return out
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -801,19 +814,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q44_dissolve_auto": _q44_dissolve_auto,
         "q45_stere": _q45_stere,
         "q46_sample": _q46_sample,
+        "q47_ngram_jaccard": _q47_ngram_jaccard,
     }
 
 
 # shared fragment: per-doc k=5 token-window md5 shingle/fingerprint hashes
 # (mirrors stages/text.py window_hashes: md5_number_lower of the window
 # tokens joined with the unit separator; <k tokens -> one hash of all)
-def _shingle_list(ts: str = "ts") -> str:
+def _shingle_list(ts: str = "ts", k: int = 5) -> str:
     return f"""
     CASE WHEN len({ts}) = 0 THEN [CAST(0 AS UBIGINT)]
-         WHEN len({ts}) < 5
+         WHEN len({ts}) < {k}
            THEN [md5_number_lower(array_to_string({ts}, chr(31)))]
-         ELSE list_transform(generate_series(1, len({ts}) - 4),
-                i -> md5_number_lower(array_to_string({ts}[i:i+4], chr(31))))
+         ELSE list_transform(generate_series(1, len({ts}) - {k - 1}),
+                i -> md5_number_lower(
+                    array_to_string({ts}[i:i+{k - 1}], chr(31))))
     END"""
 
 
@@ -1424,6 +1439,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE md5_number_lower('7:' || CAST(doc_id AS VARCHAR))
                   < CAST(3689348814741910528 AS UBIGINT)
             ORDER BY doc_id""",
+        "q47_ngram_jaccard": rf"""
+            -- exact all-pairs 3-token-shingle Jaccard >= 0.6: the Ray
+            -- side (prefix-filtered all-pairs, PPJoin property) is
+            -- deterministic and complete, so this all-pairs join IS
+            -- the identical computation, not a recall bound
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+              FROM documents),
+            sh AS (SELECT doc_id,
+                          list_distinct({_shingle_list("ts", 3)}) AS s
+                   FROM toks),
+            ex AS (SELECT doc_id, unnest(s) AS h FROM sh),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS n_inter
+              FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            sz AS (SELECT doc_id, len(s) AS n FROM sh)
+            SELECT id_a, id_b,
+                   round(CAST(n_inter AS DOUBLE)
+                         / (na.n + nb.n - n_inter), 6) AS jaccard
+            FROM inter JOIN sz na ON id_a = na.doc_id
+                       JOIN sz nb ON id_b = nb.doc_id
+            WHERE CAST(n_inter AS DOUBLE)
+                  / (na.n + nb.n - n_inter) >= 0.6
+            ORDER BY id_a, id_b""",
         "q45_stere": f"""
             -- PJ_stere.c polar branch closed-form: akm1 = cos(lat_ts)
             -- / tsfn(lat_ts) / sqrt(1 - es sin^2(lat_ts)); x = R akm1

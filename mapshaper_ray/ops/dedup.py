@@ -8,6 +8,9 @@
 - ``simhash``:         64-bit simhash per doc + bucket grouping on the
   top-16-bit prefix for candidate generation.
 - ``ngram_jaccard_pairs``: exact n-gram Jaccard for a candidate pair set.
+- ``all_pairs_jaccard``:   EXACT all-pairs n-gram Jaccard via prefix
+  filtering (PPJoin prefix property) — every qualifying pair, no
+  probabilistic stage.
 - ``embedding_near_dup``: cosine near-dup via random-hyperplane LSH
   buckets, verified by exact cosine inside each bucket.
 
@@ -80,6 +83,32 @@ class _MinHasher:
         return [window_hashes(self.ws.findall(t), self.k) for t in texts]
 
 
+def _bucket_pairs(key: np.ndarray, ids_all: np.ndarray):
+    """Vectorized same-bucket pair emission via lexsort run
+    detection (a python loop over every bucket is 100x slower)."""
+    order = np.lexsort((ids_all, key))
+    ks = key[order]
+    ids_s = ids_all[order]
+    boundary = np.nonzero(np.diff(ks))[0] + 1
+    starts = np.concatenate([[0], boundary])
+    ends = np.concatenate([boundary, [len(ks)]])
+    pa_, pb_ = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        u = np.unique(ids_s[s:e])
+        if len(u) < 2:
+            continue
+        ia, ib = np.triu_indices(len(u), k=1)
+        pa_.append(u[ia])
+        pb_.append(u[ib])
+    if not pa_:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64")})
+    return pd.DataFrame({"id_a": np.concatenate(pa_),
+                         "id_b": np.concatenate(pb_)})
+
+
 def minhash_lsh(ds, num_perm=64, bands=16, shingle_k=5, threshold=0.5,
                 text_col="text", id_col="doc_id", concurrency=None,
                 band_grouping="distributed"):
@@ -141,31 +170,6 @@ def minhash_lsh(ds, num_perm=64, bands=16, shingle_k=5, threshold=0.5,
         triples = ds.map_batches(BandEmitter, batch_format="pyarrow",
                                  batch_size=2048, concurrency=concurrency,
                                  num_cpus=1)
-
-    def _bucket_pairs(key: np.ndarray, ids_all: np.ndarray):
-        """Vectorized same-bucket pair emission via lexsort run
-        detection (a python loop over every bucket is 100x slower)."""
-        order = np.lexsort((ids_all, key))
-        ks = key[order]
-        ids_s = ids_all[order]
-        boundary = np.nonzero(np.diff(ks))[0] + 1
-        starts = np.concatenate([[0], boundary])
-        ends = np.concatenate([boundary, [len(ks)]])
-        pa_, pb_ = [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            u = np.unique(ids_s[s:e])
-            if len(u) < 2:
-                continue
-            ia, ib = np.triu_indices(len(u), k=1)
-            pa_.append(u[ia])
-            pb_.append(u[ib])
-        if not pa_:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"id_a": np.concatenate(pa_),
-                             "id_b": np.concatenate(pb_)})
 
     if band_grouping == "driver":
         # run detection over the driver-collected band table (the
@@ -365,14 +369,27 @@ def minhash_lsh(ds, num_perm=64, bands=16, shingle_k=5, threshold=0.5,
                                 "jaccard": pd.Series([], dtype="float64")})
         return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
+    # driver band-grouping path keeps the broadcast-member verify:
+    # the pair table is already on the driver by choice here
+    return ngram_jaccard_pairs(ds, cand_pd, shingle_k=shingle_k,
+                               threshold=threshold, id_col=id_col,
+                               text_col=text_col)
+
+
+def ngram_jaccard_pairs(ds, cand_pd, shingle_k=5, threshold=0.5,
+                        id_col="doc_id", text_col="text"):
+    """Exact k-token-shingle Jaccard for a candidate pair table.
+
+    ``cand_pd`` (columns id_a/id_b) is broadcast as a member→pair map
+    (bounded by the candidate count, not the corpus); each doc in any
+    pair emits its shingle set per pair, pairs shuffle to partitions,
+    and one exact Jaccard per complete pair is computed vectorized.
+    Returns pairs with jaccard >= threshold, sorted."""
+    import ray
     if len(cand_pd) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
-
-    # driver band-grouping path keeps the broadcast-member verify:
-    # the pair table is already on the driver by choice here
-    import ray
     cand_pd = cand_pd.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     pid_a = cand_pd["id_a"].to_numpy()
     pid_b = cand_pd["id_b"].to_numpy()
@@ -381,7 +398,7 @@ def minhash_lsh(ds, num_perm=64, bands=16, shingle_k=5, threshold=0.5,
         member.setdefault(a, []).append(pi)
         member.setdefault(b, []).append(pi)
     member_ref = ray.put(member)
-    mh = _MinHasher(num_perm, shingle_k, text_col)
+    mh = _MinHasher(1, shingle_k, text_col)
 
     def emit_pair_shingles(df: pd.DataFrame) -> pd.DataFrame:
         mem = ray.get(member_ref)
@@ -437,6 +454,59 @@ def minhash_lsh(ds, num_perm=64, bands=16, shingle_k=5, threshold=0.5,
     cand_pd = cand_pd.assign(jaccard=jac)
     out = cand_pd[cand_pd["jaccard"] >= threshold].reset_index(drop=True)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def all_pairs_jaccard(ds, threshold=0.8, shingle_k=3, id_col="doc_id",
+                      text_col="text", n_parts=64):
+    """EXACT all-pairs k-token-shingle Jaccard >= threshold, via
+    prefix filtering (Bayardo/Ma/Srikant "Scaling Up All Pairs
+    Similarity Search", WWW'07; the PPJoin prefix property).
+
+    Unlike ``minhash_lsh`` (probabilistic candidate generation), this
+    finds EVERY qualifying pair: with each doc's shingle set sorted by
+    a global total order (the md5 hash value), J(x,y) >= t implies an
+    overlap o >= ceil(t*max(|x|,|y|)), so the smallest common hash must
+    sit within the first |x|-ceil(t*|x|)+1 hashes of x AND the first
+    |y|-ceil(t*|y|)+1 of y — indexing only those PREFIXES (a ~(1-t)
+    fraction of each doc) still surfaces every true pair, which the
+    exact per-pair Jaccard then verifies.
+
+    Shuffles move only (prefix-hash, doc_id) posting rows, never
+    documents; candidate emission is the bucket-partitioned vectorized
+    run detection shared with minhash_lsh.  Skew note: a shingle
+    appearing in d docs emits O(d^2) candidates — real corpora bound
+    this via the threshold (common boilerplate dedups away first);
+    the posting rows themselves stay O(corpus * (1-t))."""
+    import pyarrow as pa
+
+    ws = re.compile(r"\S+")
+
+    def emit_prefix(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        ids = t[id_col].to_numpy()
+        hs, is_ = [], []
+        for did, txt in zip(ids, texts):
+            sh = np.unique(window_hashes(ws.findall(txt), shingle_k))
+            p = len(sh) - int(np.ceil(threshold * len(sh))) + 1
+            hs.append(sh[:p])
+            is_.append(np.full(min(p, len(sh)), did, dtype=np.int64))
+        h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+        i = np.concatenate(is_) if is_ else np.empty(0, np.int64)
+        return pa.table({"h": pa.array(h),
+                         id_col: pa.array(i),
+                         "__part": pa.array(
+                             (h % np.uint64(n_parts)).astype(np.int64))})
+
+    def part_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return _bucket_pairs(df["h"].to_numpy().astype(np.int64),
+                             df[id_col].to_numpy())
+
+    cand = ds.map_batches(emit_prefix, batch_format="pyarrow") \
+        .groupby("__part").map_groups(part_pairs, batch_format="pandas")
+    cand_pd = cand.to_pandas().drop_duplicates(["id_a", "id_b"])
+    return ngram_jaccard_pairs(ds, cand_pd, shingle_k=shingle_k,
+                               threshold=threshold, id_col=id_col,
+                               text_col=text_col)
 
 
 class SimHasher:

@@ -320,3 +320,46 @@ def test_multi_file_import_divides_pipeline(ray_session, tmp_path):
     # each run starts from a REPLACED catalog: a.json's output must
     # not contain b's feature and vice versa
     assert len(a["features"]) == 1 and len(b["features"]) == 1
+
+
+def test_all_pairs_jaccard_exact_vs_bruteforce(ray_session):
+    """all_pairs_jaccard (PPJoin prefix filtering) finds EVERY pair
+    with shingle Jaccard >= t — compared against an O(n^2) brute force
+    over random small-vocab docs with planted near-dups, across
+    thresholds and shingle sizes."""
+    import re
+    import pandas as pd
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import all_pairs_jaccard
+    from mapshaper_ray.stages.text import window_hashes
+
+    rng = np.random.RandomState(0)
+    vocab = ["tok%d" % i for i in range(40)]
+    docs = []
+    for _ in range(100):
+        docs.append(" ".join(rng.choice(vocab, rng.randint(5, 60))))
+    for i in range(0, 16, 2):   # planted near-dups (one token swapped)
+        toks = docs[i].split()
+        toks[rng.randint(len(toks))] = "tokX"
+        docs[i + 1] = " ".join(toks)
+    docs[40] = ""               # degenerate: empty doc
+    docs[41] = ""               # empty-empty pair must score 1.0
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(100),
+                                      "text": docs}))
+    ws = re.compile(r"\S+")
+    for t, k in ((0.8, 3), (0.5, 3), (0.9, 5)):
+        out = all_pairs_jaccard(ds, threshold=t, shingle_k=k)
+        sets = [np.unique(window_hashes(ws.findall(s), k))
+                for s in docs]
+        exp = []
+        for a in range(100):
+            for b in range(a + 1, 100):
+                inter = len(np.intersect1d(sets[a], sets[b],
+                                           assume_unique=True))
+                un = len(sets[a]) + len(sets[b]) - inter
+                j = inter / un if un else 1.0
+                if j >= t:
+                    exp.append((a, b, round(j, 9)))
+        got = [(int(r.id_a), int(r.id_b), round(r.jaccard, 9))
+               for r in out.itertuples()]
+        assert got == exp
