@@ -57,6 +57,7 @@ _FLAGS = {
           "combine-layers", "bbox-index", "dry-run"},
     "join": {"unjoined", "unmatched"},
     "clean": {"allow-overlaps"},
+    "dissolve": {"planar"},
     "filter": {"remove-empty"},
     "data-fill": {"postprocess"},
     "drop": {"geometry"},
@@ -1150,7 +1151,9 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 if "sum_fields" in opts else (),
                 copy_fields=_num_list(opts["copy_fields"], str)
                 if "copy_fields" in opts else (),
-                cell=float(opts["cell"]) if "cell" in opts else "auto")
+                cell=float(opts["cell"]) if "cell" in opts else "auto",
+                weight=opts.get("weight"),
+                planar=bool(opts.get("planar")))
             if "calc" in opts and key:
                 # -dissolve calc=: per-group aggregate expressions join
                 # onto the dissolved features

@@ -400,8 +400,118 @@ def _node_axis_edges(feats):
     return out
 
 
+def _dissolve_points(ds, key, sum_fields=(), copy_fields=(),
+                     weight=None, planar=False):
+    """Point-layer ``-dissolve``: one weighted centroid per key group
+    (reference src/dissolve/mapshaper-point-dissolve.js:3-61 +
+    composeDissolveLayer).  Lon/lat layers (bounds inside the world
+    box and not ``planar``) average weighted unit 3-D vectors
+    (lngLatToXYZ mean, geom.js:163-179) and convert back; ``weight=``
+    is a field name or expression; NaN points and weight <= 0 are
+    skipped (reducePointCentroid's ``x==x && weight>0`` guard); a
+    group with no usable point keeps its record with null geometry.
+    Multi-part points are unsupported, as in the reference.
+
+    Distribution: per-batch partial weighted sums (one row per
+    (key, batch)) -> a single pandas reduce over the partial table —
+    output-sized, never input-sized."""
+    import ray.data as rd
+
+    from ..ops.features import layer_info
+    from ..ops.relational import compile_expression
+    from ..sources.layers import nz
+
+    use_sph = not planar
+    if use_sph:
+        bb = layer_info(ds)["bbox"]
+        use_sph = (bb[0] >= -181 and bb[1] >= -91 and
+                   bb[2] <= 181 and bb[3] <= 91)
+    wfn = compile_expression(str(weight)) if weight is not None else None
+    sum_fields = list(sum_fields)
+    copy_fields = list(copy_fields)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pts = [np.asarray(nz(v), float) for v in df["px"]]
+        if any(len(p) > 1 for p in pts):
+            raise ValueError(
+                "Dissolving multi-part points is not supported")
+        x = np.array([p[0] if len(p) else np.nan for p in pts])
+        y = np.array([np.asarray(nz(v), float)[0]
+                      if len(nz(v)) else np.nan for v in df["py"]])
+        w = (np.asarray(wfn(df), float) if wfn
+             else np.ones(len(df)))
+        ok = np.isfinite(x) & np.isfinite(y) & (w > 0)
+        w = np.where(ok, w, 0.0)
+        t = pd.DataFrame({
+            "__k": (df[key].astype(object) if key else "_all"),
+            "__fid": df["feature_id"].to_numpy(),
+            "__w": w})
+        if use_sph:
+            lam, phi = np.deg2rad(np.where(ok, x, 0.0)), \
+                np.deg2rad(np.where(ok, y, 0.0))
+            t["__wx"] = w * np.cos(lam) * np.cos(phi)
+            t["__wy"] = w * np.sin(lam) * np.cos(phi)
+            t["__wz"] = w * np.sin(phi)
+        else:
+            t["__wx"] = w * np.where(ok, x, 0.0)
+            t["__wy"] = w * np.where(ok, y, 0.0)
+        for f in sum_fields:
+            t[f] = df[f].to_numpy()
+        for f in copy_fields:
+            t[f] = df[f].to_numpy()
+        agg = {"__fid": "min", "__w": "sum", "__wx": "sum",
+               "__wy": "sum"}
+        if use_sph:
+            agg["__wz"] = "sum"
+        agg.update({f: "sum" for f in sum_fields})
+        g = t.groupby("__k", sort=False, as_index=False)
+        out = g.agg(agg)
+        if copy_fields:
+            # value at the batch-min feature id; the final reduce
+            # keeps the row with the GLOBAL min fid per key
+            first = t.sort_values("__fid", kind="mergesort") \
+                .drop_duplicates("__k")[["__k"] + copy_fields]
+            out = out.merge(first, on="__k")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = {"__w": "sum", "__wx": "sum", "__wy": "sum"}
+    if use_sph:
+        agg["__wz"] = "sum"
+    agg.update({f: "sum" for f in sum_fields})
+    parts = parts.sort_values("__fid", kind="mergesort")
+    fin = parts.groupby("__k", sort=False, as_index=False).agg(agg)
+    if copy_fields:
+        fin = fin.merge(parts.drop_duplicates("__k")[["__k"]
+                                                     + copy_fields],
+                        on="__k")
+    rows = []
+    for fid in range(len(fin)):   # output-sized; __-prefixed column
+        r = fin.iloc[fid]         # names rule out itertuples
+        row = {"feature_id": fid}
+        if key:
+            row[key] = r["__k"]
+        sw = r["__w"]
+        if sw > 0:
+            cx, cy = r["__wx"] / sw, r["__wy"] / sw
+            if use_sph:
+                cz = r["__wz"] / sw
+                d = np.sqrt(cx * cx + cy * cy + cz * cz)
+                lat = np.rad2deg(np.arcsin(cz / d))
+                lon = np.rad2deg(np.arctan2(cy / d, cx / d))
+                row["px"], row["py"] = [float(lon)], [float(lat)]
+            else:
+                row["px"], row["py"] = [float(cx)], [float(cy)]
+        else:
+            row["px"], row["py"] = [], []
+        for f in sum_fields + copy_fields:
+            row[f] = r[f]
+        rows.append(row)
+    return rd.from_items(rows)
+
+
 def dissolve_layer(ds, key: str, sum_fields=(), copy_fields=(),
-                   cell="auto", bbox=None):
+                   cell="auto", bbox=None, weight=None, planar=False):
     """Polygon layer → one feature per key value with melted borders.
 
     ``cell="auto"`` (default) auto-selects: polygon layers above
@@ -414,8 +524,11 @@ def dissolve_layer(ds, key: str, sum_fields=(), copy_fields=(),
     cancel) → join distributive attribute aggregates computed over the
     ORIGINAL rows."""
     import ray.data as rd
+    from ..sources.layers import geom_type_of
+    if geom_type_of(ds.schema().names) == "point":
+        return _dissolve_points(ds, key, sum_fields, copy_fields,
+                                weight=weight, planar=planar)
     if cell == "auto":
-        from ..sources.layers import geom_type_of
         if geom_type_of(ds.schema().names) == "polygon":
             cell, bbox = auto_cell_size(ds, bbox)
         else:

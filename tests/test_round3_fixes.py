@@ -363,3 +363,66 @@ def test_all_pairs_jaccard_exact_vs_bruteforce(ray_session):
         got = [(int(r.id_a), int(r.id_b), round(r.jaccard, 9))
                for r in out.itertuples()]
         assert got == exp
+
+
+def test_dissolve_points_reference_cases(ray_session):
+    """Point-layer -dissolve (reference dissolve-points-test.js): all
+    -> one planar centroid; latlong -> spherical (unit-3D-vector mean);
+    field grouping ignores null points; weight= field; multipoint
+    unsupported."""
+    import pandas as pd
+    from mapshaper_ray.pipelines.overlay import dissolve_layer
+
+    # field grouping + nulls (the reference's exact fixture)
+    df = pd.DataFrame({
+        "feature_id": range(7),
+        "px": [[], [1.0], [0.0], [2.0], [1.0], [2.0], [0.0]],
+        "py": [[], [1.0], [0.0], [2.0], [0.0], [0.0], [2.0]],
+        "foo": ["a", "a", "a", "a", "b", "c", "c"]})
+    out = dissolve_layer(rd.from_pandas(df), "foo",
+                         planar=True).to_pandas()
+    assert out["px"].tolist() == [[1.0], [1.0], [1.0]]
+    assert out["py"].tolist() == [[1.0], [0.0], [1.0]]
+    assert out["foo"].tolist() == ["a", "b", "c"]
+
+    # spherical centroid of (90,45) and (-90,45) is the north pole
+    df = pd.DataFrame({"feature_id": [0, 1], "px": [[90.0], [-90.0]],
+                       "py": [[45.0], [45.0]]})
+    out = dissolve_layer(rd.from_pandas(df), None).to_pandas()
+    assert abs(out["py"].iloc[0][0] - 90.0) < 1e-9
+
+    # weighted: w=0 point is ignored entirely
+    df = pd.DataFrame({"feature_id": [0, 1, 2],
+                       "px": [[1.0], [0.0], [1.0]],
+                       "py": [[13.0], [0.0], [2.0]],
+                       "w": [0, 1, 3]})
+    out = dissolve_layer(rd.from_pandas(df), None, weight="w",
+                         planar=True).to_pandas()
+    assert out["px"].iloc[0] == [0.75] and out["py"].iloc[0] == [1.5]
+
+    # multipoints are not supported
+    df = pd.DataFrame({"feature_id": [0], "px": [[1.0, 0.0]],
+                       "py": [[1.0, 0.0]]})
+    with pytest.raises(Exception):
+        dissolve_layer(rd.from_pandas(df), None,
+                       planar=True).to_pandas()
+
+
+def test_dissolve_points_command(ray_session, tmp_path):
+    """-dissolve field weight= planar on a point GeoJSON via the
+    command pipeline."""
+    import json as _json
+    from mapshaper_ray.commands import run_commands
+    src = tmp_path / "pts.json"
+    src.write_text(_json.dumps({
+        "type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {"g": g, "w": w},
+             "geometry": {"type": "Point", "coordinates": c}}
+            for g, w, c in [("a", 1, [0.0, 0.0]), ("a", 3, [4.0, 8.0]),
+                            ("b", 2, [5.0, 5.0])]]}))
+    run_commands(f"-i {src} -dissolve g weight=w planar "
+                 f"-o {tmp_path}/out.json")
+    doc = _json.loads((tmp_path / "out.json").read_text())
+    got = [(f["properties"]["g"], f["geometry"]["coordinates"])
+           for f in doc["features"]]
+    assert got == [("a", [3.0, 6.0]), ("b", [5.0, 5.0])]
