@@ -58,6 +58,7 @@ _FLAGS = {
     "join": {"unjoined", "unmatched"},
     "clean": {"allow-overlaps"},
     "dissolve": {"planar"},
+    "explode": {"naive"},
     "filter": {"remove-empty"},
     "data-fill": {"postprocess"},
     "drop": {"geometry"},
@@ -1466,7 +1467,8 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                 rows.append(row)
             cat.replace(rd.from_items(rows), no_rotate=True)
         elif name == "explode":
-            cat.replace(api.explode(cat.get()))
+            cat.replace(api.explode(cat.get(),
+                                    naive=bool(opts.get("naive"))))
         elif name == "stitch":
             cat.replace(api.stitch_spherical(cat.get()))
         elif name == "info":
@@ -1553,20 +1555,26 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
             ds = cat.get()
             edges = polygon_neighbor_edges(ds)
             grp = opts.get("group_by")
+            caps = {k: float(opts[k]) for k in
+                    ("max_width", "max_height", "max_area")
+                    if k in opts}
             cols = ["feature_id", "cx", "cy", "area"] + ([grp] if grp
                                                          else [])
-            cent = centroids(add_polygon_metrics(ds)).map_batches(
+            if "max_width" in caps or "max_height" in caps:
+                from .ops.split import feature_bbox
+                cols += ["__xmin", "__ymin", "__xmax", "__ymax"]
+                base = centroids(add_polygon_metrics(ds)) \
+                    .map_batches(feature_bbox, batch_format="pandas")
+            else:
+                base = centroids(add_polygon_metrics(ds))
+            cent = base.map_batches(
                 lambda df, c=cols: df[c], batch_format="pandas") \
                 .to_pandas().rename(columns={"feature_id": "fid"})
             if grp:
                 cent = cent.rename(columns={grp: "group"})
             groups = cluster_polygons(
                 cent, edges, pct=_pct(opts.get("pct", "100%")),
-                group_by="group" if grp else None,
-                max_width=(float(opts["max_width"])
-                           if "max_width" in opts else None),
-                max_height=(float(opts["max_height"])
-                            if "max_height" in opts else None))
+                group_by="group" if grp else None, **caps)
             idf = opts.get("id_field", "cluster")
 
             def tag_cluster(df, groups=groups, idf=idf):

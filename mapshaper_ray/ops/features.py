@@ -26,10 +26,13 @@ def _rings(row):
 # ---------------------------------------------------------------------------
 # -explode: multipart -> singlepart (src/commands/mapshaper-explode.js:3)
 
-def explode(ds):
+def explode(ds, naive: bool = False):
     """One feature per polygon part (rings keep their hole ownership via
     ring_poly) / per line part / per point.  Attributes are duplicated;
-    new sequential feature_id preserves (orig_feature, part) order."""
+    new sequential feature_id preserves (orig_feature, part) order.
+    ``naive`` (reference -explode naive, explodePolygonNaive,
+    src/commands/mapshaper-explode.js:55-63): every RING becomes its
+    own polygon, hole-wound rings reversed to outer orientation."""
     def ex(df: pd.DataFrame) -> pd.DataFrame:
         gt = geom_type_of(list(df.columns))
         rows = []
@@ -41,6 +44,19 @@ def explode(ds):
                 rx, ry = _rings(row)
                 rp = np.asarray(row["ring_poly"] if row["ring_poly"]
                                 is not None else [], dtype=np.int64)
+                if naive:
+                    from ..geom.kernels import planar_ring_area
+                    for i in range(len(rp)):
+                        x, y = rx[i], ry[i]
+                        if planar_ring_area(x, y) < 0:
+                            x, y = x[::-1], y[::-1]
+                        rows.append({**base, "rings_x": [x.tolist()],
+                                     "rings_y": [y.tolist()],
+                                     "ring_poly": [0]})
+                    if not len(rp):
+                        rows.append({**base, "rings_x": [],
+                                     "rings_y": [], "ring_poly": []})
+                    continue
                 for p in np.unique(rp) if len(rp) else []:
                     sel = np.nonzero(rp == p)[0]
                     rows.append({**base,

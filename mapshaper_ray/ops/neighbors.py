@@ -138,21 +138,42 @@ def data_fill(values: dict, edges: pd.DataFrame, postprocess=False):
 
 def cluster_polygons(centroids: pd.DataFrame, edges: pd.DataFrame,
                      pct: float, group_by: str | None = None,
-                     max_width=None, max_height=None):
-    """centroids: frame (fid, cx, cy[, area][, group]); edges: neighbor
-    frame.  Greedy merge of closest neighboring clusters until
-    ``round(n * pct)`` merges happen (reference main loop).  Returns
+                     max_width=None, max_height=None, max_area=None):
+    """centroids: frame (fid, cx, cy[, area][, group][, __xmin..__ymax]);
+    edges: neighbor frame.  Greedy merge of closest neighboring clusters
+    until ``round(n * pct)`` merges happen (reference main loop).
+    ``max_width``/``max_height``/``max_area`` veto any merge whose
+    combined bounds/area would exceed the cap
+    (getPolygonClusterCalculator's score<0,
+    src/commands/mapshaper-cluster.js:191-206).  Returns
     fid -> cluster_id (sequential)."""
+    has_bb = "__xmin" in centroids.columns
     items = {r["fid"]: {"ids": [r["fid"]],
                         "cx": r["cx"], "cy": r["cy"],
                         "area": r.get("area", 1.0),
+                        "bb": ([r["__xmin"], r["__ymin"],
+                                r["__xmax"], r["__ymax"]]
+                               if has_bb else None),
                         "group": r.get("group") if group_by else None}
              for _, r in centroids.iterrows()}
     merges_left = int(round(len(items) * pct))
 
     def score(a, b):
-        return float(np.hypot(items[a]["cx"] - items[b]["cx"],
-                              items[a]["cy"] - items[b]["cy"]))
+        ia, ib = items[a], items[b]
+        if max_area is not None and ia["area"] + ib["area"] > max_area:
+            return -1.0
+        if ia["bb"] and ib["bb"] and (max_width is not None
+                                      or max_height is not None):
+            w = max(ia["bb"][2], ib["bb"][2]) - min(ia["bb"][0],
+                                                    ib["bb"][0])
+            h = max(ia["bb"][3], ib["bb"][3]) - min(ia["bb"][1],
+                                                    ib["bb"][1])
+            if max_width is not None and w > max_width:
+                return -1.0
+            if max_height is not None and h > max_height:
+                return -1.0
+        return float(np.hypot(ia["cx"] - ib["cx"],
+                              ia["cy"] - ib["cy"]))
 
     heap = []
     alive = {f: f for f in items}  # fid -> representative
@@ -172,15 +193,21 @@ def cluster_polygons(centroids: pd.DataFrame, edges: pd.DataFrame,
             continue
         adj.setdefault(a, set()).add(b)
         adj.setdefault(b, set()).add(a)
-        heapq.heappush(heap, (score(a, b), a, b))
+        s0 = score(a, b)
+        if s0 >= 0:           # cap-violating pairs never enter
+            heapq.heappush(heap, (s0, a, b))
 
     while merges_left > 0 and heap:
         s, a, b = heapq.heappop(heap)
         ra, rb = find(a), find(b)
         if ra == rb:
             continue
-        if s != score(ra, rb):  # stale entry; re-push with fresh score
-            heapq.heappush(heap, (score(ra, rb), ra, rb))
+        fresh = score(ra, rb)
+        if s != fresh:  # stale entry; re-push with fresh score
+            if fresh >= 0:
+                heapq.heappush(heap, (fresh, ra, rb))
+            continue
+        if s < 0:
             continue
         # merge rb into ra: area-weighted centroid
         ia, ib = items[ra], items[rb]
@@ -189,6 +216,11 @@ def cluster_polygons(centroids: pd.DataFrame, edges: pd.DataFrame,
         ia["cx"] = (ia["cx"] * wa + ib["cx"] * wb) / tot
         ia["cy"] = (ia["cy"] * wa + ib["cy"] * wb) / tot
         ia["area"] = wa + wb
+        if ia["bb"] and ib["bb"]:
+            ia["bb"] = [min(ia["bb"][0], ib["bb"][0]),
+                        min(ia["bb"][1], ib["bb"][1]),
+                        max(ia["bb"][2], ib["bb"][2]),
+                        max(ia["bb"][3], ib["bb"][3])]
         ia["ids"].extend(ib["ids"])
         alive[rb] = ra
         nbrs = (adj.get(ra, set()) | adj.get(rb, set())) - {ra, rb}
@@ -198,7 +230,9 @@ def cluster_polygons(centroids: pd.DataFrame, edges: pd.DataFrame,
             if rn != ra:
                 adj[ra].add(rn)
                 adj.setdefault(rn, set()).add(ra)
-                heapq.heappush(heap, (score(ra, rn), ra, rn))
+                sn = score(ra, rn)
+                if sn >= 0:
+                    heapq.heappush(heap, (sn, ra, rn))
         merges_left -= 1
 
     out = {}

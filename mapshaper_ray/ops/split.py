@@ -27,6 +27,38 @@ def split_by_field(ds, field: str, out_dir: str):
     return out_dir
 
 
+def feature_bbox(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-feature bbox columns __xmin/__ymin/__xmax/__ymax (NaN for
+    null geometry)."""
+    from ..sources.layers import geom_type_of
+    gt = geom_type_of(list(df.columns))
+    out = {k: [] for k in ("__xmin", "__ymin", "__xmax", "__ymax")}
+    for _, row in df.iterrows():
+        if gt == "polygon":
+            xs = [np.asarray(v, float) for v in _nz(row["rings_x"])]
+            ys = [np.asarray(v, float) for v in _nz(row["rings_y"])]
+        elif gt == "polyline":
+            xs = [np.asarray(v, float) for v in _nz(row["part_x"])]
+            ys = [np.asarray(v, float) for v in _nz(row["part_y"])]
+        else:
+            xs = [np.asarray(_nz(row["px"]), float)]
+            ys = [np.asarray(_nz(row["py"]), float)]
+        ax = np.concatenate(xs) if xs else np.empty(0)
+        ay = np.concatenate(ys) if ys else np.empty(0)
+        if len(ax):
+            out["__xmin"].append(ax.min())
+            out["__xmax"].append(ax.max())
+            out["__ymin"].append(ay.min())
+            out["__ymax"].append(ay.max())
+        else:
+            for k in out:
+                out[k].append(np.nan)
+    df = df.copy()
+    for k, v in out.items():
+        df[k] = v
+    return df
+
+
 def feature_bbox_center(df: pd.DataFrame) -> pd.DataFrame:
     from ..sources.layers import geom_type_of
     gt = geom_type_of(list(df.columns))

@@ -426,3 +426,60 @@ def test_dissolve_points_command(ray_session, tmp_path):
     got = [(f["properties"]["g"], f["geometry"]["coordinates"])
            for f in doc["features"]]
     assert got == [("a", [3.0, 6.0]), ("b", [5.0, 5.0])]
+
+
+def test_cluster_max_caps(ray_session):
+    """-cluster max-area / max-width / max-height veto merges whose
+    combined area/bounds exceed the cap (reference
+    getPolygonClusterCalculator score<0)."""
+    import pandas as pd
+    from mapshaper_ray.ops.neighbors import cluster_polygons
+
+    # three unit squares in a row: (0..1), (1..2), (2..3)
+    cent = pd.DataFrame({
+        "fid": [0, 1, 2],
+        "cx": [0.5, 1.5, 2.5], "cy": [0.5, 0.5, 0.5],
+        "area": [1.0, 1.0, 1.0],
+        "__xmin": [0.0, 1.0, 2.0], "__ymin": [0.0, 0.0, 0.0],
+        "__xmax": [1.0, 2.0, 3.0], "__ymax": [1.0, 1.0, 1.0]})
+    edges = pd.DataFrame({"fid_a": [0, 1], "fid_b": [1, 2]})
+
+    # uncapped: everything merges into one cluster
+    g = cluster_polygons(cent, edges, pct=1.0)
+    assert len(set(g.values())) == 1
+    # max_area=2: only one pairwise merge fits
+    g = cluster_polygons(cent, edges, pct=1.0, max_area=2.0)
+    assert len(set(g.values())) == 2
+    # max_width=2: combined width 3 vetoed, width 2 allowed
+    g = cluster_polygons(cent, edges, pct=1.0, max_width=2.0)
+    assert len(set(g.values())) == 2
+    # max_width=1: nothing can merge
+    g = cluster_polygons(cent, edges, pct=1.0, max_width=1.0)
+    assert len(set(g.values())) == 3
+
+
+def test_explode_naive(ray_session):
+    """-explode naive: each ring becomes its own polygon; hole rings
+    flip to outer winding (explodePolygonNaive)."""
+    import pandas as pd
+    from mapshaper_ray.ops.features import explode
+    from mapshaper_ray.geom.kernels import planar_ring_area
+
+    outer_x = [0.0, 0.0, 4.0, 4.0, 0.0]   # CW (mapshaper-positive)
+    outer_y = [0.0, 4.0, 4.0, 0.0, 0.0]
+    hole_x = [1.0, 3.0, 3.0, 1.0, 1.0]    # CCW (hole winding)
+    hole_y = [1.0, 1.0, 3.0, 3.0, 1.0]
+    assert planar_ring_area(outer_x, outer_y) > 0
+    assert planar_ring_area(hole_x, hole_y) < 0
+    df = pd.DataFrame({"feature_id": [0],
+                       "rings_x": [[outer_x, hole_x]],
+                       "rings_y": [[outer_y, hole_y]],
+                       "ring_poly": [[0, 0]]})
+    out = explode(rd.from_pandas(df), naive=True).to_pandas()
+    assert len(out) == 2                      # ring-per-feature
+    for _, r in out.iterrows():
+        assert len(r["rings_x"]) == 1
+        assert planar_ring_area(r["rings_x"][0], r["rings_y"][0]) > 0
+    # default explode keeps the hole attached
+    out2 = explode(rd.from_pandas(df)).to_pandas()
+    assert len(out2) == 1 and len(out2["rings_x"].iloc[0]) == 2
