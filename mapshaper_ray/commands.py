@@ -59,6 +59,7 @@ _FLAGS = {
     "clean": {"allow-overlaps"},
     "dissolve": {"planar"},
     "explode": {"naive"},
+    "proj": {"densify"},
     "filter": {"remove-empty"},
     "data-fill": {"postprocess"},
     "drop": {"geometry"},
@@ -441,7 +442,8 @@ def _cmd_proj(cat: Catalog, args, opts):
         src_pair = (src["fwd"], src["inv"])
     if not (dest["latlong"] and src_pair is None):
         cat.replace(api.project_layer(
-            cat.get(), (dest["fwd"], dest["inv"]), from_proj=src_pair))
+            cat.get(), (dest["fwd"], dest["inv"]), from_proj=src_pair,
+            densify=bool(opts.get("densify"))))
     cat.crs[cat.target] = dest
     # reference exportCRS: projected (non-latlong) datasets export
     # GeoJSON with "crs":null

@@ -2953,10 +2953,144 @@ def project_points(ds, proj="webmercator", lon_col="lon", lat_col="lat",
     return ds.map_batches(go, batch_format="pyarrow")
 
 
-def project_layer(ds, proj="webmercator", from_proj=None):
+def project_layer(ds, proj="webmercator", from_proj=None,
+                  densify=False):
     """Layer-model Dataset (rings/parts/points) → projected coordinates,
-    same schema (the -proj in-place semantics)."""
+    same schema (the -proj in-place semantics).  ``densify`` applies
+    the reference's projectAndDensifyArcs
+    (src/commands/mapshaper-proj.js:152-201): unprojected midpoints are
+    recursively bisected and their projections inserted wherever a
+    long projected segment deviates from the projected chord by more
+    than half the default interval (the projected size of the average
+    segment at the layer center)."""
     fwd = _compose(proj, from_proj)
     from ..ops.features import _map_coords
-    return _map_coords(ds, lambda x, y: fwd(x, y)[0],
-                       lambda x, y: fwd(x, y)[1])
+    if not densify:
+        return _map_coords(ds, lambda x, y: fwd(x, y)[0],
+                           lambda x, y: fwd(x, y)[1])
+    interval = _default_densify_interval(ds, fwd)
+    return _densify_project(ds, fwd, interval)
+
+
+def _default_densify_interval(ds, fwd) -> float:
+    """getDefaultDensifyInterval (mapshaper-proj.js:152-158): project
+    the layer-bbox center and center+avg-segment; their 2-D distance is
+    the interval.  Avg segment = mean |dx|, mean |dy| over every path
+    segment (getAvgSegment2) — computed as one distributed partial
+    pass."""
+    import pandas as pd
+
+    from ..sources.layers import geom_type_of, nz
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        gt = geom_type_of(list(df.columns))
+        cols = ("rings_x", "rings_y") if gt == "polygon" else \
+            ("part_x", "part_y")
+        sdx = sdy = 0.0
+        n = 0
+        xmin = ymin = np.inf
+        xmax = ymax = -np.inf
+        for xs, ys in zip(df[cols[0]], df[cols[1]]):
+            for x, y in zip(nz(xs), nz(ys)):
+                x = np.asarray(x, float)
+                y = np.asarray(y, float)
+                if len(x) == 0:
+                    continue
+                sdx += np.abs(np.diff(x)).sum()
+                sdy += np.abs(np.diff(y)).sum()
+                n += len(x) - 1
+                xmin = min(xmin, x.min()); xmax = max(xmax, x.max())
+                ymin = min(ymin, y.min()); ymax = max(ymax, y.max())
+        return pd.DataFrame([{"sdx": sdx, "sdy": sdy, "n": n,
+                              "xmin": xmin, "ymin": ymin,
+                              "xmax": xmax, "ymax": ymax}])
+
+    t = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    n = max(int(t["n"].sum()), 1)
+    ax, ay = t["sdx"].sum() / n, t["sdy"].sum() / n
+    cx = (t["xmin"].min() + t["xmax"].max()) / 2
+    cy = (t["ymin"].min() + t["ymax"].max()) / 2
+    pa = fwd(np.array([cx]), np.array([cy]))
+    pb = fwd(np.array([cx + ax]), np.array([cy + ay]))
+    return float(np.hypot(pb[0][0] - pa[0][0], pb[1][0] - pa[1][0]))
+
+
+def _densify_segment(lng0, lat0, x0, y0, lng2, lat2, x2, y2, fwd,
+                     interval, out):
+    """densifySegment (mapshaper-proj.js:163-184): bisect while the
+    projected midpoint deviates from the projected chord by more than
+    interval/2, guarding tiny unprojected segments."""
+    lng1 = (lng0 + lng2) / 2
+    lat1 = (lat0 + lat2) / 2
+    p = fwd(np.array([lng1]), np.array([lat1]))
+    px, py = float(p[0][0]), float(p[1][0])
+    # pointSegDistSq
+    dx, dy = x2 - x0, y2 - y0
+    d2 = dx * dx + dy * dy
+    if d2 > 0:
+        t = ((px - x0) * dx + (py - y0) * dy) / d2
+        t = min(max(t, 0.0), 1.0)
+    else:
+        t = 0.0
+    qx, qy = x0 + t * dx, y0 + t * dy
+    dist_sq = (px - qx) ** 2 + (py - qy) ** 2
+    if dist_sq > interval * interval * 0.25 and \
+            np.hypot(lng2 - lng0, lat2 - lat0) > 0.01:
+        _densify_segment(lng0, lat0, x0, y0, lng1, lat1, px, py, fwd,
+                         interval, out)
+        out.append((px, py))
+        _densify_segment(lng1, lat1, px, py, lng2, lat2, x2, y2, fwd,
+                         interval, out)
+
+
+def _densify_project(ds, fwd, interval: float):
+    import pandas as pd
+
+    from ..sources.layers import geom_type_of, nz
+    thresh = interval * interval * 25
+
+    def go(df: pd.DataFrame) -> pd.DataFrame:
+        gt = geom_type_of(list(df.columns))
+        df = df.copy()
+        if gt == "point":
+            nx, ny = [], []
+            for xs, ys in zip(df["px"], df["py"]):
+                p = fwd(np.asarray(nz(xs), float),
+                        np.asarray(nz(ys), float))
+                nx.append(list(map(float, p[0])))
+                ny.append(list(map(float, p[1])))
+            df["px"], df["py"] = nx, ny
+            return df
+        cols = ("rings_x", "rings_y") if gt == "polygon" else \
+            ("part_x", "part_y")
+        new_x, new_y = [], []
+        for xs, ys in zip(df[cols[0]], df[cols[1]]):
+            rxs, rys = [], []
+            for x, y in zip(nz(xs), nz(ys)):
+                x = np.asarray(x, float)
+                y = np.asarray(y, float)
+                px, py = fwd(x, y)
+                ox = [float(px[0])]
+                oy = [float(py[0])]
+                for i in range(1, len(x)):
+                    if (px[i] - px[i - 1]) ** 2 + \
+                            (py[i] - py[i - 1]) ** 2 > thresh:
+                        mids: list = []
+                        _densify_segment(
+                            x[i - 1], y[i - 1], float(px[i - 1]),
+                            float(py[i - 1]), x[i], y[i],
+                            float(px[i]), float(py[i]), fwd,
+                            interval, mids)
+                        for mx, my in mids:
+                            ox.append(mx)
+                            oy.append(my)
+                    ox.append(float(px[i]))
+                    oy.append(float(py[i]))
+                rxs.append(ox)
+                rys.append(oy)
+            new_x.append(rxs)
+            new_y.append(rys)
+        df[cols[0]] = new_x
+        df[cols[1]] = new_y
+        return df
+    return ds.map_batches(go, batch_format="pandas")

@@ -821,8 +821,15 @@ def _coords(path):
             continue
         if g["type"] == "Point":
             out.append(g["coordinates"])
+        elif g["type"] == "LineString":
+            out.extend(g["coordinates"])
+        elif g["type"] == "MultiLineString":
+            out.extend(p for part in g["coordinates"] for p in part)
         elif g["type"] == "Polygon":
             out.extend(p for r in g["coordinates"] for p in r)
+        elif g["type"] == "MultiPolygon":
+            out.extend(p for poly in g["coordinates"]
+                       for r in poly for p in r)
     return np.array(out, dtype=float)
 
 
@@ -992,6 +999,37 @@ def test_proj_round3_prj_bytes(ray_session, ref_cli, tmp_path,
                      for g in geoms(f"{tmp_path}/back.json")], float)
     np.testing.assert_allclose(back, np.array(pts, float),
                                rtol=0, atol=1e-7)
+
+
+def test_proj_densify_vs_reference(ray_session, ref_cli, tmp_path):
+    """-proj densify inserts the same recursive-bisection midpoints as
+    projectAndDensifyArcs — long segments on a graticule-like line and
+    on two_states polygons, vertex-for-vertex."""
+    src = tmp_path / "line.json"
+    # many short segments (small avg segment -> small interval) plus
+    # one 140-degree jump that must bisect recursively
+    pts = [[-170 + i * 0.1, 0.0] for i in range(60)]
+    pts.append([-20, 70])   # mercator bends this jump hard
+    src.write_text(json.dumps({"type": "LineString",
+                               "coordinates": pts}))
+    for inp, spec in ((str(src), ["robin"]),
+                      (str(src), ["merc"]),
+                      (TWO_STATES, ["robin"])):
+        ref = tmp_path / "ref.json"
+        ours = tmp_path / "ours.json"
+        ref_run(ref_cli, [inp, "-proj", *spec, "densify",
+                          "-o", "precision=0.000000001", str(ref)])
+        run_commands(f"-i {inp} -proj {' '.join(spec)} densify "
+                     f"-o precision=0.000000001 {ours}")
+        a, b = _coords(str(ref)), _coords(str(ours))
+        assert a.shape == b.shape, (spec, a.shape, b.shape)
+        scale = np.maximum(1.0, np.abs(a))
+        assert np.all(np.abs(b - a) / scale < 1e-8)
+    # the long jump actually densified (midpoints inserted)
+    run_commands(f"-i {src} -proj merc densify -o {tmp_path}/d.json")
+    run_commands(f"-i {src} -proj merc -o {tmp_path}/p.json")
+    assert len(_coords(f"{tmp_path}/d.json")) > \
+        len(_coords(f"{tmp_path}/p.json"))
 
 
 def test_merge_layers_prj_preserved(ray_session, tmp_path):
