@@ -407,8 +407,13 @@ def raster_to_polygons(raster_ds, spec: GridSpec, value_col: str = "value",
         return pd.DataFrame({"label": labs, "band": band,
                              "ekey": ekey, "dir": dirs})
 
+    # explicit batch_size BUNDLES small input blocks (rasterize emits
+    # row-band shards of ~8k cells): without it every shard becomes a
+    # task AND a sort partition, and the two exchanges then pay
+    # per-task overhead on 256 blocks x 6 operators — measured 2x the
+    # whole pipeline.  64k-cell bundles keep ~32 blocks end-to-end.
     edges = raster_ds.map_batches(emit, batch_format="pandas",
-                                  batch_size=None)
+                                  batch_size=65536)
 
     def assemble(df: pd.DataFrame) -> pd.DataFrame:
         label = int(df["label"].iloc[0])
