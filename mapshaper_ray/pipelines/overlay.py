@@ -338,7 +338,12 @@ def precut_by_cells(ds, cell: float, bbox=None):
                         out["__cell"] = ci * 1000003 + cj
                         rows.append(out)
         return pd.DataFrame(rows)
-    return ds.map_batches(go, batch_format="pandas")
+    # modest bundling: generated meshes arrive in many ~150-row blocks
+    # and the downstream cell/key sorts pay per-partition overhead per
+    # input block (same pathology measured 10x in raster_to_polygons);
+    # 256 features per cut task keeps blocks near the CPU count without
+    # starving parallelism on big features
+    return ds.map_batches(go, batch_format="pandas", batch_size=256)
 
 
 def _node_axis_edges(feats):
