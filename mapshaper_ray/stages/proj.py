@@ -53,6 +53,47 @@ E = np.sqrt(ES)
 ONE_ES = 1.0 - ES
 
 
+def _pel(cur, step, tol, iters, consts=(), inclusive=False,
+         replace=False):
+    """Per-element fixed-point iteration for the inverse-projection
+    solvers.
+
+    PROJ / mproj iterate each POINT independently
+    (``do { d = step(cur); cur += d; } while (fabs(d) > tol && --i)``);
+    a whole-array ``np.all`` convergence test stops every element at
+    the same round, so the fixed point depends on how the layer
+    happened to be batched (block boundaries, per-ring densify calls).
+    Here each element freezes the moment ITS OWN update is within tol —
+    identical to the scalar reference loop under ANY chunking.
+
+    ``step(cur_active, *consts_active)`` returns the delta ADDED to
+    cur (or, with ``replace=True``, the NEW value — convergence then
+    tests ``|new - cur|``, the reference's ``fabs(phi - nphi)`` form).
+    ``inclusive=True`` freezes at ``|d| <= tol`` (loops written
+    ``while (fabs(d) > tol)``), else at ``|d| < tol``.
+    """
+    arr = np.atleast_1d(np.asarray(cur, dtype=float)).copy()
+    shp = arr.shape
+    flat = arr.ravel()
+    cs = [np.broadcast_to(np.asarray(c), shp).ravel() for c in consts]
+    act = np.arange(flat.size)
+    for _ in range(iters):
+        res = step(flat[act], *[c[act] for c in cs])
+        if replace:
+            d = res - flat[act]
+            flat[act] = res
+        else:
+            d = res
+            flat[act] = flat[act] + d
+        ad = np.abs(d)
+        keep = ad > tol if inclusive else ad >= tol
+        act = act[keep]
+        if act.size == 0:
+            break
+    out = flat.reshape(shp)
+    return float(out[0]) if np.ndim(cur) == 0 else out
+
+
 def _qsfn(sinphi):
     """pj_qsfn (mproj www/modules.js:12532)."""
     con = E * sinphi
@@ -71,33 +112,27 @@ def _tsfn(phi, sinphi):
 
 
 def _phi2(ts):
-    """pj_phi2: inverse of tsfn by iteration."""
-    phi = np.pi / 2 - 2 * np.arctan(ts)
-    for _ in range(15):
+    """pj_phi2: inverse of tsfn by per-element iteration."""
+    def step(phi, t):
         con = E * np.sin(phi)
-        dphi = np.pi / 2 - 2 * np.arctan(
-            ts * np.power((1 - con) / (1 + con), 0.5 * E)) - phi
-        phi = phi + dphi
-        if np.all(np.abs(dphi) <= 1e-10):
-            break
-    return phi
+        return np.pi / 2 - 2 * np.arctan(
+            t * np.power((1 - con) / (1 + con), 0.5 * E)) - phi
+    return _pel(np.pi / 2 - 2 * np.arctan(ts), step, 1e-10, 15,
+                consts=(ts,), inclusive=True)
 
 
 def _phi1(qs):
-    """pj_aea's phi1_: latitude from authalic q by iteration."""
-    phi = np.arcsin(0.5 * qs)
-    for _ in range(15):
+    """pj_aea's phi1_: latitude from authalic q, per-element."""
+    def step(phi, q):
         sinpi = np.sin(phi)
         cospi = np.cos(phi)
         con = E * sinpi
         com = 1 - con * con
-        dphi = 0.5 * com * com / cospi * (
-            qs / ONE_ES - sinpi / com +
+        return 0.5 * com * com / cospi * (
+            q / ONE_ES - sinpi / com +
             0.5 / E * np.log((1 - con) / (1 + con)))
-        phi = phi + dphi
-        if np.all(np.abs(dphi) <= 1e-10):
-            break
-    return phi
+    return _pel(np.arcsin(0.5 * qs), step, 1e-10, 15,
+                consts=(qs,), inclusive=True)
 
 
 def _aea_setup(lat1, lat2, lat0):
@@ -314,15 +349,11 @@ def stere_inv(x, y, lat0=0.0, lat_ts=None, lon0=0.0, k0=1.0,
         y = rho * cosX1 * cosphi - y * sinX1 * sinphi
         halfpi = np.pi / 2
         halfe = 0.5 * E
-    phi = phi_l
-    for _ in range(20):
-        sinphi_e = E * np.sin(phi)
-        new = 2 * np.arctan(tp * np.power((1 + sinphi_e) /
+    def _stere_step(ph, t):
+        sinphi_e = E * np.sin(ph)
+        return 2 * np.arctan(t * np.power((1 + sinphi_e) /
                                           (1 - sinphi_e), halfe)) - halfpi
-        if np.all(np.abs(phi - new) < 1e-10):
-            phi = new
-            break
-        phi = new
+    phi = _pel(phi_l, _stere_step, 1e-10, 20, consts=(tp,), replace=True)
     if abs(abs(lat0) - 90.0) < 1e-10 and lat0 < 0:
         phi = -phi
         lam = np.where((x == 0) & (y == 0), 0.0, np.arctan2(x, y))
@@ -497,12 +528,9 @@ def moll_fwd(lon, lat, lon0=0.0):
     lam = np.deg2rad(np.asarray(lon, float) - lon0)
     phi = np.deg2rad(np.asarray(lat, float))
     k = _MOLL_CP * np.sin(phi)
-    th = phi.copy()
-    for _ in range(10):
-        v = (th + np.sin(th) - k) / (1 + np.cos(th))
-        th = th - v
-        if np.all(np.abs(v) < 1e-10):
-            break
+    th = _pel(phi, lambda t, kk: -((t + np.sin(t) - kk) /
+                                   (1 + np.cos(t))),
+              1e-10, 10, consts=(k,))
     th = th * 0.5
     return (R * _MOLL_CX * lam * np.cos(th),
             R * _MOLL_CY * np.sin(th))
@@ -815,15 +843,13 @@ def _mlfn(phi, sphi, cphi, en):
 
 def _inv_mlfn(arg, es, en):
     k = 1.0 / (1.0 - es)
-    phi = np.asarray(arg, dtype=np.float64).copy()
-    for _ in range(10):
+
+    def step(phi, a):
         s = np.sin(phi)
         t = 1 - es * s * s
-        t = (_mlfn(phi, s, np.cos(phi), en) - arg) * (t * np.sqrt(t)) * k
-        phi -= t
-        if np.all(np.abs(t) < 1e-11):
-            break
-    return phi
+        return -((_mlfn(phi, s, np.cos(phi), en) - a) *
+                 (t * np.sqrt(t)) * k)
+    return _pel(arg, step, 1e-11, 10, consts=(arg,))
 
 
 def _tmerc_setup(lat0, a, rf):
@@ -1030,15 +1056,12 @@ def _tsfn_e(phi, sinphi, e):
 
 
 def _phi2_e(ts, e):
-    phi = np.pi / 2 - 2 * np.arctan(ts)
-    for _ in range(15):
+    def step(phi, t):
         con = e * np.sin(phi)
-        dphi = np.pi / 2 - 2 * np.arctan(
-            ts * np.power((1 - con) / (1 + con), 0.5 * e)) - phi
-        phi = phi + dphi
-        if np.all(np.abs(dphi) <= 1e-10):
-            break
-    return phi
+        return np.pi / 2 - 2 * np.arctan(
+            t * np.power((1 - con) / (1 + con), 0.5 * e)) - phi
+    return _pel(np.pi / 2 - 2 * np.arctan(ts), step, 1e-10, 15,
+                consts=(ts,), inclusive=True)
 
 
 def merc_ell_fwd(lon, lat, lon0=0.0, lat_ts=0.0, k0=None, x0=0.0,
@@ -1228,16 +1251,13 @@ def natearth_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
     A0, A1, A2, A3, A4 = _NE_A
     B0, B1, B2, B3, B4 = _NE_B
     C0, C1, C2, C3, C4 = _NE_C
-    yc = y.copy() if hasattr(y, "copy") else np.asarray(y, float)
-    for _ in range(20):                                   # Newton
+    def step(yc, yt):                                     # Newton
         y2 = yc * yc
         y4 = y2 * y2
-        f = (yc * (B0 + y2 * (B1 + y4 * (B2 + B3 * y2 + B4 * y4)))) - y
+        f = (yc * (B0 + y2 * (B1 + y4 * (B2 + B3 * y2 + B4 * y4)))) - yt
         fder = C0 + y2 * (C1 + y4 * (C2 + C3 * y2 + C4 * y4))
-        tol = f / fder
-        yc = yc - tol
-        if np.all(np.abs(tol) < 1e-11):
-            break
+        return -(f / fder)
+    yc = _pel(y, step, 1e-11, 20, consts=(y,))
     y2 = yc * yc
     lam = x / (A0 + y2 * (A1 + y2 * (A2 + y2 * y2 * y2 *
                                      (A3 + y2 * A4))))
@@ -1308,13 +1328,12 @@ def eck4_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
     phi = np.deg2rad(np.asarray(lat, float))
     p = C_p * np.sin(phi)
     V = phi * phi
-    th = phi * (0.895168 + V * (0.0218849 + V * 0.00826809))
-    for _ in range(6):
+
+    def step(th, pp):
         c, s = np.cos(th), np.sin(th)
-        dv = (th + s * (c + 2) - p) / (1 + c * (c + 2) - s * s)
-        th = th - dv
-        if np.all(np.abs(dv) < 1e-7):
-            break
+        return -((th + s * (c + 2) - pp) / (1 + c * (c + 2) - s * s))
+    th = _pel(phi * (0.895168 + V * (0.0218849 + V * 0.00826809)),
+              step, 1e-7, 6, consts=(p,))
     return (x0 + R * C_x * lam * (1 + np.cos(th)),
             y0 + R * C_y * np.sin(th))
 
@@ -1354,12 +1373,9 @@ def _sinu_general(m, n):
         lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
         phi = np.deg2rad(np.asarray(lat, float))
         k = n * np.sin(phi)
-        th = phi.copy()
-        for _ in range(8):
-            dv = (m * th + np.sin(th) - k) / (m + np.cos(th))
-            th = th - dv
-            if np.all(np.abs(dv) < 1e-7):
-                break
+        th = _pel(phi, lambda t, kk: -((m * t + np.sin(t) - kk) /
+                                       (m + np.cos(t))),
+                  1e-7, 8, consts=(k,))
         return (x0 + R * C_x * lam * (m + np.cos(th)),
                 y0 + R * C_y * th)
 
@@ -1437,11 +1453,16 @@ def wintri_fwd(lon, lat, lat1=None, lon0=0.0, x0=0.0, y0=0.0):
 
 def _aitoff_inv_core(x, y, cosphi1, winkel):
     """Vectorized Newton-Raphson from pj_aitoff s_inv."""
-    phi = np.asarray(y, float).copy()
-    lam = np.asarray(x, float).copy()
+    phi = np.atleast_1d(np.asarray(y, float)).copy()
+    lam = np.atleast_1d(np.asarray(x, float)).copy()
+    xt = np.broadcast_to(np.atleast_1d(np.asarray(x, float)), lam.shape)
+    yt = np.broadcast_to(np.atleast_1d(np.asarray(y, float)), phi.shape)
+    # per-element Newton (see _pel): each point converges on its own
+    act = np.arange(phi.size)
     for _ in range(30):
-        sl, cl = np.sin(lam * 0.5), np.cos(lam * 0.5)
-        sp, cp = np.sin(phi), np.cos(phi)
+        la, ph = lam[act], phi[act]
+        sl, cl = np.sin(la * 0.5), np.cos(la * 0.5)
+        sp, cp = np.sin(ph), np.cos(ph)
         with np.errstate(invalid="ignore", divide="ignore"):
             D = cp * cl
             C = 1 - D * D
@@ -1454,24 +1475,27 @@ def _aitoff_inv_core(x, y, cosphi1, winkel):
             f2p = sp * sp * cl / C + D * sl * sl * cp
             f2l = 0.5 * (sp * cp * sl / C - D * sp * cp * cp * sl * cl)
             if winkel:
-                f1 = 0.5 * (f1 + lam * cosphi1)
-                f2 = 0.5 * (f2 + phi)
+                f1 = 0.5 * (f1 + la * cosphi1)
+                f2 = 0.5 * (f2 + ph)
                 f1p = f1p * 0.5
                 f1l = 0.5 * (f1l + cosphi1)
                 f2p = 0.5 * (f2p + 1)
                 f2l = f2l * 0.5
-            f1 = f1 - x
-            f2 = f2 - y
+            f1 = f1 - xt[act]
+            f2 = f2 - yt[act]
             den = f1p * f2l - f2p * f1l
             dl = (f2 * f1p - f1 * f2p) / den
             dp = (f1 * f2l - f2 * f1l) / den
         dl = np.where(np.isfinite(dl), dl, 0.0)
         dp = np.where(np.isfinite(dp), dp, 0.0)
         dl = np.mod(dl + np.pi, 2 * np.pi) - np.pi
-        phi = phi - dp
-        lam = lam - dl
-        if np.all((np.abs(dp) < 1e-12) & (np.abs(dl) < 1e-12)):
+        phi[act] = ph - dp
+        lam[act] = la - dl
+        act = act[(np.abs(dp) >= 1e-12) | (np.abs(dl) >= 1e-12)]
+        if act.size == 0:
             break
+    if np.ndim(x) == 0:
+        phi, lam = phi[0], lam[0]
     phi = np.where(phi > np.pi / 2, np.pi - phi, phi)
     phi = np.where(phi < -np.pi / 2, -np.pi - phi, phi)
     near0 = (np.abs(x) < 1e-12) & (np.abs(y) < 1e-12)
@@ -1717,14 +1741,11 @@ def _inv_gauss(phi, lam, en):
     lam = lam / en["C"]
     num = np.power(np.tan(0.5 * phi + np.pi / 4) / en["K"],
                    1 / en["C"])
-    phi_i = np.asarray(phi, float).copy()
-    for _ in range(20):
-        nphi = 2 * np.arctan(num * _srat(en["e"] * np.sin(phi_i),
-                                         -0.5 * en["e"])) - np.pi / 2
-        if np.all(np.abs(nphi - phi_i) < 1e-14):
-            phi_i = nphi
-            break
-        phi_i = nphi
+    phi_i = _pel(phi,
+                 lambda p, nm: 2 * np.arctan(
+                     nm * _srat(en["e"] * np.sin(p),
+                                -0.5 * en["e"])) - np.pi / 2,
+                 1e-14, 20, consts=(num,), replace=True)
     return phi_i, lam
 
 
@@ -1837,14 +1858,13 @@ def somerc_inv(x, y, lat0=0.0, lon0=0.0, k0=1.0, x0=0.0, y0=0.0,
     lamp = np.arcsin(np.clip(cpp * np.sin(lampp) / np.cos(phip),
                              -1, 1))
     con = (K - np.log(np.tan(np.pi / 4 + 0.5 * phip))) / c
-    for _ in range(6):
-        esp = e * np.sin(phip)
-        delp = ((con + np.log(np.tan(np.pi / 4 + 0.5 * phip)) -
-                 hlf_e * np.log((1 + esp) / (1 - esp))) *
-                (1 - esp * esp) * np.cos(phip) * rone_es)
-        phip = phip - delp
-        if np.all(np.abs(delp) < 1e-10):
-            break
+
+    def step(ph, cn):
+        esp = e * np.sin(ph)
+        return -((cn + np.log(np.tan(np.pi / 4 + 0.5 * ph)) -
+                  hlf_e * np.log((1 + esp) / (1 - esp))) *
+                 (1 - esp * esp) * np.cos(ph) * rone_es)
+    phip = _pel(phip, step, 1e-10, 6, consts=(con,))
     return np.rad2deg(lamp / c) + lon0, np.rad2deg(phip)
 
 
@@ -1922,17 +1942,13 @@ def krovak_inv(x, y, lon0=None, lat0=None, k0=0.9999,
     deltav = np.arcsin(np.clip(np.cos(s) * np.sin(d) / np.cos(u),
                                -1, 1))
     lam = -deltav / alpha
-    fi1 = u.copy()
-    for _ in range(30):
-        phi = 2 * (np.arctan(np.power(kk, -1 / alpha) *
-                             np.power(np.tan(u / 2 + S45), 1 / alpha) *
-                             np.power((1 + e * np.sin(fi1)) /
-                                      (1 - e * np.sin(fi1)), e / 2))
-                   - S45)
-        if np.all(np.abs(fi1 - phi) < 1e-15):
-            fi1 = phi
-            break
-        fi1 = phi
+    fi1 = _pel(u,
+               lambda f, uu: 2 * (np.arctan(
+                   np.power(kk, -1 / alpha) *
+                   np.power(np.tan(uu / 2 + S45), 1 / alpha) *
+                   np.power((1 + e * np.sin(f)) /
+                            (1 - e * np.sin(f)), e / 2)) - S45),
+               1e-15, 30, consts=(u,), replace=True)
     return np.rad2deg(lam + lam0), np.rad2deg(fi1)
 
 
@@ -1972,24 +1988,23 @@ def poly_inv(x, y, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0,
     xs = (np.asarray(x, float) - x0) / a
     ys = (np.asarray(y, float) - y0) / a + ml0
     r = ys * ys + xs * xs
-    phi = ys.copy()
+
+    def step(phi, yy, rr):
+        sp = np.sin(phi)
+        cp = np.cos(phi)
+        s2ph = sp * cp
+        mlp = np.sqrt(1 - es * sp * sp)
+        c = sp * mlp / cp
+        ml = _mlfn(phi, sp, cp, en)
+        mlb = ml * ml + rr
+        mlp = one_es / (mlp * mlp * mlp)
+        dphi = ((ml + ml + c * mlb - 2 * yy * (c * ml + 1)) /
+                (es * s2ph * (mlb - 2 * yy * ml) / c +
+                 2 * (yy - ml) * (c * mlp - 1 / s2ph) - mlp - mlp))
+        return np.where(np.isfinite(dphi), dphi, 0.0)
+
     with np.errstate(invalid="ignore", divide="ignore"):
-        for _ in range(20):
-            sp = np.sin(phi)
-            cp = np.cos(phi)
-            s2ph = sp * cp
-            mlp = np.sqrt(1 - es * sp * sp)
-            c = sp * mlp / cp
-            ml = _mlfn(phi, sp, cp, en)
-            mlb = ml * ml + r
-            mlp = one_es / (mlp * mlp * mlp)
-            dphi = ((ml + ml + c * mlb - 2 * ys * (c * ml + 1)) /
-                    (es * s2ph * (mlb - 2 * ys * ml) / c +
-                     2 * (ys - ml) * (c * mlp - 1 / s2ph) - mlp - mlp))
-            dphi = np.where(np.isfinite(dphi), dphi, 0.0)
-            phi = phi + dphi
-            if np.all(np.abs(dphi) <= ITOL):
-                break
+        phi = _pel(ys, step, ITOL, 20, consts=(ys, r), inclusive=True)
         c = np.sin(phi)
         lam = (np.arcsin(np.clip(xs * np.tan(phi) *
                                  np.sqrt(1 - es * c * c), -1, 1)) /
@@ -2281,18 +2296,25 @@ def nzmg_inv(x, y, x0=None, y0=None):
     SEC5_TO_RAD = 0.4848136811095359935899141023
     pr = (np.asarray(y, float) - y0) / a_i
     pi = (np.asarray(x, float) - x0) / a_i
-    yr, yi = pr.copy(), pi.copy()
+    yr = np.atleast_1d(pr).copy()
+    yi = np.atleast_1d(pi).copy()
+    prf = np.atleast_1d(pr)
+    pif = np.atleast_1d(pi)
+    act = np.arange(yr.size)        # per-element Newton (see _pel)
     for _ in range(20):
-        fr, fi, dr, di = _zpolyd1(yr, yi, _NZMG_BF)
-        fr = fr - pr
-        fi = fi - pi
+        fr, fi, dr, di = _zpolyd1(yr[act], yi[act], _NZMG_BF)
+        fr = fr - prf[act]
+        fi = fi - pif[act]
         den = dr * dr + di * di
         ddr = -(fr * dr + fi * di) / den
         ddi = -(fi * dr - fr * di) / den
-        yr = yr + ddr
-        yi = yi + ddi
-        if np.all(np.abs(ddr) + np.abs(ddi) <= 1e-10):
+        yr[act] = yr[act] + ddr
+        yi[act] = yi[act] + ddi
+        act = act[np.abs(ddr) + np.abs(ddi) > 1e-10]
+        if act.size == 0:
             break
+    if np.ndim(pr) == 0:
+        yr, yi = yr[0], yi[0]
     lam = yi
     phi = np.full_like(yr, _NZMG_TPHI[-1])
     for i in range(len(_NZMG_TPHI) - 2, -1, -1):
