@@ -279,6 +279,32 @@ def _q47_ngram_jaccard(sf_dir: str):
     return out
 
 
+def _q48_dedup_clusters(sf_dir: str):
+    """Near-dup clusters: MinHash-LSH pairs (recall 1 on this corpus —
+    the q16-verified exact pair set) → DISTRIBUTED connected
+    components (alternating large-star/small-star contraction over
+    bucket-hash partitions) → (doc_id, cluster_id = component min)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import cluster_pairs, minhash_lsh
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    pairs = minhash_lsh(ds, threshold=0.4)
+    labels = cluster_pairs(rd.from_pandas(pairs[["id_a", "id_b"]]))
+    out = labels.to_pandas().rename(columns={"node": "doc_id"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q49_dedup_near(sf_dir: str):
+    """End-to-end fuzzy dedup: drop every near-dup doc except each
+    cluster's min-id representative; returns surviving doc_ids."""
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import dedup_near
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = dedup_near(ds, threshold=0.4).to_pandas()
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -815,6 +841,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q45_stere": _q45_stere,
         "q46_sample": _q46_sample,
         "q47_ngram_jaccard": _q47_ngram_jaccard,
+        "q48_dedup_clusters": _q48_dedup_clusters,
+        "q49_dedup_near": _q49_dedup_near,
     }
 
 
@@ -833,6 +861,39 @@ def _shingle_list(ts: str = "ts", k: int = 5) -> str:
 
 
 _SHINGLE_LIST = _shingle_list("ts")
+
+# shared fragment (q48/q49): exact near-dup pairs at jaccard >= 0.4
+# (the q16-verified pair set) + transitive closure to connected
+# components via a recursive CTE — min reachable id = cluster_id
+_CLUSTER_CTES = rf"""
+            toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+              FROM documents),
+            sh AS (SELECT doc_id, list_distinct({_SHINGLE_LIST}) AS s
+                   FROM toks),
+            ex AS (SELECT doc_id, unnest(s) AS h FROM sh),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS n_inter
+              FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            sz AS (SELECT doc_id, len(s) AS n FROM sh),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM inter JOIN sz na ON id_a = na.doc_id
+                         JOIN sz nb ON id_b = nb.doc_id
+              WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter)
+                    >= 0.4),
+            edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT u AS node FROM edges),
+            reach AS (
+              SELECT node, node AS r FROM nodes
+              UNION
+              SELECT e.v AS node, reach.r
+              FROM reach JOIN edges e ON e.u = reach.node),
+            labels AS (SELECT node, min(r) AS cluster_id
+                       FROM reach GROUP BY node)"""
 
 
 def _q19_fixture_sql() -> str:
@@ -1465,6 +1526,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(n_inter AS DOUBLE)
                   / (na.n + nb.n - n_inter) >= 0.6
             ORDER BY id_a, id_b""",
+        "q48_dedup_clusters": rf"""
+            -- connected components over the exact near-dup pair set
+            -- (recursive-CTE transitive closure; min reachable id is
+            -- the canonical representative)
+            WITH RECURSIVE {_CLUSTER_CTES}
+            SELECT node AS doc_id, cluster_id
+            FROM labels ORDER BY doc_id""",
+        "q49_dedup_near": rf"""
+            -- fuzzy-dedup survivors: every doc except non-canonical
+            -- near-dup cluster members
+            WITH RECURSIVE {_CLUSTER_CTES}
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN
+                  (SELECT node FROM labels WHERE node != cluster_id)
+            ORDER BY doc_id""",
         "q45_stere": f"""
             -- PJ_stere.c polar branch closed-form: akm1 = cos(lat_ts)
             -- / tsfn(lat_ts) / sqrt(1 - es sin^2(lat_ts)); x = R akm1

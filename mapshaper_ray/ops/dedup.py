@@ -739,3 +739,193 @@ def simhash_pairs(ds, max_hamming=3, bands=4, text_col="text",
         return df.head(1)
     return cand.groupby(["id_a", "id_b"]).map_groups(
         first_of_pair, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Near-dup clustering (connected components) + end-to-end fuzzy dedup
+# --------------------------------------------------------------------------
+
+def _cc_local(u: np.ndarray, v: np.ndarray) -> pd.DataFrame:
+    """Union-find (path-halving) connected components over an edge
+    list; returns (node, cluster_id) with cluster_id = min node id of
+    the component.  Local kernel for bounded pair sets."""
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[:len(u)], inv[len(u):]
+    parent = np.arange(len(nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(ui, vi):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # larger root under smaller: root index stays the min index,
+            # and nodes[] is sorted so min index == min id
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.fromiter((find(i) for i in range(len(nodes))),
+                        dtype=np.int64, count=len(nodes))
+    return pd.DataFrame({"node": nodes, "cluster_id": nodes[roots]})
+
+
+def _star_partition(df: pd.DataFrame, large: bool) -> pd.DataFrame:
+    """One vectorized star contraction over a complete bucket
+    partition: groups of (center c, neighbor n) rows are detected by
+    lexsort run boundaries; per-group min via the sorted first
+    element.  large-star: every neighbor > c re-points to
+    m = min(N(c) ∪ {c}); small-star: every member of N(c) ∪ {c}
+    except m points to m (all n ≤ c by keying)."""
+    c = df["u"].to_numpy()
+    n = df["v"].to_numpy()
+    order = np.lexsort((n, c))
+    cs, ns = c[order], n[order]
+    b = np.nonzero(np.diff(cs))[0] + 1
+    starts = np.concatenate([[0], b])
+    ends = np.concatenate([b, [len(cs)]])
+    cval = cs[starts]
+    gmin = ns[starts]                      # sorted within group
+    m = np.minimum(gmin, cval)
+    m_full = np.repeat(m, ends - starts)
+    if large:
+        mask = ns > cs
+        out_u, out_v = ns[mask], m_full[mask]
+    else:
+        mask = ns != m_full
+        out_u = np.concatenate([ns[mask], cval])
+        out_v = np.concatenate([m_full[mask], m])
+        keep = out_u != out_v
+        out_u, out_v = out_u[keep], out_v[keep]
+    return pd.DataFrame({"u": out_u, "v": out_v}) \
+        .drop_duplicates(ignore_index=True)
+
+
+_CC_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def cluster_pairs(pairs, id_a="id_a", id_b="id_b", n_parts=64,
+                  max_rounds=64):
+    """Connected components over a near-dup pair list → one row
+    (node, cluster_id) per member node, cluster_id = min node id of the
+    component (the canonical representative).
+
+    A pandas pair table (the bounded output of minhash_lsh /
+    simhash_pairs / embedding_near_dup) runs the local union-find.  A
+    Ray Dataset of pairs runs alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — public): each round shuffles edges by a coarse
+    bucket hash of the center node and runs ONE vectorized groupby per
+    partition (no per-node map_groups), converging in O(log²|V|)
+    rounds to star graphs rooted at each component's min node.  The
+    driver never sees edges — only a per-round (hash-sum, count)
+    fingerprint for the convergence test."""
+    if isinstance(pairs, pd.DataFrame):
+        if len(pairs) == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "cluster_id": pd.Series([], dtype="int64")})
+        return _cc_local(pairs[id_a].to_numpy().astype(np.int64),
+                         pairs[id_b].to_numpy().astype(np.int64))
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[id_a].to_numpy().astype(np.int64)
+        b = df[id_b].to_numpy().astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pd.DataFrame({"u": np.maximum(a, b), "v": np.minimum(a, b)})
+
+    def emit(large: bool):
+        def _e(df: pd.DataFrame) -> pd.DataFrame:
+            u = df["u"].to_numpy()
+            v = df["v"].to_numpy()
+            if large:
+                cc = np.concatenate([u, v])
+                nn = np.concatenate([v, u])
+            else:
+                cc = np.maximum(u, v)
+                nn = np.minimum(u, v)
+            part = (cc.astype(np.uint64) * _CC_GOLD) % np.uint64(n_parts)
+            return pd.DataFrame({"u": cc, "v": nn,
+                                 "__part": part.astype(np.int64)})
+        return _e
+
+    def fingerprint(edges_ds) -> tuple:
+        def fp(df: pd.DataFrame) -> pd.DataFrame:
+            h = (df["u"].to_numpy().astype(np.uint64) * _CC_GOLD) ^ \
+                df["v"].to_numpy().astype(np.uint64)
+            return pd.DataFrame({"h": [int(h.sum(dtype=np.uint64))],
+                                 "n": [len(df)]})
+        parts = edges_ds.map_batches(fp, batch_format="pandas").to_pandas()
+        return (int(np.uint64(parts["h"].to_numpy(np.uint64).sum(
+            dtype=np.uint64))), int(parts["n"].sum()))
+
+    edges = pairs.map_batches(canon, batch_format="pandas").materialize()
+    prev = None
+    for _ in range(max_rounds):
+        for large in (True, False):
+            edges = edges.map_batches(emit(large), batch_format="pandas") \
+                .groupby("__part") \
+                .map_groups(lambda df, lg=large: _star_partition(df, lg),
+                            batch_format="pandas") \
+                .materialize()
+        cur = fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # converged star edges are (child u, root v); roots label themselves
+    def labels(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": np.concatenate([df["u"].to_numpy(),
+                                    df["v"].to_numpy()]),
+            "cluster_id": np.concatenate([df["v"].to_numpy(),
+                                          df["v"].to_numpy()])})
+
+    def part_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False)["cluster_id"].min()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = (df["node"].to_numpy().astype(np.uint64) *
+                        _CC_GOLD % np.uint64(n_parts)).astype(np.int64)
+        return df
+
+    return edges.map_batches(labels, batch_format="pandas") \
+        .map_batches(add_part, batch_format="pandas") \
+        .groupby("__part").map_groups(part_min, batch_format="pandas")
+
+
+def dedup_near(ds, id_col="doc_id", text_col="text", threshold=0.5,
+               pairs=None, **minhash_kw):
+    """End-to-end fuzzy dedup: near-dup pairs (MinHash+LSH unless a
+    pair table is passed) → connected components → keep ONE canonical
+    row per cluster (the min id) and every non-duplicated row.
+
+    The drop set is bounded by the number of near-duplicate documents
+    (not corpus size); it broadcasts once via ray.put and each batch
+    filters with a vectorized isin — no shuffle of the corpus."""
+    import ray
+
+    if pairs is None:
+        pairs = minhash_lsh(ds, threshold=threshold, text_col=text_col,
+                            id_col=id_col, **minhash_kw)
+    labels = cluster_pairs(pairs)
+    if not isinstance(labels, pd.DataFrame):
+        labels = labels.to_pandas()
+    drop = labels.loc[labels["node"] != labels["cluster_id"],
+                      "node"].to_numpy()
+    drop_ref = ray.put(np.sort(drop))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(drop_ref)
+        ids = df[id_col].to_numpy()
+        idx = np.searchsorted(d, ids)
+        idx = np.clip(idx, 0, max(len(d) - 1, 0))
+        is_dup = (len(d) > 0) & (d[idx] == ids) if len(d) else \
+            np.zeros(len(ids), dtype=bool)
+        return df[~is_dup]
+
+    return ds.map_batches(keep, batch_format="pandas")
