@@ -305,6 +305,28 @@ def _q49_dedup_near(sf_dir: str):
     return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def _q50_dup_window_stats(sf_dir: str):
+    """Per-doc duplicated-passage share (fraction of distinct 5-token
+    windows occurring in >1 doc corpus-wide) — Lee et al. 2022 style
+    dedup quality signal, exact by construction."""
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import duplicate_window_stats
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = duplicate_window_stats(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q51_token_df(sf_dir: str):
+    """Corpus vocabulary: top-100 tokens by document frequency
+    (bucketed count + per-partition top-k merge)."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import token_df_topk
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return token_df_topk(ds, k=100)
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -843,6 +865,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q47_ngram_jaccard": _q47_ngram_jaccard,
         "q48_dedup_clusters": _q48_dedup_clusters,
         "q49_dedup_near": _q49_dedup_near,
+        "q50_dup_window_stats": _q50_dup_window_stats,
+        "q51_token_df": _q51_token_df,
     }
 
 
@@ -1541,6 +1565,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN
                   (SELECT node FROM labels WHERE node != cluster_id)
             ORDER BY doc_id""",
+        "q50_dup_window_stats": rf"""
+            -- exact duplicated-window share per doc: a window hash is
+            -- "duplicated" when it appears in more than one document
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+              FROM documents),
+            sh AS (SELECT doc_id, list_distinct({_SHINGLE_LIST}) AS s
+                   FROM toks),
+            ex AS (SELECT doc_id, unnest(s) AS h FROM sh),
+            cnt AS (SELECT h, count(*) AS nd FROM ex GROUP BY h),
+            perdoc AS (
+              SELECT e.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_windows,
+                     CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_dup_windows
+              FROM ex e JOIN cnt c ON e.h = c.h GROUP BY e.doc_id)
+            SELECT doc_id, n_windows, n_dup_windows,
+                   round(CAST(n_dup_windows AS DOUBLE) / n_windows,
+                         6) AS dup_share
+            FROM perdoc ORDER BY doc_id""",
+        "q51_token_df": r"""
+            -- top-100 tokens by document frequency, ties by token text
+            WITH ex AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS token
+              FROM documents),
+            cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                    FROM ex GROUP BY token)
+            SELECT token, df FROM cnt
+            ORDER BY df DESC, token LIMIT 100""",
         "q45_stere": f"""
             -- PJ_stere.c polar branch closed-form: akm1 = cos(lat_ts)
             -- / tsfn(lat_ts) / sqrt(1 - es sin^2(lat_ts)); x = R akm1

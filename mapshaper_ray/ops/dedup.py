@@ -929,3 +929,66 @@ def dedup_near(ds, id_col="doc_id", text_col="text", threshold=0.5,
         return df[~is_dup]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def duplicate_window_stats(ds, text_col="text", id_col="doc_id", k=5,
+                           n_parts=64):
+    """Per-document duplicated-passage share: the fraction of the
+    doc's DISTINCT k-token windows whose hash occurs in more than one
+    document corpus-wide (the train-data quality signal of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better" —
+    public).  Returns (doc_id, n_windows, n_dup_windows, dup_share).
+
+    One shuffle carries (window_hash, doc_id) pairs bucketed by hash —
+    every row of a hash lands in one partition, so in-partition
+    doc-counts per hash ARE global counts; per-doc partials then
+    reduce in a second small exchange.  Documents never move."""
+    ws = re.compile(r"\S+")
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        hs, ids = [], []
+        for i, t in zip(df[id_col].to_numpy(), df[text_col]):
+            h = np.unique(window_hashes(ws.findall(t or ""), k))
+            hs.append(h)
+            ids.append(np.full(len(h), i, dtype=np.int64))
+        h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+        return pd.DataFrame({
+            "h": h.astype(np.int64),
+            id_col: np.concatenate(ids) if ids else
+            np.empty(0, np.int64),
+            "__part": (h % np.uint64(n_parts)).astype(np.int64)})
+
+    def part_stats(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["h"].to_numpy()
+        ids = df[id_col].to_numpy()
+        uniq, inv, counts = np.unique(h, return_inverse=True,
+                                      return_counts=True)
+        # pairs are distinct per doc, so per-hash row count == number
+        # of docs containing the window
+        dup = counts[inv] > 1
+        out = pd.DataFrame({id_col: ids, "n_windows": 1,
+                            "n_dup_windows": dup.astype(np.int64)})
+        return out.groupby(id_col, as_index=False).sum()
+
+    partials = ds.map_batches(emit, batch_format="pandas") \
+        .groupby("__part").map_groups(part_stats, batch_format="pandas")
+
+    def reduce_doc(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(id_col, as_index=False)[
+            ["n_windows", "n_dup_windows"]].sum()
+        out["dup_share"] = (out["n_dup_windows"] /
+                            out["n_windows"]).round(6)
+        return out
+
+    def add_doc_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__dpart"] = (df[id_col].to_numpy().astype(np.uint64) *
+                         _CC_GOLD % np.uint64(n_parts)).astype(np.int64)
+        return df
+
+    def strip(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[id_col, "n_windows", "n_dup_windows", "dup_share"]]
+
+    return partials.map_batches(add_doc_part, batch_format="pandas") \
+        .groupby("__dpart").map_groups(reduce_doc, batch_format="pandas") \
+        .map_batches(strip, batch_format="pandas")

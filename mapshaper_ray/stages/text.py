@@ -140,3 +140,41 @@ def fingerprint(ds, text_col="text", k=5, concurrency=(1, 8)):
                           batch_size=4096, concurrency=concurrency,
                           fn_constructor_kwargs={"text_col": text_col, "k": k},
                           num_cpus=1)
+
+
+def token_df_topk(ds, text_col="text", k=100, n_parts=64):
+    """Corpus vocabulary stats: top-k tokens by DOCUMENT frequency
+    (number of docs containing the token), ties broken by token text.
+    Returns a pandas DataFrame (token, df) of at most k rows.
+
+    Distinct (token, doc) pairs shuffle bucketed by token hash — all
+    rows of a token land in one partition, so in-partition counts are
+    global; each partition then contributes only its own top-k and the
+    driver merges P×k candidate rows (exact: a global top-k member is
+    a top-k member of its own partition)."""
+    import re as _re
+
+    ws = _re.compile(r"\S+")
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        toks = []
+        for t in df[text_col]:
+            toks.append(np.unique(ws.findall(t or "")))
+        tok = np.concatenate(toks) if toks else np.empty(0, object)
+        h = pd.util.hash_array(tok.astype(object)).astype(np.uint64)
+        return pd.DataFrame({"token": tok,
+                             "__part": (h % np.uint64(n_parts))
+                             .astype(np.int64)})
+
+    def part_topk(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby("token").size().reset_index(name="df")
+        c = c.sort_values(["df", "token"], ascending=[False, True],
+                          kind="mergesort")
+        return c.head(k)
+
+    parts = ds.map_batches(emit, batch_format="pandas") \
+        .groupby("__part").map_groups(part_topk, batch_format="pandas") \
+        .to_pandas()
+    out = parts.sort_values(["df", "token"], ascending=[False, True],
+                            kind="mergesort").head(k)
+    return out.reset_index(drop=True)

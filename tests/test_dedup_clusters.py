@@ -110,3 +110,39 @@ def test_dedup_near_keeps_one_per_cluster(ray_session):
     pairs = pd.DataFrame({"id_a": [0, 0], "id_b": [1, 2]})
     out2 = dedup_near(ds, pairs=pairs).to_pandas()
     assert sorted(out2["doc_id"]) == [0, 3, 4, 5, 6]
+
+
+def test_duplicate_window_stats(ray_session):
+    from mapshaper_ray.ops.dedup import duplicate_window_stats
+    from mapshaper_ray.stages.text import window_hashes
+
+    texts = ["a b c d e f g h",           # shares 5-windows with doc 1
+             "a b c d e f x y",
+             "p q r s t u v w",           # unique
+             "short"]                     # <k tokens -> one hash
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": texts})
+    out = duplicate_window_stats(rd.from_pandas(df).repartition(2)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # brute-force reference
+    sets = [np.unique(window_hashes(t.split(), 5)) for t in texts]
+    from collections import Counter
+    cnt = Counter()
+    for s in sets:
+        cnt.update(s.tolist())
+    for i, s in enumerate(sets):
+        n_dup = sum(1 for h in s if cnt[h] > 1)
+        assert out.loc[i, "n_windows"] == len(s)
+        assert out.loc[i, "n_dup_windows"] == n_dup
+        assert out.loc[i, "dup_share"] == round(n_dup / len(s), 6)
+
+
+def test_token_df_topk(ray_session):
+    from mapshaper_ray.stages.text import token_df_topk
+    texts = ["the cat sat", "the dog ran", "the cat ran fast",
+             "a dog a cat"]
+    df = pd.DataFrame({"doc_id": range(4), "text": texts})
+    out = token_df_topk(rd.from_pandas(df).repartition(3), k=3)
+    # df: the=3, cat=3, dog=2, ran=2, ...; ties by token text
+    assert list(out["token"]) == ["cat", "the", "dog"]
+    assert list(out["df"]) == [3, 3, 2]
