@@ -62,23 +62,36 @@ def _vertex_rows(df: pd.DataFrame, closed: bool) -> pd.DataFrame:
 def find_junctions_ds(features_ds, closed=True):
     """Stage 1: distributed junction detection.  Returns the set of
     junction (x, y) tuples (driver-side set; O(junctions))."""
-    emit = features_ds.map_batches(
-        lambda df: _vertex_rows(df, closed), batch_format="pandas")
+    n_parts = 64
 
-    def judge(df: pd.DataFrame) -> pd.DataFrame:
-        # mirror the in-process rule (topo/build.find_junctions): a
-        # vertex is a junction when it occurs with more than one
-        # distinct unordered neighbor pair, or is an open-path endpoint
-        is_junction = df["nbr"].nunique() > 1 or bool(df["is_end"].any())
-        return pd.DataFrame([{"vkey": df["vkey"].iloc[0],
-                              "junction": bool(is_junction)}])
+    def emit_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = _vertex_rows(df, closed)
+        out["__part"] = (pd.util.hash_array(
+            out["vkey"].to_numpy(object)).astype(np.uint64)
+            % np.uint64(n_parts)).astype(np.int64)
+        return out
 
-    verdicts = emit.groupby("vkey").map_groups(judge,
-                                               batch_format="pandas") \
-                   .to_pandas()
+    emit = features_ds.map_batches(emit_rows, batch_format="pandas")
+
+    # mirror the in-process rule (topo/build.find_junctions): a vertex
+    # is a junction when it occurs with more than one distinct
+    # unordered neighbor pair, or is an open-path endpoint.  ONE
+    # vectorized groupby per bucket partition (a map_groups per vertex
+    # is billions of tiny tasks at scale), and only junction rows
+    # reach the driver — O(junctions), not O(vertices).
+    def part_judge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("vkey").agg(nbr=("nbr", "nunique"),
+                                   end=("is_end", "any"))
+        j = g[(g["nbr"] > 1) | g["end"]].index
+        return pd.DataFrame({"vkey": j})
+
+    verdicts = emit.groupby("__part").map_groups(
+        part_judge, batch_format="pandas").to_pandas()
     out = set()
-    for _, r in verdicts[verdicts["junction"]].iterrows():
-        xs, ys = r["vkey"].split("_")
+    if "vkey" not in verdicts.columns:      # no junctions anywhere
+        return out
+    for vk in verdicts["vkey"]:
+        xs, ys = vk.split("_")
         out.add((float(xs), float(ys)))
     return out
 
