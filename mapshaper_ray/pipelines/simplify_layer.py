@@ -283,7 +283,7 @@ def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
     from ..geom.simplify import removable_thresholds
     from ..ops.rank import threshold_by_pct_ds
     from ..sources.layers import nz
-    from ..topo.build_distributed import build_topology_ds
+    from ..topo.build_distributed import build_topology_ds_tables
 
     # rings → per-path rows
     def to_paths(df: pd.DataFrame) -> pd.DataFrame:
@@ -298,12 +298,10 @@ def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
         return pd.DataFrame(rows)
     paths = ds.map_batches(to_paths, batch_format="pandas")
 
-    arcs, shapes_df = build_topology_ds(paths, closed=True)
-
-    # per-arc thresholds, distributed over the arcs table
-    items = [{"arc_id": a, "x": arcs.xx[arcs.ii[a]:arcs.ii[a] + arcs.nn[a]],
-              "y": arcs.yy[arcs.ii[a]:arcs.ii[a] + arcs.nn[a]]}
-             for a in range(len(arcs.nn))]
+    # Dataset-native topology: arc coords and feature refs never touch
+    # the driver (build_topology_ds_tables; the driver sees a P-row
+    # bucket-count table and the O(junctions) key set only)
+    arcs_ds, ref_rows = build_topology_ds_tables(paths, closed=True)
     if spherical:
         from ..geom.simplify import spherical_thresholds
 
@@ -318,10 +316,11 @@ def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
 
     def thresh(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["z"] = [fn(np.asarray(x), np.asarray(y))
+        df["z"] = [fn(np.asarray(x, dtype=np.float64),
+                      np.asarray(y, dtype=np.float64))
                    for x, y in zip(df["x"], df["y"])]
         return df
-    with_z = rd.from_items(items).map_batches(
+    with_z = arcs_ds.map_batches(
         thresh, batch_format="pandas").materialize()
 
     flat_z = with_z.map_batches(
@@ -331,24 +330,6 @@ def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
              if len(df) else np.empty(0)}),
         batch_format="pandas")
     zlimit = threshold_by_pct_ds(flat_z, "z", pct)
-
-    refs = rd.from_pandas(pd.DataFrame({
-        "feature_id": shapes_df["feature_id"],
-        "part_id": shapes_df["part_seq"],
-        "signed": shapes_df["signed_id"]}))
-
-    def explode_refs(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for fid, pid, seq in zip(df["feature_id"], df["part_id"],
-                                 df["signed"]):
-            for k, sid in enumerate(seq):
-                sid = int(sid)
-                rows.append({"feature_id": int(fid), "part_id": int(pid),
-                             "seq": k,
-                             "arc_id": ~sid if sid < 0 else sid,
-                             "rev": sid < 0})
-        return pd.DataFrame(rows)
-    ref_rows = refs.map_batches(explode_refs, batch_format="pandas")
 
     if keep_shapes:
         # distributed protect pass: full z/coords per arc ship to the

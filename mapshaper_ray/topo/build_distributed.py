@@ -161,3 +161,121 @@ def build_topology_ds(features_ds, closed=True):
     shapes = runs.groupby(["feature_id", "part_seq"], sort=True)[
         "signed_id"].apply(list).reset_index()
     return arcs, shapes
+
+
+def build_topology_ds_tables(features_ds, closed=True, n_parts=64):
+    """Fully Dataset-native topology build: returns (arcs_ds, refs_ds)
+
+      arcs_ds  rows {arc_id, x, y}                — canonical direction
+      refs_ds  rows {feature_id, part_id, seq, arc_id, rev}
+
+    Unlike ``build_topology_ds`` NO coordinate data reaches the driver:
+    twin-arc dedupe and deterministic id assignment happen inside each
+    arc-key bucket partition; the driver sees only the P-row per-bucket
+    count table (ids are bucket-major / key-minor — deterministic for a
+    given ``n_parts``, partition-layout independent).  Feature refs
+    join their arc ids through a second, coordinate-free bucket
+    exchange."""
+    import ray
+
+    junctions = find_junctions_ds(features_ds, closed)
+    jref = ray.put(junctions)
+
+    cols = ["feature_id", "part_seq", "run_seq", "arc_key", "reversed",
+            "coords_x", "coords_y"]
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        junc = ray.get(jref)
+        rows = []
+        for fid, xs, ys, pid in zip(
+                df["feature_id"], df["x"], df["y"],
+                df["part_id"] if "part_id" in df.columns
+                else np.zeros(len(df), np.int64)):
+            pts = [tuple(p) for p in zip(xs, ys)]
+            is_ring = closed and len(pts) > 1 and pts[0] == pts[-1]
+            runs = _cut_path(pts, is_ring, junc)
+            for k, run in enumerate(runs):
+                fwd = tuple(run)
+                rev = tuple(reversed(run))
+                canon = min(fwd, rev)
+                rows.append({
+                    "feature_id": int(fid), "part_seq": int(pid),
+                    "run_seq": k, "arc_key": repr(canon),
+                    "reversed": fwd != canon,
+                    "coords_x": [p[0] for p in run],
+                    "coords_y": [p[1] for p in run]})
+        out = pd.DataFrame(rows, columns=cols)
+        out["__part"] = (pd.util.hash_array(
+            out["arc_key"].to_numpy(object)).astype(np.uint64)
+            % np.uint64(n_parts)).astype(np.int64)
+        return out
+
+    runs = features_ds.map_batches(cut, batch_format="pandas") \
+        .materialize()
+
+    def part_arcs(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.drop_duplicates("arc_key").sort_values("arc_key") \
+              .reset_index(drop=True)
+        xs, ys = [], []
+        for x, y, rev in zip(u["coords_x"], u["coords_y"],
+                             u["reversed"]):
+            x = list(map(float, x))
+            y = list(map(float, y))
+            if rev:                         # store canonical direction
+                x, y = x[::-1], y[::-1]
+            xs.append(x)
+            ys.append(y)
+        return pd.DataFrame({"__part": u["__part"].to_numpy(),
+                             "local_rank": np.arange(len(u),
+                                                     dtype=np.int64),
+                             "arc_key": u["arc_key"].to_numpy(),
+                             "x": xs, "y": ys})
+
+    arcs_local = runs.groupby("__part").map_groups(
+        part_arcs, batch_format="pandas").materialize()
+
+    counts = arcs_local.map_batches(
+        lambda df: df.groupby("__part").size().reset_index(name="n"),
+        batch_format="pandas").to_pandas()
+    counts = counts.groupby("__part")["n"].sum().sort_index()
+    offsets = counts.cumsum().shift(fill_value=0).to_dict()
+    off_ref = ray.put(offsets)
+
+    def assign_ids(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        df = df.copy()
+        df["arc_id"] = (df["__part"].map(off).to_numpy(np.int64) +
+                        df["local_rank"].to_numpy(np.int64))
+        return df
+
+    ided = arcs_local.map_batches(assign_ids, batch_format="pandas") \
+        .materialize()
+    arcs_ds = ided.map_batches(lambda df: df[["arc_id", "x", "y"]],
+                               batch_format="pandas")
+
+    # refs join their arc ids through a coordinate-free bucket
+    # exchange: id rows + use rows union'd, merged per partition
+    id_rows = ided.map_batches(
+        lambda df: df[["__part", "arc_key", "arc_id"]].assign(
+            feature_id=-1, part_id=-1, seq=-1, rev=False),
+        batch_format="pandas")
+    use_rows = runs.map_batches(
+        lambda df: pd.DataFrame(
+            {"__part": df["__part"].to_numpy(),
+             "arc_key": df["arc_key"].to_numpy(),
+             "arc_id": -1,
+             "feature_id": df["feature_id"].to_numpy(),
+             "part_id": df["part_seq"].to_numpy(),
+             "seq": df["run_seq"].to_numpy(),
+             "rev": df["reversed"].to_numpy()}),
+        batch_format="pandas")
+
+    def part_join(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[df["feature_id"] < 0][["arc_key", "arc_id"]]
+        uses = df[df["feature_id"] >= 0]
+        m = uses.merge(ids, on="arc_key", suffixes=("_u", ""))
+        return m[["feature_id", "part_id", "seq", "arc_id", "rev"]]
+
+    refs_ds = id_rows.union(use_rows).groupby("__part").map_groups(
+        part_join, batch_format="pandas")
+    return arcs_ds, refs_ds
