@@ -327,6 +327,42 @@ def _q51_token_df(sf_dir: str):
     return token_df_topk(ds, k=100)
 
 
+def _q52_sessions(sf_dir: str):
+    """Event sessionization (4h inactivity gap): one bucketed shuffle
+    by user-id hash, vectorized per-partition lexsort + gap cumsum."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import sessionize
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    out = sessionize(ds, gap_s=4 * 3600).to_pandas()
+    return out.sort_values(["user_id", "session_seq"]) \
+        .reset_index(drop=True)
+
+
+def _q53_asof_join(sf_dir: str):
+    """As-of join: each purchase matched to the user's most recent
+    click at-or-before it (inner).  Ray Data lacks a native as-of
+    join; this is the bucket-shuffle + per-group searchsorted
+    composition, validated against DuckDB's native ASOF JOIN."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import asof_join
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def side(kind):
+        def _f(df):
+            return df[df["event_type"] == kind] \
+                .drop(columns=["event_type"])
+        return _f
+    left = ev.map_batches(side("purchase"), batch_format="pandas")
+    right = ev.map_batches(side("click"), batch_format="pandas")
+    out = asof_join(left, right, on="ts", by="user_id",
+                    right_cols=("event_id",), suffix="_click")
+    return out.to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -867,6 +903,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q49_dedup_near": _q49_dedup_near,
         "q50_dup_window_stats": _q50_dup_window_stats,
         "q51_token_df": _q51_token_df,
+        "q52_sessions": _q52_sessions,
+        "q53_asof_join": _q53_asof_join,
     }
 
 
@@ -1595,6 +1633,37 @@ def oracle_sql() -> dict[str, str]:
                     FROM ex GROUP BY token)
             SELECT token, df FROM cnt
             ORDER BY df DESC, token LIMIT 100""",
+        "q52_sessions": r"""
+            -- 4h-gap sessionization via window functions
+            WITH flag AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 4 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sess AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flag)
+            SELECT user_id, CAST(sid AS BIGINT) AS session_seq,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS t_start, max(ts) AS t_end
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, session_seq""",
+        "q53_asof_join": r"""
+            -- native ASOF JOIN: latest click at-or-before each
+            -- purchase, same user (inner)
+            WITH p AS (SELECT event_id, ts, user_id FROM events
+                       WHERE event_type = 'purchase'),
+            c AS (SELECT event_id, ts, user_id FROM events
+                  WHERE event_type = 'click')
+            SELECT p.event_id, p.ts, p.user_id,
+                   c.event_id AS event_id_click
+            FROM p ASOF JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY p.event_id""",
         "q45_stere": f"""
             -- PJ_stere.c polar branch closed-form: akm1 = cos(lat_ts)
             -- / tsfn(lat_ts) / sqrt(1 - es sin^2(lat_ts)); x = R akm1

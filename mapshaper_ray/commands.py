@@ -333,7 +333,7 @@ def _snap_layer(ds, interval=None):
     df = ds.to_pandas().sort_values("feature_id").reset_index(drop=True)
     xs, ys, spans = [], [], []
     pos = 0
-    for _, row in df.iterrows():
+    for row in df.to_dict("records"):
         for x, y in zip(nz(row[cols[0]]), nz(row[cols[1]])):
             x = np.asarray(x, float)
             y = np.asarray(y, float)
@@ -1184,7 +1184,7 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                                     np.asarray(y, float)], axis=1)
                           for x, y in zip(nz(row["rings_x"]),
                                           nz(row["rings_y"]))] or None
-                         for _, row in cdf.iterrows()]
+                         for row in cdf.to_dict("records")]
                 idx = PathIndex.from_features(feats)
                 fn = api.clip_points if name == "clip" \
                     else api.erase_points
@@ -1402,7 +1402,7 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
             if name == "polygons":
                 parts = [np.stack([np.asarray(x, float),
                                    np.asarray(y, float)], axis=1)
-                         for _, row in df.iterrows()
+                         for row in df.to_dict("records")
                          for x, y in zip(nz(row.get("part_x")),
                                          nz(row.get("part_y")))]
                 tiles = mz.polygons_from_lines(
@@ -1417,7 +1417,7 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                                 np.asarray(y, float)], axis=1)
                       for x, y in zip(nz(row["rings_x"]),
                                       nz(row["rings_y"]))]
-                     for _, row in df.iterrows()]
+                     for row in df.to_dict("records")]
             if name == "mosaic":
                 tiles = mz.polygon_mosaic(feats)
                 rows = [{"feature_id": i,

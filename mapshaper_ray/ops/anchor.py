@@ -279,7 +279,7 @@ def anchor_points(ds, x_col="ax", y_col="ay"):
     def go(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         axs, ays = [], []
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):
             rx = row["rings_x"] if row["rings_x"] is not None else []
             ry = row["rings_y"] if row["rings_y"] is not None else []
             rings = [(np.asarray(x, float), np.asarray(y, float))
@@ -311,7 +311,7 @@ def stitch_antimeridian(ds, tol=1e-6):
 
     def go(df: pd.DataFrame) -> pd.DataFrame:
         out_rows = []
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):
             rx = row["rings_x"] if row["rings_x"] is not None else []
             ry = row["rings_y"] if row["rings_y"] is not None else []
             east = [i for i, x in enumerate(rx)
@@ -373,7 +373,7 @@ def stitch_spherical(ds, e=1e-10):
 
     def go(df: pd.DataFrame) -> pd.DataFrame:
         out_rows = []
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):
             rx = row["rings_x"] if row["rings_x"] is not None else []
             ry = row["rings_y"] if row["rings_y"] is not None else []
             snapped = [snap_edge_vertices(x, y, e)
@@ -415,7 +415,7 @@ def fix_ring_nesting(ds, drop_same_winding=True):
     def fix_rows(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         nx, ny, npl = [], [], []
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):
             rx = [np.asarray(v, float) for v in (row["rings_x"]
                   if row["rings_x"] is not None else [])]
             ry = [np.asarray(v, float) for v in (row["rings_y"]

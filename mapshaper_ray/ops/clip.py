@@ -47,7 +47,7 @@ def _point_filter(ds, index: PathIndex, keep_inside: bool,
         idx = PathIndex.unpack(fn_index)
         keep_rows = []
         new_px, new_py = [], []
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):
             xs = np.asarray(row[lon_col] if row[lon_col] is not None else [],
                             dtype=np.float64)
             ys = np.asarray(row[lat_col] if row[lat_col] is not None else [],
@@ -188,7 +188,7 @@ def clip_bbox(ds, bbox):
         if gt == "polygon":
             nx, ny, np_ = [], [], []
             keep = []
-            for _, row in df.iterrows():
+            for row in df.to_dict("records"):
                 rx = [np.asarray(v, dtype=np.float64)
                       for v in (row["rings_x"] if row["rings_x"] is not None else [])]
                 ry = [np.asarray(v, dtype=np.float64)
@@ -210,7 +210,7 @@ def clip_bbox(ds, bbox):
         if gt == "polyline":
             nx, ny = [], []
             keep = []
-            for _, row in df.iterrows():
+            for row in df.to_dict("records"):
                 ox, oy = [], []
                 for x, y in zip(_nz(row["part_x"]), _nz(row["part_y"])):
                     for px, py in _clip_segments(np.asarray(x, float),
@@ -224,7 +224,7 @@ def clip_bbox(ds, bbox):
             return df[np.asarray(keep, dtype=bool)]
         xmin, ymin, xmax, ymax = bbox
         nx, ny, keep = [], [], []
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):
             xs = np.asarray(_nz(row["px"]), dtype=np.float64)
             ys = np.asarray(_nz(row["py"]), dtype=np.float64)
             m = (xs >= xmin) & (xs <= xmax) & (ys >= ymin) & (ys <= ymax)
@@ -318,7 +318,7 @@ def clip_polylines(target_ds, clip_ds, how="clip"):
     if how in ("clip", "erase"):
         cdf = clip_ds.to_pandas()
         clip_feats = []
-        for _, row in cdf.iterrows():
+        for row in cdf.to_dict("records"):
             rings = [np.stack([np.asarray(rx, float),
                                np.asarray(ry, float)], axis=1)
                      for rx, ry in zip(_nz(row.get("rings_x")),
@@ -334,7 +334,7 @@ def clip_polylines(target_ds, clip_ds, how="clip"):
                                 np.asarray(y, float)], axis=1)
                       for x, y in zip(_nz(row["part_x"]),
                                       _nz(row["part_y"]))]
-                     for _, row in df.iterrows()]
+                     for row in df.to_dict("records")]
             out = clip_polyline_features(feats, ray.get(cref), how)
             rows = []
             for i, parts in enumerate(out):
@@ -351,7 +351,7 @@ def clip_polylines(target_ds, clip_ds, how="clip"):
 
     cdf = clip_ds.to_pandas()
     clip_rings = []
-    for _, row in cdf.iterrows():
+    for row in cdf.to_dict("records"):
         for rx, ry in zip(_nz(row.get("rings_x")), _nz(row.get("rings_y"))):
             clip_rings.append((np.asarray(rx, float), np.asarray(ry, float)))
     ref = ray.put(clip_rings)
@@ -359,7 +359,7 @@ def clip_polylines(target_ds, clip_ds, how="clip"):
     def go(df: pd.DataFrame) -> pd.DataFrame:
         rings = ray.get(ref)
         out_rows = []
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):
             nx, ny, nf = [], [], []
             for x, y in zip(_nz(row["part_x"]), _nz(row["part_y"])):
                 for run in _clip_part_runs(np.asarray(x, float),

@@ -36,7 +36,7 @@ def explode(ds, naive: bool = False):
     def ex(df: pd.DataFrame) -> pd.DataFrame:
         gt = geom_type_of(list(df.columns))
         rows = []
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):
             base = {c: row[c] for c in df.columns
                     if c not in ("rings_x", "rings_y", "ring_poly",
                                  "part_x", "part_y", "px", "py")}
@@ -135,7 +135,7 @@ def _map_coords(ds, fx, fy):
         else:
             cols = ("px", "py")
         new_x, new_y = [], []
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):
             xs = row[cols[0]] if row[cols[0]] is not None else []
             ys = row[cols[1]] if row[cols[1]] is not None else []
             if gt == "point":
@@ -167,7 +167,7 @@ def add_polygon_metrics(ds, area_col="area", perimeter_col=None):
     def go(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         areas, perims = [], []
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):
             rx, ry = _rings(row)
             a = 0.0
             p = 0.0
@@ -193,7 +193,7 @@ def centroids(ds, x_col="cx", y_col="cy"):
     def go(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         cxs, cys = [], []
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):
             rx, ry = _rings(row)
             best, best_a = None, 0.0
             for x, y in zip(rx, ry):
@@ -239,7 +239,7 @@ def _topology_rotated_many(dss):
            for ds in dss]
     feats = []
     for df in dfs:
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):
             rx, ry = _rings(row)
             feats.append([np.stack([x, y], axis=1)
                           for x, y in zip(rx, ry)] or None)
@@ -248,7 +248,7 @@ def _topology_rotated_many(dss):
     fi = 0
     for df in dfs:
         rows = []
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):
             out = {c: row[c] for c in df.columns
                    if c not in ("rings_x", "rings_y")}
             nx, ny = [], []
@@ -347,7 +347,7 @@ def filter_islands(ds, min_area: float):
     def go(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         nx, ny, npl = [], [], []
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):
             rx, ry = _rings(row)
             rp = np.asarray(row["ring_poly"] if row["ring_poly"]
                             is not None else [], dtype=np.int64)
@@ -384,7 +384,7 @@ def sliver_area_threshold(ds) -> float:
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         tot = 0.0
         cnt = 0
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):
             rx, ry = _rings(row)
             for x, y in zip(rx, ry):
                 dx = np.abs(np.diff(x))
@@ -418,7 +418,7 @@ def filter_slivers(ds, min_area: float | None = None):
     def go(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         nx, ny, npl = [], [], []
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):
             rx, ry = _rings(row)
             rp = list(row["ring_poly"] if row["ring_poly"] is not None
                       else [])
@@ -444,7 +444,7 @@ def layer_info(ds) -> dict:
         nnull = 0
         xmin = ymin = np.inf
         xmax = ymax = -np.inf
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):
             if gt == "polygon":
                 rx, ry = _rings(row)
             elif gt == "polyline":
@@ -491,7 +491,7 @@ def clean_shapes(ds):
             return df
         df = df.copy()
         nx, ny, npl = [], [], []
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):
             rp = list(row["ring_poly"]) if gt == "polygon" and \
                 row["ring_poly"] is not None else []
             ox, oy, op = [], [], []

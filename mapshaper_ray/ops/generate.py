@@ -131,7 +131,7 @@ def points_from_columns(ds, x_col: str, y_col: str):
 def _feature_paths(row):
     """Ring or part coordinate arrays of one layer-model row."""
     from ..sources.layers import nz
-    if "part_x" in row.index:
+    if "part_x" in row:
         xs, ys = row["part_x"], row["part_y"]
     else:
         xs, ys = row["rings_x"], row["rings_y"]
@@ -154,7 +154,7 @@ def points_vertices(ds):
     exact coordinates (src/commands/mapshaper-points.js:96-122)."""
     def go(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):
             xs, ys = _feature_paths(row)
             if not xs:
                 continue
@@ -176,7 +176,7 @@ def points_endpoints(ds):
     (src/commands/mapshaper-points.js:124-149)."""
     def go(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):
             xs, ys = _feature_paths(row)
             if not xs:
                 continue
@@ -243,7 +243,7 @@ def points_interpolated(ds, interval: float):
 
     def go(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):
             xs, ys = _feature_paths(row)
             if not xs:
                 continue

@@ -32,7 +32,7 @@ import pandas as pd
 def _feature_edges(df: pd.DataFrame, key="feature_id",
                    x_col="x", y_col="y") -> pd.DataFrame:
     ks, fids, lens = [], [], []
-    for _, row in df.iterrows():
+    for row in df.to_dict("records"):
         x = np.asarray(row[x_col], dtype=np.float64)
         y = np.asarray(row[y_col], dtype=np.float64)
         for i in range(len(x) - 1):
@@ -94,7 +94,7 @@ def data_fill(values: dict, edges: pd.DataFrame, postprocess=False):
     ``neighbor_edges``.  Returns filled dict (reference iteration
     semantics: longest-border neighbor wins; repeat until stable)."""
     nbrs: dict = {}
-    for _, r in edges.iterrows():
+    for r in edges.to_dict("records"):
         nbrs.setdefault(r["fid_a"], []).append((r["fid_b"],
                                                 r["border_len"]))
         nbrs.setdefault(r["fid_b"], []).append((r["fid_a"],
@@ -155,7 +155,7 @@ def cluster_polygons(centroids: pd.DataFrame, edges: pd.DataFrame,
                                 r["__xmax"], r["__ymax"]]
                                if has_bb else None),
                         "group": r.get("group") if group_by else None}
-             for _, r in centroids.iterrows()}
+             for r in centroids.to_dict("records")}
     merges_left = int(round(len(items) * pct))
 
     def score(a, b):
@@ -185,7 +185,7 @@ def cluster_polygons(centroids: pd.DataFrame, edges: pd.DataFrame,
         return f
 
     adj: dict = {}
-    for _, r in edges.iterrows():
+    for r in edges.to_dict("records"):
         a, b = r["fid_a"], r["fid_b"]
         if a not in items or b not in items:
             continue

@@ -668,3 +668,141 @@ def calc_exprs(ds, spec: str) -> pd.DataFrame:
             key = {"mean": "mean", "average": "mean"}.get(fn, fn)
             out[name] = row[f"{key}({col})"]
     return pd.DataFrame([out])
+
+
+_SESS_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
+               gap_s: float = 4 * 3600, n_parts: int = 64):
+    """Event sessionization: consecutive events of a user belong to one
+    session while the gap between them is <= ``gap_s`` seconds; a
+    larger gap starts a new session.  Returns one row per session:
+    (user_col, session_seq, n_events, t_start, t_end) with session_seq
+    numbering a user's sessions 1..k in time order.
+
+    ONE shuffle: events bucket by user-id hash (every event of a user
+    lands in one partition), then a vectorized per-partition lexsort +
+    gap cumsum — no per-user map_groups tasks."""
+    gap_us = np.int64(round(gap_s * 1e6))
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[user_col].to_numpy()
+        return pd.DataFrame({
+            user_col: u,
+            "__ts": df[ts_col].astype("datetime64[us]")
+            .astype("int64").to_numpy(),
+            "__part": (u.astype(np.uint64) * _SESS_GOLD %
+                       np.uint64(n_parts)).astype(np.int64)})
+
+    def part_sessions(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[user_col].to_numpy()
+        ts = df["__ts"].to_numpy()
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        new_user = np.empty(len(u), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gap = np.empty(len(u), dtype=bool)
+        gap[0] = True
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_us
+        new_s = new_user | gap
+        sid = np.cumsum(new_s)                 # global across users
+        out = pd.DataFrame({user_col: u, "__sid": sid, "__ts": ts})
+        g = out.groupby([user_col, "__sid"], as_index=False).agg(
+            n_events=("__ts", "size"), t_start=("__ts", "min"),
+            t_end=("__ts", "max"))
+        g = g.sort_values([user_col, "t_start"], kind="mergesort")
+        g["session_seq"] = g.groupby(user_col).cumcount() + 1
+        g["t_start"] = g["t_start"].astype("datetime64[us]")
+        g["t_end"] = g["t_end"].astype("datetime64[us]")
+        return g[[user_col, "session_seq", "n_events",
+                  "t_start", "t_end"]]
+
+    return ds.map_batches(emit, batch_format="pandas") \
+        .groupby("__part").map_groups(part_sessions,
+                                      batch_format="pandas")
+
+
+def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
+              right_cols: tuple = ("event_id",), suffix: str = "_r",
+              n_parts: int = 64):
+    """As-of join (backward): each left row matches the LATEST right
+    row with ``right.on <= left.on`` in the same ``by`` group; rows
+    with no prior right row are dropped (inner semantics, DuckDB
+    ``ASOF JOIN``).  Ray Data has no native as-of join — this is the
+    composition the mission doc calls for: both sides shuffle ONCE
+    bucketed by the ``by`` key, then a vectorized per-partition
+    group-boundary searchsorted (no per-key tasks).
+
+    Returns left columns + ``right_cols`` renamed with ``suffix``."""
+    def tag(side: int):
+        def _t(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__side"] = side
+            df["__part"] = (df[by].to_numpy().astype(np.uint64) *
+                            _SESS_GOLD % np.uint64(n_parts)) \
+                .astype(np.int64)
+            df["__on"] = df[on].astype("datetime64[us]") \
+                .astype("int64")
+            return df
+        return _t
+
+    import pyarrow as _pa
+    lschema = left_ds.schema()
+    lcols = lschema.names
+    keep_r = list(right_cols)
+    rschema = right_ds.schema()
+    # Dataset.union null-pads disjoint columns, floating int columns —
+    # restore integer dtypes on the matched output
+    int_l = {n for n, t in zip(lschema.names, lschema.types)
+             if _pa.types.is_integer(t)}
+    int_r = {c for c in keep_r if _pa.types.is_integer(
+        rschema.types[rschema.names.index(c)])}
+
+    def narrow_right(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[by, on, *keep_r]]
+
+    both = left_ds.map_batches(tag(0), batch_format="pandas").union(
+        right_ds.map_batches(narrow_right, batch_format="pandas")
+        .map_batches(tag(1), batch_format="pandas"))
+
+    def part_asof(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["__side"] == 0]
+        right = df[df["__side"] == 1]
+        if len(left) == 0:
+            return pd.DataFrame(columns=[*lcols, *[c + suffix
+                                                   for c in keep_r]])
+        # sort right by (by, on); per-by-group slices via run bounds
+        rb = right[by].to_numpy()
+        rt = right["__on"].to_numpy()
+        order = np.lexsort((rt, rb))
+        rb, rt = rb[order], rt[order]
+        rvals = {c: right[c].to_numpy()[order] for c in keep_r}
+        starts_of = {}
+        if len(rb):
+            bnd = np.nonzero(np.diff(rb))[0] + 1
+            starts = np.concatenate([[0], bnd])
+            ends = np.concatenate([bnd, [len(rb)]])
+            starts_of = {rb[s]: (s, e) for s, e in zip(starts, ends)}
+        lb = left[by].to_numpy()
+        lt = left["__on"].to_numpy()
+        idx = np.full(len(lb), -1, dtype=np.int64)
+        for g, (s, e) in starts_of.items():
+            m = lb == g
+            if not m.any():
+                continue
+            pos = s + np.searchsorted(rt[s:e], lt[m], side="right") - 1
+            idx[np.nonzero(m)[0]] = np.where(pos >= s, pos, -1)
+        ok = idx >= 0
+        out = left.loc[ok, lcols].reset_index(drop=True)
+        for c in keep_r:
+            out[c + suffix] = rvals[c][idx[ok]]
+        for c in int_l:
+            out[c] = out[c].astype("int64")
+        for c in int_r:
+            out[c + suffix] = out[c + suffix].astype("int64")
+        return out
+
+    return both.groupby("__part").map_groups(part_asof,
+                                             batch_format="pandas")

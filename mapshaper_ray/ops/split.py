@@ -33,7 +33,7 @@ def feature_bbox(df: pd.DataFrame) -> pd.DataFrame:
     from ..sources.layers import geom_type_of
     gt = geom_type_of(list(df.columns))
     out = {k: [] for k in ("__xmin", "__ymin", "__xmax", "__ymax")}
-    for _, row in df.iterrows():
+    for row in df.to_dict("records"):
         if gt == "polygon":
             xs = [np.asarray(v, float) for v in _nz(row["rings_x"])]
             ys = [np.asarray(v, float) for v in _nz(row["rings_y"])]
@@ -63,7 +63,7 @@ def feature_bbox_center(df: pd.DataFrame) -> pd.DataFrame:
     from ..sources.layers import geom_type_of
     gt = geom_type_of(list(df.columns))
     cxs, cys = [], []
-    for _, row in df.iterrows():
+    for row in df.to_dict("records"):
         if gt == "polygon":
             xs = [np.asarray(v, float) for v in _nz(row["rings_x"])]
             ys = [np.asarray(v, float) for v in _nz(row["rings_y"])]

@@ -524,7 +524,7 @@ def innerlines_layer(ds, inner_only=True, distributed="auto"):
 
     df = ds.to_pandas().sort_values("feature_id").reset_index(drop=True)
     feats = []
-    for _, row in df.iterrows():
+    for row in df.to_dict("records"):
         feats.append([np.stack([np.asarray(x, float), np.asarray(y, float)],
                                axis=1)
                       for x, y in zip(nz(row["rings_x"]),
@@ -626,7 +626,7 @@ def filter_islands_layer(ds, min_area=None, min_vertices=None):
 
     df = ds.to_pandas().sort_values("feature_id").reset_index(drop=True)
     feats = []
-    for _, row in df.iterrows():
+    for row in df.to_dict("records"):
         feats.append([np.stack([np.asarray(x, float), np.asarray(y, float)],
                                axis=1)
                       for x, y in zip(nz(row["rings_x"]),
@@ -666,7 +666,7 @@ def filter_islands_layer(ds, min_area=None, min_vertices=None):
         return True
 
     rows = []
-    for fi, (_, row) in enumerate(df.iterrows()):
+    for fi, row in enumerate(df.to_dict("records")):
         rx = [np.asarray(v, float) for v in nz(row["rings_x"])]
         ry = [np.asarray(v, float) for v in nz(row["rings_y"])]
         rp = list(row["ring_poly"]) if row["ring_poly"] is not None \

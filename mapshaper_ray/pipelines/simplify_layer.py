@@ -30,7 +30,7 @@ def _layer_features(df: pd.DataFrame, xcol="rings_x", ycol="rings_y"):
     """Layer-model rows → list of path-array lists (+ ring_poly
     passthrough for reassembly)."""
     feats = []
-    for _, row in df.iterrows():
+    for row in df.to_dict("records"):
         rx = row[xcol] if row[xcol] is not None else []
         ry = row[ycol] if row[ycol] is not None else []
         feats.append([np.stack([np.asarray(x, float), np.asarray(y, float)],
@@ -138,7 +138,7 @@ def simplify_layer(ds, pct: float | None = None,
     zdf = rd.from_items(items).map_batches(thresh, batch_format="pandas") \
             .to_pandas().sort_values("arc_id")
     zz = {int(r["arc_id"]): np.asarray(r["z"], dtype=np.float64)
-          for _, r in zdf.iterrows()}
+          for r in zdf.to_dict("records")}
 
     # simplification amount → retained interval
     if interval is not None:
@@ -369,7 +369,7 @@ def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
             for pid, part in df.groupby("part_id"):
                 part = part.sort_values("seq")
                 xs, ys, zs, meta = [], [], [], []
-                for _, r in part.iterrows():
+                for r in part.to_dict("records"):
                     x = np.asarray(r["fx"], dtype=np.float64)
                     y = np.asarray(r["fy"], dtype=np.float64)
                     z = np.asarray(r["fz"], dtype=np.float64)
@@ -461,7 +461,7 @@ def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
         for pid, part in df.groupby("part_id"):
             part = part.sort_values("seq")
             xs, ys = [], []
-            for k, (_, r) in enumerate(part.iterrows()):
+            for k, r in enumerate(part.to_dict("records")):
                 x = np.asarray(r["fx"], dtype=np.float64)
                 y = np.asarray(r["fy"], dtype=np.float64)
                 if r["rev"]:

@@ -521,7 +521,7 @@ def _dataset_bbox(ds):
     if cols is None:
         return None
     xs, ys = [], []
-    for _, row in df.iterrows():
+    for row in df.to_dict("records"):
         for x in _nz(row.get(cols[0])):
             xs.append(np.asarray(x if np.ndim(x) else [x], float))
         for y in _nz(row.get(cols[1])):

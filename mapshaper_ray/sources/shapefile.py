@@ -347,7 +347,7 @@ def _feature_parts(row, gt):
         # clockwise, reader-signed-area <= 0), later rings of the group
         # are holes (counter-clockwise) — GeoJSON-sourced RFC-7946
         # winding would otherwise round-trip as misnested polygons
-        rp = list(_nz(row["ring_poly"])) if "ring_poly" in row.index \
+        rp = list(_nz(row["ring_poly"])) if "ring_poly" in row \
             else []
         out = []
         seen_poly = set()
@@ -399,7 +399,7 @@ def write_shapefile(ds, path: str, rotate=True,
 
     contents = []
     allx, ally = [], []
-    for _, row in df.iterrows():
+    for row in df.to_dict("records"):
         parts = _feature_parts(row, gt)
         if not parts:
             contents.append(struct.pack("<i", 0))

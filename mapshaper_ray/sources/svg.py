@@ -238,7 +238,7 @@ def write_svg(ds, path: str, width=None, height=None, margin=None,
     xs, ys = [], []
     gcols = (("rings_x", "rings_y") if gt == "polygon" else
              ("part_x", "part_y") if gt == "polyline" else ("px", "py"))
-    for _, row in df.iterrows():
+    for row in df.to_dict("records"):
         for x in _nz(row.get(gcols[0])):
             xs.append(np.asarray(x if np.ndim(x) else [x], float))
         for y in _nz(row.get(gcols[1])):
@@ -305,7 +305,7 @@ def write_svg(ds, path: str, width=None, height=None, margin=None,
                               "ring_poly", "part_x", "part_y",
                               "px", "py", "__fields")]
     children = []
-    for _, row in df.iterrows():
+    for row in df.to_dict("records"):
         rec = {_STYLE_ALIASES.get(c, c): row[c] for c in attr_cols}
         if gt == "polygon":
             polys: list[list] = []

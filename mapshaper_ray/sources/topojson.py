@@ -277,7 +277,7 @@ def _layer_tuple(ds, name):
     else:
         xcol, ycol = "px", "py"
     feats = []
-    for _, row in df.iterrows():
+    for row in df.to_dict("records"):
         if gt == "point":
             feats.append((list(nz(row[xcol])), list(nz(row[ycol]))))
             continue

@@ -37,7 +37,7 @@ def _vertex_rows(df: pd.DataFrame, closed: bool) -> pd.DataFrame:
     """Per-path vertex emission with neighbor keys (the reference's
     junction test needs each use's neighborhood)."""
     out_key, out_nbr, out_end = [], [], []
-    for _, row in df.iterrows():
+    for row in df.to_dict("records"):
         pts = [tuple(p) for p in zip(row["x"], row["y"])]
         n = len(pts)
         if n == 0:
@@ -114,7 +114,7 @@ def build_topology_ds(features_ds, closed=True):
     def cut(df: pd.DataFrame) -> pd.DataFrame:
         junc = ray.get(jref)
         rows = []
-        for _, row in df.iterrows():
+        for row in df.to_dict("records"):
             pts = [tuple(p) for p in zip(row["x"], row["y"])]
             is_ring = closed and len(pts) > 1 and pts[0] == pts[-1]
             runs = _cut_path(pts, is_ring, junc)  # rotates rings itself
@@ -144,7 +144,7 @@ def build_topology_ds(features_ds, closed=True):
                .reset_index(drop=True)
     arc_ids = {k: i for i, k in enumerate(uniq["arc_key"])}
     coords = []
-    for _, r in uniq.iterrows():
+    for r in uniq.to_dict("records"):
         x = np.asarray(r["coords_x"], dtype=np.float64)
         y = np.asarray(r["coords_y"], dtype=np.float64)
         if r["reversed"]:

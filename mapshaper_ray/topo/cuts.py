@@ -129,7 +129,7 @@ def insert_cuts(arcs: ArcTable, hits: pd.DataFrame):
     (src/paths/mapshaper-path-division.js:151-231)."""
     cut_map: dict[int, list[tuple[int, float, float, float]]] = {}
     for side in ("a", "b"):
-        for _, r in hits.iterrows():
+        for r in hits.to_dict("records"):
             cut_map.setdefault(int(r[f"arc_{side}"]), []).append(
                 (int(r[f"seg_{side}"]), r["x"], r["y"], 0.0))
 

@@ -1,0 +1,88 @@
+"""Event-table operators: sessionization and as-of join — distributed
+results checked against brute-force pandas references and for
+partition invariance."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from mapshaper_ray.ops.relational import asof_join, sessionize
+
+
+def _events(n=400, users=13, seed=5):
+    rng = np.random.default_rng(seed)
+    ts = (np.cumsum(rng.integers(1, 7200, n)) * 1_000_000) \
+        .astype("int64")
+    return pd.DataFrame({
+        "event_id": np.arange(n),
+        "ts": pd.to_datetime(ts, unit="us"),
+        "user_id": rng.integers(0, users, n),
+        "event_type": rng.choice(["click", "purchase", "view"], n)})
+
+
+def _ref_sessions(df, gap_s):
+    rows = []
+    for uid, g in df.sort_values("ts").groupby("user_id"):
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        seq, n, t0 = 0, 0, None
+        for i, v in enumerate(t):
+            if i == 0 or v - t[i - 1] > gap_s * 1e6:
+                if n:
+                    rows.append((uid, seq, n, t0, t[i - 1]))
+                seq += 1
+                n, t0 = 0, v
+            n += 1
+        rows.append((uid, seq, n, t0, t[-1]))
+    out = pd.DataFrame(rows, columns=["user_id", "session_seq",
+                                      "n_events", "t_start", "t_end"])
+    out["t_start"] = pd.to_datetime(out["t_start"], unit="us")
+    out["t_end"] = pd.to_datetime(out["t_end"], unit="us")
+    return out.sort_values(["user_id", "session_seq"]) \
+        .reset_index(drop=True)
+
+
+def test_sessionize_matches_bruteforce(ray_session):
+    df = _events()
+    for parts in (1, 5):
+        out = sessionize(rd.from_pandas(df).repartition(parts),
+                         gap_s=3600).to_pandas() \
+            .sort_values(["user_id", "session_seq"]) \
+            .reset_index(drop=True)
+        ref = _ref_sessions(df, 3600)
+        pd.testing.assert_frame_equal(
+            out.astype({"session_seq": "int64", "n_events": "int64",
+                        "t_start": "datetime64[us]",
+                        "t_end": "datetime64[us]"}),
+            ref.astype({"session_seq": "int64", "n_events": "int64",
+                        "t_start": "datetime64[us]",
+                        "t_end": "datetime64[us]"}))
+
+
+def test_asof_join_matches_merge_asof(ray_session):
+    df = _events()
+    left = df[df["event_type"] == "purchase"].drop(columns="event_type")
+    right = df[df["event_type"] == "click"].drop(columns="event_type")
+    out = asof_join(rd.from_pandas(left).repartition(3),
+                    rd.from_pandas(right).repartition(2),
+                    on="ts", by="user_id", right_cols=("event_id",),
+                    suffix="_click").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    ref = pd.merge_asof(left.sort_values("ts"), right.sort_values("ts"),
+                        on="ts", by="user_id", direction="backward",
+                        suffixes=("", "_click")) \
+        .dropna(subset=["event_id_click"]) \
+        .sort_values("event_id").reset_index(drop=True)
+    assert list(out["event_id"]) == list(ref["event_id"])
+    assert list(out["event_id_click"]) == \
+        [int(v) for v in ref["event_id_click"]]
+    assert out["event_id_click"].dtype == np.int64
+
+
+def test_asof_join_no_matches(ray_session):
+    left = pd.DataFrame({"event_id": [1], "user_id": [7],
+                         "ts": pd.to_datetime([1000], unit="us")})
+    right = pd.DataFrame({"event_id": [2], "user_id": [7],
+                          "ts": pd.to_datetime([2000], unit="us")})
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    right_cols=("event_id",)).to_pandas()
+    assert len(out) == 0
