@@ -144,6 +144,14 @@ def run_commands(command_str, catalog=None):
     return _run(command_str, catalog)
 
 
+def apply_commands(command_str, inputs=None):
+    """In-memory command pipeline: {name: content} in → {name: bytes}
+    out (reference api.applyCommands,
+    src/cli/mapshaper-commands.js:25)."""
+    from .commands import apply_commands as _apply
+    return _apply(command_str, inputs)
+
+
 def i(path: str, **kw):
     """-i: format-sniffing import dispatch (reference api.importFile,
     src/io/mapshaper-file-import.js:6,34 — extension first, content

@@ -1661,3 +1661,61 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
         else:
             raise ValueError(f"unknown or unsupported command -{name}")
     return cat
+
+
+def apply_commands(command_str, inputs: dict | None = None) -> dict:
+    """In-memory pipeline — the reference's ``api.applyCommands``
+    (src/cli/mapshaper-commands.js:25): ``inputs`` maps file names to
+    str/bytes content; every file the command string writes (``-o``)
+    is returned as ``{name: bytes}`` without touching the caller's
+    filesystem.  Relative paths in the command string resolve inside a
+    temporary directory seeded with ``inputs`` (so ``-i``, ``-join``,
+    ``-include``, ``-proj match=`` etc. all see them)."""
+    import os
+    import tempfile
+
+    inputs = inputs or {}
+    with tempfile.TemporaryDirectory() as td:
+        for name, content in inputs.items():
+            p = os.path.join(td, name)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            if isinstance(content, (bytes, bytearray)):
+                with open(p, "wb") as f:
+                    f.write(content)
+            else:
+                with open(p, "w", encoding="utf8") as f:
+                    f.write(content)
+        # resolve paths against the temp dir WITHOUT chdir (Ray workers
+        # spawn with the driver's cwd — a chdir breaks module imports
+        # in lazily-started workers): an arg is an input file iff it
+        # matches an ``inputs`` key; every relative -o target lands in
+        # the temp dir
+        cmds = command_str if isinstance(command_str, list) \
+            else parse_commands(command_str)
+        for cmd in cmds:
+            if cmd["name"] == "o":
+                cmd["args"] = [a if os.path.isabs(a)
+                               else os.path.join(td, a)
+                               for a in cmd["args"]]
+                if isinstance(cmd["options"].get("file"), str) and \
+                        not os.path.isabs(cmd["options"]["file"]):
+                    cmd["options"]["file"] = os.path.join(
+                        td, cmd["options"]["file"])
+            else:
+                cmd["args"] = [os.path.join(td, a) if a in inputs
+                               else a for a in cmd["args"]]
+                for k in ("match", "source", "file"):
+                    v = cmd["options"].get(k)
+                    if isinstance(v, str) and v in inputs:
+                        cmd["options"][k] = os.path.join(td, v)
+        run_commands(cmds)
+        out = {}
+        for root, _, files in os.walk(td):
+            for fn in files:
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, td)
+                if rel in inputs:
+                    continue
+                with open(full, "rb") as f:
+                    out[rel] = f.read()
+        return out

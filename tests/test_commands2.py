@@ -247,3 +247,34 @@ def test_no_replace_plus_shorthand(ray_session):
     cat = run_commands(f"-i {shp} -innerlines + name=innerlines")
     assert set(cat.layers) == {"two_states", "innerlines"}
     assert cat.target == "innerlines"
+
+
+def test_apply_commands_in_memory(ray_session):
+    """Reference api.applyCommands parity: in-memory inputs/outputs,
+    no caller-filesystem writes (src/cli/mapshaper-commands.js:25)."""
+    import json
+
+    from mapshaper_ray.commands import apply_commands
+    gj = json.dumps({"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"g": "a", "v": 1},
+         "geometry": {"type": "Polygon",
+                      "coordinates": [[[0, 0], [0, 1], [1, 1],
+                                       [1, 0], [0, 0]]]}},
+        {"type": "Feature", "properties": {"g": "a", "v": 2},
+         "geometry": {"type": "Polygon",
+                      "coordinates": [[[1, 0], [1, 1], [2, 1],
+                                       [2, 0], [1, 0]]]}}]})
+    out = apply_commands("-i a.json -dissolve g sum-fields=v "
+                         "-o out.json", {"a.json": gj})
+    assert set(out) == {"out.json"}
+    fc = json.loads(out["out.json"])
+    assert len(fc["features"]) == 1
+    assert fc["features"][0]["properties"] == {"g": "a", "v": 3}
+    # csv in, csv out; multiple outputs collected
+    out2 = apply_commands(
+        "-i t.csv -dissolve g sum-fields=v -o d.csv "
+        "-o copy.csv", {"t.csv": "g,v\na,1\na,2\nb,5\n"})
+    assert set(out2) == {"d.csv", "copy.csv"}
+    assert out2["d.csv"].decode().splitlines()[0] == "g,v"
+    assert sorted(out2["d.csv"].decode().splitlines()[1:]) == \
+        ["a,3", "b,5"]
