@@ -30,33 +30,64 @@ import numpy as np
 import pandas as pd
 
 from .arcs import ArcTable
-from .build import _cut_path, _neighbor_key, _rotate_ring
+from .build import _cut_path
+
+
+def _nz0(a: np.ndarray) -> np.ndarray:
+    """Normalize -0.0 → 0.0 so float keys match tuple equality."""
+    return np.where(a == 0.0, 0.0, a)
 
 
 def _vertex_rows(df: pd.DataFrame, closed: bool) -> pd.DataFrame:
-    """Per-path vertex emission with neighbor keys (the reference's
-    junction test needs each use's neighborhood)."""
-    out_key, out_nbr, out_end = [], [], []
-    for row in df.to_dict("records"):
-        pts = [tuple(p) for p in zip(row["x"], row["y"])]
-        n = len(pts)
+    """Per-path vertex emission with canonical unordered neighbor
+    pairs, fully vectorized per path (np.roll for ring neighborhoods;
+    NaN marks the missing neighbor at open-path endpoints — endpoints
+    are junctions regardless, so the NaN canonicalization is free).
+    A vertex is a junction when it occurs with more than one DISTINCT
+    unordered neighbor pair (the reference's point-chain test) or is
+    an open-path endpoint."""
+    frames = []
+    for xs, ys in zip(df["x"], df["y"]):
+        x = _nz0(np.asarray(xs, dtype=np.float64))
+        y = _nz0(np.asarray(ys, dtype=np.float64))
+        n = len(x)
         if n == 0:
             continue
-        ring = closed and pts[0] == pts[-1]
-        for i, pt in enumerate(pts[:-1] if ring else pts):
-            if ring:
-                prev_pt = pts[i - 1] if i > 0 else pts[-2]
-                next_pt = pts[(i + 1) % (n - 1)]
-                is_end = False
-            else:
-                prev_pt = pts[i - 1] if i > 0 else None
-                next_pt = pts[i + 1] if i < n - 1 else None
-                is_end = prev_pt is None or next_pt is None
-            out_key.append(f"{pt[0]!r}_{pt[1]!r}")
-            out_nbr.append(repr(_neighbor_key(prev_pt, next_pt)))
-            out_end.append(is_end)
-    return pd.DataFrame({"vkey": out_key, "nbr": out_nbr,
-                         "is_end": out_end})
+        ring = closed and x[0] == x[-1] and y[0] == y[-1]
+        if ring:
+            vx, vy = x[:-1], y[:-1]
+            px, py = np.roll(vx, 1), np.roll(vy, 1)
+            nx, ny = np.roll(vx, -1), np.roll(vy, -1)
+            is_end = np.zeros(len(vx), dtype=bool)
+        else:
+            vx, vy = x, y
+            px = np.concatenate([[np.nan], x[:-1]])
+            py = np.concatenate([[np.nan], y[:-1]])
+            nx = np.concatenate([x[1:], [np.nan]])
+            ny = np.concatenate([y[1:], [np.nan]])
+            is_end = np.zeros(n, dtype=bool)
+            if n:
+                is_end[0] = is_end[-1] = True
+        if len(vx) == 0:
+            continue
+        # canonical unordered pair: lexicographic (x, y) swap
+        swap = (px > nx) | ((px == nx) & (py > ny))
+        frames.append(pd.DataFrame({
+            "vx": vx, "vy": vy,
+            "px": np.where(swap, nx, px),
+            "py": np.where(swap, ny, py),
+            "nx": np.where(swap, px, nx),
+            "ny": np.where(swap, py, ny),
+            "is_end": is_end}))
+    if not frames:
+        return pd.DataFrame({"vx": pd.Series([], dtype="float64"),
+                             "vy": pd.Series([], dtype="float64"),
+                             "px": pd.Series([], dtype="float64"),
+                             "py": pd.Series([], dtype="float64"),
+                             "nx": pd.Series([], dtype="float64"),
+                             "ny": pd.Series([], dtype="float64"),
+                             "is_end": pd.Series([], dtype="bool")})
+    return pd.concat(frames, ignore_index=True)
 
 
 def find_junctions_ds(features_ds, closed=True):
@@ -66,9 +97,10 @@ def find_junctions_ds(features_ds, closed=True):
 
     def emit_rows(df: pd.DataFrame) -> pd.DataFrame:
         out = _vertex_rows(df, closed)
-        out["__part"] = (pd.util.hash_array(
-            out["vkey"].to_numpy(object)).astype(np.uint64)
-            % np.uint64(n_parts)).astype(np.int64)
+        h = (out["vx"].to_numpy().view(np.uint64) *
+             np.uint64(0x9E3779B97F4A7C15)) ^ \
+            out["vy"].to_numpy().view(np.uint64)
+        out["__part"] = (h % np.uint64(n_parts)).astype(np.int64)
         return out
 
     emit = features_ds.map_batches(emit_rows, batch_format="pandas")
@@ -80,19 +112,20 @@ def find_junctions_ds(features_ds, closed=True):
     # is billions of tiny tasks at scale), and only junction rows
     # reach the driver — O(junctions), not O(vertices).
     def part_judge(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("vkey").agg(nbr=("nbr", "nunique"),
-                                   end=("is_end", "any"))
-        j = g[(g["nbr"] > 1) | g["end"]].index
-        return pd.DataFrame({"vkey": j})
+        uniq = df.drop_duplicates(["vx", "vy", "px", "py", "nx", "ny"])
+        cnt = uniq.groupby(["vx", "vy"]).size()
+        j = cnt[cnt > 1].index.to_frame(index=False)
+        ends = df.loc[df["is_end"], ["vx", "vy"]].drop_duplicates()
+        return pd.concat([j, ends], ignore_index=True) \
+            .drop_duplicates()
 
     verdicts = emit.groupby("__part").map_groups(
         part_judge, batch_format="pandas").to_pandas()
     out = set()
-    if "vkey" not in verdicts.columns:      # no junctions anywhere
+    if "vx" not in verdicts.columns:        # no junctions anywhere
         return out
-    for vk in verdicts["vkey"]:
-        xs, ys = vk.split("_")
-        out.add((float(xs), float(ys)))
+    for vx, vy in zip(verdicts["vx"], verdicts["vy"]):
+        out.add((float(vx), float(vy)))
     return out
 
 
