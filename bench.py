@@ -123,6 +123,13 @@ def run_benchmarks():
           lambda: dissolve_layer(mesh, "grp", sum_fields=("v",),
                                  cell=13.0, bbox=(0, 0, 100, 100)))
 
+    # end-to-end distributed simplify on the same mesh (two-shuffle
+    # topology w/ md5 arc keys, distributed rank, bucketed reassembly)
+    from mapshaper_ray.pipelines.simplify_layer import (
+        simplify_layer_distributed)
+    timed("simplify_distributed_10k",
+          lambda: simplify_layer_distributed(mesh, pct=0.5))
+
     # raster<->vector: 2M-cell world grid sampled against the broadcast
     # region index, then reconstructed by distributed edge cancellation
     from mapshaper_ray.ops.raster import (GridSpec, raster_to_polygons,

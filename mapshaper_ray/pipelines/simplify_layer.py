@@ -257,6 +257,21 @@ def simplify_layer(ds, pct: float | None = None,
     return rd.from_pandas(out)
 
 
+_SL_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _with_part(ds_or_stage, key: str, n_parts: int = 64):
+    """Add a coarse bucket-hash partition column for the given int key
+    — the repo's standard replacement for per-key map_groups (one Ray
+    task per bucket instead of one per key; measured 8x in dedup)."""
+    def add(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = (df[key].to_numpy().astype(np.uint64) *
+                        _SL_GOLD % np.uint64(n_parts)).astype(np.int64)
+        return df
+    return ds_or_stage.map_batches(add, batch_format="pandas")
+
+
 def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
                                weighting: float | None = None,
                                keep_shapes: bool = False,
@@ -301,7 +316,8 @@ def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
     # Dataset-native topology: arc coords and feature refs never touch
     # the driver (build_topology_ds_tables; the driver sees a P-row
     # bucket-count table and the O(junctions) key set only)
-    arcs_ds, ref_rows = build_topology_ds_tables(paths, closed=True)
+    arcs_ds, ref_rows = build_topology_ds_tables(paths, closed=True,
+                                                  assign_ids=False)
     if spherical:
         from ..geom.simplify import spherical_thresholds
 
@@ -340,27 +356,28 @@ def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
             # store LISTS: same-length ndarray columns trip Ray's
             # pandas TensorArray concat
             return pd.DataFrame({
-                "arc_id": df["arc_id"].to_numpy(),
+                "arc_key": df["arc_key"].to_numpy(),
+                "__part": df["__part"].to_numpy(),
                 "fx": [np.asarray(x).tolist() for x in df["x"]],
                 "fy": [np.asarray(y).tolist() for y in df["y"]],
                 "fz": [np.asarray(z).tolist() for z in df["z"]],
                 "feature_id": -1, "part_id": -1, "seq": -1,
                 "rev": False})
-        both = ref_rows.union(with_z.map_batches(full_src,
-                                                 batch_format="pandas"))
+        # both streams already carry the arc-key bucket column
+        both = ref_rows.union(with_z.map_batches(
+            full_src, batch_format="pandas"))
 
+        # ONE in-partition merge distributes each arc's full coords/z
+        # to its uses (no per-arc map_groups tasks)
         def dist_full(df: pd.DataFrame) -> pd.DataFrame:
-            src = df[df["feature_id"] == -1]
-            uses = df[df["feature_id"] >= 0]
+            src = df[df["feature_id"] == -1][["arc_key", "fx", "fy",
+                                              "fz"]]
+            uses = df[df["feature_id"] >= 0][["feature_id", "part_id",
+                                              "seq", "rev", "arc_key"]]
             if len(src) == 0 or len(uses) == 0:
                 return pd.DataFrame()
-            out = uses[["feature_id", "part_id", "seq", "rev"]].copy()
-            out["arc_id"] = int(src["arc_id"].iloc[0]) if "arc_id" in                 src.columns else int(df["arc_id"].iloc[0])
-            out["fx"] = [src["fx"].iloc[0]] * len(out)
-            out["fy"] = [src["fy"].iloc[0]] * len(out)
-            out["fz"] = [src["fz"].iloc[0]] * len(out)
-            return out
-        per_feat_rows = both.groupby("arc_id").map_groups(
+            return uses.merge(src, on="arc_key")
+        per_feat_rows = both.groupby("__part").map_groups(
             dist_full, batch_format="pandas")
 
         def protect_feature(df: pd.DataFrame) -> pd.DataFrame:
@@ -378,7 +395,7 @@ def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
                     xs.append(x)
                     ys.append(y)
                     zs.append(z)
-                    meta.append((int(r["arc_id"]), bool(r["rev"]),
+                    meta.append((r["arc_key"], bool(r["rev"]),
                                  len(z)))
                 rings.append({"x": np.concatenate(xs),
                               "y": np.concatenate(ys),
@@ -393,30 +410,37 @@ def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
                     if rev:
                         seg = seg[::-1]  # back to forward arc order
                     if np.isinf(seg).any():
-                        rows.append({"arc_id": aid,
+                        rows.append({"arc_key": aid,
                                      "zlock": seg.tolist()})
                     off += ln
             return pd.DataFrame(rows) if rows else pd.DataFrame(
-                {"arc_id": pd.Series([], dtype="int64"),
+                {"arc_key": pd.Series([], dtype="object"),
                  "zlock": pd.Series([], dtype="object")})
-        locks = per_feat_rows.groupby("feature_id").map_groups(
-            protect_feature, batch_format="pandas").to_pandas()
+        def part_protect(df: pd.DataFrame) -> pd.DataFrame:
+            outs = [protect_feature(g)
+                    for _, g in df.groupby("feature_id")]
+            return pd.concat(outs, ignore_index=True) if outs \
+                else protect_feature(df.head(0))
+        locks = _with_part(per_feat_rows, "feature_id") \
+            .groupby("__part").map_groups(
+                part_protect, batch_format="pandas").to_pandas()
         if len(locks):
             # max-combine sparse locks into the arc z store (lock tables
             # are O(protected features) — safe to broadcast)
             lock_map: dict = {}
-            for aid, zl in zip(locks["arc_id"], locks["zlock"]):
+            for aid, zl in zip(locks["arc_key"], locks["zlock"]):
                 z = np.asarray(zl, dtype=np.float64)
-                cur = lock_map.get(int(aid))
-                lock_map[int(aid)] = z if cur is None                     else np.maximum(cur, z)
+                cur = lock_map.get(aid)
+                lock_map[aid] = z if cur is None \
+                    else np.maximum(cur, z)
             lock_ref = ray.put(lock_map)
 
             def apply_locks(df: pd.DataFrame) -> pd.DataFrame:
                 lm = ray.get(lock_ref)
                 df = df.copy()
-                df["z"] = [np.maximum(np.asarray(z), lm[int(a)])
-                           if int(a) in lm else z
-                           for a, z in zip(df["arc_id"], df["z"])]
+                df["z"] = [np.maximum(np.asarray(z), lm[a])
+                           if a in lm else z
+                           for a, z in zip(df["arc_key"], df["z"])]
                 return df
             with_z = with_z.map_batches(apply_locks,
                                         batch_format="pandas")
@@ -431,27 +455,28 @@ def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
             m[0] = m[-1] = True
             xs.append(np.asarray(x)[m].tolist())
             ys.append(np.asarray(y)[m].tolist())
-        return pd.DataFrame({"arc_id": df["arc_id"].to_numpy(),
+        return pd.DataFrame({"arc_key": df["arc_key"].to_numpy(),
+                             "__part": df["__part"].to_numpy(),
                              "fx": xs, "fy": ys})
     filtered = with_z.map_batches(filt, batch_format="pandas")
 
+    # both streams already carry the arc-key bucket column — ONE
+    # exchange attaches filtered coords to every use
     joined = ref_rows.union(filtered.map_batches(
         lambda df: df.assign(feature_id=-1, part_id=-1, seq=-1,
                              rev=False),
         batch_format="pandas"))
 
+    # in-partition merge: filtered arc coords ship to every use in one
+    # vectorized join per bucket (no per-arc map_groups tasks)
     def per_arc_group(df: pd.DataFrame) -> pd.DataFrame:
-        src = df[df["feature_id"] == -1]
-        uses = df[df["feature_id"] >= 0]
+        src = df[df["feature_id"] == -1][["arc_key", "fx", "fy"]]
+        uses = df[df["feature_id"] >= 0][["feature_id", "part_id",
+                                          "seq", "rev", "arc_key"]]
         if len(src) == 0 or len(uses) == 0:
             return pd.DataFrame()
-        fx = src["fx"].iloc[0]
-        fy = src["fy"].iloc[0]
-        out = uses[["feature_id", "part_id", "seq", "rev"]].copy()
-        out["fx"] = [fx] * len(out)
-        out["fy"] = [fy] * len(out)
-        return out
-    dist = joined.groupby("arc_id").map_groups(per_arc_group,
+        return uses.merge(src, on="arc_key")
+    dist = joined.groupby("__part").map_groups(per_arc_group,
                                                batch_format="pandas")
 
     def assemble(df: pd.DataFrame) -> pd.DataFrame:
@@ -476,8 +501,13 @@ def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
         gx, gy, gp = _rings_to_row(rings)
         return pd.DataFrame([{"feature_id": fid, "rings_x": gx,
                               "rings_y": gy, "ring_poly": gp}])
-    assembled = dist.groupby("feature_id").map_groups(
-        assemble, batch_format="pandas")
+
+    def part_assemble(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat([assemble(g)
+                          for _, g in df.groupby("feature_id")],
+                         ignore_index=True)
+    assembled = _with_part(dist, "feature_id").groupby("__part") \
+        .map_groups(part_assemble, batch_format="pandas")
 
     # rejoin the original attribute columns (the layer-schema contract:
     # geometry commands preserve the data table) — bucketed hash join,

@@ -196,11 +196,19 @@ def build_topology_ds(features_ds, closed=True):
     return arcs, shapes
 
 
-def build_topology_ds_tables(features_ds, closed=True, n_parts=64):
+def build_topology_ds_tables(features_ds, closed=True, n_parts=64,
+                             assign_ids=True):
     """Fully Dataset-native topology build: returns (arcs_ds, refs_ds)
 
       arcs_ds  rows {arc_id, x, y}                — canonical direction
       refs_ds  rows {feature_id, part_id, seq, arc_id, rev}
+
+    ``assign_ids=False`` skips global id assignment entirely and keys
+    both tables by (arc_key, __part) instead — two fewer exchanges and
+    no driver count sync; downstream stages join coords per bucket
+    partition directly on arc_key (what simplify_layer_distributed
+    does).  arcs_ds then has {arc_key, __part, x, y}; refs_ds
+    {feature_id, part_id, seq, arc_key, rev, __part}.
 
     Unlike ``build_topology_ds`` NO coordinate data reaches the driver:
     twin-arc dedupe and deterministic id assignment happen inside each
@@ -218,8 +226,10 @@ def build_topology_ds_tables(features_ds, closed=True, n_parts=64):
             "coords_x", "coords_y"]
 
     def cut(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
         junc = ray.get(jref)
         rows = []
+        parts_out = []
         for fid, xs, ys, pid in zip(
                 df["feature_id"], df["x"], df["y"],
                 df["part_id"] if "part_id" in df.columns
@@ -228,19 +238,27 @@ def build_topology_ds_tables(features_ds, closed=True, n_parts=64):
             is_ring = closed and len(pts) > 1 and pts[0] == pts[-1]
             runs = _cut_path(pts, is_ring, junc)
             for k, run in enumerate(runs):
-                fwd = tuple(run)
-                rev = tuple(reversed(run))
-                canon = min(fwd, rev)
+                # arc key = md5 of the canonical-direction coord bytes
+                # (16 bytes to shuffle/merge on instead of a repr
+                # string of every coordinate; -0.0 normalized so bit
+                # equality matches float equality)
+                arr = np.asarray(run, dtype=np.float64)
+                arr = np.where(arr == 0.0, 0.0, arr)
+                fwd_b = arr.tobytes()
+                rev_b = arr[::-1].tobytes()
+                revd = rev_b < fwd_b
+                key = hashlib.md5(rev_b if revd else fwd_b).digest()
                 rows.append({
                     "feature_id": int(fid), "part_seq": int(pid),
-                    "run_seq": k, "arc_key": repr(canon),
-                    "reversed": fwd != canon,
-                    "coords_x": [p[0] for p in run],
-                    "coords_y": [p[1] for p in run]})
+                    "run_seq": k, "arc_key": key,
+                    "reversed": bool(revd),
+                    "coords_x": arr[:, 0].tolist(),
+                    "coords_y": arr[:, 1].tolist()})
+                parts_out.append(
+                    int.from_bytes(key[:8], "little") % n_parts)
         out = pd.DataFrame(rows, columns=cols)
-        out["__part"] = (pd.util.hash_array(
-            out["arc_key"].to_numpy(object)).astype(np.uint64)
-            % np.uint64(n_parts)).astype(np.int64)
+        out["__part"] = np.asarray(parts_out, dtype=np.int64) \
+            if parts_out else np.empty(0, dtype=np.int64)
         return out
 
     runs = features_ds.map_batches(cut, batch_format="pandas") \
@@ -266,6 +284,21 @@ def build_topology_ds_tables(features_ds, closed=True, n_parts=64):
 
     arcs_local = runs.groupby("__part").map_groups(
         part_arcs, batch_format="pandas").materialize()
+
+    if not assign_ids:
+        arcs_ds = arcs_local.map_batches(
+            lambda df: df[["arc_key", "__part", "x", "y"]],
+            batch_format="pandas")
+        refs_ds = runs.map_batches(
+            lambda df: pd.DataFrame(
+                {"feature_id": df["feature_id"].to_numpy(),
+                 "part_id": df["part_seq"].to_numpy(),
+                 "seq": df["run_seq"].to_numpy(),
+                 "arc_key": df["arc_key"].to_numpy(),
+                 "rev": df["reversed"].to_numpy(),
+                 "__part": df["__part"].to_numpy()}),
+            batch_format="pandas")
+        return arcs_ds, refs_ds
 
     counts = arcs_local.map_batches(
         lambda df: df.groupby("__part").size().reset_index(name="n"),
