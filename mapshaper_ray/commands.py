@@ -251,6 +251,13 @@ class Catalog:
         # (the reference keeps the input .prj verbatim and copies it
         # through, test/shapefile-test.js:23)
         self.crs: dict[str, dict] = {}
+        # layer → source file path (reference keeps it for bare -o
+        # output-name derivation, getOutputFileName)
+        self.src_file: dict[str, str] = {}
+        self.last_input: str | None = None
+        # default directory for DERIVED output names (bare -o); set by
+        # apply_commands so in-memory outputs land in its temp dir
+        self.out_dir: str | None = None
 
         # the CURRENT TARGETS — all layers of the last -i (the
         # reference's default target is every layer of the imported
@@ -583,13 +590,18 @@ _PER_LAYER_CMDS = {"each", "filter", "filter-fields", "filter_fields",
                    "svg_style"}
 
 
-def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
+def run_commands(command_str, catalog: Catalog | None = None,
+                 out_dir: str | None = None) -> Catalog:
     """Execute a mapshaper-style command string; returns the Catalog
-    (inspect ``catalog.layers`` / read files written by -o)."""
+    (inspect ``catalog.layers`` / read files written by -o).
+    ``out_dir`` sets the directory for DERIVED output names (bare
+    -o)."""
     from . import api
     from .ops import relational as rel
 
     cat = catalog or Catalog()
+    if out_dir is not None:
+        cat.out_dir = out_dir
     cmds = command_str if isinstance(command_str, list) \
         else parse_commands(command_str)
 
@@ -692,6 +704,8 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
                         else lname + suffix
                     loaded.append(cat.add(lds, full))
                     cat.no_rotate.add(loaded[-1])
+                    cat.src_file[loaded[-1]] = path
+                    cat.last_input = path
                 if path.lower().endswith(".shp"):
                     # sibling .prj → recorded layer CRS (reference
                     # importShapefile reads it through parsePrj)
@@ -750,6 +764,27 @@ def run_commands(command_str, catalog: Catalog | None = None) -> Catalog:
         elif name == "o":
             path = args[0] if args else opts.get("file")
             tgt = opts.get("target")
+            if path is None:
+                # bare -o: output name derives from the target layer's
+                # source file (reference getOutputFileName), with the
+                # extension swapped when format= changes it
+                src = cat.src_file.get(
+                    tgt if tgt not in (None, "*") else cat.target) \
+                    or cat.last_input
+                if src:
+                    base = os.path.basename(src)
+                    fmt = opts.get("format")
+                    if fmt:
+                        ext = {"geojson": ".json",
+                               "topojson": ".topojson",
+                               "shapefile": ".shp", "csv": ".csv",
+                               "tsv": ".tsv", "dbf": ".dbf",
+                               "svg": ".svg",
+                               "json": ".json"}.get(fmt)
+                        if ext:
+                            base = os.path.splitext(base)[0] + ext
+                    path = os.path.join(cat.out_dir, base) \
+                        if cat.out_dir else base
             all_layers = tgt in ("*",)
             if all_layers:
                 tgt = None
@@ -1708,14 +1743,22 @@ def apply_commands(command_str, inputs: dict | None = None) -> dict:
                     v = cmd["options"].get(k)
                     if isinstance(v, str) and v in inputs:
                         cmd["options"][k] = os.path.join(td, v)
-        run_commands(cmds)
+        run_commands(cmds, out_dir=td)
         out = {}
         for root, _, files in os.walk(td):
             for fn in files:
                 full = os.path.join(root, fn)
                 rel = os.path.relpath(full, td)
-                if rel in inputs:
-                    continue
                 with open(full, "rb") as f:
-                    out[rel] = f.read()
+                    data = f.read()
+                if rel in inputs:
+                    # an output may overwrite its input name (the
+                    # reference's bare -o does); only UNCHANGED input
+                    # files are excluded from the result
+                    src = inputs[rel]
+                    if not isinstance(src, (bytes, bytearray)):
+                        src = src.encode("utf8")
+                    if data == src:
+                        continue
+                out[rel] = data
         return out

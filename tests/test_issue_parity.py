@@ -1,0 +1,85 @@
+"""Reference regression-issue parity, run through apply_commands —
+each case reproduces a reference test's applyCommands invocation and
+asserts its exact expected output (test/issue-*-test.js)."""
+
+import json
+
+import pytest
+
+from mapshaper_ray.commands import apply_commands
+
+
+def test_issue_171_dollar_amp_in_attributes(ray_session):
+    """Issue #171: '$&' in attribute data must not corrupt GeoJSON
+    output (the reference hit JS String.replace $-pattern expansion)."""
+    gj = json.dumps({"type": "Feature", "properties": {"foo": " $& "},
+                     "geometry": {"type": "Point",
+                                  "coordinates": [0, 0]}})
+    out = apply_commands("-i input.json -o output.json",
+                         {"input.json": gj})
+    doc = json.loads(out["output.json"])      # throws if invalid
+    assert doc["features"][0]["properties"]["foo"] == " $& "
+
+
+def test_issue_174_merge_layers_single_no_attributes(ray_session):
+    """Issue #174: -merge-layers on a bare-geometry layer exports a
+    GeometryCollection."""
+    a = {"type": "Point", "coordinates": [0, 0]}
+    out = apply_commands("-i 1.json -merge-layers -o",
+                         {"1.json": json.dumps(a)})
+    assert json.loads(out["1.json"]) == {
+        "type": "GeometryCollection", "geometries": [a]}
+
+
+def test_issue_174_merge_two_attribute_free_layers(ray_session):
+    a = {"type": "Feature", "properties": None,
+         "geometry": {"type": "Point", "coordinates": [0, 0]}}
+    b = {"type": "Point", "coordinates": [1, 1]}
+    out = apply_commands(
+        "-i 1.json 2.json combine-files -merge-layers -o out.json",
+        {"1.json": json.dumps(a), "2.json": json.dumps(b)})
+    assert json.loads(out["out.json"]) == {
+        "type": "GeometryCollection",
+        "geometries": [a["geometry"], b]}
+
+
+def test_issue_192_clip_polyline_with_null_geometry(ray_session):
+    """Issue #192: clipping a polyline layer containing a null
+    geometry must not crash and must clip the real line."""
+    a = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {},
+         "geometry": {"type": "LineString",
+                      "coordinates": [[0, 1], [10, 1]]}},
+        {"type": "Feature", "properties": {}, "geometry": None}]}
+    b = {"type": "Polygon",
+         "coordinates": [[[1, 0], [1, 2], [2, 2], [2, 0], [1, 0]]]}
+    out = apply_commands("-i b.json -i a.json -clip b -o",
+                         {"a.json": json.dumps(a),
+                          "b.json": json.dumps(b)})
+    geom = json.loads(out["a.json"])
+    assert geom == {"type": "GeometryCollection", "geometries": [
+        {"type": "LineString", "coordinates": [[1, 1], [2, 1]]}]}
+
+
+def test_issue_192_clip_points_with_null_geometry(ray_session):
+    a = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {},
+         "geometry": {"type": "Point", "coordinates": [1, 1]}},
+        {"type": "Feature", "properties": {}, "geometry": None}]}
+    b = {"type": "Polygon",
+         "coordinates": [[[0, 0], [0, 2], [2, 2], [2, 0], [0, 0]]]}
+    out = apply_commands("-i b.json -i a.json -clip b -o",
+                         {"a.json": json.dumps(a),
+                          "b.json": json.dumps(b)})
+    geom = json.loads(out["a.json"])
+    assert geom == {"type": "GeometryCollection", "geometries": [
+        {"type": "Point", "coordinates": [1, 1]}]}
+
+
+def test_issue_161_simplify_shrinks_svg(ray_session):
+    """Issue #161: simplification is applied to SVG output — the
+    post-simplify SVG must be smaller than the pre-simplify one."""
+    out = apply_commands(
+        "-i /root/reference/test/test_data/two_states.shp "
+        "-o a.svg -simplify 10% -o b.svg", {})
+    assert len(out["a.svg"]) > len(out["b.svg"])
