@@ -788,6 +788,13 @@ def run_commands(command_str, catalog: Catalog | None = None,
             all_layers = tgt in ("*",)
             if all_layers:
                 tgt = None
+            multi_tgt = None
+            if tgt and "," in tgt:
+                # -o target=a,b: explicit multi-layer selection
+                # (reference findCommandTargets comma lists)
+                multi_tgt = [n.strip() for n in tgt.split(",")
+                             if n.strip() in cat.layers]
+                tgt = None
             if opts.get("dry_run"):
                 continue  # reference dry-run: plan only, write nothing
             if isinstance(path, str) and (path.endswith("/")
@@ -829,8 +836,23 @@ def run_commands(command_str, catalog: Catalog | None = None,
                     _write_bbox_index(entries, path)
                 cat.target, cat.targets = saved_t, saved_ts
                 continue
-            sel_targets = list(cat.layers) if all_layers else \
-                [n for n in cat.targets if n in cat.layers]
+            sel_targets = multi_tgt if multi_tgt else \
+                (list(cat.layers) if all_layers else
+                 [n for n in cat.targets if n in cat.layers])
+            is_svg_out = str(path).lower().endswith(".svg") or \
+                opts.get("format", "").lstrip(".") == "svg"
+            if tgt is None and len(sel_targets) > 1 and is_svg_out:
+                # multi-layer SVG: one shared pixel transform, a <g
+                # id=layer> per target (reference issue-247)
+                from .sources.svg import write_svg_layers
+                svg_kw0 = {k: float(opts[o]) for o, k in
+                           (("width", "width"), ("height", "height"),
+                            ("margin", "margin")) if o in opts}
+                if "point_symbol" in opts:
+                    svg_kw0["point_symbol"] = opts["point_symbol"]
+                write_svg_layers([(n, cat.get(n)) for n in sel_targets],
+                                 path, rotate=False, **svg_kw0)
+                continue
             is_topo_out = str(path).lower().endswith(".topojson") or \
                 opts.get("format", "").lstrip(".") == "topojson"
             if tgt is None and len(sel_targets) > 1 and is_topo_out \
@@ -1244,9 +1266,9 @@ def run_commands(command_str, catalog: Catalog | None = None,
         elif name == "points":
             ds = cat.get()
             if opts.get("vertices"):
-                cat.replace(api.points_vertices(ds))
+                out = api.points_vertices(ds)
             elif opts.get("endpoints"):
-                cat.replace(api.points_endpoints(ds))
+                out = api.points_endpoints(ds)
             elif opts.get("interpolated"):
                 # reference dispatch keys on the 'interpolated' flag
                 # only; interval= without it falls through to centroids
@@ -1254,15 +1276,18 @@ def run_commands(command_str, catalog: Catalog | None = None,
                 if "interval" not in opts:
                     raise ValueError(
                         "-points interpolated needs interval=")
-                cat.replace(api.points_interpolated(
-                    ds, float(opts["interval"])))
+                out = api.points_interpolated(
+                    ds, float(opts["interval"]))
             elif "x" in opts and "y" in opts:
-                cat.replace(api.points_from_columns(
-                    ds, opts["x"], opts["y"]))
+                out = api.points_from_columns(ds, opts["x"], opts["y"])
             elif opts.get("inner"):
-                cat.replace(api.to_point_layer(ds, mode="inner"))
+                out = api.to_point_layer(ds, mode="inner")
             else:
-                cat.replace(api.to_point_layer(ds))
+                out = api.to_point_layer(ds)
+            if opts.get("no_replace"):
+                cat.add(out, opts.get("name"))
+            else:
+                cat.replace(out)
         elif name == "proj":
             _cmd_proj(cat, args, opts)
         elif name == "sort":

@@ -225,24 +225,42 @@ def write_svg(ds, path: str, width=None, height=None, margin=None,
               rotate=True, defaults=None):
     """Layer Dataset → one SVG file, byte-identical to the reference's
     -o format=svg.  ``name`` becomes the layer <g id=...>."""
+    return write_svg_layers([(name or "layer1", ds)], path,
+                            width=width, height=height, margin=margin,
+                            point_symbol=point_symbol,
+                            precision=precision, rotate=rotate,
+                            defaults=defaults)
+
+
+def write_svg_layers(layers, path: str, width=None, height=None,
+                     margin=None, point_symbol=None, precision=0.0001,
+                     rotate=True, defaults=None):
+    """Multiple (name, Dataset) layers → ONE SVG: a shared pixel
+    transform over the combined bounds and one <g id=name> group per
+    layer (the reference's -o target=a,b SVG export,
+    test/issue-247-test.js)."""
     from .layers import geom_type_of, ordered_pandas
 
-    names = ds.schema().names
-    gt = geom_type_of(names)
-    if rotate and "rings_x" in names:
-        from ..ops.features import _topology_rotated
-        ds = _topology_rotated(ds)
-    df = ordered_pandas(ds)
+    prepared = []
+    for name, ds in layers:
+        names = ds.schema().names
+        gt = geom_type_of(names)
+        if rotate and "rings_x" in names:
+            from ..ops.features import _topology_rotated
+            ds = _topology_rotated(ds)
+        prepared.append((name, gt, ordered_pandas(ds)))
 
-    # ---- dataset bounds
+    # ---- combined bounds over every layer
     xs, ys = [], []
-    gcols = (("rings_x", "rings_y") if gt == "polygon" else
-             ("part_x", "part_y") if gt == "polyline" else ("px", "py"))
-    for row in df.to_dict("records"):
-        for x in _nz(row.get(gcols[0])):
-            xs.append(np.asarray(x if np.ndim(x) else [x], float))
-        for y in _nz(row.get(gcols[1])):
-            ys.append(np.asarray(y if np.ndim(y) else [y], float))
+    for name, gt, df in prepared:
+        gcols = (("rings_x", "rings_y") if gt == "polygon" else
+                 ("part_x", "part_y") if gt == "polyline"
+                 else ("px", "py"))
+        for row in df.to_dict("records"):
+            for x in _nz(row.get(gcols[0])):
+                xs.append(np.asarray(x if np.ndim(x) else [x], float))
+            for y in _nz(row.get(gcols[1])):
+                ys.append(np.asarray(y if np.ndim(y) else [y], float))
     if not xs:
         raise ValueError("empty layer")
     ax = np.concatenate(xs)
@@ -300,95 +318,99 @@ def write_svg(ds, path: str, width=None, height=None, margin=None,
 
     # ---- per-feature geometry (GeoJSON export rules) → SVG objects
     from .geojson import clean_export_part, clean_export_ring
-    attr_cols = [c for c in df.columns
-                 if c not in ("feature_id", "rings_x", "rings_y",
-                              "ring_poly", "part_x", "part_y",
-                              "px", "py", "__fields")]
-    children = []
-    for row in df.to_dict("records"):
-        rec = {_STYLE_ALIASES.get(c, c): row[c] for c in attr_cols}
-        if gt == "polygon":
-            polys: list[list] = []
-            dropped: set[int] = set()
-            rp = _nz(row.get("ring_poly"))
-            for j, (x, y) in enumerate(zip(_nz(row["rings_x"]),
-                                           _nz(row["rings_y"]))):
-                p = int(rp[j]) if len(rp) > j else 0
-                while len(polys) <= p:
-                    polys.append([])
-                qx, qy = txy(x, y)
-                cleaned = clean_export_ring(qx.tolist(), qy.tolist())
-                if cleaned is None:
-                    if not polys[p]:
-                        dropped.add(p)
-                    continue
-                if p in dropped:
-                    continue
-                polys[p].append(list(zip(cleaned[0].tolist(),
-                                         cleaned[1].tolist())))
-            polys = [pl for pl in polys if pl]
-            if not polys:
-                geom_type, coords = None, None
-            elif len(polys) == 1:
-                geom_type, coords = "Polygon", polys[0]
-            else:
-                geom_type, coords = "MultiPolygon", polys
-        elif gt == "polyline":
-            parts = []
-            for x, y in zip(_nz(row["part_x"]), _nz(row["part_y"])):
-                qx, qy = txy(x, y)
-                cleaned = clean_export_part(qx.tolist(), qy.tolist())
-                if cleaned is not None:
-                    parts.append(list(zip(cleaned[0].tolist(),
+
+    def build_layer(name, gt, df):
+     attr_cols = [c for c in df.columns
+                  if c not in ("feature_id", "rings_x", "rings_y",
+                               "ring_poly", "part_x", "part_y",
+                               "px", "py", "__fields")]
+     children = []
+     for row in df.to_dict("records"):
+         rec = {_STYLE_ALIASES.get(c, c): row[c] for c in attr_cols}
+         if gt == "polygon":
+             polys: list[list] = []
+             dropped: set[int] = set()
+             rp = _nz(row.get("ring_poly"))
+             for j, (x, y) in enumerate(zip(_nz(row["rings_x"]),
+                                            _nz(row["rings_y"]))):
+                 p = int(rp[j]) if len(rp) > j else 0
+                 while len(polys) <= p:
+                     polys.append([])
+                 qx, qy = txy(x, y)
+                 cleaned = clean_export_ring(qx.tolist(), qy.tolist())
+                 if cleaned is None:
+                     if not polys[p]:
+                         dropped.add(p)
+                     continue
+                 if p in dropped:
+                     continue
+                 polys[p].append(list(zip(cleaned[0].tolist(),
                                           cleaned[1].tolist())))
-            if not parts:
-                geom_type, coords = None, None
-            elif len(parts) == 1:
-                geom_type, coords = "LineString", parts[0]
-            else:
-                geom_type, coords = "MultiLineString", parts
-        else:
-            qxs = _nz(row["px"])
-            qys = _nz(row["py"])
-            pts = []
-            for a, b in zip(qxs, qys):
-                qx, qy = txy([a], [b])
-                pts.append((float(qx[0]), float(qy[0])))
-            if not pts:
-                geom_type, coords = None, None
-            elif len(pts) == 1:
-                geom_type, coords = "Point", pts[0]
-            else:
-                geom_type, coords = "MultiPoint", pts
+             polys = [pl for pl in polys if pl]
+             if not polys:
+                 geom_type, coords = None, None
+             elif len(polys) == 1:
+                 geom_type, coords = "Polygon", polys[0]
+             else:
+                 geom_type, coords = "MultiPolygon", polys
+         elif gt == "polyline":
+             parts = []
+             for x, y in zip(_nz(row["part_x"]), _nz(row["part_y"])):
+                 qx, qy = txy(x, y)
+                 cleaned = clean_export_part(qx.tolist(), qy.tolist())
+                 if cleaned is not None:
+                     parts.append(list(zip(cleaned[0].tolist(),
+                                           cleaned[1].tolist())))
+             if not parts:
+                 geom_type, coords = None, None
+             elif len(parts) == 1:
+                 geom_type, coords = "LineString", parts[0]
+             else:
+                 geom_type, coords = "MultiLineString", parts
+         else:
+             qxs = _nz(row["px"])
+             qys = _nz(row["py"])
+             pts = []
+             for a, b in zip(qxs, qys):
+                 qx, qy = txy([a], [b])
+                 pts.append((float(qx[0]), float(qy[0])))
+             if not pts:
+                 geom_type, coords = None, None
+             elif len(pts) == 1:
+                 geom_type, coords = "Point", pts[0]
+             else:
+                 geom_type, coords = "MultiPoint", pts
 
-        obj = _feature_svg(geom_type, coords, rec, point_symbol) \
-            if geom_type else None
-        if obj is None:
-            children.append({"tag": "g"})
-            continue
-        sym = {"Polygon": "polygon", "MultiPolygon": "polygon",
-               "LineString": "polyline", "MultiLineString": "polyline",
-               "Point": "point", "MultiPoint": "point"}[geom_type]
-        _apply_style(obj, sym, rec)
-        children.append(obj)
+         obj = _feature_svg(geom_type, coords, rec, point_symbol) \
+             if geom_type else None
+         if obj is None:
+             children.append({"tag": "g"})
+             continue
+         sym = {"Polygon": "polygon", "MultiPolygon": "polygon",
+                "LineString": "polyline", "MultiLineString": "polyline",
+                "Point": "point", "MultiPoint": "point"}[geom_type]
+         _apply_style(obj, sym, rec)
+         children.append(obj)
 
-    # ---- layer <g> wrapper (getEmptyLayerForSVG)
-    layer = {"tag": "g", "properties": {"id": name or "layer1"},
-             "children": children}
-    if gt == "polyline":
-        layer["properties"]["fill"] = "none"
-        layer["properties"]["stroke"] = "black"
-        layer["properties"]["stroke-width"] = 1
-    if "label-text" in (set(_STYLE_ALIASES.get(c, c)
-                            for c in attr_cols)):
-        layer["properties"]["font-family"] = "sans-serif"
-        layer["properties"]["font-size"] = "12"
-        layer["properties"]["text-anchor"] = "middle"
-    if defaults:
-        for k, v in defaults.items():
-            layer["properties"].setdefault(k, v)
+     # ---- layer <g> wrapper (getEmptyLayerForSVG)
+     layer = {"tag": "g", "properties": {"id": name or "layer1"},
+              "children": children}
+     if gt == "polyline":
+         layer["properties"]["fill"] = "none"
+         layer["properties"]["stroke"] = "black"
+         layer["properties"]["stroke-width"] = 1
+     if "label-text" in (set(_STYLE_ALIASES.get(c, c)
+                             for c in attr_cols)):
+         layer["properties"]["font-family"] = "sans-serif"
+         layer["properties"]["font-size"] = "12"
+         layer["properties"]["text-anchor"] = "middle"
+     if defaults:
+         for k, v in defaults.items():
+             layer["properties"].setdefault(k, v)
+     return layer
 
-    body = _stringify(layer)
+    body = "\n".join(_stringify(build_layer(n, g, d))
+                      for n, g, d in prepared)
     tpl = ('<?xml version="1.0"?>\n<svg xmlns="http://www.w3.org/'
            '2000/svg" version="1.2" baseProfile="tiny" width="%d" '
            'height="%d" viewBox="%s %s %s %s" stroke-linecap="round" '

@@ -83,3 +83,17 @@ def test_issue_161_simplify_shrinks_svg(ray_session):
         "-i /root/reference/test/test_data/two_states.shp "
         "-o a.svg -simplify 10% -o b.svg", {})
     assert len(out["a.svg"]) > len(out["b.svg"])
+
+
+def test_issue_247_svg_layer_ids(ray_session):
+    """Issue #247: multi-target SVG export wraps each layer in a <g>
+    with the layer's name as id, sharing one pixel transform."""
+    import re
+    inp = {"type": "LineString", "coordinates": [[0, 0], [2, 1]]}
+    out = apply_commands(
+        '-i line.json -points vertices + name="vertices" '
+        "-o target=vertices,line graphic.svg",
+        {"line.json": json.dumps(inp)})
+    svg = out["graphic.svg"].decode("utf8")
+    assert re.search(r'<g[^>]* id="vertices"', svg)
+    assert re.search(r'<g[^>]* id="line"', svg)
