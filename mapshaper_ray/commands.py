@@ -687,6 +687,8 @@ def run_commands(command_str, catalog: Catalog | None = None,
                         read_geojson(path, geom_class=want,
                                      keep_mismatch=True), lname))
                     cat.no_rotate.add(loaded[-1])
+                    cat.src_file[loaded[-1]] = path
+                    cat.last_input = path
                     continue
                 if path.lower().endswith((".csv", ".tsv", ".txt")):
                     if "string_fields" in opts:
@@ -775,9 +777,13 @@ def run_commands(command_str, catalog: Catalog | None = None,
                     base = os.path.basename(src)
                     fmt = opts.get("format")
                     if fmt:
+                        # reference getOutputFileName: topojson's
+                        # default extension is .json
+                        # (src/topojson/topojson-export.js:14)
                         ext = {"geojson": ".json",
-                               "topojson": ".topojson",
-                               "shapefile": ".shp", "csv": ".csv",
+                               "topojson": ".json",
+                               "shapefile": ".shp", "shp": ".shp",
+                               "csv": ".csv",
                                "tsv": ".tsv", "dbf": ".dbf",
                                "svg": ".svg",
                                "json": ".json"}.get(fmt)
@@ -811,10 +817,11 @@ def run_commands(command_str, catalog: Catalog | None = None,
                 if "extension" in opts:  # -o extension= override
                     ext = opts["extension"].lstrip(".")
                 os.makedirs(path, exist_ok=True)
-                names = list(cat.layers) if all_layers else \
-                    ([tgt] if tgt else
-                     ([n for n in cat.targets if n in cat.layers]
-                      or list(cat.layers)))
+                names = multi_tgt if multi_tgt else \
+                    (list(cat.layers) if all_layers else
+                     ([tgt] if tgt else
+                      ([n for n in cat.targets if n in cat.layers]
+                       or list(cat.layers))))
                 # route each layer through the SINGLE-FILE writer path
                 # (recursive run_commands, the numbered multi-layer
                 # export pattern) so precision= / prettify / rfc7946 /
@@ -839,6 +846,10 @@ def run_commands(command_str, catalog: Catalog | None = None,
             sel_targets = multi_tgt if multi_tgt else \
                 (list(cat.layers) if all_layers else
                  [n for n in cat.targets if n in cat.layers])
+            if multi_tgt and len(multi_tgt) == 1:
+                # comma list that resolved to one layer still selects
+                # THAT layer, not the current target
+                tgt = multi_tgt[0]
             is_svg_out = str(path).lower().endswith(".svg") or \
                 opts.get("format", "").lstrip(".") == "svg"
             if tgt is None and len(sel_targets) > 1 and is_svg_out:
@@ -850,8 +861,14 @@ def run_commands(command_str, catalog: Catalog | None = None,
                             ("margin", "margin")) if o in opts}
                 if "point_symbol" in opts:
                     svg_kw0["point_symbol"] = opts["point_symbol"]
-                write_svg_layers([(n, cat.get(n)) for n in sel_targets],
-                                 path, rotate=False, **svg_kw0)
+                svg_layers = [(n, cat.get(n)) for n in sel_targets]
+                if "precision" in opts or opts.get("rfc7946"):
+                    svg_layers = [
+                        (n, api.round_coords(
+                            d, float(opts.get("precision", 0.000001))))
+                        for n, d in svg_layers]
+                write_svg_layers(svg_layers, path, rotate=False,
+                                 **svg_kw0)
                 continue
             is_topo_out = str(path).lower().endswith(".topojson") or \
                 opts.get("format", "").lstrip(".") == "topojson"
@@ -908,13 +925,13 @@ def run_commands(command_str, catalog: Catalog | None = None,
                 # ...) UNLESS target=* named the layers, in which case
                 # files carry the layer names; -o must not change the
                 # current targets
-                saved_t, saved_ts = cat.target, list(sel_targets)
+                saved_t, saved_ts = cat.target, list(cat.targets)
                 base, ext = os.path.splitext(str(path))
                 sub_opts = {k: v for k, v in opts.items()
                             if k != "bbox_index"}
                 entries = []
                 for k, n in enumerate(
-                        [x for x in saved_ts if x in cat.layers]):
+                        [x for x in sel_targets if x in cat.layers]):
                     out = os.path.join(os.path.dirname(str(path)) or
                                        ".", f"{n}{ext}") \
                         if all_layers else f"{base}{k + 1}{ext}"
@@ -1750,7 +1767,9 @@ def apply_commands(command_str, inputs: dict | None = None) -> dict:
         # in lazily-started workers): an arg is an input file iff it
         # matches an ``inputs`` key; every relative -o target lands in
         # the temp dir
-        cmds = command_str if isinstance(command_str, list) \
+        import copy
+        cmds = copy.deepcopy(command_str) \
+            if isinstance(command_str, list) \
             else parse_commands(command_str)
         for cmd in cmds:
             if cmd["name"] == "o":

@@ -28,6 +28,7 @@ import numpy as np
 import pandas as pd
 
 from ..stages.text import hash_tokens, window_hashes
+from .partition import GOLD as _CC_GOLD, bucket_part
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -804,9 +805,6 @@ def _star_partition(df: pd.DataFrame, large: bool) -> pd.DataFrame:
         .drop_duplicates(ignore_index=True)
 
 
-_CC_GOLD = np.uint64(0x9E3779B97F4A7C15)
-
-
 def cluster_pairs(pairs, id_a="id_a", id_b="id_b", n_parts=64,
                   max_rounds=64):
     """Connected components over a near-dup pair list → one row
@@ -847,9 +845,8 @@ def cluster_pairs(pairs, id_a="id_a", id_b="id_b", n_parts=64,
             else:
                 cc = np.maximum(u, v)
                 nn = np.minimum(u, v)
-            part = (cc.astype(np.uint64) * _CC_GOLD) % np.uint64(n_parts)
             return pd.DataFrame({"u": cc, "v": nn,
-                                 "__part": part.astype(np.int64)})
+                                 "__part": bucket_part(cc, n_parts)})
         return _e
 
     def fingerprint(edges_ds) -> tuple:
@@ -889,8 +886,7 @@ def cluster_pairs(pairs, id_a="id_a", id_b="id_b", n_parts=64,
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["__part"] = (df["node"].to_numpy().astype(np.uint64) *
-                        _CC_GOLD % np.uint64(n_parts)).astype(np.int64)
+        df["__part"] = bucket_part(df["node"].to_numpy(), n_parts)
         return df
 
     return edges.map_batches(labels, batch_format="pandas") \
@@ -982,8 +978,7 @@ def duplicate_window_stats(ds, text_col="text", id_col="doc_id", k=5,
 
     def add_doc_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["__dpart"] = (df[id_col].to_numpy().astype(np.uint64) *
-                         _CC_GOLD % np.uint64(n_parts)).astype(np.int64)
+        df["__dpart"] = bucket_part(df[id_col].to_numpy(), n_parts)
         return df
 
     def strip(df: pd.DataFrame) -> pd.DataFrame:

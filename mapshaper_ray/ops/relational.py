@@ -670,9 +670,6 @@ def calc_exprs(ds, spec: str) -> pd.DataFrame:
     return pd.DataFrame([out])
 
 
-_SESS_GOLD = np.uint64(0x9E3779B97F4A7C15)
-
-
 def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
                gap_s: float = 4 * 3600, n_parts: int = 64):
     """Event sessionization: consecutive events of a user belong to one
@@ -688,12 +685,12 @@ def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         u = df[user_col].to_numpy()
+        from .partition import bucket_part
         return pd.DataFrame({
             user_col: u,
             "__ts": df[ts_col].astype("datetime64[us]")
             .astype("int64").to_numpy(),
-            "__part": (u.astype(np.uint64) * _SESS_GOLD %
-                       np.uint64(n_parts)).astype(np.int64)})
+            "__part": bucket_part(u, n_parts)})
 
     def part_sessions(df: pd.DataFrame) -> pd.DataFrame:
         u = df[user_col].to_numpy()
@@ -739,10 +736,9 @@ def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
     def tag(side: int):
         def _t(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
+            from .partition import bucket_part
             df["__side"] = side
-            df["__part"] = (df[by].to_numpy().astype(np.uint64) *
-                            _SESS_GOLD % np.uint64(n_parts)) \
-                .astype(np.int64)
+            df["__part"] = bucket_part(df[by].to_numpy(), n_parts)
             df["__on"] = df[on].astype("datetime64[us]") \
                 .astype("int64")
             return df

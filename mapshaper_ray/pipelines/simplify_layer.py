@@ -257,17 +257,15 @@ def simplify_layer(ds, pct: float | None = None,
     return rd.from_pandas(out)
 
 
-_SL_GOLD = np.uint64(0x9E3779B97F4A7C15)
-
-
 def _with_part(ds_or_stage, key: str, n_parts: int = 64):
     """Add a coarse bucket-hash partition column for the given int key
     — the repo's standard replacement for per-key map_groups (one Ray
     task per bucket instead of one per key; measured 8x in dedup)."""
+    from ..ops.partition import bucket_part
+
     def add(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["__part"] = (df[key].to_numpy().astype(np.uint64) *
-                        _SL_GOLD % np.uint64(n_parts)).astype(np.int64)
+        df["__part"] = bucket_part(df[key].to_numpy(), n_parts)
         return df
     return ds_or_stage.map_batches(add, batch_format="pandas")
 

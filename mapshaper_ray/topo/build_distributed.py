@@ -96,11 +96,11 @@ def find_junctions_ds(features_ds, closed=True):
     n_parts = 64
 
     def emit_rows(df: pd.DataFrame) -> pd.DataFrame:
+        from ..ops.partition import float2_bucket_part
         out = _vertex_rows(df, closed)
-        h = (out["vx"].to_numpy().view(np.uint64) *
-             np.uint64(0x9E3779B97F4A7C15)) ^ \
-            out["vy"].to_numpy().view(np.uint64)
-        out["__part"] = (h % np.uint64(n_parts)).astype(np.int64)
+        out["__part"] = float2_bucket_part(out["vx"].to_numpy(),
+                                           out["vy"].to_numpy(),
+                                           n_parts)
         return out
 
     emit = features_ds.map_batches(emit_rows, batch_format="pandas")

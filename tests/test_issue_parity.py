@@ -97,3 +97,52 @@ def test_issue_247_svg_layer_ids(ray_session):
     svg = out["graphic.svg"].decode("utf8")
     assert re.search(r'<g[^>]* id="vertices"', svg)
     assert re.search(r'<g[^>]* id="line"', svg)
+
+
+def test_bare_o_format_topojson_derives_json_name(ray_session):
+    """Reference getOutputFileName: topojson's default extension is
+    .json (src/topojson/topojson-export.js:14)."""
+    gj = json.dumps({"type": "Point", "coordinates": [0, 0]})
+    out = apply_commands("-i a.json -o format=topojson",
+                         {"a.json": gj})
+    assert "a.json" in out
+    doc = json.loads(out["a.json"])
+    assert doc["type"] == "Topology"
+
+
+def test_apply_commands_does_not_mutate_command_list(ray_session):
+    from mapshaper_ray.commands import parse_commands
+    gj = json.dumps({"type": "Point", "coordinates": [0, 0]})
+    cmds = parse_commands("-i a.json -o out.json")
+    import copy
+    snapshot = copy.deepcopy(cmds)
+    apply_commands(cmds, {"a.json": gj})
+    assert cmds == snapshot
+
+
+def test_o_comma_target_single_survivor(ray_session):
+    """target=a,gone with one surviving layer still exports THAT
+    layer, not the current target."""
+    a = {"type": "Feature", "properties": {"which": "A"},
+         "geometry": {"type": "Point", "coordinates": [0, 0]}}
+    b = {"type": "Feature", "properties": {"which": "B"},
+         "geometry": {"type": "Point", "coordinates": [1, 1]}}
+    out = apply_commands(
+        "-i a.json -i b.json -o target=a,missing out.json",
+        {"a.json": json.dumps(a), "b.json": json.dumps(b)})
+    doc = json.loads(out["out.json"])
+    assert doc["features"][0]["properties"]["which"] == "A"
+
+
+def test_float_bucket_part_distributes_grid_coords():
+    """Integer-grid coordinates have zero low-mantissa bits; the
+    float bucket hash must still spread them (regression: every grid
+    vertex hashed to partition 0)."""
+    import numpy as np
+
+    from mapshaper_ray.ops.partition import float2_bucket_part
+    gx, gy = np.meshgrid(np.arange(20.0), np.arange(20.0))
+    parts = float2_bucket_part(gx.ravel(), gy.ravel(), 64)
+    counts = np.bincount(parts, minlength=64)
+    assert counts.max() <= 4 * 400 / 64          # no dominant bucket
+    assert (counts > 0).sum() >= 32              # spread widely
