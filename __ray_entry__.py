@@ -363,6 +363,22 @@ def _q53_asof_join(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q54_range_join(sf_dir: str):
+    """Interval join: every event tagged with the 4h-gap session
+    containing it (sessions from q52's sessionize) — Ray Data has no
+    native range join; validated against a SQL BETWEEN join."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import range_join, sessionize
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    sess = sessionize(ev, gap_s=4 * 3600)
+    out = range_join(ev, sess, by="user_id", on="ts",
+                     lo="t_start", hi="t_end",
+                     right_cols=("session_seq",))
+    return out.to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -905,6 +921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q51_token_df": _q51_token_df,
         "q52_sessions": _q52_sessions,
         "q53_asof_join": _q53_asof_join,
+        "q54_range_join": _q54_range_join,
     }
 
 
@@ -1652,6 +1669,29 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS t_start, max(ts) AS t_end
             FROM sess GROUP BY user_id, sid
             ORDER BY user_id, session_seq""",
+        "q54_range_join": r"""
+            -- BETWEEN join of events onto their 4h-gap sessions
+            WITH flag AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 4 HOUR
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sess0 AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flag),
+            sess AS (
+              SELECT user_id, sid, min(ts) AS t_start, max(ts) AS t_end
+              FROM sess0 GROUP BY user_id, sid)
+            SELECT e.event_id, e.user_id, e.ts,
+                   CAST(s.sid AS BIGINT) AS session_seq
+            FROM events e JOIN sess s
+              ON e.user_id = s.user_id
+             AND e.ts BETWEEN s.t_start AND s.t_end
+            ORDER BY e.event_id""",
         "q53_asof_join": r"""
             -- native ASOF JOIN: latest click at-or-before each
             -- purchase, same user (inner)

@@ -802,3 +802,105 @@ def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
 
     return both.groupby("__part").map_groups(part_asof,
                                              batch_format="pandas")
+
+
+def range_join(left_ds, right_ds, by: str = "user_id", on: str = "ts",
+               lo: str = "t_start", hi: str = "t_end",
+               right_cols: tuple = ("session_seq",), suffix: str = "",
+               n_parts: int = 64):
+    """Interval (range) join: each left row matches every right row of
+    the same ``by`` group whose [lo, hi] interval contains ``left.on``
+    (inclusive both ends) — Ray Data has no native range join.  Both
+    sides shuffle ONCE bucketed by the ``by`` key; inside each
+    partition the right intervals sort by start and a searchsorted
+    candidate window + containment mask resolves matches vectorized
+    per group.  Inner semantics: unmatched left rows drop.
+
+    Every containing interval matches (overlaps included); the
+    back-scan per left row is bounded by the group's max interval
+    length, so non-overlapping session tables resolve in one step."""
+    import pyarrow as _pa
+
+    from .partition import bucket_part
+
+    lschema = left_ds.schema()
+    lcols = lschema.names
+    keep_r = list(right_cols)
+    rschema = right_ds.schema()
+    int_l = {n for n, t in zip(lschema.names, lschema.types)
+             if _pa.types.is_integer(t)}
+    int_r = {c for c in keep_r if _pa.types.is_integer(
+        rschema.types[rschema.names.index(c)])}
+
+    def tag(side: int, narrow):
+        def _t(df: pd.DataFrame) -> pd.DataFrame:
+            if narrow:
+                df = df[[by, lo, hi, *keep_r]]
+            df = df.copy()
+            df["__side"] = side
+            df["__part"] = bucket_part(df[by].to_numpy(), n_parts)
+            return df
+        return _t
+
+    both = left_ds.map_batches(tag(0, False), batch_format="pandas") \
+        .union(right_ds.map_batches(tag(1, True),
+                                    batch_format="pandas"))
+
+    def to_us(s):
+        return s.astype("datetime64[us]").astype("int64").to_numpy()
+
+    def part_range(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(columns=[*lcols,
+                                      *[c + suffix for c in keep_r]])
+        left = df[df["__side"] == 0]
+        right = df[df["__side"] == 1]
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        rb = right[by].to_numpy()
+        rlo = to_us(right[lo])
+        rhi = to_us(right[hi])
+        order = np.lexsort((rlo, rb))
+        rb, rlo, rhi = rb[order], rlo[order], rhi[order]
+        rvals = {c: right[c].to_numpy()[order] for c in keep_r}
+        bnd = np.nonzero(np.diff(rb))[0] + 1
+        starts = np.concatenate([[0], bnd])
+        ends = np.concatenate([bnd, [len(rb)]])
+        lb = left[by].to_numpy()
+        lt = to_us(left[on])
+        out_li, out_ri = [], []
+        for s, e in zip(starts, ends):
+            m = np.nonzero(lb == rb[s])[0]
+            if len(m) == 0:
+                continue
+            # candidates = intervals starting at-or-before ts; scan
+            # back collecting EVERY containing one, bounded by the
+            # group's max interval length (an interval with
+            # lo < ts - maxlen cannot reach ts) — non-overlapping
+            # sessions terminate after one step
+            maxlen = int((rhi[s:e] - rlo[s:e]).max())
+            pos = s + np.searchsorted(rlo[s:e], lt[m], side="right") - 1
+            cur = pos.copy()
+            active = cur >= s
+            while active.any():
+                c = np.maximum(cur, s)
+                hit = active & (lt[m] >= rlo[c]) & (lt[m] <= rhi[c])
+                out_li.append(m[hit])
+                out_ri.append(cur[hit])
+                cur = cur - 1
+                c = np.maximum(cur, s)
+                active = (cur >= s) & (rlo[c] >= lt[m] - maxlen)
+        if not out_li:
+            return empty
+        li = np.concatenate(out_li)
+        ri = np.concatenate(out_ri)
+        out = left.iloc[li][lcols].reset_index(drop=True)
+        for c in keep_r:
+            out[c + suffix] = rvals[c][ri]
+        for c in int_l:
+            out[c] = out[c].astype("int64")
+        for c in int_r:
+            out[c + suffix] = out[c + suffix].astype("int64")
+        return out
+
+    return both.groupby("__part").map_groups(part_range,
+                                             batch_format="pandas")

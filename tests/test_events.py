@@ -86,3 +86,33 @@ def test_asof_join_no_matches(ray_session):
     out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
                     right_cols=("event_id",)).to_pandas()
     assert len(out) == 0
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    from mapshaper_ray.ops.relational import range_join
+    rng = np.random.default_rng(9)
+    n = 200
+    left = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 7, n),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, n) * 1_000_000,
+                             unit="us")})
+    # OVERLAPPING intervals on purpose
+    m = 40
+    lo = rng.integers(0, 9_000, m) * 1_000_000
+    ln = rng.integers(500, 3_000, m) * 1_000_000
+    right = pd.DataFrame({
+        "user_id": rng.integers(0, 7, m),
+        "iv_id": np.arange(m),
+        "t_start": pd.to_datetime(lo, unit="us"),
+        "t_end": pd.to_datetime(lo + ln, unit="us")})
+    out = range_join(rd.from_pandas(left).repartition(3),
+                     rd.from_pandas(right).repartition(2),
+                     by="user_id", on="ts", lo="t_start", hi="t_end",
+                     right_cols=("iv_id",)).to_pandas()
+    got = sorted(zip(out["event_id"], out["iv_id"]))
+    ref = left.merge(right, on="user_id")
+    ref = ref[(ref["ts"] >= ref["t_start"]) & (ref["ts"] <= ref["t_end"])]
+    want = sorted(zip(ref["event_id"], ref["iv_id"]))
+    assert got == want and len(want) > 0
+    assert out["iv_id"].dtype == np.int64
