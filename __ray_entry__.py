@@ -379,6 +379,21 @@ def _q54_range_join(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q55_group_quantiles(sf_dir: str):
+    """Exact per-group quantiles of l_quantity by returnflag/linestatus
+    (bucket shuffle; one vectorized quantile pass per partition)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import groupby_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+    out = groupby_quantiles(ds, "l_returnflag", "l_quantity",
+                            qs=(0.25, 0.5, 0.75)).to_pandas()
+    for c in ("q25", "q50", "q75"):
+        out[c] = out[c].round(6)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -922,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q52_sessions": _q52_sessions,
         "q53_asof_join": _q53_asof_join,
         "q54_range_join": _q54_range_join,
+        "q55_group_quantiles": _q55_group_quantiles,
     }
 
 
@@ -1669,6 +1685,15 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS t_start, max(ts) AS t_end
             FROM sess GROUP BY user_id, sid
             ORDER BY user_id, session_seq""",
+        "q55_group_quantiles": r"""
+            -- quantile_cont = linear interpolation, the same
+            -- definition pandas' default quantile uses
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+                   round(quantile_cont(l_quantity, 0.50), 6) AS q50,
+                   round(quantile_cont(l_quantity, 0.75), 6) AS q75
+            FROM lineitem GROUP BY l_returnflag
+            ORDER BY l_returnflag""",
         "q54_range_join": r"""
             -- BETWEEN join of events onto their 4h-gap sessions
             WITH flag AS (

@@ -904,3 +904,30 @@ def range_join(left_ds, right_ds, by: str = "user_id", on: str = "ts",
 
     return both.groupby("__part").map_groups(part_range,
                                              batch_format="pandas")
+
+
+def groupby_quantiles(ds, key: str, col: str, qs=(0.25, 0.5, 0.75),
+                      n_parts: int = 64):
+    """Exact per-group quantiles (linear interpolation, the SQL
+    quantile_cont definition): groups bucket-shuffle by key hash —
+    every row of a group lands in one partition — then one vectorized
+    sort + interpolation pass per partition.  Unlike the global
+    histogram-rank in ops/rank.py this moves the value column, but
+    only one column, and per-group medians cannot be computed from
+    partials without per-group state anyway."""
+    from .partition import bucket_part
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key].to_numpy()
+        h = pd.util.hash_array(np.asarray(k, dtype=object)) \
+            if k.dtype == object else k
+        return pd.DataFrame({key: k, col: df[col].to_numpy(),
+                             "__part": bucket_part(h, n_parts)})
+
+    def part_q(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key)[col].quantile(list(qs)).unstack()
+        out.columns = [f"q{int(round(q * 100))}" for q in qs]
+        return out.reset_index()
+
+    return ds.map_batches(emit, batch_format="pandas") \
+        .groupby("__part").map_groups(part_q, batch_format="pandas")

@@ -116,3 +116,18 @@ def test_range_join_matches_bruteforce(ray_session):
     want = sorted(zip(ref["event_id"], ref["iv_id"]))
     assert got == want and len(want) > 0
     assert out["iv_id"].dtype == np.int64
+
+
+def test_groupby_quantiles_matches_pandas(ray_session):
+    from mapshaper_ray.ops.relational import groupby_quantiles
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"g": rng.choice(list("abcd"), 500),
+                       "v": rng.normal(size=500)})
+    out = groupby_quantiles(rd.from_pandas(df).repartition(5),
+                            "g", "v", qs=(0.1, 0.5, 0.9)).to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    ref = df.groupby("g")["v"].quantile([0.1, 0.5, 0.9]).unstack()
+    for i, g in enumerate(out["g"]):
+        assert out.loc[i, "q10"] == ref.loc[g, 0.1]
+        assert out.loc[i, "q50"] == ref.loc[g, 0.5]
+        assert out.loc[i, "q90"] == ref.loc[g, 0.9]
