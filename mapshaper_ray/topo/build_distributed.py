@@ -136,7 +136,10 @@ def build_topology_ds(features_ds, closed=True):
 
     Returns (ArcTable, shapes_df) where shapes_df maps each input row to
     its signed arc-id sequence — identical semantics to
-    topo.build.build_topology."""
+    topo.build.build_topology.  NOTE: this variant collects the arc
+    table to the driver (the in-process ArcTable contract); the scale
+    path is ``build_topology_ds_tables`` below, which keeps arcs and
+    refs as Datasets end-to-end."""
     import ray
 
     junctions = find_junctions_ds(features_ds, closed)
