@@ -369,12 +369,16 @@ def _q54_range_join(sf_dir: str):
     native range join; validated against a SQL BETWEEN join."""
     import ray.data as rd
     from mapshaper_ray.ops.relational import range_join, sessionize
+    # materialize the narrow read once: BOTH branches (sessionize and
+    # the join's left side) consume it — without this the plan scans
+    # events.parquet twice
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_id", "user_id", "ts"])
+                         columns=["event_id", "user_id", "ts"]) \
+        .materialize()
     sess = sessionize(ev, gap_s=4 * 3600)
     out = range_join(ev, sess, by="user_id", on="ts",
                      lo="t_start", hi="t_end",
-                     right_cols=("session_seq",))
+                     right_cols=("session_seq",), suffix="")
     return out.to_pandas().sort_values("event_id") \
         .reset_index(drop=True)
 

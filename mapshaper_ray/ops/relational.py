@@ -721,6 +721,80 @@ def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
                                       batch_format="pandas")
 
 
+def _key_bucket(arr, n_parts: int) -> np.ndarray:
+    """Bucket column for integer OR string keys (string keys hash
+    through pandas siphash first)."""
+    from .partition import bucket_part
+    a = np.asarray(arr)
+    if a.dtype == object or a.dtype.kind in "US":
+        a = pd.util.hash_array(a.astype(object))
+    return bucket_part(a, n_parts)
+
+
+def _run_bounds(sorted_keys: np.ndarray):
+    """(starts, ends) of equal-key runs in a SORTED key array (object
+    dtypes supported — no np.diff)."""
+    n = len(sorted_keys)
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    bnd = np.nonzero(sorted_keys[1:] != sorted_keys[:-1])[0] + 1
+    return (np.concatenate([[0], bnd]),
+            np.concatenate([bnd, [n]]))
+
+
+def _join_scaffold(left_ds, right_ds, by, on_cols, keep_r, suffix,
+                   n_parts):
+    """Shared keyed-join plumbing for asof_join / range_join: capture
+    schemas, guard output-name collisions, tag both sides with a
+    bucket column, union (Dataset.union null-pads disjoint columns,
+    floating int dtypes — the int column sets are returned so the
+    partition kernels can restore them)."""
+    import pyarrow as _pa
+
+    def _is_int(t) -> bool:
+        # Ray schemas carry pyarrow types for Arrow blocks but numpy /
+        # python types for pandas blocks
+        if isinstance(t, _pa.DataType):
+            return _pa.types.is_integer(t)
+        try:
+            return np.issubdtype(t, np.integer)
+        except TypeError:
+            return False
+
+    lschema = left_ds.schema()
+    lcols = lschema.names
+    rschema = right_ds.schema()
+    clash = [c for c in keep_r if c + suffix in lcols]
+    if clash:
+        raise ValueError(
+            f"right columns {clash} would overwrite left columns — "
+            f"pass a suffix")
+    int_l = {n for n, t in zip(lschema.names, lschema.types)
+             if _is_int(t)}
+    int_r = {c for c in keep_r if _is_int(
+        rschema.types[rschema.names.index(c)])}
+
+    def tag(side: int, narrow):
+        def _t(df: pd.DataFrame) -> pd.DataFrame:
+            if narrow:
+                df = df[narrow]
+            df = df.copy()
+            df["__side"] = side
+            df["__part"] = _key_bucket(df[by].to_numpy(), n_parts)
+            return df
+        return _t
+
+    both = left_ds.map_batches(tag(0, None), batch_format="pandas") \
+        .union(right_ds.map_batches(tag(1, [by, *on_cols, *keep_r]),
+                                    batch_format="pandas"))
+    return both, lcols, int_l, int_r
+
+
+def _to_us(s) -> np.ndarray:
+    return s.astype("datetime64[us]").astype("int64").to_numpy()
+
+
 def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
               right_cols: tuple = ("event_id",), suffix: str = "_r",
               n_parts: int = 64):
@@ -729,39 +803,14 @@ def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
     with no prior right row are dropped (inner semantics, DuckDB
     ``ASOF JOIN``).  Ray Data has no native as-of join — this is the
     composition the mission doc calls for: both sides shuffle ONCE
-    bucketed by the ``by`` key, then a vectorized per-partition
-    group-boundary searchsorted (no per-key tasks).
+    bucketed by the ``by`` key; inside each partition BOTH sides sort
+    by (key, time) and groups pair through run bounds — O(n log n)
+    per partition, no per-key scans or tasks.
 
     Returns left columns + ``right_cols`` renamed with ``suffix``."""
-    def tag(side: int):
-        def _t(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            from .partition import bucket_part
-            df["__side"] = side
-            df["__part"] = bucket_part(df[by].to_numpy(), n_parts)
-            df["__on"] = df[on].astype("datetime64[us]") \
-                .astype("int64")
-            return df
-        return _t
-
-    import pyarrow as _pa
-    lschema = left_ds.schema()
-    lcols = lschema.names
     keep_r = list(right_cols)
-    rschema = right_ds.schema()
-    # Dataset.union null-pads disjoint columns, floating int columns —
-    # restore integer dtypes on the matched output
-    int_l = {n for n, t in zip(lschema.names, lschema.types)
-             if _pa.types.is_integer(t)}
-    int_r = {c for c in keep_r if _pa.types.is_integer(
-        rschema.types[rschema.names.index(c)])}
-
-    def narrow_right(df: pd.DataFrame) -> pd.DataFrame:
-        return df[[by, on, *keep_r]]
-
-    both = left_ds.map_batches(tag(0), batch_format="pandas").union(
-        right_ds.map_batches(narrow_right, batch_format="pandas")
-        .map_batches(tag(1), batch_format="pandas"))
+    both, lcols, int_l, int_r = _join_scaffold(
+        left_ds, right_ds, by, [on], keep_r, suffix, n_parts)
 
     def part_asof(df: pd.DataFrame) -> pd.DataFrame:
         left = df[df["__side"] == 0]
@@ -769,27 +818,29 @@ def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
         if len(left) == 0:
             return pd.DataFrame(columns=[*lcols, *[c + suffix
                                                    for c in keep_r]])
-        # sort right by (by, on); per-by-group slices via run bounds
         rb = right[by].to_numpy()
-        rt = right["__on"].to_numpy()
-        order = np.lexsort((rt, rb))
-        rb, rt = rb[order], rt[order]
-        rvals = {c: right[c].to_numpy()[order] for c in keep_r}
-        starts_of = {}
-        if len(rb):
-            bnd = np.nonzero(np.diff(rb))[0] + 1
-            starts = np.concatenate([[0], bnd])
-            ends = np.concatenate([bnd, [len(rb)]])
-            starts_of = {rb[s]: (s, e) for s, e in zip(starts, ends)}
+        rt = _to_us(right[on])
+        order_r = np.lexsort((rt, rb))
+        rb, rt = rb[order_r], rt[order_r]
+        rvals = {c: right[c].to_numpy()[order_r] for c in keep_r}
+        rs, re_ = _run_bounds(rb)
+        rkeys = rb[rs] if len(rs) else rb
         lb = left[by].to_numpy()
-        lt = left["__on"].to_numpy()
+        lt = _to_us(left[on])
+        order_l = np.lexsort((lt, lb))
+        lb_s, lt_s = lb[order_l], lt[order_l]
+        ls, le = _run_bounds(lb_s)
         idx = np.full(len(lb), -1, dtype=np.int64)
-        for g, (s, e) in starts_of.items():
-            m = lb == g
-            if not m.any():
+        for i in range(len(ls)):
+            g = lb_s[ls[i]]
+            j = int(np.searchsorted(rkeys, g))
+            if j >= len(rkeys) or rkeys[j] != g:
                 continue
-            pos = s + np.searchsorted(rt[s:e], lt[m], side="right") - 1
-            idx[np.nonzero(m)[0]] = np.where(pos >= s, pos, -1)
+            s, e = int(rs[j]), int(re_[j])
+            sel = order_l[ls[i]:le[i]]
+            pos = s + np.searchsorted(rt[s:e], lt_s[ls[i]:le[i]],
+                                      side="right") - 1
+            idx[sel] = np.where(pos >= s, pos, -1)
         ok = idx >= 0
         out = left.loc[ok, lcols].reset_index(drop=True)
         for c in keep_r:
@@ -806,48 +857,20 @@ def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
 
 def range_join(left_ds, right_ds, by: str = "user_id", on: str = "ts",
                lo: str = "t_start", hi: str = "t_end",
-               right_cols: tuple = ("session_seq",), suffix: str = "",
-               n_parts: int = 64):
+               right_cols: tuple = ("session_seq",),
+               suffix: str = "_r", n_parts: int = 64):
     """Interval (range) join: each left row matches every right row of
     the same ``by`` group whose [lo, hi] interval contains ``left.on``
-    (inclusive both ends) — Ray Data has no native range join.  Both
-    sides shuffle ONCE bucketed by the ``by`` key; inside each
-    partition the right intervals sort by start and a searchsorted
-    candidate window + containment mask resolves matches vectorized
-    per group.  Inner semantics: unmatched left rows drop.
-
-    Every containing interval matches (overlaps included); the
-    back-scan per left row is bounded by the group's max interval
-    length, so non-overlapping session tables resolve in one step."""
-    import pyarrow as _pa
-
-    from .partition import bucket_part
-
-    lschema = left_ds.schema()
-    lcols = lschema.names
+    (inclusive both ends) — Ray Data has no native range join.  Same
+    single-bucket-shuffle shape as asof_join; groups pair through
+    sorted run bounds on both sides, and each left row back-scans the
+    interval list bounded by the group's max interval length (one step
+    for non-overlapping session tables; every containing interval
+    matches when they overlap).  Inner semantics: unmatched left rows
+    drop."""
     keep_r = list(right_cols)
-    rschema = right_ds.schema()
-    int_l = {n for n, t in zip(lschema.names, lschema.types)
-             if _pa.types.is_integer(t)}
-    int_r = {c for c in keep_r if _pa.types.is_integer(
-        rschema.types[rschema.names.index(c)])}
-
-    def tag(side: int, narrow):
-        def _t(df: pd.DataFrame) -> pd.DataFrame:
-            if narrow:
-                df = df[[by, lo, hi, *keep_r]]
-            df = df.copy()
-            df["__side"] = side
-            df["__part"] = bucket_part(df[by].to_numpy(), n_parts)
-            return df
-        return _t
-
-    both = left_ds.map_batches(tag(0, False), batch_format="pandas") \
-        .union(right_ds.map_batches(tag(1, True),
-                                    batch_format="pandas"))
-
-    def to_us(s):
-        return s.astype("datetime64[us]").astype("int64").to_numpy()
+    both, lcols, int_l, int_r = _join_scaffold(
+        left_ds, right_ds, by, [lo, hi], keep_r, suffix, n_parts)
 
     def part_range(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(columns=[*lcols,
@@ -857,42 +880,48 @@ def range_join(left_ds, right_ds, by: str = "user_id", on: str = "ts",
         if len(left) == 0 or len(right) == 0:
             return empty
         rb = right[by].to_numpy()
-        rlo = to_us(right[lo])
-        rhi = to_us(right[hi])
-        order = np.lexsort((rlo, rb))
-        rb, rlo, rhi = rb[order], rlo[order], rhi[order]
-        rvals = {c: right[c].to_numpy()[order] for c in keep_r}
-        bnd = np.nonzero(np.diff(rb))[0] + 1
-        starts = np.concatenate([[0], bnd])
-        ends = np.concatenate([bnd, [len(rb)]])
+        rlo = _to_us(right[lo])
+        rhi = _to_us(right[hi])
+        order_r = np.lexsort((rlo, rb))
+        rb, rlo, rhi = rb[order_r], rlo[order_r], rhi[order_r]
+        rvals = {c: right[c].to_numpy()[order_r] for c in keep_r}
+        rs, re_ = _run_bounds(rb)
+        rkeys = rb[rs] if len(rs) else rb
         lb = left[by].to_numpy()
-        lt = to_us(left[on])
+        lt = _to_us(left[on])
+        order_l = np.lexsort((lt, lb))
+        lb_s, lt_s = lb[order_l], lt[order_l]
+        ls, le = _run_bounds(lb_s)
         out_li, out_ri = [], []
-        for s, e in zip(starts, ends):
-            m = np.nonzero(lb == rb[s])[0]
-            if len(m) == 0:
+        for i in range(len(ls)):
+            g = lb_s[ls[i]]
+            j = int(np.searchsorted(rkeys, g))
+            if j >= len(rkeys) or rkeys[j] != g:
                 continue
+            s, e = int(rs[j]), int(re_[j])
+            m = order_l[ls[i]:le[i]]
+            ts = lt_s[ls[i]:le[i]]
             # candidates = intervals starting at-or-before ts; scan
             # back collecting EVERY containing one, bounded by the
             # group's max interval length (an interval with
-            # lo < ts - maxlen cannot reach ts) — non-overlapping
-            # sessions terminate after one step
+            # lo < ts - maxlen cannot reach ts)
             maxlen = int((rhi[s:e] - rlo[s:e]).max())
-            pos = s + np.searchsorted(rlo[s:e], lt[m], side="right") - 1
-            cur = pos.copy()
+            cur = s + np.searchsorted(rlo[s:e], ts, side="right") - 1
             active = cur >= s
             while active.any():
                 c = np.maximum(cur, s)
-                hit = active & (lt[m] >= rlo[c]) & (lt[m] <= rhi[c])
+                hit = active & (ts >= rlo[c]) & (ts <= rhi[c])
                 out_li.append(m[hit])
                 out_ri.append(cur[hit])
                 cur = cur - 1
                 c = np.maximum(cur, s)
-                active = (cur >= s) & (rlo[c] >= lt[m] - maxlen)
+                active = (cur >= s) & (rlo[c] >= ts - maxlen)
         if not out_li:
             return empty
         li = np.concatenate(out_li)
         ri = np.concatenate(out_ri)
+        if not len(li):
+            return empty
         out = left.iloc[li][lcols].reset_index(drop=True)
         for c in keep_r:
             out[c + suffix] = rvals[c][ri]

@@ -109,7 +109,7 @@ def test_range_join_matches_bruteforce(ray_session):
     out = range_join(rd.from_pandas(left).repartition(3),
                      rd.from_pandas(right).repartition(2),
                      by="user_id", on="ts", lo="t_start", hi="t_end",
-                     right_cols=("iv_id",)).to_pandas()
+                     right_cols=("iv_id",), suffix="").to_pandas()
     got = sorted(zip(out["event_id"], out["iv_id"]))
     ref = left.merge(right, on="user_id")
     ref = ref[(ref["ts"] >= ref["t_start"]) & (ref["ts"] <= ref["t_end"])]
@@ -131,3 +131,26 @@ def test_groupby_quantiles_matches_pandas(ray_session):
         assert out.loc[i, "q10"] == ref.loc[g, 0.1]
         assert out.loc[i, "q50"] == ref.loc[g, 0.5]
         assert out.loc[i, "q90"] == ref.loc[g, 0.9]
+
+
+def test_joins_string_keys_and_collision_guard(ray_session):
+    from mapshaper_ray.ops.relational import asof_join, range_join
+    left = pd.DataFrame({"event_id": [1, 2], "user": ["x", "y"],
+                         "ts": pd.to_datetime([2000, 3000], unit="us")})
+    right = pd.DataFrame({"event_id": [10, 20], "user": ["x", "y"],
+                          "ts": pd.to_datetime([1000, 5000],
+                                               unit="us")})
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    by="user", right_cols=("event_id",)).to_pandas()
+    assert sorted(zip(out["event_id"], out["event_id_r"])) == [(1, 10)]
+    # suffix collision refused instead of silently clobbering
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                  by="user", right_cols=("event_id",), suffix="")
+    riv = pd.DataFrame({"user": ["x"], "iv": [7],
+                        "t_start": pd.to_datetime([500], unit="us"),
+                        "t_end": pd.to_datetime([2500], unit="us")})
+    out2 = range_join(rd.from_pandas(left), rd.from_pandas(riv),
+                      by="user", right_cols=("iv",)).to_pandas()
+    assert list(out2["event_id"]) == [1] and list(out2["iv_r"]) == [7]
