@@ -398,6 +398,21 @@ def _q55_group_quantiles(sf_dir: str):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def _q56_repetition(sf_dir: str):
+    """Gopher-style per-doc repetition quality signals (distinct-word
+    ratio, top-/duplicated-bigram occurrence shares) — one stateless
+    map_batches pass, no shuffle."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import repetition_signals
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = repetition_signals(ds).to_pandas()
+    for c in ("distinct_word_ratio", "top_bigram_share",
+              "dup_bigram_share"):
+        out[c] = out[c].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -942,6 +957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q53_asof_join": _q53_asof_join,
         "q54_range_join": _q54_range_join,
         "q55_group_quantiles": _q55_group_quantiles,
+        "q56_repetition": _q56_repetition,
     }
 
 
@@ -1698,6 +1714,38 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_quantity, 0.75), 6) AS q75
             FROM lineitem GROUP BY l_returnflag
             ORDER BY l_returnflag""",
+        "q56_repetition": r"""
+            -- Gopher-style repetition signals; single-space split
+            -- matches the engine's tokenizer exactly
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+            ws AS (
+              SELECT doc_id, count(*) AS n_words,
+                     count(DISTINCT word) AS n_distinct
+              FROM (SELECT doc_id, unnest(w) AS word FROM words)
+              GROUP BY doc_id),
+            bi AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i + 1])) AS bg
+              FROM words WHERE len(w) >= 2),
+            bc AS (SELECT doc_id, bg, count(*) AS n
+                   FROM bi GROUP BY doc_id, bg),
+            bs AS (SELECT doc_id, max(n) AS mx, sum(n) AS tot,
+                          sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS dup
+                   FROM bc GROUP BY doc_id)
+            SELECT w.doc_id, CAST(w.n_words AS BIGINT) AS n_words,
+                   round(CASE WHEN w.n_words = 0 THEN 1.0
+                         ELSE w.n_distinct / CAST(w.n_words AS DOUBLE)
+                         END, 6) AS distinct_word_ratio,
+                   round(coalesce(b.mx / CAST(b.tot AS DOUBLE), 0),
+                         6) AS top_bigram_share,
+                   round(coalesce(b.dup / CAST(b.tot AS DOUBLE), 0),
+                         6) AS dup_bigram_share
+            FROM ws w LEFT JOIN bs b ON w.doc_id = b.doc_id
+            ORDER BY w.doc_id""",
         "q54_range_join": r"""
             -- BETWEEN join of events onto their 4h-gap sessions
             WITH flag AS (

@@ -142,6 +142,67 @@ def fingerprint(ds, text_col="text", k=5, concurrency=(1, 8)):
                           num_cpus=1)
 
 
+def repetition_signals(ds, text_col="text", id_col="doc_id",
+                       batch_size=4096):
+    """Gopher-style per-document repetition signals (Rae et al. 2021
+    §A1.1 quality heuristics): word count, distinct-word ratio, the
+    share of word-bigram occurrences taken by the single most frequent
+    bigram, and the share taken by any bigram occurring more than once.
+
+    Purely per-row statistics — one stateless ``map_batches`` pass, no
+    shuffle.  Tokenization is a plain single-space split (matching SQL
+    ``string_split(text, ' ')`` so the oracle is exactly expressible);
+    counting is one vectorized pandas hash-groupby over the whole
+    batch's (doc, bigram) pairs, not a per-document Python loop.
+
+    Returns a Dataset with columns (id_col, n_words,
+    distinct_word_ratio, top_bigram_share, dup_bigram_share).
+    Definitions for degenerate docs: 0 words -> ratio 1.0; <2 words ->
+    both bigram shares 0.0.
+    """
+
+    def _signals(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [t.split(" ") if t else [] for t in df[text_col]]
+        lens = np.fromiter((len(x) for x in toks), dtype=np.int64,
+                           count=len(toks))
+        flat = np.array([w for ws in toks for w in ws], dtype=object)
+        doc = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+
+        wdf = pd.DataFrame({"d": doc, "w": flat})
+        nuniq = wdf.groupby("d")["w"].nunique()
+        n_distinct = np.zeros(len(toks), dtype=np.int64)
+        n_distinct[nuniq.index.to_numpy()] = nuniq.to_numpy()
+        distinct_ratio = np.where(
+            lens > 0, n_distinct / np.maximum(lens, 1), 1.0)
+
+        top_share = np.zeros(len(toks), dtype=np.float64)
+        dup_share = np.zeros(len(toks), dtype=np.float64)
+        if len(flat) > 1:
+            same = doc[1:] == doc[:-1]
+            bd = doc[:-1][same]
+            bg = pd.Series(flat[:-1][same]) + " " + pd.Series(flat[1:][same])
+            bc = pd.DataFrame({"d": bd, "b": bg.to_numpy()}) \
+                .groupby(["d", "b"], sort=False).size().reset_index(name="n")
+            g = bc.groupby("d")["n"]
+            mx, tot = g.max(), g.sum()
+            top_share[mx.index.to_numpy()] = \
+                mx.to_numpy() / tot.to_numpy()
+            dups = bc[bc["n"] > 1].groupby("d")["n"].sum()
+            dup_share[dups.index.to_numpy()] = \
+                dups.to_numpy() / tot.reindex(dups.index).to_numpy()
+
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_words": lens,
+            "distinct_word_ratio": distinct_ratio,
+            "top_bigram_share": top_share,
+            "dup_bigram_share": dup_share,
+        })
+
+    return ds.map_batches(_signals, batch_format="pandas",
+                          batch_size=batch_size)
+
+
 def token_df_topk(ds, text_col="text", k=100, n_parts=64):
     """Corpus vocabulary stats: top-k tokens by DOCUMENT frequency
     (number of docs containing the token), ties broken by token text.
