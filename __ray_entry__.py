@@ -413,6 +413,25 @@ def _q56_repetition(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q57_s2_cells(sf_dir: str):
+    """S2 cell/tile assignment of the geocoded corpus (north-star
+    "H3/S2 cell covers"): vectorized face→UV→ST→Hilbert encode at
+    level 12 + level-6 ancestor tiles, zero-copy pyarrow batches.
+    Oracle: VALUES fixture from an independent scalar interval-descent
+    encoder (scripts/gen_s2_fixture.py)."""
+    import ray.data as rd
+    from mapshaper_ray import s2
+    from mapshaper_ray.stages.geocode import geocode
+    from mapshaper_ray.stages.tiles import assign_cells_s2
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+    ds = assign_cells_s2(geocode(ds), level=12, tile_level=6)
+    out = ds.select_columns(["doc_id", "s2_cell", "s2_tile"]).to_pandas()
+    out["s2_cell"] = s2.token(out["s2_cell"].to_numpy())
+    out["s2_tile"] = s2.token(out["s2_tile"].to_numpy())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -958,6 +977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q54_range_join": _q54_range_join,
         "q55_group_quantiles": _q55_group_quantiles,
         "q56_repetition": _q56_repetition,
+        "q57_s2_cells": _q57_s2_cells,
     }
 
 
@@ -1029,6 +1049,24 @@ def _q19_fixture_sql() -> str:
         fixture_oracles = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(fixture_oracles)
     return fixture_oracles.Q19_SQL
+
+
+def _q57_fixture_sql() -> str:
+    """VALUES-literal fixture from scripts/gen_s2_fixture.py — an
+    independent scalar interval-descent S2 encoder, valid at the
+    driver's sf0.01 correctness scale."""
+    try:
+        import fixture_oracles_s2
+    except ImportError:
+        import importlib.util
+        import os
+        spec = importlib.util.spec_from_file_location(
+            "fixture_oracles_s2",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "fixture_oracles_s2.py"))
+        fixture_oracles_s2 = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(fixture_oracles_s2)
+    return fixture_oracles_s2.Q57_SQL
 
 # shared fragment: the synthetic media payload's hex head (mirrors
 # stages/multimodal.py synth_media + _u32: payload = md5-digest(text)
@@ -1343,6 +1381,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(fp.shl) AS VARCHAR) AS fingerprint
             FROM lang l JOIN fp ON l.doc_id = fp.doc_id""",
         "q19_simplify": _q19_fixture_sql(),
+        "q57_s2_cells": _q57_fixture_sql(),
         "q20_dissolve": """
             -- independent edge-multiset arithmetic over the same
             -- deterministic 24x24 mesh: an edge used twice inside a

@@ -61,6 +61,33 @@ def assign_cells(ds, level=DEFAULT_LEVEL, tile_level=DEFAULT_TILE_LEVEL,
         batch_format="pyarrow")
 
 
+def assign_cells_s2_batch(batch: pa.Table, level=12, tile_level=6,
+                          lon_col="lon", lat_col="lat") -> pa.Table:
+    """S2 cell + tile ids (uint64) per row — the sphere-correct
+    alternative to the quadkey grid above (see mapshaper_ray/s2.py):
+    uniform-area cells, and Hilbert locality means sorting or
+    range-sharding by ``s2_cell`` IS a spatial partition, so a plain
+    id-range split co-locates neighboring pages with no custom
+    partitioner.  ``s2_tile = parent(s2_cell, tile_level)`` keeps the
+    groupby-on-cell-prefix pattern (prefix = ancestor)."""
+    from .. import s2
+    lon = np.asarray(batch[lon_col].to_numpy(zero_copy_only=False))
+    lat = np.asarray(batch[lat_col].to_numpy(zero_copy_only=False))
+    ids = s2.lonlat_to_cell_id(lon, lat, level)
+    tiles = s2.parent(ids, tile_level)
+    batch = batch.append_column("s2_cell", pa.array(ids, type=pa.uint64()))
+    batch = batch.append_column("s2_tile", pa.array(tiles, type=pa.uint64()))
+    return batch
+
+
+def assign_cells_s2(ds, level=12, tile_level=6,
+                    lon_col="lon", lat_col="lat"):
+    return ds.map_batches(
+        lambda b: assign_cells_s2_batch(b, level, tile_level,
+                                        lon_col, lat_col),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # salting
 
