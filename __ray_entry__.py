@@ -432,6 +432,32 @@ def _q57_s2_cells(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q58_cover_join(sf_dir: str):
+    """S2-cover SHUFFLE spatial join (north star "H3/S2 cell covers"):
+    geocoded pages joined to the diamond regions with nothing
+    broadcast — per-polygon mixed-level covers, equality hash join on
+    ancestor cells, interior-cell bypass, exact PIP verify after a
+    poly-id bucket shuffle.  Oracle: the same closed-form diamond
+    inequality SQL as q10, restricted to matches."""
+    import ray.data as rd
+    from mapshaper_ray.regions import diamond, region_centers
+    from mapshaper_ray.stages.geocode import geocode
+    from mapshaper_ray.stages.spatial_join import cover_join
+    rows = []
+    for rid, cx, cy in region_centers():
+        ring = diamond(cx, cy)
+        rows.append({"region_id": rid,
+                     "rings_x": [ring[:, 0]], "rings_y": [ring[:, 1]]})
+    polys = rd.from_pandas(pd.DataFrame(rows))
+    pts = geocode(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text", "n_chars"]))
+    pts = pts.select_columns(["doc_id", "lon", "lat"])
+    out = cover_join(pts, polys, level=8,
+                     poly_id_col="region_id").to_pandas()
+    return out[["doc_id", "region_id"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -978,6 +1004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q55_group_quantiles": _q55_group_quantiles,
         "q56_repetition": _q56_repetition,
         "q57_s2_cells": _q57_s2_cells,
+        "q58_cover_join": _q58_cover_join,
     }
 
 
@@ -1382,6 +1409,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lang l JOIN fp ON l.doc_id = fp.doc_id""",
         "q19_simplify": _q19_fixture_sql(),
         "q57_s2_cells": _q57_fixture_sql(),
+        "q58_cover_join": f"""
+            WITH {_GEO_CTE},
+            assigned AS (SELECT doc_id, {region_case} AS region_id
+                         FROM geo)
+            SELECT doc_id, region_id FROM assigned
+            WHERE region_id >= 0 ORDER BY doc_id""",
         "q20_dissolve": """
             -- independent edge-multiset arithmetic over the same
             -- deterministic 24x24 mesh: an edge used twice inside a

@@ -300,7 +300,8 @@ def _segs_hit_rect(ax, ay, bx, by, x0, y0, x1, y1):
     return bool((alive & ~same).any())
 
 
-def polygon_cover(rings, max_level, interior_shortcut=True):
+def polygon_cover(rings, max_level, interior_shortcut=True,
+                  return_interior=False):
     """Cell cover of a planar lon/lat polygon (list of closed rings).
 
     Recursively subdivides from the 6 face cells; a cell is kept when
@@ -309,8 +310,11 @@ def polygon_cover(rings, max_level, interior_shortcut=True):
     fully inside the polygon are emitted at their (coarser) level —
     the S2RegionCoverer shape; otherwise every emitted cell is at
     ``max_level``.  Returns a sorted uint64 id array (mixed levels
-    with the shortcut).  Conservative: every polygon point lies in
-    some emitted cell's true extent; loose cells possible near edges.
+    with the shortcut); with ``return_interior`` also a parallel bool
+    array marking cells whose rect lies fully inside the polygon
+    (join candidates in those cells need no exact PIP verify).
+    Conservative: every polygon point lies in some emitted cell's
+    true extent; loose cells possible near edges.
     """
     rings = [(np.asarray(rx, dtype=np.float64),
               np.asarray(ry, dtype=np.float64)) for rx, ry in rings]
@@ -359,7 +363,8 @@ def polygon_cover(rings, max_level, interior_shortcut=True):
             emit = intersects & (level == max_level)
             descend = intersects & (level < max_level)
         if emit.any():
-            out.append(_encode(face[emit], i[emit], j[emit], level))
+            out.append((_encode(face[emit], i[emit], j[emit], level),
+                        fully_in[emit]))
         if level == max_level or not descend.any():
             break
         face = np.repeat(face[descend], 4)
@@ -369,8 +374,14 @@ def polygon_cover(rings, max_level, interior_shortcut=True):
             + np.tile([0, 1, 0, 1], descend.sum())
         level += 1
     if not out:
-        return np.empty(0, dtype=np.uint64)
-    return np.sort(np.concatenate(out))
+        ids = np.empty(0, dtype=np.uint64)
+        interior = np.empty(0, dtype=bool)
+    else:
+        ids = np.concatenate([o[0] for o in out])
+        interior = np.concatenate([o[1] for o in out])
+        order = np.argsort(ids)
+        ids, interior = ids[order], interior[order]
+    return (ids, interior) if return_interior else ids
 
 
 def cover_contains(cover_ids, point_ids):
