@@ -67,13 +67,13 @@ def _xyz_to_face_uv(x, y, z):
                  np.where(ay >= ax, 1, 0)).astype(np.int64)
     major = np.choose(f, [x, y, z])
     face = np.where(major < 0, f + 3, f)
+    # every face's u/v denominator is its major-axis component, so two
+    # numerator gathers + two divisions replace twelve masked divisions
+    un = np.choose(face, [y, -x, -x, z, z, -y])
+    vn = np.choose(face, [z, z, -y, y, -x, -x])
     with np.errstate(divide="ignore", invalid="ignore"):
-        u = np.select(
-            [face == 0, face == 1, face == 2, face == 3, face == 4],
-            [y / x, -x / y, -x / z, z / x, z / y], default=-y / z)
-        v = np.select(
-            [face == 0, face == 1, face == 2, face == 3, face == 4],
-            [z / x, z / y, -y / z, y / x, -x / y], default=-x / z)
+        u = un / major
+        v = vn / major
     return face, u, v
 
 
@@ -108,8 +108,56 @@ def _st_to_ij(s, limit=_LIMIT):
 # ---------------------------------------------------------------------------
 # Hilbert encode / decode
 
+def _build_lookup(r: int) -> np.ndarray:
+    """Block lookup table: (i_bits << (r+2)) | (j_bits << 2) | orient
+    -> (pos_bits << 2) | orient', advancing the curve r levels at once
+    (the s2geometry lookup_pos construction, r=4 there).  Built by the
+    trusted per-bit walk, so the tables and the bit algorithm can be
+    regression-checked against each other."""
+    out = np.zeros(1 << (2 * r + 2), dtype=np.uint16)
+    for ib in range(1 << r):
+        for jb in range(1 << r):
+            for orient in range(4):
+                o, pos = orient, 0
+                for k in range(r - 1, -1, -1):
+                    ij = (((ib >> k) & 1) << 1) | ((jb >> k) & 1)
+                    p = int(_IJ_TO_POS[o, ij])
+                    pos = (pos << 2) | p
+                    o ^= int(_POS_TO_ORIENT[p])
+                out[(ib << (r + 2)) | (jb << 2) | orient] = (pos << 2) | o
+    return out
+
+
+_LOOKUP = {r: _build_lookup(r) for r in (1, 2, 3, 4)}
+
+
 def _encode(face, i, j, level):
-    """uint64 cell ids from level-local (face, i, j) in [0, 2^level)."""
+    """uint64 cell ids from level-local (face, i, j) in [0, 2^level).
+    Walks the curve 4 levels per lookup gather (top partial block
+    first), ~4x fewer vector ops than the per-bit loop."""
+    face = np.asarray(face, dtype=np.int64)
+    i = np.asarray(i, dtype=np.int64)
+    j = np.asarray(j, dtype=np.int64)
+    orient = (face & 1).astype(np.int64)
+    pos = np.zeros(face.shape, dtype=np.uint64)
+    rem = level
+    while rem > 0:
+        r = rem % 4 or 4
+        rem -= r
+        mask = (1 << r) - 1
+        idx = ((((i >> rem) & mask) << (r + 2))
+               | (((j >> rem) & mask) << 2) | orient)
+        val = _LOOKUP[r][idx]
+        pos = (pos << np.uint64(2 * r)) | (val >> 2).astype(np.uint64)
+        orient = (val & 3).astype(np.int64)
+    ids = ((face.astype(np.uint64) << np.uint64(61))
+           | (pos << np.uint64(61 - 2 * level))
+           | (np.uint64(1) << np.uint64(60 - 2 * level)))
+    return ids
+
+
+def _encode_bitwise(face, i, j, level):
+    """Reference per-bit encoder (kept for the table regression test)."""
     face = np.asarray(face, dtype=np.int64)
     i = np.asarray(i, dtype=np.int64)
     j = np.asarray(j, dtype=np.int64)

@@ -191,3 +191,16 @@ def test_cover_as_spatial_join_prefilter():
         assert (hit | ~inside).all(), f"region {rid} lost PIP matches"
         # the prefilter actually prunes (cover is not the whole sphere)
         assert hit.sum() < len(px) * 0.5
+
+
+def test_lookup_encode_matches_bitwise():
+    # the 4-bit block tables must reproduce the per-bit reference walk
+    # at every level (incl. partial top blocks)
+    rng = np.random.default_rng(21)
+    f = rng.integers(0, 6, 20000)
+    for lv in (0, 1, 2, 3, 4, 5, 7, 13, 22, 30):
+        n = max(1 << lv, 1)
+        i = rng.integers(0, n, 20000)
+        j = rng.integers(0, n, 20000)
+        assert (s2._encode(f, i, j, lv) ==
+                s2._encode_bitwise(f, i, j, lv)).all(), lv
