@@ -116,6 +116,28 @@ class PathIndex:
         cy = np.clip(((py - self.ymin) * self._sy).astype(np.int64), 0, d - 1)
         return cy * d + cx
 
+    def _candidate_pairs(self, px, py):
+        """(point_idx, ring_idx) pairs whose ring bbox contains the
+        point — the pluggable candidate step (the STRtree variant in
+        state/strtree.py overrides just this)."""
+        cells = self._candidate_rings(px, py)
+        # gather (point, ring) candidate pairs via CSR expansion
+        starts = self.cell_offsets[cells]
+        ends = self.cell_offsets[cells + 1]
+        reps = (ends - starts).astype(np.int64)
+        empty = np.empty(0, dtype=np.int64)
+        if reps.sum() == 0:
+            return empty, empty
+        pt_rep = np.repeat(np.arange(len(px)), reps)
+        ring_idx = _csr_gather(self.cell_rings, starts, reps)
+        # bbox filter per candidate pair
+        bx = self.bboxes[ring_idx]
+        pxx = px[pt_rep]
+        pyy = py[pt_rep]
+        ok = ((pxx >= bx[:, 0]) & (pxx <= bx[:, 2]) &
+              (pyy >= bx[:, 1]) & (pyy <= bx[:, 3]))
+        return pt_rep[ok], ring_idx[ok]
+
     def find_enclosing_feature(self, px, py, chunk=16384):
         """Vectorized point -> enclosing feature id (first match by lowest
         feature id; -1 if none).  Boundary counts as inside.
@@ -140,23 +162,7 @@ class PathIndex:
         idx = np.nonzero(inb)[0]
         if len(idx) == 0:
             return result
-        cells = self._candidate_rings(px[idx], py[idx])
-        # gather (point, ring) candidate pairs via CSR expansion
-        starts = self.cell_offsets[cells]
-        ends = self.cell_offsets[cells + 1]
-        reps = (ends - starts).astype(np.int64)
-        if reps.sum() == 0:
-            return result
-        pt_rep = np.repeat(np.arange(len(idx)), reps)
-        ring_idx = _csr_gather(self.cell_rings, starts, reps)
-        # bbox filter per candidate pair
-        bx = self.bboxes[ring_idx]
-        pxx = px[idx][pt_rep]
-        pyy = py[idx][pt_rep]
-        ok = ((pxx >= bx[:, 0]) & (pxx <= bx[:, 2]) &
-              (pyy >= bx[:, 1]) & (pyy <= bx[:, 3]))
-        pt_rep = pt_rep[ok]
-        ring_idx = ring_idx[ok]
+        pt_rep, ring_idx = self._candidate_pairs(px[idx], py[idx])
         if len(ring_idx) == 0:
             return result
         # group candidate pairs by ring; vectorized in-ring test per ring
