@@ -458,6 +458,28 @@ def _q58_cover_join(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q59_host_stats(sf_dir: str):
+    """Per-domain corpus stats over the Common-Crawl-style pages:
+    host parsed from the url by a vectorized Arrow regex, then a
+    partial+final groupby.  The oracle never sees the url — it derives
+    the host arithmetically from doc_id, so the parse itself is under
+    test."""
+    from mapshaper_ray.ops.relational import groupby_agg
+    from mapshaper_ray.stages.pages import add_url_host, synth_pages
+
+    pages = add_url_host(synth_pages(sf_dir))
+
+    def measure(batch):
+        import pyarrow.compute as pc
+        return batch.select(["host"]).append_column(
+            "n_chars3", pc.utf8_length(batch["text"]))
+    narrow = pages.map_batches(measure, batch_format="pyarrow")
+    out = groupby_agg(narrow, ["host"], {
+        "n_pages": ("n_chars3", "count"),
+        "sum_chars": ("n_chars3", "sum")}).to_pandas()
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -1005,6 +1027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q56_repetition": _q56_repetition,
         "q57_s2_cells": _q57_s2_cells,
         "q58_cover_join": _q58_cover_join,
+        "q59_host_stats": _q59_host_stats,
     }
 
 
@@ -1415,6 +1438,14 @@ def oracle_sql() -> dict[str, str]:
                          FROM geo)
             SELECT doc_id, region_id FROM assigned
             WHERE region_id >= 0 ORDER BY doc_id""",
+        "q59_host_stats": """
+            -- host derived arithmetically (the Ray side PARSES the
+            -- synthesized url; see stages/pages._synth_batch)
+            SELECT 'site' || CAST(doc_id % 1000 AS VARCHAR)
+                   || '.example' AS host,
+                   count(*) AS n_pages,
+                   sum(length(text)) AS sum_chars
+            FROM documents GROUP BY host ORDER BY host""",
         "q20_dissolve": """
             -- independent edge-multiset arithmetic over the same
             -- deterministic 24x24 mesh: an edge used twice inside a

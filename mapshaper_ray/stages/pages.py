@@ -164,3 +164,16 @@ def drop_heavy_columns(pages: "ray.data.Dataset") -> "ray.data.Dataset":
     shuffle — wide rows dominate block size otherwise (SURVEY.md §7.4)."""
     cols = [c for c in pages.schema().names if c != "html"]
     return pages.select_columns(cols)
+
+
+def add_url_host(pages: "ray.data.Dataset", url_col: str = "url",
+                 out_col: str = "host") -> "ray.data.Dataset":
+    """Extract the host from a Common-Crawl-style url column — one
+    vectorized Arrow regex per batch, zero-copy otherwise.  The
+    building block for per-domain corpus stats / domain-level dedup
+    and sampling."""
+    def f(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch[url_col],
+                             r"^[a-z][a-z0-9+.-]*://(?P<host>[^/?#]+)")
+        return batch.append_column(out_col, pc.struct_field(m, "host"))
+    return pages.map_batches(f, batch_format="pyarrow")

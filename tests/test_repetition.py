@@ -51,3 +51,16 @@ def test_random_corpus_and_batch_independence():
     big = _run(texts)
     small = _run(texts, batch_size=7)
     pd.testing.assert_frame_equal(big, small)
+
+
+def test_add_url_host_edge_cases():
+    import pyarrow as pa
+    from mapshaper_ray.stages.pages import add_url_host
+    urls = ["https://site7.example/p/7",
+            "http://a.b.c:8080/x?q=1",
+            "ftp://host.example",
+            "https://h/#frag"]
+    ds = rd.from_arrow(pa.table({"url": urls}))
+    out = add_url_host(ds).to_pandas()
+    assert list(out["host"]) == ["site7.example", "a.b.c:8080",
+                                 "host.example", "h"]
