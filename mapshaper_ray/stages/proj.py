@@ -493,6 +493,74 @@ def cass_fwd(lon, lat, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
     return x0 + R * x, y0 + R * y
 
 
+def aeqd_fwd(lon, lat, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0, guam=False):
+    """Ellipsoidal azimuthal equidistant (PJ_aeqd.c; reference mproj
+    pj_aeqd) — the pj_mlfn-based modes: polar north/south (meridian-arc
+    radius) and the Guam variant.  The equatorial/oblique ellipsoidal
+    modes run a full Karney geodesic in mproj (GeographicLib) and
+    raise here."""
+    lam = np.deg2rad(np.asarray(lon, float) - lon0)
+    phi = np.deg2rad(np.asarray(lat, float))
+    en = _enfn(ES)
+    if guam:
+        p0 = np.deg2rad(lat0)
+        m1 = _mlfn(p0, np.sin(p0), np.cos(p0), en)
+        sinphi, cosphi = np.sin(phi), np.cos(phi)
+        t = 1.0 / np.sqrt(1 - ES * sinphi * sinphi)
+        x = lam * cosphi * t
+        y = (_mlfn(phi, sinphi, cosphi, en) - m1
+             + 0.5 * lam * lam * cosphi * sinphi * t)
+    elif abs(abs(lat0) - 90.0) < 1e-10:
+        north = lat0 > 0
+        mp = _mlfn(np.pi / 2 if north else -np.pi / 2,
+                   1.0 if north else -1.0, 0.0, en)
+        coslam = np.cos(lam)
+        if north:
+            coslam = -coslam
+        rho = np.abs(mp - _mlfn(phi, np.sin(phi), np.cos(phi), en))
+        x = rho * np.sin(lam)
+        y = rho * coslam
+    else:
+        raise NotImplementedError(
+            "+proj=aeqd equatorial/oblique ellipsoidal modes need a "
+            "full geodesic (GeographicLib); supported: +lat_0=90, "
+            "+lat_0=-90, +guam")
+    return x0 + R * x, y0 + R * y
+
+
+def aeqd_inv(x, y, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0, guam=False):
+    x = (np.asarray(x, float) - x0) / R
+    y = (np.asarray(y, float) - y0) / R
+    en = _enfn(ES)
+    if guam:
+        p0 = np.deg2rad(lat0)
+        m1 = _mlfn(p0, np.sin(p0), np.cos(p0), en)
+        x2 = 0.5 * x * x
+        phi = np.full(np.shape(x), p0, dtype=np.float64)
+        t = np.ones_like(phi)
+        for _ in range(3):
+            t = E * np.sin(phi)
+            t = np.sqrt(1 - t * t)
+            phi = _inv_mlfn(m1 + y - x2 * np.tan(phi) * t, ES, en)
+        lam = x * t / np.cos(phi)
+    elif abs(abs(lat0) - 90.0) < 1e-10:
+        north = lat0 > 0
+        mp = _mlfn(np.pi / 2 if north else -np.pi / 2,
+                   1.0 if north else -1.0, 0.0, en)
+        c = np.hypot(x, y)
+        phi = _inv_mlfn(mp - c if north else mp + c, ES, en)
+        lam = np.arctan2(x, -y if north else y)
+        ctr = c < 1e-10
+        if np.any(ctr):
+            phi = np.where(ctr, np.deg2rad(lat0), phi)
+            lam = np.where(ctr, 0.0, lam)
+    else:
+        raise NotImplementedError(
+            "+proj=aeqd equatorial/oblique ellipsoidal inverse "
+            "unsupported (see aeqd_fwd)")
+    return lon0 + np.rad2deg(lam), np.rad2deg(phi)
+
+
 def cass_inv(x, y, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
     x = (np.asarray(x, float) - x0) / R
     y = (np.asarray(y, float) - y0) / R
@@ -2573,6 +2641,13 @@ def parse_prj(text: str):
                   lon0=lon0, x0=x0, y0=y0)
         return (functools.partial(gnom_fwd, **kw),
                 functools.partial(gnom_inv, **kw))
+    if proj_name == "azimuthal_equidistant":
+        kw = dict(lat0=params.get("latitude_of_center",
+                                  params.get("latitude_of_origin",
+                                             0.0)),
+                  lon0=lon0, x0=x0, y0=y0)
+        return (functools.partial(aeqd_fwd, **kw),
+                functools.partial(aeqd_inv, **kw))
     return None
 
 
@@ -2679,6 +2754,7 @@ _WKT_MAKER = {
     "sinu": ("Sinusoidal", []),
     "robin": ("Robinson", []),
     "cass": ("Cassini_Soldner", [("lat_0", "latitude_of_origin")]),
+    "aeqd": ("Azimuthal_Equidistant", [("lat_0", "latitude_of_center")]),
     "moll": ("Mollweide", []),
     "mill": ("Miller_Cylindrical", []),
     "gall": ("Gall_Stereographic", []),
@@ -2782,6 +2858,7 @@ PROJECTIONS = {
     "laea": (laea_fwd, laea_inv),
     "eqdc": (eqdc_fwd, eqdc_inv),
     "cass": (cass_fwd, cass_inv),
+    "aeqd": (aeqd_fwd, aeqd_inv),
     "moll": (moll_fwd, moll_inv),
     "mill": (mill_fwd, mill_inv),
     "gall": (gall_fwd, gall_inv),
@@ -2863,6 +2940,7 @@ _PROJ4_PARAM_DEFAULTS = {
     "robin": dict(lon0=0.0),
     "robinson": dict(lon0=0.0),
     "cass": dict(lat0=0.0, lon0=0.0),
+    "aeqd": dict(lat0=0.0, lon0=0.0),
     "moll": dict(lon0=0.0),
     "mill": dict(lon0=0.0),
     "gall": dict(lon0=0.0),
@@ -2906,6 +2984,8 @@ def resolve_projection(defn: str):
                     kw["no_off" if flag == "no_uoff" else flag] = True
         if name == "krovak" and "czech" in parts:
             kw["czech"] = True
+        if name == "aeqd" and "guam" in parts:
+            kw["guam"] = True
         # '+proj=' strings take PROJ4's zero defaults, NOT the alias
         # kernels' reference-alias defaults (mproj: bare +proj=aea
         # projects at lat_0=0/lon_0=0; bare +proj=lcc errors) —

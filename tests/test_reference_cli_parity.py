@@ -347,6 +347,16 @@ _WORLD_PTS = [(-96.5, 38.2), (12.3, 48.7), (150.1, -33.9),
     ("+proj=nzmg",
      [(173.0, -41.0), (174.7, -36.85), (170.5, -45.87),
       (168.0, -44.0)]),
+    # azimuthal equidistant: pj_mlfn-based modes (polar N/S + Guam);
+    # the oblique ellipsoidal mode is geodesic-based and unsupported
+    ("+proj=aeqd +lat_0=90",
+     [(-96.5, 68.2), (12.3, 48.7), (0.0, 89.0), (-179.5, 71.2)]),
+    ("+proj=aeqd +lat_0=-90 +lon_0=30",
+     [(150.1, -33.9), (-70.2, -54.8), (0.0, -89.0), (30.0, -60.0)]),
+    ("+proj=aeqd +lat_0=13.47246635277778 +lon_0=144.7487507055556"
+     " +x_0=50000 +y_0=50000 +guam",
+     [(144.75, 13.47), (144.65, 13.25), (144.95, 13.65),
+      (144.8, 13.5)]),
 ])
 def test_proj_family_batch_vs_mproj(ray_session, ref_cli, tmp_path,
                                     spec, pts):
@@ -967,6 +977,8 @@ _US3 = [(-96.5, 38.2), (-80.1, 25.9), (-120.3, 48.7)]
     ("+proj=ortho +lat_0=40 +lon_0=-100", _US3),
     ("+proj=gnom +lat_0=40 +lon_0=-100", _US3),
     ("+proj=nzmg", _NZ),
+    ("+proj=aeqd +lat_0=90", [(-96.5, 68.2), (12.3, 48.7),
+                              (-179.5, 71.2)]),
     ("+proj=eck4", _US3),
     ("+proj=vandg", _US3),
     ("+proj=omerc +lat_0=4 +lonc=102.25 +alpha=323.0257964666666"
