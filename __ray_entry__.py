@@ -480,6 +480,61 @@ def _q59_host_stats(sf_dir: str):
     return out.sort_values("host").reset_index(drop=True)
 
 
+def _q60_group_sample(sf_dir: str):
+    """Stratified quota sample: 20 docs per language, ranked by a
+    deterministic md5(text+seed) hash — one bucket shuffle + one
+    vectorized lexsort/cumcount per partition."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import sample_per_group
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+    out = sample_per_group(ds, key="lang", n=20, seed="s0").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_BM25_TERMS = ("window", "stream", "hash")
+
+
+def _q61_bm25(sf_dir: str):
+    """BM25 top-50 for a fixed 3-term query: integer-exact corpus
+    stats reduce, stateless scoring pass, partial top-k merge."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import bm25_topk
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return bm25_topk(ds, _BM25_TERMS, k=50)
+
+
+def _q62_pagerank(sf_dir: str):
+    """Distributed PageRank (5 power iterations, d=0.85) over a
+    deterministic 3-out-link citation graph on doc ids — the
+    iterative-pipeline operator: per iteration one bucket-hash join +
+    one grouped sum; rank vector stays in the object store.  Oracle:
+    the same five iterations unrolled as SQL CTEs."""
+    import ray.data as rd
+    from mapshaper_ray.ops.graph import pagerank
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    n = ids.count()
+
+    def mk_edges(df):
+        d = df["doc_id"].to_numpy()
+        src = np.concatenate([d, d, d])
+        dst = np.concatenate([(d * 7 + 1) % n, (d * 13 + 5) % n,
+                              (d * 31 + 11) % n])
+        return pd.DataFrame({"src": src, "dst": dst})
+
+    def as_node(df):
+        return pd.DataFrame({"node": df["doc_id"].to_numpy()})
+
+    edges = ids.map_batches(mk_edges, batch_format="pandas")
+    nodes = ids.map_batches(as_node, batch_format="pandas")
+    out = pagerank(edges, nodes, damping=0.85, iters=5).to_pandas()
+    out = out.rename(columns={"node": "doc_id"})
+    out["rank"] = out["rank"].round(9)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -1028,6 +1083,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q57_s2_cells": _q57_s2_cells,
         "q58_cover_join": _q58_cover_join,
         "q59_host_stats": _q59_host_stats,
+        "q60_group_sample": _q60_group_sample,
+        "q61_bm25": _q61_bm25,
+        "q62_pagerank": _q62_pagerank,
     }
 
 
@@ -1446,6 +1504,111 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_pages,
                    sum(length(text)) AS sum_chars
             FROM documents GROUP BY host ORDER BY host""",
+        "q60_group_sample": """
+            SELECT doc_id, lang FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang
+                ORDER BY md5_number_lower(text || 's0'), doc_id) <= 20
+            ORDER BY doc_id""",
+        "q61_bm25": """
+            -- same arithmetic shape as stages/text.bm25_topk (integer
+            -- corpus stats make avgdl/idf exact across engines)
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+            base AS (
+              SELECT doc_id, len(w) AS dl,
+                     len(list_filter(w, x -> x = 'window')) AS tf0,
+                     len(list_filter(w, x -> x = 'stream')) AS tf1,
+                     len(list_filter(w, x -> x = 'hash')) AS tf2,
+              FROM words),
+            g AS (
+              SELECT count(*) AS nd,
+                     sum(dl) / count(*) AS avgdl,
+                     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                     sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+              FROM base),
+            scored AS (
+              SELECT doc_id,
+                ln(1 + (nd - df0 + 0.5) / (df0 + 0.5))
+                  * ((tf0 * (1.2 + 1))
+                     / (tf0 + 1.2 * ((1 - 0.75) + 0.75 * (dl / avgdl))))
+                + ln(1 + (nd - df1 + 0.5) / (df1 + 0.5))
+                  * ((tf1 * (1.2 + 1))
+                     / (tf1 + 1.2 * ((1 - 0.75) + 0.75 * (dl / avgdl))))
+                + ln(1 + (nd - df2 + 0.5) / (df2 + 0.5))
+                  * ((tf2 * (1.2 + 1))
+                     / (tf2 + 1.2 * ((1 - 0.75) + 0.75 * (dl / avgdl))))
+                AS score
+              FROM base, g)
+            SELECT doc_id, round(score, 6) AS bm25 FROM scored
+            ORDER BY score DESC, doc_id LIMIT 50""",
+        "q62_pagerank": """
+            -- five unrolled power iterations over the same synthetic
+            -- 3-out-link graph
+            WITH nd AS (SELECT count(*) AS n FROM documents),
+            nodes AS (SELECT doc_id AS node FROM documents),
+            e AS (
+              SELECT doc_id AS src, (doc_id * 7 + 1) % nd.n AS dst
+              FROM documents, nd
+              UNION ALL
+              SELECT doc_id, (doc_id * 13 + 5) % nd.n
+              FROM documents, nd
+              UNION ALL
+              SELECT doc_id, (doc_id * 31 + 11) % nd.n
+              FROM documents, nd),
+            deg AS (SELECT src, count(*) AS c FROM e GROUP BY src),
+            ew AS (SELECT e.src, e.dst, 1.0 / deg.c AS w
+                   FROM e JOIN deg ON e.src = deg.src),
+            r0 AS (SELECT node, 1.0 / nd.n AS r FROM nodes, nd),
+            r1 AS (
+              SELECT nn.node,
+                     (1 - 0.85) / (SELECT n FROM nd)
+                     + 0.85 * coalesce(s.x, 0) AS r
+              FROM nodes nn
+              LEFT JOIN (
+                SELECT ew.dst AS node, sum(p.r * ew.w) AS x
+                FROM r0 p JOIN ew ON p.node = ew.src
+                GROUP BY ew.dst) s ON nn.node = s.node),
+            r2 AS (
+              SELECT nn.node,
+                     (1 - 0.85) / (SELECT n FROM nd)
+                     + 0.85 * coalesce(s.x, 0) AS r
+              FROM nodes nn
+              LEFT JOIN (
+                SELECT ew.dst AS node, sum(p.r * ew.w) AS x
+                FROM r1 p JOIN ew ON p.node = ew.src
+                GROUP BY ew.dst) s ON nn.node = s.node),
+            r3 AS (
+              SELECT nn.node,
+                     (1 - 0.85) / (SELECT n FROM nd)
+                     + 0.85 * coalesce(s.x, 0) AS r
+              FROM nodes nn
+              LEFT JOIN (
+                SELECT ew.dst AS node, sum(p.r * ew.w) AS x
+                FROM r2 p JOIN ew ON p.node = ew.src
+                GROUP BY ew.dst) s ON nn.node = s.node),
+            r4 AS (
+              SELECT nn.node,
+                     (1 - 0.85) / (SELECT n FROM nd)
+                     + 0.85 * coalesce(s.x, 0) AS r
+              FROM nodes nn
+              LEFT JOIN (
+                SELECT ew.dst AS node, sum(p.r * ew.w) AS x
+                FROM r3 p JOIN ew ON p.node = ew.src
+                GROUP BY ew.dst) s ON nn.node = s.node),
+            r5 AS (
+              SELECT nn.node,
+                     (1 - 0.85) / (SELECT n FROM nd)
+                     + 0.85 * coalesce(s.x, 0) AS r
+              FROM nodes nn
+              LEFT JOIN (
+                SELECT ew.dst AS node, sum(p.r * ew.w) AS x
+                FROM r4 p JOIN ew ON p.node = ew.src
+                GROUP BY ew.dst) s ON nn.node = s.node)
+            SELECT node AS doc_id, round(r, 9) AS rank
+            FROM r5 ORDER BY doc_id""",
         "q20_dissolve": """
             -- independent edge-multiset arithmetic over the same
             -- deterministic 24x24 mesh: an edge used twice inside a

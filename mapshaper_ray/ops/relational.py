@@ -461,6 +461,18 @@ def hash_join_bucketed(left_ds, right_ds, on: str, how="inner",
     both = l_.union(r_)
 
     def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # A bucket whose rows all come from ONE side can arrive in a
+        # sorted block that was never concatenated with the other
+        # side, so the other side's columns are absent entirely
+        # (union blocks keep per-side schemas until the sort merges
+        # them); same for the zero-row no-column block Ray can emit.
+        # Pad the missing columns so the per-bucket merge still sees
+        # both schemas (and yields that side empty).
+        if len(df) == 0 or "__side" not in df.columns:
+            df = pd.DataFrame({"__side": np.empty(0, np.int8)})
+        for c in dict.fromkeys(l_names + r_names + [on]):
+            if c not in df.columns:
+                df = df.assign(**{c: np.full(len(df), np.nan)})
         lt = df[df["__side"] == 0][list(dict.fromkeys(l_names + [on]))]
         rt = df[df["__side"] == 1][list(dict.fromkeys(r_names + [on]))]
         return lt.merge(rt, on=on, how=how, suffixes=("", "_r"))
@@ -815,7 +827,12 @@ def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
     def part_asof(df: pd.DataFrame) -> pd.DataFrame:
         left = df[df["__side"] == 0]
         right = df[df["__side"] == 1]
-        if len(left) == 0:
+        # right must be length-checked too: a bucket whose rows all
+        # come from the LEFT side can arrive in a sorted block that
+        # was never concatenated with a right block, so the right-only
+        # columns are absent from the schema entirely (inner
+        # semantics: those left rows drop anyway)
+        if len(left) == 0 or len(right) == 0:
             return pd.DataFrame(columns=[*lcols, *[c + suffix
                                                    for c in keep_r]])
         rb = right[by].to_numpy()

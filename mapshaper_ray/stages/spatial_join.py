@@ -212,7 +212,20 @@ def cover_join(points_ds, polys_ds, level=10, poly_id_col="poly_id",
     u = cand.map_batches(tag_cand, batch_format="pandas").union(
         polys_ds.map_batches(tag_poly, batch_format="pandas"))
 
+    empty_out = {c: np.empty(0) for c in out_cols}
+
     def verify(df: pd.DataFrame) -> pd.DataFrame:
+        # A bucket holding polygons but ZERO candidates can arrive in
+        # a sorted block built only from tag_poly rows, whose schema
+        # has no point columns at all (union blocks keep per-side
+        # schemas until the sort concatenates them) — so the empty
+        # output must be constructed explicitly, never sliced from df.
+        if len(df) == 0 or "__side" not in df.columns:
+            return pd.DataFrame(empty_out)
+        cands = df[df["__side"] == 0]
+        if len(cands) == 0 or any(c not in df.columns
+                                  for c in out_cols):
+            return pd.DataFrame(empty_out)
         here = df[df["__side"] == 1]
         rings_by_pid = {
             int(pid): [(np.asarray(rx, np.float64),
@@ -220,7 +233,6 @@ def cover_join(points_ds, polys_ds, level=10, poly_id_col="poly_id",
                        for rx, ry in zip(rxs, rys)]
             for pid, rxs, rys in zip(here[poly_id_col],
                                      here["rings_x"], here["rings_y"])}
-        cands = df[df["__side"] == 0]
         keeps = []
         for pid, grp in cands.groupby(poly_id_col, sort=False):
             inside = points_in_shape(

@@ -203,6 +203,96 @@ def repetition_signals(ds, text_col="text", id_col="doc_id",
                           batch_size=batch_size)
 
 
+def sample_per_group(ds, key, n, seed="s0", id_col="doc_id",
+                     text_col="text", n_parts=64):
+    """Deterministic per-group quota sample: the ``n`` rows of each
+    group with the smallest md5(text+seed) (ties by id) survive —
+    stratified downsampling by lang/domain/source, the standard
+    balance step before training-data mixing.
+
+    Partition-independent by construction (the rank hash is a pure
+    row function); one bucket shuffle on the group key, then a single
+    vectorized lexsort + cumcount per partition — no per-group tasks.
+    Reproducible in SQL via md5_number_lower.  Returns (id_col, key).
+    """
+    from ..ops.partition import bucket_part
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            key: df[key].to_numpy(),
+            "__h": md5_lo64((df[text_col] + seed).tolist()),
+        })
+        kh = pd.util.hash_array(out[key].to_numpy().astype(object))
+        out["__part"] = bucket_part(kh, n_parts)
+        return out
+
+    def head_n(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((df[id_col].to_numpy(),
+                            df["__h"].to_numpy(),
+                            df[key].to_numpy().astype(str)))
+        df = df.iloc[order]
+        rank = df.groupby(key, sort=False).cumcount()
+        return df[rank < n][[id_col, key]]
+
+    return ds.map_batches(emit, batch_format="pandas") \
+        .groupby("__part").map_groups(head_n, batch_format="pandas")
+
+
+def bm25_topk(ds, terms, k=50, k1=1.2, b=0.75, id_col="doc_id",
+              text_col="text"):
+    """Distributed BM25 retrieval against a fixed term query
+    (Robertson–Sparck Jones weighting, the Lucene idf variant
+    ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Two passes, no shuffle: (1) a partial-stats reduce — each batch
+    contributes one row of (doc count, Σdl, per-term doc counts), the
+    driver sums INTEGERS (exact, order-independent, so avgdl and idf
+    match a SQL oracle bit-for-bit); (2) a stateless scoring pass +
+    per-partition partial top-k, with the ≤ k×P candidate rows merged
+    on the driver.  Returns a pandas DataFrame (id_col, bm25), score
+    descending with id tiebreak.
+    """
+    terms = list(terms)
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [t.split(" ") if t else [] for t in df[text_col]]
+        row = {"n": len(toks),
+               "sum_dl": int(sum(len(x) for x in toks))}
+        for ti, term in enumerate(terms):
+            row[f"df{ti}"] = int(sum(1 for x in toks if term in x))
+        return pd.DataFrame([row])
+
+    st = ds.map_batches(stats, batch_format="pandas").to_pandas()
+    n_docs = int(st["n"].sum())
+    avgdl = st["sum_dl"].sum() / n_docs
+    import math
+    idf = [math.log(1 + (n_docs - int(st[f"df{ti}"].sum()) + 0.5)
+                    / (int(st[f"df{ti}"].sum()) + 0.5))
+           for ti in range(len(terms))]
+    k1p1 = k1 + 1
+    one_b = 1 - b
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [t.split(" ") if t else [] for t in df[text_col]]
+        dl = np.fromiter((len(x) for x in toks), np.float64, len(toks))
+        s = np.zeros(len(toks))
+        norm = k1 * (one_b + b * (dl / avgdl))
+        for ti, term in enumerate(terms):
+            tf = np.fromiter((x.count(term) for x in toks),
+                             np.float64, len(toks))
+            s = s + idf[ti] * ((tf * k1p1) / (tf + norm))
+        out = pd.DataFrame({id_col: df[id_col].to_numpy(), "bm25": s})
+        return out.sort_values(["bm25", id_col],
+                               ascending=[False, True]).head(k)
+
+    cand = ds.map_batches(score, batch_format="pandas").to_pandas()
+    out = cand.sort_values(["bm25", id_col],
+                           ascending=[False, True]).head(k)
+    out["bm25"] = out["bm25"].round(6)
+    return out.reset_index(drop=True)
+
+
 def token_df_topk(ds, text_col="text", k=100, n_parts=64):
     """Corpus vocabulary stats: top-k tokens by DOCUMENT frequency
     (number of docs containing the token), ties broken by token text.

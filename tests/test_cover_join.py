@@ -57,3 +57,28 @@ def test_cover_join_block_invariance():
     pd.testing.assert_frame_equal(
         a[key].sort_values(key).reset_index(drop=True),
         b[key].sort_values(key).reset_index(drop=True))
+
+
+def test_cover_join_polygon_with_zero_candidates():
+    """Regression: a __part bucket holding a polygon but NO candidate
+    points can arrive at the verify stage in a sorted block built only
+    from tag_poly rows — that block's schema has no point columns, so
+    slicing the empty output from it raised KeyError('pt_id')
+    (observed flakily at sf0.01 in the driver gate).  Points are
+    clustered so most poly-id buckets are candidate-free."""
+    rng = np.random.default_rng(3)
+    n = 400
+    r0 = region_centers()[0]
+    pts = pd.DataFrame({
+        "pt_id": np.arange(n, dtype=np.int64),
+        "lon": r0[1] + rng.uniform(-0.5, 0.5, n),
+        "lat": r0[2] + rng.uniform(-0.5, 0.5, n)})
+    for bk in (2, 7, 64):
+        got = cover_join(rd.from_pandas(pts), _polys_ds(), level=8,
+                         poly_id_col="region_id",
+                         num_buckets=bk).to_pandas()
+        want = spatial_join(rd.from_pandas(pts), build_region_index(),
+                            how="inner").to_pandas()
+        assert len(got) == len(want)
+        assert (got.sort_values("pt_id")["region_id"].to_numpy()
+                == want.sort_values("pt_id")["region_id"].to_numpy()).all()
