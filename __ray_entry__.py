@@ -535,6 +535,35 @@ def _q62_pagerank(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q63_kmeans(sf_dir: str):
+    """Distributed k-means over the embedding table (k=8, 3 Lloyd
+    iterations, integer-quantized so every assignment and centroid
+    update is bit-reproducible): broadcast centroids, one stateless
+    partial-sums pass per iteration, driver reduces k tiny rows.
+    Oracle: the same three iterations unrolled as SQL CTEs over
+    list_dot_product distances."""
+    import ray.data as rd
+    from mapshaper_ray.ops.cluster import kmeans
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = kmeans(ds, k=8, iters=3, scale=1024).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _q64_lm_nll(sf_dir: str):
+    """Unigram-LM perplexity quality scoring (CCNet-style): corpus
+    token counts (bucket shuffle, driver holds only the vocab table),
+    broadcast, then one stateless scoring pass.  Quantized-log
+    arithmetic keeps the per-doc sums integer-exact, so the SQL
+    oracle matches value-exact."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import lm_nll
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = lm_nll(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -1086,6 +1115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q60_group_sample": _q60_group_sample,
         "q61_bm25": _q61_bm25,
         "q62_pagerank": _q62_pagerank,
+        "q63_kmeans": _q63_kmeans,
+        "q64_lm_nll": _q64_lm_nll,
     }
 
 
@@ -1230,6 +1261,50 @@ _ROBIN_ROWS_SQL = """\
                0.9761000275611877, 0.0061652702279388905, -0.00025599999935366213, -4.210599854559405e-06),
               (18, 0.5321999788284302, -0.006777970120310783, 0.0002756080066319555, 6.240510174393421e-06,
                1.0, 0.0032894699834287167, -0.0003191590076312423, -4.210599854559405e-06)"""
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1024) -> str:
+    """Unroll ops/cluster.kmeans as SQL CTEs: the same integer
+    quantization, exact int-valued squared distances via
+    list_dot_product, lowest-cid tiebreak, and round-half-up centroid
+    means (floor((2s + n) / (2n))); empty clusters keep the previous
+    centroid via the LEFT JOIN coalesce."""
+    def assign(name, cents):
+        return f"""{name} AS (
+          SELECT vec_id, cid FROM (
+            SELECT q.vec_id, c.cid,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                list_dot_product(q.v, q.v) + list_dot_product(c.v, c.v)
+                - 2 * list_dot_product(q.v, c.v), c.cid) AS rn
+            FROM q, {cents} c) WHERE rn = 1)"""
+
+    def update(name, prev_cents, asg):
+        return f"""{name} AS (
+          SELECT p.cid, coalesce(m.v, p.v) AS v
+          FROM {prev_cents} p LEFT JOIN (
+            SELECT cid, list(CAST(floor((2 * s + n) / (2.0 * n))
+                                  AS BIGINT) ORDER BY d) AS v
+            FROM (SELECT a.cid AS cid, qd.d AS d,
+                         sum(qd.val) AS s, count(*) AS n
+                  FROM {asg} a JOIN qd USING (vec_id)
+                  GROUP BY a.cid, qd.d)
+            GROUP BY cid) m ON p.cid = m.cid)"""
+
+    ctes = [f"""q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(x * {scale} + 0.5) AS BIGINT)) AS v
+          FROM embeddings)""",
+            """qd AS (
+          SELECT vec_id, unnest(v) AS val,
+                 generate_subscripts(v, 1) AS d FROM q)""",
+            f"c0 AS (SELECT vec_id AS cid, v FROM q WHERE vec_id < {k})"]
+    for i in range(1, iters + 1):
+        ctes.append(assign(f"a{i}", f"c{i - 1}"))
+        ctes.append(update(f"c{i}", f"c{i - 1}", f"a{i}"))
+    ctes.append(assign("afin", f"c{iters}"))
+    return ("WITH " + ",\n".join(ctes) +
+            "\nSELECT vec_id, cid AS cluster FROM afin ORDER BY vec_id")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2152,6 +2227,29 @@ def oracle_sql() -> dict[str, str]:
     }
     # IVF with exhaustive probing must equal the brute top-k
     out["q39_ann_ivf"] = out["q14_ann_topk"]
+
+    out["q63_kmeans"] = _kmeans_sql(k=8, iters=3, scale=1024)
+
+    out["q64_lm_nll"] = """
+        -- same quantized-log arithmetic as stages/text.lm_nll:
+        -- floor(ln(count+1) * 1e9) is bit-identical between libm
+        -- (math.log) and DuckDB ln, so per-doc sums are exact ints
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t
+          FROM documents),
+        cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        g AS (SELECT sum(c) AS total, count(*) AS v FROM cnt),
+        qz AS (SELECT CAST(floor(ln(CAST(total + v AS DOUBLE))
+                                 * 1000000000) AS BIGINT) AS z FROM g),
+        ql AS (SELECT t, CAST(floor(ln(CAST(c + 1 AS DOUBLE))
+                                    * 1000000000) AS BIGINT) AS q
+               FROM cnt),
+        dl AS (SELECT doc_id, count(*) AS n, sum(q) AS s
+               FROM tok JOIN ql USING (t) GROUP BY doc_id)
+        SELECT doc_id,
+               round((n * (SELECT z FROM qz) - s)
+                     / (1000000000.0 * n), 6) AS lm_nll
+        FROM dl ORDER BY doc_id"""
 
     # raster grid oracles: cell centers -180 + (c+0.5)*1.875 etc. are
     # float-exact (dyadic 1.875 = 15/8), so the diamond-rule CASE at a

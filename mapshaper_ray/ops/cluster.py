@@ -1,0 +1,97 @@
+"""Distributed k-means over an embedding column.
+
+The curation use (cluster-based dedup / diversity balancing, e.g.
+SemDeDup-style pruning) needs Lloyd's algorithm at corpus scale: the
+centroid set is tiny (k x dim) and broadcast via ``ray.put``; each
+iteration is ONE stateless ``map_batches`` pass emitting per-batch
+partial sums (k rows of (count, sum-vector) per batch), reduced on the
+driver — no shuffle at all, and nothing driver-side grows with the
+corpus.  That is the canonical Ray Data shape for centroid-style
+iterative ML (same skeleton as ops/ann.ivf_build).
+
+Everything runs in INTEGER arithmetic so results are bit-reproducible
+and independently checkable: embeddings are quantized once
+(``floor(x * scale + 0.5)``), distances are exact int64 sums of
+squares, ties break to the lowest centroid id, and the centroid update
+rounds the exact rational mean half-up via ``floor((2*s + c) / (2c))``
+— every step expressible in SQL over the same parquet, which is how
+the q63 oracle validates it value-exact (a float k-means could flip an
+argmin on summation order and can't be oracled).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def quantize_batch(vecs, scale: int) -> np.ndarray:
+    """list<float> column -> (n, dim) int64, floor(x*scale + 0.5)
+    (round-half-up, matching SQL floor semantics for negatives)."""
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    return np.floor(m * scale + 0.5).astype(np.int64)
+
+
+def _assign(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Exact int64 squared distances; ties -> lowest centroid id
+    (np.argmin picks the first minimum)."""
+    qq = (q * q).sum(axis=1, keepdims=True)
+    cc = (cents * cents).sum(axis=1)[None, :]
+    d = qq + cc - 2 * (q @ cents.T)
+    return np.argmin(d, axis=1)
+
+
+def kmeans(ds, k: int = 8, iters: int = 3, scale: int = 1024,
+           id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Lloyd's k-means, init = the quantized vectors of the ``k``
+    smallest ids (deterministic, seedless).  Returns a Dataset of
+    (id_col, cluster) — ``cluster`` is the centroid index after
+    ``iters`` assignment/update rounds.
+
+    Empty clusters keep their previous centroid.  The driver holds
+    only centroids and per-batch partials (k rows each); the final
+    labeling is a streaming map_batches.
+    """
+    import ray
+
+    seed_df = ds.map_batches(
+        lambda df: df[df[id_col] < k],
+        batch_format="pandas").to_pandas().sort_values(id_col)
+    if len(seed_df) < k:
+        raise ValueError(f"need ids 0..{k-1} present for seeding, "
+                         f"got {len(seed_df)}")
+    cents = quantize_batch(seed_df[vec_col].tolist(), scale)
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cref)
+            q = quantize_batch(df[vec_col].tolist(), scale)
+            lab = _assign(q, c)
+            rows = []
+            for cid in np.unique(lab):
+                m = lab == cid
+                rows.append({"cid": int(cid), "n": int(m.sum()),
+                             "s": q[m].sum(axis=0)})
+            return pd.DataFrame(rows)
+
+        p = ds.map_batches(partials, batch_format="pandas").to_pandas()
+        new = cents.copy()
+        for cid, grp in p.groupby("cid", sort=False):
+            s = np.sum(np.stack(grp["s"].tolist()), axis=0)
+            n = int(grp["n"].sum())
+            # round-half-up of the exact rational mean s/n
+            new[int(cid)] = np.floor_divide(2 * s + n, 2 * n)
+        cents = new
+
+    cref = ray.put(cents)
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        q = quantize_batch(df[vec_col].tolist(), scale)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "cluster": _assign(q, c).astype(np.int64)})
+
+    return ds.map_batches(label, batch_format="pandas")

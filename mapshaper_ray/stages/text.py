@@ -293,6 +293,82 @@ def bm25_topk(ds, terms, k=50, k1=1.2, b=0.75, id_col="doc_id",
     return out.reset_index(drop=True)
 
 
+def lm_nll(ds, id_col="doc_id", text_col="text", n_parts=64,
+           qscale=10 ** 9):
+    """Unigram language-model perplexity scoring (the CCNet-style
+    quality filter): per-doc mean negative log-likelihood under an
+    add-1-smoothed unigram LM trained on the corpus itself.
+
+    Two passes.  (1) corpus token counts: per-batch partial Counter ->
+    bucket shuffle by token hash -> per-partition sum; the driver
+    collects only the VOCAB-sized (token, count) table, never token
+    occurrences.  (2) the count table broadcasts via ``ray.put`` and a
+    stateless pass scores each doc vectorized (one exploded
+    Series.map + add.reduceat per batch).
+
+    Exactness: log-probabilities are quantized to integers with
+    ``floor(math.log(n) * qscale)`` — ``math.log`` (libm) is
+    bit-identical to DuckDB's ``ln`` (verified 0/50k mismatches; the
+    SIMD ``np.log`` is NOT), so the per-doc sum is an exact integer
+    in both engines and the q64 oracle matches value-exact.
+    Tokenization is ``text.split(' ')`` = SQL ``string_split``.
+    Returns (id_col, lm_nll) with nll in nats rounded to 6 decimals.
+    """
+    import math
+
+    import ray
+
+    from ..ops.partition import bucket_part
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        tok = np.concatenate([(t or "").split(" ")
+                              for t in df[text_col]]) \
+            if len(df) else np.empty(0, object)
+        s = pd.Series(tok, dtype=object).value_counts()
+        out = pd.DataFrame({"token": s.index.to_numpy(object),
+                            "c": s.to_numpy(np.int64)})
+        h = pd.util.hash_array(out["token"].to_numpy(object))
+        out["__part"] = bucket_part(h, n_parts)
+        return out
+
+    def count_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", sort=False)["c"].sum()
+        return pd.DataFrame({"token": g.index.to_numpy(object),
+                             "c": g.to_numpy(np.int64)})
+
+    vocab = ds.map_batches(count_partial, batch_format="pandas") \
+        .groupby("__part").map_groups(count_final,
+                                      batch_format="pandas") \
+        .to_pandas()
+    total = int(vocab["c"].sum())
+    v_size = len(vocab)
+    qz = math.floor(math.log(total + v_size) * qscale)
+    qlog = pd.Series(
+        [math.floor(math.log(int(c) + 1) * qscale)
+         for c in vocab["c"]],
+        index=vocab["token"].to_numpy(object), dtype=np.int64)
+    qref = ray.put(qlog)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(qref)
+        toklists = [(t or "").split(" ") for t in df[text_col]]
+        lens = np.fromiter((len(x) for x in toklists), np.int64,
+                           len(toklists))
+        if lens.sum() == 0:
+            return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                                 "lm_nll": np.zeros(len(df))})
+        tok = np.concatenate(toklists)
+        q = pd.Series(tok, dtype=object).map(qm) \
+            .fillna(0).to_numpy(np.int64)
+        offs = np.r_[0, np.cumsum(lens)[:-1]]
+        s = np.add.reduceat(q, offs)
+        nll = (lens * qz - s) / (qscale * lens.astype(np.float64))
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "lm_nll": np.round(nll, 6)})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def token_df_topk(ds, text_col="text", k=100, n_parts=64):
     """Corpus vocabulary stats: top-k tokens by DOCUMENT frequency
     (number of docs containing the token), ties broken by token text.

@@ -1,0 +1,120 @@
+"""Distributed integer-quantized k-means (ops/cluster.py) vs a dense
+in-memory Lloyd reference, plus partitioning invariance (the partial
+sums reduce must be independent of batch layout)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from mapshaper_ray.ops.cluster import kmeans, quantize_batch
+
+
+def _brute(vecs, k, iters, scale):
+    q = np.floor(np.asarray(vecs, np.float64) * scale + 0.5).astype(
+        np.int64)
+    cents = q[:k].copy()
+    for _ in range(iters):
+        d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lab = np.argmin(d, axis=1)
+        for cid in range(k):
+            m = lab == cid
+            if m.any():
+                s, n = q[m].sum(axis=0), int(m.sum())
+                cents[cid] = np.floor_divide(2 * s + n, 2 * n)
+    d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d, axis=1)
+
+
+def _ds(vecs, n_blocks=1):
+    df = pd.DataFrame({
+        "vec_id": np.arange(len(vecs), dtype=np.int64),
+        "embedding": [np.asarray(v, np.float32) for v in vecs]})
+    ds = rd.from_pandas(df)
+    return ds.repartition(n_blocks) if n_blocks > 1 else ds
+
+
+def test_kmeans_vs_brute():
+    rng = np.random.default_rng(11)
+    # 4 gaussian blobs in 8 dims, plus noise points
+    centers = rng.normal(0, 1, (4, 8))
+    vecs = np.concatenate([
+        centers[i % 4] + rng.normal(0, 0.15, 8).reshape(1, -1)
+        for i in range(120)])
+    got = kmeans(_ds(vecs), k=4, iters=4, scale=512).to_pandas() \
+        .sort_values("vec_id")["cluster"].to_numpy()
+    want = _brute(vecs, k=4, iters=4, scale=512)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_kmeans_partition_invariance():
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(0, 0.3, (90, 16))
+    a = kmeans(_ds(vecs, 1), k=5, iters=3).to_pandas() \
+        .sort_values("vec_id")["cluster"].to_numpy()
+    b = kmeans(_ds(vecs, 17), k=5, iters=3).to_pandas() \
+        .sort_values("vec_id")["cluster"].to_numpy()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_kmeans_empty_cluster_keeps_centroid():
+    # two far blobs, k=3 seeded from the first 3 points (all in blob
+    # A) -> at least one centroid never wins a point and must persist
+    vecs = np.concatenate([
+        np.full((10, 4), 0.0) + np.arange(10)[:, None] * 1e-4,
+        np.full((10, 4), 5.0)])
+    out = kmeans(_ds(vecs), k=3, iters=3, scale=1024).to_pandas()
+    assert len(out) == 20
+    assert out["cluster"].nunique() >= 2
+
+
+def test_quantize_round_half_up_negative():
+    q = quantize_batch([np.array([-0.00048828125, 0.00048828125,
+                                  -1.5 / 1024])], 1024)
+    # -0.5 rounds half-up to 0; +0.5 to 1; -1.5 to -1
+    np.testing.assert_array_equal(q[0], [0, 1, -1])
+
+
+# --- lm_nll (stages/text.py) ---------------------------------------
+
+from mapshaper_ray.stages.text import lm_nll  # noqa: E402
+
+
+def _brute_nll(texts):
+    import math
+    from collections import Counter
+    cnt = Counter()
+    for t in texts:
+        cnt.update(t.split(" "))
+    total = sum(cnt.values())
+    v = len(cnt)
+    qz = math.floor(math.log(total + v) * 10 ** 9)
+    ql = {t: math.floor(math.log(c + 1) * 10 ** 9)
+          for t, c in cnt.items()}
+    out = []
+    for t in texts:
+        toks = t.split(" ")
+        s = sum(ql[x] for x in toks)
+        out.append(round((len(toks) * qz - s)
+                         / (10 ** 9 * len(toks)), 6))
+    return np.array(out)
+
+
+def test_lm_nll_vs_brute_and_partition_invariance():
+    rng = np.random.default_rng(2)
+    words = ["the", "cat", "sat", "on", "mat", "dog", "ran", "", "x"]
+    texts = [" ".join(rng.choice(words, rng.integers(1, 30)))
+             for _ in range(200)]
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                       "text": texts})
+    want = _brute_nll(texts)
+    for nb in (1, 23):
+        ds = rd.from_pandas(df)
+        if nb > 1:
+            ds = ds.repartition(nb)
+        got = lm_nll(ds).to_pandas().sort_values("doc_id")
+        np.testing.assert_array_equal(got["lm_nll"].to_numpy(), want)
+    # rare words score higher (less likely) than common words
+    common = lm_nll(rd.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1], "text": ["the the the the", "zzz qqq www"]
+    }))).to_pandas().sort_values("doc_id")["lm_nll"].to_numpy()
+    assert common[0] < common[1]
