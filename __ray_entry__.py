@@ -564,6 +564,20 @@ def _q64_lm_nll(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q65_semantic_dedup(sf_dir: str):
+    """SemDeDup: k-means cluster prefilter + within-cluster exact
+    cosine, keep the lowest id of each duplicate set — the scale path
+    for embedding dedup (pair cost bounded per cluster instead of the
+    q15 all-pairs matmul).  Survivors with their cluster id."""
+    import ray.data as rd
+    from mapshaper_ray.ops.cluster import semantic_dedup
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = semantic_dedup(ds, k=8, iters=3, scale=1024,
+                         threshold=0.35).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -1117,6 +1131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q62_pagerank": _q62_pagerank,
         "q63_kmeans": _q63_kmeans,
         "q64_lm_nll": _q64_lm_nll,
+        "q65_semantic_dedup": _q65_semantic_dedup,
     }
 
 
@@ -1263,7 +1278,8 @@ _ROBIN_ROWS_SQL = """\
                1.0, 0.0032894699834287167, -0.0003191590076312423, -4.210599854559405e-06)"""
 
 
-def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1024) -> str:
+def _kmeans_ctes(k: int = 8, iters: int = 3,
+                 scale: int = 1024) -> list[str]:
     """Unroll ops/cluster.kmeans as SQL CTEs: the same integer
     quantization, exact int-valued squared distances via
     list_dot_product, lowest-cid tiebreak, and round-half-up centroid
@@ -1303,8 +1319,35 @@ def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1024) -> str:
         ctes.append(assign(f"a{i}", f"c{i - 1}"))
         ctes.append(update(f"c{i}", f"c{i - 1}", f"a{i}"))
     ctes.append(assign("afin", f"c{iters}"))
-    return ("WITH " + ",\n".join(ctes) +
+    return ctes
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1024) -> str:
+    return ("WITH " + ",\n".join(_kmeans_ctes(k, iters, scale)) +
             "\nSELECT vec_id, cid AS cluster FROM afin ORDER BY vec_id")
+
+
+def _semantic_dedup_sql(k: int = 8, iters: int = 3, scale: int = 1024,
+                        threshold: float = 0.35) -> str:
+    """ops/cluster.semantic_dedup unrolled: the kmeans CTEs label each
+    vector, then a within-cluster lower-id cosine join finds the rows
+    to drop; survivors remain."""
+    ctes = _kmeans_ctes(k, iters, scale)
+    ctes.append("""ev AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+          FROM embeddings)""")
+    ctes.append(f"""dropped AS (
+          SELECT DISTINCT hi.vec_id
+          FROM afin hi
+          JOIN afin lo ON hi.cid = lo.cid AND lo.vec_id < hi.vec_id
+          JOIN ev a ON a.vec_id = hi.vec_id
+          JOIN ev b ON b.vec_id = lo.vec_id
+          WHERE list_cosine_similarity(a.ve, b.ve) >= {threshold})""")
+    return ("WITH " + ",\n".join(ctes) + """
+        SELECT f.vec_id, f.cid AS cluster FROM afin f
+        WHERE f.vec_id NOT IN (SELECT vec_id FROM dropped)
+        ORDER BY f.vec_id""")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2229,6 +2272,8 @@ def oracle_sql() -> dict[str, str]:
     out["q39_ann_ivf"] = out["q14_ann_topk"]
 
     out["q63_kmeans"] = _kmeans_sql(k=8, iters=3, scale=1024)
+    out["q65_semantic_dedup"] = _semantic_dedup_sql(
+        k=8, iters=3, scale=1024, threshold=0.35)
 
     out["q64_lm_nll"] = """
         -- same quantized-log arithmetic as stages/text.lm_nll:

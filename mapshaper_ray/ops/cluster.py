@@ -41,17 +41,14 @@ def _assign(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return np.argmin(d, axis=1)
 
 
-def kmeans(ds, k: int = 8, iters: int = 3, scale: int = 1024,
-           id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Lloyd's k-means, init = the quantized vectors of the ``k``
-    smallest ids (deterministic, seedless).  Returns a Dataset of
-    (id_col, cluster) — ``cluster`` is the centroid index after
-    ``iters`` assignment/update rounds.
-
-    Empty clusters keep their previous centroid.  The driver holds
-    only centroids and per-batch partials (k rows each); the final
-    labeling is a streaming map_batches.
-    """
+def kmeans_centroids(ds, k: int = 8, iters: int = 3, scale: int = 1024,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> np.ndarray:
+    """Train the centroids only: init = the quantized vectors of the
+    ``k`` smallest ids (deterministic, seedless), then ``iters``
+    assignment/update rounds.  Empty clusters keep their previous
+    centroid.  The driver holds only centroids and per-batch partials
+    (k rows each).  Returns the (k, dim) int64 centroid matrix."""
     import ray
 
     seed_df = ds.map_batches(
@@ -84,8 +81,19 @@ def kmeans(ds, k: int = 8, iters: int = 3, scale: int = 1024,
             # round-half-up of the exact rational mean s/n
             new[int(cid)] = np.floor_divide(2 * s + n, 2 * n)
         cents = new
+    return cents
 
-    cref = ray.put(cents)
+
+def kmeans(ds, k: int = 8, iters: int = 3, scale: int = 1024,
+           id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Lloyd's k-means; returns a Dataset of (id_col, cluster) —
+    ``cluster`` is the centroid index after ``iters`` rounds.  The
+    final labeling is a streaming map_batches against the broadcast
+    trained centroids."""
+    import ray
+
+    cref = ray.put(kmeans_centroids(ds, k, iters, scale, id_col,
+                                    vec_col))
 
     def label(df: pd.DataFrame) -> pd.DataFrame:
         c = ray.get(cref)
@@ -95,3 +103,51 @@ def kmeans(ds, k: int = 8, iters: int = 3, scale: int = 1024,
             "cluster": _assign(q, c).astype(np.int64)})
 
     return ds.map_batches(label, batch_format="pandas")
+
+
+def semantic_dedup(ds, k: int = 8, iters: int = 3, scale: int = 1024,
+                   threshold: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding"):
+    """SemDeDup (Abbas et al. 2023): k-means partitions the corpus so
+    the quadratic cosine comparison runs only WITHIN clusters — the
+    cluster count is the scale knob (k ~ sqrt(n) bounds per-cluster
+    pair cost; the all-pairs q15 path is the small-corpus baseline,
+    LSH the shuffle alternative).
+
+    One labeling pass (broadcast centroids) tags each row, a shuffle
+    on the cluster id co-locates each cluster, and one vectorized
+    normalized-matmul per cluster finds pairs; a row drops when some
+    LOWER id in its cluster is >= threshold cosine-similar (keep one
+    representative per duplicate set, lowest id wins).  Returns the
+    SURVIVORS as a Dataset (id_col, cluster).
+    """
+    import ray
+
+    cref = ray.put(kmeans_centroids(ds, k, iters, scale, id_col,
+                                    vec_col))
+
+    def label_keep(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        q = quantize_batch(df[vec_col].tolist(), scale)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            vec_col: df[vec_col].to_numpy(),
+            "cluster": _assign(q, c).astype(np.int64)})
+
+    labeled = ds.map_batches(label_keep, batch_format="pandas")
+
+    def dedupe_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        mat = np.stack([np.asarray(v, np.float64)
+                        for v in df[vec_col]])
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(nrm == 0, 1, nrm)
+        sims = mat @ mat.T
+        lower = ids[:, None] > ids[None, :]
+        drop = ((sims >= threshold) & lower).any(axis=1)
+        return pd.DataFrame({
+            id_col: ids[~drop],
+            "cluster": df["cluster"].to_numpy()[~drop]})
+
+    return labeled.groupby("cluster").map_groups(
+        dedupe_cluster, batch_format="pandas")

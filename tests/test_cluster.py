@@ -118,3 +118,52 @@ def test_lm_nll_vs_brute_and_partition_invariance():
         "doc_id": [0, 1], "text": ["the the the the", "zzz qqq www"]
     }))).to_pandas().sort_values("doc_id")["lm_nll"].to_numpy()
     assert common[0] < common[1]
+
+
+# --- semantic_dedup (ops/cluster.py) --------------------------------
+
+from mapshaper_ray.ops.cluster import semantic_dedup  # noqa: E402
+
+
+def test_semantic_dedup_vs_brute():
+    rng = np.random.default_rng(5)
+    base = rng.normal(0, 1, (30, 12))
+    # every third vector is a near-copy of the previous one
+    vecs = []
+    for i in range(90):
+        v = base[i % 30] + rng.normal(0, 0.02, 12)
+        vecs.append(v)
+    vecs = np.asarray(vecs)
+    k, iters, scale, t = 4, 3, 512, 0.9
+
+    # brute reference: same integer kmeans then per-cluster pair scan
+    q = np.floor(vecs * scale + 0.5).astype(np.int64)
+    cents = q[:k].copy()
+    for _ in range(iters):
+        d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lab = np.argmin(d, axis=1)
+        for cid in range(k):
+            m = lab == cid
+            if m.any():
+                s, n = q[m].sum(axis=0), int(m.sum())
+                cents[cid] = np.floor_divide(2 * s + n, 2 * n)
+    d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    lab = np.argmin(d, axis=1)
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    keep = []
+    for i in range(len(vecs)):
+        dup = any(lab[j] == lab[i] and sims[i, j] >= t
+                  for j in range(i))
+        if not dup:
+            keep.append(i)
+
+    for nb in (1, 11):
+        ds = _ds(vecs, nb)
+        got = semantic_dedup(ds, k=k, iters=iters, scale=scale,
+                             threshold=t).to_pandas() \
+            .sort_values("vec_id")
+        np.testing.assert_array_equal(got["vec_id"].to_numpy(), keep)
+        np.testing.assert_array_equal(got["cluster"].to_numpy(),
+                                      lab[keep])
+    assert len(keep) < 90  # the near-copies actually deduped
