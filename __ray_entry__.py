@@ -578,6 +578,32 @@ def _q65_semantic_dedup(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def _q66_redact_pii(sf_dir: str):
+    """PII scrubbing (email/phone regex redaction) as an actor-pool
+    stage.  The corpus has no natural PII, so both engines inject the
+    same deterministic email+phone per doc before redacting — the
+    oracle checks the actual redacted text byte-for-byte."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import redact_pii
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def inject(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64")
+        return pd.DataFrame({
+            "doc_id": d.to_numpy(),
+            "text": df["text"].to_numpy() + " contact user"
+            + d.astype(str) + "@mail" + (d % 7).astype(str)
+            + ".example.org or call "
+            + (d % 1000).astype(str).str.zfill(3) + "-555-"
+            + (d % 10000).astype(str).str.zfill(4)})
+
+    out = redact_pii(ds.map_batches(inject, batch_format="pandas")) \
+        .to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -1132,6 +1158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q63_kmeans": _q63_kmeans,
         "q64_lm_nll": _q64_lm_nll,
         "q65_semantic_dedup": _q65_semantic_dedup,
+        "q66_redact_pii": _q66_redact_pii,
     }
 
 
@@ -2274,6 +2301,25 @@ def oracle_sql() -> dict[str, str]:
     out["q63_kmeans"] = _kmeans_sql(k=8, iters=3, scale=1024)
     out["q65_semantic_dedup"] = _semantic_dedup_sql(
         k=8, iters=3, scale=1024, threshold=0.35)
+
+    out["q66_redact_pii"] = r"""
+        -- same deterministic injection, then RE2 global replace
+        -- (patterns chosen inside the re/RE2-identical subset)
+        WITH injected AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id || '@mail'
+                      || (doc_id % 7) || '.example.org or call '
+                      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   AS text
+          FROM documents)
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text
+        FROM injected ORDER BY doc_id"""
 
     out["q64_lm_nll"] = """
         -- same quantized-log arithmetic as stages/text.lm_nll:

@@ -369,6 +369,44 @@ def lm_nll(ds, id_col="doc_id", text_col="text", n_parts=64,
     return ds.map_batches(score, batch_format="pandas")
 
 
+PII_PATTERNS = (
+    # order matters: emails first so their digits can't half-match
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+)
+
+
+class PiiRedactor:
+    """PII scrubbing as a stateless actor-pool stage: patterns compile
+    once per actor (``__init__``), each batch is one pass of global
+    ``re.sub`` per pattern.  The default patterns stay within the
+    regex subset where Python ``re`` and RE2 (DuckDB
+    ``regexp_replace 'g'``) are verified byte-identical, so the q66
+    oracle checks the actual redaction output."""
+
+    def __init__(self, text_col: str = "text",
+                 patterns=PII_PATTERNS):
+        import re as _re
+        self.text_col = text_col
+        self.compiled = [(_re.compile(p), repl) for p, repl in patterns]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        vals = out[self.text_col].tolist()
+        for rx, repl in self.compiled:
+            vals = [rx.sub(repl, v or "") for v in vals]
+        out[self.text_col] = vals
+        return out
+
+
+def redact_pii(ds, text_col="text", concurrency=(1, 8),
+               batch_size=4096):
+    return ds.map_batches(PiiRedactor, batch_format="pandas",
+                          fn_constructor_kwargs={"text_col": text_col},
+                          concurrency=concurrency,
+                          batch_size=batch_size, num_cpus=1)
+
+
 def token_df_topk(ds, text_col="text", k=100, n_parts=64):
     """Corpus vocabulary stats: top-k tokens by DOCUMENT frequency
     (number of docs containing the token), ties broken by token text.

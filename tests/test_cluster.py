@@ -167,3 +167,24 @@ def test_semantic_dedup_vs_brute():
         np.testing.assert_array_equal(got["cluster"].to_numpy(),
                                       lab[keep])
     assert len(keep) < 90  # the near-copies actually deduped
+
+
+# --- redact_pii (stages/text.py) ------------------------------------
+
+from mapshaper_ray.stages.text import redact_pii  # noqa: E402
+
+
+def test_redact_pii():
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["mail a.b-c%d@sub.example.co.uk now",
+                 "call 212-555-0187 or 999-000-1111",
+                 "clean text with @ loose and 12-34 numbers",
+                 "x@y.io 000-000-0000 tail"]})
+    out = redact_pii(rd.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id")["text"].tolist()
+    assert out == [
+        "mail <EMAIL> now",
+        "call <PHONE> or <PHONE>",
+        "clean text with @ loose and 12-34 numbers",
+        "<EMAIL> <PHONE> tail"]
