@@ -143,6 +143,39 @@ def run_benchmarks():
     timed("raster_to_polygons_2m",
           lambda: raster_to_polygons(ras, rspec))
 
+    # iterative-pipeline substrate: 3 PageRank power iterations over a
+    # synthetic 2M-edge graph (500k nodes x 4 deterministic out-links);
+    # per iteration one bucket-hash join + one grouped sum, rank vector
+    # in the object store
+    from mapshaper_ray.ops.graph import pagerank
+    import numpy as np
+    n_nodes = 500_000
+
+    def _mk_edges(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df["id"].to_numpy()
+        src = np.repeat(d, 4)
+        dst = np.concatenate([(d * 7 + 1) % n_nodes,
+                              (d * 13 + 5) % n_nodes,
+                              (d * 31 + 11) % n_nodes,
+                              (d * 57 + 29) % n_nodes])
+        dst = dst.reshape(4, -1).T.reshape(-1)
+        return pd.DataFrame({"src": src, "dst": dst})
+
+    import ray.data as rd
+    edges = rd.range(n_nodes).map_batches(
+        _mk_edges, batch_format="pandas").materialize()
+    nodes = rd.range(n_nodes).map_batches(
+        lambda df: pd.DataFrame({"node": df["id"].to_numpy()}),
+        batch_format="pandas").materialize()
+    timed("pagerank_2m_edges",
+          lambda: pagerank(edges, nodes, iters=3))
+
+    # broadcast-rank fast path (node vector fits the driver): one
+    # stateless edge pass + one small grouped sum per iteration
+    from mapshaper_ray.ops.graph import pagerank_broadcast
+    timed("pagerank_2m_edges_broadcast",
+          lambda: pagerank_broadcast(edges, nodes, iters=3))
+
     print(json.dumps({
         "metric": "flagship spatial-join + tile-assignment wall time "
                   "(parquet pages, sf0.1 docs x replicate)",

@@ -80,15 +80,15 @@ def pagerank(edges_ds, nodes_ds, damping=0.85, iters=5,
             contrib_in.map_batches(emit, batch_format="pandas"),
             [node_col], {"__x": ("__x", "sum")}).materialize()
 
-        # dangling mass = rank not carried by any out-edge (tiny
-        # driver scalars from two partial-sum aggregates)
-        total = ranks.map_batches(
-            lambda df: pd.DataFrame({"s": [df["rank"].sum()]}),
-            batch_format="pandas").to_pandas()["s"].sum()
+        # dangling mass = rank not carried by any out-edge (one tiny
+        # driver scalar from a partial-sum aggregate).  Total rank is
+        # invariantly 1: the update redistributes dangling mass, so
+        # each iteration's ranks sum to (1-d) + d*(flowed + dangling)
+        # = 1 — no per-iteration pass over ranks needed.
         flowed = inflow.map_batches(
             lambda df: pd.DataFrame({"s": [df["__x"].sum()]}),
             batch_format="pandas").to_pandas()["s"].sum()
-        dangling = max(total - flowed, 0.0)
+        dangling = max(1.0 - flowed, 0.0)
 
         joined = hash_join(nodes_ds, inflow, on=node_col, how="left",
                            num_buckets=num_buckets)
@@ -103,3 +103,56 @@ def pagerank(edges_ds, nodes_ds, damping=0.85, iters=5,
         ranks = joined.map_batches(renew, batch_format="pandas") \
             .materialize()
     return ranks
+
+
+def pagerank_broadcast(edges_ds, nodes_ds, damping=0.85, iters=5,
+                       src_col="src", dst_col="dst", node_col="node",
+                       num_buckets=32):
+    """PageRank fast path for node sets that fit on the driver
+    (<= ~1e8): the rank VECTOR broadcasts via ``ray.put`` each
+    iteration, so the per-iteration cost drops from two bucket joins
+    re-sorting the full EDGE table to one stateless edge pass
+    (searchsorted rank lookup + per-batch pre-aggregated
+    contributions) and one small grouped sum over <= |nodes| rows.
+    Same arithmetic as ``pagerank`` (the shuffle scale path — use it
+    when the node table itself is too large to hold): equivalence is
+    pytest-enforced to 1e-12.
+    """
+    import ray
+
+    nodes = np.sort(nodes_ds.to_pandas()[node_col]
+                    .to_numpy(dtype=np.int64))
+    n = len(nodes)
+    ew = out_weighted_edges(edges_ds, src_col, dst_col,
+                            num_buckets=num_buckets).materialize()
+    rank = np.full(n, 1.0 / n)
+
+    for _ in range(iters):
+        rref = ray.put((nodes, rank))
+
+        def contribs(df: pd.DataFrame) -> pd.DataFrame:
+            nd, r = ray.get(rref)
+            si = np.searchsorted(nd, df[src_col].to_numpy())
+            x = r[si] * df["w"].to_numpy()
+            # pre-aggregate inside the batch: one row per distinct dst
+            dst = df[dst_col].to_numpy()
+            order = np.argsort(dst, kind="stable")
+            dst_s, x_s = dst[order], x[order]
+            cut = np.r_[True, dst_s[1:] != dst_s[:-1]]
+            starts = np.flatnonzero(cut)
+            sums = np.add.reduceat(x_s, starts)
+            return pd.DataFrame({node_col: dst_s[starts], "__x": sums})
+
+        inflow = groupby_agg(ew.map_batches(contribs,
+                                            batch_format="pandas"),
+                             [node_col], {"__x": ("__x", "sum")}) \
+            .to_pandas()
+        x = np.zeros(n)
+        x[np.searchsorted(nodes, inflow[node_col].to_numpy())] = \
+            inflow["__x"].to_numpy()
+        dangling = max(rank.sum() - x.sum(), 0.0)
+        rank = (1 - damping) / n + damping * (x + dangling / n)
+
+    import ray.data as rd
+    out = pd.DataFrame({node_col: nodes, "rank": rank})
+    return rd.from_pandas(out)

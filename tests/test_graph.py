@@ -56,3 +56,20 @@ def test_pagerank_partition_invariance():
                  num_buckets=32).to_pandas() \
         .sort_values("node")["rank"].to_numpy()
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-14)
+
+
+def test_pagerank_broadcast_matches_shuffle():
+    from mapshaper_ray.ops.graph import pagerank_broadcast
+    rng = np.random.default_rng(9)
+    n = 80
+    edges = [(int(s), int(t)) for s, t in
+             zip(rng.integers(0, 50, 300), rng.integers(0, n, 300))]
+    e = pd.DataFrame(edges, columns=["src", "dst"])
+    nodes = pd.DataFrame({"node": np.arange(n, dtype=np.int64)})
+    a = pagerank(rd.from_pandas(e), rd.from_pandas(nodes)) \
+        .to_pandas().sort_values("node")["rank"].to_numpy()
+    b = pagerank_broadcast(rd.from_pandas(e).repartition(9),
+                           rd.from_pandas(nodes)) \
+        .to_pandas().sort_values("node")["rank"].to_numpy()
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+    assert abs(b.sum() - 1.0) < 1e-9
