@@ -188,3 +188,63 @@ def test_redact_pii():
         "call <PHONE> or <PHONE>",
         "clean text with @ loose and 12-34 numbers",
         "<EMAIL> <PHONE> tail"]
+
+
+# --- sample_per_group / bm25_topk (stages/text.py) -------------------
+
+from mapshaper_ray.stages.text import (bm25_topk,  # noqa: E402
+                                       md5_lo64, sample_per_group)
+
+
+def test_sample_per_group_partition_invariance_and_quota():
+    rng = np.random.default_rng(13)
+    langs = np.array(["en", "de", "fr"])[rng.integers(0, 3, 300)]
+    df = pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64),
+        "lang": langs,
+        "text": ["w%d %d" % (i % 17, i) for i in range(300)]})
+    outs = []
+    for nb in (1, 19):
+        ds = rd.from_pandas(df)
+        if nb > 1:
+            ds = ds.repartition(nb)
+        out = sample_per_group(ds, key="lang", n=20, seed="s0") \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+    assert (got.groupby("lang").size() == 20).all()
+    # the survivors are exactly the 20 smallest md5(text+seed) per lang
+    h = md5_lo64((df["text"] + "s0").tolist())
+    df2 = df.assign(h=h)
+    want = df2.sort_values(["h", "doc_id"]).groupby("lang").head(20)
+    assert set(got["doc_id"]) == set(want["doc_id"])
+
+
+def test_bm25_topk_matches_brute():
+    import math
+    rng = np.random.default_rng(17)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(1, 40)))
+             for _ in range(150)]
+    df = pd.DataFrame({"doc_id": np.arange(150, dtype=np.int64),
+                       "text": texts})
+    terms = ("alpha", "gamma")
+    got = bm25_topk(rd.from_pandas(df).repartition(7), terms, k=10)
+
+    toks = [t.split(" ") for t in texts]
+    nd = len(toks)
+    avgdl = sum(len(x) for x in toks) / nd
+    scores = []
+    for i, x in enumerate(toks):
+        s = 0.0
+        for term in terms:
+            dfreq = sum(1 for y in toks if term in y)
+            idf = math.log(1 + (nd - dfreq + 0.5) / (dfreq + 0.5))
+            tf = x.count(term)
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 *
+                                                 (len(x) / avgdl)))
+        scores.append((round(s, 6), i))
+    want = sorted(scores, key=lambda p: (-p[0], p[1]))[:10]
+    assert list(got["doc_id"]) == [i for _, i in want]
+    assert list(got["bm25"]) == [s for s, _ in want]
