@@ -142,9 +142,15 @@ def semantic_dedup(ds, k: int = 8, iters: int = 3, scale: int = 1024,
                         for v in df[vec_col]])
         nrm = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.where(nrm == 0, 1, nrm)
-        sims = mat @ mat.T
-        lower = ids[:, None] > ids[None, :]
-        drop = ((sims >= threshold) & lower).any(axis=1)
+        # blocked row scan: peak memory is block x cluster, never
+        # cluster x cluster (a hot cluster would otherwise allocate
+        # an O(c^2) similarity matrix)
+        drop = np.zeros(len(ids), dtype=bool)
+        step = 4096
+        for s in range(0, len(ids), step):
+            sims = mat[s:s + step] @ mat.T
+            lower = ids[s:s + step, None] > ids[None, :]
+            drop[s:s + step] = ((sims >= threshold) & lower).any(axis=1)
         return pd.DataFrame({
             id_col: ids[~drop],
             "cluster": df["cluster"].to_numpy()[~drop]})

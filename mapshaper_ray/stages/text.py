@@ -294,7 +294,7 @@ def bm25_topk(ds, terms, k=50, k1=1.2, b=0.75, id_col="doc_id",
 
 
 def lm_nll(ds, id_col="doc_id", text_col="text", n_parts=64,
-           qscale=10 ** 9):
+           qscale=10 ** 9, vocab_broadcast=True):
     """Unigram language-model perplexity scoring (the CCNet-style
     quality filter): per-doc mean negative log-likelihood under an
     add-1-smoothed unigram LM trained on the corpus itself.
@@ -313,6 +313,8 @@ def lm_nll(ds, id_col="doc_id", text_col="text", n_parts=64,
     in both engines and the q64 oracle matches value-exact.
     Tokenization is ``text.split(' ')`` = SQL ``string_split``.
     Returns (id_col, lm_nll) with nll in nats rounded to 6 decimals.
+    ``vocab_broadcast=False`` switches to the shuffle scale path
+    (``_lm_nll_shuffle``) for vocabularies too large to broadcast.
     """
     import math
 
@@ -336,10 +338,15 @@ def lm_nll(ds, id_col="doc_id", text_col="text", n_parts=64,
         return pd.DataFrame({"token": g.index.to_numpy(object),
                              "c": g.to_numpy(np.int64)})
 
-    vocab = ds.map_batches(count_partial, batch_format="pandas") \
+    vocab_ds = ds.map_batches(count_partial, batch_format="pandas") \
         .groupby("__part").map_groups(count_final,
                                       batch_format="pandas") \
-        .to_pandas()
+        .materialize()
+    if not vocab_broadcast:
+        return _lm_nll_shuffle(ds, vocab_ds, id_col, text_col,
+                               n_parts, qscale)
+
+    vocab = vocab_ds.to_pandas()
     total = int(vocab["c"].sum())
     v_size = len(vocab)
     qz = math.floor(math.log(total + v_size) * qscale)
@@ -367,6 +374,88 @@ def lm_nll(ds, id_col="doc_id", text_col="text", n_parts=64,
                              "lm_nll": np.round(nll, 6)})
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def _lm_nll_shuffle(ds, vocab_ds, id_col, text_col, n_parts, qscale):
+    """lm_nll scale path for vocabularies too large to broadcast: the
+    token stream shuffles TWICE instead of the vocab shipping once —
+    (1) per-doc partial tf rows meet the count table in a token-hash
+    bucket exchange (one merge per partition attaches q), (2) the
+    attached (doc, tf*q) partials group-sum by doc-hash bucket.  Only
+    two scalars (corpus size, vocab size) touch the driver.
+    Equivalent to the broadcast path bit-for-bit (same quantized
+    libm logs); pytest-enforced."""
+    import math
+
+    from ..ops.partition import bucket_part
+
+    g = vocab_ds.map_batches(
+        lambda df: pd.DataFrame({"total": [int(df["c"].sum())],
+                                 "v": [len(df)]}),
+        batch_format="pandas").to_pandas()
+    qz = math.floor(math.log(int(g["total"].sum())
+                             + int(g["v"].sum())) * qscale)
+
+    def with_q(df: pd.DataFrame) -> pd.DataFrame:
+        # math.log (libm), NOT np.log: bit-parity with the SQL oracle
+        q = np.fromiter((math.floor(math.log(int(c) + 1) * qscale)
+                         for c in df["c"]), np.int64, len(df))
+        h = pd.util.hash_array(df["token"].to_numpy(object))
+        return pd.DataFrame({"token": df["token"].to_numpy(object),
+                             "q": q, id_col: np.int64(-1),
+                             "tf": np.int64(0),
+                             "__part": bucket_part(h, n_parts)})
+
+    def doc_tf(df: pd.DataFrame) -> pd.DataFrame:
+        # per-doc partial term frequencies: one row per (doc, token)
+        ids, toks, tfs = [], [], []
+        for i, t in zip(df[id_col], df[text_col]):
+            vc = pd.Series((t or "").split(" "),
+                           dtype=object).value_counts()
+            ids.append(np.full(len(vc), i, dtype=np.int64))
+            toks.append(vc.index.to_numpy(object))
+            tfs.append(vc.to_numpy(np.int64))
+        tok = np.concatenate(toks) if toks else np.empty(0, object)
+        out = pd.DataFrame({
+            "token": tok, "q": np.int64(0),
+            id_col: np.concatenate(ids) if ids
+            else np.empty(0, np.int64),
+            "tf": np.concatenate(tfs) if tfs
+            else np.empty(0, np.int64)})
+        out["__part"] = bucket_part(
+            pd.util.hash_array(out["token"].to_numpy(object)), n_parts)
+        return out
+
+    both = vocab_ds.map_batches(with_q, batch_format="pandas").union(
+        ds.map_batches(doc_tf, batch_format="pandas"))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "token" not in df.columns:
+            return pd.DataFrame({id_col: np.empty(0, np.int64),
+                                 "n": np.empty(0, np.int64),
+                                 "s": np.empty(0, np.int64),
+                                 "__dp": np.empty(0, np.int64)})
+        src = df[df[id_col] < 0][["token", "q"]]
+        uses = df[df[id_col] >= 0][[id_col, "token", "tf"]]
+        m = uses.merge(src, on="token", how="left")
+        q = m["q"].fillna(0).to_numpy(np.int64)
+        tf = m["tf"].to_numpy(np.int64)
+        out = pd.DataFrame({id_col: m[id_col].to_numpy(np.int64),
+                            "n": tf, "s": tf * q})
+        out["__dp"] = bucket_part(out[id_col].to_numpy(), n_parts)
+        return out
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        gg = df.groupby(id_col, sort=False)[["n", "s"]].sum()
+        n = gg["n"].to_numpy(np.float64)
+        s = gg["s"].to_numpy(np.int64)
+        nll = np.where(n > 0, (n * qz - s) / (qscale * n), 0.0)
+        return pd.DataFrame({id_col: gg.index.to_numpy(np.int64),
+                             "lm_nll": np.round(nll, 6)})
+
+    return both.groupby("__part").map_groups(
+        attach, batch_format="pandas").groupby("__dp").map_groups(
+        per_doc, batch_format="pandas")
 
 
 PII_PATTERNS = (

@@ -248,3 +248,18 @@ def test_bm25_topk_matches_brute():
     want = sorted(scores, key=lambda p: (-p[0], p[1]))[:10]
     assert list(got["doc_id"]) == [i for _, i in want]
     assert list(got["bm25"]) == [s for s, _ in want]
+
+
+def test_lm_nll_shuffle_path_matches_broadcast():
+    rng = np.random.default_rng(21)
+    words = ["aa", "bb", "cc", "dd", "ee", "ff", "g"]
+    texts = [" ".join(rng.choice(words, rng.integers(1, 25)))
+             for _ in range(150)]
+    df = pd.DataFrame({"doc_id": np.arange(150, dtype=np.int64),
+                       "text": texts})
+    a = lm_nll(rd.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = lm_nll(rd.from_pandas(df).repartition(13),
+               vocab_broadcast=False).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
