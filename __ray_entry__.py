@@ -604,6 +604,21 @@ def _q66_redact_pii(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q67_pack_sequences(sf_dir: str):
+    """Sequence packing for pretraining: the doc-ordered token stream
+    cut into fixed 512-token examples via a distributed prefix scan
+    (per-bucket totals to the driver, in-bucket vectorized cumsum —
+    one shuffle, no sort).  One row per (example, doc) span; integer
+    arithmetic end-to-end, so the SQL window-cumsum oracle is exact."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import pack_sequences
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = pack_sequences(ds, seq_len=512).to_pandas()
+    return out.sort_values(["example_id", "doc_id"]) \
+        .reset_index(drop=True)
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -1159,6 +1174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q64_lm_nll": _q64_lm_nll,
         "q65_semantic_dedup": _q65_semantic_dedup,
         "q66_redact_pii": _q66_redact_pii,
+        "q67_pack_sequences": _q67_pack_sequences,
     }
 
 
@@ -2320,6 +2336,26 @@ def oracle_sql() -> dict[str, str]:
                  '<EMAIL>', 'g'),
                  '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text
         FROM injected ORDER BY doc_id"""
+
+    out["q67_pack_sequences"] = """
+        -- same integer arithmetic as stages/text.pack_sequences:
+        -- exclusive window cumsum = the distributed prefix scan
+        WITH dl AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n
+          FROM documents),
+        o AS (
+          SELECT doc_id, n,
+                 coalesce(sum(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS off
+          FROM dl)
+        SELECT ex.ex AS example_id, doc_id,
+               greatest(off, ex.ex * 512) - off AS tok_start,
+               least(off + n, (ex.ex + 1) * 512)
+                 - greatest(off, ex.ex * 512) AS n_toks
+        FROM o, unnest(generate_series(CAST(off // 512 AS BIGINT),
+                 CAST((off + n - 1) // 512 AS BIGINT))) AS ex(ex)
+        ORDER BY example_id, doc_id"""
 
     out["q64_lm_nll"] = """
         -- same quantized-log arithmetic as stages/text.lm_nll:

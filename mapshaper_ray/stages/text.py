@@ -532,3 +532,78 @@ def token_df_topk(ds, text_col="text", k=100, n_parts=64):
     out = parts.sort_values(["df", "token"], ascending=[False, True],
                             kind="mergesort").head(k)
     return out.reset_index(drop=True)
+
+
+def pack_sequences(ds, seq_len, id_col="doc_id", text_col="text",
+                   n_buckets=256):
+    """Sequence packing for pretraining: the corpus token stream,
+    ordered by doc id, is cut greedily into fixed-length examples of
+    ``seq_len`` tokens; each output row is one (example, doc) span —
+    ``(example_id, doc_id, tok_start, n_toks)`` with ``tok_start``
+    the offset INSIDE the doc.  Documents spanning an example boundary
+    appear in both examples (no padding rows; the tail example is
+    short).
+
+    The global token offset of each doc is a distributed PREFIX SCAN,
+    never a sort: docs bucket by id range (``doc_id`` has a known
+    order), pass 1 reduces per-bucket token totals (n_buckets rows to
+    the driver), the exclusive bucket prefix broadcasts back, and
+    pass 2 adds an in-bucket vectorized cumsum — one shuffle total.
+    Span emission is pure integer arithmetic, so the q67 oracle (SQL
+    window cumsum + generate_series) matches value-exact.
+    """
+    import ray
+
+    # bucket width from the id range: two tiny scalar reduces
+    mm = ds.map_batches(
+        lambda df: pd.DataFrame({"lo": [int(df[id_col].min())],
+                                 "hi": [int(df[id_col].max())]})
+        if len(df) else pd.DataFrame({"lo": [], "hi": []}),
+        batch_format="pandas").to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    width = max(1, (hi - lo) // n_buckets + 1)
+
+    def tok_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[id_col].to_numpy(dtype=np.int64)
+        dl = np.fromiter(((t or "").count(" ") + 1
+                          for t in df[text_col]), np.int64, len(df))
+        return pd.DataFrame({id_col: d, "dl": dl,
+                             "__b": (d - lo) // width})
+
+    lens = ds.map_batches(tok_rows, batch_format="pandas") \
+        .materialize()
+
+    totals = lens.map_batches(
+        lambda df: df.groupby("__b", sort=False)["dl"].sum()
+        .reset_index(), batch_format="pandas").to_pandas() \
+        .groupby("__b")["dl"].sum().sort_index()
+    # exclusive prefix per bucket (n_buckets scalars on the driver)
+    buckets = totals.index.to_numpy()
+    prefix = np.r_[0, np.cumsum(totals.to_numpy())[:-1]]
+    pref_ref = ray.put(dict(zip(buckets.tolist(), prefix.tolist())))
+
+    def emit_spans(df: pd.DataFrame) -> pd.DataFrame:
+        pref = ray.get(pref_ref)
+        df = df.sort_values(id_col, kind="mergesort")
+        d = df[id_col].to_numpy()
+        dl = df["dl"].to_numpy()
+        b = int(df["__b"].iloc[0])
+        off = pref[b] + np.r_[0, np.cumsum(dl)[:-1]]
+        first_ex = off // seq_len
+        last_ex = (off + dl - 1) // seq_len
+        reps = (last_ex - first_ex + 1).astype(np.int64)
+        doc_i = np.repeat(np.arange(len(d)), reps)
+        ex = np.concatenate([np.arange(f, l + 1) for f, l in
+                             zip(first_ex, last_ex)]) \
+            if len(d) else np.empty(0, np.int64)
+        o, n_ = off[doc_i], dl[doc_i]
+        s = np.maximum(o, ex * seq_len)
+        e = np.minimum(o + n_, (ex + 1) * seq_len)
+        return pd.DataFrame({
+            "example_id": ex.astype(np.int64),
+            id_col: d[doc_i],
+            "tok_start": (s - o).astype(np.int64),
+            "n_toks": (e - s).astype(np.int64)})
+
+    return lens.groupby("__b").map_groups(emit_spans,
+                                          batch_format="pandas")

@@ -263,3 +263,40 @@ def test_lm_nll_shuffle_path_matches_broadcast():
                vocab_broadcast=False).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+# --- pack_sequences (stages/text.py) ---------------------------------
+
+from mapshaper_ray.stages.text import pack_sequences  # noqa: E402
+
+
+def test_pack_sequences_vs_brute_and_partition_invariance():
+    rng = np.random.default_rng(23)
+    texts = [" ".join("w%d" % j for j in range(rng.integers(1, 70)))
+             for _ in range(120)]
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64),
+                       "text": texts})
+    L = 64
+    # brute: global concat order by doc_id
+    off = 0
+    want = []
+    for i, t in enumerate(texts):
+        n = len(t.split(" "))
+        for ex in range(off // L, (off + n - 1) // L + 1):
+            s = max(off, ex * L)
+            e = min(off + n, (ex + 1) * L)
+            want.append((ex, i, s - off, e - s))
+        off += n
+    want = pd.DataFrame(want, columns=["example_id", "doc_id",
+                                       "tok_start", "n_toks"])
+    for nb in (1, 17):
+        ds = rd.from_pandas(df)
+        if nb > 1:
+            ds = ds.repartition(nb)
+        got = pack_sequences(ds, seq_len=L, n_buckets=9).to_pandas() \
+            .sort_values(["example_id", "doc_id"]) \
+            .reset_index(drop=True).astype("int64")
+        pd.testing.assert_frame_equal(got, want.astype("int64"))
+    # every example except the last is exactly full
+    tot = got.groupby("example_id")["n_toks"].sum()
+    assert (tot.iloc[:-1] == L).all()
