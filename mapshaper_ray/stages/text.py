@@ -255,15 +255,40 @@ def bm25_topk(ds, terms, k=50, k1=1.2, b=0.75, id_col="doc_id",
     """
     terms = list(terms)
 
-    def stats(df: pd.DataFrame) -> pd.DataFrame:
-        toks = [t.split(" ") if t else [] for t in df[text_col]]
-        row = {"n": len(toks),
-               "sum_dl": int(sum(len(x) for x in toks))}
-        for ti, term in enumerate(terms):
-            row[f"df{ti}"] = int(sum(1 for x in toks if term in x))
+    def _doclen_tf(batch):
+        """(dl, tf-matrix) per doc, all C++ kernels: split_pattern +
+        index_in against the tiny term set + per-doc reduceat.
+        Empty text keeps the engine's dl=0 convention."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        t = pc.fill_null(batch.column(text_col), "")
+        empty = pc.equal(t, "").to_numpy(zero_copy_only=False)
+        dl = pc.add(pc.count_substring(t, " "), 1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = np.where(empty, 0, dl)
+        lists = pc.split_pattern(t, " ")
+        lens = pc.list_value_length(lists) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ia = pc.fill_null(pc.index_in(
+            pc.list_flatten(lists), value_set=pa.array(terms)), -1) \
+            .to_numpy(zero_copy_only=False)
+        offs = np.r_[0, np.cumsum(lens)[:-1]]
+        tf = np.zeros((len(dl), len(terms)), dtype=np.int64)
+        for ti in range(len(terms)):
+            tf[:, ti] = np.add.reduceat((ia == ti).astype(np.int64),
+                                        offs)
+        return dl, tf
+
+    def stats(batch) -> pd.DataFrame:
+        if batch.num_rows == 0:
+            return pd.DataFrame()
+        dl, tf = _doclen_tf(batch)
+        row = {"n": len(dl), "sum_dl": int(dl.sum())}
+        for ti in range(len(terms)):
+            row[f"df{ti}"] = int((tf[:, ti] > 0).sum())
         return pd.DataFrame([row])
 
-    st = ds.map_batches(stats, batch_format="pandas").to_pandas()
+    st = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
     n_docs = int(st["n"].sum())
     avgdl = st["sum_dl"].sum() / n_docs
     import math
@@ -273,20 +298,25 @@ def bm25_topk(ds, terms, k=50, k1=1.2, b=0.75, id_col="doc_id",
     k1p1 = k1 + 1
     one_b = 1 - b
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        toks = [t.split(" ") if t else [] for t in df[text_col]]
-        dl = np.fromiter((len(x) for x in toks), np.float64, len(toks))
-        s = np.zeros(len(toks))
+    def score(batch) -> pd.DataFrame:
+        if batch.num_rows == 0:
+            return pd.DataFrame({id_col: np.empty(0, np.int64),
+                                 "bm25": np.empty(0)})
+        dl, tf = _doclen_tf(batch)
+        dl = dl.astype(np.float64)
+        s = np.zeros(len(dl))
         norm = k1 * (one_b + b * (dl / avgdl))
-        for ti, term in enumerate(terms):
-            tf = np.fromiter((x.count(term) for x in toks),
-                             np.float64, len(toks))
-            s = s + idf[ti] * ((tf * k1p1) / (tf + norm))
-        out = pd.DataFrame({id_col: df[id_col].to_numpy(), "bm25": s})
+        for ti in range(len(terms)):
+            tft = tf[:, ti].astype(np.float64)
+            s = s + idf[ti] * ((tft * k1p1) / (tft + norm))
+        out = pd.DataFrame({
+            id_col: batch.column(id_col).to_numpy(
+                zero_copy_only=False),
+            "bm25": s})
         return out.sort_values(["bm25", id_col],
                                ascending=[False, True]).head(k)
 
-    cand = ds.map_batches(score, batch_format="pandas").to_pandas()
+    cand = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     out = cand.sort_values(["bm25", id_col],
                            ascending=[False, True]).head(k)
     out["bm25"] = out["bm25"].round(6)
