@@ -1675,7 +1675,7 @@ def oracle_sql() -> dict[str, str]:
             -- same arithmetic shape as stages/text.bm25_topk (integer
             -- corpus stats make avgdl/idf exact across engines)
             WITH words AS (
-              SELECT doc_id, string_split(text, ' ') AS w
+              SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
               FROM documents),
             base AS (
               SELECT doc_id, len(w) AS dl,
@@ -2145,7 +2145,7 @@ def oracle_sql() -> dict[str, str]:
             -- Gopher-style repetition signals; single-space split
             -- matches the engine's tokenizer exactly
             WITH words AS (
-              SELECT doc_id, string_split(text, ' ') AS w
+              SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
               FROM documents),
             ws AS (
               SELECT doc_id, count(*) AS n_words,
@@ -2341,7 +2341,7 @@ def oracle_sql() -> dict[str, str]:
         -- same integer arithmetic as stages/text.pack_sequences:
         -- exclusive window cumsum = the distributed prefix scan
         WITH dl AS (
-          SELECT doc_id, len(string_split(text, ' ')) AS n
+          SELECT doc_id, len(string_split(coalesce(text, ''), ' ')) AS n
           FROM documents),
         o AS (
           SELECT doc_id, n,
@@ -2362,7 +2362,7 @@ def oracle_sql() -> dict[str, str]:
         -- floor(ln(count+1) * 1e9) is bit-identical between libm
         -- (math.log) and DuckDB ln, so per-doc sums are exact ints
         WITH tok AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS t
+          SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS t
           FROM documents),
         cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
         g AS (SELECT sum(c) AS total, count(*) AS v FROM cnt),

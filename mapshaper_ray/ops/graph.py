@@ -48,6 +48,10 @@ def pagerank(edges_ds, nodes_ds, damping=0.85, iters=5,
     store between iterations (materialize), never on the driver.
     Returns a Dataset (node_col, rank).
     """
+    # materialized: nodes_ds is consumed iters+2 times (count, init,
+    # the left join each iteration) — without this its upstream
+    # lineage (parquet read + transforms) re-executes every time
+    nodes_ds = nodes_ds.materialize()
     n = nodes_ds.count()
     ew = out_weighted_edges(edges_ds, src_col, dst_col,
                             num_buckets=num_buckets).materialize()

@@ -437,9 +437,11 @@ def cover_contains(cover_ids, point_ids):
     true when some cover cell's [range_min, range_max] contains the
     id.  Vectorized searchsorted over the sorted cover."""
     cover_ids = np.sort(np.asarray(cover_ids, dtype=np.uint64))
+    point_ids = np.asarray(point_ids, dtype=np.uint64)
+    if len(cover_ids) == 0:  # degenerate/empty cover: nothing matches
+        return np.zeros(len(point_ids), dtype=bool)
     lo = range_min(cover_ids)
     hi = range_max(cover_ids)
-    point_ids = np.asarray(point_ids, dtype=np.uint64)
     k = np.searchsorted(lo, point_ids, side="right") - 1
     ok = k >= 0
     kc = np.clip(k, 0, len(cover_ids) - 1)

@@ -2642,10 +2642,15 @@ def parse_prj(text: str):
         return (functools.partial(gnom_fwd, **kw),
                 functools.partial(gnom_inv, **kw))
     if proj_name == "azimuthal_equidistant":
-        kw = dict(lat0=params.get("latitude_of_center",
-                                  params.get("latitude_of_origin",
-                                             0.0)),
-                  lon0=lon0, x0=x0, y0=y0)
+        lat0v = params.get("latitude_of_center",
+                           params.get("latitude_of_origin", 0.0))
+        if abs(abs(lat0v) - 90.0) > 1e-9:
+            # only the polar aeqd kernels exist (aeqd_fwd raises on
+            # oblique); reject at parse time so the caller gets the
+            # clean "unsupported .prj projection" error, not a
+            # NotImplementedError inside a map_batches worker
+            return None
+        kw = dict(lat0=lat0v, lon0=lon0, x0=x0, y0=y0)
         return (functools.partial(aeqd_fwd, **kw),
                 functools.partial(aeqd_inv, **kw))
     return None
@@ -2811,6 +2816,11 @@ def _wkt_make_parametered(defn: str, parts: dict, p4: str,
         rules = [("lonc", "central_meridian"),
                  ("alpha", "azimuth"),
                  ("gamma", "rectified_grid_angle")]
+    elif p4 == "aeqd" and "guam" in parts:
+        # WKT has no guam-mode parameter; writing plain
+        # Azimuthal_Equidistant would silently round-trip to the
+        # (unsupported oblique) non-guam projection — emit no .prj
+        return None
     elif p4 in _WKT_MAKER:
         name, rules = _WKT_MAKER[p4]
     else:

@@ -77,6 +77,18 @@ def analyze_text(ds, text_col="text", concurrency=(1, 8), batch_size=4096):
 _SEP = "\x1f"  # unit-separator joiner for k-gram window strings
 
 
+def _str_col(batch, col):
+    """Arrow text column as non-null string: all-null blocks arrive
+    with null type (fill_null can't scalar-cast "" into those), so
+    cast first, then fill nulls with ''."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    c = batch.column(col)
+    if pa.types.is_null(c.type):
+        c = c.cast(pa.string())
+    return pc.fill_null(c, "")
+
+
 def md5_lo64(strings) -> np.ndarray:
     """Lower 64 bits of md5 (little-endian digest bytes 8:16) — the
     EXACT value DuckDB's ``md5_number_lower`` computes, so every hash
@@ -157,12 +169,13 @@ def repetition_signals(ds, text_col="text", id_col="doc_id",
 
     Returns a Dataset with columns (id_col, n_words,
     distinct_word_ratio, top_bigram_share, dup_bigram_share).
-    Definitions for degenerate docs: 0 words -> ratio 1.0; <2 words ->
-    both bigram shares 0.0.
+    Degenerate docs follow split semantics: empty/null text is one
+    (empty) token like SQL ``string_split('', ' ') = ['']``, so
+    n_words >= 1 always; <2 words -> both bigram shares 0.0.
     """
 
     def _signals(df: pd.DataFrame) -> pd.DataFrame:
-        toks = [t.split(" ") if t else [] for t in df[text_col]]
+        toks = [(t or "").split(" ") for t in df[text_col]]
         lens = np.fromiter((len(x) for x in toks), dtype=np.int64,
                            count=len(toks))
         flat = np.array([w for ws in toks for w in ws], dtype=object)
@@ -258,14 +271,14 @@ def bm25_topk(ds, terms, k=50, k1=1.2, b=0.75, id_col="doc_id",
     def _doclen_tf(batch):
         """(dl, tf-matrix) per doc, all C++ kernels: split_pattern +
         index_in against the tiny term set + per-doc reduceat.
-        Empty text keeps the engine's dl=0 convention."""
+        dl = len(split(text, ' ')), so empty/null text counts as one
+        (empty) token — exactly len(string_split(text, ' ')) in SQL
+        and the same convention as lm_nll / pack_sequences."""
         import pyarrow as pa
         import pyarrow.compute as pc
-        t = pc.fill_null(batch.column(text_col), "")
-        empty = pc.equal(t, "").to_numpy(zero_copy_only=False)
+        t = _str_col(batch, text_col)
         dl = pc.add(pc.count_substring(t, " "), 1) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
-        dl = np.where(empty, 0, dl)
         lists = pc.split_pattern(t, " ")
         lens = pc.list_value_length(lists) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
@@ -360,7 +373,7 @@ def lm_nll(ds, id_col="doc_id", text_col="text", n_parts=64,
         # are C++ kernels over the string buffers — the Python
         # str.split equivalent materializes every token as a PyObject
         # (measured 640M tokens: the split dominated wall time)
-        t = pc.fill_null(batch.column(text_col), "")
+        t = _str_col(batch, text_col)
         vc = pc.value_counts(pc.list_flatten(pc.split_pattern(t, " ")))
         uniq = np.asarray(vc.field("values").to_pylist(), dtype=object)
         cnt = vc.field("counts").to_numpy(zero_copy_only=False) \
@@ -387,14 +400,13 @@ def lm_nll(ds, id_col="doc_id", text_col="text", n_parts=64,
     total = int(vocab["c"].sum())
     v_size = len(vocab)
     qz = math.floor(math.log(total + v_size) * qscale)
-    # sorted (token, qlog) arrays: the scoring pass resolves tokens
-    # via np.unique + searchsorted (C-level string compares), never a
-    # per-token Python dict/Series lookup — measured 4x on a 640M-token
-    # corpus where Series.map dominated wall time
-    order = np.argsort(vocab["token"].to_numpy(object))
-    vtok = vocab["token"].to_numpy(object)[order]
+    # (token, qlog) arrays: the scoring pass resolves tokens via
+    # Arrow index_in (a C++ hash probe — no ordering requirement),
+    # never a per-token Python dict/Series lookup — measured 4x on a
+    # 640M-token corpus where Series.map dominated wall time
+    vtok = vocab["token"].to_numpy(object)
     vq = np.fromiter((math.floor(math.log(int(c) + 1) * qscale)
-                      for c in vocab["c"].to_numpy()[order]),
+                      for c in vocab["c"].to_numpy()),
                      np.int64, len(vocab))
     qref = ray.put((vtok, vq))
 
@@ -415,7 +427,7 @@ def lm_nll(ds, id_col="doc_id", text_col="text", n_parts=64,
             if len(ids) == 0:
                 return pd.DataFrame({id_col: ids,
                                      "lm_nll": np.empty(0)})
-            t = _pc.fill_null(batch.column(text_col), "")
+            t = _str_col(batch, text_col)
             lists = _pc.split_pattern(t, " ")
             lens = _pc.list_value_length(lists) \
                 .to_numpy(zero_copy_only=False).astype(np.int64)
@@ -542,7 +554,8 @@ class PiiRedactor:
         out = df.copy()
         vals = out[self.text_col].tolist()
         for rx, repl in self.compiled:
-            vals = [rx.sub(repl, v or "") for v in vals]
+            # null text stays null (SQL regexp_replace(NULL,..) IS NULL)
+            vals = [v if v is None else rx.sub(repl, v) for v in vals]
         out[self.text_col] = vals
         return out
 
@@ -629,7 +642,7 @@ def pack_sequences(ds, seq_len, id_col="doc_id", text_col="text",
             .astype(np.int64)
         # token count = separator count + 1, as a C++ kernel
         dl = pc.add(pc.count_substring(
-            pc.fill_null(batch.column(text_col), ""), " "), 1) \
+            _str_col(batch, text_col), " "), 1) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
         return pd.DataFrame({id_col: d, "dl": dl,
                              "__b": (d - lo) // width})

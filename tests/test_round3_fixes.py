@@ -521,3 +521,115 @@ def test_proj_iteration_chunk_independent():
     whole = _phi2(ts)
     singles = np.array([_phi2(float(t)) for t in ts])
     assert np.array_equal(whole, singles)
+
+
+# ---------------------------------------------------------------------------
+# round-3 code-review fixes: empty/null-text split semantics, empty S2
+# cover, oblique-aeqd parse-time rejection
+
+
+def _docs_with_degenerates():
+    return rd.from_items([
+        {"doc_id": 0, "text": "window stream hash window"},
+        {"doc_id": 1, "text": ""},
+        {"doc_id": 2, "text": None},
+        {"doc_id": 3, "text": "stream stream stream"},
+    ])
+
+
+def test_bm25_empty_text_dl_matches_sql(ray_session):
+    """dl follows len(string_split(text,' ')): empty/null text counts
+    as one (empty) token, so avgdl matches the q61 DuckDB oracle."""
+    import duckdb
+    from mapshaper_ray.stages.text import bm25_topk
+    got = bm25_topk(_docs_with_degenerates(),
+                    ["window", "stream", "hash"], k=10)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                "(0, 'window stream hash window'), (1, ''), "
+                "(2, NULL), (3, 'stream stream stream')) "
+                "t(doc_id, text)")
+    want = con.execute("""
+        WITH words AS (SELECT doc_id,
+               string_split(coalesce(text, ''), ' ') AS w
+               FROM documents),
+        base AS (SELECT doc_id, len(w) AS dl,
+               len(list_filter(w, x -> x = 'window')) AS tf0,
+               len(list_filter(w, x -> x = 'stream')) AS tf1,
+               len(list_filter(w, x -> x = 'hash')) AS tf2 FROM words),
+        g AS (SELECT count(*) AS nd, sum(dl)/count(*) AS avgdl,
+              sum(CASE WHEN tf0>0 THEN 1 ELSE 0 END) AS df0,
+              sum(CASE WHEN tf1>0 THEN 1 ELSE 0 END) AS df1,
+              sum(CASE WHEN tf2>0 THEN 1 ELSE 0 END) AS df2 FROM base)
+        SELECT doc_id,
+          ln(1+(nd-df0+0.5)/(df0+0.5))*((tf0*2.2)
+            /(tf0+1.2*(0.25+0.75*(dl/avgdl))))
+        + ln(1+(nd-df1+0.5)/(df1+0.5))*((tf1*2.2)
+            /(tf1+1.2*(0.25+0.75*(dl/avgdl))))
+        + ln(1+(nd-df2+0.5)/(df2+0.5))*((tf2*2.2)
+            /(tf2+1.2*(0.25+0.75*(dl/avgdl)))) AS bm25
+        FROM base, g ORDER BY bm25 DESC, doc_id
+        """).df()
+    got = got.sort_values(["bm25", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    np.testing.assert_allclose(np.round(got["bm25"], 6),
+                               np.round(want["bm25"], 6), atol=1e-6)
+
+
+def test_repetition_empty_text_one_token(ray_session):
+    """'' and NULL text -> n_words=1 (split semantics), matching
+    len(string_split(coalesce(text,''),' ')) in the q56 oracle."""
+    from mapshaper_ray.stages.text import repetition_signals
+    out = repetition_signals(_docs_with_degenerates()).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1, "n_words"] == 1
+    assert out.loc[2, "n_words"] == 1
+    assert out.loc[1, "distinct_word_ratio"] == 1.0
+    assert out.loc[1, "top_bigram_share"] == 0.0
+    assert out.loc[0, "n_words"] == 4
+
+
+def test_pii_redactor_preserves_null(ray_session):
+    """Null text stays null (SQL regexp_replace(NULL,..) IS NULL);
+    non-null rows are redacted."""
+    from mapshaper_ray.stages.text import redact_pii
+    ds = rd.from_items([
+        {"doc_id": 0, "text": "mail a@b.example.com or 123-555-0000"},
+        {"doc_id": 1, "text": None},
+    ])
+    out = redact_pii(ds).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[0, "text"] == "mail <EMAIL> or <PHONE>"
+    assert out.loc[1, "text"] is None
+
+
+def test_cover_contains_empty_cover():
+    """Empty cover -> all-False, not IndexError."""
+    from mapshaper_ray.s2 import cover_contains, lonlat_to_cell_id
+    pts = lonlat_to_cell_id(np.array([10.0, 20.0]),
+                            np.array([1.0, 2.0]))
+    got = cover_contains(np.empty(0, dtype=np.uint64), pts)
+    assert got.dtype == bool and got.shape == (2,) and not got.any()
+    assert cover_contains(np.empty(0, dtype=np.uint64),
+                          np.empty(0, dtype=np.uint64)).shape == (0,)
+
+
+def test_parse_prj_oblique_aeqd_rejected():
+    """Oblique Azimuthal_Equidistant .prj is rejected at parse time
+    (returns None -> clean 'unsupported' error), not deferred to a
+    NotImplementedError inside a worker; polar stays supported."""
+    from mapshaper_ray.stages.proj import parse_prj
+    wkt = ('PROJCS["aeqd",GEOGCS["WGS84",DATUM["WGS_1984",'
+           'SPHEROID["WGS 84",6378137,298.257223563]],'
+           'PRIMEM["Greenwich",0],'
+           'UNIT["degree",0.017453292519943295]],'
+           'PROJECTION["Azimuthal_Equidistant"],'
+           'PARAMETER["latitude_of_center",{lat}],'
+           'PARAMETER["central_meridian",0],UNIT["metre",1]]')
+    assert parse_prj(wkt.format(lat=20)) is None
+    polar = parse_prj(wkt.format(lat=90))
+    assert polar is not None
+    fwd = polar[0] if isinstance(polar, tuple) else None
+    if fwd is not None:
+        x, y = fwd(np.array([10.0]), np.array([80.0]))
+        assert np.isfinite(x).all() and np.isfinite(y).all()
