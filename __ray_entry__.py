@@ -619,6 +619,22 @@ def _q67_pack_sequences(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q68_exact_substring_dedup(sf_dir: str):
+    """Exact substring-span dedup (Lee et al. 2022 ExactSubstr): every
+    duplicated 5-token window keeps one canonical occurrence; other
+    occurrences' tokens are removed and each doc's text rebuilt.
+    Documents never move: window hashes shuffle by hash (global
+    counts/argmins in-partition), covered spans shuffle by doc as
+    integer lists, a bucketed left join + difference-array mask
+    rebuilds the text."""
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import exact_substring_dedup
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = exact_substring_dedup(ds, k=5).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -1175,6 +1191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q65_semantic_dedup": _q65_semantic_dedup,
         "q66_redact_pii": _q66_redact_pii,
         "q67_pack_sequences": _q67_pack_sequences,
+        "q68_exact_substring_dedup": _q68_exact_substring_dedup,
     }
 
 
@@ -2356,6 +2373,45 @@ def oracle_sql() -> dict[str, str]:
         FROM o, unnest(generate_series(CAST(off // 512 AS BIGINT),
                  CAST((off + n - 1) // 512 AS BIGINT))) AS ex(ex)
         ORDER BY example_id, doc_id"""
+
+    out["q68_exact_substring_dedup"] = r"""
+        -- ExactSubstr dedup (Lee et al. 2022): duplicated 5-token
+        -- windows keep the min-(doc,pos) occurrence; covered tokens
+        -- elsewhere are removed.  Same \S+ tokenizer + md5 window
+        -- hash + int packing as ops/dedup.exact_substring_dedup
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text, ''), '\S+') AS ts
+          FROM documents),
+        win AS (
+          SELECT doc_id, w.pos AS pos, w.h AS h
+          FROM toks, unnest(list_transform(
+                generate_series(1, len(ts) - 4),
+                i -> {'pos': i, 'h': md5_number_lower(
+                       array_to_string(ts[i:i+4], chr(31)))})) AS u(w)
+          WHERE len(ts) >= 5),
+        dup AS (
+          SELECT h, min(doc_id * 16777216 + pos - 1) AS canon
+          FROM win GROUP BY h HAVING count(*) > 1),
+        cov AS (
+          SELECT DISTINCT w.doc_id, u.cp AS cp
+          FROM win w JOIN dup d ON w.h = d.h,
+               unnest(generate_series(w.pos, w.pos + 4)) AS u(cp)
+          WHERE w.doc_id * 16777216 + w.pos - 1 <> d.canon),
+        tok_rows AS (
+          SELECT doc_id, u.r['i'] AS i, u.r['tok'] AS tok
+          FROM toks, unnest(list_transform(
+                generate_series(1, len(ts)),
+                i -> {'i': i, 'tok': ts[i]})) AS u(r)),
+        kept AS (
+          SELECT tr.doc_id, tr.i, tr.tok
+          FROM tok_rows tr LEFT JOIN cov c
+            ON tr.doc_id = c.doc_id AND tr.i = c.cp
+          WHERE c.doc_id IS NULL)
+        SELECT d.doc_id,
+               coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '') AS text
+        FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        GROUP BY d.doc_id ORDER BY d.doc_id"""
 
     out["q64_lm_nll"] = """
         -- same quantized-log arithmetic as stages/text.lm_nll:

@@ -27,7 +27,7 @@ import re
 import numpy as np
 import pandas as pd
 
-from ..stages.text import hash_tokens, window_hashes
+from ..stages.text import hash_tokens, md5_lo64, window_hashes
 from .partition import GOLD as _CC_GOLD, bucket_part
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -987,3 +987,113 @@ def duplicate_window_stats(ds, text_col="text", id_col="doc_id", k=5,
     return partials.map_batches(add_doc_part, batch_format="pandas") \
         .groupby("__dpart").map_groups(reduce_doc, batch_format="pandas") \
         .map_batches(strip, batch_format="pandas")
+
+
+# position packing for exact_substring_dedup occurrence keys: doc_id
+# and 0-based window position share one int64 so per-hash argmin is a
+# single vectorized min.  2^24 tokens/doc (~100 MB of text) bounds any
+# realistic web page; the guard below raises rather than corrupting.
+_ESD_POS_LIM = np.int64(1) << np.int64(24)
+
+
+def exact_substring_dedup(ds, text_col="text", id_col="doc_id", k=50,
+                          n_parts=64, num_buckets=32):
+    """Exact substring-span deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): every k-token window whose hash occurs more than
+    once corpus-wide keeps ONE canonical occurrence (the smallest
+    (doc_id, position)) and the covered tokens of every other
+    occurrence are removed; each doc's surviving tokens re-join with
+    single spaces.  Whitespace is normalized by the ``\\S+`` tokenizer
+    (same convention as duplicate_window_stats / the q48 oracles).
+
+    Distribution: documents never move.  (1) a stateless pass emits
+    (window_hash, packed doc·pos) rows bucketed BY HASH, so
+    (2) in-partition counts/argmins ARE global — duplicated,
+    non-canonical occurrences emit (doc, pos) covered spans;
+    (3) spans bucket-shuffle BY DOC and aggregate to one span-list row
+    per affected doc (integers only — never the text); (4) a bucketed
+    left join attaches the span list to its doc and a vectorized
+    difference-array mask rebuilds the text per row.  Driver sees
+    nothing; skew is bounded because a pathological hash (the empty
+    page's window) still lands in one partition as rows, not text.
+
+    Returns a Dataset (id_col, text) over ALL input docs.
+    """
+    from .relational import hash_join
+
+    ws = re.compile(r"\S+")
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        hs, ords = [], []
+        for i, t in zip(df[id_col].to_numpy(), df[text_col]):
+            toks = ws.findall(t or "")
+            n = len(toks)
+            if n < k:
+                continue
+            if n >= _ESD_POS_LIM:
+                raise ValueError(
+                    f"doc {i}: {n} tokens exceeds the 2^24 position "
+                    "packing bound of exact_substring_dedup")
+            h = md5_lo64(["\x1f".join(toks[p:p + k])
+                          for p in range(n - k + 1)])
+            hs.append(h)
+            ords.append(np.int64(i) * _ESD_POS_LIM
+                        + np.arange(n - k + 1, dtype=np.int64))
+        h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+        return pd.DataFrame({
+            "h": h.astype(np.int64),
+            "ord": (np.concatenate(ords) if ords
+                    else np.empty(0, np.int64)),
+            "__part": (h % np.uint64(n_parts)).astype(np.int64)})
+
+    def covered(df: pd.DataFrame) -> pd.DataFrame:
+        """All rows of a hash are in this partition: group by h, keep
+        duplicated hashes, drop each group's min ord (canonical)."""
+        h = df["h"].to_numpy()
+        o = df["ord"].to_numpy()
+        order = np.lexsort((o, h))
+        h, o = h[order], o[order]
+        first = np.r_[True, h[1:] != h[:-1]]
+        gid = np.cumsum(first) - 1
+        counts = np.bincount(gid)
+        dup = counts[gid] > 1
+        kill = dup & ~first  # min ord per group survives
+        o = o[kill]
+        return pd.DataFrame({
+            id_col: o // _ESD_POS_LIM,
+            "pos": o % _ESD_POS_LIM,
+            "__dpart": bucket_part(o // _ESD_POS_LIM, n_parts)})
+
+    def span_lists(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col, sort=False)["pos"].agg(list)
+        return pd.DataFrame({id_col: g.index.to_numpy(np.int64),
+                             "__spans": g.to_numpy(object)})
+
+    spans = ds.map_batches(emit, batch_format="pandas") \
+        .groupby("__part").map_groups(covered, batch_format="pandas") \
+        .groupby("__dpart").map_groups(span_lists,
+                                       batch_format="pandas")
+
+    joined = hash_join(ds, spans, on=id_col, how="left",
+                       num_buckets=num_buckets,
+                       left_cols=[id_col, text_col],
+                       right_cols=[id_col, "__spans"])
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        texts = []
+        for t, sp in zip(df[text_col], df["__spans"]):
+            toks = ws.findall(t or "")
+            if not isinstance(sp, (list, np.ndarray)):
+                texts.append(" ".join(toks))
+                continue
+            delta = np.zeros(len(toks) + 1, dtype=np.int64)
+            p = np.asarray(sp, dtype=np.int64)
+            np.add.at(delta, p, 1)
+            np.add.at(delta, np.minimum(p + k, len(toks)), -1)
+            keep = np.cumsum(delta[:-1]) == 0
+            texts.append(" ".join(np.asarray(toks, object)[keep]))
+        return pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
+                             text_col: texts})
+
+    return joined.map_batches(rebuild, batch_format="pandas")

@@ -633,3 +633,48 @@ def test_parse_prj_oblique_aeqd_rejected():
     if fwd is not None:
         x, y = fwd(np.array([10.0]), np.array([80.0]))
         assert np.isfinite(x).all() and np.isfinite(y).all()
+
+
+def test_exact_substring_dedup_vs_duckdb(ray_session):
+    """ExactSubstr dedup (Lee et al. 2022): engine output is
+    byte-identical to the SQL oracle on a randomized corpus with
+    planted cross-doc and within-doc duplicate spans plus degenerate
+    docs (empty, null, <k tokens)."""
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for d in range(40):
+        n = int(rng.integers(0, 30))
+        toks = [vocab[int(j)] for j in rng.integers(0, len(vocab), n)]
+        rows.append({"doc_id": d, "text": " ".join(toks)})
+    # planted duplicates: a shared 7-token passage in several docs,
+    # and one doc repeating its own 5-token run
+    passage = "p0 p1 p2 p3 p4 p5 p6"
+    for d in (3, 11, 27):
+        rows[d]["text"] = (rows[d]["text"] + " " + passage).strip()
+    rows[33]["text"] = "r0 r1 r2 r3 r4 r0 r1 r2 r3 r4 tail"
+    rows.append({"doc_id": 40, "text": ""})
+    rows.append({"doc_id": 41, "text": None})
+    rows.append({"doc_id": 42, "text": "a b c"})
+
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import exact_substring_dedup
+    got = exact_substring_dedup(rd.from_items(rows), k=5) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    [(r["doc_id"], r["text"]) for r in rows])
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["q68_exact_substring_dedup"]).df()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["text"]) == list(want["text"])
+    # the planted cross-doc passage survives exactly once
+    surviving = sum(passage in t for t in got["text"])
+    assert surviving == 1
+    # the self-repeating doc keeps one copy of its run
+    assert got.loc[got["doc_id"] == 33, "text"].iloc[0] \
+        == "r0 r1 r2 r3 r4 tail"
