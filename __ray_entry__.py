@@ -635,6 +635,20 @@ def _q68_exact_substring_dedup(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q69_dsir_weights(sf_dir: str):
+    """DSIR data-selection importance weights (Xie et al. 2023):
+    hashed-bigram features, add-1-smoothed target (lang='en') vs
+    full-corpus proposal, per-doc mean log-ratio.  One partial-count
+    pass (2x1024 ints reach the driver), broadcast quantized-log
+    tables, one stateless scoring pass — integer-exact vs DuckDB ln."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import dsir_weights
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    out = dsir_weights(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -1192,6 +1206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q66_redact_pii": _q66_redact_pii,
         "q67_pack_sequences": _q67_pack_sequences,
         "q68_exact_substring_dedup": _q68_exact_substring_dedup,
+        "q69_dsir_weights": _q69_dsir_weights,
     }
 
 
@@ -2412,6 +2427,43 @@ def oracle_sql() -> dict[str, str]:
                coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '') AS text
         FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
         GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+    out["q69_dsir_weights"] = """
+        -- DSIR hashed-bigram importance weights; same quantized-log
+        -- integer arithmetic as stages/text.dsir_weights (q64 trick)
+        WITH toks AS (SELECT doc_id, lang,
+               string_split(coalesce(text,''), ' ') AS ts
+               FROM documents),
+        bg AS (SELECT doc_id, lang,
+                CAST(md5_number_lower(ts[u.i] || chr(31) || ts[u.i+1])
+                     % 1024 AS BIGINT) AS b
+               FROM toks, unnest(generate_series(1, len(ts)-1)) AS u(i)
+               WHERE len(ts) >= 2),
+        buckets AS (SELECT unnest(generate_series(0, 1023)) AS b),
+        cc AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+        ct AS (SELECT b, count(*) AS c FROM bg WHERE lang='en'
+               GROUP BY b),
+        tot AS (SELECT (SELECT count(*) FROM bg) AS nc,
+                       (SELECT count(*) FROM bg WHERE lang='en') AS nt),
+        q AS (SELECT buckets.b,
+                CAST(floor(ln(CAST(coalesce(ct.c,0)+1 AS DOUBLE))
+                           *1000000000) AS BIGINT)
+              - CAST(floor(ln(CAST(coalesce(cc.c,0)+1 AS DOUBLE))
+                           *1000000000) AS BIGINT) AS qd
+              FROM buckets LEFT JOIN cc ON buckets.b=cc.b
+                           LEFT JOIN ct ON buckets.b=ct.b),
+        z AS (SELECT CAST(floor(ln(CAST(nt+1024 AS DOUBLE))
+                                *1000000000) AS BIGINT)
+                   - CAST(floor(ln(CAST(nc+1024 AS DOUBLE))
+                                *1000000000) AS BIGINT) AS zd
+              FROM tot),
+        per AS (SELECT bg.doc_id, sum(q.qd) AS s, count(*) AS n
+                FROM bg JOIN q ON bg.b = q.b GROUP BY bg.doc_id)
+        SELECT d.doc_id,
+               round(coalesce((per.s - per.n * z.zd)
+                     / (1000000000.0 * per.n), 0.0), 6) AS dsir_logw
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id, z
+        ORDER BY d.doc_id"""
 
     out["q64_lm_nll"] = """
         -- same quantized-log arithmetic as stages/text.lm_nll:

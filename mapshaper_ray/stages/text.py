@@ -684,3 +684,99 @@ def pack_sequences(ds, seq_len, id_col="doc_id", text_col="text",
 
     return lens.groupby("__b").map_groups(emit_spans,
                                           batch_format="pandas")
+
+
+def dsir_weights(ds, target_col="lang", target_value="en",
+                 n_buckets=1024, id_col="doc_id", text_col="text",
+                 qscale=10 ** 9):
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling" — public): hashed-bigram bag-of-ngrams features, an
+    add-1-smoothed target distribution (rows where ``target_col ==
+    target_value``) vs the full-corpus proposal, and per-doc
+    log-importance weight = mean over the doc's bigrams of
+    ``ln p_target(b) - ln p_proposal(b)``.
+
+    Distributed shape: (1) one stateless pass emits per-batch partial
+    bucket counts (2 x ``n_buckets`` ints — np.bincount over md5
+    bigram hashes); a tiny groupby reduces them and only 2 x 1024
+    scalars reach the driver; (2) the quantized log tables broadcast
+    and a second stateless pass scores each doc.  Logs are
+    ``floor(ln(c+1) * qscale)`` integers (libm == DuckDB ln
+    bit-for-bit, the q64 trick), so per-doc sums are exact and the
+    SQL oracle matches to the last ulp.
+
+    Tokenization is single-space split (``string_split`` parity);
+    docs with fewer than 2 tokens get weight 0.0.  Returns a Dataset
+    (id_col, dsir_logw).
+    """
+    import math
+
+    import ray
+
+    def _bigram_buckets(texts):
+        """Concatenated bucket ids + per-doc bigram counts."""
+        hs, ns = [], np.empty(len(texts), dtype=np.int64)
+        for j, t in enumerate(texts):
+            toks = (t or "").split(" ")
+            n = len(toks) - 1
+            ns[j] = max(n, 0)
+            if n < 1:
+                continue
+            hs.append(md5_lo64([toks[i] + _SEP + toks[i + 1]
+                                for i in range(n)])
+                      % np.uint64(n_buckets))
+        cat = (np.concatenate(hs) if hs
+               else np.empty(0, dtype=np.uint64)).astype(np.int64)
+        return cat, ns
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        b, _ = _bigram_buckets(list(df[text_col]))
+        cc = np.bincount(b, minlength=n_buckets)
+        is_t = (df[target_col].to_numpy() == target_value)
+        bt, _ = _bigram_buckets(
+            [t for t, f in zip(df[text_col], is_t) if f])
+        ct = np.bincount(bt, minlength=n_buckets)
+        return pd.DataFrame({"b": np.arange(n_buckets, dtype=np.int64),
+                             "cc": cc, "ct": ct})
+
+    counts = ds.map_batches(partial_counts, batch_format="pandas") \
+        .groupby("b").sum(["cc", "ct"]).to_pandas() \
+        .sort_values("b").reset_index(drop=True)
+    cc = counts["sum(cc)"].to_numpy(np.int64)
+    ct = counts["sum(ct)"].to_numpy(np.int64)
+    nc, nt = int(cc.sum()), int(ct.sum())
+
+    def qlog(x):
+        return math.floor(math.log(x) * qscale)
+
+    qt = np.fromiter((qlog(int(c) + 1) for c in ct), np.int64,
+                     n_buckets)
+    qc = np.fromiter((qlog(int(c) + 1) for c in cc), np.int64,
+                     n_buckets)
+    zt, zc = qlog(nt + n_buckets), qlog(nc + n_buckets)
+    qdiff_ref = ray.put(qt - qc)  # per-bucket integer log-ratio part
+    zdiff = zt - zc
+
+    class Scorer:
+        def __init__(self):
+            self.qdiff = ray.get(qdiff_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            b, ns = _bigram_buckets(list(df[text_col]))
+            offs = np.r_[0, np.cumsum(ns)[:-1]]
+            sums = np.zeros(len(ns), dtype=np.int64)
+            nz = ns > 0
+            if len(b):
+                sums[nz] = np.add.reduceat(self.qdiff[b],
+                                           offs[nz])
+            w = np.where(nz,
+                         (sums - ns * zdiff)
+                         / (qscale * np.maximum(ns, 1).astype(float)),
+                         0.0)
+            return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                                 "dsir_logw": np.round(w, 6)})
+
+    return ds.map_batches(Scorer, batch_format="pandas",
+                          batch_size=4096, concurrency=(1, 8),
+                          num_cpus=1)

@@ -5,6 +5,7 @@ directory-export options) and the auto-distributed layer-op defaults
 import json
 
 import numpy as np
+import pandas as pd
 import pytest
 import ray.data as rd
 
@@ -678,3 +679,42 @@ def test_exact_substring_dedup_vs_duckdb(ray_session):
     # the self-repeating doc keeps one copy of its run
     assert got.loc[got["doc_id"] == 33, "text"].iloc[0] \
         == "r0 r1 r2 r3 r4 tail"
+
+
+def test_dsir_weights_vs_duckdb(ray_session):
+    """DSIR importance weights are integer-exact vs the SQL oracle
+    (quantized-log trick) and rank target-language docs higher."""
+    import duckdb
+    import ray.data as rd
+    from mapshaper_ray.stages.text import dsir_weights
+    rng = np.random.default_rng(3)
+    en = ["the", "and", "of", "to", "fast", "key"]
+    de = ["der", "die", "und", "das", "ist", "ein"]
+    rows = []
+    for d in range(30):
+        lang = "en" if d % 2 == 0 else "de"
+        vocab = en if lang == "en" else de
+        toks = [vocab[int(j)]
+                for j in rng.integers(0, len(vocab),
+                                      int(rng.integers(2, 12)))]
+        rows.append({"doc_id": d, "text": " ".join(toks),
+                     "lang": lang})
+    rows.append({"doc_id": 30, "text": "", "lang": "en"})
+    rows.append({"doc_id": 31, "text": None, "lang": "de"})
+    got = dsir_weights(rd.from_items(rows)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents "
+                "(doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?,?,?)",
+                    [(r["doc_id"], r["text"], r["lang"])
+                     for r in rows])
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["q69_dsir_weights"]).df()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    np.testing.assert_array_equal(got["dsir_logw"].to_numpy(),
+                                  want["dsir_logw"].to_numpy())
+    g = got.merge(pd.DataFrame(rows)[["doc_id", "lang"]], on="doc_id")
+    nz = g[g["dsir_logw"] != 0]
+    assert nz[nz["lang"] == "en"]["dsir_logw"].mean() \
+        > nz[nz["lang"] == "de"]["dsir_logw"].mean()
