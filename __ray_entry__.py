@@ -649,6 +649,30 @@ def _q69_dsir_weights(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q70_ann_pq(sf_dir: str):
+    """Product-quantization ANN (Jégou et al. 2011) with exact
+    re-rank: codebooks train on a seeded sample, vectors encode once
+    to uint8 codes (the 32x-smaller scan side), ADC lookup-table scan
+    shortlists candidates, and only the shortlist re-ranks against
+    the original vectors.  Output = exact top-k (validated: the true
+    top-10 survives the default shortlist at the driver scales), so
+    the exact-cosine SQL is a value-exact oracle — the q43 pattern."""
+    import numpy as np
+    import ray.data as rd
+    from mapshaper_ray.ops.ann import pq_topk
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    head = ds.filter(lambda r: 4 <= r["vec_id"] < 8).to_pandas() \
+        .sort_values("vec_id")
+    queries = np.stack(head["embedding"].to_numpy())
+    out = pq_topk(ds, queries, head["vec_id"].to_numpy(), k=10,
+                  m_subspaces=16, n_codes=16, shortlist=16).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["query_id", "cosine", "vec_id"],
+                           ascending=[True, False, True]) \
+        .reset_index(drop=True)
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -1207,6 +1231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q67_pack_sequences": _q67_pack_sequences,
         "q68_exact_substring_dedup": _q68_exact_substring_dedup,
         "q69_dsir_weights": _q69_dsir_weights,
+        "q70_ann_pq": _q70_ann_pq,
     }
 
 
@@ -2427,6 +2452,25 @@ def oracle_sql() -> dict[str, str]:
                coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '') AS text
         FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
         GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+    out["q70_ann_pq"] = """
+        -- exact top-k oracle for the PQ+re-rank path (q43 pattern:
+        -- the validated shortlist recovers the exact result set)
+        WITH q AS (SELECT vec_id AS query_id,
+                      list_transform(embedding,
+                                     x -> CAST(x AS DOUBLE)) AS qv
+                   FROM embeddings WHERE vec_id >= 4 AND vec_id < 8),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 round(list_cosine_similarity(
+                   list_transform(e.embedding,
+                                  x -> CAST(x AS DOUBLE)), q.qv),
+                       6) AS cosine
+          FROM embeddings e CROSS JOIN q)
+        SELECT query_id, vec_id, cosine FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) <= 10
+        ORDER BY query_id, cosine DESC, vec_id"""
 
     out["q69_dsir_weights"] = """
         -- DSIR hashed-bigram importance weights; same quantized-log

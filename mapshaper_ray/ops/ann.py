@@ -135,3 +135,166 @@ def ivf_topk(ds, queries: np.ndarray, query_ids, k=10, n_clusters=16,
         return df.head(k)
 
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def pq_train(sample: np.ndarray, m_subspaces: int, n_codes: int,
+             iters: int = 10, seed: int = 5) -> np.ndarray:
+    """Seeded product-quantization codebooks (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search" — public):
+    Lloyd k-means with EUCLIDEAN assignment per subspace over a
+    normalized sample.  Returns (m, n_codes, dim/m)."""
+    rng = np.random.RandomState(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    dim = sample.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
+    dsub = dim // m_subspaces
+    books = np.empty((m_subspaces, n_codes, dsub))
+    for s in range(m_subspaces):
+        sub = sample[:, s * dsub:(s + 1) * dsub]
+        idx = rng.choice(len(sub), size=min(n_codes, len(sub)),
+                         replace=False)
+        cents = sub[np.sort(idx)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cents)):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        books[s, :len(cents)] = cents
+        if len(cents) < n_codes:          # tiny-sample degenerate pad
+            books[s, len(cents):] = cents[-1]
+    return books
+
+
+def pq_encode(ds, books: np.ndarray, id_col="vec_id",
+              emb_col="embedding", concurrency=(1, 8)):
+    """Encode vectors to m uint8 codes (nearest codebook centroid per
+    subspace, euclidean).  The codes Dataset is the scan-side index:
+    at 64-dim float32 and m=8 it is ~32x smaller than the vectors, so
+    a 100-TB embedding corpus scans ~3 TB of codes."""
+    import ray
+    bref = ray.put(books)
+    m, _, dsub = books.shape
+
+    class Encoder:
+        def __init__(self):
+            self.books = ray.get(bref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            vecs = _normalize(np.stack(df[emb_col].to_numpy())
+                              .astype(np.float64))
+            codes = np.empty((len(vecs), m), dtype=np.uint8)
+            for s in range(m):
+                sub = vecs[:, s * dsub:(s + 1) * dsub]
+                d2 = ((sub[:, None, :] - self.books[s][None, :, :])
+                      ** 2).sum(-1)
+                codes[:, s] = np.argmin(d2, axis=1)
+            return pd.DataFrame({
+                id_col: df[id_col].to_numpy(),
+                "pq_code": [row.tobytes() for row in codes]})
+
+    return ds.map_batches(Encoder, batch_format="pandas",
+                          batch_size=8192, concurrency=concurrency,
+                          num_cpus=1)
+
+
+def pq_topk(ds, queries: np.ndarray, query_ids, k=10, m_subspaces=8,
+            n_codes=16, shortlist=8, id_col="vec_id",
+            emb_col="embedding", sample_rows=4096,
+            concurrency=(1, 8)):
+    """PQ ANN with exact re-rank: (1) codebooks train on a seeded
+    sample; (2) vectors encode ONCE to uint8 codes (``pq_encode``) and
+    the codes Dataset materializes — the 32x-smaller scan side;
+    (3) each query scans the codes via an ADC lookup table
+    (approx cosine = sum of per-subspace dot-product table entries —
+    a (m, n_codes) table per query, the scan itself is a take-along +
+    sum, no vector math); per-partition ``shortlist*k`` candidates
+    reduce to a global shortlist per query; (4) only the shortlisted
+    ids re-rank EXACTLY against the original vectors (broadcast id
+    set, one filtered pass).  Output contract = brute_topk: exact
+    cosine, (cosine desc, vec_id) order — identical to the exact
+    top-k whenever the true top-k survives the ADC pre-screen, which
+    the generous default shortlist guarantees at the validated scales
+    (pytest + q70 oracle); recall/scan-cost trades via ``shortlist``.
+    """
+    import ray
+
+    sample = np.stack(ds.limit(sample_rows).to_pandas()[emb_col]
+                      .to_numpy()).astype(np.float64)
+    books = pq_train(sample, m_subspaces, n_codes)
+    codes_ds = pq_encode(ds, books, id_col=id_col, emb_col=emb_col,
+                         concurrency=concurrency).materialize()
+
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    dsub = books.shape[2]
+    # ADC tables: lut[q, s, c] = q_sub(s) . centroid(s, c)
+    lut = np.einsum("qsd,scd->qsc",
+                    qm.reshape(len(qm), m_subspaces, dsub), books)
+    lref = ray.put((lut, np.asarray(query_ids)))
+    nshort = shortlist * k
+
+    class AdcScan:
+        def __init__(self):
+            self.lut, self.qids = ray.get(lref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            codes = np.frombuffer(
+                b"".join(df["pq_code"]), dtype=np.uint8) \
+                .reshape(len(df), m_subspaces)
+            ids = df[id_col].to_numpy()
+            frames = []
+            for q in range(len(self.lut)):
+                approx = np.take_along_axis(
+                    self.lut[q], codes.T, axis=1).sum(axis=0)
+                kk = min(nshort, len(approx))
+                idx = np.argpartition(-approx, kk - 1)[:kk]
+                frames.append(pd.DataFrame({
+                    "query_id": self.qids[q], "vec_id": ids[idx],
+                    "approx": approx[idx]}))
+            return pd.concat(frames, ignore_index=True)
+
+    def shortlist_final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["approx", "vec_id"],
+                            ascending=[False, True], kind="mergesort")
+        return df.head(nshort)[["query_id", "vec_id"]]
+
+    cand = codes_ds.map_batches(AdcScan, batch_format="pandas",
+                                batch_size=65536,
+                                concurrency=concurrency, num_cpus=1) \
+        .groupby("query_id").map_groups(shortlist_final,
+                                        batch_format="pandas") \
+        .to_pandas()
+    # bounded driver state: Q * shortlist * k ids
+    keep = np.unique(cand["vec_id"].to_numpy())
+    kref = ray.put((qm, np.asarray(query_ids), keep))
+
+    class Rerank:
+        def __init__(self):
+            self.qm, self.qids, keep = ray.get(kref)
+            self.keep = keep
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            mask = np.isin(df[id_col].to_numpy(), self.keep)
+            if not mask.any():
+                return pd.DataFrame({"query_id": [], "vec_id": [],
+                                     "cosine": []})
+            df = df[mask]
+            vecs = _normalize(np.stack(df[emb_col].to_numpy())
+                              .astype(np.float64))
+            sims = vecs @ self.qm.T
+            return _partial_topk_frame(df[id_col].to_numpy(), sims,
+                                       k, self.qids)
+
+    partials = ds.map_batches(Rerank, batch_format="pandas",
+                              batch_size=8192,
+                              concurrency=concurrency, num_cpus=1)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cosine", "vec_id"],
+                            ascending=[False, True], kind="mergesort")
+        return df.head(k)
+
+    return partials.groupby("query_id").map_groups(
+        final, batch_format="pandas")

@@ -718,3 +718,34 @@ def test_dsir_weights_vs_duckdb(ray_session):
     nz = g[g["dsir_logw"] != 0]
     assert nz[nz["lang"] == "en"]["dsir_logw"].mean() \
         > nz[nz["lang"] == "de"]["dsir_logw"].mean()
+
+
+def test_pq_topk_exact_recovery_and_codes(ray_session):
+    """PQ+ADC+re-rank recovers the exact top-k at validated settings;
+    the codes index is genuinely m bytes per vector."""
+    from mapshaper_ray.ops.ann import (brute_topk, pq_encode,
+                                       pq_topk, pq_train)
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(400, 64)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": vecs[i]} for i in range(400)]
+    ds = rd.from_items(rows)
+    q = vecs[:3].astype(np.float64)
+    qids = np.arange(3)
+    exact = brute_topk(ds, q, qids, k=8).to_pandas() \
+        .sort_values(["query_id", "cosine", "vec_id"],
+                     ascending=[True, False, True]) \
+        .reset_index(drop=True)
+    pq = pq_topk(ds, q, qids, k=8, m_subspaces=16, n_codes=16,
+                 shortlist=16).to_pandas() \
+        .sort_values(["query_id", "cosine", "vec_id"],
+                     ascending=[True, False, True]) \
+        .reset_index(drop=True)
+    assert len(exact) == len(pq) == 24
+    assert (exact[["query_id", "vec_id"]].values
+            == pq[["query_id", "vec_id"]].values).all()
+    np.testing.assert_allclose(exact["cosine"], pq["cosine"],
+                               rtol=0, atol=1e-12)
+    books = pq_train(vecs[:200], 16, 16)
+    codes = pq_encode(ds, books).to_pandas()
+    assert len(codes) == 400
+    assert all(len(c) == 16 for c in codes["pq_code"])  # 16 B/vec
