@@ -17,7 +17,9 @@ from mapshaper_ray.stages.text import repetition_signals
 
 
 def _brute(doc_id: int, text: str) -> dict:
-    w = text.split(" ") if text else []
+    # split semantics: ''/null is one (empty) token, matching the SQL
+    # oracle's string_split(coalesce(text,''), ' ')
+    w = (text or "").split(" ")
     out = {"doc_id": doc_id, "n_words": len(w)}
     out["distinct_word_ratio"] = (len(set(w)) / len(w)) if w else 1.0
     bigs = Counter(" ".join(p) for p in zip(w, w[1:]))
