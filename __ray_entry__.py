@@ -673,6 +673,20 @@ def _q70_ann_pq(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q71_bpe_train(sf_dir: str):
+    """BPE tokenizer training (Sennrich et al. 2016): 20 merge rules
+    learned from the corpus.  One corpus pass builds the distributed
+    (word, freq) vocab; each merge iteration is a stateless
+    pair-count pass + pair-hash bucket top-1 (driver sees n_parts
+    candidate rows) + broadcast rewrite.  Oracle: VALUES fixture from
+    an independent scalar trainer (scripts/gen_bpe_fixture.py)."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import bpe_train
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    return bpe_train(ds, n_merges=20)
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -1232,6 +1246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q68_exact_substring_dedup": _q68_exact_substring_dedup,
         "q69_dsir_weights": _q69_dsir_weights,
         "q70_ann_pq": _q70_ann_pq,
+        "q71_bpe_train": _q71_bpe_train,
     }
 
 
@@ -1321,6 +1336,24 @@ def _q57_fixture_sql() -> str:
         fixture_oracles_s2 = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(fixture_oracles_s2)
     return fixture_oracles_s2.Q57_SQL
+
+def _q71_fixture_sql() -> str:
+    """VALUES-literal fixture from scripts/gen_bpe_fixture.py — an
+    independent scalar plain-dict BPE trainer, valid at the driver's
+    sf0.01 correctness scale."""
+    try:
+        import fixture_oracles_bpe
+    except ImportError:
+        import importlib.util
+        import os
+        spec = importlib.util.spec_from_file_location(
+            "fixture_oracles_bpe",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "fixture_oracles_bpe.py"))
+        fixture_oracles_bpe = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(fixture_oracles_bpe)
+    return fixture_oracles_bpe.Q71_SQL
+
 
 # shared fragment: the synthetic media payload's hex head (mirrors
 # stages/multimodal.py synth_media + _u32: payload = md5-digest(text)
@@ -1708,6 +1741,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lang l JOIN fp ON l.doc_id = fp.doc_id""",
         "q19_simplify": _q19_fixture_sql(),
         "q57_s2_cells": _q57_fixture_sql(),
+        "q71_bpe_train": _q71_fixture_sql(),
         "q58_cover_join": f"""
             WITH {_GEO_CTE},
             assigned AS (SELECT doc_id, {region_case} AS region_id

@@ -780,3 +780,128 @@ def dsir_weights(ds, target_col="lang", target_value="en",
     return ds.map_batches(Scorer, batch_format="pandas",
                           batch_size=4096, concurrency=(1, 8),
                           num_cpus=1)
+
+
+def bpe_train(ds, n_merges=20, text_col="text", n_parts=32):
+    """Byte-pair-encoding tokenizer training (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units" —
+    public): learn ``n_merges`` merge rules from the corpus.
+
+    Classic word-level BPE: (1) ONE corpus pass + word-hash bucket
+    shuffle builds the global (word, freq) vocabulary — the corpus is
+    never touched again, every merge iteration runs over the vocab
+    table, which stays a DISTRIBUTED Dataset (web-scale corpora have
+    ~1e8 distinct words); (2) per iteration, a stateless pass emits
+    freq-weighted adjacent-symbol-pair partial counts, a pair-hash
+    bucket shuffle makes in-partition sums global, each partition
+    contributes its top-1 and the driver picks the global best
+    (count desc, then lexicographic pair — deterministic); (3) the
+    winning pair broadcasts and a stateless pass rewrites the symbol
+    sequences.  Driver state per iteration: ``n_parts`` candidate
+    rows + one merge rule.
+
+    Word symbols start as characters with a '</w>' end marker.
+    Returns a pandas DataFrame (rank, left, right, pair_count) of at
+    most ``n_merges`` rows (fewer if the vocab runs out of pairs).
+    """
+    import ray
+
+    def word_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [w for t in df[text_col]
+                for w in (t or "").split(" ") if w]
+        if not toks:
+            return pd.DataFrame({"word": pd.Series([], dtype=object),
+                                 "freq": pd.Series([], dtype=np.int64),
+                                 "__part": pd.Series([],
+                                                     dtype=np.int64)})
+        s = pd.Series(toks).value_counts()
+        words = s.index.to_numpy(object)
+        h = pd.util.hash_array(words.astype(object)).astype(np.uint64)
+        return pd.DataFrame({"word": words,
+                             "freq": s.to_numpy(np.int64),
+                             "__part": (h % np.uint64(n_parts))
+                             .astype(np.int64)})
+
+    def reduce_words(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("word", sort=False)["freq"].sum()
+        words = g.index.to_numpy(object)
+        return pd.DataFrame({
+            "syms": ["\x1f".join(list(w) + ["</w>"]) for w in words],
+            "freq": g.to_numpy(np.int64)})
+
+    vocab = ds.map_batches(word_counts, batch_format="pandas") \
+        .groupby("__part").map_groups(reduce_words,
+                                      batch_format="pandas") \
+        .materialize()
+
+    merges = []
+    for rank in range(n_merges):
+        def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+            pairs, freqs = [], []
+            for syms, f in zip(df["syms"], df["freq"]):
+                parts = syms.split("\x1f")
+                for a, b in zip(parts, parts[1:]):
+                    pairs.append(a + "\x1f" + b)
+                    freqs.append(f)
+            if not pairs:
+                return pd.DataFrame({
+                    "pair": pd.Series([], dtype=object),
+                    "c": pd.Series([], dtype=np.int64),
+                    "__part": pd.Series([], dtype=np.int64)})
+            g = pd.DataFrame({"pair": pairs, "c": freqs}) \
+                .groupby("pair", sort=False)["c"].sum()
+            p = g.index.to_numpy(object)
+            h = pd.util.hash_array(p.astype(object)) \
+                .astype(np.uint64)
+            return pd.DataFrame({"pair": p,
+                                 "c": g.to_numpy(np.int64),
+                                 "__part": (h % np.uint64(n_parts))
+                                 .astype(np.int64)})
+
+        def part_best(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("pair", sort=False)["c"].sum() \
+                .reset_index()
+            g = g.sort_values(["c", "pair"], ascending=[False, True],
+                              kind="mergesort")
+            return g.head(1)
+
+        cand = vocab.map_batches(pair_counts, batch_format="pandas") \
+            .groupby("__part").map_groups(part_best,
+                                          batch_format="pandas") \
+            .to_pandas()
+        if cand.empty:
+            break
+        cand = cand.sort_values(["c", "pair"],
+                                ascending=[False, True],
+                                kind="mergesort")
+        best = cand.iloc[0]
+        left, right = best["pair"].split("\x1f")
+        merges.append({"rank": rank, "left": left, "right": right,
+                       "pair_count": int(best["c"])})
+        pat = best["pair"]
+        rep = left + right
+
+        def apply_merge(df: pd.DataFrame, pat=pat,
+                        rep=rep) -> pd.DataFrame:
+            out = []
+            for syms in df["syms"]:
+                parts = syms.split("\x1f")
+                merged, i = [], 0
+                while i < len(parts):
+                    if (i + 1 < len(parts) and parts[i] +
+                            "\x1f" + parts[i + 1] == pat):
+                        merged.append(rep)
+                        i += 2
+                    else:
+                        merged.append(parts[i])
+                        i += 1
+                out.append("\x1f".join(merged))
+            return pd.DataFrame({"syms": out,
+                                 "freq": df["freq"].to_numpy()})
+
+        vocab = vocab.map_batches(apply_merge,
+                                  batch_format="pandas").materialize()
+
+    return pd.DataFrame(merges,
+                        columns=["rank", "left", "right",
+                                 "pair_count"])

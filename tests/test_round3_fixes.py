@@ -749,3 +749,58 @@ def test_pq_topk_exact_recovery_and_codes(ray_session):
     codes = pq_encode(ds, books).to_pandas()
     assert len(codes) == 400
     assert all(len(c) == 16 for c in codes["pq_code"])  # 16 B/vec
+
+
+def test_bpe_train_vs_bruteforce(ray_session):
+    """Distributed BPE trainer reproduces an independent plain-dict
+    trainer exactly, incl. the (count desc, lexicographic pair)
+    tie-break and early exhaustion on a tiny vocab."""
+    from collections import Counter
+
+    from mapshaper_ray.stages.text import bpe_train
+
+    def brute(texts, n):
+        wc = Counter(w for t in texts
+                     for w in (t or "").split(" ") if w)
+        vocab = {tuple(list(w) + ["</w>"]): f for w, f in wc.items()}
+        merges = []
+        for r in range(n):
+            pc = Counter()
+            for syms, f in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += f
+            if not pc:
+                break
+            (a, b), c = min(pc.items(),
+                            key=lambda kv: (-kv[1], kv[0]))
+            merges.append((r, a, b, c))
+            new = {}
+            for syms, f in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a \
+                            and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new[tuple(out)] = new.get(tuple(out), 0) + f
+            vocab = new
+        return merges
+
+    rng = np.random.default_rng(5)
+    vocab = ["stream", "window", "hash", "sort", "merge", "a", "bb"]
+    texts = [" ".join(vocab[int(j)] for j in
+                      rng.integers(0, len(vocab),
+                                   int(rng.integers(0, 15))))
+             for _ in range(60)] + ["", None]
+    got = bpe_train(rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]),
+        n_merges=15)
+    want = brute(texts, 15)
+    assert [tuple(r) for r in got.to_records(index=False)] == want
+    # tiny corpus exhausts: "a" alone has one pair then none
+    tiny = bpe_train(rd.from_items([{"text": "a a a"}]), n_merges=5)
+    assert [tuple(r)[1:] for r in tiny.to_records(index=False)] \
+        == [("a", "</w>", 3)]
