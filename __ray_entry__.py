@@ -687,6 +687,21 @@ def _q71_bpe_train(sf_dir: str):
     return bpe_train(ds, n_merges=20)
 
 
+def _q72_bpe_encode(sf_dir: str):
+    """Tokenize the corpus with the trained BPE merges (greedy rank
+    replay per word, per-actor distinct-word cache): per-doc word and
+    subword counts — the compression diagnostic.  Oracle: VALUES
+    fixture from the independent scalar encoder
+    (scripts/gen_bpe_fixture.py)."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import bpe_encode, bpe_train
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    merges = bpe_train(ds, n_merges=20)
+    out = bpe_encode(ds, merges).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -1247,6 +1262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q69_dsir_weights": _q69_dsir_weights,
         "q70_ann_pq": _q70_ann_pq,
         "q71_bpe_train": _q71_bpe_train,
+        "q72_bpe_encode": _q72_bpe_encode,
     }
 
 
@@ -1337,10 +1353,10 @@ def _q57_fixture_sql() -> str:
         spec.loader.exec_module(fixture_oracles_s2)
     return fixture_oracles_s2.Q57_SQL
 
-def _q71_fixture_sql() -> str:
-    """VALUES-literal fixture from scripts/gen_bpe_fixture.py — an
-    independent scalar plain-dict BPE trainer, valid at the driver's
-    sf0.01 correctness scale."""
+def _bpe_fixture_sqls() -> tuple:
+    """VALUES-literal fixtures from scripts/gen_bpe_fixture.py — an
+    independent scalar plain-dict BPE trainer + greedy encoder, valid
+    at the driver's sf0.01 correctness scale."""
     try:
         import fixture_oracles_bpe
     except ImportError:
@@ -1352,7 +1368,7 @@ def _q71_fixture_sql() -> str:
                          "fixture_oracles_bpe.py"))
         fixture_oracles_bpe = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(fixture_oracles_bpe)
-    return fixture_oracles_bpe.Q71_SQL
+    return fixture_oracles_bpe.Q71_SQL, fixture_oracles_bpe.Q72_SQL
 
 
 # shared fragment: the synthetic media payload's hex head (mirrors
@@ -1741,7 +1757,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lang l JOIN fp ON l.doc_id = fp.doc_id""",
         "q19_simplify": _q19_fixture_sql(),
         "q57_s2_cells": _q57_fixture_sql(),
-        "q71_bpe_train": _q71_fixture_sql(),
+        "q71_bpe_train": _bpe_fixture_sqls()[0],
+        "q72_bpe_encode": _bpe_fixture_sqls()[1],
         "q58_cover_join": f"""
             WITH {_GEO_CTE},
             assigned AS (SELECT doc_id, {region_case} AS region_id

@@ -176,6 +176,22 @@ def run_benchmarks():
     timed("pagerank_2m_edges_broadcast",
           lambda: pagerank_broadcast(edges, nodes, iters=3))
 
+    # round-3 additions over the sf documents table (5k docs / ~1.1MB
+    # text at sf0.1 — iteration/shuffle overhead probes, not volume):
+    # ExactSubstr span dedup (hash->doc double shuffle + text
+    # rebuild), DSIR importance weights (2x1024-int reduce + stateless
+    # scoring), 10 BPE merges (vocab-table iterations)
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text", "lang"]) \
+        .materialize()
+    from mapshaper_ray.ops.dedup import exact_substring_dedup
+    from mapshaper_ray.stages.text import bpe_train, dsir_weights
+    timed("exact_substring_dedup_5k",
+          lambda: exact_substring_dedup(docs, k=5))
+    timed("dsir_weights_5k", lambda: dsir_weights(docs))
+    timed("bpe_train_10_merges_5k",
+          lambda: bpe_train(docs, n_merges=10))
+
     print(json.dumps({
         "metric": "flagship spatial-join + tile-assignment wall time "
                   "(parquet pages, sf0.1 docs x replicate)",

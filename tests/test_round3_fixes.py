@@ -804,3 +804,43 @@ def test_bpe_train_vs_bruteforce(ray_session):
     tiny = bpe_train(rd.from_items([{"text": "a a a"}]), n_merges=5)
     assert [tuple(r)[1:] for r in tiny.to_records(index=False)] \
         == [("a", "</w>", 3)]
+
+
+def test_bpe_encode_vs_bruteforce(ray_session):
+    """Greedy BPE apply matches an independent scalar encoder on the
+    trained merges (rank-order replay, distinct-word cache)."""
+    from mapshaper_ray.stages.text import bpe_encode, bpe_train
+
+    def brute(texts, merges):
+        ranks = {(l, r): i for i, (_, l, r, _) in enumerate(merges)}
+
+        def enc(w):
+            syms = list(w) + ["</w>"]
+            while len(syms) > 1:
+                cand = [(ranks[(a, b)], i) for i, (a, b)
+                        in enumerate(zip(syms, syms[1:]))
+                        if (a, b) in ranks]
+                if not cand:
+                    break
+                _, i = min(cand)
+                syms[i:i + 2] = [syms[i] + syms[i + 1]]
+            return len(syms)
+
+        return [(d, len(ws), sum(enc(w) for w in ws))
+                for d, t in enumerate(texts)
+                for ws in [[w for w in (t or "").split(" ") if w]]]
+
+    rng = np.random.default_rng(9)
+    vocab = ["stream", "window", "hash", "sort", "merge", "joins"]
+    texts = [" ".join(vocab[int(j)] for j in
+                      rng.integers(0, len(vocab),
+                                   int(rng.integers(0, 12))))
+             for _ in range(50)] + ["", None]
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(texts)])
+    merges = bpe_train(ds, n_merges=12)
+    mlist = [tuple(r) for r in merges.to_records(index=False)]
+    got = bpe_encode(ds, merges).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert [tuple(r) for r in got.to_records(index=False)] \
+        == brute(texts, mlist)
