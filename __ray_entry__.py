@@ -702,6 +702,23 @@ def _q72_bpe_encode(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q73_window_hopping(sf_dir: str):
+    """Hopping (sliding) window aggregate over events: 2h windows
+    every 1h, so each event lands in two windows — one vectorized
+    replicate pass + the partial+final grouped aggregation."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import window_hopping
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    out = window_hopping(ds, "event_type", "ts", 7200, 3600, {
+        "n": ("value", "count"),
+        "sum_value": ("value", "sum"),
+    }).to_pandas()
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.sort_values(["event_type", "window_start"]) \
+        .reset_index(drop=True)
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -1263,6 +1280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q70_ann_pq": _q70_ann_pq,
         "q71_bpe_train": _q71_bpe_train,
         "q72_bpe_encode": _q72_bpe_encode,
+        "q73_window_hopping": _q73_window_hopping,
     }
 
 
@@ -1549,6 +1567,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type, window_start""",
+        "q73_window_hopping": """
+            -- 2h windows hopping every 1h: each event joins the two
+            -- windows containing it (floor-division arithmetic
+            -- matches ops/relational.window_hopping exactly)
+            SELECT event_type,
+                   CAST(u.w * 3600 AS BIGINT) AS window_start,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events,
+                 unnest(generate_series(
+                   CAST(floor((epoch(ts) - 7200) / 3600) + 1 AS BIGINT),
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT))) AS u(w)
+            GROUP BY event_type, window_start
+            ORDER BY event_type, window_start""",
         "q9_cells": f"""
             WITH {_GEO_CTE}
             SELECT tile, count(*) AS n_pages FROM geo GROUP BY tile""",

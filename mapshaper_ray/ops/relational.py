@@ -583,6 +583,38 @@ def window_tumbling(ds, key: str, ts_col: str, width_s: int,
     return groupby_agg(bucketed, [key, "window_start"], aggs)
 
 
+def window_hopping(ds, key: str, ts_col: str, length_s: int,
+                   hop_s: int, aggs: dict[str, tuple[str, str]]):
+    """Hopping (sliding) event-time window: windows start every
+    ``hop_s`` seconds and span ``length_s``, so each event lands in
+    ``ceil(length/hop)`` overlapping windows.  One stateless pass
+    replicates each row to its window ids (vectorized floor-division
+    arithmetic — no per-event loop, the replication factor is the
+    constant length/hop), then the same partial+final grouped
+    aggregation as the tumbling window.  Returns one row per
+    (key, window_start)."""
+    if length_s % hop_s:
+        raise ValueError("length_s must be a multiple of hop_s")
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ep = df[ts_col].astype("datetime64[us]").astype("int64") \
+            // 10 ** 6
+        w0 = np.floor_divide(ep - length_s, hop_s) + 1
+        w1 = np.floor_divide(ep, hop_s)
+        reps = (w1 - w0 + 1).to_numpy()
+        idx = np.repeat(np.arange(len(df)), reps)
+        out = df.iloc[idx].copy()
+        # window index for each replica: w0[i] .. w1[i]
+        offs = np.concatenate([np.arange(r) for r in reps]) \
+            if len(reps) else np.empty(0, np.int64)
+        out["window_start"] = ((np.repeat(w0.to_numpy(), reps) + offs)
+                               * hop_s).astype("int64")
+        return out
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+    return groupby_agg(exploded, [key, "window_start"], aggs)
+
+
 def with_row_position(ds, col: str = "__pos"):
     """Stamp a GLOBAL row-position column (a delim table's identity is
     its row order).  Two light passes: per-block row counts (metadata

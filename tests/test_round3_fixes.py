@@ -844,3 +844,42 @@ def test_bpe_encode_vs_bruteforce(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     assert [tuple(r) for r in got.to_records(index=False)] \
         == brute(texts, mlist)
+
+
+def test_window_hopping_vs_tumbling_and_brute(ray_session):
+    """Hopping windows: each event lands in length/hop windows; with
+    hop == length it degenerates to the tumbling window."""
+    import pandas as pd
+    from mapshaper_ray.ops.relational import (window_hopping,
+                                              window_tumbling)
+    ts = pd.to_datetime([0, 1800, 3600, 5400, 7200, 10900],
+                        unit="s")
+    ds = rd.from_pandas(pd.DataFrame({
+        "k": ["a", "a", "b", "a", "b", "b"],
+        "ts": ts, "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]}))
+    hop = window_hopping(ds, "k", "ts", 7200, 3600,
+                         {"n": ("value", "count"),
+                          "s": ("value", "sum")}).to_pandas() \
+        .sort_values(["k", "window_start"]).reset_index(drop=True)
+    # brute force: event t in windows w*3600 for w in
+    # [floor((t-7200)/3600)+1 .. floor(t/3600)]
+    rows = {}
+    for k, t, v in zip(["a", "a", "b", "a", "b", "b"],
+                       [0, 1800, 3600, 5400, 7200, 10900],
+                       [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]):
+        for w in range((t - 7200) // 3600 + 1, t // 3600 + 1):
+            key = (k, w * 3600)
+            n, s = rows.get(key, (0, 0.0))
+            rows[key] = (n + 1, s + v)
+    want = pd.DataFrame(
+        [{"k": k, "window_start": w, "n": n, "s": s}
+         for (k, w), (n, s) in sorted(rows.items())])
+    pd.testing.assert_frame_equal(hop, want, check_dtype=False)
+    # hop == length reduces to tumbling
+    degen = window_hopping(ds, "k", "ts", 3600, 3600,
+                           {"n": ("value", "count")}).to_pandas() \
+        .sort_values(["k", "window_start"]).reset_index(drop=True)
+    tum = window_tumbling(ds, "k", "ts", 3600,
+                          {"n": ("value", "count")}).to_pandas() \
+        .sort_values(["k", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(degen, tum, check_dtype=False)
