@@ -662,7 +662,9 @@ def _q70_ann_pq(sf_dir: str):
     from mapshaper_ray.ops.ann import pq_topk
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    head = ds.filter(lambda r: 4 <= r["vec_id"] < 8).to_pandas() \
+    qdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    head = qdf[(qdf["vec_id"] >= 4) & (qdf["vec_id"] < 8)] \
         .sort_values("vec_id")
     queries = np.stack(head["embedding"].to_numpy())
     out = pq_topk(ds, queries, head["vec_id"].to_numpy(), k=10,
