@@ -721,6 +721,21 @@ def _q73_window_hopping(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q74_mix_sample(sf_dir: str):
+    """Deterministic training-mix sampling: each source contributes
+    docs in md5(text+seed) hash order until a 600-token budget fills.
+    Distributed prefix scan along the hash order (bucket by hash
+    range, S x 64 totals to the driver, broadcast exclusive prefixes,
+    one vectorized in-partition decide) — no global sort."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import mix_sample
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    out = mix_sample(ds, 600).to_pandas()
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -1283,6 +1298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q71_bpe_train": _q71_bpe_train,
         "q72_bpe_encode": _q72_bpe_encode,
         "q73_window_hopping": _q73_window_hopping,
+        "q74_mix_sample": _q74_mix_sample,
     }
 
 
@@ -1582,6 +1598,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(epoch(ts) / 3600) AS BIGINT))) AS u(w)
             GROUP BY event_type, window_start
             ORDER BY event_type, window_start""",
+        "q74_mix_sample": """
+            -- per-source 600-token budget fill in md5 hash order;
+            -- window cumsum = the engine's distributed prefix scan
+            WITH t AS (
+              SELECT doc_id, source,
+                     len(string_split(coalesce(text,''), ' '))
+                       AS n_tokens,
+                     md5_number_lower(coalesce(text,'') || 's0') AS h
+              FROM documents),
+            c AS (
+              SELECT doc_id, source, n_tokens,
+                     coalesce(sum(n_tokens) OVER (PARTITION BY source
+                         ORDER BY h, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS before
+              FROM t)
+            SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM c WHERE before < 600 ORDER BY doc_id""",
         "q9_cells": f"""
             WITH {_GEO_CTE}
             SELECT tile, count(*) AS n_pages FROM geo GROUP BY tile""",

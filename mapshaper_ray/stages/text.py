@@ -977,3 +977,86 @@ def bpe_encode(ds, merges, id_col="doc_id", text_col="text"):
     return ds.map_batches(Encoder, batch_format="pandas",
                           batch_size=4096, concurrency=(1, 8),
                           num_cpus=1)
+
+
+def mix_sample(ds, budget_tokens, seed="s0", id_col="doc_id",
+               source_col="source", text_col="text", n_parts=64):
+    """Deterministic training-mix sampling to a per-source token
+    budget (the data-mixing step before pretraining): within each
+    source, docs are taken in md5(text+seed) hash order (ties by id)
+    until the source's token budget fills — a doc is kept while the
+    tokens BEFORE it are under budget, so the mix overshoots by at
+    most one doc per source.
+
+    ``budget_tokens`` is either one int (same budget per source) or a
+    {source: budget} dict.  Distribution is the pack_sequences prefix
+    scan along the HASH order: rows bucket by hash RANGE (top bits —
+    md5 is uniform so ranges are balanced), per-(source, bucket)
+    token totals reach the driver (S x n_parts ints), the exclusive
+    prefix per source broadcasts back, and each partition decides its
+    rows with one vectorized sort + cumsum.  No global sort, one
+    shuffle; docs never move (only id/len/hash rows do).
+
+    Returns a Dataset (id_col, source_col, n_tokens) of kept docs.
+    """
+    import ray
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        n = np.fromiter(((t or "").count(" ") + 1
+                         for t in df[text_col]), np.int64, len(df))
+        h = md5_lo64([(t or "") + seed for t in df[text_col]])
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            source_col: df[source_col].to_numpy(),
+            "n_tokens": n,
+            "__h": h.astype(np.int64),  # order-preserving as uint64
+            "__part": (h >> np.uint64(64 - 6)).astype(np.int64)
+            if n_parts == 64 else
+            (h // np.uint64(2 ** 64 // n_parts)).astype(np.int64)})
+
+    rows = ds.map_batches(emit, batch_format="pandas").materialize()
+
+    totals = rows.map_batches(
+        lambda df: df.groupby([source_col, "__part"],
+                              as_index=False)["n_tokens"].sum(),
+        batch_format="pandas").to_pandas() \
+        .groupby([source_col, "__part"], as_index=False)["n_tokens"] \
+        .sum()
+    # exclusive prefix of each source's bucket totals, in bucket order
+    totals = totals.sort_values([source_col, "__part"])
+    totals["__before"] = totals.groupby(source_col)["n_tokens"] \
+        .cumsum() - totals["n_tokens"]
+    pref = {(s, int(p)): int(b) for s, p, b in
+            zip(totals[source_col], totals["__part"],
+                totals["__before"])}
+    if isinstance(budget_tokens, int):
+        budgets = {s: budget_tokens
+                   for s in totals[source_col].unique()}
+    else:
+        budgets = dict(budget_tokens)
+    bref = ray.put((pref, budgets))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        prefixes, buds = ray.get(bref)
+        out = []
+        for (s, p), g in df.groupby([source_col, "__part"],
+                                    sort=False):
+            bud = buds.get(s)
+            if bud is None:
+                continue
+            order = np.lexsort((g[id_col].to_numpy(),
+                                g["__h"].to_numpy()
+                                .astype(np.uint64)))
+            g = g.iloc[order]
+            before = prefixes.get((s, int(p)), 0) \
+                + g["n_tokens"].cumsum().to_numpy() \
+                - g["n_tokens"].to_numpy()
+            out.append(g[before < bud])
+        if not out:
+            return pd.DataFrame({id_col: [], source_col: [],
+                                 "n_tokens": []})
+        res = pd.concat(out, ignore_index=True)
+        return res[[id_col, source_col, "n_tokens"]]
+
+    return rows.groupby("__part").map_groups(keep,
+                                             batch_format="pandas")

@@ -883,3 +883,29 @@ def test_window_hopping_vs_tumbling_and_brute(ray_session):
                           {"n": ("value", "count")}).to_pandas() \
         .sort_values(["k", "window_start"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(degen, tum, check_dtype=False)
+
+
+def test_mix_sample_budget_and_determinism(ray_session):
+    """Mix sampling: per-source token budgets overshoot by at most
+    one doc, results are partition-independent, and a dict budget
+    restricts to listed sources."""
+    from mapshaper_ray.stages.text import mix_sample
+    rng = np.random.default_rng(13)
+    rows = [{"doc_id": i, "source": f"s{i % 3}",
+             "text": " ".join("w%d" % j for j in
+                              rng.integers(0, 50,
+                                           int(rng.integers(1, 30))))}
+            for i in range(90)]
+    ds1 = rd.from_items(rows)
+    ds2 = rd.from_items(rows).repartition(7)
+    a = mix_sample(ds1, 100).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    b = mix_sample(ds2, 100).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    tot = a.groupby("source")["n_tokens"].sum()
+    last = a.groupby("source")["n_tokens"].max()
+    assert (tot >= 100).all()            # budget reached
+    assert (tot - last < 100).all()      # overshoot <= one doc
+    only = mix_sample(ds1, {"s1": 50}).to_pandas()
+    assert set(only["source"]) == {"s1"}
