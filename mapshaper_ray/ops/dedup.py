@@ -27,7 +27,7 @@ import re
 import numpy as np
 import pandas as pd
 
-from ..stages.text import hash_tokens, md5_lo64, window_hashes
+from ..stages.text import hash_tokens, window_hashes
 from .partition import GOLD as _CC_GOLD, bucket_part
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -1035,8 +1035,7 @@ def exact_substring_dedup(ds, text_col="text", id_col="doc_id", k=50,
                 raise ValueError(
                     f"doc {i}: {n} tokens exceeds the 2^24 position "
                     "packing bound of exact_substring_dedup")
-            h = md5_lo64(["\x1f".join(toks[p:p + k])
-                          for p in range(n - k + 1)])
+            h = window_hashes(toks, k)  # n >= k: one hash per window
             hs.append(h)
             ords.append(np.int64(i) * _ESD_POS_LIM
                         + np.arange(n - k + 1, dtype=np.int64))

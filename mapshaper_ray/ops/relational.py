@@ -600,14 +600,13 @@ def window_hopping(ds, key: str, ts_col: str, length_s: int,
         ep = df[ts_col].astype("datetime64[us]").astype("int64") \
             // 10 ** 6
         w0 = np.floor_divide(ep - length_s, hop_s) + 1
-        w1 = np.floor_divide(ep, hop_s)
-        reps = (w1 - w0 + 1).to_numpy()
-        idx = np.repeat(np.arange(len(df)), reps)
+        # replication factor is the constant length/hop for every row
+        k = length_s // hop_s
+        idx = np.repeat(np.arange(len(df)), k)
         out = df.iloc[idx].copy()
-        # window index for each replica: w0[i] .. w1[i]
-        offs = np.concatenate([np.arange(r) for r in reps]) \
-            if len(reps) else np.empty(0, np.int64)
-        out["window_start"] = ((np.repeat(w0.to_numpy(), reps) + offs)
+        # window index for each replica: w0[i] .. w0[i]+k-1
+        offs = np.tile(np.arange(k, dtype=np.int64), len(df))
+        out["window_start"] = ((np.repeat(w0.to_numpy(), k) + offs)
                                * hop_s).astype("int64")
         return out
 

@@ -738,12 +738,13 @@ def dsir_weights(ds, target_col="lang", target_value="en",
         return b[inv], ns
 
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
-        b, _ = _bigram_buckets(list(df[text_col]))
+        # hash ONCE for the whole batch; the target counts are the
+        # same bucket stream masked to target rows (np.repeat over the
+        # per-doc bigram counts) — no second tokenize/md5 pass
+        b, ns = _bigram_buckets(list(df[text_col]))
         cc = np.bincount(b, minlength=n_buckets)
         is_t = (df[target_col].to_numpy() == target_value)
-        bt, _ = _bigram_buckets(
-            [t for t, f in zip(df[text_col], is_t) if f])
-        ct = np.bincount(bt, minlength=n_buckets)
+        ct = np.bincount(b[np.repeat(is_t, ns)], minlength=n_buckets)
         return pd.DataFrame({"b": np.arange(n_buckets, dtype=np.int64),
                              "cc": cc, "ct": ct})
 
@@ -843,8 +844,12 @@ def bpe_train(ds, n_merges=20, text_col="text", n_parts=32):
     def reduce_words(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("word", sort=False)["freq"].sum()
         words = g.index.to_numpy(object)
+        # symbol sequences stay Python LISTS (never joined strings):
+        # symbols may contain any byte, so a joiner char would corrupt
+        # tokens containing it and flip the tie-break order vs the
+        # tuple-comparing scalar oracle
         return pd.DataFrame({
-            "syms": ["\x1f".join(list(w) + ["</w>"]) for w in words],
+            "syms": [list(w) + ["</w>"] for w in words],
             "freq": g.to_numpy(np.int64)})
 
     vocab = ds.map_batches(word_counts, batch_format="pandas") \
@@ -855,31 +860,32 @@ def bpe_train(ds, n_merges=20, text_col="text", n_parts=32):
     merges = []
     for rank in range(n_merges):
         def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
-            pairs, freqs = [], []
+            ls, rs, freqs = [], [], []
             for syms, f in zip(df["syms"], df["freq"]):
-                parts = syms.split("\x1f")
-                for a, b in zip(parts, parts[1:]):
-                    pairs.append(a + "\x1f" + b)
+                for a, b in zip(syms, syms[1:]):
+                    ls.append(a)
+                    rs.append(b)
                     freqs.append(f)
-            if not pairs:
+            if not ls:
                 return pd.DataFrame({
-                    "pair": pd.Series([], dtype=object),
+                    "left": pd.Series([], dtype=object),
+                    "right": pd.Series([], dtype=object),
                     "c": pd.Series([], dtype=np.int64),
                     "__part": pd.Series([], dtype=np.int64)})
-            g = pd.DataFrame({"pair": pairs, "c": freqs}) \
-                .groupby("pair", sort=False)["c"].sum()
-            p = g.index.to_numpy(object)
-            h = pd.util.hash_array(p.astype(object)) \
-                .astype(np.uint64)
-            return pd.DataFrame({"pair": p,
-                                 "c": g.to_numpy(np.int64),
-                                 "__part": (h % np.uint64(n_parts))
-                                 .astype(np.int64)})
+            g = pd.DataFrame({"left": ls, "right": rs, "c": freqs}) \
+                .groupby(["left", "right"], sort=False)["c"].sum() \
+                .reset_index()
+            h = (pd.util.hash_array(g["left"].to_numpy(object))
+                 ^ pd.util.hash_array(g["right"].to_numpy(object))
+                 * np.uint64(0x9e3779b97f4a7c15))
+            g["__part"] = (h % np.uint64(n_parts)).astype(np.int64)
+            return g
 
         def part_best(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby("pair", sort=False)["c"].sum() \
+            g = df.groupby(["left", "right"], sort=False)["c"].sum() \
                 .reset_index()
-            g = g.sort_values(["c", "pair"], ascending=[False, True],
+            g = g.sort_values(["c", "left", "right"],
+                              ascending=[False, True, True],
                               kind="mergesort")
             return g.head(1)
 
@@ -889,31 +895,29 @@ def bpe_train(ds, n_merges=20, text_col="text", n_parts=32):
             .to_pandas()
         if cand.empty:
             break
-        cand = cand.sort_values(["c", "pair"],
-                                ascending=[False, True],
+        cand = cand.sort_values(["c", "left", "right"],
+                                ascending=[False, True, True],
                                 kind="mergesort")
         best = cand.iloc[0]
-        left, right = best["pair"].split("\x1f")
+        left, right = best["left"], best["right"]
         merges.append({"rank": rank, "left": left, "right": right,
                        "pair_count": int(best["c"])})
-        pat = best["pair"]
         rep = left + right
 
-        def apply_merge(df: pd.DataFrame, pat=pat,
+        def apply_merge(df: pd.DataFrame, left=left, right=right,
                         rep=rep) -> pd.DataFrame:
             out = []
             for syms in df["syms"]:
-                parts = syms.split("\x1f")
-                merged, i = [], 0
-                while i < len(parts):
-                    if (i + 1 < len(parts) and parts[i] +
-                            "\x1f" + parts[i + 1] == pat):
+                merged, i, n = [], 0, len(syms)
+                while i < n:
+                    if (i + 1 < n and syms[i] == left
+                            and syms[i + 1] == right):
                         merged.append(rep)
                         i += 2
                     else:
-                        merged.append(parts[i])
+                        merged.append(syms[i])
                         i += 1
-                out.append("\x1f".join(merged))
+                out.append(merged)
             return pd.DataFrame({"syms": out,
                                  "freq": df["freq"].to_numpy()})
 
@@ -1010,9 +1014,11 @@ def mix_sample(ds, budget_tokens, seed="s0", id_col="doc_id",
             source_col: df[source_col].to_numpy(),
             "n_tokens": n,
             "__h": h.astype(np.int64),  # order-preserving as uint64
-            "__part": (h >> np.uint64(64 - 6)).astype(np.int64)
-            if n_parts == 64 else
-            (h // np.uint64(2 ** 64 // n_parts)).astype(np.int64)})
+            # monotone range bucket in [0, n_parts) for ANY n_parts:
+            # ceil(2^64 / n_parts) fits uint64 via (2^64-1)//n + 1
+            "__part": np.minimum(
+                h // np.uint64((2 ** 64 - 1) // n_parts + 1),
+                np.uint64(n_parts - 1)).astype(np.int64)})
 
     rows = ds.map_batches(emit, batch_format="pandas").materialize()
 

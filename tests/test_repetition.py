@@ -19,9 +19,9 @@ from mapshaper_ray.stages.text import repetition_signals
 def _brute(doc_id: int, text: str) -> dict:
     # split semantics: ''/null is one (empty) token, matching the SQL
     # oracle's string_split(coalesce(text,''), ' ')
-    w = (text or "").split(" ")
+    w = (text or "").split(" ")  # always >= 1 (possibly empty) token
     out = {"doc_id": doc_id, "n_words": len(w)}
-    out["distinct_word_ratio"] = (len(set(w)) / len(w)) if w else 1.0
+    out["distinct_word_ratio"] = len(set(w)) / len(w)
     bigs = Counter(" ".join(p) for p in zip(w, w[1:]))
     tot = sum(bigs.values())
     out["top_bigram_share"] = max(bigs.values()) / tot if tot else 0.0
