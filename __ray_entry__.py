@@ -736,6 +736,39 @@ def _q74_mix_sample(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q75_quality_filter(sf_dir: str):
+    """Composed quality-filter pipeline (CCNet-style): unigram-LM
+    perplexity per doc (lm_nll) -> per-source EXACT p75 thresholds
+    (groupby_quantiles bucket shuffle) -> broadcast threshold filter.
+    Keeps docs at or below their source's p75 (lower nll = more
+    fluent).  Three existing operators composed; the thresholds table
+    (one row per source) broadcasts — no second corpus shuffle."""
+    import ray
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import (groupby_quantiles,
+                                              hash_join)
+    from mapshaper_ray.stages.text import lm_nll
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    scored = hash_join(
+        lm_nll(ds), ds, on="doc_id",
+        left_cols=["doc_id", "lm_nll"],
+        right_cols=["doc_id", "source"]).materialize()
+    thr = groupby_quantiles(scored, "source", "lm_nll",
+                            qs=(0.75,)).to_pandas()
+    cuts = dict(zip(thr["source"], thr["q75"]))
+    cref = ray.put(cuts)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        lim = df["source"].map(c).to_numpy(dtype=np.float64)
+        return df[df["lm_nll"].to_numpy() <= lim]
+
+    out = scored.map_batches(keep, batch_format="pandas").to_pandas()
+    return out[["doc_id", "source", "lm_nll"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -1299,6 +1332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q72_bpe_encode": _q72_bpe_encode,
         "q73_window_hopping": _q73_window_hopping,
         "q74_mix_sample": _q74_mix_sample,
+        "q75_quality_filter": _q75_quality_filter,
     }
 
 
@@ -2626,6 +2660,34 @@ def oracle_sql() -> dict[str, str]:
                      / (1000000000.0 * per.n), 0.0), 6) AS dsir_logw
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id, z
         ORDER BY d.doc_id"""
+
+    out["q75_quality_filter"] = """
+        -- q64's quantized-log lm_nll + per-source quantile_cont(0.75)
+        -- + threshold filter (same arithmetic as the composed
+        -- lm_nll -> groupby_quantiles -> broadcast-filter pipeline)
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS t
+          FROM documents),
+        cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        g AS (SELECT sum(c) AS total, count(*) AS v FROM cnt),
+        qz AS (SELECT CAST(floor(ln(CAST(total + v AS DOUBLE))
+                                 * 1000000000) AS BIGINT) AS z FROM g),
+        ql AS (SELECT t, CAST(floor(ln(CAST(c + 1 AS DOUBLE))
+                                    * 1000000000) AS BIGINT) AS q
+               FROM cnt),
+        dl AS (SELECT doc_id, count(*) AS n, sum(q) AS s
+               FROM tok JOIN ql USING (t) GROUP BY doc_id),
+        nll AS (SELECT doc_id,
+                       round((n * (SELECT z FROM qz) - s)
+                             / (1000000000.0 * n), 6) AS lm_nll
+                FROM dl),
+        j AS (SELECT d.doc_id, d.source, nll.lm_nll
+              FROM documents d JOIN nll ON d.doc_id = nll.doc_id),
+        thr AS (SELECT source, quantile_cont(lm_nll, 0.75) AS q75
+                FROM j GROUP BY source)
+        SELECT j.doc_id, j.source, j.lm_nll
+        FROM j JOIN thr USING (source)
+        WHERE j.lm_nll <= thr.q75 ORDER BY j.doc_id"""
 
     out["q64_lm_nll"] = """
         -- same quantized-log arithmetic as stages/text.lm_nll:
