@@ -769,6 +769,24 @@ def _q75_quality_filter(sf_dir: str):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _q76_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3-style train/test overlap):
+    docs 0..19 act as the held-out benchmark; every corpus doc
+    sharing an 8-token window with any of them is flagged with its
+    hit count.  Benchmark window hashes broadcast once (small side);
+    the corpus pass is stateless, no shuffle."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import decontaminate
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    bench = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=__import__("pyarrow").dataset.field("doc_id") < 20)
+    out = decontaminate(ds, bench, k=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q17_simhash(sf_dir: str):
     import ray.data as rd
     from mapshaper_ray.ops.dedup import simhash
@@ -1333,6 +1351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q73_window_hopping": _q73_window_hopping,
         "q74_mix_sample": _q74_mix_sample,
         "q75_quality_filter": _q75_quality_filter,
+        "q76_decontaminate": _q76_decontaminate,
     }
 
 
@@ -2688,6 +2707,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT j.doc_id, j.source, j.lm_nll
         FROM j JOIN thr USING (source)
         WHERE j.lm_nll <= thr.q75 ORDER BY j.doc_id"""
+
+    out["q76_decontaminate"] = r"""
+        -- 8-token-window overlap vs the doc_id<20 benchmark set;
+        -- same \S+ tokenizer + md5 window hash as q68
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text, ''), '\S+') AS ts
+          FROM documents),
+        win AS (
+          SELECT doc_id, u.h AS h
+          FROM toks, unnest(list_transform(
+                generate_series(1, len(ts) - 7),
+                i -> md5_number_lower(
+                       array_to_string(ts[i:i+7], chr(31))))) AS u(h)
+          WHERE len(ts) >= 8),
+        bench AS (SELECT DISTINCT h FROM win WHERE doc_id < 20)
+        SELECT w.doc_id, count(*) AS n_hits
+        FROM win w JOIN bench b ON w.h = b.h
+        WHERE w.doc_id >= 20
+        GROUP BY w.doc_id ORDER BY w.doc_id"""
 
     out["q64_lm_nll"] = """
         -- same quantized-log arithmetic as stages/text.lm_nll:

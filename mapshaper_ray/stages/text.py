@@ -1066,3 +1066,63 @@ def mix_sample(ds, budget_tokens, seed="s0", id_col="doc_id",
 
     return rows.groupby("__part").map_groups(keep,
                                              batch_format="pandas")
+
+
+def decontaminate(ds, bench_ds, k=8, id_col="doc_id",
+                  text_col="text", concurrency=(1, 8)):
+    """Benchmark decontamination (the GPT-3-style train/test overlap
+    check, Brown et al. 2020 §C — public): count, per corpus doc, the
+    k-token windows that also occur anywhere in the benchmark set.
+
+    The benchmark is the SMALL side: its distinct window hashes
+    collect to the driver (bounded by benchmark size) and broadcast
+    once; the corpus side is one stateless actor-pool pass
+    (window-hash + np.isin against the sorted benchmark array) — no
+    shuffle, documents never move.  Docs also present in the
+    benchmark (same id) are excluded from the report.
+
+    Returns a Dataset (id_col, n_hits) for corpus docs with >= 1
+    overlapping window.
+    """
+    import ray
+
+    ws = re.compile(r"\S+")
+
+    def bench_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        hs = [np.unique(window_hashes(ws.findall(t or ""), k))
+              for t in df[text_col]
+              if len(ws.findall(t or "")) >= k]
+        h = (np.unique(np.concatenate(hs)) if hs
+             else np.empty(0, np.uint64))
+        return pd.DataFrame({"h": h.astype(np.int64)})
+
+    bench = bench_ds.map_batches(bench_hashes,
+                                 batch_format="pandas").to_pandas()
+    bset = np.unique(bench["h"].to_numpy().astype(np.uint64))
+    bids = set(bench_ds.select_columns([id_col]).to_pandas()[id_col])
+    bref = ray.put((bset, bids))
+
+    class Overlap:
+        def __init__(self):
+            self.bset, self.bids = ray.get(bref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out_ids, out_hits = [], []
+            for i, t in zip(df[id_col].to_numpy(), df[text_col]):
+                if i in self.bids:
+                    continue
+                toks = ws.findall(t or "")
+                if len(toks) < k:
+                    continue
+                hits = int(np.isin(window_hashes(toks, k),
+                                   self.bset).sum())
+                if hits:
+                    out_ids.append(i)
+                    out_hits.append(hits)
+            return pd.DataFrame({
+                id_col: np.asarray(out_ids, dtype=np.int64),
+                "n_hits": np.asarray(out_hits, dtype=np.int64)})
+
+    return ds.map_batches(Overlap, batch_format="pandas",
+                          batch_size=4096, concurrency=concurrency,
+                          num_cpus=1)

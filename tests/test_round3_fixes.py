@@ -909,3 +909,30 @@ def test_mix_sample_budget_and_determinism(ray_session):
     assert (tot - last < 100).all()      # overshoot <= one doc
     only = mix_sample(ds1, {"s1": 50}).to_pandas()
     assert set(only["source"]) == {"s1"}
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    """Docs sharing a k-window with the benchmark are flagged with
+    exact hit counts; benchmark docs themselves are excluded."""
+    from mapshaper_ray.stages.text import decontaminate
+    passage = "a b c d e"
+    rows = [
+        {"doc_id": 0, "text": passage + " tail words here"},  # bench
+        {"doc_id": 1, "text": "unrelated benchmark text row"},  # bench
+        {"doc_id": 10, "text": "x y " + passage},        # 1 hit
+        {"doc_id": 11, "text": passage + " " + passage},  # several
+        {"doc_id": 12, "text": "no overlap at all q r s t u v"},
+        {"doc_id": 13, "text": ""},
+    ]
+    ds = rd.from_items(rows)
+    bench = rd.from_items(rows[:2])
+    out = decontaminate(ds, bench, k=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = dict(zip(out["doc_id"], out["n_hits"]))
+    assert 0 not in got and 1 not in got    # bench excluded
+    assert got[10] == 1
+    # doc 11 = 'a b c d e a b c d e': windows at pos 0 and 5 match
+    # the passage; cross-boundary windows match bench doc 0's
+    # 'a b c d e tail...' windows only where they exist
+    assert got[11] >= 2
+    assert 12 not in got and 13 not in got
