@@ -1185,6 +1185,37 @@ def _q41_rasterize(sf_dir: str):
     return out.sort_values(["row", "col"]).reset_index(drop=True)
 
 
+def _q77_zonal_stats(sf_dir: str):
+    """Zonal statistics (classic raster GIS op): a deterministic value
+    surface v = (row*191 + col) % 97 aggregated per region zone — the
+    zones come from the same distributed rasterize pass as q41, the
+    aggregation is the partial+final grouped reduce (one partial row
+    per (zone, batch)).  Closed-form SQL oracle (dyadic grid)."""
+    import pandas as pd
+    from mapshaper_ray.ops.raster import rasterize
+    from mapshaper_ray.ops.relational import groupby_agg
+    from mapshaper_ray.regions import build_region_index
+    ras = rasterize(build_region_index(), _raster_spec())
+
+    def surf(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["v"] = ((df["row"].to_numpy() * 191 + df["col"].to_numpy())
+                   % 97).astype("float64")
+        return df
+
+    out = groupby_agg(ras.map_batches(surf, batch_format="pandas"),
+                      ["value"], {
+                          "n_cells": ("v", "count"),
+                          "sum_v": ("v", "sum"),
+                          "mean_v": ("v", "mean"),
+                          "min_v": ("v", "min"),
+                          "max_v": ("v", "max")}).to_pandas()
+    out["mean_v"] = out["mean_v"].round(6)
+    for c in ("sum_v", "min_v", "max_v"):
+        out[c] = out[c].astype("float64")
+    return out.sort_values("value").reset_index(drop=True)
+
+
 def _q43_embedding_lsh(sf_dir: str):
     """Hyperplane-LSH near-dup (the scale path for embedding dedup):
     band-OR over 64 tables of 4 hyperplanes, exact cosine verify
@@ -1352,6 +1383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q74_mix_sample": _q74_mix_sample,
         "q75_quality_filter": _q75_quality_filter,
         "q76_decontaminate": _q76_decontaminate,
+        "q77_zonal_stats": _q77_zonal_stats,
     }
 
 
@@ -2767,6 +2799,16 @@ def oracle_sql() -> dict[str, str]:
     out["q41_rasterize"] = f"""
             WITH {raster_cells}
             SELECT row, col, value FROM labeled WHERE value >= 0"""
+    out["q77_zonal_stats"] = f"""
+            -- zonal stats of v = (row*191 + col) %% 97 per region zone
+            WITH {raster_cells}
+            SELECT value, count(*) AS n_cells,
+                   CAST(sum((row * 191 + col) % 97) AS DOUBLE) AS sum_v,
+                   round(avg((row * 191 + col) % 97), 6) AS mean_v,
+                   CAST(min((row * 191 + col) % 97) AS DOUBLE) AS min_v,
+                   CAST(max((row * 191 + col) % 97) AS DOUBLE) AS max_v
+            FROM labeled WHERE value >= 0
+            GROUP BY value ORDER BY value"""
     nbr = {
         "s": _region_case("lon", "(lat - 1.875)"),
         "n": _region_case("lon", "(lat + 1.875)"),
