@@ -1216,6 +1216,30 @@ def _q77_zonal_stats(sf_dir: str):
     return out.sort_values("value").reset_index(drop=True)
 
 
+def _q78_triangles(sf_dir: str):
+    """Distributed triangle counting over the q62 synthetic 3-out-link
+    graph: canonical-edge dedup shuffle, by-pivot wedge emit
+    (vectorized triu pairs), wedge⋈edge bucket exchange — one partial
+    count per partition reaches the driver."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from mapshaper_ray.ops.graph import triangle_count
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    n = docs.count()
+
+    def mk_edges(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(dtype=np.int64)
+        src = np.concatenate([d, d, d])
+        dst = np.concatenate([(d * 7 + 1) % n, (d * 13 + 5) % n,
+                              (d * 31 + 11) % n])
+        return pd.DataFrame({"src": src, "dst": dst})
+
+    edges = docs.map_batches(mk_edges, batch_format="pandas")
+    return pd.DataFrame({"n_triangles": [triangle_count(edges)]})
+
+
 def _q43_embedding_lsh(sf_dir: str):
     """Hyperplane-LSH near-dup (the scale path for embedding dedup):
     band-OR over 64 tables of 4 hyperplanes, exact cosine verify
@@ -1384,6 +1408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q75_quality_filter": _q75_quality_filter,
         "q76_decontaminate": _q76_decontaminate,
         "q77_zonal_stats": _q77_zonal_stats,
+        "q78_triangles": _q78_triangles,
     }
 
 
@@ -2739,6 +2764,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT j.doc_id, j.source, j.lm_nll
         FROM j JOIN thr USING (source)
         WHERE j.lm_nll <= thr.q75 ORDER BY j.doc_id"""
+
+    out["q78_triangles"] = """
+        -- exact 3-way self-join over the canonical undirected edge
+        -- set of the q62 synthetic graph; each triangle x<y<z is one
+        -- (x,y)-(x,z)-(y,z) row
+        WITH nd AS (SELECT count(*) AS n FROM documents),
+        e0 AS (
+          SELECT doc_id AS src, (doc_id * 7 + 1) % nd.n AS dst
+          FROM documents, nd
+          UNION ALL
+          SELECT doc_id, (doc_id * 13 + 5) % nd.n FROM documents, nd
+          UNION ALL
+          SELECT doc_id, (doc_id * 31 + 11) % nd.n FROM documents, nd),
+        e AS (SELECT DISTINCT least(src, dst) AS u,
+                     greatest(src, dst) AS v
+              FROM e0 WHERE src <> dst)
+        SELECT count(*) AS n_triangles
+        FROM e a JOIN e b ON a.u = b.u AND a.v < b.v
+                 JOIN e c ON c.u = a.v AND c.v = b.v"""
 
     out["q76_decontaminate"] = r"""
         -- 8-token-window overlap vs the doc_id<20 benchmark set;

@@ -160,3 +160,106 @@ def pagerank_broadcast(edges_ds, nodes_ds, damping=0.85, iters=5,
     import ray.data as rd
     out = pd.DataFrame({node_col: nodes, "rank": rank})
     return rd.from_pandas(out)
+
+
+def triangle_count(edges_ds, src_col="src", dst_col="dst",
+                   num_buckets=64):
+    """Distributed triangle counting (the node-iterator / wedge-join
+    algorithm): (1) edges canonicalize to u < v and dedup via a
+    bucket-hash shuffle; (2) wedges — neighbor pairs (v, w) of each
+    pivot u — emit from a by-pivot shuffle (one vectorized
+    triu-indices pass per partition, no per-node task); (3) wedges
+    and edges meet in a (v, w)-bucket exchange and matches count
+    in-partition.  Only partial counts reach the driver (one int per
+    partition).  Each triangle x<y<z is counted exactly once: pivot =
+    its smallest vertex, wedge = (y, z).
+
+    For power-law graphs the pivot should be the lower-DEGREE
+    endpoint (cuts wedge volume to O(m^1.5)); this id-pivot variant
+    keeps the arithmetic oracle-exact and is noted as the skew
+    caveat.  Returns the triangle count (int).
+    """
+    from .partition import bucket_part
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[src_col].to_numpy(dtype=np.int64)
+        d = df[dst_col].to_numpy(dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        return pd.DataFrame({
+            "u": u, "v": v,
+            "__b": bucket_part(u * np.int64(2654435761) + v,
+                               num_buckets)})
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["u", "v"])
+        return pd.DataFrame({"u": g["u"].to_numpy(),
+                             "v": g["v"].to_numpy()})
+
+    edges = edges_ds.map_batches(canon, batch_format="pandas") \
+        .groupby("__b").map_groups(dedup, batch_format="pandas") \
+        .materialize()
+
+    def by_pivot(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = bucket_part(df["u"].to_numpy(), num_buckets)
+        return df
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        # all (v, w) neighbor pairs per pivot u, vectorized per group
+        order = np.lexsort((df["v"].to_numpy(), df["u"].to_numpy()))
+        u = df["u"].to_numpy()[order]
+        v = df["v"].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        a_, b_ = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            nb = v[s:e]  # sorted ascending
+            ia, ib = np.triu_indices(len(nb), k=1)
+            a_.append(nb[ia])
+            b_.append(nb[ib])
+        if not a_:
+            return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                                 "v": pd.Series([], dtype=np.int64),
+                                 "__side": pd.Series([],
+                                                     dtype=np.int8)})
+        wa = np.concatenate(a_)
+        wb = np.concatenate(b_)
+        return pd.DataFrame({"u": wa, "v": wb,
+                             "__side": np.zeros(len(wa), np.int8)})
+
+    wedge_ds = edges.map_batches(by_pivot, batch_format="pandas") \
+        .groupby("__b").map_groups(wedges, batch_format="pandas")
+
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": df["u"].to_numpy(),
+                             "v": df["v"].to_numpy(),
+                             "__side": np.ones(len(df), np.int8)})
+
+    both = wedge_ds.union(edges.map_batches(tag_edges,
+                                            batch_format="pandas"))
+
+    def key_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = bucket_part(df["u"].to_numpy()
+                                * np.int64(2654435761)
+                                + df["v"].to_numpy(), num_buckets)
+        return df
+
+    def count_matches(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["__side"] == 1]
+        w = df[df["__side"] == 0]
+        if not len(e) or not len(w):
+            return pd.DataFrame({"n": [0]})
+        eset = pd.MultiIndex.from_arrays([e["u"], e["v"]])
+        widx = pd.MultiIndex.from_arrays([w["u"], w["v"]])
+        return pd.DataFrame({"n": [int(widx.isin(eset).sum())]})
+
+    parts = both.map_batches(key_bucket, batch_format="pandas") \
+        .groupby("__b").map_groups(count_matches,
+                                   batch_format="pandas").to_pandas()
+    return int(parts["n"].sum())

@@ -936,3 +936,26 @@ def test_decontaminate_planted_overlap(ray_session):
     # 'a b c d e tail...' windows only where they exist
     assert got[11] >= 2
     assert 12 not in got and 13 not in got
+
+
+def test_triangle_count_vs_bruteforce(ray_session):
+    """Wedge-join triangle counting matches a brute-force adjacency
+    intersection on a random multigraph with self-loops and
+    duplicate/reversed edges."""
+    from mapshaper_ray.ops.graph import triangle_count
+    rng = np.random.default_rng(21)
+    n = 120
+    src = rng.integers(0, n, 800)
+    dst = rng.integers(0, n, 800)
+    ds = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    got = triangle_count(ds, num_buckets=16)
+    es = {(min(a, b), max(a, b))
+          for a, b in zip(src, dst) if a != b}
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = sum(1 for a, b in es for c in adj[a] & adj[b] if c > b)
+    assert got == want
+    assert triangle_count(
+        rd.from_items([{"src": 0, "dst": 1}])) == 0
