@@ -1240,6 +1240,51 @@ def _q78_triangles(sf_dir: str):
     return pd.DataFrame({"n_triangles": [triangle_count(edges)]})
 
 
+def _q79_incremental_dedup(sf_dir: str):
+    """Incremental exact dedup (new-batch-vs-corpus ANTI join): docs
+    with doc_id >= 250 arrive as the 'new' batch — every third one
+    deterministically reuses an existing doc's text (simulated
+    re-crawl overlap) — and only those whose content md5 is ABSENT
+    from the existing corpus (doc_id < 250) survive.  Both sides hash
+    on content and meet in the bucketed exchange; the in-partition
+    existence test is global because all rows of a hash share a
+    bucket (``how='anti'`` in hash_join)."""
+    import ray
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import content_md5
+    from mapshaper_ray.ops.relational import hash_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
+    old_pdf = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    old_pdf = old_pdf[old_pdf["doc_id"] < 250]
+    old_texts = dict(zip(old_pdf["doc_id"], old_pdf["text"]))
+    tref = ray.put(old_texts)
+
+    def synth_new(df: pd.DataFrame) -> pd.DataFrame:
+        ot = ray.get(tref)
+        df = df[df["doc_id"] >= 250].copy()
+        ids = df["doc_id"].to_numpy()
+        df["text"] = [ot[i % 250] if i % 3 == 0 else t
+                      for i, t in zip(ids, df["text"])]
+        df["content_md5"] = content_md5(df["text"])
+        return df
+
+    def old_md5(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] < 250].copy()
+        df["content_md5"] = content_md5(df["text"])
+        return df
+
+    new = docs.map_batches(synth_new, batch_format="pandas")
+    old = docs.map_batches(old_md5, batch_format="pandas")
+    out = hash_join(new, old, on="content_md5", how="anti",
+                    left_cols=["doc_id", "content_md5"],
+                    right_cols=["content_md5"]).to_pandas()
+    return out[["doc_id", "content_md5"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def _q43_embedding_lsh(sf_dir: str):
     """Hyperplane-LSH near-dup (the scale path for embedding dedup):
     band-OR over 64 tables of 4 hyperplanes, exact cosine verify
@@ -1409,6 +1454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q76_decontaminate": _q76_decontaminate,
         "q77_zonal_stats": _q77_zonal_stats,
         "q78_triangles": _q78_triangles,
+        "q79_incremental_dedup": _q79_incremental_dedup,
     }
 
 
@@ -2764,6 +2810,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT j.doc_id, j.source, j.lm_nll
         FROM j JOIN thr USING (source)
         WHERE j.lm_nll <= thr.q75 ORDER BY j.doc_id"""
+
+    out["q79_incremental_dedup"] = """
+        -- anti join: new docs (id >= 250; every third reuses an old
+        -- doc's text) whose md5 is absent from the corpus (id < 250)
+        WITH old AS (SELECT doc_id, text FROM documents
+                     WHERE doc_id < 250),
+        new AS (
+          SELECT n.doc_id,
+                 CASE WHEN n.doc_id % 3 = 0 THEN o.text
+                      ELSE n.text END AS text
+          FROM documents n JOIN old o ON o.doc_id = n.doc_id % 250
+          WHERE n.doc_id >= 250)
+        SELECT new.doc_id, md5(new.text) AS content_md5 FROM new
+        WHERE NOT EXISTS (
+          SELECT 1 FROM old WHERE md5(old.text) = md5(new.text))
+        ORDER BY new.doc_id"""
 
     out["q78_triangles"] = """
         -- exact 3-way self-join over the canonical undirected edge

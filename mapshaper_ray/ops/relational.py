@@ -421,7 +421,8 @@ def hash_join(left_ds, right_ds, on: str, how="inner", num_buckets=32,
     aggregator actors whose startup dominates at this scale).  Pass
     ``native=True`` for the built-in operator (the right choice when
     both sides are far larger than the aggregator spin-up cost)."""
-    if native and hasattr(left_ds, "join"):
+    if native and hasattr(left_ds, "join") \
+            and how not in ("semi", "anti"):
         if left_cols:
             left_ds = left_ds.select_columns(
                 list(dict.fromkeys(left_cols + [on])))
@@ -475,6 +476,12 @@ def hash_join_bucketed(left_ds, right_ds, on: str, how="inner",
                 df = df.assign(**{c: np.full(len(df), np.nan)})
         lt = df[df["__side"] == 0][list(dict.fromkeys(l_names + [on]))]
         rt = df[df["__side"] == 1][list(dict.fromkeys(r_names + [on]))]
+        if how in ("semi", "anti"):
+            # existence filters: left rows with (semi) / without (anti)
+            # a right match — all rows of a key share the bucket, so
+            # the in-partition isin IS the global test
+            hit = lt[on].isin(pd.unique(rt[on]))
+            return lt[hit] if how == "semi" else lt[~hit]
         return lt.merge(rt, on=on, how=how, suffixes=("", "_r"))
 
     return both.groupby("__bucket").map_groups(merge_bucket,

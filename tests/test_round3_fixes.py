@@ -959,3 +959,28 @@ def test_triangle_count_vs_bruteforce(ray_session):
     assert got == want
     assert triangle_count(
         rd.from_items([{"src": 0, "dst": 1}])) == 0
+
+
+def test_hash_join_semi_anti(ray_session):
+    """Bucketed semi/anti joins match pandas isin on a random key set
+    with duplicates on both sides."""
+    from mapshaper_ray.ops.relational import hash_join
+    rng = np.random.default_rng(17)
+    l = pd.DataFrame({"k": rng.integers(0, 40, 200),
+                      "a": np.arange(200)})
+    r = pd.DataFrame({"k": rng.integers(20, 60, 150),
+                      "b": np.arange(150)})
+    lds, rds = rd.from_pandas(l), rd.from_pandas(r)
+    semi = hash_join(lds, rds, on="k", how="semi").to_pandas() \
+        .sort_values("a").reset_index(drop=True)
+    anti = hash_join(lds, rds, on="k", how="anti").to_pandas() \
+        .sort_values("a").reset_index(drop=True)
+    keys = set(r["k"])
+    want_semi = l[l["k"].isin(keys)].reset_index(drop=True)
+    want_anti = l[~l["k"].isin(keys)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        semi[["k", "a"]], want_semi[["k", "a"]], check_dtype=False)
+    pd.testing.assert_frame_equal(
+        anti[["k", "a"]], want_anti[["k", "a"]], check_dtype=False)
+    # semi never duplicates left rows on multi-match
+    assert len(semi) == len(want_semi)
