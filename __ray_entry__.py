@@ -1285,6 +1285,38 @@ def _q79_incremental_dedup(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q80_label_centroids(sf_dir: str):
+    """Per-label embedding centroids: each batch contributes one
+    (label, dim-sum vector, count) partial — k x dim floats — and the
+    driver combines the tiny partials (k labels).  The grouped-mean
+    building block of kmeans/semantic_dedup exposed as its own op;
+    long (label, i, mean_v) output so the SQL oracle is exact."""
+    import numpy as np
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        out = []
+        for lab, idx in df.groupby("label").indices.items():
+            out.append({"label": int(lab),
+                        "s": vecs[idx].sum(axis=0),
+                        "n": len(idx)})
+        return pd.DataFrame(out)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    rows = []
+    for lab, g in parts.groupby("label"):
+        s = np.sum(np.stack(g["s"].to_numpy()), axis=0)
+        n = int(g["n"].sum())
+        for i, v in enumerate(s / n):
+            rows.append({"label": int(lab), "i": i + 1,
+                         "mean_v": round(float(v), 6)})
+    return pd.DataFrame(rows).sort_values(["label", "i"]) \
+        .reset_index(drop=True)
+
+
 def _q43_embedding_lsh(sf_dir: str):
     """Hyperplane-LSH near-dup (the scale path for embedding dedup):
     band-OR over 64 tables of 4 hyperplanes, exact cosine verify
@@ -1455,6 +1487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q77_zonal_stats": _q77_zonal_stats,
         "q78_triangles": _q78_triangles,
         "q79_incremental_dedup": _q79_incremental_dedup,
+        "q80_label_centroids": _q80_label_centroids,
     }
 
 
@@ -2826,6 +2859,18 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (
           SELECT 1 FROM old WHERE md5(old.text) = md5(new.text))
         ORDER BY new.doc_id"""
+
+    out["q80_label_centroids"] = """
+        -- per-(label, dimension) mean of the embedding vectors
+        WITH e AS (
+          SELECT label, u.r['i'] AS i,
+                 CAST(u.r['v'] AS DOUBLE) AS v
+          FROM embeddings, unnest(list_transform(
+                generate_series(1, len(embedding)),
+                i -> {'i': i, 'v': embedding[i]})) AS u(r))
+        SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+               round(avg(v), 6) AS mean_v
+        FROM e GROUP BY label, i ORDER BY label, i"""
 
     out["q78_triangles"] = """
         -- exact 3-way self-join over the canonical undirected edge
