@@ -1317,6 +1317,20 @@ def _q80_label_centroids(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q81_percent_rank(sf_dir: str):
+    """Global per-row percentile rank of doc length (SQL
+    percent_rank): value-range buckets + broadcast exclusive prefix +
+    in-bucket sort — the distributed-rank substrate as its own
+    contract row (no global sort)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.rank import percent_rank
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    out = percent_rank(ds, "n_chars", "doc_id").to_pandas()
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q43_embedding_lsh(sf_dir: str):
     """Hyperplane-LSH near-dup (the scale path for embedding dedup):
     band-OR over 64 tables of 4 hyperplanes, exact cosine verify
@@ -1488,6 +1502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q78_triangles": _q78_triangles,
         "q79_incremental_dedup": _q79_incremental_dedup,
         "q80_label_centroids": _q80_label_centroids,
+        "q81_percent_rank": _q81_percent_rank,
     }
 
 
@@ -2859,6 +2874,12 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (
           SELECT 1 FROM old WHERE md5(old.text) = md5(new.text))
         ORDER BY new.doc_id"""
+
+    out["q81_percent_rank"] = """
+        SELECT doc_id, n_chars,
+               round(percent_rank() OVER (ORDER BY n_chars), 6)
+                 AS pct_rank
+        FROM documents ORDER BY doc_id"""
 
     out["q80_label_centroids"] = """
         -- per-(label, dimension) mean of the embedding vectors

@@ -160,3 +160,64 @@ def median_exact(ds, col: str):
         return hi_val
     lo_val = kth_smallest(ds, col, hi_rank - 1)
     return (lo_val + hi_val) / 2
+
+
+def percent_rank(ds, col: str, id_col: str, n_bins: int = 256):
+    """Per-row global percentile rank — SQL ``percent_rank()``:
+    (number of strictly smaller values) / (n - 1).
+
+    The prefix-scan shape (cf. stages/text.mix_sample) along the VALUE
+    axis: one min/max/count pass, rows range-bucket by value (equal
+    values always share a bucket, so ties resolve locally),
+    per-bucket counts reach the driver (``n_bins`` ints), the
+    exclusive prefix broadcasts back, and each bucket computes exact
+    in-bucket ranks with one sort + searchsorted.  No global sort.
+    Linear bins assume a roughly bounded value distribution; for
+    heavy skew substitute sampled-quantile (equi-depth) bin edges —
+    the rank arithmetic is unchanged.
+
+    Returns a Dataset (id_col, col, pct_rank).
+    """
+    import ray
+
+    mm = _minmax_count(ds, col)
+    if mm is None:
+        import ray.data as rd
+        return rd.from_items([])
+    lo, hi, n = mm
+    width = (hi - lo) / n_bins or 1.0
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0,
+                    n_bins - 1)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             col: v, "__b": b})
+
+    rows = ds.map_batches(bucketize, batch_format="pandas") \
+        .materialize()
+    counts = rows.map_batches(
+        lambda df: pd.DataFrame(
+            {"b": np.arange(n_bins, dtype=np.int64),
+             "c": np.bincount(df["__b"].to_numpy(),
+                              minlength=n_bins)}),
+        batch_format="pandas").to_pandas() \
+        .groupby("b")["c"].sum().sort_index().to_numpy()
+    before = np.r_[0, np.cumsum(counts)[:-1]]
+    pref = ray.put(before)
+
+    def rank_part(df: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(pref)
+        out = []
+        for b, g in df.groupby("__b", sort=False):
+            v = g[col].to_numpy()
+            sv = np.sort(v)
+            less = np.searchsorted(sv, v, side="left") + base[int(b)]
+            out.append(pd.DataFrame({
+                id_col: g[id_col].to_numpy(), col: v,
+                "pct_rank": np.round(less / max(n - 1, 1), 6)}))
+        return pd.concat(out, ignore_index=True) if out else \
+            pd.DataFrame({id_col: [], col: [], "pct_rank": []})
+
+    return rows.groupby("__b").map_groups(rank_part,
+                                          batch_format="pandas")

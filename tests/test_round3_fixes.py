@@ -984,3 +984,20 @@ def test_hash_join_semi_anti(ray_session):
         anti[["k", "a"]], want_anti[["k", "a"]], check_dtype=False)
     # semi never duplicates left rows on multi-match
     assert len(semi) == len(want_semi)
+
+
+def test_percent_rank_ties_and_partition_independence(ray_session):
+    """Distributed percent_rank matches pandas rank on data with
+    heavy ties, regardless of input partitioning."""
+    from mapshaper_ray.ops.rank import percent_rank
+    rng = np.random.default_rng(23)
+    vals = rng.integers(0, 25, 300).astype(float)  # many ties
+    df = pd.DataFrame({"doc_id": np.arange(300), "v": vals})
+    want = ((df["v"].rank(method="min") - 1) / (len(df) - 1)) \
+        .round(6).to_numpy()
+    for parts in (1, 9):
+        got = percent_rank(rd.from_pandas(df).repartition(parts),
+                           "v", "doc_id", n_bins=16).to_pandas() \
+            .sort_values("doc_id")
+        np.testing.assert_array_equal(got["pct_rank"].to_numpy(),
+                                      want)
