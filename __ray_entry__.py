@@ -1331,6 +1331,19 @@ def _q81_percent_rank(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q82_grouped_topk(sf_dir: str):
+    """Top-3 longest docs per source: per-batch partial per-group
+    top-k, then one grouped reduce over the candidate rows only."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import grouped_topk
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"])
+    out = grouped_topk(ds, "source", "n_chars", 3,
+                       tie_col="doc_id").to_pandas()
+    return out.sort_values(["source", "doc_id"]) \
+        .reset_index(drop=True)
+
+
 def _q43_embedding_lsh(sf_dir: str):
     """Hyperplane-LSH near-dup (the scale path for embedding dedup):
     band-OR over 64 tables of 4 hyperplanes, exact cosine verify
@@ -1503,6 +1516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q79_incremental_dedup": _q79_incremental_dedup,
         "q80_label_centroids": _q80_label_centroids,
         "q81_percent_rank": _q81_percent_rank,
+        "q82_grouped_topk": _q82_grouped_topk,
     }
 
 
@@ -2874,6 +2888,12 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (
           SELECT 1 FROM old WHERE md5(old.text) = md5(new.text))
         ORDER BY new.doc_id"""
+
+    out["q82_grouped_topk"] = """
+        SELECT doc_id, source, n_chars FROM documents
+        QUALIFY row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id) <= 3
+        ORDER BY source, doc_id"""
 
     out["q81_percent_rank"] = """
         SELECT doc_id, n_chars,

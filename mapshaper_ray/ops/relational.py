@@ -621,6 +621,27 @@ def window_hopping(ds, key: str, ts_col: str, length_s: int,
     return groupby_agg(exploded, [key, "window_start"], aggs)
 
 
+def grouped_topk(ds, key: str, col: str, k: int, ascending=False,
+                 tie_col: str | None = None):
+    """Per-group top-k rows by ``col`` (ties broken by ``tie_col``
+    ascending — deterministic).  Two-level: each batch keeps only its
+    own per-group top-k (a group's global top-k row is a top-k row of
+    every batch it appears in), then one small grouped reduce over
+    the <= k x groups x batches survivors.  No full shuffle of the
+    table — only candidate rows move."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        by = [key, col] + ([tie_col] if tie_col else [])
+        asc = [True, ascending] + ([True] if tie_col else [])
+        df = df.sort_values(by, ascending=asc, kind="mergesort")
+        return df.groupby(key, sort=False).head(k)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return partial(df)
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby(key).map_groups(final, batch_format="pandas")
+
+
 def with_row_position(ds, col: str = "__pos"):
     """Stamp a GLOBAL row-position column (a delim table's identity is
     its row order).  Two light passes: per-block row counts (metadata

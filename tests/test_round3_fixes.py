@@ -1001,3 +1001,27 @@ def test_percent_rank_ties_and_partition_independence(ray_session):
             .sort_values("doc_id")
         np.testing.assert_array_equal(got["pct_rank"].to_numpy(),
                                       want)
+
+
+def test_grouped_topk_vs_pandas(ray_session):
+    """Per-group top-k matches pandas nlargest semantics with ties,
+    independent of partitioning; ascending mode = bottom-k."""
+    from mapshaper_ray.ops.relational import grouped_topk
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame({"g": rng.integers(0, 5, 120),
+                       "v": rng.integers(0, 10, 120),
+                       "id": np.arange(120)})
+    want = df.sort_values(["g", "v", "id"],
+                          ascending=[True, False, True]) \
+        .groupby("g").head(4).sort_values(["g", "id"]) \
+        .reset_index(drop=True)
+    got = grouped_topk(rd.from_pandas(df).repartition(6),
+                       "g", "v", 4, tie_col="id").to_pandas() \
+        .sort_values(["g", "id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["g", "v", "id"]],
+                                  want[["g", "v", "id"]],
+                                  check_dtype=False)
+    bot = grouped_topk(rd.from_pandas(df), "g", "v", 2,
+                       ascending=True, tie_col="id").to_pandas()
+    wb = df.sort_values(["g", "v", "id"]).groupby("g").head(2)
+    assert sorted(bot["id"]) == sorted(wb["id"])
