@@ -266,20 +266,23 @@ def triangle_count(edges_ds, src_col="src", dst_col="dst",
 
 
 def pagerank_checkpointed(edges_ds, nodes_ds, damping=0.85, iters=5,
-                          checkpoint_dir=None, src_col="src",
-                          dst_col="dst", node_col="node",
-                          num_buckets=32):
+                          checkpoint_dir=None, tol=None,
+                          src_col="src", dst_col="dst",
+                          node_col="node", num_buckets=32):
     """Checkpoint-resumable PageRank (the north rule's
     resume-from-checkpoint contract applied to an ITERATIVE pipeline,
     not just a sink): after every iteration the rank vector writes to
     ``checkpoint_dir/iter_NNNN/`` as partitioned parquet, with a
-    manifest row (iteration, rows, rank-sum fingerprint, L1 delta,
-    timestamp-free).  A fresh call with the same checkpoint_dir skips
-    every completed iteration — it reads the LAST complete checkpoint
-    and runs only the remaining iterations, bit-identical to an
-    uninterrupted run (pytest-enforced): each iteration is a pure
-    function of the previous ranks, so replay-from-checkpoint is
-    exact.  ``checkpoint_dir=None`` degrades to plain ``pagerank``.
+    manifest row (iteration, rows, rank-sum fingerprint, and — when
+    ``tol`` is set — the L1 delta vs the previous iteration).  A
+    fresh call with the same checkpoint_dir skips every completed
+    iteration — it reads the LAST complete checkpoint and runs only
+    the remaining iterations, bit-identical to an uninterrupted run
+    (pytest-enforced): each iteration is a pure function of the
+    previous ranks, so replay-from-checkpoint is exact.
+    ``tol`` enables convergence-based early exit (one extra bucket
+    join per iteration for the delta — only paid when requested).
+    ``checkpoint_dir=None`` degrades to plain ``pagerank``.
 
     Returns (ranks Dataset, manifest DataFrame).
     """
@@ -358,6 +361,22 @@ def pagerank_checkpointed(edges_ds, nodes_ds, damping=0.85, iters=5,
                                        batch_format="pandas") \
             .materialize()
 
+        l1 = None
+        if tol is not None:
+            def as_old(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({
+                    node_col: df[node_col].to_numpy(dtype=np.int64),
+                    "rank_old": df["rank"].to_numpy(np.float64)})
+            dj = hash_join(new_ranks,
+                           ranks.map_batches(as_old,
+                                             batch_format="pandas"),
+                           on=node_col, num_buckets=num_buckets)
+            l1 = float(dj.map_batches(
+                lambda df: pd.DataFrame({"d": [float(np.abs(
+                    df["rank"].to_numpy()
+                    - df["rank_old"].to_numpy()).sum())]}),
+                batch_format="pandas").to_pandas()["d"].sum())
+
         # checkpoint: write THEN record — a crash between the two
         # re-writes the iteration on resume (idempotent: pure
         # function of the prior checkpoint)
@@ -367,13 +386,18 @@ def pagerank_checkpointed(edges_ds, nodes_ds, damping=0.85, iters=5,
             lambda df: pd.DataFrame(
                 {"s": [float(df["rank"].sum())], "n": [len(df)]}),
             batch_format="pandas").to_pandas()
-        manifest = [m for m in manifest if m["iteration"] != it] + [{
-            "iteration": it, "rows": int(stats["n"].sum()),
-            "rank_sum": round(float(stats["s"].sum()), 12),
-            "status": "done", "path": f"iter_{it:04d}"}]
+        row = {"iteration": it, "rows": int(stats["n"].sum()),
+               "rank_sum": round(float(stats["s"].sum()), 12),
+               "status": "done", "path": f"iter_{it:04d}"}
+        if l1 is not None:
+            row["l1_delta"] = round(l1, 12)
+        manifest = [m for m in manifest
+                    if m["iteration"] != it] + [row]
         with open(man_path, "w") as f:
             json.dump(sorted(manifest,
                              key=lambda m: m["iteration"]), f)
         ranks = new_ranks
+        if tol is not None and l1 is not None and l1 < tol:
+            break
 
     return ranks, pd.DataFrame(manifest)

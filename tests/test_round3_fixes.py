@@ -1058,3 +1058,21 @@ def test_pagerank_checkpoint_resume(ray_session, tmp_path):
         man = json.load(f)
     assert [m["iteration"] for m in man] == [1, 2, 3, 4]
     assert all(abs(m["rank_sum"] - 1.0) < 1e-9 for m in man)
+
+
+def test_pagerank_tol_early_exit(ray_session, tmp_path):
+    """tol= records L1 deltas in the manifest and stops once the
+    delta falls under tolerance."""
+    from mapshaper_ray.ops.graph import pagerank_checkpointed
+    n = 200
+    ids = np.arange(n)
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": ids, "dst": (ids * 7 + 1) % n}))
+    nodes = rd.from_pandas(pd.DataFrame({"node": ids}))
+    _, man = pagerank_checkpointed(
+        edges, nodes, iters=50, tol=1e-3,
+        checkpoint_dir=str(tmp_path / "pr"))
+    assert len(man) < 50                       # early exit happened
+    d = man["l1_delta"].to_numpy()
+    assert (d[:-1] >= d[1:] * 0.5).all()       # broadly decreasing
+    assert d[-1] < 1e-3
