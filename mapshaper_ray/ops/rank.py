@@ -162,7 +162,8 @@ def median_exact(ds, col: str):
     return (lo_val + hi_val) / 2
 
 
-def percent_rank(ds, col: str, id_col: str, n_bins: int = 256):
+def percent_rank(ds, col: str, id_col: str, n_bins: int = 256,
+                 bins: str = "equidepth", sample_rows: int = 65536):
     """Per-row global percentile rank — SQL ``percent_rank()``:
     (number of strictly smaller values) / (n - 1).
 
@@ -172,9 +173,13 @@ def percent_rank(ds, col: str, id_col: str, n_bins: int = 256):
     per-bucket counts reach the driver (``n_bins`` ints), the
     exclusive prefix broadcasts back, and each bucket computes exact
     in-bucket ranks with one sort + searchsorted.  No global sort.
-    Linear bins assume a roughly bounded value distribution; for
-    heavy skew substitute sampled-quantile (equi-depth) bin edges —
-    the rank arithmetic is unchanged.
+
+    ``bins="equidepth"`` (default) draws quantile bin EDGES from a
+    ``sample_rows`` sample, so heavy-tailed or clustered value
+    distributions still split into balanced buckets; the result is
+    exact under EITHER binning (bucketing only partitions the work —
+    the rank arithmetic never sees the edges), pytest-enforced.
+    ``bins="linear"`` skips the sample pass.
 
     Returns a Dataset (id_col, col, pct_rank).
     """
@@ -185,12 +190,20 @@ def percent_rank(ds, col: str, id_col: str, n_bins: int = 256):
         import ray.data as rd
         return rd.from_items([])
     lo, hi, n = mm
-    width = (hi - lo) / n_bins or 1.0
+    if bins == "equidepth":
+        samp = ds.limit(sample_rows).to_pandas()[col] \
+            .to_numpy(dtype=np.float64)
+        qs = np.quantile(samp, np.linspace(0, 1, n_bins + 1)[1:-1])
+        edges = np.unique(qs)  # interior edges, may be < n_bins-1
+    else:
+        width = (hi - lo) / n_bins or 1.0
+        edges = lo + width * np.arange(1, n_bins)
+    eref = ray.put(edges)
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         v = df[col].to_numpy(dtype=np.float64)
-        b = np.clip(((v - lo) / width).astype(np.int64), 0,
-                    n_bins - 1)
+        # side='right': equal values always land in the same bucket
+        b = np.searchsorted(ray.get(eref), v, side="right")
         return pd.DataFrame({id_col: df[id_col].to_numpy(),
                              col: v, "__b": b})
 
@@ -198,9 +211,9 @@ def percent_rank(ds, col: str, id_col: str, n_bins: int = 256):
         .materialize()
     counts = rows.map_batches(
         lambda df: pd.DataFrame(
-            {"b": np.arange(n_bins, dtype=np.int64),
+            {"b": np.arange(len(edges) + 1, dtype=np.int64),
              "c": np.bincount(df["__b"].to_numpy(),
-                              minlength=n_bins)}),
+                              minlength=len(edges) + 1)}),
         batch_format="pandas").to_pandas() \
         .groupby("b")["c"].sum().sort_index().to_numpy()
     before = np.r_[0, np.cumsum(counts)[:-1]]

@@ -1076,3 +1076,43 @@ def test_pagerank_tol_early_exit(ray_session, tmp_path):
     d = man["l1_delta"].to_numpy()
     assert (d[:-1] >= d[1:] * 0.5).all()       # broadly decreasing
     assert d[-1] < 1e-3
+
+
+def test_percent_rank_equidepth_skew(ray_session):
+    """Equi-depth binning stays exact on a heavy-tailed distribution
+    where linear bins would put ~everything in one bucket."""
+    from mapshaper_ray.ops.rank import percent_rank
+    rng = np.random.default_rng(31)
+    vals = np.exp(rng.normal(0, 3, 400))   # lognormal, huge range
+    vals[::50] = vals[0]                   # planted ties
+    df = pd.DataFrame({"doc_id": np.arange(400), "v": vals})
+    want = ((df["v"].rank(method="min") - 1) / (len(df) - 1)) \
+        .round(6).to_numpy()
+    for mode in ("equidepth", "linear"):
+        got = percent_rank(rd.from_pandas(df), "v", "doc_id",
+                           n_bins=16, bins=mode).to_pandas() \
+            .sort_values("doc_id")
+        np.testing.assert_array_equal(got["pct_rank"].to_numpy(),
+                                      want)
+
+
+def test_triangle_count_degree_pivot(ray_session):
+    """Degree-pivot orientation counts the same triangles as id-pivot
+    on random graphs and on a hub (star+clique) graph where degree
+    ordering matters."""
+    from mapshaper_ray.ops.graph import triangle_count
+    rng = np.random.default_rng(37)
+    src = rng.integers(0, 80, 500)
+    dst = rng.integers(0, 80, 500)
+    ds = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    assert triangle_count(ds, num_buckets=8, pivot="degree") \
+        == triangle_count(ds, num_buckets=8, pivot="id")
+    # hub graph: node 0 connects to all of a 6-clique + 40 leaves
+    rows = [{"src": 0, "dst": i} for i in range(1, 47)]
+    rows += [{"src": a, "dst": b} for a in range(1, 7)
+             for b in range(a + 1, 7)]
+    hub = rd.from_items(rows)
+    # triangles: C(6,2) hub triangles + C(6,3) clique triangles
+    want = 15 + 20
+    assert triangle_count(hub, pivot="degree") == want
+    assert triangle_count(hub, pivot="id") == want
