@@ -1344,6 +1344,17 @@ def _q82_grouped_topk(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q83_vocab_stats(sf_dir: str):
+    """Exact global COUNT(DISTINCT token) + total tokens: per-batch
+    distinct tokens bucket-shuffle by token hash (per-partition
+    distincts sum to the global), token totals reduce as ints."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import vocab_stats
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    return vocab_stats(ds)
+
+
 def _q43_embedding_lsh(sf_dir: str):
     """Hyperplane-LSH near-dup (the scale path for embedding dedup):
     band-OR over 64 tables of 4 hyperplanes, exact cosine verify
@@ -1517,6 +1528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q80_label_centroids": _q80_label_centroids,
         "q81_percent_rank": _q81_percent_rank,
         "q82_grouped_topk": _q82_grouped_topk,
+        "q83_vocab_stats": _q83_vocab_stats,
     }
 
 
@@ -2888,6 +2900,13 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (
           SELECT 1 FROM old WHERE md5(old.text) = md5(new.text))
         ORDER BY new.doc_id"""
+
+    out["q83_vocab_stats"] = """
+        WITH tok AS (
+          SELECT unnest(string_split(coalesce(text, ''), ' ')) AS t
+          FROM documents)
+        SELECT count(DISTINCT t) AS n_distinct_tokens,
+               count(*) AS n_tokens FROM tok"""
 
     out["q82_grouped_topk"] = """
         SELECT doc_id, source, n_chars FROM documents

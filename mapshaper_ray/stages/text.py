@@ -1126,3 +1126,42 @@ def decontaminate(ds, bench_ds, k=8, id_col="doc_id",
     return ds.map_batches(Overlap, batch_format="pandas",
                           batch_size=4096, concurrency=concurrency,
                           num_cpus=1)
+
+
+def vocab_stats(ds, text_col="text", n_parts=64):
+    """Exact corpus vocabulary stats — global COUNT(DISTINCT token)
+    plus total token count: per-batch distinct tokens bucket-shuffle
+    by token hash (all copies of a token land in one partition, so
+    per-partition distinct counts sum to the global), total tokens
+    reduce as per-batch ints.  Returns a one-row DataFrame
+    (n_distinct_tokens, n_tokens)."""
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [(t or "").split(" ") for t in df[text_col]]
+        flat = np.array([w for ws in toks for w in ws], dtype=object)
+        uniq = np.unique(flat) if len(flat) else flat
+        h = pd.util.hash_array(uniq.astype(object)) \
+            .astype(np.uint64) if len(uniq) else \
+            np.empty(0, np.uint64)
+        return pd.DataFrame({
+            "token": uniq,
+            "__part": (h % np.uint64(n_parts)).astype(np.int64),
+            "__n": np.full(len(uniq), 0, dtype=np.int64)}) \
+            if len(uniq) else pd.DataFrame(
+                {"token": pd.Series([], dtype=object),
+                 "__part": pd.Series([], dtype=np.int64),
+                 "__n": pd.Series([], dtype=np.int64)})
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"d": [df["token"].nunique()]})
+
+    nd = ds.map_batches(emit, batch_format="pandas") \
+        .groupby("__part").map_groups(count_part,
+                                      batch_format="pandas") \
+        .to_pandas()["d"].sum()
+
+    nt = ds.map_batches(
+        lambda df: pd.DataFrame({"n": [int(sum(
+            (t or "").count(" ") + 1 for t in df[text_col]))]}),
+        batch_format="pandas").to_pandas()["n"].sum()
+    return pd.DataFrame({"n_distinct_tokens": [int(nd)],
+                         "n_tokens": [int(nt)]})
