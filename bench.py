@@ -176,6 +176,20 @@ def run_benchmarks():
     timed("pagerank_2m_edges_broadcast",
           lambda: pagerank_broadcast(edges, nodes, iters=3))
 
+    # graph + rank substrates at volume: triangles over the same 2M
+    # canonical edges (wedge-join, degree pivot), percent_rank over
+    # the sf0.1 lineitem price column (~600k rows)
+    from mapshaper_ray.ops.graph import triangle_count
+    timed("triangles_2m_edges",
+          lambda: pd.DataFrame(
+              {"n": [triangle_count(edges, pivot="degree")]}))
+    from mapshaper_ray.ops.rank import percent_rank
+    li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice"]) \
+        .materialize()
+    timed("percent_rank_600k",
+          lambda: percent_rank(li, "l_extendedprice", "l_orderkey"))
+
     # round-3 additions over the sf documents table (5k docs / ~1.1MB
     # text at sf0.1 — iteration/shuffle overhead probes, not volume):
     # ExactSubstr span dedup (hash->doc double shuffle + text

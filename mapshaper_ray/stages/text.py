@@ -1143,13 +1143,10 @@ def vocab_stats(ds, text_col="text", n_parts=64):
             .astype(np.uint64) if len(uniq) else \
             np.empty(0, np.uint64)
         return pd.DataFrame({
-            "token": uniq,
-            "__part": (h % np.uint64(n_parts)).astype(np.int64),
-            "__n": np.full(len(uniq), 0, dtype=np.int64)}) \
-            if len(uniq) else pd.DataFrame(
-                {"token": pd.Series([], dtype=object),
-                 "__part": pd.Series([], dtype=np.int64),
-                 "__n": pd.Series([], dtype=np.int64)})
+            "token": pd.Series(uniq, dtype=object),
+            "__part": pd.Series(
+                (h % np.uint64(n_parts)).astype(np.int64)
+                if len(uniq) else [], dtype=np.int64)})
 
     def count_part(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"d": [df["token"].nunique()]})
