@@ -1355,6 +1355,49 @@ def _q83_vocab_stats(sf_dir: str):
     return vocab_stats(ds)
 
 
+def _q84_pretrain_pipeline(sf_dir: str):
+    """End-to-end pretraining-data pipeline — four verified operators
+    composed into one run: exact dedup (keep-first by content md5) →
+    Gopher repetition filter (dup_bigram_share <= 0.2) →
+    benchmark decontamination (drop docs sharing an 8-token window
+    with docs 0..19) → sequence packing into 512-token examples.
+    Every stage is the same op its own contract row validates; the
+    oracle chains the same four SQL fragments."""
+    import ray
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import exact_dedup
+    from mapshaper_ray.ops.relational import hash_join
+    from mapshaper_ray.stages.text import (decontaminate,
+                                           pack_sequences,
+                                           repetition_signals)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
+    dd = exact_dedup(docs, text_col="text", order_col="doc_id") \
+        .map_batches(lambda df: df[["doc_id", "text"]],
+                     batch_format="pandas").materialize()
+
+    keep_ids = repetition_signals(dd).map_batches(
+        lambda df: df[df["dup_bigram_share"] <= 0.2][["doc_id"]],
+        batch_format="pandas")
+    kept = hash_join(dd, keep_ids, on="doc_id", how="semi",
+                     left_cols=["doc_id", "text"],
+                     right_cols=["doc_id"]).materialize()
+
+    bench = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=__import__("pyarrow").dataset.field("doc_id") < 20)
+    bad = decontaminate(kept, bench, k=8).to_pandas()
+    bad_ref = ray.put(set(bad["doc_id"]))
+
+    def drop_bad(df: pd.DataFrame) -> pd.DataFrame:
+        return df[~df["doc_id"].isin(ray.get(bad_ref))]
+
+    final = kept.map_batches(drop_bad, batch_format="pandas")
+    out = pack_sequences(final, seq_len=512).to_pandas()
+    return out.sort_values(["example_id", "doc_id"]) \
+        .reset_index(drop=True)
+
+
 def _q43_embedding_lsh(sf_dir: str):
     """Hyperplane-LSH near-dup (the scale path for embedding dedup):
     band-OR over 64 tables of 4 hyperplanes, exact cosine verify
@@ -1529,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q81_percent_rank": _q81_percent_rank,
         "q82_grouped_topk": _q82_grouped_topk,
         "q83_vocab_stats": _q83_vocab_stats,
+        "q84_pretrain_pipeline": _q84_pretrain_pipeline,
     }
 
 
@@ -2900,6 +2944,72 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (
           SELECT 1 FROM old WHERE md5(old.text) = md5(new.text))
         ORDER BY new.doc_id"""
+
+    out["q84_pretrain_pipeline"] = r"""
+        -- the q12 dedup, q56 repetition-share, q76 decontamination
+        -- and q67 packing fragments chained end-to-end
+        WITH dd AS (
+          SELECT doc_id, text FROM documents
+          QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) = 1),
+        w AS (SELECT doc_id, text,
+                     string_split(coalesce(text,''), ' ') AS ws
+              FROM dd),
+        bi AS (SELECT doc_id,
+                      unnest(list_transform(
+                        generate_series(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i + 1])) AS bg
+               FROM w WHERE len(ws) >= 2),
+        bc AS (SELECT doc_id, bg, count(*) AS n
+               FROM bi GROUP BY doc_id, bg),
+        bs AS (SELECT doc_id, sum(n) AS tot,
+                      sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS dup
+               FROM bc GROUP BY doc_id),
+        rep AS (SELECT w.doc_id, w.text
+                FROM w LEFT JOIN bs USING (doc_id)
+                WHERE coalesce(bs.dup / CAST(bs.tot AS DOUBLE), 0)
+                      <= 0.2),
+        rt AS (SELECT doc_id,
+                      regexp_extract_all(coalesce(text,''), '\S+')
+                        AS ts
+               FROM rep),
+        rwin AS (SELECT doc_id, u.h AS h
+                 FROM rt, unnest(list_transform(
+                       generate_series(1, len(ts) - 7),
+                       i -> md5_number_lower(array_to_string(
+                              ts[i:i+7], chr(31))))) AS u(h)
+                 WHERE len(ts) >= 8),
+        bt AS (SELECT doc_id,
+                      regexp_extract_all(coalesce(text,''), '\S+')
+                        AS ts
+               FROM documents WHERE doc_id < 20),
+        bwin AS (SELECT DISTINCT u.h AS h
+                 FROM bt, unnest(list_transform(
+                       generate_series(1, len(ts) - 7),
+                       i -> md5_number_lower(array_to_string(
+                              ts[i:i+7], chr(31))))) AS u(h)
+                 WHERE len(ts) >= 8),
+        contaminated AS (
+          SELECT DISTINCT r.doc_id FROM rwin r
+          JOIN bwin b ON r.h = b.h WHERE r.doc_id >= 20),
+        final AS (SELECT doc_id, text FROM rep
+                  WHERE doc_id NOT IN
+                        (SELECT doc_id FROM contaminated)),
+        dl AS (SELECT doc_id,
+                      len(string_split(coalesce(text,''), ' ')) AS n
+               FROM final),
+        o AS (SELECT doc_id, n,
+                     coalesce(sum(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS off
+              FROM dl)
+        SELECT ex.ex AS example_id, doc_id,
+               greatest(off, ex.ex * 512) - off AS tok_start,
+               least(off + n, (ex.ex + 1) * 512)
+                 - greatest(off, ex.ex * 512) AS n_toks
+        FROM o, unnest(generate_series(CAST(off // 512 AS BIGINT),
+                 CAST((off + n - 1) // 512 AS BIGINT))) AS ex(ex)
+        ORDER BY example_id, doc_id"""
 
     out["q83_vocab_stats"] = """
         WITH tok AS (
