@@ -1398,6 +1398,38 @@ def _q84_pretrain_pipeline(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q85_soft_dedup_weights(sf_dir: str):
+    """SoftDeDup-style duplicate down-weighting (train-time
+    reweighting instead of dropping): every doc gets weight =
+    1 / size of its near-dup cluster (singletons keep 1.0).  The
+    label table is bounded by near-dup membership, so it broadcasts;
+    clusters come from the same distributed LSH + large/small-star
+    components q48 validates."""
+    import ray
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import cluster_pairs, minhash_lsh
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
+    pairs = minhash_lsh(docs, threshold=0.4)
+    labels = cluster_pairs(
+        rd.from_pandas(pairs[["id_a", "id_b"]])).to_pandas()
+    sizes = labels.groupby("cluster_id").size()
+    wmap = {int(n): 1.0 / int(sizes[c])
+            for n, c in zip(labels["node"], labels["cluster_id"])}
+    wref = ray.put(wmap)
+
+    def weigh(df: pd.DataFrame) -> pd.DataFrame:
+        wm = ray.get(wref)
+        ids = df["doc_id"].to_numpy()
+        return pd.DataFrame({
+            "doc_id": ids,
+            "dup_weight": np.round([wm.get(int(i), 1.0)
+                                    for i in ids], 6)})
+
+    out = docs.map_batches(weigh, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q43_embedding_lsh(sf_dir: str):
     """Hyperplane-LSH near-dup (the scale path for embedding dedup):
     band-OR over 64 tables of 4 hyperplanes, exact cosine verify
@@ -1573,6 +1605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q82_grouped_topk": _q82_grouped_topk,
         "q83_vocab_stats": _q83_vocab_stats,
         "q84_pretrain_pipeline": _q84_pretrain_pipeline,
+        "q85_soft_dedup_weights": _q85_soft_dedup_weights,
     }
 
 
@@ -2524,6 +2557,18 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE {_CLUSTER_CTES}
             SELECT node AS doc_id, cluster_id
             FROM labels ORDER BY doc_id""",
+        "q85_soft_dedup_weights": rf"""
+            -- SoftDeDup-style duplicate down-weighting: weight =
+            -- 1 / near-dup-cluster size (1.0 for singletons)
+            WITH RECURSIVE {_CLUSTER_CTES},
+            csize AS (SELECT cluster_id, count(*) AS sz
+                      FROM labels GROUP BY cluster_id)
+            SELECT d.doc_id,
+                   round(coalesce(1.0 / cs.sz, 1.0), 6) AS dup_weight
+            FROM documents d
+            LEFT JOIN labels l ON d.doc_id = l.node
+            LEFT JOIN csize cs ON l.cluster_id = cs.cluster_id
+            ORDER BY d.doc_id""",
         "q49_dedup_near": rf"""
             -- fuzzy-dedup survivors: every doc except non-canonical
             -- near-dup cluster members
