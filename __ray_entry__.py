@@ -1430,6 +1430,41 @@ def _q85_soft_dedup_weights(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q86_latest_capture(sf_dir: str):
+    """WARC-style keep-latest-capture-per-url dedup (the input
+    table's (url, warc_ts) contract): three deterministic re-crawls
+    per page, the newest snapshot survives per url via grouped_topk
+    (per-batch partial top-1, candidate rows only — no full shuffle).
+    The content hash in the output proves the RIGHT capture's text
+    survived, not just the right timestamp."""
+    import hashlib
+
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import grouped_topk
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def captures(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.repeat(df["doc_id"].to_numpy(), 3)
+        r = np.tile(np.arange(3, dtype=np.int64), len(df))
+        texts = [t + " r" + str(k) for t in df["text"]
+                 for k in range(3)]
+        return pd.DataFrame({
+            "url": ["https://site" + str(i % 1000) + ".example/p/"
+                    + str(i) for i in ids],
+            "doc_id": ids,
+            "ts_ms": ids * 1009 + 1577836800000 + r * 86400000,
+            "text": texts})
+
+    caps = docs.map_batches(captures, batch_format="pandas")
+    latest = grouped_topk(caps, "url", "ts_ms", 1,
+                          tie_col="doc_id").to_pandas()
+    latest["content_md5"] = [hashlib.md5(t.encode()).hexdigest()
+                             for t in latest["text"]]
+    return latest[["url", "doc_id", "ts_ms", "content_md5"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q43_embedding_lsh(sf_dir: str):
     """Hyperplane-LSH near-dup (the scale path for embedding dedup):
     band-OR over 64 tables of 4 hyperplanes, exact cosine verify
@@ -1606,6 +1641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q83_vocab_stats": _q83_vocab_stats,
         "q84_pretrain_pipeline": _q84_pretrain_pipeline,
         "q85_soft_dedup_weights": _q85_soft_dedup_weights,
+        "q86_latest_capture": _q86_latest_capture,
     }
 
 
@@ -3055,6 +3091,23 @@ def oracle_sql() -> dict[str, str]:
         FROM o, unnest(generate_series(CAST(off // 512 AS BIGINT),
                  CAST((off + n - 1) // 512 AS BIGINT))) AS ex(ex)
         ORDER BY example_id, doc_id"""
+
+    out["q86_latest_capture"] = """
+        -- keep the newest of 3 deterministic re-crawls per url; the
+        -- md5 proves the right capture's TEXT survived
+        WITH caps AS (
+          SELECT 'https://site' || (doc_id % 1000) || '.example/p/'
+                   || doc_id AS url,
+                 doc_id, doc_id * 1009 + 1577836800000
+                   + r.r * 86400000 AS ts_ms,
+                 text || ' r' || r.r AS text
+          FROM documents, unnest(generate_series(0, 2)) AS r(r))
+        SELECT url, doc_id, CAST(ts_ms AS BIGINT) AS ts_ms,
+               md5(text) AS content_md5
+        FROM caps
+        QUALIFY row_number() OVER (PARTITION BY url
+                                   ORDER BY ts_ms DESC) = 1
+        ORDER BY doc_id"""
 
     out["q83_vocab_stats"] = """
         WITH tok AS (
