@@ -1465,6 +1465,23 @@ def _q86_latest_capture(sf_dir: str):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _q87_tile_lang_mix(sf_dir: str):
+    """Geo × text composition: per-(tile, language) page counts —
+    the geocode → cell-assign flagship stages feeding the grouped
+    reduce, with the corpus lang column carried through."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import groupby_agg
+    from mapshaper_ray.stages.geocode import geocode
+    from mapshaper_ray.stages.tiles import assign_cells
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars",
+                                  "lang"])
+    ds = assign_cells(geocode(ds))
+    out = groupby_agg(ds, ["tile", "lang"],
+                      {"n_pages": ("doc_id", "count")}).to_pandas()
+    return out.sort_values(["tile", "lang"]).reset_index(drop=True)
+
+
 def _q43_embedding_lsh(sf_dir: str):
     """Hyperplane-LSH near-dup (the scale path for embedding dedup):
     band-OR over 64 tables of 4 hyperplanes, exact cosine verify
@@ -1642,6 +1659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q84_pretrain_pipeline": _q84_pretrain_pipeline,
         "q85_soft_dedup_weights": _q85_soft_dedup_weights,
         "q86_latest_capture": _q86_latest_capture,
+        "q87_tile_lang_mix": _q87_tile_lang_mix,
     }
 
 
@@ -1962,6 +1980,11 @@ def oracle_sql() -> dict[str, str]:
         "q9_cells": f"""
             WITH {_GEO_CTE}
             SELECT tile, count(*) AS n_pages FROM geo GROUP BY tile""",
+        "q87_tile_lang_mix": f"""
+            WITH {_GEO_CTE}
+            SELECT g.tile, d.lang, count(*) AS n_pages
+            FROM geo g JOIN documents d USING (doc_id)
+            GROUP BY g.tile, d.lang ORDER BY g.tile, d.lang""",
         "q10_spatial_join": f"""
             WITH {_GEO_CTE}
             SELECT doc_id, {region_case} AS region_id, tile FROM geo""",
