@@ -1437,9 +1437,8 @@ def _q86_latest_capture(sf_dir: str):
     (per-batch partial top-1, candidate rows only — no full shuffle).
     The content hash in the output proves the RIGHT capture's text
     survived, not just the right timestamp."""
-    import hashlib
-
     import ray.data as rd
+    from mapshaper_ray.ops.dedup import content_md5
     from mapshaper_ray.ops.relational import grouped_topk
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
@@ -1459,8 +1458,7 @@ def _q86_latest_capture(sf_dir: str):
     caps = docs.map_batches(captures, batch_format="pandas")
     latest = grouped_topk(caps, "url", "ts_ms", 1,
                           tie_col="doc_id").to_pandas()
-    latest["content_md5"] = [hashlib.md5(t.encode()).hexdigest()
-                             for t in latest["text"]]
+    latest["content_md5"] = content_md5(latest["text"])
     return latest[["url", "doc_id", "ts_ms", "content_md5"]] \
         .sort_values("doc_id").reset_index(drop=True)
 

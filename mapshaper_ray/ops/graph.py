@@ -246,6 +246,12 @@ def triangle_count(edges_ds, src_col="src", dst_col="dst",
         def orient(df: pd.DataFrame) -> pd.DataFrame:
             u = df["u"].to_numpy(dtype=np.int64)
             v = df["v"].to_numpy(dtype=np.int64)
+            if len(u) and (int(max(u.max(), v.max())) >= (1 << 32)
+                           or int(min(u.min(), v.min())) < 0):
+                raise ValueError(
+                    "triangle_count pivot='degree' packs (deg<<32)|id"
+                    " — node ids must be in [0, 2^32); remap ids or "
+                    "use pivot='id'")
             ku = (df["__du"].to_numpy(dtype=np.int64) << 32) | u
             kv = (df["__dv"].to_numpy(dtype=np.int64) << 32) | v
             lo = ku < kv
@@ -440,8 +446,14 @@ def pagerank_checkpointed(edges_ds, nodes_ds, damping=0.85, iters=5,
 
         # checkpoint: write THEN record — a crash between the two
         # re-writes the iteration on resume (idempotent: pure
-        # function of the prior checkpoint)
+        # function of the prior checkpoint).  The dir is CLEARED
+        # first: Ray's write_parquet appends, so a partial dir left
+        # by a mid-write crash would otherwise keep its stale files
+        # next to the rewrite's
+        import shutil
         it_dir = os.path.join(checkpoint_dir, f"iter_{it:04d}")
+        if os.path.exists(it_dir):
+            shutil.rmtree(it_dir)
         new_ranks.write_parquet(it_dir)
         stats = new_ranks.map_batches(
             lambda df: pd.DataFrame(
@@ -454,9 +466,13 @@ def pagerank_checkpointed(edges_ds, nodes_ds, damping=0.85, iters=5,
             row["l1_delta"] = round(l1, 12)
         manifest = [m for m in manifest
                     if m["iteration"] != it] + [row]
-        with open(man_path, "w") as f:
+        # atomic manifest update: a crash mid-dump must not leave a
+        # truncated json that makes every later resume unparseable
+        tmp = man_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(sorted(manifest,
                              key=lambda m: m["iteration"]), f)
+        os.replace(tmp, man_path)
         ranks = new_ranks
         if tol is not None and l1 is not None and l1 < tol:
             break

@@ -175,11 +175,17 @@ def percent_rank(ds, col: str, id_col: str, n_bins: int = 256,
     in-bucket ranks with one sort + searchsorted.  No global sort.
 
     ``bins="equidepth"`` (default) draws quantile bin EDGES from a
-    ``sample_rows`` sample, so heavy-tailed or clustered value
-    distributions still split into balanced buckets; the result is
-    exact under EITHER binning (bucketing only partitions the work —
-    the rank arithmetic never sees the edges), pytest-enforced.
-    ``bins="linear"`` skips the sample pass.
+    SPREAD sample — the head of every block up to ``sample_rows``
+    total, not ``limit()`` (whose first-N rows cover only the low
+    range when the table is written in value order) — so heavy-tailed
+    or clustered value distributions still split into balanced
+    buckets; the result is exact under EITHER binning (bucketing only
+    partitions the work — the rank arithmetic never sees the edges),
+    pytest-enforced.  ``bins="linear"`` skips the sample pass.
+
+    Non-finite values (null → NaN, ±inf) are EXCLUDED from the
+    ranking and the output, matching SQL window semantics where NULL
+    rows don't participate in percent_rank over the value order.
 
     Returns a Dataset (id_col, col, pct_rank).
     """
@@ -191,8 +197,14 @@ def percent_rank(ds, col: str, id_col: str, n_bins: int = 256,
         return rd.from_items([])
     lo, hi, n = mm
     if bins == "equidepth":
-        samp = ds.limit(sample_rows).to_pandas()[col] \
-            .to_numpy(dtype=np.float64)
+        per_block = max(16, sample_rows // 256)
+        samp = ds.map_batches(
+            lambda df: df[[col]].head(per_block),
+            batch_format="pandas").limit(sample_rows) \
+            .to_pandas()[col].to_numpy(dtype=np.float64)
+        samp = samp[np.isfinite(samp)]
+        if len(samp) == 0:
+            samp = np.array([lo, hi])
         qs = np.quantile(samp, np.linspace(0, 1, n_bins + 1)[1:-1])
         edges = np.unique(qs)  # interior edges, may be < n_bins-1
     else:
@@ -202,10 +214,12 @@ def percent_rank(ds, col: str, id_col: str, n_bins: int = 256,
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         v = df[col].to_numpy(dtype=np.float64)
+        ids = df[id_col].to_numpy()
+        fin = np.isfinite(v)  # NaN/inf rows drop out of the ranking
+        v, ids = v[fin], ids[fin]
         # side='right': equal values always land in the same bucket
         b = np.searchsorted(ray.get(eref), v, side="right")
-        return pd.DataFrame({id_col: df[id_col].to_numpy(),
-                             col: v, "__b": b})
+        return pd.DataFrame({id_col: ids, col: v, "__b": b})
 
     rows = ds.map_batches(bucketize, batch_format="pandas") \
         .materialize()

@@ -1088,18 +1088,17 @@ def decontaminate(ds, bench_ds, k=8, id_col="doc_id",
 
     ws = re.compile(r"\S+")
 
-    def bench_hashes(df: pd.DataFrame) -> pd.DataFrame:
-        hs = [np.unique(window_hashes(ws.findall(t or ""), k))
-              for t in df[text_col]
-              if len(ws.findall(t or "")) >= k]
-        h = (np.unique(np.concatenate(hs)) if hs
-             else np.empty(0, np.uint64))
-        return pd.DataFrame({"h": h.astype(np.int64)})
-
-    bench = bench_ds.map_batches(bench_hashes,
-                                 batch_format="pandas").to_pandas()
-    bset = np.unique(bench["h"].to_numpy().astype(np.uint64))
-    bids = set(bench_ds.select_columns([id_col]).to_pandas()[id_col])
+    # ONE scan of the small side (ids + hashes together), each text
+    # tokenized once
+    bpdf = bench_ds.select_columns([id_col, text_col]).to_pandas()
+    hs = []
+    for t in bpdf[text_col]:
+        toks = ws.findall(t or "")
+        if len(toks) >= k:
+            hs.append(np.unique(window_hashes(toks, k)))
+    bset = (np.unique(np.concatenate(hs)) if hs
+            else np.empty(0, np.uint64))
+    bids = set(bpdf[id_col])
     bref = ray.put((bset, bids))
 
     class Overlap:
@@ -1130,35 +1129,37 @@ def decontaminate(ds, bench_ds, k=8, id_col="doc_id",
 
 def vocab_stats(ds, text_col="text", n_parts=64):
     """Exact corpus vocabulary stats — global COUNT(DISTINCT token)
-    plus total token count: per-batch distinct tokens bucket-shuffle
-    by token hash (all copies of a token land in one partition, so
-    per-partition distinct counts sum to the global), total tokens
-    reduce as per-batch ints.  Returns a one-row DataFrame
-    (n_distinct_tokens, n_tokens)."""
+    plus total token count — in ONE corpus scan: each batch emits its
+    distinct tokens (bucket-shuffled by token hash, so per-partition
+    distinct counts sum to the global) plus one total-count row in a
+    dedicated bucket (``__part == n_parts``).  Returns a one-row
+    DataFrame (n_distinct_tokens, n_tokens)."""
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         toks = [(t or "").split(" ") for t in df[text_col]]
+        total = int(sum(len(ws) for ws in toks))
         flat = np.array([w for ws in toks for w in ws], dtype=object)
         uniq = np.unique(flat) if len(flat) else flat
         h = pd.util.hash_array(uniq.astype(object)) \
             .astype(np.uint64) if len(uniq) else \
             np.empty(0, np.uint64)
         return pd.DataFrame({
-            "token": pd.Series(uniq, dtype=object),
+            "token": pd.Series(list(uniq) + [""], dtype=object),
+            "__n": pd.Series([0] * len(uniq) + [total],
+                             dtype=np.int64),
             "__part": pd.Series(
-                (h % np.uint64(n_parts)).astype(np.int64)
-                if len(uniq) else [], dtype=np.int64)})
+                list((h % np.uint64(n_parts)).astype(np.int64))
+                + [n_parts], dtype=np.int64)})
 
     def count_part(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"d": [df["token"].nunique()]})
+        if int(df["__part"].iat[0]) == n_parts:  # the totals bucket
+            return pd.DataFrame({"d": [0],
+                                 "t": [int(df["__n"].sum())]})
+        return pd.DataFrame({"d": [df["token"].nunique()], "t": [0]})
 
-    nd = ds.map_batches(emit, batch_format="pandas") \
+    parts = ds.map_batches(emit, batch_format="pandas") \
         .groupby("__part").map_groups(count_part,
                                       batch_format="pandas") \
-        .to_pandas()["d"].sum()
-
-    nt = ds.map_batches(
-        lambda df: pd.DataFrame({"n": [int(sum(
-            (t or "").count(" ") + 1 for t in df[text_col]))]}),
-        batch_format="pandas").to_pandas()["n"].sum()
-    return pd.DataFrame({"n_distinct_tokens": [int(nd)],
-                         "n_tokens": [int(nt)]})
+        .to_pandas()
+    return pd.DataFrame({
+        "n_distinct_tokens": [int(parts["d"].sum())],
+        "n_tokens": [int(parts["t"].sum())]})

@@ -1116,3 +1116,35 @@ def test_triangle_count_degree_pivot(ray_session):
     want = 15 + 20
     assert triangle_count(hub, pivot="degree") == want
     assert triangle_count(hub, pivot="id") == want
+
+
+def test_pagerank_checkpoint_crash_durability(ray_session, tmp_path):
+    """A stale partial iteration dir is overwritten (not appended to)
+    on resume; a truncated manifest is impossible by construction
+    (atomic replace) — simulate the partial-dir crash."""
+    import json
+
+    from mapshaper_ray.ops.graph import pagerank_checkpointed
+    n = 100
+    ids = np.arange(n)
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": ids, "dst": (ids * 7 + 1) % n}))
+    nodes = rd.from_pandas(pd.DataFrame({"node": ids}))
+    ck = str(tmp_path / "pr")
+    _, _ = pagerank_checkpointed(edges, nodes, iters=1,
+                                 checkpoint_dir=ck)
+    # simulate a crash DURING iteration 2's write: partial files
+    # exist but no manifest row
+    import os
+    os.makedirs(f"{ck}/iter_0002", exist_ok=True)
+    with open(f"{ck}/iter_0002/stale.parquet", "wb") as f:
+        f.write(b"partial garbage")
+    got, man = pagerank_checkpointed(edges, nodes, iters=3,
+                                     checkpoint_dir=ck)
+    got = got.to_pandas()
+    # the stale file was cleared, ranks stay a probability vector
+    assert not os.path.exists(f"{ck}/iter_0002/stale.parquet")
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
+    assert len(got) == n
+    with open(f"{ck}/manifest.json") as f:
+        assert [m["iteration"] for m in json.load(f)] == [1, 2, 3]
