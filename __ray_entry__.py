@@ -1402,31 +1402,18 @@ def _q85_soft_dedup_weights(sf_dir: str):
     """SoftDeDup-style duplicate down-weighting (train-time
     reweighting instead of dropping): every doc gets weight =
     1 / size of its near-dup cluster (singletons keep 1.0).  The
-    label table is bounded by near-dup membership, so it broadcasts;
+    label table is bounded by near-dup membership, so it broadcasts
+    (two sorted arrays + searchsorted, no per-row dict lookups);
     clusters come from the same distributed LSH + large/small-star
-    components q48 validates."""
-    import ray
+    components q48 validates.  Thin wrapper over the library operator
+    `ops.dedup.soft_dedup_weights`."""
     import ray.data as rd
-    from mapshaper_ray.ops.dedup import cluster_pairs, minhash_lsh
+    from mapshaper_ray.ops.dedup import minhash_lsh, soft_dedup_weights
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"]).materialize()
     pairs = minhash_lsh(docs, threshold=0.4)
-    labels = cluster_pairs(
-        rd.from_pandas(pairs[["id_a", "id_b"]])).to_pandas()
-    sizes = labels.groupby("cluster_id").size()
-    wmap = {int(n): 1.0 / int(sizes[c])
-            for n, c in zip(labels["node"], labels["cluster_id"])}
-    wref = ray.put(wmap)
-
-    def weigh(df: pd.DataFrame) -> pd.DataFrame:
-        wm = ray.get(wref)
-        ids = df["doc_id"].to_numpy()
-        return pd.DataFrame({
-            "doc_id": ids,
-            "dup_weight": np.round([wm.get(int(i), 1.0)
-                                    for i in ids], 6)})
-
-    out = docs.map_batches(weigh, batch_format="pandas").to_pandas()
+    out = soft_dedup_weights(
+        docs, pairs=rd.from_pandas(pairs[["id_a", "id_b"]])).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

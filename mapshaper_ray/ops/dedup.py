@@ -927,6 +927,48 @@ def dedup_near(ds, id_col="doc_id", text_col="text", threshold=0.5,
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def soft_dedup_weights(ds, id_col="doc_id", text_col="text",
+                       threshold=0.5, pairs=None, weight_col="dup_weight",
+                       decimals=6, **minhash_kw):
+    """SoftDeDup-style duplicate down-weighting: instead of dropping
+    near-duplicates, every doc gets weight = 1 / size of its near-dup
+    cluster (singletons keep 1.0), for train-time example reweighting.
+
+    Clusters come from the same distributed LSH + large/small-star
+    components `dedup_near` uses.  The (member_id, weight) table is
+    bounded by near-dup MEMBERSHIP (not corpus size): it broadcasts
+    once via ray.put as two parallel sorted arrays and each batch
+    scores with one vectorized searchsorted — no per-row Python dict
+    lookups and no shuffle of the corpus."""
+    import ray
+
+    if pairs is None:
+        pairs = minhash_lsh(ds, threshold=threshold, text_col=text_col,
+                            id_col=id_col, **minhash_kw)
+    labels = cluster_pairs(pairs)
+    if not isinstance(labels, pd.DataFrame):
+        labels = labels.to_pandas()
+    sizes = labels.groupby("cluster_id")["node"].transform("size")
+    members = labels["node"].to_numpy()
+    order = np.argsort(members)
+    members = members[order]
+    weights = (1.0 / sizes.to_numpy(dtype=np.float64))[order]
+    ref = ray.put((members, weights))
+
+    def weigh(df: pd.DataFrame) -> pd.DataFrame:
+        m, w = ray.get(ref)
+        ids = df[id_col].to_numpy()
+        out = np.ones(len(ids), dtype=np.float64)
+        if len(m):
+            idx = np.clip(np.searchsorted(m, ids), 0, len(m) - 1)
+            hit = m[idx] == ids
+            out[hit] = w[idx[hit]]
+        return pd.DataFrame({id_col: ids,
+                             weight_col: np.round(out, decimals)})
+
+    return ds.map_batches(weigh, batch_format="pandas")
+
+
 def duplicate_window_stats(ds, text_col="text", id_col="doc_id", k=5,
                            n_parts=64):
     """Per-document duplicated-passage share: the fraction of the

@@ -275,29 +275,35 @@ def triangle_count(edges_ds, src_col="src", dst_col="dst",
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
         # all ordered (v, w) neighbor pairs per pivot u — neighbors
         # sort by their orientation key so pairs match the edge
-        # table's stored direction
+        # table's stored direction.  Pair enumeration is pure
+        # group-size arithmetic (repeat + arange) with NO per-pivot
+        # Python loop: element at local offset l of a run of size n
+        # leads (n-1-l) pairs, each with the elements that follow it.
         order = np.lexsort((df["kv"].to_numpy(), df["u"].to_numpy()))
         u = df["u"].to_numpy()[order]
         v = df["v"].to_numpy()[order]
-        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-        ends = np.r_[starts[1:], len(u)]
-        a_, b_ = [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            nb = v[s:e]  # sorted ascending by orientation key
-            ia, ib = np.triu_indices(len(nb), k=1)
-            a_.append(nb[ia])
-            b_.append(nb[ib])
-        if not a_:
+        if len(u) < 2:
             return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
                                  "v": pd.Series([], dtype=np.int64),
                                  "__side": pd.Series([],
                                                      dtype=np.int8)})
-        wa = np.concatenate(a_)
-        wb = np.concatenate(b_)
-        return pd.DataFrame({"u": wa, "v": wb,
-                             "__side": np.zeros(len(wa), np.int8)})
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        grp_end = np.repeat(ends, ends - starts)  # run end per elem
+        pos = np.arange(len(u), dtype=np.int64)
+        cnt = grp_end - pos - 1  # pairs this element leads
+        total = int(cnt.sum())
+        if total == 0:
+            return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                                 "v": pd.Series([], dtype=np.int64),
+                                 "__side": pd.Series([],
+                                                     dtype=np.int8)})
+        first = np.repeat(pos, cnt)
+        excl = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        second = first + 1 + (np.arange(total, dtype=np.int64)
+                              - excl[first])
+        return pd.DataFrame({"u": v[first], "v": v[second],
+                             "__side": np.zeros(total, np.int8)})
 
     wedge_ds = edges.map_batches(by_pivot, batch_format="pandas") \
         .groupby("__b").map_groups(wedges, batch_format="pandas")
@@ -318,12 +324,26 @@ def triangle_count(edges_ds, src_col="src", dst_col="dst",
         return df
 
     def count_matches(df: pd.DataFrame) -> pd.DataFrame:
-        e = df[df["__side"] == 1]
-        w = df[df["__side"] == 0]
-        if not len(e) or not len(w):
+        side = df["__side"].to_numpy()
+        eu = df["u"].to_numpy()[side == 1]
+        ev = df["v"].to_numpy()[side == 1]
+        wu = df["u"].to_numpy()[side == 0]
+        wv = df["v"].to_numpy()[side == 0]
+        if not len(eu) or not len(wu):
             return pd.DataFrame({"n": [0]})
-        eset = pd.MultiIndex.from_arrays([e["u"], e["v"]])
-        widx = pd.MultiIndex.from_arrays([w["u"], w["v"]])
+        hi = max(int(eu.max()), int(ev.max()),
+                 int(wu.max()), int(wv.max()))
+        lo = min(int(eu.min()), int(ev.min()),
+                 int(wu.min()), int(wv.min()))
+        if 0 <= lo and hi < (1 << 32):
+            # pack (u, v) into one int64 key — np.isin on ints is
+            # much faster than a pandas MultiIndex membership test
+            ekey = (eu.astype(np.int64) << 32) | ev.astype(np.int64)
+            wkey = (wu.astype(np.int64) << 32) | wv.astype(np.int64)
+            return pd.DataFrame(
+                {"n": [int(np.isin(wkey, ekey).sum())]})
+        eset = pd.MultiIndex.from_arrays([eu, ev])
+        widx = pd.MultiIndex.from_arrays([wu, wv])
         return pd.DataFrame({"n": [int(widx.isin(eset).sum())]})
 
     parts = both.map_batches(key_bucket, batch_format="pandas") \

@@ -19,11 +19,25 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+import os
+
 from ..geom.keep_shapes import protect_shapes
 from ..geom.simplify import (dp_thresholds, removable_thresholds,
                              threshold_by_pct, visvalingam_thresholds)
 from ..topo.arcs import ArcTable
 from ..topo.build import build_topology
+
+# simplify-specific auto-distribute threshold.  Unlike dissolve/clip
+# (crossover ~AUTO_DISTRIBUTE_ROWS=5k), the distributed simplify
+# pipeline carries two extra full-topology exchanges (arc tables +
+# distributed rank) whose fixed cost the local kernel only amortizes
+# around ~64k features (measured: 10k features local 15.9s vs
+# distributed 17.4s; crossover ≈ 90k at round-3 constants).  Above
+# this the local kernel's driver-side topology build is the
+# bottleneck AND a 100-TB non-starter, so distributed wins on both
+# axes.  Env-overridable so tests exercise both paths cheaply.
+SIMPLIFY_AUTO_ROWS = int(os.environ.get(
+    "MAPSHAPER_RAY_SIMPLIFY_AUTO_ROWS", "64000"))
 
 
 def _layer_features(df: pd.DataFrame, xcol="rings_x", ycol="rings_y"):
@@ -78,10 +92,10 @@ def simplify_layer(ds, pct: float | None = None,
     # in-process kernel below stays the small-layer fast path and the
     # only home of repair= / interval= / resolution= (those need the
     # global arc view / display transform)
-    from .overlay import AUTO_DISTRIBUTE_ROWS, layer_bbox
+    from .overlay import layer_bbox
     if (gt == "polygon" and pct is not None and not repair
             and interval is None and resolution is None
-            and ds.count() >= AUTO_DISTRIBUTE_ROWS):
+            and ds.count() >= SIMPLIFY_AUTO_ROWS):
         if spherical is None:
             bb = layer_bbox(ds)
             spherical = (np.isfinite(bb).all() and bb[0] >= -181

@@ -336,8 +336,16 @@ def bm25_topk(ds, terms, k=50, k1=1.2, b=0.75, id_col="doc_id",
     return out.reset_index(drop=True)
 
 
+# lm_nll vocab-broadcast gate: above this many distinct tokens the
+# vocab table stays distributed (`_lm_nll_shuffle`) instead of landing
+# on the driver — the same counted-gate pattern as the minhash
+# MINHASH_DRIVER_PAIR_CAP.  5M tokens x ~40B/row ≈ 200MB broadcast,
+# the comfortable ceiling for a per-actor value_set.
+LM_VOCAB_BROADCAST_CAP = 5_000_000
+
+
 def lm_nll(ds, id_col="doc_id", text_col="text", n_parts=64,
-           qscale=10 ** 9, vocab_broadcast=True):
+           qscale=10 ** 9, vocab_broadcast="auto"):
     """Unigram language-model perplexity scoring (the CCNet-style
     quality filter): per-doc mean negative log-likelihood under an
     add-1-smoothed unigram LM trained on the corpus itself.
@@ -356,8 +364,14 @@ def lm_nll(ds, id_col="doc_id", text_col="text", n_parts=64,
     in both engines and the q64 oracle matches value-exact.
     Tokenization is ``text.split(' ')`` = SQL ``string_split``.
     Returns (id_col, lm_nll) with nll in nats rounded to 6 decimals.
-    ``vocab_broadcast=False`` switches to the shuffle scale path
-    (``_lm_nll_shuffle``) for vocabularies too large to broadcast.
+    ``vocab_broadcast``: ``"auto"`` (default) counts the distinct-token
+    table FIRST (a distributed scalar reduce — nothing but one int on
+    the driver) and broadcasts only when it is under
+    ``LM_VOCAB_BROADCAST_CAP``; above the cap — e.g. a raw 100-TB web
+    corpus's vocabulary — it routes to the shuffle scale path
+    (``_lm_nll_shuffle``) automatically.  ``True``/``False`` force a
+    path.  Both paths are bit-identical (same quantized libm logs;
+    pytest-enforced).
     """
     import math
 
@@ -392,6 +406,10 @@ def lm_nll(ds, id_col="doc_id", text_col="text", n_parts=64,
         .groupby("__part").map_groups(count_final,
                                       batch_format="pandas") \
         .materialize()
+    if vocab_broadcast == "auto":
+        # one distributed count over the materialized vocab — a
+        # scalar on the driver decides the route
+        vocab_broadcast = vocab_ds.count() <= LM_VOCAB_BROADCAST_CAP
     if not vocab_broadcast:
         return _lm_nll_shuffle(ds, vocab_ds, id_col, text_col,
                                n_parts, qscale)

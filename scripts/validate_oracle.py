@@ -2,7 +2,12 @@
 queries() entry and its oracle_sql() side by side, compares row count,
 column names, and order-insensitive values.  Usage:
 
-    python scripts/validate_oracle.py [sf_dir]
+    python scripts/validate_oracle.py [sf_dir] [only_csv] [--json PATH]
+
+``--json PATH`` additionally writes a driver-artifact-shaped JSON
+(per-query rows_match/schema_match/hash_match/err) covering EVERY
+registered query — the committed full-registry correctness evidence
+(the driver's own artifact caps at 50 queries).
 """
 
 from __future__ import annotations
@@ -69,7 +74,7 @@ def compare(name, ray_df, sql_df):
     return None
 
 
-def main(sf_dir: str, only=None):
+def main(sf_dir: str, only=None, json_path=None):
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -81,6 +86,7 @@ def main(sf_dir: str, only=None):
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = 0
+    report = {}
     import time
     for name, fn in qs.items():
         if only and name not in only:
@@ -90,29 +96,62 @@ def main(sf_dir: str, only=None):
             ray_df = to_pandas(fn(sf_dir))
         except Exception as e:
             print(f"{name}: RAY ERROR {type(e).__name__}: {str(e)[:200]}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None,
+                            "err": f"{type(e).__name__}: {str(e)[:200]}"}
             failures += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"{name}: rows-only ({len(ray_df)} rows, {dt:.1f}s)")
+            report[name] = {"rows_match": True, "schema_match": None,
+                            "hash_match": None,
+                            "spark_rows": int(len(ray_df)),
+                            "oracle_rows": None, "err": None,
+                            "note": "rows-only (no SQL oracle)"}
             continue
         try:
             sql_df = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"{name}: SQL ERROR {str(e)[:200]}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False,
+                            "spark_rows": int(len(ray_df)),
+                            "oracle_rows": None,
+                            "err": f"SQL: {str(e)[:200]}"}
             failures += 1
             continue
         err = compare(name, ray_df, sql_df)
+        ok = err is None
+        report[name] = {"rows_match": ok or "ROWCOUNT" not in (err or ""),
+                        "schema_match": ok or "SCHEMA" not in (err or ""),
+                        "hash_match": ok,
+                        "spark_rows": int(len(ray_df)),
+                        "oracle_rows": int(len(sql_df)),
+                        "err": err, "sec": round(dt, 2)}
         if err:
             print(f"{name}: FAIL {err}  ({dt:.1f}s)")
             failures += 1
         else:
             print(f"{name}: OK ({len(ray_df)} rows, {dt:.1f}s)")
+    if json_path:
+        import json
+        with open(json_path, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_path}: {len(report)} queries, "
+              f"{failures} failures")
     ray.shutdown()
     return failures
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
-    sys.exit(1 if main(sf, only) else 0)
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i:i + 2]
+    sf = argv[0] if len(argv) > 0 else "/root/testdata/sf0.001"
+    only = set(argv[1].split(",")) if len(argv) > 1 else None
+    sys.exit(1 if main(sf, only, json_path) else 0)

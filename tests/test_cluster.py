@@ -265,6 +265,30 @@ def test_lm_nll_shuffle_path_matches_broadcast():
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_lm_nll_auto_gate_routes_to_shuffle(monkeypatch):
+    # force the counted gate below the vocab size: "auto" must take
+    # the shuffle path and still match the broadcast result exactly
+    import mapshaper_ray.stages.text as T
+    rng = np.random.default_rng(29)
+    words = ["aa", "bb", "cc", "dd", "ee", "ff", "g", "hh", "iii"]
+    texts = [" ".join(rng.choice(words, rng.integers(1, 20)))
+             for _ in range(120)]
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64),
+                       "text": texts})
+    want = lm_nll(rd.from_pandas(df),
+                  vocab_broadcast=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(T, "LM_VOCAB_BROADCAST_CAP", 3)
+    got = T.lm_nll(rd.from_pandas(df).repartition(7)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(want, got)
+    # and the gate broadcasts when the vocab fits
+    monkeypatch.setattr(T, "LM_VOCAB_BROADCAST_CAP", 10 ** 6)
+    got2 = T.lm_nll(rd.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(want, got2)
+
+
 # --- pack_sequences (stages/text.py) ---------------------------------
 
 from mapshaper_ray.stages.text import pack_sequences  # noqa: E402

@@ -128,11 +128,11 @@ def test_dissolve2_layer_auto_and_keyless(ray_session, monkeypatch):
 def test_simplify_layer_auto_routes_distributed(ray_session,
                                                 monkeypatch):
     from mapshaper_ray.pipelines import simplify_layer as sl
-    monkeypatch.setattr(ov, "AUTO_DISTRIBUTE_ROWS", 10)
+    monkeypatch.setattr(sl, "SIMPLIFY_AUTO_ROWS", 10)
     ds = _grid_layer(5)
     auto = sl.simplify_layer(ds, pct=0.5).to_pandas() \
         .sort_values("feature_id").reset_index(drop=True)
-    monkeypatch.setattr(ov, "AUTO_DISTRIBUTE_ROWS", 10 ** 9)
+    monkeypatch.setattr(sl, "SIMPLIFY_AUTO_ROWS", 10 ** 9)
     local = sl.simplify_layer(ds, pct=0.5).to_pandas() \
         .sort_values("feature_id").reset_index(drop=True)
     assert len(auto) == len(local)
