@@ -8,3 +8,5 @@ large-scale training-data operators (dedup, ANN, text analysis) the
 """
 
 __version__ = "0.1.0"
+
+from . import _quiet  # noqa: F401,E402  (installs the benign-Ray-warning filter)

@@ -40,71 +40,107 @@ def pagerank(edges_ds, nodes_ds, damping=0.85, iters=5,
     """Distributed PageRank power iteration.
 
     ``nodes_ds`` supplies the node universe (nodes without in-edges
-    keep the teleport base).  Per iteration: ranks bucket-join the
-    weighted edge table on src, contributions group-sum by dst, and
-    ``r' = (1-d)/N + d*(inflow + dangling/N)`` — the dangling mass is
-    one tiny driver scalar (total rank minus rank that flowed through
-    edges), not a node list.  The rank vector lives in the object
-    store between iterations (materialize), never on the driver.
-    Returns a Dataset (node_col, rank).
+    keep the teleport base).  Per iteration exactly TWO exchanges:
+    (1) ranks bucket-join the weighted edge table on src; (2) the
+    emitted (dst, contribution) rows — unioned with a once-
+    materialized ZERO row per node, so the node universe rides the
+    same shuffle instead of a third per-iteration join — group-sum by
+    dst-bucket, and the fused renew computes ``r' = (1-d)/N +
+    d*(inflow + dangling/N)``.  The dangling mass is one tiny driver
+    scalar (total rank minus rank that flowed through edges), not a
+    node list.  The rank vector lives in the object store between
+    iterations (materialize), never on the driver.  Returns a Dataset
+    (node_col, rank).
     """
-    # materialized: nodes_ds is consumed iters+2 times (count, init,
-    # the left join each iteration) — without this its upstream
-    # lineage (parquet read + transforms) re-executes every time
+    from .partition import bucket_part
+
     nodes_ds = nodes_ds.materialize()
     n = nodes_ds.count()
     ew = out_weighted_edges(edges_ds, src_col, dst_col,
                             num_buckets=num_buckets).materialize()
     base0 = 1.0 / n
 
-    def init(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({node_col: df[node_col].to_numpy(),
-                             "rank": np.full(len(df), base0)})
+    import pyarrow as pa
 
-    ranks = nodes_ds.map_batches(init, batch_format="pandas") \
+    def init(t: "pa.Table") -> "pa.Table":
+        return pa.table({
+            node_col: t.column(node_col).cast(pa.int64()),
+            "rank": pa.array(np.full(len(t), base0))})
+
+    ranks = nodes_ds.map_batches(init, batch_format="pyarrow") \
+        .materialize()
+
+    # one zero contribution per node, pre-bucketed by dst-hash — the
+    # node universe joins each iteration's contribution shuffle for
+    # free (vs a dedicated nodes-left-join exchange per iteration)
+    def zero(t: "pa.Table") -> "pa.Table":
+        nd = np.asarray(t.column(node_col).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        return pa.table({node_col: nd,
+                         "__x": np.zeros(len(nd)),
+                         "__part": bucket_part(nd, num_buckets)
+                         .astype(np.int64)})
+
+    zeros = nodes_ds.map_batches(zero, batch_format="pyarrow") \
         .materialize()
 
     for _ in range(iters):
-        # rename for the src-keyed join without a schema clash
-        def as_src(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                src_col: df[node_col].to_numpy(dtype=np.int64),
-                "rank": df["rank"].to_numpy(dtype=np.float64)})
+        # rename for the src-keyed join without a schema clash —
+        # Arrow-native: these blocks feed the join's Sort exchange
+        def as_src(t: "pa.Table") -> "pa.Table":
+            return pa.table({
+                src_col: t.column(node_col).cast(pa.int64()),
+                "rank": t.column("rank").cast(pa.float64())})
         contrib_in = hash_join(
-            ranks.map_batches(as_src, batch_format="pandas"), ew,
+            ranks.map_batches(as_src, batch_format="pyarrow"), ew,
             on=src_col, num_buckets=num_buckets)
 
-        def emit(df: pd.DataFrame) -> pd.DataFrame:
+        # Arrow out: the union partner (zeros) is Arrow and Ray's
+        # sort sampler requires ONE block type across the exchange
+        def emit(t: "pa.Table") -> "pa.Table":
+            dst = np.asarray(t.column(dst_col).to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            r = np.asarray(t.column("rank").to_numpy(
+                zero_copy_only=False), dtype=np.float64)
+            w = np.asarray(t.column("w").to_numpy(
+                zero_copy_only=False), dtype=np.float64)
+            return pa.table({
+                node_col: dst, "__x": r * w,
+                "__part": bucket_part(dst, num_buckets)
+                .astype(np.int64)})
+
+        def sum_part(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(node_col, sort=False)["__x"].sum()
             return pd.DataFrame({
-                node_col: df[dst_col].to_numpy(dtype=np.int64),
-                "__x": df["rank"].to_numpy() * df["w"].to_numpy()})
-        # materialized: consumed twice (dangling scalar + the left
-        # join) — without this the join/emit chain executes twice
-        inflow = groupby_agg(
-            contrib_in.map_batches(emit, batch_format="pandas"),
-            [node_col], {"__x": ("__x", "sum")}).materialize()
+                node_col: g.index.to_numpy(np.int64),
+                "__x": g.to_numpy(np.float64)})
+
+        # materialized: consumed twice (dangling scalar + renew)
+        inflow = contrib_in.map_batches(emit, batch_format="pyarrow") \
+            .union(zeros) \
+            .groupby("__part").map_groups(sum_part,
+                                          batch_format="pandas") \
+            .materialize()
 
         # dangling mass = rank not carried by any out-edge (one tiny
-        # driver scalar from a partial-sum aggregate).  Total rank is
-        # invariantly 1: the update redistributes dangling mass, so
-        # each iteration's ranks sum to (1-d) + d*(flowed + dangling)
-        # = 1 — no per-iteration pass over ranks needed.
+        # driver scalar from a partial-sum aggregate; the zero rows
+        # add nothing).  Total rank is invariantly 1: the update
+        # redistributes dangling mass, so each iteration's ranks sum
+        # to (1-d) + d*(flowed + dangling) = 1 — no per-iteration
+        # pass over ranks needed.
         flowed = inflow.map_batches(
             lambda df: pd.DataFrame({"s": [df["__x"].sum()]}),
             batch_format="pandas").to_pandas()["s"].sum()
         dangling = max(1.0 - flowed, 0.0)
-
-        joined = hash_join(nodes_ds, inflow, on=node_col, how="left",
-                           num_buckets=num_buckets)
         base = (1 - damping) / n + damping * (dangling / n)
 
-        def renew(df: pd.DataFrame) -> pd.DataFrame:
-            x = df["__x"].to_numpy(dtype=np.float64)
-            x = np.where(np.isnan(x), 0.0, x)
-            return pd.DataFrame({
-                node_col: df[node_col].to_numpy(dtype=np.int64),
-                "rank": base + damping * x})
-        ranks = joined.map_batches(renew, batch_format="pandas") \
+        def renew(t: "pa.Table") -> "pa.Table":
+            x = np.asarray(t.column("__x").to_numpy(
+                zero_copy_only=False), dtype=np.float64)
+            nd = np.asarray(t.column(node_col).to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            return pa.table({node_col: nd, "rank": base + damping * x})
+        ranks = inflow.map_batches(renew, batch_format="pyarrow") \
             .materialize()
     return ranks
 

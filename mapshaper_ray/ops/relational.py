@@ -446,19 +446,27 @@ def hash_join_bucketed(left_ds, right_ds, on: str, how="inner",
     l_names = left_cols or [c for c in left_ds.schema().names]
     r_names = right_cols or [c for c in right_ds.schema().names]
 
+    # Arrow-native stampers: the tagged blocks feed the Sort exchange
+    # (the join's dominant cost — profiled at sf0.1: Sort 5.4s vs
+    # <0.7s per UDF stage), and Arrow blocks shuffle zero-copy where
+    # pandas blocks pay a conversion on every exchange boundary.  The
+    # bucket hash itself stays pd.util.hash_array (stable across both
+    # sides for int and string keys alike).
+    import pyarrow as pa
+
     def tag(side):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
+        def fn(t: "pa.Table") -> "pa.Table":
             cols = l_names if side == 0 else r_names
-            df = df[list(dict.fromkeys(cols + [on]))]
-            df = df.copy()
-            df["__side"] = np.int8(side)
-            df["__bucket"] = (pd.util.hash_array(df[on].to_numpy())
-                              % num_buckets).astype(np.int32)
-            return df
+            t = t.select(list(dict.fromkeys(cols + [on])))
+            keys = t.column(on).to_numpy(zero_copy_only=False)
+            b = (pd.util.hash_array(keys) % num_buckets).astype(np.int32)
+            t = t.append_column(
+                "__side", pa.array(np.full(len(t), side, np.int8)))
+            return t.append_column("__bucket", pa.array(b))
         return fn
 
-    l_ = left_ds.map_batches(tag(0), batch_format="pandas")
-    r_ = right_ds.map_batches(tag(1), batch_format="pandas")
+    l_ = left_ds.map_batches(tag(0), batch_format="pyarrow")
+    r_ = right_ds.map_batches(tag(1), batch_format="pyarrow")
     both = l_.union(r_)
 
     def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
