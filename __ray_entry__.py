@@ -1557,6 +1557,12 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordering contract: the driver's correctness artifact caps at the
+    # FIRST 50 entries, so the leading 50 are a representative window
+    # across every operator family (relational, geometry/proj, dedup,
+    # ANN/embeddings, graph, text/LLM); the remainder follow in qNN
+    # order.  The committed full-registry evidence for ALL entries is
+    # CORRECTNESS_FULL_r{N}.json (scripts/validate_oracle.py --json).
     return {
         "q1_lineitem_agg": _q1_lineitem_agg,
         "q2_each_filter": _q2_each_filter,
@@ -1569,80 +1575,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_cells": _q9_cells,
         "q10_spatial_join": _q10_spatial_join,
         "q11_region_counts": _q11_region_counts,
-        "q12_exact_dedup": _q12_exact_dedup,
-        "q13_token_stats": _q13_token_stats,
-        "q14_ann_topk": _q14_ann_topk,
-        "q15_embedding_neardup": _q15_embedding_neardup,
-        "q16_minhash_pairs": _q16_minhash_pairs,
-        "q17_simhash": _q17_simhash,
-        "q18_text_quality": _q18_text_quality,
         "q19_simplify": _q19_simplify,
         "q20_dissolve": _q20_dissolve,
-        "q21_region_point_agg": _q21_region_point_agg,
-        "q22_knn": _q22_knn,
-        "q23_clip_points": _q23_clip_points,
-        "q24_erase_points": _q24_erase_points,
         "q25_webmercator": _q25_webmercator,
         "q26_innerlines": _q26_innerlines,
-        "q27_split_on_grid": _q27_split_on_grid,
         "q31_dissolve2": _q31_dissolve2,
-        "q32_dissolve_layer": _q32_dissolve_layer,
-        "q34_text_quality_oracle": _q34_text_quality_oracle,
         "q33_clip_layer": _q33_clip_layer,
+        "q41_rasterize": _q41_rasterize,
+        "q42_raster_polygons": _q42_raster_polygons,
+        "q57_s2_cells": _q57_s2_cells,
+        "q58_cover_join": _q58_cover_join,
+        "q77_zonal_stats": _q77_zonal_stats,
+        "q22_knn": _q22_knn,
+        "q30_nearest_within": _q30_nearest_within,
+        "q12_exact_dedup": _q12_exact_dedup,
+        "q16_minhash_pairs": _q16_minhash_pairs,
+        "q43_embedding_lsh": _q43_embedding_lsh,
+        "q47_ngram_jaccard": _q47_ngram_jaccard,
+        "q48_dedup_clusters": _q48_dedup_clusters,
+        "q49_dedup_near": _q49_dedup_near,
+        "q68_exact_substring_dedup": _q68_exact_substring_dedup,
+        "q79_incremental_dedup": _q79_incremental_dedup,
+        "q85_soft_dedup_weights": _q85_soft_dedup_weights,
+        "q14_ann_topk": _q14_ann_topk,
+        "q70_ann_pq": _q70_ann_pq,
+        "q65_semantic_dedup": _q65_semantic_dedup,
+        "q63_kmeans": _q63_kmeans,
+        "q62_pagerank": _q62_pagerank,
+        "q78_triangles": _q78_triangles,
+        "q18_text_quality": _q18_text_quality,
+        "q51_token_df": _q51_token_df,
+        "q61_bm25": _q61_bm25,
+        "q64_lm_nll": _q64_lm_nll,
+        "q66_redact_pii": _q66_redact_pii,
+        "q67_pack_sequences": _q67_pack_sequences,
+        "q69_dsir_weights": _q69_dsir_weights,
+        "q71_bpe_train": _q71_bpe_train,
+        "q74_mix_sample": _q74_mix_sample,
+        "q76_decontaminate": _q76_decontaminate,
+        "q84_pretrain_pipeline": _q84_pretrain_pipeline,
+        "q13_token_stats": _q13_token_stats,
+        "q15_embedding_neardup": _q15_embedding_neardup,
+        "q17_simhash": _q17_simhash,
+        "q21_region_point_agg": _q21_region_point_agg,
+        "q23_clip_points": _q23_clip_points,
+        "q24_erase_points": _q24_erase_points,
+        "q27_split_on_grid": _q27_split_on_grid,
         "q28_image_features": _q28_image_features,
         "q29_video_frames": _q29_video_frames,
-        "q30_nearest_within": _q30_nearest_within,
+        "q32_dissolve_layer": _q32_dissolve_layer,
+        "q34_text_quality_oracle": _q34_text_quality_oracle,
         "q35_clip_lines": _q35_clip_lines,
         "q36_lcc": _q36_lcc,
         "q37_robinson": _q37_robinson,
         "q38_audio_features": _q38_audio_features,
         "q39_ann_ivf": _q39_ann_ivf,
         "q40_simhash_pairs": _q40_simhash_pairs,
-        "q41_rasterize": _q41_rasterize,
-        "q42_raster_polygons": _q42_raster_polygons,
-        "q43_embedding_lsh": _q43_embedding_lsh,
         "q44_dissolve_auto": _q44_dissolve_auto,
         "q45_stere": _q45_stere,
         "q46_sample": _q46_sample,
-        "q47_ngram_jaccard": _q47_ngram_jaccard,
-        "q48_dedup_clusters": _q48_dedup_clusters,
-        "q49_dedup_near": _q49_dedup_near,
         "q50_dup_window_stats": _q50_dup_window_stats,
-        "q51_token_df": _q51_token_df,
         "q52_sessions": _q52_sessions,
         "q53_asof_join": _q53_asof_join,
         "q54_range_join": _q54_range_join,
         "q55_group_quantiles": _q55_group_quantiles,
         "q56_repetition": _q56_repetition,
-        "q57_s2_cells": _q57_s2_cells,
-        "q58_cover_join": _q58_cover_join,
         "q59_host_stats": _q59_host_stats,
         "q60_group_sample": _q60_group_sample,
-        "q61_bm25": _q61_bm25,
-        "q62_pagerank": _q62_pagerank,
-        "q63_kmeans": _q63_kmeans,
-        "q64_lm_nll": _q64_lm_nll,
-        "q65_semantic_dedup": _q65_semantic_dedup,
-        "q66_redact_pii": _q66_redact_pii,
-        "q67_pack_sequences": _q67_pack_sequences,
-        "q68_exact_substring_dedup": _q68_exact_substring_dedup,
-        "q69_dsir_weights": _q69_dsir_weights,
-        "q70_ann_pq": _q70_ann_pq,
-        "q71_bpe_train": _q71_bpe_train,
         "q72_bpe_encode": _q72_bpe_encode,
         "q73_window_hopping": _q73_window_hopping,
-        "q74_mix_sample": _q74_mix_sample,
         "q75_quality_filter": _q75_quality_filter,
-        "q76_decontaminate": _q76_decontaminate,
-        "q77_zonal_stats": _q77_zonal_stats,
-        "q78_triangles": _q78_triangles,
-        "q79_incremental_dedup": _q79_incremental_dedup,
         "q80_label_centroids": _q80_label_centroids,
         "q81_percent_rank": _q81_percent_rank,
         "q82_grouped_topk": _q82_grouped_topk,
         "q83_vocab_stats": _q83_vocab_stats,
-        "q84_pretrain_pipeline": _q84_pretrain_pipeline,
-        "q85_soft_dedup_weights": _q85_soft_dedup_weights,
         "q86_latest_capture": _q86_latest_capture,
         "q87_tile_lang_mix": _q87_tile_lang_mix,
     }

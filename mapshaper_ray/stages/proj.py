@@ -282,8 +282,6 @@ def stere_fwd(lon, lat, lat0=0.0, lat_ts=None, lon0=0.0, k0=1.0,
         x = akm1 * _tsfn(phi, sinphi)
         y = -x * coslam
         x = x * sinlam
-        if south:
-            y = -y
     elif abs(lat0) < 1e-10:                    # equatorial
         akm1 = 2.0 * k0
         X = 2 * np.arctan(_ssfn(phi, sinphi)) - np.pi / 2
@@ -2844,6 +2842,838 @@ def _wkt_make_parametered(defn: str, parts: dict, p4: str,
             ',UNIT["Meter",1]]')
 
 
+# ---------------------------------------------------------------------------
+# round-4 long-tail batch: the remaining mproj spherical families
+# (pseudocylindricals + misc-spherical), ported from the public mproj /
+# PROJ.4 formulas (mproj pj_* kernels; PROJ PJ_*.c) as vectorized numpy.
+# Same conventions as the round-3 batch: degrees in/out, R (= a of
+# WGS84; mproj forces es=0 on these families but keeps a) scaling,
+# _wrap_lam for pj_fwd's adjlon, per-element iteration via _pel so
+# results are partition-invariant.
+
+def _aasin(v):
+    """mproj aasin: clamp |v| slightly past 1 instead of NaN."""
+    return np.arcsin(np.clip(v, -1.0, 1.0))
+
+
+def _pel_fail(cur, step, tol, iters, consts=()):
+    """_pel + mproj's ``if (!i)`` fallback detection: returns
+    (result, failed) where ``failed`` marks elements whose delta was
+    still >= tol after the full iteration budget (the reference then
+    substitutes a pole value, family-specific)."""
+    arr = np.atleast_1d(np.asarray(cur, dtype=float)).copy()
+    shp = arr.shape
+    flat = arr.ravel()
+    cs = [np.broadcast_to(np.asarray(c), shp).ravel() for c in consts]
+    act = np.arange(flat.size)
+    for _ in range(iters):
+        if act.size == 0:
+            break
+        d = step(flat[act], *[c[act] for c in cs])
+        flat[act] = flat[act] + d
+        act = act[np.abs(d) >= tol]
+    failed = np.zeros(flat.size, dtype=bool)
+    failed[act] = True
+    return flat.reshape(shp), failed.reshape(shp)
+
+
+def _ll(lon, lat, lon0):
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    return lam, phi
+
+
+# --- closed-form pseudocylindricals (pj_putp3/putp5, pj_wag3, pj_wink1,
+#     pj_crast, pj_denoy, pj_gins8, pj_wag2, pj_urmfps/pj_wag1, pj_sts
+#     family, pj_putp4p/pj_weren, pj_mbt_fpp) -------------------------
+
+def _putp3_fwd(lon, lat, A, lon0=0.0, x0=0.0, y0=0.0):
+    C = 0.79788456
+    lam, phi = _ll(lon, lat, lon0)
+    return (x0 + R * C * lam * (1 - A * phi * phi), y0 + R * C * phi)
+
+
+def _putp3_inv(x, y, A, lon0=0.0, x0=0.0, y0=0.0):
+    C = 0.79788456
+    phi = (np.asarray(y, float) - y0) / R / C
+    lam = (np.asarray(x, float) - x0) / R / (C * (1 - A * phi * phi))
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+_RPISQ = 0.1013211836
+
+
+def putp3_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    return _putp3_fwd(lon, lat, 4 * _RPISQ, lon0, x0, y0)
+
+
+def putp3_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    return _putp3_inv(x, y, 4 * _RPISQ, lon0, x0, y0)
+
+
+def putp3p_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    return _putp3_fwd(lon, lat, 2 * _RPISQ, lon0, x0, y0)
+
+
+def putp3p_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    return _putp3_inv(x, y, 2 * _RPISQ, lon0, x0, y0)
+
+
+def _putp5_fwd(lon, lat, A, B, lon0=0.0, x0=0.0, y0=0.0):
+    C, D = 1.01346, 1.2158542
+    lam, phi = _ll(lon, lat, lon0)
+    return (x0 + R * C * lam * (A - B * np.sqrt(1 + D * phi * phi)),
+            y0 + R * C * phi)
+
+
+def _putp5_inv(x, y, A, B, lon0=0.0, x0=0.0, y0=0.0):
+    C, D = 1.01346, 1.2158542
+    phi = (np.asarray(y, float) - y0) / R / C
+    lam = (np.asarray(x, float) - x0) / R / \
+        (C * (A - B * np.sqrt(1 + D * phi * phi)))
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def putp5_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    return _putp5_fwd(lon, lat, 2.0, 1.0, lon0, x0, y0)
+
+
+def putp5_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    return _putp5_inv(x, y, 2.0, 1.0, lon0, x0, y0)
+
+
+def putp5p_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    return _putp5_fwd(lon, lat, 1.5, 0.5, lon0, x0, y0)
+
+
+def putp5p_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    return _putp5_inv(x, y, 1.5, 0.5, lon0, x0, y0)
+
+
+def wag3_fwd(lon, lat, lat_ts=0.0, lon0=0.0, x0=0.0, y0=0.0):
+    ts = np.deg2rad(lat_ts)
+    cx = np.cos(ts) / np.cos(2 * ts / 3)
+    lam, phi = _ll(lon, lat, lon0)
+    return (x0 + R * cx * lam * np.cos(2.0 / 3.0 * phi), y0 + R * phi)
+
+
+def wag3_inv(x, y, lat_ts=0.0, lon0=0.0, x0=0.0, y0=0.0):
+    ts = np.deg2rad(lat_ts)
+    cx = np.cos(ts) / np.cos(2 * ts / 3)
+    phi = (np.asarray(y, float) - y0) / R
+    lam = (np.asarray(x, float) - x0) / R / \
+        (cx * np.cos(2.0 / 3.0 * phi))
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def wink1_fwd(lon, lat, lat_ts=0.0, lon0=0.0, x0=0.0, y0=0.0):
+    c1 = np.cos(np.deg2rad(lat_ts))
+    lam, phi = _ll(lon, lat, lon0)
+    return (x0 + R * 0.5 * lam * (c1 + np.cos(phi)), y0 + R * phi)
+
+
+def wink1_inv(x, y, lat_ts=0.0, lon0=0.0, x0=0.0, y0=0.0):
+    c1 = np.cos(np.deg2rad(lat_ts))
+    phi = (np.asarray(y, float) - y0) / R
+    lam = 2 * (np.asarray(x, float) - x0) / R / (c1 + np.cos(phi))
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def crast_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    XM, YM = 0.97720502380583984317, 3.06998012383946546542
+    lam, phi = _ll(lon, lat, lon0)
+    phi = phi / 3.0
+    return (x0 + R * XM * lam * (2 * np.cos(phi + phi) - 1),
+            y0 + R * YM * np.sin(phi))
+
+
+def crast_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    RXM, RYM = 1.02332670794648848847, 0.32573500793527994772
+    phi = 3 * np.arcsin(np.clip((np.asarray(y, float) - y0)
+                                / R * RYM, -1, 1))
+    lam = (np.asarray(x, float) - x0) / R * RXM / \
+        (2 * np.cos((phi + phi) / 3.0) - 1)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def denoy_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    C0, C1, C3 = 0.95, -0.08333333333333333333, 0.00166666666666666666
+    D1, D5 = 0.9, 0.03
+    lam, phi = _ll(lon, lat, lon0)
+    al = np.abs(lam)
+    x = lam * np.cos((C0 + al * (C1 + al * al * C3)) *
+                     (phi * (D1 + D5 * phi ** 4)))
+    return x0 + R * x, y0 + R * phi
+
+
+def gins8_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    Cl, Cp, C12 = 0.000952426, 0.162388, 0.08333333333333333
+    lam, phi = _ll(lon, lat, lon0)
+    t = phi * phi
+    y = phi * (1 + t * C12)
+    x = lam * (1 - Cp * t)
+    t = lam * lam
+    x = x * (0.87 - Cl * t * t)
+    return x0 + R * x, y0 + R * y
+
+
+def wag2_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    C_x, C_y, C_p1, C_p2 = 0.92483, 1.38725, 0.88022, 0.88550
+    lam, phi = _ll(lon, lat, lon0)
+    phi = _aasin(C_p1 * np.sin(C_p2 * phi))
+    return (x0 + R * C_x * lam * np.cos(phi), y0 + R * C_y * phi)
+
+
+def wag2_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    C_x, C_y, C_p1, C_p2 = 0.92483, 1.38725, 0.88022, 0.88550
+    phi = (np.asarray(y, float) - y0) / R / C_y
+    lam = (np.asarray(x, float) - x0) / R / (C_x * np.cos(phi))
+    phi = _aasin(np.sin(phi) / C_p1) / C_p2
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def _urmfps_fwd(lon, lat, n, lon0=0.0, x0=0.0, y0=0.0):
+    C_x, C_y = 0.8773826753, 1.139753528477 / n
+    lam, phi = _ll(lon, lat, lon0)
+    phi = _aasin(n * np.sin(phi))
+    return (x0 + R * C_x * lam * np.cos(phi), y0 + R * C_y * phi)
+
+
+def _urmfps_inv(x, y, n, lon0=0.0, x0=0.0, y0=0.0):
+    C_x, C_y = 0.8773826753, 1.139753528477 / n
+    ys = (np.asarray(y, float) - y0) / R / C_y
+    phi = _aasin(np.sin(ys) / n)
+    lam = (np.asarray(x, float) - x0) / R / (C_x * np.cos(ys))
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def urmfps_fwd(lon, lat, n=None, lon0=0.0, x0=0.0, y0=0.0):
+    if n is None or not (0 < n <= 1):
+        raise ValueError("+proj=urmfps requires +n= in (0, 1]")
+    return _urmfps_fwd(lon, lat, n, lon0, x0, y0)
+
+
+def urmfps_inv(x, y, n=None, lon0=0.0, x0=0.0, y0=0.0):
+    if n is None or not (0 < n <= 1):
+        raise ValueError("+proj=urmfps requires +n= in (0, 1]")
+    return _urmfps_inv(x, y, n, lon0, x0, y0)
+
+
+_WAG1_N = 0.8660254037844386467637231707
+
+
+def wag1_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    return _urmfps_fwd(lon, lat, _WAG1_N, lon0, x0, y0)
+
+
+def wag1_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    return _urmfps_inv(x, y, _WAG1_N, lon0, x0, y0)
+
+
+def urm5_fwd(lon, lat, n=None, q=None, alpha=None,
+             lon0=0.0, x0=0.0, y0=0.0):
+    """pj_urm5 (fwd only): requires +n, +q, +alpha."""
+    if n is None or not (0 < n <= 1):
+        raise ValueError("+proj=urm5 requires +n= in (0, 1]")
+    q3 = (q or 0.0) / 3.0
+    al = np.deg2rad(alpha or 0.0)
+    t = n * np.sin(al)
+    m = np.cos(al) / np.sqrt(1 - t * t)
+    rmn = 1.0 / (m * n)
+    lam, phi = _ll(lon, lat, lon0)
+    phi = _aasin(n * np.sin(phi))
+    t2 = phi * phi
+    return (x0 + R * m * lam * np.cos(phi),
+            y0 + R * phi * (1 + t2 * q3) * rmn)
+
+
+def _sts_fwd(lon, lat, p, q, tan_mode, lon0=0.0, x0=0.0, y0=0.0):
+    """pj_sts shared kernel (kav5 / qua_aut / fouc / mbt_s)."""
+    C_x, C_y, C_p = q / p, p, 1.0 / q
+    lam, phi = _ll(lon, lat, lon0)
+    x = C_x * lam * np.cos(phi)
+    phi = phi * C_p
+    c = np.cos(phi)
+    if tan_mode:
+        x = x * c * c
+        y = C_y * np.tan(phi)
+    else:
+        x = x / c
+        y = C_y * np.sin(phi)
+    return x0 + R * x, y0 + R * y
+
+
+def _sts_inv(x, y, p, q, tan_mode, lon0=0.0, x0=0.0, y0=0.0):
+    C_x, C_y, C_p = q / p, p, 1.0 / q
+    ys = (np.asarray(y, float) - y0) / R / C_y
+    phi = np.arctan(ys) if tan_mode else _aasin(ys)
+    c = np.cos(phi)
+    phi = phi / C_p
+    lam = (np.asarray(x, float) - x0) / R / (C_x * np.cos(phi))
+    lam = lam / (c * c) if tan_mode else lam * c
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def kav5_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    return _sts_fwd(lon, lat, 1.50488, 1.35439, False, lon0, x0, y0)
+
+
+def kav5_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    return _sts_inv(x, y, 1.50488, 1.35439, False, lon0, x0, y0)
+
+
+def qua_aut_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    return _sts_fwd(lon, lat, 2.0, 2.0, False, lon0, x0, y0)
+
+
+def qua_aut_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    return _sts_inv(x, y, 2.0, 2.0, False, lon0, x0, y0)
+
+
+def fouc_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    return _sts_fwd(lon, lat, 2.0, 2.0, True, lon0, x0, y0)
+
+
+def fouc_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    return _sts_inv(x, y, 2.0, 2.0, True, lon0, x0, y0)
+
+
+def mbt_s_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    return _sts_fwd(lon, lat, 1.48875, 1.36509, False, lon0, x0, y0)
+
+
+def mbt_s_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    return _sts_inv(x, y, 1.48875, 1.36509, False, lon0, x0, y0)
+
+
+def _putp4p_fwd(lon, lat, C_x, C_y, lon0=0.0, x0=0.0, y0=0.0):
+    lam, phi = _ll(lon, lat, lon0)
+    phi = _aasin(0.883883476 * np.sin(phi))
+    x = C_x * lam * np.cos(phi)
+    phi = phi * 0.333333333333333
+    x = x / np.cos(phi)
+    return x0 + R * x, y0 + R * C_y * np.sin(phi)
+
+
+def _putp4p_inv(x, y, C_x, C_y, lon0=0.0, x0=0.0, y0=0.0):
+    phi = _aasin((np.asarray(y, float) - y0) / R / C_y)
+    lam = (np.asarray(x, float) - x0) / R * np.cos(phi) / C_x
+    phi = phi * 3
+    lam = lam / np.cos(phi)
+    phi = _aasin(1.13137085 * np.sin(phi))
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def putp4p_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    return _putp4p_fwd(lon, lat, 0.874038744, 3.883251825, lon0, x0, y0)
+
+
+def putp4p_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    return _putp4p_inv(x, y, 0.874038744, 3.883251825, lon0, x0, y0)
+
+
+def weren_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    return _putp4p_fwd(lon, lat, 1.0, 4.442882938, lon0, x0, y0)
+
+
+def weren_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    return _putp4p_inv(x, y, 1.0, 4.442882938, lon0, x0, y0)
+
+
+def mbt_fpp_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    CS, FXC, FYC = 0.95257934441568037152, 0.92582009977255146156, \
+        3.40168025708304504493
+    lam, phi = _ll(lon, lat, lon0)
+    phi = np.arcsin(np.clip(CS * np.sin(phi), -1, 1))
+    return (x0 + R * FXC * lam * (2 * np.cos(2.0 / 3.0 * phi) - 1),
+            y0 + R * FYC * np.sin(phi / 3.0))
+
+
+def mbt_fpp_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    CS, FXC, FYC = 0.95257934441568037152, 0.92582009977255146156, \
+        3.40168025708304504493
+    phi = _aasin((np.asarray(y, float) - y0) / R / FYC)
+    phi = phi * 3
+    lam = (np.asarray(x, float) - x0) / R / \
+        (FXC * (2 * np.cos(2.0 / 3.0 * phi) - 1))
+    phi = _aasin(np.sin(phi) / CS)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+putp1_fwd, putp1_inv = _eck3_family(1.89490, 0.94745, -0.5,
+                                    0.30396355092701331433)
+
+
+def _moll_family(C_x, C_y, C_p):
+    """pj_moll_init generic kernel (wag4 via pj_moll_init_Q(pi/3),
+    wag5 with literal constants)."""
+    def fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+        lam, phi = _ll(lon, lat, lon0)
+        k = C_p * np.sin(phi)
+        th, failed = _pel_fail(
+            phi, lambda t, kk: -((t + np.sin(t) - kk) /
+                                 (1 + np.cos(t))),
+            1e-7, 10, consts=(k,))
+        th = np.where(failed,
+                      np.where(th < 0, -np.pi / 2, np.pi / 2),
+                      th * 0.5)
+        return (x0 + R * C_x * lam * np.cos(th),
+                y0 + R * C_y * np.sin(th))
+
+    def inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+        th = _aasin((np.asarray(y, float) - y0) / R / C_y)
+        lam = (np.asarray(x, float) - x0) / R / (C_x * np.cos(th))
+        th = th + th
+        phi = _aasin((th + np.sin(th)) / C_p)
+        return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+    return fwd, inv
+
+
+def _moll_q(p):
+    sp = np.sin(p)
+    p2 = p + p
+    r = np.sqrt(2 * np.pi * sp / (p2 + np.sin(p2)))
+    return 2 * r / np.pi, r / sp, p2 + np.sin(p2)
+
+
+wag4_fwd, wag4_inv = _moll_family(*_moll_q(np.pi / 3))
+wag5_fwd, wag5_inv = _moll_family(0.90977, 1.65014, 3.00896)
+
+
+# --- iterative pseudocylindricals (pj_boggs, pj_hatano, pj_nell,
+#     pj_nell_h, pj_putp2, pj_putp6, pj_wink2, pj_mbt_fpq, pj_mbt_fps,
+#     pj_sinu_init generalization for mbtfps / gn_sinu) ---------------
+
+def boggs_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    EPS, FXC, FXC2, FYC = 1e-7, 2.00276, 1.11072, 0.49931
+    lam, phi = _ll(lon, lat, lon0)
+    c = np.sin(phi) * np.pi
+    theta = _pel(phi, lambda t, cc: -((t + np.sin(t) - cc) /
+                                      (1 + np.cos(t))),
+                 EPS, 20, consts=(c,))
+    pole = np.abs(np.abs(phi) - np.pi / 2) < EPS
+    th_half = np.where(pole, phi, theta * 0.5)
+    x = np.where(pole, 0.0,
+                 FXC * lam / (1 / np.cos(phi) +
+                              FXC2 / np.cos(theta * 0.5)))
+    return (x0 + R * x,
+            y0 + R * FYC * (phi + np.sqrt(2) * np.sin(th_half)))
+
+
+def hatano_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    EPS, CN, CS = 1e-7, 2.67595, 2.43763
+    FYCN, FYCS, FXC = 1.75859, 1.93052, 0.85
+    lam, phi = _ll(lon, lat, lon0)
+    c = np.sin(phi) * np.where(phi < 0, CS, CN)
+    th = _pel(phi, lambda t, cc: -((t + np.sin(t) - cc) /
+                                   (1 + np.cos(t))),
+              EPS, 20, consts=(c,))
+    th = th * 0.5
+    return (x0 + R * FXC * lam * np.cos(th),
+            y0 + R * np.sin(th) * np.where(th < 0, FYCS, FYCN))
+
+
+def hatano_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    RCN, RCS = 0.37369906014686373063, 0.41023453108141924738
+    RYCN, RYCS = 0.56863737426006061674, 0.51799515156538134803
+    RXC = 1.17647058823529411764
+    ys = (np.asarray(y, float) - y0) / R
+    xs = (np.asarray(x, float) - x0) / R
+    th = _aasin(ys * np.where(ys < 0, RYCS, RYCN))
+    lam = RXC * xs / np.cos(th)
+    th = th + th
+    phi = _aasin(np.clip((th + np.sin(th)) *
+                         np.where(ys < 0, RCS, RCN), -1, 1))
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def nell_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    lam, phi = _ll(lon, lat, lon0)
+    k = 2 * np.sin(phi)
+    V = phi * phi
+    p0 = phi * (1.00371 + V * (-0.0935382 + V * -0.011412))
+    phi = _pel(p0, lambda t, kk: -((t + np.sin(t) - kk) /
+                                   (1 + np.cos(t))),
+               1e-7, 10, consts=(k,))
+    return (x0 + R * 0.5 * lam * (1 + np.cos(phi)), y0 + R * phi)
+
+
+def nell_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    ys = (np.asarray(y, float) - y0) / R
+    lam = 2 * (np.asarray(x, float) - x0) / R / (1 + np.cos(ys))
+    phi = _aasin(0.5 * (ys + np.sin(ys)))
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def nell_h_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    lam, phi = _ll(lon, lat, lon0)
+    return (x0 + R * 0.5 * lam * (1 + np.cos(phi)),
+            y0 + R * 2.0 * (phi - np.tan(0.5 * phi)))
+
+
+def nell_h_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    EPS = 1e-7
+    ys = (np.asarray(y, float) - y0) / R
+    xs = (np.asarray(x, float) - x0) / R
+    p = 0.5 * ys
+
+    def step(phi, pp):
+        c = np.cos(0.5 * phi)
+        return -((phi - np.tan(phi / 2) - pp) / (1 - 0.5 / (c * c)))
+
+    phi0 = np.zeros_like(np.atleast_1d(p), dtype=float)
+    phi, failed = _pel_fail(phi0 + 0.0, step, EPS, 9, consts=(p,))
+    phi = np.where(failed,
+                   np.where(p < 0, -np.pi / 2, np.pi / 2), phi)
+    lam = np.where(failed, 2 * xs, 2 * xs / (1 + np.cos(phi)))
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def putp2_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    C_x, C_y, C_p = 1.89490, 1.71848, 0.6141848493043784
+    EPS, PI_DIV_3 = 1e-10, 1.0471975511965977
+    lam, phi = _ll(lon, lat, lon0)
+    p = C_p * np.sin(phi)
+    s = phi * phi
+    p0 = phi * (0.615709 + s * (0.00909953 + s * 0.0046292))
+
+    def step(t, pp):
+        c = np.cos(t)
+        sn = np.sin(t)
+        return -((t + sn * (c - 1) - pp) / (1 + c * (c - 1) - sn * sn))
+
+    phi, failed = _pel_fail(p0, step, EPS, 10, consts=(p,))
+    phi = np.where(failed,
+                   np.where(phi < 0, -PI_DIV_3, PI_DIV_3), phi)
+    return (x0 + R * C_x * lam * (np.cos(phi) - 0.5),
+            y0 + R * C_y * np.sin(phi))
+
+
+def putp2_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    C_x, C_y, C_p = 1.89490, 1.71848, 0.6141848493043784
+    phi = _aasin((np.asarray(y, float) - y0) / R / C_y)
+    c = np.cos(phi)
+    lam = (np.asarray(x, float) - x0) / R / (C_x * (c - 0.5))
+    phi = _aasin((phi + np.sin(phi) * (c - 1)) / C_p)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def _putp6_fwd(lon, lat, prime, lon0=0.0, x0=0.0, y0=0.0):
+    EPS, CON_POLE = 1e-10, 1.732050807568877
+    if prime:
+        C_x, C_y, A, B, D = 0.44329, 0.80404, 6.0, 5.61125, 3.0
+    else:
+        C_x, C_y, A, B, D = 1.01346, 0.91910, 4.0, \
+            2.1471437182129378784, 2.0
+    lam, phi = _ll(lon, lat, lon0)
+    p = B * np.sin(phi)
+    p0 = phi * 1.10265779
+
+    def step(t, pp):
+        r = np.sqrt(1 + t * t)
+        return -(((A - r) * t - np.log(t + r) - pp) / (A - 2 * r))
+
+    phi, failed = _pel_fail(p0, step, EPS, 10, consts=(p,))
+    phi = np.where(failed,
+                   np.where(p < 0, -CON_POLE, CON_POLE), phi)
+    return (x0 + R * C_x * lam * (D - np.sqrt(1 + phi * phi)),
+            y0 + R * C_y * phi)
+
+
+def _putp6_inv(x, y, prime, lon0=0.0, x0=0.0, y0=0.0):
+    if prime:
+        C_x, C_y, A, B, D = 0.44329, 0.80404, 6.0, 5.61125, 3.0
+    else:
+        C_x, C_y, A, B, D = 1.01346, 0.91910, 4.0, \
+            2.1471437182129378784, 2.0
+    phi = (np.asarray(y, float) - y0) / R / C_y
+    r = np.sqrt(1 + phi * phi)
+    lam = (np.asarray(x, float) - x0) / R / (C_x * (D - r))
+    phi = _aasin(((A - r) * phi - np.log(phi + r)) / B)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def putp6_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    return _putp6_fwd(lon, lat, False, lon0, x0, y0)
+
+
+def putp6_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    return _putp6_inv(x, y, False, lon0, x0, y0)
+
+
+def putp6p_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    return _putp6_fwd(lon, lat, True, lon0, x0, y0)
+
+
+def putp6p_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    return _putp6_inv(x, y, True, lon0, x0, y0)
+
+
+def wink2_fwd(lon, lat, lat1=0.0, lon0=0.0, x0=0.0, y0=0.0):
+    cosphi1 = np.cos(np.deg2rad(lat1))
+    LOOP_TOL = 1e-7
+    lam, phi = _ll(lon, lat, lon0)
+    ybase = phi * 2.0 / np.pi
+    k = np.pi * np.sin(phi)
+    p0 = phi * 1.8
+    phi2, failed = _pel_fail(
+        p0, lambda t, kk: -((t + np.sin(t) - kk) / (1 + np.cos(t))),
+        LOOP_TOL, 10, consts=(k,))
+    phi2 = np.where(failed,
+                    np.where(phi2 < 0, -np.pi / 2, np.pi / 2),
+                    phi2 * 0.5)
+    return (x0 + R * 0.5 * lam * (np.cos(phi2) + cosphi1),
+            y0 + R * np.pi / 4 * (np.sin(phi2) + ybase))
+
+
+def mbt_fpq_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    EPS, C = 1e-7, 1.70710678118654752440
+    FYC, FXC = 1.87475828462269495505, 0.31245971410378249250
+    lam, phi = _ll(lon, lat, lon0)
+    c = C * np.sin(phi)
+
+    def step(t, cc):
+        return -((np.sin(0.5 * t) + np.sin(t) - cc) /
+                 (0.5 * np.cos(0.5 * t) + np.cos(t)))
+
+    phi = _pel(phi, step, EPS, 20, consts=(c,))
+    return (x0 + R * FXC * lam *
+            (1.0 + 2 * np.cos(phi) / np.cos(0.5 * phi)),
+            y0 + R * FYC * np.sin(0.5 * phi))
+
+
+def mbt_fpq_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    RC, RYC = 0.58578643762690495119, 0.53340209679417701685
+    RXC = 3.20041258076506210122
+    ys = (np.asarray(y, float) - y0) / R
+    xs = (np.asarray(x, float) - x0) / R
+    t = np.clip(RYC * ys, -1, 1)
+    phi = 2 * np.arcsin(t)
+    lam = RXC * xs / (1 + 2 * np.cos(phi) / np.cos(0.5 * phi))
+    phi = _aasin(RC * (t + np.sin(phi)))
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def mbt_fps_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    LOOP_TOL, C1, C2, C3 = 1e-7, 0.45503, 1.36509, 1.41546
+    C_x, C_y, C1_2 = 0.22248, 1.44492, 1.0 / 3.0
+    lam, phi = _ll(lon, lat, lon0)
+    k = C3 * np.sin(phi)
+
+    def step(t, kk):
+        tt = t / C2
+        return -((C1 * np.sin(tt) + np.sin(t) - kk) /
+                 (C1_2 * np.cos(tt) + np.cos(t)))
+
+    phi = _pel(phi, step, LOOP_TOL, 10, consts=(k,))
+    t = phi / C2
+    return (x0 + R * C_x * lam * (1 + 3 * np.cos(phi) / np.cos(t)),
+            y0 + R * C_y * np.sin(t))
+
+
+def mbt_fps_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    C1, C2, C3 = 0.45503, 1.36509, 1.41546
+    C_x, C_y = 0.22248, 1.44492
+    t = _aasin((np.asarray(y, float) - y0) / R / C_y)
+    phi = C2 * t
+    lam = (np.asarray(x, float) - x0) / R / \
+        (C_x * (1 + 3 * np.cos(phi) / np.cos(t)))
+    phi = _aasin((C1 * np.sin(t) + np.sin(phi)) / C3)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def _gn_sinu_fwd(lon, lat, m, n, lon0=0.0, x0=0.0, y0=0.0):
+    """pj_sinu_init shared kernel (mbtfps; gn_sinu with +m +n)."""
+    C_y = np.sqrt((m + 1) / n)
+    C_x = C_y / (m + 1)
+    lam, phi = _ll(lon, lat, lon0)
+    if not m:
+        phi = _aasin(n * np.sin(phi)) if n != 1 else phi
+    else:
+        k = n * np.sin(phi)
+        phi, failed = _pel_fail(
+            phi, lambda t, kk: -((m * t + np.sin(t) - kk) /
+                                 (m + np.cos(t))),
+            1e-7, 8, consts=(k,))
+        if np.any(failed):
+            raise ValueError("gn_sinu: phi iteration did not converge")
+    return (x0 + R * C_x * lam * (m + np.cos(phi)),
+            y0 + R * C_y * phi)
+
+
+def _gn_sinu_inv(x, y, m, n, lon0=0.0, x0=0.0, y0=0.0):
+    C_y = np.sqrt((m + 1) / n)
+    C_x = C_y / (m + 1)
+    ys = (np.asarray(y, float) - y0) / R / C_y
+    if m:
+        phi = _aasin((m * ys + np.sin(ys)) / n)
+    else:
+        phi = _aasin(np.sin(ys) / n) if n != 1 else ys
+    lam = (np.asarray(x, float) - x0) / R / (C_x * (m + np.cos(ys)))
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def gn_sinu_fwd(lon, lat, m=None, n=None, lon0=0.0, x0=0.0, y0=0.0):
+    if m is None or n is None or n <= 0:
+        raise ValueError("+proj=gn_sinu requires +m= and +n= (n > 0)")
+    return _gn_sinu_fwd(lon, lat, m, n, lon0, x0, y0)
+
+
+def gn_sinu_inv(x, y, m=None, n=None, lon0=0.0, x0=0.0, y0=0.0):
+    if m is None or n is None or n <= 0:
+        raise ValueError("+proj=gn_sinu requires +m= and +n= (n > 0)")
+    return _gn_sinu_inv(x, y, m, n, lon0, x0, y0)
+
+
+_MBTFPS_N = 1.785398163397448309615660845
+
+
+def mbtfps_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    return _gn_sinu_fwd(lon, lat, 0.5, _MBTFPS_N, lon0, x0, y0)
+
+
+def mbtfps_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    return _gn_sinu_inv(x, y, 0.5, _MBTFPS_N, lon0, x0, y0)
+
+
+# --- misc spherical, forward-only (pj_august, pj_bacon/apian/ortel,
+#     pj_wag7, pj_vandg2/3/4, pj_gilbert) -----------------------------
+
+def august_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    M = 4.0 / 3.0
+    lam, phi = _ll(lon, lat, lon0)
+    t = np.tan(0.5 * phi)
+    c1 = np.sqrt(1 - t * t)
+    lam = lam * 0.5
+    c = 1 + c1 * np.cos(lam)
+    x1 = np.sin(lam) * c1 / c
+    y1 = t / c
+    x12, y12 = x1 * x1, y1 * y1
+    return (x0 + R * M * x1 * (3 + x12 - 3 * y12),
+            y0 + R * M * y1 * (3 + 3 * x12 - y12))
+
+
+def _bacon_fwd(lon, lat, bacn, ortl, lon0=0.0, x0=0.0, y0=0.0):
+    HLFPI2, EPS = 2.46740110027233965467, 1e-10
+    lam, phi = _ll(lon, lat, lon0)
+    y = np.pi / 2 * np.sin(phi) if bacn else phi
+    ax = np.abs(lam)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        f = 0.5 * (HLFPI2 / ax + ax)
+        x_main = ax - f + np.sqrt(np.maximum(f * f - y * y, 0))
+        x_ortl = np.sqrt(np.maximum(HLFPI2 - phi * phi + EPS, 0)) \
+            + ax - np.pi / 2
+    x = np.where(ax >= EPS,
+                 np.where(ortl & (ax >= np.pi / 2), x_ortl, x_main)
+                 if ortl else x_main, 0.0)
+    x = np.where(lam < 0, -x, x)
+    return x0 + R * x, y0 + R * y
+
+
+def bacon_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    return _bacon_fwd(lon, lat, True, False, lon0, x0, y0)
+
+
+def apian_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    return _bacon_fwd(lon, lat, False, False, lon0, x0, y0)
+
+
+def ortel_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    return _bacon_fwd(lon, lat, False, True, lon0, x0, y0)
+
+
+def wag7_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    lam, phi = _ll(lon, lat, lon0)
+    ysin = 0.90630778703664996 * np.sin(phi)
+    theta = np.arcsin(np.clip(ysin, -1, 1))
+    ct = np.cos(theta)
+    lam = lam / 3.0
+    D = 1 / np.sqrt(0.5 * (1 + ct * np.cos(lam)))
+    return (x0 + R * 2.66723 * ct * np.sin(lam) * D,
+            y0 + R * ysin * 1.24104 * D)
+
+
+def _vandg2_fwd(lon, lat, vdg3, lon0=0.0, x0=0.0, y0=0.0):
+    TOL = 1e-10
+    lam, phi = _ll(lon, lat, lon0)
+    bt = np.abs(2.0 / np.pi * phi)
+    ct = np.sqrt(np.maximum(1 - bt * bt, 0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        at = 0.5 * np.abs(np.pi / lam - lam / np.pi)
+        if vdg3:
+            x1 = bt / (1 + ct)
+            x = np.pi * (np.sqrt(at * at + 1 - x1 * x1) - at)
+            y = np.pi * x1
+        else:
+            x1 = (ct * np.sqrt(1 + at * at) - at * ct * ct) / \
+                (1 + at * at * bt * bt)
+            x = np.pi * x1
+            y = np.pi * np.sqrt(np.maximum(1 - x1 * (x1 + 2 * at)
+                                           + TOL, 0))
+    small = np.abs(lam) < TOL
+    x = np.where(small, 0.0, np.where(lam < 0, -x, x))
+    y = np.where(small, np.pi * np.where(phi < 0, -bt, bt) / (1 + ct),
+                 np.where(phi < 0, -y, y))
+    return x0 + R * x, y0 + R * y
+
+
+def vandg2_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    return _vandg2_fwd(lon, lat, False, lon0, x0, y0)
+
+
+def vandg3_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    return _vandg2_fwd(lon, lat, True, lon0, x0, y0)
+
+
+def vandg4_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    TOL = 1e-10
+    lam, phi = _ll(lon, lat, lon0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        bt = np.abs(2.0 / np.pi * phi)
+        bt2 = bt * bt
+        ct = 0.5 * (bt * (8 - bt * (2 + bt2)) - 5) / (bt2 * (bt - 1))
+        ct2 = ct * ct
+        dt_ = 2.0 / np.pi * lam
+        dt_ = dt_ + 1 / dt_
+        dt_ = np.sqrt(np.maximum(dt_ * dt_ - 4, 0))
+        dt_ = np.where((np.abs(lam) - np.pi / 2) < 0, -dt_, dt_)
+        dt2 = dt_ * dt_
+        x1 = bt + ct
+        x1 = x1 * x1
+        t = bt + 3 * ct
+        ft = x1 * (bt2 + ct2 * dt2 - 1) + (1 - bt2) * (
+            bt2 * (t * t + 4 * ct2) + ct2 * (12 * bt * ct + 4 * ct2))
+        x1 = (dt_ * (x1 + ct2 - 1) + 2 * np.sqrt(np.maximum(ft, 0))) \
+            / (4 * x1 + dt2)
+        x = np.pi / 2 * x1
+        y = np.pi / 2 * np.sqrt(
+            np.maximum(1 + dt_ * np.abs(x1) - x1 * x1, 0))
+        x = np.where(lam < 0, -x, x)
+        y = np.where(phi < 0, -y, y)
+    eq = np.abs(phi) < TOL
+    axis = (np.abs(lam) < TOL) | (np.abs(np.abs(phi) - np.pi / 2)
+                                  < TOL)
+    x = np.where(eq, lam, np.where(axis, 0.0, x))
+    y = np.where(eq, 0.0, np.where(axis, phi, y))
+    return x0 + R * x, y0 + R * y
+
+
+def gilbert_fwd(lon, lat, lat1=0.0, lon0=0.0, x0=0.0, y0=0.0):
+    """pj_gilbert (fwd only): two-world conformal sphere view;
+    back-hemisphere points error in mproj — here they return NaN
+    (the layer pipeline drops non-finite samples)."""
+    phi1 = _aasin(np.tan(0.5 * np.deg2rad(lat1)))
+    sp1, cp1 = np.sin(phi1), np.cos(phi1)
+    lam, phi = _ll(lon, lat, lon0)
+    lam = lam * 0.5
+    phi = _aasin(np.tan(0.5 * phi))
+    sp, cp, cl = np.sin(phi), np.cos(phi), np.cos(lam)
+    front = (sp1 * sp + cp1 * cp * cl) >= 0
+    x = np.where(front, cp * np.sin(lam), np.nan)
+    y = np.where(front, cp1 * sp - sp1 * cp * cl, np.nan)
+    return x0 + R * x, y0 + R * y
+
+
 # alias index (reference src/geom/mapshaper-projections.js:4-9 plus the
 # proj4 family names its tests use)
 PROJECTIONS = {
@@ -2899,6 +3729,56 @@ PROJECTIONS = {
     "bonne": (bonne_fwd, bonne_inv),
     "omerc": (omerc_fwd, omerc_inv),
     "nzmg": (nzmg_fwd, nzmg_inv),
+    # round-4 long-tail batch 1: remaining spherical pseudocylindricals
+    # + misc-spherical (mproj pj_* kernels; fwd-only where the
+    # reference has no inverse either)
+    "lonlat": (_identity, _identity),
+    "latlon": (_identity, _identity),
+    "latlong": (_identity, _identity),
+    "putp1": (putp1_fwd, putp1_inv),
+    "putp2": (putp2_fwd, putp2_inv),
+    "putp3": (putp3_fwd, putp3_inv),
+    "putp3p": (putp3p_fwd, putp3p_inv),
+    "putp4p": (putp4p_fwd, putp4p_inv),
+    "weren": (weren_fwd, weren_inv),
+    "putp5": (putp5_fwd, putp5_inv),
+    "putp5p": (putp5p_fwd, putp5p_inv),
+    "putp6": (putp6_fwd, putp6_inv),
+    "putp6p": (putp6p_fwd, putp6p_inv),
+    "wag1": (wag1_fwd, wag1_inv),
+    "wag2": (wag2_fwd, wag2_inv),
+    "wag3": (wag3_fwd, wag3_inv),
+    "wag4": (wag4_fwd, wag4_inv),
+    "wag5": (wag5_fwd, wag5_inv),
+    "wag7": (wag7_fwd, None),
+    "wink1": (wink1_fwd, wink1_inv),
+    "wink2": (wink2_fwd, None),
+    "urm5": (urm5_fwd, None),
+    "urmfps": (urmfps_fwd, urmfps_inv),
+    "kav5": (kav5_fwd, kav5_inv),
+    "qua_aut": (qua_aut_fwd, qua_aut_inv),
+    "fouc": (fouc_fwd, fouc_inv),
+    "mbt_s": (mbt_s_fwd, mbt_s_inv),
+    "mbt_fpp": (mbt_fpp_fwd, mbt_fpp_inv),
+    "mbt_fpq": (mbt_fpq_fwd, mbt_fpq_inv),
+    "mbt_fps": (mbt_fps_fwd, mbt_fps_inv),
+    "mbtfps": (mbtfps_fwd, mbtfps_inv),
+    "gn_sinu": (gn_sinu_fwd, gn_sinu_inv),
+    "nell": (nell_fwd, nell_inv),
+    "nell_h": (nell_h_fwd, nell_h_inv),
+    "hatano": (hatano_fwd, hatano_inv),
+    "boggs": (boggs_fwd, None),
+    "crast": (crast_fwd, crast_inv),
+    "denoy": (denoy_fwd, None),
+    "gins8": (gins8_fwd, None),
+    "august": (august_fwd, None),
+    "bacon": (bacon_fwd, None),
+    "apian": (apian_fwd, None),
+    "ortel": (ortel_fwd, None),
+    "vandg2": (vandg2_fwd, None),
+    "vandg3": (vandg3_fwd, None),
+    "vandg4": (vandg4_fwd, None),
+    "gilbert": (gilbert_fwd, None),
 }
 
 # +ellps= shorthand table (mproj pj_ellps entries used by the fixtures)
@@ -2932,7 +3812,8 @@ _PARAM_KEYS = {"lat_1": "lat1", "lat_2": "lat2", "lat_0": "lat0",
                "k_0": "k0", "x_0": "x0", "y_0": "y0", "a": "a",
                "rf": "rf", "lonc": "lonc", "alpha": "alpha",
                "gamma": "gamma", "lon_1": "lon1", "lon_2": "lon2",
-               "W": "W", "M": "M"}
+               "W": "W", "M": "M", "n": "n", "m": "m", "q": "q",
+               "h": "h", "tilt": "tilt", "azi": "azi"}
 
 # PROJ4's zero defaults, applied to '+proj=' strings only (the alias
 # kernels keep the reference aliases' bound parameters, e.g. 'albers'
@@ -2981,6 +3862,14 @@ def resolve_projection(defn: str):
             _resolve_ellps(parts, kw)
             return (functools.partial(etmerc_fwd, **kw),
                     functools.partial(etmerc_inv, **kw))
+        if name == "ups":
+            # pj_ups: polar stereographic with fixed constants
+            # (lat_0 = +-90, k0 = 0.994, false easting/northing 2e6)
+            kw = dict(lat0=-90.0 if "south" in parts else 90.0,
+                      k0=0.994, x0=2e6, y0=2e6)
+            _resolve_ellps(parts, kw)
+            return (functools.partial(stere_fwd, **kw),
+                    functools.partial(stere_inv, **kw))
         if name not in PROJECTIONS:
             raise ValueError(f"unsupported +proj={name!r}; "
                              f"available: {sorted(PROJECTIONS)}")

@@ -246,3 +246,69 @@ def test_proj_unknown_param_rejected():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         resolve_projection("+proj=moll +lat_ts=30")
+
+
+def test_round4_longtail_roundtrips():
+    """Round-4 long-tail batch (remaining mproj spherical
+    pseudocylindricals + misc): fwd∘inv identity on in-domain world
+    points for every family that mproj itself can invert (live-mproj
+    forward parity is in test_reference_cli_parity.py::
+    test_proj_round4_batch_vs_mproj)."""
+    from mapshaper_ray.stages.proj import resolve_projection
+    world = (np.array([-96.5, 12.3, 150.1, -70.2, 24.8]),
+             np.array([38.2, 48.7, -33.9, -54.8, 60.2]))
+    specs = ["+proj=putp1", "+proj=putp2", "+proj=putp3",
+             "+proj=putp3p", "+proj=putp4p", "+proj=weren",
+             "+proj=putp5", "+proj=putp5p", "+proj=putp6",
+             "+proj=putp6p", "+proj=wag1", "+proj=wag2",
+             "+proj=wag3 +lat_ts=30", "+proj=wag4", "+proj=wag5",
+             "+proj=wink1 +lat_ts=20", "+proj=urmfps +n=0.8",
+             "+proj=kav5", "+proj=qua_aut", "+proj=fouc",
+             "+proj=mbt_s", "+proj=mbt_fpp", "+proj=mbt_fpq",
+             "+proj=mbt_fps", "+proj=mbtfps",
+             "+proj=gn_sinu +m=1 +n=2", "+proj=nell", "+proj=nell_h",
+             "+proj=hatano", "+proj=crast", "+proj=latlon"]
+    for spec in specs:
+        fwd, inv = resolve_projection(spec)
+        assert inv is not None, spec
+        x, y = fwd(*world)
+        lo, la = inv(x, y)
+        assert np.allclose(lo, world[0], atol=1e-6), spec
+        assert np.allclose(la, world[1], atol=1e-6), spec
+
+
+def test_ups_roundtrip_both_poles():
+    """pj_ups: fixed-constant polar stereographic (k0=0.994,
+    fe=fn=2e6) on the WGS84 ellipsoid."""
+    from mapshaper_ray.stages.proj import resolve_projection
+    fwd_n, inv_n = resolve_projection("+proj=ups")
+    lon = np.array([-96.5, 12.3, -179.5, 0.0])
+    lat = np.array([68.2, 48.7, 71.2, 89.0])
+    lo, la = inv_n(*fwd_n(lon, lat))
+    assert np.allclose(lo, lon, atol=1e-9)
+    assert np.allclose(la, lat, atol=1e-9)
+    fwd_s, inv_s = resolve_projection("+proj=ups +south")
+    lo, la = inv_s(*fwd_s(lon, -lat))
+    assert np.allclose(lo, lon, atol=1e-9)
+    assert np.allclose(la, -lat, atol=1e-9)
+
+
+def test_round4_fwd_only_families_finite():
+    """Forward-only families (no inverse in mproj either) produce
+    finite planar coordinates on in-domain points and are registered
+    with inv=None."""
+    from mapshaper_ray.stages.proj import PROJECTIONS, resolve_projection
+    world = (np.array([-96.5, 12.3, 150.1, -70.2, 24.8]),
+             np.array([38.2, 48.7, -33.9, -54.8, 60.2]))
+    specs = ["+proj=wag7", "+proj=wink2 +lat_1=20",
+             "+proj=urm5 +n=0.9 +q=0.5 +alpha=10", "+proj=boggs",
+             "+proj=denoy", "+proj=gins8", "+proj=august",
+             "+proj=bacon", "+proj=apian", "+proj=ortel",
+             "+proj=vandg2", "+proj=vandg3", "+proj=vandg4",
+             "+proj=gilbert +lat_1=10"]
+    for spec in specs:
+        name = spec.split()[0][6:]
+        assert PROJECTIONS[name][1] is None, spec
+        fwd, _ = resolve_projection(spec)
+        x, y = fwd(*world)
+        assert np.all(np.isfinite(x)) and np.all(np.isfinite(y)), spec

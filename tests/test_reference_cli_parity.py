@@ -384,6 +384,48 @@ def test_proj_family_batch_vs_mproj(ray_session, ref_cli, tmp_path,
         f"max abs diff {np.max(np.abs(a - b)):.3e}"
 
 
+# round-4 long-tail batch: the remaining mproj spherical families
+# (pseudocylindricals + misc-spherical, several forward-only in mproj
+# too) plus pj_ups. Parameterized families probe non-default params.
+_R4_WORLD = [(10.0, 20.0), (-60.0, -35.0), (120.0, 55.0),
+             (-150.0, 70.0), (0.5, -0.25), (179.0, -80.0)]
+_R4_SPECS = [
+    "+proj=putp1", "+proj=putp2", "+proj=putp3", "+proj=putp3p",
+    "+proj=putp4p", "+proj=weren", "+proj=putp5", "+proj=putp5p",
+    "+proj=putp6", "+proj=putp6p", "+proj=wag1", "+proj=wag2",
+    "+proj=wag3 +lat_ts=30", "+proj=wag4", "+proj=wag5",
+    "+proj=wag7", "+proj=wink1 +lat_ts=20", "+proj=wink2 +lat_1=20",
+    "+proj=urm5 +n=0.9 +q=0.5 +alpha=10", "+proj=urmfps +n=0.8",
+    "+proj=kav5", "+proj=qua_aut", "+proj=fouc", "+proj=mbt_s",
+    "+proj=mbt_fpp", "+proj=mbt_fpq", "+proj=mbt_fps",
+    "+proj=mbtfps", "+proj=gn_sinu +m=1 +n=2", "+proj=nell",
+    "+proj=nell_h", "+proj=hatano", "+proj=boggs", "+proj=crast",
+    "+proj=denoy", "+proj=gins8", "+proj=august", "+proj=bacon",
+    "+proj=apian", "+proj=ortel", "+proj=vandg2", "+proj=vandg3",
+    "+proj=vandg4", "+proj=ups", "+proj=ups +south",
+]
+
+
+@pytest.mark.parametrize("spec", _R4_SPECS)
+def test_proj_round4_batch_vs_mproj(ray_session, ref_cli, tmp_path,
+                                    spec):
+    """Round-4 long-tail families vs live mproj on the same world
+    probe grid (gilbert's back hemisphere excluded — both engines
+    reject it)."""
+    pts = _R4_WORLD
+    if spec.startswith("+proj=ups"):
+        pts = [(p[0], -abs(p[1]) if "south" in spec else abs(p[1]))
+               for p in _R4_WORLD if abs(p[1]) >= 20]
+    test_proj_family_batch_vs_mproj(
+        ray_session, ref_cli, tmp_path, spec, pts)
+
+
+def test_proj_gilbert_vs_mproj(ray_session, ref_cli, tmp_path):
+    test_proj_family_batch_vs_mproj(
+        ray_session, ref_cli, tmp_path, "+proj=gilbert +lat_1=10",
+        [(10.0, 20.0), (-60.0, -35.0), (120.0, 55.0), (0.5, -0.25)])
+
+
 @pytest.mark.parametrize("oopts", [
     ["precision=0.01"],          # rotate-then-round order
     ["bbox"],                    # container bbox key
