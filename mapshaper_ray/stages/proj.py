@@ -3674,6 +3674,1130 @@ def gilbert_fwd(lon, lat, lat1=0.0, lon0=0.0, x0=0.0, y0=0.0):
     return x0 + R * x, y0 + R * y
 
 
+
+# ---------------------------------------------------------------------------
+# round-4 batch 2: FULL mproj family coverage.  The remaining pj_*
+# kernels the reference's mproj bundle dispatches (simple conics,
+# airy, perspective, ocea/tpeqd/chamb, qsc, healpix/rhealpix, the
+# modified-stereographic polynomial grids, ob_tran), ported from the
+# public mproj / PROJ.4 formulas as vectorized numpy.  Same
+# conventions as batch 1: degrees in/out, R scaling, _wrap_lam for
+# pj_fwd's adjlon.  `geocent` is the one mproj name not mapped — it
+# is a 3D coordinate conversion, not a planar projection, and the
+# reference CLI cannot meaningfully -proj to it either.
+
+def _aacos(v):
+    return np.arccos(np.clip(v, -1.0, 1.0))
+
+
+# --- simple conics (mproj pj_sconic; PROJ PJ_sconics.c): euler,
+#     murd1/2/3, pconic, tissot, vitk1 — one setup, shared fwd/inv ---
+
+def _sconic_setup(type_, lat1, lat2, lat0):
+    EPS = 1e-10
+    p1, p2 = np.deg2rad(lat1), np.deg2rad(lat2)
+    d = 0.5 * (p2 - p1)
+    sig = 0.5 * (p2 + p1)
+    if abs(d) < EPS or abs(sig) < EPS:
+        raise ValueError(f"+proj={type_.lower()}: lat_1 == +-lat_2 "
+                         "or lat_1 + lat_2 == 0")
+    phi0 = np.deg2rad(lat0)
+    c1 = c2 = rho_c = None
+    if type_ == "TISSOT":
+        n = np.sin(sig)
+        cs = np.cos(d)
+        rho_c = n / cs + cs / n
+        rho_0 = np.sqrt((rho_c - 2 * np.sin(phi0)) / n)
+    elif type_ == "MURD1":
+        rho_c = np.sin(d) / (d * np.tan(sig)) + sig
+        rho_0 = rho_c - phi0
+        n = np.sin(sig)
+    elif type_ == "MURD2":
+        cs = np.sqrt(np.cos(d))
+        rho_c = cs / np.tan(sig)
+        rho_0 = rho_c + np.tan(sig - phi0)
+        n = np.sin(sig) * cs
+    elif type_ == "MURD3":
+        rho_c = d / (np.tan(sig) * np.tan(d)) + sig
+        rho_0 = rho_c - phi0
+        n = np.sin(sig) * np.sin(d) * np.tan(d) / (d * d)
+    elif type_ == "EULER":
+        n = np.sin(sig) * np.sin(d) / d
+        d *= 0.5
+        rho_c = d / (np.tan(d) * np.tan(sig)) + sig
+        rho_0 = rho_c - phi0
+    elif type_ == "PCONIC":
+        n = np.sin(sig)
+        c2 = np.cos(d)
+        c1 = 1.0 / np.tan(sig)
+        if abs(phi0 - sig) - EPS >= np.pi / 2:
+            raise ValueError("+proj=pconic: |lat_0 - sig| >= 90")
+        rho_0 = c2 * (c1 - np.tan(phi0 - sig))
+    elif type_ == "VITK1":
+        cs = np.tan(d)
+        n = cs * np.sin(sig) / d
+        rho_c = d / (cs * np.tan(sig)) + sig
+        rho_0 = rho_c - phi0
+    else:  # pragma: no cover
+        raise ValueError(type_)
+    return n, rho_c, rho_0, sig, c1, c2
+
+
+def _sconic_family(type_):
+    low = type_.lower()
+
+    def fwd(lon, lat, lat1=None, lat2=None, lat0=0.0, lon0=0.0,
+            x0=0.0, y0=0.0):
+        if lat1 is None or lat2 is None:
+            raise ValueError(f"+proj={low} requires +lat_1= and +lat_2=")
+        n, rho_c, rho_0, sig, c1, c2 = _sconic_setup(type_, lat1, lat2,
+                                                     lat0)
+        lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+        phi = np.deg2rad(np.asarray(lat, float))
+        if type_ == "MURD2":
+            rho = rho_c + np.tan(sig - phi)
+        elif type_ == "PCONIC":
+            rho = c2 * (c1 - np.tan(phi - sig))
+        else:
+            rho = rho_c - phi
+        lamn = lam * n
+        return (x0 + R * rho * np.sin(lamn),
+                y0 + R * (rho_0 - rho * np.cos(lamn)))
+
+    def inv(x, y, lat1=None, lat2=None, lat0=0.0, lon0=0.0,
+            x0=0.0, y0=0.0):
+        if lat1 is None or lat2 is None:
+            raise ValueError(f"+proj={low} requires +lat_1= and +lat_2=")
+        n, rho_c, rho_0, sig, c1, c2 = _sconic_setup(type_, lat1, lat2,
+                                                     lat0)
+        xx = (np.asarray(x, float) - x0) / R
+        yy = rho_0 - (np.asarray(y, float) - y0) / R
+        rho = np.hypot(xx, yy)
+        if n < 0:
+            rho = -rho
+            xx, yy = -xx, -yy
+        lam = np.arctan2(xx, yy) / n
+        if type_ == "PCONIC":
+            phi = np.arctan(c1 - rho / c2) + sig
+        elif type_ == "MURD2":
+            phi = sig - np.arctan(rho - rho_c)
+        else:
+            phi = rho_c - rho
+        return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+    return fwd, inv
+
+
+euler_fwd, euler_inv = _sconic_family("EULER")
+murd1_fwd, murd1_inv = _sconic_family("MURD1")
+murd2_fwd, murd2_inv = _sconic_family("MURD2")
+murd3_fwd, murd3_inv = _sconic_family("MURD3")
+pconic_fwd, pconic_inv = _sconic_family("PCONIC")
+tissot_fwd, tissot_inv = _sconic_family("TISSOT")
+vitk1_fwd, vitk1_inv = _sconic_family("VITK1")
+
+
+# --- leac: Lambert equal-area conic = pj_aea with phi2 = +-90
+#     (mproj pj_leac) ---
+
+def leac_fwd(lon, lat, lat1=0.0, south=False, lat0=0.0, lon0=0.0,
+             x0=0.0, y0=0.0):
+    x, y = albers_fwd(lon, lat, lat1=lat1,
+                      lat2=-90.0 if south else 90.0, lat0=lat0,
+                      lon0=lon0)
+    return x + x0, y + y0
+
+
+def leac_inv(x, y, lat1=0.0, south=False, lat0=0.0, lon0=0.0,
+             x0=0.0, y0=0.0):
+    return albers_inv(np.asarray(x, float) - x0,
+                      np.asarray(y, float) - y0, lat1=lat1,
+                      lat2=-90.0 if south else 90.0, lat0=lat0,
+                      lon0=lon0)
+
+
+# --- airy (mproj pj_airy; fwd only) ---
+
+def airy_fwd(lon, lat, lat_b=0.0, no_cut=False, lat0=0.0, lon0=0.0,
+             x0=0.0, y0=0.0):
+    EPS = 1e-10
+    beta = 0.5 * (np.pi / 2 - np.deg2rad(lat_b))
+    if abs(beta) < EPS:
+        Cb = -0.5
+    else:
+        Cb = 1.0 / np.tan(beta)
+        Cb *= Cb * np.log(np.cos(beta))
+    phi0 = np.deg2rad(lat0)
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    sinlam, coslam = np.sin(lam), np.cos(lam)
+    if abs(abs(phi0) - np.pi / 2) < EPS:        # polar
+        p_halfpi = -np.pi / 2 if phi0 < 0 else np.pi / 2
+        ph = np.abs(p_halfpi - phi)
+        bad = (~np.asarray(no_cut)) & ((ph - EPS) > np.pi / 2)
+        ph = ph * 0.5
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.tan(ph)
+            Krho = np.where(ph > EPS,
+                            -2 * (np.log(np.cos(ph)) / np.where(t == 0, 1, t)
+                                  + t * Cb), 0.0)
+        x = Krho * sinlam
+        yv = Krho * coslam
+        if phi0 > 0:                             # N_POLE
+            yv = -yv
+        x = np.where(bad, np.nan, x)
+        yv = np.where(bad, np.nan, yv)
+        return x0 + R * x, y0 + R * yv
+    sinphi, cosphi = np.sin(phi), np.cos(phi)
+    if abs(phi0) < EPS:                          # equatorial
+        cosz = cosphi * coslam
+        ynum = sinphi
+    else:                                        # oblique
+        sinph0, cosph0 = np.sin(phi0), np.cos(phi0)
+        cosz = sinph0 * sinphi + cosph0 * cosphi * coslam
+        ynum = cosph0 * sinphi - sinph0 * cosphi * coslam
+    bad = (not no_cut) & (cosz < -EPS)
+    s = 1 - cosz
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = 0.5 * (1 + cosz)
+        Krho = np.where(np.abs(s) > EPS,
+                        -np.log(np.where(t <= 0, 1, t))
+                        / np.where(s == 0, 1, s)
+                        - Cb / np.where(t == 0, 1, t),
+                        0.5 - Cb)
+    x = np.where(bad, np.nan, Krho * cosphi * sinlam)
+    yv = np.where(bad, np.nan, Krho * ynum)
+    return x0 + R * x, y0 + R * yv
+
+
+# --- wag6 (mproj pj_wag6: the eck3 closed form with its constants) ---
+
+wag6_fwd, wag6_inv = _eck3_family(0.94745, 0.94745, 0.0,
+                                  0.30396355092701331433)
+
+
+# --- natearth2 (mproj pj_natearth2) ---
+
+_NE2_A = (0.84719, -0.13063, -0.04515, 0.05494, -0.02326, 0.00331)
+_NE2_B = (1.01183, -0.02625, 0.01926, -0.00396)
+_NE2_MAX_Y = 0.84719 * 0.535117535153096 * np.pi
+
+
+def natearth2_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    A0, A1, A2, A3, A4, A5 = _NE2_A
+    B0, B1, B2, B3 = _NE2_B
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    p2 = phi * phi
+    p4 = p2 * p2
+    p6 = p2 * p4
+    x = lam * (A0 + A1 * p2 + p6 * p6 * (A2 + A3 * p2 + A4 * p4
+                                         + A5 * p6))
+    y = phi * (B0 + p4 * p4 * (B1 + B2 * p2 + B3 * p4))
+    return x0 + R * x, y0 + R * y
+
+
+def natearth2_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    A0, A1, A2, A3, A4, A5 = _NE2_A
+    B0, B1, B2, B3 = _NE2_B
+    C0, C1, C2, C3 = B0, 9 * B1, 11 * B2, 13 * B3
+    xx = (np.asarray(x, float) - x0) / R
+    yy = np.clip((np.asarray(y, float) - y0) / R, -_NE2_MAX_Y,
+                 _NE2_MAX_Y)
+
+    def step(yc, yv):
+        y2 = yc * yc
+        y4 = y2 * y2
+        f = yc * (B0 + y4 * y4 * (B1 + B2 * y2 + B3 * y4)) - yv
+        fder = C0 + y4 * y4 * (C1 + C2 * y2 + C3 * y4)
+        return -f / fder
+
+    phi = _pel(yy, step, 1e-11, 100, consts=(yy,))
+    y2 = phi * phi
+    y4 = y2 * y2
+    y6 = y2 * y4
+    lam = xx / (A0 + A1 * y2 + y6 * y6 * (A2 + A3 * y2 + A4 * y4
+                                          + A5 * y6))
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+# --- nsper / tpers (mproj pj_tpers_init; spherical perspective) ---
+
+def _tpers_core(lon, lat, h, tilt_r, azi_r, tilted, lat0, lon0, x0, y0):
+    if h is None or h <= 0:
+        raise ValueError("+proj=nsper/tpers requires +h= > 0")
+    phi0 = np.deg2rad(lat0)
+    pn1 = h / R
+    p = 1 + pn1
+    rp = 1 / p
+    hh = 1 / pn1
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    sinphi, cosphi = np.sin(phi), np.cos(phi)
+    coslam = np.cos(lam)
+    if abs(abs(phi0) - np.pi / 2) < 1e-10:
+        cosz = -sinphi if phi0 < 0 else sinphi
+    elif abs(phi0) < 1e-10:
+        cosz = cosphi * coslam
+    else:
+        sinph0, cosph0 = np.sin(phi0), np.cos(phi0)
+        cosz = sinph0 * sinphi + cosph0 * cosphi * coslam
+    bad = cosz < rp
+    yk = pn1 / (p - cosz)
+    x = yk * cosphi * np.sin(lam)
+    if abs(abs(phi0) - np.pi / 2) < 1e-10:
+        yv = yk * cosphi * (-coslam if phi0 > 0 else coslam)
+    elif abs(phi0) < 1e-10:
+        yv = yk * sinphi
+    else:
+        yv = yk * (cosph0 * sinphi - sinph0 * cosphi * coslam)
+    if tilted:
+        cg, sg = np.cos(azi_r), np.sin(azi_r)
+        cw, sw = np.cos(tilt_r), np.sin(tilt_r)
+        yt = yv * cg + x * sg
+        ba = 1.0 / (yt * sw * hh + cw)
+        x, yv = (x * cg - yv * sg) * cw * ba, yt * ba
+    x = np.where(bad, np.nan, x)
+    yv = np.where(bad, np.nan, yv)
+    return x0 + R * x, y0 + R * yv
+
+
+def _tpers_core_inv(x, y, h, tilt_r, azi_r, tilted, lat0, lon0, x0, y0):
+    if h is None or h <= 0:
+        raise ValueError("+proj=nsper/tpers requires +h= > 0")
+    phi0 = np.deg2rad(lat0)
+    pn1 = h / R
+    p = 1 + pn1
+    hh = 1 / pn1
+    pfact = (p + 1) * hh
+    xx = (np.asarray(x, float) - x0) / R
+    yy = (np.asarray(y, float) - y0) / R
+    if tilted:
+        cg, sg = np.cos(azi_r), np.sin(azi_r)
+        cw, sw = np.cos(tilt_r), np.sin(tilt_r)
+        yt = 1.0 / (pn1 - yy * sw)
+        bm = pn1 * xx * yt
+        bq = pn1 * yy * cw * yt
+        xx = bm * cg + bq * sg
+        yy = bq * cg - bm * sg
+    rh = np.hypot(xx, yy)
+    sinz2 = 1 - rh * rh * pfact
+    bad = sinz2 < 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sinz = (p - np.sqrt(np.where(bad, 0, sinz2))) / \
+            (pn1 / np.where(rh == 0, 1, rh) + rh / pn1)
+    cosz = np.sqrt(np.maximum(1 - sinz * sinz, 0))
+    small = np.abs(rh) <= 1e-10
+    if abs(abs(phi0) - np.pi / 2) < 1e-10:   # polar
+        phi = _aasin(cosz)
+        if phi0 < 0:
+            phi = -phi
+            yv = yy
+        else:
+            yv = -yy
+        lam = np.arctan2(xx, yv)
+    elif abs(phi0) < 1e-10:                  # equatorial
+        with np.errstate(invalid="ignore"):
+            phi = _aasin(np.where(small, 0, yy * sinz
+                                  / np.where(rh == 0, 1, rh)))
+        yv = cosz * rh
+        lam = np.arctan2(xx * sinz, yv)
+    else:                                    # oblique
+        sinph0, cosph0 = np.sin(phi0), np.cos(phi0)
+        with np.errstate(invalid="ignore"):
+            phi = _aasin(np.where(small, np.sin(phi0),
+                                  cosz * sinph0 + yy * sinz * cosph0
+                                  / np.where(rh == 0, 1, rh)))
+        yv = (cosz - sinph0 * np.sin(phi)) * rh
+        lam = np.arctan2(xx * sinz * cosph0, yv)
+    lam = np.where(small, 0.0, lam)
+    phi = np.where(small, phi0, phi)
+    lam = np.where(bad, np.nan, lam)
+    phi = np.where(bad, np.nan, phi)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def nsper_fwd(lon, lat, h=None, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
+    return _tpers_core(lon, lat, h, 0.0, 0.0, False, lat0, lon0, x0, y0)
+
+
+def nsper_inv(x, y, h=None, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
+    return _tpers_core_inv(x, y, h, 0.0, 0.0, False, lat0, lon0, x0, y0)
+
+
+def tpers_fwd(lon, lat, h=None, tilt=0.0, azi=0.0, lat0=0.0, lon0=0.0,
+              x0=0.0, y0=0.0):
+    return _tpers_core(lon, lat, h, np.deg2rad(tilt), np.deg2rad(azi),
+                       True, lat0, lon0, x0, y0)
+
+
+def tpers_inv(x, y, h=None, tilt=0.0, azi=0.0, lat0=0.0, lon0=0.0,
+              x0=0.0, y0=0.0):
+    return _tpers_core_inv(x, y, h, np.deg2rad(tilt), np.deg2rad(azi),
+                           True, lat0, lon0, x0, y0)
+
+
+# --- ocea (mproj pj_ocea; Oblique Cylindrical Equal Area) ---
+
+def _ocea_setup(k0, alpha, lonc, lat1, lat2, lon1, lon2):
+    if alpha is not None:
+        al = np.deg2rad(alpha)
+        lonz = np.deg2rad(lonc or 0.0)
+        # phi_0 = 0 in mproj: -sin(0)*sin(alpha) is IEEE signed zero,
+        # so atan(+-inf) = +-pi/2 exactly as the JS evaluates it
+        with np.errstate(divide="ignore"):
+            singam = float(np.arctan(np.divide(
+                -np.cos(al), -0.0 * np.sin(al)))) + lonz
+        sinphi = float(np.arcsin(np.sin(al)))
+    else:
+        if None in (lat1, lat2, lon1, lon2):
+            raise ValueError("+proj=ocea requires +alpha=+lonc= or "
+                             "+lat_1/lat_2/lon_1/lon_2")
+        p1, p2 = np.deg2rad(lat1), np.deg2rad(lat2)
+        l1, l2 = np.deg2rad(lon1), np.deg2rad(lon2)
+        singam = float(np.arctan2(
+            np.cos(p1) * np.sin(p2) * np.cos(l1)
+            - np.sin(p1) * np.cos(p2) * np.cos(l2),
+            np.sin(p1) * np.cos(p2) * np.sin(l2)
+            - np.cos(p1) * np.sin(p2) * np.sin(l1)))
+        if l1 == -np.pi / 2:
+            singam = -singam
+        sinphi = float(np.arctan(-np.cos(singam - l1) / np.tan(p1)))
+    lam0 = singam + np.pi / 2
+    return (np.cos(sinphi), np.sin(sinphi), lam0, 1.0 / k0, k0)
+
+
+def ocea_fwd(lon, lat, k0=1.0, alpha=None, lonc=None, lat1=None,
+             lat2=None, lon1=None, lon2=None, x0=0.0, y0=0.0):
+    cosphi, sinphi, lam0, rok, rtk = _ocea_setup(k0, alpha, lonc, lat1,
+                                                 lat2, lon1, lon2)
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float)) - lam0)
+    phi = np.deg2rad(np.asarray(lat, float))
+    ys = np.sin(lam)
+    t = np.cos(lam)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        x = np.arctan((np.tan(phi) * cosphi + sinphi * ys) / t)
+    x = np.where(t < 0, x + np.pi, x) * rtk
+    y = rok * (sinphi * np.sin(phi) - cosphi * np.cos(phi) * ys)
+    return x0 + R * x, y0 + R * y
+
+
+def ocea_inv(x, y, k0=1.0, alpha=None, lonc=None, lat1=None,
+             lat2=None, lon1=None, lon2=None, x0=0.0, y0=0.0):
+    cosphi, sinphi, lam0, rok, rtk = _ocea_setup(k0, alpha, lonc, lat1,
+                                                 lat2, lon1, lon2)
+    yy = (np.asarray(y, float) - y0) / R / rok
+    xx = (np.asarray(x, float) - x0) / R / rtk
+    t = np.sqrt(np.maximum(1 - yy * yy, 0))
+    s = np.sin(xx)
+    phi = _aasin(yy * sinphi + t * cosphi * s)
+    lam = np.arctan2(t * sinphi * s - yy * cosphi, t * np.cos(xx))
+    return np.rad2deg(_wrap_lam(lam + lam0)), np.rad2deg(phi)
+
+
+# --- tpeqd (mproj pj_tpeqd; two-point equidistant) ---
+
+def _tpeqd_setup(lat1, lon1, lat2, lon2):
+    p1, p2 = np.deg2rad(lat1), np.deg2rad(lat2)
+    l1, l2 = np.deg2rad(lon1), np.deg2rad(lon2)
+    if p1 == p2 and l1 == l2:
+        raise ValueError("+proj=tpeqd: control points coincide")
+    lam0 = float(_wrap_lam(0.5 * (l1 + l2)))
+    dlam2 = float(_wrap_lam(l2 - l1))
+    cp1, cp2 = np.cos(p1), np.cos(p2)
+    sp1, sp2 = np.sin(p1), np.sin(p2)
+    cs = cp1 * sp2
+    sc = sp1 * cp2
+    ccs = cp1 * cp2 * np.sin(dlam2)
+    z02 = float(_aacos(sp1 * sp2 + cp1 * cp2 * np.cos(dlam2)))
+    hz0 = 0.5 * z02
+    A12 = np.arctan2(cp2 * np.sin(dlam2),
+                     cp1 * sp2 - sp1 * cp2 * np.cos(dlam2))
+    pp = float(_aasin(cp1 * np.sin(A12)))
+    ca, sa = np.cos(pp), np.sin(pp)
+    lamp = float(_wrap_lam(np.arctan2(cp1 * np.cos(A12), sp1) - hz0))
+    dlam2 *= 0.5
+    lamc = np.pi / 2 - np.arctan2(np.sin(A12) * sp1, np.cos(A12)) - dlam2
+    thz0 = np.tan(hz0)
+    rhshz0 = 0.5 / np.sin(hz0)
+    r2z0 = 0.5 / z02
+    z02 *= z02
+    return (cp1, sp1, cp2, sp2, ccs, cs, sc, r2z0, z02, dlam2, hz0,
+            thz0, rhshz0, ca, sa, lamp, lamc, lam0)
+
+
+def tpeqd_fwd(lon, lat, lat1=None, lon1=None, lat2=None, lon2=None,
+              x0=0.0, y0=0.0):
+    if None in (lat1, lon1, lat2, lon2):
+        raise ValueError("+proj=tpeqd requires +lat_1/+lon_1/+lat_2/"
+                         "+lon_2")
+    (cp1, sp1, cp2, sp2, ccs, cs, sc, r2z0, z02, dlam2, hz0, thz0,
+     rhshz0, ca, sa, lamp, lamc, lam0) = _tpeqd_setup(lat1, lon1, lat2,
+                                                      lon2)
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float)) - lam0)
+    phi = np.deg2rad(np.asarray(lat, float))
+    sp, cp = np.sin(phi), np.cos(phi)
+    dl1 = lam + dlam2
+    dl2 = lam - dlam2
+    z1 = _aacos(sp1 * sp + cp1 * cp * np.cos(dl1))
+    z2 = _aacos(sp2 * sp + cp2 * cp * np.cos(dl2))
+    z1 *= z1
+    z2 *= z2
+    t = z1 - z2
+    x = r2z0 * t
+    t = z02 - t
+    y = r2z0 * np.sqrt(np.maximum(4 * z02 * z2 - t * t, 0))
+    y = np.where(ccs * sp - cp * (cs * np.sin(dl1)
+                                  - sc * np.sin(dl2)) < 0, -y, y)
+    return x0 + R * x, y0 + R * y
+
+
+def tpeqd_inv(x, y, lat1=None, lon1=None, lat2=None, lon2=None,
+              x0=0.0, y0=0.0):
+    if None in (lat1, lon1, lat2, lon2):
+        raise ValueError("+proj=tpeqd requires +lat_1/+lon_1/+lat_2/"
+                         "+lon_2")
+    (cp1, sp1, cp2, sp2, ccs, cs, sc, r2z0, z02, dlam2, hz0, thz0,
+     rhshz0, ca, sa, lamp, lamc, lam0) = _tpeqd_setup(lat1, lon1, lat2,
+                                                      lon2)
+    xx = (np.asarray(x, float) - x0) / R
+    yy = (np.asarray(y, float) - y0) / R
+    cz1 = np.cos(np.hypot(yy, xx + hz0))
+    cz2 = np.cos(np.hypot(yy, xx - hz0))
+    s = cz1 + cz2
+    d = cz1 - cz2
+    lam = -np.arctan2(d, s * thz0)
+    phi = _aacos(np.hypot(thz0 * s, d) * rhshz0)
+    phi = np.where(yy < 0, -phi, phi)
+    sp, cp = np.sin(phi), np.cos(phi)
+    lam = lam - lamp
+    cl = np.cos(lam)
+    phi2 = _aasin(sa * sp + ca * cp * cl)
+    lam2 = np.arctan2(cp * np.sin(lam), sa * cp * cl - ca * sp) + lamc
+    return np.rad2deg(_wrap_lam(lam2 + lam0)), np.rad2deg(phi2)
+
+
+# --- chamb (mproj pj_chamb; Chamberlin trimetric, fwd only) ---
+
+def chamb_fwd(lon, lat, lat1=0.0, lon1=0.0, lat2=0.0, lon2=0.0,
+              lat3=0.0, lon3=0.0, lon0=0.0, x0=0.0, y0=0.0):
+    TOL = 1e-9
+    lam0 = np.deg2rad(lon0)
+
+    def vect(dphi, c1, s1, c2, s2, dlam):
+        cdl = np.cos(dlam)
+        big = (np.abs(dphi) > 1) | (np.abs(dlam) > 1)
+        dp = np.sin(0.5 * dphi)
+        dl = np.sin(0.5 * dlam)
+        r_small = 2 * _aasin(np.sqrt(dp * dp + c1 * c2 * dl * dl))
+        r_big = _aacos(s1 * s2 + c1 * c2 * cdl)
+        r = np.where(big, r_big, r_small)
+        az = np.where(np.abs(r) > TOL,
+                      np.arctan2(c2 * np.sin(dlam),
+                                 c1 * s2 - s1 * c2 * cdl), 0.0)
+        r = np.where(np.abs(r) > TOL, r, 0.0)
+        return r, az
+
+    def lc(b, c, a):
+        return _aacos(0.5 * (b * b + c * c - a * a) / (b * c))
+
+    cP = []
+    for la, lo in ((lat1, lon1), (lat2, lon2), (lat3, lon3)):
+        phi = np.deg2rad(la)
+        lam = float(_wrap_lam(np.deg2rad(lo) - lam0))
+        cP.append(dict(phi=phi, lam=lam, cosphi=np.cos(phi),
+                       sinphi=np.sin(phi)))
+    for i in range(3):
+        j = 0 if i == 2 else i + 1
+        r, az = vect(cP[j]["phi"] - cP[i]["phi"], cP[i]["cosphi"],
+                     cP[i]["sinphi"], cP[j]["cosphi"], cP[j]["sinphi"],
+                     cP[j]["lam"] - cP[i]["lam"])
+        if not float(r):
+            raise ValueError("+proj=chamb: control points coincide")
+        cP[i]["vr"], cP[i]["vaz"] = float(r), float(az)
+    beta_0 = float(lc(cP[0]["vr"], cP[2]["vr"], cP[1]["vr"]))
+    beta_1 = float(lc(cP[0]["vr"], cP[1]["vr"], cP[2]["vr"]))
+    beta_2 = np.pi - beta_0
+    cP[0]["py"] = cP[1]["py"] = cP[2]["vr"] * np.sin(beta_0)
+    y_0 = 2 * cP[0]["py"]
+    cP[2]["py"] = 0.0
+    cP[1]["px"] = 0.5 * cP[0]["vr"]
+    cP[0]["px"] = -cP[1]["px"]
+    x_0 = cP[2]["px"] = cP[0]["px"] + cP[2]["vr"] * np.cos(beta_0)
+
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float)) - lam0)
+    phi = np.deg2rad(np.asarray(lat, float))
+    sinphi, cosphi = np.sin(phi), np.cos(phi)
+    vr, vaz = [], []
+    at_ctl = np.zeros(np.shape(lam), dtype=bool)
+    ctl_x = np.zeros(np.shape(lam))
+    ctl_y = np.zeros(np.shape(lam))
+    for i in range(3):
+        r, az = vect(phi - cP[i]["phi"], cP[i]["cosphi"],
+                     cP[i]["sinphi"], cosphi, sinphi,
+                     lam - cP[i]["lam"])
+        hit = (r == 0) & ~at_ctl
+        ctl_x = np.where(hit, cP[i]["px"], ctl_x)
+        ctl_y = np.where(hit, cP[i]["py"], ctl_y)
+        at_ctl |= (r == 0)
+        vr.append(r)
+        vaz.append(_wrap_lam(az - cP[i]["vaz"]))
+    x = np.full(np.shape(lam), x_0, dtype=float)
+    y = np.full(np.shape(lam), y_0, dtype=float)
+    for i in range(3):
+        j = 0 if i == 2 else i + 1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            a = lc(cP[i]["vr"], vr[i], vr[j])
+        a = np.where(vaz[i] < 0, -a, a)
+        if i == 0:
+            x = x + vr[i] * np.cos(a)
+            y = y - vr[i] * np.sin(a)
+        elif i == 1:
+            a = beta_1 - a
+            x = x - vr[i] * np.cos(a)
+            y = y - vr[i] * np.sin(a)
+        else:
+            a = beta_2 - a
+            x = x + vr[i] * np.cos(a)
+            y = y + vr[i] * np.sin(a)
+    x = np.where(at_ctl, ctl_x, x / 3.0)
+    y = np.where(at_ctl, ctl_y, y / 3.0)
+    return x0 + R * x, y0 + R * y
+
+
+
+# --- qsc (mproj pj_qsc; Quadrilateralized Spherical Cube, ellipsoidal
+#     via the geocentric-latitude shift of [LK12]) ---
+
+_QSC_FORTPI = np.pi / 4
+_QSC_HALFPI = np.pi / 2
+
+
+def _qsc_shift(lon, off):
+    s = lon + off
+    s = np.where(s < -np.pi, s + 2 * np.pi, s)
+    return np.where(s > np.pi, s - 2 * np.pi, s)
+
+
+def _qsc_face(lat0, lon0):
+    phi0 = np.deg2rad(lat0)
+    lam0 = np.deg2rad(lon0)
+    if phi0 >= _QSC_HALFPI - _QSC_FORTPI / 2:
+        return 4                     # top
+    if phi0 <= -(_QSC_HALFPI - _QSC_FORTPI / 2):
+        return 5                     # bottom
+    if abs(lam0) <= _QSC_FORTPI:
+        return 0                     # front
+    if abs(lam0) <= _QSC_HALFPI + _QSC_FORTPI:
+        return 1 if lam0 > 0 else 3  # right / left
+    return 2                         # back
+
+
+def _qsc_equat_theta(phi, yv, xv):
+    """qsc_fwd_equat_face_theta, vectorized: returns (area, theta)."""
+    theta = np.arctan2(yv, xv)
+    a0 = np.abs(theta) <= _QSC_FORTPI
+    a1 = (theta > _QSC_FORTPI) & (theta <= _QSC_HALFPI + _QSC_FORTPI)
+    a2 = (theta > _QSC_HALFPI + _QSC_FORTPI) | \
+        (theta <= -(_QSC_HALFPI + _QSC_FORTPI))
+    area = np.select([a0, a1, a2], [0, 1, 2], 3)
+    th = np.select(
+        [a0, a1, a2],
+        [theta, theta - _QSC_HALFPI,
+         np.where(theta >= 0, theta - np.pi, theta + np.pi)],
+        theta + _QSC_HALFPI)
+    tiny = phi < 1e-10
+    return np.where(tiny, 0, area), np.where(tiny, 0.0, th)
+
+
+def qsc_fwd(lon, lat, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
+    face = _qsc_face(lat0, lon0)
+    one_minus_f = 1.0 - (1.0 - np.sqrt(ONE_ES))
+    omf2 = one_minus_f * one_minus_f
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    latv = np.arctan(omf2 * np.tan(np.deg2rad(np.asarray(lat, float))))
+    if face == 4:      # top
+        phi = _QSC_HALFPI - latv
+        c0 = (lam >= _QSC_FORTPI) & (lam <= _QSC_HALFPI + _QSC_FORTPI)
+        c1 = (lam > _QSC_HALFPI + _QSC_FORTPI) | \
+            (lam <= -(_QSC_HALFPI + _QSC_FORTPI))
+        c2 = (lam > -(_QSC_HALFPI + _QSC_FORTPI)) & (lam <= -_QSC_FORTPI)
+        area = np.select([c0, c1, c2], [0, 1, 2], 3)
+        theta = np.select(
+            [c0, c1, c2],
+            [lam - _QSC_HALFPI,
+             np.where(lam > 0, lam - np.pi, lam + np.pi),
+             lam + _QSC_HALFPI], lam)
+    elif face == 5:    # bottom
+        phi = _QSC_HALFPI + latv
+        c0 = (lam >= _QSC_FORTPI) & (lam <= _QSC_HALFPI + _QSC_FORTPI)
+        c1 = (lam < _QSC_FORTPI) & (lam >= -_QSC_FORTPI)
+        c2 = (lam < -_QSC_FORTPI) & (lam >= -(_QSC_HALFPI + _QSC_FORTPI))
+        area = np.select([c0, c1, c2], [0, 1, 2], 3)
+        theta = np.select(
+            [c0, c1, c2],
+            [-lam + _QSC_HALFPI, -lam, -lam - _QSC_HALFPI],
+            np.where(lam > 0, -lam + np.pi, -lam - np.pi))
+    else:
+        if face == 1:
+            lam = _qsc_shift(lam, _QSC_HALFPI)
+        elif face == 2:
+            lam = _qsc_shift(lam, np.pi)
+        elif face == 3:
+            lam = _qsc_shift(lam, -_QSC_HALFPI)
+        sl, cl = np.sin(latv), np.cos(latv)
+        sn, cn = np.sin(lam), np.cos(lam)
+        q = cl * cn
+        r_ = cl * sn
+        s_ = sl
+        if face == 0:
+            phi = _aacos(q)
+            area, theta = _qsc_equat_theta(phi, s_, r_)
+        elif face == 1:
+            phi = _aacos(r_)
+            area, theta = _qsc_equat_theta(phi, s_, -q)
+        elif face == 2:
+            phi = _aacos(-q)
+            area, theta = _qsc_equat_theta(phi, s_, -r_)
+        else:
+            phi = _aacos(-r_)
+            area, theta = _qsc_equat_theta(phi, s_, q)
+    mu = np.arctan(12.0 / np.pi * (theta + _aacos(np.sin(theta)
+                   * np.cos(_QSC_FORTPI)) - _QSC_HALFPI))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.sqrt(np.maximum(
+            (1.0 - np.cos(phi))
+            / (np.cos(mu) ** 2)
+            / (1.0 - np.cos(np.arctan(1.0 / np.cos(theta)))), 0))
+    mu = mu + np.select([area == 1, area == 2, area == 3],
+                        [_QSC_HALFPI, np.pi, np.pi + _QSC_HALFPI], 0.0)
+    return x0 + R * t * np.cos(mu), y0 + R * t * np.sin(mu)
+
+
+def qsc_inv(x, y, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
+    face = _qsc_face(lat0, lon0)
+    b = np.sqrt(ONE_ES)              # b/a on the unit ellipse
+    one_minus_f = 1.0 - (1.0 - b)
+    omf2 = one_minus_f * one_minus_f
+    xx = (np.asarray(x, float) - x0) / R
+    yy = (np.asarray(y, float) - y0) / R
+    nu = np.arctan(np.hypot(xx, yy))
+    mu = np.arctan2(yy, xx)
+    a0 = (xx >= 0) & (xx >= np.abs(yy))
+    a1 = (yy >= 0) & (yy >= np.abs(xx))
+    a2 = (xx < 0) & (-xx >= np.abs(yy))
+    area = np.select([a0, a1, a2], [0, 1, 2], 3)
+    mu = np.select([a0, a1, a2],
+                   [mu, mu - _QSC_HALFPI,
+                    np.where(mu < 0, mu + np.pi, mu - np.pi)],
+                   mu + _QSC_HALFPI)
+    t = np.pi / 12 * np.tan(mu)
+    theta = np.arctan(np.sin(t) / (np.cos(t) - 1 / np.sqrt(2)))
+    cosphi = np.clip(1.0 - np.cos(mu) ** 2 * np.tan(nu) ** 2
+                     * (1.0 - np.cos(np.arctan(1.0 / np.cos(theta)))),
+                     -1.0, 1.0)
+    if face == 4:      # top
+        phi = np.arccos(cosphi)
+        lp_phi = _QSC_HALFPI - phi
+        lp_lam = np.select(
+            [area == 0, area == 1, area == 2],
+            [theta + _QSC_HALFPI,
+             np.where(theta < 0, theta + np.pi, theta - np.pi),
+             theta - _QSC_HALFPI], theta)
+    elif face == 5:    # bottom
+        phi = np.arccos(cosphi)
+        lp_phi = phi - _QSC_HALFPI
+        lp_lam = np.select(
+            [area == 0, area == 1, area == 2],
+            [-theta + _QSC_HALFPI, -theta, -theta - _QSC_HALFPI],
+            np.where(theta < 0, -theta - np.pi, -theta + np.pi))
+    else:
+        q = cosphi
+        t2 = q * q
+        s_ = np.where(t2 >= 1, 0.0,
+                      np.sqrt(np.maximum(1 - t2, 0)) * np.sin(theta))
+        t2 = t2 + s_ * s_
+        r_ = np.where(t2 >= 1, 0.0, np.sqrt(np.maximum(1 - t2, 0)))
+        # rotate into area
+        r1 = np.where(area == 1, -s_,
+                      np.where(area == 2, -r_,
+                               np.where(area == 3, s_, r_)))
+        s1 = np.where(area == 1, r_,
+                      np.where(area == 2, -s_,
+                               np.where(area == 3, -r_, s_)))
+        r_, s_ = r1, s1
+        # rotate into face
+        if face == 1:
+            q, r_ = -r_, q
+        elif face == 2:
+            q, r_ = -q, -r_
+        elif face == 3:
+            q, r_ = r_, -q
+        lp_phi = np.arccos(-s_) - _QSC_HALFPI
+        lp_lam = np.arctan2(r_, q)
+        if face == 1:
+            lp_lam = _qsc_shift(lp_lam, -_QSC_HALFPI)
+        elif face == 2:
+            lp_lam = _qsc_shift(lp_lam, -np.pi)
+        elif face == 3:
+            lp_lam = _qsc_shift(lp_lam, _QSC_HALFPI)
+    # sphere -> ellipsoid shift
+    inv_sign = lp_phi < 0
+    tanphi = np.tan(lp_phi)
+    xa = b / np.sqrt(tanphi * tanphi + omf2)
+    phi_e = np.arctan(np.sqrt(np.maximum(1.0 - xa * xa, 0))
+                      / (one_minus_f * xa))
+    lp_phi = np.where(inv_sign, -phi_e, phi_e)
+    return np.rad2deg(lp_lam) + lon0, np.rad2deg(lp_phi)
+
+
+# --- healpix / rhealpix (mproj pj_healpix; ellipsoidal via authalic
+#     latitude, P.a scaled to the authalic radius) ---
+
+_HPX_ROT = [np.array(m, float) for m in (
+    [[1, 0], [0, 1]], [[0, -1], [1, 0]], [[-1, 0], [0, -1]],
+    [[0, 1], [-1, 0]], [[0, 1], [-1, 0]], [[-1, 0], [0, -1]],
+    [[0, -1], [1, 0]])]
+
+
+def _hpx_sphere(lam, phi):
+    phi0 = np.arcsin(2.0 / 3.0)
+    eq = np.abs(phi) <= phi0
+    sigma = np.sqrt(np.maximum(3 * (1 - np.abs(np.sin(phi))), 0))
+    cn = np.minimum(np.floor(2 * lam / np.pi + 2), 3)
+    lamc = -3 * _QSC_FORTPI + _QSC_HALFPI * cn
+    x = np.where(eq, lam, lamc + (lam - lamc) * sigma)
+    y = np.where(eq, 3 * np.pi / 8 * np.sin(phi),
+                 np.sign(phi) * _QSC_FORTPI * (2 - sigma))
+    return x, y
+
+
+def _hpx_sphere_inv(x, y):
+    eq = np.abs(y) <= _QSC_FORTPI
+    polar = (np.abs(y) < _QSC_HALFPI) & ~eq
+    cn = np.minimum(np.floor(2 * x / np.pi + 2), 3)
+    xc = -3 * _QSC_FORTPI + _QSC_HALFPI * cn
+    tau = 2.0 - 4 * np.abs(y) / np.pi
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lam_p = xc + (x - xc) / np.where(tau == 0, 1, tau)
+    phi_p = np.sign(y) * _aasin(1.0 - tau ** 2 / 3.0)
+    lam = np.select([eq, polar], [x, lam_p], -np.pi)
+    phi = np.select([eq, polar],
+                    [_aasin(8 * y / (3 * np.pi)), phi_p],
+                    np.sign(y) * _QSC_HALFPI)
+    return lam, phi
+
+
+def _hpx_combine_caps(x, y, north_square, south_square, inverse):
+    """mproj combine_caps, vectorized (matches the JS exactly,
+    including its translate-to-square-0 forward `a` vector)."""
+    north = y > _QSC_FORTPI
+    south = y < -_QSC_FORTPI
+    polar = north | south
+    c_pole = np.where(north, _QSC_HALFPI, -_QSC_HALFPI)
+    if not inverse:
+        cn = np.select(
+            [x < -_QSC_HALFPI, x < 0, x < _QSC_HALFPI], [0, 1, 2], 3)
+        cx = np.select([cn == 0, cn == 1, cn == 2],
+                       [-3 * _QSC_FORTPI, -_QSC_FORTPI, _QSC_FORTPI],
+                       3 * _QSC_FORTPI)
+        cy = c_pole
+        pole = np.where(north, north_square, south_square)
+        ridx = np.where(north, (cn - pole) % 4, (-(cn - pole)) % 4)
+    else:
+        sq = np.where(north, north_square, south_square)
+        cx = -3 * _QSC_FORTPI + sq * _QSC_HALFPI
+        cy = c_pole
+        xs = x - sq * _QSC_HALFPI
+        EPS = 1e-15
+        n1 = (y >= -xs - _QSC_FORTPI - EPS) & \
+            (y < xs + 5 * _QSC_FORTPI - EPS)
+        n2 = (y > -xs - _QSC_FORTPI + EPS) & \
+            (y >= xs + 5 * _QSC_FORTPI - EPS)
+        n3 = (y <= -xs - _QSC_FORTPI + EPS) & \
+            (y > xs + 5 * _QSC_FORTPI + EPS)
+        s1 = (y <= xs + _QSC_FORTPI + EPS) & \
+            (y > -xs - 5 * _QSC_FORTPI + EPS)
+        s2 = (y < xs + _QSC_FORTPI - EPS) & \
+            (y <= -xs - 5 * _QSC_FORTPI + EPS)
+        s3 = (y >= xs + _QSC_FORTPI - EPS) & \
+            (y < -xs - 5 * _QSC_FORTPI - EPS)
+        cn_n = np.select([n1, n2, n3],
+                         [(north_square + 1) % 4, (north_square + 2) % 4,
+                          (north_square + 3) % 4], north_square)
+        cn_s = np.select([s1, s2, s3],
+                         [(south_square + 1) % 4, (south_square + 2) % 4,
+                          (south_square + 3) % 4], south_square)
+        cn = np.where(north, cn_n, cn_s)
+        pole = np.where(north, north_square, south_square)
+        ridx = np.where(north, (-(cn - pole)) % 4, (cn - pole) % 4)
+    # rot index mapping: JS get_rotate_index maps 0..3 -> 0..3 and
+    # -1/-2/-3 -> 4/5/6; (k % 4) with k in -3..3 gives the same matrix
+    # because rot[4..6] mirror rot[3..1]: rot[(-1)%4=3]==rot[4], etc.
+    vx = x - cx
+    vy = y - cy
+    rx = np.empty_like(np.asarray(x, float))
+    ry = np.empty_like(rx)
+    for k in range(4):
+        m = _HPX_ROT[k]
+        sel = ridx == k
+        rx = np.where(sel, m[0, 0] * vx + m[0, 1] * vy, rx)
+        ry = np.where(sel, m[1, 0] * vx + m[1, 1] * vy, ry)
+    ax = -3 * _QSC_FORTPI + (cn if inverse else 0) * _QSC_HALFPI
+    ay = _QSC_HALFPI
+    ox = np.where(polar, rx + ax, x)
+    oy = np.where(polar, ry + ay, y)
+    return ox, oy
+
+
+def _hpx_auth_consts():
+    qp = float(_qsfn(1.0))
+    ra = np.sqrt(0.5 * qp)           # authalic radius / a
+    return qp, ra
+
+
+def healpix_fwd(lon, lat, lon0=0.0, x0=0.0, y0=0.0):
+    qp, ra = _hpx_auth_consts()
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    phi = np.arcsin(np.clip(_qsfn(np.sin(phi)) / qp, -1, 1))
+    x, y = _hpx_sphere(lam, phi)
+    return x0 + R * ra * x, y0 + R * ra * y
+
+
+def healpix_inv(x, y, lon0=0.0, x0=0.0, y0=0.0):
+    qp, ra = _hpx_auth_consts()
+    xx = (np.asarray(x, float) - x0) / (R * ra)
+    yy = (np.asarray(y, float) - y0) / (R * ra)
+    lam, phi = _hpx_sphere_inv(xx, yy)
+    phi = _authlat(phi)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def rhealpix_fwd(lon, lat, north_square=0, south_square=0, lon0=0.0,
+                 x0=0.0, y0=0.0):
+    ns, ss = int(north_square), int(south_square)
+    if not (0 <= ns <= 3 and 0 <= ss <= 3):
+        raise ValueError("+proj=rhealpix: north_square/south_square "
+                         "must be 0..3")
+    qp, ra = _hpx_auth_consts()
+    lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+    phi = np.deg2rad(np.asarray(lat, float))
+    phi = np.arcsin(np.clip(_qsfn(np.sin(phi)) / qp, -1, 1))
+    x, y = _hpx_sphere(lam, phi)
+    x, y = _hpx_combine_caps(x, y, ns, ss, False)
+    return x0 + R * ra * x, y0 + R * ra * y
+
+
+def rhealpix_inv(x, y, north_square=0, south_square=0, lon0=0.0,
+                 x0=0.0, y0=0.0):
+    ns, ss = int(north_square), int(south_square)
+    qp, ra = _hpx_auth_consts()
+    xx = (np.asarray(x, float) - x0) / (R * ra)
+    yy = (np.asarray(y, float) - y0) / (R * ra)
+    xx, yy = _hpx_combine_caps(xx, yy, ns, ss, True)
+    lam, phi = _hpx_sphere_inv(xx, yy)
+    phi = _authlat(phi)
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+# --- modified-stereographic polynomial grids (mproj pj_mod_ster):
+#     mil_os, lee_os, gs48, alsk, gs50 ---
+
+def _zpoly1c(z, C):
+    """pj_zpoly1: z * sum_k C[k] z^k (complex Horner)."""
+    r = np.full_like(z, C[-1])
+    for k in range(len(C) - 2, -1, -1):
+        r = C[k] + z * r
+    return z * r
+
+
+def _zpolyd1c(z, C):
+    """Value and derivative of _zpoly1 (d/dz [z*a(z)])."""
+    v = _zpoly1c(z, C)
+    Cd = [(k + 1) * C[k] for k in range(len(C))]
+    d = np.full_like(z, Cd[-1])
+    for k in range(len(Cd) - 2, -1, -1):
+        d = Cd[k] + z * d
+    return v, d
+
+
+def _mod_ster_family(AB, lam0_deg, phi0_deg, a, es, e=None):
+    """pj_mod_ster with the family's fixed coefficients / datum.
+
+    mproj quirk preserved: mil_os/lee_os/gs48 set ``P.es = 0`` (so the
+    setup's chio branch takes the sphere path, chio = phi0) but leave
+    ``P.e`` at the value pj_init derived from the default WGS84
+    ellipsoid — and e_fwd/e_inv apply the conformal-latitude formula
+    with ``P.e`` unconditionally.  So ``es`` only gates chio while
+    ``e`` always shapes chi."""
+    C = [complex(r, i) for r, i in AB]
+    e = float(np.sqrt(es)) if e is None else float(e)
+    phi0 = np.deg2rad(phi0_deg)
+    esphi = e * np.sin(phi0)
+    if es != 0:
+        chio = 2 * np.arctan(np.tan((np.pi / 2 + phi0) * 0.5)
+                             * ((1 - esphi) / (1 + esphi)) ** (e * 0.5)) \
+            - np.pi / 2
+    else:
+        chio = phi0
+    schio, cchio = np.sin(chio), np.cos(chio)
+
+    def fwd(lon, lat, x0=0.0, y0=0.0):
+        lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lam0_deg))
+        phi = np.deg2rad(np.asarray(lat, float))
+        esphi = e * np.sin(phi)
+        chi = 2 * np.arctan(
+            np.tan((np.pi / 2 + phi) * 0.5)
+            * ((1 - esphi) / (1 + esphi)) ** (e * 0.5)) - np.pi / 2
+        schi, cchi = np.sin(chi), np.cos(chi)
+        s = 2 / (1 + schio * schi + cchio * cchi * np.cos(lam))
+        z = (s * cchi * np.sin(lam)
+             + 1j * s * (cchio * schi - schio * cchi * np.cos(lam)))
+        p = _zpoly1c(z.astype(complex), C)
+        return x0 + a * p.real, y0 + a * p.imag
+
+    def inv(x, y, x0=0.0, y0=0.0):
+        EPSLN = 1e-12
+        xx = (np.asarray(x, float) - x0) / a
+        yy = (np.asarray(y, float) - y0) / a
+        z = (xx + 1j * yy).astype(complex)
+        p = z.copy()
+        for _ in range(20):
+            f, fp = _zpolyd1c(p, C)
+            f = f - z
+            dp = -f * np.conj(fp) / (fp.real ** 2 + fp.imag ** 2)
+            p = p + dp
+            if np.all(np.abs(dp.real) + np.abs(dp.imag) <= EPSLN):
+                break
+        rh = np.abs(p)
+        zz = 2 * np.arctan(0.5 * rh)
+        sinz, cosz = np.sin(zz), np.cos(zz)
+        small = np.abs(rh) <= EPSLN
+        with np.errstate(divide="ignore", invalid="ignore"):
+            chi = _aasin(cosz * schio
+                         + p.imag * sinz * cchio
+                         / np.where(rh == 0, 1, rh))
+        phi = chi
+        for _ in range(20):
+            esphi = e * np.sin(phi)
+            dphi = 2 * np.arctan(
+                np.tan((np.pi / 2 + chi) * 0.5)
+                * ((1 + esphi) / (1 - esphi)) ** (e * 0.5)) \
+                - np.pi / 2 - phi
+            phi = phi + dphi
+            if np.all(np.abs(dphi) <= EPSLN):
+                break
+        lam = np.arctan2(p.real * sinz,
+                         rh * cchio * cosz - p.imag * schio * sinz)
+        lam = np.where(small, 0.0, lam)
+        phi = np.where(small, phi0, phi)
+        # pj_inv wraps AFTER adding lam0 (adjlon), so e.g. lee_os
+        # round-trips 175 deg back to 175, not -185
+        return (np.rad2deg(_wrap_lam(lam + np.deg2rad(lam0_deg))),
+                np.rad2deg(phi))
+
+    return fwd, inv
+
+
+mil_os_fwd, mil_os_inv = _mod_ster_family(
+    [(0.924500, 0), (0, 0), (0.019430, 0)], 20.0, 18.0, 6378137.0, 0.0,
+    e=E)
+lee_os_fwd, lee_os_inv = _mod_ster_family(
+    [(0.721316, 0), (0, 0), (-0.0088162, -0.00617325)], -165.0, -10.0,
+    6378137.0, 0.0, e=E)
+gs48_fwd, gs48_inv = _mod_ster_family(
+    [(0.98879, 0), (0, 0), (-0.050909, 0), (0, 0), (0.075528, 0)],
+    -96.0, 39.0, 6370997.0, 0.0, e=E)
+alsk_fwd, alsk_inv = _mod_ster_family(
+    [(0.9945303, 0), (0.0052083, -0.0027404), (0.0072721, 0.0048181),
+     (-0.0151089, -0.1932526), (0.0642675, -0.1381226),
+     (0.3582802, -0.2884586)], -152.0, 64.0, 6378206.4, 0.00676866)
+gs50_fwd, gs50_inv = _mod_ster_family(
+    [(0.9827497, 0), (0.0210669, 0.0053804), (-0.1031415, -0.0571664),
+     (-0.0323337, -0.0322847), (0.0502303, 0.1211983),
+     (0.0251805, 0.0895678), (-0.0012315, -0.1416121),
+     (0.0072202, -0.1317091), (-0.0194029, 0.0759677),
+     (-0.0210072, 0.0834037)], -120.0, 45.0, 6378206.4, 0.00676866)
+
+
+# --- ob_tran (mproj pj_ob_tran; general oblique transformation of a
+#     base spherical projection) ---
+
+def _ob_tran_pole(parts):
+    TOL = 1e-10
+    get = lambda k: np.deg2rad(float(parts[k]))
+    if "o_alpha" in parts:
+        lamc = get("o_lon_c")
+        phic = get("o_lat_c")
+        alpha = get("o_alpha")
+        if abs(abs(phic) - np.pi / 2) <= TOL:
+            raise ValueError("+proj=ob_tran: |o_lat_c| == 90")
+        lamp = lamc + np.arctan2(-np.cos(alpha),
+                                 -np.sin(alpha) * np.sin(phic))
+        phip = _aasin(np.cos(phic) * np.sin(alpha))
+    elif "o_lat_p" in parts:
+        lamp = get("o_lon_p") if "o_lon_p" in parts else 0.0
+        phip = get("o_lat_p")
+    else:
+        l1, p1 = get("o_lon_1"), get("o_lat_1")
+        l2, p2 = get("o_lon_2"), get("o_lat_2")
+        con = abs(p1)
+        if (abs(p1 - p2) <= TOL or con <= TOL
+                or abs(con - np.pi / 2) <= TOL
+                or abs(abs(p2) - np.pi / 2) <= TOL):
+            raise ValueError("+proj=ob_tran: bad o_lat_1/o_lat_2")
+        lamp = np.arctan2(
+            np.cos(p1) * np.sin(p2) * np.cos(l1)
+            - np.sin(p1) * np.cos(p2) * np.cos(l2),
+            np.sin(p1) * np.cos(p2) * np.sin(l2)
+            - np.cos(p1) * np.sin(p2) * np.sin(l1))
+        phip = np.arctan(-np.cos(lamp - l1) / np.tan(p1))
+    return float(lamp), float(phip)
+
+
+def _ob_tran_make(sub_fwd, sub_inv, lamp, phip, lon0):
+    TOL = 1e-10
+    oblique = abs(phip) > TOL
+    cphip, sphip = np.cos(phip), np.sin(phip)
+
+    def fwd(lon, lat, x0=0.0, y0=0.0):
+        lam = _wrap_lam(np.deg2rad(np.asarray(lon, float) - lon0))
+        phi = np.deg2rad(np.asarray(lat, float))
+        cosphi, sinphi = np.cos(phi), np.sin(phi)
+        coslam = np.cos(lam)
+        if oblique:
+            lam2 = _wrap_lam(np.arctan2(
+                cosphi * np.sin(lam),
+                sphip * cosphi * coslam + cphip * sinphi) + lamp)
+            phi2 = _aasin(sphip * sinphi - cphip * cosphi * coslam)
+        else:
+            lam2 = _wrap_lam(np.arctan2(cosphi * np.sin(lam), sinphi)
+                             + lamp)
+            phi2 = _aasin(-cosphi * coslam)
+        x, y = sub_fwd(np.rad2deg(lam2), np.rad2deg(phi2))
+        return x + x0, y + y0
+
+    def inv(x, y, x0=0.0, y0=0.0):
+        lo, la = sub_inv(np.asarray(x, float) - x0,
+                         np.asarray(y, float) - y0)
+        lam = np.deg2rad(lo) - lamp
+        phi = np.deg2rad(la)
+        cosphi, sinphi = np.cos(phi), np.sin(phi)
+        if oblique:
+            coslam = np.cos(lam)
+            phi2 = _aasin(sphip * sinphi + cphip * cosphi * coslam)
+            lam2 = np.arctan2(cosphi * np.sin(lam),
+                              sphip * cosphi * coslam - cphip * sinphi)
+        else:
+            phi2 = _aasin(cosphi * np.cos(lam))
+            lam2 = np.arctan2(cosphi * np.sin(lam), -sinphi)
+        return (np.rad2deg(_wrap_lam(lam2 + np.deg2rad(lon0))),
+                np.rad2deg(phi2))
+
+    return fwd, (inv if sub_inv is not None else None)
+
+
 # alias index (reference src/geom/mapshaper-projections.js:4-9 plus the
 # proj4 family names its tests use)
 PROJECTIONS = {
@@ -3729,6 +4853,32 @@ PROJECTIONS = {
     "bonne": (bonne_fwd, bonne_inv),
     "omerc": (omerc_fwd, omerc_inv),
     "nzmg": (nzmg_fwd, nzmg_inv),
+    # round-4 batch 2: remaining mproj families (full coverage of the
+    # reference's pj_list except 3D geocent)
+    "euler": (euler_fwd, euler_inv),
+    "murd1": (murd1_fwd, murd1_inv),
+    "murd2": (murd2_fwd, murd2_inv),
+    "murd3": (murd3_fwd, murd3_inv),
+    "pconic": (pconic_fwd, pconic_inv),
+    "tissot": (tissot_fwd, tissot_inv),
+    "vitk1": (vitk1_fwd, vitk1_inv),
+    "leac": (leac_fwd, leac_inv),
+    "airy": (airy_fwd, None),
+    "wag6": (wag6_fwd, wag6_inv),
+    "natearth2": (natearth2_fwd, natearth2_inv),
+    "nsper": (nsper_fwd, nsper_inv),
+    "tpers": (tpers_fwd, tpers_inv),
+    "ocea": (ocea_fwd, ocea_inv),
+    "tpeqd": (tpeqd_fwd, tpeqd_inv),
+    "chamb": (chamb_fwd, None),
+    "qsc": (qsc_fwd, qsc_inv),
+    "healpix": (healpix_fwd, healpix_inv),
+    "rhealpix": (rhealpix_fwd, rhealpix_inv),
+    "mil_os": (mil_os_fwd, mil_os_inv),
+    "lee_os": (lee_os_fwd, lee_os_inv),
+    "gs48": (gs48_fwd, gs48_inv),
+    "alsk": (alsk_fwd, alsk_inv),
+    "gs50": (gs50_fwd, gs50_inv),
     # round-4 long-tail batch 1: remaining spherical pseudocylindricals
     # + misc-spherical (mproj pj_* kernels; fwd-only where the
     # reference has no inverse either)
@@ -3813,7 +4963,10 @@ _PARAM_KEYS = {"lat_1": "lat1", "lat_2": "lat2", "lat_0": "lat0",
                "rf": "rf", "lonc": "lonc", "alpha": "alpha",
                "gamma": "gamma", "lon_1": "lon1", "lon_2": "lon2",
                "W": "W", "M": "M", "n": "n", "m": "m", "q": "q",
-               "h": "h", "tilt": "tilt", "azi": "azi"}
+               "h": "h", "tilt": "tilt", "azi": "azi",
+               "lat_3": "lat3", "lon_3": "lon3", "lat_b": "lat_b",
+               "north_square": "north_square",
+               "south_square": "south_square"}
 
 # PROJ4's zero defaults, applied to '+proj=' strings only (the alias
 # kernels keep the reference aliases' bound parameters, e.g. 'albers'
@@ -3870,6 +5023,18 @@ def resolve_projection(defn: str):
             _resolve_ellps(parts, kw)
             return (functools.partial(stere_fwd, **kw),
                     functools.partial(stere_inv, **kw))
+        if name == "ob_tran":
+            # pj_ob_tran: rotate the sphere, delegate to o_proj's
+            # kernel (spherical base, default params)
+            o_name = parts.get("o_proj", "")
+            if not o_name or o_name == "ob_tran" \
+                    or o_name not in PROJECTIONS:
+                raise ValueError("+proj=ob_tran requires a supported "
+                                 "+o_proj= family")
+            lamp, phip = _ob_tran_pole(parts)
+            sub_fwd, sub_inv = PROJECTIONS[o_name]
+            lon0 = float(parts.get("lon_0", 0) or 0)
+            return _ob_tran_make(sub_fwd, sub_inv, lamp, phip, lon0)
         if name not in PROJECTIONS:
             raise ValueError(f"unsupported +proj={name!r}; "
                              f"available: {sorted(PROJECTIONS)}")
@@ -3885,6 +5050,10 @@ def resolve_projection(defn: str):
             kw["czech"] = True
         if name == "aeqd" and "guam" in parts:
             kw["guam"] = True
+        if name == "leac" and "south" in parts:
+            kw["south"] = True
+        if name == "airy" and "no_cut" in parts:
+            kw["no_cut"] = True
         # '+proj=' strings take PROJ4's zero defaults, NOT the alias
         # kernels' reference-alias defaults (mproj: bare +proj=aea
         # projects at lat_0=0/lon_0=0; bare +proj=lcc errors) —

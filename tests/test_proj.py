@@ -312,3 +312,99 @@ def test_round4_fwd_only_families_finite():
         fwd, _ = resolve_projection(spec)
         x, y = fwd(*world)
         assert np.all(np.isfinite(x)) and np.all(np.isfinite(y)), spec
+
+
+def test_round4_batch2_roundtrips():
+    """Batch 2 (remaining mproj families): fwd∘inv identity for every
+    kernel that mproj can invert; live parity is
+    test_reference_cli_parity.py::test_proj_round4_batch2_vs_mproj."""
+    from mapshaper_ray.stages.proj import resolve_projection
+    world = (np.array([-96.5, 12.3, 150.1, -70.2, 24.8]),
+             np.array([38.2, 48.7, -33.9, -54.8, 60.2]))
+    na = (np.array([-96.5, -120.3, -80.1]),
+          np.array([38.2, 48.7, 25.9]))
+    cases = {
+        "+proj=euler +lat_1=20 +lat_2=60": world,
+        "+proj=murd1 +lat_1=20 +lat_2=60": world,
+        "+proj=murd2 +lat_1=20 +lat_2=60": na,  # tan() domain: phi > sig-90
+        "+proj=murd3 +lat_1=20 +lat_2=60": world,
+        "+proj=pconic +lat_1=20 +lat_2=60 +lat_0=40": na,
+        "+proj=tissot +lat_1=20 +lat_2=60": world,
+        "+proj=vitk1 +lat_1=20 +lat_2=60": world,
+        "+proj=leac +lat_1=30": world,
+        "+proj=leac +lat_1=-30 +south": world,
+        "+proj=wag6": world,
+        "+proj=natearth2": world,
+        "+proj=nsper +h=3000000 +lat_0=40 +lon_0=-100": na,
+        "+proj=tpers +h=5500000 +lat_0=40 +lon_0=-100 +tilt=25"
+        " +azi=20": na,
+        "+proj=ocea +lat_1=40 +lat_2=50 +lon_1=-100 +lon_2=-60": world,
+        "+proj=ocea +alpha=30 +lonc=-75": world,
+        "+proj=tpeqd +lat_1=40 +lon_1=-100 +lat_2=50 +lon_2=-60":
+            world,
+        "+proj=qsc": na,
+        "+proj=qsc +lat_0=90": world,
+        "+proj=healpix": world,
+        # rhealpix roundtrips only in the equatorial band — mproj's
+        # own combine_caps translates every polar cap to square 0
+        # with y=+pi/2 (its forward for (-70.2,-54.8) inverts to
+        # (-19.8,+54.8) too; verified live) and we match it exactly
+        "+proj=rhealpix":
+            (np.array([-96.5, 12.3, 150.1, 24.8]),
+             np.array([38.2, -33.9, 20.4, -41.0])),
+        "+proj=rhealpix +north_square=1 +south_square=2":
+            (np.array([-96.5, 12.3, 150.1, 24.8]),
+             np.array([38.2, -33.9, 20.4, -41.0])),
+        "+proj=mil_os": (np.array([20.0, 5.0, 35.0, -10.0]),
+                         np.array([18.0, 40.0, 5.0, 30.0])),
+        "+proj=lee_os": (np.array([-165.0, -145.0, 175.0]),
+                         np.array([-10.0, 10.0, -30.0])),
+        "+proj=gs48": (np.array([-96.0, -120.0, -80.0]),
+                       np.array([39.0, 48.0, 25.0])),
+        "+proj=alsk": (np.array([-152.0, -165.0, -140.0]),
+                       np.array([64.0, 60.0, 70.0])),
+        "+proj=gs50": (np.array([-120.0, -150.0, -96.0]),
+                       np.array([45.0, 62.0, 39.0])),
+        "+proj=ob_tran +o_proj=moll +o_lon_p=40 +o_lat_p=50"
+        " +lon_0=-100": world,
+        "+proj=ob_tran +o_proj=eqc +o_lat_1=10 +o_lon_1=-90"
+        " +o_lat_2=30 +o_lon_2=0": world,
+    }
+    for spec, (lon, lat) in cases.items():
+        fwd, inv = resolve_projection(spec)
+        assert inv is not None, spec
+        x, y = fwd(lon, lat)
+        lo, la = inv(x, y)
+        assert np.allclose(lo, lon, atol=1e-6), spec
+        assert np.allclose(la, lat, atol=1e-6), spec
+
+
+def test_full_mproj_family_coverage():
+    """Every name mproj's pj_list dispatches resolves here, except 3D
+    geocent (not a planar projection; the reference CLI cannot -proj
+    to it meaningfully either)."""
+    from mapshaper_ray.stages.proj import PROJECTIONS
+    mproj_list = [
+        "aea", "leac", "aeqd", "airy", "wintri", "aitoff", "august",
+        "apian", "ortel", "bacon", "boggs", "bonne", "cass", "cea",
+        "chamb", "crast", "denoy", "eck1", "eck2", "eck3", "wag6",
+        "kav7", "putp1", "eck4", "eck5", "eqc", "eqdc", "etmerc",
+        "utm", "gall", "gilbert", "gins8", "gn_sinu", "sinu", "eck6",
+        "mbtfps", "gnom", "moll", "wag4", "wag5", "goode", "hammer",
+        "hatano", "healpix", "rhealpix", "krovak", "laea", "lonlat",
+        "longlat", "latlon", "latlong", "lcc", "loxim", "mbt_fpp",
+        "mbt_fpq", "mbt_fps", "merc", "mill", "mil_os", "lee_os",
+        "gs48", "alsk", "gs50", "natearth", "natearth2", "nell",
+        "nell_h", "nsper", "tpers", "nzmg", "ob_tran", "ocea",
+        "omerc", "ortho", "poly", "putp2", "putp3", "putp3p",
+        "putp4p", "weren", "putp5", "putp5p", "putp6", "putp6p",
+        "qsc", "robin", "euler", "murd1", "murd2", "murd3", "pconic",
+        "tissot", "vitk1", "somerc", "stere", "ups", "sterea", "kav5",
+        "qua_aut", "fouc", "mbt_s", "tcea", "times", "tmerc", "tpeqd",
+        "urm5", "urmfps", "wag1", "vandg", "vandg2", "vandg3",
+        "vandg4", "wag2", "wag3", "wag7", "wink1", "wink2",
+    ]
+    special = {"utm", "etmerc", "ups", "ob_tran"}  # resolve-time
+    missing = [n for n in mproj_list
+               if n not in PROJECTIONS and n not in special]
+    assert missing == [], missing

@@ -420,6 +420,74 @@ def test_proj_round4_batch_vs_mproj(ray_session, ref_cli, tmp_path,
         ray_session, ref_cli, tmp_path, spec, pts)
 
 
+# round-4 batch 2: the remaining mproj families (full pj_list
+# coverage except 3D geocent).  Conics probe non-default lat_1/lat_2;
+# the azimuthal/perspective/polynomial-grid families use in-domain
+# points (mproj errors outside them too); chamb stays within |dlam|,
+# |dphi| < 1 rad of its control points (beyond that mproj's vect()
+# hits its own `cs1` ReferenceError).
+_R4B2_NA = [(-96.5, 38.2), (-120.3, 48.7), (-80.1, 25.9)]
+_R4B2_SPECS = [
+    ("+proj=euler +lat_1=20 +lat_2=60", _R4_WORLD),
+    ("+proj=murd1 +lat_1=20 +lat_2=60", _R4_WORLD),
+    ("+proj=murd2 +lat_1=20 +lat_2=60", _R4_WORLD),
+    ("+proj=murd3 +lat_1=20 +lat_2=60", _R4_WORLD),
+    ("+proj=pconic +lat_1=20 +lat_2=60 +lat_0=40", _R4_WORLD),
+    ("+proj=tissot +lat_1=20 +lat_2=60", _R4_WORLD),
+    ("+proj=vitk1 +lat_1=20 +lat_2=60", _R4_WORLD),
+    ("+proj=leac +lat_1=30", _R4_WORLD),
+    ("+proj=leac +lat_1=-30 +south", _R4_WORLD),
+    ("+proj=airy +lat_0=40 +lon_0=-100", _R4B2_NA),
+    ("+proj=airy +lat_0=90",
+     [(-96.5, 68.2), (12.3, 48.7), (0.0, 89.0), (-179.5, 71.2)]),
+    ("+proj=wag6", _R4_WORLD),
+    ("+proj=natearth2", _R4_WORLD),
+    ("+proj=nsper +h=3000000 +lat_0=40 +lon_0=-100", _R4B2_NA),
+    ("+proj=tpers +h=5500000 +lat_0=40 +lon_0=-100 +tilt=25 +azi=20",
+     _R4B2_NA),
+    ("+proj=ocea +lat_1=40 +lat_2=50 +lon_1=-100 +lon_2=-60",
+     _R4_WORLD),
+    ("+proj=ocea +alpha=30 +lonc=-75", _R4_WORLD),
+    ("+proj=tpeqd +lat_1=40 +lon_1=-100 +lat_2=50 +lon_2=-60",
+     _R4_WORLD),
+    ("+proj=chamb +lat_1=22 +lon_1=-120 +lat_2=45 +lon_2=-70"
+     " +lat_3=10 +lon_3=-90 +lon_0=-95",
+     [(-110.0, 30.0), (-95.0, 35.0), (-80.0, 20.0), (-100.0, 45.0)]),
+    ("+proj=qsc",
+     [(10.0, 20.0), (-35.0, -30.0), (0.5, -0.25), (25.0, 48.0)]),
+    ("+proj=qsc +lat_0=90", _R4_WORLD),
+    ("+proj=qsc +lon_0=90",
+     [(80.0, 20.0), (100.0, -35.0), (60.5, -0.25), (115.0, 48.0)]),
+    ("+proj=healpix", _R4_WORLD),
+    ("+proj=rhealpix", _R4_WORLD),
+    ("+proj=rhealpix +north_square=1 +south_square=2", _R4_WORLD),
+    ("+proj=mil_os",
+     [(20.0, 18.0), (5.0, 40.0), (35.0, 5.0), (-10.0, 30.0)]),
+    ("+proj=lee_os",
+     [(-165.0, -10.0), (-145.0, 10.0), (175.0, -30.0),
+      (-150.0, -30.0)]),
+    ("+proj=gs48",
+     [(-96.0, 39.0), (-120.0, 48.0), (-80.0, 25.0), (-100.0, 30.0)]),
+    ("+proj=alsk",
+     [(-152.0, 64.0), (-165.0, 60.0), (-140.0, 70.0), (-155.0, 55.0)]),
+    ("+proj=gs50",
+     [(-120.0, 45.0), (-150.0, 62.0), (-96.0, 39.0), (-75.0, 42.0)]),
+    ("+proj=ob_tran +o_proj=moll +o_lon_p=40 +o_lat_p=50 +lon_0=-100",
+     _R4_WORLD),
+    ("+proj=ob_tran +o_proj=eqc +o_lat_1=10 +o_lon_1=-90 +o_lat_2=30"
+     " +o_lon_2=0", _R4_WORLD),
+]
+
+
+@pytest.mark.parametrize("spec,pts", _R4B2_SPECS)
+def test_proj_round4_batch2_vs_mproj(ray_session, ref_cli, tmp_path,
+                                     spec, pts):
+    """Round-4 batch 2 — with these, every mproj pj_list family except
+    3D geocent has a live-parity-tested kernel."""
+    test_proj_family_batch_vs_mproj(ray_session, ref_cli, tmp_path,
+                                    spec, list(pts))
+
+
 def test_proj_gilbert_vs_mproj(ray_session, ref_cli, tmp_path):
     test_proj_family_batch_vs_mproj(
         ray_session, ref_cli, tmp_path, "+proj=gilbert +lat_1=10",
