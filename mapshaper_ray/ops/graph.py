@@ -11,6 +11,8 @@ components in ops/dedup.cluster_pairs (large/small-star contraction).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -34,9 +36,20 @@ def out_weighted_edges(edges_ds, src_col="src", dst_col="dst",
     return ew.map_batches(weigh, batch_format="pandas")
 
 
+# inflow reduce auto-gate: at or below this node count the
+# per-iteration contribution reduce runs as per-batch partials +
+# driver pandas groupby (no sort exchange — the partial table is
+# bounded by blocks x in-block-unique <= edges, and the REDUCED table
+# by n); above it the fully distributed bucket shuffle keeps the
+# driver out of the loop entirely.  Same gate pattern as minhash's
+# pair cap and lm_nll's vocab cap.
+PAGERANK_DRIVER_REDUCE_CAP = int(os.environ.get(
+    "MAPSHAPER_RAY_PAGERANK_DRIVER_CAP", "2000000"))
+
+
 def pagerank(edges_ds, nodes_ds, damping=0.85, iters=5,
              src_col="src", dst_col="dst", node_col="node",
-             num_buckets=32):
+             num_buckets=32, inflow_mode="auto"):
     """Distributed PageRank power iteration.
 
     ``nodes_ds`` supplies the node universe (nodes without in-edges
@@ -51,11 +64,20 @@ def pagerank(edges_ds, nodes_ds, damping=0.85, iters=5,
     node list.  The rank vector lives in the object store between
     iterations (materialize), never on the driver.  Returns a Dataset
     (node_col, rank).
+
+    ``inflow_mode``: "auto" (default) picks the contribution-reduce
+    strategy by node count — "driver" (partials + driver groupby, no
+    sort exchange) at or below PAGERANK_DRIVER_REDUCE_CAP, "shuffle"
+    (zeros-union bucket exchange, driver-unbounded) above.  Both are
+    pytest-equivalence-tested.
     """
     from .partition import bucket_part
 
     nodes_ds = nodes_ds.materialize()
     n = nodes_ds.count()
+    if inflow_mode == "auto":
+        inflow_mode = ("driver" if n <= PAGERANK_DRIVER_REDUCE_CAP
+                       else "shuffle")
     ew = out_weighted_edges(edges_ds, src_col, dst_col,
                             num_buckets=num_buckets).materialize()
     base0 = 1.0 / n
@@ -116,11 +138,18 @@ def pagerank(edges_ds, nodes_ds, damping=0.85, iters=5,
                 "__x": g.to_numpy(np.float64)})
 
         # materialized: consumed twice (dangling scalar + renew)
-        inflow = contrib_in.map_batches(emit, batch_format="pyarrow") \
-            .union(zeros) \
-            .groupby("__part").map_groups(sum_part,
-                                          batch_format="pandas") \
-            .materialize()
+        contrib = contrib_in.map_batches(emit, batch_format="pyarrow") \
+            .union(zeros)
+        if inflow_mode == "driver":
+            # per-batch partials + driver pandas groupby: no sort
+            # exchange; the zeros union still carries the node
+            # universe so nodes without inflow keep the teleport base
+            inflow = groupby_agg(contrib, [node_col],
+                                 {"__x": ("__x", "sum")}).materialize()
+        else:
+            inflow = contrib.groupby("__part") \
+                .map_groups(sum_part, batch_format="pandas") \
+                .materialize()
 
         # dangling mass = rank not carried by any out-edge (one tiny
         # driver scalar from a partial-sum aggregate; the zero rows
@@ -140,8 +169,15 @@ def pagerank(edges_ds, nodes_ds, damping=0.85, iters=5,
             nd = np.asarray(t.column(node_col).to_numpy(
                 zero_copy_only=False), dtype=np.int64)
             return pa.table({node_col: nd, "rank": base + damping * x})
+        # repartition: Ray's sort emits one output block per INPUT
+        # block, so without this each iteration inherits the previous
+        # one's partition count and the loop inflates unboundedly
+        # (196 -> 327 -> 458 -> ... blocks, mostly empty; measured
+        # 6.3s -> 14.3s -> 26.4s per iteration).  Pinning the rank
+        # table at num_buckets blocks keeps every iteration's two
+        # exchanges constant-cost — 4.8s/iter flat at 2M edges.
         ranks = inflow.map_batches(renew, batch_format="pyarrow") \
-            .materialize()
+            .repartition(num_buckets).materialize()
     return ranks
 
 
@@ -480,9 +516,13 @@ def pagerank_checkpointed(edges_ds, nodes_ds, damping=0.85, iters=5,
                 node_col: df[node_col].to_numpy(dtype=np.int64),
                 "rank": base + damping * x})
 
+        # repartition: same block-inflation guard as plain pagerank —
+        # the join's sort emits one block per input block, so without
+        # a fixed partition count each iteration compounds the last
+        # one's block count
         new_ranks = joined.map_batches(renew,
                                        batch_format="pandas") \
-            .materialize()
+            .repartition(num_buckets).materialize()
 
         l1 = None
         if tol is not None:
