@@ -276,64 +276,97 @@ def triangle_count(edges_ds, src_col="src", dst_col="dst",
         .materialize()
 
     if pivot == "degree":
-        # (deg, id)-ordered orientation: attach both endpoint degrees
-        # (two bucket joins), point each edge from the lower-(deg,id)
-        # node to the higher, and carry the neighbor's order key so
-        # the wedge stage emits pairs in the SAME order the edge
-        # table stores them.  ids must fit 32 bits (packed key).
+        # (deg, id)-ordered orientation: attach both endpoint degrees,
+        # point each edge from the lower-(deg,id) node to the higher,
+        # and carry the neighbor's order key so the wedge stage emits
+        # pairs in the SAME order the edge table stores them.  ids
+        # must fit 32 bits (packed key).
         def ends_(df: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({"node": np.concatenate(
                 [df["u"].to_numpy(), df["v"].to_numpy()])})
 
         deg = groupby_agg(edges.map_batches(ends_,
                                             batch_format="pandas"),
-                          ["node"], {"deg": ("node", "count")})
+                          ["node"], {"deg": ("node", "count")}) \
+            .materialize()
+        n_nodes = deg.count()
 
-        def as_u(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"u": df["node"].to_numpy(),
-                                 "__du": df["deg"].to_numpy()})
-
-        def as_v(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"v": df["node"].to_numpy(),
-                                 "__dv": df["deg"].to_numpy()})
-
-        e1 = hash_join(edges, deg.map_batches(
-            as_u, batch_format="pandas"), on="u",
-            num_buckets=num_buckets)
-
-        # the join's one-sided-bucket NaN pad coerces carried int
-        # columns to float — restore int64 BEFORE the second join or
-        # its hash buckets mismatch (float64 2.0 hashes differently
-        # from int64 2; same pitfall asof_join documents)
-        def re_int(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                "u": df["u"].to_numpy(dtype=np.int64),
-                "v": df["v"].to_numpy(dtype=np.int64),
-                "__du": df["__du"].to_numpy(dtype=np.int64)})
-
-        e2 = hash_join(e1.map_batches(re_int, batch_format="pandas"),
-                       deg.map_batches(as_v, batch_format="pandas"),
-                       on="v", num_buckets=num_buckets)
-
-        def orient(df: pd.DataFrame) -> pd.DataFrame:
-            u = df["u"].to_numpy(dtype=np.int64)
-            v = df["v"].to_numpy(dtype=np.int64)
+        def _pack_orient(u, v, du, dv):
             if len(u) and (int(max(u.max(), v.max())) >= (1 << 32)
                            or int(min(u.min(), v.min())) < 0):
                 raise ValueError(
                     "triangle_count pivot='degree' packs (deg<<32)|id"
                     " — node ids must be in [0, 2^32); remap ids or "
                     "use pivot='id'")
-            ku = (df["__du"].to_numpy(dtype=np.int64) << 32) | u
-            kv = (df["__dv"].to_numpy(dtype=np.int64) << 32) | v
+            ku = (du << 32) | u
+            kv = (dv << 32) | v
             lo = ku < kv
             return pd.DataFrame({
                 "u": np.where(lo, u, v),
                 "v": np.where(lo, v, u),
                 "kv": np.maximum(ku, kv)})
 
-        edges = e2.map_batches(orient, batch_format="pandas") \
-            .materialize()
+        if n_nodes <= PAGERANK_DRIVER_REDUCE_CAP:
+            # degree table fits the driver: broadcast it once and
+            # orient in ONE stateless pass — saves the two bucket
+            # joins (and their sort exchanges) of the scale path
+            import ray as _ray
+            dd = deg.to_pandas()
+            nd = dd["node"].to_numpy(dtype=np.int64)
+            o = np.argsort(nd, kind="stable")
+            deg_ref = _ray.put((nd[o],
+                                dd["deg"].to_numpy(np.int64)[o]))
+
+            def orient_b(df: pd.DataFrame) -> pd.DataFrame:
+                nodes_s, degs_s = _ray.get(deg_ref)
+                u = df["u"].to_numpy(dtype=np.int64)
+                v = df["v"].to_numpy(dtype=np.int64)
+                du = degs_s[np.searchsorted(nodes_s, u)]
+                dv = degs_s[np.searchsorted(nodes_s, v)]
+                return _pack_orient(u, v, du, dv)
+
+            edges = edges.map_batches(orient_b,
+                                      batch_format="pandas") \
+                .materialize()
+        else:
+            def as_u(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({"u": df["node"].to_numpy(),
+                                     "__du": df["deg"].to_numpy()})
+
+            def as_v(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({"v": df["node"].to_numpy(),
+                                     "__dv": df["deg"].to_numpy()})
+
+            e1 = hash_join(edges, deg.map_batches(
+                as_u, batch_format="pandas"), on="u",
+                num_buckets=num_buckets)
+
+            # the join's one-sided-bucket NaN pad coerces carried int
+            # columns to float — restore int64 BEFORE the second join
+            # or its hash buckets mismatch (float64 2.0 hashes
+            # differently from int64 2; same pitfall asof_join
+            # documents)
+            def re_int(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({
+                    "u": df["u"].to_numpy(dtype=np.int64),
+                    "v": df["v"].to_numpy(dtype=np.int64),
+                    "__du": df["__du"].to_numpy(dtype=np.int64)})
+
+            e2 = hash_join(e1.map_batches(re_int,
+                                          batch_format="pandas"),
+                           deg.map_batches(as_v,
+                                           batch_format="pandas"),
+                           on="v", num_buckets=num_buckets)
+
+            def orient(df: pd.DataFrame) -> pd.DataFrame:
+                return _pack_orient(
+                    df["u"].to_numpy(dtype=np.int64),
+                    df["v"].to_numpy(dtype=np.int64),
+                    df["__du"].to_numpy(dtype=np.int64),
+                    df["__dv"].to_numpy(dtype=np.int64))
+
+            edges = e2.map_batches(orient, batch_format="pandas") \
+                .materialize()
     else:
         edges = edges.map_batches(
             lambda df: df.assign(kv=df["v"].to_numpy()),

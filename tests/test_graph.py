@@ -96,3 +96,17 @@ def test_pagerank_inflow_modes_equivalent_and_blocks_bounded():
     b = shf.to_pandas().sort_values("node")["rank"].to_numpy()
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
     assert shf.num_blocks() <= 5
+
+
+def test_triangle_degree_orientation_paths_agree(monkeypatch):
+    """Broadcast degree-orientation (deg table <= cap) and the
+    two-join scale path count identically."""
+    import mapshaper_ray.ops.graph as G
+    rng = np.random.default_rng(3)
+    e = pd.DataFrame({"src": rng.integers(0, 60, 600),
+                      "dst": rng.integers(0, 60, 600)})
+    ds = rd.from_pandas(e).repartition(7)
+    a = G.triangle_count(ds, pivot="degree", num_buckets=8)
+    monkeypatch.setattr(G, "PAGERANK_DRIVER_REDUCE_CAP", 0)
+    b = G.triangle_count(ds, pivot="degree", num_buckets=8)
+    assert a == b and a > 0
