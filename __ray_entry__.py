@@ -925,6 +925,29 @@ def _q25_webmercator(sf_dir: str):
     return out[["doc_id", "x", "y"]]
 
 
+def _q88_natearth2(sf_dir: str):
+    """-proj +proj=natearth2 (round-4 long-tail family; closed-form
+    polynomial pseudocylindrical — mproj pj_natearth2 constants)."""
+    from mapshaper_ray.stages.proj import project_points
+    ds = _geo_points(sf_dir).select_columns(["doc_id", "lon", "lat"])
+    out = project_points(ds, "+proj=natearth2").to_pandas()
+    out["x"] = out["x"].round(4)
+    out["y"] = out["y"].round(4)
+    return out[["doc_id", "x", "y"]]
+
+
+def _q89_tissot(sf_dir: str):
+    """-proj +proj=tissot +lat_1=20 +lat_2=60 (round-4 simple-conic
+    family; closed-form spherical conic — mproj pj_sconic TISSOT)."""
+    from mapshaper_ray.stages.proj import project_points
+    ds = _geo_points(sf_dir).select_columns(["doc_id", "lon", "lat"])
+    out = project_points(
+        ds, "+proj=tissot +lat_1=20 +lat_2=60").to_pandas()
+    out["x"] = out["x"].round(4)
+    out["y"] = out["y"].round(4)
+    return out[["doc_id", "x", "y"]]
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -1651,6 +1674,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q83_vocab_stats": _q83_vocab_stats,
         "q86_latest_capture": _q86_latest_capture,
         "q87_tile_lang_mix": _q87_tile_lang_mix,
+        "q88_natearth2": _q88_natearth2,
+        "q89_tissot": _q89_tissot,
     }
 
 
@@ -2820,6 +2845,43 @@ def oracle_sql() -> dict[str, str]:
               round(6378137.0 * (rho0 - rho *
                     cos(n*(radians(lon) - radians(-96.0)))), 2) AS y
             FROM t""",
+        "q88_natearth2": f"""
+            -- pj_natearth2 closed form: x = R lam (A0 + A1 p2 +
+            -- p6^2 (A2 + A3 p2 + A4 p4 + A5 p6)); y = R phi (B0 +
+            -- p4^2 (B1 + B2 p2 + B3 p4))
+            WITH {_GEO_CTE},
+            p AS (SELECT doc_id, radians(lon) AS lam,
+                         radians(lat) AS phi FROM geo),
+            q AS (SELECT doc_id, lam, phi, phi*phi AS p2,
+                         phi*phi*phi*phi AS p4,
+                         phi*phi*phi*phi*phi*phi AS p6 FROM p)
+            SELECT doc_id,
+              round(6378137.0 * lam * (0.84719 - 0.13063*p2 +
+                p6*p6*(-0.04515 + 0.05494*p2 - 0.02326*p4 +
+                       0.00331*p6)), 4) AS x,
+              round(6378137.0 * phi * (1.01183 +
+                p4*p4*(-0.02625 + 0.01926*p2 - 0.00396*p4)), 4) AS y
+            FROM q ORDER BY doc_id""",
+        "q89_tissot": f"""
+            -- pj_sconic TISSOT: n = sin(sig), cs = cos(del),
+            -- rho_c = n/cs + cs/n, rho_0 = sqrt((rho_c - 2 sin(phi0))
+            -- / n), rho = rho_c - phi; x = R rho sin(n lam),
+            -- y = R (rho_0 - rho cos(n lam))  [lat_1=20 lat_2=60,
+            -- phi0 = 0]
+            WITH {_GEO_CTE},
+            k AS (SELECT sin(radians(40.0)) AS n,
+                         cos(radians(20.0)) AS cs),
+            k2 AS (SELECT n, cs, n/cs + cs/n AS rho_c FROM k),
+            k3 AS (SELECT n, rho_c, sqrt(rho_c / n) AS rho_0 FROM k2),
+            p AS (SELECT doc_id, radians(lon) AS lam,
+                         radians(lat) AS phi FROM geo),
+            t AS (SELECT doc_id, k3.rho_c - phi AS rho, lam * k3.n
+                    AS lamn, k3.rho_0 AS rho_0 FROM p, k3)
+            SELECT doc_id,
+                   round(6378137.0 * rho * sin(lamn), 4) AS x,
+                   round(6378137.0 * (rho_0 - rho * cos(lamn)), 4)
+                     AS y
+            FROM t ORDER BY doc_id""",
         "q37_robinson": f"""
             WITH {_GEO_CTE},
             rob(idx, x0, x1, x2, x3, y0, y1, y2, y3) AS (VALUES
