@@ -67,7 +67,16 @@ def compile_expression(expr: str, defs: dict | None = None):
     """String → vectorized evaluator over a pandas DataFrame namespace.
     Same user surface as the reference's compileFeatureExpression (column
     names are bare variables); compiled once, applied per batch.
-    ``defs`` adds -include / -colorizer names to the environment."""
+    ``defs`` adds -include / -colorizer names to the environment.
+
+    Reference-syntax JavaScript expressions (ternaries, `&&`/`||`,
+    `===`, string methods, `Math.*`, `d.`/`this.properties.`/`$.`
+    access) are detected and routed to the row-wise JS compatibility
+    evaluator (`ops/jsexpr.py`) — correct but unvectorized; the Python
+    DSL stays the hot path."""
+    from .jsexpr import compile_js_expression, looks_js
+    if looks_js(expr):
+        return compile_js_expression(expr, defs)
     code = compile(expr, "<expr>", "eval")
     base = dict(_EXPR_GLOBALS)
     if defs:
@@ -85,14 +94,18 @@ def compile_expression(expr: str, defs: dict | None = None):
 # src/data/mapshaper-feature-proxy.js:15-158); referencing one
 # triggers a metric-computation pass before evaluation.
 #
-# JS → Python expression shim (the expression engine is a Python
-# evaluator; genuinely-JS idioms translate as):
+# JS expressions: reference-syntax strings (ternary, ===, &&/||,
+# string methods, Math.*, this.properties./$. access) are detected by
+# ops/jsexpr.looks_js and evaluated row-wise by the compatibility
+# layer with JS value semantics — byte-parity-tested against the live
+# reference CLI (test_each_filter_js_expressions_bytes_identical).
+# The vectorized Python DSL equivalents stay the hot path:
 #   d.name.toUpperCase()   → name.str.upper()     (pandas Series ops)
 #   d.name.indexOf('x')>-1 → name.str.contains('x')
-#   a + '' (string concat) → name.astype(str) + ...
 #   cond ? a : b           → where(cond, a, b)
-#   Math.sqrt / Math.abs   → sqrt / abs (preloaded numpy names)
-#   $.properties.foo       → foo (columns are bare names)
+# Cross-row-stateful JS (counts[type] = ... accumulating across
+# features) remains unsupported: it is single-threaded by construction
+# in the reference and cannot distribute.
 _GEO_ACCESSORS = ("area", "perimeter", "cx", "cy", "part_count",
                   "bounds", "width", "height", "innerX", "innerY",
                   "isNull", "x", "y", "vertex_count")
@@ -103,8 +116,14 @@ def _needs_geo(ds, exprs) -> list[str]:
     dataset.  ds.schema() is consulted ONLY when an accessor name
     appears (it can trigger first-block execution on a lazy plan)."""
     import ast
+    from .jsexpr import js_accessor_names, looks_js
     needed = set()
     for e in exprs:
+        if looks_js(e):
+            # JS-syntax expression: $.partCount-style accessors map to
+            # the engine's metric columns
+            needed |= js_accessor_names(e) & set(_GEO_ACCESSORS)
+            continue
         try:
             tree = ast.parse(e, mode="eval")
         except SyntaxError:

@@ -1875,3 +1875,25 @@ def test_proj_extra_families_vs_mproj(ray_session, ref_cli, tmp_path,
     b = np.array([g["coordinates"] for g in geoms(str(ref))], float)
     assert a.shape == b.shape
     assert np.allclose(a, b, rtol=0, atol=atol)
+
+
+def test_each_filter_js_expressions_bytes_identical(ray_session,
+                                                    ref_cli, tmp_path):
+    """Genuinely-JS -each/-filter expressions (ternary, ===, &&,
+    string methods, Math.*, d. access) run unchanged through the JS
+    compatibility evaluator and produce byte-identical output to the
+    reference CLI."""
+    ref = tmp_path / "ref.json"
+    ours = tmp_path / "ours.json"
+    each = ("UP = STATE_NAME.toUpperCase(), "
+            "side = FIPS === '41' ? 'west' : 'east', "
+            "n2 = Math.round(Number(FIPS) / 10), "
+            "tag = this.properties.STATE_NAME.indexOf('re') > -1"
+            " && FIPS !== '53' ? 'OR' : 'other'")
+    flt = "STATE_NAME.length > 4 || FIPS === '53'"
+    ref_run(ref_cli, [TWO_STATES, "-each", each, "-filter", flt,
+                      "-o", str(ref)])
+    from mapshaper_ray.commands import parse_commands
+    run_commands(parse_commands(["-i", TWO_STATES, "-each", each,
+                                 "-filter", flt, "-o", str(ours)]))
+    assert ours.read_bytes() == ref.read_bytes()
