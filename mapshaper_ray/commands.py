@@ -1341,7 +1341,7 @@ def run_commands(command_str, catalog: Catalog | None = None,
             spec = args[0]
             if "(" in spec:
                 # aggregate expression list: 'a = sum(v), n = count()'
-                out = rel.calc_exprs(ds, spec)
+                out = rel.calc_exprs(ds, spec, defs=cat.defs)
             else:
                 # bare column: the full stats block
                 out = rel.calc_stats(ds, spec)

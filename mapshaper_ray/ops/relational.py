@@ -28,6 +28,8 @@ Maps (SURVEY.md §2):
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -725,46 +727,174 @@ def dissolve_table(ds, keys, sum_fields=(), copy_fields=()):
     return final
 
 
-def calc_exprs(ds, spec: str) -> pd.DataFrame:
-    """-calc 'a = sum(col), n = count(), m = median(col)' → one-row
-    DataFrame (reference mapshaper-calc.js surface for the aggregate
-    forms; expressions stay distributive — median uses the
-    distributed histogram-rank selection)."""
-    import re as _re
+# -calc aggregate functions (reference compileCalcExpression ctx,
+# src/commands/mapshaper-calc.js:41-65).  Two classes:
+#   distributive — sum/count/min/max/mean/average (one Ray aggregate
+#     pass) and median (distributed histogram-rank selection);
+#   capture — mode/collect/first/last, which the REFERENCE itself
+#     implements by capturing every value into an in-memory array
+#     (phase-1 capture / captureNum), so the engine's bounded gather
+#     of the needed value column matches the operator's own contract.
+_CALC_DISTRIBUTIVE = {"sum", "count", "min", "max", "mean", "average",
+                      "median"}
+_CALC_CAPTURE = {"mode", "collect", "first", "last"}
+_CALC_FNS = _CALC_DISTRIBUTIVE | _CALC_CAPTURE | {"width", "height"}
+
+
+def _calc_mode(values: "pd.Series"):
+    """reference utils.getMode: among the max-count values, the FIRST
+    in first-encounter order wins (NaN/None excluded like JS object
+    keys never capture undefined)."""
+    v = values.dropna()
+    if not len(v):
+        return None
+    counts = v.value_counts(sort=False)
+    mx = counts.max()
+    winners = set(counts[counts == mx].index)
+    for x in v:
+        if x in winners:
+            return x
+    return None  # pragma: no cover
+
+
+def calc_exprs(ds, spec: str, defs: dict | None = None) -> pd.DataFrame:
+    """-calc 'name = expr, ...' → one-row DataFrame (reference
+    mapshaper-calc.js).  Each expr may combine aggregate calls with
+    arithmetic — ``pct = sum(a) / count() * 100`` — and aggregate
+    ARGUMENTS may themselves be expressions (``sum(a * b)``), which the
+    reference evaluates per feature in its capture phase and the
+    engine computes as a vectorized column before aggregating.
+    Functions: sum/count/min/max/mean/average (single distributive Ray
+    aggregate pass), median (distributed histogram-rank), and the
+    reference's capture-class mode/collect/first/last (bounded value
+    gather, the reference's own phase-1 semantics), plus
+    width()/height() (layer bbox) on geometry layers."""
+    import ast as _ast
 
     from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+    from .jsexpr import js_to_py, looks_js
     from .rank import median_exact
-    parts = {}
-    for chunk in spec.split(","):
-        if "=" in chunk:
-            name, expr = chunk.split("=", 1)
+
+    # top-level comma split (commas inside parens/strings don't split)
+    chunks, depth, quote, start = [], 0, None, 0
+    for i, ch in enumerate(spec):
+        if quote:
+            if ch == quote and spec[i - 1] != "\\":
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch in ",;" and depth == 0:
+            chunks.append(spec[start:i])
+            start = i + 1
+    chunks.append(spec[start:])
+
+    agg_keys: dict[tuple, str] = {}   # (fn, arg_src) -> placeholder
+    rewritten: dict[str, str] = {}    # out name -> outer expression
+
+    class _Repl(_ast.NodeTransformer):
+        def visit_Call(self, node):
+            self.generic_visit(node)
+            if isinstance(node.func, _ast.Name) \
+                    and node.func.id in _CALC_FNS:
+                fn = node.func.id
+                arg_src = _ast.unparse(node.args[0]) if node.args \
+                    else ""
+                key = (fn, arg_src)
+                if key not in agg_keys:
+                    agg_keys[key] = f"__agg{len(agg_keys)}"
+                return _ast.copy_location(
+                    _ast.Name(id=agg_keys[key], ctx=_ast.Load()), node)
+            return node
+
+    for chunk in chunks:
+        if not chunk.strip():
+            continue
+        m = re.search(r"(?<![=<>!])=(?!=)", chunk)
+        if m:
+            name, expr = chunk[:m.start()], chunk[m.end():]
         else:
             name, expr = chunk, chunk
-        m = _re.match(r"\s*(sum|count|min|max|mean|average|median)"
-                      r"\(\s*([\w]*)\s*\)\s*$", expr.strip())
-        if not m:
-            raise ValueError(f"unsupported -calc expression: {chunk!r}")
-        parts[name.strip()] = (m.group(1), m.group(2))
+        src = expr.strip()
+        if looks_js(src):
+            src = js_to_py(src)
+        tree = _Repl().visit(_ast.parse(src, mode="eval"))
+        _ast.fix_missing_locations(tree)
+        rewritten[name.strip()] = _ast.unparse(tree)
+
+    # value columns for non-bare aggregate arguments (computed
+    # vectorized once, shared across aggregates over the same expr)
+    cols = set(ds.schema().names)
+    arg_col: dict[str, str] = {}
+    computed: dict[str, str] = {}
+    for fn, arg in agg_keys:
+        if fn in ("count", "width", "height") or not arg:
+            continue
+        if arg in cols:
+            arg_col[arg] = arg
+        elif arg not in computed:
+            computed[arg] = f"__val{len(computed)}"
+            arg_col[arg] = computed[arg]
+    if computed:
+        ds = each_expr(ds, {c: src for src, c in computed.items()},
+                       defs=defs)
+    ds = ds.materialize()
+
     agg_map = {"sum": Sum, "min": Min, "max": Max, "mean": Mean,
                "average": Mean}
-    aggs = []
-    for fn, col in parts.values():
-        if fn == "count":
-            aggs.append(Count())
-        elif fn != "median":
-            aggs.append(agg_map[fn](col))
-    row = ds.aggregate(*aggs) if aggs else {}
-    out = {}
-    for name, (fn, col) in parts.items():
-        if fn == "count":
-            out[name] = int(row["count()"])
-        elif fn == "median":
-            out[name] = median_exact(
-                ds.select_columns([col]).materialize(), col)
-        else:
+    ray_aggs, ray_keys = [], []
+    need_count = any(fn == "count" for fn, _ in agg_keys)
+    for (fn, arg), ph in agg_keys.items():
+        if fn in agg_map:
+            ray_aggs.append(agg_map[fn](arg_col[arg]))
             key = {"mean": "mean", "average": "mean"}.get(fn, fn)
-            out[name] = row[f"{key}({col})"]
+            ray_keys.append((ph, f"{key}({arg_col[arg]})"))
+    row = ds.aggregate(*ray_aggs) if ray_aggs else {}
+
+    values: dict[str, object] = {}
+    cap_cols = sorted({arg_col[arg] for fn, arg in agg_keys
+                       if fn in _CALC_CAPTURE})
+    cap_df = ds.select_columns(cap_cols).to_pandas() if cap_cols \
+        else None
+    bbox = None
+    if any(fn in ("width", "height") for fn, _ in agg_keys):
+        from ..pipelines.overlay import layer_bbox
+        bbox = layer_bbox(ds)
+    for (fn, arg), ph in agg_keys.items():
+        if fn == "count":
+            values[ph] = ds.count() if need_count else 0
+        elif fn == "median":
+            values[ph] = median_exact(
+                ds.select_columns([arg_col[arg]]).materialize(),
+                arg_col[arg])
+        elif fn == "mode":
+            values[ph] = _calc_mode(cap_df[arg_col[arg]])
+        elif fn == "collect":
+            values[ph] = list(cap_df[arg_col[arg]])
+        elif fn == "first":
+            s = cap_df[arg_col[arg]]
+            values[ph] = s.iloc[0] if len(s) else None
+        elif fn == "last":
+            s = cap_df[arg_col[arg]]
+            values[ph] = s.iloc[-1] if len(s) else None
+        elif fn == "width":
+            values[ph] = float(bbox[2] - bbox[0])
+        elif fn == "height":
+            values[ph] = float(bbox[3] - bbox[1])
+        else:
+            values[ph] = row[dict(ray_keys)[ph]]
+
+    base = dict(_EXPR_GLOBALS)
+    if defs:
+        base.update(defs)
+    out = {}
+    for name, src in rewritten.items():
+        out[name] = eval(compile(src, "<calc>", "eval"), base,
+                         dict(values))
     return pd.DataFrame([out])
 
 

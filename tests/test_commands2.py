@@ -278,3 +278,45 @@ def test_apply_commands_in_memory(ray_session):
     assert out2["d.csv"].decode().splitlines()[0] == "g,v"
     assert sorted(out2["d.csv"].decode().splitlines()[1:]) == \
         ["a,3", "b,5"]
+
+
+def test_calc_expression_arithmetic_and_capture(ray_session):
+    """-calc v2: arithmetic around aggregates, expression arguments,
+    and the reference's capture-class functions (mode first-encounter
+    tie rule, collect, first, last)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import calc_exprs
+    df = pd.DataFrame({
+        "v": [3.0, 1.0, 4.0, 1.0, 5.0],
+        "w": [2.0, 2.0, 2.0, 2.0, 2.0],
+        "tag": ["b", "a", "b", "a", "c"],
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    out = calc_exprs(
+        ds,
+        "pct = sum(v) / count() * 100, "
+        "sw = sum(v * w), "
+        "m = mode(tag), "
+        "c = collect(v), "
+        "f = first(tag), "
+        "l = last(tag), "
+        "rng = max(v) - min(v)")
+    row = out.iloc[0]
+    assert row["pct"] == pytest.approx(14.0 / 5 * 100)
+    assert row["sw"] == pytest.approx(28.0)
+    assert row["m"] == "b"          # b and a both count 2; b seen first
+    assert list(row["c"]) == [3.0, 1.0, 4.0, 1.0, 5.0]
+    assert row["f"] == "b" and row["l"] == "c"
+    assert row["rng"] == pytest.approx(4.0)
+
+
+def test_calc_js_syntax_and_cli(ray_session, tmp_path):
+    """-calc via the CLI with a JS-syntax expression."""
+    src = tmp_path / "t.csv"
+    src.write_text("v\n1\n2\n30\n")
+    cat = run_commands(
+        f"-i {src} -calc 'big = sum(v) > 10 ? \"yes\" : \"no\", "
+        f"n = count()'")
+    out = cat.get("calc").to_pandas()
+    assert out.iloc[0]["big"] == "yes"
+    assert out.iloc[0]["n"] == 3
