@@ -1680,16 +1680,16 @@ def run_commands(command_str, catalog: Catalog | None = None,
                 return df
             cat.replace(ds.map_batches(tag_fill, batch_format="pandas"))
         elif name == "subdivide":
-            # reference expression surface is the calc-expression
-            # special case 'count() > N' (mapshaper-subdivide.js)
-            from .ops.split import subdivide
+            # general calc-expression surface (mapshaper-subdivide.js);
+            # the common 'count() > N' form keeps its cheap
+            # layer_info-only fast path
+            from .ops.split import subdivide, subdivide_expr
             expr = args[0] if args else opts.get("expression", "")
             m = re.match(r"\s*count\(\)\s*>\s*(\d+)\s*$", expr)
-            if not m:
-                raise ValueError("-subdivide supports 'count() > N'")
             base = cat.target or "layer"
-            for i, (bbox, part) in enumerate(
-                    subdivide(cat.get(), int(m.group(1)))):
+            parts = subdivide(cat.get(), int(m.group(1))) if m else \
+                subdivide_expr(cat.get(), expr, defs=cat.defs)
+            for i, (bbox, part) in enumerate(parts):
                 cat.add(part, f"{base}_{i + 1}")
         elif name == "inspect":
             # src/commands/mapshaper-inspect.js:3-12 — report matching

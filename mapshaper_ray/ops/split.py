@@ -216,3 +216,77 @@ def subdivide(ds, max_features: int):
 
     rec(ds)
     return out
+
+
+def subdivide_expr(ds, expr: str, id_col: str = "feature_id",
+                   defs: dict | None = None):
+    """Reference -subdivide with a GENERAL calc expression
+    (src/commands/mapshaper-subdivide.js): recursively halve the layer
+    along the longer bbox side while the expression evaluates true —
+    e.g. ``sum(POP) > 5000`` or ``count() > 100 && width() > 1``.
+
+    Split rule is the reference's divideLayer: features sort by their
+    bbox-center coordinate and the FIRST HALF BY COUNT (ceil(n/2), not
+    a coordinate median) goes left; a half recurses only while
+    1 < len(half) < len(parent).  Driver-side recursion; the per-part
+    expression evaluates distributed via calc_exprs and the split
+    membership broadcasts as a sorted id array.  Returns list of
+    (bbox, Dataset)."""
+    import ray
+
+    from .features import layer_info
+    from .relational import calc_exprs
+
+    def divides(d) -> bool:
+        r = calc_exprs(d, f"__r = ({expr})", defs=defs).iloc[0]["__r"]
+        if not isinstance(r, (bool, np.bool_)):
+            raise ValueError(
+                "-subdivide expression must evaluate to true or false")
+        return bool(r)
+
+    out = []
+
+    def halves(d, info):
+        xmin, ymin, xmax, ymax = info["bbox"]
+        horiz = (xmax - xmin) >= (ymax - ymin)
+        col = "__cx" if horiz else "__cy"
+        centered = d.map_batches(feature_bbox_center,
+                                 batch_format="pandas").materialize()
+        key = centered.map_batches(
+            lambda df: df[[id_col, col]],
+            batch_format="pandas").to_pandas()
+        order = np.argsort(key[col].to_numpy(), kind="stable")
+        n = len(order)
+        left_ids = np.sort(key[id_col].to_numpy()[
+            order[: int(np.ceil(n / 2))]])
+        ref = ray.put(left_ids)
+
+        def side(keep_left):
+            def go(df, keep_left=keep_left):
+                ids = df[id_col].to_numpy()
+                li = ray.get(ref)
+                idx = np.clip(np.searchsorted(li, ids), 0,
+                              max(len(li) - 1, 0))
+                m = (len(li) > 0) & (li[idx] == ids) if len(li) else \
+                    np.zeros(len(ids), dtype=bool)
+                return df[m if keep_left else ~m] \
+                    .drop(columns=["__cx", "__cy"])
+            return centered.map_batches(go, batch_format="pandas")
+        return side(True), side(False)
+
+    def rec(d, parent_n):
+        info = layer_info(d)
+        n = info["count"]
+        if n <= 1 or not divides(d):
+            out.append((info["bbox"], d))
+            return
+        left, right = halves(d, info)
+        for half in (left, right):
+            hn = half.count()
+            if 1 < hn < n:
+                rec(half, n)
+            else:
+                out.append((layer_info(half)["bbox"], half))
+
+    rec(ds, ds.count() + 1)
+    return out

@@ -320,3 +320,18 @@ def test_calc_js_syntax_and_cli(ray_session, tmp_path):
     out = cat.get("calc").to_pandas()
     assert out.iloc[0]["big"] == "yes"
     assert out.iloc[0]["n"] == 3
+
+
+def test_subdivide_general_expression(ray_session, tmp_path):
+    """-subdivide with a general calc expression (sum(v) > T):
+    reference divideLayer semantics — count-halving split along the
+    long bbox side, recursion while the expression holds."""
+    p = tmp_path / "g.json"
+    p.write_text(json.dumps(_grid_fc(4)))   # 16 cells, v = 0..15
+    cat = run_commands(f"-i {p} name=g -subdivide 'sum(v) > 30'")
+    parts = [k for k in cat.layers if k.startswith("g_")]
+    assert sum(cat.layers[k].count() for k in parts) == 16
+    for k in parts:
+        s = cat.layers[k].to_pandas()["v"].sum()
+        n = cat.layers[k].count()
+        assert s <= 30 or n == 1, (k, s, n)
