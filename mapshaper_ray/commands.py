@@ -178,12 +178,14 @@ def _parse_calc(spec: str) -> dict:
     out = {}
     for part in spec.split(","):
         name, expr = part.split("=", 1)
-        m = re.match(r"\s*(sum|count|min|max|mean|median|first|last)"
+        m = re.match(r"\s*(sum|count|min|max|mean|average|median"
+                     r"|first|last|mode|collect)"
                      r"\(\s*([\w]*)\s*\)\s*$", expr.strip())
         if not m:
             raise ValueError(f"unsupported calc expression: {expr!r} "
                              "(supported: fn(col) with fn in sum/count/"
-                             "min/max/mean/first/last)")
+                             "min/max/mean/average/median/first/last/"
+                             "mode/collect)")
         fn, col = m.group(1), m.group(2)
         out[name.strip()] = (col, fn)  # empty col = fill later
     return out

@@ -528,8 +528,16 @@ def broadcast_join_calc(big_ds, small_df: pd.DataFrame, on,
     for out, (col, fn) in calc.items():
         if fn == "count":
             cols[out] = g[col].count()
-        elif fn == "mean":
+        elif fn in ("mean", "average"):
             cols[out] = g[col].mean()
+        elif fn == "median":
+            # reference findMedian: mean of the two middle ranks for
+            # even n — pandas median does the same
+            cols[out] = g[col].median()
+        elif fn == "mode":
+            cols[out] = g[col].agg(_calc_mode)
+        elif fn == "collect":
+            cols[out] = g[col].agg(list)
         else:
             cols[out] = getattr(g[col], fn)()
     reduced = pd.DataFrame(cols).reset_index()

@@ -335,3 +335,24 @@ def test_subdivide_general_expression(ray_session, tmp_path):
         s = cat.layers[k].to_pandas()["v"].sum()
         n = cat.layers[k].count()
         assert s <= 30 or n == 1, (k, s, n)
+
+
+def test_join_calc_capture_functions(ray_session):
+    """-join calc= with the capture-class functions (mode tie rule,
+    collect, median)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import broadcast_join_calc
+    big = rd.from_pandas(pd.DataFrame({"k": [1, 2]}))
+    src = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 2, 2],
+        "v": [5.0, 1.0, 3.0, 2.0, 2.0, 9.0, 9.0],
+        "t": ["x", "y", "x", "b", "a", "b", "a"]})
+    out = broadcast_join_calc(
+        big, src, on="k",
+        calc={"md": ("v", "median"), "mo": ("t", "mode"),
+              "all_v": ("v", "collect")}).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert out["md"].tolist() == [3.0, pytest.approx(5.5)]
+    assert out["mo"].tolist() == ["x", "b"]   # first-encounter ties
+    assert out["all_v"].tolist() == [[5.0, 1.0, 3.0],
+                                     [2.0, 2.0, 9.0, 9.0]]
