@@ -1235,10 +1235,26 @@ def run_commands(command_str, catalog: Catalog | None = None,
                 planar=bool(opts.get("planar")))
             if "calc" in opts and key:
                 # -dissolve calc=: per-group aggregate expressions join
-                # onto the dissolved features
+                # onto the dissolved features.  Distributive fns move
+                # per-(key, batch) partials; median/mode/collect route
+                # through the exact bucket-shuffle path.
                 aggs = {k: (c or key, f)
                         for k, (c, f) in _parse_calc(opts["calc"]).items()}
-                stats = rel.groupby_agg(cat.get(), [key], aggs).to_pandas()
+                exact = {k: v for k, v in aggs.items()
+                         if v[1] in ("median", "mode", "collect")}
+                rest = {k: v for k, v in aggs.items() if k not in exact}
+                tables = []
+                if rest:
+                    tables.append(
+                        rel.groupby_agg(cat.get(), [key], rest)
+                        .to_pandas())
+                if exact:
+                    tables.append(
+                        rel.groupby_calc_exact(cat.get(), [key], exact)
+                        .to_pandas())
+                stats = tables[0]
+                for t in tables[1:]:
+                    stats = stats.merge(t, on=key, how="outer")
                 out = rel.broadcast_join(out, stats, on=key)
             if opts.get("no_replace"):
                 cat.add(out, opts.get("name"))

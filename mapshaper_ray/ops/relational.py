@@ -594,6 +594,46 @@ def calc_stats(ds, col: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 # distinct / order / windows
 
+def groupby_calc_exact(ds, keys: list[str],
+                       aggs: dict[str, tuple[str, str]],
+                       n_parts: int = 64):
+    """Grouped NON-distributive calc functions (median / mode /
+    collect): one bucket-hash shuffle co-locates every row of a key,
+    then a per-partition pandas groupby computes exact results —
+    median = findMedian mean-of-middles, mode = first-encounter tie
+    rule, collect = value list.  Returns a Dataset with one row per
+    key.  (Distributive fns belong in groupby_agg, which moves only
+    per-(key, batch) partials.)"""
+    from .partition import bucket_part
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        kh = pd.util.hash_pandas_object(df[keys], index=False) \
+            .to_numpy()
+        df["__part"] = bucket_part(kh, n_parts)
+        return df
+
+    def agg_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["__part"])
+        g = df.groupby(keys, sort=False, dropna=False)
+        cols = {}
+        for out, (col, fn) in aggs.items():
+            if fn == "median":
+                cols[out] = g[col].median()
+            elif fn == "mode":
+                cols[out] = g[col].agg(_calc_mode)
+            elif fn == "collect":
+                cols[out] = g[col].agg(list)
+            else:
+                raise ValueError(
+                    f"groupby_calc_exact: {fn!r} is distributive — "
+                    "use groupby_agg")
+        return pd.DataFrame(cols).reset_index()
+
+    return ds.map_batches(stamp, batch_format="pandas") \
+        .groupby("__part").map_groups(agg_part, batch_format="pandas")
+
+
 def uniq_first(ds, key_cols: list[str], order_cols, max_count: int = 1):
     """-uniq: keep the first ``max_count`` rows per key in ``order_cols``
     order (order-dependent distinct, src/commands/mapshaper-uniq.js:6-35)."""

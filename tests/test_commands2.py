@@ -356,3 +356,23 @@ def test_join_calc_capture_functions(ray_session):
     assert out["mo"].tolist() == ["x", "b"]   # first-encounter ties
     assert out["all_v"].tolist() == [[5.0, 1.0, 3.0],
                                      [2.0, 2.0, 9.0, 9.0]]
+
+
+def test_dissolve_calc_exact_functions(ray_session, tmp_path):
+    """-dissolve calc= with median/mode/collect (exact bucket-shuffle
+    path) alongside distributive fns."""
+    p = tmp_path / "g.json"
+    p.write_text(json.dumps(_grid_fc(4)))   # 16 cells, v=0..15; val L/R
+    cat = run_commands(
+        f"-i {p} name=g -dissolve val "
+        "calc='s = sum(v), md = median(v), mo = mode(v), "
+        "vs = collect(v)'")
+    out = cat.get().to_pandas().sort_values("val").reset_index(drop=True)
+    df = pd.DataFrame(_grid_fc(4)["features"]) if False else None
+    # val 'L' = first column cells (v = 0,4,8,12); 'R' = the rest
+    row_l = out[out["val"] == "L"].iloc[0]
+    assert row_l["s"] == 24 and row_l["md"] == 6.0
+    assert sorted(row_l["vs"]) == [0, 4, 8, 12]
+    row_r = out[out["val"] == "R"].iloc[0]
+    assert row_r["s"] == sum(range(16)) - 24
+    assert row_r["mo"] == row_r["vs"][0]  # all unique: first wins
