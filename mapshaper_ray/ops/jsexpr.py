@@ -100,7 +100,9 @@ def _rewrite_tokens(code: str) -> str:
     parts = []
     for is_str, t in _split_strings(code):
         if is_str:
-            parts.append(t)
+            # string literals get JS method/property spellings too:
+            # 'Lo'.indexOf('l'), 'a,b'.split(',').length
+            parts.append(f"JSS({t})")
             continue
         t = t.replace("===", "==").replace("!==", "!=")
         t = t.replace("&&", " and ").replace("||", " or ")
@@ -546,6 +548,7 @@ class _ThisProxy:
 
 
 _JS_GLOBALS = {
+    "JSS": JSString,
     "Math": _MathShim,
     "String": lambda x="": JSString(_js_num_str(x)
                                     if not isinstance(x, str) else x),

@@ -936,7 +936,9 @@ def calc_exprs(ds, spec: str, defs: dict | None = None) -> pd.DataFrame:
         else:
             values[ph] = row[dict(ray_keys)[ph]]
 
+    from .jsexpr import JSString
     base = dict(_EXPR_GLOBALS)
+    base["JSS"] = JSString   # string literals in translated JS chunks
     if defs:
         base.update(defs)
     out = {}

@@ -32,13 +32,18 @@ def test_looks_js_detection():
 
 
 def test_js_to_py_ternary_nesting():
-    assert eval(js_to_py("1 ? 2 : 3")) == 2
+    from mapshaper_ray.ops.jsexpr import JSString
+    env = {"JSS": JSString}
+
+    def ev(src):
+        return eval(js_to_py(src), env)
+    assert ev("1 ? 2 : 3") == 2
     # right-associative chain
-    assert eval(js_to_py("0 ? 1 : 0 ? 2 : 3")) == 3
+    assert ev("0 ? 1 : 0 ? 2 : 3") == 3
     # nested in the then-branch, parenthesized
-    assert eval(js_to_py("(1 ? 2 : 3) ? 4 : 5")) == 4
+    assert ev("(1 ? 2 : 3) ? 4 : 5") == 4
     # ':' inside a string is untouched
-    assert eval(js_to_py("1 ? 'a:b' : 'c'")) == "a:b"
+    assert ev("1 ? 'a:b' : 'c'") == "a:b"
 
 
 def test_js_operators_and_literals():
@@ -128,3 +133,96 @@ def test_js_geo_accessor_via_each(ray_session):
         out = each_expr(ds, {"multi": "$.partCount > 1 ? 'y' : 'n'"}) \
             .to_pandas().sort_values("id")
     assert list(out["multi"]) == ["y", "n"]
+
+
+def test_js_differential_fuzz_vs_node():
+    """Differential test: 300 generated JS expressions evaluate
+    identically in live Node and in the translator + row evaluator
+    (grammar avoids the documented non-goals: cross-row state, %
+    remainder sign, chained comparisons)."""
+    import json
+    import random
+    import shutil
+    import subprocess
+
+    if shutil.which("node") is None:
+        pytest.skip("node not available")
+    rng = random.Random(20260819)
+    SCOPE = {"a": 7, "b": 2.5, "s": "Hello world", "t": "abc"}
+
+    def num(d):
+        if d <= 0:
+            return rng.choice(["a", "b", "3", "10", "2.5", "0"])
+        x, y = num(d - 1), num(d - 1)
+        return rng.choice([
+            f"({x} + {y})", f"({x} - {y})", f"({x} * {y})",
+            f"Math.round({x})", f"Math.abs({x})",
+            f"Math.max({x}, {y})", f"Math.min({x}, {y})",
+            f"{strv(0)}.length", f"{strv(0)}.indexOf('l')",
+            f"({boolv(d - 1)} ? {x} : {y})",
+        ])
+
+    def strv(d):
+        if d <= 0:
+            return rng.choice(["s", "t", "'Lo'", "'xyz'", "''"])
+        x = strv(d - 1)
+        return rng.choice([
+            f"{x}.toUpperCase()", f"{x}.toLowerCase()",
+            f"{x}.charAt(1)", f"{x}.substr(1, 3)", f"{x}.trim()",
+            f"({x} + {num(0)})", f"({x} + {strv(0)})",
+            f"({boolv(d - 1)} ? {x} : {strv(0)})",
+            f"{x}.split('l').join('-')",
+        ])
+
+    def boolv(d):
+        if d <= 0:
+            return rng.choice(["true", "false", "(a > 3)", "(b <= 2)"])
+        return rng.choice([
+            f"({num(d - 1)} > {num(d - 1)})",
+            f"({num(d - 1)} <= {num(d - 1)})",
+            f"({strv(d - 1)} === {strv(d - 1)})",
+            f"({strv(d - 1)} !== {strv(d - 1)})",
+            f"({boolv(d - 1)} && {boolv(d - 1)})",
+            f"({boolv(d - 1)} || {boolv(d - 1)})",
+            f"!{boolv(d - 1)}",
+            f"{strv(d - 1)}.startsWith('H')",
+            f"({strv(d - 1)}.indexOf('o') > -1)",
+        ])
+
+    exprs = []
+    for _ in range(100):
+        exprs.append(num(rng.randint(1, 3)))
+        exprs.append(strv(rng.randint(1, 3)))
+        exprs.append(boolv(rng.randint(1, 3)))
+
+    script = (
+        "const scope = " + json.dumps(SCOPE) + ";\n"
+        "const exprs = " + json.dumps(exprs) + ";\n"
+        "const out = exprs.map(e => {\n"
+        "  try { const f = new Function(...Object.keys(scope),"
+        " 'return (' + e + ');');\n"
+        "        return f(...Object.values(scope)); }\n"
+        "  catch (err) { return {__err: String(err).slice(0, 40)}; }\n"
+        "});\n"
+        "console.log(JSON.stringify(out));\n")
+    node_out = json.loads(subprocess.run(
+        ["node", "-e", script], capture_output=True, text=True,
+        check=True).stdout)
+
+    df = pd.DataFrame([SCOPE])
+    mismatches = []
+    for e, expected in zip(exprs, node_out):
+        if isinstance(expected, dict):
+            continue  # node-side error (shouldn't happen w/ grammar)
+        got = compile_js_expression(e)(df).iloc[0]
+        got_bool = isinstance(got, (bool, np.bool_))
+        exp_bool = isinstance(expected, bool)
+        if isinstance(expected, (int, float)) and not exp_bool \
+                and isinstance(got, (int, float, np.integer,
+                                     np.floating)) and not got_bool:
+            ok = got == pytest.approx(expected)
+        else:
+            ok = got == expected and got_bool == exp_bool
+        if not ok:
+            mismatches.append((e, expected, got))
+    assert not mismatches, mismatches[:5]
