@@ -948,6 +948,24 @@ def _q89_tissot(sf_dir: str):
     return out[["doc_id", "x", "y"]]
 
 
+def _q90_js_each(sf_dir: str):
+    """-each with genuinely-JS expressions (the ops/jsexpr
+    compatibility path): ternary, ===, string methods, + coercion —
+    value-exact against a CASE WHEN / upper() SQL oracle."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import each_expr
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "source",
+                                  "n_chars"])
+    out = each_expr(ds, {
+        "lang_up": "lang.toUpperCase()",
+        "cls": "n_chars > 300 ? 'long' : 'short'",
+        "mark": "lang.charAt(0) + doc_id",
+        "is_web": "source === 'web' || source === 'news'",
+    }).to_pandas()
+    return out[["doc_id", "lang_up", "cls", "mark", "is_web"]]
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -1676,6 +1694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q87_tile_lang_mix": _q87_tile_lang_mix,
         "q88_natearth2": _q88_natearth2,
         "q89_tissot": _q89_tissot,
+        "q90_js_each": _q90_js_each,
     }
 
 
@@ -2882,6 +2901,14 @@ def oracle_sql() -> dict[str, str]:
                    round(6378137.0 * (rho_0 - rho * cos(lamn)), 4)
                      AS y
             FROM t ORDER BY doc_id""",
+        "q90_js_each": """
+            SELECT doc_id, upper(lang) AS lang_up,
+                   CASE WHEN n_chars > 300 THEN 'long' ELSE 'short'
+                        END AS cls,
+                   substr(lang, 1, 1) || CAST(doc_id AS VARCHAR)
+                     AS mark,
+                   (source = 'web' OR source = 'news') AS is_web
+            FROM documents ORDER BY doc_id""",
         "q37_robinson": f"""
             WITH {_GEO_CTE},
             rob(idx, x0, x1, x2, x3, y0, y1, y2, y3) AS (VALUES
