@@ -61,10 +61,14 @@ def run_benchmarks():
     headline = float("inf")
     n_out = 0
     n_reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
-    # blocks ~ 8x CPUs: measured best for BOTH 8- and 32-cpu configs
-    # (finer than the file count at 32 cpus for load balancing under
-    # co-tenant steal; coarser at 8 cpus to amortize per-task overhead)
-    n_blocks = int(os.environ.get("GRAFT_BLOCKS", str(8 * NUM_CPUS)))
+    # blocks ~ 4x CPUs (floor 16): re-measured round 4 after the
+    # Arrow-path speedups — with per-page compute now cheaper,
+    # per-task fixed overhead dominates sooner, and 4x beats the old
+    # 8x at 8 CPUs (5.7 s vs 6.9 s) and at 32 CPUs (2.6-2.9 s vs
+    # 4.1-4.9 s at 256 blocks); 2-CPU runs keep 8x via the floor
+    # (16 blocks measured best there)
+    n_blocks = int(os.environ.get("GRAFT_BLOCKS",
+                                  str(max(4 * NUM_CPUS, 16))))
     for _ in range(n_reps):
         t0 = time.time()
         out = flagship_counts_from_parquet(PAGES_DIR,
