@@ -966,6 +966,52 @@ def _q90_js_each(sf_dir: str):
     return out[["doc_id", "lang_up", "cls", "mark", "is_web"]]
 
 
+def _q91_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct user count (p=12): per-block register
+    partials, tree maximum-merge — the corpus never shuffles.
+    Oracle: independent scalar HLL fixture
+    (scripts/gen_hll_fixture.py)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.sketch import hll_distinct
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"])
+    return hll_distinct(ds, "user_id", p=12)
+
+
+def _q92_hll_by_group(sf_dir: str):
+    """Per-event-type HyperLogLog distinct users: group register
+    partials merged under groupby — 4 KiB per (block, group) moves,
+    never the rows.  Oracle: independent scalar HLL fixture."""
+    import ray.data as rd
+    from mapshaper_ray.ops.sketch import hll_distinct_by_group
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return hll_distinct_by_group(ds, "event_type", "user_id", p=12)
+
+
+def _q93_heavy_hitters(sf_dir: str):
+    """EXACT top-20 users by event count via local-top-m candidate
+    pruning (union provably complete above N/m) + broadcast recount —
+    no full-vocabulary shuffle; falls back to the full groupby when
+    the k-th count does not clear the N/m guarantee."""
+    import ray.data as rd
+    from mapshaper_ray.ops.sketch import heavy_hitters
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"])
+    return heavy_hitters(ds, "user_id", k=20, m=4096)
+
+
+def _q94_reservoir_sample(sf_dir: str):
+    """Deterministic 50-row uniform sample: global n-smallest by
+    md5(seed:event_id) via per-batch partial top-n -> block merge ->
+    driver final (<= 8n rows on the driver)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.sketch import reservoir_sample
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type"])
+    return reservoir_sample(ds, 50, "event_id", seed=7)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -1695,6 +1741,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q88_natearth2": _q88_natearth2,
         "q89_tissot": _q89_tissot,
         "q90_js_each": _q90_js_each,
+        "q91_hll_distinct": _q91_hll_distinct,
+        "q92_hll_by_group": _q92_hll_by_group,
+        "q93_heavy_hitters": _q93_heavy_hitters,
+        "q94_reservoir_sample": _q94_reservoir_sample,
     }
 
 
@@ -1801,6 +1851,25 @@ def _bpe_fixture_sqls() -> tuple:
         fixture_oracles_bpe = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(fixture_oracles_bpe)
     return fixture_oracles_bpe.Q71_SQL, fixture_oracles_bpe.Q72_SQL
+
+
+def _hll_fixture_sqls() -> tuple:
+    """VALUES-literal fixtures from scripts/gen_hll_fixture.py — an
+    independent scalar HyperLogLog (pure-Python per-row, no numpy, no
+    shared code with ops/sketch.py), valid at the driver's sf0.01
+    correctness scale."""
+    try:
+        import fixture_oracles_hll
+    except ImportError:
+        import importlib.util
+        import os
+        spec = importlib.util.spec_from_file_location(
+            "fixture_oracles_hll",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "fixture_oracles_hll.py"))
+        fixture_oracles_hll = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(fixture_oracles_hll)
+    return fixture_oracles_hll.Q91_SQL, fixture_oracles_hll.Q92_SQL
 
 
 # shared fragment: the synthetic media payload's hex head (mirrors
@@ -2909,6 +2978,23 @@ def oracle_sql() -> dict[str, str]:
                      AS mark,
                    (source = 'web' OR source = 'news') AS is_web
             FROM documents ORDER BY doc_id""",
+        "q91_hll_distinct": _hll_fixture_sqls()[0],
+        "q92_hll_by_group": _hll_fixture_sqls()[1],
+        "q93_heavy_hitters": """
+            SELECT CAST(user_id AS VARCHAR) AS user_id,
+                   COUNT(*)::BIGINT AS freq
+            FROM events GROUP BY 1
+            ORDER BY freq DESC, user_id ASC LIMIT 20""",
+        "q94_reservoir_sample": """
+            SELECT (row_number() OVER (
+                      ORDER BY md5_number_lower(
+                        '7:' || CAST(event_id AS VARCHAR)), event_id)
+                    - 1)::BIGINT AS sample_rank,
+                   event_id, user_id, event_type
+            FROM events
+            ORDER BY md5_number_lower(
+              '7:' || CAST(event_id AS VARCHAR)), event_id
+            LIMIT 50""",
         "q37_robinson": f"""
             WITH {_GEO_CTE},
             rob(idx, x0, x1, x2, x3, y0, y1, y2, y3) AS (VALUES

@@ -210,6 +210,46 @@ def run_benchmarks():
     timed("bpe_train_10_merges_5k",
           lambda: bpe_train(docs, n_merges=10))
 
+    # round-4 sketch probes at page volume (12.8M rows at sf0.1x2560):
+    # HLL distinct urls (per-block 4KiB register partials, corpus never
+    # shuffles) and exact heavy-hitter hosts (local-top-m candidate
+    # pruning + broadcast recount — no full-vocabulary shuffle)
+    from mapshaper_ray.ops.sketch import heavy_hitters, hll_distinct
+    from mapshaper_ray.stages.pages import add_url_host, read_pages
+    urls = read_pages(PAGES_DIR, columns=["url"]).materialize()
+    timed("hll_distinct_12m_urls",
+          lambda: hll_distinct(urls, "url", p=12))
+    hosts = add_url_host(urls).materialize()
+    timed("heavy_hitters_hosts_12m",
+          lambda: heavy_hitters(hosts, "host", k=20, m=4096))
+
+    # hot-tile skew probe: 2M rows, ~60% landing in ONE tile — the
+    # salted resumable write must split the hot tile by doc-id hash
+    # (ceil(count/target) salts) instead of funneling it through one
+    # writer task.  Reported: salted-write wall time; the manifest's
+    # max partition size is asserted bounded in tests.
+    import shutil
+
+    def _mk_skew(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df["id"].to_numpy()
+        hot = (d * 2654435761 % 100) < 60
+        return pd.DataFrame({
+            "doc_id": d,
+            "tile": np.where(hot, 7, d % 64).astype(np.int64)})
+
+    skew = rd.range(2_000_000).map_batches(
+        _mk_skew, batch_format="pandas").materialize()
+
+    def _skew_write():
+        from mapshaper_ray.stages.tiles import write_tiles
+        out = "/tmp/bench_skew_tiles"
+        shutil.rmtree(out, ignore_errors=True)
+        return pd.DataFrame(
+            {"parts": [len(write_tiles(skew, out,
+                                       target_rows=100_000))]})
+
+    timed("tile_write_skew_2m", _skew_write)
+
     print(json.dumps({
         "metric": "flagship spatial-join + tile-assignment wall time "
                   "(parquet pages, sf0.1 docs x replicate)",

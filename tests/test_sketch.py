@@ -1,0 +1,178 @@
+"""Distributed sketches: HyperLogLog, exact heavy hitters via
+candidate pruning, deterministic reservoir sampling.
+
+Covers: estimation-regime accuracy (tens of thousands of distinct
+values, where the bias-corrected harmonic-mean path runs, not linear
+counting), agreement with an independent scalar HLL, partition
+invariance (the result must not depend on block boundaries), the
+heavy-hitters N/m fallback guard, and reservoir edge cases.
+"""
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from mapshaper_ray.ops.sketch import (heavy_hitters, hll_distinct,
+                                      hll_distinct_by_group,
+                                      hll_estimate, reservoir_sample)
+
+
+def _scalar_hll(values, p):
+    """Independent per-row scalar HLL (mirrors
+    scripts/gen_hll_fixture.py — plain ints, no numpy)."""
+    m = 1 << p
+    regs = [0] * m
+    for v in values:
+        d = hashlib.md5(str(v).encode()).digest()
+        h = int.from_bytes(d[8:16], "little")
+        idx = h >> (64 - p)
+        w = h & ((1 << (64 - p)) - 1)
+        rho = (64 - p) - w.bit_length() + 1
+        if rho > regs[idx]:
+            regs[idx] = rho
+    if m == 16:
+        a = 0.673
+    elif m == 32:
+        a = 0.697
+    elif m == 64:
+        a = 0.709
+    else:
+        a = 0.7213 / (1.0 + 1.079 / m)
+    e = a * m * m / sum(2.0 ** -r for r in regs)
+    v0 = regs.count(0)
+    if v0 > 0 and e <= 2.5 * m:
+        e = m * math.log(m / v0)
+    return int(round(e))
+
+
+def _events_df(n=6000, n_users=40, seed=3):
+    rng = np.random.default_rng(seed)
+    # zipf-ish skew so heavy hitters are non-trivial
+    w = 1.0 / np.arange(1, n_users + 1)
+    users = rng.choice(n_users, size=n, p=w / w.sum())
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": users.astype(np.int64),
+        "event_type": np.array(["a", "b", "c"])[
+            rng.integers(0, 3, size=n)],
+    })
+
+
+def test_hll_estimation_regime_matches_scalar(ray_session):
+    import ray.data as rd
+    # 30k distinct values at p=8 (m=256): far beyond linear counting,
+    # the harmonic-mean estimator runs.  Distributed must equal the
+    # independent scalar implementation exactly, and land within 3
+    # standard errors (1.04/sqrt(m) ~ 6.5%) of the truth.
+    vals = [f"item-{i}" for i in range(30000)]
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(7)
+    est = hll_distinct(ds, "v", p=8)["n_distinct_est"].iloc[0]
+    assert est == _scalar_hll(vals, 8)
+    assert abs(est - 30000) / 30000 < 3 * 1.04 / math.sqrt(256)
+
+
+def test_hll_partition_invariance(ray_session):
+    import ray.data as rd
+    df = _events_df()
+    ests = []
+    for nparts in (1, 3, 17):
+        ds = rd.from_pandas(df).repartition(nparts)
+        ests.append(hll_distinct(ds, "user_id",
+                                 p=10)["n_distinct_est"].iloc[0])
+    assert ests[0] == ests[1] == ests[2]
+    assert ests[0] == _scalar_hll(df["user_id"].tolist(), 10)
+
+
+def test_hll_by_group_matches_scalar_per_group(ray_session):
+    import ray.data as rd
+    df = _events_df()
+    ds = rd.from_pandas(df).repartition(5)
+    out = hll_distinct_by_group(ds, "event_type", "user_id", p=10)
+    for _, row in out.iterrows():
+        vals = df.loc[df["event_type"] == row["event_type"],
+                      "user_id"].tolist()
+        assert row["n_distinct_est"] == _scalar_hll(vals, 10)
+
+
+def test_hll_estimate_zero_registers():
+    assert hll_estimate(np.zeros(256, dtype=np.uint8)) == 0
+
+
+def test_heavy_hitters_exact(ray_session):
+    import ray.data as rd
+    df = _events_df()
+    truth = (df["user_id"].astype(str).value_counts()
+             .rename_axis("user_id").reset_index(name="freq"))
+    truth = truth.sort_values(["freq", "user_id"],
+                              ascending=[False, True]).head(10)
+    truth = truth.reset_index(drop=True)
+    truth["freq"] = truth["freq"].astype("int64")
+    ds = rd.from_pandas(df).repartition(6)
+    got = heavy_hitters(ds, "user_id", k=10, m=512)
+    pd.testing.assert_frame_equal(got, truth)
+
+
+def test_heavy_hitters_fallback_guard_still_exact(ray_session):
+    import ray.data as rd
+    # m=2: the k-th count cannot clear N/2, so the guard must route
+    # to the full groupby — and the answer must still be exact.
+    df = _events_df(n=2000, n_users=30)
+    truth = (df["user_id"].astype(str).value_counts()
+             .rename_axis("user_id").reset_index(name="freq"))
+    truth = truth.sort_values(["freq", "user_id"],
+                              ascending=[False, True]).head(8)
+    truth = truth.reset_index(drop=True)
+    truth["freq"] = truth["freq"].astype("int64")
+    got = heavy_hitters(rd.from_pandas(df).repartition(4),
+                        "user_id", k=8, m=2)
+    pd.testing.assert_frame_equal(got, truth)
+
+
+def test_heavy_hitters_partition_invariance(ray_session):
+    import ray.data as rd
+    df = _events_df(n=3000)
+    outs = [heavy_hitters(rd.from_pandas(df).repartition(n),
+                          "user_id", k=5, m=256) for n in (1, 9)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_reservoir_deterministic_and_partition_invariant(ray_session):
+    import ray.data as rd
+    df = _events_df(n=1500)
+    outs = [reservoir_sample(rd.from_pandas(df).repartition(n),
+                             40, "event_id", seed=7) for n in (1, 11)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert list(outs[0]["sample_rank"]) == list(range(40))
+    # matches a brute-force scalar ranking
+    keys = {eid: int.from_bytes(
+        hashlib.md5(f"7:{eid}".encode()).digest()[8:16], "little")
+        for eid in df["event_id"]}
+    want = sorted(df["event_id"], key=lambda e: (keys[e], e))[:40]
+    assert list(outs[0]["event_id"]) == want
+
+
+def test_reservoir_n_larger_than_dataset(ray_session):
+    import ray.data as rd
+    df = _events_df(n=25)
+    out = reservoir_sample(rd.from_pandas(df), 100, "event_id", seed=1)
+    assert len(out) == 25
+    assert set(out["event_id"]) == set(df["event_id"])
+
+
+def test_reservoir_different_seeds_differ(ray_session):
+    import ray.data as rd
+    df = _events_df(n=500)
+    a = reservoir_sample(rd.from_pandas(df), 30, "event_id", seed=1)
+    b = reservoir_sample(rd.from_pandas(df), 30, "event_id", seed=2)
+    assert list(a["event_id"]) != list(b["event_id"])
+
+
+def test_hll_empty_and_null_inputs(ray_session):
+    import ray.data as rd
+    df = pd.DataFrame({"v": pd.array([None, None],
+                                     dtype="string")})
+    ds = rd.from_pandas(df)
+    assert hll_distinct(ds, "v", p=8)["n_distinct_est"].iloc[0] == 0
