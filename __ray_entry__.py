@@ -1012,6 +1012,48 @@ def _q94_reservoir_sample(sf_dir: str):
     return reservoir_sample(ds, 50, "event_id", seed=7)
 
 
+def _q95_bloom_incremental(sf_dir: str):
+    """q79's incremental-dedup scenario through the BLOOM-GATED path:
+    a Bloom filter built over the old corpus (OR-merged bit-array
+    partials) lets definitely-new rows bypass the exchange entirely;
+    only bloom hits enter the exact anti join.  Output == the plain
+    anti join (the gate is a prefilter, never a decision), so q79's
+    SQL is the oracle verbatim."""
+    import ray
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import content_md5
+    from mapshaper_ray.ops.sketch import incremental_dedup_bloom
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
+    old_pdf = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    old_pdf = old_pdf[old_pdf["doc_id"] < 250]
+    old_texts = dict(zip(old_pdf["doc_id"], old_pdf["text"]))
+    tref = ray.put(old_texts)
+
+    def synth_new(df: pd.DataFrame) -> pd.DataFrame:
+        ot = ray.get(tref)
+        df = df[df["doc_id"] >= 250].copy()
+        ids = df["doc_id"].to_numpy()
+        df["text"] = [ot[i % 250] if i % 3 == 0 else t
+                      for i, t in zip(ids, df["text"])]
+        df["content_md5"] = content_md5(df["text"])
+        return df[["doc_id", "content_md5"]]
+
+    def old_md5(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] < 250].copy()
+        df["content_md5"] = content_md5(df["text"])
+        return df[["doc_id", "content_md5"]]
+
+    new = docs.map_batches(synth_new, batch_format="pandas")
+    old = docs.map_batches(old_md5, batch_format="pandas")
+    out = incremental_dedup_bloom(old, new, "content_md5",
+                                  n_bits=1 << 16, k=4).to_pandas()
+    return out[["doc_id", "content_md5"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -1745,6 +1787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q92_hll_by_group": _q92_hll_by_group,
         "q93_heavy_hitters": _q93_heavy_hitters,
         "q94_reservoir_sample": _q94_reservoir_sample,
+        "q95_bloom_incremental": _q95_bloom_incremental,
     }
 
 
@@ -3214,6 +3257,9 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (
           SELECT 1 FROM old WHERE md5(old.text) = md5(new.text))
         ORDER BY new.doc_id"""
+
+    # the bloom-gated path must equal the plain anti join exactly
+    out["q95_bloom_incremental"] = out["q79_incremental_dedup"]
 
     out["q84_pretrain_pipeline"] = r"""
         -- the q12 dedup, q56 repetition-share, q76 decontamination

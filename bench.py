@@ -219,9 +219,13 @@ def run_benchmarks():
     urls = read_pages(PAGES_DIR, columns=["url"]).materialize()
     timed("hll_distinct_12m_urls",
           lambda: hll_distinct(urls, "url", p=12))
+    # m sizing: exactness needs the k-th frequency > N/m; synthetic
+    # hosts are uniform at ~2560 each, so m=4096 (N/m=3125) would
+    # force the full-groupby fallback every run — 16384 keeps the
+    # pruned path (the one this probe measures) live
     hosts = add_url_host(urls).materialize()
     timed("heavy_hitters_hosts_12m",
-          lambda: heavy_hitters(hosts, "host", k=20, m=4096))
+          lambda: heavy_hitters(hosts, "host", k=20, m=16384))
 
     # hot-tile skew probe: 2M rows, ~60% landing in ONE tile — the
     # salted resumable write must split the hot tile by doc-id hash

@@ -46,6 +46,9 @@ __all__ = [
     "heavy_hitters",
     "reservoir_sample",
     "hll_estimate",
+    "bloom_build",
+    "bloom_contains",
+    "incremental_dedup_bloom",
 ]
 
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -190,8 +193,34 @@ def hll_distinct_by_group(ds, key: str, col: str, p: int = 12) \
 # exact heavy hitters via local-top-m candidate pruning
 # ---------------------------------------------------------------------------
 
+def pc_cast_string(arr: "pa.Array") -> "pa.Array":
+    import pyarrow.compute as pc
+    if not pa.types.is_string(arr.type):
+        return pc.cast(arr, pa.string())
+    return arr
+
+
+def _arrow_value_counts(col: "pa.ChunkedArray") -> tuple:
+    """(string values, int64 counts) via the Arrow hash kernel —
+    zero pandas conversion, nulls dropped."""
+    import pyarrow.compute as pc
+    c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if not pa.types.is_string(c.type) and \
+            not pa.types.is_large_string(c.type):
+        c = pc.cast(c, pa.string())
+    vc = pc.value_counts(c)
+    vals = vc.field("values")
+    counts = vc.field("counts").to_numpy(zero_copy_only=False)
+    keep = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+    if not keep.all():
+        vals = vals.filter(pa.array(keep))
+        counts = counts[keep]
+    return vals, counts.astype(np.int64)
+
+
 class _LocalTopM:
-    """Per-block exact local value counts, top-m only."""
+    """Per-block exact local value counts, top-m only (Arrow hash
+    kernel end to end — no pandas conversion on the corpus pass)."""
 
     def __init__(self, col: str, m: int):
         self.col, self.m = col, m
@@ -201,11 +230,13 @@ class _LocalTopM:
                             ("_c", pa.int64())])
         if batch.num_rows == 0:
             return schema.empty_table()
-        vals = batch.column(self.col).to_pandas().astype(str)
-        vc = vals.value_counts().iloc[:self.m]
+        vals, counts = _arrow_value_counts(batch.column(self.col))
+        if len(counts) > self.m:
+            keep = np.argpartition(-counts, self.m)[:self.m]
+            vals = vals.take(pa.array(keep))
+            counts = counts[keep]
         return pa.Table.from_arrays(
-            [pa.array(vc.index.to_numpy(dtype=object), type=pa.string()),
-             pa.array(vc.to_numpy(dtype=np.int64))], schema=schema)
+            [pc_cast_string(vals), pa.array(counts)], schema=schema)
 
 
 class _CandidateCounts:
@@ -220,21 +251,26 @@ class _CandidateCounts:
         self._cands = None
 
     @property
-    def cands(self):
+    def cands(self) -> "pa.Array":
         if self._cands is None:
             import ray
-            self._cands = frozenset(ray.get(self.cand_ref))
+            self._cands = pa.array(ray.get(self.cand_ref),
+                                   type=pa.string())
         return self._cands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         schema = pa.schema([(self.col, pa.string()), ("_c", pa.int64())])
         if batch.num_rows == 0:
             return schema.empty_table()
-        vals = batch.column(self.col).to_pandas().astype(str)
-        vc = vals[vals.isin(self.cands)].value_counts()
+        vals, counts = _arrow_value_counts(batch.column(self.col))
+        keep = pc.is_in(vals, value_set=self.cands) \
+            .to_numpy(zero_copy_only=False)
+        if not keep.all():
+            vals = vals.filter(pa.array(keep))
+            counts = counts[keep]
         return pa.Table.from_arrays(
-            [pa.array(vc.index.to_numpy(dtype=object), type=pa.string()),
-             pa.array(vc.to_numpy(dtype=np.int64))], schema=schema)
+            [pc_cast_string(vals), pa.array(counts)], schema=schema)
 
 
 def _topk_full_groupby(ds, col: str, k: int) -> pd.DataFrame:
@@ -265,19 +301,34 @@ def heavy_hitters(ds, col: str, k: int = 20, m: int = 4096,
     import ray
 
     n_total = ds.count()
-    local = ds.map_batches(_LocalTopM(col, m), batch_format="pyarrow")
-    cand_ds = local.groupby(col).max("_c")
-    n_cands = cand_ds.count()
-    if n_cands > candidate_cap:
+    # bounded partial tables (<= n_blocks * m rows): materialize once
+    # so the count gate and the reduce don't re-execute the pass
+    local = ds.map_batches(_LocalTopM(col, m),
+                           batch_format="pyarrow").materialize()
+    if local.count() <= candidate_cap:
+        # partials fit the driver: dedupe there (profiled 10x faster
+        # than a Ray sort-groupby over these tiny tables — the sort
+        # exchange costs seconds of fixed overhead per call)
+        cands = np.unique(local.to_pandas()[col].to_numpy()).tolist()
+    else:
+        cand_ds = local.groupby(col).max("_c")
+        if cand_ds.count() > candidate_cap:
+            return _topk_full_groupby(ds, col, k)
+        cands = [r[col] for r in
+                 cand_ds.select_columns([col]).take_all()]
+    if len(cands) > candidate_cap:
         return _topk_full_groupby(ds, col, k)
-    cands = [r[col] for r in cand_ds.select_columns([col]).take_all()]
     cand_ref = ray.put(cands)
 
     counted = ds.map_batches(_CandidateCounts(col, cand_ref),
-                             batch_format="pyarrow")
-    sums = counted.groupby(col).sum("_c").to_pandas()
-    sum_col = [c for c in sums.columns if c != col][0]
-    sums = sums.rename(columns={sum_col: "freq"})
+                             batch_format="pyarrow").materialize()
+    if counted.count() <= candidate_cap:
+        sums = counted.to_pandas().groupby(col, sort=False)["_c"] \
+            .sum().rename("freq").reset_index()
+    else:
+        sums = counted.groupby(col).sum("_c").to_pandas()
+        sum_col = [c for c in sums.columns if c != col][0]
+        sums = sums.rename(columns={sum_col: "freq"})
     sums["freq"] = sums["freq"].astype("int64")
     sums = sums.sort_values(["freq", col],
                             ascending=[False, True]).head(k)
@@ -294,6 +345,167 @@ def heavy_hitters(ds, col: str, k: int = 20, m: int = 4096,
 # ---------------------------------------------------------------------------
 # deterministic reservoir sampling
 # ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Bloom filter + bloom-gated incremental dedup
+# ---------------------------------------------------------------------------
+
+def _md5_two64(strings) -> tuple[np.ndarray, np.ndarray]:
+    """Both 64-bit halves of md5 (little-endian).  The low half equals
+    md5_lo64 / DuckDB md5_number_lower; the high half seeds the
+    Kirsch-Mitzenmacher double-hashing scheme g_i = h1 + i*h2."""
+    import hashlib
+    lo = np.empty(len(strings), dtype=np.uint64)
+    hi = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        d = hashlib.md5(s.encode() if isinstance(s, str) else s).digest()
+        lo[i] = int.from_bytes(d[8:16], "little")
+        hi[i] = int.from_bytes(d[0:8], "little")
+    return lo, hi
+
+
+def _bloom_positions(values, k: int, n_bits: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing (Kirsch-Mitzenmacher
+    2006: k hashes g_i = h1 + i*h2 preserve the Bloom fpr bound)."""
+    h1, h2 = _md5_two64([str(v) for v in values])
+    ii = np.arange(k, dtype=np.uint64)
+    # uint64 arithmetic wraps mod 2^64, then reduce mod n_bits
+    return ((h1[:, None] + ii[None, :] * h2[:, None])
+            % np.uint64(n_bits)).astype(np.int64)
+
+
+class _BloomPartial:
+    """map_batches stage: one OR-able bit-array row per batch."""
+
+    def __init__(self, col: str, n_bits: int, k: int):
+        self.col, self.n_bits, self.k = col, n_bits, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bits = np.zeros(self.n_bits // 8, dtype=np.uint8)
+        vals = batch.column(self.col).to_pandas()
+        vals = vals[vals.notna()]
+        if len(vals):
+            pos = _bloom_positions(vals, self.k, self.n_bits).ravel()
+            np.bitwise_or.at(bits, pos >> 3,
+                             np.left_shift(np.uint8(1),
+                                           (pos & 7).astype(np.uint8)))
+        return pa.Table.from_arrays([pa.array([bits.tobytes()])],
+                                    schema=pa.schema([("bits",
+                                                       pa.binary())]))
+
+
+def _or_bit_rows(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:
+        return batch
+    blobs = batch.column("bits").to_pylist()
+    stacked = np.vstack([np.frombuffer(b, dtype=np.uint8) for b in blobs])
+    merged = np.bitwise_or.reduce(stacked, axis=0)
+    return pa.Table.from_arrays([pa.array([merged.tobytes()])],
+                                schema=pa.schema([("bits", pa.binary())]))
+
+
+def bloom_build(ds, col: str, n_bits: int = 1 << 23, k: int = 4) -> bytes:
+    """Build a Bloom filter over a column: per-block bit-array
+    partials, OR-merged through a fixed-width tree (repartition to
+    <=8 blocks) — the driver sees <=8 rows of n_bits/8 bytes each.
+    n_bits must be a multiple of 8.  Size it ~10 bits/element for
+    ~1% fpr with k=4-7; at corpus sizes where one filter would not
+    broadcast, build one per hash bucket instead (the buckets of the
+    downstream exchange) and ship each with its bucket."""
+    if n_bits % 8:
+        raise ValueError("n_bits must be a multiple of 8")
+    partials = ds.map_batches(_BloomPartial(col, n_bits, k),
+                              batch_format="pyarrow")
+    reduced = partials.repartition(8).map_batches(
+        _or_bit_rows, batch_format="pyarrow", batch_size=None)
+    rows = reduced.take_all()
+    stacked = np.vstack([np.frombuffer(r["bits"], dtype=np.uint8)
+                         for r in rows])
+    return np.bitwise_or.reduce(stacked, axis=0).tobytes()
+
+
+def bloom_contains(bloom: bytes, values, k: int = 4) -> np.ndarray:
+    """Vectorized membership test.  True = maybe present (false
+    positives at the design fpr); False = DEFINITELY absent."""
+    bits = np.frombuffer(bloom, dtype=np.uint8)
+    n_bits = len(bits) * 8
+    if len(values) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(values, k, n_bits)
+    hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return hit.all(axis=1)
+
+
+class _BloomGate:
+    """Split a new batch on bloom membership of its hash column.
+    The filter travels as an ObjectRef (ray.put once) and resolves
+    from the local object store inside each task."""
+
+    def __init__(self, col: str, bloom_ref, k: int, keep_hits: bool):
+        self.col, self.bloom_ref = col, bloom_ref
+        self.k, self.keep_hits = k, keep_hits
+        self._bloom = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._bloom is None:
+            import ray
+            self._bloom = ray.get(self.bloom_ref)
+        if batch.num_rows == 0:
+            return batch
+        vals = batch.column(self.col).to_pandas()
+        hit = bloom_contains(self._bloom, vals, self.k)
+        mask = hit if self.keep_hits else ~hit
+        return batch.filter(pa.array(mask))
+
+
+def incremental_dedup_bloom(old_ds, new_ds, hash_col: str,
+                            n_bits: int = 1 << 23, k: int = 4,
+                            num_buckets: int = 32):
+    """EXACT incremental dedup (new rows whose ``hash_col`` is absent
+    from the old corpus), bloom-gated: rows whose hash misses the
+    corpus Bloom filter are DEFINITELY new and bypass the exchange
+    entirely; only bloom hits (true overlaps + the ~fpr false
+    positives) enter the exact anti hash-join.  Output == the plain
+    anti-join on every input (the gate is a prefilter, never a
+    decision) — with overlap fraction f, the anti-join's left side
+    shrinks from 100% of the new batch to ~(f + fpr).
+
+    Both sides must already carry ``hash_col`` (e.g. content_md5).
+    Returns a Dataset (definite-new union verified-new).
+    """
+    import ray
+
+    from mapshaper_ray.ops.relational import hash_join
+
+    bloom = bloom_build(old_ds, hash_col, n_bits=n_bits, k=k)
+    bloom_ref = ray.put(bloom)
+    definite_new = new_ds.map_batches(
+        _BloomGate(hash_col, bloom_ref, k, keep_hits=False),
+        batch_format="pyarrow")
+    suspects = new_ds.map_batches(
+        _BloomGate(hash_col, bloom_ref, k, keep_hits=True),
+        batch_format="pyarrow")
+    verified_new = hash_join(suspects, old_ds, on=hash_col, how="anti",
+                             num_buckets=num_buckets,
+                             left_cols=list(new_ds.schema().names))
+    # the anti join emits pandas blocks whose empty partitions can
+    # drift dtypes; cast back to the new side's Arrow schema so the
+    # union sees ONE schema (the known empty-partition bug class)
+    cols = list(new_ds.schema().names)
+    target = getattr(new_ds.schema(), "base_schema", None)
+    if not isinstance(target, pa.Schema):
+        target = None
+
+    def _rearrow(df: pd.DataFrame) -> pa.Table:
+        t = pa.Table.from_pandas(df[cols], preserve_index=False)
+        if target is not None:
+            t = t.cast(target, safe=False)
+        return t
+
+    verified_new = verified_new.map_batches(_rearrow,
+                                            batch_format="pandas")
+    return definite_new.union(verified_new)
+
 
 class _SampleTopN:
     """Keep the n rows with the smallest md5(seed:id) rank.  Works

@@ -170,6 +170,78 @@ def test_reservoir_different_seeds_differ(ray_session):
     assert list(a["event_id"]) != list(b["event_id"])
 
 
+def test_bloom_no_false_negatives_and_bounded_fpr(ray_session):
+    import ray.data as rd
+    from mapshaper_ray.ops.sketch import bloom_build, bloom_contains
+    members = [f"doc-{i}" for i in range(20000)]
+    ds = rd.from_pandas(pd.DataFrame({"h": members})).repartition(6)
+    bloom = bloom_build(ds, "h", n_bits=1 << 18, k=4)
+    # Bloom guarantee: zero false negatives
+    assert bloom_contains(bloom, members, k=4).all()
+    # fpr near theory ((1-e^{-kn/m})^k ~ 0.5%) — allow 4x slack
+    others = [f"other-{i}" for i in range(20000)]
+    fpr = bloom_contains(bloom, others, k=4).mean()
+    assert fpr < 0.02
+
+
+def test_bloom_partition_invariance(ray_session):
+    import ray.data as rd
+    from mapshaper_ray.ops.sketch import bloom_build
+    vals = pd.DataFrame({"h": [f"v{i}" for i in range(5000)]})
+    blooms = [bloom_build(rd.from_pandas(vals).repartition(n), "h",
+                          n_bits=1 << 16, k=4) for n in (1, 13)]
+    assert blooms[0] == blooms[1]
+
+
+def test_incremental_dedup_bloom_equals_plain_anti(ray_session):
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import hash_join
+    from mapshaper_ray.ops.sketch import incremental_dedup_bloom
+    rng = np.random.default_rng(11)
+    old = pd.DataFrame({
+        "doc_id": np.arange(1000, dtype=np.int64),
+        "h": [f"hash-{i}" for i in range(1000)]})
+    # new batch: 40% re-crawls of old content, 60% genuinely new
+    reuse = rng.integers(0, 1000, size=400)
+    new = pd.DataFrame({
+        "doc_id": np.arange(5000, 6000, dtype=np.int64),
+        "h": [f"hash-{i}" for i in reuse] +
+             [f"hash-new-{i}" for i in range(600)]})
+    old_ds = rd.from_pandas(old).repartition(5)
+    new_ds = rd.from_pandas(new).repartition(7)
+    got = incremental_dedup_bloom(old_ds, new_ds, "h",
+                                  n_bits=1 << 16, k=4).to_pandas()
+    want = hash_join(new_ds, old_ds, on="h", how="anti",
+                     left_cols=["doc_id", "h"]).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["doc_id", "h"]],
+                                  want[["doc_id", "h"]],
+                                  check_dtype=False)
+    # and equals first principles: exactly the non-reused rows
+    assert set(got["doc_id"]) == set(range(5400, 6000))
+
+
+def test_incremental_dedup_bloom_all_old_or_all_new(ray_session):
+    import ray.data as rd
+    from mapshaper_ray.ops.sketch import incremental_dedup_bloom
+    old = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64),
+                        "h": [f"x{i}" for i in range(100)]})
+    old_ds = rd.from_pandas(old)
+    # every new row is a duplicate -> empty result
+    dup = old.copy()
+    dup["doc_id"] += 1000
+    out = incremental_dedup_bloom(old_ds, rd.from_pandas(dup), "h",
+                                  n_bits=1 << 14).to_pandas()
+    assert len(out) == 0
+    # every new row is fresh -> all pass through
+    fresh = pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64),
+                          "h": [f"y{i}" for i in range(50)]})
+    out2 = incremental_dedup_bloom(old_ds, rd.from_pandas(fresh), "h",
+                                   n_bits=1 << 14).to_pandas()
+    assert sorted(out2["doc_id"]) == list(range(50))
+
+
 def test_hll_empty_and_null_inputs(ray_session):
     import ray.data as rd
     df = pd.DataFrame({"v": pd.array([None, None],
