@@ -92,9 +92,29 @@ def assign_cells_s2(ds, level=12, tile_level=6,
 # salting
 
 def tile_counts(ds) -> pd.DataFrame:
-    """Count pre-pass over only the tile column (cheap shuffle of one
-    int64 column)."""
-    return ds.select_columns(["tile"]).groupby("tile").count().to_pandas()
+    """Count pre-pass: per-batch value_counts partials (one row per
+    (block, tile) — tiles are bounded by the grid level) summed on
+    the driver.  No shuffle at all; the native groupby().count()
+    Aggregate this replaces cost 27 s on a 2M-row/64-block input
+    where the partial reduce costs <1 s."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("tile", pa.int64()),
+                            ("count()", pa.int64())])
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        c = batch.column("tile")
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        vc = pc.value_counts(c)
+        return pa.Table.from_arrays(
+            [vc.field("values").cast(pa.int64()),
+             vc.field("counts").cast(pa.int64())], schema=schema)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return parts.groupby("tile", sort=True)["count()"].sum() \
+        .reset_index()
 
 
 def salt_plan(counts: pd.DataFrame, target_rows: int) -> dict[int, int]:
