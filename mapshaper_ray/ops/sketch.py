@@ -220,9 +220,10 @@ def _arrow_value_counts(col: "pa.ChunkedArray") -> tuple:
 
 class _LocalTopM:
     """Per-block exact local value counts, top-m only (Arrow hash
-    kernel end to end — no pandas conversion on the corpus pass)."""
+    kernel end to end — no pandas conversion on the corpus pass).
+    ``m=None`` keeps every distinct value (full partial counts)."""
 
-    def __init__(self, col: str, m: int):
+    def __init__(self, col: str, m: int | None):
         self.col, self.m = col, m
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -231,7 +232,7 @@ class _LocalTopM:
         if batch.num_rows == 0:
             return schema.empty_table()
         vals, counts = _arrow_value_counts(batch.column(self.col))
-        if len(counts) > self.m:
+        if self.m is not None and len(counts) > self.m:
             keep = np.argpartition(-counts, self.m)[:self.m]
             vals = vals.take(pa.array(keep))
             counts = counts[keep]
@@ -273,12 +274,32 @@ class _CandidateCounts:
             [pc_cast_string(vals), pa.array(counts)], schema=schema)
 
 
-def _topk_full_groupby(ds, col: str, k: int) -> pd.DataFrame:
-    counts = ds.groupby(col).count()
-    df = counts.to_pandas()
-    cnt_col = [c for c in df.columns if c != col][0]
-    df[col] = df[col].astype(str)
-    df = df.rename(columns={cnt_col: "freq"})
+def _topk_full_groupby(ds, col: str, k: int,
+                       driver_cap: int = 2_000_000) -> pd.DataFrame:
+    """Exhaustive exact top-k: per-batch FULL value-count partials,
+    reduced on the driver under ``driver_cap`` partial rows, else a
+    distributed sum over the partials (still far smaller than the
+    corpus) with per-block top-k + driver merge — never the native
+    groupby().count() Aggregate (27 s on a 2M-row input where the
+    partial reduce costs <1 s)."""
+    parts = ds.map_batches(_LocalTopM(col, None),
+                           batch_format="pyarrow").materialize()
+    if parts.count() <= driver_cap:
+        df = parts.to_pandas().groupby(col, sort=False)["_c"].sum() \
+            .rename("freq").reset_index()
+    else:
+        sums = parts.groupby(col).sum("_c")
+
+        def block_topk(t: pa.Table) -> pa.Table:
+            if t.num_rows <= k:
+                return t
+            c = t.column("sum(_c)").to_numpy(zero_copy_only=False)
+            keep = np.argpartition(-c, k)[:k]
+            return t.take(pa.array(np.sort(keep)))
+
+        df = sums.map_batches(block_topk, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+        df = df.rename(columns={"sum(_c)": "freq"})
     df["freq"] = df["freq"].astype("int64")
     df = df.sort_values(["freq", col], ascending=[False, True]).head(k)
     return df.reset_index(drop=True)

@@ -131,6 +131,23 @@ def test_heavy_hitters_fallback_guard_still_exact(ray_session):
     pd.testing.assert_frame_equal(got, truth)
 
 
+def test_topk_full_groupby_distributed_path(ray_session):
+    import ray.data as rd
+    from mapshaper_ray.ops.sketch import _topk_full_groupby
+    df = _events_df(n=3000)
+    truth = (df["user_id"].astype(str).value_counts()
+             .rename_axis("user_id").reset_index(name="freq"))
+    truth = truth.sort_values(["freq", "user_id"],
+                              ascending=[False, True]).head(6)
+    truth = truth.reset_index(drop=True)
+    truth["freq"] = truth["freq"].astype("int64")
+    ds = rd.from_pandas(df).repartition(5)
+    # driver_cap=1 forces the distributed-sum + per-block-topk branch
+    got = _topk_full_groupby(ds, "user_id", 6, driver_cap=1)
+    got = got[["user_id", "freq"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, truth)
+
+
 def test_heavy_hitters_partition_invariance(ray_session):
     import ray.data as rd
     df = _events_df(n=3000)
