@@ -1054,6 +1054,32 @@ def _q95_bloom_incremental(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q96_ccnet_buckets(sf_dir: str):
+    """CCNet-style per-language perplexity bucketing: unigram-LM nll
+    (q64's integer-exact scoring), doc language re-attached through
+    the bucketed hash join, then exact rank terciles within each
+    language (head/middle/tail) via ONE group-hash shuffle +
+    vectorized in-partition lexsort (ops/rank.grouped_rank_buckets).
+    The composition a web-corpus quality pipeline runs per shard."""
+    import ray.data as rd
+    from mapshaper_ray.ops.rank import grouped_rank_buckets
+    from mapshaper_ray.ops.relational import hash_join
+    from mapshaper_ray.stages.text import lm_nll
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    nll = lm_nll(docs.select_columns(["doc_id", "text"]))
+    langs = docs.select_columns(["doc_id", "lang"])
+    joined = hash_join(nll, langs, on="doc_id",
+                       left_cols=["doc_id", "lm_nll"],
+                       right_cols=["lang"])
+    out = grouped_rank_buckets(joined, key="lang", col="lm_nll",
+                               id_col="doc_id",
+                               n_buckets=3).to_pandas()
+    out = out[["doc_id", "lang", "lm_nll", "bucket"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -1788,6 +1814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q93_heavy_hitters": _q93_heavy_hitters,
         "q94_reservoir_sample": _q94_reservoir_sample,
         "q95_bloom_incremental": _q95_bloom_incremental,
+        "q96_ccnet_buckets": _q96_ccnet_buckets,
     }
 
 
@@ -3434,6 +3461,19 @@ def oracle_sql() -> dict[str, str]:
                round((n * (SELECT z FROM qz) - s)
                      / (1000000000.0 * n), 6) AS lm_nll
         FROM dl ORDER BY doc_id"""
+
+    # CCNet buckets: q64's nll joined to lang, exact rank terciles
+    # within each language (deterministic tie-break on doc_id); the
+    # engine's floor(rank0*3/n) == SQL ((row_number-1)*3)//count
+    out["q96_ccnet_buckets"] = f"""
+        WITH nll AS ({out["q64_lm_nll"]}),
+        j AS (SELECT n.doc_id, d.lang, n.lm_nll
+              FROM nll n JOIN documents d USING (doc_id))
+        SELECT doc_id, lang, lm_nll,
+               ((row_number() OVER (PARTITION BY lang
+                                    ORDER BY lm_nll, doc_id) - 1) * 3)
+                 // (COUNT(*) OVER (PARTITION BY lang)) AS bucket
+        FROM j ORDER BY doc_id"""
 
     # raster grid oracles: cell centers -180 + (c+0.5)*1.875 etc. are
     # float-exact (dyadic 1.875 = 15/8), so the diamond-rule CASE at a

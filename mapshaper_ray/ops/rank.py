@@ -248,3 +248,48 @@ def percent_rank(ds, col: str, id_col: str, n_bins: int = 256,
 
     return rows.groupby("__b").map_groups(rank_part,
                                           batch_format="pandas")
+
+
+def grouped_rank_buckets(ds, key: str, col: str, id_col: str,
+                         n_buckets: int = 3, n_parts: int = 64):
+    """Per-group exact rank buckets — the CCNet head/middle/tail
+    split when ``n_buckets=3``: each row gets
+    ``floor(rank0 * B / n_group)`` where rank0 is its 0-based rank
+    within its group under the deterministic order (col, id).
+
+    Scale shape: ONE bucket shuffle by group hash (every row of a
+    group shares a partition — the q52 sessionize pattern), then one
+    vectorized in-partition lexsort; nothing on the driver.  A single
+    group far larger than a partition's memory would need the
+    histogram-rank path instead (documented trade: exact within-group
+    ranks need per-group total order).
+
+    SQL-equivalent: ((row_number() OVER (PARTITION BY key ORDER BY
+    col, id) - 1) * B) // (COUNT(*) OVER (PARTITION BY key)).
+    """
+    from .partition import bucket_part
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key].to_numpy()
+        h = pd.util.hash_array(k if k.dtype != object
+                               else k.astype(str))
+        out = df[[key, col, id_col]].copy()
+        out["__part"] = bucket_part(h, n_parts)
+        return out
+
+    def rank_part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or key not in df.columns:
+            # zero-row no-column block the Sort exchange can emit
+            return pd.DataFrame({key: [], col: [], id_col: [],
+                                 "bucket": np.empty(0, np.int64)})
+        df = df.sort_values([key, col, id_col], kind="mergesort") \
+            .reset_index(drop=True)
+        codes, _ = pd.factorize(df[key])  # sorted -> contiguous codes
+        n = np.bincount(codes)
+        starts = np.r_[0, np.cumsum(n)[:-1]]
+        rank0 = np.arange(len(df)) - starts[codes]
+        df["bucket"] = ((rank0 * n_buckets) // n[codes]).astype(np.int64)
+        return df.drop(columns="__part")
+
+    return ds.map_batches(emit, batch_format="pandas") \
+        .groupby("__part").map_groups(rank_part, batch_format="pandas")

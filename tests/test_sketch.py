@@ -265,3 +265,33 @@ def test_hll_empty_and_null_inputs(ray_session):
                                      dtype="string")})
     ds = rd.from_pandas(df)
     assert hll_distinct(ds, "v", p=8)["n_distinct_est"].iloc[0] == 0
+
+
+def test_grouped_rank_buckets_partition_invariant_with_ties(ray_session):
+    import ray.data as rd
+    from mapshaper_ray.ops.rank import grouped_rank_buckets
+    rng = np.random.default_rng(5)
+    n = 2000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "g": np.array(["en", "de", "fr"])[rng.integers(0, 3, n)],
+        # heavy ties: scores drawn from only 7 distinct values
+        "score": rng.integers(0, 7, n).astype(np.float64),
+    })
+    outs = []
+    for parts in (1, 9):
+        ds = rd.from_pandas(df).repartition(parts)
+        o = grouped_rank_buckets(ds, "g", "score", "id",
+                                 n_buckets=3).to_pandas()
+        outs.append(o.sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # first principles: floor(rank0*3/n_group) under (score, id) order
+    want = df.sort_values(["g", "score", "id"]).copy()
+    want["rank0"] = want.groupby("g").cumcount()
+    sizes = want.groupby("g")["id"].transform("size")
+    want["bucket"] = (want["rank0"] * 3 // sizes).astype(np.int64)
+    want = want.sort_values("id")
+    assert list(outs[0]["bucket"]) == list(want["bucket"])
+    # every group splits into near-equal thirds
+    chk = outs[0].groupby(["g", "bucket"]).size().unstack()
+    assert (chk.max(axis=1) - chk.min(axis=1)).max() <= 1
