@@ -39,6 +39,12 @@ from ..topo.build import build_topology
 SIMPLIFY_AUTO_ROWS = int(os.environ.get(
     "MAPSHAPER_RAY_SIMPLIFY_AUTO_ROWS", "64000"))
 
+# attribute-rejoin gate: under this row count the attr table ships
+# once via ray.put (the bucketed join's sort exchange costs ~4s fixed
+# at 10k rows); above it the bucketed path runs
+ATTR_BROADCAST_ROWS = int(os.environ.get(
+    "MAPSHAPER_RAY_ATTR_BROADCAST_ROWS", "2000000"))
+
 
 def _layer_features(df: pd.DataFrame, xcol="rings_x", ycol="rings_y"):
     """Layer-model rows → list of path-array lists (+ ring_poly
@@ -287,7 +293,8 @@ def _with_part(ds_or_stage, key: str, n_parts: int = 64):
 def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
                                weighting: float | None = None,
                                keep_shapes: bool = False,
-                               spherical: bool = False):
+                               spherical: bool = False,
+                               _pin_blocks: bool | None = None):
     """END-TO-END distributed -simplify over a polygon layer Dataset:
 
       rings explode to per-path rows → two-shuffle shared-arc topology
@@ -323,6 +330,19 @@ def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
                              "x": list(map(float, x)),
                              "y": list(map(float, y))})
         return pd.DataFrame(rows)
+    # exchange cost scales with block count (Ray's sort emits one
+    # output block per input block, so every one of this pipeline's
+    # five exchanges inherits the input's block count).  A small
+    # layer arriving in many tiny blocks pays per-task overhead on
+    # each: measured at 10k features, 65 input blocks ran 16-20s vs
+    # ~12s pinned to ~CPU blocks.  Count-gated so a 100-TB layer
+    # keeps its natural block count; pinned BEFORE the path explode
+    # so every stage inherits the pinned count.
+    if _pin_blocks is None:
+        _pin_blocks = ds.count() <= 1_000_000
+    if _pin_blocks:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        ds = ds.repartition(max(16, min(ncpu, 64)))
     paths = ds.map_batches(to_paths, batch_format="pandas")
 
     # Dataset-native topology: arc coords and feature refs never touch
@@ -527,9 +547,17 @@ def simplify_layer_distributed(ds, pct: float, method: str = "visvalingam",
     geom_cols = {"rings_x", "rings_y", "ring_poly"}
     attr_cols = [c for c in ds.schema().names if c not in geom_cols]
     if attr_cols != ["feature_id"]:
-        from ..ops.relational import hash_join
         attrs = ds.map_batches(
             lambda df: df[[c for c in attr_cols]],
             batch_format="pandas")
+        # count-gated: an attribute table under the cap broadcasts
+        # (the bucketed exchange costs ~4s of fixed sort overhead at
+        # 10k rows); a 100-TB layer's attrs exceed the cap and take
+        # the bucketed path
+        if ds.count() <= ATTR_BROADCAST_ROWS:
+            from ..ops.relational import broadcast_join
+            return broadcast_join(assembled, attrs.to_pandas(),
+                                  on="feature_id", how="inner")
+        from ..ops.relational import hash_join
         return hash_join(assembled, attrs, on="feature_id", how="inner")
     return assembled
