@@ -1080,6 +1080,34 @@ def _q96_ccnet_buckets(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q97_group_variance(sf_dir: str):
+    """Distributive per-group variance/stddev: (sum, sum-of-squares,
+    count) partials per batch — one row per (key, block) — reduced
+    like mean; no exchange of the value column."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import groupby_agg
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+    out = groupby_agg(ds, ["l_returnflag"],
+                      {"var_qty": ("l_quantity", "var"),
+                       "std_qty": ("l_quantity", "std")}).to_pandas()
+    out["var_qty"] = out["var_qty"].round(6)
+    out["std_qty"] = out["std_qty"].round(6)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def _q98_random_project(sf_dir: str):
+    """Johnson-Lindenstrauss sign random projection of the embedding
+    column to 8 dims (md5-derived +-1 matrix, one matmul per batch) —
+    the dim-reduction step before ANN/LSH at corpus scale."""
+    import ray.data as rd
+    from mapshaper_ray.ops.ann import random_project
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = random_project(ds, out_dim=8).to_pandas()
+    return out.sort_values(["vec_id", "k"]).reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -1815,6 +1843,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q94_reservoir_sample": _q94_reservoir_sample,
         "q95_bloom_incremental": _q95_bloom_incremental,
         "q96_ccnet_buckets": _q96_ccnet_buckets,
+        "q97_group_variance": _q97_group_variance,
+        "q98_random_project": _q98_random_project,
     }
 
 
@@ -3287,6 +3317,33 @@ def oracle_sql() -> dict[str, str]:
 
     # the bloom-gated path must equal the plain anti join exactly
     out["q95_bloom_incremental"] = out["q79_incremental_dedup"]
+
+    out["q97_group_variance"] = """
+        SELECT l_returnflag,
+               round(var_samp(l_quantity), 6) AS var_qty,
+               round(stddev_samp(l_quantity), 6) AS std_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+    # JL sign projection: the +-1 matrix is md5-derived so SQL
+    # rebuilds it exactly; FLOAT*sign is exact, only the sum order
+    # differs (double accumulate both sides; rounded to 6dp)
+    out["q98_random_project"] = """
+        WITH e AS (
+          SELECT vec_id, CAST(u.r['j'] AS BIGINT) AS j,
+                 CAST(u.r['v'] AS DOUBLE) AS v
+          FROM embeddings, unnest(list_transform(
+                generate_series(1, len(embedding)),
+                i -> {'j': i, 'v': embedding[i]})) AS u(r)),
+        ks AS (SELECT unnest(generate_series(0, 7)) AS k),
+        s AS (SELECT e2.j, ks.k,
+                     CASE WHEN md5_number_lower(
+                            CAST(e2.j AS VARCHAR) || ':' ||
+                            CAST(ks.k AS VARCHAR)) % 2 = 0
+                          THEN 1.0 ELSE -1.0 END AS sgn
+              FROM (SELECT DISTINCT j FROM e) e2, ks)
+        SELECT e.vec_id, s.k, round(SUM(e.v * s.sgn), 6) AS y
+        FROM e JOIN s USING (j)
+        GROUP BY e.vec_id, s.k ORDER BY vec_id, k"""
 
     out["q84_pretrain_pipeline"] = r"""
         -- the q12 dedup, q56 repetition-share, q76 decontamination

@@ -298,3 +298,53 @@ def pq_topk(ds, queries: np.ndarray, query_ids, k=10, m_subspaces=8,
 
     return partials.groupby("query_id").map_groups(
         final, batch_format="pandas")
+
+
+def random_project(ds, out_dim: int = 8, col: str = "embedding",
+                   id_col: str = "vec_id"):
+    """Johnson-Lindenstrauss sign random projection — the
+    dimensionality-reduction preprocessing step before ANN / LSH at
+    corpus scale: ``y_k = sum_j v_j * s(j, k)`` with the sign matrix
+    ``s(j, k) = +1 if md5_number_lower(f"{j}:{k}") is even else -1``
+    (Achlioptas 2003: +-1 entries satisfy the JL lemma).
+
+    Deterministic and data-independent: the d x out_dim sign matrix
+    is derived from md5, so a SQL oracle reproduces it exactly; it is
+    built once on the driver (tiny) and travels in the task closure.
+    Per batch one (n x d) @ (d x out_dim) float64 matmul.  Output is
+    long-form (id, k, y) rounded to 6 decimals for value-exact
+    comparison.  j is 1-based (SQL generate_series convention),
+    k 0-based.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..stages.text import md5_lo64
+
+    def signs(d: int) -> np.ndarray:
+        h = md5_lo64([f"{j}:{k}" for j in range(1, d + 1)
+                      for k in range(out_dim)])
+        return np.where(h % 2 == 0, 1.0, -1.0).reshape(d, out_dim)
+
+    smat = {}
+
+    def project(batch: "pa.Table") -> "pa.Table":
+        schema = pa.schema([(id_col, pa.int64()), ("k", pa.int64()),
+                            ("y", pa.float64())])
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        df = batch.to_pandas()
+        vecs = np.stack(df[col].to_numpy()).astype(np.float64)
+        d = vecs.shape[1]
+        if d not in smat:
+            smat[d] = signs(d)
+        y = vecs @ smat[d]
+        n = len(df)
+        ids = np.repeat(df[id_col].to_numpy().astype(np.int64),
+                        out_dim)
+        ks = np.tile(np.arange(out_dim, dtype=np.int64), n)
+        return pa.Table.from_arrays(
+            [pa.array(ids), pa.array(ks),
+             pa.array(np.round(y.ravel(), 6))], schema=schema)
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -1107,7 +1107,12 @@ def exact_substring_dedup(ds, text_col="text", id_col="doc_id", k=50,
             "__dpart": bucket_part(o // _ESD_POS_LIM, n_parts)})
 
     def span_lists(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(id_col, sort=False)["pos"].agg(list)
+        # spans travel as a comma-joined STRING, not a list column:
+        # the sort exchange's arrow->pandas round trip turns object
+        # lists into ndarrays, and Ray's TensorArray auto-cast then
+        # fails on ragged blocks (hit at 50k docs; latent at 5k)
+        g = df.groupby(id_col, sort=False)["pos"] \
+            .agg(lambda s: ",".join(map(str, s)))
         return pd.DataFrame({id_col: g.index.to_numpy(np.int64),
                              "__spans": g.to_numpy(object)})
 
@@ -1125,11 +1130,15 @@ def exact_substring_dedup(ds, text_col="text", id_col="doc_id", k=50,
         texts = []
         for t, sp in zip(df[text_col], df["__spans"]):
             toks = ws.findall(t or "")
-            if not isinstance(sp, (list, np.ndarray)):
+            if isinstance(sp, str) and sp:
+                p = np.fromiter((int(x) for x in sp.split(",")),
+                                dtype=np.int64)
+            elif isinstance(sp, (list, np.ndarray)) and len(sp):
+                p = np.asarray(sp, dtype=np.int64)
+            else:
                 texts.append(" ".join(toks))
                 continue
             delta = np.zeros(len(toks) + 1, dtype=np.int64)
-            p = np.asarray(sp, dtype=np.int64)
             np.add.at(delta, p, 1)
             np.add.at(delta, np.minimum(p + k, len(toks)), -1)
             keep = np.cumsum(delta[:-1]) == 0

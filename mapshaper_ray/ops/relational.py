@@ -350,10 +350,23 @@ def groupby_agg(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
         if fn == "mean":
             partial_specs[f"__{out}_sum"] = (col, "sum")
             partial_specs[f"__{out}_cnt"] = (col, "count")
+        elif fn in ("var", "std"):
+            # sample variance from (sum, sum-of-squares, count)
+            # partials — every piece sum-reducible, so var/std stay
+            # one-pass distributive like mean
+            partial_specs[f"__{out}_sum"] = (col, "sum")
+            partial_specs[f"__{out}_sumsq"] = (col, "sumsq")
+            partial_specs[f"__{out}_cnt"] = (col, "count")
         else:
             partial_specs[out] = (col, fn)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sq = {col for _, (col, fn) in partial_specs.items()
+              if fn == "sumsq"}
+        if sq:
+            df = df.assign(**{
+                f"__sq_{c}": df[c].to_numpy(dtype=np.float64) ** 2
+                for c in sq})
         g = df.groupby(keys, sort=False, dropna=False)
         cols = {}
         for out, (col, fn) in partial_specs.items():
@@ -361,6 +374,8 @@ def groupby_agg(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
                 cols[out] = g[col].count()
             elif fn == "first":
                 cols[out] = g[col].first()
+            elif fn == "sumsq":
+                cols[out] = g[f"__sq_{col}"].sum()
             else:
                 cols[out] = getattr(g[col], fn)()
         return pd.DataFrame(cols).reset_index()
@@ -371,7 +386,7 @@ def groupby_agg(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
         g = df.groupby(keys, sort=False, dropna=False)
         cols = {}
         for out, (col, fn) in partial_specs.items():
-            if fn in ("sum", "count"):
+            if fn in ("sum", "count", "sumsq"):
                 cols[out] = g[out].sum()
             elif fn == "min":
                 cols[out] = g[out].min()
@@ -384,6 +399,17 @@ def groupby_agg(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
             if fn == "mean":
                 res[out] = res[f"__{out}_sum"] / res[f"__{out}_cnt"]
                 res = res.drop(columns=[f"__{out}_sum", f"__{out}_cnt"])
+            elif fn in ("var", "std"):
+                n = res[f"__{out}_cnt"].to_numpy(dtype=np.float64)
+                s = res[f"__{out}_sum"].to_numpy(dtype=np.float64)
+                ss = res[f"__{out}_sumsq"].to_numpy(dtype=np.float64)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    v = (ss - s * s / n) / (n - 1)
+                    v = np.where(n > 1, np.maximum(v, 0.0), np.nan)
+                    res[out] = np.sqrt(v) if fn == "std" else v
+                res = res.drop(columns=[f"__{out}_sum",
+                                        f"__{out}_sumsq",
+                                        f"__{out}_cnt"])
         return res
 
     # intermediate combine: partial blocks are tiny, so Ray's input
@@ -391,13 +417,13 @@ def groupby_agg(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
     # task — the driver then reduces 50x fewer rows.  Valid whenever all
     # partial columns are re-aggregable (sum/count->sum, min, max);
     # 'first' partials are order-sensitive, so they skip the combine.
-    if all(fn in ("sum", "count", "min", "max")
+    if all(fn in ("sum", "count", "min", "max", "sumsq")
            for _, fn in partial_specs.values()):
         def combine(df: pd.DataFrame) -> pd.DataFrame:
             g = df.groupby(keys, sort=False, dropna=False)
             cols = {}
             for out, (col, fn) in partial_specs.items():
-                if fn in ("sum", "count"):
+                if fn in ("sum", "count", "sumsq"):
                     cols[out] = g[out].sum()
                 else:
                     cols[out] = getattr(g[out], fn)()

@@ -295,3 +295,43 @@ def test_grouped_rank_buckets_partition_invariant_with_ties(ray_session):
     # every group splits into near-equal thirds
     chk = outs[0].groupby(["g", "bucket"]).size().unstack()
     assert (chk.max(axis=1) - chk.min(axis=1)).max() <= 1
+
+
+def test_groupby_agg_var_std(ray_session):
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import groupby_agg
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"g": rng.integers(0, 4, 5000),
+                       "v": rng.normal(100, 15, 5000)})
+    out = groupby_agg(rd.from_pandas(df).repartition(7), ["g"],
+                      {"var_v": ("v", "var"),
+                       "std_v": ("v", "std"),
+                       "mean_v": ("v", "mean")}).to_pandas()
+    out = out.sort_values("g").reset_index(drop=True)
+    want = df.groupby("g")["v"].agg(["var", "std", "mean"]).reset_index()
+    np.testing.assert_allclose(out["var_v"], want["var"], rtol=1e-9)
+    np.testing.assert_allclose(out["std_v"], want["std"], rtol=1e-9)
+    np.testing.assert_allclose(out["mean_v"], want["mean"], rtol=1e-12)
+    # single-element group -> sample variance is NaN (SQL var_samp NULL)
+    one = pd.DataFrame({"g": [1, 2, 2], "v": [5.0, 1.0, 3.0]})
+    o2 = groupby_agg(rd.from_pandas(one), ["g"],
+                     {"var_v": ("v", "var")}).to_pandas()
+    o2 = o2.sort_values("g").reset_index(drop=True)
+    assert np.isnan(o2["var_v"].iloc[0]) and o2["var_v"].iloc[1] == 2.0
+
+
+def test_random_project_matches_bruteforce(ray_session):
+    import ray.data as rd
+    from mapshaper_ray.ops.ann import random_project
+    from mapshaper_ray.stages.text import md5_lo64
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(size=(40, 16)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64),
+                       "embedding": [v for v in vecs]})
+    out = random_project(rd.from_pandas(df).repartition(3),
+                         out_dim=4).to_pandas()
+    out = out.sort_values(["vec_id", "k"]).reset_index(drop=True)
+    h = md5_lo64([f"{j}:{k}" for j in range(1, 17) for k in range(4)])
+    smat = np.where(h % 2 == 0, 1.0, -1.0).reshape(16, 4)
+    want = np.round(vecs.astype(np.float64) @ smat, 6).ravel()
+    np.testing.assert_array_equal(out["y"].to_numpy(), want)
