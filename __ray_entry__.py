@@ -1786,17 +1786,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q63_kmeans": _q63_kmeans,
         "q62_pagerank": _q62_pagerank,
         "q78_triangles": _q78_triangles,
-        "q18_text_quality": _q18_text_quality,
-        "q51_token_df": _q51_token_df,
+        # sketch family holds three window slots (q91/q93/q95) so the
+        # driver's 50-query artifact samples it; the displaced text
+        # queries stay covered by CORRECTNESS_FULL + validate_oracle
+        "q91_hll_distinct": _q91_hll_distinct,
+        "q93_heavy_hitters": _q93_heavy_hitters,
         "q61_bm25": _q61_bm25,
         "q64_lm_nll": _q64_lm_nll,
         "q66_redact_pii": _q66_redact_pii,
         "q67_pack_sequences": _q67_pack_sequences,
         "q69_dsir_weights": _q69_dsir_weights,
         "q71_bpe_train": _q71_bpe_train,
-        "q74_mix_sample": _q74_mix_sample,
+        "q95_bloom_incremental": _q95_bloom_incremental,
         "q76_decontaminate": _q76_decontaminate,
         "q84_pretrain_pipeline": _q84_pretrain_pipeline,
+        "q18_text_quality": _q18_text_quality,
+        "q51_token_df": _q51_token_df,
+        "q74_mix_sample": _q74_mix_sample,
         "q13_token_stats": _q13_token_stats,
         "q15_embedding_neardup": _q15_embedding_neardup,
         "q17_simhash": _q17_simhash,
@@ -1837,11 +1843,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q88_natearth2": _q88_natearth2,
         "q89_tissot": _q89_tissot,
         "q90_js_each": _q90_js_each,
-        "q91_hll_distinct": _q91_hll_distinct,
         "q92_hll_by_group": _q92_hll_by_group,
-        "q93_heavy_hitters": _q93_heavy_hitters,
         "q94_reservoir_sample": _q94_reservoir_sample,
-        "q95_bloom_incremental": _q95_bloom_incremental,
         "q96_ccnet_buckets": _q96_ccnet_buckets,
         "q97_group_variance": _q97_group_variance,
         "q98_random_project": _q98_random_project,
