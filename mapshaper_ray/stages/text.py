@@ -9,6 +9,7 @@ string kernels per batch.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 
 import numpy as np
@@ -342,6 +343,12 @@ def bm25_topk(ds, terms, k=50, k1=1.2, b=0.75, id_col="doc_id",
 # MINHASH_DRIVER_PAIR_CAP.  5M tokens x ~40B/row ≈ 200MB broadcast,
 # the comfortable ceiling for a per-actor value_set.
 LM_VOCAB_BROADCAST_CAP = 5_000_000
+
+# bpe_train candidate selection: vocabs under this row count reduce
+# their per-block pair partials on the driver (no per-merge exchange);
+# larger vocabs keep the pair-hash bucket-shuffle top-1 path
+BPE_DRIVER_VOCAB_CAP = int(os.environ.get(
+    "MAPSHAPER_RAY_BPE_DRIVER_VOCAB_CAP", "2000000"))
 
 
 def lm_nll(ds, id_col="doc_id", text_col="text", n_parts=64,
@@ -875,6 +882,13 @@ def bpe_train(ds, n_merges=20, text_col="text", n_parts=32):
                                       batch_format="pandas") \
         .materialize()
 
+    # candidate-selection route, decided ONCE: a vocab under the cap
+    # reduces its per-block pair partials on the driver (one map pass,
+    # no exchange — the per-iteration pair-hash sort exchange costs
+    # ~1s of fixed latency ALONE); a web-scale vocab (~1e8 words)
+    # keeps the bucket-shuffle top-1 path
+    driver_reduce = vocab.count() <= BPE_DRIVER_VOCAB_CAP
+
     merges = []
     for rank in range(n_merges):
         def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
@@ -907,10 +921,16 @@ def bpe_train(ds, n_merges=20, text_col="text", n_parts=32):
                               kind="mergesort")
             return g.head(1)
 
-        cand = vocab.map_batches(pair_counts, batch_format="pandas") \
-            .groupby("__part").map_groups(part_best,
-                                          batch_format="pandas") \
-            .to_pandas()
+        if driver_reduce:
+            parts = vocab.map_batches(pair_counts,
+                                      batch_format="pandas").to_pandas()
+            cand = part_best(parts) if len(parts) else parts
+        else:
+            cand = vocab.map_batches(pair_counts,
+                                     batch_format="pandas") \
+                .groupby("__part").map_groups(part_best,
+                                              batch_format="pandas") \
+                .to_pandas()
         if cand.empty:
             break
         cand = cand.sort_values(["c", "left", "right"],

@@ -335,3 +335,15 @@ def test_random_project_matches_bruteforce(ray_session):
     smat = np.where(h % 2 == 0, 1.0, -1.0).reshape(16, 4)
     want = np.round(vecs.astype(np.float64) @ smat, 6).ravel()
     np.testing.assert_array_equal(out["y"].to_numpy(), want)
+
+
+def test_bpe_train_driver_and_shuffle_paths_equal(ray_session, monkeypatch):
+    import ray.data as rd
+    import mapshaper_ray.stages.text as T
+    df = pd.DataFrame({"text": ["low lower lowest", "new newer newest",
+                                "wide wider widest", "low low low"] * 50})
+    ds = rd.from_pandas(df).repartition(5)
+    a = T.bpe_train(ds, n_merges=8)
+    monkeypatch.setattr(T, "BPE_DRIVER_VOCAB_CAP", 0)  # force shuffle
+    b = T.bpe_train(ds, n_merges=8)
+    pd.testing.assert_frame_equal(a, b)
