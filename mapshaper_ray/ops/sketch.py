@@ -573,3 +573,57 @@ def reservoir_sample(ds, n: int, id_col: str, seed: int = 7,
     if columns is not None:
         df = df[["sample_rank"] + columns]
     return df
+
+
+# ---------------------------------------------------------------------------
+# persisted sketch state (incremental corpus statistics)
+# ---------------------------------------------------------------------------
+
+def save_sketch(path: str, payload: bytes, kind: str, **meta) -> None:
+    """Atomically persist sketch bytes + JSON meta (kind, k/p, ...).
+    Sketches are the corpus state an incremental 10^12-doc pipeline
+    carries between runs — rebuilt never, merged always (Bloom bits
+    OR, HLL registers max are both idempotent and commutative, so
+    re-running a partially-applied update is safe)."""
+    import json
+    import os
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(json.dumps({"kind": kind, **meta}).encode() + b"\n")
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def load_sketch(path: str) -> tuple[bytes, dict]:
+    import json
+    with open(path, "rb") as f:
+        meta = json.loads(f.readline())
+        return f.read(), meta
+
+
+def bloom_update(bloom: bytes, ds, col: str, k: int = 4) -> bytes:
+    """OR-merge a new corpus slice into an existing Bloom filter —
+    the incremental-dedup state update: one partial pass over the new
+    slice only, the historical corpus is never re-read."""
+    bits = np.frombuffer(bloom, dtype=np.uint8)
+    new = bloom_build(ds, col, n_bits=len(bits) * 8, k=k)
+    return np.bitwise_or(bits,
+                         np.frombuffer(new, dtype=np.uint8)).tobytes()
+
+
+def hll_update(registers: bytes, ds, col: str) -> bytes:
+    """Max-merge a new corpus slice into existing HLL registers; the
+    estimate over the union is ``hll_estimate`` of the result."""
+    regs = np.frombuffer(registers, dtype=np.uint8)
+    p = int(np.log2(len(regs)))
+    partials = ds.map_batches(_HllPartial(col, p),
+                              batch_format="pyarrow")
+    rows = partials.repartition(8).map_batches(
+        _merge_register_rows, batch_format="pyarrow",
+        batch_size=None).take_all()
+    stacked = np.vstack([regs] + [np.frombuffer(r["registers"],
+                                                dtype=np.uint8)
+                                  for r in rows])
+    return np.maximum.reduce(stacked, axis=0).tobytes()

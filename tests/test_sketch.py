@@ -347,3 +347,46 @@ def test_bpe_train_driver_and_shuffle_paths_equal(ray_session, monkeypatch):
     monkeypatch.setattr(T, "BPE_DRIVER_VOCAB_CAP", 0)  # force shuffle
     b = T.bpe_train(ds, n_merges=8)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_sketch_state_incremental_update_equals_rebuild(
+        ray_session, tmp_path):
+    import ray.data as rd
+    from mapshaper_ray.ops.sketch import (bloom_build, bloom_contains,
+                                          bloom_update, hll_estimate,
+                                          hll_update, load_sketch,
+                                          save_sketch, _HllPartial,
+                                          _merge_register_rows)
+    a = pd.DataFrame({"h": [f"a{i}" for i in range(3000)]})
+    b = pd.DataFrame({"h": [f"b{i}" for i in range(2000)]})
+    both = pd.concat([a, b], ignore_index=True)
+    ds_a, ds_b = rd.from_pandas(a).repartition(3), \
+        rd.from_pandas(b).repartition(4)
+    # bloom: build on a, persist, reload, update with b == rebuild
+    bl = bloom_build(ds_a, "h", n_bits=1 << 16, k=4)
+    path = str(tmp_path / "corpus.bloom")
+    save_sketch(path, bl, "bloom", k=4)
+    loaded, meta = load_sketch(path)
+    assert loaded == bl and meta["kind"] == "bloom" and meta["k"] == 4
+    upd = bloom_update(loaded, ds_b, "h", k=4)
+    rebuilt = bloom_build(rd.from_pandas(both).repartition(9), "h",
+                          n_bits=1 << 16, k=4)
+    assert upd == rebuilt
+    assert bloom_contains(upd, ["a5", "b1999"], k=4).all()
+    # idempotent: re-applying the same slice changes nothing
+    assert bloom_update(upd, ds_b, "h", k=4) == upd
+    # hll: registers max-merge == rebuild over the union
+    p = 10
+    regs_a = np.zeros(1 << p, dtype=np.uint8)
+    rows = rd.from_pandas(a).map_batches(
+        _HllPartial("h", p), batch_format="pyarrow").take_all()
+    regs_a = np.maximum.reduce(
+        [np.frombuffer(r["registers"], dtype=np.uint8) for r in rows])
+    merged = hll_update(regs_a.tobytes(), ds_b, "h")
+    rows2 = rd.from_pandas(both).map_batches(
+        _HllPartial("h", p), batch_format="pyarrow").take_all()
+    want = np.maximum.reduce(
+        [np.frombuffer(r["registers"], dtype=np.uint8) for r in rows2])
+    assert merged == want.tobytes()
+    assert hll_estimate(np.frombuffer(merged, dtype=np.uint8)) == \
+        hll_estimate(want)
