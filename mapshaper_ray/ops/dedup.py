@@ -1037,6 +1037,10 @@ def duplicate_window_stats(ds, text_col="text", id_col="doc_id", k=5,
 # realistic web page; the guard below raises rather than corrupting.
 _ESD_POS_LIM = np.int64(1) << np.int64(24)
 
+# exact_substring_dedup span-table attach: broadcast under this many
+# affected-doc rows, bucketed join above
+ESD_SPAN_BROADCAST_CAP = 2_000_000
+
 
 def exact_substring_dedup(ds, text_col="text", id_col="doc_id", k=50,
                           n_parts=64, num_buckets=32):
@@ -1119,12 +1123,33 @@ def exact_substring_dedup(ds, text_col="text", id_col="doc_id", k=50,
     spans = ds.map_batches(emit, batch_format="pandas") \
         .groupby("__part").map_groups(covered, batch_format="pandas") \
         .groupby("__dpart").map_groups(span_lists,
-                                       batch_format="pandas")
+                                       batch_format="pandas") \
+        .materialize()
 
-    joined = hash_join(ds, spans, on=id_col, how="left",
-                       num_buckets=num_buckets,
-                       left_cols=[id_col, text_col],
-                       right_cols=[id_col, "__spans"])
+    # span-table attach, count-gated: one (id -> spans) row per
+    # AFFECTED doc — under the cap it broadcasts once (ray.put) and a
+    # stateless pass attaches it, skipping the bucketed join's two
+    # stamp passes + sort exchange (~2s fixed at 5k docs); above the
+    # cap the join path runs
+    if spans.count() <= ESD_SPAN_BROADCAST_CAP:
+        import ray
+
+        sp_pdf = spans.to_pandas()
+        sp_ref = ray.put(dict(zip(sp_pdf[id_col].to_numpy(),
+                                  sp_pdf["__spans"].to_numpy())))
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            sp = ray.get(sp_ref)
+            df = df[[id_col, text_col]].copy()
+            df["__spans"] = [sp.get(i) for i in df[id_col].to_numpy()]
+            return df
+
+        joined = ds.map_batches(attach, batch_format="pandas")
+    else:
+        joined = hash_join(ds, spans, on=id_col, how="left",
+                           num_buckets=num_buckets,
+                           left_cols=[id_col, text_col],
+                           right_cols=[id_col, "__spans"])
 
     def rebuild(df: pd.DataFrame) -> pd.DataFrame:
         texts = []

@@ -390,3 +390,22 @@ def test_sketch_state_incremental_update_equals_rebuild(
     assert merged == want.tobytes()
     assert hll_estimate(np.frombuffer(merged, dtype=np.uint8)) == \
         hll_estimate(want)
+
+
+def test_exact_substring_span_attach_paths_equal(ray_session,
+                                                 monkeypatch):
+    import ray.data as rd
+    import mapshaper_ray.ops.dedup as D
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [base + " one", base + " two", base + " one",
+                 "unique words only here now", base + " three",
+                 base + " one"]})
+    ds = rd.from_pandas(df).repartition(3)
+    a = D.exact_substring_dedup(ds, k=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(D, "ESD_SPAN_BROADCAST_CAP", 0)  # force join
+    b = D.exact_substring_dedup(ds, k=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
