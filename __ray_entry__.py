@@ -1108,6 +1108,110 @@ def _q98_random_project(sf_dir: str):
     return out.sort_values(["vec_id", "k"]).reset_index(drop=True)
 
 
+_Q99_BOILER = ("cookie notice we use cookies and trackers to improve "
+               "and measure your experience on our site accept all now")
+
+
+def _q99_passage_dedup(sf_dir: str):
+    """Passage-level exact dedup (Dolma/Gopher paragraph-dedup over
+    fixed 10-word passages): every doc gets one of four 20-token
+    boilerplate banners PREPENDED (aligned to the passage grid), so
+    the banner passages are corpus-wide duplicates — the lowest
+    (doc_id, idx) occurrence survives, every other copy is stripped,
+    and each doc's own unique passages pass through untouched."""
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import passage_dedup
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def banner(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        v = pd.Series(ids % 4).astype(str)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "text": ("v" + v + " " + _Q99_BOILER + " "
+                     + df["text"].to_numpy(object)).to_numpy(object)})
+
+    out = passage_dedup(docs.map_batches(banner, batch_format="pandas"),
+                        words=10).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q100_url_dedup(sf_dir: str):
+    """Web-corpus URL canonicalization + dedup: messy crawl URLs
+    (mixed-case scheme/host, default ports, utm params, trailing
+    slashes, fragments) normalize byte-exactly (RE2-mirrorable rule
+    chain), then group to (canonical url, first doc, dup count)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import groupby_agg
+    from mapshaper_ray.stages.pages import normalize_urls
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def mess(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].to_numpy(np.int64)
+        s = pd.Series(np.where(i % 2 == 0, "HTTP", "https"))
+        port = pd.Series(np.select([i % 4 == 0, i % 4 == 1],
+                                   [":80", ":443"], ""))
+        path = ("/Path/" + pd.Series(i % 100).astype(str)
+                + pd.Series(np.where(i % 3 == 0, "/", "")))
+        qid = pd.Series(i % 200).astype(str)
+        query = pd.Series(np.where(
+            i % 2 == 0, "?utm_source=feed&id=" + qid,
+            "?id=" + qid + "&utm_campaign=x"))
+        frag = pd.Series(np.where(i % 5 == 0, "#sec", ""))
+        return pd.DataFrame({
+            "doc_id": i,
+            "url": (s + "://WWW.Site" + pd.Series(i % 50).astype(str)
+                    + ".Example" + port + path + query + frag)
+                   .to_numpy(object)})
+
+    urls = normalize_urls(docs.map_batches(mess, batch_format="pandas"))
+    out = groupby_agg(urls, ["url_norm"],
+                      {"first_doc": ("doc_id", "min"),
+                       "n_dups": ("doc_id", "count")},
+                      final="distributed").to_pandas()
+    out["first_doc"] = out["first_doc"].astype(np.int64)
+    out["n_dups"] = out["n_dups"].astype(np.int64)
+    return out.sort_values("url_norm").reset_index(drop=True)
+
+
+def _q101_nn_join(sf_dir: str):
+    """Dataset x dataset exact cosine top-k join (odd vec_ids query
+    the even-id corpus): query blocks live in the object store and
+    every corpus batch matmuls against them — neither side is
+    driver-materialized, shuffle is k rows per (query, batch)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.ann import nn_join
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    def parity(df: pd.DataFrame, keep: int) -> pd.DataFrame:
+        return df[df["vec_id"].to_numpy(np.int64) % 2 == keep]
+
+    q = emb.map_batches(parity, fn_kwargs={"keep": 1},
+                        batch_format="pandas")
+    c = emb.map_batches(parity, fn_kwargs={"keep": 0},
+                        batch_format="pandas")
+    out = nn_join(q, c, k=3).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["query_id", "cosine", "vec_id"],
+                           ascending=[True, False, True]) \
+        .reset_index(drop=True)
+
+
+def _q102_pmi_bigrams(sf_dir: str):
+    """Top-50 adjacent-bigram PMI (phrase-mining collocations): one
+    corpus scan of partial unigram/bigram counts, count-gated unigram
+    broadcast, quantized-log integer PMI (exact vs libm/DuckDB ln)."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import pmi_bigrams
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = pmi_bigrams(docs, top_k=50, min_count=5)
+    return out[["w1", "w2", "c", "pmi_q"]]
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -1848,6 +1952,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q96_ccnet_buckets": _q96_ccnet_buckets,
         "q97_group_variance": _q97_group_variance,
         "q98_random_project": _q98_random_project,
+        "q99_passage_dedup": _q99_passage_dedup,
+        "q100_url_dedup": _q100_url_dedup,
+        "q101_nn_join": _q101_nn_join,
+        "q102_pmi_bigrams": _q102_pmi_bigrams,
     }
 
 
@@ -3347,6 +3455,117 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.vec_id, s.k, round(SUM(e.v * s.sgn), 6) AS y
         FROM e JOIN s USING (j)
         GROUP BY e.vec_id, s.k ORDER BY vec_id, k"""
+
+    # q99: passage-level dedup — same 10-word chunk grid, keep the
+    # min (doc_id, idx) occurrence per distinct chunk text, re-join
+    # surviving chunks in order (engine: ops/dedup.passage_dedup)
+    out["q99_passage_dedup"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 'v' || CAST(doc_id % 4 AS VARCHAR) || ' ' ||
+                 'cookie notice we use cookies and trackers to improve '
+                 || 'and measure your experience on our site accept '
+                 || 'all now' || ' ' || text AS t
+          FROM documents),
+        w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+        ch0 AS (
+          SELECT doc_id, unnest(list_transform(
+                generate_series(0, (len(ws) + 9) // 10 - 1),
+                i -> {'idx': i,
+                      'chunk': array_to_string(
+                          list_slice(ws, i*10+1, i*10+10),
+                          ' ')})) AS r
+          FROM w),
+        ch AS (SELECT doc_id, CAST(r['idx'] AS BIGINT) AS idx,
+                      CAST(r['chunk'] AS VARCHAR) AS chunk
+               FROM ch0),
+        keep AS (
+          SELECT doc_id, idx, chunk FROM ch
+          QUALIFY row_number() OVER (PARTITION BY chunk
+                                     ORDER BY doc_id, idx) = 1),
+        agg AS (SELECT doc_id,
+                       string_agg(chunk, ' ' ORDER BY idx) AS text
+                FROM keep GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(a.text, '') AS text
+        FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
+
+    # q100: messy-URL synth + the normalize_urls rule chain (the SQL
+    # side of each regex comes from stages/pages.url_normalize_sql so
+    # engine and oracle share ONE rule table), grouped dedup
+    from mapshaper_ray.stages.pages import url_normalize_sql
+    out["q100_url_dedup"] = f"""
+        WITH m AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+            || '://WWW.Site' || CAST(doc_id % 50 AS VARCHAR)
+            || '.Example'
+            || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                     WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END)
+            || '/Path/' || CAST(doc_id % 100 AS VARCHAR)
+            || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+            || (CASE WHEN doc_id % 2 = 0
+                     THEN '?utm_source=feed&id='
+                          || CAST(doc_id % 200 AS VARCHAR)
+                     ELSE '?id=' || CAST(doc_id % 200 AS VARCHAR)
+                          || '&utm_campaign=x' END)
+            || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END)
+            AS url
+          FROM documents),
+        n AS (SELECT doc_id, {url_normalize_sql("url")} AS url_norm
+              FROM m)
+        SELECT url_norm, min(doc_id) AS first_doc,
+               count(*) AS n_dups
+        FROM n GROUP BY url_norm ORDER BY url_norm"""
+
+    # q101: dataset x dataset top-3 cosine join, q14's idiom with a
+    # parity split (odd ids query the even-id corpus)
+    out["q101_nn_join"] = """
+        WITH q AS (SELECT vec_id AS query_id,
+                          list_transform(embedding,
+                                         x -> CAST(x AS DOUBLE)) AS qv
+                   FROM embeddings WHERE vec_id % 2 = 1),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 round(list_cosine_similarity(
+                   list_transform(e.embedding,
+                                  x -> CAST(x AS DOUBLE)), q.qv),
+                       6) AS cosine
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id % 2 = 0)
+        SELECT query_id, vec_id, cosine FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) <= 3"""
+
+    # q102: adjacent-bigram PMI, quantized-log integers (the q64
+    # libm-vs-DuckDB ln trick) so pmi_q is exactly comparable
+    out["q102_pmi_bigrams"] = """
+        WITH tok AS (
+          SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+          FROM documents),
+        uni AS (SELECT unnest(ws) AS w FROM tok),
+        u AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        big AS (
+          SELECT ws[t.i] AS w1, ws[t.i + 1] AS w2
+          FROM tok, unnest(generate_series(1, len(ws) - 1)) AS t(i)),
+        b AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2
+              HAVING count(*) >= 5),
+        g AS (SELECT (SELECT sum(c) FROM u) AS n1,
+                     (SELECT count(*) FROM big) AS n2),
+        s AS (
+          SELECT b.w1, b.w2, b.c,
+                 CAST(floor(ln(CAST(b.c AS DOUBLE)) * 1000000000)
+                      AS BIGINT)
+                 + 2 * CAST(floor(ln(CAST((SELECT n1 FROM g)
+                                          AS DOUBLE)) * 1000000000)
+                            AS BIGINT)
+                 - CAST(floor(ln(CAST((SELECT n2 FROM g) AS DOUBLE))
+                              * 1000000000) AS BIGINT)
+                 - CAST(floor(ln(CAST(u1.c AS DOUBLE)) * 1000000000)
+                        AS BIGINT)
+                 - CAST(floor(ln(CAST(u2.c AS DOUBLE)) * 1000000000)
+                        AS BIGINT) AS pmi_q
+          FROM b JOIN u u1 ON b.w1 = u1.w JOIN u u2 ON b.w2 = u2.w)
+        SELECT w1, w2, c, pmi_q FROM s
+        ORDER BY pmi_q DESC, w1, w2 LIMIT 50"""
 
     out["q84_pretrain_pipeline"] = r"""
         -- the q12 dedup, q56 repetition-share, q76 decontamination

@@ -348,3 +348,79 @@ def random_project(ds, out_dim: int = 8, col: str = "embedding",
              pa.array(np.round(y.ravel(), 6))], schema=schema)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def nn_join(query_ds, corpus_ds, k=10, id_col="vec_id",
+            emb_col="embedding", concurrency=(1, 8)):
+    """Dataset×dataset exact cosine top-k join: for every row of
+    ``query_ds`` find its k nearest ``corpus_ds`` rows.  Unlike
+    ``brute_topk`` (query MATRIX broadcast from the driver), both
+    sides here are Datasets and neither touches the driver:
+
+    - the query side materializes to Arrow blocks in the OBJECT STORE
+      (``to_arrow_refs``) — ``ray.put``-equivalent, shipped once, read
+      zero-copy by every scorer task;
+    - the corpus streams through an actor pool; each batch loops over
+      the query BLOCKS (plasma-resident, normalized once per actor
+      and cached), does one (B, d) @ (d, Qblk) matmul per block, and
+      emits per-query PARTIAL top-k rows;
+    - a grouped final reduce keeps the global top-k per query.
+
+    Memory per task = one corpus batch + one normalized query block;
+    shuffle volume = k rows per (query, corpus-batch).  Tie-break:
+    higher cosine, then lower corpus id (matches brute_topk / q14).
+    """
+    import ray
+
+    refs = query_ds.materialize().to_arrow_refs()
+    empty = pd.DataFrame({"query_id": np.empty(0, np.int64),
+                          id_col: np.empty(0, np.int64),
+                          "cosine": np.empty(0, np.float64)})
+
+    class Scorer:
+        """Actor-pool stage: the normalized query blocks are cached in
+        ``__init__``-owned state, so each actor pays the plasma read +
+        normalize once and every subsequent corpus batch reuses it."""
+
+        def __init__(self):
+            self.cache: dict = {}
+
+        def _qblock(self, ref):
+            key = ref.hex() if hasattr(ref, "hex") else id(ref)
+            got = self.cache.get(key)
+            if got is None:
+                df = ray.get(ref).to_pandas()
+                qm = (_normalize(np.stack(df[emb_col].to_numpy())
+                                 .astype(np.float64))
+                      if len(df) else np.empty((0, 1)))
+                got = (df[id_col].to_numpy(), qm)
+                self.cache[key] = got
+            return got
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return empty.copy()
+            vecs = _normalize(
+                np.stack(df[emb_col].to_numpy()).astype(np.float64))
+            ids = df[id_col].to_numpy()
+            out = []
+            for ref in refs:
+                qids, qm = self._qblock(ref)
+                if not len(qids):
+                    continue
+                sims = vecs @ qm.T
+                out.append(_partial_topk_frame(ids, sims, k, qids))
+            return (pd.concat(out, ignore_index=True) if out
+                    else empty.copy())
+
+    partials = corpus_ds.map_batches(Scorer, batch_format="pandas",
+                                     batch_size=8192,
+                                     concurrency=concurrency, num_cpus=1)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cosine", id_col],
+                            ascending=[False, True], kind="mergesort")
+        return df.head(k)
+
+    return partials.groupby("query_id").map_groups(
+        final, batch_format="pandas")

@@ -1172,3 +1172,120 @@ def exact_substring_dedup(ds, text_col="text", id_col="doc_id", k=50,
                              text_col: texts})
 
     return joined.map_batches(rebuild, batch_format="pandas")
+
+
+def passage_dedup(ds, text_col="text", id_col="doc_id", words=20,
+                  n_parts=64, num_buckets=32):
+    """Passage-level exact deduplication (the Dolma / Gopher
+    paragraph-dedup recipe applied to fixed word windows): each doc is
+    segmented into consecutive ``words``-token passages (the tail
+    passage may be shorter); every passage whose text occurs more than
+    once corpus-wide keeps ONE canonical occurrence — the smallest
+    (doc_id, passage_idx) — and all other occurrences are dropped;
+    each doc's surviving passages re-join with single spaces in
+    passage order.  Tokenization is the ``\\S+`` convention shared
+    with exact_substring_dedup / duplicate_window_stats.
+
+    Distribution (mirrors exact_substring_dedup — docs never move):
+    (1) a stateless pass emits (passage_hash, packed doc·idx) rows
+    bucketed BY HASH so (2) in-partition dup detection is global —
+    non-canonical occurrences emit (doc, idx) kill rows; (3) kill
+    rows bucket-shuffle BY DOC into one comma-joined index string per
+    affected doc; (4) a count-gated broadcast (or bucketed join above
+    the cap) attaches the kill list and a vectorized mask rebuilds
+    the text.  Driver never sees text.
+
+    Returns a Dataset (id_col, text_col) over ALL input docs.
+    """
+    from .relational import hash_join
+    from ..stages.text import md5_lo64
+
+    ws = re.compile(r"\S+")
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        hs, ords = [], []
+        for i, t in zip(df[id_col].to_numpy(), df[text_col]):
+            toks = ws.findall(t or "")
+            if not toks:
+                continue
+            n_chunks = (len(toks) + words - 1) // words
+            if n_chunks >= _ESD_POS_LIM:
+                raise ValueError(
+                    f"doc {i}: {n_chunks} passages exceeds the 2^24 "
+                    "index packing bound of passage_dedup")
+            chunks = [" ".join(toks[j * words:(j + 1) * words])
+                      for j in range(n_chunks)]
+            hs.append(md5_lo64(chunks))
+            ords.append(np.int64(i) * _ESD_POS_LIM
+                        + np.arange(n_chunks, dtype=np.int64))
+        h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+        return pd.DataFrame({
+            "h": h.astype(np.int64),
+            "ord": (np.concatenate(ords) if ords
+                    else np.empty(0, np.int64)),
+            "__part": (h % np.uint64(n_parts)).astype(np.int64)})
+
+    def kills(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["h"].to_numpy()
+        o = df["ord"].to_numpy()
+        order = np.lexsort((o, h))
+        h, o = h[order], o[order]
+        first = np.r_[True, h[1:] != h[:-1]]
+        gid = np.cumsum(first) - 1
+        dup = np.bincount(gid)[gid] > 1
+        o = o[dup & ~first]  # min (doc, idx) per passage survives
+        return pd.DataFrame({
+            id_col: o // _ESD_POS_LIM,
+            "idx": o % _ESD_POS_LIM,
+            "__dpart": bucket_part(o // _ESD_POS_LIM, n_parts)})
+
+    def kill_lists(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col, sort=False)["idx"] \
+            .agg(lambda s: ",".join(map(str, s)))
+        return pd.DataFrame({id_col: g.index.to_numpy(np.int64),
+                             "__kills": g.to_numpy(object)})
+
+    kl = ds.map_batches(emit, batch_format="pandas") \
+        .groupby("__part").map_groups(kills, batch_format="pandas") \
+        .groupby("__dpart").map_groups(kill_lists,
+                                       batch_format="pandas") \
+        .materialize()
+
+    if kl.count() <= ESD_SPAN_BROADCAST_CAP:
+        import ray
+
+        kl_pdf = kl.to_pandas()
+        kl_ref = ray.put(dict(zip(kl_pdf[id_col].to_numpy(),
+                                  kl_pdf["__kills"].to_numpy())))
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            km = ray.get(kl_ref)
+            df = df[[id_col, text_col]].copy()
+            df["__kills"] = [km.get(i) for i in df[id_col].to_numpy()]
+            return df
+
+        joined = ds.map_batches(attach, batch_format="pandas")
+    else:
+        joined = hash_join(ds, kl, on=id_col, how="left",
+                           num_buckets=num_buckets,
+                           left_cols=[id_col, text_col],
+                           right_cols=[id_col, "__kills"])
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        texts = []
+        for t, ks in zip(df[text_col], df["__kills"]):
+            toks = ws.findall(t or "")
+            if not (isinstance(ks, str) and ks):
+                texts.append(" ".join(toks))
+                continue
+            n_chunks = (len(toks) + words - 1) // words
+            keep = np.ones(n_chunks, dtype=bool)
+            keep[np.fromiter((int(x) for x in ks.split(",")),
+                             dtype=np.int64)] = False
+            tok_keep = np.repeat(keep, np.minimum(
+                words, len(toks) - np.arange(n_chunks) * words))
+            texts.append(" ".join(np.asarray(toks, object)[tok_keep]))
+        return pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
+                             text_col: texts})
+
+    return joined.map_batches(rebuild, batch_format="pandas")

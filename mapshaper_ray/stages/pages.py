@@ -177,3 +177,68 @@ def add_url_host(pages: "ray.data.Dataset", url_col: str = "url",
                              r"^[a-z][a-z0-9+.-]*://(?P<host>[^/?#]+)")
         return batch.append_column(out_col, pc.struct_field(m, "host"))
     return pages.map_batches(f, batch_format="pyarrow")
+
+
+_URL_RULES = [
+    # 1. strip the fragment
+    (r"#.*$", "", False),
+    # 2-3. strip utm_* tracking params (mid-query, then trailing)
+    (r"utm_[A-Za-z0-9_]*=[^&]*&", "", True),
+    (r"[?&]utm_[A-Za-z0-9_]*=[^&]*$", "", False),
+    # 4. dangling '?' left by param stripping
+    (r"\?$", "", False),
+    # (5. scheme+host lowercase — handled separately: needs case fold)
+    # 6. default ports
+    (r"^(http://[^/?#]*):80([/?#].*)?$", r"\1\2", False),
+    (r"^(https://[^/?#]*):443([/?#].*)?$", r"\1\2", False),
+    # 7. trailing path slash(es) before query/end
+    (r"/+([?#]|$)", r"\1", False),
+]
+_URL_HEAD = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+
+def normalize_urls(pages: "ray.data.Dataset", url_col: str = "url",
+                   out_col: str = "url_norm") -> "ray.data.Dataset":
+    """Canonical URL normalization for web-corpus dedup: strip
+    fragments, strip ``utm_*`` tracking params, lowercase scheme+host,
+    strip default ports (http:80 / https:443), strip trailing path
+    slashes.  Every rule is a RE2-compatible regex so a DuckDB
+    ``regexp_replace`` chain reproduces the output byte-for-byte
+    (q100's oracle).  Vectorized pandas str ops per batch; stateless
+    task pool."""
+    import pandas as pd  # noqa: F401
+
+    def f(df):
+        s = df[url_col].astype(str)
+        s = s.str.replace(_URL_RULES[0][0], "", regex=True)
+        s = s.str.replace(_URL_RULES[1][0], "", regex=True)
+        s = s.str.replace(_URL_RULES[2][0], "", regex=True)
+        s = s.str.replace(_URL_RULES[3][0], "", regex=True)
+        s = s.str.replace(_URL_HEAD, lambda m: m.group(0).lower(),
+                          regex=True)
+        s = s.str.replace(_URL_RULES[4][0], _URL_RULES[4][1], regex=True)
+        s = s.str.replace(_URL_RULES[5][0], _URL_RULES[5][1], regex=True)
+        s = s.str.replace(_URL_RULES[6][0], _URL_RULES[6][1], regex=True)
+        df = df.copy()
+        df[out_col] = s
+        return df
+
+    return pages.map_batches(f, batch_format="pandas")
+
+
+def url_normalize_sql(col: str = "url") -> str:
+    """The DuckDB expression mirroring ``normalize_urls`` rule for
+    rule (shared by the q100 oracle and any SQL cross-check)."""
+    e = col
+    e = f"regexp_replace({e}, '#.*$', '')"
+    e = f"regexp_replace({e}, 'utm_[A-Za-z0-9_]*=[^&]*&', '', 'g')"
+    e = f"regexp_replace({e}, '[?&]utm_[A-Za-z0-9_]*=[^&]*$', '')"
+    e = f"regexp_replace({e}, '\\?$', '')"
+    head = f"regexp_extract({e}, '{_URL_HEAD}')"
+    e = (f"lower({head}) || substr({e}, length({head}) + 1)")
+    e = (f"regexp_replace({e}, '^(http://[^/?#]*):80([/?#].*)?$', "
+         f"'\\1\\2')")
+    e = (f"regexp_replace({e}, '^(https://[^/?#]*):443([/?#].*)?$', "
+         f"'\\1\\2')")
+    e = f"regexp_replace({e}, '/+([?#]|$)', '\\1')"
+    return e

@@ -1201,3 +1201,172 @@ def vocab_stats(ds, text_col="text", n_parts=64):
     return pd.DataFrame({
         "n_distinct_tokens": [int(parts["d"].sum())],
         "n_tokens": [int(parts["t"].sum())]})
+
+
+def _take_kind(df: "pd.DataFrame", k: int) -> "pd.DataFrame":
+    return df[df["kind"] == k]
+
+
+PMI_VOCAB_BROADCAST_CAP = 2_000_000
+
+
+def pmi_bigrams(ds, text_col="text", top_k=50, min_count=5,
+                qscale=10 ** 9, n_parts=64,
+                vocab_broadcast_cap=PMI_VOCAB_BROADCAST_CAP):
+    """Top-k adjacent-bigram PMI — the phrase-mining / collocation
+    statistic corpus-prep pipelines use to find multiword expressions:
+    ``pmi(w1,w2) = ln( (c12/N2) / ((c1/N1)(c2/N1)) )``.
+
+    Exactness: each log term is quantized ``floor(ln(x) * qscale)``
+    (the q64 libm-vs-DuckDB trick), so ``pmi_q`` is an exact integer
+    sum and the reported ``pmi = round(pmi_q / qscale, 6)`` is
+    bit-reproducible by a SQL oracle.
+
+    Distribution: ONE corpus scan emits partial unigram + bigram
+    counts and scalar totals, bucket-shuffled by key hash so the
+    per-partition reduce is global; bigrams below ``min_count`` drop
+    inside their partition.  The unigram table attaches to the
+    surviving bigrams via a count-gated broadcast (ray.put once) or,
+    above the cap, two bucketed hash joins — the lm_nll gate pattern.
+    Top-k by (pmi_q desc, w1, w2) with a per-partition prune before
+    the driver-side final head.
+    """
+    import math
+
+    import ray
+
+    from ..ops.relational import hash_join
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        u: dict = {}
+        b: dict = {}
+        n1 = n2 = 0
+        for t in df[text_col]:
+            ws = (t or "").split(" ")
+            n1 += len(ws)
+            n2 += max(0, len(ws) - 1)
+            for w in ws:
+                u[w] = u.get(w, 0) + 1
+            for a, c in zip(ws, ws[1:]):
+                b[(a, c)] = b.get((a, c), 0) + 1
+        w1 = np.array([*[w for w in u], *[p[0] for p in b], ""],
+                      dtype=object)
+        w2 = np.array([*[""] * len(u), *[p[1] for p in b], ""],
+                      dtype=object)
+        kind = np.r_[np.zeros(len(u), np.int64),
+                     np.ones(len(b), np.int64), [2]]
+        c = np.r_[np.fromiter(u.values(), np.int64, len(u)),
+                  np.fromiter(b.values(), np.int64, len(b)),
+                  [0]]
+        key = pd.util.hash_array(
+            np.array([a + "\x1f" + bb for a, bb in zip(w1, w2)],
+                     dtype=object)).astype(np.uint64)
+        part = (key % np.uint64(n_parts)).astype(np.int64)
+        part[-1] = n_parts  # totals bucket
+        return pd.DataFrame({"w1": w1, "w2": w2, "kind": kind, "c": c,
+                             "n1": np.r_[np.zeros(len(u) + len(b),
+                                                  np.int64), [n1]],
+                             "n2": np.r_[np.zeros(len(u) + len(b),
+                                                  np.int64), [n2]],
+                             "__part": part})
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        if int(df["__part"].iat[0]) == n_parts:
+            return pd.DataFrame({
+                "w1": [""], "w2": [""], "kind": [2],
+                "c": [0], "n1": [int(df["n1"].sum())],
+                "n2": [int(df["n2"].sum())]})
+        g = df.groupby(["kind", "w1", "w2"], sort=False)["c"].sum() \
+            .reset_index()
+        keep = (g["kind"] == 0) | (g["c"] >= min_count)
+        g = g[keep]
+        g["n1"] = 0
+        g["n2"] = 0
+        return g[["w1", "w2", "kind", "c", "n1", "n2"]]
+
+    counts = ds.map_batches(emit, batch_format="pandas") \
+        .groupby("__part").map_groups(reduce_part,
+                                      batch_format="pandas") \
+        .materialize()
+
+    def _kind(k):
+        # module-level fn (not a lambda): pickled by reference, so the
+        # worker imports mapshaper_ray and the _quiet filter installs
+        return counts.map_batches(_take_kind, fn_kwargs={"k": k},
+                                  batch_format="pandas")
+
+    tot = _kind(2).to_pandas()
+    n1, n2 = int(tot["n1"].sum()), int(tot["n2"].sum())
+    qn1 = math.floor(math.log(n1) * qscale) if n1 else 0
+    qn2 = math.floor(math.log(n2) * qscale) if n2 else 0
+
+    uni = _kind(0)
+    big = _kind(1)
+
+    if uni.count() <= vocab_broadcast_cap:
+        updf = uni.to_pandas()
+        uref = ray.put(dict(zip(
+            updf["w1"].to_numpy(),
+            np.fromiter((math.floor(math.log(int(x)) * qscale)
+                         for x in updf["c"]), np.int64, len(updf)))))
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            um = ray.get(uref)
+            c = df["c"].to_numpy(np.int64)
+            q12 = np.fromiter((math.floor(math.log(int(x)) * qscale)
+                               for x in c), np.int64, len(c))
+            q1 = np.fromiter((um[w] for w in df["w1"]), np.int64,
+                             len(c))
+            q2 = np.fromiter((um[w] for w in df["w2"]), np.int64,
+                             len(c))
+            pmi_q = q12 + 2 * qn1 - qn2 - q1 - q2
+            out = pd.DataFrame({"w1": df["w1"].to_numpy(object),
+                                "w2": df["w2"].to_numpy(object),
+                                "c": c, "pmi_q": pmi_q})
+            return out.sort_values(
+                ["pmi_q", "w1", "w2"],
+                ascending=[False, True, True]).head(top_k)
+
+        scored = big.map_batches(score, batch_format="pandas")
+    else:
+        uq = uni.map_batches(
+            lambda df: pd.DataFrame({
+                "w": df["w1"].to_numpy(object),
+                "q": np.fromiter(
+                    (math.floor(math.log(int(x)) * qscale)
+                     for x in df["c"]), np.int64, len(df))}),
+            batch_format="pandas")
+        j1 = hash_join(big.map_batches(
+            lambda df: df.rename(columns={"w1": "w"}),
+            batch_format="pandas"), uq, on="w", how="inner")
+        j1 = j1.map_batches(
+            lambda df: df.rename(columns={"w": "w1", "q": "q1",
+                                          "w2": "w"}),
+            batch_format="pandas")
+        j2 = hash_join(j1, uq.map_batches(
+            lambda df: df.rename(columns={"q": "q2"}),
+            batch_format="pandas"), on="w", how="inner")
+
+        def score_j(df: pd.DataFrame) -> pd.DataFrame:
+            c = df["c"].to_numpy(np.int64)
+            q12 = np.fromiter((math.floor(math.log(int(x)) * qscale)
+                               for x in c), np.int64, len(c))
+            pmi_q = (q12 + 2 * qn1 - qn2
+                     - df["q1"].to_numpy(np.int64)
+                     - df["q2"].to_numpy(np.int64))
+            out = pd.DataFrame({"w1": df["w1"].to_numpy(object),
+                                "w2": df["w"].to_numpy(object),
+                                "c": c, "pmi_q": pmi_q})
+            return out.sort_values(
+                ["pmi_q", "w1", "w2"],
+                ascending=[False, True, True]).head(top_k)
+
+        scored = j2.map_batches(score_j, batch_format="pandas")
+
+    pdf = scored.to_pandas()  # <= top_k rows per partition
+    pdf = pdf.sort_values(["pmi_q", "w1", "w2"],
+                          ascending=[False, True, True]) \
+        .head(top_k).reset_index(drop=True)
+    pdf["pmi"] = (pdf["pmi_q"].to_numpy(np.int64)
+                  / float(qscale)).round(6)
+    return pdf[["w1", "w2", "c", "pmi_q", "pmi"]]
