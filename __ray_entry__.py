@@ -1212,6 +1212,162 @@ def _q102_pmi_bigrams(sf_dir: str):
     return out[["w1", "w2", "c", "pmi_q"]]
 
 
+def _q103_gopher_rules(sf_dir: str):
+    """Gopher quality-rule flags (Rae et al. 2021): each doc gets a
+    deterministic junk tail (digit words, '#', '...') so the word
+    count / mean-word-length / alpha-fraction / symbol-ratio /
+    stop-word rules all discriminate; one stateless vectorized pass,
+    metrics + keep flag value-exact vs the SQL rule mirror."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import gopher_quality
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def junk(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].to_numpy(np.int64)
+        t = (df["text"].fillna("")
+             + pd.Series(np.full(len(df), " 123")).str.repeat(i % 8)
+             + pd.Series(np.full(len(df), " #")).str.repeat(i % 6)
+             + pd.Series(np.full(len(df), " ...")).str.repeat(i % 3))
+        return pd.DataFrame({"doc_id": i,
+                             "text": t.to_numpy(object)})
+
+    out = gopher_quality(docs.map_batches(junk, batch_format="pandas"),
+                         min_words=40).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q104_c4_filter(sf_dir: str):
+    """C4 line-level cleaning (Raffel et al. 2020): docs are re-lined
+    into 6-word lines with deterministic suffixes (some end '.', some
+    get a blocklisted 'cookie' marker); lines must have >=5 words,
+    terminal punctuation and no blocklist hit, docs must keep >=2
+    lines — rebuilt text byte-exact vs the SQL mirror."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import c4_filter
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def to_lines(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        outs = []
+        for i, t in zip(ids, df["text"].fillna("")):
+            ws = t.split(" ") if t else []
+            lines = []
+            for idx in range(0, (len(ws) + 5) // 6):
+                chunk = " ".join(ws[idx * 6:idx * 6 + 6])
+                m = (i + idx) % 7
+                if m == 0:
+                    chunk += " cookie deal."
+                elif (i + idx) % 3 == 0:
+                    chunk += "."
+                lines.append(chunk)
+            outs.append("\n".join(lines))
+        return pd.DataFrame({"doc_id": ids,
+                             "text": np.array(outs, object)})
+
+    out = c4_filter(docs.map_batches(to_lines, batch_format="pandas"),
+                    min_line_words=5, min_lines=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q105_tfidf(sf_dir: str):
+    """Per-doc top-5 terms by tf-idf: one distinct-(token,doc)
+    token-hash shuffle builds the df vocab (count-gated broadcast),
+    scoring is per-doc local; idf is quantized-log integer so the
+    SQL oracle matches integer-exactly."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import tfidf_topk
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = tfidf_topk(docs, k=5).to_pandas()
+    return out.sort_values(["doc_id", "score_q", "token"],
+                           ascending=[True, False, True]) \
+        .reset_index(drop=True)
+
+
+def _q106_inverted_index(sf_dir: str):
+    """Distributed inverted-index build: token -> (df, first 20
+    posting doc ids) fully inside the token-hash partitions — the
+    driver never holds the index."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import inverted_index
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = inverted_index(docs, min_df=2, max_postings=20).to_pandas()
+    out["df"] = out["df"].astype(np.int64)
+    return out.sort_values("token").reset_index(drop=True)
+
+
+def _q107_cms(sf_dir: str):
+    """Count-min sketch (Cormode & Muthukrishnan 2005): one pass of
+    4x512 counter partials (the corpus never shuffles), estimates
+    queried for the exact global top-20 tokens (heavy_hitters) —
+    sketch counters are md5-derived so SQL rebuilds the identical
+    sketch and the (token, exact, estimate) rows match value-exactly."""
+    import ray.data as rd
+    from mapshaper_ray.ops.sketch import cms_build, cms_query, \
+        heavy_hitters
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        parts = [t.split(" ") for t in df["text"].fillna("") if t]
+        tok = (np.concatenate([np.asarray(p, object) for p in parts])
+               if parts else np.empty(0, object))
+        return pd.DataFrame({"token": tok})
+
+    tok_ds = docs.map_batches(toks, batch_format="pandas")
+    top = heavy_hitters(tok_ds, "token", k=20)
+    cms = cms_build(tok_ds, "token", d=4, w=512)
+    est = cms_query(cms, list(top["token"]))
+    out = pd.DataFrame({"token": top["token"].to_numpy(object),
+                        "c_exact": top["freq"].to_numpy(np.int64),
+                        "c_est": est.astype(np.int64)})
+    return out.sort_values(["c_exact", "token"],
+                           ascending=[False, True]) \
+        .reset_index(drop=True)
+
+
+def _q108_stratified_split(sf_dir: str):
+    """Deterministic per-language train/valid/test split with exact
+    80/10/10 quotas (md5-rank within stratum) — one tiny group-size
+    reduce + one key-hash shuffle, partition-independent."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import stratified_split
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    out = stratified_split(docs, key="lang",
+                           fractions=(0.8, 0.1, 0.1)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q109_sliding_window(sf_dir: str):
+    """Global row-based sliding-window sum over the event stream
+    (SUM OVER ROWS 9 PRECEDING) via the halo-exchange pattern: ts-
+    range buckets + per-bucket tails broadcast as the halo — no
+    global sort; values quantized to int64 so the windowed sums are
+    order-independent and SQL-exact."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import sliding_window_sum
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        ep = df["ts"].astype("datetime64[us]").astype("int64")
+        v = np.floor(df["value"].to_numpy(np.float64)
+                     * 1000000.0).astype(np.int64)
+        return pd.DataFrame({"event_id": df["event_id"]
+                             .to_numpy(np.int64),
+                             "ep": ep.to_numpy(), "v": v})
+
+    out = sliding_window_sum(ev.map_batches(prep,
+                                            batch_format="pandas"),
+                             ts_col="ep", id_col="event_id",
+                             val_col="v", window=10).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -1956,6 +2112,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q100_url_dedup": _q100_url_dedup,
         "q101_nn_join": _q101_nn_join,
         "q102_pmi_bigrams": _q102_pmi_bigrams,
+        "q103_gopher_rules": _q103_gopher_rules,
+        "q104_c4_filter": _q104_c4_filter,
+        "q105_tfidf": _q105_tfidf,
+        "q106_inverted_index": _q106_inverted_index,
+        "q107_cms": _q107_cms,
+        "q108_stratified_split": _q108_stratified_split,
+        "q109_sliding_window": _q109_sliding_window,
     }
 
 
@@ -3566,6 +3729,189 @@ def oracle_sql() -> dict[str, str]:
           FROM b JOIN u u1 ON b.w1 = u1.w JOIN u u2 ON b.w2 = u2.w)
         SELECT w1, w2, c, pmi_q FROM s
         ORDER BY pmi_q DESC, w1, w2 LIMIT 50"""
+
+    # q103: Gopher quality rules over junk-tailed docs — every metric
+    # is integer/list arithmetic + ONE double division per doc, so the
+    # SQL mirror is value-exact (rounded 6dp for display, unrounded
+    # for the keep comparisons, same as the engine)
+    out["q103_gopher_rules"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 coalesce(text, '')
+                 || repeat(' 123', CAST(doc_id % 8 AS INT))
+                 || repeat(' #', CAST(doc_id % 6 AS INT))
+                 || repeat(' ...', CAST(doc_id % 3 AS INT)) AS t
+          FROM documents),
+        w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+        m AS (SELECT doc_id,
+                     len(ws) AS n_words,
+                     list_sum(list_transform(ws, x -> len(x)))
+                       AS n_chars,
+                     len(list_filter(ws,
+                         x -> regexp_matches(x, '[A-Za-z]')))
+                       AS n_alpha,
+                     len(list_filter(ws, x -> x IN ('#', '...')))
+                       AS n_sym,
+                     len(list_filter(ws, x -> x IN
+                         ('the','be','to','of','and','that',
+                          'have','with'))) AS n_stop
+              FROM w),
+        s AS (SELECT doc_id, n_words,
+                     n_chars / CAST(greatest(n_words, 1) AS DOUBLE)
+                       AS mwl,
+                     n_alpha / CAST(greatest(n_words, 1) AS DOUBLE)
+                       AS alpha_frac,
+                     n_sym / CAST(greatest(n_words, 1) AS DOUBLE)
+                       AS sym_frac,
+                     n_stop
+              FROM m)
+        SELECT doc_id, n_words, round(mwl, 6) AS mwl,
+               round(alpha_frac, 6) AS alpha_frac,
+               round(sym_frac, 6) AS sym_frac, n_stop,
+               CAST(n_words >= 40 AND n_words <= 100000
+                    AND mwl >= 3.0 AND mwl <= 10.0
+                    AND sym_frac <= 0.1 AND alpha_frac >= 0.8
+                    AND n_stop >= 2 AS BIGINT) AS keep
+        FROM s ORDER BY doc_id"""
+
+    # q104: C4 line filter — docs re-lined into 6-word chunks (q99's
+    # chunk idiom) with deterministic '.' / 'cookie' suffixes, then
+    # the line rules + min-lines gate; byte-exact rebuilt text
+    out["q104_c4_filter"] = """
+        WITH d AS (SELECT doc_id,
+                          string_split(coalesce(text, ''), ' ') AS ws
+                   FROM documents),
+        ch0 AS (
+          SELECT doc_id, unnest(list_transform(
+                generate_series(0, (len(ws) + 5) // 6 - 1),
+                i -> {'idx': i,
+                      'chunk': array_to_string(
+                          list_slice(ws, i*6+1, i*6+6), ' ')})) AS r
+          FROM d),
+        ch AS (SELECT doc_id, CAST(r['idx'] AS BIGINT) AS idx,
+                      CAST(r['chunk'] AS VARCHAR) AS chunk
+               FROM ch0),
+        ln AS (SELECT doc_id, idx,
+                      chunk || CASE
+                        WHEN (doc_id + idx) % 7 = 0
+                          THEN ' cookie deal.'
+                        WHEN (doc_id + idx) % 3 = 0 THEN '.'
+                        ELSE '' END AS line
+               FROM ch),
+        ok AS (SELECT doc_id, idx, line FROM ln
+               WHERE len(string_split(line, ' ')) >= 5
+                 AND regexp_matches(line, '[.!?"]$')
+                 AND NOT contains(line, 'cookie')
+                 AND NOT contains(line, 'javascript')
+                 AND NOT contains(line, '{')),
+        agg AS (SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY idx)
+                         AS text,
+                       count(*) AS n
+                FROM ok GROUP BY doc_id)
+        SELECT doc_id, text FROM agg WHERE n >= 2 ORDER BY doc_id"""
+
+    # q105: per-doc top-5 tf-idf terms, idf quantized-log integer
+    # (q64's libm-vs-DuckDB ln trick) so score_q is integer-exact
+    out["q105_tfidf"] = """
+        WITH w AS (SELECT doc_id,
+                          string_split(coalesce(text, ''), ' ') AS ws
+                   FROM documents),
+        tf AS (SELECT doc_id, tok AS token, count(*) AS tf
+               FROM (SELECT doc_id, unnest(ws) AS tok FROM w)
+               GROUP BY doc_id, tok),
+        dfq AS (SELECT token, count(DISTINCT doc_id) AS dfc
+                FROM tf GROUP BY token),
+        n AS (SELECT count(*) AS nd FROM documents),
+        s AS (SELECT tf.doc_id, tf.token, tf.tf,
+                     tf.tf * (CAST(floor(ln(CAST((SELECT nd FROM n)
+                                AS DOUBLE)) * 1000000000) AS BIGINT)
+                              - CAST(floor(ln(CAST(dfq.dfc AS DOUBLE))
+                                * 1000000000) AS BIGINT)) AS score_q
+              FROM tf JOIN dfq USING (token))
+        SELECT doc_id, token, tf, score_q FROM s
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_q DESC, token) <= 5
+        ORDER BY doc_id, score_q DESC, token"""
+
+    # q106: inverted index — token df + first-20 posting list
+    out["q106_inverted_index"] = """
+        WITH t AS (SELECT DISTINCT doc_id, token
+                   FROM (SELECT doc_id,
+                                unnest(string_split(
+                                    coalesce(text, ''), ' ')) AS token
+                         FROM documents)),
+        g AS (SELECT token, count(*) AS df,
+                     array_to_string(
+                       list_slice(list(doc_id ORDER BY doc_id),
+                                  1, 20), ',') AS postings
+              FROM t GROUP BY token)
+        SELECT token, df, postings FROM g
+        WHERE df >= 2 ORDER BY token"""
+
+    # q107: count-min sketch rebuilt in SQL — ONE md5 per value,
+    # row-j bucket = (lo%w + j*(hi%w)) % w (Kirsch-Mitzenmacher, the
+    # engine's exact arithmetic); counter(j,b) = occurrences hashing
+    # there, estimate = min over the 4 rows; queried for the exact
+    # global top-20 tokens
+    out["q107_cms"] = """
+        WITH tok AS (SELECT unnest(string_split(
+                         coalesce(text, ''), ' ')) AS token
+                     FROM documents),
+        hsh AS (SELECT token,
+                       CAST(md5_number_lower(token) % 512 AS BIGINT)
+                         AS lo,
+                       CAST(md5_number_upper(token) % 512 AS BIGINT)
+                         AS hi
+                FROM tok),
+        cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        top AS (SELECT token, c FROM cnt
+                ORDER BY c DESC, token LIMIT 20),
+        J AS (SELECT unnest(generate_series(0, 3)) AS j),
+        buck AS (SELECT J.j, (h.lo + J.j * h.hi) % 512 AS b,
+                        count(*) AS cnt
+                 FROM hsh h CROSS JOIN J GROUP BY 1, 2),
+        est AS (SELECT top.token, top.c, min(buck.cnt) AS e
+                FROM top CROSS JOIN J
+                JOIN buck ON buck.j = J.j
+                 AND buck.b = (CAST(md5_number_lower(top.token) % 512
+                                    AS BIGINT)
+                               + J.j *
+                               CAST(md5_number_upper(top.token) % 512
+                                    AS BIGINT)) % 512
+                GROUP BY top.token, top.c)
+        SELECT token, c AS c_exact, CAST(e AS BIGINT) AS c_est
+        FROM est ORDER BY c_exact DESC, token"""
+
+    # q108: stratified 80/10/10 split — md5-rank within language,
+    # integer quota arithmetic ((8n)//10 == floor(0.8*n) in IEEE for
+    # every n < 2**50, see stages/text.stratified_split)
+    out["q108_stratified_split"] = """
+        WITH r AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5_number_lower(
+                     's0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM documents)
+        SELECT doc_id, lang,
+               CASE WHEN rn <= (8 * n) // 10 THEN 'train'
+                    WHEN rn <= (9 * n) // 10 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM r ORDER BY doc_id"""
+
+    # q109: global sliding-window sum, ROWS 9 PRECEDING over
+    # (ts, event_id) order; values quantized to int64 so the sum is
+    # order-independent and the halo-exchange engine matches exactly
+    out["q109_sliding_window"] = """
+        WITH e AS (SELECT event_id, epoch_us(ts) AS ep,
+                          CAST(floor(value * 1000000) AS BIGINT) AS v
+                   FROM events)
+        SELECT event_id,
+               SUM(v) OVER (ORDER BY ep, event_id
+                            ROWS BETWEEN 9 PRECEDING
+                            AND CURRENT ROW) AS msum
+        FROM e ORDER BY event_id"""
 
     out["q84_pretrain_pipeline"] = r"""
         -- the q12 dedup, q56 repetition-share, q76 decontamination

@@ -227,6 +227,34 @@ def run_benchmarks():
     timed("heavy_hitters_hosts_12m",
           lambda: heavy_hitters(hosts, "host", k=20, m=16384))
 
+    # count-min sketch at page volume: ONE md5 per url (KM double
+    # hashing derives all 4 rows), 4x4096 counter partials — the
+    # corpus never shuffles, the driver holds 128KiB of counters
+    from mapshaper_ray.ops.sketch import cms_build
+    timed("cms_12m_urls",
+          lambda: pd.DataFrame(
+              {"n": [int(cms_build(urls, "url", d=4,
+                                   w=4096).sum())]}))
+
+    # halo-exchange sliding window at volume: 10M events, global
+    # ROWS-99-PRECEDING sum over (ts, id) order — ts-range buckets +
+    # per-bucket 99-row tails broadcast as the halo; no global sort
+    from mapshaper_ray.ops.relational import sliding_window_sum
+
+    def _mk_events(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df["id"].to_numpy()
+        return pd.DataFrame({
+            "ep": ((d * 2654435761) % 10_000_000).astype(np.int64),
+            "event_id": d.astype(np.int64),
+            "v": (d % 1000).astype(np.int64)})
+
+    ev10 = rd.range(10_000_000).map_batches(
+        _mk_events, batch_format="pandas").materialize()
+    timed("sliding_window_10m",
+          lambda: sliding_window_sum(ev10, ts_col="ep",
+                                     id_col="event_id", val_col="v",
+                                     window=100, n_parts=128))
+
     # hot-tile skew probe: 2M rows, ~60% landing in ONE tile — the
     # salted resumable write must split the hot tile by doc-id hash
     # (ceil(count/target) salts) instead of funneling it through one

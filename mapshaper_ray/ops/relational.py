@@ -1269,3 +1269,90 @@ def groupby_quantiles(ds, key: str, col: str, qs=(0.25, 0.5, 0.75),
 
     return ds.map_batches(emit, batch_format="pandas") \
         .groupby("__part").map_groups(part_q, batch_format="pandas")
+
+
+def sliding_window_sum(ds, ts_col: str, id_col: str, val_col: str,
+                       window: int, n_parts: int = 64):
+    """Global row-based sliding-window aggregate — SQL
+    ``SUM(val) OVER (ORDER BY ts, id ROWS BETWEEN window-1 PRECEDING
+    AND CURRENT ROW)`` — via an explicit HALO EXCHANGE, the canonical
+    distributed pattern for windows that cross partition boundaries:
+
+    1. one min/max reduce fixes uniform ts-range buckets (ordered
+       partitioning — rows of bucket b all sort before bucket b+1);
+    2. a tail pass collects each bucket's last ``window-1`` rows in
+       (ts, id) order — the HALO, bounded at n_parts x (window-1)
+       rows on the driver regardless of corpus size;
+    3. the main pass re-buckets and computes each bucket's windowed
+       sums over (halo of all earlier buckets' tails ++ own rows)
+       with one vectorized cumsum — halo rows contribute history but
+       emit nothing, so every row's window is exactly its global
+       predecessor set.
+
+    ``val_col`` must be integral (quantize floats first) so the
+    cumsum is order-independent and a SQL oracle matches exactly.
+    Returns (id_col, msum).  Partition-independent by construction:
+    bucket edges depend only on the global min/max.
+    """
+    import ray
+
+    from .rank import _minmax_count
+
+    mm = _minmax_count(ds, ts_col)
+    if mm is None:
+        import ray.data as rd
+        return rd.from_items([])
+    lo, hi, _n = mm
+    width = (hi - lo) or 1.0
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[ts_col].to_numpy(np.float64)
+        b = np.clip(((v - lo) / width * n_parts).astype(np.int64),
+                    0, n_parts - 1)
+        out = pd.DataFrame({
+            "__part": b,
+            "__ts": df[ts_col].to_numpy(np.int64),
+            id_col: df[id_col].to_numpy(np.int64),
+            "__v": df[val_col].to_numpy(np.int64)})
+        return out
+
+    def tail(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((df[id_col].to_numpy(),
+                            df["__ts"].to_numpy()))
+        return df.iloc[order[-(window - 1):]] if window > 1 \
+            else df.iloc[:0]
+
+    stamped = ds.map_batches(stamp, batch_format="pandas")
+    if window > 1:
+        tails = stamped.groupby("__part") \
+            .map_groups(tail, batch_format="pandas").to_pandas()
+    else:  # window of 1 never looks back — no halo pass at all
+        tails = pd.DataFrame({"__part": np.empty(0, np.int64),
+                              "__ts": np.empty(0, np.int64),
+                              id_col: np.empty(0, np.int64),
+                              "__v": np.empty(0, np.int64)})
+    order = np.lexsort((tails[id_col].to_numpy(),
+                        tails["__ts"].to_numpy()))
+    tails = tails.iloc[order].reset_index(drop=True)
+    halo_ref = ray.put(tails)
+
+    def windowed(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["__part"].iloc[0])
+        halo = ray.get(halo_ref)
+        halo = halo[halo["__part"].to_numpy() < b]
+        halo = halo.iloc[-(window - 1):] if window > 1 \
+            else halo.iloc[:0]
+        order = np.lexsort((df[id_col].to_numpy(),
+                            df["__ts"].to_numpy()))
+        df = df.iloc[order]
+        v = np.concatenate([halo["__v"].to_numpy(np.int64),
+                            df["__v"].to_numpy(np.int64)])
+        cs = np.concatenate([[0], np.cumsum(v)])
+        nh = len(halo)
+        i = np.arange(nh, len(v))
+        msum = cs[i + 1] - cs[np.maximum(i + 1 - window, 0)]
+        return pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
+                             "msum": msum.astype(np.int64)})
+
+    return stamped.groupby("__part") \
+        .map_groups(windowed, batch_format="pandas")

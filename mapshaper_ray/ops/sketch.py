@@ -49,6 +49,9 @@ __all__ = [
     "bloom_build",
     "bloom_contains",
     "incremental_dedup_bloom",
+    "cms_build",
+    "cms_update",
+    "cms_query",
 ]
 
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -627,3 +630,84 @@ def hll_update(registers: bytes, ds, col: str) -> bytes:
                                                 dtype=np.uint8)
                                   for r in rows])
     return np.maximum.reduce(stacked, axis=0).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005, public paper)
+# ---------------------------------------------------------------------------
+
+def _cms_buckets(values, d: int, w: int) -> np.ndarray:
+    """(n, d) bucket matrix with ONE md5 per value: row-j bucket =
+    (h_lo + j*h_hi) mod w, Kirsch-Mitzenmacher double hashing from
+    the two md5 64-bit halves — the exact values DuckDB's
+    md5_number_lower / md5_number_upper compute, so a SQL oracle can
+    rebuild the identical sketch (the modular identity
+    (a + j*b) % w == ((a%w) + j*(b%w)) % w keeps the SQL in BIGINT
+    range)."""
+    lo, hi = _md5_two64([str(v) for v in values])
+    j = np.arange(d, dtype=np.uint64)
+    return ((lo % np.uint64(w))[:, None]
+            + j[None, :] * (hi % np.uint64(w))[:, None]) \
+        % np.uint64(w)
+
+
+class _CmsPartial:
+    """Per-batch partial: a flattened d x w bincount frame (one row
+    per non-zero counter) — the corpus never shuffles, only d*w ints
+    per batch move."""
+
+    def __init__(self, col: str, d: int, w: int):
+        self.col, self.d, self.w = col, d, w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = pc_cast_string(batch.column(self.col)).to_pylist()
+        b = _cms_buckets(vals, self.d, self.w)  # (n, d)
+        flat = (b + np.arange(self.d, dtype=np.uint64)[None, :]
+                * np.uint64(self.w)).astype(np.int64).ravel()
+        counts = np.bincount(flat, minlength=self.d * self.w)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"slot": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(counts[nz], pa.int64())})
+
+
+def _sum_slots(batch: pa.Table) -> pa.Table:
+    df = batch.to_pandas().groupby("slot", as_index=False)["cnt"] \
+        .sum()
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def cms_build(ds, col: str, d: int = 4, w: int = 1024) -> np.ndarray:
+    """Build a d x w count-min sketch of the value stream in ``col``:
+    per-batch partial bincounts (sparse (slot, cnt) rows) tree-reduce
+    through a small repartition so the driver receives <= 8 partial
+    frames and holds only the d*w counter array — never the values.
+    CMS is linear (counters sum), so partials merge exactly and the
+    result is independent of partitioning.
+    """
+    rows = ds.map_batches(_CmsPartial(col, d, w),
+                          batch_format="pyarrow") \
+        .repartition(8).map_batches(_sum_slots,
+                                    batch_format="pyarrow",
+                                    batch_size=None).to_pandas()
+    cms = np.zeros(d * w, dtype=np.int64)
+    if len(rows):
+        agg = rows.groupby("slot")["cnt"].sum()
+        cms[agg.index.to_numpy(np.int64)] = agg.to_numpy(np.int64)
+    return cms.reshape(d, w)
+
+
+def cms_update(cms: np.ndarray, ds, col: str) -> np.ndarray:
+    """Merge a new corpus slice into an existing sketch (counters are
+    linear, so the sum IS the sketch of the union) — the incremental
+    path for persisted sketch state alongside bloom_update/hll_update."""
+    d, w = cms.shape
+    return cms + cms_build(ds, col, d=d, w=w)
+
+
+def cms_query(cms: np.ndarray, values) -> np.ndarray:
+    """Point estimates: min over rows of the counter at each row's
+    bucket — an overestimate with the standard (e/w, 1-e^-d)
+    guarantee."""
+    d, w = cms.shape
+    b = _cms_buckets(values, d, w).astype(np.int64)  # (n, d)
+    return cms[np.arange(d)[None, :], b].min(axis=1)

@@ -1370,3 +1370,390 @@ def pmi_bigrams(ds, text_col="text", top_k=50, min_count=5,
     pdf["pmi"] = (pdf["pmi_q"].to_numpy(np.int64)
                   / float(qscale)).round(6)
     return pdf[["w1", "w2", "c", "pmi_q", "pmi"]]
+
+
+# ---------------------------------------------------------------------------
+# Quality-rule filters (Gopher / C4) + corpus indexing operators
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(ds, id_col="doc_id", text_col="text",
+                   min_words=50, max_words=100000,
+                   min_mwl=3.0, max_mwl=10.0,
+                   max_sym_frac=0.1, min_alpha_frac=0.8,
+                   min_stops=2):
+    """Gopher quality rules (Rae et al. 2021 §A1.1, public paper):
+    per-doc word count bounds, mean-word-length bounds, symbol-word
+    ratio ('#' / '...'), fraction of words containing an alphabetic
+    character, and stop-word presence.  Embarrassingly parallel — one
+    stateless vectorized pass, no shuffle; every metric is computed
+    with pandas regex-count kernels (no per-row Python loop).
+
+    Division results are single IEEE ops on integer inputs, so a SQL
+    oracle reproduces them bit-exactly.  Returns a Dataset with the
+    metric columns and an int64 ``keep`` flag.
+    """
+    ws = re.compile(r"\S+")
+    nonspace = re.compile(r"\S")
+    alpha_word = re.compile(r"\S*[A-Za-z]\S*")
+    sym_word = re.compile(r"(?<!\S)(?:#|\.\.\.)(?!\S)")
+    stop_word = re.compile(r"(?<!\S)(?:" + "|".join(_GOPHER_STOPS)
+                           + r")(?!\S)")
+
+    def rules(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].fillna("")
+        n_words = s.str.count(ws).astype(np.int64)
+        n_chars = s.str.count(nonspace).astype(np.int64)
+        n_alpha = s.str.count(alpha_word).astype(np.int64)
+        n_sym = s.str.count(sym_word).astype(np.int64)
+        n_stop = s.str.count(stop_word).astype(np.int64)
+        nz = np.maximum(n_words.to_numpy(), 1).astype(np.float64)
+        mwl = n_chars.to_numpy() / nz
+        alpha_frac = n_alpha.to_numpy() / nz
+        sym_frac = n_sym.to_numpy() / nz
+        keep = ((n_words.to_numpy() >= min_words)
+                & (n_words.to_numpy() <= max_words)
+                & (mwl >= min_mwl) & (mwl <= max_mwl)
+                & (sym_frac <= max_sym_frac)
+                & (alpha_frac >= min_alpha_frac)
+                & (n_stop.to_numpy() >= min_stops))
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_words": n_words.to_numpy(),
+            "mwl": np.round(mwl, 6),
+            "alpha_frac": np.round(alpha_frac, 6),
+            "sym_frac": np.round(sym_frac, 6),
+            "n_stop": n_stop.to_numpy(),
+            "keep": keep.astype(np.int64)})
+
+    return ds.map_batches(rules, batch_format="pandas",
+                          batch_size=4096)
+
+
+_C4_BLOCK = ("cookie", "javascript", "{")
+
+
+def c4_filter(ds, id_col="doc_id", text_col="text",
+              min_line_words=5, min_lines=3):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2, public paper):
+    keep only lines with >= ``min_line_words`` words that end in
+    terminal punctuation and contain none of the blocklist markers
+    (cookie / javascript / '{'); drop documents with fewer than
+    ``min_lines`` surviving lines.  Rebuilt text is byte-exact
+    (surviving lines re-joined with newline in original order).
+
+    Per-doc local — a document's lines live inside its own row, so
+    the whole filter is ONE stateless ``map_batches`` pass with no
+    shuffle: explode lines vectorized, apply vectorized string masks,
+    re-join per doc.  The only per-group Python is the final string
+    join (inherently sequential per doc).
+    """
+    term = re.compile(r'[.!?"]$')
+    block = re.compile("|".join(re.escape(b) for b in _C4_BLOCK))
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        lines = df[text_col].fillna("").str.split("\n")
+        ns = lines.str.len().to_numpy(np.int64)
+        flat = pd.Series(np.concatenate(
+            [np.asarray(x, object) for x in lines])
+            if len(df) else np.empty(0, object))
+        did = np.repeat(ids, ns)
+        n_words = flat.str.count(r"\S+").to_numpy(np.int64)
+        ok = ((n_words >= min_line_words)
+              & flat.str.contains(term).to_numpy()
+              & ~flat.str.contains(block).to_numpy())
+        kept = pd.DataFrame({id_col: did[ok],
+                             "line": flat.to_numpy(object)[ok]})
+        if len(kept) == 0:
+            return pd.DataFrame({id_col: np.empty(0, np.int64),
+                                 text_col: np.empty(0, object)})
+        g = kept.groupby(id_col, sort=False)
+        out = g["line"].agg("\n".join).reset_index()
+        cnt = g.size().to_numpy()
+        out = out[cnt >= min_lines]
+        out.columns = [id_col, text_col]
+        return out
+
+    return ds.map_batches(clean, batch_format="pandas",
+                          batch_size=4096)
+
+
+def tfidf_topk(ds, id_col="doc_id", text_col="text", k=5,
+               n_parts=64, qscale=1000000000,
+               df_broadcast_cap=5000000):
+    """Per-document top-k terms by tf-idf.  Document frequencies come
+    from ONE distinct-(token,doc) token-hash bucket shuffle (counts
+    are global per partition, q51's shape); the (token, df) vocab is
+    count-gated: below ``df_broadcast_cap`` rows it broadcasts via
+    the object store, above it the scoring joins through a bucketed
+    exchange (no driver materialization).  Scoring itself is per-doc
+    local — tf comes from the doc's own row.
+
+    idf is quantized-log integer (q64 trick): score_q =
+    tf * (floor(ln(N)*qscale) - floor(ln(df)*qscale)), so a SQL
+    oracle matches integer-exactly.  Ties break by token text.
+    Returns a Dataset (id_col, token, tf, score_q).
+    """
+    import math
+
+    import ray
+
+    ws = re.compile(r"\S+")
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [np.unique(ws.findall(t or ""))
+                for t in df[text_col]]
+        tok = (np.concatenate(toks) if toks
+               else np.empty(0, object))
+        h = md5_lo64(list(tok))
+        return pd.DataFrame({"token": tok,
+                             "__part": (h % np.uint64(n_parts))
+                             .astype(np.int64)})
+
+    def part_counts(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby("token").size().reset_index(name="df")
+        return c[["token", "df"]]
+
+    vocab = ds.map_batches(emit, batch_format="pandas") \
+        .groupby("__part").map_groups(part_counts,
+                                      batch_format="pandas")
+    n_docs = ds.count()
+    qn = math.floor(math.log(max(n_docs, 1)) * qscale)
+    n_vocab = vocab.count()
+    if n_vocab > df_broadcast_cap:  # pragma: no cover - scale path
+        return _tfidf_join(ds, vocab, id_col, text_col, k, n_parts,
+                           qscale, qn)
+    vdf = vocab.to_pandas()
+    qdf = {t: qn - math.floor(math.log(int(c)) * qscale)
+           for t, c in zip(vdf["token"], vdf["df"])}
+    qref = ray.put(qdf)
+
+    class Scorer:
+        def __init__(self):
+            self.q = ray.get(qref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for i, t in zip(df[id_col].to_numpy(),
+                            df[text_col]):
+                tok, tf = np.unique(ws.findall(t or ""),
+                                    return_counts=True)
+                if len(tok) == 0:
+                    continue
+                q = np.fromiter((self.q[w] for w in tok), np.int64,
+                                len(tok))
+                score = tf.astype(np.int64) * q
+                order = np.lexsort((tok, -score))[:k]
+                outs.append(pd.DataFrame({
+                    id_col: np.repeat(i, len(order)),
+                    "token": tok[order],
+                    "tf": tf[order].astype(np.int64),
+                    "score_q": score[order]}))
+            if not outs:
+                return pd.DataFrame({
+                    id_col: np.empty(0, np.int64),
+                    "token": np.empty(0, object),
+                    "tf": np.empty(0, np.int64),
+                    "score_q": np.empty(0, np.int64)})
+            return pd.concat(outs, ignore_index=True)
+
+    return ds.map_batches(Scorer, batch_format="pandas",
+                          batch_size=4096, concurrency=(1, 8),
+                          num_cpus=1)
+
+
+def _tfidf_join(ds, vocab, id_col, text_col, k, n_parts, qscale,
+                qn):  # pragma: no cover - exercised by pytest at
+    # a forced low cap, excluded from the broadcast-path coverage run
+    """Shuffle path for huge vocabularies: (doc, token, tf) rows join
+    (token, df) through a token-hash bucketed exchange, then per-doc
+    top-k via one doc-hash bucket shuffle (grouped_topk's shape)."""
+    import math
+
+    from ..ops.partition import bucket_part
+
+    ws = re.compile(r"\S+")
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for i, t in zip(df[id_col].to_numpy(), df[text_col]):
+            tok, tf = np.unique(ws.findall(t or ""),
+                                return_counts=True)
+            outs.append(pd.DataFrame({
+                id_col: np.repeat(np.int64(i), len(tok)),
+                "token": tok, "tf": tf.astype(np.int64)}))
+        if not outs:
+            outs = [pd.DataFrame({id_col: np.empty(0, np.int64),
+                                  "token": np.empty(0, object),
+                                  "tf": np.empty(0, np.int64)})]
+        out = pd.concat(outs, ignore_index=True)
+        out["df"] = np.full(len(out), -1, np.int64)  # pad: tf side
+        out["__part"] = (md5_lo64(list(out["token"]))
+                         % np.uint64(n_parts)).astype(np.int64)
+        return out[[id_col, "token", "tf", "df", "__part"]]
+
+    def stamp_vocab(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            id_col: np.full(len(df), -1, np.int64),  # pad: df side
+            "token": df["token"].to_numpy(object),
+            "tf": np.full(len(df), -1, np.int64),
+            "df": df["df"].to_numpy(np.int64)})
+        out["__part"] = (md5_lo64(list(out["token"]))
+                         % np.uint64(n_parts)).astype(np.int64)
+        return out
+
+    def join_part(df: pd.DataFrame) -> pd.DataFrame:
+        is_v = df["df"].to_numpy(np.int64) >= 0
+        left, right = df[~is_v], df[is_v]
+        qd = {t: qn - math.floor(math.log(int(c)) * qscale)
+              for t, c in zip(right["token"], right["df"])}
+        q = np.fromiter((qd.get(w, 0) for w in left["token"]),
+                        np.int64, len(left))
+        out = pd.DataFrame({
+            id_col: left[id_col].to_numpy(np.int64),
+            "token": left["token"].to_numpy(object),
+            "tf": left["tf"].to_numpy(np.int64)})
+        out["score_q"] = out["tf"].to_numpy() * q
+        return out
+
+    tf = ds.map_batches(tf_rows, batch_format="pandas")
+    v = vocab.map_batches(stamp_vocab, batch_format="pandas")
+    joined = tf.union(v).groupby("__part") \
+        .map_groups(join_part, batch_format="pandas")
+
+    def doc_topk(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((df["token"].to_numpy(object),
+                            -df["score_q"].to_numpy(np.int64),
+                            df[id_col].to_numpy(np.int64)))
+        df = df.iloc[order]
+        rank = df.groupby(id_col, sort=False).cumcount()
+        return df[rank < k][[id_col, "token", "tf", "score_q"]]
+
+    def stamp_doc(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__part"] = bucket_part(out[id_col].to_numpy(),
+                                    n_parts)
+        return out
+
+    return joined.map_batches(stamp_doc, batch_format="pandas") \
+        .groupby("__part").map_groups(doc_topk,
+                                      batch_format="pandas")
+
+
+def stratified_split(ds, key, fractions=(0.8, 0.1, 0.1), seed="s0",
+                     id_col="doc_id", n_parts=64):
+    """Deterministic per-stratum train/valid/test split with EXACT
+    quotas: within each ``key`` group, rows rank by
+    (md5(seed:id), id) and the first floor(f_train*n) go to train,
+    the next floor((f_train+f_valid)*n)-floor(f_train*n) to valid,
+    the rest to test — the standard leakage-free split for
+    training-data prep, reproducible in SQL via md5_number_lower +
+    window row_number.
+
+    Group sizes come from one tiny partial-count reduce (one row per
+    (batch, key)) broadcast back; ranking needs one key-hash bucket
+    shuffle + a single vectorized lexsort/cumcount per partition —
+    partition-independent because the rank hash is a pure row
+    function.  Returns (id_col, key, split).
+    """
+    import ray
+
+    from ..ops.partition import bucket_part
+
+    f_train, f_valid = fractions[0], fractions[1]
+
+    def part_sizes(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(key).size().reset_index(name="n")
+        return c
+
+    sizes = ds.map_batches(part_sizes, batch_format="pandas") \
+        .to_pandas().groupby(key)["n"].sum()
+    cuts = {k: (int(np.floor(f_train * n)),
+                int(np.floor((f_train + f_valid) * n)))
+            for k, n in sizes.items()}
+    cuts_ref = ray.put(cuts)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        out = pd.DataFrame({
+            id_col: ids,
+            key: df[key].to_numpy(object),
+            "__h": md5_lo64([f"{seed}:{i}" for i in ids])})
+        kh = pd.util.hash_array(out[key].to_numpy())
+        out["__part"] = bucket_part(kh, n_parts)
+        return out
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cuts_ref)
+        order = np.lexsort((df[id_col].to_numpy(),
+                            df["__h"].to_numpy(),
+                            df[key].to_numpy().astype(str)))
+        df = df.iloc[order]
+        rank = df.groupby(key, sort=False).cumcount().to_numpy()
+        t1 = np.fromiter((c[k][0] for k in df[key]), np.int64,
+                         len(df))
+        t2 = np.fromiter((c[k][1] for k in df[key]), np.int64,
+                         len(df))
+        split = np.where(rank < t1, "train",
+                         np.where(rank < t2, "valid", "test"))
+        return pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
+                             key: df[key].to_numpy(object),
+                             "split": split})
+
+    return ds.map_batches(emit, batch_format="pandas") \
+        .groupby("__part").map_groups(label, batch_format="pandas")
+
+
+def inverted_index(ds, id_col="doc_id", text_col="text",
+                   min_df=2, max_postings=20, n_parts=64):
+    """Distributed inverted-index build: token -> (document
+    frequency, first ``max_postings`` doc ids ascending).  Distinct
+    (token, doc) pairs shuffle bucketed by token hash (q51's shape:
+    every row of a token lands in one partition so in-partition
+    grouping is global); each partition groups ONCE vectorized and
+    emits its own tokens' final rows — the index is built fully
+    distributed, the driver never sees it.
+
+    Postings are capped (posting-list head) and serialized as a
+    comma-joined string so the row is flat and oracle-comparable;
+    tokens below ``min_df`` are dropped.  Returns a Dataset
+    (token, df, postings).
+    """
+
+    ws = re.compile(r"\S+")
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [np.unique(ws.findall(t or ""))
+                for t in df[text_col]]
+        tok = (np.concatenate(toks) if toks
+               else np.empty(0, object))
+        ns = np.fromiter((len(t) for t in toks), np.int64,
+                         len(toks))
+        did = (np.repeat(df[id_col].to_numpy(np.int64), ns)
+               if len(df) else np.empty(0, np.int64))
+        h = md5_lo64(list(tok))
+        return pd.DataFrame({"token": tok, id_col: did,
+                             "__part": (h % np.uint64(n_parts))
+                             .astype(np.int64)})
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((df[id_col].to_numpy(),
+                            df["token"].to_numpy(object)))
+        df = df.iloc[order]
+        g = df.groupby("token", sort=False)
+        dfreq = g.size()
+        rank = g.cumcount().to_numpy()
+        head = df[rank < max_postings]
+        posts = head.groupby("token", sort=False)[id_col].agg(
+            lambda v: ",".join(map(str, v)))
+        out = pd.DataFrame({"token": dfreq.index.to_numpy(object),
+                            "df": dfreq.to_numpy(np.int64),
+                            "postings": posts.reindex(
+                                dfreq.index).to_numpy(object)})
+        return out[out["df"] >= min_df]
+
+    return ds.map_batches(emit, batch_format="pandas") \
+        .groupby("__part").map_groups(build, batch_format="pandas")

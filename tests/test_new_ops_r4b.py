@@ -1,0 +1,259 @@
+"""Round-4 operator batch #3: quality-rule filters (Gopher / C4),
+tf-idf, inverted index, count-min sketch, stratified split, and the
+halo-exchange sliding window.
+
+Covers: brute-force equivalence on synthetic corpora, partition
+invariance (block boundaries must not change results — the bug class
+that bit asof_join/triangles twice), the tf-idf shuffle path at a
+forced zero broadcast cap, CMS overestimate + linearity guarantees,
+and exact stratified quotas.
+"""
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+
+def _docs_ds(texts, n_blocks=1):
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    return rd.from_pandas(df).repartition(n_blocks)
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality
+# ---------------------------------------------------------------------------
+
+def test_gopher_quality_metrics(ray_session):
+    from mapshaper_ray.stages.text import gopher_quality
+    texts = [
+        "the cat sat on the mat with a hat",   # 9 words, all alpha
+        "# # # ... xx",                        # symbol-heavy
+        " ".join(["word"] * 60) + " the of",   # long, 2 stops
+    ]
+    out = gopher_quality(_docs_ds(texts), min_words=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_words"].tolist() == [9, 5, 62]
+    # doc 0: 25 non-space chars / 9 words
+    assert out["mwl"][0] == round(25 / 9, 6)
+    # doc 1: words '#','#','#','...','xx' -> 1 alpha, 4 sym
+    assert out["alpha_frac"][1] == round(1 / 5, 6)
+    assert out["sym_frac"][1] == round(4 / 5, 6)
+    # doc 2 has 'the' and 'of' -> 2 stops, keeps
+    assert out["n_stop"][2] == 2
+    assert out["keep"][2] == 1
+    assert out["keep"][1] == 0  # fails alpha + symbol rules
+
+
+def test_gopher_partition_invariance(ray_session):
+    from mapshaper_ray.stages.text import gopher_quality
+    rng = np.random.RandomState(7)
+    texts = [" ".join(rng.choice(["the", "of", "x", "#", "12", "abc"],
+                                 rng.randint(3, 40)))
+             for _ in range(50)]
+    a = gopher_quality(_docs_ds(texts, 1)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = gopher_quality(_docs_ds(texts, 7)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# c4_filter
+# ---------------------------------------------------------------------------
+
+def test_c4_filter_rules(ray_session):
+    from mapshaper_ray.stages.text import c4_filter
+    texts = [
+        "one two three four five six.\nshort line.\n"
+        "uses a cookie banner here.\n"
+        "a second good line stays here!\n"
+        "third good line is also kept?",
+        "only one good line survives here.",   # < min_lines
+        "no terminal punctuation at all here", # line dropped
+    ]
+    out = c4_filter(_docs_ds(texts), min_line_words=5,
+                    min_lines=2).to_pandas()
+    assert out["doc_id"].tolist() == [0]
+    assert out["text"][0] == (
+        "one two three four five six.\n"
+        "a second good line stays here!\n"
+        "third good line is also kept?")
+
+
+def test_c4_filter_partition_invariance(ray_session):
+    from mapshaper_ray.stages.text import c4_filter
+    rng = np.random.RandomState(3)
+    texts = ["\n".join(
+        " ".join(rng.choice(["aa", "bb", "cc", "dd", "ee", "ff"],
+                            rng.randint(2, 9)))
+        + ("." if rng.rand() < 0.6 else "")
+        for _ in range(rng.randint(1, 8))) for _ in range(40)]
+    a = c4_filter(_docs_ds(texts, 1)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = c4_filter(_docs_ds(texts, 9)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# tfidf_topk — broadcast path vs forced shuffle path
+# ---------------------------------------------------------------------------
+
+def test_tfidf_matches_bruteforce_and_shuffle_path(ray_session):
+    import math
+
+    from mapshaper_ray.stages.text import tfidf_topk
+    rng = np.random.RandomState(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = [" ".join(rng.choice(vocab, rng.randint(3, 20)))
+             for _ in range(30)]
+
+    def norm(df):
+        return df.sort_values(["doc_id", "score_q", "token"],
+                              ascending=[True, False, True]) \
+            .reset_index(drop=True)[["doc_id", "token", "tf",
+                                     "score_q"]]
+
+    got = norm(tfidf_topk(_docs_ds(texts, 4), k=3).to_pandas())
+    # brute force
+    q = 1000000000
+    n = len(texts)
+    dfc = {}
+    for t in texts:
+        for w in set(t.split()):
+            dfc[w] = dfc.get(w, 0) + 1
+    rows = []
+    for i, t in enumerate(texts):
+        ws = pd.Series(t.split()).value_counts()
+        cand = sorted(
+            ((w, int(c), int(c) * (math.floor(math.log(n) * q)
+                                   - math.floor(math.log(dfc[w]) * q)))
+             for w, c in ws.items()),
+            key=lambda r: (-r[2], r[0]))[:3]
+        rows += [(i, w, c, s) for w, c, s in cand]
+    exp = pd.DataFrame(rows, columns=["doc_id", "token", "tf",
+                                      "score_q"])
+    pd.testing.assert_frame_equal(
+        got, norm(exp), check_dtype=False)
+    # shuffle path (vocab broadcast forcibly disabled) must agree
+    got2 = norm(tfidf_topk(_docs_ds(texts, 4), k=3,
+                           df_broadcast_cap=0).to_pandas())
+    pd.testing.assert_frame_equal(got, got2, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# inverted_index
+# ---------------------------------------------------------------------------
+
+def test_inverted_index_bruteforce(ray_session):
+    from mapshaper_ray.stages.text import inverted_index
+    texts = ["a b c", "b c d", "c d e", "a a c"]
+    out = inverted_index(_docs_ds(texts, 3), min_df=2,
+                         max_postings=2).to_pandas() \
+        .sort_values("token").reset_index(drop=True)
+    exp = pd.DataFrame({
+        "token": ["a", "b", "c", "d"],
+        "df": [2, 2, 4, 2],
+        "postings": ["0,3", "0,1", "0,1", "1,2"]})
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+def test_cms_overestimates_and_merges(ray_session):
+    from mapshaper_ray.ops.sketch import cms_build, cms_query, \
+        cms_update
+    rng = np.random.RandomState(5)
+    vals = rng.choice([f"t{i}" for i in range(200)], 5000,
+                      p=np.linspace(1, 40, 200)
+                      / np.linspace(1, 40, 200).sum())
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(6)
+    cms = cms_build(ds, "v", d=4, w=256)
+    assert int(cms.sum()) == 4 * 5000  # every occurrence counted d times
+    truth = pd.Series(vals).value_counts()
+    qs = truth.index[:20].tolist()
+    est = cms_query(cms, qs)
+    assert (est >= truth[qs].to_numpy()).all()  # CMS never undercounts
+    # partition invariance
+    cms_b = cms_build(rd.from_pandas(pd.DataFrame({"v": vals}))
+                      .repartition(1), "v", d=4, w=256)
+    assert (cms == cms_b).all()
+    # linearity: sketch(union) == sketch(a) + sketch(b)
+    half = len(vals) // 2
+    a = rd.from_pandas(pd.DataFrame({"v": vals[:half]}))
+    b = rd.from_pandas(pd.DataFrame({"v": vals[half:]}))
+    merged = cms_update(cms_build(a, "v", d=4, w=256), b, "v")
+    assert (merged == cms).all()
+
+
+# ---------------------------------------------------------------------------
+# stratified_split
+# ---------------------------------------------------------------------------
+
+def test_stratified_split_quotas_and_invariance(ray_session):
+    from mapshaper_ray.stages.text import stratified_split
+    rng = np.random.RandomState(2)
+    n = 230
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": rng.choice(["en", "de", "fr"], n, p=[0.7, 0.2, 0.1])})
+    ds = rd.from_pandas(df).repartition(5)
+    out = stratified_split(ds, key="lang",
+                           fractions=(0.8, 0.1, 0.1)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == n
+    for lang, g in out.groupby("lang"):
+        m = len(g)
+        assert (g["split"] == "train").sum() == int(np.floor(0.8 * m))
+        assert (g["split"] == "valid").sum() == \
+            int(np.floor(0.9 * m)) - int(np.floor(0.8 * m))
+    out2 = stratified_split(rd.from_pandas(df).repartition(1),
+                            key="lang",
+                            fractions=(0.8, 0.1, 0.1)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+# ---------------------------------------------------------------------------
+# sliding_window_sum — halo exchange
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("window,n_parts", [(1, 4), (5, 4), (10, 13),
+                                            (50, 3)])
+def test_sliding_window_matches_pandas(ray_session, window, n_parts):
+    from mapshaper_ray.ops.relational import sliding_window_sum
+    rng = np.random.RandomState(window * 100 + n_parts)
+    n = 400
+    df = pd.DataFrame({
+        # heavy ts ties to exercise the (ts, id) tie order
+        "ep": rng.randint(0, 60, n).astype(np.int64),
+        "event_id": rng.permutation(n).astype(np.int64),
+        "v": rng.randint(-50, 50, n).astype(np.int64)})
+    got = sliding_window_sum(rd.from_pandas(df).repartition(6),
+                             ts_col="ep", id_col="event_id",
+                             val_col="v", window=window,
+                             n_parts=n_parts).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    exp = df.sort_values(["ep", "event_id"]).reset_index(drop=True)
+    exp["msum"] = exp["v"].rolling(window, min_periods=1).sum() \
+        .astype(np.int64)
+    exp = exp[["event_id", "msum"]].sort_values("event_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_sliding_window_constant_ts_single_bucket(ray_session):
+    """All rows share one ts -> one bucket; order falls to id."""
+    from mapshaper_ray.ops.relational import sliding_window_sum
+    df = pd.DataFrame({"ep": np.zeros(20, np.int64),
+                       "event_id": np.arange(20, dtype=np.int64),
+                       "v": np.ones(20, np.int64)})
+    got = sliding_window_sum(rd.from_pandas(df).repartition(3),
+                             ts_col="ep", id_col="event_id",
+                             val_col="v", window=4).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert got["msum"].tolist() == [1, 2, 3] + [4] * 17
