@@ -1368,6 +1368,64 @@ def _q109_sliding_window(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q110_clean_text(sf_dir: str):
+    """Web-text normalization: docs get deterministic HTML-entity +
+    extra-whitespace wrappers, then the clean_text rule chain
+    (entity unescape, whitespace collapse, strip) — the engine and
+    the oracle share ONE rule table via clean_text_sql, byte-exact."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import clean_text
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def dirty(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].to_numpy(np.int64)
+        pre = np.where(i % 3 == 0, "&lt;p&gt;&nbsp;&nbsp;", "")
+        suf = np.where(i % 2 == 0, "  &amp;&amp; &quot;x&#39; ", "")
+        return pd.DataFrame({
+            "doc_id": i,
+            "text": (pre + df["text"].fillna("").to_numpy(object)
+                     + suf)})
+
+    out = clean_text(docs.map_batches(dirty, batch_format="pandas")) \
+        .to_pandas()
+    return out[["doc_id", "text"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+def _q111_bigram_nll(sf_dir: str):
+    """Bigram stupid-backoff LM perplexity on a held-out split
+    (even doc_ids train the counts, odd doc_ids are scored) — the
+    backoff path fires on genuinely unseen bigrams; quantized-log
+    integer scores are value-exact vs the SQL mirror."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import bigram_nll
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def parity(df: pd.DataFrame, keep: int) -> pd.DataFrame:
+        return df[df["doc_id"].to_numpy(np.int64) % 2 == keep]
+
+    train = docs.map_batches(parity, fn_kwargs={"keep": 0},
+                             batch_format="pandas")
+    score = docs.map_batches(parity, fn_kwargs={"keep": 1},
+                             batch_format="pandas")
+    out = bigram_nll(train, score).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q112_scalar_quantize(sf_dir: str):
+    """int8 scalar quantization of the embedding column (per-dim
+    min/max reduce + stateless quantize pass) — the 4x compression
+    step before corpus-scale ANN; codes value-exact vs SQL."""
+    import ray.data as rd
+    from mapshaper_ray.ops.ann import scalar_quantize
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    out = scalar_quantize(emb).to_pandas()
+    return out.sort_values(["vec_id", "k"]).reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -2119,6 +2177,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q107_cms": _q107_cms,
         "q108_stratified_split": _q108_stratified_split,
         "q109_sliding_window": _q109_sliding_window,
+        "q110_clean_text": _q110_clean_text,
+        "q111_bigram_nll": _q111_bigram_nll,
+        "q112_scalar_quantize": _q112_scalar_quantize,
     }
 
 
@@ -3912,6 +3973,84 @@ def oracle_sql() -> dict[str, str]:
                             ROWS BETWEEN 9 PRECEDING
                             AND CURRENT ROW) AS msum
         FROM e ORDER BY event_id"""
+
+    # q110: entity/whitespace normalization — the SQL side of every
+    # rule comes from stages/text.clean_text_sql so engine and oracle
+    # share ONE rule table (the url_normalize_sql pattern)
+    from mapshaper_ray.stages.text import clean_text_sql
+    out["q110_clean_text"] = f"""
+        WITH m AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 3 = 0
+                       THEN '&lt;p&gt;&nbsp;&nbsp;' ELSE '' END)
+                 || coalesce(text, '')
+                 || (CASE WHEN doc_id % 2 = 0
+                          THEN '  &amp;&amp; &quot;x&#39; '
+                          ELSE '' END) AS t
+          FROM documents)
+        SELECT doc_id, {clean_text_sql("t")} AS text
+        FROM m ORDER BY doc_id"""
+
+    # q111: bigram stupid-backoff LM on the held-out odd docs;
+    # quantized libm logs (q64 trick) make nll_q integer-exact
+    import math as _math
+    _qb = _math.floor(_math.log(0.4) * 1000000000)
+    _QL = ("CAST(floor(ln(CAST({x} AS DOUBLE)) * 1000000000) "
+           "AS BIGINT)")
+    out["q111_bigram_nll"] = f"""
+        WITH tr AS (SELECT string_split(coalesce(text, ''), ' ') AS ws
+                    FROM documents WHERE doc_id % 2 = 0),
+        uni AS (SELECT unnest(ws) AS w FROM tr),
+        u AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        g AS (SELECT (SELECT sum(c) FROM u) AS n1,
+                     (SELECT count(*) FROM u) AS v),
+        bt AS (SELECT ws[t.i] AS w1, ws[t.i + 1] AS w2
+               FROM tr, unnest(generate_series(1, len(ws) - 1))
+                    AS t(i)),
+        b AS (SELECT w1, w2, count(*) AS c FROM bt GROUP BY w1, w2),
+        sd AS (SELECT doc_id,
+                      string_split(coalesce(text, ''), ' ') AS ws
+               FROM documents WHERE doc_id % 2 = 1),
+        sb AS (SELECT doc_id, ws[t.i] AS w1, ws[t.i + 1] AS w2
+               FROM sd, unnest(generate_series(1, len(ws) - 1))
+                    AS t(i)),
+        s AS (SELECT sb.doc_id,
+                     CASE WHEN b.c IS NOT NULL
+                       THEN {_QL.format(x='b.c')}
+                            - {_QL.format(x='u1.c')}
+                       ELSE {_qb}
+                            + CASE WHEN u2.c IS NOT NULL
+                                   THEN {_QL.format(x='u2.c + 1')}
+                                   ELSE 0 END
+                            - {_QL.format(x='g.n1 + g.v')} END AS sq
+              FROM sb LEFT JOIN b ON sb.w1 = b.w1 AND sb.w2 = b.w2
+                      LEFT JOIN u u1 ON sb.w1 = u1.w
+                      LEFT JOIN u u2 ON sb.w2 = u2.w
+                      CROSS JOIN g),
+        a AS (SELECT doc_id, count(*) AS nb,
+                     -sum(sq) AS nll FROM s GROUP BY doc_id)
+        SELECT sd.doc_id,
+               CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(a.nll, 0) AS BIGINT) AS nll_q
+        FROM sd LEFT JOIN a USING (doc_id) ORDER BY doc_id"""
+
+    # q112: per-dim min/max scalar quantization to 256 codes — every
+    # step is a single IEEE op, so qv is exact (k is 1-based)
+    out["q112_scalar_quantize"] = """
+        WITH e AS (
+          SELECT vec_id, CAST(u.r['j'] AS BIGINT) AS k,
+                 CAST(u.r['v'] AS DOUBLE) AS v
+          FROM embeddings, unnest(list_transform(
+                generate_series(1, len(embedding)),
+                i -> {'j': i, 'v': embedding[i]})) AS u(r)),
+        mm AS (SELECT k, min(v) AS mn, max(v) AS mx
+               FROM e GROUP BY k)
+        SELECT e.vec_id, e.k,
+               CASE WHEN mm.mx > mm.mn
+                    THEN CAST(floor((e.v - mm.mn) / (mm.mx - mm.mn)
+                                    * 255) AS BIGINT)
+                    ELSE 0 END AS qv
+        FROM e JOIN mm USING (k) ORDER BY vec_id, k"""
 
     out["q84_pretrain_pipeline"] = r"""
         -- the q12 dedup, q56 repetition-share, q76 decontamination

@@ -424,3 +424,59 @@ def nn_join(query_ds, corpus_ds, k=10, id_col="vec_id",
 
     return partials.groupby("query_id").map_groups(
         final, batch_format="pandas")
+
+
+def scalar_quantize(ds, col: str = "embedding",
+                    id_col: str = "vec_id", levels: int = 256):
+    """Per-dimension scalar quantization of an embedding column to
+    ``levels`` integer codes (int8 SQ — the standard 4x vector
+    compression before ANN at corpus scale): pass 1 reduces per-dim
+    min/max (one (2, d) float row per batch, d doubles on the
+    driver); pass 2 is stateless — qv = floor((v - mn_k) /
+    (mx_k - mn_k) * (levels - 1)), all single IEEE ops so a SQL
+    oracle matches exactly (constant dims quantize to 0).
+
+    Output is long-form (id_col, k, qv) with k 1-based (SQL
+    generate_series convention).  The codes dataset is
+    ``levels<=256`` -> 1 byte per dim vs 4 for float32.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    def mm_partial(batch: "pa.Table") -> "pd.DataFrame":
+        df = batch.to_pandas()
+        if not len(df):
+            return pd.DataFrame({"k": np.empty(0, np.int64),
+                                 "mn": np.empty(0),
+                                 "mx": np.empty(0)})
+        vecs = np.stack(df[col].to_numpy()).astype(np.float64)
+        d = vecs.shape[1]
+        return pd.DataFrame({"k": np.arange(1, d + 1),
+                             "mn": vecs.min(axis=0),
+                             "mx": vecs.max(axis=0)})
+
+    mm = ds.map_batches(mm_partial, batch_format="pyarrow") \
+        .to_pandas().groupby("k").agg(mn=("mn", "min"),
+                                      mx=("mx", "max"))
+    mn = mm["mn"].to_numpy(np.float64)
+    mx = mm["mx"].to_numpy(np.float64)
+    rng_ok = mx > mn
+
+    def quantize(batch: "pa.Table") -> "pa.Table":
+        schema = pa.schema([(id_col, pa.int64()), ("k", pa.int64()),
+                            ("qv", pa.int64())])
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        df = batch.to_pandas()
+        vecs = np.stack(df[col].to_numpy()).astype(np.float64)
+        n, d = vecs.shape
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor((vecs - mn[None, :]) / (mx - mn)[None, :]
+                         * (levels - 1))
+        q = np.where(rng_ok[None, :], q, 0.0).astype(np.int64)
+        ids = np.repeat(df[id_col].to_numpy().astype(np.int64), d)
+        ks = np.tile(np.arange(1, d + 1, dtype=np.int64), n)
+        return pa.table({id_col: ids, "k": ks, "qv": q.ravel()},
+                        schema=schema)
+
+    return ds.map_batches(quantize, batch_format="pyarrow")

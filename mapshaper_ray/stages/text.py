@@ -1519,7 +1519,8 @@ def tfidf_topk(ds, id_col="doc_id", text_col="text", k=5,
 
     vocab = ds.map_batches(emit, batch_format="pandas") \
         .groupby("__part").map_groups(part_counts,
-                                      batch_format="pandas")
+                                      batch_format="pandas") \
+        .materialize()  # count gate + collect reuse one execution
     n_docs = ds.count()
     qn = math.floor(math.log(max(n_docs, 1)) * qscale)
     n_vocab = vocab.count()
@@ -1757,3 +1758,220 @@ def inverted_index(ds, id_col="doc_id", text_col="text",
 
     return ds.map_batches(emit, batch_format="pandas") \
         .groupby("__part").map_groups(build, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (HTML entities + whitespace) — one rule table
+# shared byte-exactly by the pandas chain and the SQL oracle mirror
+# ---------------------------------------------------------------------------
+
+# amp LAST so double-escaped sequences unescape one level per pass
+# (the standard single-pass entity-replace convention)
+_ENTITY_RULES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
+
+
+def clean_text(ds, text_col="text", out_col="text"):
+    """Web-text normalization: HTML entity unescape (the fixed rule
+    chain above, amp last) then whitespace-run collapse + strip —
+    the standard first cleaning step over extracted crawl text.
+    One stateless vectorized pass (pandas str.replace chain, compiled
+    regex for the collapse), byte-exact against ``clean_text_sql``.
+    """
+    import re as _re
+
+    ws_run = _re.compile(r"\s+")
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].fillna("")
+        for a, b in _ENTITY_RULES:
+            s = s.str.replace(a, b, regex=False)
+        s = s.str.replace(ws_run, " ", regex=True).str.strip()
+        out = df.copy()
+        out[out_col] = s.to_numpy(object)
+        return out
+
+    return ds.map_batches(clean, batch_format="pandas",
+                          batch_size=4096)
+
+
+def clean_text_sql(col: str) -> str:
+    """The DuckDB expression computing exactly ``clean_text`` —
+    engine and oracle share THIS rule table (the url_normalize_sql
+    pattern)."""
+    expr = col
+    for a, b in _ENTITY_RULES:
+        qa = a.replace("'", "''")
+        qb = b.replace("'", "''")
+        expr = f"replace({expr}, '{qa}', '{qb}')"
+    return rf"trim(regexp_replace({expr}, '\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM perplexity with stupid backoff (held-out scoring)
+# ---------------------------------------------------------------------------
+
+def bigram_nll(train_ds, score_ds, id_col="doc_id",
+               text_col="text", n_parts=64, qscale=10 ** 9,
+               backoff=0.4, broadcast_cap=20_000_000):
+    """Bigram language-model scoring with stupid backoff (Brants et
+    al. 2007) — the CCNet-style held-out perplexity filter one order
+    up from ``lm_nll``: counts train on ``train_ds``, docs in
+    ``score_ds`` are scored, so the backoff path actually fires on
+    unseen bigrams (scoring the training corpus itself never backs
+    off).
+
+    Per bigram position: score = qlog(c12) - qlog(c1) when the
+    bigram was seen in training, else qlog(backoff) + qlog(c2+1) -
+    qlog(n1+V) (add-1 unigram fallback).  All logs are quantized
+    libm integers (the q64 trick), so per-doc sums are exact and a
+    SQL oracle matches value-exactly.  Returns
+    (id_col, n_bigrams, nll_q) with nll_q = -sum(score_q), int64.
+
+    Scale shape: ONE counting pass over the train corpus (per-batch
+    Arrow value_counts partials for unigrams and bigrams together,
+    bucket shuffle by key hash, per-partition sums); the count
+    tables are count-gated at ``broadcast_cap`` rows — under it they
+    broadcast once via the object store and scoring is a stateless
+    actor-pool pass (Arrow index_in lookups); above it scoring joins
+    through bigram-hash / doc-hash bucketed exchanges (nothing
+    driver-resident).
+    """
+    import math
+
+    import ray
+
+    import pyarrow.compute as pc
+
+    from ..ops.partition import bucket_part
+
+    def count_partial(batch) -> pd.DataFrame:
+        t = _str_col(batch, text_col)
+        lists = pc.split_pattern(t, " ")
+        lens = pc.list_value_length(lists) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(pc.list_flatten(lists).to_pylist(),
+                          dtype=object)
+        # bigram keys: adjacent join, dropping each doc's last token
+        if len(flat):
+            ends = np.cumsum(lens) - 1  # last token index per doc
+            keep = np.ones(len(flat), bool)
+            keep[ends[lens > 0]] = False
+            w1 = flat[keep]
+            w2 = flat[1:][keep[:-1]] if len(flat) > 1 \
+                else np.empty(0, object)
+            big = np.fromiter((a + " " + b for a, b in zip(w1, w2)),
+                              object, len(w1))
+        else:
+            big = np.empty(0, object)
+        ut, uc = np.unique(flat, return_counts=True)
+        bt, bc = np.unique(big, return_counts=True)
+        out = pd.DataFrame({
+            "key": np.concatenate([ut, bt]),
+            "c": np.concatenate([uc, bc]).astype(np.int64),
+            "kind": np.r_[np.zeros(len(ut), np.int8),
+                          np.ones(len(bt), np.int8)]})
+        out["__part"] = bucket_part(
+            pd.util.hash_array(out["key"].to_numpy()), n_parts)
+        return out
+
+    def count_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["kind", "key"], sort=False)["c"].sum() \
+            .reset_index()
+        return g[["kind", "key", "c"]]
+
+    counts = train_ds.map_batches(count_partial,
+                                  batch_format="pyarrow") \
+        .groupby("__part").map_groups(count_final,
+                                      batch_format="pandas") \
+        .materialize()
+    if counts.count() > broadcast_cap:  # pragma: no cover
+        raise NotImplementedError(
+            "count tables exceed broadcast_cap; route through the "
+            "bucketed-join scale path (tfidf_topk._tfidf_join shape)")
+    cdf = counts.to_pandas()
+    uni = cdf[cdf["kind"] == 0]
+    big = cdf[cdf["kind"] == 1]
+    n1 = int(uni["c"].sum())
+    v_size = len(uni)
+
+    def qlog(x):
+        return math.floor(math.log(x) * qscale)
+
+    q_b = qlog(backoff)
+    qz = qlog(n1 + v_size)
+    u_tok = uni["key"].to_numpy(object)
+    u_q = np.fromiter((qlog(int(c)) for c in uni["c"]), np.int64,
+                      len(uni))
+    # add-1 fallback term per unigram: qlog(c2 + 1)
+    u_q1 = np.fromiter((qlog(int(c) + 1) for c in uni["c"]),
+                       np.int64, len(uni))
+    b_tok = big["key"].to_numpy(object)
+    b_q = np.fromiter((qlog(int(c)) for c in big["c"]), np.int64,
+                      len(big))
+    ref = ray.put((u_tok, u_q, u_q1, b_tok, b_q))
+
+    class Scorer:
+        def __init__(self):
+            import pyarrow as _pa
+            u_t, self.u_q, self.u_q1, b_t, self.b_q = ray.get(ref)
+            self.u_set = _pa.array(u_t, type=_pa.string())
+            self.b_set = _pa.array(b_t, type=_pa.string())
+
+        def __call__(self, batch) -> pd.DataFrame:
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                return pd.DataFrame({
+                    id_col: np.empty(0, np.int64),
+                    "n_bigrams": np.empty(0, np.int64),
+                    "nll_q": np.empty(0, np.int64)})
+            t = _str_col(batch, text_col)
+            lists = _pc.split_pattern(t, " ")
+            lens = _pc.list_value_length(lists) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = np.asarray(_pc.list_flatten(lists).to_pylist(),
+                              dtype=object)
+            ends = np.cumsum(lens) - 1
+            keep = np.ones(len(flat), bool)
+            keep[ends[lens > 0]] = False
+            w1 = flat[keep]
+            w2 = flat[1:][keep[:-1]] if len(flat) > 1 \
+                else np.empty(0, object)
+            pair = np.fromiter(
+                (a + " " + b for a, b in zip(w1, w2)), object,
+                len(w1))
+            bi = _pc.index_in(_pa.array(pair, type=_pa.string()),
+                              value_set=self.b_set)
+            b_ok = _pc.is_valid(bi).to_numpy(zero_copy_only=False)
+            b_ia = _pc.fill_null(bi, 0).to_numpy(zero_copy_only=False)
+            u1 = _pc.index_in(_pa.array(w1, type=_pa.string()),
+                              value_set=self.u_set)
+            u1_ia = _pc.fill_null(u1, 0) \
+                .to_numpy(zero_copy_only=False)
+            u2 = _pc.index_in(_pa.array(w2, type=_pa.string()),
+                              value_set=self.u_set)
+            u2_ok = _pc.is_valid(u2).to_numpy(zero_copy_only=False)
+            u2_ia = _pc.fill_null(u2, 0) \
+                .to_numpy(zero_copy_only=False)
+            # seen bigram: qlog(c12) - qlog(c1) (w1 necessarily seen)
+            # else: qlog(backoff) + qlog(c2+1) - qlog(n1+V), with
+            # unseen w2 counting 0 -> qlog(1) = 0
+            fall = np.where(u2_ok, self.u_q1[u2_ia], 0)
+            s = np.where(b_ok,
+                         self.b_q[b_ia] - self.u_q[u1_ia],
+                         q_b + fall - qz)
+            nb = np.maximum(lens - 1, 0)
+            offs = np.r_[0, np.cumsum(nb)[:-1]]
+            sums = np.zeros(len(nb), np.int64)
+            nz = nb > 0
+            if len(s):
+                sums[nz] = np.add.reduceat(s, offs[nz])
+            return pd.DataFrame({id_col: ids.astype(np.int64),
+                                 "n_bigrams": nb,
+                                 "nll_q": -sums})
+
+    return score_ds.map_batches(Scorer, batch_format="pyarrow",
+                                batch_size=4096, concurrency=(1, 8),
+                                num_cpus=1)

@@ -257,3 +257,90 @@ def test_sliding_window_constant_ts_single_bucket(ray_session):
                              val_col="v", window=4).to_pandas() \
         .sort_values("event_id").reset_index(drop=True)
     assert got["msum"].tolist() == [1, 2, 3] + [4] * 17
+
+
+# ---------------------------------------------------------------------------
+# clean_text / bigram_nll / scalar_quantize
+# ---------------------------------------------------------------------------
+
+def test_clean_text_rules(ray_session):
+    from mapshaper_ray.stages.text import clean_text
+    texts = ["&lt;b&gt;hi&nbsp;there&lt;/b&gt;  &amp;  you ",
+             "  a&#39;b &quot;c&quot;\t\nd  ",
+             "&amp;amp; stays one level"]
+    out = clean_text(_docs_ds(texts)).to_pandas() \
+        .sort_values("doc_id")["text"].tolist()
+    assert out == ['<b>hi there</b> & you',
+                   'a\'b "c" d',
+                   '&amp; stays one level']
+
+
+def test_bigram_nll_bruteforce(ray_session):
+    import math
+
+    from mapshaper_ray.stages.text import bigram_nll
+    train = ["a b a b c", "b c a", "c c b a"]
+    score = ["a b c z", "z z", "a"]
+    tr = _docs_ds(train, 2)
+    sc = _docs_ds(score, 2)
+    got = bigram_nll(tr, sc).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    # scalar reference
+    uni, big = {}, {}
+    for t in train:
+        ws = t.split(" ")
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    n1 = sum(uni.values())
+    v = len(uni)
+    q = lambda x: math.floor(math.log(x) * 10 ** 9)  # noqa: E731
+    qb = q(0.4)
+    exp_rows = []
+    for i, t in enumerate(score):
+        ws = t.split(" ")
+        s = 0
+        for a, b in zip(ws, ws[1:]):
+            if (a, b) in big:
+                s += q(big[(a, b)]) - q(uni[a])
+            else:
+                s += qb + (q(uni[b] + 1) if b in uni else 0) \
+                    - q(n1 + v)
+        exp_rows.append((i, max(len(ws) - 1, 0), -s))
+    exp = pd.DataFrame(exp_rows,
+                       columns=["doc_id", "n_bigrams", "nll_q"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # seen bigrams score better (lower nll per position) than the
+    # all-unseen doc
+    nll0 = got["nll_q"][0] / got["n_bigrams"][0]
+    nll1 = got["nll_q"][1] / got["n_bigrams"][1]
+    assert nll0 < nll1
+
+
+def test_scalar_quantize_roundtrip(ray_session):
+    from mapshaper_ray.ops.ann import scalar_quantize
+    rng = np.random.RandomState(9)
+    vecs = rng.randn(40, 6).astype(np.float32)
+    vecs[:, 3] = 1.25  # constant dim -> code 0
+    df = pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64),
+                       "embedding": list(vecs)})
+    out = scalar_quantize(rd.from_pandas(df).repartition(4)) \
+        .to_pandas().sort_values(["vec_id", "k"]) \
+        .reset_index(drop=True)
+    assert len(out) == 240
+    assert out["qv"].between(0, 255).all()
+    q = out["qv"].to_numpy().reshape(40, 6)
+    assert (q[:, 3] == 0).all()
+    # max/min of each non-constant dim hit the code range ends
+    v64 = vecs.astype(np.float64)
+    for k in [0, 1, 2, 4, 5]:
+        assert q[np.argmax(v64[:, k]), k] == 255
+        assert q[np.argmin(v64[:, k]), k] == 0
+    # dequantized values approximate the originals within one step
+    mn, mx = v64.min(axis=0), v64.max(axis=0)
+    step = (mx - mn) / 255
+    deq = mn[None, :] + (q + 0.5) * step[None, :]
+    err = np.abs(deq - v64)[:, [0, 1, 2, 4, 5]]
+    assert (err <= step[[0, 1, 2, 4, 5]]).all()
