@@ -1280,19 +1280,29 @@ def sliding_window_sum(ds, ts_col: str, id_col: str, val_col: str,
 
     1. one min/max reduce fixes uniform ts-range buckets (ordered
        partitioning — rows of bucket b all sort before bucket b+1);
-    2. a tail pass collects each bucket's last ``window-1`` rows in
+    2. ONE bucket shuffle materializes the range partitions (the
+       only all-to-all — both later passes are block-local maps
+       over it);
+    3. a tail scan collects each bucket's last ``window-1`` rows in
        (ts, id) order — the HALO, bounded at n_parts x (window-1)
        rows on the driver regardless of corpus size;
-    3. the main pass re-buckets and computes each bucket's windowed
-       sums over (halo of all earlier buckets' tails ++ own rows)
-       with one vectorized cumsum — halo rows contribute history but
-       emit nothing, so every row's window is exactly its global
-       predecessor set.
+    4. the windowed pass computes each bucket's sums over (halo of
+       all earlier buckets' tails ++ own rows) with one vectorized
+       cumsum — halo rows contribute history but emit nothing, so
+       every row's window is exactly its global predecessor set.
 
     ``val_col`` must be integral (quantize floats first) so the
     cumsum is order-independent and a SQL oracle matches exactly.
     Returns (id_col, msum).  Partition-independent by construction:
     bucket edges depend only on the global min/max.
+
+    Block contract: the shuffle emits one block per bucket (groupby
+    map_groups), and both scans take whole blocks
+    (``batch_size=None``); if a bucket ever outgrew a single block
+    the windowed pass would see a mixed batch — it asserts
+    one-bucket-per-batch and fails loudly (size ``n_parts`` so each
+    bucket fits a block; at corpus scale that's the same knob every
+    bucketed op here exposes).
     """
     import ray
 
@@ -1316,43 +1326,78 @@ def sliding_window_sum(ds, ts_col: str, id_col: str, val_col: str,
             "__v": df[val_col].to_numpy(np.int64)})
         return out
 
-    def tail(df: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort((df[id_col].to_numpy(),
-                            df["__ts"].to_numpy()))
-        return df.iloc[order[-(window - 1):]] if window > 1 \
-            else df.iloc[:0]
+    import uuid
 
-    stamped = ds.map_batches(stamp, batch_format="pandas")
+    def tail(df: pd.DataFrame) -> pd.DataFrame:
+        # per-BLOCK scan: a block holds several complete buckets
+        # (map_groups packs small group outputs together), so take
+        # each bucket's own last window-1 rows; __blk tags this
+        # block so the driver can verify no bucket was split
+        blk = uuid.uuid4().hex
+        order = np.lexsort((df[id_col].to_numpy(),
+                            df["__ts"].to_numpy(),
+                            df["__part"].to_numpy()))
+        df = df.iloc[order]
+        g = df.groupby("__part", sort=False)
+        cc = g.cumcount().to_numpy()
+        size = g["__ts"].transform("size").to_numpy()
+        out = df[cc >= size - (window - 1)].copy()
+        out["__blk"] = blk
+        return out
+
+    # the ONE all-to-all: range partitions materialize, then tails +
+    # windowed sums are block-local scans over the same blocks
+    parts = ds.map_batches(stamp, batch_format="pandas") \
+        .groupby("__part") \
+        .map_groups(lambda df: df, batch_format="pandas") \
+        .materialize()
     if window > 1:
-        tails = stamped.groupby("__part") \
-            .map_groups(tail, batch_format="pandas").to_pandas()
+        tails = parts.map_batches(tail, batch_format="pandas",
+                                  batch_size=None).to_pandas()
+        split = tails.groupby("__part")["__blk"].nunique()
+        if (split > 1).any():  # see "Block contract" above
+            raise AssertionError(
+                "sliding_window_sum: ts bucket split across blocks "
+                "— raise n_parts so each bucket fits one block")
+        tails = tails.drop(columns="__blk")
     else:  # window of 1 never looks back — no halo pass at all
         tails = pd.DataFrame({"__part": np.empty(0, np.int64),
                               "__ts": np.empty(0, np.int64),
                               id_col: np.empty(0, np.int64),
                               "__v": np.empty(0, np.int64)})
     order = np.lexsort((tails[id_col].to_numpy(),
-                        tails["__ts"].to_numpy()))
+                        tails["__ts"].to_numpy(),
+                        tails["__part"].to_numpy()))
     tails = tails.iloc[order].reset_index(drop=True)
     halo_ref = ray.put(tails)
 
     def windowed(df: pd.DataFrame) -> pd.DataFrame:
-        b = int(df["__part"].iloc[0])
-        halo = ray.get(halo_ref)
-        halo = halo[halo["__part"].to_numpy() < b]
-        halo = halo.iloc[-(window - 1):] if window > 1 \
-            else halo.iloc[:0]
+        if len(df) == 0:
+            return pd.DataFrame({id_col: np.empty(0, np.int64),
+                                 "msum": np.empty(0, np.int64)})
+        halo_all = ray.get(halo_ref)
+        hp = halo_all["__part"].to_numpy()
         order = np.lexsort((df[id_col].to_numpy(),
-                            df["__ts"].to_numpy()))
+                            df["__ts"].to_numpy(),
+                            df["__part"].to_numpy()))
         df = df.iloc[order]
-        v = np.concatenate([halo["__v"].to_numpy(np.int64),
-                            df["__v"].to_numpy(np.int64)])
-        cs = np.concatenate([[0], np.cumsum(v)])
-        nh = len(halo)
-        i = np.arange(nh, len(v))
-        msum = cs[i + 1] - cs[np.maximum(i + 1 - window, 0)]
-        return pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
-                             "msum": msum.astype(np.int64)})
+        outs = []
+        # a handful of complete buckets per block — per bucket one
+        # vectorized cumsum over (its halo ++ its rows)
+        for b, g in df.groupby("__part", sort=True):
+            halo = halo_all[hp < b]
+            halo = halo.iloc[-(window - 1):] if window > 1 \
+                else halo.iloc[:0]
+            v = np.concatenate([halo["__v"].to_numpy(np.int64),
+                                g["__v"].to_numpy(np.int64)])
+            cs = np.concatenate([[0], np.cumsum(v)])
+            nh = len(halo)
+            i = np.arange(nh, len(v))
+            msum = cs[i + 1] - cs[np.maximum(i + 1 - window, 0)]
+            outs.append(pd.DataFrame(
+                {id_col: g[id_col].to_numpy(np.int64),
+                 "msum": msum.astype(np.int64)}))
+        return pd.concat(outs, ignore_index=True)
 
-    return stamped.groupby("__part") \
-        .map_groups(windowed, batch_format="pandas")
+    return parts.map_batches(windowed, batch_format="pandas",
+                             batch_size=None)
