@@ -43,12 +43,25 @@ def _assign(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
 
 def kmeans_centroids(ds, k: int = 8, iters: int = 3, scale: int = 1024,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> np.ndarray:
+                     vec_col: str = "embedding",
+                     checkpoint_dir: str | None = None) -> np.ndarray:
     """Train the centroids only: init = the quantized vectors of the
     ``k`` smallest ids (deterministic, seedless), then ``iters``
     assignment/update rounds.  Empty clusters keep their previous
     centroid.  The driver holds only centroids and per-batch partials
-    (k rows each).  Returns the (k, dim) int64 centroid matrix."""
+    (k rows each).  Returns the (k, dim) int64 centroid matrix.
+
+    ``checkpoint_dir`` makes training resumable (the
+    pagerank_checkpointed contract for the other iterative pipeline):
+    each completed Lloyd iteration persists its integer centroid
+    matrix + a manifest row (iteration, centroid-sum fingerprint);
+    a fresh call with the same dir skips completed iterations and —
+    because each iteration is a pure function of integer centroids —
+    resumes bit-identical to an uninterrupted run (pytest-enforced).
+    """
+    import json
+    import os
+
     import ray
 
     seed_df = ds.map_batches(
@@ -59,7 +72,21 @@ def kmeans_centroids(ds, k: int = 8, iters: int = 3, scale: int = 1024,
                          f"got {len(seed_df)}")
     cents = quantize_batch(seed_df[vec_col].tolist(), scale)
 
-    for _ in range(iters):
+    manifest, man_path, start = [], None, 0
+    if checkpoint_dir is not None:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        man_path = os.path.join(checkpoint_dir, "manifest.json")
+        if os.path.exists(man_path):
+            with open(man_path) as f:
+                manifest = json.load(f)
+        done = [m for m in manifest if m["status"] == "done"
+                and m["iteration"] <= iters]
+        start = max((m["iteration"] for m in done), default=0)
+        if start:
+            cents = np.load(os.path.join(
+                checkpoint_dir, f"iter_{start:04d}.npy"))
+
+    for it in range(start, iters):
         cref = ray.put(cents)
 
         def partials(df: pd.DataFrame) -> pd.DataFrame:
@@ -81,19 +108,33 @@ def kmeans_centroids(ds, k: int = 8, iters: int = 3, scale: int = 1024,
             # round-half-up of the exact rational mean s/n
             new[int(cid)] = np.floor_divide(2 * s + n, 2 * n)
         cents = new
+        if checkpoint_dir is not None:
+            # atomic: write the matrix first, fsync the manifest last
+            np.save(os.path.join(checkpoint_dir,
+                                 f"iter_{it + 1:04d}.npy"), cents)
+            manifest.append({"iteration": it + 1, "status": "done",
+                             "fingerprint": int(cents.sum())})
+            tmp = man_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, man_path)
     return cents
 
 
 def kmeans(ds, k: int = 8, iters: int = 3, scale: int = 1024,
-           id_col: str = "vec_id", vec_col: str = "embedding"):
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           checkpoint_dir: str | None = None):
     """Lloyd's k-means; returns a Dataset of (id_col, cluster) —
     ``cluster`` is the centroid index after ``iters`` rounds.  The
     final labeling is a streaming map_batches against the broadcast
-    trained centroids."""
+    trained centroids.  ``checkpoint_dir`` makes training resumable
+    (see kmeans_centroids)."""
     import ray
 
     cref = ray.put(kmeans_centroids(ds, k, iters, scale, id_col,
-                                    vec_col))
+                                    vec_col, checkpoint_dir))
 
     def label(df: pd.DataFrame) -> pd.DataFrame:
         c = ray.get(cref)

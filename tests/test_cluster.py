@@ -324,3 +324,34 @@ def test_pack_sequences_vs_brute_and_partition_invariance():
     # every example except the last is exactly full
     tot = got.groupby("example_id")["n_toks"].sum()
     assert (tot.iloc[:-1] == L).all()
+
+
+def test_kmeans_checkpoint_resume_bit_identical(ray_session, tmp_path):
+    """Interrupted-then-resumed training must equal an uninterrupted
+    run exactly: iterations are pure functions of integer centroids."""
+    import ray.data as rd
+
+    from mapshaper_ray.ops.cluster import kmeans, kmeans_centroids
+
+    rng = np.random.RandomState(17)
+    df = pd.DataFrame({
+        "vec_id": np.arange(120, dtype=np.int64),
+        "embedding": list(rng.randn(120, 5).astype(np.float32))})
+    ds = rd.from_pandas(df).repartition(4)
+
+    plain = kmeans_centroids(ds, k=4, iters=4)
+    ck = str(tmp_path / "km_ck")
+    # "interrupted" run: only 2 of 4 iterations complete
+    kmeans_centroids(ds, k=4, iters=2, checkpoint_dir=ck)
+    # resume to 4 — must skip 2 done iterations and match exactly
+    resumed = kmeans_centroids(ds, k=4, iters=4, checkpoint_dir=ck)
+    assert (plain == resumed).all()
+    # a third call with everything done replays nothing and matches
+    again = kmeans_centroids(ds, k=4, iters=4, checkpoint_dir=ck)
+    assert (plain == again).all()
+    # end-to-end labels through the checkpointed path
+    lab_ck = kmeans(ds, k=4, iters=4, checkpoint_dir=ck).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    lab = kmeans(ds, k=4, iters=4).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(lab, lab_ck)
