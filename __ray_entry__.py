@@ -1426,6 +1426,63 @@ def _q112_scalar_quantize(sf_dir: str):
     return out.sort_values(["vec_id", "k"]).reset_index(drop=True)
 
 
+def _q113_warc_ingest(sf_dir: str):
+    """Full crawl-ingest path under the value-exact gate: documents
+    serialize to sharded gzipped WARC archives (one writer task per
+    shard), the distributed WARC reader parses them back, HTTP
+    payloads split, html bodies extract — (url, warc_ts, text)
+    matches SQL computed straight from the documents table, so the
+    north-rule byte-identical-text-per-url invariant holds through
+    the whole container round-trip."""
+    import gzip
+    import os
+    import tempfile
+
+    import ray.data as rd
+    from mapshaper_ray.sources.warc import read_warc, \
+        write_warc_bytes
+    from mapshaper_ray.stages.pages import (BASE_EPOCH_MS,
+                                            HTML_PREFIX, HTML_SUFFIX,
+                                            extract_text)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    tmp = tempfile.mkdtemp(prefix="q113_warc_")
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].to_numpy(np.int64)
+        dt = pd.to_datetime(BASE_EPOCH_MS + i * 1009, unit="ms")
+        return pd.DataFrame({
+            "uri": ("https://site" + pd.Series(i % 1000).astype(str)
+                    + ".example/p/" + pd.Series(i).astype(str))
+                   .to_numpy(object),
+            "date": np.asarray(
+                dt.strftime("%Y-%m-%dT%H:%M:%S.%fZ"), object),
+            "payload": [HTML_PREFIX + (t or "").encode()
+                        + HTML_SUFFIX for t in df["text"]],
+            "__shard": i % 8})
+
+    def write_shard(df: pd.DataFrame) -> pd.DataFrame:
+        s = int(df["__shard"].iloc[0])
+        df = df.sort_values("uri")
+        recs = [{"uri": u, "date": d,
+                 "payload": b"HTTP/1.1 200 OK\r\n"
+                            b"Content-Type: text/html\r\n\r\n" + p}
+                for u, d, p in zip(df["uri"], df["date"],
+                                   df["payload"])]
+        path = os.path.join(tmp, f"shard_{s}.warc.gz")
+        with open(path, "wb") as f:
+            f.write(gzip.compress(write_warc_bytes(recs)))
+        return pd.DataFrame({"path": [path]})
+
+    paths = docs.map_batches(emit, batch_format="pandas") \
+        .groupby("__shard").map_groups(write_shard,
+                                       batch_format="pandas") \
+        .to_pandas()["path"].tolist()
+    out = extract_text(read_warc(sorted(paths))).to_pandas()
+    out = out[["url", "warc_ts", "text"]]
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -2180,6 +2237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q110_clean_text": _q110_clean_text,
         "q111_bigram_nll": _q111_bigram_nll,
         "q112_scalar_quantize": _q112_scalar_quantize,
+        "q113_warc_ingest": _q113_warc_ingest,
     }
 
 
@@ -4051,6 +4109,17 @@ def oracle_sql() -> dict[str, str]:
                                     * 255) AS BIGINT)
                     ELSE 0 END AS qv
         FROM e JOIN mm USING (k) ORDER BY vec_id, k"""
+
+    # q113: the WARC ingest round-trip must reproduce exactly what
+    # SQL computes straight from the documents table (url/ts are pure
+    # functions of doc_id; text byte-identical per url)
+    out["q113_warc_ingest"] = """
+        SELECT 'https://site' || CAST(doc_id % 1000 AS VARCHAR)
+               || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+               make_timestamp((1577836800000 + doc_id * 1009)
+                              * 1000) AS warc_ts,
+               text
+        FROM documents ORDER BY url"""
 
     out["q84_pretrain_pipeline"] = r"""
         -- the q12 dedup, q56 repetition-share, q76 decontamination
