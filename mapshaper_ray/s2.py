@@ -348,6 +348,27 @@ def _segs_hit_rect(ax, ay, bx, by, x0, y0, x1, y1):
     return bool((alive & ~same).any())
 
 
+def _segs_hit_rects(ax, ay, bx, by, x0, y0, x1, y1):
+    """Vectorized ``_segs_hit_rect`` over MANY rects at once: the
+    same exact SAT, broadcast to (rects, segments) — rect bounds
+    arrive as (m, 1) columns, segment endpoints as 1-D arrays.
+    Returns an (m,) bool: any segment intersects each rect."""
+    a_x, a_y = ax[None, :], ay[None, :]
+    b_x, b_y = bx[None, :], by[None, :]
+    alive = ~(((a_x < x0) & (b_x < x0)) | ((a_x > x1) & (b_x > x1))
+              | ((a_y < y0) & (b_y < y0)) | ((a_y > y1) & (b_y > y1)))
+    dx, dy = b_x - a_x, b_y - a_y
+
+    def side(cx, cy):
+        return dx * (cy - a_y) - dy * (cx - a_x)
+
+    s1, s2 = side(x0, y0), side(x1, y0)
+    s3, s4 = side(x1, y1), side(x0, y1)
+    same = (((s1 > 0) & (s2 > 0) & (s3 > 0) & (s4 > 0))
+            | ((s1 < 0) & (s2 < 0) & (s3 < 0) & (s4 < 0)))
+    return (alive & ~same).any(axis=1)
+
+
 def polygon_cover(rings, max_level, interior_shortcut=True,
                   return_interior=False):
     """Cell cover of a planar lon/lat polygon (list of closed rings).
@@ -394,14 +415,26 @@ def polygon_cover(rings, max_level, interior_shortcut=True,
             inside_pts[cand] = flat.reshape(-1, 5)
         edge_hit = np.zeros(m, dtype=bool)
         vert_in = np.zeros(m, dtype=bool)
-        for c in np.flatnonzero(cand):
-            vert_in[c] = bool(((ex >= x0[c]) & (ex <= x1[c])
-                               & (ey >= y0[c]) & (ey <= y1[c])).any())
-            for ax, ay, bx, by in seg_a:
-                if _segs_hit_rect(ax, ay, bx, by,
-                                  x0[c], y0[c], x1[c], y1[c]):
-                    edge_hit[c] = True
-                    break
+        # vectorized over (candidate cells x vertices/segments) — the
+        # per-cell Python loop here cost ~0.5 s per polygon at a
+        # level-8 cover (profiled 16.9 s for 32 regions); chunked so
+        # the 2-D temporaries stay bounded
+        ci = np.flatnonzero(cand)
+        if len(ci):
+            ch = max(1, int(4_000_000 // max(len(ex), 1)))
+            for s in range(0, len(ci), ch):
+                cc = ci[s:s + ch]
+                rx0, rx1 = x0[cc][:, None], x1[cc][:, None]
+                ry0, ry1 = y0[cc][:, None], y1[cc][:, None]
+                vert_in[cc] = ((ex[None, :] >= rx0)
+                               & (ex[None, :] <= rx1)
+                               & (ey[None, :] >= ry0)
+                               & (ey[None, :] <= ry1)).any(axis=1)
+                hit = np.zeros(len(cc), dtype=bool)
+                for ax, ay, bx, by in seg_a:
+                    hit |= _segs_hit_rects(ax, ay, bx, by,
+                                           rx0, ry0, rx1, ry1)
+                edge_hit[cc] = hit
         intersects = cand & (inside_pts.any(axis=1) | edge_hit | vert_in)
         fully_in = intersects & inside_pts.all(axis=1) & ~edge_hit
         if interior_shortcut:
