@@ -1483,6 +1483,79 @@ def _q113_warc_ingest(sf_dir: str):
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _q114_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(source, lang) over documents: one distributed
+    pass at the finest level, coarser subtotals re-aggregated from
+    its bounded result (sum/count/min/max are re-aggregable)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import rollup_agg
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "lang",
+                                    "n_chars"])
+    out = rollup_agg(docs, ["source", "lang"],
+                     {"n_docs": ("doc_id", "count"),
+                      "sum_chars": ("n_chars", "sum")})
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["sum_chars"] = out["sum_chars"].astype(np.int64)
+    return out.sort_values(["source", "lang"]).reset_index(drop=True)
+
+
+def _q115_tpch_q3(sf_dir: str):
+    """TPC-H Q3-shaped 3-table pipeline: filtered customer segment ⋈
+    orders ⋈ lineitem through two bucketed hash joins, integer-cents
+    revenue (order-independent sums), grouped reduce, top-10."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import groupby_agg, hash_join
+    cut = np.datetime64("1998-06-01")
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+
+    def c_filter(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_mktsegment"] == "BUILDING"]
+        return pd.DataFrame({"o_custkey": df["c_custkey"]
+                             .to_numpy(np.int64)})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def o_filter(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["o_orderdate"].to_numpy("datetime64[us]")
+                  < cut]
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def l_filter(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"].to_numpy("datetime64[us]") > cut]
+        p = np.round(df["l_extendedprice"].to_numpy(np.float64)
+                     * 100.0).astype(np.int64)
+        d = np.round(df["l_discount"].to_numpy(np.float64)
+                     * 100.0).astype(np.int64)
+        return pd.DataFrame({"o_orderkey": df["l_orderkey"]
+                             .to_numpy(np.int64),
+                             "rev": p * (100 - d)})
+
+    j1 = hash_join(orders.map_batches(o_filter,
+                                      batch_format="pandas"),
+                   cust.map_batches(c_filter, batch_format="pandas"),
+                   on="o_custkey", how="inner")
+    j2 = hash_join(li.map_batches(l_filter, batch_format="pandas"),
+                   j1, on="o_orderkey", how="inner")
+    agg = groupby_agg(j2, ["o_orderkey", "o_orderdate"],
+                      {"revenue_cents": ("rev", "sum")}).to_pandas()
+    agg["revenue_cents"] = agg["revenue_cents"].astype(np.int64)
+    agg["o_orderdate"] = agg["o_orderdate"] \
+        .astype("datetime64[us]")
+    out = agg.sort_values(["revenue_cents", "o_orderdate",
+                           "o_orderkey"],
+                          ascending=[False, True, True]).head(10)
+    return out[["o_orderkey", "o_orderdate", "revenue_cents"]] \
+        .reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -2238,6 +2311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q111_bigram_nll": _q111_bigram_nll,
         "q112_scalar_quantize": _q112_scalar_quantize,
         "q113_warc_ingest": _q113_warc_ingest,
+        "q114_rollup": _q114_rollup,
+        "q115_tpch_q3": _q115_tpch_q3,
     }
 
 
@@ -4120,6 +4195,35 @@ def oracle_sql() -> dict[str, str]:
                               * 1000) AS warc_ts,
                text
         FROM documents ORDER BY url"""
+
+    # q114: ROLLUP subtotals; '(all)' labels the rolled-up levels
+    # (the data has no NULL keys, so coalesce marks subtotals only)
+    out["q114_rollup"] = """
+        SELECT coalesce(source, '(all)') AS source,
+               coalesce(lang, '(all)') AS lang,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY ROLLUP(source, lang)
+        ORDER BY source, lang"""
+
+    # q115: TPC-H Q3 shape; revenue in integer cents so the grouped
+    # sum is order-independent and hash-exact
+    out["q115_tpch_q3"] = """
+        SELECT o.o_orderkey, o.o_orderdate,
+               CAST(sum(CAST(round(l.l_extendedprice * 100)
+                             AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100)
+                                      AS BIGINT)))
+                    AS BIGINT) AS revenue_cents
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-06-01'
+          AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue_cents DESC, o.o_orderdate, o.o_orderkey
+        LIMIT 10"""
 
     out["q84_pretrain_pipeline"] = r"""
         -- the q12 dedup, q56 repetition-share, q76 decontamination

@@ -501,11 +501,39 @@ def hash_join_bucketed(left_ds, right_ds, on: str, how="inner",
     # sides for int and string keys alike).
     import pyarrow as pa
 
+    # each side's declared dtypes (metadata-only): the union's NaN
+    # padding degrades int columns to float inside mixed sorted
+    # blocks, and a CHAINED join hashing float keys on one side and
+    # int on the other scatters equal keys to different buckets
+    # (found by q115's orders⋈cust output feeding lineitem⋈) — so
+    # the per-bucket split below restores these dtypes before merge
+    def _types(ds):
+        s = ds.schema()
+        out = {}
+        for n, t in zip(s.names, s.types):
+            try:
+                out[n] = t.to_pandas_dtype()
+            except Exception:  # extension/list types: leave as-is
+                pass
+        return out
+
+    l_types, r_types = _types(left_ds), _types(right_ds)
+
+    def _canon_keys(keys: np.ndarray) -> np.ndarray:
+        # integral-valued float keys hash as ints so they land in the
+        # same bucket as genuine int keys (pandas merge matches them)
+        if getattr(keys.dtype, "kind", "") == "f" \
+                and len(keys) and np.isfinite(keys).all() \
+                and (keys == np.round(keys)).all():
+            return keys.astype(np.int64)
+        return keys
+
     def tag(side):
         def fn(t: "pa.Table") -> "pa.Table":
             cols = l_names if side == 0 else r_names
             t = t.select(list(dict.fromkeys(cols + [on])))
-            keys = t.column(on).to_numpy(zero_copy_only=False)
+            keys = _canon_keys(t.column(on)
+                               .to_numpy(zero_copy_only=False))
             b = (pd.util.hash_array(keys) % num_buckets).astype(np.int32)
             t = t.append_column(
                 "__side", pa.array(np.full(len(t), side, np.int8)))
@@ -531,6 +559,23 @@ def hash_join_bucketed(left_ds, right_ds, on: str, how="inner",
                 df = df.assign(**{c: np.full(len(df), np.nan)})
         lt = df[df["__side"] == 0][list(dict.fromkeys(l_names + [on]))]
         rt = df[df["__side"] == 1][list(dict.fromkeys(r_names + [on]))]
+
+        # undo the union padding's dtype degradation: side-sliced
+        # rows are genuine rows of that side, so casting back to the
+        # side's declared dtype is lossless (and keeps chained joins
+        # hashing consistently)
+        def _restore(t: pd.DataFrame, types) -> pd.DataFrame:
+            for c in t.columns:
+                want = types.get(c)
+                if want is not None and t[c].dtype != want:
+                    try:
+                        t = t.assign(**{c: t[c].astype(want)})
+                    except (TypeError, ValueError):
+                        pass
+            return t
+
+        lt = _restore(lt, l_types)
+        rt = _restore(rt, r_types)
         if how in ("semi", "anti"):
             # existence filters: left rows with (semi) / without (anti)
             # a right match — all rows of a key share the bucket, so
@@ -1401,3 +1446,42 @@ def sliding_window_sum(ds, ts_col: str, id_col: str, val_col: str,
 
     return parts.map_batches(windowed, batch_format="pandas",
                              batch_size=None)
+
+
+def rollup_agg(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
+               all_label: str = "(all)"):
+    """SQL ``GROUP BY ROLLUP(keys...)``: the aggregate at every key
+    prefix — (k1..kn), (k1..kn-1), ..., () — in one result, subtotal
+    rows carrying ``all_label`` in the rolled-up key columns.
+
+    One distributed pass computes the FINEST level (the only one that
+    sees the input); every coarser level re-aggregates the finest
+    RESULT — valid because the supported fns (sum/count/min/max) are
+    re-aggregable (count re-sums), and cheap because the finest table
+    is key-cardinality bounded, never corpus-sized.  Returns a pandas
+    DataFrame (keys + agg columns), all levels unioned.
+    """
+    for out, (col, fn) in aggs.items():
+        if fn not in ("sum", "count", "min", "max"):
+            raise ValueError(f"rollup_agg: {fn} is not re-aggregable")
+    finest = groupby_agg(ds, keys, aggs, final="distributed") \
+        .to_pandas()
+    re_fn = {out: ("sum" if fn == "count" else fn)
+             for out, (col, fn) in aggs.items()}
+    levels = [finest]
+    cur = finest
+    for depth in range(len(keys) - 1, -1, -1):
+        sub_keys = keys[:depth]
+        if sub_keys:
+            g = cur.groupby(sub_keys, as_index=False) \
+                .agg({out: fn for out, fn in re_fn.items()})
+        else:
+            g = pd.DataFrame({out: [getattr(cur[out], fn)()]
+                              for out, fn in re_fn.items()})
+        for k in keys[depth:]:
+            g[k] = all_label
+        levels.append(g[keys + list(aggs)])
+        cur = g[sub_keys + list(aggs)] if sub_keys else g
+    out = pd.concat(levels, ignore_index=True)
+    return out.sort_values(keys, kind="mergesort") \
+        .reset_index(drop=True)

@@ -344,3 +344,53 @@ def test_scalar_quantize_roundtrip(ray_session):
     deq = mn[None, :] + (q + 0.5) * step[None, :]
     err = np.abs(deq - v64)[:, [0, 1, 2, 4, 5]]
     assert (err <= step[[0, 1, 2, 4, 5]]).all()
+
+
+# ---------------------------------------------------------------------------
+# chained hash_join regression (q115): the union padding degraded the
+# join output's int keys to float, and a chained join hashing float
+# keys on one side / int on the other scattered equal keys across
+# buckets — 341 matches silently became 10
+# ---------------------------------------------------------------------------
+
+def test_hash_join_chained_keeps_dtype_and_matches(ray_session):
+    from mapshaper_ray.ops.relational import hash_join
+    a = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(50, dtype=np.int64),
+         "x": np.arange(50, dtype=np.int64)})).repartition(4)
+    b = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(0, 50, 2, dtype=np.int64),
+         "y": np.arange(25, dtype=np.int64)})).repartition(3)
+    c = rd.from_pandas(pd.DataFrame(
+        {"k": np.repeat(np.arange(50, dtype=np.int64), 3),
+         "z": np.arange(150, dtype=np.int64)})).repartition(5)
+    j1 = hash_join(a, b, on="k", how="inner")
+    j2 = hash_join(c, j1, on="k", how="inner").to_pandas()
+    assert len(j2) == 25 * 3  # every even key, 3 c-rows each
+    assert j2["k"].dtype == np.int64
+    assert j2["x"].dtype == np.int64 and j2["y"].dtype == np.int64
+
+
+def test_rollup_agg_matches_manual_levels(ray_session):
+    from mapshaper_ray.ops.relational import rollup_agg
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame({
+        "s": rng.choice(["a", "b"], 200),
+        "g": rng.choice(["x", "y", "z"], 200),
+        "v": rng.randint(0, 100, 200).astype(np.int64),
+        "id": np.arange(200, dtype=np.int64)})
+    got = rollup_agg(rd.from_pandas(df).repartition(5), ["s", "g"],
+                     {"n": ("id", "count"), "sv": ("v", "sum")})
+    fine = df.groupby(["s", "g"]).agg(
+        n=("id", "count"), sv=("v", "sum")).reset_index()
+    mid = df.groupby(["s"]).agg(
+        n=("id", "count"), sv=("v", "sum")).reset_index()
+    mid["g"] = "(all)"
+    top = pd.DataFrame({"s": ["(all)"], "g": ["(all)"],
+                        "n": [len(df)], "sv": [df["v"].sum()]})
+    exp = pd.concat([fine, mid, top], ignore_index=True) \
+        .sort_values(["s", "g"], kind="mergesort") \
+        .reset_index(drop=True)[["s", "g", "n", "sv"]]
+    got = got.sort_values(["s", "g"], kind="mergesort") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
