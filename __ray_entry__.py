@@ -2218,16 +2218,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q58_cover_join": _q58_cover_join,
         "q77_zonal_stats": _q77_zonal_stats,
         "q22_knn": _q22_knn,
-        "q30_nearest_within": _q30_nearest_within,
         "q12_exact_dedup": _q12_exact_dedup,
         "q16_minhash_pairs": _q16_minhash_pairs,
         "q43_embedding_lsh": _q43_embedding_lsh,
-        "q47_ngram_jaccard": _q47_ngram_jaccard,
         "q48_dedup_clusters": _q48_dedup_clusters,
-        "q49_dedup_near": _q49_dedup_near,
         "q68_exact_substring_dedup": _q68_exact_substring_dedup,
         "q79_incremental_dedup": _q79_incremental_dedup,
-        "q85_soft_dedup_weights": _q85_soft_dedup_weights,
         "q14_ann_topk": _q14_ann_topk,
         "q70_ann_pq": _q70_ann_pq,
         "q65_semantic_dedup": _q65_semantic_dedup,
@@ -2241,13 +2237,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q93_heavy_hitters": _q93_heavy_hitters,
         "q61_bm25": _q61_bm25,
         "q64_lm_nll": _q64_lm_nll,
-        "q66_redact_pii": _q66_redact_pii,
         "q67_pack_sequences": _q67_pack_sequences,
         "q69_dsir_weights": _q69_dsir_weights,
         "q71_bpe_train": _q71_bpe_train,
         "q95_bloom_incremental": _q95_bloom_incremental,
         "q76_decontaminate": _q76_decontaminate,
+        "q103_gopher_rules": _q103_gopher_rules,
+        "q107_cms": _q107_cms,
+        "q109_sliding_window": _q109_sliding_window,
+        "q113_warc_ingest": _q113_warc_ingest,
+        "q115_tpch_q3": _q115_tpch_q3,
         "q84_pretrain_pipeline": _q84_pretrain_pipeline,
+        "q30_nearest_within": _q30_nearest_within,
+        "q47_ngram_jaccard": _q47_ngram_jaccard,
+        "q49_dedup_near": _q49_dedup_near,
+        "q66_redact_pii": _q66_redact_pii,
+        "q85_soft_dedup_weights": _q85_soft_dedup_weights,
         "q18_text_quality": _q18_text_quality,
         "q51_token_df": _q51_token_df,
         "q74_mix_sample": _q74_mix_sample,
@@ -2300,19 +2305,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q100_url_dedup": _q100_url_dedup,
         "q101_nn_join": _q101_nn_join,
         "q102_pmi_bigrams": _q102_pmi_bigrams,
-        "q103_gopher_rules": _q103_gopher_rules,
         "q104_c4_filter": _q104_c4_filter,
         "q105_tfidf": _q105_tfidf,
         "q106_inverted_index": _q106_inverted_index,
-        "q107_cms": _q107_cms,
         "q108_stratified_split": _q108_stratified_split,
-        "q109_sliding_window": _q109_sliding_window,
         "q110_clean_text": _q110_clean_text,
         "q111_bigram_nll": _q111_bigram_nll,
         "q112_scalar_quantize": _q112_scalar_quantize,
-        "q113_warc_ingest": _q113_warc_ingest,
         "q114_rollup": _q114_rollup,
-        "q115_tpch_q3": _q115_tpch_q3,
     }
 
 
