@@ -1556,6 +1556,30 @@ def _q115_tpch_q3(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q116_nb_classifier(sf_dir: str):
+    """fastText-style hashed-unigram Naive-Bayes language classifier
+    (the CCNet/RedPajama classifier component): train per-lang
+    token-bucket counts on the even doc_ids, score the odd doc_ids —
+    the model is a distributed aggregate (L x 1024 ints), scoring is
+    a broadcast stateless pass; quantized-log integer scores are
+    value-exact vs the SQL mirror."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import nb_classifier
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+
+    def parity(df: pd.DataFrame, keep: int) -> pd.DataFrame:
+        return df[df["doc_id"].to_numpy(np.int64) % 2 == keep]
+
+    train = docs.map_batches(parity, fn_kwargs={"keep": 0},
+                             batch_format="pandas")
+    score = docs.map_batches(parity, fn_kwargs={"keep": 1},
+                             batch_format="pandas")
+    out = nb_classifier(train, score).to_pandas()
+    out["score_q"] = out["score_q"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -2313,6 +2337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q111_bigram_nll": _q111_bigram_nll,
         "q112_scalar_quantize": _q112_scalar_quantize,
         "q114_rollup": _q114_rollup,
+        "q116_nb_classifier": _q116_nb_classifier,
     }
 
 
@@ -4224,6 +4249,54 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY o.o_orderkey, o.o_orderdate
         ORDER BY revenue_cents DESC, o.o_orderdate, o.o_orderkey
         LIMIT 10"""
+
+    # q116: hashed-unigram multinomial Naive Bayes — train counts on
+    # the even docs, score the odd docs; quantized libm logs (q64
+    # trick) make score_q integer-exact; argmax tie-break = smallest
+    # lang (mirrors np.argmax first-max)
+    _NQ = ("CAST(floor(ln(CAST({x} AS DOUBLE)) * 1000000000) "
+           "AS BIGINT)")
+    out["q116_nb_classifier"] = f"""
+        WITH tr AS (SELECT lang,
+                      string_split(coalesce(text, ''), ' ') AS ts
+                    FROM documents WHERE doc_id % 2 = 0),
+        tok AS (SELECT lang,
+                  CAST(md5_number_lower(u.t) % 1024 AS BIGINT) AS b
+                FROM tr, unnest(ts) AS u(t)),
+        cls AS (SELECT lang, count(*) AS nd FROM documents
+                WHERE doc_id % 2 = 0 GROUP BY lang),
+        cb AS (SELECT lang, b, count(*) AS c FROM tok
+               GROUP BY lang, b),
+        tot AS (SELECT lang, count(*) AS n FROM tok GROUP BY lang),
+        g AS (SELECT (SELECT sum(nd) FROM cls) AS ndt),
+        kq AS (SELECT cls.lang,
+                 {_NQ.format(x='cls.nd')}
+                 - {_NQ.format(x='g.ndt')} AS prior_q,
+                 {_NQ.format(x='tot.n + 1024')} AS qz
+               FROM cls JOIN tot USING (lang), g),
+        sd AS (SELECT doc_id,
+                 string_split(coalesce(text, ''), ' ') AS ts
+               FROM documents WHERE doc_id % 2 = 1),
+        st AS (SELECT doc_id,
+                 CAST(md5_number_lower(u.t) % 1024 AS BIGINT) AS b
+               FROM sd, unnest(ts) AS u(t)),
+        sc AS (SELECT st.doc_id, kq.lang, kq.prior_q, kq.qz,
+                 sum(CASE WHEN cb.c IS NOT NULL
+                          THEN {_NQ.format(x='cb.c + 1')}
+                          ELSE 0 END) AS s,
+                 count(*) AS ntok
+               FROM st CROSS JOIN kq
+                    LEFT JOIN cb ON cb.lang = kq.lang
+                                AND cb.b = st.b
+               GROUP BY st.doc_id, kq.lang, kq.prior_q, kq.qz),
+        fin AS (SELECT doc_id, lang,
+                  prior_q + s - ntok * qz AS score FROM sc)
+        SELECT doc_id, lang AS pred,
+               CAST(score AS BIGINT) AS score_q
+        FROM fin
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, lang) = 1
+        ORDER BY doc_id"""
 
     out["q84_pretrain_pipeline"] = r"""
         -- the q12 dedup, q56 repetition-share, q76 decontamination

@@ -2002,3 +2002,128 @@ def bigram_nll(train_ds, score_ds, id_col="doc_id",
     return score_ds.map_batches(Scorer, batch_format="pyarrow",
                                 batch_size=4096, concurrency=(1, 8),
                                 num_cpus=1)
+
+
+def nb_classifier(train_ds, score_ds, label_col="lang",
+                  id_col="doc_id", text_col="text", n_buckets=1024,
+                  qscale=10 ** 9):
+    """fastText-style hashed bag-of-words classifier (multinomial
+    Naive Bayes over md5-hashed unigram features) — the CCNet /
+    RedPajama quality- and language-classifier component: train a
+    per-class token-bucket distribution on a labelled split, score an
+    unlabelled split, return the argmax class per doc.
+
+    Distributed shape (the model IS an aggregate):
+      (1) train: one stateless pass emits per-batch partial
+          (label, bucket, count) rows — at most L x ``n_buckets``
+          ints per batch (np.bincount over md5 token hashes) plus one
+          doc-count row per label; a tiny groupby reduces them and
+          only the L x 1024 model table reaches the driver (L = class
+          count, bounded by the label domain — priors and totals
+          derive from the same table).
+      (2) score: the quantized log tables broadcast once via
+          ``ray.put`` and a stateless pass scores each doc fully
+          vectorized (one md5 over the batch's UNIQUE tokens, one
+          ``np.add.reduceat`` per class).
+
+    Exactness: log-probabilities are ``floor(math.log(x) * qscale)``
+    integers (libm ``math.log`` == DuckDB ``ln`` bit-for-bit — the
+    q64 trick), so per-doc scores are exact BIGINTs and the SQL
+    oracle matches value-exact.  Tokenization is single-space split
+    (``string_split`` parity; empty text scores the '' token).
+    Prediction tie-break: highest score, then lexicographically
+    smallest label.  Returns a Dataset (id_col, pred, score_q).
+    """
+    import math
+
+    import ray
+
+    def _buckets(texts):
+        """Concatenated bucket ids + per-doc token counts; md5 runs
+        over the batch's unique tokens only (dsir_weights pattern)."""
+        toks = [(t or "").split(" ") for t in texts]
+        lens = np.fromiter((len(x) for x in toks), np.int64,
+                           len(toks))
+        flat = np.array([w for ws in toks for w in ws], dtype=object)
+        if not len(flat):
+            return np.empty(0, dtype=np.int64), lens
+        uniq, inv = np.unique(flat, return_inverse=True)
+        b = (md5_lo64(list(uniq)) % np.uint64(n_buckets)) \
+            .astype(np.int64)
+        return b[inv], lens
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        b, lens = _buckets(list(df[text_col]))
+        labs = df[label_col].to_numpy(object)
+        rep = np.repeat(labs, lens)
+        out = []
+        for lab in np.unique(labs):
+            cc = np.bincount(b[rep == lab], minlength=n_buckets)
+            nz = np.flatnonzero(cc)
+            out.append(pd.DataFrame({
+                "label": np.full(len(nz) + 1, lab, dtype=object),
+                "b": np.r_[nz, -1].astype(np.int64),
+                "c": np.r_[cc[nz],
+                           int((labs == lab).sum())].astype(np.int64),
+            }))
+        return pd.concat(out) if out else pd.DataFrame(
+            {"label": np.empty(0, object),
+             "b": np.empty(0, np.int64), "c": np.empty(0, np.int64)})
+
+    model = train_ds.map_batches(partial_counts,
+                                 batch_format="pandas") \
+        .groupby(["label", "b"]).sum("c").to_pandas()
+    ccol = "sum(c)" if "sum(c)" in model.columns else "c"
+    labels = np.array(sorted(model["label"].unique()), dtype=object)
+    lab_ix = {l: i for i, l in enumerate(labels)}
+    L = len(labels)
+    qtab = np.zeros((L, n_buckets), np.int64)
+    prior = np.zeros(L, np.int64)
+    qz = np.zeros(L, np.int64)
+    tok_tot = np.zeros(L, np.int64)
+    nd = np.zeros(L, np.int64)
+    li = model["label"].map(lab_ix).to_numpy(np.int64)
+    bb = model["b"].to_numpy(np.int64)
+    cc = model[ccol].to_numpy(np.int64)
+    docs_mask = bb < 0
+    np.add.at(nd, li[docs_mask], cc[docs_mask])
+    tok = ~docs_mask
+    qtab[li[tok], bb[tok]] = np.fromiter(
+        (math.floor(math.log(int(c) + 1) * qscale)
+         for c in cc[tok]), np.int64, int(tok.sum()))
+    np.add.at(tok_tot, li[tok], cc[tok])
+    nd_total = int(nd.sum())
+    for i in range(L):
+        qz[i] = math.floor(math.log(tok_tot[i] + n_buckets) * qscale)
+        prior[i] = (math.floor(math.log(int(nd[i])) * qscale)
+                    - math.floor(math.log(nd_total) * qscale))
+    mref = ray.put((labels, qtab, prior, qz))
+
+    class Scorer:
+        def __init__(self):
+            self.labels, self.qtab, self.prior, self.qz = \
+                ray.get(mref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids = df[id_col].to_numpy(np.int64)
+            if not len(ids):
+                return pd.DataFrame({
+                    id_col: ids, "pred": np.empty(0, object),
+                    "score_q": np.empty(0, np.int64)})
+            b, lens = _buckets(list(df[text_col]))
+            offs = np.r_[0, np.cumsum(lens)[:-1]]
+            Lc = len(self.labels)
+            scores = np.empty((Lc, len(ids)), np.int64)
+            for i in range(Lc):
+                scores[i] = (self.prior[i]
+                             + np.add.reduceat(self.qtab[i][b], offs)
+                             - lens * self.qz[i])
+            best = np.argmax(scores, axis=0)  # first max = smallest
+            return pd.DataFrame({
+                id_col: ids,
+                "pred": self.labels[best],
+                "score_q": scores[best, np.arange(len(ids))]})
+
+    return score_ds.map_batches(Scorer, batch_format="pandas",
+                                batch_size=4096, concurrency=(1, 8),
+                                num_cpus=1)
