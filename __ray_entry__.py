@@ -1580,6 +1580,130 @@ def _q116_nb_classifier(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q117_host_graph(sf_dir: str):
+    """Host-level web link graph with reciprocity: page outlinks
+    (two deterministic links per doc over 50 hosts) aggregate to
+    (src_host, dst_host, n_links, mutual) — mutual = the reversed
+    pair also links (classic web-graph signal).  One grouped sum
+    plus one unordered-pair bucket exchange; page rows never
+    shuffle raw."""
+    import ray.data as rd
+    from mapshaper_ray.ops.graph import host_link_graph
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def mk_links(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].to_numpy(np.int64)
+        s = np.char.add("h", (i % 50).astype(str)).astype(object)
+        d1 = np.char.add("h", ((i * 7 + 1) % 50).astype(str)) \
+            .astype(object)
+        d2 = np.char.add("h", ((i * 13 + 5) % 50).astype(str)) \
+            .astype(object)
+        return pd.DataFrame({
+            "src_host": np.concatenate([s, s]),
+            "dst_host": np.concatenate([d1, d2])})
+
+    out = host_link_graph(
+        docs.map_batches(mk_links, batch_format="pandas")) \
+        .to_pandas()
+    out["n_links"] = out["n_links"].astype(np.int64)
+    out["mutual"] = out["mutual"].astype(np.int64)
+    return out.sort_values(["src_host", "dst_host"]) \
+        .reset_index(drop=True)
+
+
+def _q118_kcore(sf_dir: str):
+    """k-core decomposition (k=8) of a deterministic web-ish graph
+    on doc ids — a ring link and a hub link per doc plus a dense
+    community among the lowest n/10 ids (the part that survives the
+    peel).  Parallel peeling: per round one degree reduce + one
+    survivor filter, both count-gated driver/distributed.  Oracle:
+    the same peel unrolled as six idempotent SQL rounds."""
+    import ray.data as rd
+    from mapshaper_ray.ops.graph import kcore
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    n = ids.count()
+    C = max(n // 10, 8)
+
+    def mk_edges(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(np.int64)
+        cl = d[d < C]
+        src = [d, d]
+        dst = [(d * 7 + 1) % n, d % C]
+        for j in range(1, 7):
+            src.append(cl)
+            dst.append((cl + j) % C)
+        return pd.DataFrame({"src": np.concatenate(src),
+                             "dst": np.concatenate(dst)})
+
+    out = kcore(ids.map_batches(mk_edges, batch_format="pandas"),
+                k=8).to_pandas()
+    out = out.astype({"node": np.int64, "deg": np.int64})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _q119_pivot_events(sf_dir: str):
+    """PIVOT/crosstab: per user one column per (event type, agg) —
+    integer-cents sums and counts — via the pivot_agg operator
+    (per-batch pivoted partials, re-aggregable reduce)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import pivot_agg
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "event_type": df["event_type"],
+            "cents": np.round(df["value"].to_numpy(np.float64)
+                              * 100.0).astype(np.int64)})
+
+    out = pivot_agg(ev.map_batches(cents, batch_format="pandas"),
+                    "user_id", "event_type", "cents").to_pandas()
+    for c in out.columns:
+        if c != "user_id":
+            out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q120_funnel(sf_dir: str):
+    """Ordered funnel view -> click -> purchase: per user the chained
+    first-touch timestamps (each strictly after the previous stage)
+    and the stage count, via the funnel operator (one bucket-hash
+    shuffle of step-filtered events, vectorized chained grouped
+    mins)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import funnel
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    out = funnel(ev, ["view", "click", "purchase"]).to_pandas()
+    out = out.astype({"user_id": np.int64, "stage": np.int64})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q121_weighted_sample(sf_dir: str):
+    """Efraimidis-Spirakis weighted sampling without replacement:
+    top-100 docs by ln(u)/w with u = md5-hash-uniform and
+    w = n_chars + 1.  Quantized libm log + single IEEE division
+    keep the selection and key value-exact vs the SQL mirror;
+    per-block top-k partials bound the driver at k x n_blocks."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import weighted_sample
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+
+    def addw(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "w": df["n_chars"].to_numpy(np.int64) + 1})
+
+    out = weighted_sample(docs.map_batches(addw,
+                                           batch_format="pandas"),
+                          k=100, weight_col="w", seed="s0")
+    return out[["doc_id", "w", "key"]].reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -2338,6 +2462,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q112_scalar_quantize": _q112_scalar_quantize,
         "q114_rollup": _q114_rollup,
         "q116_nb_classifier": _q116_nb_classifier,
+        "q117_host_graph": _q117_host_graph,
+        "q118_kcore": _q118_kcore,
+        "q119_pivot_events": _q119_pivot_events,
+        "q120_funnel": _q120_funnel,
+        "q121_weighted_sample": _q121_weighted_sample,
     }
 
 
@@ -4297,6 +4426,179 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (PARTITION BY doc_id
                  ORDER BY score DESC, lang) = 1
         ORDER BY doc_id"""
+
+    out["q117_host_graph"] = """
+        WITH l AS (
+          SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) AS src_host,
+                 'h' || CAST((doc_id * 7 + 1) % 50 AS VARCHAR)
+                   AS dst_host
+          FROM documents
+          UNION ALL
+          SELECT 'h' || CAST(doc_id % 50 AS VARCHAR),
+                 'h' || CAST((doc_id * 13 + 5) % 50 AS VARCHAR)
+          FROM documents),
+        a AS (SELECT src_host, dst_host, count(*) AS n_links
+              FROM l GROUP BY 1, 2)
+        SELECT a.src_host, a.dst_host,
+               CAST(a.n_links AS BIGINT) AS n_links,
+               CAST(a.src_host = a.dst_host OR EXISTS (
+                 SELECT 1 FROM a r
+                 WHERE r.src_host = a.dst_host
+                   AND r.dst_host = a.src_host) AS BIGINT) AS mutual
+        FROM a ORDER BY a.src_host, a.dst_host"""
+
+    # q118: parallel k-core peel unrolled as six idempotent rounds
+    # (the sf0.01 graph converges in <= 4; extra rounds are no-ops)
+    out["q118_kcore"] = f"""
+        WITH nn AS (SELECT count(*) AS n,
+                      greatest(count(*) // 10, 8) AS c
+                    FROM documents),
+        raw AS (
+          SELECT doc_id AS s, (doc_id * 7 + 1) % nn.n AS t
+          FROM documents, nn
+          UNION ALL
+          SELECT doc_id, doc_id % nn.c FROM documents, nn
+          UNION ALL
+          SELECT doc_id, (doc_id + j.j) % nn.c
+          FROM documents, nn,
+               (VALUES (1), (2), (3), (4), (5), (6)) AS j(j)
+          WHERE doc_id < nn.c),
+        e0 AS MATERIALIZED (SELECT DISTINCT least(s, t) AS a,
+                 greatest(s, t) AS b
+               FROM raw WHERE s <> t),
+        a0 AS MATERIALIZED (SELECT a AS node FROM e0
+               UNION SELECT b AS node FROM e0),
+        a1 AS MATERIALIZED (SELECT node FROM (
+          SELECT x.node, count(*) AS c FROM (
+            SELECT e.a AS node FROM e0 e
+              JOIN a0 s ON e.a = s.node
+              JOIN a0 t ON e.b = t.node
+            UNION ALL
+            SELECT e.b AS node FROM e0 e
+              JOIN a0 s ON e.a = s.node
+              JOIN a0 t ON e.b = t.node
+          ) x GROUP BY x.node) WHERE c >= 8),
+        a2 AS MATERIALIZED (SELECT node FROM (
+          SELECT x.node, count(*) AS c FROM (
+            SELECT e.a AS node FROM e0 e
+              JOIN a1 s ON e.a = s.node
+              JOIN a1 t ON e.b = t.node
+            UNION ALL
+            SELECT e.b AS node FROM e0 e
+              JOIN a1 s ON e.a = s.node
+              JOIN a1 t ON e.b = t.node
+          ) x GROUP BY x.node) WHERE c >= 8),
+        a3 AS MATERIALIZED (SELECT node FROM (
+          SELECT x.node, count(*) AS c FROM (
+            SELECT e.a AS node FROM e0 e
+              JOIN a2 s ON e.a = s.node
+              JOIN a2 t ON e.b = t.node
+            UNION ALL
+            SELECT e.b AS node FROM e0 e
+              JOIN a2 s ON e.a = s.node
+              JOIN a2 t ON e.b = t.node
+          ) x GROUP BY x.node) WHERE c >= 8),
+        a4 AS MATERIALIZED (SELECT node FROM (
+          SELECT x.node, count(*) AS c FROM (
+            SELECT e.a AS node FROM e0 e
+              JOIN a3 s ON e.a = s.node
+              JOIN a3 t ON e.b = t.node
+            UNION ALL
+            SELECT e.b AS node FROM e0 e
+              JOIN a3 s ON e.a = s.node
+              JOIN a3 t ON e.b = t.node
+          ) x GROUP BY x.node) WHERE c >= 8),
+        a5 AS MATERIALIZED (SELECT node FROM (
+          SELECT x.node, count(*) AS c FROM (
+            SELECT e.a AS node FROM e0 e
+              JOIN a4 s ON e.a = s.node
+              JOIN a4 t ON e.b = t.node
+            UNION ALL
+            SELECT e.b AS node FROM e0 e
+              JOIN a4 s ON e.a = s.node
+              JOIN a4 t ON e.b = t.node
+          ) x GROUP BY x.node) WHERE c >= 8),
+        a6 AS MATERIALIZED (SELECT node FROM (
+          SELECT x.node, count(*) AS c FROM (
+            SELECT e.a AS node FROM e0 e
+              JOIN a5 s ON e.a = s.node
+              JOIN a5 t ON e.b = t.node
+            UNION ALL
+            SELECT e.b AS node FROM e0 e
+              JOIN a5 s ON e.a = s.node
+              JOIN a5 t ON e.b = t.node
+          ) x GROUP BY x.node) WHERE c >= 8)
+        SELECT x.node, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT e.a AS node FROM e0 e
+            JOIN a6 s ON e.a = s.node JOIN a6 t ON e.b = t.node
+          UNION ALL
+          SELECT e.b AS node FROM e0 e
+            JOIN a6 s ON e.a = s.node JOIN a6 t ON e.b = t.node
+        ) x GROUP BY x.node ORDER BY x.node"""
+
+    out["q119_pivot_events"] = """
+        WITH c AS (SELECT user_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events)
+        SELECT user_id,
+          CAST(coalesce(sum(cents) FILTER (event_type = 'click'), 0)
+               AS BIGINT) AS click_sum,
+          CAST(count(*) FILTER (event_type = 'click')
+               AS BIGINT) AS click_count,
+          CAST(coalesce(sum(cents) FILTER (event_type = 'error'), 0)
+               AS BIGINT) AS error_sum,
+          CAST(count(*) FILTER (event_type = 'error')
+               AS BIGINT) AS error_count,
+          CAST(coalesce(sum(cents) FILTER (event_type = 'purchase'),
+               0) AS BIGINT) AS purchase_sum,
+          CAST(count(*) FILTER (event_type = 'purchase')
+               AS BIGINT) AS purchase_count,
+          CAST(coalesce(sum(cents) FILTER (event_type = 'signup'), 0)
+               AS BIGINT) AS signup_sum,
+          CAST(count(*) FILTER (event_type = 'signup')
+               AS BIGINT) AS signup_count,
+          CAST(coalesce(sum(cents) FILTER (event_type = 'view'), 0)
+               AS BIGINT) AS view_sum,
+          CAST(count(*) FILTER (event_type = 'view')
+               AS BIGINT) AS view_count
+        FROM c GROUP BY user_id ORDER BY user_id"""
+
+    out["q120_funnel"] = """
+        WITH s1 AS (SELECT user_id, min(ts) AS ts_1 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(e.ts) AS ts_2
+               FROM events e JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = 'click' AND e.ts > s1.ts_1
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(e.ts) AS ts_3
+               FROM events e JOIN s2 ON e.user_id = s2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s2.ts_2
+               GROUP BY e.user_id)
+        SELECT s1.user_id,
+               CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1
+                    END + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1
+                    END AS BIGINT) AS stage,
+               s1.ts_1, s2.ts_2, s3.ts_3
+        FROM s1
+        LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        ORDER BY s1.user_id"""
+
+    # q121: A-ES weighted sampling — L = floor(libm-ln(u) * 1e9) is
+    # integer-exact (q64 trick), the key a single IEEE division
+    out["q121_weighted_sample"] = """
+        WITH h AS (SELECT doc_id,
+                     CAST(n_chars + 1 AS BIGINT) AS w,
+                     md5_number_lower('s0:' || CAST(doc_id AS VARCHAR))
+                       AS hh
+                   FROM documents),
+        k AS (SELECT doc_id, w,
+                CAST(floor(ln((CAST(hh AS DOUBLE) + 1)
+                     / 18446744073709551616.0) * 1000000000)
+                  AS BIGINT) AS L
+              FROM h)
+        SELECT doc_id, w, CAST(L AS DOUBLE) / CAST(w AS DOUBLE) AS key
+        FROM k ORDER BY key DESC, doc_id LIMIT 100"""
 
     out["q84_pretrain_pipeline"] = r"""
         -- the q12 dedup, q56 repetition-share, q76 decontamination

@@ -607,3 +607,169 @@ def pagerank_checkpointed(edges_ds, nodes_ds, damping=0.85, iters=5,
             break
 
     return ranks, pd.DataFrame(manifest)
+
+
+# survivor-set broadcast gate for kcore: at or below this many live
+# nodes the survivor ids collect to a sorted array and broadcast once
+# per iteration (each task filters edges with two searchsorted
+# probes); above it the filter stays a fully distributed semi-join
+# pair and the driver never sees node ids.  Same gate pattern as
+# minhash's pair cap / pagerank's reduce cap.
+KCORE_BROADCAST_CAP = int(os.environ.get(
+    "MAPSHAPER_RAY_KCORE_BROADCAST_CAP", "20000000"))
+
+
+def kcore(edges_ds, k: int, src_col="src", dst_col="dst",
+          max_iters: int = 30, num_buckets: int = 32,
+          broadcast_cap: int | None = None):
+    """k-core decomposition by parallel peeling: repeatedly delete
+    every node of degree < ``k`` (all at once per round) until the
+    remaining subgraph has min-degree >= k.  Input edges are treated
+    as UNDIRECTED; self-loops and duplicate/reversed duplicates are
+    removed first.  Returns one row per surviving node:
+    (node, deg) with deg the node's degree INSIDE the k-core.
+
+    Distributed shape: one canonical-edge dedup exchange up front,
+    then per peel round (a) a degree count — per-batch np.unique
+    partials, reduced on the driver below ``broadcast_cap`` live
+    edges (pagerank's driver-reduce gate: the REDUCED table is
+    node-bounded) and by a distributed grouped sum above it — and
+    (b) a survivor filter — broadcast sorted-id membership below the
+    cap, a bucketed semi-join per endpoint above it.  The live edge
+    set is materialized each round so lineage does not re-execute,
+    and only SHRINKS.  Parallel peeling converges in O(log n)-ish
+    rounds on web graphs (each round removes every sub-k node).
+    """
+    import ray
+    import ray.data as rd
+    from .relational import groupby_agg, hash_join_bucketed
+
+    cap = KCORE_BROADCAST_CAP if broadcast_cap is None else broadcast_cap
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src_col].to_numpy()
+        b = df[dst_col].to_numpy()
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        m = lo != hi
+        return pd.DataFrame({src_col: lo[m], dst_col: hi[m]}) \
+            .drop_duplicates()
+
+    partial = edges_ds.map_batches(canon, batch_format="pandas") \
+        .materialize()
+    n_edges = partial.count()          # upper bound on deduped edges
+    mode = "driver" if n_edges <= cap else "distributed"
+    edges = groupby_agg(
+        partial, [src_col, dst_col], {"__n": (src_col, "count")},
+        final=mode).map_batches(
+            lambda df: df[[src_col, dst_col]], batch_format="pandas") \
+        .materialize()
+
+    def node_partials(df: pd.DataFrame) -> pd.DataFrame:
+        both = np.concatenate([df[src_col].to_numpy(),
+                               df[dst_col].to_numpy()])
+        nodes, cnt = np.unique(both, return_counts=True)
+        return pd.DataFrame({"node": nodes,
+                             "__c": cnt.astype(np.int64)})
+
+    empty = pd.DataFrame({"node": np.empty(0, np.int64),
+                          "deg": np.empty(0, np.int64)})
+    prev_n = None
+    for _ in range(max_iters):
+        deg = groupby_agg(
+            edges.map_batches(node_partials, batch_format="pandas"),
+            ["node"], {"deg": ("__c", "sum")}, final=mode)
+        surv = deg.map_batches(
+            lambda df: df[df["deg"].to_numpy() >= k],
+            batch_format="pandas").materialize()
+        # materialized once per round: count, the id collect, and both
+        # semi-join key derivations would otherwise each re-execute
+        # the degree reduce
+        n = surv.count()
+        if n == 0:
+            return rd.from_pandas(empty)
+        if n == prev_n:          # nodes only ever leave: equal count
+            return surv          # means equal set — min degree >= k
+        prev_n = n
+        if n <= cap:
+            ids = np.sort(np.concatenate(
+                [b["node"].to_numpy() for b in surv.iter_batches(
+                    batch_format="pandas")] or
+                [np.empty(0, np.int64)]))
+            ref = ray.put(ids)
+
+            def keep(df: pd.DataFrame) -> pd.DataFrame:
+                # plain task (no actor pool spin-up per round): the
+                # ray.get is a zero-copy plasma read, cached per node
+                ids = ray.get(ref)
+
+                def member(x):
+                    i = np.searchsorted(ids, x)
+                    j = np.minimum(i, len(ids) - 1)
+                    return (i < len(ids)) & (ids[j] == x)
+
+                m = member(df[src_col].to_numpy()) \
+                    & member(df[dst_col].to_numpy())
+                return df[m]
+
+            edges = edges.map_batches(
+                keep, batch_format="pandas").materialize()
+        else:
+            for col in (src_col, dst_col):
+                keys = surv.map_batches(
+                    lambda df, c=col: pd.DataFrame(
+                        {c: df["node"].to_numpy()}),
+                    batch_format="pandas")
+                edges = hash_join_bucketed(
+                    edges, keys, on=col, how="semi",
+                    num_buckets=num_buckets,
+                    left_cols=[src_col, dst_col], right_cols=[])
+            # the bucketed join multiplies block count (one block per
+            # bucket group); left unchecked the next round's sort
+            # exchange grows super-linearly — coalesce the (shrinking)
+            # live edge set back to a bounded block count each round
+            edges = edges.repartition(num_buckets).materialize()
+    raise RuntimeError(f"kcore: no convergence in {max_iters} rounds")
+
+
+def host_link_graph(links_ds, src_col="src_host", dst_col="dst_host",
+                    num_buckets: int = 32):
+    """Aggregate a page-level outlink table into a host-level link
+    graph: one row per directed (src_host, dst_host) with the link
+    count and ``mutual`` = whether the REVERSED pair also carries at
+    least one link (link reciprocity, the classic web-graph signal).
+
+    Distributed shape: per-batch pandas groupby partials reduce the
+    page-level volume to the host-pair domain (one distributed
+    grouped sum), then ONE bucket exchange keyed on the UNORDERED
+    pair — (a,b) and (b,a) hash to the same bucket, so mutuality
+    resolves in-partition with a vectorized nunique.  No stage sees
+    more than the host-pair table; page rows never shuffle raw.
+    """
+    from .relational import _key_bucket, groupby_agg
+
+    agg = groupby_agg(links_ds, [src_col, dst_col],
+                      {"n_links": (src_col, "count")},
+                      final="distributed")
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src_col].astype(str).to_numpy(object)
+        b = df[dst_col].astype(str).to_numpy(object)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        pair = np.char.add(np.char.add(lo.astype(str), "\x1f"),
+                           hi.astype(str)).astype(object)
+        return df.assign(__pair=pair,
+                         __part=_key_bucket(pair, num_buckets))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        # a pair group holds 1 or 2 rows (the two directions, each
+        # already aggregated); self-links (a == a) count as mutual
+        sizes = df.groupby("__pair")["n_links"].transform("size")
+        mutual = (sizes.to_numpy() == 2) \
+            | (df[src_col] == df[dst_col]).to_numpy()
+        out = df[[src_col, dst_col, "n_links"]].copy()
+        out["mutual"] = mutual
+        return out
+
+    return agg.map_batches(stamp, batch_format="pandas") \
+        .groupby("__part").map_groups(resolve, batch_format="pandas")

@@ -1485,3 +1485,186 @@ def rollup_agg(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
     out = pd.concat(levels, ignore_index=True)
     return out.sort_values(keys, kind="mergesort") \
         .reset_index(drop=True)
+
+
+def pivot_agg(ds, key: str, pivot_col: str, val_col: str,
+              fns=("sum", "count"), values=None, final: str = "driver"):
+    """SQL ``PIVOT`` / crosstab: one output row per ``key``, one
+    column per (pivot value, fn) — ``{value}_{fn}`` — aggregating
+    ``val_col`` within each (key, pivot value) cell.
+
+    Distributed shape: the pivot-value domain is discovered with a
+    per-batch ``drop_duplicates`` partial (bounded by the domain, not
+    the row count — a pivot over an unbounded domain is a schema
+    error, not a scale problem), then ONE stateless pass emits
+    per-batch pivoted partials (``pd.pivot_table`` per batch, zero
+    rows per absent cell) and the existing :func:`groupby_agg`
+    machinery reduces them — every supported fn re-aggregates
+    (count→sum), so the reduce is a combine-then-small-groupby, never
+    a corpus shuffle.  fns ⊆ {sum, count, min, max}.  Missing cells
+    are 0 for sum/count and NaN for min/max.
+    """
+    for fn in fns:
+        if fn not in ("sum", "count", "min", "max"):
+            raise ValueError(f"pivot_agg: {fn} is not re-aggregable")
+    if values is None:
+        vals_df = ds.map_batches(
+            lambda df: df[[pivot_col]].drop_duplicates(),
+            batch_format="pandas").to_pandas()
+        values = sorted(vals_df[pivot_col].dropna().unique().tolist())
+    out_cols = [f"{v}_{fn}" for v in values for fn in fns]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pt = pd.pivot_table(df, index=key, columns=pivot_col,
+                            values=val_col,
+                            aggfunc=list(dict.fromkeys(fns)),
+                            dropna=True)
+        res = pd.DataFrame(index=pt.index)
+        for v in values:
+            for fn in fns:
+                if (fn, v) in pt.columns:
+                    res[f"{v}_{fn}"] = pt[(fn, v)]
+                else:
+                    res[f"{v}_{fn}"] = np.nan
+        return res.reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    re_fns = {f"{v}_{fn}": (f"{v}_{fn}", "sum" if fn == "count" else fn)
+              for v in values for fn in fns}
+    out = groupby_agg(partials, [key], re_fns, final=final)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        for v in values:
+            for fn in fns:
+                c = f"{v}_{fn}"
+                if fn in ("sum", "count"):
+                    df[c] = df[c].fillna(0)
+                if fn == "count":
+                    df[c] = df[c].astype(np.int64)
+        return df[[key] + out_cols]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def funnel(ds, steps, user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type", n_parts: int = 64):
+    """Ordered-funnel analysis: per user, the chained first-touch
+    timestamps t1 < t2 < ... — t_k is the earliest event of type
+    ``steps[k]`` STRICTLY after t_{k-1} — plus ``stage`` = how many
+    steps completed.  Returns one row per user that reached step 1:
+    (user_col, stage, ts_1..ts_K as timestamps, NaT past the stage).
+
+    Distributed shape: events are FILTERED to the step types and
+    projected to (user, type, ts) before the one bucket-hash shuffle
+    (the only all-to-all, and it moves only funnel-relevant rows);
+    each bucket then runs a vectorized lexsort + K masked
+    grouped-min passes — no per-user tasks, no global sort.  The
+    chained min is not partial-aggregable (t2 depends on the global
+    t1), which is why the per-user co-location shuffle is required.
+    """
+    steps = list(steps)
+    K = len(steps)
+    step_ix = {s: i for i, s in enumerate(steps)}
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[type_col].isin(step_ix).to_numpy()
+        u = df[user_col].to_numpy()[m]
+        return pd.DataFrame({
+            user_col: u,
+            "__s": df[type_col].map(step_ix).to_numpy()[m]
+            .astype(np.int64),
+            "__ts": df[ts_col].astype("datetime64[us]")
+            .astype("int64").to_numpy()[m],
+            "__part": _key_bucket(u, n_parts)})
+
+    NONE = np.iinfo(np.int64).max
+
+    def part_funnel(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[user_col].to_numpy()
+        s = df["__s"].to_numpy()
+        ts = df["__ts"].to_numpy()
+        order = np.lexsort((ts, u))
+        u, s, ts = u[order], s[order], ts[order]
+        starts, ends = _run_bounds(u)
+        uid = np.repeat(np.arange(len(starts)), ends - starts)
+        t = np.full((K, len(starts)), NONE, dtype=np.int64)
+        prev = np.full(len(starts), -np.iinfo(np.int64).max,
+                       dtype=np.int64)
+        for k in range(K):
+            # ts is sorted within each user run, so the min qualifying
+            # event is the FIRST masked row per user — no ufunc.at
+            idx = np.flatnonzero((s == k) & (ts > prev[uid]))
+            if len(idx):
+                iu = uid[idx]
+                sel = idx[np.r_[True, iu[1:] != iu[:-1]]]
+                t[k][uid[sel]] = ts[sel]
+            prev = t[k]
+        stage = (t != NONE).sum(axis=0).astype(np.int64)
+        keep = t[0] != NONE
+        out = pd.DataFrame({user_col: u[starts][keep],
+                            "stage": stage[keep]})
+        for k in range(K):
+            col = t[k][keep]
+            out[f"ts_{k + 1}"] = pd.Series(col).astype("datetime64[us]") \
+                .mask(col == NONE)
+        return out
+
+    return ds.map_batches(emit, batch_format="pandas") \
+        .groupby("__part").map_groups(part_funnel,
+                                      batch_format="pandas")
+
+
+def weighted_sample(ds, k: int, weight_col: str, id_col: str = "doc_id",
+                    seed: str = "s0", qscale: int = 10 ** 9):
+    """Efraimidis–Spirakis (A-ES) weighted sampling WITHOUT
+    replacement: each row draws u = hash-uniform(0,1] and the k
+    largest u^(1/w) win — equivalently the k largest ln(u)/w, which
+    is what this computes.  Deterministic and partition-independent:
+    u derives from md5(seed:id) (the q46 convention), never an RNG.
+
+    Exactness contract: L = floor(ln(u) * qscale) is an integer —
+    ln(u) goes through libm (DuckDB-``ln``-bit-identical; vectorized
+    np.log with an exact math.log re-check on the ~2e-4 of rows that
+    land within 1e-4 of a floor boundary, where numpy's SIMD log
+    could round the quantization differently) — and the sort key
+    L / w is a single IEEE division of exactly-representable values,
+    so the selected set and the key column are value-exact vs a SQL
+    oracle.  Rows with w <= 0 are excluded (their A-ES key is
+    undefined).
+
+    Distributed shape: per-block top-k partials (k rows each) reduce
+    on the driver — k x n_blocks rows, never the corpus.  Returns a
+    pandas DataFrame of the k winners (+ ``key`` column), ordered by
+    key desc then id.
+    """
+    import math
+
+    from ..stages.text import md5_lo64
+
+    S = float(qscale)
+    TWO64 = float(2 ** 64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[weight_col].to_numpy(np.float64)
+        df = df[w > 0]
+        w = w[w > 0]
+        if not len(df):
+            return df.assign(key=np.empty(0, np.float64))
+        h = md5_lo64([f"{seed}:{v}" for v in df[id_col]])
+        u = (h.astype(np.float64) + 1.0) / TWO64
+        v = np.log(u) * S
+        q = np.floor(v)
+        frac = v - q
+        tol = 1e-4
+        fix = np.flatnonzero((frac < tol) | (frac > 1.0 - tol))
+        if len(fix):
+            q[fix] = [float(math.floor(math.log(x) * S))
+                      for x in u[fix]]
+        key = q / w
+        order = np.lexsort((df[id_col].to_numpy(), -key))[:k]
+        return df.assign(key=key).iloc[order]
+
+    pdf = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    order = np.lexsort((pdf[id_col].to_numpy(),
+                        -pdf["key"].to_numpy()))[:k]
+    return pdf.iloc[order].reset_index(drop=True)

@@ -88,3 +88,218 @@ def test_nb_classifier_empty_text_and_single_class(ray_session):
                           "lang": ["en", "en"]})
     out = nb_classifier(_ds(train), _ds(score)).to_pandas()
     assert (out["pred"] == "en").all() and len(out) == 2
+
+
+# ---------------------------------------------------------------------------
+# pivot_agg
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n_blocks", [1, 7, 64])
+def test_pivot_agg_matches_pandas(ray_session, n_blocks):
+    from mapshaper_ray.ops.relational import pivot_agg
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 10, 500),
+        "event_type": rng.choice(["view", "click", "purchase"], 500),
+        "cents": rng.integers(0, 1000, 500)})
+    out = pivot_agg(_ds(df, n_blocks), "user_id", "event_type",
+                    "cents").to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    exp_pt = df.pivot_table(index="user_id", columns="event_type",
+                            values="cents", aggfunc=["sum", "count"],
+                            fill_value=0)
+    exp = pd.DataFrame({"user_id": exp_pt.index})
+    for v in ["click", "purchase", "view"]:
+        for fn in ["sum", "count"]:
+            exp[f"{v}_{fn}"] = exp_pt[(fn, v)].to_numpy()
+    exp = exp[out.columns.tolist()]
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_pivot_agg_minmax_and_given_values(ray_session):
+    from mapshaper_ray.ops.relational import pivot_agg
+    df = pd.DataFrame({"k": [1, 1, 2], "p": ["a", "b", "a"],
+                       "v": [5, 7, 9]})
+    out = pivot_agg(_ds(df, 2), "k", "p", "v", fns=("min", "max"),
+                    values=["a", "b", "c"]).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert out.columns.tolist() == [
+        "k", "a_min", "a_max", "b_min", "b_max", "c_min", "c_max"]
+    assert out["a_min"].tolist() == [5, 9]
+    assert np.isnan(out["c_min"]).all()
+    assert out["b_max"][0] == 7 and np.isnan(out["b_max"][1])
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+def _funnel_brute(df, steps):
+    rows = []
+    for u, g in df.groupby("user_id"):
+        g = g.sort_values("ts")
+        prev, tss = None, []
+        for s in steps:
+            c = g[(g.event_type == s)
+                  & ((g.ts > prev) if prev is not None else True)]
+            if len(c):
+                prev = c["ts"].min()
+                tss.append(prev)
+            else:
+                break
+        if tss:
+            rows.append((u, len(tss),
+                         *(tss + [pd.NaT] * (len(steps) - len(tss)))))
+    cols = ["user_id", "stage"] + [f"ts_{i+1}"
+                                   for i in range(len(steps))]
+    out = pd.DataFrame(rows, columns=cols)
+    for c in cols[2:]:
+        out[c] = out[c].astype("datetime64[us]")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("n_blocks", [1, 9])
+def test_funnel_bruteforce(ray_session, n_blocks):
+    from mapshaper_ray.ops.relational import funnel
+    rng = np.random.default_rng(1)
+    n = 600
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 120, n),   # sparse: ~5 events/user
+        "event_type": rng.choice(
+            ["view", "click", "purchase", "error"], n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 10 ** 9, n), unit="us")})
+    steps = ["view", "click", "purchase"]
+    out = funnel(_ds(df, n_blocks), steps).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    exp = _funnel_brute(df, steps)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    # sparse users must spread across stages for the test to mean much
+    assert out["stage"].nunique() >= 2
+
+
+def test_funnel_strictly_after(ray_session):
+    from mapshaper_ray.ops.relational import funnel
+    t = pd.to_datetime("2024-01-01")
+    # click at the SAME instant as view must not count (strict >)
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2, 2],
+        "event_type": ["view", "click", "view", "click"],
+        "ts": [t, t, t, t + pd.Timedelta(seconds=1)]})
+    out = funnel(_ds(df), ["view", "click"]).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert out["stage"].tolist() == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# kcore
+# ---------------------------------------------------------------------------
+
+def _kcore_brute(df, k):
+    E = sorted({(min(a, b), max(a, b))
+                for a, b in zip(df.src, df.dst) if a != b})
+    alive = set(x for e in E for x in e)
+    while True:
+        deg = {}
+        for a, b in E:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        new = {x for x in alive if deg.get(x, 0) >= k}
+        if new == alive:
+            break
+        alive = new
+    return pd.DataFrame(sorted((x, deg.get(x, 0)) for x in alive),
+                        columns=["node", "deg"])
+
+
+@pytest.mark.parametrize("k", [2, 4, 6])
+def test_kcore_bruteforce(ray_session, k):
+    from mapshaper_ray.ops.graph import kcore
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"src": rng.integers(0, 200, 900),
+                       "dst": rng.integers(0, 200, 900)})
+    out = kcore(_ds(df, 5), k).to_pandas() \
+        .sort_values("node").reset_index(drop=True) \
+        .astype({"node": np.int64, "deg": np.int64})
+    pd.testing.assert_frame_equal(out, _kcore_brute(df, k),
+                                  check_dtype=False)
+
+
+def test_kcore_empty_core(ray_session):
+    from mapshaper_ray.ops.graph import kcore
+    df = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 0]})
+    out = kcore(_ds(df), 3).to_pandas()
+    assert len(out) == 0
+    out2 = kcore(_ds(df), 2).to_pandas().sort_values("node")
+    assert out2["node"].tolist() == [0, 1, 2]
+    assert out2["deg"].tolist() == [2, 2, 2]
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_partition_invariant_and_exact(ray_session):
+    import math
+    from mapshaper_ray.ops.relational import weighted_sample
+    from mapshaper_ray.stages.text import md5_lo64
+    df = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64),
+                       "w": (np.arange(1000) % 17 + 1)
+                       .astype(np.int64)})
+    outs = [weighted_sample(_ds(df, nb), 50, "w") for nb in (1, 13)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    h = md5_lo64([f"s0:{i}" for i in df.doc_id])
+    u = (h.astype(np.float64) + 1.0) / 2.0 ** 64
+    L = np.array([math.floor(math.log(x) * 1e9) for x in u],
+                 dtype=np.float64)
+    key = L / df.w.to_numpy(np.float64)
+    order = np.lexsort((df.doc_id.to_numpy(), -key))[:50]
+    exp = df.iloc[order].assign(key=key[order]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(outs[0], exp)
+
+
+def test_weighted_sample_zero_weight_excluded(ray_session):
+    from mapshaper_ray.ops.relational import weighted_sample
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "w": [0, 5, -1]})
+    out = weighted_sample(_ds(df), 10, "w")
+    assert out["doc_id"].tolist() == [2]
+
+
+# ---------------------------------------------------------------------------
+# host_link_graph
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n_blocks", [1, 7])
+def test_host_link_graph_bruteforce(ray_session, n_blocks):
+    from mapshaper_ray.ops.graph import host_link_graph
+    rng = np.random.default_rng(5)
+    links = pd.DataFrame({
+        "src_host": [f"h{x}" for x in rng.integers(0, 12, 800)],
+        "dst_host": [f"h{x}" for x in rng.integers(0, 12, 800)]})
+    out = host_link_graph(_ds(links, n_blocks)).to_pandas() \
+        .sort_values(["src_host", "dst_host"]).reset_index(drop=True)
+    agg = links.groupby(["src_host", "dst_host"], as_index=False) \
+        .size().rename(columns={"size": "n_links"})
+    pairs = set(zip(agg.src_host, agg.dst_host))
+    agg["mutual"] = [(b, a) in pairs
+                     for a, b in zip(agg.src_host, agg.dst_host)]
+    agg = agg.sort_values(["src_host", "dst_host"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out.astype({"n_links": np.int64, "mutual": bool}),
+        agg.astype({"n_links": np.int64, "mutual": bool}),
+        check_dtype=False)
+
+
+def test_host_link_graph_self_link_mutual(ray_session):
+    from mapshaper_ray.ops.graph import host_link_graph
+    links = pd.DataFrame({"src_host": ["a", "a", "b"],
+                          "dst_host": ["a", "b", "c"]})
+    out = host_link_graph(_ds(links)).to_pandas() \
+        .sort_values(["src_host", "dst_host"]).reset_index(drop=True)
+    m = dict(zip(zip(out.src_host, out.dst_host), out.mutual))
+    assert bool(m[("a", "a")]) is True      # self-link counts
+    assert bool(m[("a", "b")]) is False
+    assert bool(m[("b", "c")]) is False
