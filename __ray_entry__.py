@@ -1704,6 +1704,36 @@ def _q121_weighted_sample(sf_dir: str):
     return out[["doc_id", "w", "key"]].reset_index(drop=True)
 
 
+def _q122_retention(sf_dir: str):
+    """Cohort retention analysis: users cohort by first-event day,
+    weekly-offset cells count distinct active users — grouped
+    first-touch min, one bucketed join back, grouped dedup then cell
+    count (nothing bigger than the distinct (cell, user) set
+    shuffles)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import retention_cohorts
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    out = retention_cohorts(ev).to_pandas()
+    return out.sort_values(["cohort_day", "offset"]) \
+        .reset_index(drop=True)
+
+
+def _q123_window_funnel(sf_dir: str):
+    """Conversion-window funnel: view -> click -> purchase where each
+    transition must land within 24 h of the previous stage (strict
+    first-touch chaining) — the funnel operator's ``within_s``
+    path."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import funnel
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    out = funnel(ev, ["view", "click", "purchase"],
+                 within_s=86400.0).to_pandas()
+    out = out.astype({"user_id": np.int64, "stage": np.int64})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -2371,7 +2401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q43_embedding_lsh": _q43_embedding_lsh,
         "q48_dedup_clusters": _q48_dedup_clusters,
         "q68_exact_substring_dedup": _q68_exact_substring_dedup,
-        "q79_incremental_dedup": _q79_incremental_dedup,
+        "q118_kcore": _q118_kcore,
         "q14_ann_topk": _q14_ann_topk,
         "q70_ann_pq": _q70_ann_pq,
         "q65_semantic_dedup": _q65_semantic_dedup,
@@ -2388,11 +2418,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q67_pack_sequences": _q67_pack_sequences,
         "q69_dsir_weights": _q69_dsir_weights,
         "q71_bpe_train": _q71_bpe_train,
-        "q95_bloom_incremental": _q95_bloom_incremental,
+        "q116_nb_classifier": _q116_nb_classifier,
         "q76_decontaminate": _q76_decontaminate,
         "q103_gopher_rules": _q103_gopher_rules,
-        "q107_cms": _q107_cms,
-        "q109_sliding_window": _q109_sliding_window,
+        "q121_weighted_sample": _q121_weighted_sample,
+        "q120_funnel": _q120_funnel,
         "q113_warc_ingest": _q113_warc_ingest,
         "q115_tpch_q3": _q115_tpch_q3,
         "q84_pretrain_pipeline": _q84_pretrain_pipeline,
@@ -2461,12 +2491,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q111_bigram_nll": _q111_bigram_nll,
         "q112_scalar_quantize": _q112_scalar_quantize,
         "q114_rollup": _q114_rollup,
-        "q116_nb_classifier": _q116_nb_classifier,
         "q117_host_graph": _q117_host_graph,
-        "q118_kcore": _q118_kcore,
         "q119_pivot_events": _q119_pivot_events,
-        "q120_funnel": _q120_funnel,
-        "q121_weighted_sample": _q121_weighted_sample,
+        "q79_incremental_dedup": _q79_incremental_dedup,
+        "q95_bloom_incremental": _q95_bloom_incremental,
+        "q109_sliding_window": _q109_sliding_window,
+        "q107_cms": _q107_cms,
+        "q122_retention": _q122_retention,
+        "q123_window_funnel": _q123_window_funnel,
     }
 
 
@@ -4599,6 +4631,43 @@ def oracle_sql() -> dict[str, str]:
               FROM h)
         SELECT doc_id, w, CAST(L AS DOUBLE) / CAST(w AS DOUBLE) AS key
         FROM k ORDER BY key DESC, doc_id LIMIT 100"""
+
+    out["q122_retention"] = """
+        WITH f AS (SELECT user_id, min(ts) AS t0 FROM events
+                   GROUP BY user_id),
+        x AS (SELECT DISTINCT
+                epoch_us(f.t0) // 86400000000 AS cohort_day,
+                (epoch_us(e.ts) - epoch_us(f.t0)) // 604800000000
+                  AS "offset",
+                e.user_id
+              FROM events e JOIN f ON e.user_id = f.user_id)
+        SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+               CAST("offset" AS BIGINT) AS "offset",
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM x GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    out["q123_window_funnel"] = """
+        WITH s1 AS (SELECT user_id, min(ts) AS ts_1 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(e.ts) AS ts_2
+               FROM events e JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = 'click' AND e.ts > s1.ts_1
+                 AND e.ts <= s1.ts_1 + INTERVAL 1 DAY
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(e.ts) AS ts_3
+               FROM events e JOIN s2 ON e.user_id = s2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s2.ts_2
+                 AND e.ts <= s2.ts_2 + INTERVAL 1 DAY
+               GROUP BY e.user_id)
+        SELECT s1.user_id,
+               CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1
+                    END + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1
+                    END AS BIGINT) AS stage,
+               s1.ts_1, s2.ts_2, s3.ts_3
+        FROM s1
+        LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        ORDER BY s1.user_id"""
 
     out["q84_pretrain_pipeline"] = r"""
         -- the q12 dedup, q56 repetition-share, q76 decontamination

@@ -1547,7 +1547,8 @@ def pivot_agg(ds, key: str, pivot_col: str, val_col: str,
 
 
 def funnel(ds, steps, user_col: str = "user_id", ts_col: str = "ts",
-           type_col: str = "event_type", n_parts: int = 64):
+           type_col: str = "event_type", n_parts: int = 64,
+           within_s: float | None = None):
     """Ordered-funnel analysis: per user, the chained first-touch
     timestamps t1 < t2 < ... — t_k is the earliest event of type
     ``steps[k]`` STRICTLY after t_{k-1} — plus ``stage`` = how many
@@ -1561,6 +1562,11 @@ def funnel(ds, steps, user_col: str = "user_id", ts_col: str = "ts",
     grouped-min passes — no per-user tasks, no global sort.  The
     chained min is not partial-aggregable (t2 depends on the global
     t1), which is why the per-user co-location shuffle is required.
+    
+    ``within_s`` bounds each transition: step k must land within
+    ``within_s`` seconds AFTER step k-1 (first-touch semantics — the
+    chain anchors on the earliest step-1 event even when a later one
+    would convert better; that is the standard strict funnel).
     """
     steps = list(steps)
     K = len(steps)
@@ -1587,13 +1593,21 @@ def funnel(ds, steps, user_col: str = "user_id", ts_col: str = "ts",
         u, s, ts = u[order], s[order], ts[order]
         starts, ends = _run_bounds(u)
         uid = np.repeat(np.arange(len(starts)), ends - starts)
+        win = None if within_s is None \
+            else np.int64(round(within_s * 1e6))
         t = np.full((K, len(starts)), NONE, dtype=np.int64)
         prev = np.full(len(starts), -np.iinfo(np.int64).max,
                        dtype=np.int64)
         for k in range(K):
             # ts is sorted within each user run, so the min qualifying
             # event is the FIRST masked row per user — no ufunc.at
-            idx = np.flatnonzero((s == k) & (ts > prev[uid]))
+            m = (s == k) & (ts > prev[uid])
+            if win is not None and k > 0:
+                lim = prev.copy()
+                ok = prev != NONE        # avoid +win wraparound on
+                lim[ok] += win           # the NONE sentinel
+                m &= ts <= lim[uid]
+            idx = np.flatnonzero(m)
             if len(idx):
                 iu = uid[idx]
                 sel = idx[np.r_[True, iu[1:] != iu[:-1]]]
@@ -1668,3 +1682,58 @@ def weighted_sample(ds, k: int, weight_col: str, id_col: str = "doc_id",
     order = np.lexsort((pdf[id_col].to_numpy(),
                         -pdf["key"].to_numpy()))[:k]
     return pdf.iloc[order].reset_index(drop=True)
+
+
+def retention_cohorts(ds, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      period_s: int = 7 * 86400):
+    """Cohort retention analysis: users cohort by the DAY of their
+    first event; each (cohort_day, period offset) cell counts the
+    DISTINCT users from that cohort active in that period —
+    offset = floor((event_ts - first_ts) / period_s), so offset 0 is
+    every cohort's own period and the retention curve reads across
+    offsets.  Returns (cohort_day, offset, n_users).
+
+    Distributed shape: (1) first-touch per user — grouped min through
+    the partial/combine gates; (2) the first-touch table joins back
+    count-gated (broadcast under the join's cap via hash_join's
+    machinery — it is user-bounded, not event-bounded); (3) distinct
+    users per cell via a grouped dedup THEN a cell count — the first
+    groupby's partials dedup in-batch, so nothing bigger than the
+    distinct (cell, user) set shuffles.
+    """
+    firsts = groupby_agg(ds, [user_col], {"__t0": (ts_col, "min")},
+                         final="distributed")
+    ev = ds.map_batches(
+        lambda df: pd.DataFrame({
+            user_col: df[user_col].to_numpy(),
+            "__ts": df[ts_col].astype("datetime64[us]")
+            .astype("int64").to_numpy()}),
+        batch_format="pandas")
+    joined = hash_join_bucketed(ev, firsts, on=user_col)
+
+    day_us = np.int64(86400 * 10 ** 6)
+    per_us = np.int64(period_s * 10 ** 6)
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        t0 = df["__t0"].astype("datetime64[us]").astype("int64") \
+            .to_numpy()
+        ts = df["__ts"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "cohort_day": t0 // day_us,
+            "offset": (ts - t0) // per_us,
+            user_col: df[user_col].to_numpy()}).drop_duplicates()
+
+    distinct = groupby_agg(
+        joined.map_batches(cells, batch_format="pandas"),
+        ["cohort_day", "offset", user_col],
+        {"__n": (user_col, "count")}, final="distributed")
+    out = groupby_agg(distinct, ["cohort_day", "offset"],
+                      {"n_users": (user_col, "count")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return df.astype({"cohort_day": np.int64,
+                          "offset": np.int64,
+                          "n_users": np.int64})
+
+    return out.map_batches(finish, batch_format="pandas")

@@ -303,3 +303,49 @@ def test_host_link_graph_self_link_mutual(ray_session):
     assert bool(m[("a", "a")]) is True      # self-link counts
     assert bool(m[("a", "b")]) is False
     assert bool(m[("b", "c")]) is False
+
+
+# ---------------------------------------------------------------------------
+# retention_cohorts / windowed funnel
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n_blocks", [1, 7])
+def test_retention_cohorts_bruteforce(ray_session, n_blocks):
+    from mapshaper_ray.ops.relational import retention_cohorts
+    rng = np.random.default_rng(2)
+    n = 4000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 80, n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 40 * 86400 * 10 ** 6, n), unit="us")})
+    out = retention_cohorts(_ds(df, n_blocks)).to_pandas() \
+        .sort_values(["cohort_day", "offset"]).reset_index(drop=True)
+    t0 = df.groupby("user_id")["ts"].transform("min")
+    us = lambda s: s.astype("datetime64[us]").astype("int64")
+    b = pd.DataFrame({
+        "cohort_day": us(t0) // (86400 * 10 ** 6),
+        "offset": (us(df.ts) - us(t0)) // (7 * 86400 * 10 ** 6),
+        "user_id": df.user_id})
+    exp = b.drop_duplicates() \
+        .groupby(["cohort_day", "offset"], as_index=False)["user_id"] \
+        .count().rename(columns={"user_id": "n_users"}) \
+        .sort_values(["cohort_day", "offset"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    assert out["offset"].max() >= 1     # curve spans multiple periods
+
+
+def test_funnel_within_window(ray_session):
+    from mapshaper_ray.ops.relational import funnel
+    t = pd.to_datetime("2024-01-01")
+    h = pd.Timedelta(hours=1)
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 2],
+        "event_type": ["view", "click", "purchase"] * 2,
+        # user 1 converts within the hour; user 2's click comes 3 h
+        # after view (outside within_s=7200) so stage stops at 1
+        "ts": [t, t + h, t + 2 * h, t, t + 3 * h, t + 4 * h]})
+    out = funnel(_ds(df), ["view", "click", "purchase"],
+                 within_s=7200.0).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert out["stage"].tolist() == [3, 1]
+    assert pd.isna(out["ts_2"][1])
