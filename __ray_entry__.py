@@ -1734,6 +1734,35 @@ def _q123_window_funnel(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q124_temperature_mix(sf_dir: str):
+    """Temperature-flattened source mixing (alpha=0.5): each source
+    keeps a deterministic hash sample at rate 1/sqrt(n_source) —
+    the GPT-3/PaLM mixture-flattening step — via the
+    temperature_sample operator (per-group counts to the driver,
+    broadcast uint64 cutoffs, stateless membership filter)."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import temperature_sample
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    out = temperature_sample(docs, alpha=0.5).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q125_chunk_docs(sf_dir: str):
+    """Sliding-window document chunking (size=64, overlap=16) for
+    long-context training prep — stateless flat transform, byte-exact
+    chunk text vs the SQL list-slice mirror."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import chunk_documents
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = chunk_documents(docs, size=64, overlap=16).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values(["doc_id", "chunk_id"]) \
+        .reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -2499,6 +2528,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q107_cms": _q107_cms,
         "q122_retention": _q122_retention,
         "q123_window_funnel": _q123_window_funnel,
+        "q124_temperature_mix": _q124_temperature_mix,
+        "q125_chunk_docs": _q125_chunk_docs,
     }
 
 
@@ -4668,6 +4699,43 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN s2 ON s1.user_id = s2.user_id
         LEFT JOIN s3 ON s1.user_id = s3.user_id
         ORDER BY s1.user_id"""
+
+    # q124: rate = pow(n, -0.5) through libm on both sides; the
+    # cutoff floor(rate * (2^64-1)) is one IEEE multiply, compared in
+    # HUGEINT (rate >= 1 keeps the whole group, no UBIGINT overflow)
+    out["q124_temperature_mix"] = """
+        WITH c AS (SELECT source, count(*) AS n FROM documents
+                   GROUP BY source),
+        r AS (SELECT source, pow(CAST(n AS DOUBLE), -0.5) AS rate
+              FROM c),
+        k AS (SELECT d.doc_id, d.source,
+                md5_number_lower('s0:' || CAST(d.doc_id AS VARCHAR))
+                  AS h,
+                r.rate
+              FROM documents d JOIN r ON d.source = r.source)
+        SELECT doc_id, source FROM k
+        WHERE rate >= 1 OR CAST(h AS HUGEINT) <
+              CAST(floor(rate * 18446744073709551615.0) AS HUGEINT)
+        ORDER BY doc_id"""
+
+    # q125: chunk starts = range(0, max(n-overlap, 1), stride) —
+    # the final window reaches the last token, never a window wholly
+    # inside the previous one
+    out["q125_chunk_docs"] = """
+        WITH t AS (SELECT doc_id,
+                     string_split(coalesce(text, ''), ' ') AS ts
+                   FROM documents),
+        s AS (SELECT doc_id, ts, len(ts) AS n FROM t),
+        g AS (SELECT doc_id, ts, u.st AS st,
+                CAST(u.st // 48 AS BIGINT) AS chunk_id
+              FROM s, unnest(range(0, greatest(n - 16, 1), 48))
+                   AS u(st))
+        SELECT doc_id, chunk_id,
+               CAST(len(list_slice(ts, st + 1, st + 64)) AS BIGINT)
+                 AS n_tokens,
+               array_to_string(list_slice(ts, st + 1, st + 64), ' ')
+                 AS text
+        FROM g ORDER BY doc_id, chunk_id"""
 
     out["q84_pretrain_pipeline"] = r"""
         -- the q12 dedup, q56 repetition-share, q76 decontamination

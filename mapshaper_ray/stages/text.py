@@ -2127,3 +2127,87 @@ def nb_classifier(train_ds, score_ds, label_col="lang",
     return score_ds.map_batches(Scorer, batch_format="pandas",
                                 batch_size=4096, concurrency=(1, 8),
                                 num_cpus=1)
+
+
+def temperature_sample(ds, alpha: float = 0.5, group_col="source",
+                       id_col="doc_id", seed: str = "s0"):
+    """Temperature-flattened source mixing (the GPT-3 / PaLM mixture
+    trick): group g keeps a deterministic hash sample at rate
+    n_g^(alpha-1), so effective sizes flatten from n_g toward
+    n_g^alpha — big sources down-sample hard, small ones survive.
+
+    Two passes: (1) per-group counts (grouped partials, group-domain
+    bounded — they reach the driver); (2) the per-group uint64 hash
+    cutoffs broadcast and a stateless membership filter keeps rows
+    with md5(seed:id) < floor(rate * (2^64-1)) — the q46
+    partition-independent convention, reproducible by the SQL mirror.
+    Rates compute with libm ``math.pow`` per group (bounded driver
+    loop; DuckDB ``pow`` matches bit-for-bit like ``ln`` does), the
+    cutoff is one IEEE multiply + floor.  rate >= 1 keeps the whole
+    group (no uint64 overflow path).  Returns kept (id, group) rows.
+    """
+    import math
+
+    import ray
+
+    from ..ops.relational import groupby_agg
+
+    counts = groupby_agg(ds, [group_col],
+                         {"n": (id_col, "count")}).to_pandas()
+    K = float(2 ** 64 - 1)
+    cuts = {}
+    for g, n in zip(counts[group_col], counts["n"]):
+        rate = math.pow(float(n), alpha - 1.0)
+        cuts[g] = None if rate >= 1.0 \
+            else np.uint64(int(math.floor(rate * K)))
+    cut_map = {g: (np.uint64(2 ** 64 - 1) if c is None else c)
+               for g, c in cuts.items()}
+    full_map = {g: c is None for g, c in cuts.items()}
+    mref = ray.put((cut_map, full_map))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        cut_map, full_map = ray.get(mref)
+        h = md5_lo64([f"{seed}:{v}" for v in df[id_col]])
+        g = df[group_col]
+        cut = g.map(cut_map).to_numpy(np.uint64)   # vectorized hash
+        full = g.map(full_map).to_numpy(bool)      # map, no row loop
+        return df[[id_col, group_col]][full | (h < cut)]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def chunk_documents(ds, size: int = 64, overlap: int = 16,
+                    id_col="doc_id", text_col="text"):
+    """Sliding-window document chunking for long-context training
+    prep: token windows of ``size`` with ``overlap`` tokens carried
+    between consecutive chunks.  Chunk starts are
+    ``range(0, max(n_tokens - overlap, 1), size - overlap)`` — the
+    final window always reaches the last token, and a document never
+    emits a window wholly contained in the previous one.  Tokenization
+    is single-space split (``string_split`` parity; empty text emits
+    one ''-token chunk).  Returns (id, chunk_id, n_tokens, text) —
+    a stateless flat transform, trivially parallel; no shuffle.
+    """
+    if overlap >= size:
+        raise ValueError("chunk_documents: overlap must be < size")
+    stride = size - overlap
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        ids_out, cid_out, n_out, tx_out = [], [], [], []
+        for i, t in zip(df[id_col], df[text_col]):
+            ts = (t or "").split(" ")
+            n = len(ts)
+            for c, start in enumerate(
+                    range(0, max(n - overlap, 1), stride)):
+                w = ts[start:start + size]
+                ids_out.append(i)
+                cid_out.append(c)
+                n_out.append(len(w))
+                tx_out.append(" ".join(w))
+        return pd.DataFrame({
+            id_col: np.array(ids_out),
+            "chunk_id": np.array(cid_out, dtype=np.int64),
+            "n_tokens": np.array(n_out, dtype=np.int64),
+            text_col: np.array(tx_out, dtype=object)})
+
+    return ds.map_batches(chunks, batch_format="pandas")

@@ -349,3 +349,80 @@ def test_funnel_within_window(ray_session):
         .sort_values("user_id").reset_index(drop=True)
     assert out["stage"].tolist() == [3, 1]
     assert pd.isna(out["ts_2"][1])
+
+
+# ---------------------------------------------------------------------------
+# temperature_sample / chunk_documents
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n_blocks", [1, 7])
+def test_temperature_sample_rates_and_invariance(ray_session,
+                                                 n_blocks):
+    import math
+    from mapshaper_ray.stages.text import md5_lo64, temperature_sample
+    sizes = {"a": 4000, "b": 250, "c": 1}
+    rows = []
+    i = 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, s))
+            i += 1
+    df = pd.DataFrame(rows, columns=["doc_id", "source"])
+    out = temperature_sample(_ds(df, n_blocks), alpha=0.5) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # brute: keep md5(s0:id) < floor(n^-0.5 * (2^64-1)); n=1 keeps all
+    h = md5_lo64([f"s0:{v}" for v in df.doc_id])
+    cut = np.empty(len(df), dtype=np.uint64)
+    full = np.zeros(len(df), dtype=bool)
+    for s, n in sizes.items():
+        rate = math.pow(float(n), -0.5)
+        m = (df.source == s).to_numpy()
+        if rate >= 1:
+            full |= m
+            cut[m] = 0
+        else:
+            cut[m] = np.uint64(int(math.floor(
+                rate * float(2 ** 64 - 1))))
+    exp = df[full | (h < cut)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    # flattening: the big source keeps ~sqrt(n), the singleton stays
+    kept = out.groupby("source").size()
+    assert kept.get("c", 0) == 1
+    assert 30 <= kept["a"] <= 110        # ~sqrt(4000) ≈ 63
+    assert 8 <= kept["b"] <= 35          # ~sqrt(250) ≈ 16
+
+
+@pytest.mark.parametrize("size,overlap", [(8, 3), (64, 16)])
+def test_chunk_documents_bruteforce(ray_session, size, overlap):
+    from mapshaper_ray.stages.text import chunk_documents
+    texts = ["", "one", " ".join(f"t{i}" for i in range(30)),
+             " ".join(f"w{i}" for i in range(7)),
+             " ".join(f"x{i}" for i in range(size))]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts),
+                                           dtype=np.int64),
+                       "text": texts})
+    out = chunk_documents(_ds(df, 3), size=size, overlap=overlap) \
+        .to_pandas().sort_values(["doc_id", "chunk_id"]) \
+        .reset_index(drop=True)
+    rows = []
+    stride = size - overlap
+    for i, t in zip(df.doc_id, df.text):
+        ts = (t or "").split(" ")
+        n = len(ts)
+        for c, st in enumerate(range(0, max(n - overlap, 1), stride)):
+            w = ts[st:st + size]
+            rows.append((i, c, len(w), " ".join(w)))
+    exp = pd.DataFrame(rows, columns=["doc_id", "chunk_id",
+                                      "n_tokens", "text"])
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    # every chunk ends where the doc does or overlaps the next start
+    last = out.groupby("doc_id").tail(1)
+    for _, r in last.iterrows():
+        n = len((texts[int(r.doc_id)] or "").split(" "))
+        assert r.chunk_id * stride + r.n_tokens == n
+
+
+def test_chunk_documents_overlap_guard(ray_session):
+    from mapshaper_ray.stages.text import chunk_documents
+    with pytest.raises(ValueError):
+        chunk_documents(None, size=8, overlap=8)
