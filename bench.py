@@ -255,6 +255,47 @@ def run_benchmarks():
                                      id_col="event_id", val_col="v",
                                      window=100, n_parts=128))
 
+    # round-4 batch-5 probes: k-core peel over a 2.1M-edge hub +
+    # community graph (count-gated degree reduce + broadcast survivor
+    # filter per round, ~3 rounds to fixpoint) and the ordered funnel
+    # over the 10M synthetic events (one bucket shuffle of
+    # step-filtered projected rows + vectorized chained mins)
+    from mapshaper_ray.ops.graph import kcore
+    n_kc = 800_000
+
+    def _mk_kc_edges(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df["id"].to_numpy()
+        C = n_kc // 10
+        cl = d[d < C]
+        src = [d, d]
+        dst = [(d * 7 + 1) % n_kc, d % C]
+        for j in range(1, 7):
+            src.append(cl)
+            dst.append((cl + j) % C)
+        return pd.DataFrame({"src": np.concatenate(src),
+                             "dst": np.concatenate(dst)})
+
+    kc_edges = rd.range(n_kc).map_batches(
+        _mk_kc_edges, batch_format="pandas").materialize()
+    timed("kcore_2m_edges", lambda: kcore(kc_edges, k=8))
+
+    from mapshaper_ray.ops.relational import funnel
+
+    def _mk_funnel(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df["id"].to_numpy()
+        types = np.array(["view", "click", "purchase", "error",
+                          "signup"], dtype=object)
+        return pd.DataFrame({
+            "user_id": ((d * 2654435761) % 100_000).astype(np.int64),
+            "event_type": types[d % 5],
+            "ts": ((d * 48271) % (10 ** 9)).astype("datetime64[us]")})
+
+    fun_ev = rd.range(10_000_000).map_batches(
+        _mk_funnel, batch_format="pandas").materialize()
+    timed("funnel_10m_events",
+          lambda: funnel(fun_ev, ["view", "click", "purchase"],
+                         n_parts=128))
+
     # hot-tile skew probe: 2M rows, ~60% landing in ONE tile — the
     # salted resumable write must split the hot tile by doc-id hash
     # (ceil(count/target) salts) instead of funneling it through one
