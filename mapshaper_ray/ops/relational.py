@@ -1572,16 +1572,22 @@ def funnel(ds, steps, user_col: str = "user_id", ts_col: str = "ts",
     K = len(steps)
     step_ix = {s: i for i, s in enumerate(steps)}
 
-    def emit(df: pd.DataFrame) -> pd.DataFrame:
-        m = df[type_col].isin(step_ix).to_numpy()
-        u = df[user_col].to_numpy()[m]
-        return pd.DataFrame({
-            user_col: u,
-            "__s": df[type_col].map(step_ix).to_numpy()[m]
-            .astype(np.int64),
-            "__ts": df[ts_col].astype("datetime64[us]")
-            .astype("int64").to_numpy()[m],
-            "__part": _key_bucket(u, n_parts)})
+    def emit(t):
+        # Arrow-native: this is the only stage that sees the full
+        # event volume — filter + project zero-copy, no pandas block
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        step_arr = pa.array(steps)
+        t = t.filter(pc.is_in(t.column(type_col),
+                              value_set=step_arr))
+        s = pc.index_in(t.column(type_col), value_set=step_arr) \
+            .cast(pa.int64())
+        ts64 = t.column(ts_col).cast(pa.timestamp("us")) \
+            .cast(pa.int64())
+        u = t.column(user_col)
+        part = _key_bucket(u.to_numpy(zero_copy_only=False), n_parts)
+        return pa.table({user_col: u, "__s": s, "__ts": ts64,
+                         "__part": pa.array(part)})
 
     NONE = np.iinfo(np.int64).max
 
@@ -1623,7 +1629,7 @@ def funnel(ds, steps, user_col: str = "user_id", ts_col: str = "ts",
                 .mask(col == NONE)
         return out
 
-    return ds.map_batches(emit, batch_format="pandas") \
+    return ds.map_batches(emit, batch_format="pyarrow") \
         .groupby("__part").map_groups(part_funnel,
                                       batch_format="pandas")
 
