@@ -1763,6 +1763,155 @@ def _q125_chunk_docs(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q126_label_prop(sf_dir: str):
+    """Synchronous label propagation (3 rounds) over the q118
+    community graph — per round a label join along both edge
+    directions, a grouped (node, label) count and a per-node argmax
+    (ties to the smallest label); count-gated broadcast vs bucketed
+    rounds.  Oracle: the same three rounds unrolled."""
+    import ray.data as rd
+    from mapshaper_ray.ops.graph import label_propagation
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    n = ids.count()
+    C = max(n // 10, 8)
+
+    def mk_edges(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(np.int64)
+        cl = d[d < C]
+        src = [d, d]
+        dst = [(d * 7 + 1) % n, d % C]
+        for j in range(1, 7):
+            src.append(cl)
+            dst.append((cl + j) % C)
+        return pd.DataFrame({"src": np.concatenate(src),
+                             "dst": np.concatenate(dst)})
+
+    out = label_propagation(
+        ids.map_batches(mk_edges, batch_format="pandas"),
+        iters=3).to_pandas()
+    out = out.astype({"node": np.int64, "label": np.int64})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _q127_gram_matrix(sf_dir: str):
+    """Distributed integer Gram matrix over int8-quantized
+    embeddings (covariance / whitening sufficient statistics): only
+    d x d int64 partials travel, the corpus never shuffles; exact by
+    construction because the Gram runs on quantized codes (no
+    float-sum ordering hazard)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.ann import gram_matrix
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    out = gram_matrix(emb).to_pandas()
+    return out.sort_values(["i", "j"]).reset_index(drop=True)
+
+
+def _q128_zorder(sf_dir: str):
+    """Z-order (Morton) layout keys over (value, event time) — the
+    locality-preserving multi-column partition key for pruned
+    lakehouse writes: per-column min/max reduce, stateless 8-bit
+    quantize + bit interleave, equal-width range bucket for 16
+    output partitions."""
+    import ray.data as rd
+    from mapshaper_ray.ops.partition import zorder_keys
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "value": df["value"].to_numpy(np.float64),
+            "ep": df["ts"].astype("datetime64[us]").astype("int64")
+            .to_numpy()})
+
+    out = zorder_keys(ev.map_batches(prep, batch_format="pandas"),
+                      ["value", "ep"], bits=8, n_parts=16) \
+        .to_pandas()[["event_id", "zkey", "part"]]
+    out = out.astype({"zkey": np.int64, "part": np.int64})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _q129_locf_fill(sf_dir: str):
+    """LOCF gap repair: error events' values are nulled then each
+    user's time-ordered stream forward-fills from the most recent
+    observation (leading gaps -> -1 sentinel on both sides, keeping
+    the contract NaN-free) — one bucket shuffle + vectorized carry
+    propagation vs the last_value IGNORE NULLS window mirror."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import locf_fill
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts",
+                                  "value"])
+
+    def null_errors(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64).copy()
+        v[(df["event_type"] == "error").to_numpy()] = np.nan
+        return pd.DataFrame({"user_id": df["user_id"]
+                             .to_numpy(np.int64),
+                             "ts": df["ts"], "value": v})
+
+    out = locf_fill(ev.map_batches(null_errors,
+                                   batch_format="pandas"),
+                    col="value").to_pandas()
+    out["value"] = np.where(np.isnan(out["value"].to_numpy()),
+                            -1.0, out["value"].to_numpy())
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out.sort_values(["user_id", "ts"]).reset_index(drop=True)
+
+
+def _q130_attribution(sf_dir: str):
+    """Multi-touch attribution: every click within 6 h before a
+    same-user purchase earns an equal share of that purchase's
+    credit (1/n single IEEE division — no float accumulation, so
+    value-exact) — a composition over the range_join operator
+    (purchases become [ts-6h, ts] intervals; one bucket shuffle)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import broadcast_join, range_join
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type",
+                                  "ts"]).materialize()
+
+    def side(df: pd.DataFrame, which: str) -> pd.DataFrame:
+        df = df[df["event_type"] == which]
+        return pd.DataFrame({"event_id": df["event_id"]
+                             .to_numpy(np.int64),
+                             "user_id": df["user_id"]
+                             .to_numpy(np.int64),
+                             "ts": df["ts"]})
+
+    clicks = ev.map_batches(side, fn_kwargs={"which": "click"},
+                            batch_format="pandas")
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].astype("datetime64[us]")
+        return pd.DataFrame({
+            "p_event": df["event_id"].to_numpy(np.int64),
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "t_start": ts - pd.Timedelta(hours=6),
+            "t_end": ts})
+
+    purch = ev.map_batches(side, fn_kwargs={"which": "purchase"},
+                           batch_format="pandas")         .map_batches(windows, batch_format="pandas")
+    pairs = range_join(clicks, purch, by="user_id", on="ts",
+                       lo="t_start", hi="t_end",
+                       right_cols=("p_event",), suffix="")
+    pairs = pairs.map_batches(
+        lambda df: pd.DataFrame({
+            "click_event": df["event_id"].to_numpy(np.int64),
+            "p_event": df["p_event"].to_numpy(np.int64)}),
+        batch_format="pandas").materialize()
+    from mapshaper_ray.ops.relational import groupby_agg
+    n = groupby_agg(pairs, ["p_event"],
+                    {"nc": ("click_event", "count")}).to_pandas()
+    out = broadcast_join(pairs, n, on="p_event").to_pandas()
+    out["credit"] = 1.0 / out["nc"].to_numpy(np.float64)
+    return out[["click_event", "p_event", "credit"]] \
+        .sort_values(["click_event", "p_event"]) \
+        .reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -2530,6 +2679,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q123_window_funnel": _q123_window_funnel,
         "q124_temperature_mix": _q124_temperature_mix,
         "q125_chunk_docs": _q125_chunk_docs,
+        "q126_label_prop": _q126_label_prop,
+        "q127_gram_matrix": _q127_gram_matrix,
+        "q128_zorder": _q128_zorder,
+        "q129_locf_fill": _q129_locf_fill,
+        "q130_attribution": _q130_attribution,
     }
 
 
@@ -4736,6 +4890,150 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(list_slice(ts, st + 1, st + 64), ' ')
                  AS text
         FROM g ORDER BY doc_id, chunk_id"""
+
+    out["q126_label_prop"] = """
+        WITH nn AS (SELECT count(*) AS n,
+                      greatest(count(*) // 10, 8) AS c
+                    FROM documents),
+        raw AS (
+          SELECT doc_id AS s, (doc_id * 7 + 1) % nn.n AS t
+          FROM documents, nn
+          UNION ALL
+          SELECT doc_id, doc_id % nn.c FROM documents, nn
+          UNION ALL
+          SELECT doc_id, (doc_id + j.j) % nn.c
+          FROM documents, nn,
+               (VALUES (1), (2), (3), (4), (5), (6)) AS j(j)
+          WHERE doc_id < nn.c),
+        e0 AS MATERIALIZED (SELECT DISTINCT least(s, t) AS a,
+                 greatest(s, t) AS b
+               FROM raw WHERE s <> t),
+        a0 AS MATERIALIZED (SELECT a AS node FROM e0
+               UNION SELECT b AS node FROM e0),
+        l0 AS MATERIALIZED (SELECT node, node AS lab FROM a0),
+        m1 AS MATERIALIZED (
+          SELECT e.a AS node, l.lab FROM e0 e
+            JOIN l0 l ON l.node = e.b
+          UNION ALL
+          SELECT e.b AS node, l.lab FROM e0 e
+            JOIN l0 l ON l.node = e.a),
+        w1 AS MATERIALIZED (
+          SELECT node, lab FROM (
+            SELECT node, lab, count(*) AS c FROM m1
+            GROUP BY node, lab)
+          QUALIFY row_number() OVER (
+            PARTITION BY node ORDER BY c DESC, lab) = 1),
+        l1 AS MATERIALIZED (
+          SELECT l0.node, coalesce(w1.lab, l0.lab) AS lab
+          FROM l0 LEFT JOIN w1 ON l0.node = w1.node),
+        m2 AS MATERIALIZED (
+          SELECT e.a AS node, l.lab FROM e0 e
+            JOIN l1 l ON l.node = e.b
+          UNION ALL
+          SELECT e.b AS node, l.lab FROM e0 e
+            JOIN l1 l ON l.node = e.a),
+        w2 AS MATERIALIZED (
+          SELECT node, lab FROM (
+            SELECT node, lab, count(*) AS c FROM m2
+            GROUP BY node, lab)
+          QUALIFY row_number() OVER (
+            PARTITION BY node ORDER BY c DESC, lab) = 1),
+        l2 AS MATERIALIZED (
+          SELECT l1.node, coalesce(w2.lab, l1.lab) AS lab
+          FROM l1 LEFT JOIN w2 ON l1.node = w2.node),
+        m3 AS MATERIALIZED (
+          SELECT e.a AS node, l.lab FROM e0 e
+            JOIN l2 l ON l.node = e.b
+          UNION ALL
+          SELECT e.b AS node, l.lab FROM e0 e
+            JOIN l2 l ON l.node = e.a),
+        w3 AS MATERIALIZED (
+          SELECT node, lab FROM (
+            SELECT node, lab, count(*) AS c FROM m3
+            GROUP BY node, lab)
+          QUALIFY row_number() OVER (
+            PARTITION BY node ORDER BY c DESC, lab) = 1),
+        l3 AS MATERIALIZED (
+          SELECT l2.node, coalesce(w3.lab, l2.lab) AS lab
+          FROM l2 LEFT JOIN w3 ON l2.node = w3.node)
+        SELECT node, CAST(lab AS BIGINT) AS label
+        FROM l3 ORDER BY node"""
+
+    out["q127_gram_matrix"] = """
+        WITH e AS (
+          SELECT vec_id, CAST(u.r['j'] AS BIGINT) AS k,
+                 CAST(u.r['v'] AS DOUBLE) AS v
+          FROM embeddings, unnest(list_transform(
+                generate_series(1, len(embedding)),
+                i -> {'j': i, 'v': embedding[i]})) AS u(r)),
+        mm AS (SELECT k, min(v) AS mn, max(v) AS mx
+               FROM e GROUP BY k),
+        q AS MATERIALIZED (
+          SELECT e.vec_id, e.k,
+                 CASE WHEN mm.mx > mm.mn
+                      THEN CAST(floor((e.v - mm.mn)
+                                      / (mm.mx - mm.mn)
+                                      * 255) AS BIGINT)
+                      ELSE 0 END AS qv
+          FROM e JOIN mm USING (k)),
+        p AS (SELECT a.k AS i, b.k AS j, sum(a.qv * b.qv) AS v
+              FROM q a JOIN q b ON a.vec_id = b.vec_id
+                               AND a.k <= b.k
+              GROUP BY 1, 2),
+        s AS (SELECT k AS i, 0 AS j, sum(qv) AS v FROM q GROUP BY 1),
+        c AS (SELECT 0 AS i, 0 AS j, count(*) AS v FROM embeddings)
+        SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+               CAST(v AS BIGINT) AS v
+        FROM (SELECT * FROM p UNION ALL SELECT * FROM s
+              UNION ALL SELECT * FROM c)
+        ORDER BY i, j"""
+
+    # q128: the 8-bit interleave unrolled as 16 shift/mask terms;
+    # quantization mirrors the op's float64 expression order exactly
+    out["q128_zorder"] = """
+        WITH s AS (SELECT min(value) AS mn0, max(value) AS mx0,
+                     min(epoch_us(ts)) AS mn1,
+                     max(epoch_us(ts)) AS mx1
+                   FROM events),
+        q AS (SELECT e.event_id,
+                CAST(floor((e.value - s.mn0) / (s.mx0 - s.mn0)
+                           * 255.0) AS BIGINT) AS q0,
+                CAST(floor((CAST(epoch_us(e.ts) AS DOUBLE)
+                            - CAST(s.mn1 AS DOUBLE))
+                           / (CAST(s.mx1 AS DOUBLE)
+                              - CAST(s.mn1 AS DOUBLE))
+                           * 255.0) AS BIGINT) AS q1
+              FROM events e, s),
+        z AS (SELECT event_id, (((q0 >> 0) & 1) << 0) | (((q1 >> 0) & 1) << 1) | (((q0 >> 1) & 1) << 2) | (((q1 >> 1) & 1) << 3) | (((q0 >> 2) & 1) << 4) | (((q1 >> 2) & 1) << 5) | (((q0 >> 3) & 1) << 6) | (((q1 >> 3) & 1) << 7) | (((q0 >> 4) & 1) << 8) | (((q1 >> 4) & 1) << 9) | (((q0 >> 5) & 1) << 10) | (((q1 >> 5) & 1) << 11) | (((q0 >> 6) & 1) << 12) | (((q1 >> 6) & 1) << 13) | (((q0 >> 7) & 1) << 14) | (((q1 >> 7) & 1) << 15) AS zkey FROM q)
+        SELECT event_id, CAST(zkey AS BIGINT) AS zkey,
+               CAST((zkey * 16) >> 16 AS BIGINT) AS part
+        FROM z ORDER BY event_id"""
+
+    out["q129_locf_fill"] = """
+        WITH x AS (SELECT user_id, ts,
+                     CASE WHEN event_type = 'error' THEN NULL
+                          ELSE value END AS v
+                   FROM events)
+        SELECT user_id, ts,
+               coalesce(last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 -1.0) AS value
+        FROM x ORDER BY user_id, ts"""
+
+    out["q130_attribution"] = """
+        WITH c AS (SELECT event_id AS click_event, user_id, ts
+                   FROM events WHERE event_type = 'click'),
+        p AS (SELECT event_id AS p_event, user_id, ts
+              FROM events WHERE event_type = 'purchase'),
+        j AS (SELECT c.click_event, p.p_event
+              FROM c JOIN p ON c.user_id = p.user_id
+               AND c.ts >= p.ts - INTERVAL 6 HOUR
+               AND c.ts <= p.ts),
+        n AS (SELECT p_event, count(*) AS nc FROM j GROUP BY 1)
+        SELECT j.click_event, j.p_event, 1.0 / n.nc AS credit
+        FROM j JOIN n USING (p_event)
+        ORDER BY click_event, p_event"""
 
     out["q84_pretrain_pipeline"] = r"""
         -- the q12 dedup, q56 repetition-share, q76 decontamination

@@ -480,3 +480,72 @@ def scalar_quantize(ds, col: str = "embedding",
                         schema=schema)
 
     return ds.map_batches(quantize, batch_format="pyarrow")
+
+
+def gram_matrix(ds, col: str = "embedding", id_col: str = "vec_id",
+                levels: int = 256):
+    """Distributed integer Gram matrix over int8-quantized
+    embeddings — the sufficient statistics for covariance / PCA
+    whitening at corpus scale: per-dim min/max reduce (pass 1, same
+    as :func:`scalar_quantize`), then each batch contributes
+    Q^T Q (d x d int64 matmul), per-dim code sums and a row count —
+    ALL integer partials, so the reduce is order-independent and the
+    SQL mirror matches exactly (no float-sum ordering hazard; that
+    is WHY the Gram runs on the quantized codes, not raw floats).
+
+    Only d x d partials travel — the corpus never shuffles.  Returns
+    long-form rows (i, j, v), 1-based, i <= j for second moments,
+    (i, 0) per-dim sums, (0, 0) the row count; covariance follows as
+    (G[i,j] - s_i s_j / n) / n on the consumer side.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    def mm_partial(batch: "pa.Table") -> "pd.DataFrame":
+        df = batch.to_pandas()
+        if not len(df):
+            return pd.DataFrame({"k": np.empty(0, np.int64),
+                                 "mn": np.empty(0),
+                                 "mx": np.empty(0)})
+        vecs = np.stack(df[col].to_numpy()).astype(np.float64)
+        d = vecs.shape[1]
+        return pd.DataFrame({"k": np.arange(1, d + 1),
+                             "mn": vecs.min(axis=0),
+                             "mx": vecs.max(axis=0)})
+
+    mm = ds.map_batches(mm_partial, batch_format="pyarrow") \
+        .to_pandas().groupby("k").agg(mn=("mn", "min"),
+                                      mx=("mx", "max"))
+    mn = mm["mn"].to_numpy(np.float64)
+    mx = mm["mx"].to_numpy(np.float64)
+    rng_ok = mx > mn
+
+    def gram_partial(batch: "pa.Table") -> "pd.DataFrame":
+        df = batch.to_pandas()
+        if not len(df):
+            return pd.DataFrame({"i": np.empty(0, np.int64),
+                                 "j": np.empty(0, np.int64),
+                                 "v": np.empty(0, np.int64)})
+        vecs = np.stack(df[col].to_numpy()).astype(np.float64)
+        n, d = vecs.shape
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor((vecs - mn[None, :]) / (mx - mn)[None, :]
+                         * (levels - 1))
+        q = np.where(rng_ok[None, :], q, 0.0).astype(np.int64)
+        G = q.T @ q                       # exact int64 matmul
+        iu, ju = np.triu_indices(d)
+        return pd.DataFrame({
+            "i": np.concatenate([iu + 1,
+                                 np.arange(1, d + 1), [0]]),
+            "j": np.concatenate([ju + 1,
+                                 np.zeros(d, np.int64), [0]]),
+            "v": np.concatenate([G[iu, ju], q.sum(axis=0), [n]])})
+
+    from .relational import groupby_agg
+    out = groupby_agg(
+        ds.map_batches(gram_partial, batch_format="pyarrow"),
+        ["i", "j"], {"v": ("v", "sum")})
+    return out.map_batches(
+        lambda df: df.astype({"i": np.int64, "j": np.int64,
+                              "v": np.int64}),
+        batch_format="pandas")

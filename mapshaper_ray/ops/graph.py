@@ -773,3 +773,147 @@ def host_link_graph(links_ds, src_col="src_host", dst_col="dst_host",
 
     return agg.map_batches(stamp, batch_format="pandas") \
         .groupby("__part").map_groups(resolve, batch_format="pandas")
+
+
+def label_propagation(edges_ds, iters: int = 4, src_col="src",
+                      dst_col="dst", num_buckets: int = 32,
+                      broadcast_cap: int | None = None):
+    """Synchronous label propagation (community detection): every
+    node starts labelled with its own id; each round every node
+    adopts the most frequent label among its NEIGHBORS (undirected;
+    ties break to the smallest label; a node with no neighbors keeps
+    its label).  Synchronous updates + a total tie order make a
+    fixed-``iters`` run fully deterministic — and SQL-unrollable,
+    like pagerank's oracle.  Returns (node, label) after the rounds.
+
+    Distributed shape: one canonical-edge dedup up front (kcore's),
+    then per round a label join along both edge directions + a
+    grouped (node, label) count + a per-node argmax.  Below
+    ``broadcast_cap`` nodes the label table broadcasts as sorted
+    arrays (searchsorted lookup inside a stateless edge pass; only
+    per-batch count partials reduce to the driver).  Above it, a
+    bucketed hash join ships labels to edges and the count/argmax
+    run as one more bucket exchange — the driver never sees node
+    state.
+    """
+    import ray
+    import ray.data as rd
+    from .relational import (_run_bounds, groupby_agg,
+                             hash_join_bucketed)
+
+    cap = KCORE_BROADCAST_CAP if broadcast_cap is None else broadcast_cap
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src_col].to_numpy()
+        b = df[dst_col].to_numpy()
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        m = lo != hi
+        return pd.DataFrame({"a": lo[m], "b": hi[m]}).drop_duplicates()
+
+    partial = edges_ds.map_batches(canon, batch_format="pandas") \
+        .materialize()
+    n_edges = partial.count()
+    mode = "driver" if n_edges <= cap else "distributed"
+    edges = groupby_agg(partial, ["a", "b"],
+                        {"__n": ("a", "count")}, final=mode) \
+        .map_batches(lambda df: df[["a", "b"]],
+                     batch_format="pandas").materialize()
+
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": pd.unique(np.concatenate(
+            [df["a"].to_numpy(), df["b"].to_numpy()]))})
+
+    nodes_pd = groupby_agg(
+        edges.map_batches(node_rows, batch_format="pandas"),
+        ["node"], {"__n": ("node", "count")}, final=mode)
+    n_nodes = nodes_pd.count()
+
+    def _argmax(df: pd.DataFrame) -> pd.DataFrame:
+        # winner per node: highest count, then smallest label
+        node = df["node"].to_numpy()
+        lab = df["lab"].to_numpy()
+        c = df["c"].to_numpy()
+        order = np.lexsort((lab, -c, node))
+        node, lab = node[order], lab[order]
+        starts, _ = _run_bounds(node)
+        return pd.DataFrame({"node": node[starts],
+                             "lab": lab[starts]})
+
+    # broadcast path needs BOTH bounds: the label arrays are
+    # node-bounded, but the per-round count reduce that reaches the
+    # driver is bounded by distinct (node, neighbor-label) pairs —
+    # an edge-volume quantity (pagerank's driver-reduce cap logic)
+    if n_nodes <= cap and n_edges <= 4 * cap:
+        ids = np.sort(np.concatenate(
+            [b["node"].to_numpy() for b in nodes_pd.iter_batches(
+                batch_format="pandas")]))
+        labels = ids.copy()
+        for _ in range(iters):
+            ref = ray.put((ids, labels))
+
+            def count_msgs(df: pd.DataFrame) -> pd.DataFrame:
+                ids_, labels_ = ray.get(ref)
+                a = df["a"].to_numpy()
+                b = df["b"].to_numpy()
+                la = labels_[np.searchsorted(ids_, a)]
+                lb = labels_[np.searchsorted(ids_, b)]
+                node = np.concatenate([a, b])
+                lab = np.concatenate([lb, la])
+                key = pd.DataFrame({"node": node, "lab": lab})
+                g = key.groupby(["node", "lab"], sort=False) \
+                    .size().reset_index(name="c")
+                return g
+
+            cnt = edges.map_batches(count_msgs,
+                                    batch_format="pandas").to_pandas()
+            cnt = cnt.groupby(["node", "lab"], as_index=False)["c"] \
+                .sum()
+            win = _argmax(cnt)
+            new = labels.copy()
+            pos = np.searchsorted(ids, win["node"].to_numpy())
+            new[pos] = win["lab"].to_numpy()
+            labels = new
+        return rd.from_pandas(pd.DataFrame({"node": ids,
+                                            "label": labels}))
+
+    # fully distributed rounds: labels live as a Dataset
+    labels_ds = nodes_pd.map_batches(
+        lambda df: pd.DataFrame({"node": df["node"].to_numpy(),
+                                 "lab": df["node"].to_numpy()}),
+        batch_format="pandas").materialize()
+    for _ in range(iters):
+        msgs = []
+        for ecol, other in (("a", "b"), ("b", "a")):
+            e = edges.map_batches(
+                lambda df, c=ecol, o=other: pd.DataFrame(
+                    {"node": df[o].to_numpy(),
+                     "recv": df[c].to_numpy()}),
+                batch_format="pandas")
+            msgs.append(hash_join_bucketed(
+                e, labels_ds, on="node", num_buckets=num_buckets)
+                .map_batches(lambda df: pd.DataFrame(
+                    {"node": df["recv"].to_numpy(),
+                     "lab": df["lab"].to_numpy()}),
+                    batch_format="pandas"))
+        both = msgs[0].union(msgs[1])
+        cnt = groupby_agg(both.map_batches(
+            lambda df: df.groupby(["node", "lab"], sort=False)
+            .size().reset_index(name="c"), batch_format="pandas"),
+            ["node", "lab"], {"c": ("c", "sum")}, final="distributed")
+        win = cnt.map_batches(
+            lambda df: df.assign(
+                __part=(pd.util.hash_array(df["node"].to_numpy())
+                        % num_buckets).astype(np.int64)),
+            batch_format="pandas") \
+            .groupby("__part").map_groups(
+                lambda df: _argmax(df), batch_format="pandas")
+        # nodes with no incoming message keep their previous label
+        keep = hash_join_bucketed(labels_ds, win, on="node",
+                                  how="anti",
+                                  num_buckets=num_buckets)
+        labels_ds = win.union(keep).repartition(num_buckets) \
+            .materialize()
+    return labels_ds.map_batches(
+        lambda df: pd.DataFrame({"node": df["node"].to_numpy(),
+                                 "label": df["lab"].to_numpy()}),
+        batch_format="pandas")

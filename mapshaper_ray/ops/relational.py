@@ -1743,3 +1743,51 @@ def retention_cohorts(ds, user_col: str = "user_id",
                           "n_users": np.int64})
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def locf_fill(ds, col: str, user_col: str = "user_id",
+              ts_col: str = "ts", n_parts: int = 64):
+    """Last-observation-carried-forward fill: within each key's
+    time-ordered event stream, a null ``col`` takes the most recent
+    non-null value (leading nulls stay null) — the standard
+    event-stream gap repair, SQL ``last_value(col IGNORE NULLS)``.
+
+    One bucket-hash shuffle co-locates each key's events, then a
+    vectorized per-partition lexsort + forward index propagation
+    (np.maximum.accumulate over observed positions) fills every gap —
+    no per-key tasks, no global sort.  Ties on (key, ts) resolve in
+    input order within the partition, matching the window frame's
+    ROWS semantics only when (key, ts) is unique — pass a unique
+    tiebreak ts for exact parity.  Returns (user, ts, col) rows.
+    """
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[user_col].to_numpy()
+        return pd.DataFrame({
+            user_col: u,
+            "__ts": df[ts_col].astype("datetime64[us]")
+            .astype("int64").to_numpy(),
+            col: df[col].to_numpy(np.float64),
+            "__part": _key_bucket(u, n_parts)})
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[user_col].to_numpy()
+        ts = df["__ts"].to_numpy()
+        v = df[col].to_numpy(np.float64)
+        order = np.lexsort((ts, u))
+        u, ts, v = u[order], ts[order], v[order]
+        pos = np.arange(len(v))
+        seen = np.where(~np.isnan(v), pos, -1)
+        # reset the carry at key boundaries: a new key's first row
+        # must not inherit the previous key's carry
+        starts, ends = _run_bounds(u)
+        carry = np.maximum.accumulate(seen)
+        first = np.repeat(starts, ends - starts)
+        carry = np.where(carry >= first, carry, -1)
+        filled = np.where(carry >= 0, v[np.maximum(carry, 0)], np.nan)
+        return pd.DataFrame({
+            user_col: u,
+            ts_col: pd.Series(ts).astype("datetime64[us]"),
+            col: filled})
+
+    return ds.map_batches(emit, batch_format="pandas") \
+        .groupby("__part").map_groups(fill, batch_format="pandas")

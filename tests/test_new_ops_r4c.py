@@ -426,3 +426,172 @@ def test_chunk_documents_overlap_guard(ray_session):
     from mapshaper_ray.stages.text import chunk_documents
     with pytest.raises(ValueError):
         chunk_documents(None, size=8, overlap=8)
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+def _lpa_brute(df, iters):
+    E = sorted({(min(a, b), max(a, b))
+                for a, b in zip(df.src, df.dst) if a != b})
+    nodes = sorted({x for e in E for x in e})
+    lab = {x: x for x in nodes}
+    nbrs = {x: [] for x in nodes}
+    for a, b in E:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    for _ in range(iters):
+        new = {}
+        for x in nodes:
+            if not nbrs[x]:
+                new[x] = lab[x]
+                continue
+            cnt = {}
+            for y in nbrs[x]:
+                cnt[lab[y]] = cnt.get(lab[y], 0) + 1
+            best = sorted(cnt.items(),
+                          key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[x] = best
+        lab = new
+    return pd.DataFrame(sorted(lab.items()),
+                        columns=["node", "label"])
+
+
+@pytest.mark.parametrize("n_blocks,iters", [(1, 2), (5, 3)])
+def test_label_propagation_bruteforce(ray_session, n_blocks, iters):
+    from mapshaper_ray.ops.graph import label_propagation
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"src": rng.integers(0, 120, 500),
+                       "dst": rng.integers(0, 120, 500)})
+    out = label_propagation(_ds(df, n_blocks), iters=iters) \
+        .to_pandas().sort_values("node").reset_index(drop=True) \
+        .astype({"node": np.int64, "label": np.int64})
+    pd.testing.assert_frame_equal(out, _lpa_brute(df, iters),
+                                  check_dtype=False)
+
+
+def test_label_propagation_distributed_path(ray_session):
+    from mapshaper_ray.ops.graph import label_propagation
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"src": rng.integers(0, 60, 200),
+                       "dst": rng.integers(0, 60, 200)})
+    out = label_propagation(_ds(df, 3), iters=2, broadcast_cap=0) \
+        .to_pandas().sort_values("node").reset_index(drop=True) \
+        .astype({"node": np.int64, "label": np.int64})
+    pd.testing.assert_frame_equal(out, _lpa_brute(df, 2),
+                                  check_dtype=False)
+
+
+def test_label_propagation_communities(ray_session):
+    # two cliques joined by one bridge edge: each clique converges to
+    # its own minimum label
+    from mapshaper_ray.ops.graph import label_propagation
+    import itertools
+    c1 = list(itertools.combinations(range(5), 2))
+    c2 = list(itertools.combinations(range(10, 15), 2))
+    E = c1 + c2 + [(4, 10)]
+    df = pd.DataFrame(E, columns=["src", "dst"])
+    out = label_propagation(_ds(df), iters=4).to_pandas()
+    m = dict(zip(out.node, out.label))
+    assert all(m[i] == 0 for i in range(4))
+    assert all(m[i] == 10 for i in range(11, 15))
+
+
+# ---------------------------------------------------------------------------
+# gram_matrix
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n_blocks", [1, 5])
+def test_gram_matrix_bruteforce(ray_session, n_blocks):
+    from mapshaper_ray.ops.ann import gram_matrix
+    rng = np.random.default_rng(11)
+    n, d = 120, 6
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    vecs[:, 3] = 2.5                       # constant dim -> code 0
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [v for v in vecs]})
+    out = gram_matrix(_ds(df, n_blocks)).to_pandas() \
+        .sort_values(["i", "j"]).reset_index(drop=True)
+    v64 = vecs.astype(np.float64)
+    mn, mx = v64.min(0), v64.max(0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.floor((v64 - mn) / (mx - mn) * 255)
+    q = np.where(mx > mn, q, 0.0).astype(np.int64)
+    G = q.T @ q
+    rows = [(0, 0, n)] + \
+        [(i + 1, 0, int(q[:, i].sum())) for i in range(d)] + \
+        [(i + 1, j + 1, int(G[i, j]))
+         for i in range(d) for j in range(i, d)]
+    exp = pd.DataFrame(rows, columns=["i", "j", "v"]) \
+        .sort_values(["i", "j"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# zorder_keys
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n_blocks", [1, 6])
+def test_zorder_keys_bruteforce(ray_session, n_blocks):
+    from mapshaper_ray.ops.partition import zorder_keys
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({"id": np.arange(400, dtype=np.int64),
+                       "x": rng.normal(size=400),
+                       "y": rng.uniform(0, 1000, 400)})
+    out = zorder_keys(_ds(df, n_blocks), ["x", "y"], bits=8,
+                      n_parts=16).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    z = np.zeros(400, dtype=np.int64)
+    for i, c in enumerate(["x", "y"]):
+        v = df[c].to_numpy(np.float64)
+        q = np.floor((v - v.min()) / (v.max() - v.min())
+                     * 255.0).astype(np.int64)
+        sp = np.zeros(400, dtype=np.int64)
+        for b in range(8):
+            sp |= ((q >> b) & 1) << (2 * b)
+        z |= sp << i
+    assert out["zkey"].tolist() == z.tolist()
+    assert out["part"].tolist() == ((z * 16) >> 16).tolist()
+    # locality: points in the same fine z-cell share a part
+    assert out["part"].nunique() > 4
+
+
+def test_zorder_keys_constant_col_and_3d(ray_session):
+    from mapshaper_ray.ops.partition import zorder_keys
+    df = pd.DataFrame({"a": [1.0, 1.0, 1.0], "b": [0.0, 0.5, 1.0],
+                       "c": [3.0, 2.0, 1.0]})
+    out = zorder_keys(_ds(df), ["a", "b", "c"], bits=4).to_pandas()
+    # constant col contributes 0 bits; key ordering follows b asc,
+    # c desc interleaved
+    assert (out["zkey"] >= 0).all()
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        zorder_keys(_ds(df), ["a"] * 9, bits=8)
+
+
+# ---------------------------------------------------------------------------
+# locf_fill
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n_blocks", [1, 7])
+def test_locf_fill_bruteforce(ray_session, n_blocks):
+    from mapshaper_ray.ops.relational import locf_fill
+    rng = np.random.default_rng(6)
+    n = 800
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 30, n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.choice(10 ** 9, n, replace=False), unit="us"),
+        "value": np.where(rng.uniform(size=n) < 0.4, np.nan,
+                          rng.uniform(0, 100, n))})
+    out = locf_fill(_ds(df, n_blocks), col="value").to_pandas() \
+        .sort_values(["user_id", "ts"]).reset_index(drop=True)
+    exp = df.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    exp["value"] = exp.groupby("user_id")["value"].ffill()
+    exp["ts"] = exp["ts"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(
+        out.astype({"user_id": np.int64}),
+        exp.astype({"user_id": np.int64}), check_dtype=False)
+    # leading nulls stay null; some fills actually happened
+    assert out["value"].isna().sum() < df["value"].isna().sum()
