@@ -1912,6 +1912,56 @@ def _q130_attribution(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q131_rolling_dau(sf_dir: str):
+    """Rolling 7-day distinct active users per event day — exact
+    rolling COUNT DISTINCT via interval coverage (each distinct
+    (user, active-day) contributes its trailing-window days; grouped
+    dedup collapses overlaps), only users x days pairs shuffle."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import rolling_active
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    out = rolling_active(ev, window=7).to_pandas()
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def _q132_dataset_diff(sf_dir: str):
+    """Keyed dataset diff (incremental-pipeline regression check):
+    documents vs a deterministically perturbed copy (every 17th doc
+    dropped, every 13th text edited, every 29th re-keyed as new) —
+    full-outer bucketed join on 52-bit md5 fingerprints, unchanged
+    rows drop in-partition."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import dataset_diff
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
+
+    def left(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "text": df["text"].fillna("").to_numpy(object)})
+
+    def right(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].to_numpy(np.int64)
+        t = df["text"].fillna("").to_numpy(object)
+        keep = i % 17 != 0
+        ik, tk = i[keep], t[keep].copy()
+        ed = ik % 13 == 0
+        tk[ed] = np.char.add(tk[ed].astype(str), " x").astype(object)
+        add = i % 29 == 0
+        return pd.DataFrame({
+            "doc_id": np.concatenate([ik, i[add] + 1000000000]),
+            "text": np.concatenate([tk, t[add]])})
+
+    out = dataset_diff(docs.map_batches(left, batch_format="pandas"),
+                       docs.map_batches(right,
+                                        batch_format="pandas"),
+                       key="doc_id", cols=["text"]).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values(["doc_id", "status"]) \
+        .reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -2684,6 +2734,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q128_zorder": _q128_zorder,
         "q129_locf_fill": _q129_locf_fill,
         "q130_attribution": _q130_attribution,
+        "q131_rolling_dau": _q131_rolling_dau,
+        "q132_dataset_diff": _q132_dataset_diff,
     }
 
 
@@ -5034,6 +5086,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT j.click_event, j.p_event, 1.0 / n.nc AS credit
         FROM j JOIN n USING (p_event)
         ORDER BY click_event, p_event"""
+
+    out["q131_rolling_dau"] = """
+        WITH d AS (SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+                   FROM events),
+        days AS (SELECT DISTINCT day FROM d)
+        SELECT CAST(g.day AS BIGINT) AS day,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM days g JOIN d e ON e.day BETWEEN g.day - 6 AND g.day
+        GROUP BY g.day ORDER BY g.day"""
+
+    # q132: 52-bit md5 fingerprints on both sides (the op masks to 52
+    # bits so NaN padding in the outer join stays exact)
+    out["q132_dataset_diff"] = """
+        WITH l AS (SELECT doc_id, coalesce(text, '') AS text
+                   FROM documents),
+        r AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0
+                      THEN coalesce(text, '') || ' x'
+                      ELSE coalesce(text, '') END AS text
+          FROM documents WHERE doc_id % 17 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000000, coalesce(text, '')
+          FROM documents WHERE doc_id % 29 = 0),
+        j AS (SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+                CASE WHEN l.doc_id IS NULL THEN 'added'
+                     WHEN r.doc_id IS NULL THEN 'removed'
+                     WHEN md5_number_lower(l.text) % 4503599627370496
+                          <> md5_number_lower(r.text)
+                             % 4503599627370496 THEN 'changed'
+                END AS status
+              FROM l FULL OUTER JOIN r ON l.doc_id = r.doc_id)
+        SELECT doc_id, status FROM j WHERE status IS NOT NULL
+        ORDER BY doc_id, status"""
 
     out["q84_pretrain_pipeline"] = r"""
         -- the q12 dedup, q56 repetition-share, q76 decontamination

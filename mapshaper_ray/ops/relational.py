@@ -1791,3 +1791,117 @@ def locf_fill(ds, col: str, user_col: str = "user_id",
 
     return ds.map_batches(emit, batch_format="pandas") \
         .groupby("__part").map_groups(fill, batch_format="pandas")
+
+
+def rolling_active(ds, user_col: str = "user_id", ts_col: str = "ts",
+                   window: int = 7, n_parts: int = 64):
+    """Rolling distinct active users (the DAU/WAU retention curve):
+    for each event day d, how many DISTINCT users had at least one
+    event in the trailing ``window`` days [d-window+1, d].
+
+    Exact rolling COUNT DISTINCT does not decompose over a shuffle,
+    so this uses interval coverage: each distinct (user, active-day)
+    pair contributes the ``window`` days whose trailing window
+    contains it, overlaps collapse per user, and a day count reads
+    the curve.  ONE bucket-hash exchange total: events project to
+    per-batch-deduped (user, day) rows bucketed by user; each bucket
+    then dedups its users globally, expands windows against the
+    broadcast day list (the day DOMAIN is calendar-bounded — days,
+    unlike users, fit any driver), and emits per-day partial counts
+    whose final reduce is day-bounded.  Output days are restricted
+    to days that appear in the input (the SQL mirror joins the same
+    day list).  Returns (day, n_users), day = epoch days.
+    """
+    import ray
+
+    day_us = np.int64(86400 * 10 ** 6)
+
+    def daily_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            user_col: df[user_col].to_numpy(),
+            "day": df[ts_col].astype("datetime64[us]")
+            .astype("int64").to_numpy() // day_us}).drop_duplicates()
+        out["__part"] = _key_bucket(out[user_col].to_numpy(), n_parts)
+        return out
+
+    daily = ds.map_batches(daily_partial,
+                           batch_format="pandas").materialize()
+    days = np.sort(daily.map_batches(
+        lambda df: df[["day"]].drop_duplicates(),
+        batch_format="pandas").to_pandas()["day"].unique())
+    dref = ray.put(days)
+
+    def part_counts(df: pd.DataFrame) -> pd.DataFrame:
+        days_ = ray.get(dref)
+        df = df[[user_col, "day"]].drop_duplicates()
+        u = np.repeat(df[user_col].to_numpy(), window)
+        d = (np.repeat(df["day"].to_numpy(), window)
+             + np.tile(np.arange(window, dtype=np.int64), len(df)))
+        i = np.searchsorted(days_, d)
+        j = np.minimum(i, len(days_) - 1)
+        ok = (i < len(days_)) & (days_[j] == d)
+        cov = pd.DataFrame({user_col: u[ok],
+                            "day": d[ok]}).drop_duplicates()
+        g = cov.groupby("day").size().reset_index(name="n_users")
+        return g
+
+    partials = daily.groupby("__part").map_groups(
+        part_counts, batch_format="pandas")
+    out = groupby_agg(partials, ["day"],
+                      {"n_users": ("n_users", "sum")})
+    return out.map_batches(
+        lambda df: df.astype({"day": np.int64,
+                              "n_users": np.int64})
+        .sort_values("day"), batch_format="pandas")
+
+
+def dataset_diff(left_ds, right_ds, key: str, cols,
+                 num_buckets: int = 32):
+    """Keyed dataset diff (the incremental-pipeline regression
+    check): full-outer bucketed join on ``key`` comparing row
+    fingerprints — md5 of the ``cols`` values joined with the unit
+    separator — and reporting every divergent key as
+    (key, 'added' | 'removed' | 'changed'); unchanged rows drop
+    in-partition, so the output is bounded by the diff size, not
+    the table size.  Fingerprints stringify values (ints and strings
+    mirror SQL CAST exactly; avoid raw floats in ``cols``).
+    """
+    from ..stages.text import md5_lo64
+
+    cols = list(cols)
+
+    def fp(df: pd.DataFrame, out: str) -> pd.DataFrame:
+        parts = [df[c].astype(str).to_numpy(object) for c in cols]
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = np.char.add(np.char.add(
+                joined.astype(str), "\x1f"), p.astype(str))
+        # 52-bit fingerprints: the outer join NaN-pads the missing
+        # side, degrading the column to float64 — 52 bits stay exact
+        # through that round-trip (full uint64 would not)
+        h = (md5_lo64(list(joined))
+             & np.uint64((1 << 52) - 1)).astype(np.int64)
+        return pd.DataFrame({key: df[key].to_numpy(), out: h})
+
+    l_ = left_ds.map_batches(lambda df: fp(df, "__fl"),
+                             batch_format="pandas")
+    r_ = right_ds.map_batches(lambda df: fp(df, "__fr"),
+                              batch_format="pandas")
+    j = hash_join_bucketed(l_, r_, on=key, how="outer",
+                           num_buckets=num_buckets)
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        fl = df["__fl"].to_numpy(np.float64)
+        fr = df["__fr"].to_numpy(np.float64)
+        added = np.isnan(fl)
+        removed = np.isnan(fr)
+        changed = ~added & ~removed & (fl != fr)
+        status = np.full(len(df), "", dtype=object)
+        status[added] = "added"
+        status[removed] = "removed"
+        status[changed] = "changed"
+        keep = status != ""
+        return pd.DataFrame({key: df[key].to_numpy()[keep],
+                             "status": status[keep]})
+
+    return j.map_batches(classify, batch_format="pandas")

@@ -595,3 +595,52 @@ def test_locf_fill_bruteforce(ray_session, n_blocks):
         exp.astype({"user_id": np.int64}), check_dtype=False)
     # leading nulls stay null; some fills actually happened
     assert out["value"].isna().sum() < df["value"].isna().sum()
+
+
+# ---------------------------------------------------------------------------
+# rolling_active / dataset_diff
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n_blocks", [1, 7])
+def test_rolling_active_bruteforce(ray_session, n_blocks):
+    from mapshaper_ray.ops.relational import rolling_active
+    rng = np.random.default_rng(8)
+    n = 2000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 30 * 86400 * 10 ** 6, n), unit="us")})
+    out = rolling_active(_ds(df, n_blocks), window=7).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    day = (df.ts.astype("datetime64[us]").astype("int64")
+           // (86400 * 10 ** 6))
+    d = pd.DataFrame({"u": df.user_id, "day": day}).drop_duplicates()
+    rows = []
+    for g in sorted(d["day"].unique()):
+        rows.append((g, d[(d.day >= g - 6) & (d.day <= g)]["u"]
+                     .nunique()))
+    exp = pd.DataFrame(rows, columns=["day", "n_users"])
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    # the rolling count exceeds any single day's count somewhere
+    daily = d.groupby("day")["u"].nunique()
+    assert (out.set_index("day")["n_users"] >= daily).all()
+
+
+@pytest.mark.parametrize("n_blocks", [1, 5])
+def test_dataset_diff_statuses(ray_session, n_blocks):
+    from mapshaper_ray.ops.relational import dataset_diff
+    left = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64),
+        "text": [f"t{i}" for i in range(10)]})
+    right = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 5, 6, 7, 8, 9, 42],
+        "text": ["t0", "CHANGED", "t2", "t3", "t5", "t6",
+                 "t7", "t8", "CHANGED2", "new"]})
+    out = dataset_diff(_ds(left, n_blocks), _ds(right, n_blocks),
+                       key="doc_id", cols=["text"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    exp = pd.DataFrame({"doc_id": [1, 4, 9, 42],
+                        "status": ["changed", "removed", "changed",
+                                   "added"]})
+    pd.testing.assert_frame_equal(
+        out.astype({"doc_id": np.int64}), exp, check_dtype=False)
