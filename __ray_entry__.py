@@ -1962,6 +1962,46 @@ def _q132_dataset_diff(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q133_cube(sf_dir: str):
+    """GROUP BY CUBE over (lang, source): all four grouping sets from
+    one distributed finest pass, coarser sets re-aggregated from its
+    bounded result (counts re-sum)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import cube_agg
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source", "n_chars"])
+    out = cube_agg(docs, ["lang", "source"],
+                   {"n_docs": ("n_chars", "count"),
+                    "sum_chars": ("n_chars", "sum")})
+    out = out.astype({"n_docs": np.int64, "sum_chars": np.int64})
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+def _q134_edit1_pairs(sf_dir: str):
+    """FastSS edit-distance-1 similarity join over a synthesized
+    word table (base-5 letter words per doc plus truncations): no
+    all-pairs stage — single-deletion neighborhoods key every true
+    pair into exactly one group; oracle is the exhaustive
+    levenshtein join."""
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import edit1_pairs
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+
+    def words(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].to_numpy(np.int64)
+        digs = [(i // p) % 5 for p in (625, 125, 25, 5, 1)]
+        base = ["".join(chr(97 + int(d[j])) for d in digs)
+                for j in range(len(i))]
+        trunc = [w[:4] for w, v in zip(base, i) if v % 7 == 0]
+        return pd.DataFrame({"w": np.array(base + trunc,
+                                           dtype=object)})
+
+    out = edit1_pairs(ids.map_batches(words, batch_format="pandas"),
+                      col="w").to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -2736,6 +2776,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q130_attribution": _q130_attribution,
         "q131_rolling_dau": _q131_rolling_dau,
         "q132_dataset_diff": _q132_dataset_diff,
+        "q133_cube": _q133_cube,
+        "q134_edit1_pairs": _q134_edit1_pairs,
     }
 
 
@@ -5121,6 +5163,34 @@ def oracle_sql() -> dict[str, str]:
               FROM l FULL OUTER JOIN r ON l.doc_id = r.doc_id)
         SELECT doc_id, status FROM j WHERE status IS NOT NULL
         ORDER BY doc_id, status"""
+
+    out["q133_cube"] = """
+        SELECT coalesce(lang, '(all)') AS lang,
+               coalesce(source, '(all)') AS source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY CUBE (lang, source)
+        ORDER BY lang, source"""
+
+    out["q134_edit1_pairs"] = """
+        WITH s AS (
+          SELECT chr(97 + CAST((doc_id // 625) % 5 AS INT))
+              || chr(97 + CAST((doc_id // 125) % 5 AS INT))
+              || chr(97 + CAST((doc_id // 25) % 5 AS INT))
+              || chr(97 + CAST((doc_id // 5) % 5 AS INT))
+              || chr(97 + CAST(doc_id % 5 AS INT)) AS w
+          FROM documents
+          UNION ALL
+          SELECT chr(97 + CAST((doc_id // 625) % 5 AS INT))
+              || chr(97 + CAST((doc_id // 125) % 5 AS INT))
+              || chr(97 + CAST((doc_id // 25) % 5 AS INT))
+              || chr(97 + CAST((doc_id // 5) % 5 AS INT))
+          FROM documents WHERE doc_id % 7 = 0),
+        t AS MATERIALIZED (SELECT DISTINCT w FROM s)
+        SELECT a.w AS a, b.w AS b
+        FROM t a JOIN t b
+          ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+        ORDER BY a, b"""
 
     out["q84_pretrain_pipeline"] = r"""
         -- the q12 dedup, q56 repetition-share, q76 decontamination

@@ -1289,3 +1289,78 @@ def passage_dedup(ds, text_col="text", id_col="doc_id", words=20,
                              text_col: texts})
 
     return joined.map_batches(rebuild, batch_format="pandas")
+
+
+def edit1_pairs(strings_ds, col: str = "token", max_len: int = 64,
+                num_buckets: int = 64):
+    """FastSS similarity join: every unordered pair of DISTINCT input
+    strings within Levenshtein distance 1 — the spelling-variant /
+    host-typo matcher.  No all-pairs stage: each string emits its
+    full form plus its single-deletion neighborhood, keyed so that
+    (a) two strings sharing a SAME-INDEX deletion differ by exactly
+    one substitution, and (b) a string equal to another's deletion
+    variant is one indel away — every true pair lands in exactly one
+    key group (substitution pairs: the unique differing index; indel
+    pairs: the shorter string's full key), so in-group dedup is
+    global dedup and groups never see unrelated strings.  Strings
+    longer than ``max_len`` are skipped (emit volume is
+    len+1 keys/string; FastSS is a short-string — token / host /
+    identifier — matcher by design).  Returns (a, b), a < b.
+
+    The per-string deletion loop is Python by necessity (ragged
+    slicing), but runs over the DISTINCT string table, never a
+    corpus; key groups resolve with one bucket exchange.
+    """
+    from .relational import _run_bounds  # noqa: F401  (doc pointer)
+    from ..ops.partition import bucket_part
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        keys, parents = [], []
+        for s in df[col]:
+            if s is None or len(s) > max_len:
+                continue
+            keys.append("F\x1f" + s)
+            parents.append(s)
+            for i in range(len(s)):
+                d = s[:i] + s[i + 1:]
+                keys.append(f"S\x1f{i}\x1f{d}")
+                parents.append(s)
+                keys.append("F\x1f" + d)
+                parents.append(s)
+        out = pd.DataFrame({"k": np.array(keys, dtype=object),
+                            "p": np.array(parents, dtype=object)})
+        h = pd.util.hash_array(out["k"].to_numpy(object))
+        out["__part"] = bucket_part(h, num_buckets)
+        return out
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out = [], []
+        k = df["k"].to_numpy(object)
+        p = df["p"].to_numpy(object)
+        order = np.argsort(k.astype(str), kind="stable")
+        k, p = k[order], p[order]
+        bnd = np.nonzero(k[1:] != k[:-1])[0] + 1
+        starts = np.concatenate([[0], bnd])
+        ends = np.concatenate([bnd, [len(k)]])
+        for s0, e0 in zip(starts, ends):
+            key = k[s0]
+            grp = p[s0:e0]
+            if key.startswith("S\x1f"):
+                u = np.unique(grp)
+                for x in range(len(u)):
+                    for y in range(x + 1, len(u)):
+                        a_out.append(u[x])
+                        b_out.append(u[y])
+            else:
+                full = key[2:]
+                if full not in grp:
+                    continue
+                for v in np.unique(grp):
+                    if v != full:
+                        a_out.append(min(v, full))
+                        b_out.append(max(v, full))
+        return pd.DataFrame({"a": np.array(a_out, dtype=object),
+                             "b": np.array(b_out, dtype=object)})
+
+    return strings_ds.map_batches(emit, batch_format="pandas") \
+        .groupby("__part").map_groups(resolve, batch_format="pandas")

@@ -1905,3 +1905,41 @@ def dataset_diff(left_ds, right_ds, key: str, cols,
                              "status": status[keep]})
 
     return j.map_batches(classify, batch_format="pandas")
+
+
+def cube_agg(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
+             all_label: str = "(all)"):
+    """SQL ``GROUP BY CUBE(keys...)``: the aggregate at EVERY subset
+    of the key columns (2^k grouping sets), rolled-up key columns
+    carrying ``all_label``.  Like :func:`rollup_agg`, one distributed
+    pass computes the finest level and every other grouping set
+    re-aggregates that bounded result — valid because the supported
+    fns (sum/count/min/max) are re-aggregable (count re-sums).
+    Returns a pandas DataFrame, all 2^k levels unioned.
+    """
+    from itertools import combinations
+
+    for out, (col, fn) in aggs.items():
+        if fn not in ("sum", "count", "min", "max"):
+            raise ValueError(f"cube_agg: {fn} is not re-aggregable")
+    finest = groupby_agg(ds, keys, aggs, final="distributed") \
+        .to_pandas()
+    re_fn = {out: ("sum" if fn == "count" else fn)
+             for out, (col, fn) in aggs.items()}
+    levels = [finest[keys + list(aggs)]]
+    for r in range(len(keys) - 1, -1, -1):
+        for sub in combinations(keys, r):
+            sub = list(sub)
+            if sub:
+                g = finest.groupby(sub, as_index=False) \
+                    .agg({out: fn for out, fn in re_fn.items()})
+            else:
+                g = pd.DataFrame({out: [getattr(finest[out], fn)()]
+                                  for out, fn in re_fn.items()})
+            for k in keys:
+                if k not in sub:
+                    g[k] = all_label
+            levels.append(g[keys + list(aggs)])
+    out = pd.concat(levels, ignore_index=True)
+    return out.sort_values(keys, kind="mergesort") \
+        .reset_index(drop=True)

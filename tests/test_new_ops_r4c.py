@@ -644,3 +644,68 @@ def test_dataset_diff_statuses(ray_session, n_blocks):
                                    "added"]})
     pd.testing.assert_frame_equal(
         out.astype({"doc_id": np.int64}), exp, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# cube_agg / edit1_pairs
+# ---------------------------------------------------------------------------
+
+def test_cube_agg_matches_pandas(ray_session):
+    from mapshaper_ray.ops.relational import cube_agg
+    rng = np.random.default_rng(12)
+    df = pd.DataFrame({"a": rng.choice(["x", "y"], 300),
+                       "b": rng.choice(["p", "q", "r"], 300),
+                       "v": rng.integers(0, 100, 300)})
+    out = cube_agg(_ds(df, 4), ["a", "b"],
+                   {"n": ("v", "count"), "s": ("v", "sum")})
+    # 2x3 finest + 2 + 3 + 1 = 12 rows
+    assert len(out) == 12
+    g = out.set_index(["a", "b"])
+    assert g.loc[("(all)", "(all)"), "n"] == 300
+    assert g.loc[("(all)", "(all)"), "s"] == df.v.sum()
+    fx = df[df.a == "x"]
+    assert g.loc[("x", "(all)"), "s"] == fx.v.sum()
+    fq = df[df.b == "q"]
+    assert g.loc[("(all)", "q"), "n"] == len(fq)
+    fxq = df[(df.a == "x") & (df.b == "q")]
+    assert g.loc[("x", "q"), "s"] == fxq.v.sum()
+
+
+def _lev1(a, b):
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+@pytest.mark.parametrize("n_blocks", [1, 6])
+def test_edit1_pairs_bruteforce(ray_session, n_blocks):
+    from mapshaper_ray.ops.dedup import edit1_pairs
+    rng = np.random.default_rng(13)
+    words = list({"".join(rng.choice(list("abc"), rng.integers(2, 6)))
+                  for _ in range(120)})
+    df = pd.DataFrame({"token": words})
+    out = edit1_pairs(_ds(df, n_blocks)).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    exp = sorted((min(u, v), max(u, v))
+                 for i, u in enumerate(words)
+                 for v in words[i + 1:] if _lev1(u, v))
+    got = list(zip(out.a, out.b))
+    assert got == exp
+    assert len(exp) > 20          # the alphabet guarantees density
+
+
+def test_edit1_pairs_duplicates_and_maxlen(ray_session):
+    from mapshaper_ray.ops.dedup import edit1_pairs
+    df = pd.DataFrame({"token": ["ab", "ab", "abc", "x" * 100]})
+    out = edit1_pairs(_ds(df), max_len=10).to_pandas()
+    assert sorted(zip(out.a, out.b)) == [("ab", "abc")]
