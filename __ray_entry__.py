@@ -2002,6 +2002,20 @@ def _q134_edit1_pairs(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q135_user_features(sf_dir: str):
+    """Per-user behavioral feature matrix (churn-model features):
+    event/session/active-day counts, last active day and the exact
+    median inter-event gap — one bucket shuffle, every feature from
+    one vectorized pass over the sorted partition."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import user_features
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    out = user_features(ev).to_pandas()
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -2778,6 +2792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q132_dataset_diff": _q132_dataset_diff,
         "q133_cube": _q133_cube,
         "q134_edit1_pairs": _q134_edit1_pairs,
+        "q135_user_features": _q135_user_features,
     }
 
 
@@ -5191,6 +5206,25 @@ def oracle_sql() -> dict[str, str]:
         FROM t a JOIN t b
           ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
         ORDER BY a, b"""
+
+    out["q135_user_features"] = """
+        WITH s AS (SELECT user_id,
+                     epoch_us(ts) AS tu,
+                     epoch_us(ts) // 86400000000 AS day,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) AS prev
+                   FROM events)
+        SELECT user_id,
+          CAST(count(*) AS BIGINT) AS n_events,
+          CAST(1 + sum(CASE WHEN prev IS NOT NULL
+                             AND tu - prev > 14400000000
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_sessions,
+          CAST(count(DISTINCT day) AS BIGINT) AS days_active,
+          CAST(max(day) AS BIGINT) AS last_day,
+          CAST(coalesce(median(tu - prev), -1.0) AS DOUBLE)
+            AS median_gap_us
+        FROM s GROUP BY user_id ORDER BY user_id"""
 
     out["q84_pretrain_pipeline"] = r"""
         -- the q12 dedup, q56 repetition-share, q76 decontamination

@@ -1943,3 +1943,79 @@ def cube_agg(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
     out = pd.concat(levels, ignore_index=True)
     return out.sort_values(keys, kind="mergesort") \
         .reset_index(drop=True)
+
+
+def user_features(ds, user_col: str = "user_id", ts_col: str = "ts",
+                  session_gap_s: float = 4 * 3600, n_parts: int = 64):
+    """Per-user behavioral feature matrix (the churn-model feature
+    step): one row per user with
+    ``n_events``, ``n_sessions`` (gap-based, ``session_gap_s``),
+    ``days_active`` (distinct days), ``last_day`` (epoch day of the
+    latest event) and ``median_gap_us`` (exact median inter-event
+    gap in microseconds; -1 for single-event users).
+
+    ONE bucket-hash shuffle co-locates each user's events; every
+    feature then reads from one vectorized pass over the sorted
+    partition — run-bound arithmetic for counts/sessions/days, and
+    the gap median via a (user, gap) lexsort + per-run middle index
+    (medians of even runs average two middles: exact .0/.5 halves,
+    mirrored by SQL ``median``).  No per-user tasks.
+    """
+    gap_us = np.int64(round(session_gap_s * 1e6))
+    day_us = np.int64(86400 * 10 ** 6)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[user_col].to_numpy()
+        return pd.DataFrame({
+            user_col: u,
+            "__ts": df[ts_col].astype("datetime64[us]")
+            .astype("int64").to_numpy(),
+            "__part": _key_bucket(u, n_parts)})
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[user_col].to_numpy()
+        ts = df["__ts"].to_numpy()
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        starts, ends = _run_bounds(u)
+        n = ends - starts
+        # sessions: 1 + gaps > threshold within each run
+        new_u = np.zeros(len(u), dtype=bool)
+        new_u[starts] = True
+        gap = np.empty(len(u), dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        sess_break = (~new_u) & (gap > gap_us)
+        n_sessions = 1 + np.add.reduceat(
+            sess_break.astype(np.int64), starts)
+        # distinct active days per run
+        day = ts // day_us
+        day_change = np.zeros(len(u), dtype=np.int64)
+        day_change[1:] = (day[1:] != day[:-1]).astype(np.int64)
+        day_change[starts] = 0
+        days_active = 1 + np.add.reduceat(day_change, starts)
+        last_day = day[ends - 1]
+        # exact median inter-event gap per run (n-1 gaps per run)
+        med = np.full(len(starts), -1.0)
+        multi = n > 1
+        if multi.any():
+            gu = u[~new_u]
+            gv = gap[~new_u].astype(np.float64)
+            go = np.lexsort((gv, gu))
+            gu, gv = gu[go], gv[go]
+            gs, ge = _run_bounds(gu)
+            m = ge - gs
+            lo = gs + (m - 1) // 2
+            hi = gs + m // 2
+            med_vals = (gv[lo] + gv[hi]) / 2.0
+            med[multi] = med_vals
+        return pd.DataFrame({
+            user_col: u[starts],
+            "n_events": n.astype(np.int64),
+            "n_sessions": n_sessions.astype(np.int64),
+            "days_active": days_active.astype(np.int64),
+            "last_day": last_day.astype(np.int64),
+            "median_gap_us": med})
+
+    return ds.map_batches(emit, batch_format="pandas") \
+        .groupby("__part").map_groups(feats, batch_format="pandas")

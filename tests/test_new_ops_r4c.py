@@ -709,3 +709,49 @@ def test_edit1_pairs_duplicates_and_maxlen(ray_session):
     df = pd.DataFrame({"token": ["ab", "ab", "abc", "x" * 100]})
     out = edit1_pairs(_ds(df), max_len=10).to_pandas()
     assert sorted(zip(out.a, out.b)) == [("ab", "abc")]
+
+
+# ---------------------------------------------------------------------------
+# user_features
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n_blocks", [1, 7])
+def test_user_features_bruteforce(ray_session, n_blocks):
+    from mapshaper_ray.ops.relational import user_features
+    rng = np.random.default_rng(14)
+    n = 1500
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 50, n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.choice(20 * 86400 * 10 ** 6, n, replace=False),
+            unit="us")})
+    out = user_features(_ds(df, n_blocks)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    rows = []
+    for u, g in df.groupby("user_id"):
+        ts = np.sort(g.ts.astype("datetime64[us]")
+                     .astype("int64").to_numpy())
+        gaps = np.diff(ts)
+        day = ts // (86400 * 10 ** 6)
+        rows.append((
+            u, len(ts),
+            1 + int((gaps > 4 * 3600 * 10 ** 6).sum()),
+            len(np.unique(day)), int(day[-1]),
+            float(np.median(gaps)) if len(gaps) else -1.0))
+    exp = pd.DataFrame(rows, columns=[
+        "user_id", "n_events", "n_sessions", "days_active",
+        "last_day", "median_gap_us"]) \
+        .sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out.astype({"user_id": np.int64}),
+                                  exp.astype({"user_id": np.int64}),
+                                  check_dtype=False)
+
+
+def test_user_features_single_event_user(ray_session):
+    from mapshaper_ray.ops.relational import user_features
+    df = pd.DataFrame({"user_id": [7],
+                       "ts": [pd.to_datetime("2024-01-03 12:00")]})
+    out = user_features(_ds(df)).to_pandas()
+    r = out.iloc[0]
+    assert (r.n_events, r.n_sessions, r.days_active) == (1, 1, 1)
+    assert r.median_gap_us == -1.0
