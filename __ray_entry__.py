@@ -2016,6 +2016,35 @@ def _q135_user_features(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q136_multikey_join(sf_dir: str):
+    """Composite-key bucketed join: per-(user, day) event counts
+    joined back onto each event — hash_join_bucketed's multi-column
+    key path (tuple-hashed buckets, full-list in-bucket merge)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import (groupby_agg,
+                                              hash_join_bucketed)
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+
+    def daily(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "day": df["ts"].astype("datetime64[us]").astype("int64")
+            .to_numpy() // (86400 * 10 ** 6)})
+
+    d = ev.map_batches(daily, batch_format="pandas").materialize()
+    counts = groupby_agg(d, ["user_id", "day"],
+                         {"n_day": ("event_id", "count")},
+                         final="distributed")
+    out = hash_join_bucketed(d, counts, on=["user_id", "day"]) \
+        .to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out[["event_id", "user_id", "day", "n_day"]] \
+        .sort_values("event_id").reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -2793,6 +2822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q133_cube": _q133_cube,
         "q134_edit1_pairs": _q134_edit1_pairs,
         "q135_user_features": _q135_user_features,
+        "q136_multikey_join": _q136_multikey_join,
     }
 
 
@@ -5225,6 +5255,15 @@ def oracle_sql() -> dict[str, str]:
           CAST(coalesce(median(tu - prev), -1.0) AS DOUBLE)
             AS median_gap_us
         FROM s GROUP BY user_id ORDER BY user_id"""
+
+    out["q136_multikey_join"] = """
+        WITH d AS (SELECT event_id, user_id,
+                     epoch_us(ts) // 86400000000 AS day
+                   FROM events)
+        SELECT event_id, user_id, CAST(day AS BIGINT) AS day,
+               CAST(count(*) OVER (PARTITION BY user_id, day)
+                    AS BIGINT) AS n_day
+        FROM d ORDER BY event_id"""
 
     out["q84_pretrain_pipeline"] = r"""
         -- the q12 dedup, q56 repetition-share, q76 decontamination

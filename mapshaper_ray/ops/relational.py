@@ -483,11 +483,15 @@ def hash_join(left_ds, right_ds, on: str, how="inner", num_buckets=32,
                               left_cols, right_cols)
 
 
-def hash_join_bucketed(left_ds, right_ds, on: str, how="inner",
+def hash_join_bucketed(left_ds, right_ds, on, how="inner",
                        num_buckets=32, left_cols=None, right_cols=None):
     """Explicit partitioned hash join: bucket = hash(key) % B on both
     sides, union with a side tag, groupby bucket, merge per bucket.
-    The portable large-large join pattern (one shuffle per side)."""
+    The portable large-large join pattern (one shuffle per side).
+    ``on`` may be one column name or a LIST of names (composite key:
+    buckets hash the column tuple via hash_pandas_object, the
+    per-bucket merge joins on the full list)."""
+    on_cols = [on] if isinstance(on, str) else list(on)
     # Dataset.union aligns schemas by null-padding, so each side's real
     # columns must be captured up front (schema() is metadata-only).
     l_names = left_cols or [c for c in left_ds.schema().names]
@@ -531,10 +535,18 @@ def hash_join_bucketed(left_ds, right_ds, on: str, how="inner",
     def tag(side):
         def fn(t: "pa.Table") -> "pa.Table":
             cols = l_names if side == 0 else r_names
-            t = t.select(list(dict.fromkeys(cols + [on])))
-            keys = _canon_keys(t.column(on)
-                               .to_numpy(zero_copy_only=False))
-            b = (pd.util.hash_array(keys) % num_buckets).astype(np.int32)
+            t = t.select(list(dict.fromkeys(cols + on_cols)))
+            if len(on_cols) == 1:
+                keys = _canon_keys(t.column(on_cols[0])
+                                   .to_numpy(zero_copy_only=False))
+                hashed = pd.util.hash_array(keys)
+            else:
+                kf = pd.DataFrame({c: _canon_keys(
+                    t.column(c).to_numpy(zero_copy_only=False))
+                    for c in on_cols})
+                hashed = pd.util.hash_pandas_object(
+                    kf, index=False).to_numpy()
+            b = (hashed % num_buckets).astype(np.int32)
             t = t.append_column(
                 "__side", pa.array(np.full(len(t), side, np.int8)))
             return t.append_column("__bucket", pa.array(b))
@@ -554,11 +566,13 @@ def hash_join_bucketed(left_ds, right_ds, on: str, how="inner",
         # both schemas (and yields that side empty).
         if len(df) == 0 or "__side" not in df.columns:
             df = pd.DataFrame({"__side": np.empty(0, np.int8)})
-        for c in dict.fromkeys(l_names + r_names + [on]):
+        for c in dict.fromkeys(l_names + r_names + on_cols):
             if c not in df.columns:
                 df = df.assign(**{c: np.full(len(df), np.nan)})
-        lt = df[df["__side"] == 0][list(dict.fromkeys(l_names + [on]))]
-        rt = df[df["__side"] == 1][list(dict.fromkeys(r_names + [on]))]
+        lt = df[df["__side"] == 0][list(dict.fromkeys(
+            l_names + on_cols))]
+        rt = df[df["__side"] == 1][list(dict.fromkeys(
+            r_names + on_cols))]
 
         # undo the union padding's dtype degradation: side-sliced
         # rows are genuine rows of that side, so casting back to the
@@ -579,10 +593,15 @@ def hash_join_bucketed(left_ds, right_ds, on: str, how="inner",
         if how in ("semi", "anti"):
             # existence filters: left rows with (semi) / without (anti)
             # a right match — all rows of a key share the bucket, so
-            # the in-partition isin IS the global test
-            hit = lt[on].isin(pd.unique(rt[on]))
+            # the in-partition membership test IS the global test
+            if len(on_cols) == 1:
+                hit = lt[on_cols[0]].isin(pd.unique(rt[on_cols[0]]))
+            else:
+                idx = pd.MultiIndex.from_frame(lt[on_cols])
+                hit = idx.isin(pd.MultiIndex.from_frame(rt[on_cols]))
+            hit = np.asarray(hit)
             return lt[hit] if how == "semi" else lt[~hit]
-        return lt.merge(rt, on=on, how=how, suffixes=("", "_r"))
+        return lt.merge(rt, on=on_cols, how=how, suffixes=("", "_r"))
 
     return both.groupby("__bucket").map_groups(merge_bucket,
                                                batch_format="pandas")

@@ -755,3 +755,36 @@ def test_user_features_single_event_user(ray_session):
     r = out.iloc[0]
     assert (r.n_events, r.n_sessions, r.days_active) == (1, 1, 1)
     assert r.median_gap_us == -1.0
+
+
+# ---------------------------------------------------------------------------
+# composite-key hash_join_bucketed
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_hash_join_bucketed_multikey(ray_session, how):
+    from mapshaper_ray.ops.relational import hash_join_bucketed
+    rng = np.random.default_rng(15)
+    left = pd.DataFrame({"k1": rng.integers(0, 8, 300),
+                         "k2": rng.choice(["a", "b", "c"], 300),
+                         "lv": np.arange(300)})
+    right = pd.DataFrame({"k1": rng.integers(0, 8, 60),
+                          "k2": rng.choice(["a", "b", "d"], 60),
+                          "rv": np.arange(60)}).drop_duplicates(
+                              ["k1", "k2"])
+    out = hash_join_bucketed(_ds(left, 4), _ds(right, 3),
+                             on=["k1", "k2"], how=how).to_pandas()
+    if how in ("semi", "anti"):
+        idx = pd.MultiIndex.from_frame(left[["k1", "k2"]])
+        hit = np.asarray(idx.isin(
+            pd.MultiIndex.from_frame(right[["k1", "k2"]])))
+        exp = left[hit] if how == "semi" else left[~hit]
+        assert sorted(out["lv"]) == sorted(exp["lv"])
+    else:
+        exp = left.merge(right, on=["k1", "k2"], how=how)
+        assert len(out) == len(exp)
+        a = out.sort_values(["lv"]).reset_index(drop=True)
+        b = exp.sort_values(["lv"]).reset_index(drop=True)
+        av = a["rv"].fillna(-1).to_numpy(np.float64)
+        bv = b["rv"].fillna(-1).to_numpy(np.float64)
+        assert np.array_equal(np.sort(av), np.sort(bv))
