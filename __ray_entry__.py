@@ -2045,6 +2045,43 @@ def _q136_multikey_join(sf_dir: str):
         .sort_values("event_id").reset_index(drop=True)
 
 
+def _q137_group_weighted_sample(sf_dir: str):
+    """Stratified A-ES weighted sampling: top-20 docs PER SOURCE by
+    ln(u)/w — weighted_sample's group_col path (per-group per-block
+    partials, k x groups x blocks driver reduce)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import weighted_sample
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+
+    def addw(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "source": df["source"].to_numpy(object),
+            "w": df["n_chars"].to_numpy(np.int64) + 1})
+
+    out = weighted_sample(docs.map_batches(addw,
+                                           batch_format="pandas"),
+                          k=20, weight_col="w", seed="s0",
+                          group_col="source")
+    return out[["doc_id", "source", "w", "key"]] \
+        .reset_index(drop=True)
+
+
+def _q138_histogram(sf_dir: str):
+    """Exact 32-bin histogram of event values: min/max reduce +
+    per-batch integer bin partials (single-IEEE-op bin edges, so the
+    SQL mirror matches bin-for-bin)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import histogram
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["value"])
+    out = histogram(ev, "value", bins=32)
+    out["bin"] = out["bin"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -2823,6 +2860,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q134_edit1_pairs": _q134_edit1_pairs,
         "q135_user_features": _q135_user_features,
         "q136_multikey_join": _q136_multikey_join,
+        "q137_group_weighted_sample": _q137_group_weighted_sample,
+        "q138_histogram": _q138_histogram,
     }
 
 
@@ -5264,6 +5303,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) OVER (PARTITION BY user_id, day)
                     AS BIGINT) AS n_day
         FROM d ORDER BY event_id"""
+
+    out["q137_group_weighted_sample"] = """
+        WITH h AS (SELECT doc_id, source,
+                     CAST(n_chars + 1 AS BIGINT) AS w,
+                     md5_number_lower('s0:' || CAST(doc_id AS VARCHAR))
+                       AS hh
+                   FROM documents),
+        k AS (SELECT doc_id, source, w,
+                CAST(floor(ln((CAST(hh AS DOUBLE) + 1)
+                     / 18446744073709551616.0) * 1000000000)
+                  AS BIGINT) AS L
+              FROM h)
+        SELECT doc_id, source, w,
+               CAST(L AS DOUBLE) / CAST(w AS DOUBLE) AS key
+        FROM k
+        QUALIFY row_number() OVER (PARTITION BY source
+          ORDER BY CAST(L AS DOUBLE) / CAST(w AS DOUBLE) DESC,
+                   doc_id) <= 20
+        ORDER BY source, key DESC, doc_id"""
+
+    out["q138_histogram"] = """
+        WITH s AS (SELECT min(value) AS mn, max(value) AS mx
+                   FROM events),
+        b AS (SELECT least(greatest(CAST(floor(
+                (e.value - s.mn) / (s.mx - s.mn) * 32) AS BIGINT),
+                0), 31) AS bin
+              FROM events e, s),
+        c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n
+              FROM b GROUP BY bin),
+        g AS (SELECT CAST(u.b AS BIGINT) AS bin
+              FROM unnest(range(0, 32)) AS u(b))
+        SELECT g.bin,
+               s.mn + g.bin * ((s.mx - s.mn) / 32) AS lo,
+               s.mn + (g.bin + 1) * ((s.mx - s.mn) / 32) AS hi,
+               coalesce(c.n, 0) AS n
+        FROM g CROSS JOIN s LEFT JOIN c ON g.bin = c.bin
+        ORDER BY g.bin"""
 
     out["q84_pretrain_pipeline"] = r"""
         -- the q12 dedup, q56 repetition-share, q76 decontamination

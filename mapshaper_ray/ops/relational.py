@@ -1654,7 +1654,8 @@ def funnel(ds, steps, user_col: str = "user_id", ts_col: str = "ts",
 
 
 def weighted_sample(ds, k: int, weight_col: str, id_col: str = "doc_id",
-                    seed: str = "s0", qscale: int = 10 ** 9):
+                    seed: str = "s0", qscale: int = 10 ** 9,
+                    group_col: str | None = None):
     """Efraimidis–Spirakis (A-ES) weighted sampling WITHOUT
     replacement: each row draws u = hash-uniform(0,1] and the k
     largest u^(1/w) win — equivalently the k largest ln(u)/w, which
@@ -1672,9 +1673,11 @@ def weighted_sample(ds, k: int, weight_col: str, id_col: str = "doc_id",
     undefined).
 
     Distributed shape: per-block top-k partials (k rows each) reduce
-    on the driver — k x n_blocks rows, never the corpus.  Returns a
-    pandas DataFrame of the k winners (+ ``key`` column), ordered by
-    key desc then id.
+    on the driver — k x n_blocks rows, never the corpus.  With
+    ``group_col``, the top-k is PER GROUP (stratified weighted
+    sampling): partials keep k rows per group per block, the driver
+    reduce is k x groups x n_blocks.  Returns a pandas DataFrame of
+    the winners (+ ``key`` column), ordered by group, key desc, id.
     """
     import math
 
@@ -1700,13 +1703,25 @@ def weighted_sample(ds, k: int, weight_col: str, id_col: str = "doc_id",
             q[fix] = [float(math.floor(math.log(x) * S))
                       for x in u[fix]]
         key = q / w
-        order = np.lexsort((df[id_col].to_numpy(), -key))[:k]
-        return df.assign(key=key).iloc[order]
+        return _topk(df.assign(key=key))
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["key"].to_numpy()
+        ids = df[id_col].to_numpy()
+        if group_col is None:
+            order = np.lexsort((ids, -key))[:k]
+            return df.iloc[order]
+        g = df[group_col].to_numpy()
+        order = np.lexsort((ids, -key, g))
+        gs = g[order]
+        bnd = np.nonzero(gs[1:] != gs[:-1])[0] + 1
+        starts = np.concatenate([[0], bnd])
+        run = np.arange(len(gs)) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(gs)]])))
+        return df.iloc[order[run < k]]
 
     pdf = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    order = np.lexsort((pdf[id_col].to_numpy(),
-                        -pdf["key"].to_numpy()))[:k]
-    return pdf.iloc[order].reset_index(drop=True)
+    return _topk(pdf).reset_index(drop=True)
 
 
 def retention_cohorts(ds, user_col: str = "user_id",
@@ -2038,3 +2053,43 @@ def user_features(ds, user_col: str = "user_id", ts_col: str = "ts",
 
     return ds.map_batches(emit, batch_format="pandas") \
         .groupby("__part").map_groups(feats, batch_format="pandas")
+
+
+def histogram(ds, col: str, bins: int = 32, mn=None, mx=None):
+    """Exact distributed histogram: one min/max reduce (skipped when
+    ``mn``/``mx`` are given), then per-batch integer bin-count
+    partials — bin = floor((v - mn) / (mx - mn) * bins) clipped to
+    [0, bins-1], single IEEE ops so a SQL mirror matches exactly —
+    summed on the driver (``bins`` ints).  NaNs drop.  Returns a
+    pandas DataFrame (bin, lo, hi, n) with float bin edges.
+    """
+    if mn is None or mx is None:
+        def mm(df: pd.DataFrame) -> pd.DataFrame:
+            v = df[col].to_numpy(np.float64)
+            v = v[~np.isnan(v)]
+            if not len(v):
+                return pd.DataFrame({"mn": [], "mx": []})
+            return pd.DataFrame({"mn": [v.min()], "mx": [v.max()]})
+        mmdf = ds.map_batches(mm, batch_format="pandas").to_pandas()
+        mn = float(mmdf["mn"].min()) if mn is None else mn
+        mx = float(mmdf["mx"].max()) if mx is None else mx
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(np.float64)
+        v = v[~np.isnan(v)]
+        if mx > mn:
+            b = np.floor((v - mn) / (mx - mn) * bins).astype(np.int64)
+            b = np.clip(b, 0, bins - 1)
+        else:
+            b = np.zeros(len(v), dtype=np.int64)
+        return pd.DataFrame({"bin": np.arange(bins, dtype=np.int64),
+                             "n": np.bincount(b, minlength=bins)
+                             .astype(np.int64)})
+
+    agg = ds.map_batches(counts, batch_format="pandas").to_pandas() \
+        .groupby("bin", as_index=False)["n"].sum()
+    w = (mx - mn) / bins
+    agg["lo"] = mn + agg["bin"].to_numpy(np.float64) * w
+    agg["hi"] = mn + (agg["bin"].to_numpy(np.float64) + 1) * w
+    return agg[["bin", "lo", "hi", "n"]].sort_values("bin") \
+        .reset_index(drop=True)

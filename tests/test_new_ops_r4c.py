@@ -788,3 +788,52 @@ def test_hash_join_bucketed_multikey(ray_session, how):
         av = a["rv"].fillna(-1).to_numpy(np.float64)
         bv = b["rv"].fillna(-1).to_numpy(np.float64)
         assert np.array_equal(np.sort(av), np.sort(bv))
+
+
+# ---------------------------------------------------------------------------
+# grouped weighted_sample / histogram
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_grouped(ray_session):
+    import math
+    from mapshaper_ray.ops.relational import weighted_sample
+    from mapshaper_ray.stages.text import md5_lo64
+    df = pd.DataFrame({
+        "doc_id": np.arange(600, dtype=np.int64),
+        "g": np.array(["a", "b", "c"])[np.arange(600) % 3],
+        "w": (np.arange(600) % 9 + 1).astype(np.int64)})
+    out = weighted_sample(_ds(df, 5), 10, "w", group_col="g")
+    assert out.groupby("g").size().tolist() == [10, 10, 10]
+    # per-group winners match the global key ranking within the group
+    h = md5_lo64([f"s0:{i}" for i in df.doc_id])
+    u = (h.astype(np.float64) + 1.0) / 2.0 ** 64
+    L = np.array([math.floor(math.log(x) * 1e9) for x in u],
+                 dtype=np.float64)
+    key = L / df.w.to_numpy(np.float64)
+    for g in ["a", "b", "c"]:
+        m = (df.g == g).to_numpy()
+        order = np.lexsort((df.doc_id.to_numpy()[m], -key[m]))[:10]
+        exp_ids = df.doc_id.to_numpy()[m][order]
+        got = out[out.g == g]["doc_id"].to_numpy()
+        assert np.array_equal(np.sort(got), np.sort(exp_ids))
+    # partition invariance
+    out2 = weighted_sample(_ds(df, 1), 10, "w", group_col="g")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  out2.reset_index(drop=True))
+
+
+@pytest.mark.parametrize("n_blocks", [1, 6])
+def test_histogram_bruteforce(ray_session, n_blocks):
+    from mapshaper_ray.ops.relational import histogram
+    rng = np.random.default_rng(16)
+    v = np.concatenate([rng.normal(10, 3, 900), [np.nan] * 20])
+    df = pd.DataFrame({"value": v})
+    out = histogram(_ds(df, n_blocks), "value", bins=16)
+    vv = v[~np.isnan(v)]
+    mn, mx = vv.min(), vv.max()
+    b = np.clip(np.floor((vv - mn) / (mx - mn) * 16).astype(int),
+                0, 15)
+    exp = np.bincount(b, minlength=16)
+    assert out["n"].tolist() == exp.tolist()
+    assert out["n"].sum() == len(vv)
+    assert out["lo"][0] == mn and abs(out["hi"][15] - mx) < 1e-9
