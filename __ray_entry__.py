@@ -2082,6 +2082,32 @@ def _q138_histogram(sf_dir: str):
     return out
 
 
+def _q139_ntile(sf_dir: str):
+    """Exact NTILE(10) over event values (ties ordered by event_id,
+    making the window deterministic) — the percent_rank bucket-prefix
+    shape: no global sort, per-bucket exact row numbers + pure
+    arithmetic tiles."""
+    import ray.data as rd
+    from mapshaper_ray.ops.rank import ntile
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+    out = ntile(ev, "value", "event_id", 10).to_pandas()
+    out["event_id"] = out["event_id"].astype(np.int64)
+    out["tile"] = out["tile"].astype(np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _q140_event_paths(sf_dir: str):
+    """Top event paths: counts of every consecutive 3-step event-type
+    sequence within a user's time-ordered stream — one bucket
+    shuffle + shifted-array windows, |types|^3-bounded reduce."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import event_sequences
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    return event_sequences(ev, k=3).reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -2862,6 +2888,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q136_multikey_join": _q136_multikey_join,
         "q137_group_weighted_sample": _q137_group_weighted_sample,
         "q138_histogram": _q138_histogram,
+        "q139_ntile": _q139_ntile,
+        "q140_event_paths": _q140_event_paths,
     }
 
 
@@ -5340,6 +5368,24 @@ def oracle_sql() -> dict[str, str]:
                coalesce(c.n, 0) AS n
         FROM g CROSS JOIN s LEFT JOIN c ON g.bin = c.bin
         ORDER BY g.bin"""
+
+    out["q139_ntile"] = """
+        SELECT event_id, value,
+               CAST(ntile(10) OVER (ORDER BY value, event_id)
+                    AS BIGINT) AS tile
+        FROM events ORDER BY event_id"""
+
+    out["q140_event_paths"] = """
+        WITH s AS (SELECT user_id, event_type,
+                     lead(event_type, 1) OVER (
+                       PARTITION BY user_id ORDER BY ts) AS t2,
+                     lead(event_type, 2) OVER (
+                       PARTITION BY user_id ORDER BY ts) AS t3
+                   FROM events)
+        SELECT event_type AS s1, t2 AS s2, t3 AS s3,
+               CAST(count(*) AS BIGINT) AS n
+        FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        GROUP BY 1, 2, 3 ORDER BY n DESC, s1, s2, s3"""
 
     out["q84_pretrain_pipeline"] = r"""
         -- the q12 dedup, q56 repetition-share, q76 decontamination

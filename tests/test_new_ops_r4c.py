@@ -837,3 +837,52 @@ def test_histogram_bruteforce(ray_session, n_blocks):
     assert out["n"].tolist() == exp.tolist()
     assert out["n"].sum() == len(vv)
     assert out["lo"][0] == mn and abs(out["hi"][15] - mx) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# ntile / event_sequences
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n_blocks,n", [(1, 4), (7, 10)])
+def test_ntile_bruteforce(ray_session, n_blocks, n):
+    from mapshaper_ray.ops.rank import ntile
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({"id": np.arange(777, dtype=np.int64),
+                       "v": rng.choice([1.5, 2.5, 3.5, 9.0], 777)})
+    out = ntile(_ds(df, n_blocks), "v", "id", n).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    order = np.lexsort((df.id.to_numpy(), df.v.to_numpy()))
+    rn = np.empty(777, dtype=np.int64)
+    rn[order] = np.arange(777) + 1
+    exp_tile = ((rn - 1) * n) // 777 + 1
+    assert out["tile"].tolist() == exp_tile[np.argsort(
+        df.id.to_numpy())].tolist()
+    # NTILE size contract: first N%n tiles one row larger
+    sizes = out.groupby("tile").size()
+    assert sizes.max() - sizes.min() <= 1
+    assert sizes.sum() == 777
+
+
+@pytest.mark.parametrize("n_blocks", [1, 7])
+def test_event_sequences_bruteforce(ray_session, n_blocks):
+    from mapshaper_ray.ops.relational import event_sequences
+    rng = np.random.default_rng(18)
+    n = 900
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 25, n),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.choice(10 ** 9, n, replace=False), unit="us")})
+    out = event_sequences(_ds(df, n_blocks), k=3)
+    cnt = {}
+    for _, g in df.groupby("user_id"):
+        t = g.sort_values("ts")["event_type"].tolist()
+        for i in range(len(t) - 2):
+            cnt[tuple(t[i:i + 3])] = cnt.get(tuple(t[i:i + 3]), 0) + 1
+    exp = pd.DataFrame([(a, b, c, v)
+                        for (a, b, c), v in cnt.items()],
+                       columns=["s1", "s2", "s3", "n"]) \
+        .sort_values(["n", "s1", "s2", "s3"],
+                     ascending=[False, True, True, True],
+                     kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
