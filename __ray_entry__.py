@@ -2108,6 +2108,109 @@ def _q140_event_paths(sf_dir: str):
     return event_sequences(ev, k=3).reset_index(drop=True)
 
 
+def _q141_ddsketch(sf_dir: str):
+    """DDSketch relative-error quantiles (Masson et al., VLDB 2019)
+    over event values: mergeable log-bucket partials (gamma =
+    2**(1/8)), integer-rank quantile walk — the oracle-compared
+    columns are all integers, so the sketch is hash-exact vs the SQL
+    bucket rebuild."""
+    import ray.data as rd
+    from mapshaper_ray.ops.sketch import (ddsketch_build,
+                                          ddsketch_quantiles)
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["value"])
+    sk = ddsketch_build(ev, "value")
+    out = ddsketch_quantiles(sk, [(1, 100), (1, 4), (1, 2), (3, 4),
+                                  (9, 10), (99, 100)])
+    out = out.astype({"sign": np.int64, "bucket": np.int64,
+                      "n_le": np.int64})
+    return out.sort_values("q").reset_index(drop=True)
+
+
+def _q142_bfs(sf_dir: str):
+    """BFS hop distances (<= 3 hops) from node 0 over the q126
+    community graph — synchronous frontier expansion, count-gated
+    broadcast vs bucketed anti-join rounds; oracle = three unrolled
+    DISTINCT-neighbor CTE hops."""
+    import ray.data as rd
+    from mapshaper_ray.ops.graph import bfs_distances
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id"])
+    n = ids.count()
+    C = max(n // 10, 8)
+
+    def mk_edges(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(np.int64)
+        cl = d[d < C]
+        src = [d, d]
+        dst = [(d * 7 + 1) % n, d % C]
+        for j in range(1, 7):
+            src.append(cl)
+            dst.append((cl + j) % C)
+        return pd.DataFrame({"src": np.concatenate(src),
+                             "dst": np.concatenate(dst)})
+
+    out = bfs_distances(
+        ids.map_batches(mk_edges, batch_format="pandas"),
+        [0], max_hops=3).to_pandas()
+    out = out.astype({"node": np.int64, "dist": np.int64})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _q143_url_blocklist(sf_dir: str):
+    """C4-style URL blocklist filter: synthetic crawl urls (mixed
+    case, ports, subdomain tiers) against a domain-suffix blocklist —
+    blocked when host equals or is a subdomain of an entry; broadcast
+    frozenset + vectorized suffix explode, no shuffle."""
+    import ray.data as rd
+    from mapshaper_ray.stages.pages import filter_blocked_hosts
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def mk_urls(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].to_numpy(np.int64)
+        sub = pd.Series(np.select([i % 3 == 0, i % 3 == 1],
+                                  ["www.", "Ads."], ""))
+        port = pd.Series(np.where(i % 4 == 0, ":80", ""))
+        return pd.DataFrame({
+            "doc_id": i,
+            "url": ("http://" + sub + "Site"
+                    + pd.Series(i % 40).astype(str) + ".example"
+                    + port + "/p/" + pd.Series(i).astype(str))
+                   .to_numpy(object)})
+
+    blocked = ["site7.example", "site13.example", "ads.site21.example"]
+    out = filter_blocked_hosts(
+        docs.map_batches(mk_urls, batch_format="pandas"),
+        blocked).to_pandas()
+    out = out[["doc_id", "host"]].astype({"doc_id": np.int64})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q144_resample(sf_dir: str):
+    """Daily time-series resampling of the event stream per event
+    type with zero-filled gaps over the global calendar — integer
+    bucket arithmetic + floor-quantized value sums, value-exact vs
+    the SQL generate_series mirror."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import resample_time
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    return resample_time(ev, "ts", "event_type", "value",
+                         every_s=86400, qscale=100)
+
+
+def _q145_skipgram(sf_dir: str):
+    """Skip-gram co-occurrence counts (window 2, unordered pairs,
+    n >= 5) over document text — vectorized shifted-array pair emit
+    per batch, one bucket shuffle of pair-count partials."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import skipgram_counts
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    return skipgram_counts(docs, window=2, min_count=5)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -2890,6 +2993,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q138_histogram": _q138_histogram,
         "q139_ntile": _q139_ntile,
         "q140_event_paths": _q140_event_paths,
+        "q141_ddsketch": _q141_ddsketch,
+        "q142_bfs": _q142_bfs,
+        "q143_url_blocklist": _q143_url_blocklist,
+        "q144_resample": _q144_resample,
+        "q145_skipgram": _q145_skipgram,
     }
 
 
@@ -5386,6 +5494,135 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n
         FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
         GROUP BY 1, 2, 3 ORDER BY n DESC, s1, s2, s3"""
+
+    out["q141_ddsketch"] = """
+        WITH b AS (
+          SELECT CASE WHEN value > 0 THEN 1
+                      WHEN value < 0 THEN -1 ELSE 0 END AS sign,
+                 CASE WHEN value = 0 THEN 0
+                      ELSE CAST(ceil(8 * log2(abs(value)))
+                                AS BIGINT) END AS bucket
+          FROM events WHERE value IS NOT NULL),
+        c AS (SELECT sign, bucket, count(*) AS n
+              FROM b GROUP BY 1, 2),
+        o AS (SELECT sign, bucket,
+                     sum(n) OVER (ORDER BY sign, sign * bucket
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM c),
+        t AS (SELECT count(*) AS N FROM b),
+        qs(q, num, den) AS (VALUES
+          ('1/100', 1, 100), ('1/4', 1, 4), ('1/2', 1, 2),
+          ('3/4', 3, 4), ('9/10', 9, 10), ('99/100', 99, 100)),
+        sel AS (
+          SELECT qs.q, o.sign, o.bucket, o.cum,
+                 row_number() OVER (PARTITION BY qs.q
+                   ORDER BY o.sign, o.sign * o.bucket) AS rn
+          FROM qs CROSS JOIN t
+          JOIN o ON o.cum >= (t.N - 1) * qs.num // qs.den + 1)
+        SELECT q, sign, bucket, CAST(cum AS BIGINT) AS n_le
+        FROM sel WHERE rn = 1 ORDER BY q"""
+
+    out["q142_bfs"] = """
+        WITH nn AS (SELECT count(*) AS n,
+                      greatest(count(*) // 10, 8) AS c
+                    FROM documents),
+        raw AS (
+          SELECT doc_id AS s, (doc_id * 7 + 1) % nn.n AS t
+          FROM documents, nn
+          UNION ALL
+          SELECT doc_id, doc_id % nn.c FROM documents, nn
+          UNION ALL
+          SELECT doc_id, (doc_id + j.j) % nn.c
+          FROM documents, nn,
+               (VALUES (1), (2), (3), (4), (5), (6)) AS j(j)
+          WHERE doc_id < nn.c),
+        e0 AS MATERIALIZED (SELECT DISTINCT least(s, t) AS a,
+                 greatest(s, t) AS b
+               FROM raw WHERE s <> t),
+        d0 AS (SELECT CAST(0 AS BIGINT) AS node),
+        r1 AS MATERIALIZED (
+          SELECT DISTINCT x.node FROM (
+            SELECT e.b AS node FROM e0 e JOIN d0 ON e.a = d0.node
+            UNION ALL
+            SELECT e.a FROM e0 e JOIN d0 ON e.b = d0.node) x
+          WHERE x.node NOT IN (SELECT node FROM d0)),
+        k1 AS (SELECT node FROM d0 UNION ALL SELECT node FROM r1),
+        r2 AS MATERIALIZED (
+          SELECT DISTINCT x.node FROM (
+            SELECT e.b AS node FROM e0 e JOIN r1 ON e.a = r1.node
+            UNION ALL
+            SELECT e.a FROM e0 e JOIN r1 ON e.b = r1.node) x
+          WHERE x.node NOT IN (SELECT node FROM k1)),
+        k2 AS (SELECT node FROM k1 UNION ALL SELECT node FROM r2),
+        r3 AS MATERIALIZED (
+          SELECT DISTINCT x.node FROM (
+            SELECT e.b AS node FROM e0 e JOIN r2 ON e.a = r2.node
+            UNION ALL
+            SELECT e.a FROM e0 e JOIN r2 ON e.b = r2.node) x
+          WHERE x.node NOT IN (SELECT node FROM k2))
+        SELECT node, CAST(d AS BIGINT) AS dist FROM (
+          SELECT node, 0 AS d FROM d0
+          UNION ALL SELECT node, 1 FROM r1
+          UNION ALL SELECT node, 2 FROM r2
+          UNION ALL SELECT node, 3 FROM r3)
+        ORDER BY node"""
+
+    _bh_host, _bh_cond = __import__(
+        "mapshaper_ray.stages.pages", fromlist=["blocked_hosts_sql"]) \
+        .blocked_hosts_sql(
+            ["site7.example", "site13.example", "ads.site21.example"],
+            url_col="url")
+    out["q143_url_blocklist"] = """
+        WITH u AS (
+          SELECT doc_id,
+                 'http://' ||
+                 CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                      WHEN doc_id % 3 = 1 THEN 'Ads.' ELSE '' END ||
+                 'Site' || CAST(doc_id % 40 AS VARCHAR) || '.example' ||
+                 CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END ||
+                 '/p/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents),
+        h AS (SELECT doc_id, __BH_HOST__ AS host FROM u)
+        SELECT doc_id, host FROM h
+        WHERE NOT __BH_COND__
+        ORDER BY doc_id""".replace("__BH_HOST__", _bh_host) \
+        .replace("__BH_COND__", _bh_cond)
+
+    out["q144_resample"] = """
+        WITH b AS (
+          SELECT event_type,
+                 epoch_us(ts) // 86400000000 AS bk,
+                 CAST(floor(value * 100) AS BIGINT) AS q
+          FROM events),
+        agg AS (SELECT event_type, bk, count(*) AS n, sum(q) AS sq
+                FROM b GROUP BY 1, 2),
+        rng AS (SELECT min(bk) AS lo, max(bk) AS hi FROM b),
+        cal AS (SELECT u.bk FROM rng,
+                  unnest(generate_series(rng.lo, rng.hi)) AS u(bk)),
+        ks AS (SELECT DISTINCT event_type FROM b)
+        SELECT ks.event_type,
+               make_timestamp(cal.bk * 86400000000) AS bucket_ts,
+               CAST(coalesce(agg.n, 0) AS BIGINT) AS n,
+               CAST(coalesce(agg.sq, 0) AS BIGINT) AS sum_q
+        FROM ks CROSS JOIN cal
+        LEFT JOIN agg ON agg.event_type = ks.event_type
+                     AND agg.bk = cal.bk
+        ORDER BY ks.event_type, cal.bk"""
+
+    out["q145_skipgram"] = r"""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), '\S+') AS ts
+                   FROM documents),
+        p AS (SELECT doc_id, u.i AS i, ts[u.i] AS w
+              FROM t, unnest(generate_series(1, len(ts))) AS u(i)),
+        pr AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+               FROM p a JOIN p b
+                 ON a.doc_id = b.doc_id AND b.i > a.i
+                AND b.i <= a.i + 2)
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+        FROM pr GROUP BY 1, 2 HAVING count(*) >= 5
+        ORDER BY n DESC, w1, w2"""
+
 
     out["q84_pretrain_pipeline"] = r"""
         -- the q12 dedup, q56 repetition-share, q76 decontamination

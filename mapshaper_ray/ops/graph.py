@@ -917,3 +917,127 @@ def label_propagation(edges_ds, iters: int = 4, src_col="src",
         lambda df: pd.DataFrame({"node": df["node"].to_numpy(),
                                  "label": df["lab"].to_numpy()}),
         batch_format="pandas")
+
+
+def bfs_distances(edges_ds, seeds, max_hops: int = 3,
+                  src_col="src", dst_col="dst", num_buckets: int = 32,
+                  broadcast_cap: int | None = None):
+    """BFS hop distances from a seed set over an UNDIRECTED graph:
+    returns (node, dist) for every node within ``max_hops`` hops
+    (seeds at dist 0).  Synchronous frontier expansion with a fixed
+    hop budget makes the result deterministic and SQL-unrollable
+    (one DISTINCT-neighbor CTE per hop), like label_propagation.
+
+    Distributed shape: one canonical-edge dedup exchange up front
+    (kcore's), then per hop a frontier->neighbor expansion and a
+    known-set anti.  Below ``broadcast_cap`` REACHED nodes the
+    known/frontier sets broadcast as sorted arrays and each hop is
+    one stateless edge pass emitting per-batch UNIQUE neighbor
+    partials (bounded by reached nodes, never edge volume).  Above
+    the cap, the frontier ships to edges via two bucketed semi-joins
+    (src side + dst side), the candidate set dedups in a distributed
+    grouped reduce and subtracts the known table with a bucketed
+    anti-join — node state never reaches the driver.
+    """
+    import ray
+    import ray.data as rd
+    from .relational import groupby_agg, hash_join_bucketed
+
+    cap = KCORE_BROADCAST_CAP if broadcast_cap is None else broadcast_cap
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src_col].to_numpy()
+        b = df[dst_col].to_numpy()
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        m = lo != hi
+        return pd.DataFrame({"a": lo[m], "b": hi[m]}).drop_duplicates()
+
+    partial = edges_ds.map_batches(canon, batch_format="pandas") \
+        .materialize()
+    n_edges = partial.count()
+    mode = "driver" if n_edges <= cap else "distributed"
+    edges = groupby_agg(partial, ["a", "b"],
+                        {"__n": ("a", "count")}, final=mode) \
+        .map_batches(lambda df: df[["a", "b"]],
+                     batch_format="pandas").materialize()
+
+    seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+
+    if n_edges <= cap:
+        # broadcast rounds: known ids + frontier as sorted arrays
+        known = seed_arr.copy()
+        dists = [pd.DataFrame({"node": seed_arr,
+                               "dist": np.zeros(len(seed_arr),
+                                                np.int64)})]
+        frontier = seed_arr
+        for h in range(1, max_hops + 1):
+            if not len(frontier):
+                break
+            ref = ray.put(frontier)
+
+            def neigh(df: pd.DataFrame) -> pd.DataFrame:
+                f = ray.get(ref)
+                a = df["a"].to_numpy()
+                b = df["b"].to_numpy()
+                ina = f[np.searchsorted(f, a).clip(0, len(f) - 1)] == a
+                inb = f[np.searchsorted(f, b).clip(0, len(f) - 1)] == b
+                cand = np.unique(np.concatenate([b[ina], a[inb]]))
+                return pd.DataFrame({"node": cand})
+
+            cand = np.unique(np.concatenate(
+                [bt["node"].to_numpy() for bt in
+                 edges.map_batches(neigh, batch_format="pandas")
+                 .iter_batches(batch_format="pandas")] or
+                [np.empty(0, np.int64)]))
+            idx = np.searchsorted(known, cand).clip(0, len(known) - 1) \
+                if len(known) else np.zeros(len(cand), np.int64)
+            new = cand[known[idx] != cand] if len(known) else cand
+            if not len(new):
+                break
+            dists.append(pd.DataFrame(
+                {"node": new, "dist": np.full(len(new), h, np.int64)}))
+            known = np.union1d(known, new)
+            frontier = new
+        out = pd.concat(dists, ignore_index=True)
+        return rd.from_pandas(out.sort_values("node")
+                              .reset_index(drop=True))
+
+    # bucketed rounds: dist table lives as a Dataset end to end
+    dist = rd.from_pandas(pd.DataFrame(
+        {"node": seed_arr,
+         "dist": np.zeros(len(seed_arr), np.int64)})).materialize()
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        fr_nodes = frontier.map_batches(
+            lambda df: df[["node"]], batch_format="pandas")
+        via_a = hash_join_bucketed(
+            edges, fr_nodes.map_batches(
+                lambda df: df.rename(columns={"node": "a"}),
+                batch_format="pandas"),
+            on="a", num_buckets=num_buckets).map_batches(
+                lambda df: df.rename(columns={"b": "node"})[["node"]],
+                batch_format="pandas")
+        via_b = hash_join_bucketed(
+            edges, fr_nodes.map_batches(
+                lambda df: df.rename(columns={"node": "b"}),
+                batch_format="pandas"),
+            on="b", num_buckets=num_buckets).map_batches(
+                lambda df: df.rename(columns={"a": "node"})[["node"]],
+                batch_format="pandas")
+        cand = groupby_agg(via_a.union(via_b), ["node"],
+                           {"__n": ("node", "count")},
+                           final="distributed").map_batches(
+            lambda df: df[["node"]], batch_format="pandas")
+        new = hash_join_bucketed(cand, dist.map_batches(
+            lambda df: df[["node"]], batch_format="pandas"),
+            on="node", how="anti",
+            num_buckets=num_buckets).map_batches(
+            lambda df, h=h: df.assign(
+                dist=np.full(len(df), h, np.int64)),
+            batch_format="pandas").repartition(num_buckets) \
+            .materialize()
+        if new.count() == 0:
+            break
+        dist = dist.union(new).repartition(num_buckets).materialize()
+        frontier = new
+    return dist

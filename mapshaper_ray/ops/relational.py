@@ -2147,3 +2147,55 @@ def event_sequences(ds, k: int = 3, user_col: str = "user_id",
     return out.sort_values(["n"] + scols,
                            ascending=[False] + [True] * k,
                            kind="mergesort").reset_index(drop=True)
+
+
+def resample_time(ds, ts_col: str, key_col: str, val_col: str,
+                  every_s: int = 3600, qscale: int = 100):
+    """Fixed-interval time-series resampling with gap fill: events
+    bucket to ``floor(epoch_us / every_us)`` (integer arithmetic, so
+    a SQL ``time_bucket``/integer-division mirror is exact), aggregate
+    per (key, bucket) to (n, sum_q) — sum over ``val_col`` quantized
+    to ``round(v * qscale)`` int64 cents so the distributed sum is
+    order-independent and value-exact — then the grid zero-fills every
+    missing bucket per key across the GLOBAL [min, max] bucket range.
+
+    Distributed shape: one streaming pass of per-batch (key, bucket)
+    partials (the corpus never shuffles; partial rows are bounded by
+    keys x buckets per batch), a bounded groupby reduce, then the
+    calendar fill runs on the reduced grid — the grid IS the output,
+    so materializing it is not a scale leak.  Returns a pandas frame
+    (key, bucket_ts, n, sum_q) ordered by (key, bucket_ts)."""
+    every_us = np.int64(every_s) * 1_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        b = np.floor_divide(ts, every_us)
+        q = np.floor(df[val_col].to_numpy(np.float64)
+                     * qscale).astype(np.int64)
+        g = pd.DataFrame({"k": df[key_col].to_numpy(), "b": b, "q": q}) \
+            .groupby(["k", "b"], as_index=False) \
+            .agg(n=("q", "size"), sq=("q", "sum"))
+        return g
+
+    grid = groupby_agg(ds.map_batches(partial, batch_format="pandas"),
+                       ["k", "b"], {"n": ("n", "sum"),
+                                    "sum_q": ("sq", "sum")},
+                       final="driver").to_pandas()
+    if not len(grid):
+        return pd.DataFrame({key_col: [], "bucket_ts": pd.Series(
+            [], dtype="datetime64[us]"),
+            "n": pd.Series([], dtype=np.int64),
+            "sum_q": pd.Series([], dtype=np.int64)})
+    lo, hi = int(grid["b"].min()), int(grid["b"].max())
+    cal = np.arange(lo, hi + 1, dtype=np.int64)
+    keys = np.sort(grid["k"].unique())
+    full = pd.DataFrame({"k": np.repeat(keys, len(cal)),
+                         "b": np.tile(cal, len(keys))})
+    out = full.merge(grid, on=["k", "b"], how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    out["sum_q"] = out["sum_q"].fillna(0).astype(np.int64)
+    out["bucket_ts"] = pd.Series(out["b"].to_numpy(np.int64)
+                                 * every_us).astype("datetime64[us]")
+    out = out.rename(columns={"k": key_col})
+    return out[[key_col, "bucket_ts", "n", "sum_q"]] \
+        .sort_values([key_col, "bucket_ts"]).reset_index(drop=True)

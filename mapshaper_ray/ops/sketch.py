@@ -711,3 +711,112 @@ def cms_query(cms: np.ndarray, values) -> np.ndarray:
     d, w = cms.shape
     b = _cms_buckets(values, d, w).astype(np.int64)  # (n, d)
     return cms[np.arange(d)[None, :], b].min(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# DDSketch — relative-error quantiles (Masson, Rim & Lee, VLDB 2019)
+# ---------------------------------------------------------------------------
+
+DDSKETCH_GAMMA_POW = 8  # gamma = 2**(1/8)  ->  ~4.4% relative error
+
+
+def _dd_buckets(x: np.ndarray, gamma_pow: int) -> tuple[np.ndarray,
+                                                        np.ndarray]:
+    """(sign, bucket) per value.  sign in {-1, 0, 1}; bucket =
+    ceil(gamma_pow * log2(|x|)) for nonzero x, 0 for zeros — the
+    DDSketch log-bucket index with gamma = 2**(1/gamma_pow), written
+    base-2 so a DuckDB ``log2`` mirror is expression-identical.
+
+    Exactness contract (the weighted_sample/q121 convention): the
+    vectorized np.log2 result is re-checked with scalar math.log2 on
+    the rows that land within 1e-9 of a ceil boundary, where numpy's
+    SIMD log2 could round across the integer and disagree with the
+    libm scalar that DuckDB calls.  Everywhere else a one-ulp
+    difference cannot change ceil, so both sides bucket identically.
+    """
+    import math
+
+    sign = np.sign(x).astype(np.int64)
+    ax = np.abs(x)
+    bucket = np.zeros(len(x), dtype=np.int64)
+    nz = np.flatnonzero(sign != 0)
+    if len(nz):
+        v = gamma_pow * np.log2(ax[nz])
+        c = np.ceil(v)
+        frac = c - v  # in [0, 1): distance below the ceiling
+        tol = 1e-9
+        fix = np.flatnonzero((frac < tol) | (frac > 1.0 - tol))
+        for j in fix:
+            c[j] = math.ceil(gamma_pow * math.log2(ax[nz[j]]))
+        bucket[nz] = c.astype(np.int64)
+    return sign, bucket
+
+
+class _DdPartial:
+    """Per-batch (sign, bucket) -> count partials: the full batch
+    collapses to at most a few hundred rows (the occupied buckets),
+    so the corpus never shuffles."""
+
+    def __init__(self, col: str, gamma_pow: int):
+        self.col, self.gp = col, gamma_pow
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch[self.col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        x = x[~np.isnan(x)]
+        sign, bucket = _dd_buckets(x, self.gp)
+        # collision-free packing: |bucket| <= gamma_pow * 1075 << 10**6
+        key = sign * (10 ** 6) + bucket
+        u, cnt = np.unique(key, return_counts=True)
+        s = np.rint(u / 10 ** 6).astype(np.int64)
+        return pa.table({"sign": s,
+                         "bucket": u - s * (10 ** 6),
+                         "n": cnt.astype(np.int64)})
+
+
+def ddsketch_build(ds, col: str,
+                   gamma_pow: int = DDSKETCH_GAMMA_POW) -> pd.DataFrame:
+    """Distributed DDSketch: returns the (sign, bucket, n) bucket
+    table sorted in VALUE order (negatives by descending bucket, then
+    zeros, then positives by ascending bucket).  Mergeable by
+    addition, order- and partition-independent by construction.
+    Bucket space is bounded (~gamma_pow * 2100 buckets spans every
+    normal double), so the final reduce is a driver groupby over
+    per-batch partials — the classic sketch shape, like cms_build."""
+    rows = ds.map_batches(_DdPartial(col, gamma_pow),
+                          batch_format="pyarrow") \
+        .repartition(8).to_pandas()
+    if not len(rows):
+        return pd.DataFrame({"sign": np.empty(0, np.int64),
+                             "bucket": np.empty(0, np.int64),
+                             "n": np.empty(0, np.int64)})
+    agg = rows.groupby(["sign", "bucket"], as_index=False)["n"].sum()
+    order = np.lexsort((agg["sign"].to_numpy() * agg["bucket"].to_numpy(),
+                        agg["sign"].to_numpy()))
+    return agg.iloc[order].reset_index(drop=True) \
+        .astype({"sign": np.int64, "bucket": np.int64, "n": np.int64})
+
+
+def ddsketch_quantiles(sketch: pd.DataFrame,
+                       qs: list[tuple[int, int]],
+                       gamma_pow: int = DDSKETCH_GAMMA_POW) \
+        -> pd.DataFrame:
+    """Quantile lookup over a ddsketch_build table.  Each q is an
+    exact rational (num, den); the target rank is the DDSketch paper's
+    0-based floor(q * (n - 1)) computed in INTEGER arithmetic, so the
+    selected bucket is hash-exact vs a SQL mirror (no float rank).
+    Returns (q, sign, bucket, n_le) — the bucket holding the
+    quantile and the cumulative count through it; the value estimate
+    is sign * 2 * 2^(bucket/gp) / (2^(1/gp) + 1), left to the caller
+    so the oracle-compared columns stay integer-exact."""
+    n = int(sketch["n"].sum())
+    cum = sketch["n"].cumsum().to_numpy(np.int64)
+    out = []
+    for num, den in qs:
+        rank = ((n - 1) * num) // den  # 0-based target rank
+        i = int(np.searchsorted(cum, rank + 1, side="left"))
+        out.append({"q": f"{num}/{den}",
+                    "sign": int(sketch["sign"].iloc[i]),
+                    "bucket": int(sketch["bucket"].iloc[i]),
+                    "n_le": int(cum[i])})
+    return pd.DataFrame(out)

@@ -242,3 +242,73 @@ def url_normalize_sql(col: str = "url") -> str:
          f"'\\1\\2')")
     e = f"regexp_replace({e}, '/+([?#]|$)', '\\1')"
     return e
+
+
+def filter_blocked_hosts(pages: "ray.data.Dataset", blocked,
+                         url_col: str = "url", keep_blocked: bool = False,
+                         out_col: str = "host") -> "ray.data.Dataset":
+    """C4/RedPajama-style URL blocklist filter: a page is blocked when
+    its host (lowercased, port stripped) equals a blocked domain or is
+    a SUBDOMAIN of one (``ads.site7.example`` matches blocklist entry
+    ``site7.example``).  The blocklist is bounded (broadcast once as a
+    frozenset in the task closure — Ray ships it to each task via the
+    object store, never per batch); the corpus streams through one
+    stateless vectorized pass, no shuffle.
+
+    Suffix matching is vectorized by candidate generation: a host with
+    L dot-separated labels has exactly L suffix domains, so each batch
+    explodes hosts into their <= max-depth suffixes and one
+    ``isin(blocked)`` over the flat suffix array decides membership —
+    no per-row Python loop, no per-entry regex scan.  Returns the
+    surviving pages with ``out_col`` attached (or only the blocked
+    pages with ``keep_blocked=True``, the audit view).
+    """
+    import pandas as pd
+
+    blocked_set = frozenset(str(b).lower() for b in blocked)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        host = df[url_col].astype(str).str.extract(
+            r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:@]+(?::\d+)?)",
+            expand=False).fillna("").str.lower() \
+            .str.replace(r":\d+$", "", regex=True)
+        parts = host.str.split(".")
+        lens = parts.str.len().to_numpy()
+        flat = np.concatenate([np.asarray(p, dtype=object)
+                               for p in parts]) if len(df) else \
+            np.empty(0, object)
+        hit = np.zeros(len(df), dtype=bool)
+        off = np.concatenate([[0], np.cumsum(lens)])
+        # vectorized suffix build: for depth d (1..max), join the last
+        # d labels of every host with >= d labels
+        max_d = int(lens.max()) if len(df) else 0
+        for d in range(1, max_d + 1):
+            has = lens >= d
+            idx = off[1:][has] - d  # start of the last-d window
+            sfx = flat[idx[:, None] + np.arange(d)] if d > 1 else \
+                flat[idx][:, None]
+            joined = pd.Series([".".join(x) for x in sfx]) \
+                if d > 1 else pd.Series(sfx[:, 0], dtype=object)
+            hit[has] |= joined.isin(blocked_set).to_numpy()
+        df = df.copy()
+        df[out_col] = host
+        return df[hit] if keep_blocked else df[~hit]
+
+    return pages.map_batches(f, batch_format="pandas")
+
+
+def blocked_hosts_sql(blocked, url_col: str = "url",
+                      host_alias: str = "host") -> tuple[str, str]:
+    """DuckDB mirror of ``filter_blocked_hosts``: returns (host_expr,
+    blocked_cond) — the host-extraction expression and a boolean
+    condition true when that host is blocked (equal to or subdomain
+    of an entry)."""
+    host = (f"regexp_replace(lower(regexp_extract({url_col}, "
+            f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:@]+(?::[0-9]+)?)', 1)), "
+            f"':[0-9]+$', '')")
+    vals = ", ".join("('" + str(b).lower().replace("'", "''") + "')"
+                     for b in blocked)
+    cond = (f"EXISTS (SELECT 1 FROM (VALUES {vals}) AS __bl(d) "
+            f"WHERE {host_alias} = __bl.d "
+            f"OR {host_alias} LIKE '%.' || __bl.d)")
+    return host, cond

@@ -2211,3 +2211,68 @@ def chunk_documents(ds, size: int = 64, overlap: int = 16,
             text_col: np.array(tx_out, dtype=object)})
 
     return ds.map_batches(chunks, batch_format="pandas")
+
+
+def skipgram_counts(ds, window: int = 2, text_col: str = "text",
+                    min_count: int = 2, n_parts: int = 64):
+    """Windowed co-occurrence counts (the word2vec/GloVe skip-gram
+    statistic): for every token position i and offset d in
+    [1, window], count the UNORDERED pair {t[i], t[i+d]} (pair sorted
+    lexicographically so (a,b) and (b,a) pool).  Pairs never cross a
+    document boundary.  Returns (w1, w2, n) with n >= ``min_count``,
+    ordered by (n desc, w1, w2).
+
+    Distributed shape: the pair emit is fully vectorized — one token
+    array per batch with a parallel doc-id array; for each offset d a
+    shifted comparison masks cross-doc pairs (pmi_bigrams' boundary
+    trick generalized from d=1 to d<=window) — and collapses to
+    per-batch partial counts before ONE bucket-hash shuffle of the
+    (pair, count) partials.  The corpus itself never shuffles; the
+    min_count prune runs inside the reduce partition."""
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        toks, docs = [], []
+        for i, t in enumerate(df[text_col]):
+            ws = re.findall(r"\S+", t or "")
+            toks.extend(ws)
+            docs.extend([i] * len(ws))
+        tok = np.array(toks, dtype=object)
+        doc = np.array(docs, dtype=np.int64)
+        a_all, b_all = [], []
+        for d in range(1, window + 1):
+            if len(tok) <= d:
+                break
+            same = doc[d:] == doc[:-d]
+            x, y = tok[:-d][same], tok[d:][same]
+            lo = np.where(x <= y, x, y)
+            hi = np.where(x <= y, y, x)
+            a_all.append(lo)
+            b_all.append(hi)
+        if not a_all:
+            return pd.DataFrame({"w1": np.empty(0, object),
+                                 "w2": np.empty(0, object),
+                                 "c": np.empty(0, np.int64),
+                                 "__part": np.empty(0, np.int64)})
+        g = pd.DataFrame({"w1": np.concatenate(a_all),
+                          "w2": np.concatenate(b_all)}) \
+            .groupby(["w1", "w2"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        key = pd.util.hash_array(
+            (g["w1"] + "\x1f" + g["w2"]).to_numpy(object)) \
+            .astype(np.uint64)
+        g["__part"] = (key % np.uint64(n_parts)).astype(np.int64)
+        return g
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["w1", "w2"], as_index=False)["c"].sum()
+        out = out[out["c"].to_numpy() >= min_count]
+        return out.rename(columns={"c": "n"})
+
+    out = ds.map_batches(emit, batch_format="pandas") \
+        .groupby("__part").map_groups(reduce_part,
+                                      batch_format="pandas") \
+        .to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    order = np.lexsort((out["w2"].to_numpy(object),
+                        out["w1"].to_numpy(object),
+                        -out["n"].to_numpy()))
+    return out.iloc[order].reset_index(drop=True)

@@ -1,0 +1,253 @@
+"""Session-6 operator band: DDSketch quantiles, BFS hop distances,
+URL blocklist filter, time resampling, skip-gram co-occurrence.
+Each op gets a brute-force check plus partition-invariance and (for
+the count-gated ones) forced-path equivalence."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from mapshaper_ray.ops.graph import bfs_distances
+from mapshaper_ray.ops.relational import resample_time
+from mapshaper_ray.ops.sketch import (_dd_buckets, ddsketch_build,
+                                      ddsketch_quantiles)
+from mapshaper_ray.stages.pages import filter_blocked_hosts
+from mapshaper_ray.stages.text import skipgram_counts
+
+
+def _layouts(df, seed=7):
+    rng = np.random.default_rng(seed)
+    yield rd.from_pandas(df)
+    yield rd.from_pandas(df).repartition(13)
+    perm = rng.permutation(len(df))
+    yield rd.from_pandas(df.iloc[perm].reset_index(drop=True)) \
+        .repartition(29)
+
+
+# ---------------------------------------------------------------- ddsketch
+
+def test_ddsketch_buckets_brute():
+    x = np.array([1.0, 2.0, 0.5, -4.0, 0.0, 3.7, 1e-6, 1e6])
+    sign, bucket = _dd_buckets(x, 8)
+    import math
+    for xi, si, bi in zip(x, sign, bucket):
+        if xi == 0:
+            assert si == 0 and bi == 0
+        else:
+            assert si == (1 if xi > 0 else -1)
+            assert bi == math.ceil(8 * math.log2(abs(xi)))
+
+
+def test_ddsketch_relative_error_and_partition_invariance():
+    rng = np.random.default_rng(3)
+    x = np.concatenate([rng.lognormal(0, 2, 4000),
+                        -rng.lognormal(1, 1, 300), np.zeros(11)])
+    df = pd.DataFrame({"v": x})
+    gamma = 2 ** (1 / 8)
+    outs = []
+    for ds in _layouts(df):
+        sk = ddsketch_build(ds, "v")
+        assert int(sk["n"].sum()) == len(x)
+        q = ddsketch_quantiles(sk, [(1, 2), (9, 10), (99, 100)])
+        outs.append(q)
+        # relative-error bound vs the true quantile
+        xs = np.sort(x)
+        n = len(x)
+        for _, row in q.iterrows():
+            num, den = map(int, row["q"].split("/"))
+            true = xs[((n - 1) * num) // den]
+            est = row["sign"] * 2 * gamma ** row["bucket"] / (gamma + 1)
+            if true != 0:
+                assert abs(est - true) / abs(true) < (gamma - 1)
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+
+
+def test_ddsketch_merge_is_addition():
+    rng = np.random.default_rng(5)
+    a = pd.DataFrame({"v": rng.lognormal(0, 1, 1000)})
+    b = pd.DataFrame({"v": rng.lognormal(2, 1, 800)})
+    whole = ddsketch_build(rd.from_pandas(pd.concat([a, b])), "v")
+    pa_, pb = ddsketch_build(rd.from_pandas(a), "v"), \
+        ddsketch_build(rd.from_pandas(b), "v")
+    merged = pd.concat([pa_, pb]).groupby(
+        ["sign", "bucket"], as_index=False)["n"].sum()
+    o = np.lexsort((merged["sign"].to_numpy() * merged["bucket"].to_numpy(),
+                    merged["sign"].to_numpy()))
+    merged = merged.iloc[o].reset_index(drop=True)
+    pd.testing.assert_frame_equal(whole, merged)
+
+
+# ---------------------------------------------------------------- bfs
+
+def _brute_bfs(edges: pd.DataFrame, seeds, max_hops):
+    adj = {}
+    for a, b in zip(edges["src"], edges["dst"]):
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    return pd.DataFrame(sorted(dist.items()),
+                        columns=["node", "dist"]).astype(np.int64)
+
+
+def test_bfs_brute_and_forced_bucketed_path():
+    rng = np.random.default_rng(11)
+    e = pd.DataFrame({"src": rng.integers(0, 200, 600),
+                      "dst": rng.integers(0, 200, 600)})
+    want = _brute_bfs(e, [0, 5], 3)
+    for cap in (None, 0):  # broadcast path, then forced bucketed
+        got = bfs_distances(rd.from_pandas(e), [0, 5], max_hops=3,
+                            broadcast_cap=cap).to_pandas() \
+            .sort_values("node").reset_index(drop=True) \
+            .astype({"node": np.int64, "dist": np.int64})
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_bfs_partition_invariance():
+    rng = np.random.default_rng(13)
+    e = pd.DataFrame({"src": rng.integers(0, 500, 2000),
+                      "dst": rng.integers(0, 500, 2000)})
+    outs = [bfs_distances(ds, [1], max_hops=2).to_pandas()
+            .sort_values("node").reset_index(drop=True)
+            for ds in _layouts(e)]
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+
+
+def test_bfs_disconnected_and_hop_budget():
+    e = pd.DataFrame({"src": [0, 1, 2, 10], "dst": [1, 2, 3, 11]})
+    got = bfs_distances(rd.from_pandas(e), [0], max_hops=2) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert got["node"].tolist() == [0, 1, 2]
+    assert got["dist"].tolist() == [0, 1, 2]
+
+
+# ---------------------------------------------------------------- blocklist
+
+def test_blocklist_suffix_semantics():
+    df = pd.DataFrame({"i": range(7), "url": [
+        "http://site1.example/a",          # exact hit
+        "http://ads.site1.example/b",      # subdomain hit
+        "http://mysite1.example/c",        # NOT a hit (label boundary)
+        "http://site1.example.org/d",      # NOT a hit (suffix only)
+        "https://SITE1.EXAMPLE:443/e",     # case + port hit
+        "http://x.y.z.site1.example/f",    # deep subdomain hit
+        "http://other.example/g"]})
+    out = filter_blocked_hosts(rd.from_pandas(df), ["site1.example"]) \
+        .to_pandas()
+    assert sorted(out["i"].tolist()) == [2, 3, 6]
+    blk = filter_blocked_hosts(rd.from_pandas(df), ["site1.example"],
+                               keep_blocked=True).to_pandas()
+    assert sorted(blk["i"].tolist()) == [0, 1, 4, 5]
+
+
+def test_blocklist_partition_invariance_and_empty():
+    rng = np.random.default_rng(17)
+    hosts = [f"s{i % 23}.d{i % 7}.example" for i in range(400)]
+    df = pd.DataFrame({"i": range(400),
+                       "url": [f"http://{h}/p" for h in hosts]})
+    blocked = ["d3.example", "s5.d1.example"]
+    outs = [filter_blocked_hosts(ds, blocked).to_pandas()
+            .sort_values("i").reset_index(drop=True)
+            for ds in _layouts(df, 17)]
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+    # no blocklist: everything survives
+    out = filter_blocked_hosts(rd.from_pandas(df), []).to_pandas()
+    assert len(out) == len(df)
+
+
+# ---------------------------------------------------------------- resample
+
+def test_resample_brute_and_gap_fill():
+    ts = pd.to_datetime(["2024-01-01 00:30", "2024-01-01 07:00",
+                         "2024-01-03 12:00", "2024-01-02 01:00",
+                         "2024-01-05 23:59"]).astype("datetime64[us]")
+    df = pd.DataFrame({"k": ["a", "a", "a", "b", "b"], "ts": ts,
+                       "v": [1.25, 2.0, -0.5, 3.0, 4.444]})
+    out = resample_time(rd.from_pandas(df), "ts", "k", "v",
+                        every_s=86400)
+    # grid: 2 keys x 5 days
+    assert len(out) == 10
+    a0 = out[(out["k"] == "a")
+             & (out["bucket_ts"] == pd.Timestamp("2024-01-01"))]
+    assert int(a0["n"].iloc[0]) == 2
+    assert int(a0["sum_q"].iloc[0]) == int(np.floor(1.25 * 100)
+                                           + np.floor(2.0 * 100))
+    gaps = out[(out["k"] == "b")
+               & (out["bucket_ts"] == pd.Timestamp("2024-01-03"))]
+    assert int(gaps["n"].iloc[0]) == 0 and int(gaps["sum_q"].iloc[0]) == 0
+    # negative value floors toward -inf on both sides of the contract
+    a2 = out[(out["k"] == "a")
+             & (out["bucket_ts"] == pd.Timestamp("2024-01-03"))]
+    assert int(a2["sum_q"].iloc[0]) == -50
+
+
+def test_resample_partition_invariance():
+    rng = np.random.default_rng(23)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.choice(["x", "y", "z"], n),
+        "ts": pd.Timestamp("2024-03-01").value // 1000
+        + rng.integers(0, 40 * 86400 * 10 ** 6, n),
+        "v": rng.normal(10, 5, n)})
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    outs = [resample_time(ds, "ts", "k", "v", every_s=7 * 86400)
+            for ds in _layouts(df, 23)]
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+
+
+# ---------------------------------------------------------------- skipgram
+
+def _brute_skipgram(texts, window, min_count):
+    from collections import Counter
+    c = Counter()
+    for t in texts:
+        ws = (t or "").split()
+        for i in range(len(ws)):
+            for d in range(1, window + 1):
+                if i + d < len(ws):
+                    a, b = ws[i], ws[i + d]
+                    c[(min(a, b), max(a, b))] += 1
+    rows = [(k[0], k[1], v) for k, v in c.items() if v >= min_count]
+    out = pd.DataFrame(rows, columns=["w1", "w2", "n"])
+    order = np.lexsort((out["w2"].to_numpy(object),
+                        out["w1"].to_numpy(object),
+                        -out["n"].to_numpy()))
+    return out.iloc[order].reset_index(drop=True).astype({"n": np.int64})
+
+
+def test_skipgram_brute_and_partition_invariance():
+    rng = np.random.default_rng(29)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 40)))
+             for _ in range(200)]
+    df = pd.DataFrame({"text": texts})
+    want = _brute_skipgram(texts, 2, 2)
+    outs = [skipgram_counts(ds, window=2, min_count=2)
+            for ds in _layouts(df, 29)]
+    for o in outs:
+        pd.testing.assert_frame_equal(o, want)
+
+
+def test_skipgram_window_one_equals_bigrams():
+    texts = ["a b a b c", "b a"]
+    out = skipgram_counts(rd.from_pandas(pd.DataFrame({"text": texts})),
+                          window=1, min_count=1)
+    # adjacent unordered pairs: (a,b)x4, (b,c)x1
+    assert out[(out.w1 == "a") & (out.w2 == "b")]["n"].iloc[0] == 4
+    assert out[(out.w1 == "b") & (out.w2 == "c")]["n"].iloc[0] == 1
+    assert len(out) == 2
