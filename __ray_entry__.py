@@ -2211,6 +2211,125 @@ def _q145_skipgram(sf_dir: str):
     return skipgram_counts(docs, window=2, min_count=5)
 
 
+def _q146_group_ddsketch(sf_dir: str):
+    """Per-group DDSketch quantiles (p50/p95/p99 of event value per
+    event type) — the service-latency panel: one pass of (key, sign,
+    bucket) partials, bounded driver reduce, integer-rank walks."""
+    import ray.data as rd
+    from mapshaper_ray.ops.sketch import (ddsketch_by_group,
+                                          ddsketch_group_quantiles)
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    sk = ddsketch_by_group(ev, "event_type", "value")
+    out = ddsketch_group_quantiles(sk, [(1, 2), (19, 20), (99, 100)])
+    out = out.rename(columns={"k": "event_type"})
+    out = out.astype({"sign": np.int64, "bucket": np.int64,
+                      "n_le": np.int64})
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
+_RRF_TERMS_B = ["join", "merge", "sort"]
+
+_RRF_RANK_A = """
+        words_a AS (
+          SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+          FROM documents),
+        base_a AS (
+          SELECT doc_id, len(w) AS dl,
+                 len(list_filter(w, x -> x = 'window')) AS tf0,
+                 len(list_filter(w, x -> x = 'stream')) AS tf1,
+                 len(list_filter(w, x -> x = 'hash')) AS tf2,
+          FROM words_a),
+        g_a AS (
+          SELECT count(*) AS nd,
+                 sum(dl) / count(*) AS avgdl,
+                 sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                 sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                 sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+          FROM base_a),
+        rank_a AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY
+                   ln(1 + (nd - df0 + 0.5) / (df0 + 0.5))
+                     * ((tf0 * (1.2 + 1))
+                        / (tf0 + 1.2 * ((1 - 0.75) + 0.75 * (dl / avgdl))))
+                   + ln(1 + (nd - df1 + 0.5) / (df1 + 0.5))
+                     * ((tf1 * (1.2 + 1))
+                        / (tf1 + 1.2 * ((1 - 0.75) + 0.75 * (dl / avgdl))))
+                   + ln(1 + (nd - df2 + 0.5) / (df2 + 0.5))
+                     * ((tf2 * (1.2 + 1))
+                        / (tf2 + 1.2 * ((1 - 0.75) + 0.75 * (dl / avgdl))))
+                   DESC, doc_id) AS r
+          FROM base_a, g_a
+          QUALIFY r <= 50)"""
+
+_RRF_RANK_B = """
+        words_b AS (
+          SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+          FROM documents),
+        base_b AS (
+          SELECT doc_id, len(w) AS dl,
+                 len(list_filter(w, x -> x = 'join')) AS tf0,
+                 len(list_filter(w, x -> x = 'merge')) AS tf1,
+                 len(list_filter(w, x -> x = 'sort')) AS tf2,
+          FROM words_b),
+        g_b AS (
+          SELECT count(*) AS nd,
+                 sum(dl) / count(*) AS avgdl,
+                 sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                 sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                 sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+          FROM base_b),
+        rank_b AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY
+                   ln(1 + (nd - df0 + 0.5) / (df0 + 0.5))
+                     * ((tf0 * (1.2 + 1))
+                        / (tf0 + 1.2 * ((1 - 0.75) + 0.75 * (dl / avgdl))))
+                   + ln(1 + (nd - df1 + 0.5) / (df1 + 0.5))
+                     * ((tf1 * (1.2 + 1))
+                        / (tf1 + 1.2 * ((1 - 0.75) + 0.75 * (dl / avgdl))))
+                   + ln(1 + (nd - df2 + 0.5) / (df2 + 0.5))
+                     * ((tf2 * (1.2 + 1))
+                        / (tf2 + 1.2 * ((1 - 0.75) + 0.75 * (dl / avgdl))))
+                   DESC, doc_id) AS r
+          FROM base_b, g_b
+          QUALIFY r <= 50)"""
+
+
+
+
+def _q147_rrf(sf_dir: str):
+    """Reciprocal-rank fusion of two BM25 rankings (different query
+    formulations) — distributed rankers, bounded fuse; each term one
+    IEEE division summed in list order so the SQL mirror is
+    bit-exact before the final round."""
+    import ray.data as rd
+    from mapshaper_ray.ops.rank import rrf_fuse
+    from mapshaper_ray.stages.text import bm25_topk
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ra = bm25_topk(ds, _BM25_TERMS, k=50)
+    rb = bm25_topk(ds, _RRF_TERMS_B, k=50)
+    out = rrf_fuse([ra, rb], id_col="doc_id", k0=60, topk=20)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out
+
+
+def _q148_anomaly(sf_dir: str):
+    """Per-type z-score outliers over event values under an EXACT
+    integer contract ((n-1)(nq-S)^2 > 9n(nQ-S^2), no float stddev) —
+    distributive stats partials broadcast once, stateless flag pass
+    with a boundary re-check."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import group_outliers
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "event_id", "value"])
+    out = group_outliers(ev, "event_type", "value", z=3,
+                         id_col="event_id")
+    return out.astype({"event_id": np.int64, "q": np.int64})
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -2998,6 +3117,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q143_url_blocklist": _q143_url_blocklist,
         "q144_resample": _q144_resample,
         "q145_skipgram": _q145_skipgram,
+        "q146_group_ddsketch": _q146_group_ddsketch,
+        "q147_rrf": _q147_rrf,
+        "q148_anomaly": _q148_anomaly,
     }
 
 
@@ -5622,6 +5744,65 @@ def oracle_sql() -> dict[str, str]:
         SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
         FROM pr GROUP BY 1, 2 HAVING count(*) >= 5
         ORDER BY n DESC, w1, w2"""
+
+
+    out["q146_group_ddsketch"] = """
+        WITH b AS (
+          SELECT event_type,
+                 CASE WHEN value > 0 THEN 1
+                      WHEN value < 0 THEN -1 ELSE 0 END AS sign,
+                 CASE WHEN value = 0 THEN 0
+                      ELSE CAST(ceil(8 * log2(abs(value)))
+                                AS BIGINT) END AS bucket
+          FROM events WHERE value IS NOT NULL),
+        c AS (SELECT event_type, sign, bucket, count(*) AS n
+              FROM b GROUP BY 1, 2, 3),
+        o AS (SELECT event_type, sign, bucket,
+                     sum(n) OVER (PARTITION BY event_type
+                                  ORDER BY sign, sign * bucket
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM c),
+        t AS (SELECT event_type, count(*) AS N FROM b GROUP BY 1),
+        qs(q, num, den) AS (VALUES
+          ('1/2', 1, 2), ('19/20', 19, 20), ('99/100', 99, 100)),
+        sel AS (
+          SELECT t.event_type, qs.q, o.sign, o.bucket, o.cum,
+                 row_number() OVER (PARTITION BY t.event_type, qs.q
+                   ORDER BY o.sign, o.sign * o.bucket) AS rn
+          FROM qs CROSS JOIN t
+          JOIN o ON o.event_type = t.event_type
+                AND o.cum >= (t.N - 1) * qs.num // qs.den + 1)
+        SELECT event_type, q, sign, bucket, CAST(cum AS BIGINT) AS n_le
+        FROM sel WHERE rn = 1 ORDER BY event_type, q"""
+
+    out["q147_rrf"] = """
+        WITH__RANK_A__,__RANK_B__
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+               round(coalesce(1.0 / (60 + a.r), 0)
+                     + coalesce(1.0 / (60 + b.r), 0), 9) AS rrf
+        FROM rank_a a FULL OUTER JOIN rank_b b USING (doc_id)
+        ORDER BY coalesce(1.0 / (60 + a.r), 0)
+                 + coalesce(1.0 / (60 + b.r), 0) DESC, doc_id
+        LIMIT 20"""
+
+    out["q147_rrf"] = out["q147_rrf"] \
+        .replace("__RANK_A__", _RRF_RANK_A) \
+        .replace("__RANK_B__", _RRF_RANK_B)
+
+    out["q148_anomaly"] = """
+        WITH b AS (SELECT event_type, event_id,
+                     CAST(floor(value * 100) AS BIGINT) AS q
+                   FROM events),
+        g AS (SELECT event_type,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(q) AS HUGEINT) AS s,
+                     sum(CAST(q AS HUGEINT) * q) AS qq
+              FROM b GROUP BY 1)
+        SELECT b.event_type, b.event_id, b.q
+        FROM b JOIN g USING (event_type)
+        WHERE (g.n - 1) * (g.n * b.q - g.s) * (g.n * b.q - g.s)
+              > 9 * g.n * (g.n * g.qq - g.s * g.s)
+        ORDER BY b.event_type, b.q, b.event_id"""
 
 
     out["q84_pretrain_pipeline"] = r"""

