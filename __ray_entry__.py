@@ -2330,6 +2330,62 @@ def _q148_anomaly(sf_dir: str):
     return out.astype({"event_id": np.int64, "q": np.int64})
 
 
+def _q149_pool_embeddings(sf_dir: str):
+    """Per-label embedding mean-pooling (the chunk-embeddings ->
+    document-embedding step) — integer-quantized element sums so the
+    distributed reduce and the SQL unnest mirror are value-exact."""
+    import ray.data as rd
+    from mapshaper_ray.ops.ann import pool_embeddings
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["label", "embedding"])
+    out = pool_embeddings(emb, "label", "embedding", mode="mean")
+    out["label"] = out["label"].astype(np.int64)
+    return out
+
+
+def _q150_web_curation(sf_dir: str):
+    """End-to-end web-corpus curation: blocklist filter -> URL
+    canonicalization -> per-URL dedup -> exact text dedup -> word
+    count floor — the session-6 operators chained as one streaming
+    pipeline, mirrored by a chained-CTE oracle (q84's contract shape
+    for the web side)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import exact_dedup
+    from mapshaper_ray.ops.relational import uniq_first
+    from mapshaper_ray.stages.pages import (filter_blocked_hosts,
+                                            normalize_urls)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def mk_urls(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].to_numpy(np.int64)
+        sub = pd.Series(np.select([i % 3 == 0, i % 3 == 1],
+                                  ["www.", "Ads."], ""))
+        port = pd.Series(np.where(i % 4 == 0, ":80", ""))
+        df = df.copy()
+        df["url"] = ("http://" + sub + "Site"
+                     + pd.Series(i % 40).astype(str) + ".example"
+                     + port + "/p/" + pd.Series(i % 97).astype(str))             .to_numpy(object)
+        return df
+
+    blocked = ["site7.example", "site13.example", "ads.site21.example"]
+    pages = filter_blocked_hosts(
+        docs.map_batches(mk_urls, batch_format="pandas"), blocked)
+    pages = normalize_urls(pages)
+    pages = uniq_first(pages, ["url_norm"], ["doc_id"])
+    pages = exact_dedup(pages, text_col="text", order_col="doc_id")
+
+    def wc_floor(df: pd.DataFrame) -> pd.DataFrame:
+        wc = df["text"].fillna("").str.count(r"\S+").astype(np.int64)
+        out = df.assign(n_words=wc)
+        out = out[wc >= 50]
+        return out[["doc_id", "host", "url_norm", "n_words"]]
+
+    out = pages.map_batches(wc_floor, batch_format="pandas")         .to_pandas()
+    out = out.astype({"doc_id": np.int64, "n_words": np.int64})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -3007,16 +3063,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketch family holds three window slots (q91/q93/q95) so the
         # driver's 50-query artifact samples it; the displaced text
         # queries stay covered by CORRECTNESS_FULL + validate_oracle
-        "q91_hll_distinct": _q91_hll_distinct,
-        "q93_heavy_hitters": _q93_heavy_hitters,
+        "q141_ddsketch": _q141_ddsketch,
+        "q148_anomaly": _q148_anomaly,
+        "q149_pool_embeddings": _q149_pool_embeddings,
+        "q150_web_curation": _q150_web_curation,
         "q61_bm25": _q61_bm25,
-        "q64_lm_nll": _q64_lm_nll,
+        "q142_bfs": _q142_bfs,
         "q67_pack_sequences": _q67_pack_sequences,
         "q69_dsir_weights": _q69_dsir_weights,
         "q71_bpe_train": _q71_bpe_train,
         "q116_nb_classifier": _q116_nb_classifier,
         "q76_decontaminate": _q76_decontaminate,
-        "q103_gopher_rules": _q103_gopher_rules,
+        "q143_url_blocklist": _q143_url_blocklist,
         "q121_weighted_sample": _q121_weighted_sample,
         "q120_funnel": _q120_funnel,
         "q113_warc_ingest": _q113_warc_ingest,
@@ -3112,14 +3170,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q138_histogram": _q138_histogram,
         "q139_ntile": _q139_ntile,
         "q140_event_paths": _q140_event_paths,
-        "q141_ddsketch": _q141_ddsketch,
-        "q142_bfs": _q142_bfs,
-        "q143_url_blocklist": _q143_url_blocklist,
         "q144_resample": _q144_resample,
         "q145_skipgram": _q145_skipgram,
+        "q91_hll_distinct": _q91_hll_distinct,
+        "q93_heavy_hitters": _q93_heavy_hitters,
+        "q103_gopher_rules": _q103_gopher_rules,
+        "q64_lm_nll": _q64_lm_nll,
         "q146_group_ddsketch": _q146_group_ddsketch,
         "q147_rrf": _q147_rrf,
-        "q148_anomaly": _q148_anomaly,
     }
 
 
@@ -5803,6 +5861,52 @@ def oracle_sql() -> dict[str, str]:
         WHERE (g.n - 1) * (g.n * b.q - g.s) * (g.n * b.q - g.s)
               > 9 * g.n * (g.n * g.qq - g.s * g.s)
         ORDER BY b.event_type, b.q, b.event_id"""
+
+    out["q149_pool_embeddings"] = """
+        WITH x AS (
+          SELECT CAST(label AS BIGINT) AS label, u.i - 1 AS dim,
+                 CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1048576)
+                      AS BIGINT) AS q
+          FROM embeddings,
+               unnest(generate_series(1, len(embedding))) AS u(i))
+        SELECT label, CAST(dim AS BIGINT) AS dim,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) // count(*) AS BIGINT) AS pooled_q
+        FROM x GROUP BY label, dim ORDER BY label, dim"""
+
+    out["q150_web_curation"] = """
+        WITH u AS (
+          SELECT doc_id, text,
+                 'http://' ||
+                 CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                      WHEN doc_id % 3 = 1 THEN 'Ads.' ELSE '' END ||
+                 'Site' || CAST(doc_id % 40 AS VARCHAR) || '.example' ||
+                 CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END ||
+                 '/p/' || CAST(doc_id % 97 AS VARCHAR) AS url
+          FROM documents),
+        h AS (SELECT doc_id, text, url, __BH_HOST__ AS host FROM u),
+        kept AS (SELECT * FROM h WHERE NOT __BH_COND__),
+        norm AS (SELECT doc_id, text, host, __NORM__ AS url_norm
+                 FROM kept),
+        ud AS (SELECT * FROM norm
+               QUALIFY row_number() OVER (PARTITION BY url_norm
+                                          ORDER BY doc_id) = 1),
+        td AS (SELECT * FROM ud
+               QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) = 1),
+        sel AS (
+          SELECT doc_id, host, url_norm,
+                 CAST(len(regexp_extract_all(coalesce(text, ''),
+                                             '\\S+')) AS BIGINT)
+                   AS n_words
+          FROM td)
+        SELECT doc_id, host, url_norm, n_words
+        FROM sel WHERE n_words >= 50
+        ORDER BY doc_id""".replace("__BH_HOST__", _bh_host) \
+        .replace("__BH_COND__", _bh_cond) \
+        .replace("__NORM__", __import__(
+            "mapshaper_ray.stages.pages",
+            fromlist=["url_normalize_sql"]).url_normalize_sql("url"))
 
 
     out["q84_pretrain_pipeline"] = r"""

@@ -227,6 +227,14 @@ def run_benchmarks():
     timed("heavy_hitters_hosts_12m",
           lambda: heavy_hitters(hosts, "host", k=20, m=16384))
 
+    # session-6: C4-style blocklist filter at page volume — broadcast
+    # frozenset + vectorized suffix explode, zero shuffle; 1000
+    # blocked domains against 12.8M urls
+    from mapshaper_ray.stages.pages import filter_blocked_hosts
+    _blocked = [f"site{i}.example" for i in range(0, 3000, 3)]
+    timed("blocklist_12m_urls",
+          lambda: filter_blocked_hosts(urls, _blocked))
+
     # count-min sketch at page volume: ONE md5 per url (KM double
     # hashing derives all 4 rows), 4x4096 counter partials — the
     # corpus never shuffles, the driver holds 128KiB of counters
@@ -250,6 +258,15 @@ def run_benchmarks():
 
     ev10 = rd.range(10_000_000).map_batches(
         _mk_events, batch_format="pandas").materialize()
+    # session-6: DDSketch quantiles over the same 10M values — the
+    # corpus collapses to (sign, bucket) partials, driver holds ~300
+    # rows
+    from mapshaper_ray.ops.sketch import (ddsketch_build,
+                                          ddsketch_quantiles)
+    timed("ddsketch_10m",
+          lambda: ddsketch_quantiles(ddsketch_build(ev10, "v"),
+                                     [(1, 2), (99, 100)]))
+
     timed("sliding_window_10m",
           lambda: sliding_window_sum(ev10, ts_col="ep",
                                      id_col="event_id", val_col="v",

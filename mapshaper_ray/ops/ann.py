@@ -549,3 +549,64 @@ def gram_matrix(ds, col: str = "embedding", id_col: str = "vec_id",
         lambda df: df.astype({"i": np.int64, "j": np.int64,
                               "v": np.int64}),
         batch_format="pandas")
+
+
+def pool_embeddings(ds, key_col: str, vec_col: str = "embedding",
+                    mode: str = "mean", qscale: int = 1 << 20,
+                    n_parts: int = 32):
+    """Per-group embedding pooling — the chunk-embeddings -> document
+    embedding step of a retrieval/curation pipeline: for each key,
+    the element-wise mean (or max) over its vectors.
+
+    Exactness contract: elements quantize to ``floor(x * qscale)``
+    int64, per-(key, dim) sums/maxes are exact integer reduces, and
+    ``mean_q = s // n`` stays integer — so a SQL mirror over
+    ``unnest WITH ORDINALITY`` is value-exact (no float summation
+    order anywhere).
+
+    Distributed shape: each batch stacks its vectors once
+    (np.reshape over the Arrow list values, zero Python loops) and
+    collapses to (key, dim) partials — groups x dim rows per batch,
+    never the corpus — then one bounded grouped reduce.  Returns
+    (key, dim, n, pooled_q) long-form, ordered.
+    """
+    from .relational import groupby_agg
+
+    agg_fn = "sum" if mode == "mean" else "max"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"k": pd.Series([], dtype=object),
+                                 "dim": pd.Series([], dtype=np.int64),
+                                 "s": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in df[vec_col]])
+        q = np.floor(mat * qscale).astype(np.int64)
+        d = q.shape[1]
+        keys = df[key_col].to_numpy()
+        g = pd.DataFrame({"k": np.repeat(keys, d),
+                          "dim": np.tile(np.arange(d, dtype=np.int64),
+                                         len(df)),
+                          "s": q.ravel(),
+                          "n": 1})
+        return g.groupby(["k", "dim"], as_index=False) \
+            .agg(s=("s", agg_fn), n=("n", "sum"))
+
+    out = groupby_agg(ds.map_batches(partial, batch_format="pandas"),
+                      ["k", "dim"], {"s": ("s", agg_fn),
+                                     "n": ("n", "sum")},
+                      final="distributed").to_pandas()
+    out = out.rename(columns={"k": key_col})
+    if mode == "mean":
+        # DuckDB's integer ``//`` truncates toward zero, so mirror
+        # that exactly (np.floor_divide floors, which differs on
+        # negative sums)
+        s = out["s"].to_numpy(np.int64)
+        n = out["n"].to_numpy(np.int64)
+        out["pooled_q"] = np.sign(s) * (np.abs(s) // n)
+    else:
+        out["pooled_q"] = out["s"]
+    out = out[[key_col, "dim", "n", "pooled_q"]] \
+        .astype({"dim": np.int64, "n": np.int64, "pooled_q": np.int64})
+    return out.sort_values([key_col, "dim"]).reset_index(drop=True)

@@ -327,3 +327,44 @@ def test_group_outliers_constant_group_flags_nothing():
                        "v": [7.25] * 50})
     out = group_outliers(rd.from_pandas(df), "k", "v", id_col="i")
     assert len(out) == 0
+
+
+# ------------------------------------------------------- embedding pooling
+
+def test_pool_embeddings_brute_and_partition_invariance():
+    from mapshaper_ray.ops.ann import pool_embeddings
+    rng = np.random.default_rng(43)
+    n, d = 500, 16
+    vecs = rng.normal(0, 1, (n, d)).astype(np.float32)
+    labels = rng.integers(0, 5, n)
+    df = pd.DataFrame({"label": labels,
+                       "embedding": [v for v in vecs]})
+    outs = [pool_embeddings(ds, "label", "embedding", mode="mean")
+            for ds in _layouts(df, 43)]
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+    got = outs[0]
+    # brute: exact integer arithmetic with truncating division
+    q = np.floor(vecs.astype(np.float64) * (1 << 20)).astype(np.int64)
+    for lab in range(5):
+        m = labels == lab
+        s = q[m].sum(axis=0)
+        nn = int(m.sum())
+        want = np.sign(s) * (np.abs(s) // nn)
+        sub = got[got["label"] == lab].sort_values("dim")
+        assert (sub["pooled_q"].to_numpy() == want).all()
+        assert (sub["n"].to_numpy() == nn).all()
+
+
+def test_pool_embeddings_max_mode():
+    from mapshaper_ray.ops.ann import pool_embeddings
+    df = pd.DataFrame({"label": [0, 0, 1],
+                       "embedding": [np.array([1.0, -2.0]),
+                                     np.array([0.5, 5.0]),
+                                     np.array([3.0, 3.0])]})
+    out = pool_embeddings(rd.from_pandas(df), "label", "embedding",
+                          mode="max")
+    g0 = out[out["label"] == 0].sort_values("dim")["pooled_q"].to_numpy()
+    S = 1 << 20
+    assert g0.tolist() == [int(np.floor(1.0 * S)),
+                           int(np.floor(5.0 * S))]
