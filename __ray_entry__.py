@@ -2386,6 +2386,37 @@ def _q150_web_curation(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q151_grouped_cumsum(sf_dir: str):
+    """Per-user running total of event values in time order — one
+    key-hash bucket shuffle + in-partition vectorized scan with
+    key-boundary resets; integer-quantized so the window mirror is
+    value-exact."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import grouped_cumsum
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "value"])
+    out = grouped_cumsum(ev, "user_id", ["ts", "event_id"],
+                         "value").to_pandas()
+    out = out[["user_id", "event_id", "cum_q"]]         .astype({"user_id": np.int64, "event_id": np.int64,
+                 "cum_q": np.int64})
+    return out.sort_values(["user_id", "event_id"])         .reset_index(drop=True)
+
+
+def _q152_containment(sf_dir: str):
+    """Exact all-pairs 3-shingle CONTAINMENT >= 0.8 (asymmetric
+    quote/subset detection Jaccard misses) — shingle-bucket pair
+    emission + grouped intersection counts, integer evidence
+    columns."""
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import all_pairs_containment
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = all_pairs_containment(ds, threshold=0.8, shingle_k=3)
+    out["cont"] = out["cont"].round(6)
+    return out
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -3067,6 +3098,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q148_anomaly": _q148_anomaly,
         "q149_pool_embeddings": _q149_pool_embeddings,
         "q150_web_curation": _q150_web_curation,
+        "q151_grouped_cumsum": _q151_grouped_cumsum,
+        "q152_containment": _q152_containment,
         "q61_bm25": _q61_bm25,
         "q142_bfs": _q142_bfs,
         "q67_pack_sequences": _q67_pack_sequences,
@@ -5907,6 +5940,49 @@ def oracle_sql() -> dict[str, str]:
         .replace("__NORM__", __import__(
             "mapshaper_ray.stages.pages",
             fromlist=["url_normalize_sql"]).url_normalize_sql("url"))
+
+    out["q151_grouped_cumsum"] = """
+        WITH b AS (SELECT user_id, event_id, ts,
+                     CAST(floor(value * 100) AS BIGINT) AS q
+                   FROM events)
+        SELECT user_id, event_id,
+               CAST(sum(q) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_q
+        FROM b ORDER BY user_id, event_id"""
+
+    out["q152_containment"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS ts
+          FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct(
+    CASE WHEN len(ts) = 0 THEN [CAST(0 AS UBIGINT)]
+         WHEN len(ts) < 3
+           THEN [md5_number_lower(array_to_string(ts, chr(31)))]
+         ELSE list_transform(generate_series(1, len(ts) - 2),
+                i -> md5_number_lower(
+                    array_to_string(ts[i:i+2], chr(31))))
+    END) AS s
+               FROM toks),
+        ex AS (SELECT doc_id, unnest(s) AS h FROM sh),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS n_inter
+          FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        sz AS (SELECT doc_id, len(s) AS n FROM sh)
+        SELECT id_a, id_b, n_inter,
+               CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+               round(greatest(CAST(n_inter AS DOUBLE) / na.n,
+                              CAST(n_inter AS DOUBLE) / nb.n), 6)
+                 AS cont
+        FROM inter JOIN sz na ON id_a = na.doc_id
+                   JOIN sz nb ON id_b = nb.doc_id
+        WHERE greatest(CAST(n_inter AS DOUBLE) / na.n,
+                       CAST(n_inter AS DOUBLE) / nb.n) >= 0.8
+        ORDER BY id_a, id_b"""
 
 
     out["q84_pretrain_pipeline"] = r"""

@@ -2281,3 +2281,47 @@ def group_outliers(ds, key_col: str, val_col: str, z: int = 3,
         return pd.DataFrame(cols)
     out["q"] = out["q"].astype(np.int64)
     return out.sort_values(sort_cols).reset_index(drop=True)
+
+
+def grouped_cumsum(ds, key_col: str, order_cols, val_col: str,
+                   qscale: int = 100, n_parts: int = 64):
+    """Per-key cumulative sum in event order — the running-total
+    window (SUM OVER PARTITION BY key ORDER BY order) without a
+    global sort: keys are independent, so ONE key-hash bucket shuffle
+    co-locates each key's rows and the scan is a vectorized
+    in-partition lexsort + cumsum with key-boundary resets (locf's
+    carry shape).  Values quantize to ``floor(v * qscale)`` int64 so
+    the running sums are order-independent integers, value-exact vs
+    the SQL window mirror.  Returns all rows with ``cum_q``."""
+    order_cols = [order_cols] if isinstance(order_cols, str) \
+        else list(order_cols)
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__q"] = np.floor(df[val_col].to_numpy(np.float64)
+                             * qscale).astype(np.int64)
+        key = pd.util.hash_array(df[key_col].to_numpy()) \
+            .astype(np.uint64)
+        df["__part"] = (key % np.uint64(n_parts)).astype(np.int64)
+        return df.drop(columns=[val_col])
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        sort_key = [key_col] + order_cols
+        df = df.sort_values(sort_key, kind="mergesort") \
+            .reset_index(drop=True)
+        q = df["__q"].to_numpy(np.int64)
+        cum = np.cumsum(q)
+        k = df[key_col].to_numpy()
+        starts = np.concatenate(
+            [[0], np.nonzero(k[1:] != k[:-1])[0] + 1])
+        # per-key reset: subtract the running total just before each
+        # key's first row, broadcast to the key's rows via group ids
+        grp = np.zeros(len(q), np.int64)
+        grp[starts] = 1
+        gid = np.cumsum(grp) - 1
+        base = (cum[starts] - q[starts])[gid]
+        df["cum_q"] = cum - base
+        return df.drop(columns=["__part", "__q"])
+
+    return ds.map_batches(stamp, batch_format="pandas") \
+        .groupby("__part").map_groups(scan, batch_format="pandas")

@@ -368,3 +368,66 @@ def test_pool_embeddings_max_mode():
     S = 1 << 20
     assert g0.tolist() == [int(np.floor(1.0 * S)),
                            int(np.floor(5.0 * S))]
+
+
+# ------------------------------------------------------- grouped cumsum
+
+def test_grouped_cumsum_brute_and_partition_invariance():
+    from mapshaper_ray.ops.relational import grouped_cumsum
+    rng = np.random.default_rng(47)
+    n = 2000
+    df = pd.DataFrame({"k": rng.integers(0, 50, n),
+                       "o": rng.permutation(n),
+                       "v": rng.normal(10, 5, n)})
+    outs = []
+    for ds in _layouts(df, 47):
+        o = grouped_cumsum(ds, "k", "o", "v").to_pandas() \
+            .sort_values(["k", "o"]).reset_index(drop=True)
+        outs.append(o)
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+    # brute via pandas window
+    b = df.copy()
+    b["q"] = np.floor(b["v"] * 100).astype(np.int64)
+    b = b.sort_values(["k", "o"])
+    b["cum_q"] = b.groupby("k")["q"].cumsum()
+    want = b[["k", "o", "cum_q"]].reset_index(drop=True)
+    got = outs[0][["k", "o", "cum_q"]]
+    pd.testing.assert_frame_equal(
+        got.astype({"cum_q": np.int64}), want)
+
+
+# ------------------------------------------------------- containment
+
+def test_containment_detects_quotes_jaccard_misses():
+    from mapshaper_ray.ops.dedup import all_pairs_containment
+    quote = " ".join(f"q{i}" for i in range(12))
+    long_doc = quote + " " + " ".join(f"x{i}" for i in range(200))
+    other = " ".join(f"y{i}" for i in range(50))
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": [quote, long_doc, other]})
+    out = all_pairs_containment(rd.from_pandas(df), threshold=0.8,
+                                shingle_k=3)
+    assert out[["id_a", "id_b"]].values.tolist() == [[1, 2]]
+    row = out.iloc[0]
+    # every one of the quote's shingles appears in the long doc
+    assert row["n_inter"] == row["n_a"]
+    assert row["cont"] == 1.0
+    # jaccard for that pair is tiny — the asymmetry is the point
+    assert row["n_inter"] / (row["n_a"] + row["n_b"]
+                             - row["n_inter"]) < 0.1
+
+
+def test_containment_partition_invariance():
+    from mapshaper_ray.ops.dedup import all_pairs_containment
+    rng = np.random.default_rng(53)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, 30)) for _ in range(60)]
+    # plant a containment pair
+    texts[7] = texts[3][:len(texts[3]) // 2]
+    df = pd.DataFrame({"doc_id": range(60), "text": texts})
+    outs = [all_pairs_containment(ds, threshold=0.7, shingle_k=3)
+            for ds in _layouts(df, 53)]
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+    assert len(outs[0]) >= 1
