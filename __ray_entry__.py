@@ -2417,6 +2417,37 @@ def _q152_containment(sf_dir: str):
     return out
 
 
+def _q153_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((lang, source), (lang), (source)) —
+    the general rollup/cube form: one distributed finest pass, each
+    requested set re-aggregated from its bounded result."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import grouping_sets_agg
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source", "n_chars"])
+    out = grouping_sets_agg(
+        docs, ["lang", "source"],
+        [["lang", "source"], ["lang"], ["source"]],
+        {"n": ("n_chars", "count"), "sum_chars": ("n_chars", "sum")})
+    out = out.astype({"n": np.int64, "sum_chars": np.int64})
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+def _q154_char_entropy(sf_dir: str):
+    """Per-document Shannon character entropy (low-entropy /
+    boilerplate quality signal) as an exact integer
+    (n*qlog(n) - sum c*qlog(c)) — utf-32 codepoint decode, one
+    lexsort, run arithmetic; no shuffle."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import char_entropy
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = char_entropy(docs).to_pandas()
+    out = out.astype({"doc_id": np.int64, "n_chars_cp": np.int64,
+                      "ent_q": np.int64})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -3100,6 +3131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q150_web_curation": _q150_web_curation,
         "q151_grouped_cumsum": _q151_grouped_cumsum,
         "q152_containment": _q152_containment,
+        "q153_grouping_sets": _q153_grouping_sets,
+        "q154_char_entropy": _q154_char_entropy,
         "q61_bm25": _q61_bm25,
         "q142_bfs": _q142_bfs,
         "q67_pack_sequences": _q67_pack_sequences,
@@ -5983,6 +6016,34 @@ def oracle_sql() -> dict[str, str]:
         WHERE greatest(CAST(n_inter AS DOUBLE) / na.n,
                        CAST(n_inter AS DOUBLE) / nb.n) >= 0.8
         ORDER BY id_a, id_b"""
+
+    out["q153_grouping_sets"] = """
+        SELECT coalesce(lang, '(all)') AS lang,
+               coalesce(source, '(all)') AS source,
+               CAST(count(n_chars) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY GROUPING SETS ((lang, source), (lang), (source))
+        ORDER BY 1, 2"""
+
+    out["q154_char_entropy"] = """
+        WITH ch AS (
+          SELECT doc_id, unnest(string_split(text, '')) AS c
+          FROM documents WHERE text IS NOT NULL AND text <> ''),
+        cc AS (SELECT doc_id, c, count(*) AS cnt
+               FROM ch GROUP BY 1, 2),
+        s AS (SELECT doc_id, sum(cnt) AS n,
+                     sum(cnt * CAST(floor(ln(cnt) * 1000000000)
+                                    AS BIGINT)) AS sub
+              FROM cc GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(coalesce(s.n, 0) AS BIGINT) AS n_chars_cp,
+               CAST(CASE WHEN s.n IS NULL THEN 0
+                    ELSE s.n * CAST(floor(ln(s.n) * 1000000000)
+                                    AS BIGINT) - s.sub END
+                    AS BIGINT) AS ent_q
+        FROM documents d LEFT JOIN s USING (doc_id)
+        ORDER BY d.doc_id"""
 
 
     out["q84_pretrain_pipeline"] = r"""

@@ -2325,3 +2325,41 @@ def grouped_cumsum(ds, key_col: str, order_cols, val_col: str,
 
     return ds.map_batches(stamp, batch_format="pandas") \
         .groupby("__part").map_groups(scan, batch_format="pandas")
+
+
+def grouping_sets_agg(ds, keys: list[str], sets: list[list[str]],
+                      aggs: dict[str, tuple[str, str]],
+                      all_label: str = "(all)"):
+    """SQL ``GROUP BY GROUPING SETS (...)`` — the general form of
+    :func:`rollup_agg` / :func:`cube_agg`: aggregate at an arbitrary
+    list of key subsets.  One distributed pass computes the finest
+    level (the union of all requested keys); every requested set
+    re-aggregates that bounded result (sum/count/min/max are
+    re-aggregable; count re-sums).  Rolled-up key columns carry
+    ``all_label``.  Returns all sets unioned, finest-first order."""
+    for out, (col, fn) in aggs.items():
+        if fn not in ("sum", "count", "min", "max"):
+            raise ValueError(f"grouping_sets_agg: {fn} is not "
+                             "re-aggregable")
+    finest = groupby_agg(ds, keys, aggs, final="distributed") \
+        .to_pandas()
+    re_fn = {out: ("sum" if fn == "count" else fn)
+             for out, (col, fn) in aggs.items()}
+    levels = []
+    for sub in sets:
+        sub = list(sub)
+        if sorted(sub) == sorted(keys):
+            g = finest.copy()
+        elif sub:
+            g = finest.groupby(sub, as_index=False) \
+                .agg({out: fn for out, fn in re_fn.items()})
+        else:
+            g = pd.DataFrame({out: [getattr(finest[out], fn)()]
+                              for out, fn in re_fn.items()})
+        for k in keys:
+            if k not in sub:
+                g[k] = all_label
+        levels.append(g[keys + list(aggs)])
+    out = pd.concat(levels, ignore_index=True)
+    return out.sort_values(keys, kind="mergesort") \
+        .reset_index(drop=True)

@@ -2276,3 +2276,67 @@ def skipgram_counts(ds, window: int = 2, text_col: str = "text",
                         out["w1"].to_numpy(object),
                         -out["n"].to_numpy()))
     return out.iloc[order].reset_index(drop=True)
+
+
+CHAR_ENTROPY_QSCALE = 10 ** 9
+
+
+def _qlog_int(c: np.ndarray, qscale: int) -> np.ndarray:
+    """floor(ln(c) * qscale) for positive integer counts, with the
+    scalar-libm re-check near floor boundaries (the q64 convention:
+    numpy's SIMD log can round the quantization differently from the
+    libm scalar DuckDB calls)."""
+    import math
+
+    v = np.log(c.astype(np.float64)) * qscale
+    q = np.floor(v)
+    frac = v - q
+    tol = 1e-4
+    fix = np.flatnonzero((frac < tol) | (frac > 1.0 - tol))
+    for j in fix:
+        q[j] = float(math.floor(math.log(int(c[j])) * qscale))
+    return q.astype(np.int64)
+
+
+def char_entropy(ds, id_col: str = "doc_id", text_col: str = "text",
+                 qscale: int = CHAR_ENTROPY_QSCALE):
+    """Per-document Shannon character entropy — the low-entropy /
+    boilerplate / binary-junk quality signal: for a doc of n
+    codepoints with per-char counts c_i,
+    ``ent_q = n * qlog(n) - sum_i c_i * qlog(c_i)`` where
+    ``qlog(x) = floor(ln(x) * qscale)`` — an exact INTEGER equal to
+    ~n * qscale * H_nat, so the SQL mirror matches bit-for-bit and
+    callers divide by (n * qscale) for nats.
+
+    Embarrassingly parallel, no shuffle: each batch decodes all its
+    text to one utf-32 codepoint array (np.frombuffer — no per-char
+    Python loop), one lexsort over (row, codepoint) yields the
+    per-run counts, and the entropy reduces with run arithmetic.
+    Empty docs report ent_q = 0."""
+    def ent(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].fillna("").tolist()
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        joined = "".join(texts)
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        row = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        order = np.lexsort((cp, row))
+        r_s, c_s = row[order], cp[order]
+        key = (r_s.astype(np.uint64) << np.uint64(32)) \
+            | c_s.astype(np.uint64)
+        starts = np.concatenate(
+            [[0], np.nonzero(key[1:] != key[:-1])[0] + 1]) \
+            if len(key) else np.empty(0, np.int64)
+        counts = np.diff(np.concatenate([starts, [len(key)]])) \
+            .astype(np.int64) if len(key) else np.empty(0, np.int64)
+        contrib = counts * _qlog_int(counts, qscale) if len(counts) \
+            else counts
+        ent_q = np.zeros(len(texts), dtype=np.int64)
+        if len(counts):
+            np.add.at(ent_q, r_s[starts.astype(np.int64)], -contrib)
+        nz = lens > 0
+        ent_q[nz] += lens[nz] * _qlog_int(lens[nz], qscale)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "n_chars_cp": lens,
+                             "ent_q": ent_q})
+
+    return ds.map_batches(ent, batch_format="pandas")

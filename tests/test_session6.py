@@ -431,3 +431,54 @@ def test_containment_partition_invariance():
     for o in outs[1:]:
         pd.testing.assert_frame_equal(outs[0], o)
     assert len(outs[0]) >= 1
+
+
+# ------------------------------------------------------- grouping sets
+
+def test_grouping_sets_matches_pandas():
+    from mapshaper_ray.ops.relational import grouping_sets_agg
+    rng = np.random.default_rng(59)
+    df = pd.DataFrame({"a": rng.choice(["p", "q"], 500),
+                       "b": rng.choice(["x", "y", "z"], 500),
+                       "v": rng.integers(0, 100, 500)})
+    out = grouping_sets_agg(rd.from_pandas(df).repartition(7),
+                            ["a", "b"], [["a", "b"], ["b"], []],
+                            {"n": ("v", "count"), "s": ("v", "sum")})
+    fine = df.groupby(["a", "b"], as_index=False) \
+        .agg(n=("v", "size"), s=("v", "sum"))
+    assert len(out) == len(fine) + 3 + 1
+    bonly = out[(out["a"] == "(all)") & (out["b"] == "y")]
+    want = df[df["b"] == "y"]
+    assert int(bonly["n"].iloc[0]) == len(want)
+    assert int(bonly["s"].iloc[0]) == int(want["v"].sum())
+    tot = out[(out["a"] == "(all)") & (out["b"] == "(all)")]
+    assert int(tot["n"].iloc[0]) == 500
+    assert int(tot["s"].iloc[0]) == int(df["v"].sum())
+
+
+# ------------------------------------------------------- char entropy
+
+def test_char_entropy_brute_and_edge_cases():
+    import math
+    from collections import Counter
+
+    from mapshaper_ray.stages.text import char_entropy
+    texts = ["aab", "", "zzzz", "hello world", "ab\ncd",
+             "ééx☃", None]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    def brute(t, S=10 ** 9):
+        if not t:
+            return 0
+        n = len(t)
+        c = Counter(t)
+        return n * math.floor(math.log(n) * S) \
+            - sum(v * math.floor(math.log(v) * S) for v in c.values())
+
+    out = char_entropy(rd.from_pandas(df).repartition(3)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for i, t in enumerate(texts):
+        assert out["ent_q"].iloc[i] == brute(t), (i, t)
+        assert out["n_chars_cp"].iloc[i] == (len(t) if t else 0)
+    # uniform text has zero entropy; all-distinct has n*qlog(n) shape
+    assert out["ent_q"].iloc[2] == 0
