@@ -2448,6 +2448,37 @@ def _q154_char_entropy(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q155_boilerplate(sf_dir: str):
+    """Per-host template-line removal (the CCNet/RefinedWeb
+    boilerplate recipe): synthetic multi-line pages (nav header,
+    optional promo line, body, copyright footer per host); lines in
+    >= 30% of a host's pages (and >= 2 pages) delete from every
+    page.  Count-gated broadcast of the boilerplate key table vs a
+    bucketed anti-join + reassemble path above the cap."""
+    import ray.data as rd
+    from mapshaper_ray.stages.pages import remove_boilerplate
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def mk(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].to_numpy(np.int64)
+        h = "site" + pd.Series(i % 20).astype(str) + ".example"
+        promo = pd.Series(np.where(i % 3 == 0,
+                                   "PROMO subscribe now\n", ""))
+        page = ("NAV home about " + h + "\n" + promo
+                + df["text"].fillna("").reset_index(drop=True)
+                + "\nCOPYRIGHT 2024 " + h)
+        return pd.DataFrame({"doc_id": i,
+                             "host": h.to_numpy(object),
+                             "text": page.to_numpy(object)})
+
+    pages = docs.map_batches(mk, batch_format="pandas")
+    out = remove_boilerplate(pages, frac_num=3, frac_den=10,
+                             min_pages=2).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -3133,6 +3164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q152_containment": _q152_containment,
         "q153_grouping_sets": _q153_grouping_sets,
         "q154_char_entropy": _q154_char_entropy,
+        "q155_boilerplate": _q155_boilerplate,
         "q61_bm25": _q61_bm25,
         "q142_bfs": _q142_bfs,
         "q67_pack_sequences": _q67_pack_sequences,
@@ -6044,6 +6076,43 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS ent_q
         FROM documents d LEFT JOIN s USING (doc_id)
         ORDER BY d.doc_id"""
+
+    out["q155_boilerplate"] = """
+        WITH p AS (
+          SELECT doc_id,
+                 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example'
+                   AS host,
+                 'NAV home about site' || CAST(doc_id % 20 AS VARCHAR)
+                   || '.example' || chr(10) ||
+                 CASE WHEN doc_id % 3 = 0
+                      THEN 'PROMO subscribe now' || chr(10)
+                      ELSE '' END ||
+                 coalesce(text, '') || chr(10) ||
+                 'COPYRIGHT 2024 site' || CAST(doc_id % 20 AS VARCHAR)
+                   || '.example' AS text
+          FROM documents),
+        sp AS (SELECT doc_id, host,
+                      string_split(text, chr(10)) AS ls
+               FROM p),
+        ln AS (SELECT doc_id, host, u.i AS pos, ls[u.i] AS line
+               FROM sp, unnest(generate_series(1, len(ls))) AS u(i)),
+        d AS (SELECT host, line,
+                     count(DISTINCT doc_id) AS n_docs
+              FROM ln GROUP BY 1, 2),
+        hp AS (SELECT host, count(*) AS n_pages FROM p GROUP BY 1),
+        bl AS (SELECT d.host, d.line
+               FROM d JOIN hp USING (host)
+               WHERE n_docs >= 2 AND n_docs * 10 >= 3 * n_pages),
+        kept AS (SELECT l.doc_id, l.pos, l.line
+                 FROM ln l ANTI JOIN bl b
+                   ON l.host = b.host AND l.line = b.line),
+        agg AS (SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS txt
+                FROM kept GROUP BY doc_id)
+        SELECT p.doc_id, p.host,
+               coalesce(agg.txt, '') AS text_clean
+        FROM p LEFT JOIN agg USING (doc_id)
+        ORDER BY p.doc_id"""
 
 
     out["q84_pretrain_pipeline"] = r"""

@@ -312,3 +312,180 @@ def blocked_hosts_sql(blocked, url_col: str = "url",
             f"WHERE {host_alias} = __bl.d "
             f"OR {host_alias} LIKE '%.' || __bl.d)")
     return host, cond
+
+
+BOILERPLATE_BROADCAST_CAP = int(__import__("os").environ.get(
+    "MAPSHAPER_RAY_BOILERPLATE_CAP", "2000000"))
+
+
+def remove_boilerplate(pages: "ray.data.Dataset", host_col: str = "host",
+                       id_col: str = "doc_id", text_col: str = "text",
+                       frac_num: int = 1, frac_den: int = 2,
+                       min_pages: int = 2,
+                       broadcast_cap: int | None = None,
+                       n_parts: int = 64) -> "ray.data.Dataset":
+    """Per-host template/boilerplate line removal (the CCNet /
+    RefinedWeb recipe): a LINE is boilerplate for a host when it
+    appears in at least ``frac_num/frac_den`` of that host's pages
+    (integer-exact test: ``n_docs * frac_den >= frac_num * n_pages``)
+    and in at least ``min_pages`` pages.  Those lines are deleted
+    from every page of the host; remaining lines re-join with
+    ``\\n`` byte-exactly.  Returns (id, host, text_clean).
+
+    Distributed shape: line identity is ``md5_lo64(host \\x1f line)``
+    — host-scoped in ONE uint64 key, DuckDB-``md5_number_lower``
+    reproducible.  Pass 1 emits per-batch distinct-per-doc (key,
+    host) partials; a distributed grouped count + a bucketed join
+    against per-host page counts yields the boilerplate key table.
+    Below ``broadcast_cap`` keys it broadcasts as a sorted array and
+    the corpus streams through one stateless rebuild pass (no corpus
+    shuffle at all); above the cap, pages explode to (doc, pos,
+    line) rows, a bucketed anti-join on the key drops boilerplate
+    lines, and docs reassemble in a doc-bucket shuffle — the corpus
+    moves, but host/line state never concentrates anywhere.
+    """
+    import pandas as pd
+    import ray
+
+    from ..ops.relational import groupby_agg, hash_join_bucketed
+    from .text import md5_lo64
+
+    cap = BOILERPLATE_BROADCAST_CAP if broadcast_cap is None \
+        else broadcast_cap
+
+    def _split(texts):
+        return [t.split("\n") if t else [] for t in texts]
+
+    def _lh(strings) -> np.ndarray:
+        # 52-bit key: int64 columns wider than the float64 mantissa
+        # are corrupted by the join exchange's NaN padding (the q132
+        # fingerprint lesson) — 52 bits survive it exactly
+        return (md5_lo64(strings)
+                & np.uint64((1 << 52) - 1)).astype(np.int64)
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        hosts = df[host_col].astype(str).tolist()
+        out_k = []
+        for h, ls in zip(hosts, _split(df[text_col].tolist())):
+            if not ls:
+                continue
+            uniq = sorted(set(ls))
+            out_k.extend(f"{h}\x1f{ln}" for ln in uniq)
+        k = _lh(out_k) if out_k else np.empty(0, np.int64)
+        hrep = np.repeat(
+            np.arange(len(hosts)), [len(set(ls)) if ls else 0
+                                    for ls in _split(
+                                        df[text_col].tolist())])
+        g = pd.DataFrame({"lh": k,
+                          "h": np.asarray(hosts, object)[hrep]}) \
+            .groupby(["h", "lh"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return g
+
+    cnt = groupby_agg(
+        pages.map_batches(line_partial, batch_format="pandas"),
+        ["h", "lh"], {"n_docs": ("c", "sum")}, final="distributed")
+
+    def host_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(host_col, as_index=False).size() \
+            .rename(columns={host_col: "h", "size": "c"})
+
+    host_counts = groupby_agg(
+        pages.map_batches(host_partial, batch_format="pandas"),
+        ["h"], {"n_pages": ("c", "sum")}, final="distributed")
+
+    joined = hash_join_bucketed(cnt, host_counts, on="h",
+                                num_buckets=n_parts)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df["n_docs"].to_numpy(np.int64)
+        np_ = df["n_pages"].to_numpy(np.int64)
+        m = (nd >= min_pages) & (nd * frac_den >= frac_num * np_)
+        return df[m][["lh"]]
+
+    bl = joined.map_batches(pick, batch_format="pandas").materialize()
+    n_bl = bl.count()
+
+    def _clean_rows(df: pd.DataFrame, keys: np.ndarray) -> pd.DataFrame:
+        hosts = df[host_col].astype(str).tolist()
+        lines = _split(df[text_col].tolist())
+        flat = [f"{h}\x1f{ln}" for h, ls in zip(hosts, lines)
+                for ln in ls]
+        lens = np.array([len(ls) for ls in lines], np.int64)
+        if flat:
+            k = _lh(flat)
+            idx = np.searchsorted(keys, k).clip(0, max(len(keys) - 1,
+                                                       0))
+            drop = keys[idx] == k if len(keys) else \
+                np.zeros(len(k), bool)
+        else:
+            drop = np.empty(0, bool)
+        row = np.repeat(np.arange(len(df)), lens)
+        flat_lines = np.asarray([ln for ls in lines for ln in ls],
+                                object)
+        keep = ~drop
+        counts = np.bincount(row[keep], minlength=len(df)) \
+            .astype(np.int64)
+        parts = np.split(flat_lines[keep], np.cumsum(counts)[:-1])
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            host_col: np.asarray(hosts, object),
+            "text_clean": ["\n".join(p) for p in parts]})
+
+    if n_bl <= cap:
+        keys = np.sort(np.concatenate(
+            [b["lh"].to_numpy() for b in
+             bl.iter_batches(batch_format="pandas")] or
+            [np.empty(0, np.int64)]))
+        ref = ray.put(keys)
+
+        def clean(df: pd.DataFrame) -> pd.DataFrame:
+            return _clean_rows(df, ray.get(ref))
+
+        return pages.map_batches(clean, batch_format="pandas")
+
+    # bucketed path: explode -> anti-join -> doc-bucket reassemble
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        hosts = df[host_col].astype(str).tolist()
+        lines = _split(df[text_col].tolist())
+        lens = np.array([len(ls) for ls in lines], np.int64)
+        flat = [f"{h}\x1f{ln}" for h, ls in zip(hosts, lines)
+                for ln in ls]
+        k = _lh(flat) if flat else np.empty(0, np.int64)
+        return pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(), lens),
+            host_col: np.repeat(np.asarray(hosts, object), lens),
+            "pos": np.concatenate([np.arange(n) for n in lens]) if
+            len(lens) else np.empty(0, np.int64),
+            "line": np.asarray(flat, object)
+            if flat else np.empty(0, object),
+            "lh": k})
+
+    ex = pages.map_batches(explode, batch_format="pandas")
+    kept = hash_join_bucketed(ex, bl, on="lh", how="anti",
+                              num_buckets=n_parts)
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        key = pd.util.hash_array(df[id_col].to_numpy()) \
+            .astype(np.uint64)
+        df["__part"] = (key % np.uint64(n_parts)).astype(np.int64)
+        return df
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "pos"], kind="mergesort")
+        ids = df[id_col].to_numpy()
+        starts = np.concatenate(
+            [[0], np.nonzero(ids[1:] != ids[:-1])[0] + 1])
+        ends = np.concatenate([starts[1:], [len(ids)]])
+        # strip the "host\x1f" prefix back off each kept line
+        lines = [s.split("\x1f", 1)[1] for s in df["line"].tolist()]
+        return pd.DataFrame({
+            id_col: ids[starts],
+            host_col: df[host_col].to_numpy()[starts],
+            "text_clean": ["\n".join(lines[s:e])
+                           for s, e in zip(starts, ends)]})
+
+    return kept.map_batches(stamp, batch_format="pandas") \
+        .groupby("__part").map_groups(reassemble,
+                                      batch_format="pandas")

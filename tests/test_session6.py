@@ -482,3 +482,57 @@ def test_char_entropy_brute_and_edge_cases():
         assert out["n_chars_cp"].iloc[i] == (len(t) if t else 0)
     # uniform text has zero entropy; all-distinct has n*qlog(n) shape
     assert out["ent_q"].iloc[2] == 0
+
+
+# ------------------------------------------------------- boilerplate
+
+def _bp_pages():
+    rows = []
+    for h in range(3):
+        for i in range(6):
+            body = f"unique body {h} {i}\nsecond line {h} {i}"
+            promo = "PROMO line\n" if i % 2 == 0 else ""
+            rows.append({"doc_id": h * 100 + i, "host": f"h{h}",
+                         "text": f"HEADER h{h}\n{promo}{body}"
+                                 f"\nFOOTER h{h}"})
+    return pd.DataFrame(rows)
+
+
+def test_boilerplate_brute_both_paths():
+    from mapshaper_ray.stages.pages import remove_boilerplate
+    df = _bp_pages()
+    for cap in (None, 0):  # broadcast, then forced bucketed
+        out = remove_boilerplate(rd.from_pandas(df), frac_num=1,
+                                 frac_den=2, broadcast_cap=cap) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        # header/footer in 100% of pages, promo in 50% -> all removed
+        for _, r in out.iterrows():
+            assert "HEADER" not in r["text_clean"]
+            assert "FOOTER" not in r["text_clean"]
+            assert "PROMO" not in r["text_clean"]
+            assert "unique body" in r["text_clean"]
+        # bodies survive byte-exactly
+        r0 = out[out["doc_id"] == 0].iloc[0]
+        assert r0["text_clean"] == "unique body 0 0\nsecond line 0 0"
+
+
+def test_boilerplate_partition_invariance():
+    from mapshaper_ray.stages.pages import remove_boilerplate
+    df = _bp_pages()
+    outs = [remove_boilerplate(ds, frac_num=1, frac_den=2)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            for ds in _layouts(df, 61)]
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+
+
+def test_boilerplate_threshold_boundary():
+    from mapshaper_ray.stages.pages import remove_boilerplate
+    # line in exactly 1/2 of 4 pages with frac 1/2: 2*2 >= 1*4 -> drop
+    df = pd.DataFrame({
+        "doc_id": range(4), "host": ["h"] * 4,
+        "text": ["EDGE\na0", "EDGE\na1", "a2", "a3"]})
+    out = remove_boilerplate(rd.from_pandas(df), frac_num=1,
+                             frac_den=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["text_clean"].tolist() == ["a0", "a1", "a2", "a3"]
