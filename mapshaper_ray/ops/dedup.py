@@ -1368,86 +1368,220 @@ def edit1_pairs(strings_ds, col: str = "token", max_len: int = 64,
 
 def all_pairs_containment(ds, threshold=0.9, shingle_k=3,
                           id_col="doc_id", text_col="text",
-                          n_parts=64):
+                          n_parts=64, cms_w=1 << 18):
     """Exact all-pairs shingle CONTAINMENT join — the asymmetric
     near-dup statistic (Broder 1997): c(A,B) = |A∩B| / |A| detects a
     short document quoted/embedded inside a longer one, which Jaccard
-    misses (a 50-token quote in a 5000-token page has tiny Jaccard
-    but containment ~1).  Returns pairs where EITHER direction's
-    containment >= ``threshold``, with the exact integer evidence
-    (n_inter, n_a, n_b) and ``cont = max(inter/n_a, inter/n_b)``
-    (two single IEEE divisions + greatest, so SQL-exact).
+    misses.  Returns pairs where EITHER direction's containment >=
+    ``threshold`` with integer evidence (n_inter, n_a, n_b) and
+    ``cont = max(inter/n_a, inter/n_b)`` (single IEEE divisions +
+    greatest, SQL-exact).
 
-    Distributed shape: one pass emits distinct (shingle-hash, doc)
-    rows; a shingle-hash bucket shuffle co-locates equal shingles and
-    emits same-shingle pairs vectorized (the LSH `_bucket_pairs` run
-    detection); a grouped pair count IS the intersection size (each
-    co-occurring shingle contributes exactly one pair row); per-doc
-    set sizes broadcast (bounded by the doc count) for the stateless
-    ratio filter.  Pair volume is bounded by true shingle
-    co-occurrence — no all-pairs stage over the corpus.
+    Candidate generation is the size-stratified prefix filter
+    (Bayardo WWW'07 adapted to overlap >= t*min(|A|,|B|)): with A
+    the smaller side, an overlap of ceil(t*|A|) forces a shared
+    shingle inside A's first |A| - ceil(t*|A|) + 1 shingles under
+    ANY consistent global total order — so only the smaller side's
+    ~(1-t) prefix probes, while every doc posts its full set as the
+    index side.  The total order is (approx document frequency,
+    hash): a count-min sketch of shingle dfs (one mergeable pass,
+    broadcast once) pushes corpus-hot shingles OUT of every prefix,
+    which is what bounds pair volume under skew — correctness does
+    not depend on the order (any total order preserves the prefix
+    property), only the volume does.  Exact per-pair verification
+    (vectorized intersect over a pair-bucket exchange, the
+    ngram_jaccard_pairs machinery) decides the final set, so the
+    result is exact regardless of the sketch.
     """
     import ray
 
-    from .relational import groupby_agg
+    from .sketch import _CmsPartial, _sum_slots
 
     mh = _MinHasher(1, shingle_k, text_col)
+    CMS_D = 2
 
-    def emit(df: pd.DataFrame) -> pd.DataFrame:
+    # ---- pass 1: CMS of shingle document frequencies (mergeable,
+    # corpus never shuffles; 2 x cms_w int64 = a few MB broadcast)
+    def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
         sets = mh.doc_shingle_sets(df[text_col])
-        ids = df[id_col].to_numpy(np.int64)
-        lens = np.array([len(np.unique(s)) for s in sets], np.int64)
         h = np.concatenate([np.unique(s) for s in sets]) if len(df) \
             else np.empty(0, np.uint64)
+        return pd.DataFrame({"h": h.astype(np.int64)})
+
+    import pyarrow as pa
+
+    cms_rows = ds.map_batches(shingle_rows, batch_format="pandas") \
+        .map_batches(_CmsPartial("h", CMS_D, cms_w),
+                     batch_format="pyarrow") \
+        .repartition(4).map_batches(_sum_slots, batch_format="pyarrow",
+                                    batch_size=None).to_pandas()
+    cms = np.zeros(CMS_D * cms_w, dtype=np.int64)
+    if len(cms_rows):
+        agg = cms_rows.groupby("slot")["cnt"].sum()
+        cms[agg.index.to_numpy(np.int64)] = agg.to_numpy(np.int64)
+    cms = cms.reshape(CMS_D, cms_w)
+    cms_ref = ray.put(cms)
+
+    # ---- pass 2: postings — full index side + smaller-side prefix
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        from .sketch import _cms_buckets
+        cms_ = ray.get(cms_ref)
+        sets = [np.unique(s) for s in
+                mh.doc_shingle_sets(df[text_col])]
+        ids = df[id_col].to_numpy(np.int64)
+        hs, ds_, sz, fl = [], [], [], []
+        for did, s in zip(ids, sets):
+            n = len(s)
+            if n == 0:
+                continue
+            b = _cms_buckets(s.astype(np.int64), CMS_D, cms_w) \
+                .astype(np.int64)
+            est = cms_[np.arange(CMS_D)[None, :], b].min(axis=1)
+            order = np.lexsort((s, est))  # rare first, hash tiebreak
+            p = n - int(np.ceil(threshold * n)) + 1
+            pref = s[order][:p]
+            hs.extend([s, pref])
+            ds_.extend([np.full(n, did), np.full(len(pref), did)])
+            sz.extend([np.full(n, n), np.full(len(pref), n)])
+            fl.extend([np.zeros(n, np.int64),
+                       np.ones(len(pref), np.int64)])
+        if not hs:
+            return pd.DataFrame({"h": pd.Series([], dtype=np.int64),
+                                 "doc": pd.Series([], dtype=np.int64),
+                                 "sz": pd.Series([], dtype=np.int64),
+                                 "fl": pd.Series([], dtype=np.int64),
+                                 "__part": pd.Series([],
+                                                     dtype=np.int64)})
+        h = np.concatenate(hs).astype(np.uint64)
         return pd.DataFrame({
             "h": h.astype(np.int64),
-            "doc": np.repeat(ids, lens),
-            "__part": (h.astype(np.uint64)
-                       % np.uint64(n_parts)).astype(np.int64)})
+            "doc": np.concatenate(ds_).astype(np.int64),
+            "sz": np.concatenate(sz).astype(np.int64),
+            "fl": np.concatenate(fl),
+            "__part": (h % np.uint64(n_parts)).astype(np.int64)})
 
     def part_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return _bucket_pairs(df["h"].to_numpy(),
-                             df["doc"].to_numpy())
+        # per shingle run: prefix rows x full rows, smaller side must
+        # be the prefix side ((sz, id) order stratification)
+        order = np.lexsort((df["doc"].to_numpy(),
+                            df["h"].to_numpy()))
+        h = df["h"].to_numpy()[order]
+        doc = df["doc"].to_numpy()[order]
+        sz = df["sz"].to_numpy()[order]
+        fl = df["fl"].to_numpy()[order]
+        boundary = np.nonzero(np.diff(h))[0] + 1
+        starts = np.concatenate([[0], boundary])
+        ends = np.concatenate([boundary, [len(h)]])
+        pa_, pb_ = [], []
+        for s, e in zip(starts, ends):
+            pm = fl[s:e] == 1
+            fm = ~pm
+            if not pm.any() or not fm.any():
+                continue
+            pd_, ps_ = doc[s:e][pm], sz[s:e][pm]
+            fd_, fs_ = doc[s:e][fm], sz[s:e][fm]
+            # pairs (prefix i, full j) with (ps,pd) < (fs,fd)
+            ii, jj = np.meshgrid(np.arange(len(pd_)),
+                                 np.arange(len(fd_)), indexing="ij")
+            ii, jj = ii.ravel(), jj.ravel()
+            m = (ps_[ii] < fs_[jj]) | ((ps_[ii] == fs_[jj])
+                                       & (pd_[ii] < fd_[jj]))
+            a, b = pd_[ii[m]], fd_[jj[m]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            pa_.append(lo)
+            pb_.append(hi)
+        if not pa_:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(pa_),
+                             "id_b": np.concatenate(pb_)}) \
+            .drop_duplicates()
 
-    pairs = ds.map_batches(emit, batch_format="pandas") \
+    cand_pd = ds.map_batches(emit, batch_format="pandas") \
         .groupby("__part").map_groups(part_pairs,
-                                      batch_format="pandas")
-    inter = groupby_agg(pairs, ["id_a", "id_b"],
-                        {"n_inter": ("id_a", "count")},
-                        final="distributed")
+                                      batch_format="pandas") \
+        .to_pandas().drop_duplicates(["id_a", "id_b"]) \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
-    def sizes(df: pd.DataFrame) -> pd.DataFrame:
-        sets = mh.doc_shingle_sets(df[text_col])
-        return pd.DataFrame({
-            "doc": df[id_col].to_numpy(np.int64),
-            "n": np.array([len(np.unique(s)) for s in sets],
-                          np.int64)})
+    empty = pd.DataFrame({
+        "id_a": pd.Series([], dtype=np.int64),
+        "id_b": pd.Series([], dtype=np.int64),
+        "n_inter": pd.Series([], dtype=np.int64),
+        "n_a": pd.Series([], dtype=np.int64),
+        "n_b": pd.Series([], dtype=np.int64),
+        "cont": pd.Series([], dtype=np.float64)})
+    if not len(cand_pd):
+        return empty
 
-    size_pd = ds.map_batches(sizes, batch_format="pandas").to_pandas()
-    smap = dict(zip(size_pd["doc"].to_numpy(),
-                    size_pd["n"].to_numpy()))
-    ref = ray.put(smap)
+    # ---- pass 3: exact verification over the candidate pairs (the
+    # ngram_jaccard_pairs pair-bucket exchange, containment variant)
+    member: dict = {}
+    for pi, (a, b) in enumerate(zip(cand_pd["id_a"].to_numpy(),
+                                    cand_pd["id_b"].to_numpy())):
+        member.setdefault(a, []).append(pi)
+        member.setdefault(b, []).append(pi)
+    member_ref = ray.put(member)
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(ref)
-        na = df["id_a"].map(m).to_numpy(np.float64)
-        nb = df["id_b"].map(m).to_numpy(np.float64)
-        ni = df["n_inter"].to_numpy(np.float64)
-        cont = np.maximum(ni / na, ni / nb)
-        out = df.assign(n_a=na.astype(np.int64),
-                        n_b=nb.astype(np.int64),
-                        cont=cont)
-        return out[cont >= threshold]
+    def emit_pair_sh(df: pd.DataFrame) -> pd.DataFrame:
+        mem = ray.get(member_ref)
+        sel = df[df[id_col].isin(mem)]
+        if len(sel) == 0:
+            return pd.DataFrame({"pair": pd.Series([], dtype="int64"),
+                                 "__part": pd.Series([], dtype="int64"),
+                                 id_col: pd.Series([], dtype="int64"),
+                                 "sh": pd.Series([], dtype="object")})
+        sets = mh.doc_shingle_sets(sel[text_col])
+        op, oi, os_ = [], [], []
+        for did, s in zip(sel[id_col], sets):
+            su = np.unique(s)
+            for pi in mem[did]:
+                op.append(pi)
+                oi.append(did)
+                os_.append(su)
+        op = np.asarray(op, dtype=np.int64)
+        return pd.DataFrame({"pair": op, "__part": op % 64,
+                             id_col: np.asarray(oi, dtype=np.int64),
+                             "sh": os_})
 
-    out = inter.map_batches(score, batch_format="pandas").to_pandas()
-    if not len(out):
-        return pd.DataFrame({
-            "id_a": pd.Series([], dtype=np.int64),
-            "id_b": pd.Series([], dtype=np.int64),
-            "n_inter": pd.Series([], dtype=np.int64),
-            "n_a": pd.Series([], dtype=np.int64),
-            "n_b": pd.Series([], dtype=np.int64),
-            "cont": pd.Series([], dtype=np.float64)})
+    def cont_of_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["pair", id_col], kind="mergesort")
+        pv = df["pair"].to_numpy()
+        sh = df["sh"].to_numpy()
+        boundary = np.nonzero(np.diff(pv))[0] + 1
+        starts = np.concatenate([[0], boundary])
+        ends = np.concatenate([boundary, [len(pv)]])
+        rows = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            sa = np.asarray(sh[s])
+            sb = np.asarray(sh[s + 1])
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            rows.append((int(pv[s]), inter, len(sa), len(sb)))
+        return pd.DataFrame(rows, columns=["pair", "n_inter",
+                                           "n_a", "n_b"]) \
+            if rows else pd.DataFrame({"pair": pd.Series([], dtype="int64"),
+                                       "n_inter": pd.Series([], dtype="int64"),
+                                       "n_a": pd.Series([], dtype="int64"),
+                                       "n_b": pd.Series([], dtype="int64")})
+
+    ver = ds.map_batches(emit_pair_sh, batch_format="pandas") \
+        .groupby("__part").map_groups(cont_of_partition,
+                                      batch_format="pandas") \
+        .to_pandas()
+    if not len(ver):
+        return empty
+    # doc_shingle_sets order within a pair partition is (pair, doc_id)
+    # ascending, so n_a belongs to the smaller id — matching cand_pd's
+    # id_a < id_b convention
+    out = cand_pd.merge(ver, left_index=True, right_on="pair",
+                        how="inner").drop(columns=["pair"])
+    ni = out["n_inter"].to_numpy(np.float64)
+    cont = np.maximum(ni / out["n_a"].to_numpy(np.float64),
+                      ni / out["n_b"].to_numpy(np.float64))
+    out = out.assign(cont=cont)
+    out = out[cont >= threshold]
     out = out.astype({"id_a": np.int64, "id_b": np.int64,
-                      "n_inter": np.int64})
+                      "n_inter": np.int64, "n_a": np.int64,
+                      "n_b": np.int64})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
