@@ -2479,6 +2479,18 @@ def _q155_boilerplate(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q156_phash_dedup(sf_dir: str):
+    """Near-duplicate image detection via 64-bit average-hash over
+    the multimodal decode path (deterministic fake decoder, real
+    actor plumbing): aHash bits from pure integer arithmetic, dup
+    groups by exact hash equality."""
+    from mapshaper_ray.stages.multimodal import (phash_dup_groups,
+                                                 phash_images,
+                                                 synth_media)
+    hashed = phash_images(synth_media(sf_dir, kind="image"))
+    return phash_dup_groups(hashed)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -3165,6 +3177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q153_grouping_sets": _q153_grouping_sets,
         "q154_char_entropy": _q154_char_entropy,
         "q155_boilerplate": _q155_boilerplate,
+        "q156_phash_dedup": _q156_phash_dedup,
         "q61_bm25": _q61_bm25,
         "q142_bfs": _q142_bfs,
         "q67_pack_sequences": _q67_pack_sequences,
@@ -6113,6 +6126,37 @@ def oracle_sql() -> dict[str, str]:
                coalesce(agg.txt, '') AS text_clean
         FROM p LEFT JOIN agg USING (doc_id)
         ORDER BY p.doc_id"""
+
+    out["q156_phash_dedup"] = """
+        WITH media AS (
+          SELECT doc_id AS media_id,
+                 substring(repeat(lower(md5(text)),
+                                  4 + length(text) % 64),
+                           1, 512) AS head
+          FROM documents),
+        b AS (SELECT media_id,
+                     ('0x' || substring(md5(head), 1, 8))::BIGINT
+                       AS base
+              FROM media),
+        c AS (SELECT media_id, u.j AS j,
+                     (b.base * u.j) % 1000003 AS cell
+              FROM b, unnest(generate_series(1, 64)) AS u(j)),
+        t AS (SELECT media_id, sum(cell) AS total FROM c
+              GROUP BY 1),
+        h AS (SELECT c.media_id,
+                     sum(CASE WHEN c.j <= 32 AND c.cell * 64 > t.total
+                         THEN (CAST(1 AS BIGINT) << (c.j - 1))
+                         ELSE 0 END) AS phash_lo,
+                     sum(CASE WHEN c.j > 32 AND c.cell * 64 > t.total
+                         THEN (CAST(1 AS BIGINT) << (c.j - 33))
+                         ELSE 0 END) AS phash_hi
+              FROM c JOIN t USING (media_id) GROUP BY 1)
+        SELECT CAST(phash_hi AS BIGINT) AS phash_hi,
+               CAST(phash_lo AS BIGINT) AS phash_lo,
+               CAST(min(media_id) AS BIGINT) AS first_media,
+               CAST(count(*) AS BIGINT) AS n_dups
+        FROM h GROUP BY 1, 2 HAVING count(*) >= 2
+        ORDER BY phash_hi, phash_lo"""
 
 
     out["q84_pretrain_pipeline"] = r"""

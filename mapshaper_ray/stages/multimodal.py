@@ -193,3 +193,62 @@ def synth_media(sf_dir: str, kind: str = "image"):
     return rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"]) \
              .map_batches(make, batch_format="pyarrow")
+
+
+class PerceptualHasher:
+    """Actor-pool stage: image payload -> 64-bit average-hash (aHash)
+    for near-duplicate image detection.  Real path would decode +
+    grayscale + 8x8 downsample per actor (codec libs absent, raises);
+    the fake backend derives the 8x8 luma grid deterministically from
+    the decode hash with pure integer arithmetic, so the aHash bits —
+    cell*64 > sum(cells), strictly greater, no float mean — are
+    reproducible by a SQL oracle.  The hash emits as two int64
+    columns (phash_lo bits 0-31, phash_hi bits 32-63): 64-bit values
+    don't survive float64-padded exchanges (the 52-bit join-key
+    lesson), two 32-bit halves always do."""
+
+    def __init__(self, backend: str = "fake"):
+        if backend != "fake":
+            raise NotImplementedError(
+                f"image backend {backend!r} needs codec libs not "
+                "present in this container; 'fake' is the stand-in")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        base = np.array([_u32(p or b"") for p in payloads],
+                        dtype=np.int64)
+        j = np.arange(1, 65, dtype=np.int64)
+        cells = (base[:, None] * j[None, :]) % 1000003
+        total = cells.sum(axis=1)
+        bits = cells * 64 > total[:, None]
+        pw = (1 << np.arange(32, dtype=np.int64))
+        lo = (bits[:, :32] * pw[None, :]).sum(axis=1)
+        hi = (bits[:, 32:] * pw[None, :]).sum(axis=1)
+        batch = batch.append_column("phash_lo", pa.array(lo))
+        batch = batch.append_column("phash_hi", pa.array(hi))
+        return batch
+
+
+def phash_images(ds, concurrency=(1, 4), batch_size=256, **kw):
+    return ds.map_batches(PerceptualHasher(**kw),
+                          batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def phash_dup_groups(ds, id_col: str = "media_id"):
+    """Exact near-dup image groups by aHash equality: distributed
+    grouped (min id, count) over the two hash halves; only groups
+    with >= 2 members return."""
+    import pandas as pd
+
+    from ..ops.relational import groupby_agg
+
+    g = groupby_agg(ds, ["phash_hi", "phash_lo"],
+                    {"first_media": (id_col, "min"),
+                     "n_dups": (id_col, "count")},
+                    final="distributed").to_pandas()
+    g = g[g["n_dups"].to_numpy() >= 2]
+    g = g.astype({"phash_hi": np.int64, "phash_lo": np.int64,
+                  "first_media": np.int64, "n_dups": np.int64})
+    return g.sort_values(["phash_hi", "phash_lo"]) \
+        .reset_index(drop=True)

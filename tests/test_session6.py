@@ -536,3 +536,24 @@ def test_boilerplate_threshold_boundary():
                              frac_den=2).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert out["text_clean"].tolist() == ["a0", "a1", "a2", "a3"]
+
+
+# ------------------------------------------------------- phash dedup
+
+def test_phash_identical_payloads_group_and_halves_fit():
+    from mapshaper_ray.stages.multimodal import (phash_dup_groups,
+                                                 phash_images)
+    import pyarrow as pa
+    t = pa.table({"media_id": pa.array([1, 2, 3, 4],
+                                       type=pa.int64()),
+                  "payload": pa.array([b"imgA", b"imgA", b"imgB",
+                                       b"imgC"], type=pa.binary())})
+    hashed = phash_images(rd.from_arrow(t))
+    hp = hashed.to_pandas()
+    # halves are 32-bit: always exchange-safe
+    assert (hp["phash_lo"] < (1 << 32)).all()
+    assert (hp["phash_hi"] < (1 << 32)).all()
+    groups = phash_dup_groups(hashed)
+    assert len(groups) == 1
+    assert groups["first_media"].iloc[0] == 1
+    assert groups["n_dups"].iloc[0] == 2
