@@ -2491,6 +2491,19 @@ def _q156_phash_dedup(sf_dir: str):
     return phash_dup_groups(hashed)
 
 
+def _q157_group_trend(sf_dir: str):
+    """Per-event-type OLS value trend (slope vs day) from one-pass
+    integer sufficient statistics — exact HUGEINT/bigint arithmetic
+    to the final single division."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import group_linfit
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    out = group_linfit(ev, "event_type", "ts", "value")
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -3178,6 +3191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q154_char_entropy": _q154_char_entropy,
         "q155_boilerplate": _q155_boilerplate,
         "q156_phash_dedup": _q156_phash_dedup,
+        "q157_group_trend": _q157_group_trend,
         "q61_bm25": _q61_bm25,
         "q142_bfs": _q142_bfs,
         "q67_pack_sequences": _q67_pack_sequences,
@@ -6157,6 +6171,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_dups
         FROM h GROUP BY 1, 2 HAVING count(*) >= 2
         ORDER BY phash_hi, phash_lo"""
+
+    out["q157_group_trend"] = """
+        WITH b AS (
+          SELECT event_type,
+                 epoch_us(ts) // 86400000000 AS x,
+                 CAST(floor(value * 100) AS BIGINT) AS y
+          FROM events),
+        g AS (SELECT event_type,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(x) AS HUGEINT) AS sx,
+                     CAST(sum(y) AS HUGEINT) AS sy,
+                     CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT)
+                       AS sxy,
+                     CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT)
+                       AS sxx
+              FROM b GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 9)
+                 AS slope
+        FROM g WHERE n * sxx - sx * sx <> 0
+        ORDER BY event_type"""
 
 
     out["q84_pretrain_pipeline"] = r"""

@@ -2363,3 +2363,54 @@ def grouping_sets_agg(ds, keys: list[str], sets: list[list[str]],
     out = pd.concat(levels, ignore_index=True)
     return out.sort_values(keys, kind="mergesort") \
         .reset_index(drop=True)
+
+
+def group_linfit(ds, key_col: str, ts_col: str, val_col: str,
+                 x_every_s: int = 86400, qscale: int = 100):
+    """Per-group OLS trend (slope of value vs time) from one-pass
+    sufficient statistics — the per-user / per-type drift detector:
+    x = integer time bucket (``floor(epoch_us / every_us)``), y =
+    ``floor(v * qscale)`` cents, and
+    ``slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)`` with every sum an
+    exact integer.  The final numerator/denominator are formed in
+    arbitrary-precision Python ints on the bounded group table (they
+    exceed int64 at corpus scale), divided once as doubles and
+    rounded — DuckDB's HUGEINT arithmetic + double division follows
+    the identical rounding, so the mirror is value-exact.
+
+    Distributed shape: per-batch grouped (n, Sx, Sy, Sxy, Sxx) int64
+    partials (corpus never shuffles), bounded driver reduce.  Groups
+    with zero x-variance are dropped (undefined slope).  Returns
+    (key, n, slope)."""
+    every_us = np.int64(x_every_s) * 1_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.floor_divide(
+            df[ts_col].to_numpy("datetime64[us]").astype(np.int64),
+            every_us)
+        y = np.floor(df[val_col].to_numpy(np.float64)
+                     * qscale).astype(np.int64)
+        g = pd.DataFrame({"k": df[key_col].to_numpy(),
+                          "n": np.ones(len(df), np.int64),
+                          "sx": x, "sy": y, "sxy": x * y,
+                          "sxx": x * x})
+        return g.groupby("k", as_index=False).sum()
+
+    st = groupby_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["k"], {c: (c, "sum")
+                             for c in ["n", "sx", "sy", "sxy", "sxx"]},
+                     final="driver").to_pandas()
+    rows = []
+    for _, r in st.iterrows():
+        n, sx, sy, sxy, sxx = (int(r["n"]), int(r["sx"]), int(r["sy"]),
+                               int(r["sxy"]), int(r["sxx"]))
+        den = n * sxx - sx * sx
+        if den == 0:
+            continue
+        num = n * sxy - sx * sy
+        rows.append({key_col: r["k"], "n": n,
+                     "slope": round(float(num) / float(den), 9)})
+    out = pd.DataFrame(rows) if rows else pd.DataFrame(
+        {key_col: [], "n": pd.Series([], dtype=np.int64),
+         "slope": pd.Series([], dtype=np.float64)})
+    return out.sort_values(key_col).reset_index(drop=True)

@@ -557,3 +557,47 @@ def test_phash_identical_payloads_group_and_halves_fit():
     assert len(groups) == 1
     assert groups["first_media"].iloc[0] == 1
     assert groups["n_dups"].iloc[0] == 2
+
+
+# ------------------------------------------------------- group trend
+
+def test_group_linfit_brute_and_partition_invariance():
+    from mapshaper_ray.ops.relational import group_linfit
+    rng = np.random.default_rng(67)
+    n = 3000
+    base = pd.Timestamp("2024-01-01").value // 1000
+    df = pd.DataFrame({
+        "k": rng.choice(["up", "down", "flat"], n),
+        "ts": pd.Series(base + rng.integers(0, 90 * 86400 * 10 ** 6, n))
+        .astype("datetime64[us]"),
+        "v": rng.normal(0, 1, n)})
+    # plant a known positive trend in 'up'
+    m = (df["k"] == "up").to_numpy()
+    day = (df["ts"].astype(np.int64) // (86400 * 10 ** 6)).to_numpy()
+    df.loc[m, "v"] = day[m] * 0.5 + rng.normal(0, 0.1, int(m.sum()))
+    outs = [group_linfit(ds, "k", "ts", "v")
+            for ds in _layouts(df, 67)]
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+    got = outs[0]
+    up = got[got["k"] == "up"]["slope"].iloc[0]
+    # y is in cents: slope ~ 0.5 * 100
+    assert 45 < up < 55
+    # brute with exact python ints
+    sub = df[m]
+    x = (sub["ts"].astype(np.int64) // (86400 * 10 ** 6)).tolist()
+    y = np.floor(sub["v"].to_numpy() * 100).astype(int).tolist()
+    nn = len(x)
+    num = nn * sum(a * b for a, b in zip(x, y)) - sum(x) * sum(y)
+    den = nn * sum(a * a for a in x) - sum(x) ** 2
+    assert up == round(float(num) / float(den), 9)
+
+
+def test_group_linfit_zero_variance_dropped():
+    from mapshaper_ray.ops.relational import group_linfit
+    df = pd.DataFrame({"k": ["c"] * 10,
+                       "ts": pd.Series([pd.Timestamp("2024-01-01")]
+                                       * 10).astype("datetime64[us]"),
+                       "v": np.arange(10.0)})
+    out = group_linfit(rd.from_pandas(df), "k", "ts", "v")
+    assert len(out) == 0
