@@ -2504,6 +2504,51 @@ def _q157_group_trend(sf_dir: str):
     return out
 
 
+def _q158_rate_anomaly(sf_dir: str):
+    """Daily event-rate anomaly detection — q144's resample grid fed
+    into q148's exact integer outlier contract: a (type, day) cell is
+    anomalous when (n-1)(n*c - S)^2 > 4n(nQ - S^2) (z=2) over that type's
+    daily counts.  Composition of two verified stages; the grid is
+    bounded, so the flag pass runs on the reduced result."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import resample_time
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    grid = resample_time(ev, "ts", "event_type", "value",
+                         every_s=86400)
+    rows = []
+    for k, g in grid.groupby("event_type", sort=True):
+        c = [int(x) for x in g["n"]]
+        n, S, Q = len(c), sum(c), sum(x * x for x in c)
+        for ts, x in zip(g["bucket_ts"], c):
+            if (n - 1) * (n * x - S) ** 2 > 4 * n * (n * Q - S * S):
+                rows.append({"event_type": k, "bucket_ts": ts,
+                             "n_events": x})
+    out = pd.DataFrame(rows) if rows else pd.DataFrame(
+        {"event_type": [], "bucket_ts": pd.Series(
+            [], dtype="datetime64[us]"),
+         "n_events": pd.Series([], dtype=np.int64)})
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out.sort_values(["event_type", "bucket_ts"])         .reset_index(drop=True)
+
+
+def _q159_related_terms(sf_dir: str):
+    """Related-terms table: q145's skip-gram co-occurrence counts fed
+    into the per-group top-k reduce — top-5 partners per left term by
+    (count desc, partner)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import grouped_topk
+    from mapshaper_ray.stages.text import skipgram_counts
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    pairs = skipgram_counts(docs, window=2, min_count=5)
+    top = grouped_topk(rd.from_pandas(pairs), "w1", "n", 5,
+                       tie_col="w2").to_pandas()
+    top["n"] = top["n"].astype(np.int64)
+    return top.sort_values(["w1", "n", "w2"],
+                           ascending=[True, False, True])         .reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -3192,6 +3237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q155_boilerplate": _q155_boilerplate,
         "q156_phash_dedup": _q156_phash_dedup,
         "q157_group_trend": _q157_group_trend,
+        "q158_rate_anomaly": _q158_rate_anomaly,
+        "q159_related_terms": _q159_related_terms,
         "q61_bm25": _q61_bm25,
         "q142_bfs": _q142_bfs,
         "q67_pack_sequences": _q67_pack_sequences,
@@ -6193,6 +6240,54 @@ def oracle_sql() -> dict[str, str]:
                  AS slope
         FROM g WHERE n * sxx - sx * sx <> 0
         ORDER BY event_type"""
+
+    out["q158_rate_anomaly"] = """
+        WITH b AS (
+          SELECT event_type,
+                 epoch_us(ts) // 86400000000 AS bk
+          FROM events),
+        rng AS (SELECT min(bk) AS lo, max(bk) AS hi FROM b),
+        cal AS (SELECT u.bk FROM rng,
+                  unnest(generate_series(rng.lo, rng.hi)) AS u(bk)),
+        ks AS (SELECT DISTINCT event_type FROM b),
+        agg AS (SELECT event_type, bk, count(*) AS c
+                FROM b GROUP BY 1, 2),
+        grid AS (
+          SELECT ks.event_type, cal.bk,
+                 CAST(coalesce(agg.c, 0) AS HUGEINT) AS c
+          FROM ks CROSS JOIN cal
+          LEFT JOIN agg ON agg.event_type = ks.event_type
+                       AND agg.bk = cal.bk),
+        st AS (SELECT event_type,
+                      CAST(count(*) AS HUGEINT) AS n,
+                      CAST(sum(c) AS HUGEINT) AS s,
+                      CAST(sum(c * c) AS HUGEINT) AS q
+               FROM grid GROUP BY 1)
+        SELECT g.event_type,
+               make_timestamp(g.bk * 86400000000) AS bucket_ts,
+               CAST(g.c AS BIGINT) AS n_events
+        FROM grid g JOIN st USING (event_type)
+        WHERE (st.n - 1) * (st.n * g.c - st.s)
+              * (st.n * g.c - st.s)
+              > 4 * st.n * (st.n * st.q - st.s * st.s)
+        ORDER BY g.event_type, g.bk"""
+
+    out["q159_related_terms"] = r"""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), '\S+') AS ts
+                   FROM documents),
+        p AS (SELECT doc_id, u.i AS i, ts[u.i] AS w
+              FROM t, unnest(generate_series(1, len(ts))) AS u(i)),
+        pr AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+               FROM p a JOIN p b
+                 ON a.doc_id = b.doc_id AND b.i > a.i
+                AND b.i <= a.i + 2),
+        cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+                FROM pr GROUP BY 1, 2 HAVING count(*) >= 5)
+        SELECT w1, w2, n FROM cnt
+        QUALIFY row_number() OVER (PARTITION BY w1
+                                   ORDER BY n DESC, w2) <= 5
+        ORDER BY w1, n DESC, w2"""
 
 
     out["q84_pretrain_pipeline"] = r"""
