@@ -3223,35 +3223,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q63_kmeans": _q63_kmeans,
         "q62_pagerank": _q62_pagerank,
         "q78_triangles": _q78_triangles,
-        # sketch family holds three window slots (q91/q93/q95) so the
-        # driver's 50-query artifact samples it; the displaced text
-        # queries stay covered by CORRECTNESS_FULL + validate_oracle
         "q141_ddsketch": _q141_ddsketch,
         "q148_anomaly": _q148_anomaly,
-        "q149_pool_embeddings": _q149_pool_embeddings,
-        "q150_web_curation": _q150_web_curation,
-        "q151_grouped_cumsum": _q151_grouped_cumsum,
-        "q152_containment": _q152_containment,
-        "q153_grouping_sets": _q153_grouping_sets,
-        "q154_char_entropy": _q154_char_entropy,
-        "q155_boilerplate": _q155_boilerplate,
-        "q156_phash_dedup": _q156_phash_dedup,
-        "q157_group_trend": _q157_group_trend,
-        "q158_rate_anomaly": _q158_rate_anomaly,
-        "q159_related_terms": _q159_related_terms,
         "q61_bm25": _q61_bm25,
         "q142_bfs": _q142_bfs,
         "q67_pack_sequences": _q67_pack_sequences,
         "q69_dsir_weights": _q69_dsir_weights,
         "q71_bpe_train": _q71_bpe_train,
         "q116_nb_classifier": _q116_nb_classifier,
-        "q76_decontaminate": _q76_decontaminate,
+        "q150_web_curation": _q150_web_curation,
         "q143_url_blocklist": _q143_url_blocklist,
-        "q121_weighted_sample": _q121_weighted_sample,
+        "q155_boilerplate": _q155_boilerplate,
         "q120_funnel": _q120_funnel,
         "q113_warc_ingest": _q113_warc_ingest,
         "q115_tpch_q3": _q115_tpch_q3,
         "q84_pretrain_pipeline": _q84_pretrain_pipeline,
+        "q149_pool_embeddings": _q149_pool_embeddings,
+        "q151_grouped_cumsum": _q151_grouped_cumsum,
+        "q152_containment": _q152_containment,
+        "q153_grouping_sets": _q153_grouping_sets,
+        "q154_char_entropy": _q154_char_entropy,
+        "q156_phash_dedup": _q156_phash_dedup,
+        "q157_group_trend": _q157_group_trend,
+        "q158_rate_anomaly": _q158_rate_anomaly,
+        "q159_related_terms": _q159_related_terms,
+        "q76_decontaminate": _q76_decontaminate,
+        "q121_weighted_sample": _q121_weighted_sample,
         "q30_nearest_within": _q30_nearest_within,
         "q47_ngram_jaccard": _q47_ngram_jaccard,
         "q49_dedup_near": _q49_dedup_near,
