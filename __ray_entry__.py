@@ -2549,6 +2549,17 @@ def _q159_related_terms(sf_dir: str):
                            ascending=[True, False, True])         .reset_index(drop=True)
 
 
+def _q160_log_odds(sf_dir: str):
+    """Distinctive terms of the 'en' sub-corpus vs the rest —
+    +1-smoothed log-odds (Monroe et al. 2008) as exact quantized-log
+    integers; token-bucket shuffle, per-partition top-k prune."""
+    import ray.data as rd
+    from mapshaper_ray.stages.text import log_odds_terms
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "text"])
+    return log_odds_terms(docs, "lang", "en", k=25)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -3247,6 +3258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q157_group_trend": _q157_group_trend,
         "q158_rate_anomaly": _q158_rate_anomaly,
         "q159_related_terms": _q159_related_terms,
+        "q160_log_odds": _q160_log_odds,
         "q76_decontaminate": _q76_decontaminate,
         "q121_weighted_sample": _q121_weighted_sample,
         "q30_nearest_within": _q30_nearest_within,
@@ -6285,6 +6297,31 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (PARTITION BY w1
                                    ORDER BY n DESC, w2) <= 5
         ORDER BY w1, n DESC, w2"""
+
+    out["q160_log_odds"] = r"""
+        WITH tk AS (
+          SELECT lang = 'en' AS is_a,
+                 unnest(regexp_extract_all(coalesce(text, ''),
+                                           '\S+')) AS tok
+          FROM documents),
+        tot AS (SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ta,
+                       sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS tb
+                FROM tk),
+        c AS (SELECT tok,
+                     sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS a,
+                     sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS b
+              FROM tk GROUP BY 1),
+        d AS (SELECT tok, CAST(a AS BIGINT) AS a,
+                     CAST(b AS BIGINT) AS b,
+                     CAST(floor(ln(a + 1) * 1000000000) AS BIGINT)
+                     - CAST(floor(ln(t.ta - a + 1) * 1000000000)
+                            AS BIGINT)
+                     - CAST(floor(ln(b + 1) * 1000000000) AS BIGINT)
+                     + CAST(floor(ln(t.tb - b + 1) * 1000000000)
+                            AS BIGINT) AS delta_q
+              FROM c CROSS JOIN tot t)
+        SELECT tok, a, b, delta_q
+        FROM d ORDER BY delta_q DESC, tok LIMIT 25"""
 
 
     out["q84_pretrain_pipeline"] = r"""

@@ -2340,3 +2340,81 @@ def char_entropy(ds, id_col: str = "doc_id", text_col: str = "text",
                              "ent_q": ent_q})
 
     return ds.map_batches(ent, batch_format="pandas")
+
+
+def log_odds_terms(ds, group_col: str, group_value, text_col="text",
+                   k: int = 25, qscale: int = CHAR_ENTROPY_QSCALE,
+                   n_parts: int = 64):
+    """Distinctive-terms corpus comparison (Monroe, Colaresi &
+    Quinn 2008 "Fightin' Words", +1-smoothed log-odds): for corpus
+    side A (rows where ``group_col == group_value``) vs side B (the
+    rest), each token scores
+    ``delta_q = qlog(a+1) - qlog(A-a+1) - qlog(b+1) + qlog(B-b+1)``
+    with ``qlog(x) = floor(ln(x)*qscale)`` — an exact integer, so
+    the SQL mirror matches bit-for-bit.  Returns the top-k
+    A-distinctive tokens by (delta_q desc, token).
+
+    Distributed shape: scalar side totals reduce first (two numbers
+    in the task closure); ONE pass emits per-batch (token, a, b)
+    count partials bucket-hashed by token, so each token's global
+    counts land in one partition where its delta and the
+    per-partition top-k prune compute locally; the driver reduces
+    k x n_parts candidate rows."""
+    def side_counts(df: pd.DataFrame) -> pd.DataFrame:
+        is_a = (df[group_col] == group_value).to_numpy()
+        toks_a, toks_b = [], []
+        for t, a in zip(df[text_col], is_a):
+            (toks_a if a else toks_b).extend(
+                re.findall(r"\S+", t or ""))
+        return pd.DataFrame({"na": [len(toks_a)],
+                             "nb": [len(toks_b)]})
+
+    tot = ds.map_batches(side_counts, batch_format="pandas") \
+        .to_pandas()
+    A, B = int(tot["na"].sum()), int(tot["nb"].sum())
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        is_a = (df[group_col] == group_value).to_numpy()
+        toks_a, toks_b = [], []
+        for t, a in zip(df[text_col], is_a):
+            (toks_a if a else toks_b).extend(
+                re.findall(r"\S+", t or ""))
+        ua, ca = np.unique(np.asarray(toks_a, object),
+                           return_counts=True) if toks_a else \
+            (np.empty(0, object), np.empty(0, np.int64))
+        ub, cb = np.unique(np.asarray(toks_b, object),
+                           return_counts=True) if toks_b else \
+            (np.empty(0, object), np.empty(0, np.int64))
+        g = pd.DataFrame({
+            "tok": np.concatenate([ua, ub]),
+            "a": np.concatenate([ca.astype(np.int64),
+                                 np.zeros(len(ub), np.int64)]),
+            "b": np.concatenate([np.zeros(len(ua), np.int64),
+                                 cb.astype(np.int64)])})
+        g = g.groupby("tok", as_index=False).sum()
+        key = pd.util.hash_array(g["tok"].to_numpy(object)) \
+            .astype(np.uint64)
+        g["__part"] = (key % np.uint64(n_parts)).astype(np.int64)
+        return g
+
+    def part_top(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("tok", as_index=False)[["a", "b"]].sum()
+        a = g["a"].to_numpy(np.int64)
+        b = g["b"].to_numpy(np.int64)
+        delta = (_qlog_int(a + 1, qscale)
+                 - _qlog_int(A - a + 1, qscale)
+                 - _qlog_int(b + 1, qscale)
+                 + _qlog_int(B - b + 1, qscale))
+        g["delta_q"] = delta
+        order = np.lexsort((g["tok"].to_numpy(object), -delta))
+        return g.iloc[order[:k]]
+
+    cand = ds.map_batches(emit, batch_format="pandas") \
+        .groupby("__part").map_groups(part_top,
+                                      batch_format="pandas") \
+        .to_pandas()
+    order = np.lexsort((cand["tok"].to_numpy(object),
+                        -cand["delta_q"].to_numpy()))
+    out = cand.iloc[order[:k]].reset_index(drop=True)
+    return out.astype({"a": np.int64, "b": np.int64,
+                       "delta_q": np.int64})

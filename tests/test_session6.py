@@ -601,3 +601,39 @@ def test_group_linfit_zero_variance_dropped():
                        "v": np.arange(10.0)})
     out = group_linfit(rd.from_pandas(df), "k", "ts", "v")
     assert len(out) == 0
+
+
+# ------------------------------------------------------- log-odds terms
+
+def test_log_odds_brute_and_partition_invariance():
+    import math
+
+    from mapshaper_ray.stages.text import log_odds_terms
+    rng = np.random.default_rng(71)
+    # side A over-uses 'alpha', side B over-uses 'beta'
+    def mk(side, n):
+        rows = []
+        for _ in range(n):
+            toks = list(rng.choice(["x", "y", "z", "w"], 20))
+            toks += ["alpha"] * (6 if side == "A" else 1)
+            toks += ["beta"] * (1 if side == "A" else 6)
+            rows.append(" ".join(toks))
+        return rows
+    df = pd.DataFrame({
+        "grp": ["A"] * 50 + ["B"] * 50,
+        "text": mk("A", 50) + mk("B", 50)})
+    outs = [log_odds_terms(ds, "grp", "A", k=3)
+            for ds in _layouts(df, 71)]
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+    got = outs[0]
+    assert got["tok"].iloc[0] == "alpha"
+    assert "beta" not in got["tok"].tolist()
+    # brute check of the winner's delta with exact ints
+    S = 10 ** 9
+    qlog = lambda x: math.floor(math.log(x) * S)
+    a = int(got["a"].iloc[0]); b = int(got["b"].iloc[0])
+    A = sum(len(t.split()) for t in df[df.grp == "A"]["text"])
+    B = sum(len(t.split()) for t in df[df.grp == "B"]["text"])
+    want = qlog(a + 1) - qlog(A - a + 1) - qlog(b + 1) + qlog(B - b + 1)
+    assert int(got["delta_q"].iloc[0]) == want
