@@ -597,6 +597,12 @@ def pool_embeddings(ds, key_col: str, vec_col: str = "embedding",
                       ["k", "dim"], {"s": ("s", agg_fn),
                                      "n": ("n", "sum")},
                       final="distributed").to_pandas()
+    if not len(out):
+        return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                             "dim": pd.Series([], dtype=np.int64),
+                             "n": pd.Series([], dtype=np.int64),
+                             "pooled_q": pd.Series([],
+                                                   dtype=np.int64)})
     out = out.rename(columns={"k": key_col})
     if mode == "mean":
         # DuckDB's integer ``//`` truncates toward zero, so mirror

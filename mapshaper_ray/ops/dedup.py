@@ -1500,7 +1500,11 @@ def all_pairs_containment(ds, threshold=0.9, shingle_k=3,
     cand_pd = ds.map_batches(emit, batch_format="pandas") \
         .groupby("__part").map_groups(part_pairs,
                                       batch_format="pandas") \
-        .to_pandas().drop_duplicates(["id_a", "id_b"]) \
+        .to_pandas()
+    if not set(["id_a", "id_b"]).issubset(cand_pd.columns):
+        cand_pd = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                "id_b": pd.Series([], dtype="int64")})
+    cand_pd = cand_pd.drop_duplicates(["id_a", "id_b"]) \
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
     empty = pd.DataFrame({

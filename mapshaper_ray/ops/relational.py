@@ -2240,6 +2240,12 @@ def group_outliers(ds, key_col: str, val_col: str, z: int = 3,
                         ["k"], {"n": ("n", "sum"), "s": ("s", "sum"),
                                 "qq": ("qq", "sum")},
                         final="driver").to_pandas()
+    if not len(stats):
+        cols = {key_col: pd.Series([], dtype=object)}
+        if id_col is not None:
+            cols[id_col] = pd.Series([], dtype=np.int64)
+        cols["q"] = pd.Series([], dtype=np.int64)
+        return pd.DataFrame(cols)
     # qq partials are float (q^2 can overflow int64 when summed); the
     # per-group Q is re-derived exactly below only for boundary rows
     stats = stats.set_index("k")
@@ -2343,6 +2349,8 @@ def grouping_sets_agg(ds, keys: list[str], sets: list[list[str]],
                              "re-aggregable")
     finest = groupby_agg(ds, keys, aggs, final="distributed") \
         .to_pandas()
+    if not len(finest):
+        finest = pd.DataFrame({c: [] for c in keys + list(aggs)})
     re_fn = {out: ("sum" if fn == "count" else fn)
              for out, (col, fn) in aggs.items()}
     levels = []

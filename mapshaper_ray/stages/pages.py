@@ -394,16 +394,23 @@ def remove_boilerplate(pages: "ray.data.Dataset", host_col: str = "host",
         pages.map_batches(host_partial, batch_format="pandas"),
         ["h"], {"n_pages": ("c", "sum")}, final="distributed")
 
-    joined = hash_join_bucketed(cnt, host_counts, on="h",
-                                num_buckets=n_parts)
+    if cnt.schema() is None or host_counts.schema() is None:
+        # zero-row input: nothing to join, no boilerplate
+        import ray.data as rd
+        bl = rd.from_pandas(pd.DataFrame(
+            {"lh": pd.Series([], dtype=np.int64)})).materialize()
+    else:
+        joined = hash_join_bucketed(cnt, host_counts, on="h",
+                                    num_buckets=n_parts)
 
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        nd = df["n_docs"].to_numpy(np.int64)
-        np_ = df["n_pages"].to_numpy(np.int64)
-        m = (nd >= min_pages) & (nd * frac_den >= frac_num * np_)
-        return df[m][["lh"]]
+        def pick(df: pd.DataFrame) -> pd.DataFrame:
+            nd = df["n_docs"].to_numpy(np.int64)
+            np_ = df["n_pages"].to_numpy(np.int64)
+            m = (nd >= min_pages) & (nd * frac_den >= frac_num * np_)
+            return df[m][["lh"]]
 
-    bl = joined.map_batches(pick, batch_format="pandas").materialize()
+        bl = joined.map_batches(pick, batch_format="pandas") \
+            .materialize()
     n_bl = bl.count()
 
     def _clean_rows(df: pd.DataFrame, keys: np.ndarray) -> pd.DataFrame:

@@ -2271,6 +2271,10 @@ def skipgram_counts(ds, window: int = 2, text_col: str = "text",
         .groupby("__part").map_groups(reduce_part,
                                       batch_format="pandas") \
         .to_pandas()
+    if not len(out):
+        return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                             "w2": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64)})
     out["n"] = out["n"].astype(np.int64)
     order = np.lexsort((out["w2"].to_numpy(object),
                         out["w1"].to_numpy(object),
@@ -2371,7 +2375,8 @@ def log_odds_terms(ds, group_col: str, group_value, text_col="text",
 
     tot = ds.map_batches(side_counts, batch_format="pandas") \
         .to_pandas()
-    A, B = int(tot["na"].sum()), int(tot["nb"].sum())
+    A = int(tot["na"].sum()) if len(tot) else 0
+    B = int(tot["nb"].sum()) if len(tot) else 0
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         is_a = (df[group_col] == group_value).to_numpy()
@@ -2413,6 +2418,11 @@ def log_odds_terms(ds, group_col: str, group_value, text_col="text",
         .groupby("__part").map_groups(part_top,
                                       batch_format="pandas") \
         .to_pandas()
+    if not len(cand):
+        return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                             "a": pd.Series([], dtype=np.int64),
+                             "b": pd.Series([], dtype=np.int64),
+                             "delta_q": pd.Series([], dtype=np.int64)})
     order = np.lexsort((cand["tok"].to_numpy(object),
                         -cand["delta_q"].to_numpy()))
     out = cand.iloc[order[:k]].reset_index(drop=True)

@@ -637,3 +637,70 @@ def test_log_odds_brute_and_partition_invariance():
     B = sum(len(t.split()) for t in df[df.grp == "B"]["text"])
     want = qlog(a + 1) - qlog(A - a + 1) - qlog(b + 1) + qlog(B - b + 1)
     assert int(got["delta_q"].iloc[0]) == want
+
+
+# ---------------------------------------------------- empty-input sweep
+
+def test_session6_ops_on_empty_inputs():
+    """The schemaless-empty bug class (group_outliers hit it): every
+    session-6 op must return a well-formed empty (or degenerate)
+    result on a zero-row input, not crash or drop its schema."""
+    from mapshaper_ray.ops.ann import pool_embeddings
+    from mapshaper_ray.ops.dedup import all_pairs_containment
+    from mapshaper_ray.ops.graph import bfs_distances
+    from mapshaper_ray.ops.relational import (group_outliers,
+                                              grouped_cumsum,
+                                              grouping_sets_agg,
+                                              resample_time)
+    from mapshaper_ray.ops.sketch import ddsketch_build
+    from mapshaper_ray.stages.pages import (filter_blocked_hosts,
+                                            remove_boilerplate)
+    from mapshaper_ray.stages.text import (char_entropy,
+                                           log_odds_terms,
+                                           skipgram_counts)
+
+    empty_txt = rd.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series([], dtype=np.int64),
+         "text": pd.Series([], dtype=object)})).materialize()
+    empty_ev = rd.from_pandas(pd.DataFrame(
+        {"k": pd.Series([], dtype=object),
+         "ts": pd.Series([], dtype="datetime64[us]"),
+         "i": pd.Series([], dtype=np.int64),
+         "v": pd.Series([], dtype=np.float64)})).materialize()
+
+    sk = ddsketch_build(rd.from_pandas(pd.DataFrame(
+        {"v": pd.Series([], dtype=np.float64)})), "v")
+    assert len(sk) == 0
+    assert len(resample_time(empty_ev, "ts", "k", "v")) == 0
+    assert len(group_outliers(empty_ev, "k", "v", id_col="i")) == 0
+    assert grouped_cumsum(empty_ev, "k", ["ts"], "v") \
+        .to_pandas().shape[0] == 0
+    assert len(grouping_sets_agg(
+        empty_ev, ["k"], [["k"], []],
+        {"n": ("v", "count")})) == 1  # the () set always emits 1 row
+    assert char_entropy(empty_txt).to_pandas().shape[0] == 0
+    assert len(skipgram_counts(empty_txt, window=2, min_count=1)) == 0
+    assert len(all_pairs_containment(empty_txt, threshold=0.8)) == 0
+    e = pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                      "dst": pd.Series([], dtype=np.int64)})
+    bfs = bfs_distances(rd.from_pandas(e), [0], max_hops=2) \
+        .to_pandas()
+    assert bfs["node"].tolist() == [0]  # the seed itself
+    eu = rd.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series([], dtype=np.int64),
+         "url": pd.Series([], dtype=object)}))
+    assert len(filter_blocked_hosts(eu, ["x.example"])
+               .to_pandas()) == 0
+    ep = rd.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series([], dtype=np.int64),
+         "host": pd.Series([], dtype=object),
+         "text": pd.Series([], dtype=object)}))
+    assert remove_boilerplate(ep).to_pandas().shape[0] == 0
+    lo = log_odds_terms(rd.from_pandas(pd.DataFrame(
+        {"grp": pd.Series([], dtype=object),
+         "text": pd.Series([], dtype=object)})), "grp", "A", k=5)
+    assert len(lo) == 0
+    ee = rd.from_pandas(pd.DataFrame(
+        {"label": pd.Series([], dtype=np.int64),
+         "embedding": pd.Series([], dtype=object)}))
+    assert len(pool_embeddings(ee, "label", "embedding")) == 0
