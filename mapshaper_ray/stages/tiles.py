@@ -217,8 +217,9 @@ def write_tiles(ds, out_dir: str, target_rows: int = 50_000,
     def write_partition(group: pd.DataFrame) -> pd.DataFrame:
         return writer(group)
 
-    new_rows = salted.groupby("partition").map_groups(
-        write_partition, batch_format="pandas").to_pandas()
+    result_ds = salted.groupby("partition").map_groups(
+        write_partition, batch_format="pandas")
+    new_rows = result_ds.to_pandas()
     manifest = (pd.concat([prior, new_rows], ignore_index=True)
                 if prior is not None else new_rows)
     manifest = manifest.drop_duplicates("partition", keep="last")
@@ -226,4 +227,14 @@ def write_tiles(ds, out_dir: str, target_rows: int = 50_000,
     with open(tmp, "w") as f:
         json.dump(manifest.to_dict("records"), f, indent=1)
     os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    # observability half of the lineage+metrics contract: how the run
+    # executed, next to what it produced
+    try:
+        from .metrics import write_run_metrics
+        write_run_metrics(result_ds, out_dir, extra={
+            "partitions_written": int(len(new_rows)),
+            "partitions_skipped": int(len(done)),
+            "rows_total": int(manifest["rows"].sum())})
+    except Exception:
+        pass  # metrics are advisory; never fail a write over them
     return manifest

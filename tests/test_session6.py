@@ -704,3 +704,30 @@ def test_session6_ops_on_empty_inputs():
         {"label": pd.Series([], dtype=np.int64),
          "embedding": pd.Series([], dtype=object)}))
     assert len(pool_embeddings(ee, "label", "embedding")) == 0
+
+
+# ---------------------------------------------------- run metrics
+
+def test_write_tiles_emits_run_metrics():
+    import json
+    import shutil
+
+    from mapshaper_ray.stages.tiles import write_tiles
+    df = pd.DataFrame({"doc_id": range(3000),
+                       "tile": np.arange(3000) % 5})
+    out = "/tmp/test_metrics_tiles"
+    shutil.rmtree(out, ignore_errors=True)
+    write_tiles(rd.from_pandas(df), out, target_rows=1000)
+    m = json.load(open(f"{out}/metrics.json"))
+    names = [o["operator"] for o in m["operators"]]
+    assert any("write_partition" in n for n in names)
+    wp = [o for o in m["operators"]
+          if "write_partition" in o["operator"]][0]
+    assert wp["rows_out"] == 5  # one manifest row per partition
+    assert wp["wall_s_total"] > 0
+    assert m["partitions_written"] == 5
+    assert m["rows_total"] == 3000
+    # resumed run skips everything but still refreshes metrics
+    write_tiles(rd.from_pandas(df), out, target_rows=1000)
+    m2 = json.load(open(f"{out}/metrics.json"))
+    assert m2["partitions_skipped"] == 5
