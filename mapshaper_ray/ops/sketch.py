@@ -879,3 +879,21 @@ def ddsketch_group_quantiles(sketch: pd.DataFrame,
     return pd.concat(out, ignore_index=True) if out else \
         pd.DataFrame({"k": [], "q": [], "sign": [], "bucket": [],
                       "n_le": []})
+
+
+def ddsketch_update(sketch: pd.DataFrame, ds, col: str,
+                    gamma_pow: int = DDSKETCH_GAMMA_POW) \
+        -> pd.DataFrame:
+    """Merge a new corpus slice into an existing DDSketch — bucket
+    counts are linear, so the sum IS the sketch of the union (the
+    bloom_update/hll_update/cms_update incremental contract).
+    Quantiles over the merged table answer the union corpus without
+    re-reading old data."""
+    new = ddsketch_build(ds, col, gamma_pow)
+    merged = pd.concat([sketch, new], ignore_index=True) \
+        .groupby(["sign", "bucket"], as_index=False)["n"].sum()
+    order = np.lexsort((merged["sign"].to_numpy()
+                        * merged["bucket"].to_numpy(),
+                        merged["sign"].to_numpy()))
+    return merged.iloc[order].reset_index(drop=True) \
+        .astype({"sign": np.int64, "bucket": np.int64, "n": np.int64})

@@ -731,3 +731,14 @@ def test_write_tiles_emits_run_metrics():
     write_tiles(rd.from_pandas(df), out, target_rows=1000)
     m2 = json.load(open(f"{out}/metrics.json"))
     assert m2["partitions_skipped"] == 5
+
+
+def test_ddsketch_update_equals_union_build():
+    from mapshaper_ray.ops.sketch import ddsketch_build, ddsketch_update
+    rng = np.random.default_rng(73)
+    a = pd.DataFrame({"v": rng.lognormal(0, 1, 1500)})
+    b = pd.DataFrame({"v": -rng.lognormal(1, 1, 700)})
+    incr = ddsketch_update(
+        ddsketch_build(rd.from_pandas(a), "v"), rd.from_pandas(b), "v")
+    whole = ddsketch_build(rd.from_pandas(pd.concat([a, b])), "v")
+    pd.testing.assert_frame_equal(incr, whole)
