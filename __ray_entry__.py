@@ -2560,6 +2560,31 @@ def _q160_log_odds(sf_dir: str):
     return log_odds_terms(docs, "lang", "en", k=25)
 
 
+def _q161_ddsketch_incremental(sf_dir: str):
+    """Incremental DDSketch under the oracle gate: build on the
+    even-event half, ddsketch_update with the odd half — the merged
+    quantiles must equal the full-corpus sketch (q141's SQL verbatim
+    is the oracle), proving the persisted-sketch update path exact."""
+    import ray.data as rd
+    from mapshaper_ray.ops.sketch import (ddsketch_build,
+                                          ddsketch_quantiles,
+                                          ddsketch_update)
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+    even = ev.map_batches(
+        lambda df: df[df["event_id"] % 2 == 0][["value"]],
+        batch_format="pandas")
+    odd = ev.map_batches(
+        lambda df: df[df["event_id"] % 2 == 1][["value"]],
+        batch_format="pandas")
+    sk = ddsketch_update(ddsketch_build(even, "value"), odd, "value")
+    out = ddsketch_quantiles(sk, [(1, 100), (1, 4), (1, 2), (3, 4),
+                                  (9, 10), (99, 100)])
+    out = out.astype({"sign": np.int64, "bucket": np.int64,
+                      "n_le": np.int64})
+    return out.sort_values("q").reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -3259,6 +3284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q158_rate_anomaly": _q158_rate_anomaly,
         "q159_related_terms": _q159_related_terms,
         "q160_log_odds": _q160_log_odds,
+        "q161_ddsketch_incremental": _q161_ddsketch_incremental,
         "q76_decontaminate": _q76_decontaminate,
         "q121_weighted_sample": _q121_weighted_sample,
         "q30_nearest_within": _q30_nearest_within,
@@ -5882,6 +5908,8 @@ def oracle_sql() -> dict[str, str]:
           JOIN o ON o.cum >= (t.N - 1) * qs.num // qs.den + 1)
         SELECT q, sign, bucket, CAST(cum AS BIGINT) AS n_le
         FROM sel WHERE rn = 1 ORDER BY q"""
+
+    out["q161_ddsketch_incremental"] = out["q141_ddsketch"]
 
     out["q142_bfs"] = """
         WITH nn AS (SELECT count(*) AS n,
