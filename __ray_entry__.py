@@ -2585,6 +2585,17 @@ def _q161_ddsketch_incremental(sf_dir: str):
     return out.sort_values("q").reset_index(drop=True)
 
 
+def _q162_trimmed_mean(sf_dir: str):
+    """Per-type 10%-trimmed mean of event values (robust location):
+    one key-bucket shuffle, vectorized in-partition rank trim with
+    deterministic (value, id) tie order; integer evidence columns."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import group_trimmed_mean
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "event_id", "value"])
+    return group_trimmed_mean(ev, "event_type", "value", "event_id")
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -3285,6 +3296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q159_related_terms": _q159_related_terms,
         "q160_log_odds": _q160_log_odds,
         "q161_ddsketch_incremental": _q161_ddsketch_incremental,
+        "q162_trimmed_mean": _q162_trimmed_mean,
         "q76_decontaminate": _q76_decontaminate,
         "q121_weighted_sample": _q121_weighted_sample,
         "q30_nearest_within": _q30_nearest_within,
@@ -5910,6 +5922,24 @@ def oracle_sql() -> dict[str, str]:
         FROM sel WHERE rn = 1 ORDER BY q"""
 
     out["q161_ddsketch_incremental"] = out["q141_ddsketch"]
+
+    out["q162_trimmed_mean"] = """
+        WITH b AS (
+          SELECT event_type, event_id,
+                 CAST(floor(value * 100) AS BIGINT) AS q
+          FROM events),
+        r AS (SELECT event_type, q,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY q, event_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM b)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(q) AS BIGINT) AS sum_q
+        FROM r
+        WHERE rn > n * 1 // 10 AND rn <= n - n * 1 // 10
+        GROUP BY event_type ORDER BY event_type"""
+
 
     out["q142_bfs"] = """
         WITH nn AS (SELECT count(*) AS n,

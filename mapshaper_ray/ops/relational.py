@@ -2422,3 +2422,60 @@ def group_linfit(ds, key_col: str, ts_col: str, val_col: str,
         {key_col: [], "n": pd.Series([], dtype=np.int64),
          "slope": pd.Series([], dtype=np.float64)})
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def group_trimmed_mean(ds, key_col: str, val_col: str, id_col: str,
+                       trim_num: int = 1, trim_den: int = 10,
+                       qscale: int = 100, n_parts: int = 64):
+    """Per-group trimmed mean — the robust location statistic that
+    survives the outliers group_outliers flags: per key, drop the
+    lowest and highest ``floor(n * trim_num/trim_den)`` values (rank
+    by quantized value with id tiebreak, so ties cut
+    deterministically) and report the exact integer (n_kept, sum_q)
+    of the middle.  A SQL ``row_number`` window mirror matches
+    row-for-row; the mean itself is one division left to the caller
+    so every compared column stays integer.
+
+    Distributed shape: ONE key-hash bucket shuffle co-locates each
+    group; trimming is a vectorized in-partition lexsort + per-run
+    rank arithmetic (the grouped_cumsum partition pattern) — no
+    global sort, no driver state."""
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__q"] = np.floor(df[val_col].to_numpy(np.float64)
+                             * qscale).astype(np.int64)
+        key = pd.util.hash_array(df[key_col].to_numpy()) \
+            .astype(np.uint64)
+        df["__part"] = (key % np.uint64(n_parts)).astype(np.int64)
+        return df[[key_col, id_col, "__q", "__part"]]
+
+    def trim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, "__q", id_col],
+                            kind="mergesort").reset_index(drop=True)
+        k = df[key_col].to_numpy()
+        q = df["__q"].to_numpy(np.int64)
+        starts = np.concatenate(
+            [[0], np.nonzero(k[1:] != k[:-1])[0] + 1])
+        ends = np.concatenate([starts[1:], [len(k)]])
+        rows = []
+        for s, e in zip(starts, ends):
+            n = e - s
+            cut = (n * trim_num) // trim_den
+            kept = q[s + cut:e - cut]
+            rows.append((k[s], int(len(kept)), int(kept.sum())))
+        return pd.DataFrame(rows, columns=[key_col, "n_kept",
+                                           "sum_q"]) \
+            if rows else pd.DataFrame(
+                {key_col: pd.Series([], dtype=object),
+                 "n_kept": pd.Series([], dtype=np.int64),
+                 "sum_q": pd.Series([], dtype=np.int64)})
+
+    out = ds.map_batches(stamp, batch_format="pandas") \
+        .groupby("__part").map_groups(trim, batch_format="pandas") \
+        .to_pandas()
+    if not len(out):
+        return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                             "n_kept": pd.Series([], dtype=np.int64),
+                             "sum_q": pd.Series([], dtype=np.int64)})
+    out = out.astype({"n_kept": np.int64, "sum_q": np.int64})
+    return out.sort_values(key_col).reset_index(drop=True)

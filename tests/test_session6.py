@@ -742,3 +742,30 @@ def test_ddsketch_update_equals_union_build():
         ddsketch_build(rd.from_pandas(a), "v"), rd.from_pandas(b), "v")
     whole = ddsketch_build(rd.from_pandas(pd.concat([a, b])), "v")
     pd.testing.assert_frame_equal(incr, whole)
+
+
+def test_trimmed_mean_brute_and_partition_invariance():
+    from mapshaper_ray.ops.relational import group_trimmed_mean
+    rng = np.random.default_rng(79)
+    n = 2000
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], n),
+                       "i": np.arange(n),
+                       "v": rng.normal(10, 3, n)})
+    df.loc[df.index[:3], "v"] = 1e6  # outliers the trim must drop
+    outs = [group_trimmed_mean(ds, "k", "v", "i")
+            for ds in _layouts(df, 79)]
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+    got = outs[0]
+    for k in ["a", "b"]:
+        sub = df[df["k"] == k]
+        q = np.floor(sub["v"].to_numpy() * 100).astype(np.int64)
+        order = np.lexsort((sub["i"].to_numpy(), q))
+        qs = q[order]
+        cut = len(qs) // 10
+        kept = qs[cut:len(qs) - cut]
+        row = got[got["k"] == k].iloc[0]
+        assert row["n_kept"] == len(kept)
+        assert row["sum_q"] == kept.sum()
+        # outliers gone: trimmed mean is near 10, plain mean is not
+        assert abs(kept.mean() / 100 - 10) < 1
