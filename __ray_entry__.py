@@ -2596,6 +2596,35 @@ def _q162_trimmed_mean(sf_dir: str):
     return group_trimmed_mean(ev, "event_type", "value", "event_id")
 
 
+def _q163_host_dup_rate(sf_dir: str):
+    """Per-host exact-duplicate rate (crawl-quality report): docs
+    keyed to hosts, content-md5 distinct counts per host as exact
+    integers (n_docs, n_distinct) — the groupby_agg partial/reduce
+    path over a derived content-hash column."""
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import content_md5
+    from mapshaper_ray.ops.relational import groupby_agg
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "host": ("site" + pd.Series(i % 20).astype(str)
+                     + ".example").to_numpy(object),
+            "h": np.asarray(content_md5(df["text"]), object)})
+
+    kd = docs.map_batches(keyed, batch_format="pandas")
+    per_hash = groupby_agg(kd, ["host", "h"],
+                           {"c": ("h", "count")}, final="distributed")
+    out = groupby_agg(per_hash, ["host"],
+                      {"n_distinct": ("h", "count"),
+                       "n_docs": ("c", "sum")},
+                      final="driver").to_pandas()
+    out = out[["host", "n_docs", "n_distinct"]]         .astype({"n_docs": np.int64, "n_distinct": np.int64})
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -3297,6 +3326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q160_log_odds": _q160_log_odds,
         "q161_ddsketch_incremental": _q161_ddsketch_incremental,
         "q162_trimmed_mean": _q162_trimmed_mean,
+        "q163_host_dup_rate": _q163_host_dup_rate,
         "q76_decontaminate": _q76_decontaminate,
         "q121_weighted_sample": _q121_weighted_sample,
         "q30_nearest_within": _q30_nearest_within,
@@ -5939,6 +5969,18 @@ def oracle_sql() -> dict[str, str]:
         FROM r
         WHERE rn > n * 1 // 10 AND rn <= n - n * 1 // 10
         GROUP BY event_type ORDER BY event_type"""
+
+    out["q163_host_dup_rate"] = """
+        WITH k AS (
+          SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example'
+                   AS host,
+                 md5(coalesce(text, '')) AS h
+          FROM documents)
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_distinct
+        FROM k GROUP BY host ORDER BY host"""
+
 
 
     out["q142_bfs"] = """
