@@ -470,9 +470,13 @@ def _q59_host_stats(sf_dir: str):
     pages = add_url_host(synth_pages(sf_dir))
 
     def measure(batch):
+        import pyarrow as pa
         import pyarrow.compute as pc
+        # int64: utf8_length is int32 and an int32 SUM overflows at
+        # corpus scale (also the driver hash is dtype-sensitive)
         return batch.select(["host"]).append_column(
-            "n_chars3", pc.utf8_length(batch["text"]))
+            "n_chars3", pc.cast(pc.utf8_length(batch["text"]),
+                                pa.int64()))
     narrow = pages.map_batches(measure, batch_format="pyarrow")
     out = groupby_agg(narrow, ["host"], {
         "n_pages": ("n_chars3", "count"),
@@ -3990,7 +3994,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'site' || CAST(doc_id % 1000 AS VARCHAR)
                    || '.example' AS host,
                    count(*) AS n_pages,
-                   sum(length(text)) AS sum_chars
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY host ORDER BY host""",
         "q60_group_sample": """
             SELECT doc_id, lang FROM documents
@@ -4751,9 +4755,10 @@ def oracle_sql() -> dict[str, str]:
                    AND 1 PRECEDING), 0) AS off
           FROM dl)
         SELECT ex.ex AS example_id, doc_id,
-               greatest(off, ex.ex * 512) - off AS tok_start,
-               least(off + n, (ex.ex + 1) * 512)
-                 - greatest(off, ex.ex * 512) AS n_toks
+               CAST(greatest(off, ex.ex * 512) - off AS BIGINT)
+                 AS tok_start,
+               CAST(least(off + n, (ex.ex + 1) * 512)
+                 - greatest(off, ex.ex * 512) AS BIGINT) AS n_toks
         FROM o, unnest(generate_series(CAST(off // 512 AS BIGINT),
                  CAST((off + n - 1) // 512 AS BIGINT))) AS ex(ex)
         ORDER BY example_id, doc_id"""
@@ -5216,9 +5221,9 @@ def oracle_sql() -> dict[str, str]:
                           CAST(floor(value * 1000000) AS BIGINT) AS v
                    FROM events)
         SELECT event_id,
-               SUM(v) OVER (ORDER BY ep, event_id
+               CAST(SUM(v) OVER (ORDER BY ep, event_id
                             ROWS BETWEEN 9 PRECEDING
-                            AND CURRENT ROW) AS msum
+                            AND CURRENT ROW) AS BIGINT) AS msum
         FROM e ORDER BY event_id"""
 
     # q110: entity/whitespace normalization — the SQL side of every
@@ -6483,9 +6488,10 @@ def oracle_sql() -> dict[str, str]:
                        AND 1 PRECEDING), 0) AS off
               FROM dl)
         SELECT ex.ex AS example_id, doc_id,
-               greatest(off, ex.ex * 512) - off AS tok_start,
-               least(off + n, (ex.ex + 1) * 512)
-                 - greatest(off, ex.ex * 512) AS n_toks
+               CAST(greatest(off, ex.ex * 512) - off AS BIGINT)
+                 AS tok_start,
+               CAST(least(off + n, (ex.ex + 1) * 512)
+                 - greatest(off, ex.ex * 512) AS BIGINT) AS n_toks
         FROM o, unnest(generate_series(CAST(off // 512 AS BIGINT),
                  CAST((off + n - 1) // 512 AS BIGINT))) AS ex(ex)
         ORDER BY example_id, doc_id"""

@@ -1342,8 +1342,12 @@ def sliding_window_sum(ds, ts_col: str, id_col: str, val_col: str,
     AND CURRENT ROW)`` — via an explicit HALO EXCHANGE, the canonical
     distributed pattern for windows that cross partition boundaries:
 
-    1. one min/max reduce fixes uniform ts-range buckets (ordered
-       partitioning — rows of bucket b all sort before bucket b+1);
+    1. a min/max reduce plus ONE fine histogram pass fix EQUI-DEPTH
+       ts-range buckets (ordered partitioning — rows of bucket b all
+       sort before bucket b+1): bucket edges sit at the n/n_parts
+       rank points of the sampled ts CDF at fine-bin granularity, so
+       a skewed event-time distribution (diurnal peaks) still yields
+       balanced buckets instead of concentrating rows in a few;
     2. ONE bucket shuffle materializes the range partitions (the
        only all-to-all — both later passes are block-local maps
        over it);
@@ -1364,25 +1368,38 @@ def sliding_window_sum(ds, ts_col: str, id_col: str, val_col: str,
     map_groups), and both scans take whole blocks
     (``batch_size=None``); if a bucket ever outgrew a single block
     the windowed pass would see a mixed batch — it asserts
-    one-bucket-per-batch and fails loudly (size ``n_parts`` so each
-    bucket fits a block; at corpus scale that's the same knob every
-    bucketed op here exposes).
+    one-bucket-per-batch and fails loudly.  Equi-depth edges make
+    that a corner case (a single fine bin heavier than a block —
+    i.e. one ts value dominating the corpus) rather than the normal
+    outcome of time skew; ``n_parts`` remains the knob.
     """
     import ray
 
-    from .rank import _minmax_count
+    from .rank import _histogram, _minmax_count
 
     mm = _minmax_count(ds, ts_col)
     if mm is None:
         import ray.data as rd
         return rd.from_items([])
     lo, hi, _n = mm
+    fine = max(n_parts * 64, 4096)
     width = (hi - lo) or 1.0
+    hist = _histogram(ds, ts_col, lo, hi, fine)
+    cum = np.cumsum(hist)
+    total = int(cum[-1])
+    # cut after the fine bin where the CDF crosses each i*n/n_parts
+    # rank; same floor arithmetic assigns rows below, so a row and
+    # its histogram count land in the same fine bin by construction
+    targets = (np.arange(1, n_parts, dtype=np.int64) * total) \
+        // n_parts
+    cuts = np.searchsorted(cum, targets, side="left") \
+        .astype(np.int64)
 
     def stamp(df: pd.DataFrame) -> pd.DataFrame:
         v = df[ts_col].to_numpy(np.float64)
-        b = np.clip(((v - lo) / width * n_parts).astype(np.int64),
-                    0, n_parts - 1)
+        fb = np.clip(((v - lo) / width * fine).astype(np.int64),
+                     0, fine - 1)
+        b = np.searchsorted(cuts, fb, side="left").astype(np.int64)
         out = pd.DataFrame({
             "__part": b,
             "__ts": df[ts_col].to_numpy(np.int64),
@@ -2155,7 +2172,7 @@ def resample_time(ds, ts_col: str, key_col: str, val_col: str,
     bucket to ``floor(epoch_us / every_us)`` (integer arithmetic, so
     a SQL ``time_bucket``/integer-division mirror is exact), aggregate
     per (key, bucket) to (n, sum_q) — sum over ``val_col`` quantized
-    to ``round(v * qscale)`` int64 cents so the distributed sum is
+    to ``floor(v * qscale)`` int64 cents so the distributed sum is
     order-independent and value-exact — then the grid zero-fills every
     missing bucket per key across the GLOBAL [min, max] bucket range.
 
@@ -2229,16 +2246,31 @@ def group_outliers(ds, key_col: str, val_col: str, z: int = 3,
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         qv = q_of(df)
-        qf = qv.astype(np.float64)
+        if len(qv) and int(np.abs(qv).max()) >= (1 << 31):
+            raise ValueError(
+                "group_outliers: |floor(v*qscale)| >= 2^31; lower "
+                "qscale so q^2 stays exactly representable")
+        # q^2 < 2^62 split into three 21-bit limbs: limb sums stay
+        # int64-exact through the distributed reduce up to ~4e12 rows,
+        # so the boundary re-check below reconstructs Q as a genuine
+        # Python int (a float64 qq sum goes inexact past 2^53 total)
+        q2 = qv * qv
         return pd.DataFrame({"k": df[key_col].to_numpy(),
                              "n": np.ones(len(df), np.int64),
-                             "s": qv, "qq": qf * qf}) \
+                             "s": qv,
+                             "qq_lo": q2 & ((1 << 21) - 1),
+                             "qq_mid": (q2 >> 21) & ((1 << 21) - 1),
+                             "qq_hi": q2 >> 42}) \
             .groupby("k", as_index=False) \
-            .agg(n=("n", "sum"), s=("s", "sum"), qq=("qq", "sum"))
+            .agg(n=("n", "sum"), s=("s", "sum"),
+                 qq_lo=("qq_lo", "sum"), qq_mid=("qq_mid", "sum"),
+                 qq_hi=("qq_hi", "sum"))
 
     stats = groupby_agg(ds.map_batches(partial, batch_format="pandas"),
                         ["k"], {"n": ("n", "sum"), "s": ("s", "sum"),
-                                "qq": ("qq", "sum")},
+                                "qq_lo": ("qq_lo", "sum"),
+                                "qq_mid": ("qq_mid", "sum"),
+                                "qq_hi": ("qq_hi", "sum")},
                         final="driver").to_pandas()
     if not len(stats):
         cols = {key_col: pd.Series([], dtype=object)}
@@ -2246,14 +2278,21 @@ def group_outliers(ds, key_col: str, val_col: str, z: int = 3,
             cols[id_col] = pd.Series([], dtype=np.int64)
         cols["q"] = pd.Series([], dtype=np.int64)
         return pd.DataFrame(cols)
-    # qq partials are float (q^2 can overflow int64 when summed); the
-    # per-group Q is re-derived exactly below only for boundary rows
+    # per-group Q reconstructed exactly from the 21-bit limb sums;
+    # the float view drives the vectorized pass, the Python-int view
+    # decides boundary rows (genuinely exact at any corpus size)
     stats = stats.set_index("k")
+    qmap_exact = {k: (int(h) << 42) + (int(m) << 21) + int(lo)
+                  for k, h, m, lo in zip(stats.index,
+                                         stats["qq_hi"],
+                                         stats["qq_mid"],
+                                         stats["qq_lo"])}
     ref = ray.put((stats["n"].to_dict(), stats["s"].to_dict(),
-                   stats["qq"].to_dict()))
+                   {k: float(v) for k, v in qmap_exact.items()},
+                   qmap_exact))
 
     def flag(df: pd.DataFrame) -> pd.DataFrame:
-        nmap, smap, qmap = ray.get(ref)
+        nmap, smap, qmap, qexact = ray.get(ref)
         k = df[key_col]
         n = k.map(nmap).to_numpy(np.float64)
         S = k.map(smap).to_numpy(np.float64)
@@ -2268,7 +2307,7 @@ def group_outliers(ds, key_col: str, val_col: str, z: int = 3,
         for i in np.flatnonzero(margin):
             ki, qi = k.iloc[i], int(qv[i])
             ni, Si = int(nmap[ki]), int(smap[ki])
-            Qi = int(qmap[ki])  # float sum of exact squares: see note
+            Qi = qexact[ki]  # exact Python int from the limb sums
             out[i] = (ni - 1) * (ni * qi - Si) ** 2 \
                 > z * z * ni * (ni * Qi - Si * Si)
         res = pd.DataFrame({key_col: k.to_numpy()[out], "q": qv[out]})
@@ -2408,19 +2447,29 @@ def group_linfit(ds, key_col: str, ts_col: str, val_col: str,
                      ["k"], {c: (c, "sum")
                              for c in ["n", "sx", "sy", "sxy", "sxx"]},
                      final="driver").to_pandas()
-    rows = []
-    for _, r in st.iterrows():
-        n, sx, sy, sxy, sxx = (int(r["n"]), int(r["sx"]), int(r["sy"]),
-                               int(r["sxy"]), int(r["sxx"]))
+    if len(st):
+        # object-dtype numpy = elementwise Python-int arithmetic:
+        # n*Sxx - Sx^2 etc. exceed int64 at corpus scale, and the
+        # big-int products stay exact without a row loop.
+        n = st["n"].to_numpy(np.int64).astype(object)
+        sx = st["sx"].to_numpy(np.int64).astype(object)
+        sy = st["sy"].to_numpy(np.int64).astype(object)
+        sxy = st["sxy"].to_numpy(np.int64).astype(object)
+        sxx = st["sxx"].to_numpy(np.int64).astype(object)
         den = n * sxx - sx * sx
-        if den == 0:
-            continue
         num = n * sxy - sx * sy
-        rows.append({key_col: r["k"], "n": n,
-                     "slope": round(float(num) / float(den), 9)})
-    out = pd.DataFrame(rows) if rows else pd.DataFrame(
-        {key_col: [], "n": pd.Series([], dtype=np.int64),
-         "slope": pd.Series([], dtype=np.float64)})
+        keep = (den != 0).astype(bool)
+        slope = np.fromiter(
+            (round(float(a) / float(b), 9)
+             for a, b in zip(num[keep], den[keep])),
+            dtype=np.float64, count=int(keep.sum()))
+        out = pd.DataFrame({key_col: st["k"].to_numpy()[keep],
+                            "n": st["n"].to_numpy(np.int64)[keep],
+                            "slope": slope})
+    else:
+        out = pd.DataFrame(
+            {key_col: [], "n": pd.Series([], dtype=np.int64),
+             "slope": pd.Series([], dtype=np.float64)})
     return out.sort_values(key_col).reset_index(drop=True)
 
 

@@ -809,7 +809,13 @@ def ddsketch_quantiles(sketch: pd.DataFrame,
     quantile and the cumulative count through it; the value estimate
     is sign * 2 * 2^(bucket/gp) / (2^(1/gp) + 1), left to the caller
     so the oracle-compared columns stay integer-exact."""
-    n = int(sketch["n"].sum())
+    n = int(sketch["n"].sum()) if len(sketch) else 0
+    if n == 0:
+        return pd.DataFrame(
+            {"q": pd.Series([], dtype=object),
+             "sign": pd.Series([], dtype=np.int64),
+             "bucket": pd.Series([], dtype=np.int64),
+             "n_le": pd.Series([], dtype=np.int64)})
     cum = sketch["n"].cumsum().to_numpy(np.int64)
     out = []
     for num, den in qs:

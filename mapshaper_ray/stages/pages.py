@@ -398,7 +398,8 @@ def remove_boilerplate(pages: "ray.data.Dataset", host_col: str = "host",
         # zero-row input: nothing to join, no boilerplate
         import ray.data as rd
         bl = rd.from_pandas(pd.DataFrame(
-            {"lh": pd.Series([], dtype=np.int64)})).materialize()
+            {"h": pd.Series([], dtype=object),
+             "lh": pd.Series([], dtype=np.int64)})).materialize()
     else:
         joined = hash_join_bucketed(cnt, host_counts, on="h",
                                     num_buckets=n_parts)
@@ -407,13 +408,17 @@ def remove_boilerplate(pages: "ray.data.Dataset", host_col: str = "host",
             nd = df["n_docs"].to_numpy(np.int64)
             np_ = df["n_pages"].to_numpy(np.int64)
             m = (nd >= min_pages) & (nd * frac_den >= frac_num * np_)
-            return df[m][["lh"]]
+            # keep the host alongside the 52-bit line hash: membership
+            # is tested per (host, lh), so a cross-host hash collision
+            # can never delete a line (the key domain is one host's
+            # distinct lines, not the global corpus)
+            return df[m][["h", "lh"]]
 
         bl = joined.map_batches(pick, batch_format="pandas") \
             .materialize()
     n_bl = bl.count()
 
-    def _clean_rows(df: pd.DataFrame, keys: np.ndarray) -> pd.DataFrame:
+    def _clean_rows(df: pd.DataFrame, by_host: dict) -> pd.DataFrame:
         hosts = df[host_col].astype(str).tolist()
         lines = _split(df[text_col].tolist())
         flat = [f"{h}\x1f{ln}" for h, ls in zip(hosts, lines)
@@ -421,10 +426,24 @@ def remove_boilerplate(pages: "ray.data.Dataset", host_col: str = "host",
         lens = np.array([len(ls) for ls in lines], np.int64)
         if flat:
             k = _lh(flat)
-            idx = np.searchsorted(keys, k).clip(0, max(len(keys) - 1,
-                                                       0))
-            drop = keys[idx] == k if len(keys) else \
-                np.zeros(len(k), bool)
+            drop = np.zeros(len(k), bool)
+            # membership per host: group line indices by host once
+            # (factorize + stable argsort), then one searchsorted per
+            # host against that host's own sorted key array — a
+            # cross-host 52-bit collision can't match
+            line_hosts = np.repeat(np.asarray(hosts, object), lens)
+            codes, uniq = pd.factorize(line_hosts)
+            order = np.argsort(codes, kind="stable")
+            bounds = np.searchsorted(codes[order],
+                                     np.arange(len(uniq) + 1))
+            for ui, h in enumerate(uniq):
+                arr = by_host.get(h)
+                if arr is None or not len(arr):
+                    continue
+                sel = order[bounds[ui]:bounds[ui + 1]]
+                kk = k[sel]
+                idx = np.searchsorted(arr, kk).clip(0, len(arr) - 1)
+                drop[sel] = arr[idx] == kk
         else:
             drop = np.empty(0, bool)
         row = np.repeat(np.arange(len(df)), lens)
@@ -440,11 +459,13 @@ def remove_boilerplate(pages: "ray.data.Dataset", host_col: str = "host",
             "text_clean": ["\n".join(p) for p in parts]})
 
     if n_bl <= cap:
-        keys = np.sort(np.concatenate(
-            [b["lh"].to_numpy() for b in
-             bl.iter_batches(batch_format="pandas")] or
-            [np.empty(0, np.int64)]))
-        ref = ray.put(keys)
+        parts = [b for b in bl.iter_batches(batch_format="pandas")]
+        bl_df = pd.concat(parts, ignore_index=True) if parts else \
+            pd.DataFrame({"h": pd.Series([], dtype=object),
+                          "lh": pd.Series([], dtype=np.int64)})
+        by_host = {h: np.sort(g["lh"].to_numpy(np.int64))
+                   for h, g in bl_df.groupby("h")}
+        ref = ray.put(by_host)
 
         def clean(df: pd.DataFrame) -> pd.DataFrame:
             return _clean_rows(df, ray.get(ref))
@@ -469,8 +490,31 @@ def remove_boilerplate(pages: "ray.data.Dataset", host_col: str = "host",
             "lh": k})
 
     ex = pages.map_batches(explode, batch_format="pandas")
-    kept = hash_join_bucketed(ex, bl, on="lh", how="anti",
-                              num_buckets=n_parts)
+
+    def bl_rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"h": host_col})
+
+    kept = hash_join_bucketed(
+        ex, bl.map_batches(bl_rename, batch_format="pandas"),
+        on=[host_col, "lh"], how="anti", num_buckets=n_parts)
+
+    # one sentinel row per doc (pos=-1): a doc whose every line is
+    # boilerplate (or whose text is empty) produces no surviving
+    # exploded rows, and without this it would vanish from the output
+    # entirely — the broadcast path and the SQL oracle both keep such
+    # docs with text_clean=''.  The sentinel unions into the same
+    # doc-bucket shuffle and reassemble drops it from the line list.
+    def universe(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            host_col: df[host_col].astype(str).to_numpy(dtype=object),
+            "pos": np.full(n, -1, np.int64),
+            "line": np.full(n, "\x1f", dtype=object),
+            "lh": np.zeros(n, np.int64)})
+
+    kept = kept.union(pages.map_batches(universe,
+                                        batch_format="pandas"))
 
     def stamp(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -482,16 +526,20 @@ def remove_boilerplate(pages: "ray.data.Dataset", host_col: str = "host",
     def reassemble(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([id_col, "pos"], kind="mergesort")
         ids = df[id_col].to_numpy()
+        pos = df["pos"].to_numpy(np.int64)
         starts = np.concatenate(
             [[0], np.nonzero(ids[1:] != ids[:-1])[0] + 1])
         ends = np.concatenate([starts[1:], [len(ids)]])
         # strip the "host\x1f" prefix back off each kept line
         lines = [s.split("\x1f", 1)[1] for s in df["line"].tolist()]
+        # pos=-1 sentinel (one per doc) sorts first in its run; skip
+        # it when joining lines so an all-boilerplate doc yields ''
         return pd.DataFrame({
             id_col: ids[starts],
             host_col: df[host_col].to_numpy()[starts],
-            "text_clean": ["\n".join(lines[s:e])
-                           for s, e in zip(starts, ends)]})
+            "text_clean": [
+                "\n".join(lines[s + (0 if pos[s] >= 0 else 1):e])
+                for s, e in zip(starts, ends)]})
 
     return kept.map_batches(stamp, batch_format="pandas") \
         .groupby("__part").map_groups(reassemble,

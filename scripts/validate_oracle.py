@@ -48,10 +48,34 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def dtype_class(dt) -> str:
+    """Coarse dtype class matching the driver's dtype-sensitive hash:
+    an int64 engine column vs a float64 oracle column (the DuckDB
+    HUGEINT -> pandas float64 leak from sum() OVER window arithmetic)
+    hash-mismatches even when values are exact."""
+    k = getattr(dt, "kind", "O")
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "object"
+
+
 def compare(name, ray_df, sql_df):
     a, b = norm(ray_df), norm(sql_df)
     if list(a.columns) != list(b.columns):
         return f"SCHEMA MISMATCH ray={list(a.columns)} sql={list(b.columns)}"
+    for c in a.columns:
+        ka = dtype_class(ray_df[c].dtype)
+        kb = dtype_class(sql_df[c].dtype)
+        if ka != kb:
+            return (f"DTYPE MISMATCH col={c} ray={ray_df[c].dtype} "
+                    f"sql={sql_df[c].dtype} (driver hash is "
+                    f"dtype-sensitive — CAST the oracle column)")
     if len(a) != len(b):
         return f"ROWCOUNT MISMATCH ray={len(a)} sql={len(b)}"
     for c in a.columns:

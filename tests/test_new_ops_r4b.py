@@ -259,6 +259,34 @@ def test_sliding_window_constant_ts_single_bucket(ray_session):
     assert got["msum"].tolist() == [1, 2, 3] + [4] * 17
 
 
+def test_sliding_window_diurnal_skew_equi_depth(ray_session):
+    """95% of events inside a narrow nightly spike plus a long sparse
+    tail: uniform min/max edges would put nearly everything in one
+    bucket; equi-depth edges keep the buckets balanced and the result
+    exact."""
+    from mapshaper_ray.ops.relational import sliding_window_sum
+    rng = np.random.RandomState(7)
+    n_spike, n_tail = 950, 50
+    ep = np.concatenate([
+        rng.randint(0, 100, n_spike),            # the spike
+        rng.randint(100, 1_000_000, n_tail)])    # the sparse tail
+    n = n_spike + n_tail
+    df = pd.DataFrame({"ep": ep.astype(np.int64),
+                       "event_id": rng.permutation(n).astype(np.int64),
+                       "v": rng.randint(-9, 9, n).astype(np.int64)})
+    got = sliding_window_sum(rd.from_pandas(df).repartition(6),
+                             ts_col="ep", id_col="event_id",
+                             val_col="v", window=7,
+                             n_parts=8).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    exp = df.sort_values(["ep", "event_id"]).reset_index(drop=True)
+    exp["msum"] = exp["v"].rolling(7, min_periods=1).sum() \
+        .astype(np.int64)
+    exp = exp[["event_id", "msum"]].sort_values("event_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
 # ---------------------------------------------------------------------------
 # clean_text / bigram_nll / scalar_quantize
 # ---------------------------------------------------------------------------

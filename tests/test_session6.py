@@ -39,6 +39,19 @@ def test_ddsketch_buckets_brute():
             assert bi == math.ceil(8 * math.log2(abs(xi)))
 
 
+def test_ddsketch_quantiles_empty_sketch():
+    # zero-row input: typed empty frame, not a negative-rank IndexError
+    from mapshaper_ray.ops.sketch import (ddsketch_build,
+                                          ddsketch_quantiles)
+    empty = rd.from_pandas(pd.DataFrame({"v": pd.Series(
+        [], dtype=np.float64)}))
+    sk = ddsketch_build(empty, "v")
+    out = ddsketch_quantiles(sk, [(1, 2), (99, 100)])
+    assert len(out) == 0
+    assert list(out.columns) == ["q", "sign", "bucket", "n_le"]
+    assert out["n_le"].dtype == np.int64
+
+
 def test_ddsketch_relative_error_and_partition_invariance():
     rng = np.random.default_rng(3)
     x = np.concatenate([rng.lognormal(0, 2, 4000),
@@ -536,6 +549,47 @@ def test_boilerplate_threshold_boundary():
                              frac_den=2).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert out["text_clean"].tolist() == ["a0", "a1", "a2", "a3"]
+
+
+def test_boilerplate_all_boilerplate_doc_survives_both_paths():
+    # a doc whose EVERY line is boilerplate (and an empty doc) must
+    # appear with text_clean='' in BOTH paths — the bucketed
+    # explode->anti-join chain used to drop them entirely
+    from mapshaper_ray.stages.pages import remove_boilerplate
+    rows = [{"doc_id": i, "host": "h",
+             "text": f"HEADER\nbody {i}"} for i in range(4)]
+    rows.append({"doc_id": 4, "host": "h", "text": "HEADER"})
+    rows.append({"doc_id": 5, "host": "h", "text": ""})
+    df = pd.DataFrame(rows)
+    outs = []
+    for cap in (None, 0):  # broadcast, then forced bucketed
+        out = remove_boilerplate(rd.from_pandas(df), frac_num=1,
+                                 frac_den=2, broadcast_cap=cap) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert out["doc_id"].tolist() == [0, 1, 2, 3, 4, 5]
+        assert out.loc[4, "text_clean"] == ""
+        assert out.loc[5, "text_clean"] == ""
+        assert out.loc[0, "text_clean"] == "body 0"
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_boilerplate_same_line_hash_other_host_not_dropped():
+    # membership is (host, line-hash): a line that is boilerplate on
+    # h0 must survive verbatim on h1 where it is rare
+    from mapshaper_ray.stages.pages import remove_boilerplate
+    rows = [{"doc_id": i, "host": "h0", "text": f"AD\nb{i}"}
+            for i in range(4)]
+    rows += [{"doc_id": 10 + i, "host": "h1",
+              "text": f"AD\nc{i}" if i == 0 else f"c{i}"}
+             for i in range(4)]
+    df = pd.DataFrame(rows)
+    for cap in (None, 0):
+        out = remove_boilerplate(rd.from_pandas(df), frac_num=1,
+                                 frac_den=2, broadcast_cap=cap) \
+            .to_pandas().set_index("doc_id")
+        assert "AD" not in out.loc[0, "text_clean"]
+        assert out.loc[10, "text_clean"] == "AD\nc0"
 
 
 # ------------------------------------------------------- phash dedup
