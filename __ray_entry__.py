@@ -2629,6 +2629,41 @@ def _q163_host_dup_rate(sf_dir: str):
     return out.sort_values("host").reset_index(drop=True)
 
 
+def _q164_phash_near_dup(sf_dir: str):
+    """Hamming-radius perceptual near-dup pairs (hamming <= 3 over
+    the 64-bit aHash) — pigeonhole banding with exact recall
+    (stages/multimodal.phash_near_dup_pairs), not just exact-equality
+    groups.  A deterministic per-image bit flip (bit media_id % 64)
+    spreads identical payloads to hamming-2 pairs so the radius is
+    genuinely exercised; the oracle reproduces hash, flip, and a
+    brute-force bit_count(xor) pair scan in SQL."""
+    from mapshaper_ray.stages.multimodal import (phash_images,
+                                                 phash_near_dup_pairs,
+                                                 synth_media)
+    hashed = phash_images(synth_media(sf_dir, kind="image"))
+
+    def perturb(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["media_id"].to_numpy(np.int64)
+        pos = ids % 64
+        lo = df["phash_lo"].to_numpy(np.int64)
+        hi = df["phash_hi"].to_numpy(np.int64)
+        in_lo = pos < 32
+        lo = np.where(in_lo, lo ^ (np.int64(1) << np.clip(pos, 0, 31)),
+                      lo)
+        hi = np.where(~in_lo,
+                      hi ^ (np.int64(1) << np.clip(pos - 32, 0, 31)),
+                      hi)
+        return pd.DataFrame({"media_id": ids, "phash_lo": lo,
+                             "phash_hi": hi})
+
+    pert = hashed.map_batches(perturb, batch_format="pandas")
+    out = phash_near_dup_pairs(pert, max_hamming=3, bands=4) \
+        .to_pandas()
+    out = out.astype({"id_a": np.int64, "id_b": np.int64,
+                      "hamming": np.int64})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -3331,6 +3366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q161_ddsketch_incremental": _q161_ddsketch_incremental,
         "q162_trimmed_mean": _q162_trimmed_mean,
         "q163_host_dup_rate": _q163_host_dup_rate,
+        "q164_phash_near_dup": _q164_phash_near_dup,
         "q76_decontaminate": _q76_decontaminate,
         "q121_weighted_sample": _q121_weighted_sample,
         "q30_nearest_within": _q30_nearest_within,
@@ -6332,6 +6368,53 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_dups
         FROM h GROUP BY 1, 2 HAVING count(*) >= 2
         ORDER BY phash_hi, phash_lo"""
+
+    out["q164_phash_near_dup"] = """
+        -- brute-force hamming<=3 pair scan over the same fake aHash
+        -- + per-image bit flip the engine's banded search uses
+        WITH media AS (
+          SELECT doc_id AS media_id,
+                 substring(repeat(lower(md5(text)),
+                                  4 + length(text) % 64),
+                           1, 512) AS head
+          FROM documents),
+        b AS (SELECT media_id,
+                     ('0x' || substring(md5(head), 1, 8))::BIGINT
+                       AS base
+              FROM media),
+        c AS (SELECT media_id, u.j AS j,
+                     (b.base * u.j) % 1000003 AS cell
+              FROM b, unnest(generate_series(1, 64)) AS u(j)),
+        t AS (SELECT media_id, sum(cell) AS total FROM c
+              GROUP BY 1),
+        h AS (SELECT c.media_id,
+                     CAST(sum(CASE WHEN c.j <= 32
+                              AND c.cell * 64 > t.total
+                         THEN (CAST(1 AS BIGINT) << (c.j - 1))
+                         ELSE 0 END) AS BIGINT) AS lo,
+                     CAST(sum(CASE WHEN c.j > 32
+                              AND c.cell * 64 > t.total
+                         THEN (CAST(1 AS BIGINT) << (c.j - 33))
+                         ELSE 0 END) AS BIGINT) AS hi
+              FROM c JOIN t USING (media_id) GROUP BY 1),
+        p AS (SELECT media_id,
+                     CASE WHEN media_id % 64 < 32
+                          THEN xor(lo, CAST(1 AS BIGINT)
+                                       << CAST(media_id % 64 AS INT))
+                          ELSE lo END AS lo,
+                     CASE WHEN media_id % 64 >= 32
+                          THEN xor(hi, CAST(1 AS BIGINT)
+                                   << CAST(media_id % 64 - 32 AS INT))
+                          ELSE hi END AS hi
+              FROM h)
+        SELECT a.media_id AS id_a, b2.media_id AS id_b,
+               CAST(bit_count(xor(a.lo, b2.lo))
+                    + bit_count(xor(a.hi, b2.hi)) AS BIGINT)
+                 AS hamming
+        FROM p a JOIN p b2 ON a.media_id < b2.media_id
+        WHERE bit_count(xor(a.lo, b2.lo))
+              + bit_count(xor(a.hi, b2.hi)) <= 3
+        ORDER BY id_a, id_b"""
 
     out["q157_group_trend"] = """
         WITH b AS (

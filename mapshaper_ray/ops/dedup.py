@@ -682,14 +682,25 @@ def simhash_pairs(ds, max_hamming=3, bands=4, text_col="text",
     Hamming verify gives precision 1.  Distributed exactly like
     minhash_lsh: band rows shuffle on bucket-hash mod 64, vectorized
     run detection per partition, pair dedupe via one groupby."""
+    return banded_hamming_pairs(simhash(ds, text_col=text_col),
+                                "simhash", id_col=id_col,
+                                max_hamming=max_hamming, bands=bands)
+
+
+def banded_hamming_pairs(ds, hash_col, id_col="doc_id",
+                         max_hamming=3, bands=4):
+    """Generic pigeonhole-banded Hamming-radius pair search over ANY
+    64-bit hash column (simhash, perceptual aHash, ...): exact recall
+    for ``max_hamming < bands`` since a pair within the budget must
+    agree on at least one band; in-bucket hamming64 verify gives
+    precision 1.  One band-bucket shuffle, no all-pairs stage."""
     if max_hamming >= bands:
         raise ValueError("pigeonhole exactness needs max_hamming < bands")
     width = 64 // bands
     mask = np.uint64((1 << width) - 1)
-    sh = simhash(ds, text_col=text_col)
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
-        h = df["simhash"].to_numpy().astype(np.uint64)
+        h = df[hash_col].to_numpy().astype(np.uint64)
         ids = df[id_col].to_numpy()
         frames = []
         for b in range(bands):
@@ -700,7 +711,7 @@ def simhash_pairs(ds, max_hamming=3, bands=4, text_col="text",
                 id_col: ids, "h": h.astype(np.int64)}))
         return pd.concat(frames, ignore_index=True)
 
-    banded = sh.map_batches(emit, batch_format="pandas")
+    banded = ds.map_batches(emit, batch_format="pandas")
 
     def part_pairs(df: pd.DataFrame) -> pd.DataFrame:
         key = df["__bkey"].to_numpy()

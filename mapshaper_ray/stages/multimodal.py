@@ -235,6 +235,50 @@ def phash_images(ds, concurrency=(1, 4), batch_size=256, **kw):
                           batch_size=batch_size)
 
 
+def phash_near_dup_pairs(ds, max_hamming: int = 3, bands: int = 4,
+                         id_col: str = "media_id"):
+    """Hamming-radius perceptual near-dup pairs — real image dedup
+    wants hamming <= d, not exact hash equality: rebuild the 64-bit
+    aHash from its (phash_hi, phash_lo) halves inside each batch and
+    run the pigeonhole band machinery (ops.dedup.banded_hamming_pairs
+    — exact recall for max_hamming < bands, hamming64 verify for
+    precision 1).  The full hash exists only transiently inside the
+    band shuffle's int64 ``h`` column, which Ray's Arrow-native
+    groupby exchange preserves bit-exactly (only float64-padded join
+    feeds corrupt wide ints — the 52-bit join-key lesson).
+    Returns (id_a, id_b, hamming)."""
+    import pandas as pd
+
+    from ..ops.dedup import banded_hamming_pairs
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["phash_hi"].to_numpy(np.int64).astype(np.uint64)
+             << np.uint64(32)) | \
+            df["phash_lo"].to_numpy(np.int64).astype(np.uint64)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
+                             "__h64": h.astype(np.int64)})
+
+    h64 = ds.map_batches(combine, batch_format="pandas")
+    return banded_hamming_pairs(h64, "__h64", id_col=id_col,
+                                max_hamming=max_hamming, bands=bands)
+
+
+def phash_near_dup_groups(ds, max_hamming: int = 3, bands: int = 4,
+                          id_col: str = "media_id"):
+    """Near-dup image GROUPS at hamming radius: banded pairs ->
+    distributed connected components (large/small-star contraction,
+    ops.dedup.cluster_pairs).  Returns (media_id, cluster_id) for
+    every image in a cluster of >= 2, cluster_id = min member id."""
+    from ..ops.dedup import cluster_pairs
+
+    pairs = phash_near_dup_pairs(ds, max_hamming=max_hamming,
+                                 bands=bands, id_col=id_col)
+    cc = cluster_pairs(pairs).to_pandas() \
+        .rename(columns={"node": id_col})
+    return cc.astype({id_col: np.int64, "cluster_id": np.int64}) \
+        .sort_values(id_col).reset_index(drop=True)
+
+
 def phash_dup_groups(ds, id_col: str = "media_id"):
     """Exact near-dup image groups by aHash equality: distributed
     grouped (min id, count) over the two hash halves; only groups

@@ -594,6 +594,56 @@ def test_boilerplate_same_line_hash_other_host_not_dropped():
 
 # ------------------------------------------------------- phash dedup
 
+def test_phash_near_dup_pairs_brute_force_and_invariance():
+    # banded hamming<=3 pairs == brute-force over planted near-dups,
+    # identical across partition layouts
+    from mapshaper_ray.ops.dedup import hamming64
+    from mapshaper_ray.stages.multimodal import phash_near_dup_pairs
+    rng = np.random.RandomState(11)
+    n = 200
+    h = rng.randint(0, 2**63, n).astype(np.uint64)
+    for i in range(40):  # rows 0..39 = rows 40..79 with <=3 flips
+        v = h[i + 40]
+        for b in rng.choice(64, 1 + i % 3, replace=False):
+            v ^= np.uint64(1) << np.uint64(b)
+        h[i] = v
+    df = pd.DataFrame({
+        "media_id": np.arange(n, dtype=np.int64),
+        "phash_lo": (h & np.uint64(0xFFFFFFFF)).astype(np.int64),
+        "phash_hi": (h >> np.uint64(32)).astype(np.int64)})
+    ia, ib = np.triu_indices(n, k=1)
+    hd = hamming64(h[ia], h[ib])
+    keep = hd <= 3
+    exp = pd.DataFrame({"id_a": ia[keep].astype(np.int64),
+                        "id_b": ib[keep].astype(np.int64),
+                        "hamming": hd[keep].astype(np.int64)}) \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(exp) >= 40
+    for ds in _layouts(df, 17):
+        got = phash_near_dup_pairs(ds, max_hamming=3).to_pandas() \
+            .astype({"id_a": np.int64, "id_b": np.int64,
+                     "hamming": np.int64}) \
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+
+
+def test_phash_near_dup_groups_transitive():
+    # a -1bit- b -1bit- c chains into ONE cluster rooted at min id
+    from mapshaper_ray.stages.multimodal import phash_near_dup_groups
+    base = np.uint64(0x0123456789ABCDEF)
+    hs = np.array([base,
+                   base ^ np.uint64(1),
+                   base ^ np.uint64(1) ^ (np.uint64(1) << np.uint64(40)),
+                   np.uint64(0x7EDCBA9876543210)], dtype=np.uint64)
+    df = pd.DataFrame({
+        "media_id": np.array([5, 9, 2, 7], np.int64),
+        "phash_lo": (hs & np.uint64(0xFFFFFFFF)).astype(np.int64),
+        "phash_hi": (hs >> np.uint64(32)).astype(np.int64)})
+    out = phash_near_dup_groups(rd.from_pandas(df), max_hamming=2)
+    assert out["media_id"].tolist() == [2, 5, 9]
+    assert out["cluster_id"].tolist() == [2, 2, 2]
+
+
 def test_phash_identical_payloads_group_and_halves_fit():
     from mapshaper_ray.stages.multimodal import (phash_dup_groups,
                                                  phash_images)
