@@ -2664,6 +2664,20 @@ def _q164_phash_near_dup(sf_dir: str):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _q165_geocent(sf_dir: str):
+    """mproj `geocent`: geodetic lon/lat -> 3D ECEF x/y/z on the
+    WGS84 ellipsoid (stages/proj.geocent_points) — closes the last
+    pj_list name (a 3D conversion, so it lives beside the planar
+    registry, not in it)."""
+    from mapshaper_ray.stages.proj import geocent_points
+    ds = _geo_points(sf_dir).select_columns(["doc_id", "lon", "lat"])
+    out = geocent_points(ds).to_pandas()
+    for c in ("x", "y", "z"):
+        out[c] = out[c].round(2)
+    return out[["doc_id", "x", "y", "z"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -3367,6 +3381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q162_trimmed_mean": _q162_trimmed_mean,
         "q163_host_dup_rate": _q163_host_dup_rate,
         "q164_phash_near_dup": _q164_phash_near_dup,
+        "q165_geocent": _q165_geocent,
         "q76_decontaminate": _q76_decontaminate,
         "q121_weighted_sample": _q121_weighted_sample,
         "q30_nearest_within": _q30_nearest_within,
@@ -4587,6 +4602,25 @@ def oracle_sql() -> dict[str, str]:
             FROM p ASOF JOIN c
               ON p.user_id = c.user_id AND p.ts >= c.ts
             ORDER BY p.event_id""",
+        "q165_geocent": f"""
+            -- PROJ geocent.c: N = a/sqrt(1 - e^2 sin^2 phi);
+            -- x = N cos(phi) cos(lam); y = N cos(phi) sin(lam);
+            -- z = N (1 - e^2) sin(phi)   (h = 0, WGS84)
+            WITH {_GEO_CTE},
+            e AS (SELECT (1/298.257223563)*(2 - 1/298.257223563)
+                    AS e2),
+            p AS (SELECT doc_id, radians(lon) AS lam,
+                         radians(lat) AS phi FROM geo),
+            t AS (SELECT doc_id, lam, phi,
+                         6378137.0 /
+                         sqrt(1 - e.e2*sin(phi)*sin(phi)) AS N,
+                         e.e2 AS e2
+                  FROM p, e)
+            SELECT doc_id,
+                   round(N * cos(phi) * cos(lam), 2) AS x,
+                   round(N * cos(phi) * sin(lam), 2) AS y,
+                   round(N * (1 - e2) * sin(phi), 2) AS z
+            FROM t ORDER BY doc_id""",
         "q45_stere": f"""
             -- PJ_stere.c polar branch closed-form: akm1 = cos(lat_ts)
             -- / tsfn(lat_ts) / sqrt(1 - es sin^2(lat_ts)); x = R akm1

@@ -3682,9 +3682,10 @@ def gilbert_fwd(lon, lat, lat1=0.0, lon0=0.0, x0=0.0, y0=0.0):
 # modified-stereographic polynomial grids, ob_tran), ported from the
 # public mproj / PROJ.4 formulas as vectorized numpy.  Same
 # conventions as batch 1: degrees in/out, R scaling, _wrap_lam for
-# pj_fwd's adjlon.  `geocent` is the one mproj name not mapped — it
-# is a 3D coordinate conversion, not a planar projection, and the
-# reference CLI cannot meaningfully -proj to it either.
+# pj_fwd's adjlon.  `geocent` is a 3D coordinate conversion, not a
+# planar projection, so it lives outside this (lon,lat)->(x,y)
+# registry as geocent_fwd/geocent_inv/geocent_points below — with
+# that, every mproj pj_list name is covered.
 
 def _aacos(v):
     return np.arccos(np.clip(v, -1.0, 1.0))
@@ -5105,6 +5106,67 @@ def _compose(proj, from_proj):
         lon, lat = inv(x, y)
         return fwd(lon, lat)
     return composed
+
+
+def geocent_fwd(lon, lat, h=None, a=6378137.0,
+                f=1.0 / 298.257223563):
+    """mproj `geocent` (the one pj_list name outside the planar
+    registry — it is a 3D coordinate conversion): geodetic lon/lat
+    [+ ellipsoidal height h, default 0] → ECEF x/y/z metres on the
+    WGS84 ellipsoid.  Public PROJ geocent.c math:
+    N = a/sqrt(1 - e² sin²φ); x = (N+h)cosφcosλ; y = (N+h)cosφsinλ;
+    z = (N(1-e²)+h)sinφ."""
+    lam = np.deg2rad(np.asarray(lon, np.float64))
+    phi = np.deg2rad(np.asarray(lat, np.float64))
+    e2 = f * (2.0 - f)
+    sphi, cphi = np.sin(phi), np.cos(phi)
+    N = a / np.sqrt(1.0 - e2 * sphi * sphi)
+    hh = 0.0 if h is None else np.asarray(h, np.float64)
+    return ((N + hh) * cphi * np.cos(lam),
+            (N + hh) * cphi * np.sin(lam),
+            (N * (1.0 - e2) + hh) * sphi)
+
+
+def geocent_inv(x, y, z, a=6378137.0, f=1.0 / 298.257223563):
+    """ECEF → geodetic lon/lat/h via Bowring's closed-form (public):
+    sub-millimetre for terrestrial points, no iteration."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    z = np.asarray(z, np.float64)
+    b = a * (1.0 - f)
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    p = np.hypot(x, y)
+    th = np.arctan2(z * a, p * b)
+    phi = np.arctan2(z + ep2 * b * np.sin(th) ** 3,
+                     p - e2 * a * np.cos(th) ** 3)
+    sphi = np.sin(phi)
+    N = a / np.sqrt(1.0 - e2 * sphi * sphi)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        h = np.where(np.abs(np.cos(phi)) > 1e-12,
+                     p / np.cos(phi) - N,
+                     np.abs(z) - b)
+    return np.rad2deg(np.arctan2(y, x)), np.rad2deg(phi), h
+
+
+def geocent_points(ds, lon_col="lon", lat_col="lat", h_col=None,
+                   x_col="x", y_col="y", z_col="z"):
+    """Flat lon/lat[/h] columns → ECEF x/y/z columns (zero-copy
+    Arrow) — the 3D sibling of project_points for the mproj
+    `geocent` surface."""
+    def go(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        h = batch[h_col].to_numpy(zero_copy_only=False) \
+            if h_col else None
+        x, y, z = geocent_fwd(lon, lat, h)
+        batch = batch.append_column(x_col,
+                                    pa.array(x, type=pa.float64()))
+        batch = batch.append_column(y_col,
+                                    pa.array(y, type=pa.float64()))
+        return batch.append_column(z_col,
+                                   pa.array(z, type=pa.float64()))
+    return ds.map_batches(go, batch_format="pyarrow")
 
 
 def project_points(ds, proj="webmercator", lon_col="lon", lat_col="lat",

@@ -408,3 +408,47 @@ def test_full_mproj_family_coverage():
     missing = [n for n in mproj_list
                if n not in PROJECTIONS and n not in special]
     assert missing == [], missing
+
+
+def test_geocent_known_values_and_roundtrip():
+    """geocent (the last pj_list name): axis points hit exact
+    ellipsoid constants; Bowring inverse round-trips to sub-mm."""
+    import numpy as np
+
+    from mapshaper_ray.stages.proj import geocent_fwd, geocent_inv
+
+    a, f = 6378137.0, 1.0 / 298.257223563
+    b = a * (1.0 - f)
+    x, y, z = geocent_fwd(np.array([0.0, 90.0, 0.0]),
+                          np.array([0.0, 0.0, 90.0]))
+    assert abs(x[0] - a) < 1e-6 and abs(y[0]) < 1e-6 and abs(z[0]) < 1e-6
+    assert abs(x[1]) < 1e-6 and abs(y[1] - a) < 1e-6
+    assert abs(z[2] - b) < 1e-6 and abs(x[2]) < 1e-3
+
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-89.9, 89.9, 500)
+    h = rng.uniform(-1000, 9000, 500)
+    x, y, z = geocent_fwd(lon, lat, h)
+    lon2, lat2, h2 = geocent_inv(x, y, z)
+    assert np.max(np.abs(lon2 - lon)) < 1e-9
+    assert np.max(np.abs(lat2 - lat)) < 1e-9
+    assert np.max(np.abs(h2 - h)) < 1e-3
+
+
+def test_geocent_points_stage(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from mapshaper_ray.stages.proj import geocent_fwd, geocent_points
+
+    df = pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64),
+                       "lon": np.linspace(-170, 170, 10),
+                       "lat": np.linspace(-80, 80, 10)})
+    out = geocent_points(rd.from_pandas(df).repartition(3)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ex, ey, ez = geocent_fwd(df["lon"].to_numpy(), df["lat"].to_numpy())
+    assert np.allclose(out["x"], ex, rtol=0, atol=1e-9)
+    assert np.allclose(out["y"], ey, rtol=0, atol=1e-9)
+    assert np.allclose(out["z"], ez, rtol=0, atol=1e-9)

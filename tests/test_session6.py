@@ -592,6 +592,89 @@ def test_boilerplate_same_line_hash_other_host_not_dropped():
         assert out.loc[10, "text_clean"] == "AD\nc0"
 
 
+# ------------------------- adversarial partition invariance (r5 #10)
+
+def test_trimmed_mean_partition_invariance():
+    from mapshaper_ray.ops.relational import group_trimmed_mean
+    rng = np.random.default_rng(21)
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n),
+        "v": np.round(rng.normal(50, 30, n), 2),
+        "i": np.arange(n, dtype=np.int64)})
+    # heavy ties to stress the deterministic id tiebreak
+    df.loc[: n // 3, "v"] = 42.0
+    outs = [group_trimmed_mean(ds, "k", "v", "i", trim_num=1,
+                               trim_den=5)
+            for ds in _layouts(df, 31)]
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+
+
+def test_group_linfit_partition_invariance():
+    from mapshaper_ray.ops.relational import group_linfit
+    rng = np.random.default_rng(22)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.choice(["x", "y", "z", "flat"], n),
+        "ts": pd.to_datetime(
+            rng.integers(0, 90 * 86400, n), unit="s"),
+        "v": np.round(rng.normal(10, 4, n), 2)})
+    # a genuinely zero-variance-x group must drop identically
+    df.loc[df["k"] == "flat", "ts"] = pd.Timestamp("2024-01-02")
+    outs = [group_linfit(ds, "k", "ts", "v")
+            for ds in _layouts(df, 32)]
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+    assert "flat" not in outs[0]["k"].tolist()
+
+
+def test_grouping_sets_partition_invariance():
+    from mapshaper_ray.ops.relational import grouping_sets_agg
+    rng = np.random.default_rng(23)
+    n = 400
+    df = pd.DataFrame({
+        "a": rng.choice(["p", "q"], n),
+        "b": rng.choice(["u", "v", "w"], n),
+        "m": rng.integers(0, 100, n).astype(np.int64)})
+    sets = [["a", "b"], ["a"], ["b"], []]
+    outs = [grouping_sets_agg(ds, ["a", "b"], sets,
+                              {"s": ("m", "sum"), "c": ("m", "count")})
+            for ds in _layouts(df, 33)]
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+
+
+def test_host_dup_rate_partition_invariance():
+    # the q163 shape: per-host (n_docs, n_distinct) over content md5
+    from mapshaper_ray.ops.dedup import content_md5
+    from mapshaper_ray.ops.relational import groupby_agg
+    rng = np.random.default_rng(24)
+    n = 300
+    df = pd.DataFrame({
+        "host": ("h" + pd.Series(rng.integers(0, 5, n)).astype(str)),
+        "text": ["dup text %d" % (i % 40) for i in range(n)]})
+
+    def run(ds):
+        def keyed(d):
+            return pd.DataFrame({
+                "host": d["host"].to_numpy(object),
+                "h": np.asarray(content_md5(d["text"]), object)})
+        kd = ds.map_batches(keyed, batch_format="pandas")
+        per_hash = groupby_agg(kd, ["host", "h"], {"c": ("h", "count")},
+                               final="distributed")
+        out = groupby_agg(per_hash, ["host"],
+                          {"n_distinct": ("h", "count"),
+                           "n_docs": ("c", "sum")},
+                          final="driver").to_pandas()
+        return out.sort_values("host").reset_index(drop=True) \
+            .astype({"n_docs": np.int64, "n_distinct": np.int64})
+
+    outs = [run(ds) for ds in _layouts(df, 34)]
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+
+
 # ------------------------------------------------------- phash dedup
 
 def test_phash_near_dup_pairs_brute_force_and_invariance():
