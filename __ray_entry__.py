@@ -3309,14 +3309,43 @@ def entry() -> Any:
     return flagship_counts("/root/testdata/sf0.001")
 
 
+#: Ordering contract: the driver's correctness artifact caps at the
+#: FIRST 50 queries() entries, so this list pins a representative
+#: cross-family window; it ROTATES each round so families the driver
+#: has never gated get driver rows (round 5: 26 carried anchors + 24
+#: first-time entries — sketch persistence, GROUPING SETS,
+#: containment join, OLS/anomaly, trimmed mean, phash radius,
+#: geocent, sliding window, resample, retention, ...).  Everything
+#: not listed follows in registration order; the committed
+#: full-registry evidence for ALL entries is
+#: CORRECTNESS_FULL_r{N}.json (scripts/validate_oracle.py --json).
+_DRIVER_WINDOW = [
+    # carried anchors (one per heavy family + the q1 canary)
+    "q1_lineitem_agg", "q2_each_filter", "q4_hash_join", "q5_topk",
+    "q7_calc_stats", "q10_spatial_join", "q19_simplify",
+    "q20_dissolve", "q31_dissolve2", "q33_clip_layer",
+    "q41_rasterize", "q57_s2_cells", "q58_cover_join",
+    "q12_exact_dedup", "q16_minhash_pairs",
+    "q68_exact_substring_dedup", "q14_ann_topk", "q63_kmeans",
+    "q62_pagerank", "q78_triangles", "q61_bm25", "q71_bpe_train",
+    "q67_pack_sequences", "q84_pretrain_pipeline", "q115_tpch_q3",
+    "q113_warc_ingest",
+    # first-time driver rows (round-5 rotation)
+    "q152_containment", "q153_grouping_sets", "q157_group_trend",
+    "q158_rate_anomaly", "q95_bloom_incremental",
+    "q161_ddsketch_incremental", "q162_trimmed_mean",
+    "q163_host_dup_rate", "q164_phash_near_dup", "q165_geocent",
+    "q109_sliding_window", "q59_host_stats", "q144_resample",
+    "q146_group_ddsketch", "q154_char_entropy", "q160_log_odds",
+    "q159_related_terms", "q156_phash_dedup",
+    "q85_soft_dedup_weights", "q86_latest_capture",
+    "q91_hll_distinct", "q93_heavy_hitters", "q122_retention",
+    "q136_multikey_join",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    # Ordering contract: the driver's correctness artifact caps at the
-    # FIRST 50 entries, so the leading 50 are a representative window
-    # across every operator family (relational, geometry/proj, dedup,
-    # ANN/embeddings, graph, text/LLM); the remainder follow in qNN
-    # order.  The committed full-registry evidence for ALL entries is
-    # CORRECTNESS_FULL_r{N}.json (scripts/validate_oracle.py --json).
-    return {
+    q = {
         "q1_lineitem_agg": _q1_lineitem_agg,
         "q2_each_filter": _q2_each_filter,
         "q3_broadcast_join": _q3_broadcast_join,
@@ -3483,6 +3512,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q146_group_ddsketch": _q146_group_ddsketch,
         "q147_rrf": _q147_rrf,
     }
+    window = set(_DRIVER_WINDOW)
+    missing = window - q.keys()
+    assert not missing, f"_DRIVER_WINDOW names unknown: {missing}"
+    assert len(_DRIVER_WINDOW) == 50
+    return {**{k: q[k] for k in _DRIVER_WINDOW},
+            **{k: v for k, v in q.items() if k not in window}}
 
 
 # shared fragment: per-doc k=5 token-window md5 shingle/fingerprint hashes
