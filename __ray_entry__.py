@@ -2678,6 +2678,127 @@ def _q165_geocent(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q166_theta_sketch(sf_dir: str):
+    """KMV/theta sketch set algebra — distinct-count UNION and
+    INTERSECTION estimates across two document subsets (the op HLL
+    cannot do): k smallest distinct md5 hashes per set, deterministic
+    by construction, so the SQL mirror is ORDER BY
+    md5_number_lower(text) LIMIT k plus the same integer estimator
+    (ops/sketch.kmv_build / kmv_set_stats)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.sketch import kmv_build, kmv_set_stats
+    k = 64
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def even(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["doc_id"] % 2 == 0][["text"]]
+
+    def div3(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["doc_id"] % 3 == 0][["text"]]
+
+    ska = kmv_build(docs.map_batches(even, batch_format="pandas"),
+                    "text", k)
+    skb = kmv_build(docs.map_batches(div3, batch_format="pandas"),
+                    "text", k)
+    st = kmv_set_stats(ska, skb, k)
+    return pd.DataFrame([st]).astype(
+        {c: np.int64 for c in st})[
+        ["k_used", "n_a_est", "n_b_est", "union_est", "m_inter",
+         "inter_est"]]
+
+
+def _q167_group_corr(sf_dir: str):
+    """Per-event-type Pearson correlation between hour-of-day and
+    value from one-pass integer sufficient statistics
+    (ops/relational.group_corr) — exact HUGEINT mirror with one
+    double division + sqrt at the end."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import group_corr
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        e = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "hour": ((e // 3_600_000_000) % 24).astype(np.float64),
+            "value": df["value"].to_numpy(np.float64)})
+
+    return group_corr(ev.map_batches(prep, batch_format="pandas"),
+                      "event_type", "hour", "value",
+                      x_qscale=1, y_qscale=100)
+
+
+def _q168_scd2(sf_dir: str):
+    """SCD-2 validity intervals from the event stream: per user in
+    (ts, value) order each observation is valid until the next one
+    (LEAD mirror), last closes at the 2100-01-01 sentinel
+    (ops/relational.scd2_intervals — one bucket shuffle, vectorized
+    in-partition shift)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import scd2_intervals
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    out = scd2_intervals(ev, "user_id", "ts", "value").to_pandas()
+    return out.sort_values(["user_id", "valid_from", "v_q"]) \
+        .reset_index(drop=True)
+
+
+def _q169_time_weighted(sf_dir: str):
+    """Per-user time-weighted value integral (LOCF between
+    observations): exact integer (n, span_us, wsum) per user — the
+    statistic plain AVG gets wrong on irregular sampling
+    (ops/relational.time_weighted_avg)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import time_weighted_avg
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    out = time_weighted_avg(ev, "user_id", "ts", "value").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q170_skew_join(sf_dir: str):
+    """Skew-resistant salted join: 60% of lineitem rows share ONE
+    join key (the hot-user shape that serializes a plain bucketed
+    join into a straggler partition); hash_join_salted detects hot
+    keys with the exact heavy-hitter reduce, salts their left rows
+    across 8 sub-partitions and replicates only the dimension side's
+    hot rows — result identical to the plain join (the SQL mirror)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import (groupby_agg,
+                                              hash_join_salted)
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice"])
+
+    def mk_left(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["l_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "skew_key": np.where(ok % 10 < 6, 0, ok % 25)
+            .astype(np.int64),
+            "price_q": np.floor(df["l_extendedprice"]
+                                .to_numpy(np.float64) * 100)
+            .astype(np.int64)})
+
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+
+    def mk_dim(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "skew_key": df["n_nationkey"].to_numpy(np.int64),
+            "n_name": df["n_name"].to_numpy(object)})
+
+    j = hash_join_salted(
+        li.map_batches(mk_left, batch_format="pandas"),
+        nation.map_batches(mk_dim, batch_format="pandas"),
+        on="skew_key", n_salt=8, hot_min_count=1000)
+    out = groupby_agg(j, ["n_name"],
+                      {"n_rows": ("price_q", "count"),
+                       "sum_price_q": ("price_q", "sum")}).to_pandas()
+    out = out.astype({"n_rows": np.int64, "sum_price_q": np.int64})
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -3411,6 +3532,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q163_host_dup_rate": _q163_host_dup_rate,
         "q164_phash_near_dup": _q164_phash_near_dup,
         "q165_geocent": _q165_geocent,
+        "q166_theta_sketch": _q166_theta_sketch,
+        "q167_group_corr": _q167_group_corr,
+        "q168_scd2": _q168_scd2,
+        "q169_time_weighted": _q169_time_weighted,
+        "q170_skew_join": _q170_skew_join,
         "q76_decontaminate": _q76_decontaminate,
         "q121_weighted_sample": _q121_weighted_sample,
         "q30_nearest_within": _q30_nearest_within,
@@ -6484,6 +6610,114 @@ def oracle_sql() -> dict[str, str]:
         WHERE bit_count(xor(a.lo, b2.lo))
               + bit_count(xor(a.hi, b2.hi)) <= 3
         ORDER BY id_a, id_b"""
+
+    out["q166_theta_sketch"] = """
+        -- KMV/theta mirror: k smallest distinct md5 hashes per set,
+        -- integer estimator (k-1)*2^64 // h_k (exact count below k),
+        -- union = k-min of merged sketches, intersection support
+        -- m = |kmin(A u B) ^ skA ^ skB|
+        WITH a AS (SELECT DISTINCT md5_number_lower(text) AS h
+                   FROM documents WHERE doc_id % 2 = 0),
+        b AS (SELECT DISTINCT md5_number_lower(text) AS h
+              FROM documents WHERE doc_id % 3 = 0),
+        ka AS (SELECT h FROM a ORDER BY h LIMIT 64),
+        kb AS (SELECT h FROM b ORDER BY h LIMIT 64),
+        ku AS (SELECT h FROM (SELECT h FROM ka UNION
+                              SELECT h FROM kb) ORDER BY h LIMIT 64),
+        est AS (SELECT
+          (SELECT count(*) FROM ka) AS ca,
+          (SELECT count(*) FROM kb) AS cb,
+          (SELECT count(*) FROM ku) AS cu,
+          (SELECT max(h) FROM ka) AS ha,
+          (SELECT max(h) FROM kb) AS hb,
+          (SELECT max(h) FROM ku) AS hu,
+          (SELECT count(*) FROM ku
+           WHERE h IN (SELECT h FROM ka)
+             AND h IN (SELECT h FROM kb)) AS m),
+        ests AS (SELECT
+          CAST(cu AS BIGINT) AS k_used,
+          CAST(CASE WHEN ca < 64 THEN ca ELSE
+            63 * CAST(18446744073709551616 AS HUGEINT)
+              // CAST(ha AS HUGEINT) END AS BIGINT) AS n_a_est,
+          CAST(CASE WHEN cb < 64 THEN cb ELSE
+            63 * CAST(18446744073709551616 AS HUGEINT)
+              // CAST(hb AS HUGEINT) END AS BIGINT) AS n_b_est,
+          CAST(CASE WHEN cu < 64 THEN cu ELSE
+            63 * CAST(18446744073709551616 AS HUGEINT)
+              // CAST(hu AS HUGEINT) END AS BIGINT) AS union_est,
+          CAST(m AS BIGINT) AS m_inter, cu, m
+          FROM est)
+        SELECT k_used, n_a_est, n_b_est, union_est, m_inter,
+               CAST(CASE WHEN cu > 0 THEN
+                 (m * CAST(union_est AS HUGEINT)) // cu
+                 ELSE 0 END AS BIGINT) AS inter_est
+        FROM ests"""
+
+    out["q167_group_corr"] = """
+        -- one-pass integer sufficient statistics; HUGEINT products,
+        -- one double division + sqrt at the end (IEEE-identical to
+        -- the engine's Python-int path)
+        WITH b AS (SELECT event_type,
+                          CAST((epoch_us(ts) // 3600000000) % 24
+                               AS BIGINT) AS x,
+                          CAST(floor(value * 100) AS BIGINT) AS y
+                   FROM events),
+        g AS (SELECT event_type,
+                     CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(x) AS HUGEINT) AS sx,
+                     CAST(sum(y) AS HUGEINT) AS sy,
+                     CAST(sum(x*y) AS HUGEINT) AS sxy,
+                     CAST(sum(x*x) AS HUGEINT) AS sxx,
+                     CAST(sum(y*y) AS HUGEINT) AS syy
+              FROM b GROUP BY event_type)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               round(CAST(n*sxy - sx*sy AS DOUBLE) /
+                     sqrt(CAST((n*sxx - sx*sx) * (n*syy - sy*sy)
+                               AS DOUBLE)), 9) AS r
+        FROM g
+        WHERE (n*sxx - sx*sx) != 0 AND (n*syy - sy*sy) != 0
+        ORDER BY event_type"""
+
+    out["q168_scd2"] = """
+        -- SCD-2 LEAD mirror with the 2100-01-01 close-out sentinel
+        WITH b AS (SELECT user_id, ts,
+                          CAST(floor(value * 100) AS BIGINT) AS v_q
+                   FROM events)
+        SELECT user_id, ts AS valid_from,
+               coalesce(LEAD(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, v_q),
+                        TIMESTAMP '2100-01-01') AS valid_to,
+               v_q
+        FROM b ORDER BY user_id, valid_from, v_q"""
+
+    out["q169_time_weighted"] = """
+        -- LOCF time-weighted integral per user: wsum = sum(v * dt)
+        -- over consecutive observation pairs (LEAD), span = last -
+        -- first; single-observation users report (1, 0, 0)
+        WITH b AS (SELECT user_id, epoch_us(ts) AS e,
+                          CAST(floor(value * 100) AS BIGINT) AS q
+                   FROM events),
+        o AS (SELECT user_id, e, q,
+                     LEAD(e) OVER (PARTITION BY user_id
+                                   ORDER BY e, q) AS ne
+              FROM b)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(max(e) - min(e) AS BIGINT) AS span_us,
+               CAST(coalesce(sum(q * (ne - e)), 0) AS BIGINT) AS wsum
+        FROM o GROUP BY user_id ORDER BY user_id"""
+
+    out["q170_skew_join"] = """
+        -- the salted join must equal the PLAIN join (salting is an
+        -- execution detail): 60% of lineitem on one hot key
+        WITH l AS (SELECT CASE WHEN l_orderkey % 10 < 6 THEN 0
+                               ELSE l_orderkey % 25 END AS k,
+                          CAST(floor(l_extendedprice * 100) AS BIGINT)
+                            AS pq
+                   FROM lineitem)
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(pq) AS BIGINT) AS sum_price_q
+        FROM l JOIN nation ON l.k = nation.n_nationkey
+        GROUP BY n_name ORDER BY n_name"""
 
     out["q157_group_trend"] = """
         WITH b AS (

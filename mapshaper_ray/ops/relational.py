@@ -28,6 +28,7 @@ Maps (SURVEY.md §2):
 
 from __future__ import annotations
 
+import math
 import re
 
 import numpy as np
@@ -2528,3 +2529,251 @@ def group_trimmed_mean(ds, key_col: str, val_col: str, id_col: str,
                              "sum_q": pd.Series([], dtype=np.int64)})
     out = out.astype({"n_kept": np.int64, "sum_q": np.int64})
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def group_corr(ds, key_col: str, x_col: str, y_col: str,
+               x_qscale: int = 1, y_qscale: int = 100):
+    """Per-group Pearson correlation from one-pass integer sufficient
+    statistics (the group_linfit shape, plus Syy): x and y quantize
+    via ``floor(v * qscale)`` int64, partials (n, Sx, Sy, Sxy, Sxx,
+    Syy) reduce distributively, and
+    ``r = (n Sxy - Sx Sy) / sqrt((n Sxx - Sx^2)(n Syy - Sy^2))``
+    forms the numerator/denominator in arbitrary-precision Python
+    ints (object-dtype numpy — they exceed int64 at corpus scale)
+    before ONE double division + round(9).  DuckDB HUGEINT + double
+    sqrt follows identical IEEE rounding, so the mirror is
+    value-exact.  Groups with zero variance in either column drop.
+    Returns (key, n, r)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.floor(df[x_col].to_numpy(np.float64)
+                     * x_qscale).astype(np.int64)
+        y = np.floor(df[y_col].to_numpy(np.float64)
+                     * y_qscale).astype(np.int64)
+        return pd.DataFrame({"k": df[key_col].to_numpy(),
+                             "n": np.ones(len(df), np.int64),
+                             "sx": x, "sy": y, "sxy": x * y,
+                             "sxx": x * x, "syy": y * y}) \
+            .groupby("k", as_index=False).sum()
+
+    cols = ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    st = groupby_agg(ds.map_batches(partial, batch_format="pandas"),
+                     ["k"], {c: (c, "sum") for c in cols},
+                     final="driver").to_pandas()
+    if not len(st):
+        return pd.DataFrame({key_col: [],
+                             "n": pd.Series([], dtype=np.int64),
+                             "r": pd.Series([], dtype=np.float64)})
+    o = {c: st[c].to_numpy(np.int64).astype(object) for c in cols}
+    num = o["n"] * o["sxy"] - o["sx"] * o["sy"]
+    dx = o["n"] * o["sxx"] - o["sx"] * o["sx"]
+    dy = o["n"] * o["syy"] - o["sy"] * o["sy"]
+    den2 = dx * dy
+    keep = ((dx != 0) & (dy != 0)).astype(bool)
+    r = np.fromiter(
+        (round(float(a) / math.sqrt(float(b)), 9)
+         for a, b in zip(num[keep], den2[keep])),
+        dtype=np.float64, count=int(keep.sum()))
+    out = pd.DataFrame({key_col: st["k"].to_numpy()[keep],
+                        "n": st["n"].to_numpy(np.int64)[keep],
+                        "r": r})
+    return out.sort_values(key_col).reset_index(drop=True)
+
+
+def scd2_intervals(ds, key_col: str, ts_col: str, val_col: str,
+                   qscale: int = 100, n_parts: int = 64,
+                   end_sentinel: str = "2100-01-01"):
+    """Slowly-changing-dimension (type 2) validity intervals from a
+    change-event stream: per key in event order, each observation is
+    valid from its own timestamp until the NEXT observation's (the
+    SQL ``LEAD(ts) OVER (PARTITION BY key ORDER BY ts, ...)``
+    mirror); the key's last observation closes at ``end_sentinel``
+    so the contract stays NULL-free.  Values quantize to
+    ``floor(v*qscale)`` int64.
+
+    Distributed shape: keys are independent — ONE key-hash bucket
+    shuffle co-locates each key, then a vectorized in-partition
+    lexsort + shift (no global sort, no driver state).  Returns
+    (key, valid_from, valid_to, v_q) for every event."""
+    end_us = np.datetime64(end_sentinel, "us")
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__q"] = np.floor(df[val_col].to_numpy(np.float64)
+                             * qscale).astype(np.int64)
+        key = pd.util.hash_array(df[key_col].to_numpy()) \
+            .astype(np.uint64)
+        df["__part"] = (key % np.uint64(n_parts)).astype(np.int64)
+        return df[[key_col, ts_col, "__q", "__part"]]
+
+    def intervals(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, "__q"],
+                            kind="mergesort").reset_index(drop=True)
+        k = df[key_col].to_numpy()
+        ts = df[ts_col].to_numpy("datetime64[us]")
+        nxt = np.empty_like(ts)
+        nxt[:-1] = ts[1:]
+        nxt[-1:] = end_us
+        # key boundary: last row of each key closes at the sentinel
+        if len(k) > 1:
+            last = np.concatenate([k[:-1] != k[1:], [True]])
+        else:
+            last = np.ones(len(k), bool)
+        nxt[last] = end_us
+        return pd.DataFrame({key_col: k,
+                             "valid_from": ts,
+                             "valid_to": nxt,
+                             "v_q": df["__q"].to_numpy(np.int64)})
+
+    return ds.map_batches(stamp, batch_format="pandas") \
+        .groupby("__part").map_groups(intervals, batch_format="pandas")
+
+
+def time_weighted_avg(ds, key_col: str, ts_col: str, val_col: str,
+                      qscale: int = 100, n_parts: int = 64):
+    """Per-key time-weighted value integral — the metric a plain AVG
+    gets wrong on irregularly-sampled observations: each value holds
+    (LOCF) until the key's next observation, so the exact statistic
+    is ``wsum = sum(v_q * dt_us)`` over consecutive pairs plus
+    ``span_us = last - first``; the caller divides once.  Both output
+    columns are integers, value-exact vs a SQL LEAD mirror (the
+    per-key wsum accumulates as Python ints via an object-dtype
+    groupby — v_q * dt_us products overflow int64 at corpus scale).
+
+    Distributed shape: one key-hash bucket shuffle + vectorized
+    in-partition scan (the scd2_intervals pattern).  Keys with a
+    single observation report (n=1, span=0, wsum=0).  Returns
+    (key, n, span_us, wsum) with wsum as int64 (asserts it fits —
+    per-key spans are bounded in practice; widen qscale down if
+    not)."""
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__q"] = np.floor(df[val_col].to_numpy(np.float64)
+                             * qscale).astype(np.int64)
+        key = pd.util.hash_array(df[key_col].to_numpy()) \
+            .astype(np.uint64)
+        df["__part"] = (key % np.uint64(n_parts)).astype(np.int64)
+        return df[[key_col, ts_col, "__q", "__part"]]
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, "__q"],
+                            kind="mergesort").reset_index(drop=True)
+        k = df[key_col].to_numpy()
+        ts = df[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        q = df["__q"].to_numpy(np.int64)
+        if not len(k):
+            return pd.DataFrame({key_col: [],
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "span_us": pd.Series([],
+                                                      dtype=np.int64),
+                                 "wsum": pd.Series([],
+                                                   dtype=np.int64)})
+        nxt_same = np.concatenate([k[1:] == k[:-1], [False]])
+        dt = np.zeros(len(k), dtype=object)
+        dt[nxt_same] = (np.concatenate([ts[1:], [0]])[nxt_same]
+                        - ts[nxt_same])
+        w = q.astype(object) * dt  # Python-int products, no overflow
+        g = pd.DataFrame({key_col: k, "n": np.ones(len(k), np.int64),
+                          "__ts": ts, "w": w}) \
+            .groupby(key_col, as_index=False) \
+            .agg(n=("n", "sum"), first=("__ts", "min"),
+                 last=("__ts", "max"), wsum=("w", "sum"))
+        wl = [int(v) for v in g["wsum"]]
+        assert all(abs(v) < (1 << 63) for v in wl), \
+            "time_weighted_avg: wsum exceeds int64 — lower qscale"
+        return pd.DataFrame({key_col: g[key_col].to_numpy(),
+                             "n": g["n"].to_numpy(np.int64),
+                             "span_us": (g["last"] - g["first"])
+                             .to_numpy(np.int64),
+                             "wsum": np.array(wl, dtype=np.int64)})
+
+    return ds.map_batches(stamp, batch_format="pandas") \
+        .groupby("__part").map_groups(scan, batch_format="pandas")
+
+
+def hash_join_salted(left_ds, right_ds, on, num_buckets: int = 32,
+                     n_salt: int = 16, hot_k: int = 64,
+                     hot_min_count: int = 100_000, how: str = "inner"):
+    """Skew-resistant fact-to-dimension hash join: a handful of hot
+    keys (the 60%-of-events-on-one-user shape) would serialize a
+    plain bucketed join into one straggler partition.  Detection
+    uses the EXACT heavy-hitter reduce (ops.sketch.heavy_hitters —
+    local top-m candidates, no vocabulary shuffle); every left row
+    of a hot key then gets a deterministic salt
+    ``md5(key:ordinal) % n_salt`` while the RIGHT side replicates
+    only its hot-key rows n_salt times, and the join runs on
+    (key, salt) — hot keys fan across n_salt partitions, cold keys
+    pay nothing, and the result set is identical to the unsalted
+    join (SQL mirror: the plain JOIN).
+
+    ``right_ds`` must be the small/dimension side (its hot rows
+    replicate |hot| * n_salt times — bounded by hot_k).  Keys with
+    left count < ``hot_min_count`` are never salted.
+
+    Detection is ONE pass of per-block top-``hot_k`` value counts
+    (driver sums the bounded candidates) — deliberately approximate,
+    unlike ops.sketch.heavy_hitters' exact 3-pass reduce: a key hot
+    enough to matter tops many blocks, and a borderline key that
+    slips through simply stays unsalted (correctness never depends
+    on detection).  The exact reduce cost more than the straggler it
+    was removing."""
+    import ray
+
+    on_cols = [on] if isinstance(on, str) else list(on)
+    if len(on_cols) != 1:
+        raise ValueError("hash_join_salted: single join key only")
+    key = on_cols[0]
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[key].value_counts().head(hot_k)
+        return pd.DataFrame({key: vc.index.to_numpy(),
+                             "c": vc.to_numpy().astype(np.int64)})
+
+    cand = left_ds.map_batches(local_top, batch_format="pandas") \
+        .to_pandas()
+    if len(cand):
+        freq = cand.groupby(key)["c"].sum()
+        hot = set(freq[freq >= hot_min_count].index.tolist())
+    else:
+        hot = set()
+    if not hot:
+        return hash_join_bucketed(left_ds, right_ds, on=key, how=how,
+                                  num_buckets=num_buckets)
+    hot_ref = ray.put(hot)
+
+    def salt_left(df: pd.DataFrame) -> pd.DataFrame:
+        hs = ray.get(hot_ref)
+        df = df.copy()
+        # pd.Series.isin = hash-based C membership (a per-row Python
+        # `in set` loop here cost more than the straggler it saves)
+        is_hot = df[key].isin(hs).to_numpy()
+        salt = np.zeros(len(df), np.int64)
+        if is_hot.any():
+            # round-robin salt over the batch's hot rows: any even
+            # spread works — the salt only routes partitioning, the
+            # join result is identical for every assignment
+            salt[is_hot] = np.arange(int(is_hot.sum()),
+                                     dtype=np.int64) % n_salt
+        df["__salt"] = salt
+        return df
+
+    def replicate_right(df: pd.DataFrame) -> pd.DataFrame:
+        hs = ray.get(hot_ref)
+        is_hot = df[key].isin(hs).to_numpy()
+        reps = np.where(is_hot, n_salt, 1)
+        idx = np.repeat(np.arange(len(df)), reps)
+        out = df.iloc[idx].reset_index(drop=True)
+        salt = np.concatenate(
+            [np.arange(r, dtype=np.int64) for r in reps]) \
+            if len(df) else np.empty(0, np.int64)
+        out["__salt"] = salt
+        return out
+
+    joined = hash_join_bucketed(
+        left_ds.map_batches(salt_left, batch_format="pandas"),
+        right_ds.map_batches(replicate_right, batch_format="pandas"),
+        on=[key, "__salt"], how=how, num_buckets=num_buckets)
+
+    def drop_salt(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns=["__salt"])
+
+    return joined.map_batches(drop_salt, batch_format="pandas")

@@ -903,3 +903,95 @@ def ddsketch_update(sketch: pd.DataFrame, ds, col: str,
                         merged["sign"].to_numpy()))
     return merged.iloc[order].reset_index(drop=True) \
         .astype({"sign": np.int64, "bucket": np.int64, "n": np.int64})
+
+
+# --------------------------------------------------------------------------
+# KMV / theta sketch: mergeable distinct counting WITH set algebra
+# (union / intersection / Jaccard) — the operation HLL can't do.
+# Deterministic by construction (k minimum md5_number_lower values,
+# no RNG), so a SQL ORDER BY hash LIMIT k mirror is value-exact.
+# Public algorithm: Bar-Yossef et al. 2002 (KMV); Dasgupta et al.
+# 2016 (theta sketch set operations).
+# --------------------------------------------------------------------------
+
+class _KmvPartial:
+    """One blob row per batch: the batch's k smallest DISTINCT
+    md5_lo64 hashes as little-endian uint64 bytes (binary blob like
+    the HLL registers — exchanges never see wide ints)."""
+
+    def __init__(self, col: str, k: int):
+        self.col, self.k = col, k
+        self.schema = pa.schema([("kmin", pa.binary())])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = batch.column(self.col).to_pandas()
+        vals = vals[vals.notna()]
+        h = np.unique(md5_lo64([str(v) for v in vals])) \
+            if len(vals) else np.empty(0, np.uint64)
+        return pa.Table.from_arrays(
+            [pa.array([h[:self.k].tobytes()])], schema=self.schema)
+
+
+def _kmv_merge_rows(batch: pa.Table, k: int) -> pa.Table:
+    if batch.num_rows == 0:
+        return batch
+    blobs = batch.column("kmin").to_pylist()
+    merged = np.unique(np.concatenate(
+        [np.frombuffer(b, dtype=np.uint64) for b in blobs]))[:k]
+    return pa.Table.from_arrays(
+        [pa.array([merged.tobytes()])],
+        schema=pa.schema([("kmin", pa.binary())]))
+
+
+def kmv_build(ds, col: str, k: int = 256) -> np.ndarray:
+    """Distributed KMV sketch of ``col``: the k smallest distinct
+    md5_lo64 hashes, sorted ascending (length < k means the column
+    had fewer distinct values — the estimate is then EXACT).
+
+    Scale shape: the corpus never shuffles — one <=8k-byte blob per
+    block, tree-merged through repartition(8) so the driver sees at
+    most 8 rows (the hll_distinct contract)."""
+    partials = ds.map_batches(_KmvPartial(col, k),
+                              batch_format="pyarrow")
+    reduced = partials.repartition(8).map_batches(
+        lambda b: _kmv_merge_rows(b, k), batch_format="pyarrow",
+        batch_size=None)
+    rows = reduced.take_all()
+    if not rows:
+        return np.empty(0, np.uint64)
+    return np.unique(np.concatenate(
+        [np.frombuffer(r["kmin"], dtype=np.uint64) for r in rows]))[:k]
+
+
+def kmv_estimate(sk: np.ndarray, k: int) -> int:
+    """Distinct estimate from a KMV sketch — pure integer arithmetic
+    (the SQL mirror is ``(k-1) * 2^64 // h_k`` in HUGEINT): exact
+    |set| when fewer than k distinct hashes exist, else the k-th
+    minimum value estimator."""
+    if len(sk) < k:
+        return int(len(sk))
+    hk = int(sk[k - 1])
+    return ((k - 1) << 64) // hk
+
+
+def kmv_union(a: np.ndarray, b: np.ndarray, k: int) -> np.ndarray:
+    """Union sketch = k smallest of the merged hash sets (KMV is
+    exactly union-mergeable)."""
+    return np.unique(np.concatenate([a, b]))[:k]
+
+
+def kmv_set_stats(a: np.ndarray, b: np.ndarray, k: int) -> dict:
+    """Set-algebra estimates from two KMV sketches, every value an
+    integer a SQL mirror reproduces: n_a/n_b/union estimates, the
+    intersection support m = |kmin_k(A∪B) ∩ skA ∩ skB|, and
+    inter_est = m * union_est // k' (k' = |union sketch|)."""
+    u = kmv_union(a, b, k)
+    union_est = kmv_estimate(u, k)
+    m = int(np.intersect1d(np.intersect1d(u, a), b).size)
+    kp = len(u)
+    return {"k_used": int(kp),
+            "n_a_est": kmv_estimate(a, k),
+            "n_b_est": kmv_estimate(b, k),
+            "union_est": union_est,
+            "m_inter": m,
+            "inter_est": (m * union_est) // kp if kp else 0}

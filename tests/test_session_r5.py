@@ -1,0 +1,201 @@
+"""Round-5 operator batch: KMV/theta sketch, per-group Pearson corr,
+SCD-2 intervals, time-weighted average, salted skew join — brute-force
+equivalence + adversarial partition invariance for each."""
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+def _layouts(df, seed=7):
+    rng = np.random.default_rng(seed)
+    yield rd.from_pandas(df)
+    yield rd.from_pandas(df).repartition(13)
+    perm = rng.permutation(len(df))
+    yield rd.from_pandas(df.iloc[perm].reset_index(drop=True)) \
+        .repartition(29)
+
+
+# ------------------------------------------------------------- KMV
+
+def test_kmv_exact_below_k(ray_session):
+    from mapshaper_ray.ops.sketch import kmv_build, kmv_estimate
+    df = pd.DataFrame({"v": [f"x{i % 40}" for i in range(500)]})
+    for ds in _layouts(df):
+        sk = kmv_build(ds, "v", k=256)
+        assert kmv_estimate(sk, 256) == 40  # < k distinct -> exact
+
+
+def test_kmv_estimator_and_partition_invariance(ray_session):
+    from mapshaper_ray.ops.sketch import kmv_build, kmv_estimate
+    df = pd.DataFrame({"v": [f"item-{i}" for i in range(5000)]})
+    sks = [kmv_build(ds, "v", k=128) for ds in _layouts(df, 9)]
+    for sk in sks[1:]:
+        assert np.array_equal(sks[0], sk)  # sketch itself invariant
+    est = kmv_estimate(sks[0], 128)
+    assert 3500 < est < 6500  # ~1/sqrt(k) relative error
+
+
+def test_kmv_set_stats_matches_exact_on_overlapping_sets(ray_session):
+    from mapshaper_ray.ops.sketch import kmv_build, kmv_set_stats
+    a = pd.DataFrame({"v": [f"d{i}" for i in range(0, 3000, 2)]})
+    b = pd.DataFrame({"v": [f"d{i}" for i in range(0, 3000, 3)]})
+    k = 128
+    ska = kmv_build(rd.from_pandas(a).repartition(5), "v", k)
+    skb = kmv_build(rd.from_pandas(b).repartition(7), "v", k)
+    st = kmv_set_stats(ska, skb, k)
+    # truth: |A|=1500, |B|=1000, |A u B|=2000, |A ^ B|=500
+    assert abs(st["n_a_est"] - 1500) / 1500 < 0.25
+    assert abs(st["n_b_est"] - 1000) / 1000 < 0.25
+    assert abs(st["union_est"] - 2000) / 2000 < 0.25
+    assert abs(st["inter_est"] - 500) / 500 < 0.45
+    # union merge == sketch built over the concatenation
+    sku = kmv_build(rd.from_pandas(pd.concat([a, b])), "v", k)
+    from mapshaper_ray.ops.sketch import kmv_union
+    assert np.array_equal(kmv_union(ska, skb, k), sku)
+
+
+# ------------------------------------------------------ group_corr
+
+def test_group_corr_brute_force_and_invariance(ray_session):
+    from mapshaper_ray.ops.relational import group_corr
+    rng = np.random.default_rng(4)
+    n = 800
+    k = rng.choice(["a", "b", "c"], n)
+    x = rng.integers(0, 24, n).astype(np.float64)
+    y = np.round(x * 2.5 + rng.normal(0, 5, n), 2)
+    df = pd.DataFrame({"k": k, "x": x, "y": y})
+    outs = [group_corr(ds, "k", "x", "y", x_qscale=1, y_qscale=100)
+            for ds in _layouts(df, 11)]
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+    # brute force on quantized values
+    for key, g in df.groupby("k"):
+        xi = np.floor(g["x"]).astype(np.int64)
+        yi = np.floor(g["y"] * 100).astype(np.int64)
+        r = np.corrcoef(xi, yi)[0, 1]
+        got = outs[0].set_index("k").loc[key, "r"]
+        assert abs(got - r) < 1e-6
+        assert got > 0.9  # strongly correlated by construction
+
+
+def test_group_corr_zero_variance_group_dropped(ray_session):
+    from mapshaper_ray.ops.relational import group_corr
+    df = pd.DataFrame({"k": ["c0"] * 5 + ["ok"] * 5,
+                       "x": [3.0] * 5 + [1, 2, 3, 4, 5],
+                       "y": [1, 2, 3, 4, 5] * 2})
+    out = group_corr(rd.from_pandas(df), "k", "x", "y")
+    assert out["k"].tolist() == ["ok"]
+
+
+# ------------------------------------------------ scd2 / tw average
+
+def _events(n=600, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "user_id": rng.integers(0, 12, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 10 ** 6, n), unit="s"),
+        "value": np.round(rng.uniform(0, 50, n), 2)})
+
+
+def test_scd2_intervals_brute_force_and_invariance(ray_session):
+    from mapshaper_ray.ops.relational import scd2_intervals
+    df = _events()
+    outs = []
+    for ds in _layouts(df, 13):
+        o = scd2_intervals(ds, "user_id", "ts", "value").to_pandas() \
+            .sort_values(["user_id", "valid_from", "v_q"]) \
+            .reset_index(drop=True)
+        outs.append(o)
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+    exp = df.copy()
+    exp["v_q"] = np.floor(exp["value"] * 100).astype(np.int64)
+    exp = exp.sort_values(["user_id", "ts", "v_q"]) \
+        .reset_index(drop=True)
+    nxt = exp.groupby("user_id")["ts"].shift(-1)
+    exp["valid_to"] = nxt.fillna(pd.Timestamp("2100-01-01"))
+    exp = exp.rename(columns={"ts": "valid_from"})[
+        ["user_id", "valid_from", "valid_to", "v_q"]]
+    got = outs[0].astype({"valid_from": "datetime64[ns]",
+                          "valid_to": "datetime64[ns]"})
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_time_weighted_avg_brute_force(ray_session):
+    from mapshaper_ray.ops.relational import time_weighted_avg
+    df = _events(400, 8)
+    outs = []
+    for ds in _layouts(df, 14):
+        o = time_weighted_avg(ds, "user_id", "ts", "value") \
+            .to_pandas().sort_values("user_id") \
+            .reset_index(drop=True)
+        outs.append(o)
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+    q = np.floor(df["value"] * 100).astype(np.int64)
+    e = df["ts"].astype("datetime64[us]").astype(np.int64)
+    b = pd.DataFrame({"u": df["user_id"], "e": e, "q": q}) \
+        .sort_values(["u", "e", "q"]).reset_index(drop=True)
+    for u, g in b.groupby("u"):
+        dt = np.diff(g["e"].to_numpy())
+        wsum = int((g["q"].to_numpy()[:-1] * dt).sum()) if len(g) > 1 \
+            else 0
+        row = outs[0].set_index("user_id").loc[u]
+        assert row["n"] == len(g)
+        assert row["span_us"] == int(g["e"].max() - g["e"].min())
+        assert row["wsum"] == wsum
+
+
+def test_time_weighted_single_observation_user(ray_session):
+    from mapshaper_ray.ops.relational import time_weighted_avg
+    df = pd.DataFrame({"user_id": [7], "ts": [pd.Timestamp("2024-01-01")],
+                       "value": [3.5]})
+    out = time_weighted_avg(rd.from_pandas(df), "user_id", "ts",
+                            "value").to_pandas()
+    assert out.iloc[0].tolist() == [7, 1, 0, 0]
+
+
+# ------------------------------------------------------ salted join
+
+def test_salted_join_equals_plain_join(ray_session):
+    from mapshaper_ray.ops.relational import (hash_join_bucketed,
+                                              hash_join_salted)
+    rng = np.random.default_rng(17)
+    n = 20000
+    k = np.where(rng.integers(0, 10, n) < 6, 0,
+                 rng.integers(1, 25, n)).astype(np.int64)
+    left = pd.DataFrame({"key": k,
+                         "v": rng.integers(0, 100, n).astype(np.int64)})
+    right = pd.DataFrame({"key": np.arange(25, dtype=np.int64),
+                          "label": [f"L{i}" for i in range(25)]})
+
+    def agg(ds):
+        return ds.to_pandas().groupby("label", as_index=False) \
+            .agg(n=("v", "size"), s=("v", "sum")) \
+            .sort_values("label").reset_index(drop=True) \
+            .astype({"n": np.int64, "s": np.int64})
+
+    plain = agg(hash_join_bucketed(rd.from_pandas(left),
+                                   rd.from_pandas(right), on="key"))
+    for hot_min in (100, 10 ** 9):  # salted path, then forced-cold
+        salted = agg(hash_join_salted(
+            rd.from_pandas(left).repartition(9),
+            rd.from_pandas(right), on="key",
+            n_salt=8, hot_min_count=hot_min))
+        pd.testing.assert_frame_equal(salted, plain)
+
+
+def test_salted_join_spreads_hot_key(ray_session):
+    # the hot key's left rows must actually land in >1 salt value
+    from mapshaper_ray.ops.relational import hash_join_salted
+    import ray
+    n = 5000
+    left = pd.DataFrame({"key": np.zeros(n, np.int64),
+                         "v": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"key": [0], "label": ["hot"]})
+    out = hash_join_salted(rd.from_pandas(left).repartition(4),
+                           rd.from_pandas(right), on="key",
+                           n_salt=8, hot_min_count=100).to_pandas()
+    assert len(out) == n
+    assert set(out["label"]) == {"hot"}
