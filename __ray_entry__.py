@@ -2799,6 +2799,109 @@ def _q170_skew_join(sf_dir: str):
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+def _q171_connected_components(sf_dir: str):
+    """Weakly connected components over a sparse doc-derived graph —
+    the large/small-star contraction CC (ops/dedup.cluster_pairs,
+    Kiveris et al.) exposed as a first-class query: (node,
+    cluster_id = component min id), validated against a WITH
+    RECURSIVE min-label transitive closure in SQL."""
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import cluster_pairs
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def mk(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].to_numpy(np.int64)
+        a = i % 997
+        b = (a + 1 + (i * 3) % 996) % 997  # b != a by construction
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    cc = cluster_pairs(docs.map_batches(mk, batch_format="pandas"))
+    out = cc.to_pandas() if hasattr(cc, "to_pandas") else cc
+    out = out.rename(columns={"node": "node"}) \
+        .astype({"node": np.int64, "cluster_id": np.int64})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _q172_interval_join(sf_dir: str):
+    """Interval-to-interval overlap join (both sides are intervals —
+    the join range_join can't express): short per-event activity
+    windows against sparse 2-hour campaign windows, grid-cell
+    distributed with the report-in-the-overlap-start-cell dedup rule
+    (ops/relational.interval_overlap_join); SQL mirror is the plain
+    inequality join."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import interval_overlap_join
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "value"]) \
+        .materialize()
+
+    def mk_a(df: pd.DataFrame) -> pd.DataFrame:
+        e = df["ts"].to_numpy("datetime64[us]")
+        dur = ((1 + np.floor(df["value"].to_numpy(np.float64)) % 10)
+               * 60_000_000).astype("timedelta64[us]")
+        return pd.DataFrame({"a_id": df["event_id"]
+                             .to_numpy(np.int64),
+                             "t_start": e, "t_end": e + dur})
+
+    def mk_b(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_id"].to_numpy(np.int64) % 100 == 0
+        e = df["ts"].to_numpy("datetime64[us]")[m]
+        return pd.DataFrame({
+            "b_id": df["event_id"].to_numpy(np.int64)[m],
+            "t_start": e,
+            "t_end": e + np.timedelta64(2 * 3600 * 1_000_000, "us")})
+
+    out = interval_overlap_join(
+        ev.map_batches(mk_a, batch_format="pandas"),
+        ev.map_batches(mk_b, batch_format="pandas"),
+        left_cols=("a_id",), right_cols=("b_id",),
+        cell_us=2 * 3600 * 1_000_000).to_pandas()
+    out = out.astype({"a_id": np.int64, "b_id": np.int64,
+                      "overlap_us": np.int64})
+    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+def _q173_profile(sf_dir: str):
+    """One-pass column profiler over lineitem (rows / nulls / exact
+    distinct per column) — per-column count partials + a (col,
+    value-hash) distinct reduce; raw values never shuffle
+    (ops/relational.profile_columns)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import profile_columns
+    cols = ["l_orderkey", "l_partkey", "l_returnflag",
+            "l_linestatus"]
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    return profile_columns(li, cols)
+
+
+def _q174_cdc_apply(sf_dir: str):
+    """CDC changelog apply: events become an ordered upsert/delete
+    stream over 200 entities ('error' = delete, else upsert of the
+    quantized value); the final state keeps each key's LAST operation
+    in (ts, value) order, deletes drop the key
+    (ops/relational.cdc_apply — one bucket shuffle, take-last scan,
+    row_number DESC SQL mirror)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import cdc_apply
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+
+    def mk(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "entity": (df["user_id"].to_numpy(np.int64) % 200),
+            "ts": df["ts"].to_numpy("datetime64[us]"),
+            "op": np.where(df["event_type"].to_numpy() == "error",
+                           "D", "U").astype(object),
+            "value": df["value"].to_numpy(np.float64)})
+
+    out = cdc_apply(ev.map_batches(mk, batch_format="pandas"),
+                    "entity", "ts", "op", "value").to_pandas()
+    out = out.astype({"entity": np.int64, "v_q": np.int64})
+    return out.sort_values("entity").reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -3537,6 +3640,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q168_scd2": _q168_scd2,
         "q169_time_weighted": _q169_time_weighted,
         "q170_skew_join": _q170_skew_join,
+        "q171_connected_components": _q171_connected_components,
+        "q172_interval_join": _q172_interval_join,
+        "q173_profile": _q173_profile,
+        "q174_cdc_apply": _q174_cdc_apply,
         "q76_decontaminate": _q76_decontaminate,
         "q121_weighted_sample": _q121_weighted_sample,
         "q30_nearest_within": _q30_nearest_within,
@@ -6718,6 +6825,84 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(pq) AS BIGINT) AS sum_price_q
         FROM l JOIN nation ON l.k = nation.n_nationkey
         GROUP BY n_name ORDER BY n_name"""
+
+    out["q171_connected_components"] = """
+        -- min-label transitive closure (recursive CTE) over the same
+        -- doc-derived undirected edges
+        WITH RECURSIVE base AS (
+          SELECT DISTINCT doc_id % 997 AS a,
+                 ((doc_id % 997) + 1 + (doc_id * 3) % 996) % 997 AS b
+          FROM documents),
+        und AS (SELECT a AS u, b AS v FROM base
+                UNION SELECT b, a FROM base),
+        reach(u, l) AS (
+          SELECT u, u FROM (SELECT u FROM und
+                            UNION SELECT v FROM und)
+          UNION
+          SELECT und.v, reach.l FROM reach
+          JOIN und ON und.u = reach.u)
+        SELECT CAST(u AS BIGINT) AS node,
+               CAST(min(l) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY u ORDER BY node"""
+
+    out["q172_interval_join"] = """
+        -- plain inequality overlap join (inclusive bounds); the
+        -- engine's grid-cell emit + start-cell dedup must match it
+        WITH a AS (SELECT event_id AS a_id, epoch_us(ts) AS lo,
+                          epoch_us(ts) + CAST(
+                            (1 + CAST(floor(value) AS BIGINT) % 10)
+                            * 60000000 AS BIGINT) AS hi
+                   FROM events),
+        b AS (SELECT event_id AS b_id, epoch_us(ts) AS lo,
+                     epoch_us(ts) + 7200000000 AS hi
+              FROM events WHERE event_id % 100 = 0)
+        SELECT a.a_id, b.b_id,
+               CAST(least(a.hi, b.hi) - greatest(a.lo, b.lo)
+                    AS BIGINT) AS overlap_us
+        FROM a JOIN b ON a.lo <= b.hi AND b.lo <= a.hi
+        ORDER BY a_id, b_id"""
+
+    out["q173_profile"] = """
+        -- per-column rows/nulls/exact distinct, unioned in column
+        -- order (the engine hashes values with md5_number_lower of
+        -- the string form; distinct-by-hash == distinct-by-value
+        -- absent a 52-bit collision)
+        SELECT 'l_orderkey' AS "column",
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                 AS n_distinct
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(l_partkey) AS BIGINT),
+               CAST(count(DISTINCT l_partkey) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(l_returnflag) AS BIGINT),
+               CAST(count(DISTINCT l_returnflag) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(l_linestatus) AS BIGINT),
+               CAST(count(DISTINCT l_linestatus) AS BIGINT)
+        FROM lineitem"""
+
+    out["q174_cdc_apply"] = """
+        -- last operation per entity wins; deletes drop the key
+        WITH c AS (SELECT user_id % 200 AS entity, ts,
+                          CASE WHEN event_type = 'error' THEN 'D'
+                               ELSE 'U' END AS op,
+                          CAST(floor(value * 100) AS BIGINT) AS v_q
+                   FROM events),
+        r AS (SELECT entity, op, v_q,
+                     row_number() OVER (PARTITION BY entity
+                       ORDER BY ts DESC, v_q DESC, op DESC) AS rn
+              FROM c)
+        SELECT CAST(entity AS BIGINT) AS entity, v_q
+        FROM r WHERE rn = 1 AND op != 'D'
+        ORDER BY entity"""
 
     out["q157_group_trend"] = """
         WITH b AS (

@@ -839,6 +839,26 @@ def cluster_pairs(pairs, id_a="id_a", id_b="id_b", n_parts=64,
         return _cc_local(pairs[id_a].to_numpy().astype(np.int64),
                          pairs[id_b].to_numpy().astype(np.int64))
 
+    # count-gated local path (the standard broadcast/bucketed pair):
+    # star contraction pays ~8 Ray stages PER ROUND, which dwarfs a
+    # driver union-find until the edge list is genuinely large; both
+    # paths produce identical labels (pytest-equal)
+    import os
+    cap = int(os.environ.get("MAPSHAPER_RAY_CC_LOCAL_CAP",
+                             "2000000"))
+    pairs = pairs.materialize()
+    if pairs.count() <= cap:
+        import ray.data as rd
+        pdf = pairs.to_pandas()
+        if len(pdf) == 0:
+            local = pd.DataFrame(
+                {"node": pd.Series([], dtype="int64"),
+                 "cluster_id": pd.Series([], dtype="int64")})
+        else:
+            local = _cc_local(pdf[id_a].to_numpy().astype(np.int64),
+                              pdf[id_b].to_numpy().astype(np.int64))
+        return rd.from_pandas(local)  # Dataset in -> Dataset out
+
     def canon(df: pd.DataFrame) -> pd.DataFrame:
         a = df[id_a].to_numpy().astype(np.int64)
         b = df[id_b].to_numpy().astype(np.int64)

@@ -2777,3 +2777,179 @@ def hash_join_salted(left_ds, right_ds, on, num_buckets: int = 32,
         return df.drop(columns=["__salt"])
 
     return joined.map_batches(drop_salt, batch_format="pandas")
+
+
+def interval_overlap_join(left_ds, right_ds,
+                          lo="t_start", hi="t_end",
+                          left_cols=(), right_cols=(),
+                          cell_us: int = 3_600_000_000,
+                          n_parts: int = 64):
+    """Interval-to-interval OVERLAP join (``a.lo <= b.hi AND b.lo <=
+    a.hi``, inclusive) — the join range_join can't express (both
+    sides are intervals).  Ray Data has no native version; the
+    distributed shape is the standard grid trick: each interval
+    emits one row per ``cell_us`` time cell it spans, cells bucket-
+    shuffle, and a per-cell vectorized merge finds overlapping pairs
+    — with each pair REPORTED ONLY in the cell containing
+    ``max(lo_a, lo_b)`` (the cell where the overlap starts), so no
+    dedup pass is needed.  Pick ``cell_us`` near the typical
+    interval length: emitted copies per interval =
+    ceil(len/cell)+1.  Returns left_cols + right_cols +
+    ``overlap_us = min(hi)-max(lo)``.
+
+    The two tagged sides meet in one Dataset.union, whose NaN
+    padding degrades the other side's int columns to float64 in
+    mixed blocks — safe here because epoch-us timestamps (~2^51)
+    sit under the 2^53 float64-exact bound; columns wider than 52
+    bits must not ride through left_cols/right_cols (the q132
+    lesson)."""
+    left_cols = list(left_cols)
+    right_cols = list(right_cols)
+
+    def stamp(side_cols, tag):
+        def _s(df: pd.DataFrame) -> pd.DataFrame:
+            lo_v = df[lo].to_numpy("datetime64[us]").astype(np.int64)
+            hi_v = df[hi].to_numpy("datetime64[us]").astype(np.int64)
+            c0 = lo_v // cell_us
+            c1 = hi_v // cell_us
+            reps = (c1 - c0 + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(df)), reps)
+            cell = np.concatenate(
+                [np.arange(a, b + 1) for a, b in zip(c0, c1)]) \
+                if len(df) else np.empty(0, np.int64)
+            out = {f"__{tag}_lo": lo_v[idx], f"__{tag}_hi": hi_v[idx],
+                   "__cell": cell,
+                   "__part": (cell % n_parts).astype(np.int64),
+                   "__side": np.full(len(idx), tag, dtype=object)}
+            for c in side_cols:
+                out[c] = df[c].to_numpy()[idx]
+            return pd.DataFrame(out)
+        return _s
+
+    tagged = left_ds.map_batches(stamp(left_cols, "l"),
+                                 batch_format="pandas") \
+        .union(right_ds.map_batches(stamp(right_cols, "r"),
+                                    batch_format="pandas"))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == "l"]
+        r = df[df["__side"] == "r"]
+        empty = {c: pd.Series([], dtype=object)
+                 for c in left_cols + right_cols}
+        empty["overlap_us"] = pd.Series([], dtype=np.int64)
+        if not len(l) or not len(r):
+            return pd.DataFrame(empty)
+        m = l[["__cell", "__l_lo", "__l_hi"] + left_cols].merge(
+            r[["__cell", "__r_lo", "__r_hi"] + right_cols],
+            on="__cell")
+        if not len(m):
+            return pd.DataFrame(empty)
+        alo = m["__l_lo"].to_numpy(np.int64)
+        ahi = m["__l_hi"].to_numpy(np.int64)
+        blo = m["__r_lo"].to_numpy(np.int64)
+        bhi = m["__r_hi"].to_numpy(np.int64)
+        start = np.maximum(alo, blo)
+        keep = (alo <= bhi) & (blo <= ahi) & \
+            (start // cell_us == m["__cell"].to_numpy(np.int64))
+        m = m[keep]
+        out = m[left_cols + right_cols].reset_index(drop=True)
+        out["overlap_us"] = (np.minimum(ahi, bhi)
+                             - start)[keep].astype(np.int64)
+        return out
+
+    return tagged.groupby("__part").map_groups(pairs,
+                                               batch_format="pandas")
+
+
+def profile_columns(ds, cols: list[str]):
+    """One-pass column profiler — the data-engineering sanity report
+    (rows, nulls, exact distinct) per column: a single map over the
+    corpus emits per-column (n, n_null) count partials PLUS distinct
+    value-hash rows (md5 of the string form, the md5_number_lower
+    convention); a (col, hash) distinct reduce then counts per
+    column, so no column ever shuffles raw values.  Returns
+    (column, n, n_null, n_distinct) in cols order."""
+    from ..stages.text import md5_lo64
+
+    def partial(df: pd.DataFrame):
+        counts = []
+        hash_rows = []
+        for c in cols:
+            s = df[c]
+            nn = int(s.isna().sum())
+            counts.append((c, len(s), nn))
+            vals = s[s.notna()]
+            h = np.unique(md5_lo64([str(v) for v in vals])) \
+                if len(vals) else np.empty(0, np.uint64)
+            hash_rows.append(pd.DataFrame({
+                "c": np.full(len(h), c, dtype=object),
+                "h": (h & np.uint64((1 << 52) - 1)).astype(np.int64),
+                "kind": np.full(len(h), "h", dtype=object),
+                "n": np.zeros(len(h), np.int64),
+                "nn": np.zeros(len(h), np.int64)}))
+        cnt = pd.DataFrame(counts, columns=["c", "n", "nn"])
+        cnt["h"] = np.int64(0)
+        cnt["kind"] = "c"
+        return pd.concat(hash_rows + [cnt[["c", "h", "kind", "n",
+                                           "nn"]]],
+                         ignore_index=True)
+
+    rows = ds.map_batches(partial, batch_format="pandas")
+    per_hash = groupby_agg(rows, ["c", "kind", "h"],
+                           {"n": ("n", "sum"), "nn": ("nn", "sum")},
+                           final="distributed")
+    agg = groupby_agg(per_hash, ["c", "kind"],
+                      {"cnt": ("h", "count"), "n": ("n", "sum"),
+                       "nn": ("nn", "sum")},
+                      final="driver").to_pandas()
+    out = []
+    for c in cols:
+        g = agg[agg["c"] == c].set_index("kind")
+        nd = int(g.loc["h", "cnt"]) if "h" in g.index else 0
+        n = int(g.loc["c", "n"]) if "c" in g.index else 0
+        nn = int(g.loc["c", "nn"]) if "c" in g.index else 0
+        out.append((c, n, nn, nd))
+    return pd.DataFrame(out, columns=["column", "n", "n_null",
+                                      "n_distinct"]) \
+        .astype({"n": np.int64, "n_null": np.int64,
+                 "n_distinct": np.int64})
+
+
+def cdc_apply(ds, key_col: str, ts_col: str, op_col: str,
+              val_col: str, delete_op: str = "D",
+              qscale: int = 100, n_parts: int = 64):
+    """Apply a CDC changelog (ordered upsert/delete events) to
+    produce the final table state: per key, the LAST operation in
+    (ts, v_q) order wins — an upsert leaves (key, v_q), a delete
+    removes the key (the SQL ``row_number() DESC = 1`` + filter
+    mirror).  One key-hash bucket shuffle + in-partition lexsort
+    take-last; no global sort.  Returns (key, v_q) sorted by key."""
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__q"] = np.floor(df[val_col].to_numpy(np.float64)
+                             * qscale).astype(np.int64)
+        key = pd.util.hash_array(df[key_col].to_numpy()) \
+            .astype(np.uint64)
+        df["__part"] = (key % np.uint64(n_parts)).astype(np.int64)
+        return df[[key_col, ts_col, op_col, "__q", "__part"]]
+
+    def last_state(df: pd.DataFrame) -> pd.DataFrame:
+        # op_col in the tiebreak: a delete and an upsert sharing
+        # (ts, v_q) must resolve identically to the SQL ORDER BY
+        df = df.sort_values([key_col, ts_col, "__q", op_col],
+                            kind="mergesort").reset_index(drop=True)
+        k = df[key_col].to_numpy()
+        if not len(k):
+            return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                                 "v_q": pd.Series([],
+                                                  dtype=np.int64)})
+        last = np.concatenate([k[1:] != k[:-1], [True]])
+        sel = df[last]
+        keep = sel[op_col].to_numpy() != delete_op
+        return pd.DataFrame({key_col: sel[key_col].to_numpy()[keep],
+                             "v_q": sel["__q"]
+                             .to_numpy(np.int64)[keep]})
+
+    return ds.map_batches(stamp, batch_format="pandas") \
+        .groupby("__part").map_groups(last_state,
+                                      batch_format="pandas")

@@ -199,3 +199,114 @@ def test_salted_join_spreads_hot_key(ray_session):
                            n_salt=8, hot_min_count=100).to_pandas()
     assert len(out) == n
     assert set(out["label"]) == {"hot"}
+
+
+# --------------------------------------------- connected components
+
+def test_cluster_pairs_local_gate_equals_distributed(ray_session):
+    # the count-gated driver union-find and the star-contraction path
+    # must label identically (forced via the env cap)
+    import os
+
+    from mapshaper_ray.ops.dedup import cluster_pairs
+    rng = np.random.default_rng(19)
+    a = rng.integers(0, 300, 400).astype(np.int64)
+    b = rng.integers(0, 300, 400).astype(np.int64)
+    keep = a != b
+    df = pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+    local = cluster_pairs(rd.from_pandas(df).repartition(7)) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    os.environ["MAPSHAPER_RAY_CC_LOCAL_CAP"] = "0"
+    try:
+        dist = cluster_pairs(rd.from_pandas(df).repartition(7)) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+    finally:
+        del os.environ["MAPSHAPER_RAY_CC_LOCAL_CAP"]
+    pd.testing.assert_frame_equal(
+        local.astype({"node": np.int64, "cluster_id": np.int64}),
+        dist.astype({"node": np.int64, "cluster_id": np.int64}))
+
+
+# ------------------------------------------------ interval overlap
+
+def test_interval_overlap_join_brute_force(ray_session):
+    from mapshaper_ray.ops.relational import interval_overlap_join
+    rng = np.random.default_rng(23)
+    na, nb = 300, 40
+    a_lo = rng.integers(0, 10 ** 6, na)
+    a_len = rng.integers(0, 5000, na)
+    b_lo = rng.integers(0, 10 ** 6, nb)
+    b_len = rng.integers(0, 200_000, nb)
+    A = pd.DataFrame({"a_id": np.arange(na, dtype=np.int64),
+                      "t_start": a_lo.astype("datetime64[us]"),
+                      "t_end": (a_lo + a_len).astype("datetime64[us]")})
+    B = pd.DataFrame({"b_id": np.arange(nb, dtype=np.int64),
+                      "t_start": b_lo.astype("datetime64[us]"),
+                      "t_end": (b_lo + b_len).astype("datetime64[us]")})
+    exp_rows = []
+    for i in range(na):
+        for j in range(nb):
+            lo = max(a_lo[i], b_lo[j])
+            hi = min(a_lo[i] + a_len[i], b_lo[j] + b_len[j])
+            if lo <= hi:
+                exp_rows.append((i, j, hi - lo))
+    exp = pd.DataFrame(exp_rows, columns=["a_id", "b_id",
+                                          "overlap_us"]) \
+        .astype(np.int64).sort_values(["a_id", "b_id"]) \
+        .reset_index(drop=True)
+    for cell in (1000, 50_000, 10 ** 7):  # tiny, medium, one-cell
+        got = interval_overlap_join(
+            rd.from_pandas(A).repartition(5),
+            rd.from_pandas(B).repartition(3),
+            left_cols=("a_id",), right_cols=("b_id",),
+            cell_us=cell).to_pandas() \
+            .astype({"a_id": np.int64, "b_id": np.int64,
+                     "overlap_us": np.int64}) \
+            .sort_values(["a_id", "b_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+
+
+# -------------------------------------------------------- profiler
+
+def test_profile_columns_brute_force(ray_session):
+    from mapshaper_ray.ops.relational import profile_columns
+    df = pd.DataFrame({
+        "i": [1, 2, 2, 3, None, None],
+        "s": ["a", "b", "a", None, "c", "a"]})
+    for ds in _layouts(df, 29):
+        out = profile_columns(ds, ["i", "s"])
+        assert out["column"].tolist() == ["i", "s"]
+        assert out["n"].tolist() == [6, 6]
+        assert out["n_null"].tolist() == [2, 1]
+        assert out["n_distinct"].tolist() == [3, 3]
+
+
+# ------------------------------------------------------------- cdc
+
+def test_cdc_apply_brute_force_and_invariance(ray_session):
+    from mapshaper_ray.ops.relational import cdc_apply
+    rng = np.random.default_rng(31)
+    n = 500
+    df = pd.DataFrame({
+        "entity": rng.integers(0, 20, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 10 ** 5, n), unit="s"),
+        "op": np.where(rng.integers(0, 4, n) == 0, "D", "U")
+        .astype(object),
+        "value": np.round(rng.uniform(0, 100, n), 2)})
+    outs = []
+    for ds in _layouts(df, 37):
+        o = cdc_apply(ds, "entity", "ts", "op", "value").to_pandas() \
+            .astype({"entity": np.int64, "v_q": np.int64}) \
+            .sort_values("entity").reset_index(drop=True)
+        outs.append(o)
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+    b = df.copy()
+    b["v_q"] = np.floor(b["value"] * 100).astype(np.int64)
+    b = b.sort_values(["entity", "ts", "v_q", "op"],
+                      kind="mergesort")
+    last = b.groupby("entity").tail(1)
+    exp = last[last["op"] != "D"][["entity", "v_q"]] \
+        .sort_values("entity").reset_index(drop=True) \
+        .astype({"entity": np.int64, "v_q": np.int64})
+    pd.testing.assert_frame_equal(outs[0], exp)
