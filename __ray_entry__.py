@@ -2902,6 +2902,33 @@ def _q174_cdc_apply(sf_dir: str):
     return out.sort_values("entity").reset_index(drop=True)
 
 
+def _q175_hexbin(sf_dir: str):
+    """Hex-bin density of the geocoded pages — H3-style pointy-top
+    axial hexes (cells.lonlat_to_hex, cube-rounded with a
+    floor(v+0.5) rule both engines share), the equal-neighborhood
+    aggregation quadkeys can't express; grouped count + char sum per
+    hex."""
+    from mapshaper_ray.cells import lonlat_to_hex
+    from mapshaper_ray.ops.relational import groupby_agg
+    ds = _geo_points(sf_dir).select_columns(
+        ["doc_id", "lon", "lat", "n_chars"])
+
+    def hexes(df: pd.DataFrame) -> pd.DataFrame:
+        hq, hr = lonlat_to_hex(df["lon"].to_numpy(np.float64),
+                               df["lat"].to_numpy(np.float64), 5.0)
+        return pd.DataFrame({"hq": hq, "hr": hr,
+                             "nc": df["n_chars"]
+                             .to_numpy(np.int64)})
+
+    out = groupby_agg(ds.map_batches(hexes, batch_format="pandas"),
+                      ["hq", "hr"], {"n_pages": ("nc", "count"),
+                                     "sum_chars": ("nc", "sum")}) \
+        .to_pandas()
+    out = out.astype({"hq": np.int64, "hr": np.int64,
+                      "n_pages": np.int64, "sum_chars": np.int64})
+    return out.sort_values(["hq", "hr"]).reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -3562,8 +3589,8 @@ _DRIVER_WINDOW = [
     "q109_sliding_window", "q59_host_stats", "q144_resample",
     "q146_group_ddsketch", "q154_char_entropy", "q160_log_odds",
     "q159_related_terms", "q156_phash_dedup",
-    "q85_soft_dedup_weights", "q86_latest_capture",
-    "q91_hll_distinct", "q93_heavy_hitters", "q122_retention",
+    "q85_soft_dedup_weights", "q166_theta_sketch",
+    "q170_skew_join", "q93_heavy_hitters", "q122_retention",
     "q136_multikey_join",
 ]
 
@@ -3644,6 +3671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q172_interval_join": _q172_interval_join,
         "q173_profile": _q173_profile,
         "q174_cdc_apply": _q174_cdc_apply,
+        "q175_hexbin": _q175_hexbin,
         "q76_decontaminate": _q76_decontaminate,
         "q121_weighted_sample": _q121_weighted_sample,
         "q30_nearest_within": _q30_nearest_within,
@@ -6903,6 +6931,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(entity AS BIGINT) AS entity, v_q
         FROM r WHERE rn = 1 AND op != 'D'
         ORDER BY entity"""
+
+    out["q175_hexbin"] = f"""
+        -- axial hex assignment with the shared floor(v+0.5) cube
+        -- round (fix the coordinate that moved farthest; x > z
+        -- priority as in cells.lonlat_to_hex)
+        WITH {_GEO_CTE},
+        f AS (SELECT doc_id, n_chars,
+                     (1.7320508075688772 / 3 * lon - lat / 3) / 5.0
+                       AS xf,
+                     (2 * lat / 3) / 5.0 AS zf
+              FROM geo),
+        g AS (SELECT doc_id, n_chars, xf, zf, -xf - zf AS yf,
+                     floor(xf + 0.5) AS rx, floor(-xf - zf + 0.5)
+                       AS ry, floor(zf + 0.5) AS rz
+              FROM f),
+        d AS (SELECT doc_id, n_chars, rx, ry, rz,
+                     abs(rx - xf) AS dx, abs(ry - yf) AS dy,
+                     abs(rz - zf) AS dz
+              FROM g),
+        h AS (SELECT doc_id, n_chars,
+                     CASE WHEN dx > dy AND dx > dz THEN -ry - rz
+                          ELSE rx END AS hq,
+                     CASE WHEN NOT (dx > dy AND dx > dz)
+                               AND dz > dy THEN -rx - ry
+                          ELSE rz END AS hr
+              FROM d)
+        SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM h GROUP BY 1, 2 ORDER BY hq, hr"""
 
     out["q157_group_trend"] = """
         WITH b AS (

@@ -96,3 +96,62 @@ def cover_bbox(xmin, ymin, xmax, ymax, level: int):
     y1 = int(np.clip((90.0 - ymin) / 180.0 * n, 0, n - 1))
     xs, ys = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1))
     return cellxy_to_quadkey(xs.ravel(), ys.ravel(), level)
+
+
+# --------------------------------------------------------------------------
+# Hexagonal cells (H3-style stand-in, public axial/cube-round math —
+# Patel's hex-grid formulation): pointy-top hexes over the same
+# equirectangular mapping the quadkeys use.  Hex bins are the density
+# aggregation quadkeys can't express (equal-area-ish neighborhoods,
+# 3-neighbor symmetry); assignment is stateless vectorized arithmetic
+# so it runs in plain map_batches and a SQL mirror can reproduce the
+# exact same cells.
+# --------------------------------------------------------------------------
+
+_SQRT3 = 1.7320508075688772
+
+
+def _round_half_up(v: np.ndarray) -> np.ndarray:
+    """floor(v + 0.5) — used instead of banker's rounding so a SQL
+    floor(v + 0.5) mirror rounds identically on every input."""
+    return np.floor(v + 0.5)
+
+
+def lonlat_to_hex(lon, lat, size_deg: float):
+    """Axial (q, r) hex cell of each point: pointy-top hexes of
+    circumradius ``size_deg`` degrees on the equirectangular plane.
+    Cube-rounding resolves the fractional axial coords to the nearest
+    hex center exactly (the classic restore-x+y+z=0 fixup)."""
+    x = np.asarray(lon, dtype=np.float64)
+    y = np.asarray(lat, dtype=np.float64)
+    # division forms (y / 3, not y * (1/3)): the SQL mirror writes
+    # lat/3, and the two differ in the last ulp for some inputs
+    qf = (_SQRT3 / 3.0 * x - y / 3.0) / size_deg
+    rf = (2.0 * y / 3.0) / size_deg
+    xf = qf
+    zf = rf
+    yf = -xf - zf
+    rx = _round_half_up(xf)
+    ry = _round_half_up(yf)
+    rz = _round_half_up(zf)
+    dx = np.abs(rx - xf)
+    dy = np.abs(ry - yf)
+    dz = np.abs(rz - zf)
+    # restore x + y + z = 0 by re-deriving the coordinate that moved
+    # farthest (ties broken in x > y > z priority order, mirrored by
+    # the SQL CASE chain)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & (dz > dy)
+    rx = np.where(fix_x, -ry - rz, rx)
+    rz = np.where(fix_z, -rx - ry, rz)
+    return rx.astype(np.int64), rz.astype(np.int64)
+
+
+def hex_center(hq, hr, size_deg: float):
+    """Inverse of lonlat_to_hex at cell centers: (lon, lat) of each
+    axial (q, r) hex center."""
+    hq = np.asarray(hq, dtype=np.float64)
+    hr = np.asarray(hr, dtype=np.float64)
+    lat = 1.5 * size_deg * hr
+    lon = _SQRT3 * size_deg * (hq + hr / 2.0)
+    return lon, lat

@@ -310,3 +310,37 @@ def test_cdc_apply_brute_force_and_invariance(ray_session):
         .sort_values("entity").reset_index(drop=True) \
         .astype({"entity": np.int64, "v_q": np.int64})
     pd.testing.assert_frame_equal(outs[0], exp)
+
+
+# ------------------------------------------------------- hex cells
+
+def test_hex_cells_containment_and_roundtrip():
+    from mapshaper_ray.cells import hex_center, lonlat_to_hex
+    rng = np.random.default_rng(41)
+    lon = rng.uniform(-179, 179, 50000)
+    lat = rng.uniform(-85, 85, 50000)
+    for size in (0.5, 2.0, 5.0):
+        q, r = lonlat_to_hex(lon, lat, size)
+        cl, ct = hex_center(q, r, size)
+        # every point within one circumradius of its assigned center
+        assert (np.hypot(lon - cl, lat - ct) / size).max() < 1.0001
+        # centers land in their own cell
+        q2, r2 = lonlat_to_hex(cl, ct, size)
+        assert np.array_equal(q, q2) and np.array_equal(r, r2)
+
+
+def test_hex_assignment_is_nearest_center():
+    # cube rounding == nearest hex center (up to boundary ties)
+    from mapshaper_ray.cells import hex_center, lonlat_to_hex
+    rng = np.random.default_rng(43)
+    lon = rng.uniform(-30, 30, 2000)
+    lat = rng.uniform(-30, 30, 2000)
+    q, r = lonlat_to_hex(lon, lat, 3.0)
+    cl, ct = hex_center(q, r, 3.0)
+    d_own = np.hypot(lon - cl, lat - ct)
+    # compare against the 6 neighbors
+    for dq, dr in [(1, 0), (-1, 0), (0, 1), (0, -1), (1, -1),
+                   (-1, 1)]:
+        nl, nt = hex_center(q + dq, r + dr, 3.0)
+        d_n = np.hypot(lon - nl, lat - nt)
+        assert (d_own <= d_n + 1e-9).all()
