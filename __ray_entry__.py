@@ -2929,6 +2929,30 @@ def _q175_hexbin(sf_dir: str):
     return out.sort_values(["hq", "hr"]).reset_index(drop=True)
 
 
+def _q176_compaction_plan(sf_dir: str):
+    """Small-file compaction plan over a synthetic file manifest
+    (one 'file' per document, size = n_chars): deterministic linear
+    packing in (size DESC, name) order, bin = running_total // target
+    (ops/relational.compaction_plan; SQL window-cumsum mirror)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import compaction_plan
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+
+    def mk(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "file": np.char.add("part-", i.astype(str))
+            .astype(object),
+            "size": df["n_chars"].to_numpy(np.int64)})
+
+    out = compaction_plan(docs.map_batches(mk,
+                                           batch_format="pandas"),
+                          "file", "size", target_bytes=50_000)
+    return out.astype({"size": np.int64, "bin": np.int64}) \
+        .reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -3672,6 +3696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q173_profile": _q173_profile,
         "q174_cdc_apply": _q174_cdc_apply,
         "q175_hexbin": _q175_hexbin,
+        "q176_compaction_plan": _q176_compaction_plan,
         "q76_decontaminate": _q76_decontaminate,
         "q121_weighted_sample": _q121_weighted_sample,
         "q30_nearest_within": _q30_nearest_within,
@@ -6961,6 +6986,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_pages,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM h GROUP BY 1, 2 ORDER BY hq, hr"""
+
+    out["q176_compaction_plan"] = """
+        -- linear packing mirror: window cumsum in (size DESC, name)
+        WITH m AS (SELECT 'part-' || CAST(doc_id AS VARCHAR) AS file,
+                          CAST(n_chars AS BIGINT) AS size
+                   FROM documents),
+        o AS (SELECT file, size,
+                     sum(size) OVER (ORDER BY size DESC, file
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum
+              FROM m)
+        SELECT file, size,
+               CAST((cum - size) // 50000 AS BIGINT) AS bin
+        FROM o ORDER BY size DESC, file"""
 
     out["q157_group_trend"] = """
         WITH b AS (

@@ -2953,3 +2953,28 @@ def cdc_apply(ds, key_col: str, ts_col: str, op_col: str,
     return ds.map_batches(stamp, batch_format="pandas") \
         .groupby("__part").map_groups(last_state,
                                       batch_format="pandas")
+
+
+def compaction_plan(ds, file_col: str, size_col: str,
+                    target_bytes: int):
+    """Small-file compaction planner — the lakehouse maintenance op:
+    given a file manifest (name, size), group files into compaction
+    bins of ~``target_bytes`` by linear packing in (size DESC, name)
+    order: ``bin = (running_total - size) // target``.  Deterministic
+    and SQL-mirrorable (ORDER BY + window cumsum), unlike first-fit
+    heuristics.  The manifest is metadata (bounded: one row per FILE,
+    not per data row), so the plan reduces on the driver after a
+    distributed (size, name) sort of partials; the DATA never moves
+    here — executing the plan is a separate partitioned rewrite.
+    Returns (file, size, bin) in packing order."""
+    parts = ds.map_batches(
+        lambda df: df[[file_col, size_col]], batch_format="pandas") \
+        .to_pandas()
+    parts = parts.sort_values([size_col, file_col],
+                              ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+    sz = parts[size_col].to_numpy(np.int64)
+    cum = np.cumsum(sz)
+    parts["bin"] = ((cum - sz) // target_bytes).astype(np.int64)
+    return parts.rename(columns={file_col: "file",
+                                 size_col: "size"})

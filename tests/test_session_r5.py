@@ -344,3 +344,27 @@ def test_hex_assignment_is_nearest_center():
         nl, nt = hex_center(q + dq, r + dr, 3.0)
         d_n = np.hypot(lon - nl, lat - nt)
         assert (d_own <= d_n + 1e-9).all()
+
+
+# ------------------------------------------------- compaction plan
+
+def test_compaction_plan_bins_bounded_and_invariant(ray_session):
+    from mapshaper_ray.ops.relational import compaction_plan
+    rng = np.random.default_rng(47)
+    df = pd.DataFrame({
+        "f": [f"part-{i:04d}" for i in range(300)],
+        "sz": rng.integers(1, 40_000, 300).astype(np.int64)})
+    outs = [compaction_plan(ds, "f", "sz", target_bytes=100_000)
+            for ds in _layouts(df, 49)]
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+    out = outs[0]
+    # every bin except possibly the last holds >= target once closed:
+    # linear packing guarantees bin totals in [target - max_size + 1,
+    # target + max_size)
+    tot = out.groupby("bin")["size"].sum()
+    mx = int(out["size"].max())
+    assert (tot.iloc[:-1] >= 100_000 - mx).all()
+    assert (tot < 100_000 + mx).all()
+    # all files planned exactly once
+    assert sorted(out["file"]) == sorted(df["f"])
