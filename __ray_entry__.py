@@ -2953,6 +2953,38 @@ def _q176_compaction_plan(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q177_grouped_window(sf_dir: str):
+    """Per-user 5-row rolling value sum — the PARTITION BY form of
+    the global sliding window (no halo needed: keys independent, one
+    bucket shuffle, cumsum-difference with key-boundary clamp;
+    ops/relational.grouped_rolling_sum)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import grouped_rolling_sum
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "value"])
+    out = grouped_rolling_sum(ev, "user_id", ["ts", "event_id"],
+                              "value", window=5).to_pandas()
+    out = out[["event_id", "user_id", "wsum_q"]] \
+        .astype({"event_id": np.int64, "user_id": np.int64,
+                 "wsum_q": np.int64})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _q178_event_gaps(sf_dir: str):
+    """Per-user inter-event gap in microseconds (-1 for each user's
+    first event) — the LAG-delta primitive under sessionization and
+    rate limiting (ops/relational.event_gaps)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import event_gaps
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    out = event_gaps(ev, "user_id", "ts", "event_id").to_pandas()
+    out = out.astype({"event_id": np.int64, "user_id": np.int64,
+                      "gap_us": np.int64})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -3697,6 +3729,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q174_cdc_apply": _q174_cdc_apply,
         "q175_hexbin": _q175_hexbin,
         "q176_compaction_plan": _q176_compaction_plan,
+        "q177_grouped_window": _q177_grouped_window,
+        "q178_event_gaps": _q178_event_gaps,
         "q76_decontaminate": _q76_decontaminate,
         "q121_weighted_sample": _q121_weighted_sample,
         "q30_nearest_within": _q30_nearest_within,
@@ -7000,6 +7034,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT file, size,
                CAST((cum - size) // 50000 AS BIGINT) AS bin
         FROM o ORDER BY size DESC, file"""
+
+    out["q177_grouped_window"] = """
+        WITH b AS (SELECT event_id, user_id, ts,
+                          CAST(floor(value * 100) AS BIGINT) AS v
+                   FROM events)
+        SELECT event_id, user_id,
+               CAST(SUM(v) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN 4 PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS wsum_q
+        FROM b ORDER BY event_id"""
+
+    out["q178_event_gaps"] = """
+        SELECT event_id, user_id,
+               CAST(coalesce(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id), -1)
+                 AS BIGINT) AS gap_us
+        FROM events ORDER BY event_id"""
 
     out["q157_group_trend"] = """
         WITH b AS (

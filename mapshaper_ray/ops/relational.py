@@ -2978,3 +2978,82 @@ def compaction_plan(ds, file_col: str, size_col: str,
     parts["bin"] = ((cum - sz) // target_bytes).astype(np.int64)
     return parts.rename(columns={file_col: "file",
                                  size_col: "size"})
+
+
+def grouped_rolling_sum(ds, key_col: str, order_cols, val_col: str,
+                        window: int, qscale: int = 100,
+                        n_parts: int = 64):
+    """Per-key ROWS-window rolling sum — ``SUM(v) OVER (PARTITION BY
+    key ORDER BY order ROWS window-1 PRECEDING)``: keys are
+    independent so, unlike the global sliding_window_sum (halo
+    exchange), ONE key-hash bucket shuffle co-locates each key and a
+    vectorized cumsum-difference with key-boundary clamping computes
+    every window in-partition (the grouped_cumsum shape).  Values
+    quantize to ``floor(v*qscale)`` int64.  Returns all rows +
+    ``wsum_q``."""
+    order_cols = [order_cols] if isinstance(order_cols, str) \
+        else list(order_cols)
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__q"] = np.floor(df[val_col].to_numpy(np.float64)
+                             * qscale).astype(np.int64)
+        key = pd.util.hash_array(df[key_col].to_numpy()) \
+            .astype(np.uint64)
+        df["__part"] = (key % np.uint64(n_parts)).astype(np.int64)
+        return df.drop(columns=[val_col])
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col] + order_cols + ["__q"],
+                            kind="mergesort").reset_index(drop=True)
+        q = df["__q"].to_numpy(np.int64)
+        k = df[key_col].to_numpy()
+        cum = np.concatenate([[0], np.cumsum(q)])
+        starts = np.concatenate(
+            [[0], np.nonzero(k[1:] != k[:-1])[0] + 1]) \
+            if len(k) else np.empty(0, np.int64)
+        grp = np.zeros(len(q), np.int64)
+        if len(k):
+            grp[starts] = 1
+        gid = np.cumsum(grp) - 1
+        first = starts[gid] if len(k) else np.empty(0, np.int64)
+        i = np.arange(len(q))
+        lo = np.maximum(i + 1 - window, first)
+        df["wsum_q"] = cum[i + 1] - cum[lo]
+        return df.drop(columns=["__part", "__q"]) \
+            .assign(wsum_q=df["wsum_q"].to_numpy(np.int64))
+
+    return ds.map_batches(stamp, batch_format="pandas") \
+        .groupby("__part").map_groups(scan, batch_format="pandas")
+
+
+def event_gaps(ds, key_col: str, ts_col: str, id_col: str,
+               n_parts: int = 64):
+    """Per-key inter-event gap (LAG delta): each event's microseconds
+    since the key's previous event, -1 for the first (NULL-free
+    contract, the locf sentinel convention).  One bucket shuffle +
+    vectorized in-partition diff; SQL mirror is
+    ``epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY key ORDER
+    BY ts, id)``.  Returns (id, key, gap_us)."""
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        key = pd.util.hash_array(df[key_col].to_numpy()) \
+            .astype(np.uint64)
+        df["__part"] = (key % np.uint64(n_parts)).astype(np.int64)
+        return df[[key_col, ts_col, id_col, "__part"]]
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col, id_col],
+                            kind="mergesort").reset_index(drop=True)
+        k = df[key_col].to_numpy()
+        e = df[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        gap = np.empty(len(k), np.int64)
+        if len(k):
+            gap[0] = -1
+            gap[1:] = np.where(k[1:] == k[:-1], e[1:] - e[:-1], -1)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             key_col: k,
+                             "gap_us": gap})
+
+    return ds.map_batches(stamp, batch_format="pandas") \
+        .groupby("__part").map_groups(scan, batch_format="pandas")

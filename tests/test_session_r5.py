@@ -368,3 +368,48 @@ def test_compaction_plan_bins_bounded_and_invariant(ray_session):
     assert (tot < 100_000 + mx).all()
     # all files planned exactly once
     assert sorted(out["file"]) == sorted(df["f"])
+
+
+# -------------------------------------- grouped window / event gaps
+
+def test_grouped_rolling_sum_brute_force_and_invariance(ray_session):
+    from mapshaper_ray.ops.relational import grouped_rolling_sum
+    df = _events(500, 51)
+    df["eid"] = np.arange(len(df), dtype=np.int64)
+    outs = []
+    for ds in _layouts(df, 53):
+        o = grouped_rolling_sum(ds, "user_id", ["ts", "eid"],
+                                "value", window=4).to_pandas() \
+            .sort_values("eid").reset_index(drop=True)[
+            ["eid", "wsum_q"]]
+        outs.append(o)
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+    b = df.copy()
+    b["q"] = np.floor(b["value"] * 100).astype(np.int64)
+    b = b.sort_values(["user_id", "ts", "eid"], kind="mergesort")
+    b["exp"] = b.groupby("user_id")["q"] \
+        .transform(lambda s: s.rolling(4, min_periods=1).sum()) \
+        .astype(np.int64)
+    exp = b.sort_values("eid")[["eid", "exp"]] \
+        .rename(columns={"exp": "wsum_q"}).reset_index(drop=True)
+    pd.testing.assert_frame_equal(outs[0], exp)
+
+
+def test_event_gaps_brute_force(ray_session):
+    from mapshaper_ray.ops.relational import event_gaps
+    df = _events(400, 57)
+    df["eid"] = np.arange(len(df), dtype=np.int64)
+    got = event_gaps(rd.from_pandas(df).repartition(11),
+                     "user_id", "ts", "eid").to_pandas() \
+        .sort_values("eid").reset_index(drop=True)
+    b = df.sort_values(["user_id", "ts", "eid"], kind="mergesort") \
+        .reset_index(drop=True)
+    d = b.groupby("user_id")["ts"].diff()
+    gap = (d / pd.Timedelta(microseconds=1)).fillna(-1) \
+        .astype(np.int64)
+    exp = pd.DataFrame({"eid": b["eid"].to_numpy(),
+                        "gap_us": gap.to_numpy()}) \
+        .sort_values("eid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["eid", "gap_us"]].astype({"gap_us": np.int64}), exp)
