@@ -101,12 +101,26 @@ from .ops.split import (merge_layers,  # -merge-layers
                         subdivide)  # -subdivide
 
 # --- dedup / text / ANN / multimodal (training-data ops) -------------------
-from .ops.dedup import (embedding_near_dup, embedding_near_dup_exact,
+from .ops.dedup import (banded_hamming_pairs, cluster_pairs,
+                        embedding_near_dup, embedding_near_dup_exact,
                         exact_dedup, minhash_lsh, simhash)
 from .ops.ann import brute_topk, ivf_topk
 from .stages.text import analyze_text, fingerprint
 from .stages.multimodal import (decode_images, featurize_audio,
+                                phash_near_dup_groups,
+                                phash_near_dup_pairs,
                                 sample_video_frames)
+
+# --- analytics / sketches / lakehouse (round-5 band) -----------------------
+from .cells import hex_center, lonlat_to_hex
+from .ops.relational import (cdc_apply, compaction_plan, event_gaps,
+                             group_corr, grouped_rolling_sum,
+                             hash_join_salted, interval_overlap_join,
+                             profile_columns, scd2_intervals,
+                             time_weighted_avg)
+from .ops.sketch import (kmv_build, kmv_estimate, kmv_set_stats,
+                         kmv_union)
+from .stages.proj import geocent_fwd, geocent_inv, geocent_points
 
 # --- pipelines --------------------------------------------------------------
 from .pipelines.simplify_layer import (simplify_layer,  # -simplify (layer)
