@@ -320,6 +320,29 @@ def run_benchmarks():
           lambda: funnel(fun_ev, ["view", "click", "purchase"],
                          n_parts=128))
 
+    # skew-join probe: 10M fact rows with 60% on ONE key joined to a
+    # 1000-key dimension — the salted join (one-pass hot detection,
+    # round-robin salting, dimension replication) vs the plain
+    # bucketed join's straggler partition (~17 s measured)
+    from mapshaper_ray.ops.relational import hash_join_salted
+
+    def _mk_skew_left(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df["id"].to_numpy()
+        k = np.where((d * 2654435761) % 10 < 6, 0, d % 1000)
+        return pd.DataFrame({"key": k.astype(np.int64),
+                             "v": (d % 97).astype(np.int64)})
+
+    skew_left = rd.range(10_000_000).map_batches(
+        _mk_skew_left, batch_format="pandas").materialize()
+    skew_right = rd.from_pandas(pd.DataFrame(
+        {"key": np.arange(1000, dtype=np.int64),
+         "label": [f"L{i}" for i in range(1000)]})).materialize()
+    timed("skew_join_10m",
+          lambda: hash_join_salted(skew_left, skew_right, on="key",
+                                   n_salt=32,
+                                   hot_min_count=100_000))
+    del skew_left, skew_right
+
     # hot-tile skew probe: 2M rows, ~60% landing in ONE tile — the
     # salted resumable write must split the hot tile by doc-id hash
     # (ceil(count/target) salts) instead of funneling it through one
