@@ -2985,6 +2985,32 @@ def _q178_event_gaps(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _q179_crawl_waves(sf_dir: str):
+    """Politeness-aware crawl scheduling over the synthetic pages:
+    per host, urls fetch in waves of 4 (wave = per-host rank // 4,
+    slot = rank % 4) — one host-bucket shuffle + in-partition rank
+    (stages/pages.crawl_waves; row_number SQL mirror)."""
+    from mapshaper_ray.stages.pages import (add_url_host, crawl_waves,
+                                            synth_pages)
+    pages = add_url_host(synth_pages(sf_dir))
+    out = crawl_waves(pages, per_wave=4).to_pandas()
+    out = out.astype({"wave": np.int64, "slot": np.int64})
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def _q180_mad_outliers(sf_dir: str):
+    """Robust per-event-type outliers via exact integer median/MAD
+    (rank-element medians, |q-med| > 3*MAD) — the robust sibling of
+    q148's mean/std anomaly (ops/relational.group_mad_outliers;
+    double-row_number SQL mirror)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import group_mad_outliers
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    return group_mad_outliers(ev, "event_type", "value", "event_id",
+                              k=3)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -3731,6 +3757,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q176_compaction_plan": _q176_compaction_plan,
         "q177_grouped_window": _q177_grouped_window,
         "q178_event_gaps": _q178_event_gaps,
+        "q179_crawl_waves": _q179_crawl_waves,
+        "q180_mad_outliers": _q180_mad_outliers,
         "q76_decontaminate": _q76_decontaminate,
         "q121_weighted_sample": _q121_weighted_sample,
         "q30_nearest_within": _q30_nearest_within,
@@ -7052,6 +7080,48 @@ def oracle_sql() -> dict[str, str]:
                  PARTITION BY user_id ORDER BY ts, event_id), -1)
                  AS BIGINT) AS gap_us
         FROM events ORDER BY event_id"""
+
+    out["q179_crawl_waves"] = """
+        WITH p AS (SELECT 'https://site'
+                          || CAST(doc_id % 1000 AS VARCHAR)
+                          || '.example/p/'
+                          || CAST(doc_id AS VARCHAR) AS url,
+                          'site' || CAST(doc_id % 1000 AS VARCHAR)
+                          || '.example' AS host
+                   FROM documents),
+        r AS (SELECT url, host,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY url) - 1 AS rk
+              FROM p)
+        SELECT url, host, CAST(rk // 4 AS BIGINT) AS wave,
+               CAST(rk % 4 AS BIGINT) AS slot
+        FROM r ORDER BY url"""
+
+    out["q180_mad_outliers"] = """
+        -- rank-ELEMENT medians (floor((n-1)/2) in (q, id) order)
+        -- keep everything integer; |q - med| > 3 * MAD
+        WITH b AS (SELECT event_id, event_type,
+                          CAST(floor(value * 100) AS BIGINT) AS q
+                   FROM events),
+        r1 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                        ORDER BY q, event_id) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM b),
+        med AS (SELECT event_type, q AS med_q FROM r1
+                WHERE rn - 1 = (n - 1) // 2),
+        d AS (SELECT b.event_id, b.event_type, b.q, med.med_q,
+                     abs(b.q - med.med_q) AS dev
+              FROM b JOIN med USING (event_type)),
+        r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                        ORDER BY dev, event_id) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM d),
+        mad AS (SELECT event_type, dev AS mad_q FROM r2
+                WHERE rn - 1 = (n - 1) // 2)
+        SELECT d.event_type, d.event_id, d.q, d.med_q, mad.mad_q
+        FROM d JOIN mad USING (event_type)
+        WHERE d.dev > 3 * mad.mad_q
+        ORDER BY event_type, event_id"""
 
     out["q157_group_trend"] = """
         WITH b AS (

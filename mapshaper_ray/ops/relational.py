@@ -3057,3 +3057,80 @@ def event_gaps(ds, key_col: str, ts_col: str, id_col: str,
 
     return ds.map_batches(stamp, batch_format="pandas") \
         .groupby("__part").map_groups(scan, batch_format="pandas")
+
+
+def group_mad_outliers(ds, key_col: str, val_col: str, id_col: str,
+                       k: int = 3, qscale: int = 100,
+                       n_parts: int = 64):
+    """Robust per-group outlier flags via median/MAD — the detector
+    group_outliers' mean/std version breaks on when outliers inflate
+    sigma: per key, med = the rank-floor((n-1)/2) quantized value in
+    (q, id) order (an ELEMENT, not an interpolation, so everything
+    stays integer), MAD = the same rank of |q - med| in (dev, id)
+    order, and a row is an outlier iff ``|q - med| > k * MAD``.
+    A SQL double-row_number mirror matches row-for-row.
+
+    Distributed shape: ONE key-hash bucket shuffle co-locates each
+    group; both medians are in-partition vectorized lexsorts (no
+    driver state, no global sort).  Returns flagged rows
+    (key, id, q, med_q, mad_q) ordered by (key, id)."""
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__q"] = np.floor(df[val_col].to_numpy(np.float64)
+                             * qscale).astype(np.int64)
+        key = pd.util.hash_array(df[key_col].to_numpy()) \
+            .astype(np.uint64)
+        df["__part"] = (key % np.uint64(n_parts)).astype(np.int64)
+        return df[[key_col, id_col, "__q", "__part"]]
+
+    def _group_rank_pick(k_arr, order_q, order_id):
+        """Per-run element at rank floor((n-1)/2) after lexsort by
+        (key, q, id); returns the picked value broadcast per row."""
+        order = np.lexsort((order_id, order_q, k_arr))
+        ks = k_arr[order]
+        starts = np.concatenate(
+            [[0], np.nonzero(ks[1:] != ks[:-1])[0] + 1])
+        ends = np.concatenate([starts[1:], [len(ks)]])
+        grp = np.zeros(len(ks), np.int64)
+        grp[starts] = 1
+        gid_sorted = np.cumsum(grp) - 1
+        n = (ends - starts)
+        pick_pos = starts + (n - 1) // 2
+        picked_sorted = order_q[order][pick_pos][gid_sorted]
+        out = np.empty(len(ks), np.int64)
+        out[order] = picked_sorted
+        return out
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                                 id_col: pd.Series([], dtype=np.int64),
+                                 "q": pd.Series([], dtype=np.int64),
+                                 "med_q": pd.Series([],
+                                                    dtype=np.int64),
+                                 "mad_q": pd.Series([],
+                                                    dtype=np.int64)})
+        kf = pd.factorize(df[key_col], sort=True)[0].astype(np.int64)
+        q = df["__q"].to_numpy(np.int64)
+        i = df[id_col].to_numpy(np.int64)
+        med = _group_rank_pick(kf, q, i)
+        dev = np.abs(q - med)
+        mad = _group_rank_pick(kf, dev, i)
+        out = dev > k * mad
+        res = pd.DataFrame({key_col: df[key_col].to_numpy()[out],
+                            id_col: i[out], "q": q[out],
+                            "med_q": med[out], "mad_q": mad[out]})
+        return res
+
+    got = ds.map_batches(stamp, batch_format="pandas") \
+        .groupby("__part").map_groups(flag, batch_format="pandas") \
+        .to_pandas()
+    if not len(got):
+        return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                             id_col: pd.Series([], dtype=np.int64),
+                             "q": pd.Series([], dtype=np.int64),
+                             "med_q": pd.Series([], dtype=np.int64),
+                             "mad_q": pd.Series([], dtype=np.int64)})
+    got = got.astype({id_col: np.int64, "q": np.int64,
+                      "med_q": np.int64, "mad_q": np.int64})
+    return got.sort_values([key_col, id_col]).reset_index(drop=True)

@@ -544,3 +544,45 @@ def remove_boilerplate(pages: "ray.data.Dataset", host_col: str = "host",
     return kept.map_batches(stamp, batch_format="pandas") \
         .groupby("__part").map_groups(reassemble,
                                       batch_format="pandas")
+
+
+def crawl_waves(pages: "ray.data.Dataset", host_col: str = "host",
+                url_col: str = "url", per_wave: int = 4,
+                n_parts: int = 64):
+    """Politeness-aware crawl scheduling: per host, urls rank in
+    deterministic (url) order and fetch in waves of ``per_wave``
+    (slot = rank % per_wave, wave = rank // per_wave) — one host
+    never has more than ``per_wave`` urls in flight per wave, hosts
+    fetch independently.  One host-hash bucket shuffle + vectorized
+    in-partition rank (the grouped_cumsum shape); SQL mirror is
+    ``row_number() OVER (PARTITION BY host ORDER BY url)``.
+    Returns (url, host, wave, slot)."""
+    import pandas as pd
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[host_col, url_col]].copy()
+        key = pd.util.hash_array(df[host_col].to_numpy()) \
+            .astype(np.uint64)
+        df["__part"] = (key % np.uint64(n_parts)).astype(np.int64)
+        return df
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([host_col, url_col],
+                            kind="mergesort").reset_index(drop=True)
+        h = df[host_col].to_numpy()
+        starts = np.concatenate(
+            [[0], np.nonzero(h[1:] != h[:-1])[0] + 1]) \
+            if len(h) else np.empty(0, np.int64)
+        grp = np.zeros(len(h), np.int64)
+        if len(h):
+            grp[starts] = 1
+        gid = np.cumsum(grp) - 1
+        r = np.arange(len(h)) - starts[gid] if len(h) \
+            else np.empty(0, np.int64)
+        return pd.DataFrame({url_col: df[url_col].to_numpy(),
+                             host_col: h,
+                             "wave": (r // per_wave).astype(np.int64),
+                             "slot": (r % per_wave).astype(np.int64)})
+
+    return pages.map_batches(stamp, batch_format="pandas") \
+        .groupby("__part").map_groups(rank, batch_format="pandas")

@@ -413,3 +413,57 @@ def test_event_gaps_brute_force(ray_session):
         .sort_values("eid").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got[["eid", "gap_us"]].astype({"gap_us": np.int64}), exp)
+
+
+# ---------------------------------------- crawl waves / MAD outliers
+
+def test_crawl_waves_per_host_cap_and_invariance(ray_session):
+    from mapshaper_ray.stages.pages import crawl_waves
+    rng = np.random.default_rng(61)
+    n = 400
+    df = pd.DataFrame({
+        "host": ("h" + pd.Series(rng.integers(0, 7, n)).astype(str)),
+        "url": [f"u{i:05d}" for i in rng.permutation(n)]})
+    outs = [crawl_waves(ds, per_wave=3).to_pandas()
+            .sort_values("url").reset_index(drop=True)
+            for ds in _layouts(df, 63)]
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+    out = outs[0]
+    # per (host, wave): at most per_wave urls, slots 0..k unique
+    g = out.groupby(["host", "wave"])["slot"]
+    assert (g.count() <= 3).all()
+    assert (g.nunique() == g.count()).all()
+    # rank order: within a host, urls sort ascending across waves
+    for h, gh in out.groupby("host"):
+        gh = gh.sort_values(["wave", "slot"])
+        assert gh["url"].is_monotonic_increasing
+
+
+def test_group_mad_outliers_brute_force(ray_session):
+    from mapshaper_ray.ops.relational import group_mad_outliers
+    rng = np.random.default_rng(67)
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], n),
+        "id": np.arange(n, dtype=np.int64),
+        "v": np.round(rng.normal(100, 5, n), 2)})
+    df.loc[:10, "v"] = 10_000.0  # gross outliers that inflate sigma
+    outs = [group_mad_outliers(ds, "k", "v", "id", k=3)
+            for ds in _layouts(df, 69)]
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+    out = outs[0]
+    # every planted outlier flagged
+    assert set(df.loc[:10, "id"]) <= set(out["id"])
+    # brute force per group
+    q = np.floor(df["v"] * 100).astype(np.int64)
+    for key, g in df.assign(q=q).groupby("k"):
+        gs = g.sort_values(["q", "id"], kind="mergesort")
+        med = int(gs["q"].iloc[(len(gs) - 1) // 2])
+        dev = (g["q"] - med).abs()
+        gd = g.assign(dev=dev).sort_values(["dev", "id"],
+                                           kind="mergesort")
+        mad = int(gd["dev"].iloc[(len(gd) - 1) // 2])
+        exp_ids = sorted(g[dev > 3 * mad]["id"])
+        assert sorted(out[out["k"] == key]["id"]) == exp_ids
