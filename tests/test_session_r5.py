@@ -467,3 +467,27 @@ def test_group_mad_outliers_brute_force(ray_session):
         mad = int(gd["dev"].iloc[(len(gd) - 1) // 2])
         exp_ids = sorted(g[dev > 3 * mad]["id"])
         assert sorted(out[out["k"] == key]["id"]) == exp_ids
+
+
+def test_salted_join_string_keys_and_anti(ray_session):
+    # string hot key + how="anti" passthrough both preserve semantics
+    from mapshaper_ray.ops.relational import (hash_join_bucketed,
+                                              hash_join_salted)
+    rng = np.random.default_rng(71)
+    n = 8000
+    k = np.where(rng.integers(0, 10, n) < 7, "hot",
+                 "cold" + pd.Series(rng.integers(0, 9, n)).astype(str))
+    left = pd.DataFrame({"key": k.astype(object),
+                         "v": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"key": ["hot", "cold3", "cold7"],
+                          "label": ["H", "C3", "C7"]})
+    plain = hash_join_bucketed(rd.from_pandas(left),
+                               rd.from_pandas(right),
+                               on="key").to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    salted = hash_join_salted(rd.from_pandas(left).repartition(6),
+                              rd.from_pandas(right), on="key",
+                              n_salt=4, hot_min_count=500) \
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        salted[plain.columns.tolist()], plain)
