@@ -2878,7 +2878,10 @@ def profile_columns(ds, cols: list[str]):
             s = df[c]
             nn = int(s.isna().sum())
             counts.append((c, len(s), nn))
-            vals = s[s.notna()]
+            # unique BEFORE hashing: md5 is the per-value cost and
+            # low-cardinality columns (flags, enums) collapse to a
+            # handful of hashes per batch
+            vals = s[s.notna()].unique()
             h = np.unique(md5_lo64([str(v) for v in vals])) \
                 if len(vals) else np.empty(0, np.uint64)
             hash_rows.append(pd.DataFrame({
