@@ -10,6 +10,7 @@ embeddings).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -3011,6 +3012,106 @@ def _q180_mad_outliers(sf_dir: str):
                               k=3)
 
 
+def _q181_personalized_pagerank(sf_dir: str):
+    """Personalized PageRank (TrustRank shape): teleport mass only to
+    the doc_id % 17 == 0 seed set over the same synthetic 3-out-link
+    graph as q62 — rank measures proximity to trusted sources
+    (ops/graph.personalized_pagerank, 3 iterations, broadcast rank
+    vector; oracle = 3 unrolled CTE iterations)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.graph import personalized_pagerank
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).materialize()
+    n = docs.count()
+
+    def mk_edges(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "src": np.concatenate([i, i, i]),
+            "dst": np.concatenate([(i * 7 + 1) % n,
+                                   (i * 13 + 5) % n,
+                                   (i * 31 + 11) % n])})
+
+    def mk_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["doc_id"]
+                             .to_numpy(np.int64)})
+
+    seeds = [i for i in range(n) if i % 17 == 0]
+    out = personalized_pagerank(
+        docs.map_batches(mk_edges, batch_format="pandas"),
+        docs.map_batches(mk_nodes, batch_format="pandas"),
+        seeds, iters=3).to_pandas()
+    out["rank"] = out["rank"].round(9)
+    out = out.rename(columns={"node": "doc_id"})
+    return out.astype({"doc_id": np.int64}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def _q182_agg_incremental(sf_dir: str):
+    """Incremental aggregate maintenance: the per-event-type
+    (n, sum_q, min_q, max_q) table built from 3/4 of the events is
+    UPDATED with the remaining quarter (ops/relational.agg_update —
+    no re-read of old data) and must equal the from-scratch SQL
+    aggregate over everything."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import agg_update, groupby_agg
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"]) \
+        .materialize()
+
+    def quant(part):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            m = (df["event_id"].to_numpy(np.int64) % 4 == 0) \
+                if part == "delta" else \
+                (df["event_id"].to_numpy(np.int64) % 4 != 0)
+            d = df[m]
+            return pd.DataFrame({
+                "event_type": d["event_type"].to_numpy(),
+                "q": np.floor(d["value"].to_numpy(np.float64)
+                              * 100).astype(np.int64)})
+        return f
+
+    aggs = {"n": ("q", "count"), "sum_q": ("q", "sum"),
+            "min_q": ("q", "min"), "max_q": ("q", "max")}
+    base = groupby_agg(ev.map_batches(quant("base"),
+                                      batch_format="pandas"),
+                       ["event_type"], aggs,
+                       final="distributed").to_pandas()
+    out = agg_update(base,
+                     ev.map_batches(quant("delta"),
+                                    batch_format="pandas"),
+                     ["event_type"], aggs)
+    return out.astype({"n": np.int64, "sum_q": np.int64,
+                       "min_q": np.int64, "max_q": np.int64})
+
+
+def _q183_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink + source round-trip: documents stream to
+    one-file-per-block .jsonl and back (sources/jsonl); the md5 of
+    each round-tripped text must equal the oracle's md5 of the
+    original — byte fidelity through the JSON escape/unescape
+    cycle."""
+    import ray.data as rd
+    from mapshaper_ray.ops.dedup import content_md5
+    from mapshaper_ray.sources.jsonl import read_jsonl, write_jsonl
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "text"])
+    out_dir = f"/tmp/graft_jsonl_{os.path.basename(sf_dir)}"
+    write_jsonl(docs, out_dir)
+    back = read_jsonl(out_dir)
+
+    def digest(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "lang": df["lang"].to_numpy(object),
+            "n_chars2": [len(t) for t in df["text"]],
+            "text_md5": np.asarray(content_md5(df["text"]), object)})
+
+    out = back.map_batches(digest, batch_format="pandas").to_pandas()
+    out["n_chars2"] = out["n_chars2"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -3759,6 +3860,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q178_event_gaps": _q178_event_gaps,
         "q179_crawl_waves": _q179_crawl_waves,
         "q180_mad_outliers": _q180_mad_outliers,
+        "q181_personalized_pagerank": _q181_personalized_pagerank,
+        "q182_agg_incremental": _q182_agg_incremental,
+        "q183_jsonl_roundtrip": _q183_jsonl_roundtrip,
         "q76_decontaminate": _q76_decontaminate,
         "q121_weighted_sample": _q121_weighted_sample,
         "q30_nearest_within": _q30_nearest_within,
@@ -7122,6 +7226,76 @@ def oracle_sql() -> dict[str, str]:
         FROM d JOIN mad USING (event_type)
         WHERE d.dev > 3 * mad.mad_q
         ORDER BY event_type, event_id"""
+
+    out["q181_personalized_pagerank"] = """
+        -- three unrolled PPR iterations: teleport only to the
+        -- doc_id % 17 = 0 seeds (same 3-out-link graph as q62)
+        WITH nd AS (SELECT count(*) AS n FROM documents),
+        ns AS (SELECT count(*) AS s FROM documents
+               WHERE doc_id % 17 = 0),
+        nodes AS (SELECT doc_id AS node FROM documents),
+        e AS (
+          SELECT doc_id AS src, (doc_id * 7 + 1) % nd.n AS dst
+          FROM documents, nd
+          UNION ALL
+          SELECT doc_id, (doc_id * 13 + 5) % nd.n
+          FROM documents, nd
+          UNION ALL
+          SELECT doc_id, (doc_id * 31 + 11) % nd.n
+          FROM documents, nd),
+        deg AS (SELECT src, count(*) AS c FROM e GROUP BY src),
+        ew AS (SELECT e.src, e.dst, 1.0 / deg.c AS w
+               FROM e JOIN deg ON e.src = deg.src),
+        t AS (SELECT node,
+                     CASE WHEN node % 17 = 0 THEN 1.0 / ns.s
+                          ELSE 0.0 END AS tv
+              FROM nodes, ns),
+        r0 AS (SELECT node, tv AS r FROM t),
+        r1 AS (SELECT nn.node,
+                      (1 - 0.85) * t.tv + 0.85 * coalesce(s.x, 0)
+                        AS r
+               FROM nodes nn JOIN t ON t.node = nn.node
+               LEFT JOIN (SELECT ew.dst AS node,
+                                 sum(p.r * ew.w) AS x
+                          FROM r0 p JOIN ew ON p.node = ew.src
+                          GROUP BY ew.dst) s ON nn.node = s.node),
+        r2 AS (SELECT nn.node,
+                      (1 - 0.85) * t.tv + 0.85 * coalesce(s.x, 0)
+                        AS r
+               FROM nodes nn JOIN t ON t.node = nn.node
+               LEFT JOIN (SELECT ew.dst AS node,
+                                 sum(p.r * ew.w) AS x
+                          FROM r1 p JOIN ew ON p.node = ew.src
+                          GROUP BY ew.dst) s ON nn.node = s.node),
+        r3 AS (SELECT nn.node,
+                      (1 - 0.85) * t.tv + 0.85 * coalesce(s.x, 0)
+                        AS r
+               FROM nodes nn JOIN t ON t.node = nn.node
+               LEFT JOIN (SELECT ew.dst AS node,
+                                 sum(p.r * ew.w) AS x
+                          FROM r2 p JOIN ew ON p.node = ew.src
+                          GROUP BY ew.dst) s ON nn.node = s.node)
+        SELECT node AS doc_id, round(r, 9) AS rank
+        FROM r3 ORDER BY doc_id"""
+
+    out["q182_agg_incremental"] = """
+        -- the incrementally-maintained aggregate must equal the
+        -- from-scratch aggregate over ALL events
+        WITH b AS (SELECT event_type,
+                          CAST(floor(value * 100) AS BIGINT) AS q
+                   FROM events)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS BIGINT) AS sum_q,
+               CAST(min(q) AS BIGINT) AS min_q,
+               CAST(max(q) AS BIGINT) AS max_q
+        FROM b GROUP BY event_type ORDER BY event_type"""
+
+    out["q183_jsonl_roundtrip"] = """
+        -- byte fidelity through the JSONL escape/unescape cycle
+        SELECT doc_id, lang,
+               CAST(length(text) AS BIGINT) AS n_chars2,
+               md5(text) AS text_md5
+        FROM documents ORDER BY doc_id"""
 
     out["q157_group_trend"] = """
         WITH b AS (

@@ -3137,3 +3137,26 @@ def group_mad_outliers(ds, key_col: str, val_col: str, id_col: str,
     got = got.astype({id_col: np.int64, "q": np.int64,
                       "med_q": np.int64, "mad_q": np.int64})
     return got.sort_values([key_col, id_col]).reset_index(drop=True)
+
+
+def agg_update(agg_df: pd.DataFrame, delta_ds, keys: list[str],
+               aggs: dict[str, tuple[str, str]]) -> pd.DataFrame:
+    """Incremental materialized-aggregate maintenance: merge a new
+    corpus slice's aggregate into an existing grouped table WITHOUT
+    re-reading old data (the ddsketch_update / bloom_update
+    incremental contract, applied to groupby_agg).  Supported
+    re-aggregable fns: sum/count (add), min/max (combine) —
+    append-only deltas; retractions need a different structure.
+    Proven == from-scratch over the union by the oracle gate."""
+    for out, (col, fn) in aggs.items():
+        if fn not in ("sum", "count", "min", "max"):
+            raise ValueError(f"agg_update: {fn} is not re-aggregable")
+    delta = groupby_agg(delta_ds, keys, aggs, final="distributed") \
+        .to_pandas()
+    both = pd.concat([agg_df, delta], ignore_index=True)
+    re_fn = {out: ("sum" if fn in ("sum", "count") else fn)
+             for out, (col, fn) in aggs.items()}
+    out = both.groupby(keys, as_index=False) \
+        .agg({o: f for o, f in re_fn.items()})
+    return out.sort_values(keys, kind="mergesort") \
+        .reset_index(drop=True)

@@ -491,3 +491,68 @@ def test_salted_join_string_keys_and_anti(ray_session):
         .to_pandas().sort_values("v").reset_index(drop=True)
     pd.testing.assert_frame_equal(
         salted[plain.columns.tolist()], plain)
+
+
+# ----------------------------------- PPR / agg_update / jsonl
+
+def test_personalized_pagerank_properties(ray_session):
+    from mapshaper_ray.ops.graph import (pagerank_broadcast,
+                                         personalized_pagerank)
+    rng = np.random.default_rng(73)
+    n = 200
+    edges = pd.DataFrame({
+        "src": np.repeat(np.arange(n, dtype=np.int64), 3),
+        "dst": rng.integers(0, n, 3 * n).astype(np.int64)})
+    nodes = pd.DataFrame({"node": np.arange(n, dtype=np.int64)})
+    e = rd.from_pandas(edges).repartition(5)
+    nn = rd.from_pandas(nodes)
+    ppr = personalized_pagerank(e, nn, seeds=[0, 17, 34],
+                                iters=4).to_pandas()
+    assert abs(ppr["rank"].sum() - 1.0) < 1e-9  # mass conserved
+    # seeds-everywhere == global pagerank (uniform teleport)
+    ppr_all = personalized_pagerank(e, nn, seeds=range(n),
+                                    iters=4).to_pandas()
+    pr = pagerank_broadcast(e, nn, iters=4).to_pandas()
+    assert np.allclose(ppr_all["rank"], pr["rank"], atol=1e-12)
+    # seed proximity: a seed outranks its global-pagerank self
+    assert ppr.set_index("node").loc[0, "rank"] > \
+        pr.set_index("node").loc[0, "rank"]
+
+
+def test_agg_update_equals_from_scratch(ray_session):
+    from mapshaper_ray.ops.relational import agg_update, groupby_agg
+    rng = np.random.default_rng(79)
+    n = 500
+    df = pd.DataFrame({"k": rng.choice(["a", "b", "c"], n),
+                       "q": rng.integers(-50, 50, n)
+                       .astype(np.int64)})
+    aggs = {"n": ("q", "count"), "s": ("q", "sum"),
+            "lo": ("q", "min"), "hi": ("q", "max")}
+    full = groupby_agg(rd.from_pandas(df), ["k"], aggs,
+                       final="distributed").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    for cut in (100, 499):
+        base = groupby_agg(rd.from_pandas(df.iloc[:cut]), ["k"],
+                           aggs, final="distributed").to_pandas()
+        got = agg_update(base,
+                         rd.from_pandas(df.iloc[cut:]
+                                        .reset_index(drop=True))
+                         .repartition(7),
+                         ["k"], aggs)
+        pd.testing.assert_frame_equal(
+            got.astype(full.dtypes.to_dict()), full)
+
+
+def test_jsonl_roundtrip_hostile_strings(ray_session):
+    from mapshaper_ray.sources.jsonl import read_jsonl, write_jsonl
+    texts = ['line1\nline2', 'quote " and \\ backslash',
+             'unicode é中文 \U0001f600',
+             'tab\tand\rcr', '', 'plain']
+    df = pd.DataFrame({"doc_id": np.arange(len(texts),
+                                           dtype=np.int64),
+                       "text": texts})
+    out_dir = "/tmp/test_jsonl_rt"
+    write_jsonl(rd.from_pandas(df).repartition(3), out_dir)
+    back = read_jsonl(out_dir).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert back["text"].tolist() == texts
