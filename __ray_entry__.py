@@ -3112,6 +3112,43 @@ def _q183_jsonl_roundtrip(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q184_merge_intervals(sf_dir: str):
+    """Gaps-and-islands: per-user 30-minute activity intervals merge
+    into islands (overlap OR touch); one row per island with its
+    span and member count (ops/relational.merge_intervals; classic
+    window-cummax SQL mirror)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import merge_intervals
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def mk(df: pd.DataFrame) -> pd.DataFrame:
+        e = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"user_id": df["user_id"]
+                             .to_numpy(np.int64),
+                             "lo": e, "hi": e + 1_800_000_000})
+
+    out = merge_intervals(ev.map_batches(mk, batch_format="pandas"),
+                          "user_id", "lo", "hi").to_pandas()
+    out = out.astype({"user_id": np.int64, "island": np.int64,
+                      "start_us": np.int64, "end_us": np.int64,
+                      "n_merged": np.int64})
+    return out.sort_values(["user_id", "island"]) \
+        .reset_index(drop=True)
+
+
+def _q185_winsorize(sf_dir: str):
+    """Per-event-type winsorized value sum: clamp to the group's
+    [p10, p90] percentile ELEMENTS (integer rank picks) and report
+    exact clamped sums (ops/relational.group_winsorize_sum)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import group_winsorize_sum
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    return group_winsorize_sum(ev, "event_type", "value",
+                               "event_id", p_lo=10, p_hi=90)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -3863,6 +3900,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q181_personalized_pagerank": _q181_personalized_pagerank,
         "q182_agg_incremental": _q182_agg_incremental,
         "q183_jsonl_roundtrip": _q183_jsonl_roundtrip,
+        "q184_merge_intervals": _q184_merge_intervals,
+        "q185_winsorize": _q185_winsorize,
         "q76_decontaminate": _q76_decontaminate,
         "q121_weighted_sample": _q121_weighted_sample,
         "q30_nearest_within": _q30_nearest_within,
@@ -7296,6 +7335,53 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(text) AS BIGINT) AS n_chars2,
                md5(text) AS text_md5
         FROM documents ORDER BY doc_id"""
+
+    out["q184_merge_intervals"] = """
+        -- gaps-and-islands: island starts where lo exceeds the
+        -- running max hi of all earlier intervals of the key
+        WITH i AS (SELECT user_id, epoch_us(ts) AS lo,
+                          epoch_us(ts) + 1800000000 AS hi
+                   FROM events),
+        s AS (SELECT *, max(hi) OVER (PARTITION BY user_id
+                       ORDER BY lo, hi
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS pm
+              FROM i),
+        f AS (SELECT *, CASE WHEN pm IS NULL OR lo > pm THEN 1
+                             ELSE 0 END AS st
+              FROM s),
+        g AS (SELECT *, sum(st) OVER (PARTITION BY user_id
+                       ORDER BY lo, hi
+                       ROWS UNBOUNDED PRECEDING) AS isl
+              FROM f)
+        SELECT user_id, CAST(isl AS BIGINT) AS island,
+               CAST(min(lo) AS BIGINT) AS start_us,
+               CAST(max(hi) AS BIGINT) AS end_us,
+               CAST(count(*) AS BIGINT) AS n_merged
+        FROM g GROUP BY user_id, isl
+        ORDER BY user_id, island"""
+
+    out["q185_winsorize"] = """
+        -- percentile-ELEMENT clamp: rank floor((n-1)*p/100) picks in
+        -- (q, id) order; least/greatest + HUGEINT sum stays integer
+        WITH b AS (SELECT event_id, event_type,
+                          CAST(floor(value * 100) AS BIGINT) AS q
+                   FROM events),
+        r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                       ORDER BY q, event_id) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM b),
+        lo AS (SELECT event_type, q AS lo_q FROM r
+               WHERE rn - 1 = ((n - 1) * 10) // 100),
+        hi AS (SELECT event_type, q AS hi_q FROM r
+               WHERE rn - 1 = ((n - 1) * 90) // 100)
+        SELECT b.event_type, CAST(count(*) AS BIGINT) AS n,
+               lo.lo_q, hi.hi_q,
+               CAST(sum(least(greatest(b.q, lo.lo_q), hi.hi_q))
+                    AS BIGINT) AS sum_wq
+        FROM b JOIN lo USING (event_type) JOIN hi USING (event_type)
+        GROUP BY b.event_type, lo.lo_q, hi.hi_q
+        ORDER BY event_type"""
 
     out["q157_group_trend"] = """
         WITH b AS (

@@ -3160,3 +3160,121 @@ def agg_update(agg_df: pd.DataFrame, delta_ds, keys: list[str],
         .agg({o: f for o, f in re_fn.items()})
     return out.sort_values(keys, kind="mergesort") \
         .reset_index(drop=True)
+
+
+def merge_intervals(ds, key_col: str, lo_col: str, hi_col: str,
+                    n_parts: int = 64):
+    """Per-key interval union (the classic gaps-and-islands):
+    overlapping or touching intervals merge into islands; returns one
+    row per island (key, island, start_us, end_us, n_merged) with
+    island numbered 1.. per key in start order.  An interval joins
+    the current island iff its lo <= the running max hi of all
+    earlier intervals of the key (ties in (lo, hi) order — the SQL
+    window mirror's frame).  One key-hash bucket shuffle +
+    in-partition pandas groupby cummax/shift (vectorized C, no
+    Python loop); no global sort."""
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        key = pd.util.hash_array(df[key_col].to_numpy()) \
+            .astype(np.uint64)
+        df["__part"] = (key % np.uint64(n_parts)).astype(np.int64)
+        return df[[key_col, lo_col, hi_col, "__part"]]
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                                 "island": pd.Series([],
+                                                     dtype=np.int64),
+                                 "start_us": pd.Series([],
+                                                       dtype=np.int64),
+                                 "end_us": pd.Series([],
+                                                     dtype=np.int64),
+                                 "n_merged": pd.Series([],
+                                                       dtype=np.int64)})
+        df = df.sort_values([key_col, lo_col, hi_col],
+                            kind="mergesort").reset_index(drop=True)
+        g = df.groupby(key_col, sort=False)
+        prev_max = g[hi_col].cummax().groupby(
+            df[key_col], sort=False).shift(1)
+        lo = df[lo_col].to_numpy(np.int64)
+        start = prev_max.isna().to_numpy() | \
+            (lo > prev_max.fillna(np.iinfo(np.int64).min)
+             .to_numpy(np.int64))
+        isl = pd.Series(start.astype(np.int64)) \
+            .groupby(df[key_col], sort=False).cumsum()
+        out = df.assign(island=isl.to_numpy(np.int64)) \
+            .groupby([key_col, "island"], as_index=False) \
+            .agg(start_us=(lo_col, "min"), end_us=(hi_col, "max"),
+                 n_merged=(lo_col, "size"))
+        return out.astype({"island": np.int64,
+                           "start_us": np.int64,
+                           "end_us": np.int64,
+                           "n_merged": np.int64})
+
+    return ds.map_batches(stamp, batch_format="pandas") \
+        .groupby("__part").map_groups(islands, batch_format="pandas")
+
+
+def group_winsorize_sum(ds, key_col: str, val_col: str, id_col: str,
+                        p_lo: int = 10, p_hi: int = 90,
+                        qscale: int = 100, n_parts: int = 64):
+    """Per-group winsorized sum — the feature-engineering clamp:
+    values clip to the group's [p_lo, p_hi] percentile ELEMENTS
+    (rank floor((n-1)*p/100) in (q, id) order, so everything stays
+    integer like group_mad_outliers) and the clamped sum reports as
+    exact ints.  SQL mirror: double row_number rank picks + least/
+    greatest + HUGEINT sum.  One bucket shuffle, in-partition
+    vectorized rank picks.  Returns (key, n, lo_q, hi_q, sum_wq)."""
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__q"] = np.floor(df[val_col].to_numpy(np.float64)
+                             * qscale).astype(np.int64)
+        key = pd.util.hash_array(df[key_col].to_numpy()) \
+            .astype(np.uint64)
+        df["__part"] = (key % np.uint64(n_parts)).astype(np.int64)
+        return df[[key_col, id_col, "__q", "__part"]]
+
+    def pick_rank(kf, q, i, num, den):
+        order = np.lexsort((i, q, kf))
+        ks = kf[order]
+        starts = np.concatenate(
+            [[0], np.nonzero(ks[1:] != ks[:-1])[0] + 1])
+        ends = np.concatenate([starts[1:], [len(ks)]])
+        grp = np.zeros(len(ks), np.int64)
+        grp[starts] = 1
+        gid_sorted = np.cumsum(grp) - 1
+        n = ends - starts
+        pos = starts + ((n - 1) * num) // den
+        picked = q[order][pos][gid_sorted]
+        out = np.empty(len(ks), np.int64)
+        out[order] = picked
+        return out
+
+    def winsor(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "lo_q": pd.Series([], dtype=np.int64),
+                                 "hi_q": pd.Series([], dtype=np.int64),
+                                 "sum_wq": pd.Series([],
+                                                     dtype=np.int64)})
+        kf = pd.factorize(df[key_col], sort=True)[0].astype(np.int64)
+        q = df["__q"].to_numpy(np.int64)
+        i = df[id_col].to_numpy(np.int64)
+        lo = pick_rank(kf, q, i, p_lo, 100)
+        hi = pick_rank(kf, q, i, p_hi, 100)
+        w = np.clip(q, lo, hi)
+        out = pd.DataFrame({key_col: df[key_col].to_numpy(),
+                            "lo_q": lo, "hi_q": hi, "w": w}) \
+            .groupby([key_col, "lo_q", "hi_q"], as_index=False) \
+            .agg(n=("w", "size"), sum_wq=("w", "sum"))
+        return out[[key_col, "n", "lo_q", "hi_q", "sum_wq"]] \
+            .astype({"n": np.int64, "lo_q": np.int64,
+                     "hi_q": np.int64, "sum_wq": np.int64})
+
+    got = ds.map_batches(stamp, batch_format="pandas") \
+        .groupby("__part").map_groups(winsor, batch_format="pandas") \
+        .to_pandas()
+    return got.sort_values(key_col).reset_index(drop=True) \
+        .astype({"n": np.int64, "lo_q": np.int64, "hi_q": np.int64,
+                 "sum_wq": np.int64})

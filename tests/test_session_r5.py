@@ -556,3 +556,67 @@ def test_jsonl_roundtrip_hostile_strings(ray_session):
     back = read_jsonl(out_dir).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert back["text"].tolist() == texts
+
+
+# ------------------------------------ merge intervals / winsorize
+
+def test_merge_intervals_brute_force_and_invariance(ray_session):
+    from mapshaper_ray.ops.relational import merge_intervals
+    rng = np.random.default_rng(83)
+    n = 400
+    lo = rng.integers(0, 10 ** 6, n).astype(np.int64)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n),
+        "lo": lo,
+        "hi": lo + rng.integers(1, 60_000, n).astype(np.int64)})
+    outs = []
+    for ds in _layouts(df, 87):
+        o = merge_intervals(ds, "k", "lo", "hi").to_pandas() \
+            .sort_values(["k", "island"]).reset_index(drop=True) \
+            .astype({"island": np.int64, "start_us": np.int64,
+                     "end_us": np.int64, "n_merged": np.int64})
+        outs.append(o)
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+    # brute force per key
+    for key, g in df.groupby("k"):
+        g = g.sort_values(["lo", "hi"]).reset_index(drop=True)
+        islands = []
+        cur = None
+        for _, r in g.iterrows():
+            if cur is None or r["lo"] > cur[1]:
+                cur = [r["lo"], r["hi"], 1]
+                islands.append(cur)
+            else:
+                cur[1] = max(cur[1], r["hi"])
+                cur[2] += 1
+        got = outs[0][outs[0]["k"] == key]
+        assert got["start_us"].tolist() == [i[0] for i in islands]
+        assert got["end_us"].tolist() == [i[1] for i in islands]
+        assert got["n_merged"].tolist() == [i[2] for i in islands]
+        # islands are disjoint and ordered
+        assert (got["start_us"].to_numpy()[1:]
+                > got["end_us"].to_numpy()[:-1]).all()
+
+
+def test_winsorize_brute_force(ray_session):
+    from mapshaper_ray.ops.relational import group_winsorize_sum
+    rng = np.random.default_rng(89)
+    n = 500
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], n),
+                       "id": np.arange(n, dtype=np.int64),
+                       "v": np.round(rng.normal(0, 40, n), 2)})
+    outs = [group_winsorize_sum(ds, "k", "v", "id")
+            for ds in _layouts(df, 91)]
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
+    q = np.floor(df["v"] * 100).astype(np.int64)
+    for key, g in df.assign(q=q).groupby("k"):
+        gs = g.sort_values(["q", "id"], kind="mergesort")
+        m = len(gs)
+        lo = int(gs["q"].iloc[((m - 1) * 10) // 100])
+        hi = int(gs["q"].iloc[((m - 1) * 90) // 100])
+        exp = int(g["q"].clip(lo, hi).sum())
+        row = outs[0].set_index("k").loc[key]
+        assert row["lo_q"] == lo and row["hi_q"] == hi
+        assert row["sum_wq"] == exp and row["n"] == m
