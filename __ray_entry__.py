@@ -3149,6 +3149,40 @@ def _q185_winsorize(sf_dir: str):
                                "event_id", p_lo=10, p_hi=90)
 
 
+def _q186_trending_terms(sf_dir: str):
+    """Trending terms per sub-corpus: top-5 tokens by count per
+    (lang, source) with deterministic token tiebreak — per-batch
+    token-count partials, one distributed (group, token) reduce,
+    then grouped_topk over the bounded count table (tokens never
+    shuffle raw text)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import groupby_agg, grouped_topk
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source", "text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        gs = (df["lang"].astype(str) + "\x1f"
+              + df["source"].astype(str))
+        toks = df["text"].fillna("").str.split(" ")
+        ex = pd.DataFrame({"gs": gs, "token": toks}) \
+            .explode("token", ignore_index=True)
+        ex = ex[ex["token"].astype(bool)]
+        return ex.groupby(["gs", "token"], as_index=False) \
+            .size().rename(columns={"size": "c"})
+
+    cnt = groupby_agg(docs.map_batches(counts, batch_format="pandas"),
+                      ["gs", "token"], {"n": ("c", "sum")},
+                      final="distributed")
+    top = grouped_topk(cnt, "gs", "n", 5, tie_col="token") \
+        .to_pandas()
+    gs = top["gs"].str.split("\x1f", expand=True)
+    out = pd.DataFrame({"lang": gs[0], "source": gs[1],
+                        "token": top["token"],
+                        "n": top["n"].astype(np.int64)})
+    return out.sort_values(["lang", "source", "token"]) \
+        .reset_index(drop=True)
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -3902,6 +3936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q183_jsonl_roundtrip": _q183_jsonl_roundtrip,
         "q184_merge_intervals": _q184_merge_intervals,
         "q185_winsorize": _q185_winsorize,
+        "q186_trending_terms": _q186_trending_terms,
         "q76_decontaminate": _q76_decontaminate,
         "q121_weighted_sample": _q121_weighted_sample,
         "q30_nearest_within": _q30_nearest_within,
@@ -7382,6 +7417,25 @@ def oracle_sql() -> dict[str, str]:
         FROM b JOIN lo USING (event_type) JOIN hi USING (event_type)
         GROUP BY b.event_type, lo.lo_q, hi.hi_q
         ORDER BY event_type"""
+
+    out["q186_trending_terms"] = """
+        -- top-5 tokens per (lang, source) by count, token-ascending
+        -- tiebreak (the engine's grouped_topk order)
+        WITH toks AS (
+          SELECT lang, source, u.tok AS token
+          FROM documents,
+               unnest(string_split(coalesce(text, ''), ' '))
+                 AS u(tok)
+          WHERE u.tok != ''),
+        cnt AS (SELECT lang, source, token,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM toks GROUP BY 1, 2, 3),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY lang, source
+                ORDER BY n DESC, token) AS rn
+              FROM cnt)
+        SELECT lang, source, token, n FROM r WHERE rn <= 5
+        ORDER BY lang, source, token"""
 
     out["q157_group_trend"] = """
         WITH b AS (
