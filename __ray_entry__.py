@@ -3183,6 +3183,25 @@ def _q186_trending_terms(sf_dir: str):
         .reset_index(drop=True)
 
 
+def _q187_skew_report(sf_dir: str):
+    """Key-skew diagnostic over the q170 skewed join key (60% of
+    lineitem on one key): group-size distribution stats — n_keys,
+    max, rank-element p50/p99 sizes, hot-key share
+    (ops/relational.skew_report; row_number-pick SQL mirror)."""
+    import ray.data as rd
+    from mapshaper_ray.ops.relational import skew_report
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"])
+
+    def mk(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["l_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame({"k": np.where(ok % 10 < 6, 0, ok % 25)
+                             .astype(np.int64)})
+
+    return skew_report(li.map_batches(mk, batch_format="pandas"),
+                       "k")
+
+
 def _q36_lcc(sf_dir: str):
     """-proj lcc (spherical Lambert conformal conic, proj4-family
     params via the +proj string surface)."""
@@ -3937,6 +3956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q184_merge_intervals": _q184_merge_intervals,
         "q185_winsorize": _q185_winsorize,
         "q186_trending_terms": _q186_trending_terms,
+        "q187_skew_report": _q187_skew_report,
         "q76_decontaminate": _q76_decontaminate,
         "q121_weighted_sample": _q121_weighted_sample,
         "q30_nearest_within": _q30_nearest_within,
@@ -7436,6 +7456,29 @@ def oracle_sql() -> dict[str, str]:
               FROM cnt)
         SELECT lang, source, token, n FROM r WHERE rn <= 5
         ORDER BY lang, source, token"""
+
+    out["q187_skew_report"] = """
+        -- group-size distribution with rank-ELEMENT percentiles in
+        -- (size, key) order
+        WITH c AS (SELECT CASE WHEN l_orderkey % 10 < 6 THEN 0
+                               ELSE l_orderkey % 25 END AS k,
+                          count(*) AS sz
+                   FROM lineitem GROUP BY 1),
+        r AS (SELECT sz, row_number() OVER (ORDER BY sz, k) AS rn,
+                     count(*) OVER () AS n
+              FROM c)
+        SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_keys,
+               CAST((SELECT sum(sz) FROM c) AS BIGINT) AS n_rows,
+               CAST((SELECT max(sz) FROM c) AS BIGINT) AS max_sz,
+               CAST((SELECT sz FROM r
+                     WHERE rn - 1 = ((n - 1) * 50) // 100)
+                    AS BIGINT) AS p50_sz,
+               CAST((SELECT sz FROM r
+                     WHERE rn - 1 = ((n - 1) * 99) // 100)
+                    AS BIGINT) AS p99_sz,
+               CAST(100 * (SELECT max(sz) FROM c)
+                    // (SELECT sum(sz) FROM c) AS BIGINT)
+                 AS top_share_pct"""
 
     out["q157_group_trend"] = """
         WITH b AS (

@@ -3278,3 +3278,34 @@ def group_winsorize_sum(ds, key_col: str, val_col: str, id_col: str,
     return got.sort_values(key_col).reset_index(drop=True) \
         .astype({"n": np.int64, "lo_q": np.int64, "hi_q": np.int64,
                  "sum_wq": np.int64})
+
+
+def skew_report(ds, key_col: str):
+    """Key-skew diagnostic — the measurement behind every salting
+    decision here: distributed per-key row counts, then distribution
+    stats of the GROUP SIZES (n_keys, total rows, max, and the p50 /
+    p99 size as rank ELEMENTS at floor((n-1)*p/100) in (size, key)
+    order, so the mirror is a row_number pick).  The count table is
+    bounded by |keys|; sizes beyond driver memory would shard the
+    final pick — the same count-gate every broadcast here uses.
+    Returns one row (n_keys, n_rows, max_sz, p50_sz, p99_sz,
+    top_share_pct = floor(100 * max / total))."""
+    cnt = groupby_agg(ds, [key_col], {"c": (key_col, "count")},
+                      final="distributed").to_pandas()
+    if not len(cnt):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ["n_keys", "n_rows", "max_sz",
+                                       "p50_sz", "p99_sz",
+                                       "top_share_pct"]})
+    sz = cnt["c"].to_numpy(np.int64)
+    order = np.lexsort((cnt[key_col].to_numpy(), sz))
+    ss = sz[order]
+    n = len(ss)
+    tot = int(ss.sum())
+    p50 = int(ss[((n - 1) * 50) // 100])
+    p99 = int(ss[((n - 1) * 99) // 100])
+    return pd.DataFrame({"n_keys": [n], "n_rows": [tot],
+                         "max_sz": [int(ss[-1])],
+                         "p50_sz": [p50], "p99_sz": [p99],
+                         "top_share_pct": [100 * int(ss[-1]) // tot]}) \
+        .astype(np.int64)

@@ -620,3 +620,21 @@ def test_winsorize_brute_force(ray_session):
         row = outs[0].set_index("k").loc[key]
         assert row["lo_q"] == lo and row["hi_q"] == hi
         assert row["sum_wq"] == exp and row["n"] == m
+
+
+def test_skew_report_brute_force(ray_session):
+    from mapshaper_ray.ops.relational import skew_report
+    rng = np.random.default_rng(97)
+    k = np.where(rng.integers(0, 10, 5000) < 6, 0,
+                 rng.integers(1, 40, 5000)).astype(np.int64)
+    df = pd.DataFrame({"k": k})
+    for ds in _layouts(df, 99):
+        out = skew_report(ds, "k")
+        vc = pd.Series(k).value_counts()
+        sz = np.sort(vc.to_numpy())
+        assert out["n_keys"].iloc[0] == len(vc)
+        assert out["n_rows"].iloc[0] == 5000
+        assert out["max_sz"].iloc[0] == sz[-1]
+        assert out["p50_sz"].iloc[0] == sz[((len(sz) - 1) * 50) // 100]
+        assert out["p99_sz"].iloc[0] == sz[((len(sz) - 1) * 99) // 100]
+        assert out["top_share_pct"].iloc[0] == 100 * sz[-1] // 5000
